@@ -1,0 +1,221 @@
+package graft.sources
+
+import graft.functions.vector
+import graft.operators.Knn
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import java.nio.charset.StandardCharsets
+
+/** Per-store configuration (reference service/models.py:23-32,
+  * service/optimized_vector_store.py:51-57). `indexType` selects the physical
+  * search path: "flat" = exact scan, "ivf" = partition-pruned ANN (batch-built).
+  */
+case class StoreConfig(
+    dimension: Int,
+    metric: String = vector.MetricCosine,
+    indexType: String = "flat") {
+  require(dimension >= 1 && dimension <= 4096, s"dimension out of range [1,4096]: $dimension")
+  require(vector.SupportedMetrics.contains(metric), s"unsupported metric: $metric")
+}
+
+/** Multi-tenant vector-store catalog over a distributed filesystem.
+  *
+  * Layout: `{root}/{userId}/{modelId}/` holding `data/` (Parquet) and
+  * `_store_config.json`. This mirrors the reference's store keying
+  * (api/routes/vectors.py:45-57: one store per (user_id, model_id), path
+  * `~/.team_mind_data/vector_stores/{user}/{model}`) but swaps its
+  * npz+JSONL single-file persistence (service/optimized_vector_store.py:218-239)
+  * for partitioned Parquet append — O(batch) ingest instead of the
+  * reference's O(N) full-matrix rewrite per add.
+  *
+  * Row identity: the reference exposes positional indices
+  * (service/optimized_vector_store.py:187-192), which are meaningless under
+  * distribution. We mint stable 64-bit ids at ingest: each append batch gets
+  * a monotonically-increasing base (persisted in the config) and rows get
+  * `base + monotonically_increasing_id()` — unique, stable, append-safe.
+  *
+  * Store schema: `id: long, vector: array<float>, meta: map<string,string>`.
+  */
+class VectorStoreCatalog(spark: SparkSession, root: String) {
+  import VectorStoreCatalog._
+
+  private def fs: FileSystem = new Path(root).getFileSystem(
+    spark.sparkContext.hadoopConfiguration)
+
+  def storePath(userId: String, modelId: String): String = {
+    require(validName(userId), s"invalid user_id: $userId")
+    require(validName(modelId), s"invalid model_id: $modelId")
+    s"$root/$userId/$modelId"
+  }
+
+  private def configPath(userId: String, modelId: String) =
+    new Path(s"${storePath(userId, modelId)}/_store_config.json")
+  private def dataPath(userId: String, modelId: String) =
+    s"${storePath(userId, modelId)}/data"
+
+  def exists(userId: String, modelId: String): Boolean =
+    fs.exists(configPath(userId, modelId))
+
+  def create(userId: String, modelId: String, config: StoreConfig): Unit = {
+    require(!exists(userId, modelId), s"store $userId/$modelId already exists")
+    writeConfig(configPath(userId, modelId), config, nextIdBase = 0L)
+  }
+
+  def config(userId: String, modelId: String): StoreConfig =
+    readConfig(fs, configPath(userId, modelId))._1
+
+  /** DDL list (reference api/routes/admin.py:135-169): all (user, model) pairs. */
+  def list(): Seq[(String, String)] = {
+    val rootPath = new Path(root)
+    if (!fs.exists(rootPath)) return Seq.empty
+    for {
+      user <- fs.listStatus(rootPath).toSeq if user.isDirectory
+      model <- fs.listStatus(user.getPath).toSeq if model.isDirectory
+      if fs.exists(new Path(model.getPath, "_store_config.json"))
+    } yield (user.getPath.getName, model.getPath.getName)
+  }
+
+  /** Append vectors with shape validation (reference utils.py:27-41: last dim
+    * must equal the store dimension). Validation runs inside the write pass
+    * via `raise_error` — no extra scan. Returns the number of rows written.
+    */
+  def addVectors(userId: String, modelId: String, rows: DataFrame): Long = {
+    val cfgPath = configPath(userId, modelId)
+    val (cfg, idBase) = readConfig(fs, cfgPath)
+    val withVec = rows.schema.fieldNames.toSeq
+    require(withVec.contains("vector"), "input must have a 'vector' column")
+    val meta =
+      if (withVec.contains("meta")) col("meta")
+      else typedLit(Map.empty[String, String]).as("meta")
+    val validated = rows
+      .withColumn("_dim_ok",
+        when(size(col("vector")) === cfg.dimension, lit(true))
+          .otherwise(raise_error(concat(
+            lit(s"vector dimension mismatch: expected ${cfg.dimension}, got "),
+            size(col("vector")).cast("string")))))
+      .select(
+        (lit(idBase) + monotonically_increasing_id()).as("id"),
+        col("vector").cast(ArrayType(FloatType)).as("vector"),
+        meta.cast(MapType(StringType, StringType)).as("meta"),
+        col("_dim_ok"))
+      .drop("_dim_ok")
+    validated.write.mode("append").parquet(dataPath(userId, modelId))
+    // Advance the id base by a generous stride; monotonically_increasing_id
+    // uses the upper 31 bits for the partition, so 2^33 per leaves headroom.
+    writeConfig(cfgPath, cfg, idBase + (1L << 40))
+    rows.count()
+  }
+
+  /** Scan (reference _load_store, service/optimized_vector_store.py:225-239).
+    * An empty store yields an empty, correctly-typed DataFrame.
+    */
+  def load(userId: String, modelId: String): DataFrame = {
+    require(exists(userId, modelId), s"store $userId/$modelId does not exist")
+    val p = dataPath(userId, modelId)
+    if (fs.exists(new Path(p))) spark.read.parquet(p)
+    else spark.createDataFrame(
+      spark.sparkContext.emptyRDD[Row],
+      StructType(Seq(
+        StructField("id", LongType, nullable = false),
+        StructField("vector", ArrayType(FloatType), nullable = true),
+        StructField("meta", MapType(StringType, StringType), nullable = true))))
+  }
+
+  /** kNN query against one store under its configured metric
+    * (reference MLXVectorStore.query, service/optimized_vector_store.py:116-145).
+    */
+  def query(
+      userId: String,
+      modelId: String,
+      queryVec: Seq[Double],
+      k: Int,
+      metadataFilter: Map[String, String] = Map.empty): DataFrame = {
+    val cfg = config(userId, modelId)
+    require(queryVec.length == cfg.dimension,
+      s"query dimension ${queryVec.length} != store dimension ${cfg.dimension}")
+    Knn.topK(load(userId, modelId), queryVec, k, cfg.metric,
+      metadataFilter = metadataFilter)
+  }
+
+  def count(userId: String, modelId: String): Long = load(userId, modelId).count()
+
+  /** Cross-store stats (reference api/routes/vectors.py:121-141). */
+  def stats(): DataFrame = {
+    import spark.implicits._
+    val stores = list()
+    if (stores.isEmpty)
+      return Seq.empty[(String, String, Long)].toDF("user_id", "model_id", "vector_count")
+    stores
+      .map { case (u, m) =>
+        load(u, m).select(lit(u).as("user_id"), lit(m).as("model_id"))
+          .groupBy("user_id", "model_id")
+          .agg(org.apache.spark.sql.functions.count(lit(1)).as("vector_count"))
+      }
+      .reduce(_ unionAll _)
+  }
+
+  /** Delete-by-predicate — declared but never shipped in the reference
+    * (service/models.py:97-105); trivially expressible as a filtered rewrite.
+    */
+  def deleteVectors(userId: String, modelId: String, predicate: org.apache.spark.sql.Column): Long = {
+    val df = load(userId, modelId)
+    val before = df.count()
+    val kept = df.filter(!predicate)
+    val keptCount = kept.count()
+    val tmp = s"${storePath(userId, modelId)}/_data_rewrite"
+    kept.write.mode("overwrite").parquet(tmp)
+    val dst = new Path(dataPath(userId, modelId))
+    fs.delete(dst, true)
+    fs.rename(new Path(tmp), dst)
+    before - keptCount
+  }
+
+  /** Clear store data, keep config (reference clear(),
+    * service/optimized_vector_store.py:198-209).
+    */
+  def clear(userId: String, modelId: String): Unit = {
+    fs.delete(new Path(dataPath(userId, modelId)), true)
+  }
+
+  /** Drop the store entirely (reference delete_store, api/routes/admin.py:74-112). */
+  def drop(userId: String, modelId: String, force: Boolean = false): Unit = {
+    if (!force && exists(userId, modelId) && count(userId, modelId) > 0)
+      throw new IllegalStateException(
+        s"store $userId/$modelId is non-empty; pass force=true (reference admin.py:74-112 semantics)")
+    fs.delete(new Path(storePath(userId, modelId)), true)
+  }
+}
+
+object VectorStoreCatalog {
+  private val NamePattern = "^[A-Za-z0-9._-]{1,128}$".r
+  def validName(s: String): Boolean = NamePattern.matches(s)
+
+  private def writeConfig(path: Path, cfg: StoreConfig, nextIdBase: Long): Unit = {
+    val fs = path.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val json =
+      s"""{"dimension":${cfg.dimension},"metric":"${cfg.metric}",""" +
+        s""""index_type":"${cfg.indexType}","next_id_base":$nextIdBase}"""
+    val out = fs.create(path, true)
+    try out.write(json.getBytes(StandardCharsets.UTF_8)) finally out.close()
+  }
+
+  private def readConfig(fs: FileSystem, path: Path): (StoreConfig, Long) = {
+    require(fs.exists(path), s"store config not found at $path")
+    val in = fs.open(path)
+    val json = try new String(
+      org.apache.commons.io.IOUtils.toByteArray(in), StandardCharsets.UTF_8)
+    finally in.close()
+    // minimal parse of the flat JSON object we wrote above
+    def str(k: String): String =
+      s""""$k"\\s*:\\s*"([^"]*)"""".r.findFirstMatchIn(json).map(_.group(1))
+        .getOrElse(throw new IllegalStateException(s"missing $k in $path"))
+    def num(k: String): Long =
+      s""""$k"\\s*:\\s*(-?\\d+)""".r.findFirstMatchIn(json).map(_.group(1).toLong)
+        .getOrElse(throw new IllegalStateException(s"missing $k in $path"))
+    (StoreConfig(num("dimension").toInt, str("metric"), str("index_type")),
+      num("next_id_base"))
+  }
+}

@@ -1,0 +1,87 @@
+package graft.tools
+
+import graft.functions.vector
+import graft.operators.Knn
+import graft.sources.{StoreConfig, VectorStoreCatalog}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** End-to-end demo of the public library surface, mirroring the reference's
+  * tests/demo.py flow: store lifecycle -> ingest -> kNN -> filtered kNN ->
+  * batch kNN -> stats, against the driver's testdata parquet.
+  *
+  * Run: sbt "runMain graft.tools.Demo [sfDir]"
+  */
+object Demo {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-demo")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val root = java.nio.file.Files.createTempDirectory("graft_demo_stores").toString
+    val catalog = new VectorStoreCatalog(spark, root)
+
+    // 1. DDL: create a store for (user=demo, model=minilm), 64-dim cosine
+    catalog.create("demo", "minilm", StoreConfig(dimension = 64))
+    println(s"[demo] stores after create: ${catalog.list()}")
+
+    // 2. Ingest the driver's embeddings table as vectors + metadata
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val rows = emb.select(
+      $"embedding".as("vector"),
+      map(
+        lit("vec_id"), $"vec_id".cast("string"),
+        lit("label"), $"label".cast("string")).as("meta"))
+    val n = catalog.addVectors("demo", "minilm", rows)
+    println(s"[demo] ingested $n vectors; store count = ${catalog.count("demo", "minilm")}")
+
+    // 3. Single kNN: query with vec_id=0's own vector -> must rank itself #1
+    val q0 = emb.filter($"vec_id" === 0).select($"embedding").head()
+      .getSeq[Float](0).map(_.toDouble)
+    val hits = catalog.query("demo", "minilm", q0, k = 5)
+    println("[demo] top-5 for vec_id=0's own vector:")
+    hits.select($"rank", $"similarity_score", $"distance", $"meta"("vec_id").as("vec_id"))
+      .show(truncate = false)
+
+    // 4. Filtered kNN: restrict to label=3 rows only
+    val filtered = catalog.query("demo", "minilm", q0, k = 3,
+      metadataFilter = Map("label" -> "3"))
+    println("[demo] top-3 restricted to label=3:")
+    filtered.select($"rank", $"similarity_score", $"meta"("label").as("label"))
+      .show(truncate = false)
+
+    // 5. Batch kNN: 4 query vectors at once, k=3, via the scalable top-k agg
+    val queries = emb.filter($"vec_id" < 4)
+      .select($"vec_id".as("query_id"), $"embedding".as("query_vec"))
+    val store = catalog.load("demo", "minilm")
+    val batch = Knn.batchTopK(queries, store, k = 3, vecCol = "vector")
+    println("[demo] batch kNN (4 queries, k=3):")
+    batch.orderBy($"query_id", $"rank").show(truncate = false)
+
+    // 6. SQL surface
+    vector.register(spark)
+    store.createOrReplaceTempView("demo_store")
+    println("[demo] SQL: self-join top cosine pair sample:")
+    spark.sql(
+      s"""SELECT a.id AS id_a, b.id AS id_b,
+         |       round(vec_cosine_sim(a.vector, b.vector), 4) AS cos
+         |FROM demo_store a JOIN demo_store b ON a.id < b.id
+         |ORDER BY cos DESC LIMIT 5""".stripMargin).show()
+
+    // 7. Stats + delete-by-filter + cleanup
+    catalog.stats().show()
+    val deleted = catalog.deleteVectors("demo", "minilm", col("meta")("label") === "3")
+    println(s"[demo] deleted $deleted rows with label=3; remaining = ${catalog.count("demo", "minilm")}")
+    catalog.drop("demo", "minilm", force = true)
+    println(s"[demo] stores after drop: ${catalog.list()}")
+
+    spark.stop()
+  }
+}

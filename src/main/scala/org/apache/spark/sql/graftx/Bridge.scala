@@ -1,0 +1,34 @@
+package org.apache.spark.sql.graftx
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.{Column, SparkSession}
+
+/** Minimal bridge into Spark's `private[sql]` surface.
+  *
+  * Lives under `org.apache.spark.sql` so it can reach the classic-session
+  * internals (Column <-> Catalyst Expression conversion and the session
+  * function registry). Everything else in the engine stays in `graft.*`
+  * and goes through this one seam, keeping the blast radius of any future
+  * Spark API change to a single file.
+  */
+object Bridge {
+
+  /** Wrap a raw Catalyst expression as a user-facing Column. */
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+
+  /** Unwrap a Column to its Catalyst expression (classic sessions only). */
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Register a temp SQL function backed by a Catalyst expression builder,
+    * e.g. `SELECT vec_cosine_sim(a, b)`.
+    */
+  def registerFunction(
+      spark: SparkSession,
+      name: String,
+      builder: Seq[Expression] => Expression): Unit = {
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.functionRegistry
+      .createOrReplaceTempFunction(name, builder, "scala_udf")
+  }
+}

@@ -1,0 +1,114 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.functions.vector
+import org.scalatest.funsuite.AnyFunSuite
+
+/** FIXTURES.md F1/F2/F3 invariants (mirroring tests/test_integration.py and
+  * tests/demo.py of the reference).
+  */
+class KnnSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  private val rnd = new scala.util.Random(42)
+  private val dim = 32
+
+  // F1-style store: 100 rows, meta carries id/content_hash/source.
+  private lazy val store = (0 until 100).map { i =>
+    (i.toLong,
+      Seq.fill(dim)(rnd.nextFloat()),
+      Map("id" -> s"doc_$i", "content_hash" -> s"hash_$i", "source" -> "test"))
+  }.toDF("id", "vector", "meta").cache()
+
+  private lazy val row0Vec: Seq[Double] =
+    store.filter($"id" === 0).select($"vector").head().getSeq[Float](0).map(_.toDouble)
+
+  test("F1: self-query rank-1 is the row itself with similarity > 0.999") {
+    val res = Knn.topK(store, row0Vec, k = 5).collect()
+    assert(res.length == 5)
+    val top = res.head
+    assert(top.getAs[Long]("id") == 0L)
+    assert(top.getAs[Double]("similarity_score") > 0.999)
+    assert(top.getAs[Int]("rank") == 1)
+    val scores = res.map(_.getAs[Double]("similarity_score"))
+    assert(scores.sliding(2).forall(p => p(0) >= p(1)), "scores must be descending")
+  }
+
+  test("F1: content_hash filter with k=1 returns exactly doc_10") {
+    val res = Knn.topK(store, row0Vec, k = 1,
+      metadataFilter = Map("content_hash" -> "hash_10")).collect()
+    assert(res.length == 1)
+    assert(res.head.getAs[Map[String, String]]("meta")("id") == "doc_10")
+  }
+
+  // F2-style store: category/priority/lang metadata.
+  private lazy val f2Store = (0 until 20).map { i =>
+    (i.toLong,
+      Seq.fill(16)(rnd.nextFloat()),
+      Map(
+        "id" -> s"doc_$i",
+        "category" -> (if (i < 10) "A" else "B"),
+        "priority" -> (i % 3).toString,
+        "lang" -> (if (i % 2 == 0) "de" else "en")))
+  }.toDF("id", "vector", "meta").cache()
+
+  private lazy val f2Query: Seq[Double] =
+    f2Store.filter($"id" === 3).select($"vector").head().getSeq[Float](0).map(_.toDouble)
+
+  test("F2: category filter returns only category A") {
+    val res = Knn.topK(f2Store, f2Query, k = 20, metadataFilter = Map("category" -> "A"))
+      .collect()
+    assert(res.nonEmpty)
+    assert(res.forall(_.getAs[Map[String, String]]("meta")("category") == "A"))
+  }
+
+  test("F2: conjunctive filter priority=1 AND lang=en") {
+    val res = Knn.topK(f2Store, f2Query, k = 20,
+      metadataFilter = Map("priority" -> "1", "lang" -> "en")).collect()
+    assert(res.nonEmpty)
+    assert(res.forall { r =>
+      val m = r.getAs[Map[String, String]]("meta")
+      m("priority") == "1" && m("lang") == "en"
+    })
+  }
+
+  test("F2: filter with no matches returns 0 rows, not an error") {
+    val res = Knn.topK(f2Store, f2Query, k = 5, metadataFilter = Map("category" -> "C"))
+    assert(res.count() == 0)
+  }
+
+  test("F3: batch query — each query's rank-1 is itself; both impls agree") {
+    val queries = store.filter($"id" < 3)
+      .select($"id".as("query_id"), $"vector".as("query_vec"))
+    val agg = Knn.batchTopK(queries, store, k = 2).collect()
+    val win = Knn.batchTopKWindow(queries, store, k = 2).collect()
+
+    def key(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("rank"), r.getAs[Long]("id")))
+        .sortBy(t => (t._1, t._2))
+
+    assert(key(agg).sameElements(key(win)), "aggregator and window variants must agree")
+    assert(agg.length == 6)
+    val rank1 = agg.filter(_.getAs[Long]("rank") == 1L)
+    assert(rank1.forall(r => r.getAs[Long]("query_id") == r.getAs[Long]("id")),
+      "rank-1 hit of a stored query vector must be itself")
+  }
+
+  test("euclidean and dot_product metrics rank self first") {
+    for (m <- Seq(vector.MetricEuclidean, vector.MetricDot)) {
+      val res = Knn.topK(store, row0Vec, k = 3, metric = m).collect()
+      if (m == vector.MetricEuclidean)
+        assert(res.head.getAs[Long]("id") == 0L, s"metric $m should rank self first")
+      assert(res.length == 3)
+    }
+  }
+
+  test("retrieveContext respects min_similarity and max_context_length") {
+    val ranked = Seq(
+      (1L, 0.9, 100L), (2L, 0.8, 100L), (3L, 0.7, 100L), (4L, 0.2, 10L)
+    ).toDF("id", "similarity_score", "chunk_length")
+    val res = Knn.retrieveContext(ranked, minSimilarity = 0.5,
+      maxContextLength = 250, k = 10, lengthCol = "chunk_length").collect()
+    assert(res.map(_.getAs[Long]("id")).toSeq == Seq(1L, 2L))
+  }
+}
