@@ -1,13 +1,332 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.functions.vector
+import graft.operators.Knn
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every entry in [[queries]] is an operator from SURVEY.md §2 (or a
+  * scale-extension operator) expressed Spark-first; [[oracleSql]] carries the
+  * DuckDB-equivalent ANSI SQL the driver hash-compares against at sf0.01.
+  *
+  * Determinism rules used throughout (so Spark and DuckDB hash-match):
+  *  - money arithmetic goes through DECIMAL(18,4) (exact, order-independent),
+  *    cast to DOUBLE only at the end;
+  *  - kNN results expose ids + ranks, not raw float scores;
+  *  - rank/count outputs are cast to BIGINT on both sides;
+  *  - timestamps surface as DATE (events.parquet has ns precision that Spark
+  *    truncates to µs).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q11_knn_cosine")(spark, "/root/testdata/sf0.001")
+
+  // ---------------------------------------------------------------- queries
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // A: aggregations (SURVEY §2.4) — TPC-H Q1-style pricing summary
+    "q1_pricing_summary" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(expr("l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity")).as("sum_qty"),
+          expr("CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)")
+            .as("sum_base_price"),
+          expr("""CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
+                 |(1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE)""".stripMargin)
+            .as("sum_disc_price"),
+          (sum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+    }),
+
+    // P: filter + projection, pushed to the parquet scan (SURVEY §2.2)
+    "q2_filter_pushdown" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(expr("l_shipdate >= TIMESTAMP '2000-01-01 00:00:00'") &&
+          col("l_discount") > 0.05)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_extendedprice"))
+    }),
+
+    // J: multi-way join + agg; small dim broadcast (SURVEY §2.3)
+    "q3_join_revenue" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      val n = t(s, dir, "nation")
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(
+          expr("""CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
+                 |(1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE)""".stripMargin)
+            .as("revenue"),
+          count(lit(1)).as("n_items"))
+    }),
+
+    // T: top-k — plans as TakeOrderedAndProject, no full sort (SURVEY §2.6 T1)
+    "q4_topk_orders" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(10)
+        .select(col("o_orderkey"), col("o_totalprice"))
+    }),
+
+    // W: per-group ranking window (SURVEY §2.5 W2)
+    "q5_window_rank" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      t(s, dir, "orders")
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 3)
+        .select(col("o_custkey"), col("o_orderkey"), col("rn"))
+    }),
+
+    // J: left-semi (EXISTS)
+    "q6_semi_join" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val big = t(s, dir, "orders").filter(col("o_totalprice") > 400000)
+      c.join(big, col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"))
+    }),
+
+    // J: left-anti (NOT EXISTS)
+    "q7_anti_join" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val big = t(s, dir, "orders").filter(col("o_totalprice") > 400000)
+      c.join(big, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_acctbal"))
+    }),
+
+    // A: event-stream daily rollup (events table; ts arrives as long nanos
+    // under spark.sql.legacy.parquet.nanosAsLong)
+    "q8_events_daily" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(expr("CAST(timestamp_micros(ts div 1000) AS DATE)").as("day"),
+          col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          expr("CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE)").as("total_value"))
+    }),
+
+    // W: running aggregation per user (decimal-exact running sum)
+    "q9_running_sum" -> ((s, dir) => {
+      t(s, dir, "events")
+        .select(col("event_id"), col("user_id"),
+          expr("""CAST(sum(CAST(value AS DECIMAL(18,4)))
+                 |OVER (PARTITION BY user_id ORDER BY event_id) AS DOUBLE)""".stripMargin)
+            .as("running_value"),
+          expr("CAST(count(*) OVER (PARTITION BY user_id ORDER BY event_id) AS BIGINT)")
+            .as("running_n"))
+    }),
+
+    // Dedup (exact): hash-group documents by content (scale extension)
+    "q10_dedup_exact" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .groupBy(col("text"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+    }),
+
+    // kNN single query, cosine (SURVEY §2.3 J1 / §2.6 T1)
+    "q11_knn_cosine" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+      emb.crossJoin(broadcast(q))
+        .select(col("vec_id"),
+          vector.cosine_sim(col("embedding"), col("qv")).as("score"))
+        .orderBy(col("score").desc, col("vec_id").asc)
+        .limit(10)
+        .select(col("vec_id"),
+          row_number().over(Window.orderBy(col("score").desc, col("vec_id").asc))
+            .cast("long").as("rnk"))
+    }),
+
+    // kNN single query, euclidean
+    "q12_knn_euclidean" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+      emb.crossJoin(broadcast(q))
+        .select(col("vec_id"),
+          vector.euclidean_dist(col("embedding"), col("qv")).as("dist"))
+        .orderBy(col("dist").asc, col("vec_id").asc)
+        .limit(10)
+        .select(col("vec_id"),
+          row_number().over(Window.orderBy(col("dist").asc, col("vec_id").asc))
+            .cast("long").as("rnk"))
+    }),
+
+    // kNN single query, dot product
+    "q13_knn_dot" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+      emb.crossJoin(broadcast(q))
+        .select(col("vec_id"),
+          vector.dot_product(col("embedding"), col("qv")).as("score"))
+        .orderBy(col("score").desc, col("vec_id").asc)
+        .limit(10)
+        .select(col("vec_id"),
+          row_number().over(Window.orderBy(col("score").desc, col("vec_id").asc))
+            .cast("long").as("rnk"))
+    }),
+
+    // Batch kNN via the scalable bounded top-k aggregator (SURVEY §2.3 J2)
+    "q14_batch_knn" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      val store = emb.select(col("vec_id").as("id"), col("embedding").as("vector"))
+      Knn.batchTopK(queries, store, k = 5)
+        .select(col("query_id"), col("id").as("vec_id"), col("rank").as("rnk"))
+    }),
+
+    // Text analysis: token counting (scale extension)
+    "q15_token_count" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    }),
+
+    // Text analysis: quality scoring (scale extension)
+    "q16_text_quality" -> ((s, dir) => {
+      val toks = split(col("text"), " ")
+      val stops = Seq("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
+      val nTokens = size(toks).cast("long")
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars"),
+          nTokens.as("n_tokens"),
+          (length(regexp_replace(col("text"), " ", "")).cast("double") / nTokens)
+            .as("avg_token_len"),
+          (size(filter(toks, x => x.isin(stops: _*))).cast("double") / nTokens)
+            .as("stop_ratio"))
+    }),
+
+    // Text analysis: content fingerprinting (scale extension)
+    "q17_fingerprint" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), md5(col("text").cast("binary")).as("fp"))
+    })
+  )
+
+  // ------------------------------------------------------------- oracle SQL
+
+  def oracleSql: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  sum(l_quantity) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS sum_disc_price,
+        |  sum(l_quantity) / count(*) AS avg_qty,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q2_filter_pushdown" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '2000-01-01 00:00:00' AND l_discount > 0.05""".stripMargin,
+
+    "q3_join_revenue" ->
+      """SELECT n_name,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name""".stripMargin,
+
+    "q4_topk_orders" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin,
+
+    "q5_window_rank" ->
+      """SELECT o_custkey, o_orderkey, rn FROM (
+        |  SELECT o_custkey, o_orderkey,
+        |    CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS BIGINT) AS rn
+        |  FROM orders
+        |) WHERE rn <= 3""".stripMargin,
+
+    "q6_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)""".stripMargin,
+
+    "q7_anti_join" ->
+      """SELECT c_custkey, c_acctbal FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)""".stripMargin,
+
+    "q8_events_daily" ->
+      """SELECT CAST(ts AS DATE) AS day, event_type,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q9_running_sum" ->
+      """SELECT event_id, user_id,
+        |  CAST(sum(CAST(value AS DECIMAL(18,4))) OVER (PARTITION BY user_id ORDER BY event_id) AS DOUBLE) AS running_value,
+        |  CAST(count(*) OVER (PARTITION BY user_id ORDER BY event_id) AS BIGINT) AS running_n
+        |FROM events""".stripMargin,
+
+    "q10_dedup_exact" ->
+      """SELECT text, min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM documents GROUP BY text""".stripMargin,
+
+    "q11_knn_cosine" ->
+      """SELECT vec_id, rnk FROM (
+        |  SELECT e.vec_id,
+        |    CAST(row_number() OVER (ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[])) DESC, e.vec_id ASC) AS BIGINT) AS rnk
+        |  FROM embeddings e,
+        |       (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) q
+        |) WHERE rnk <= 10""".stripMargin,
+
+    "q12_knn_euclidean" ->
+      """SELECT vec_id, rnk FROM (
+        |  SELECT e.vec_id,
+        |    CAST(row_number() OVER (ORDER BY list_distance(CAST(e.embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[])) ASC, e.vec_id ASC) AS BIGINT) AS rnk
+        |  FROM embeddings e,
+        |       (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) q
+        |) WHERE rnk <= 10""".stripMargin,
+
+    "q13_knn_dot" ->
+      """SELECT vec_id, rnk FROM (
+        |  SELECT e.vec_id,
+        |    CAST(row_number() OVER (ORDER BY list_inner_product(CAST(e.embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[])) DESC, e.vec_id ASC) AS BIGINT) AS rnk
+        |  FROM embeddings e,
+        |       (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) q
+        |) WHERE rnk <= 10""".stripMargin,
+
+    "q14_batch_knn" ->
+      """SELECT query_id, vec_id, rnk FROM (
+        |  SELECT q.vec_id AS query_id, e.vec_id,
+        |    CAST(row_number() OVER (PARTITION BY q.vec_id ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])) DESC, e.vec_id ASC) AS BIGINT) AS rnk
+        |  FROM embeddings e,
+        |       (SELECT * FROM embeddings WHERE vec_id < 8) q
+        |) WHERE rnk <= 5""".stripMargin,
+
+    "q15_token_count" ->
+      """SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |FROM documents""".stripMargin,
+
+    "q16_text_quality" ->
+      """SELECT doc_id, n_chars,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |  CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(string_split(text, ' ')) AS avg_token_len,
+        |  CAST(len(list_filter(string_split(text, ' '), x -> x IN ('the','a','of','and','to','in','is','on','for','with'))) AS DOUBLE) / len(string_split(text, ' ')) AS stop_ratio
+        |FROM documents""".stripMargin,
+
+    "q17_fingerprint" ->
+      "SELECT doc_id, md5(text) AS fp FROM documents"
+  )
 }
