@@ -214,6 +214,39 @@ object SparkEntry {
     "q17_fingerprint" -> ((s, dir) => {
       t(s, dir, "documents")
         .select(col("doc_id"), md5(col("text").cast("binary")).as("fp"))
+    }),
+
+    // Near-dedup: MinHash + LSH banding with exact-Jaccard verify. The
+    // emitted (pair, jaccard) values are exact — the oracle brute-forces all
+    // pairs; LSH miss probability at this band config is ~5e-8 per pair.
+    "q18_minhash_neardup" -> ((s, dir) => {
+      operators.Dedup.nearDupPairsMinHash(
+        t(s, dir, "documents"), "doc_id", "text",
+        shingleLen = 3, numHashes = 128, bands = 32, threshold = 0.5)
+    }),
+
+    // Near-dedup: SimHash fingerprint + banded Hamming (rows-only check —
+    // the hash family has no SQL equivalent)
+    "q19_simhash_neardup" -> ((s, dir) => {
+      operators.Dedup.nearDupPairsSimHash(
+        t(s, dir, "documents"), "doc_id", "text", maxHamming = 6, nBands = 8)
+    }),
+
+    // Chunking generator (reference chunker semantics; rows-only check)
+    "q20_chunks" -> ((s, dir) => {
+      text.TextAnalysis.chunks(t(s, dir, "documents"), "doc_id", "text",
+        chunkSize = 100, overlap = 20)
+    }),
+
+    // Language ID + quality scoring (rows-only check)
+    "q21_lang_quality" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      d.select(col("doc_id"),
+          text.TextAnalysis.languageId(col("text")).as("l"),
+          text.TextAnalysis.qualityScore(col("text")).as("q"))
+        .select(col("doc_id"), col("l.lang").as("lang"),
+          col("l.confidence").as("confidence"), col("q.quality").as("quality"),
+          col("q.stopword_ratio").as("stopword_ratio"))
     })
   )
 
@@ -327,6 +360,18 @@ object SparkEntry {
         |FROM documents""".stripMargin,
 
     "q17_fingerprint" ->
-      "SELECT doc_id, md5(text) AS fp FROM documents"
+      "SELECT doc_id, md5(text) AS fp FROM documents",
+
+    "q18_minhash_neardup" ->
+      """WITH s AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, len(string_split(text,' '))-1),
+        |         i -> array_to_string(list_slice(string_split(text,' '), i, i+2), ' '))) AS sh
+        |  FROM documents)
+        |SELECT id_a, id_b, jaccard FROM (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |         CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |           (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+        |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+        |) WHERE jaccard >= 0.5""".stripMargin
   )
 }

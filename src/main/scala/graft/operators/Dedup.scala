@@ -1,0 +1,173 @@
+package graft.operators
+
+import graft.functions.{MinHashSignature, SimHash64}
+import org.apache.spark.sql.graftx.Bridge
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines (scale extension —
+  * SURVEY.md §7.1 step 8; BASELINE.json north star).
+  *
+  * Exact dedup is a hash groupBy. Near-dup comes in three flavors:
+  *  - MinHash + LSH banding: candidate pairs from band-bucket equi-joins
+  *    (shuffle on (band, bucket-hash)), verified with exact n-gram Jaccard.
+  *  - SimHash: 64-bit fingerprint, banded into 16-bit chunks for candidate
+  *    generation, verified with Hamming distance.
+  *  - Exact all-pairs Jaccard: the oracle-checkable baseline (O(N^2) — small
+  *    inputs / correctness reference only).
+  *
+  * Scale notes: at 100 TB the only shuffles are (a) the band-bucket join,
+  * whose width is |docs| * bands rows of (long, long, id), and (b) the
+  * verify join, whose width is the candidate-pair count. Neither touches the
+  * full text corpus more than once; signatures are computed in a single
+  * codegen'd scan. Hot buckets (boilerplate docs) can skew (a) — cap bucket
+  * width with `maxBucketSize` to bound the pair blow-up.
+  */
+object Dedup {
+
+  /** Distinct token n-gram shingles of a text column. */
+  def tokenShingles(text: Column, n: Int = 3): Column = {
+    val toks = split(text, " ")
+    val count = size(toks) - (n - 1)
+    when(count >= 1,
+      array_distinct(transform(sequence(lit(1), count),
+        i => array_join(slice(toks, i, lit(n)), " "))))
+      .otherwise(array_distinct(array(array_join(toks, " "))))
+  }
+
+  /** Exact Jaccard similarity of two (distinct-element) array columns. */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    inter / (size(a) + size(b) - size(array_intersect(a, b)))
+  }
+
+  /** MinHash signature column (array<bigint> of length numHashes). */
+  def minhashSignature(shingles: Column, numHashes: Int = 128, seed: Long = 42L): Column =
+    Bridge.column(MinHashSignature(Bridge.expression(shingles), numHashes, seed))
+
+  /** SimHash 64-bit fingerprint column. */
+  def simhash(tokens: Column, seed: Long = 42L): Column =
+    Bridge.column(SimHash64(Bridge.expression(tokens), seed))
+
+  /** Hamming distance between two 64-bit fingerprints. */
+  def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** Exact dedup: one representative row (min orderCol) per duplicate group.
+    * Reference analog: none (it has no dedup) — north-star extension.
+    */
+  def exactGroups(df: DataFrame, keyCol: String, idCol: String): DataFrame =
+    df.groupBy(col(keyCol))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** Near-duplicate pairs via MinHash LSH banding + exact-Jaccard verify.
+    *
+    * Output: (id_a, id_b, jaccard) with jaccard >= threshold, id_a < id_b.
+    * Recall is probabilistic in the LSH stage (bands/rowsPerBand trade-off);
+    * the verify stage makes precision exact.
+    */
+  def nearDupPairsMinHash(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleLen: Int = 3,
+      numHashes: Int = 128,
+      bands: Int = 32,
+      threshold: Double = 0.8,
+      seed: Long = 42L,
+      maxBucketSize: Int = 1000): DataFrame = {
+    require(numHashes % bands == 0, s"numHashes=$numHashes not divisible by bands=$bands")
+    val rows = numHashes / bands
+
+    val withSig = df.select(
+      col(idCol).cast("long").as("id"),
+      tokenShingles(col(textCol), shingleLen).as("shingles"))
+      .withColumn("sig", minhashSignature(col("shingles"), numHashes, seed))
+
+    // (id, band, bucket) — bucket = murmur3 of the band's signature slice
+    val bandStructs = array((0 until bands).map { j =>
+      struct(lit(j).as("band"), hash(slice(col("sig"), j * rows + 1, rows)).as("bucket"))
+    }: _*)
+    val buckets = withSig
+      .select(col("id"), col("shingles"), explode(bandStructs).as("bb"))
+      .select(col("id"), col("shingles"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+
+    // cap pathological buckets (boilerplate text) to bound the pair blow-up
+    val wBucket = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band"), col("bucket")).orderBy(col("id"))
+    val capped = buckets
+      .withColumn("_rn", row_number().over(wBucket))
+      .filter(col("_rn") <= maxBucketSize)
+      .drop("_rn")
+
+    val candidates = capped.as("x").join(capped.as("y"),
+        col("x.band") === col("y.band") &&
+          col("x.bucket") === col("y.bucket") &&
+          col("x.id") < col("y.id"))
+      .select(
+        col("x.id").as("id_a"), col("y.id").as("id_b"),
+        col("x.shingles").as("sh_a"), col("y.shingles").as("sh_b"))
+      .dropDuplicates("id_a", "id_b")
+
+    candidates
+      .select(col("id_a"), col("id_b"),
+        jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** Exact all-pairs n-gram Jaccard — O(N^2) correctness baseline and the
+    * DuckDB-oracle-checkable form of near-dup detection.
+    */
+  def nearDupPairsExact(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleLen: Int = 3,
+      threshold: Double = 0.8): DataFrame = {
+    val s = df.select(col(idCol).cast("long").as("id"),
+      tokenShingles(col(textCol), shingleLen).as("sh"))
+    s.as("a").join(s.as("b"), col("a.id") < col("b.id"))
+      .select(
+        col("a.id").as("id_a"), col("b.id").as("id_b"),
+        jaccard(col("a.sh"), col("b.sh")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** Near-duplicate pairs via SimHash: 64-bit fingerprints banded into
+    * `nBands` equal-width chunks; by pigeonhole, any pair with Hamming
+    * distance < nBands shares at least one exact chunk, so recall is
+    * GUARANTEED only for hamming < nBands. Wider nBands buys recall at the
+    * cost of coarser buckets (64/nBands-bit keys => more candidate pairs);
+    * the exact-Hamming verify keeps precision exact either way.
+    */
+  def nearDupPairsSimHash(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxHamming: Int = 3,
+      nBands: Int = 4,
+      seed: Long = 42L): DataFrame = {
+    require(64 % nBands == 0, s"nBands must divide 64, got $nBands")
+    val width = 64 / nBands
+    val mask = if (width == 64) -1L else (1L << width) - 1
+    val withFp = df.select(
+      col(idCol).cast("long").as("id"),
+      simhash(split(col(textCol), " "), seed).as("fp"))
+
+    val chunks = array((0 until nBands).map { j =>
+      struct(lit(j).as("band"),
+        shiftright(col("fp"), j * width).bitwiseAND(lit(mask)).as("chunk"))
+    }: _*)
+    val banded = withFp
+      .select(col("id"), col("fp"), explode(chunks).as("bb"))
+      .select(col("id"), col("fp"), col("bb.band").as("band"), col("bb.chunk").as("chunk"))
+
+    banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") &&
+          col("x.chunk") === col("y.chunk") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
+        hamming64(col("x.fp"), col("y.fp")).as("hamming"))
+      .dropDuplicates("id_a", "id_b")
+      .filter(col("hamming") <= maxHamming)
+  }
+}

@@ -1,0 +1,145 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines (scale extension).
+  *
+  * Everything except the chunker is pure Column expressions (codegen'd, no
+  * UDF). The chunker is inherently sequential per document, so it's a Scala
+  * function lifted to a UDF and exploded — one row in, n chunk rows out
+  * (SURVEY.md §2.10: generator shape).
+  */
+object TextAnalysis {
+
+  // ------------------------------------------------------------- tokenizing
+
+  /** Whitespace token array. */
+  def tokens(text: Column): Column = split(text, "\\s+")
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
+
+  /** BPE-ish subword-boundary token count: word pieces plus standalone
+    * punctuation, the usual pre-tokenization shape for byte-pair encoders.
+    */
+  def regexTokenCount(text: Column): Column =
+    size(filter(split(text, "(?=[^A-Za-z0-9_])|(?<=[^A-Za-z0-9_])"),
+      t => length(t) > 0 && t =!= " ")).cast("long")
+
+  // ---------------------------------------------------------- language id
+
+  /** Tiny built-in stopword profiles (top function words per language). */
+  val StopwordProfiles: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "of", "and", "to", "in", "is", "that", "it", "was", "for"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein", "eine", "zu"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "una", "es", "por"),
+    "fr" -> Seq("le", "la", "de", "et", "un", "une", "est", "que", "pour", "dans"))
+
+  /** Fraction of tokens found in `stops`. */
+  def stopwordRatio(toks: Column, stops: Seq[String]): Column =
+    size(filter(toks, t => t.isin(stops: _*))).cast("double") /
+      greatest(size(toks), lit(1))
+
+  /** n-gram-heuristic language ID: argmax of per-language stopword ratios.
+    * Returns struct(lang: string, confidence: double); lang = "und"
+    * (undetermined) when no profile matches at all.
+    */
+  def languageId(text: Column): Column = {
+    val toks = tokens(lower(text))
+    val scored = StopwordProfiles.toSeq.sortBy(_._1).map { case (lang, stops) =>
+      lang -> stopwordRatio(toks, stops)
+    }
+    val best = greatest(scored.map(_._2): _*)
+    val lang = scored.foldLeft(lit("und")) { case (acc, (l, s)) =>
+      when(s === best && best > 0, lit(l)).otherwise(acc)
+    }
+    struct(lang.as("lang"), best.as("confidence"))
+  }
+
+  // ------------------------------------------------------------ quality
+
+  /** Quality heuristics bundle: length, token stats, punctuation density,
+    * stopword density, uppercase ratio. A composite [0,1] score weights the
+    * usual "looks like prose" signals (each component clamped to [0,1]).
+    */
+  def qualityScore(text: Column): Column = {
+    val toks = tokens(text)
+    val nChars = length(text).cast("double")
+    val nToks = greatest(size(toks), lit(1)).cast("double")
+    val avgTokLen = (nChars - (nToks - 1)) / nToks
+    val punct = size(filter(split(text, ""), c => c.isin(".", ",", "!", "?", ";", ":"))).cast("double")
+    val punctRatio = punct / greatest(nChars, lit(1.0))
+    val stopRatio = stopwordRatio(toks, StopwordProfiles("en"))
+    val upper = size(filter(split(text, ""), c => c.rlike("^[A-Z]$"))).cast("double")
+    val upperRatio = upper / greatest(nChars, lit(1.0))
+    val lenScore = least(nChars / 1000.0, lit(1.0))
+    val tokLenScore = when(avgTokLen.between(3.0, 10.0), 1.0).otherwise(0.3)
+    val punctScore = when(punctRatio.between(0.0, 0.1), 1.0).otherwise(0.5)
+    val upperScore = when(upperRatio <= 0.3, 1.0).otherwise(0.4)
+    struct(
+      nChars.cast("long").as("n_chars"),
+      size(toks).cast("long").as("n_tokens"),
+      avgTokLen.as("avg_token_len"),
+      punctRatio.as("punct_ratio"),
+      stopRatio.as("stopword_ratio"),
+      upperRatio.as("upper_ratio"),
+      ((lenScore * 0.25) + (tokLenScore * 0.25) + (punctScore * 0.2) +
+        (upperScore * 0.1) + (least(stopRatio * 5.0, lit(1.0)) * 0.2)).as("quality"))
+  }
+
+  // ---------------------------------------------------------- fingerprints
+
+  /** Content fingerprints: md5 hex (exact-dedup key) + xxhash64 (cheap 64-bit). */
+  def fingerprint(text: Column): Column =
+    struct(md5(text.cast("binary")).as("md5"), xxhash64(text).as("xx64"))
+
+  // ------------------------------------------------------------- chunking
+
+  /** Reference chunker semantics (integrations/mlx_lm_pipeline.py:696-723):
+    * fixed character windows of `chunkSize`; within a window, break at the
+    * last of ". ", "! ", "? ", "\n\n" if that keeps > 70% of the window
+    * (first matching delimiter in that order wins); each chunk trimmed;
+    * the window start advances by chunkSize - overlap regardless of where
+    * the break landed (the reference's quirk, preserved deliberately).
+    */
+  def chunkText(text: String, chunkSize: Int, overlap: Int): Seq[String] = {
+    require(chunkSize > 0 && overlap >= 0 && overlap < chunkSize,
+      s"bad chunker params: chunkSize=$chunkSize overlap=$overlap")
+    if (text.length <= chunkSize) return Seq(text)
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var start = 0
+    var done = false
+    while (!done && start < text.length) {
+      val end = math.min(start + chunkSize, text.length)
+      var chunk = text.substring(start, end)
+      if (end < text.length) {
+        val boundary = Seq(". ", "! ", "? ", "\n\n").iterator
+          .map(p => (p, chunk.lastIndexOf(p)))
+          .find { case (_, idx) => idx > chunk.length * 0.7 }
+        boundary.foreach { case (p, idx) => chunk = chunk.substring(0, idx + p.length) }
+      }
+      out += chunk.trim
+      start = math.max(start + chunkSize - overlap, start + 1)
+      if (start >= text.length) done = true
+    }
+    out.toSeq
+  }
+
+  /** Explode documents into chunk rows with the reference's chunk metadata
+    * (integrations/mlx_lm_pipeline.py:667-676): document_id, chunk_index,
+    * chunk_text, chunk_length.
+    */
+  def chunks(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      chunkSize: Int = 512,
+      overlap: Int = 50): DataFrame = {
+    val chunkUdf = udf((t: String) =>
+      if (t == null) Seq.empty[String] else chunkText(t, chunkSize, overlap))
+    df.select(col(idCol).as("document_id"),
+        posexplode(chunkUdf(col(textCol))).as(Seq("chunk_index", "chunk_text")))
+      .withColumn("chunk_length", length(col("chunk_text")).cast("long"))
+  }
+}

@@ -1,0 +1,111 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class DedupSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs =
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet").cache()
+
+  test("jaccard: identical shingle sets give 1.0, disjoint give 0.0") {
+    val df = Seq(
+      (Seq("a b c", "b c d"), Seq("a b c", "b c d")),
+      (Seq("a b c"), Seq("x y z"))).toDF("a", "b")
+    val r = df.select(Dedup.jaccard($"a", $"b").as("j")).collect().map(_.getDouble(0))
+    assert(r(0) == 1.0 && r(1) == 0.0)
+  }
+
+  test("tokenShingles: 5 tokens -> 3 distinct 3-gram shingles") {
+    val r = Seq("a b c d e").toDF("t")
+      .select(Dedup.tokenShingles($"t", 3).as("sh")).head().getSeq[String](0)
+    assert(r == Seq("a b c", "b c d", "c d e"))
+    // short text: falls back to the whole text as a single shingle
+    val short = Seq("a b").toDF("t")
+      .select(Dedup.tokenShingles($"t", 3).as("sh")).head().getSeq[String](0)
+    assert(short == Seq("a b"))
+  }
+
+  test("minhash signature is deterministic and length-k") {
+    val df = Seq("the quick brown fox jumps over the lazy dog").toDF("t")
+      .select(Dedup.minhashSignature(Dedup.tokenShingles($"t", 3), 64).as("sig"))
+    val a = df.head().getSeq[Long](0)
+    val b = df.head().getSeq[Long](0)
+    assert(a.length == 64 && a == b)
+  }
+
+  test("minhash LSH finds exactly the planted near-dup pairs (vs exact)") {
+    val exact = Dedup.nearDupPairsExact(docs, "doc_id", "text", 3, threshold = 0.5)
+      .select($"id_a", $"id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.nearDupPairsMinHash(docs, "doc_id", "text", 3, 128, 32, threshold = 0.5)
+      .select($"id_a", $"id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "testdata should contain planted near-dups")
+    assert(lsh == exact, s"LSH recall/precision mismatch: missed=${exact -- lsh} extra=${lsh -- exact}")
+  }
+
+  test("minhash jaccard estimate tracks exact jaccard") {
+    // signature agreement rate approximates jaccard
+    val df = Seq(
+      ("a b c d e f g h i j", "a b c d e f g h i x")).toDF("t1", "t2")
+      .select(
+        Dedup.minhashSignature(Dedup.tokenShingles($"t1", 2), 256).as("s1"),
+        Dedup.minhashSignature(Dedup.tokenShingles($"t2", 2), 256).as("s2"),
+        Dedup.jaccard(Dedup.tokenShingles($"t1", 2), Dedup.tokenShingles($"t2", 2)).as("j"))
+    val row = df.head()
+    val s1 = row.getSeq[Long](0); val s2 = row.getSeq[Long](1); val j = row.getDouble(2)
+    val est = s1.zip(s2).count(p => p._1 == p._2).toDouble / s1.length
+    assert(math.abs(est - j) < 0.15, s"estimate $est vs exact $j")
+  }
+
+  test("simhash: identical texts collide, near-dup texts are close in hamming") {
+    val df = Seq(
+      ("x", "the quick brown fox jumps over the lazy dog today"),
+      ("y", "the quick brown fox jumps over the lazy dog today"),
+      ("z", "the quick brown fox jumps over the lazy cat today"),
+      ("w", "completely different words entirely unrelated content here now")).toDF("id", "t")
+      .select($"id", Dedup.simhash(split($"t", " ")).as("fp"))
+    val fp = df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(fp("x") == fp("y"))
+    assert(java.lang.Long.bitCount(fp("x") ^ fp("z")) < 16)
+    assert(java.lang.Long.bitCount(fp("x") ^ fp("w")) >
+      java.lang.Long.bitCount(fp("x") ^ fp("z")))
+  }
+
+  test("simhash banding: recall guaranteed for hamming < nBands, precision exact") {
+    val maxH = 6
+    // ground truth: brute-force hamming over all pairs
+    val fp = docs.select($"doc_id".cast("long").as("id"),
+      Dedup.simhash(split($"text", " ")).as("fp"))
+    val truth = fp.as("a").join(fp.as("b"), $"a.id" < $"b.id")
+      .select($"a.id".as("id_a"), $"b.id".as("id_b"),
+        Dedup.hamming64($"a.fp", $"b.fp").as("h"))
+      .filter($"h" <= maxH).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+
+    // nBands=8 -> pigeonhole guarantees every pair with hamming < 8 is found
+    val found = Dedup.nearDupPairsSimHash(docs, "doc_id", "text",
+        maxHamming = maxH, nBands = 8)
+      .select($"id_a", $"id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth.nonEmpty, "expected some low-hamming pairs in testdata")
+    assert(found == truth.keySet,
+      s"missed=${truth.keySet -- found} extra=${found -- truth.keySet}")
+
+    // default nBands=4 only guarantees hamming <= 3
+    val found4 = Dedup.nearDupPairsSimHash(docs, "doc_id", "text",
+        maxHamming = 3, nBands = 4)
+      .select($"id_a", $"id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val truth3 = truth.filter(_._2 <= 3).keySet
+    assert(truth3.subsetOf(found4), s"missed guaranteed pairs: ${truth3 -- found4}")
+  }
+
+  test("exactGroups keeps min id per key") {
+    val df = Seq((1L, "x"), (2L, "x"), (3L, "y")).toDF("id", "k")
+    val g = Dedup.exactGroups(df, "k", "id").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(g("x") == (1L, 2L) && g("y") == (3L, 1L))
+  }
+}

@@ -1,0 +1,84 @@
+package graft.text
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class TextAnalysisSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  test("chunkText: short text is a single identity chunk") {
+    assert(TextAnalysis.chunkText("hello world", 100, 10) == Seq("hello world"))
+  }
+
+  test("chunkText: plain text tiles with stride = size - overlap") {
+    val text = "abcdefghij" * 10 // 100 chars, no sentence boundaries
+    val chunks = TextAnalysis.chunkText(text, 30, 10)
+    // stride 20: starts 0,20,40,60,80 -> 5 chunks
+    assert(chunks.length == 5)
+    assert(chunks.head == text.substring(0, 30))
+    assert(chunks(1) == text.substring(20, 50))
+    assert(chunks.last == text.substring(80, 100))
+  }
+
+  test("chunkText: breaks at sentence boundary when >70% of window kept") {
+    // window 40; ". " at ~75% of the window
+    val text = "a" * 30 + ". " + "b" * 40 + ". " + "c" * 20
+    val chunks = TextAnalysis.chunkText(text, 40, 0)
+    // first window [0,40): last ". " at idx 30 > 28 (0.7*40) -> chunk = first 32 chars trimmed
+    assert(chunks.head == "a" * 30 + ".")
+  }
+
+  test("chunkText: boundary below 70% threshold is ignored") {
+    val text = "a" * 10 + ". " + "b" * 60
+    val chunks = TextAnalysis.chunkText(text, 40, 0)
+    assert(chunks.head == ("a" * 10 + ". " + "b" * 28)) // full window, no break
+  }
+
+  test("chunks(): explodes documents with reference metadata shape") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val c = TextAnalysis.chunks(docs, "doc_id", "text", chunkSize = 60, overlap = 10)
+    assert(c.columns.toSeq ==
+      Seq("document_id", "chunk_index", "chunk_text", "chunk_length"))
+    assert(c.count() > docs.count(), "128-char docs at size 60 must multi-chunk")
+    // chunk_index is dense from 0 per document
+    val bad = c.groupBy($"document_id")
+      .agg(min($"chunk_index").as("mn"), max($"chunk_index").as("mx"), count(lit(1)).as("n"))
+      .filter($"mn" =!= 0 || $"mx" =!= $"n" - 1).count()
+    assert(bad == 0)
+  }
+
+  test("languageId picks en for english, de for german") {
+    val df = Seq(
+      "the cat sat on the mat and it was happy for a while",
+      "der hund und die katze sind nicht mit dem ball zu spielen").toDF("t")
+      .select(TextAnalysis.languageId($"t").as("l"))
+    val langs = df.select($"l.lang").collect().map(_.getString(0)).toSeq
+    assert(langs == Seq("en", "de"))
+  }
+
+  test("token counts: whitespace and BPE-ish regex") {
+    val df = Seq("Hello, world! It's 42.").toDF("t")
+    val ws = df.select(TextAnalysis.tokenCount($"t")).head().getLong(0)
+    val rx = df.select(TextAnalysis.regexTokenCount($"t")).head().getLong(0)
+    assert(ws == 4)
+    // Hello , world ! It ' s 42 . -> 9 pieces
+    assert(rx == 9, s"got $rx")
+  }
+
+  test("qualityScore: prose scores higher than junk") {
+    val df = Seq(
+      "The quick brown fox jumps over the lazy dog. It was a sunny day in the park.",
+      "ZZZZ!!!! @@@@ #### $$$$ %%%% ^^^^ &&&& **** (((( ))))").toDF("t")
+      .select(TextAnalysis.qualityScore($"t").as("q"))
+    val scores = df.select($"q.quality").collect().map(_.getDouble(0))
+    assert(scores(0) > scores(1), s"prose ${scores(0)} should beat junk ${scores(1)}")
+  }
+
+  test("fingerprint md5 matches expected hex") {
+    val fp = Seq("abc").toDF("t")
+      .select(TextAnalysis.fingerprint($"t").as("f"))
+      .select($"f.md5").head().getString(0)
+    assert(fp == "900150983cd24fb0d6963f7d28e17f72")
+  }
+}
