@@ -247,6 +247,26 @@ object SparkEntry {
         .select(col("doc_id"), col("l.lang").as("lang"),
           col("l.confidence").as("confidence"), col("q.quality").as("quality"),
           col("q.stopword_ratio").as("stopword_ratio"))
+    }),
+
+    // Embedding-cosine near-dup, exact all-pairs (oracle-checked; pair ids
+    // only — raw cosine doubles could differ from DuckDB's in the last ulp)
+    "q22_emb_neardup" -> ((s, dir) => {
+      operators.Dedup.embeddingNearDupExact(
+        t(s, dir, "embeddings"), "vec_id", "embedding", threshold = 0.4)
+    }),
+
+    // IVF ANN: distributed k-means build + partition-pruned batch search
+    // (rows-only check — clustering has no SQL equivalent)
+    "q23_ann_ivf" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id").as("id"), col("embedding").as("vector"))
+      val path = java.nio.file.Files.createTempDirectory("graft_ivf_q23").toString
+      val idx = ml.IvfIndex.build(emb, "id", "vector", path, nLists = 16)
+      val queries = emb.filter(col("id") < 8)
+        .select(col("id").as("query_id"), col("vector").as("query_vec"))
+      idx.searchBatch(queries, k = 5, nProbe = 8)
+        .select(col("query_id"), col("id").as("vec_id"), col("rank").as("rnk"))
     })
   )
 
@@ -372,6 +392,11 @@ object SparkEntry {
         |         CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
         |           (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
         |  FROM s a JOIN s b ON a.doc_id < b.doc_id
-        |) WHERE jaccard >= 0.5""".stripMargin
+        |) WHERE jaccard >= 0.5""".stripMargin,
+
+    "q22_emb_neardup" ->
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.4""".stripMargin
   )
 }

@@ -1,0 +1,158 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** Kernels backing the ANN scale path (SURVEY.md §7.1 step 7): IVF coarse
+  * quantization and random-hyperplane LSH for embedding near-dup.
+  * Single-pass Java loops, codegen'd via static helpers.
+  */
+object AnnUtil {
+
+  /** Ids of the `nProbe` nearest centroids, best first.
+    * metric: "cosine" (max normalized dot) or "euclidean" (min distance).
+    */
+  def nearestCentroids(
+      vec: ArrayData,
+      centroids: Array[Array[Double]],
+      metric: String,
+      nProbe: Int,
+      floatElems: Boolean): ArrayData = {
+    val n = centroids.length
+    val scores = new Array[Double](n)
+    val cosine = metric == "cosine"
+    var c = 0
+    while (c < n) {
+      scores(c) = if (cosine) -cosineScore(vec, centroids(c), floatElems)
+      else eucl2(vec, centroids(c), floatElems)
+      c += 1
+    }
+    // partial selection of the nProbe smallest scores
+    val idx = Array.tabulate(n)(identity)
+    val take = math.min(nProbe, n)
+    var i = 0
+    while (i < take) {
+      var best = i
+      var j = i + 1
+      while (j < n) {
+        if (scores(idx(j)) < scores(idx(best))) best = j
+        j += 1
+      }
+      val tmp = idx(i); idx(i) = idx(best); idx(best) = tmp
+      i += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOfRange(idx, 0, take))
+  }
+
+  private def cosineScore(vec: ArrayData, c: Array[Double], floatElems: Boolean): Double = {
+    val n = math.min(vec.numElements(), c.length)
+    var dot = 0.0; var na = 0.0; var i = 0
+    while (i < n) {
+      val x = if (floatElems) vec.getFloat(i).toDouble else vec.getDouble(i)
+      dot += x * c(i); na += x * x
+      i += 1
+    }
+    // centroids are pre-normalized at build time for the cosine metric
+    dot / math.max(math.sqrt(na), VectorOps.Eps)
+  }
+
+  private def eucl2(vec: ArrayData, c: Array[Double], floatElems: Boolean): Double = {
+    val n = math.min(vec.numElements(), c.length)
+    var acc = 0.0; var i = 0
+    while (i < n) {
+      val d = (if (floatElems) vec.getFloat(i).toDouble else vec.getDouble(i)) - c(i)
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
+
+  /** Sign-bit signature of `vec` against up to 64 random hyperplanes. */
+  def hyperplaneSig(vec: ArrayData, planes: Array[Array[Double]], floatElems: Boolean): Long = {
+    var out = 0L
+    var p = 0
+    while (p < planes.length) {
+      val plane = planes(p)
+      val n = math.min(vec.numElements(), plane.length)
+      var dot = 0.0; var i = 0
+      while (i < n) {
+        dot += (if (floatElems) vec.getFloat(i).toDouble else vec.getDouble(i)) * plane(i)
+        i += 1
+      }
+      if (dot > 0) out |= (1L << p)
+      p += 1
+    }
+    out
+  }
+
+  /** Deterministic gaussian hyperplanes. */
+  def randomPlanes(nBits: Int, dim: Int, seed: Long): Array[Array[Double]] = {
+    require(nBits >= 1 && nBits <= 64, s"nBits must be in [1,64], got $nBits")
+    val rnd = new java.util.Random(seed)
+    Array.fill(nBits)(Array.fill(dim)(rnd.nextGaussian()))
+  }
+}
+
+private[functions] trait VecArrayCheck extends Expression {
+  def childDataType: DataType
+  override def checkInputDataTypes(): TypeCheckResult = childDataType match {
+    case ArrayType(et, _) if VectorOps.supportedElem(et) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<numeric>, got ${other.simpleString}")
+  }
+}
+
+/** centroid_probes(vec) -> array<int> of the nProbe nearest centroid ids. */
+case class CentroidProbes(
+    child: Expression,
+    centroids: Array[Array[Double]],
+    metric: String,
+    nProbe: Int) extends UnaryExpression with VecArrayCheck {
+  require(nProbe >= 1, s"nProbe must be >= 1, got $nProbe")
+
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "centroid_probes"
+  override def childDataType: DataType = child.dataType
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  @transient private lazy val floatElems: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(v: Any): Any =
+    AnnUtil.nearestCentroids(v.asInstanceOf[ArrayData], centroids, metric, nProbe, floatElems)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr => {
+      val cRef = ctx.addReferenceObj("centroids", centroids, "double[][]")
+      s"""${ev.value} = graft.functions.AnnUtil.nearestCentroids($arr, $cRef, "$metric", $nProbe, $floatElems);"""
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** hyperplane_sig(vec) -> bigint LSH signature (random-hyperplane simhash). */
+case class HyperplaneSignature(child: Expression, planes: Array[Array[Double]])
+    extends UnaryExpression with VecArrayCheck {
+
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "hyperplane_sig"
+  override def childDataType: DataType = child.dataType
+  override def dataType: DataType = LongType
+
+  @transient private lazy val floatElems: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(v: Any): Any =
+    AnnUtil.hyperplaneSig(v.asInstanceOf[ArrayData], planes, floatElems)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr => {
+      val pRef = ctx.addReferenceObj("planes", planes, "double[][]")
+      s"${ev.value} = graft.functions.AnnUtil.hyperplaneSig($arr, $pRef, $floatElems);"
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}

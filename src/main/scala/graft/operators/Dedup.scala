@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.functions.{MinHashSignature, SimHash64}
+import graft.functions.{vector, AnnUtil, HyperplaneSignature, MinHashSignature, SimHash64}
 import org.apache.spark.sql.graftx.Bridge
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
@@ -169,5 +169,60 @@ object Dedup {
         hamming64(col("x.fp"), col("y.fp")).as("hamming"))
       .dropDuplicates("id_a", "id_b")
       .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Embedding-cosine near-dup pairs, exact all-pairs baseline (O(N^2);
+    * the oracle-checkable form). Output: (id_a, id_b) with cosine >= threshold.
+    */
+  def embeddingNearDupExact(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double): DataFrame = {
+    val v = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
+    v.as("a").join(v.as("b"), col("a.id") < col("b.id"))
+      .filter(vector.cosine_sim(col("a.vec"), col("b.vec")) >= threshold)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+  }
+
+  /** Embedding-cosine near-dup via random-hyperplane LSH: nBits sign bits,
+    * banded like SimHash; candidates verified with exact cosine. Recall
+    * comes from band count (pairs within angle θ collide on a band w.h.p.);
+    * precision is exact.
+    */
+  def embeddingNearDupLsh(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      dim: Int,
+      nBits: Int = 64,
+      nBands: Int = 8,
+      seed: Long = 42L): DataFrame = {
+    require(nBits % nBands == 0, s"nBits=$nBits not divisible by nBands=$nBands")
+    val width = nBits / nBands
+    val mask = if (width == 64) -1L else (1L << width) - 1
+    val planes = AnnUtil.randomPlanes(nBits, dim, seed)
+    val sig = Bridge.column(HyperplaneSignature(Bridge.expression(col("vec")), planes))
+
+    val withSig = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
+      .withColumn("sig", sig)
+    val chunks = array((0 until nBands).map { j =>
+      struct(lit(j).as("band"),
+        shiftright(col("sig"), j * width).bitwiseAND(lit(mask)).as("chunk"))
+    }: _*)
+    val banded = withSig
+      .select(col("id"), col("vec"), explode(chunks).as("bb"))
+      .select(col("id"), col("vec"), col("bb.band").as("band"), col("bb.chunk").as("chunk"))
+
+    banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") &&
+          col("x.chunk") === col("y.chunk") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
+        vector.cosine_sim(col("x.vec"), col("y.vec")).as("cosine"))
+      .dropDuplicates("id_a", "id_b")
+      .filter(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"))
   }
 }

