@@ -267,6 +267,21 @@ object SparkEntry {
         .select(col("id").as("query_id"), col("vector").as("query_vec"))
       idx.searchBatch(queries, k = 5, nProbe = 8)
         .select(col("query_id"), col("id").as("vec_id"), col("rank").as("rnk"))
+    }),
+
+    // Structured Streaming: watermarked tumbling-window rollup, driven to
+    // completion over the events file — oracle is the batch SQL equivalent
+    "q24_stream_rollup" -> ((s, dir) => {
+      val name = s"q24_out_${System.nanoTime()}"
+      val rollup = streaming.Streams.eventRollup(
+        streaming.Streams.eventStream(s, dir, glob = Some("events.parquet")))
+      val q = rollup.writeStream.outputMode("complete")
+        .format("memory").queryName(name).start()
+      try q.processAllAvailable() finally q.stop()
+      s.table(name).select(
+        col("window_start").cast("date").as("day"),
+        hour(col("window_start")).cast("long").as("hr"),
+        col("event_type"), col("n"), col("total_value"))
     })
   )
 
@@ -397,6 +412,13 @@ object SparkEntry {
     "q22_emb_neardup" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-        |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.4""".stripMargin
+        |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.4""".stripMargin,
+
+    "q24_stream_rollup" ->
+      """SELECT CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+        |  CAST(extract(hour FROM CAST(ts AS TIMESTAMP)) AS BIGINT) AS hr,
+        |  event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1, 2, 3""".stripMargin
   )
 }

@@ -1,0 +1,110 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing: image/audio/video as opaque binary columns
+  * with typed metadata, processed in batch-shaped passes.
+  *
+  * The decode kernels themselves are STUBS — this container has no image or
+  * audio codecs — but everything Spark-side is real and tested: the schema,
+  * the partition-preserving batched iteration (the Scala analog of a batched
+  * inference UDF: accumulate a bounded batch, run the kernel once per batch,
+  * emit rows), the frame-sampling generator shape, and the feature columns
+  * that feed the vector engine downstream. Swapping a real codec/model into
+  * `DecodeKernel` changes no plumbing.
+  */
+object Multimodal {
+
+  case class MediaMeta(width: Int, height: Int, format: String, duration_ms: Long)
+  case class MediaRow(media_id: Long, kind: String, bytes: Array[Byte], meta: MediaMeta)
+  case class MediaFeatures(media_id: Long, kind: String, features: Array[Float])
+  case class Frame(media_id: Long, frame_index: Int, ts_ms: Long, frame_bytes: Array[Byte])
+
+  /** The pluggable per-batch kernel: N media blobs in, N feature vectors out.
+    * Real deployments put codec + model inference here.
+    */
+  trait DecodeKernel extends Serializable {
+    def dim: Int
+    def decodeBatch(batch: Seq[MediaRow]): Seq[Array[Float]]
+  }
+
+  /** STUB kernel: deterministic pseudo-features derived from the bytes
+    * (xxhash-seeded), unit-norm. Stands in for codec+model until real
+    * libraries are available; keeps every pipeline downstream testable.
+    */
+  case class StubDecodeKernel(dim: Int = 64) extends DecodeKernel {
+    override def decodeBatch(batch: Seq[MediaRow]): Seq[Array[Float]] =
+      batch.map { row =>
+        var h = 1125899906842597L
+        row.bytes.foreach(b => h = 31 * h + b)
+        val rnd = new java.util.Random(h)
+        val v = Array.fill(dim)(rnd.nextGaussian().toFloat)
+        val inv = (1.0 / math.max(math.sqrt(v.map(x => x.toDouble * x).sum), 1e-8)).toFloat
+        v.map(_ * inv)
+      }
+  }
+
+  /** Batched feature extraction: partition-local, bounded batches of
+    * `batchSize` rows per kernel call (the batch shape a GPU model wants).
+    * No shuffle — runs where the data lives.
+    */
+  def extractFeatures(
+      media: Dataset[MediaRow],
+      kernel: DecodeKernel,
+      batchSize: Int = 64): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    require(batchSize >= 1, s"batchSize must be >= 1, got $batchSize")
+    media.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        val feats = kernel.decodeBatch(batch)
+        require(feats.length == batch.length,
+          s"kernel returned ${feats.length} features for ${batch.length} inputs")
+        batch.zip(feats).map { case (r, f) => MediaFeatures(r.media_id, r.kind, f) }
+      }
+    }
+  }
+
+  /** Frame sampling for video rows: one row per sampled timestamp
+    * (generator shape — real plumbing, stubbed frame extraction).
+    */
+  def sampleFrames(media: Dataset[MediaRow], everyMs: Long): Dataset[Frame] = {
+    import media.sparkSession.implicits._
+    require(everyMs >= 1, s"everyMs must be >= 1, got $everyMs")
+    media.filter(_.kind == "video").flatMap { row =>
+      val n = (row.meta.duration_ms / everyMs).toInt
+      (0 to n).map { i =>
+        val ts = i * everyMs
+        // STUB frame extraction: a real codec seeks to ts and decodes; the
+        // deterministic stand-in tags the container bytes with the offset.
+        val tag = java.nio.ByteBuffer.allocate(8).putLong(ts).array()
+        Frame(row.media_id, i, ts, tag ++ row.bytes.take(8))
+      }
+    }
+  }
+
+  /** Deterministic synthetic media table for tests/demos. */
+  def syntheticMedia(spark: SparkSession, n: Int, seed: Long = 42L): Dataset[MediaRow] = {
+    import spark.implicits._
+    val rows = (0 until n).map { i =>
+      val rnd = new java.util.Random(seed + i)
+      val kind = Seq("image", "audio", "video")(i % 3)
+      val bytes = new Array[Byte](64 + rnd.nextInt(64))
+      rnd.nextBytes(bytes)
+      MediaRow(i.toLong, kind, bytes,
+        MediaMeta(640, 480, if (kind == "image") "png" else "mkv",
+          if (kind == "video") 1000L + rnd.nextInt(4000) else 0L))
+    }
+    spark.createDataset(rows)
+  }
+
+  /** Feature table as a store-ready DataFrame (vector + meta) so multimodal
+    * features flow straight into the kNN/ANN/dedup operators.
+    */
+  def toVectorRows(features: Dataset[MediaFeatures]): DataFrame =
+    features.toDF()
+      .select(
+        col("features").as("vector"),
+        map(lit("media_id"), col("media_id").cast("string"),
+          lit("kind"), col("kind")).as("meta"))
+}

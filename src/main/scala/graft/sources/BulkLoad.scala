@@ -1,0 +1,62 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Bulk file ingestion (SURVEY.md §2.1 S3/S4; reference
+  * api/routes/batch_v1.py:382-465).
+  *
+  * The reference accepts .npz and .jsonl uploads, chunked by `chunk_size`
+  * (1000–50000). In Spark, chunking is the partitioner's job — every format
+  * below arrives pre-parallelized; `bulkUpload` is a single validated append.
+  *
+  * Formats:
+  *  - JSONL: one object per line, `{"vector": [...], "metadata": {...}}`
+  *    (reference batch_v1.py:413-423)
+  *  - CSV: a `vector` column of comma-separated floats + arbitrary metadata
+  *    columns (the reference's upload regex admits csv but never shipped a
+  *    parser — batch_v1.py:73; semantics defined here)
+  *  - Parquet: native columns (vector: array<float>, meta: map)
+  *  - NPZ: a zipped numpy format with no JVM-native reader; convert to
+  *    parquet/JSONL out-of-band (the reference's own SDK does the converse).
+  */
+object BulkLoad {
+
+  val JsonlSchema: StructType = StructType(Seq(
+    StructField("vector", ArrayType(FloatType)),
+    StructField("metadata", MapType(StringType, StringType))))
+
+  /** Read reference-shape JSONL into store-ready (vector, meta) rows. */
+  def jsonl(spark: SparkSession, path: String): DataFrame =
+    spark.read.schema(JsonlSchema).json(path)
+      .select(col("vector"), coalesce(col("metadata"),
+        typedLit(Map.empty[String, String])).as("meta"))
+
+  /** Read CSV with a comma-separated `vector` string column; every other
+    * column becomes a meta entry.
+    */
+  def csv(spark: SparkSession, path: String): DataFrame = {
+    val raw = spark.read.option("header", "true").csv(path)
+    require(raw.columns.contains("vector"), "csv bulk file needs a 'vector' column")
+    val metaCols = raw.columns.filter(_ != "vector").toSeq
+    val metaMap =
+      if (metaCols.isEmpty) typedLit(Map.empty[String, String])
+      else map(metaCols.flatMap(c => Seq(lit(c), col(c).cast("string"))): _*)
+    raw.select(
+      split(col("vector"), ",").cast(ArrayType(FloatType)).as("vector"),
+      metaMap.as("meta"))
+  }
+
+  /** Read parquet with native (vector[, meta]) columns. */
+  def parquet(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** Validated chunk-free bulk append into a store. Returns rows ingested. */
+  def bulkUpload(
+      catalog: VectorStoreCatalog,
+      userId: String,
+      modelId: String,
+      rows: DataFrame): Long =
+    catalog.addVectors(userId, modelId, rows)
+}

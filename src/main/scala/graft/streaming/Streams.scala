@@ -1,0 +1,166 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface (SURVEY.md §2.9).
+  *
+  * The reference has no true streaming engine — its "streaming" is chunked
+  * batch ingestion with SSE progress (api/routes/batch_v1.py:103-254). Here
+  * those become real Structured Streaming primitives:
+  *  - ST4 chunked ingestion  -> micro-batch file-source ingest (foreachBatch)
+  *  - ST1 progress tracking  -> a job-status table fed by foreachBatch
+  *  - plus the windowed/stateful operators a real event stream needs
+  *    (watermarked rollups, session windows via flatMapGroupsWithState).
+  */
+object Streams {
+
+  /** events-table schema as it arrives from the driver's parquet (ts read as
+    * long nanos under spark.sql.legacy.parquet.nanosAsLong).
+    */
+  val EventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** File-source event stream over a directory of parquet drops; `glob`
+    * narrows to matching file names (the streaming file source requires a
+    * directory path, not a file).
+    */
+  def eventStream(spark: SparkSession, dir: String, glob: Option[String] = None): DataFrame = {
+    val reader = spark.readStream.schema(EventSchema)
+    val withGlob = glob.fold(reader)(g => reader.option("pathGlobFilter", g))
+    withGlob.parquet(dir)
+      .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Watermarked tumbling-window rollup per event_type. */
+  def eventRollup(
+      events: DataFrame,
+      windowLen: String = "1 hour",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("event_time", watermark)
+      .groupBy(window(col("event_time"), windowLen), col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        // decimal-exact sum: associativity-safe, so micro-batch order can't
+        // perturb the result (also keeps the DuckDB oracle hash-stable)
+        expr("CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE)").as("total_value"),
+        approx_count_distinct(col("user_id")).as("approx_users"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("event_type"), col("n"), col("total_value"), col("approx_users"))
+
+  // ----------------------------------------------------------- sessionize
+
+  case class SessionEvent(user_id: Long, event_time: java.sql.Timestamp, value: Double)
+  case class SessionState(start: Long, last: Long, n: Long, total: Double)
+  case class UserSession(
+      user_id: Long, session_start: java.sql.Timestamp,
+      session_end: java.sql.Timestamp, n_events: Long, total_value: Double)
+
+  /** Gap-based sessionization with per-user state: a session closes after
+    * `gapMillis` of silence (event-time, enforced by watermark + state
+    * timeout). Emits one row per closed session.
+    */
+  def sessionize(
+      events: Dataset[SessionEvent],
+      gapMillis: Long,
+      watermark: String = "2 hours"): Dataset[UserSession] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("event_time", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, UserSession](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, rows: Iterator[SessionEvent], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(UserSession(userId,
+              new java.sql.Timestamp(s.start), new java.sql.Timestamp(s.last),
+              s.n, s.total))
+          } else {
+            val sorted = rows.toSeq.sortBy(_.event_time.getTime)
+            var closed = List.empty[UserSession]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val t = e.event_time.getTime
+              cur match {
+                case Some(s) if t - s.last <= gapMillis =>
+                  cur = Some(s.copy(last = math.max(s.last, t), n = s.n + 1,
+                    total = s.total + e.value))
+                case Some(s) =>
+                  closed ::= UserSession(userId, new java.sql.Timestamp(s.start),
+                    new java.sql.Timestamp(s.last), s.n, s.total)
+                  cur = Some(SessionState(t, t, 1, e.value))
+                case None =>
+                  cur = Some(SessionState(t, t, 1, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.last + gapMillis)
+            }
+            closed.reverseIterator
+          }
+      }
+  }
+
+  // ------------------------------------------------------- micro-batch ingest
+
+  /** ST4 analog: stream JSONL/parquet vector drops into a store via
+    * micro-batch appends. Each drop row needs a `vector` column (+ optional
+    * `meta`). Returns the running query; caller stops it.
+    */
+  def ingestVectors(
+      spark: SparkSession,
+      dropDir: String,
+      dropSchema: StructType,
+      catalog: graft.sources.VectorStoreCatalog,
+      userId: String,
+      modelId: String,
+      format: String = "json",
+      checkpoint: Option[String] = None,
+      statusTable: Option[BatchStatusTable] = None): StreamingQuery = {
+    val src = format match {
+      case "json" => spark.readStream.schema(dropSchema).json(dropDir)
+      case "parquet" => spark.readStream.schema(dropSchema).parquet(dropDir)
+      case "csv" => spark.readStream.schema(dropSchema).csv(dropDir)
+      case other => throw new IllegalArgumentException(s"unsupported drop format $other")
+    }
+    val cp = checkpoint.getOrElse(
+      java.nio.file.Files.createTempDirectory("graft_ingest_cp").toString)
+    src.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", cp)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val n = catalog.addVectors(userId, modelId, batch)
+        statusTable.foreach(_.record(batchId, n))
+        ()
+      }
+      .start()
+  }
+
+  /** ST1 analog: operation/progress registry as a table instead of SSE —
+    * each micro-batch appends (batch_id, rows, completed_at).
+    */
+  class BatchStatusTable(spark: SparkSession) extends Serializable {
+    private val rows = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long, Long)]()
+    def record(batchId: Long, n: Long): Unit =
+      rows.add((batchId, n, System.currentTimeMillis()))
+    def toDF: DataFrame = {
+      import spark.implicits._
+      import scala.jdk.CollectionConverters._
+      val data: List[(Long, Long, Long)] = rows.asScala.toList
+      data.toDF("batch_id", "rows_ingested", "completed_at_ms")
+    }
+  }
+}

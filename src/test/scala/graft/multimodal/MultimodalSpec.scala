@@ -1,0 +1,59 @@
+package graft.multimodal
+
+import graft.SparkSpec
+import graft.sources.{StoreConfig, VectorStoreCatalog}
+import org.scalatest.funsuite.AnyFunSuite
+
+class MultimodalSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  private lazy val media = Multimodal.syntheticMedia(spark, 30).cache()
+
+  test("batched feature extraction: every row gets a unit-norm feature vector") {
+    val feats = Multimodal.extractFeatures(media, Multimodal.StubDecodeKernel(32),
+      batchSize = 7) // deliberately not dividing 30: exercises ragged batches
+    val rows = feats.collect()
+    assert(rows.length == 30)
+    assert(rows.forall(_.features.length == 32))
+    assert(rows.forall { r =>
+      math.abs(math.sqrt(r.features.map(x => x.toDouble * x).sum) - 1.0) < 1e-4
+    })
+    // deterministic: same input -> same features
+    val again = Multimodal.extractFeatures(media, Multimodal.StubDecodeKernel(32))
+      .collect().map(r => r.media_id -> r.features.toSeq).toMap
+    assert(rows.forall(r => again(r.media_id) == r.features.toSeq))
+  }
+
+  test("frame sampling explodes only videos, one frame per interval") {
+    val frames = Multimodal.sampleFrames(media, everyMs = 500).collect()
+    val videos = media.filter(_.kind == "video").collect()
+    assert(frames.nonEmpty)
+    val perVideo = frames.groupBy(_.media_id)
+    assert(perVideo.keySet == videos.map(_.media_id).toSet)
+    videos.foreach { v =>
+      val expected = (v.meta.duration_ms / 500).toInt + 1
+      assert(perVideo(v.media_id).length == expected,
+        s"video ${v.media_id}: ${perVideo(v.media_id).length} != $expected")
+      assert(perVideo(v.media_id).map(_.ts_ms).sorted.toSeq ==
+        (0 until expected).map(_ * 500L))
+    }
+  }
+
+  test("multimodal features flow into the vector store + kNN path") {
+    val feats = Multimodal.extractFeatures(media, Multimodal.StubDecodeKernel(16))
+    val root = java.nio.file.Files.createTempDirectory("graft_mm").toString
+    val catalog = new VectorStoreCatalog(spark, root)
+    catalog.create("mm", "stub16", StoreConfig(dimension = 16))
+    catalog.addVectors("mm", "stub16", Multimodal.toVectorRows(feats))
+    assert(catalog.count("mm", "stub16") == 30)
+
+    val q = feats.filter(_.media_id == 0L).head().features.map(_.toDouble).toSeq
+    val hits = catalog.query("mm", "stub16", q, k = 3).collect()
+    assert(hits.head.getAs[Map[String, String]]("meta")("media_id") == "0")
+    // filtered by modality
+    val imgOnly = catalog.query("mm", "stub16", q, k = 10,
+      metadataFilter = Map("kind" -> "image")).collect()
+    assert(imgOnly.nonEmpty)
+    assert(imgOnly.forall(_.getAs[Map[String, String]]("meta")("kind") == "image"))
+  }
+}

@@ -1,0 +1,97 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.sources.{StoreConfig, VectorStoreCatalog}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+class StreamsSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  private def tempDir(prefix: String) = Files.createTempDirectory(prefix).toString
+
+  test("eventRollup over the events parquet matches batch aggregation") {
+    val dropDir = tempDir("graft_events_drop")
+    Files.copy(
+      Paths.get("/root/testdata/sf0.001/events.parquet"),
+      Paths.get(s"$dropDir/events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+
+    val rollup = Streams.eventRollup(Streams.eventStream(spark, dropDir))
+    val q = rollup.writeStream.outputMode("complete")
+      .format("memory").queryName("rollup_out").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("rollup_out")
+        .agg(sum($"n"), count(lit(1))).head()
+
+      val batch = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      assert(got.getLong(0) == batch.count(), "windowed n must cover every event")
+      assert(got.getLong(1) > 0)
+    } finally q.stop()
+  }
+
+  test("sessionize closes sessions on gap and totals match input") {
+    val dropDir = tempDir("graft_sess_drop")
+    // craft a tiny deterministic stream: user 1 has two sessions (gap 10min),
+    // user 2 one session
+    val base = 1700000000000L
+    val rows = Seq(
+      (1L, base, 1.0), (1L, base + 60000, 2.0),            // session A
+      (1L, base + 20 * 60000, 4.0),                        // session B (after 19min gap)
+      (2L, base, 10.0), (2L, base + 30000, 20.0))
+    rows.map { case (u, t, v) => (u, t * 1000000L, u, "e", v, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(dropDir)
+
+    val events = Streams.eventStream(spark, dropDir)
+      .select($"user_id", $"event_time", $"value").as[Streams.SessionEvent]
+    val sessions = Streams.sessionize(events, gapMillis = 10 * 60000, watermark = "0 seconds")
+    val q = sessions.writeStream.outputMode("append")
+      .format("memory").queryName("sess_out").start()
+    try {
+      q.processAllAvailable()
+      val out = spark.table("sess_out").collect()
+      // only sessions closed by a LATER event within the same run are emitted
+      // (user 1's session A closes when session B's event arrives)
+      val u1 = out.filter(_.getAs[Long]("user_id") == 1L)
+      assert(u1.length == 1, s"expected user 1's first session closed, got ${out.mkString(";")}")
+      assert(u1.head.getAs[Long]("n_events") == 2)
+      assert(u1.head.getAs[Double]("total_value") == 3.0)
+    } finally q.stop()
+  }
+
+  test("ingestVectors streams JSONL drops into a store with status table") {
+    import org.apache.spark.sql.types._
+    val dropDir = tempDir("graft_vec_drop")
+    val jsonl = (0 until 20).map { i =>
+      s"""{"vector": [${Seq.fill(4)(i / 20.0).mkString(",")}], "meta": {"doc": "d$i"}}"""
+    }.mkString("\n")
+    Files.writeString(Paths.get(s"$dropDir/drop1.jsonl"), jsonl)
+
+    val root = tempDir("graft_stream_store")
+    val catalog = new VectorStoreCatalog(spark, root)
+    catalog.create("stream", "m1", StoreConfig(dimension = 4))
+    val status = new Streams.BatchStatusTable(spark)
+    val schema = StructType(Seq(
+      StructField("vector", ArrayType(FloatType)),
+      StructField("meta", MapType(StringType, StringType))))
+
+    val q = Streams.ingestVectors(spark, dropDir, schema, catalog,
+      "stream", "m1", format = "json", statusTable = Some(status))
+    try q.awaitTermination(60000) finally q.stop()
+
+    assert(catalog.count("stream", "m1") == 20)
+    val st = status.toDF.collect()
+    assert(st.map(_.getAs[Long]("rows_ingested")).sum == 20)
+    // second drop appends incrementally
+    Files.writeString(Paths.get(s"$dropDir/drop2.jsonl"),
+      """{"vector": [9,9,9,9], "meta": {"doc": "late"}}""")
+    val q2 = Streams.ingestVectors(spark, dropDir, schema, catalog,
+      "stream", "m1", format = "json")
+    try q2.awaitTermination(60000) finally q2.stop()
+    // fresh checkpoint => full re-read; dedup by content happens upstream.
+    assert(catalog.count("stream", "m1") >= 21)
+  }
+}
