@@ -55,6 +55,22 @@ object vector {
     case other => throw new IllegalArgumentException(s"unsupported metric '$other'")
   }
 
+  /** Masked mean pooling over token embeddings (SURVEY §2.4 A4; reference
+    * integrations/mlx_lm_pipeline.py:81-101): out[j] =
+    * sum_i(emb[i][j] * mask[i]) / max(sum(mask), eps). Pure higher-order
+    * functions — embs: array<array<float>>, mask: array<int>.
+    */
+  def maskedMeanPool(embs: Column, mask: Column, eps: Double = 1e-9): Column = {
+    val dim = size(element_at(embs, 1))
+    val zeros = transform(sequence(lit(1), dim), _ => lit(0.0d))
+    val masked = zip_with(embs, mask, (e, m) =>
+      transform(e, x => x.cast("double") * m.cast("double")))
+    val summed = aggregate(masked, zeros, (acc, e) => zip_with(acc, e, _ + _))
+    val denom = greatest(aggregate(mask,
+      lit(0.0d), (a, m) => a + m.cast("double")), lit(eps))
+    transform(summed, x => x / denom)
+  }
+
   /** Register SQL names so `spark.sql("SELECT vec_cosine_sim(a,b) ...")` works. */
   def register(spark: SparkSession): Unit = {
     Bridge.registerFunction(spark, "vec_cosine_sim", es => CosineSimilarity(es(0), es(1)))

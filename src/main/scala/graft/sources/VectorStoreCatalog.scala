@@ -173,6 +173,51 @@ class VectorStoreCatalog(spark: SparkSession, root: String) {
     before - keptCount
   }
 
+  /** Batch kNN against one store with the reference's serving caps
+    * (api/routes/batch_v1.py:63-64: <=1000 queries, k <= 100). The reference
+    * API calls `store.batch_query`, which was never shipped in the store
+    * class (SURVEY.md §2.11 drift) — implemented for real here via the
+    * bounded top-k aggregation path.
+    */
+  def batchQuery(
+      userId: String,
+      modelId: String,
+      queryVecs: Seq[Seq[Double]],
+      k: Int): DataFrame = {
+    require(queryVecs.nonEmpty && queryVecs.size <= VectorStoreCatalog.MaxBatchQueries,
+      s"batch size ${queryVecs.size} outside [1, ${VectorStoreCatalog.MaxBatchQueries}]")
+    require(k >= 1 && k <= VectorStoreCatalog.MaxBatchK,
+      s"k=$k outside [1, ${VectorStoreCatalog.MaxBatchK}]")
+    val cfg = config(userId, modelId)
+    queryVecs.foreach(q => require(q.length == cfg.dimension,
+      s"query dimension ${q.length} != store dimension ${cfg.dimension}"))
+    import spark.implicits._
+    val queries = queryVecs.zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }
+      .toDF("query_id", "query_vec")
+    Knn.batchTopK(queries, load(userId, modelId), k, cfg.metric)
+  }
+
+  /** Compaction (the reference's admin `optimize` endpoint references a
+    * store.optimize that was never shipped — api/routes/admin.py:171-192;
+    * here it is a real small-file compaction job). Returns (filesBefore,
+    * filesAfter).
+    */
+  def optimize(userId: String, modelId: String, targetFileBytes: Long = 128L << 20): (Int, Int) = {
+    val dst = new Path(dataPath(userId, modelId))
+    if (!fs.exists(dst)) return (0, 0)
+    def parquetFiles = fs.listStatus(dst).filter(_.getPath.getName.endsWith(".parquet"))
+    val before = parquetFiles
+    val totalBytes = before.map(_.getLen).sum
+    val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
+    val df = spark.read.parquet(dst.toString).repartition(nFiles)
+    val tmp = s"${storePath(userId, modelId)}/_compact"
+    df.write.mode("overwrite").parquet(tmp)
+    fs.delete(dst, true)
+    fs.rename(new Path(tmp), dst)
+    (before.length, parquetFiles.length)
+  }
+
   /** Clear store data, keep config (reference clear(),
     * service/optimized_vector_store.py:198-209).
     */
@@ -190,6 +235,11 @@ class VectorStoreCatalog(spark: SparkSession, root: String) {
 }
 
 object VectorStoreCatalog {
+  /** Reference serving caps (api/routes/batch_v1.py:63-64, service/models.py:53). */
+  val MaxBatchQueries = 1000
+  val MaxBatchK = 100
+  val MaxSingleK = 1000
+
   private val NamePattern = "^[A-Za-z0-9._-]{1,128}$".r
   def validName(s: String): Boolean = NamePattern.matches(s)
 

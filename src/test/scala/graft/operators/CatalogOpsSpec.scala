@@ -1,0 +1,81 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.functions.vector
+import graft.sources.{StoreConfig, VectorStoreCatalog}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Covers the catalog ops added for SURVEY §2 completeness: batch_query with
+  * serving caps, optimize/compaction, masked mean-pool, observe metrics.
+  */
+class CatalogOpsSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  private def newCatalog = new VectorStoreCatalog(spark,
+    java.nio.file.Files.createTempDirectory("graft_catops").toString)
+
+  test("batchQuery: caps enforced, self-match ranks first") {
+    val cat = newCatalog
+    cat.create("u", "m", StoreConfig(dimension = 8))
+    val rnd = new scala.util.Random(1)
+    val vecs = Seq.fill(30)(Seq.fill(8)(rnd.nextFloat()))
+    cat.addVectors("u", "m", vecs.map(Tuple1(_)).toDF("vector"))
+
+    val res = cat.batchQuery("u", "m", vecs.take(3).map(_.map(_.toDouble)), k = 2)
+    val rows = res.collect()
+    assert(rows.length == 6)
+
+    intercept[IllegalArgumentException] {
+      cat.batchQuery("u", "m", Seq(Seq.fill(8)(0.1)), k = 101)
+    }
+    intercept[IllegalArgumentException] {
+      cat.batchQuery("u", "m", Seq.empty, k = 5)
+    }
+    intercept[IllegalArgumentException] {
+      cat.batchQuery("u", "m", Seq(Seq(1.0, 2.0)), k = 5) // wrong dim
+    }
+  }
+
+  test("optimize compacts many small files into few") {
+    val cat = newCatalog
+    cat.create("u", "m", StoreConfig(dimension = 4))
+    // 5 separate appends -> many small files
+    (0 until 5).foreach { i =>
+      cat.addVectors("u", "m",
+        Seq.fill(10)(Seq.fill(4)(i.toFloat)).map(Tuple1(_)).toDF("vector"))
+    }
+    val before = cat.count("u", "m")
+    val (nBefore, nAfter) = cat.optimize("u", "m")
+    assert(nBefore > nAfter, s"expected compaction: $nBefore -> $nAfter")
+    assert(cat.count("u", "m") == before, "row count must survive compaction")
+  }
+
+  test("maskedMeanPool matches hand computation and respects mask") {
+    val df = Seq((
+      Seq(Seq(1f, 2f), Seq(3f, 4f), Seq(100f, 100f)),
+      Seq(1, 1, 0))).toDF("embs", "mask")
+    val out = df.select(vector.maskedMeanPool($"embs", $"mask").as("p"))
+      .head().getSeq[Double](0)
+    assert(out == Seq(2.0, 3.0), s"got $out") // mean of first two rows only
+  }
+
+  test("observe metrics captured by registry during a real action") {
+    val reg = Metrics.install(spark)
+    try {
+      val df = Metrics.observed(
+        spark.range(100).toDF("id"), "probe_metrics",
+        "n" -> count(lit(1)), "sum_id" -> sum($"id"))
+      df.write.mode("overwrite").format("noop").save()
+      // listener fires asynchronously; poll briefly
+      val deadline = System.currentTimeMillis() + 10000
+      var got: Option[Map[String, Any]] = None
+      while (got.isEmpty && System.currentTimeMillis() < deadline) {
+        got = reg.get("probe_metrics")
+        if (got.isEmpty) Thread.sleep(100)
+      }
+      assert(got.isDefined, "metrics not captured")
+      assert(got.get("n") == 100L && got.get("sum_id") == 4950L)
+    } finally spark.listenerManager.unregister(reg)
+  }
+}
