@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.vector
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -120,6 +120,111 @@ object Knn {
       .filter(col("rank") <= k)
       .withColumn("distance", vector.distanceFromSimilarity(col("similarity_score"), metric))
       .select(col(queryIdCol), col(idCol), col("similarity_score"), col("distance"), col("rank"))
+  }
+
+  /** Batch kNN via per-partition blocked scoring — the high-throughput path
+    * (SURVEY.md §4 "batch matmul" analog: the reference computes one
+    * [M,D]x[D,N] product, performance/mlx_optimized.py:59-88; here each
+    * partition scores its slice against the broadcast query block).
+    *
+    * Why it beats the expression path for M queries:
+    *  - each store row is decoded and its norm computed ONCE, not once per
+    *    query (the broadcast-join form re-evaluates the kernel M times/row);
+    *  - query norms are precomputed; the inner loop is a pure dot product
+    *    over primitive arrays (JIT-vectorizable);
+    *  - each partition emits at most M*k candidate rows, merged with one
+    *    tiny final aggregation — shuffle width M*k*partitions.
+    *
+    * Exact same ranking semantics as [[batchTopK]] (double accumulation in
+    * element order, ties broken by ascending id).
+    */
+  def batchTopKBlocked(
+      queries: DataFrame,
+      store: DataFrame,
+      k: Int,
+      metric: String = vector.MetricCosine,
+      vecCol: String = "vector",
+      idCol: String = "id",
+      queryIdCol: String = "query_id",
+      queryVecCol: String = "query_vec"): DataFrame = {
+    val spark = store.sparkSession
+    import spark.implicits._
+    require(Seq(vector.MetricCosine, vector.MetricEuclidean, vector.MetricDot)
+      .contains(metric), s"unsupported metric $metric")
+
+    val qRows: Array[(Long, Array[Double])] = queries
+      .select(col(queryIdCol).cast("long"), col(queryVecCol))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray.map(_.toDouble)))
+    require(qRows.nonEmpty, "empty query set")
+    val qIds = qRows.map(_._1)
+    val qVecs = qRows.map(_._2)
+    val qNorms = qVecs.map(v => math.max(math.sqrt(v.map(x => x * x).sum), 1e-8))
+    val bc = spark.sparkContext.broadcast((qIds, qVecs, qNorms))
+    val isCos = metric == vector.MetricCosine
+    val isEuc = metric == vector.MetricEuclidean
+
+    val partialTopk: Dataset[(Long, Long, Double)] = store
+      .select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Array[Float])]
+      .mapPartitions { iter =>
+        val (ids, vecs, norms) = bc.value
+        val m = ids.length
+        // per-query bounded worst-first heaps of (score, id)
+        val heaps = Array.fill(m)(new java.util.PriorityQueue[(Double, Long)](
+          k + 1,
+          (a: (Double, Long), b: (Double, Long)) =>
+            if (a._1 != b._1) java.lang.Double.compare(a._1, b._1)
+            else java.lang.Long.compare(b._2, a._2)))
+        iter.foreach { case (rowId, fv) =>
+          val d = fv.length
+          val rv = new Array[Double](d)
+          var i = 0
+          var nr = 0.0
+          while (i < d) { rv(i) = fv(i); nr += rv(i) * rv(i); i += 1 }
+          val rowNorm = math.max(math.sqrt(nr), 1e-8)
+          var qi = 0
+          while (qi < m) {
+            val qv = vecs(qi)
+            val n = math.min(d, qv.length)
+            var acc = 0.0
+            var j = 0
+            if (isEuc) {
+              while (j < n) { val t = rv(j) - qv(j); acc += t * t; j += 1 }
+              acc = 1.0 / (1.0 + math.sqrt(acc)) // canonical similarity form
+            } else {
+              while (j < n) { acc += rv(j) * qv(j); j += 1 }
+              if (isCos) acc = acc / (rowNorm * norms(qi))
+            }
+            val h = heaps(qi)
+            if (h.size < k) h.add((acc, rowId))
+            else {
+              val worst = h.peek()
+              if (acc > worst._1 || (acc == worst._1 && rowId < worst._2)) {
+                h.poll(); h.add((acc, rowId))
+              }
+            }
+            qi += 1
+          }
+        }
+        heaps.iterator.zipWithIndex.flatMap { case (h, qi) =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+          while (!h.isEmpty) { val (s, id) = h.poll(); out += ((ids(qi), id, s)) }
+          out
+        }
+      }
+
+    val topk = udaf(new TopKAggregator(k, ascending = false))
+    partialTopk.toDF(queryIdCol, idCol, "similarity_score")
+      .groupBy(col(queryIdCol))
+      .agg(topk(col("similarity_score"), col(idCol)).as("topk"))
+      .select(col(queryIdCol), posexplode(col("topk")).as(Seq("pos", "hit")))
+      .select(
+        col(queryIdCol),
+        col("hit.id").as(idCol),
+        col("hit.score").as("similarity_score"),
+        vector.distanceFromSimilarity(col("hit.score"), metric).as("distance"),
+        (col("pos") + 1).cast("long").as("rank"))
   }
 
   /** Similarity-threshold + greedy context-length cap (SURVEY.md §2.6 T3,
