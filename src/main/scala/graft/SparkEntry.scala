@@ -281,6 +281,53 @@ object SparkEntry {
         col("window_start").cast("date").as("day"),
         hour(col("window_start")).cast("long").as("hr"),
         col("event_type"), col("n"), col("total_value"))
+    }),
+
+    // A: ROLLUP grouping sets (Catalyst built-in; absent in the reference)
+    "q25_rollup" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("sum_qty"))
+    }),
+
+    // J/A: correlated-style filter — customers above their nation's average
+    // balance (decimal-exact average)
+    "q26_above_nation_avg" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val avgByNation = c.groupBy(col("c_nationkey").as("nk"))
+        .agg((expr("CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE)") /
+          count(lit(1))).as("nation_avg"))
+      c.join(broadcast(avgByNation), col("c_nationkey") === col("nk"))
+        .filter(col("c_acctbal") > col("nation_avg"))
+        .select(col("c_custkey"))
+    }),
+
+    // Set op: INTERSECT (Catalyst built-in; absent in the reference)
+    "q27_setops" -> ((s, dir) => {
+      val building = t(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey").as("custkey"))
+      val bigSpenders = t(s, dir, "orders")
+        .filter(col("o_totalprice") > 300000)
+        .select(col("o_custkey").as("custkey"))
+      building.intersect(bigSpenders)
+    }),
+
+    // W: lag window — per-user event-value delta
+    "q28_lag_delta" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+      t(s, dir, "events")
+        .select(col("event_id"), col("user_id"),
+          (col("value") - lag(col("value"), 1).over(w)).as("delta"))
+    }),
+
+    // Dedup groups: connected components over exact near-dup pairs — every
+    // doc labeled with its duplicate-group id (oracle: recursive CTE)
+    "q29_dedup_groups" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = operators.Dedup.nearDupPairsExact(docs, "doc_id", "text", 3, 0.5)
+      operators.Dedup.dedupGroups(docs, pairs, "doc_id")
+        .select(col("id"), col("group_id"), col("is_representative"))
     })
   )
 
@@ -418,6 +465,47 @@ object SparkEntry {
         |  CAST(extract(hour FROM CAST(ts AS TIMESTAMP)) AS BIGINT) AS hr,
         |  event_type, count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
-        |FROM events GROUP BY 1, 2, 3""".stripMargin
+        |FROM events GROUP BY 1, 2, 3""".stripMargin,
+
+    "q25_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n, sum(l_quantity) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
+
+    "q26_above_nation_avg" ->
+      """SELECT c_custkey FROM customer c
+        |JOIN (SELECT c_nationkey AS nk,
+        |        CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS nation_avg
+        |      FROM customer GROUP BY c_nationkey) a ON c.c_nationkey = a.nk
+        |WHERE c.c_acctbal > a.nation_avg""".stripMargin,
+
+    "q27_setops" ->
+      """SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |INTERSECT
+        |SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 300000""".stripMargin,
+
+    "q28_lag_delta" ->
+      """SELECT event_id, user_id,
+        |  value - lag(value, 1) OVER (PARTITION BY user_id ORDER BY event_id) AS delta
+        |FROM events""".stripMargin,
+
+    "q29_dedup_groups" ->
+      """WITH RECURSIVE s AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, len(string_split(text,' '))-1),
+        |         i -> array_to_string(list_slice(string_split(text,' '), i, i+2), ' '))) AS sh
+        |  FROM documents),
+        |e AS (
+        |  SELECT a.doc_id AS src, b.doc_id AS dst
+        |  FROM s a JOIN s b ON a.doc_id <> b.doc_id
+        |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |        (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5),
+        |reach AS (
+        |  SELECT src, dst FROM e
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src WHERE e.dst <> r.src)
+        |SELECT d.doc_id AS id,
+        |  LEAST(d.doc_id, coalesce(min(r.dst), d.doc_id)) AS group_id,
+        |  LEAST(d.doc_id, coalesce(min(r.dst), d.doc_id)) = d.doc_id AS is_representative
+        |FROM documents d LEFT JOIN reach r ON r.src = d.doc_id
+        |GROUP BY d.doc_id""".stripMargin
   )
 }

@@ -171,6 +171,76 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Connected components over near-dup pairs -> full duplicate GROUPS
+    * (a-b + b-c must collapse to one group even if a-c was never emitted).
+    * Iterative min-label propagation PLUS pointer jumping: each round every
+    * node takes the min label among itself and its neighbors, then labels
+    * are path-halved (component <- component's component), giving
+    * O(log diameter) convergence instead of O(diameter) — a 30-node chain
+    * collapses in ~6 rounds. Each round is two shuffle joins; lineage is
+    * truncated with localCheckpoint so plans stay bounded. Throws if not
+    * converged within maxIter (silently-partial components would poison a
+    * dedup pipeline).
+    *
+    * Output: (id, component) where component = min id reachable.
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+    val edges = pairs
+      .select(col("id_a").cast("long").as("src"), col("id_b").cast("long").as("dst"))
+      .unionAll(pairs.select(col("id_b").cast("long").as("src"),
+        col("id_a").cast("long").as("dst")))
+      .distinct()
+      .localCheckpoint(true)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("component", col("id"))
+      .localCheckpoint(true)
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIter) {
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
+        .groupBy(col("src").as("id"))
+        .agg(min(col("component")).as("ncomp"))
+      val afterNeighbor = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("component"), coalesce(col("ncomp"), col("component")))
+            .as("component"))
+      // pointer jumping: follow the label one hop (component of component)
+      val parents = afterNeighbor
+        .select(col("id").as("pid"), col("component").as("pcomp"))
+      val updated = afterNeighbor
+        .join(parents, afterNeighbor("component") === parents("pid"), "left")
+        .select(afterNeighbor("id"),
+          least(col("component"), coalesce(col("pcomp"), col("component")))
+            .as("component"))
+        .localCheckpoint(true)
+      val nChanged = updated.as("u")
+        .join(labels.as("l"), Seq("id"))
+        .filter(col("u.component") =!= col("l.component"))
+        .count()
+      labels = updated
+      converged = nChanged == 0
+      it += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge within $maxIter rounds")
+    labels
+  }
+
+  /** Full dedup grouping for a corpus: every row gets a group id (the min
+    * doc id of its near-dup component; singletons keep their own id) and a
+    * representative flag — the shape a dedup-then-keep-one pipeline consumes.
+    */
+  def dedupGroups(df: DataFrame, pairs: DataFrame, idCol: String): DataFrame = {
+    val comps = connectedComponents(pairs)
+    df.select(col(idCol).cast("long").as("id"))
+      .join(comps, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("component"), col("id")).as("group_id"))
+      .withColumn("is_representative", col("id") === col("group_id"))
+  }
+
   /** Embedding-cosine near-dup pairs, exact all-pairs baseline (O(N^2);
     * the oracle-checkable form). Output: (id_a, id_b) with cosine >= threshold.
     */

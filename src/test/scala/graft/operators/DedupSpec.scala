@@ -108,4 +108,28 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
     assert(g("x") == (1L, 2L) && g("y") == (3L, 1L))
   }
+
+  test("connectedComponents: chains collapse, singletons excluded from labels") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (9L, 3L)).toDF("id_a", "id_b")
+    val comps = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comps == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 9L -> 1L, 5L -> 5L, 6L -> 5L))
+  }
+
+  test("dedupGroups: corpus-wide grouping with representatives") {
+    val pairs = Dedup.nearDupPairsMinHash(docs, "doc_id", "text", 3, 128, 32, 0.5)
+    val groups = Dedup.dedupGroups(docs, pairs, "doc_id")
+    assert(groups.count() == docs.count(), "every doc gets a group")
+    val reps = groups.filter($"is_representative").count()
+    // representatives = singletons + one per connected component
+    val comps = Dedup.connectedComponents(pairs)
+    val nodesInGraph = comps.count()
+    val nComponents = comps.select($"component").distinct().count()
+    assert(reps == docs.count() - nodesInGraph + nComponents,
+      s"expected ${docs.count() - nodesInGraph + nComponents} representatives, got $reps")
+    assert(groups.filter(!$"is_representative").count() == nodesInGraph - nComponents)
+    // group ids are always the min member
+    val bad = groups.filter($"group_id" > $"id").count()
+    assert(bad == 0)
+  }
 }
