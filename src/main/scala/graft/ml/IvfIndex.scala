@@ -75,6 +75,29 @@ class IvfIndex private (
     }
   }
 
+  /** Incremental maintenance: assign a new batch to its nearest lists and
+    * append — O(batch), no index rebuild. This is the direct answer to the
+    * reference's scalability cliff (service/optimized_vector_store.py:110-113
+    * rebuilds the ENTIRE HNSW graph on every add). Centroids drift as data
+    * grows; monitor [[listStats]] and run [[IvfIndex.build]] again when
+    * imbalance warrants it.
+    */
+  def append(rows: DataFrame, idCol: String = "id", vecCol: String = "vector"): Long = {
+    val meta = if (rows.columns.contains("meta")) Seq(col("meta")) else Seq.empty
+    val assigned = rows.select(Seq(
+      col(idCol).cast("long").as("id"),
+      col(vecCol).as("vector"),
+      probes(col(vecCol), 1).getItem(0).as("list_id")) ++ meta: _*)
+    assigned.write.mode("append").partitionBy("list_id").parquet(dataPath)
+    rows.count()
+  }
+
+  /** Per-list occupancy — the balance signal for deciding when to rebuild. */
+  def listStats(): DataFrame =
+    spark.read.parquet(dataPath)
+      .groupBy(col("list_id"))
+      .agg(count(lit(1)).as("n_vectors"))
+
   /** Batch ANN search: queries x store as an EQUI-join on list_id (each
     * query explodes to its nProbe lists), then bounded top-k per query.
     * The crucial scale property vs brute force: the join key co-locates

@@ -106,4 +106,20 @@ class IvfIndexSpec extends AnyFunSuite with SparkSpec {
     assert(exact.size >= 10, s"expected planted pairs, got ${exact.size}")
     assert(lsh == exact, s"missed=${exact -- lsh} extra=${lsh -- exact}")
   }
+
+  test("incremental append: new vectors searchable without rebuild") {
+    val p = java.nio.file.Files.createTempDirectory("graft_ivf_app").toString
+    IvfIndex.build(emb.filter($"id" < 400), "id", "vector", p, nLists = 8)
+    val idx = IvfIndex.load(spark, p)
+    val newRows = emb.filter($"id" >= 400)
+    assert(idx.append(newRows) == 100)
+    assert(spark.read.parquet(s"$p/data").count() == 500)
+    // an appended vector must be findable (full probe = exact)
+    val q = emb.filter($"id" === 450).head().getSeq[Float](1).map(_.toDouble)
+    val top = idx.search(q, 1, nProbe = 8).select($"id").head().getLong(0)
+    assert(top == 450L)
+    // list stats cover all lists and sum to the corpus
+    val stats = idx.listStats().collect()
+    assert(stats.map(_.getAs[Long]("n_vectors")).sum == 500L)
+  }
 }
