@@ -335,6 +335,17 @@ object SparkEntry {
         .select(col("id"), col("group_id"), col("is_representative"))
     }),
 
+    // J: left-outer join with null indicator (Catalyst built-in; rounds out
+    // the join family beyond the reference's surface)
+    "q31_outer_join" -> ((s, dir) => {
+      val n = t(s, dir, "nation")
+      val sup = t(s, dir, "supplier")
+        .groupBy(col("s_nationkey")).agg(count(lit(1)).as("n_suppliers"))
+      n.join(sup, col("n_nationkey") === col("s_nationkey"), "left_outer")
+        .select(col("n_name"),
+          coalesce(col("n_suppliers"), lit(0L)).as("n_suppliers"))
+    }),
+
     // Large-batch kNN throughput: 100 queries through the blocked path
     "q30_batch_knn_100" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -529,6 +540,12 @@ object SparkEntry {
         |    CAST(row_number() OVER (PARTITION BY q.vec_id ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])) DESC, e.vec_id ASC) AS BIGINT) AS rnk
         |  FROM embeddings e,
         |       (SELECT * FROM embeddings WHERE vec_id < 100) q
-        |) WHERE rnk <= 10""".stripMargin
+        |) WHERE rnk <= 10""".stripMargin,
+
+    "q31_outer_join" ->
+      """SELECT n_name, coalesce(s.n_suppliers, 0) AS n_suppliers
+        |FROM nation n LEFT OUTER JOIN
+        |  (SELECT s_nationkey, count(*) AS n_suppliers FROM supplier GROUP BY 1) s
+        |ON n.n_nationkey = s.s_nationkey""".stripMargin
   )
 }

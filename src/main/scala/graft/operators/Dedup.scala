@@ -83,13 +83,15 @@ object Dedup {
       tokenShingles(col(textCol), shingleLen).as("shingles"))
       .withColumn("sig", minhashSignature(col("shingles"), numHashes, seed))
 
-    // (id, band, bucket) — bucket = murmur3 of the band's signature slice
+    // (id, band, bucket) only — the shingle arrays stay OUT of the banding
+    // explode and self-join (they dominate shuffle width otherwise) and are
+    // re-joined just for the verify stage's candidate ids
     val bandStructs = array((0 until bands).map { j =>
       struct(lit(j).as("band"), hash(slice(col("sig"), j * rows + 1, rows)).as("bucket"))
     }: _*)
     val buckets = withSig
-      .select(col("id"), col("shingles"), explode(bandStructs).as("bb"))
-      .select(col("id"), col("shingles"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+      .select(col("id"), explode(bandStructs).as("bb"))
+      .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
 
     // cap pathological buckets (boilerplate text) to bound the pair blow-up
     val wBucket = org.apache.spark.sql.expressions.Window
@@ -103,12 +105,13 @@ object Dedup {
         col("x.band") === col("y.band") &&
           col("x.bucket") === col("y.bucket") &&
           col("x.id") < col("y.id"))
-      .select(
-        col("x.id").as("id_a"), col("y.id").as("id_b"),
-        col("x.shingles").as("sh_a"), col("y.shingles").as("sh_b"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
 
+    val shingleSets = withSig.select(col("id"), col("shingles"))
     candidates
+      .join(shingleSets.select(col("id").as("id_a"), col("shingles").as("sh_a")), Seq("id_a"))
+      .join(shingleSets.select(col("id").as("id_b"), col("shingles").as("sh_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
