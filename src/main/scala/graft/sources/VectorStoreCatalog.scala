@@ -102,7 +102,19 @@ class VectorStoreCatalog(spark: SparkSession, root: String) {
         meta.cast(MapType(StringType, StringType)).as("meta"),
         col("_dim_ok"))
       .drop("_dim_ok")
-    validated.write.mode("append").parquet(dataPath(userId, modelId))
+    val hasIndex = cfg.indexType == "ivf" &&
+      fs.exists(new Path(s"${indexPath(userId, modelId)}/centroids"))
+    // ids come from monotonically_increasing_id (nondeterministic): pin the
+    // batch once so the store write and the index append see identical rows
+    val out = if (hasIndex) validated.localCheckpoint(true) else validated
+    out.write.mode("append").parquet(dataPath(userId, modelId))
+    // incremental ANN maintenance: assign + append the same batch to the
+    // IVF index if one exists (reference rebuilds the whole graph here —
+    // service/optimized_vector_store.py:110-113; ours is O(batch))
+    if (hasIndex) {
+      graft.ml.IvfIndex.load(spark, indexPath(userId, modelId), cfg.metric)
+        .append(out)
+    }
     // Advance the id base by a generous stride; monotonically_increasing_id
     // uses the upper 31 bits for the partition, so 2^33 per leaves headroom.
     writeConfig(cfgPath, cfg, idBase + (1L << 40))
@@ -124,20 +136,53 @@ class VectorStoreCatalog(spark: SparkSession, root: String) {
         StructField("meta", MapType(StringType, StringType), nullable = true))))
   }
 
+  private def indexPath(userId: String, modelId: String) =
+    s"${storePath(userId, modelId)}/_ivf"
+
+  /** Build (or rebuild) the store's ANN index as an explicit batch job and
+    * flip the config to indexType="ivf" — the Spark answer to the
+    * reference's rebuild-on-every-add HNSW
+    * (service/optimized_vector_store.py:110-113).
+    */
+  def buildIndex(userId: String, modelId: String, nLists: Int = 64): Unit = {
+    val cfgPath = configPath(userId, modelId)
+    val (cfg, idBase) = readConfig(fs, cfgPath)
+    graft.ml.IvfIndex.build(load(userId, modelId), "id", "vector",
+      indexPath(userId, modelId), nLists = nLists, metric = cfg.metric)
+    writeConfig(cfgPath, cfg.copy(indexType = "ivf"), idBase)
+  }
+
   /** kNN query against one store under its configured metric
     * (reference MLXVectorStore.query, service/optimized_vector_store.py:116-145).
+    *
+    * Index selection mirrors the reference (:120-145): when the store is
+    * configured with indexType="ivf" and `useIndex` is true (the reference's
+    * `use_hnsw` flag), the ANN path runs — with over-fetch under filters and
+    * exact fallback on underfill — and ANY index failure falls back to the
+    * exact scan rather than erroring.
     */
   def query(
       userId: String,
       modelId: String,
       queryVec: Seq[Double],
       k: Int,
-      metadataFilter: Map[String, String] = Map.empty): DataFrame = {
+      metadataFilter: Map[String, String] = Map.empty,
+      useIndex: Boolean = true,
+      nProbe: Int = 8): DataFrame = {
     val cfg = config(userId, modelId)
     require(queryVec.length == cfg.dimension,
       s"query dimension ${queryVec.length} != store dimension ${cfg.dimension}")
-    Knn.topK(load(userId, modelId), queryVec, k, cfg.metric,
+    def exact = Knn.topK(load(userId, modelId), queryVec, k, cfg.metric,
       metadataFilter = metadataFilter)
+    if (useIndex && cfg.indexType == "ivf" &&
+        fs.exists(new Path(s"${indexPath(userId, modelId)}/centroids"))) {
+      try {
+        graft.ml.IvfIndex.load(spark, indexPath(userId, modelId), cfg.metric)
+          .search(queryVec, k, nProbe, metadataFilter)
+      } catch {
+        case _: Exception => exact // reference :142-144 semantics
+      }
+    } else exact
   }
 
   def count(userId: String, modelId: String): Long = load(userId, modelId).count()

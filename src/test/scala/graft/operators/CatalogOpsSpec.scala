@@ -78,4 +78,38 @@ class CatalogOpsSpec extends AnyFunSuite with SparkSpec {
       assert(got.get("n") == 100L && got.get("sum_id") == 4950L)
     } finally spark.listenerManager.unregister(reg)
   }
+
+  test("index lifecycle: build -> ANN query -> incremental sync on add -> fallback") {
+    val cat = newCatalog
+    cat.create("u", "ivf", StoreConfig(dimension = 8))
+    val rnd = new scala.util.Random(9)
+    def batch(n: Int) =
+      Seq.fill(n)(Seq.fill(8)(rnd.nextFloat())).map(Tuple1(_)).toDF("vector")
+    cat.addVectors("u", "ivf", batch(200))
+    cat.buildIndex("u", "ivf", nLists = 4)
+    assert(cat.config("u", "ivf").indexType == "ivf")
+
+    // ANN at full probe == exact scan
+    val q = cat.load("u", "ivf").limit(1).head().getSeq[Float](1).map(_.toDouble)
+    val ann = cat.query("u", "ivf", q, 5, nProbe = 4).select($"id")
+      .collect().map(_.getLong(0)).toSeq
+    val exact = cat.query("u", "ivf", q, 5, useIndex = false).select($"id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(ann == exact)
+
+    // add after build: index stays in sync incrementally (no rebuild)
+    cat.addVectors("u", "ivf", batch(50))
+    val storeRoot = cat.storePath("u", "ivf")
+    val indexed = spark.read.parquet(s"$storeRoot/_ivf/data").count()
+    assert(indexed == 250, s"index holds $indexed of 250 rows")
+    assert(cat.count("u", "ivf") == 250)
+
+    // corrupt index -> query falls back to exact instead of erroring
+    val cfile = new java.io.File(s"$storeRoot/_ivf/centroids")
+    cfile.listFiles().filter(_.getName.endsWith(".parquet"))
+      .foreach(f => java.nio.file.Files.write(f.toPath, Array[Byte](1, 2, 3)))
+    val fallback = cat.query("u", "ivf", q, 5).select($"id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(fallback == exact, "corrupt index must fall back to exact scan")
+  }
 }
