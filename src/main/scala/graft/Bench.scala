@@ -28,13 +28,21 @@ object Bench {
       .write.mode("overwrite").format("noop").save()
     catch { case _: Throwable => () }
 
+    // two timed runs per query, report the min: the first run absorbs
+    // plan-compilation + page-cache effects, and a GC between queries keeps
+    // one query's garbage from billing the next (local single-JVM mode)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        }
+        (System.nanoTime() - t0) / 1e9
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      System.gc()
+      val t = math.min(once(), once())
+      name -> t
     }
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
