@@ -1,0 +1,61 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan regression guards: the scale design (README "Scale design")
+  * depends on these plan shapes; losing one is a silent 100x at scale even
+  * though results stay correct.
+  */
+class PlanShapeSpec extends AnyFunSuite with SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(q: String): String =
+    SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan.toString()
+
+  test("q2: filters and projection reach the parquet scan") {
+    val p = plan("q2_filter_pushdown")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"),
+      s"expected pushed filters in:\n$p")
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"), "shipdate range must push down")
+    // column pruning: the 11-column lineitem scan must read only what's used
+    assert(!p.contains("l_returnflag"), "unused columns must be pruned from the scan")
+  }
+
+  test("q4: top-k plans as TakeOrderedAndProject, not a global sort") {
+    val p = plan("q4_topk_orders")
+    assert(p.contains("TakeOrderedAndProject"), s"expected top-k operator in:\n$p")
+  }
+
+  test("q3: dimension joins broadcast (no shuffle join for nation)") {
+    val p = plan("q3_join_revenue")
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast joins in:\n$p")
+    assert(p.contains("partial_sum"), "aggregation must have a map-side partial phase")
+  }
+
+  test("q14: batch kNN reduces map-side before the exchange") {
+    val p = plan("q14_batch_knn")
+    // blocked path: partial top-k happens in mapPartitions; the only wide op
+    // is the final bounded-top-k aggregation
+    assert(p.contains("partial_topkaggregator"),
+      s"expected partial bounded top-k before shuffle in:\n$p")
+  }
+
+  test("q5: rank-limit filter is pushed into the window (WindowGroupLimit)") {
+    val p = plan("q5_window_rank")
+    assert(p.contains("WindowGroupLimit"),
+      s"expected Spark's rank-limit pushdown in:\n$p")
+  }
+
+  test("q11: kernel scores in-plan and top-k never globally sorts") {
+    // (whole-stage codegen of the kernel itself is asserted in
+    // VectorFunctionsSpec — under AQE the pre-execution plan string carries
+    // no codegen markers)
+    val p = plan("q11_knn_cosine")
+    assert(p.contains("vec_cosine_sim"), s"kernel must appear in the plan:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"single-query kNN must plan as top-k, not sort:\n$p")
+    assert(p.contains("PushedFilters: [IsNotNull(vec_id), EqualTo(vec_id,0)]"),
+      "query-row lookup must push down")
+  }
+}
