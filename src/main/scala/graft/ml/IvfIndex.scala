@@ -50,28 +50,42 @@ class IvfIndex private (
     scored.sortBy(_._1).take(nProbe).map(_._2).toSeq
   }
 
-  /** Single-query ANN search. Reads only the probed partitions. */
+  /** The partition-pruned scan a search with this (queryVec, nProbe) runs
+    * against — exposed so plan tests can assert the pruning.
+    */
+  def probedScan(queryVec: Seq[Double], nProbe: Int): DataFrame = {
+    val lists = probeIdsFor(queryVec, nProbe)
+    spark.read.parquet(dataPath).filter(col("list_id").isin(lists: _*))
+  }
+
+  /** Single-query ANN search. Reads only the probed partitions, in ONE pass:
+    * the probed result (<= k rows by construction) is collected once, and the
+    * underfill test for the exact-fallback path inspects that buffer instead
+    * of re-executing the query (`count()` + reuse would run it twice).
+    */
   def search(
       queryVec: Seq[Double],
       k: Int,
       nProbe: Int = 8,
       metadataFilter: Map[String, String] = Map.empty,
       exactFallback: Boolean = true): DataFrame = {
-    val lists = probeIdsFor(queryVec, nProbe)
-    val scan = spark.read.parquet(dataPath)
-      .filter(col("list_id").isin(lists: _*))
+    val scan = probedScan(queryVec, nProbe)
     // reference semantics: over-fetch x10 when post-filtering (P2)
     val candidateK = if (metadataFilter.isEmpty) k else k * 10
     val hits = Knn.topK(scan, queryVec, candidateK, metric,
         metadataFilter = metadataFilter)
       .limit(k)
-    if (!exactFallback) hits.drop("list_id")
+      .drop("list_id")
+    if (!exactFallback) hits
     else {
+      val rows = hits.collect() // bounded: at most k rows
       // defined semantics for underfilled filtered-ANN: exact full scan
-      if (hits.count() < k) {
+      if (rows.length < k) {
         Knn.topK(spark.read.parquet(dataPath), queryVec, k, metric,
           metadataFilter = metadataFilter).drop("list_id")
-      } else hits.drop("list_id")
+      } else {
+        spark.createDataFrame(java.util.Arrays.asList(rows: _*), hits.schema)
+      }
     }
   }
 
@@ -88,8 +102,12 @@ class IvfIndex private (
       col(idCol).cast("long").as("id"),
       col(vecCol).as("vector"),
       probes(col(vecCol), 1).getItem(0).as("list_id")) ++ meta: _*)
-    assigned.write.mode("append").partitionBy("list_id").parquet(dataPath)
-    rows.count()
+    // row count observed inside the write pass — a trailing rows.count()
+    // would re-run the (arbitrary) upstream lineage a second time
+    val obs = org.apache.spark.sql.Observation()
+    assigned.observe(obs, count(lit(1)).as("n"))
+      .write.mode("append").partitionBy("list_id").parquet(dataPath)
+    obs.get("n").asInstanceOf[Long]
   }
 
   /** Per-list occupancy — the balance signal for deciding when to rebuild. */
@@ -100,9 +118,11 @@ class IvfIndex private (
 
   /** Batch ANN search: queries x store as an EQUI-join on list_id (each
     * query explodes to its nProbe lists), then bounded top-k per query.
-    * The crucial scale property vs brute force: the join key co-locates
-    * work, so each store partition is scored only against the queries that
-    * probe it.
+    * The crucial scale properties vs brute force: (a) the store scan is
+    * FILTERED to the union of probed list ids, so partition pruning reads
+    * only the lists some query probes — at 100 TB the unprobed majority of
+    * the store is never touched; (b) the join key co-locates work, so each
+    * scanned partition is scored only against the queries that probe it.
     */
   def searchBatch(
       queries: DataFrame,
@@ -110,10 +130,16 @@ class IvfIndex private (
       nProbe: Int = 8,
       queryIdCol: String = "query_id",
       queryVecCol: String = "query_vec"): DataFrame = {
-    val store = spark.read.parquet(dataPath)
+    // pin the (bounded) probed query set once: it feeds both the probed-list
+    // collection and the join, and must not recompute user lineage twice
     val probed = queries.select(
         col(queryIdCol), col(queryVecCol),
         explode(probes(col(queryVecCol), nProbe)).as("list_id"))
+      .localCheckpoint(true)
+    val probedLists = probed.select(col("list_id")).distinct()
+      .collect().map(_.getInt(0)).toSeq // <= nLists values by construction
+    val store = spark.read.parquet(dataPath)
+      .filter(col("list_id").isin(probedLists: _*))
     val topk = udaf(new TopKAggregator(k, ascending = false))
     probed.join(store, Seq("list_id"))
       .select(col(queryIdCol), col("id"),

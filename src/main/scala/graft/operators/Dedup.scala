@@ -59,6 +59,22 @@ object Dedup {
     df.groupBy(col(keyCol))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
+  /** Cap pathological LSH buckets (boilerplate text / degenerate hyperplane
+    * cells): keep at most `maxBucketSize` rows per (band, bucket) so the
+    * banding self-join's pair count is bounded by
+    * bands * buckets * maxBucketSize^2 / 2 instead of going quadratic in the
+    * corpus. Trades recall only inside over-full buckets — and a bucket that
+    * full is boilerplate, exactly what near-dup dedup is meant to collapse.
+    */
+  private def capBuckets(banded: DataFrame, maxBucketSize: Int): DataFrame = {
+    val wBucket = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band"), col("bucket")).orderBy(col("id"))
+    banded
+      .withColumn("_rn", row_number().over(wBucket))
+      .filter(col("_rn") <= maxBucketSize)
+      .drop("_rn")
+  }
+
   /** Near-duplicate pairs via MinHash LSH banding + exact-Jaccard verify.
     *
     * Output: (id_a, id_b, jaccard) with jaccard >= threshold, id_a < id_b.
@@ -94,12 +110,7 @@ object Dedup {
       .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
 
     // cap pathological buckets (boilerplate text) to bound the pair blow-up
-    val wBucket = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("band"), col("bucket")).orderBy(col("id"))
-    val capped = buckets
-      .withColumn("_rn", row_number().over(wBucket))
-      .filter(col("_rn") <= maxBucketSize)
-      .drop("_rn")
+    val capped = capBuckets(buckets, maxBucketSize)
 
     val candidates = capped.as("x").join(capped.as("y"),
         col("x.band") === col("y.band") &&
@@ -148,7 +159,8 @@ object Dedup {
       textCol: String,
       maxHamming: Int = 3,
       nBands: Int = 4,
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L,
+      maxBucketSize: Int = 1000): DataFrame = {
     require(64 % nBands == 0, s"nBands must divide 64, got $nBands")
     val width = 64 / nBands
     val mask = if (width == 64) -1L else (1L << width) - 1
@@ -158,15 +170,16 @@ object Dedup {
 
     val chunks = array((0 until nBands).map { j =>
       struct(lit(j).as("band"),
-        shiftright(col("fp"), j * width).bitwiseAND(lit(mask)).as("chunk"))
+        shiftright(col("fp"), j * width).bitwiseAND(lit(mask)).as("bucket"))
     }: _*)
     val banded = withFp
       .select(col("id"), col("fp"), explode(chunks).as("bb"))
-      .select(col("id"), col("fp"), col("bb.band").as("band"), col("bb.chunk").as("chunk"))
+      .select(col("id"), col("fp"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
 
-    banded.as("x").join(banded.as("y"),
+    val capped = capBuckets(banded, maxBucketSize)
+    capped.as("x").join(capped.as("y"),
         col("x.band") === col("y.band") &&
-          col("x.chunk") === col("y.chunk") &&
+          col("x.bucket") === col("y.bucket") &&
           col("x.id") < col("y.id"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
         hamming64(col("x.fp"), col("y.fp")).as("hamming"))
@@ -271,7 +284,8 @@ object Dedup {
       dim: Int,
       nBits: Int = 64,
       nBands: Int = 8,
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L,
+      maxBucketSize: Int = 1000): DataFrame = {
     require(nBits % nBands == 0, s"nBits=$nBits not divisible by nBands=$nBands")
     val width = nBits / nBands
     val mask = if (width == 64) -1L else (1L << width) - 1
@@ -282,15 +296,16 @@ object Dedup {
       .withColumn("sig", sig)
     val chunks = array((0 until nBands).map { j =>
       struct(lit(j).as("band"),
-        shiftright(col("sig"), j * width).bitwiseAND(lit(mask)).as("chunk"))
+        shiftright(col("sig"), j * width).bitwiseAND(lit(mask)).as("bucket"))
     }: _*)
     val banded = withSig
       .select(col("id"), col("vec"), explode(chunks).as("bb"))
-      .select(col("id"), col("vec"), col("bb.band").as("band"), col("bb.chunk").as("chunk"))
+      .select(col("id"), col("vec"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
 
-    banded.as("x").join(banded.as("y"),
+    val capped = capBuckets(banded, maxBucketSize)
+    capped.as("x").join(capped.as("y"),
         col("x.band") === col("y.band") &&
-          col("x.chunk") === col("y.chunk") &&
+          col("x.bucket") === col("y.bucket") &&
           col("x.id") < col("y.id"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
         vector.cosine_sim(col("x.vec"), col("y.vec")).as("cosine"))

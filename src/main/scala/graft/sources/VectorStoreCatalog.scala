@@ -107,7 +107,11 @@ class VectorStoreCatalog(spark: SparkSession, root: String) {
     // ids come from monotonically_increasing_id (nondeterministic): pin the
     // batch once so the store write and the index append see identical rows
     val out = if (hasIndex) validated.localCheckpoint(true) else validated
-    out.write.mode("append").parquet(dataPath(userId, modelId))
+    // count observed inside the write pass — a trailing rows.count() would
+    // re-run the (arbitrary) input lineage a second time
+    val obs = org.apache.spark.sql.Observation()
+    out.observe(obs, org.apache.spark.sql.functions.count(lit(1)).as("n"))
+      .write.mode("append").parquet(dataPath(userId, modelId))
     // incremental ANN maintenance: assign + append the same batch to the
     // IVF index if one exists (reference rebuilds the whole graph here —
     // service/optimized_vector_store.py:110-113; ours is O(batch))
@@ -118,7 +122,7 @@ class VectorStoreCatalog(spark: SparkSession, root: String) {
     // Advance the id base by a generous stride; monotonically_increasing_id
     // uses the upper 31 bits for the partition, so 2^33 per leaves headroom.
     writeConfig(cfgPath, cfg, idBase + (1L << 40))
-    rows.count()
+    obs.get("n").asInstanceOf[Long]
   }
 
   /** Scan (reference _load_store, service/optimized_vector_store.py:225-239).
@@ -206,16 +210,20 @@ class VectorStoreCatalog(spark: SparkSession, root: String) {
     * (service/models.py:97-105); trivially expressible as a filtered rewrite.
     */
   def deleteVectors(userId: String, modelId: String, predicate: org.apache.spark.sql.Column): Long = {
-    val df = load(userId, modelId)
-    val before = df.count()
-    val kept = df.filter(!predicate)
-    val keptCount = kept.count()
+    // single pass: the deleted-row count is observed below the filter inside
+    // the rewrite itself (the CollectMetrics barrier sees every scanned row),
+    // replacing the previous before-count + kept-count + write triple scan
+    val obs = org.apache.spark.sql.Observation()
+    val kept = load(userId, modelId)
+      .observe(obs,
+        org.apache.spark.sql.functions.count(when(predicate, lit(1))).as("matched"))
+      .filter(!predicate)
     val tmp = s"${storePath(userId, modelId)}/_data_rewrite"
     kept.write.mode("overwrite").parquet(tmp)
     val dst = new Path(dataPath(userId, modelId))
     fs.delete(dst, true)
     fs.rename(new Path(tmp), dst)
-    before - keptCount
+    obs.get("matched").asInstanceOf[Long]
   }
 
   /** Batch kNN against one store with the reference's serving caps

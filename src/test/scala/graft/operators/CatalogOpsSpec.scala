@@ -105,11 +105,14 @@ class CatalogOpsSpec extends AnyFunSuite with SparkSpec {
     assert(cat.count("u", "ivf") == 250)
 
     // corrupt index -> query falls back to exact instead of erroring
+    // (compare against an exact scan over the SAME post-add store state)
+    val exactAfterAdd = cat.query("u", "ivf", q, 5, useIndex = false).select($"id")
+      .collect().map(_.getLong(0)).toSeq
     val cfile = new java.io.File(s"$storeRoot/_ivf/centroids")
     cfile.listFiles().filter(_.getName.endsWith(".parquet"))
       .foreach(f => java.nio.file.Files.write(f.toPath, Array[Byte](1, 2, 3)))
     val fallback = cat.query("u", "ivf", q, 5).select($"id")
       .collect().map(_.getLong(0)).toSeq
-    assert(fallback == exact, "corrupt index must fall back to exact scan")
+    assert(fallback == exactAfterAdd, "corrupt index must fall back to exact scan")
   }
 }
