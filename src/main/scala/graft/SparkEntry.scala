@@ -393,6 +393,24 @@ object SparkEntry {
         emb.unionAll(copies), "vec_id", "embedding", threshold = 0.9, dim = 64)
     }),
 
+    // Typed metadata equality (SURVEY §7.4): meta values carry their JSON
+    // type through the string-valued map, and the filter reproduces Python
+    // `==` (int 1 matches 1/1.0/true, never "1") — mirroring the reference
+    // demo corpus, which stores priority = i % 3 as an INT
+    // (tests/demo.py:219-238). Oracle filters the typed source columns
+    // directly.
+    "q34_typed_meta_filter" -> ((s, dir) => {
+      val withMeta = t(s, dir, "documents").select(
+        col("doc_id"),
+        sources.TypedMeta.metaColumn(
+          "prio" -> (col("doc_id") % 3).cast("int"),
+          "lang" -> col("lang")).as("meta"))
+      withMeta
+        .filter(sources.TypedMeta.typedPredicate(col("meta"),
+          Map("prio" -> 1, "lang" -> "en")))
+        .select(col("doc_id"))
+    }),
+
     // IVF ANN, pruned probes — the production search path (reads only
     // nProbe/nLists of the store; partition pruning asserted in
     // IvfIndexSpec). Approximate by design => rows-only check; exactness of
@@ -707,6 +725,9 @@ object SparkEntry {
         |  SELECT vec_id + 10000, CAST(list_transform(embedding, x -> x * CAST(2.0 AS FLOAT)) AS DOUBLE[]) FROM embeddings)
         |SELECT a.vec_id AS id_a, b.vec_id AS id_b
         |FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
-        |WHERE list_cosine_similarity(a.v, b.v) >= 0.9""".stripMargin
+        |WHERE list_cosine_similarity(a.v, b.v) >= 0.9""".stripMargin,
+
+    "q34_typed_meta_filter" ->
+      "SELECT doc_id FROM documents WHERE doc_id % 3 = 1 AND lang = 'en'"
   )
 }

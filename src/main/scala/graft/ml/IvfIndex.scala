@@ -68,12 +68,13 @@ class IvfIndex private (
       k: Int,
       nProbe: Int = 8,
       metadataFilter: Map[String, String] = Map.empty,
-      exactFallback: Boolean = true): DataFrame = {
+      exactFallback: Boolean = true,
+      predicate: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     val scan = probedScan(queryVec, nProbe)
     // reference semantics: over-fetch x10 when post-filtering (P2)
-    val candidateK = if (metadataFilter.isEmpty) k else k * 10
+    val candidateK = if (metadataFilter.isEmpty && predicate.isEmpty) k else k * 10
     val hits = Knn.topK(scan, queryVec, candidateK, metric,
-        metadataFilter = metadataFilter)
+        metadataFilter = metadataFilter, predicate = predicate)
       .limit(k)
       .drop("list_id")
     if (!exactFallback) hits
@@ -82,7 +83,7 @@ class IvfIndex private (
       // defined semantics for underfilled filtered-ANN: exact full scan
       if (rows.length < k) {
         Knn.topK(spark.read.parquet(dataPath), queryVec, k, metric,
-          metadataFilter = metadataFilter).drop("list_id")
+          metadataFilter = metadataFilter, predicate = predicate).drop("list_id")
       } else {
         spark.createDataFrame(java.util.Arrays.asList(rows: _*), hits.schema)
       }

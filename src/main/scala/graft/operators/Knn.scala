@@ -41,12 +41,15 @@ object Knn {
       vecCol: String = "vector",
       idCol: String = "id",
       metadataFilter: Map[String, String] = Map.empty,
-      metaCol: String = "meta"): DataFrame = {
+      metaCol: String = "meta",
+      predicate: Option[Column] = None): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     val q = typedLit(queryVec)
-    val filtered =
+    val stringFiltered =
       if (metadataFilter.isEmpty) store
       else store.filter(metadataPredicate(col(metaCol), metadataFilter))
+    // arbitrary predicate (e.g. TypedMeta.typedPredicate) composes on top
+    val filtered = predicate.fold(stringFiltered)(stringFiltered.filter)
     val tieBreak =
       if (store.columns.contains(idCol)) Seq(col(idCol).asc) else Seq.empty
     val scored = filtered

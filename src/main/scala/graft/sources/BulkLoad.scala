@@ -18,8 +18,10 @@ import org.apache.spark.sql.types._
   *    columns (the reference's upload regex admits csv but never shipped a
   *    parser — batch_v1.py:73; semantics defined here)
   *  - Parquet: native columns (vector: array<float>, meta: map)
-  *  - NPZ: a zipped numpy format with no JVM-native reader; convert to
-  *    parquet/JSONL out-of-band (the reference's own SDK does the converse).
+  *  - NPZ: numpy zip with a `vectors` (n, d) member (reference
+  *    batch_v1.py:406-410), parsed by the pure-JVM [[Npy]] reader; one Spark
+  *    task per file, so a directory of upload-sized npz files ingests in
+  *    parallel.
   */
 object BulkLoad {
 
@@ -51,6 +53,31 @@ object BulkLoad {
   /** Read parquet with native (vector[, meta]) columns. */
   def parquet(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
+
+  /** Read npz upload files (a file or a glob/directory of them) into
+    * store-ready (vector, meta) rows. Mirrors the reference's npz ingest:
+    * the `vectors` member is the matrix and metadata is minted as
+    * id=bulk_<row> (batch_v1.py:408-410); an optional integer `ids` member
+    * (our extension) overrides the minted ids. Each file parses inside one
+    * task — upload-sized files by contract, many files for scale.
+    */
+  def npz(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    spark.read.format("binaryFile").load(path)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (file, bytes) =>
+        val members = Npy.parseNpz(bytes)
+        val vectors = members.getOrElse("vectors",
+          throw new IllegalArgumentException(
+            s"npz bulk file $file has no 'vectors' member (found: ${members.keys.mkString(",")})"))
+        val ids = members.get("ids").map(_.toLongVector)
+        vectors.toFloatMatrix.iterator.zipWithIndex.map { case (v, i) =>
+          (v.toSeq, Map("id" -> ids.map(a => a(i).toString).getOrElse(s"bulk_$i")))
+        }
+      }
+      .toDF("vector", "meta")
+  }
 
   /** Validated chunk-free bulk append into a store. Returns rows ingested. */
   def bulkUpload(

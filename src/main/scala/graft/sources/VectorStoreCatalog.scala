@@ -189,6 +189,39 @@ class VectorStoreCatalog(spark: SparkSession, root: String) {
     } else exact
   }
 
+  /** kNN query with a TYPED metadata filter — reference Python-`==`
+    * semantics over int/float/bool/string values (tests/demo.py:219-238:
+    * `{"priority": 1}` matches int 1, never the string "1"). Same index
+    * selection and fallback rules as [[query]]. Store rows must carry
+    * [[TypedMeta]]-encoded meta values (see TypedMeta.metaColumn).
+    */
+  def queryTyped(
+      userId: String,
+      modelId: String,
+      queryVec: Seq[Double],
+      k: Int,
+      typedFilter: Map[String, Any],
+      useIndex: Boolean = true,
+      nProbe: Int = 8): DataFrame = {
+    val cfg = config(userId, modelId)
+    require(queryVec.length == cfg.dimension,
+      s"query dimension ${queryVec.length} != store dimension ${cfg.dimension}")
+    val pred =
+      if (typedFilter.isEmpty) None
+      else Some(TypedMeta.typedPredicate(col("meta"), typedFilter))
+    def exact = Knn.topK(load(userId, modelId), queryVec, k, cfg.metric,
+      predicate = pred)
+    if (useIndex && cfg.indexType == "ivf" &&
+        fs.exists(new Path(s"${indexPath(userId, modelId)}/centroids"))) {
+      try {
+        graft.ml.IvfIndex.load(spark, indexPath(userId, modelId), cfg.metric)
+          .search(queryVec, k, nProbe, predicate = pred)
+      } catch {
+        case _: Exception => exact
+      }
+    } else exact
+  }
+
   def count(userId: String, modelId: String): Long = load(userId, modelId).count()
 
   /** Cross-store stats (reference api/routes/vectors.py:121-141). */

@@ -88,6 +88,19 @@ class IvfIndexSpec extends AnyFunSuite with SparkSpec {
       s"expected partition pruning evidence in plan:\n$plan")
   }
 
+  test("batch search prunes the store scan to the probed lists") {
+    val idx = IvfIndex.load(spark, indexPath)
+    val queries = emb.filter($"id" < 4)
+      .select($"id".as("query_id"), $"vector".as("query_vec"))
+    val res = idx.searchBatch(queries, k = 3, nProbe = 2)
+    val plan = res.queryExecution.executedPlan.toString()
+    // the store scan must carry a list_id partition filter (IN over the
+    // union of probed lists), not read every list
+    val scanFilter = "PartitionFilters: \\[.*list_id.*IN".r
+    assert(scanFilter.findFirstIn(plan).isDefined,
+      s"expected list_id IN partition filter on the store scan in:\n$plan")
+  }
+
   test("embedding near-dup LSH matches exact on planted duplicates") {
     val rnd = new scala.util.Random(3)
     val base = Seq.fill(50)(Array.fill(16)(rnd.nextGaussian().toFloat))

@@ -37,6 +37,39 @@ class CatalogOpsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("ingest and delete are single-pass (job counts via SparkListener)") {
+    val cat = newCatalog
+    cat.create("u", "jc", StoreConfig(dimension = 4))
+    val rows = Seq.fill(100)(Seq.fill(4)(0.5f)).map(Tuple1(_)).toDF("vector")
+
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      // the listener bus is async: settle until the count stops moving
+      def settle(): Int = {
+        var prev = -1
+        var cur = jobs.get()
+        while (cur != prev) { Thread.sleep(200); prev = cur; cur = jobs.get() }
+        cur
+      }
+      def jobsDuring(f: => Unit): Int = { settle(); jobs.set(0); f; settle() }
+      // un-indexed ingest: exactly ONE job (the observed write) — the count
+      // comes from the write's CollectMetrics, not a second lineage run
+      val addJobs = jobsDuring { assert(cat.addVectors("u", "jc", rows) == 100L) }
+      assert(addJobs == 1, s"ingest should be a single pass, ran $addJobs jobs")
+      // delete: the rewrite job (+1 footer-read job for the parquet scan
+      // schema) — was a 3-pass count/count/write before
+      val delJobs = jobsDuring {
+        assert(cat.deleteVectors("u", "jc", col("id") % 2 === 0) > 0)
+      }
+      assert(delJobs <= 2, s"delete should be a single data pass, ran $delJobs jobs")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("optimize compacts many small files into few") {
     val cat = newCatalog
     cat.create("u", "m", StoreConfig(dimension = 4))

@@ -102,6 +102,24 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(truth3.subsetOf(found4), s"missed guaranteed pairs: ${truth3 -- found4}")
   }
 
+  test("bucket cap bounds candidate pairs on a boilerplate-skewed corpus") {
+    // 200 identical docs: every (band, bucket) holds the whole corpus, so an
+    // uncapped banding self-join emits C(200,2)=19900 pairs; the cap keeps
+    // the first `m` ids per bucket => exactly C(m,2) pairs survive.
+    val boiler = (0 until 200)
+      .map(i => (i.toLong, "the same boilerplate footer text repeated verbatim"))
+      .toDF("doc_id", "text")
+    val m = 20
+    val simPairs = Dedup.nearDupPairsSimHash(boiler, "doc_id", "text",
+      maxHamming = 3, nBands = 4, maxBucketSize = m).count()
+    assert(simPairs == m * (m - 1) / 2,
+      s"expected ${m * (m - 1) / 2} capped pairs, got $simPairs")
+    val mhPairs = Dedup.nearDupPairsMinHash(boiler, "doc_id", "text",
+      threshold = 0.5, maxBucketSize = m).count()
+    assert(mhPairs == m * (m - 1) / 2,
+      s"expected ${m * (m - 1) / 2} capped pairs, got $mhPairs")
+  }
+
   test("exactGroups keeps min id per key") {
     val df = Seq((1L, "x"), (2L, "x"), (3L, "y")).toDF("id", "k")
     val g = Dedup.exactGroups(df, "k", "id").collect()
