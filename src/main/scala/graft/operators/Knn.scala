@@ -128,18 +128,21 @@ object Knn {
   /** Batch kNN via per-partition blocked scoring — the high-throughput path
     * (SURVEY.md §4 "batch matmul" analog: the reference computes one
     * [M,D]x[D,N] product, performance/mlx_optimized.py:59-88; here each
-    * partition scores its slice against the broadcast query block).
+    * partition runs a BLAS dgemm of its row blocks against the broadcast
+    * query block).
     *
     * Why it beats the expression path for M queries:
     *  - each store row is decoded and its norm computed ONCE, not once per
     *    query (the broadcast-join form re-evaluates the kernel M times/row);
-    *  - query norms are precomputed; the inner loop is a pure dot product
-    *    over primitive arrays (JIT-vectorizable);
+    *  - dot/cosine scores come from one [block,D]x[D,M] dgemm per row block
+    *    (dev.ludovic.netlib, the BLAS Spark ML itself uses), so the kernel
+    *    is the same matmul shape the reference's batch path runs;
     *  - each partition emits at most M*k candidate rows, merged with one
     *    tiny final aggregation — shuffle width M*k*partitions.
     *
-    * Exact same ranking semantics as [[batchTopK]] (double accumulation in
-    * element order, ties broken by ascending id).
+    * Same ranking semantics as [[batchTopK]] (ties broken by ascending id);
+    * euclidean keeps the element-order scalar loop (its canonical form is
+    * not a plain inner product).
     */
   def batchTopKBlocked(
       queries: DataFrame,
@@ -173,23 +176,33 @@ object Knn {
       .mapPartitions { iter =>
         val (ids, vecs, norms) = bc.value
         val m = ids.length
+        val dim = vecs.head.length
         // per-query bounded worst-first heaps of (score, id)
         val heaps = Array.fill(m)(new java.util.PriorityQueue[(Double, Long)](
           k + 1,
           (a: (Double, Long), b: (Double, Long)) =>
             if (a._1 != b._1) java.lang.Double.compare(a._1, b._1)
             else java.lang.Long.compare(b._2, a._2)))
-        iter.foreach { case (rowId, fv) =>
-          val d = fv.length
-          val rv = new Array[Double](d)
-          var i = 0
-          var nr = 0.0
-          while (i < d) { rv(i) = fv(i); nr += rv(i) * rv(i); i += 1 }
-          val rowNorm = math.max(math.sqrt(nr), 1e-8)
+
+        def push(qi: Int, score: Double, rowId: Long): Unit = {
+          val h = heaps(qi)
+          if (h.size < k) h.add((score, rowId))
+          else {
+            val worst = h.peek()
+            if (score > worst._1 || (score == worst._1 && rowId < worst._2)) {
+              h.poll(); h.add((score, rowId))
+            }
+          }
+        }
+
+        // element-order scalar scoring: euclidean always (its canonical form
+        // is not an inner product), and any row whose width differs from the
+        // query dim (defensive — stores are single-width by validation)
+        def scoreScalar(rowId: Long, rv: Array[Double], rowNorm: Double): Unit = {
           var qi = 0
           while (qi < m) {
             val qv = vecs(qi)
-            val n = math.min(d, qv.length)
+            val n = math.min(rv.length, qv.length)
             var acc = 0.0
             var j = 0
             if (isEuc) {
@@ -199,17 +212,84 @@ object Knn {
               while (j < n) { acc += rv(j) * qv(j); j += 1 }
               if (isCos) acc = acc / (rowNorm * norms(qi))
             }
-            val h = heaps(qi)
-            if (h.size < k) h.add((acc, rowId))
-            else {
-              val worst = h.peek()
-              if (acc > worst._1 || (acc == worst._1 && rowId < worst._2)) {
-                h.poll(); h.add((acc, rowId))
-              }
-            }
+            push(qi, acc, rowId)
             qi += 1
           }
         }
+
+        if (isEuc) {
+          iter.foreach { case (rowId, fv) =>
+            val rv = new Array[Double](fv.length)
+            var i = 0
+            while (i < fv.length) { rv(i) = fv(i); i += 1 }
+            scoreScalar(rowId, rv, 1.0)
+          }
+        } else {
+          // dot/cosine: dgemm row blocks against the query matrix.
+          // Row-major [B,D] block == column-major DxB => C = A^T * Q is
+          // column-major BxM with C(bi, qi) at c(qi*B + bi).
+          val blas = dev.ludovic.netlib.blas.BLAS.getInstance()
+          val qMat = new Array[Double](m * dim) // column-major DxM
+          var qi = 0
+          while (qi < m) {
+            val qv = vecs(qi)
+            var j = 0
+            while (j < dim && j < qv.length) { qMat(qi * dim + j) = qv(j); j += 1 }
+            qi += 1
+          }
+          val B = 512
+          val blockIds = new Array[Long](B)
+          val blockNorms = new Array[Double](B)
+          val blockFlat = new Array[Double](B * dim)
+          val scores = new Array[Double](B * m)
+          var fill = 0
+
+          def flush(): Unit = if (fill > 0) {
+            blas.dgemm("T", "N", fill, m, dim, 1.0,
+              blockFlat, dim, qMat, dim, 0.0, scores, fill)
+            var q = 0
+            while (q < m) {
+              val qNorm = norms(q)
+              val base = q * fill
+              var bi = 0
+              while (bi < fill) {
+                val s = if (isCos) scores(base + bi) / (blockNorms(bi) * qNorm)
+                        else scores(base + bi)
+                push(q, s, blockIds(bi))
+                bi += 1
+              }
+              q += 1
+            }
+            fill = 0
+          }
+
+          iter.foreach { case (rowId, fv) =>
+            if (fv.length != dim) {
+              // ragged row: score it exactly, outside the uniform block
+              val rv = new Array[Double](fv.length)
+              var i = 0
+              var nr = 0.0
+              while (i < fv.length) { rv(i) = fv(i); nr += rv(i) * rv(i); i += 1 }
+              scoreScalar(rowId, rv, math.max(math.sqrt(nr), 1e-8))
+            } else {
+              val off = fill * dim
+              var i = 0
+              var nr = 0.0
+              while (i < dim) {
+                val x = fv(i).toDouble
+                blockFlat(off + i) = x
+                nr += x * x
+                i += 1
+              }
+              blockIds(fill) = rowId
+              blockNorms(fill) = math.max(math.sqrt(nr), 1e-8)
+              fill += 1
+              if (fill == B) flush()
+            }
+          }
+          flush()
+        }
+
         heaps.iterator.zipWithIndex.flatMap { case (h, qi) =>
           val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
           while (!h.isEmpty) { val (s, id) = h.poll(); out += ((ids(qi), id, s)) }
