@@ -200,48 +200,107 @@ object Dedup {
     *
     * Output: (id, component) where component = min id reachable.
     */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+  def connectedComponents(
+      pairs: DataFrame,
+      maxIter: Int = 25,
+      smallGraphThreshold: Long = SmallGraphEdgeThreshold): DataFrame = {
+    // both edge orientations from ONE pass over the (possibly expensive)
+    // pairs lineage — a unionAll of two selects would compute it twice
     val edges = pairs
-      .select(col("id_a").cast("long").as("src"), col("id_b").cast("long").as("dst"))
-      .unionAll(pairs.select(col("id_b").cast("long").as("src"),
-        col("id_a").cast("long").as("dst")))
+      .select(explode(array(
+        struct(col("id_a").cast("long").as("src"), col("id_b").cast("long").as("dst")),
+        struct(col("id_b").cast("long").as("src"), col("id_a").cast("long").as("dst"))))
+        .as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .distinct()
       .localCheckpoint(true)
+    val spark = pairs.sparkSession
+    val nEdges = edges.count() // edges are checkpointed: metadata-cheap
+
+    // Small graphs (the usual case: near-dup PAIRS are orders of magnitude
+    // smaller than the corpus) are solved exactly on the driver — union-find
+    // over <= threshold edges is milliseconds, where the iterative plan pays
+    // ~30 scheduled jobs. Same adaptive logic as broadcast-join thresholds;
+    // past the threshold the distributed rounds below take over unchanged.
+    if (nEdges <= smallGraphThreshold) return unionFindLocal(spark, edges)
+
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("component", col("id"))
       .localCheckpoint(true)
+    // size the iteration's shuffles to the edge set, not the session default:
+    // at small edge counts dozens of empty shuffle tasks per round dominate
+    val sessionParts = spark.conf.get("spark.sql.shuffle.partitions")
+    val iterParts = math.max(1L,
+      math.min(sessionParts.toLong, nEdges / 500000L + 1L))
     var converged = false
     var it = 0
-    while (!converged && it < maxIter) {
+    spark.conf.set("spark.sql.shuffle.partitions", iterParts.toString)
+    try while (!converged && it < maxIter) {
       val neighborMin = edges
         .join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
         .groupBy(col("src").as("id"))
         .agg(min(col("component")).as("ncomp"))
-      val afterNeighbor = labels.join(neighborMin, Seq("id"), "left")
-        .select(col("id"),
-          least(col("component"), coalesce(col("ncomp"), col("component")))
-            .as("component"))
+      val afterNeighbor = labels
+        .withColumnRenamed("component", "prev")
+        .join(neighborMin, Seq("id"), "left")
+        .select(col("id"), col("prev"),
+          least(col("prev"), coalesce(col("ncomp"), col("prev"))).as("component"))
       // pointer jumping: follow the label one hop (component of component)
       val parents = afterNeighbor
         .select(col("id").as("pid"), col("component").as("pcomp"))
       val updated = afterNeighbor
         .join(parents, afterNeighbor("component") === parents("pid"), "left")
-        .select(afterNeighbor("id"),
-          least(col("component"), coalesce(col("pcomp"), col("component")))
+        .select(afterNeighbor("id"), col("prev"),
+          least(afterNeighbor("component"), coalesce(col("pcomp"), afterNeighbor("component")))
             .as("component"))
         .localCheckpoint(true)
-      val nChanged = updated.as("u")
-        .join(labels.as("l"), Seq("id"))
-        .filter(col("u.component") =!= col("l.component"))
-        .count()
-      labels = updated
+      // convergence check rides on the checkpointed round itself (the prev
+      // label is carried through), replacing a per-round join-with-labels
+      val nChanged = updated.filter(col("component") =!= col("prev")).count()
+      labels = updated.drop("prev")
       converged = nChanged == 0
       it += 1
-    }
+    } finally spark.conf.set("spark.sql.shuffle.partitions", sessionParts)
     if (!converged)
       throw new IllegalStateException(
         s"connectedComponents did not converge within $maxIter rounds")
     labels
+  }
+
+  /** Edge-count cutoff for the driver-side exact path (~16 MB of longs). */
+  val SmallGraphEdgeThreshold: Long = 1L << 20
+
+  /** Exact min-label components via union-find with path compression —
+    * identical output contract to the distributed rounds.
+    */
+  private def unionFindLocal(
+      spark: org.apache.spark.sql.SparkSession, edges: DataFrame): DataFrame = {
+    import spark.implicits._
+    val es = edges.select(col("src"), col("dst")).as[(Long, Long)].collect()
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      var root = x
+      while (parent.getOrElse(root, root) != root) root = parent.getOrElse(root, root)
+      var cur = x // path compression
+      while (parent.getOrElse(cur, cur) != root) {
+        val next = parent.getOrElse(cur, cur); parent(cur) = root; cur = next
+      }
+      root
+    }
+    es.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a)
+      parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb) // min-id root
+    }
+    val minOfRoot = scala.collection.mutable.Map.empty[Long, Long]
+    parent.keys.foreach { id =>
+      val r = find(id)
+      minOfRoot(r) = math.min(minOfRoot.getOrElse(r, id), id)
+    }
+    parent.keys.toSeq.sorted
+      .map(id => (id, minOfRoot(find(id))))
+      .toDF("id", "component")
   }
 
   /** Full dedup grouping for a corpus: every row gets a group id (the min

@@ -113,6 +113,41 @@ object Streams {
       }
   }
 
+  // -------------------------------------------------------- completion hook
+
+  /** Reference webhook retry policy (api/routes/batch_v1.py:611-614:
+    * retry_attempts=3, exponential backoff 2^attempt).
+    */
+  case class CompletionHookConfig(
+      retryAttempts: Int = 3,
+      baseBackoffMillis: Long = 1000L) {
+    require(retryAttempts >= 1, s"retryAttempts must be >= 1, got $retryAttempts")
+  }
+
+  /** ST3 analog (reference send_webhook_notification,
+    * api/routes/batch_v1.py:617-657): deliver a completion payload through a
+    * caller-supplied transport with bounded retries and exponential backoff
+    * (sleep base * 2^attempt between attempts, like the reference's
+    * `asyncio.sleep(2 ** attempt)`). The HTTP POST itself is serving-layer;
+    * the engine owns the retry/backoff semantics. Returns true once an
+    * attempt reports success, false after all attempts fail; transport
+    * exceptions count as failed attempts.
+    */
+  def notifyCompletion(
+      config: CompletionHookConfig,
+      payload: Map[String, String],
+      send: Map[String, String] => Boolean): Boolean = {
+    var attempt = 0
+    while (attempt < config.retryAttempts) {
+      val ok = try send(payload) catch { case _: Exception => false }
+      if (ok) return true
+      attempt += 1
+      if (attempt < config.retryAttempts)
+        Thread.sleep(config.baseBackoffMillis * (1L << (attempt - 1)))
+    }
+    false
+  }
+
   // ------------------------------------------------------- micro-batch ingest
 
   /** ST4 analog: stream JSONL/parquet vector drops into a store via
@@ -128,7 +163,9 @@ object Streams {
       modelId: String,
       format: String = "json",
       checkpoint: Option[String] = None,
-      statusTable: Option[BatchStatusTable] = None): StreamingQuery = {
+      statusTable: Option[BatchStatusTable] = None,
+      onBatchComplete: Option[Map[String, String] => Boolean] = None,
+      hookConfig: CompletionHookConfig = CompletionHookConfig()): StreamingQuery = {
     val src = format match {
       case "json" => spark.readStream.schema(dropSchema).json(dropDir)
       case "parquet" => spark.readStream.schema(dropSchema).parquet(dropDir)
@@ -144,6 +181,14 @@ object Streams {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val n = catalog.addVectors(userId, modelId, batch)
         statusTable.foreach(_.record(batchId, n))
+        // ST3: completion notification with the reference's retry/backoff
+        onBatchComplete.foreach { send =>
+          notifyCompletion(hookConfig, Map(
+            "event" -> "batch_operation_completed",
+            "batch_id" -> batchId.toString,
+            "rows" -> n.toString,
+            "store" -> s"$userId/$modelId"), send)
+        }
         ()
       }
       .start()

@@ -129,9 +129,25 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
 
   test("connectedComponents: chains collapse, singletons excluded from labels") {
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (9L, 3L)).toDF("id_a", "id_b")
-    val comps = Dedup.connectedComponents(pairs).collect()
+    val expected = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 9L -> 1L, 5L -> 5L, 6L -> 5L)
+    // both execution paths must produce identical labels: the driver-side
+    // union-find (small graphs) and the distributed label-propagation rounds
+    val local = Dedup.connectedComponents(pairs).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(comps == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 9L -> 1L, 5L -> 5L, 6L -> 5L))
+    val distributed = Dedup.connectedComponents(pairs, smallGraphThreshold = 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(local == expected)
+    assert(distributed == expected)
+  }
+
+  test("connectedComponents: both paths agree on a 60-node chain (O(log d) rounds)") {
+    val chain = (0L until 60L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val local = Dedup.connectedComponents(chain).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val distributed = Dedup.connectedComponents(chain, smallGraphThreshold = 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(local.size == 61 && local.values.forall(_ == 0L))
+    assert(distributed == local)
   }
 
   test("dedupGroups: corpus-wide grouping with representatives") {

@@ -3,6 +3,7 @@ package graft.streaming
 import graft.SparkSpec
 import graft.sources.{StoreConfig, VectorStoreCatalog}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, FloatType, StructField, StructType}
 import org.scalatest.funsuite.AnyFunSuite
 
 import java.nio.file.{Files, Paths, StandardCopyOption}
@@ -93,5 +94,56 @@ class StreamsSpec extends AnyFunSuite with SparkSpec {
     try q2.awaitTermination(60000) finally q2.stop()
     // fresh checkpoint => full re-read; dedup by content happens upstream.
     assert(catalog.count("stream", "m1") >= 21)
+  }
+
+  test("completion hook: reference retry/backoff semantics (batch_v1.py:611-657)") {
+    val cfg = Streams.CompletionHookConfig(retryAttempts = 3, baseBackoffMillis = 1L)
+    // succeeds on the 3rd attempt -> true, exactly 3 calls
+    var calls = 0
+    val flaky = (_: Map[String, String]) => { calls += 1; calls >= 3 }
+    assert(Streams.notifyCompletion(cfg, Map("event" -> "x"), flaky))
+    assert(calls == 3)
+    // never succeeds -> false after exactly retryAttempts calls
+    var failCalls = 0
+    val dead = (_: Map[String, String]) => { failCalls += 1; false }
+    assert(!Streams.notifyCompletion(cfg, Map("event" -> "x"), dead))
+    assert(failCalls == 3)
+    // a throwing transport counts as a failed attempt, not an error
+    var throwCalls = 0
+    val thrower = (_: Map[String, String]) => {
+      throwCalls += 1
+      if (throwCalls < 2) throw new RuntimeException("boom") else true
+    }
+    assert(Streams.notifyCompletion(cfg, Map("event" -> "x"), thrower))
+    assert(throwCalls == 2)
+    // exponential backoff: 3 failing attempts with base 50ms sleep 50+100ms
+    val t0 = System.nanoTime()
+    Streams.notifyCompletion(
+      Streams.CompletionHookConfig(3, baseBackoffMillis = 50L),
+      Map.empty, _ => false)
+    val elapsedMs = (System.nanoTime() - t0) / 1e6
+    assert(elapsedMs >= 150, s"expected >= 150ms of backoff, got $elapsedMs")
+  }
+
+  test("ingest stream fires the completion hook per micro-batch") {
+    val dropDir = Files.createTempDirectory("graft_hook_drops").toString
+    Files.writeString(Paths.get(s"$dropDir/drop1.jsonl"),
+      (0 until 5).map(i => s"""{"vector": [1,2,3,$i]}""").mkString("\n"))
+    val catalog = new graft.sources.VectorStoreCatalog(spark,
+      Files.createTempDirectory("graft_hook_store").toString)
+    catalog.create("stream", "hook", graft.sources.StoreConfig(dimension = 4))
+    val schema = StructType(Seq(
+      StructField("vector", ArrayType(FloatType))))
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[Map[String, String]]()
+    val q = Streams.ingestVectors(spark, dropDir, schema, catalog,
+      "stream", "hook", format = "json",
+      onBatchComplete = Some(p => { seen.add(p); true }))
+    try q.awaitTermination(60000) finally q.stop()
+    import scala.jdk.CollectionConverters._
+    val payloads = seen.asScala.toList
+    assert(payloads.nonEmpty)
+    assert(payloads.map(_("rows").toLong).sum == 5)
+    assert(payloads.forall(p =>
+      p("event") == "batch_operation_completed" && p("store") == "stream/hook"))
   }
 }
