@@ -1,0 +1,178 @@
+package graft.multimodal
+
+import java.nio.{ByteBuffer, ByteOrder}
+import java.nio.charset.StandardCharsets
+
+/** Pure-JVM decode for UNCOMPRESSED image formats — PPM (P6) and 24-bit BMP
+  * need no codec library, so for them the multimodal pipeline is real end to
+  * end: bytes -> pixels -> resize -> features -> vector store. Compressed
+  * formats (png/jpeg/...) still go through the stub kernel, as the container
+  * ships no codecs.
+  *
+  * Reference scope note: the reference has no media pipeline at all — this
+  * is part of the 100 TB training-data extension surface (builder brief;
+  * SURVEY.md north star), built operator-first: decode and featurize run
+  * partition-local inside [[Multimodal.extractFeatures]]'s bounded batches,
+  * never on the driver.
+  */
+object ImageCodec {
+
+  /** Row-major packed RGB, 3 bytes per pixel. */
+  case class RawImage(width: Int, height: Int, rgb: Array[Byte]) {
+    require(width > 0 && height > 0, s"bad dimensions ${width}x$height")
+    require(rgb.length == width * height * 3,
+      s"pixel buffer ${rgb.length}B != $width*$height*3")
+    def r(x: Int, y: Int): Int = rgb((y * width + x) * 3) & 0xff
+    def g(x: Int, y: Int): Int = rgb((y * width + x) * 3 + 1) & 0xff
+    def b(x: Int, y: Int): Int = rgb((y * width + x) * 3 + 2) & 0xff
+  }
+
+  def canDecode(bytes: Array[Byte]): Boolean =
+    bytes.length > 2 &&
+      ((bytes(0) == 'P' && bytes(1) == '6') || (bytes(0) == 'B' && bytes(1) == 'M'))
+
+  def decode(bytes: Array[Byte]): RawImage =
+    if (bytes.length > 2 && bytes(0) == 'P' && bytes(1) == '6') decodePpm(bytes)
+    else if (bytes.length > 2 && bytes(0) == 'B' && bytes(1) == 'M') decodeBmp24(bytes)
+    else throw new IllegalArgumentException(
+      "undecodable image (supported uncompressed formats: PPM P6, BMP 24-bit)")
+
+  /** PPM P6: "P6" <ws> width <ws> height <ws> maxval <single ws> raw RGB.
+    * '#' comments allowed in the header per the netpbm spec.
+    */
+  def decodePpm(bytes: Array[Byte]): RawImage = {
+    var pos = 2 // past "P6"
+    def skipWsAndComments(): Unit = {
+      var going = true
+      while (going && pos < bytes.length) {
+        val c = bytes(pos)
+        if (c == '#') while (pos < bytes.length && bytes(pos) != '\n') pos += 1
+        else if (c == ' ' || c == '\n' || c == '\r' || c == '\t') pos += 1
+        else going = false
+      }
+    }
+    def readInt(): Int = {
+      skipWsAndComments()
+      var v = 0
+      var any = false
+      while (pos < bytes.length && bytes(pos) >= '0' && bytes(pos) <= '9') {
+        v = v * 10 + (bytes(pos) - '0'); pos += 1; any = true
+      }
+      require(any, s"malformed PPM header at byte $pos")
+      v
+    }
+    val w = readInt(); val h = readInt(); val maxval = readInt()
+    require(maxval == 255, s"only maxval=255 PPM supported, got $maxval")
+    pos += 1 // exactly one whitespace byte before the raster
+    require(bytes.length - pos >= w * h * 3,
+      s"PPM raster truncated: ${bytes.length - pos}B for ${w}x$h")
+    RawImage(w, h, bytes.slice(pos, pos + w * h * 3))
+  }
+
+  /** BMP: BITMAPFILEHEADER + BITMAPINFOHEADER, 24 bpp, uncompressed,
+    * bottom-up rows padded to 4 bytes, pixels stored BGR.
+    */
+  def decodeBmp24(bytes: Array[Byte]): RawImage = {
+    val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    val dataOffset = buf.getInt(10)
+    val w = buf.getInt(18)
+    val hRaw = buf.getInt(22)
+    val bpp = buf.getShort(28) & 0xffff
+    val compression = buf.getInt(30)
+    require(bpp == 24 && compression == 0,
+      s"only 24-bit uncompressed BMP supported (bpp=$bpp, compression=$compression)")
+    val h = math.abs(hRaw)
+    val bottomUp = hRaw > 0
+    val rowBytes = (w * 3 + 3) / 4 * 4
+    val out = new Array[Byte](w * h * 3)
+    var y = 0
+    while (y < h) {
+      val srcRow = if (bottomUp) h - 1 - y else y
+      val src = dataOffset + srcRow * rowBytes
+      var x = 0
+      while (x < w) {
+        val i = (y * w + x) * 3
+        out(i) = bytes(src + x * 3 + 2)     // R (stored BGR)
+        out(i + 1) = bytes(src + x * 3 + 1) // G
+        out(i + 2) = bytes(src + x * 3)     // B
+        x += 1
+      }
+      y += 1
+    }
+    RawImage(w, h, out)
+  }
+
+  /** PPM P6 encoder (round-trip tests and frame dumps). */
+  def encodePpm(img: RawImage): Array[Byte] =
+    s"P6\n${img.width} ${img.height}\n255\n".getBytes(StandardCharsets.US_ASCII) ++ img.rgb
+
+  /** Box-average resize (area sampling): each target pixel averages its
+    * source cell — the standard pre-model downscale.
+    */
+  def resize(img: RawImage, w: Int, h: Int): RawImage = {
+    require(w > 0 && h > 0, s"bad target ${w}x$h")
+    val out = new Array[Byte](w * h * 3)
+    var ty = 0
+    while (ty < h) {
+      val y0 = ty * img.height / h
+      val y1 = math.max(y0 + 1, (ty + 1) * img.height / h)
+      var tx = 0
+      while (tx < w) {
+        val x0 = tx * img.width / w
+        val x1 = math.max(x0 + 1, (tx + 1) * img.width / w)
+        var sr = 0L; var sg = 0L; var sb = 0L
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) {
+            val i = (y * img.width + x) * 3
+            sr += img.rgb(i) & 0xff; sg += img.rgb(i + 1) & 0xff; sb += img.rgb(i + 2) & 0xff
+            x += 1
+          }
+          y += 1
+        }
+        val n = (y1 - y0).toLong * (x1 - x0)
+        val o = (ty * w + tx) * 3
+        out(o) = (sr / n).toByte; out(o + 1) = (sg / n).toByte; out(o + 2) = (sb / n).toByte
+        tx += 1
+      }
+      ty += 1
+    }
+    RawImage(w, h, out)
+  }
+
+  /** L1-normalized RGB color histogram, `binsPerChannel`^3 dims — the classic
+    * retrieval feature; 4 bins/channel = the engine's default 64-dim vector.
+    */
+  def rgbHistogram(img: RawImage, binsPerChannel: Int = 4): Array[Float] = {
+    require(binsPerChannel >= 1 && binsPerChannel <= 16, s"bins out of range: $binsPerChannel")
+    val hist = new Array[Float](binsPerChannel * binsPerChannel * binsPerChannel)
+    val n = img.width * img.height
+    var i = 0
+    while (i < n) {
+      val r = (img.rgb(i * 3) & 0xff) * binsPerChannel / 256
+      val g = (img.rgb(i * 3 + 1) & 0xff) * binsPerChannel / 256
+      val b = (img.rgb(i * 3 + 2) & 0xff) * binsPerChannel / 256
+      hist((r * binsPerChannel + g) * binsPerChannel + b) += 1f
+      i += 1
+    }
+    var j = 0
+    while (j < hist.length) { hist(j) /= n; j += 1 }
+    hist
+  }
+
+  /** Mean-luminance grid (gw x gh dims): cheap spatial-structure feature. */
+  def grayGrid(img: RawImage, gw: Int = 8, gh: Int = 8): Array[Float] = {
+    val small = resize(img, gw, gh)
+    val out = new Array[Float](gw * gh)
+    var i = 0
+    while (i < gw * gh) {
+      val r = small.rgb(i * 3) & 0xff
+      val g = small.rgb(i * 3 + 1) & 0xff
+      val b = small.rgb(i * 3 + 2) & 0xff
+      out(i) = (0.299f * r + 0.587f * g + 0.114f * b) / 255f
+      i += 1
+    }
+    out
+  }
+}

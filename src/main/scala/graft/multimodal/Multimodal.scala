@@ -45,6 +45,32 @@ object Multimodal {
       }
   }
 
+  /** REAL image kernel for uncompressed formats (PPM P6 / 24-bit BMP, no
+    * codec library needed): decode -> box-average resize -> L1-normalized
+    * RGB histogram. Formats without a JVM codec follow the `undecodable`
+    * policy: "error" (default) or "stub" (deterministic stand-in features,
+    * keeping mixed corpora flowing).
+    */
+  case class RawImageKernel(
+      binsPerChannel: Int = 4,
+      resizeTo: Int = 64,
+      undecodable: String = "error") extends DecodeKernel {
+    require(Seq("error", "stub").contains(undecodable),
+      s"undecodable policy must be error|stub, got $undecodable")
+    override def dim: Int = binsPerChannel * binsPerChannel * binsPerChannel
+    private lazy val stub = StubDecodeKernel(dim)
+    override def decodeBatch(batch: Seq[MediaRow]): Seq[Array[Float]] =
+      batch.map { row =>
+        if (ImageCodec.canDecode(row.bytes)) {
+          val img = ImageCodec.resize(ImageCodec.decode(row.bytes), resizeTo, resizeTo)
+          ImageCodec.rgbHistogram(img, binsPerChannel)
+        } else if (undecodable == "stub") stub.decodeBatch(Seq(row)).head
+        else throw new IllegalArgumentException(
+          s"media ${row.media_id}: no JVM codec for format '${row.meta.format}' " +
+            "(decodable without codecs: ppm, bmp)")
+      }
+  }
+
   /** Batched feature extraction: partition-local, bounded batches of
     * `batchSize` rows per kernel call (the batch shape a GPU model wants).
     * No shuffle — runs where the data lives.
