@@ -94,9 +94,14 @@ object Dedup {
     require(numHashes % bands == 0, s"numHashes=$numHashes not divisible by bands=$bands")
     val rows = numHashes / bands
 
-    val withSig = df.select(
+    // pin (id, shingles) once: it feeds the banding scan AND both sides of
+    // the verify join — recomputing tokenization three times costs more than
+    // materializing the slim two-column frame (spills to disk past memory)
+    val shingleSets = df.select(
       col(idCol).cast("long").as("id"),
       tokenShingles(col(textCol), shingleLen).as("shingles"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val withSig = shingleSets
       .withColumn("sig", minhashSignature(col("shingles"), numHashes, seed))
 
     // (id, band, bucket) only — the shingle arrays stay OUT of the banding
@@ -119,7 +124,6 @@ object Dedup {
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
 
-    val shingleSets = withSig.select(col("id"), col("shingles"))
     candidates
       .join(shingleSets.select(col("id").as("id_a"), col("shingles").as("sh_a")), Seq("id_a"))
       .join(shingleSets.select(col("id").as("id_b"), col("shingles").as("sh_b")), Seq("id_b"))

@@ -113,6 +113,46 @@ object Streams {
       }
   }
 
+  // -------------------------------------------------------- progress stream
+
+  /** Schema of one progress event (reference SSE event payload shape,
+    * api/routes/batch_v1.py:179-193: operation id, progress counts, ts).
+    */
+  val ProgressSchema: StructType = StructType(Seq(
+    StructField("operation_id", StringType),
+    StructField("batch_id", LongType),
+    StructField("rows", LongType),
+    StructField("ts_ms", LongType)))
+
+  /** ST2 analog: the reference streams per-chunk progress over SSE
+    * (api/routes/batch_v1.py:179-254); the engine-native equivalent is a
+    * progress JOURNAL — one tiny JSON file per event — that any number of
+    * consumers tail as a live Structured Stream (`stream()`) or read as a
+    * table (`snapshot()`). Unlike SSE it is durable and replayable: a
+    * consumer attaching late sees the full history.
+    */
+  class ProgressJournal(spark: SparkSession, val dir: String) extends Serializable {
+    new java.io.File(dir).mkdirs()
+
+    def record(operationId: String, batchId: Long, rows: Long): Unit = {
+      val event =
+        s"""{"operation_id":"$operationId","batch_id":$batchId,""" +
+          s""""rows":$rows,"ts_ms":${System.currentTimeMillis()}}"""
+      // unique file per event; the file source picks up whole files only,
+      // so an event is either fully visible or not yet visible
+      val safeId = operationId.replaceAll("[^A-Za-z0-9._-]", "_")
+      val name = f"$safeId-$batchId%012d-${java.util.UUID.randomUUID()}.json"
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(dir, name), event)
+      ()
+    }
+
+    /** Live progress as a streaming DataFrame (watermark/window-able). */
+    def stream(): DataFrame = spark.readStream.schema(ProgressSchema).json(dir)
+
+    /** Progress history as a batch table. */
+    def snapshot(): DataFrame = spark.read.schema(ProgressSchema).json(dir)
+  }
+
   // -------------------------------------------------------- completion hook
 
   /** Reference webhook retry policy (api/routes/batch_v1.py:611-614:
@@ -165,7 +205,8 @@ object Streams {
       checkpoint: Option[String] = None,
       statusTable: Option[BatchStatusTable] = None,
       onBatchComplete: Option[Map[String, String] => Boolean] = None,
-      hookConfig: CompletionHookConfig = CompletionHookConfig()): StreamingQuery = {
+      hookConfig: CompletionHookConfig = CompletionHookConfig(),
+      progressJournal: Option[ProgressJournal] = None): StreamingQuery = {
     val src = format match {
       case "json" => spark.readStream.schema(dropSchema).json(dropDir)
       case "parquet" => spark.readStream.schema(dropSchema).parquet(dropDir)
@@ -181,6 +222,7 @@ object Streams {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val n = catalog.addVectors(userId, modelId, batch)
         statusTable.foreach(_.record(batchId, n))
+        progressJournal.foreach(_.record(s"ingest_$userId/$modelId", batchId, n))
         // ST3: completion notification with the reference's retry/backoff
         onBatchComplete.foreach { send =>
           notifyCompletion(hookConfig, Map(

@@ -125,6 +125,33 @@ class StreamsSpec extends AnyFunSuite with SparkSpec {
     assert(elapsedMs >= 150, s"expected >= 150ms of backoff, got $elapsedMs")
   }
 
+  test("progress journal: ingest events tail as a live stream and a snapshot") {
+    val dropDir = Files.createTempDirectory("graft_pj_drops").toString
+    Files.writeString(Paths.get(s"$dropDir/drop1.jsonl"),
+      (0 until 7).map(i => s"""{"vector": [1,2,3,$i]}""").mkString("\n"))
+    val catalog = new graft.sources.VectorStoreCatalog(spark,
+      Files.createTempDirectory("graft_pj_store").toString)
+    catalog.create("stream", "pj", graft.sources.StoreConfig(dimension = 4))
+    val journal = new Streams.ProgressJournal(spark,
+      Files.createTempDirectory("graft_pj_journal").toString)
+
+    val q = Streams.ingestVectors(spark, dropDir,
+      StructType(Seq(StructField("vector", ArrayType(FloatType)))), catalog,
+      "stream", "pj", format = "json", progressJournal = Some(journal))
+    try q.awaitTermination(60000) finally q.stop()
+
+    // batch view: all events are durable
+    val snap = journal.snapshot().collect()
+    assert(snap.map(_.getAs[Long]("rows")).sum == 7)
+    assert(snap.forall(_.getAs[String]("operation_id") == "ingest_stream/pj"))
+    // streaming view: a late-attaching consumer replays the full history
+    val name = s"pj_events_${System.nanoTime()}"
+    val sq = journal.stream().writeStream.outputMode("append")
+      .format("memory").queryName(name).start()
+    try sq.processAllAvailable() finally sq.stop()
+    assert(spark.table(name).collect().map(_.getAs[Long]("rows")).sum == 7)
+  }
+
   test("ingest stream fires the completion hook per micro-batch") {
     val dropDir = Files.createTempDirectory("graft_hook_drops").toString
     Files.writeString(Paths.get(s"$dropDir/drop1.jsonl"),
