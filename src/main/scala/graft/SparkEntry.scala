@@ -73,9 +73,19 @@ object SparkEntry {
           col("l_extendedprice"))
     }),
 
-    // J: multi-way join + agg; small dim broadcast (SURVEY §2.3)
+    // J: multi-way join + agg; small dim broadcast (SURVEY §2.3).
+    // Early partial aggregation: lineitem collapses to one row per orderkey
+    // BEFORE the orders/customer joins, so the fact table's width through
+    // the join tree is |orders|, not |lineitem| — DECIMAL sums are exact,
+    // so the reassociation cannot perturb the oracle hash.
     "q3_join_revenue" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(
+          expr("""sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
+                 |(1 - CAST(l_discount AS DECIMAL(18,4))))""".stripMargin)
+            .as("order_revenue"),
+          count(lit(1)).as("order_items"))
       val o = t(s, dir, "orders")
       val c = t(s, dir, "customer")
       val n = t(s, dir, "nation")
@@ -84,10 +94,8 @@ object SparkEntry {
         .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
         .groupBy(col("n_name"))
         .agg(
-          expr("""CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
-                 |(1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE)""".stripMargin)
-            .as("revenue"),
-          count(lit(1)).as("n_items"))
+          expr("CAST(sum(order_revenue) AS DOUBLE)").as("revenue"),
+          sum(col("order_items")).as("n_items"))
     }),
 
     // T: top-k — plans as TakeOrderedAndProject, no full sort (SURVEY §2.6 T1)
