@@ -419,6 +419,24 @@ object SparkEntry {
         .select(col("doc_id"))
     }),
 
+    // SimHash exact-duplicate detection, oracle-checked via copy planting:
+    // identical text => bit-identical fingerprint => every (doc, doc+100000)
+    // copy pair shares all bands and survives hamming <= 0 DETERMINISTICALLY.
+    // Restricting the output to copy pairs keeps the oracle SQL-expressible
+    // (the hash family itself is not); the general banded path's recall is
+    // locked by DedupSpec's brute-force-vs-banded equivalence and q18.
+    "q35_simhash_exact_dup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val copies = docs.select((col("doc_id") + 100000).as("doc_id"), col("text"))
+      // high bucket cap: the determinism argument needs every copy to keep
+      // its banding rows, and 16-bit buckets stay small on distinct corpora
+      operators.Dedup.nearDupPairsSimHash(
+        docs.unionAll(copies), "doc_id", "text", maxHamming = 0, nBands = 4,
+        maxBucketSize = 1 << 20)
+        .filter(col("id_b") === col("id_a") + 100000)
+        .select(col("id_a"), col("id_b"))
+    }),
+
     // IVF ANN, pruned probes — the production search path (reads only
     // nProbe/nLists of the store; partition pruning asserted in
     // IvfIndexSpec). Approximate by design => rows-only check; exactness of
@@ -736,6 +754,11 @@ object SparkEntry {
         |WHERE list_cosine_similarity(a.v, b.v) >= 0.9""".stripMargin,
 
     "q34_typed_meta_filter" ->
-      "SELECT doc_id FROM documents WHERE doc_id % 3 = 1 AND lang = 'en'"
+      "SELECT doc_id FROM documents WHERE doc_id % 3 = 1 AND lang = 'en'",
+
+    // Identical text => identical fingerprint, so every doc pairs with its
+    // planted copy — deterministically, whatever the hash family computes.
+    "q35_simhash_exact_dup" ->
+      "SELECT doc_id AS id_a, doc_id + 100000 AS id_b FROM documents"
   )
 }
