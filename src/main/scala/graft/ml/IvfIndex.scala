@@ -151,6 +151,7 @@ class IvfIndex private (
       .select(col(queryIdCol),
         col("hit.id").as("id"),
         col("hit.score").as("similarity_score"),
+        vector.distanceFromSimilarity(col("hit.score"), metric).as("distance"),
         (col("pos") + 1).cast("long").as("rank"))
   }
 }

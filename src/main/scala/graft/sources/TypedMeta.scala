@@ -32,7 +32,9 @@ object TypedMeta {
     case '\n' => "\\n"
     case '\r' => "\\r"
     case '\t' => "\\t"
-    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case '\b' => "\\b" // Jackson short escape (what to_json emits)
+    case '\f' => "\\f"
+    case c if c < ' ' => f"\\u${c.toInt}%04X"
     case c => c.toString
   } + "\""
 

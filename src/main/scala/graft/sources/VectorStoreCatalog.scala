@@ -269,7 +269,9 @@ class VectorStoreCatalog(spark: SparkSession, root: String) {
       userId: String,
       modelId: String,
       queryVecs: Seq[Seq[Double]],
-      k: Int): DataFrame = {
+      k: Int,
+      useIndex: Boolean = true,
+      nProbe: Int = 8): DataFrame = {
     require(queryVecs.nonEmpty && queryVecs.size <= VectorStoreCatalog.MaxBatchQueries,
       s"batch size ${queryVecs.size} outside [1, ${VectorStoreCatalog.MaxBatchQueries}]")
     require(k >= 1 && k <= VectorStoreCatalog.MaxBatchK,
@@ -281,7 +283,18 @@ class VectorStoreCatalog(spark: SparkSession, root: String) {
     val queries = queryVecs.zipWithIndex
       .map { case (v, i) => (i.toLong, v) }
       .toDF("query_id", "query_vec")
-    Knn.batchTopK(queries, load(userId, modelId), k, cfg.metric)
+    def exact = Knn.batchTopK(queries, load(userId, modelId), k, cfg.metric)
+    // same index selection + failure fallback as the single-query path:
+    // the batch search joins probed lists only (partition-pruned)
+    if (useIndex && cfg.indexType == "ivf" &&
+        fs.exists(new Path(s"${indexPath(userId, modelId)}/centroids"))) {
+      try {
+        graft.ml.IvfIndex.load(spark, indexPath(userId, modelId), cfg.metric)
+          .searchBatch(queries, k, nProbe)
+      } catch {
+        case _: Exception => exact
+      }
+    } else exact
   }
 
   /** Compaction (the reference's admin `optimize` endpoint references a

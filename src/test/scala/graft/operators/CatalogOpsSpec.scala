@@ -130,6 +130,15 @@ class CatalogOpsSpec extends AnyFunSuite with SparkSpec {
       .collect().map(_.getLong(0)).toSeq
     assert(ann == exact)
 
+    // batch query routes through the index: full probe == exact batch path
+    val batchAnn = cat.batchQuery("u", "ivf", Seq(q, q), 5, nProbe = 4)
+      .select($"query_id", $"id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val batchExact = cat.batchQuery("u", "ivf", Seq(q, q), 5, useIndex = false)
+      .select($"query_id", $"id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(batchAnn == batchExact, "full-probe batch ANN must equal exact batch")
+
     // add after build: index stays in sync incrementally (no rebuild)
     cat.addVectors("u", "ivf", batch(50))
     val storeRoot = cat.storePath("u", "ivf")
