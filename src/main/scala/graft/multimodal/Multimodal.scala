@@ -61,13 +61,26 @@ object Multimodal {
     private lazy val stub = StubDecodeKernel(dim)
     override def decodeBatch(batch: Seq[MediaRow]): Seq[Array[Float]] =
       batch.map { row =>
-        if (ImageCodec.canDecode(row.bytes)) {
-          val img = ImageCodec.resize(ImageCodec.decode(row.bytes), resizeTo, resizeTo)
-          ImageCodec.rgbHistogram(img, binsPerChannel)
-        } else if (undecodable == "stub") stub.decodeBatch(Seq(row)).head
-        else throw new IllegalArgumentException(
-          s"media ${row.media_id}: no JVM codec for format '${row.meta.format}' " +
-            "(decodable without codecs: ppm, bmp)")
+        // the policy covers DECODE FAILURES too, not just unknown magic —
+        // a 32-bpp/RLE BMP passes canDecode but throws in the decoder, and
+        // under "stub" one such row must not kill the whole job
+        val decoded: Option[ImageCodec.RawImage] =
+          if (!ImageCodec.canDecode(row.bytes)) None
+          else scala.util.Try(ImageCodec.decode(row.bytes)) match {
+            case scala.util.Success(img) => Some(img)
+            case scala.util.Failure(e) if undecodable == "stub" => None
+            case scala.util.Failure(e) => throw new IllegalArgumentException(
+              s"media ${row.media_id}: decode failed (${e.getMessage})")
+          }
+        decoded match {
+          case Some(img) =>
+            ImageCodec.rgbHistogram(
+              ImageCodec.resize(img, resizeTo, resizeTo), binsPerChannel)
+          case None if undecodable == "stub" => stub.decodeBatch(Seq(row)).head
+          case None => throw new IllegalArgumentException(
+            s"media ${row.media_id}: no JVM codec for format '${row.meta.format}' " +
+              "(decodable without codecs: ppm, bmp)")
+        }
       }
   }
 
@@ -125,12 +138,14 @@ object Multimodal {
   }
 
   /** Feature table as a store-ready DataFrame (vector + meta) so multimodal
-    * features flow straight into the kNN/ANN/dedup operators.
+    * features flow straight into the kNN/ANN/dedup operators. Meta values use
+    * the TypedMeta encoding (media_id stays an INT under typed filters).
     */
   def toVectorRows(features: Dataset[MediaFeatures]): DataFrame =
     features.toDF()
       .select(
         col("features").as("vector"),
-        map(lit("media_id"), col("media_id").cast("string"),
-          lit("kind"), col("kind")).as("meta"))
+        graft.sources.TypedMeta.metaColumn(
+          "media_id" -> col("media_id"),
+          "kind" -> col("kind")).as("meta"))
 }

@@ -96,11 +96,13 @@ object Dedup {
 
     // pin (id, shingles) once: it feeds the banding scan AND both sides of
     // the verify join — recomputing tokenization three times costs more than
-    // materializing the slim two-column frame (spills to disk past memory)
+    // materializing the slim two-column frame. localCheckpoint (not persist):
+    // its blocks are released by the ContextCleaner once the frame is
+    // unreferenced, where CacheManager entries would leak per call
     val shingleSets = df.select(
       col(idCol).cast("long").as("id"),
       tokenShingles(col(textCol), shingleLen).as("shingles"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     val withSig = shingleSets
       .withColumn("sig", minhashSignature(col("shingles"), numHashes, seed))
 
@@ -231,15 +233,9 @@ object Dedup {
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("component", col("id"))
       .localCheckpoint(true)
-    // size the iteration's shuffles to the edge set, not the session default:
-    // at small edge counts dozens of empty shuffle tasks per round dominate
-    val sessionParts = spark.conf.get("spark.sql.shuffle.partitions")
-    val iterParts = math.max(1L,
-      math.min(sessionParts.toLong, nEdges / 500000L + 1L))
     var converged = false
     var it = 0
-    spark.conf.set("spark.sql.shuffle.partitions", iterParts.toString)
-    try while (!converged && it < maxIter) {
+    while (!converged && it < maxIter) {
       val neighborMin = edges
         .join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
         .groupBy(col("src").as("id"))
@@ -264,7 +260,7 @@ object Dedup {
       labels = updated.drop("prev")
       converged = nChanged == 0
       it += 1
-    } finally spark.conf.set("spark.sql.shuffle.partitions", sessionParts)
+    }
     if (!converged)
       throw new IllegalStateException(
         s"connectedComponents did not converge within $maxIter rounds")

@@ -72,7 +72,10 @@ object BulkLoad {
           throw new IllegalArgumentException(
             s"npz bulk file $file has no 'vectors' member (found: ${members.keys.mkString(",")})"))
         val ids = members.get("ids").map(_.toLongVector)
-        vectors.toFloatMatrix.iterator.zipWithIndex.map { case (v, i) =>
+        val mat = vectors.toFloatMatrix
+        ids.foreach(a => require(a.length == mat.length,
+          s"npz bulk file $file: ids member has ${a.length} entries for ${mat.length} vectors"))
+        mat.iterator.zipWithIndex.map { case (v, i) =>
           (v.toSeq, Map("id" -> ids.map(a => a(i).toString).getOrElse(s"bulk_$i")))
         }
       }

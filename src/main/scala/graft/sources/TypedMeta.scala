@@ -74,7 +74,10 @@ object TypedMeta {
     }
     // legacy-compat: bare raw strings from pre-typed ingestion match string
     // filters, but ONLY when the raw value cannot be a typed JSON literal
-    // (else "1" the string would collide with 1 the int)
+    // (else "1" the string would collide with 1 the int). The converse
+    // ambiguity is inherent to the shared column: a legacy bare "5" is
+    // indistinguishable from a typed int 5 and WILL match numeric filters —
+    // re-ingest through metaColumn/encode for strict typed semantics.
     def legacyBare(s: String): Column =
       raw === lit(s) && raw.try_cast("double").isNull &&
         !raw.isin("true", "false") && !raw.startsWith("\"")
@@ -85,7 +88,10 @@ object TypedMeta {
       case l: Long => numeric(l.toDouble)
       case s: Short => numeric(s.toDouble)
       case b: Byte => numeric(b.toDouble)
-      case f: Float => numeric(f.toDouble)
+      // NOT f.toDouble: a stored float round-trips through its shortest
+      // decimal repr ("0.1"), which try_cast parses as the double 0.1 —
+      // f.toDouble (0.10000000149...) would never equal it
+      case f: Float => numeric(f.toString.toDouble)
       case d: Double => numeric(d)
       case other => throw new IllegalArgumentException(
         s"unsupported typed filter value: $other (${other.getClass.getSimpleName})")

@@ -284,13 +284,22 @@ class VectorStoreCatalog(spark: SparkSession, root: String) {
       .map { case (v, i) => (i.toLong, v) }
       .toDF("query_id", "query_vec")
     def exact = Knn.batchTopK(queries, load(userId, modelId), k, cfg.metric)
-    // same index selection + failure fallback as the single-query path:
-    // the batch search joins probed lists only (partition-pruned)
+    // same index selection, failure fallback AND underfill fallback as the
+    // single-query path: the probed result is pinned (bounded: <= M*k rows),
+    // so lazy-execution failures land inside the try, and any query that
+    // came back with fewer than k hits triggers the exact batch rescan
     if (useIndex && cfg.indexType == "ivf" &&
         fs.exists(new Path(s"${indexPath(userId, modelId)}/centroids"))) {
       try {
-        graft.ml.IvfIndex.load(spark, indexPath(userId, modelId), cfg.metric)
+        val res = graft.ml.IvfIndex.load(spark, indexPath(userId, modelId), cfg.metric)
           .searchBatch(queries, k, nProbe)
+          .localCheckpoint(true)
+        val hitCounts = res.groupBy(col("query_id"))
+          .agg(org.apache.spark.sql.functions.count(lit(1)).as("n"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val underfilled = queryVecs.indices.exists(i =>
+          hitCounts.getOrElse(i.toLong, 0L) < k)
+        if (underfilled) exact else res
       } catch {
         case _: Exception => exact
       }

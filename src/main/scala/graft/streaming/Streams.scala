@@ -138,11 +138,15 @@ object Streams {
       val event =
         s"""{"operation_id":"$operationId","batch_id":$batchId,""" +
           s""""rows":$rows,"ts_ms":${System.currentTimeMillis()}}"""
-      // unique file per event; the file source picks up whole files only,
-      // so an event is either fully visible or not yet visible
+      // write-then-atomic-rename so a tailing consumer can never observe a
+      // partially written event: dot-prefixed files are invisible to Spark's
+      // file sources, and the final rename is atomic on the same filesystem
       val safeId = operationId.replaceAll("[^A-Za-z0-9._-]", "_")
       val name = f"$safeId-$batchId%012d-${java.util.UUID.randomUUID()}.json"
-      java.nio.file.Files.writeString(java.nio.file.Paths.get(dir, name), event)
+      val tmp = java.nio.file.Paths.get(dir, s".$name.tmp")
+      java.nio.file.Files.writeString(tmp, event)
+      java.nio.file.Files.move(tmp, java.nio.file.Paths.get(dir, name),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
       ()
     }
 

@@ -111,4 +111,20 @@ class ImageCodecSpec extends AnyFunSuite with SparkSpec {
       Multimodal.RawImageKernel(undecodable = "stub")).collect()
     assert(stubbed.length == 1 && stubbed.head.features.length == 64)
   }
+
+  test("policy also covers decode FAILURES, not just unknown magic") {
+    import spark.implicits._
+    // right magic, broken payload: 'BM' + garbage passes canDecode but the
+    // decoder throws — under "stub" the batch must still flow
+    val brokenBmp = Multimodal.MediaRow(8L, "image",
+      Array[Byte]('B', 'M', 1, 2, 3, 4, 5, 6, 7, 8),
+      Multimodal.MediaMeta(1, 1, "bmp", 0))
+    val ds = spark.createDataset(Seq(brokenBmp))
+    intercept[org.apache.spark.SparkException] {
+      Multimodal.extractFeatures(ds, Multimodal.RawImageKernel()).collect()
+    }
+    val stubbed = Multimodal.extractFeatures(ds,
+      Multimodal.RawImageKernel(undecodable = "stub")).collect()
+    assert(stubbed.length == 1 && stubbed.head.features.length == 64)
+  }
 }

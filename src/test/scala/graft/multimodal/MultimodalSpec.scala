@@ -49,11 +49,19 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
 
     val q = feats.filter(_.media_id == 0L).head().features.map(_.toDouble).toSeq
     val hits = catalog.query("mm", "stub16", q, k = 3).collect()
+    // meta is TypedMeta-encoded: media_id stays an int literal, kind a string
     assert(hits.head.getAs[Map[String, String]]("meta")("media_id") == "0")
-    // filtered by modality
-    val imgOnly = catalog.query("mm", "stub16", q, k = 10,
-      metadataFilter = Map("kind" -> "image")).collect()
+    assert(hits.head.getAs[Map[String, String]]("meta")("kind") == "\"image\"")
+    // filtered by modality through the typed path (string "image", not int)
+    val imgOnly = catalog.queryTyped("mm", "stub16", q, k = 10,
+      typedFilter = Map("kind" -> "image")).collect()
     assert(imgOnly.nonEmpty)
-    assert(imgOnly.forall(_.getAs[Map[String, String]]("meta")("kind") == "image"))
+    assert(imgOnly.forall(_.getAs[Map[String, String]]("meta")("kind") == "\"image\""))
+    // typed discrimination: media_id is an INT in meta — int filter finds it
+    val byId = catalog.queryTyped("mm", "stub16", q, k = 1,
+      typedFilter = Map("media_id" -> 0)).collect()
+    assert(byId.length == 1)
+    assert(catalog.queryTyped("mm", "stub16", q, k = 1,
+      typedFilter = Map("media_id" -> "0")).isEmpty)
   }
 }

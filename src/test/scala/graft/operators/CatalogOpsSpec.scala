@@ -37,6 +37,19 @@ class CatalogOpsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("batchQuery on a sparse index: underfilled probes fall back to exact") {
+    val cat = newCatalog
+    cat.create("u", "tiny", StoreConfig(dimension = 4))
+    val rnd = new scala.util.Random(3)
+    cat.addVectors("u", "tiny",
+      Seq.fill(8)(Seq.fill(4)(rnd.nextFloat())).map(Tuple1(_)).toDF("vector"))
+    cat.buildIndex("u", "tiny", nLists = 4)
+    // nProbe=1 reads ~2 of 8 vectors but k=5: the batch path must detect the
+    // underfill and rescan exactly, like the single-query path does
+    val res = cat.batchQuery("u", "tiny", Seq(Seq.fill(4)(0.5)), 5, nProbe = 1)
+    assert(res.count() == 5, "underfilled batch ANN must fall back to exact")
+  }
+
   test("ingest and delete are single-pass (job counts via SparkListener)") {
     val cat = newCatalog
     cat.create("u", "jc", StoreConfig(dimension = 4))

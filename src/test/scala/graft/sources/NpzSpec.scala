@@ -65,6 +65,14 @@ class NpzSpec extends AnyFunSuite with SparkSpec {
     assert(ids == (0 until 25).map(_.toString).toSet)
   }
 
+  test("ids member length mismatch fails fast with the file name") {
+    val e = intercept[org.apache.spark.SparkException] {
+      BulkLoad.npz(spark, resourcePath("golden_vectors_bad_ids.npz")).count()
+    }
+    val msg = e.getCause match { case c: Throwable => c.getMessage; case _ => e.getMessage }
+    assert(msg.contains("10 entries for 25 vectors"), s"unhelpful error: $msg")
+  }
+
   test("clear errors on wrong inputs") {
     intercept[IllegalArgumentException](Npy.parseNpy("not numpy".getBytes))
     val arrays = Npy.parseNpz(resourceBytes("golden_vectors.npz"))

@@ -58,6 +58,17 @@ class TypedMetaSpec extends AnyFunSuite with SparkSpec {
     assert(ids(Map("missing" -> 1)) == Set.empty[Long])
   }
 
+  test("float filter matches a stored float of the same value") {
+    val fdf = Seq((1L, 0.1f), (2L, 0.25f)).toDF("id", "score")
+      .select($"id", TypedMeta.metaColumn("score" -> $"score").as("meta"))
+    def got(v: Any): Set[Long] =
+      fdf.filter(TypedMeta.typedEquals($"meta", "score", v))
+        .select($"id").collect().map(_.getLong(0)).toSet
+    assert(got(0.1f) == Set(1L), "0.1f must match its own stored value")
+    assert(got(0.25f) == Set(2L))
+    assert(got(0.25) == Set(2L), "dyadic double matches the float")
+  }
+
   test("legacy raw string maps still match string filters") {
     val legacy = Seq((1L, Map("category" -> "A")), (2L, Map("category" -> "B")))
       .toDF("id", "meta")
