@@ -41,6 +41,19 @@ object TextAnalysis {
     size(filter(toks, t => t.isin(stops: _*))).cast("double") /
       greatest(size(toks), lit(1))
 
+  /** Fraction of characters in the CJK Unified Ideographs block — stopword
+    * heuristics are blind to unsegmented scripts, so Chinese is detected by
+    * script ratio instead (the standard CLD-style shortcut).
+    */
+  def cjkRatio(text: Column): Column =
+    length(regexp_replace(text, "[^一-鿿]", "")).cast("double") /
+      greatest(length(text), lit(1))
+
+  /** Script-detection threshold: above this CJK character share, the doc is
+    * labeled zh regardless of stopword scores.
+    */
+  val CjkThreshold = 0.3
+
   /** n-gram-heuristic language ID: argmax of per-language stopword ratios.
     * Returns struct(lang: string, confidence: double); lang = "und"
     * (undetermined) when no profile matches at all.
@@ -55,10 +68,13 @@ object TextAnalysis {
       lang -> stopwordRatio(toks, stops)
     }
     val best = greatest(scored.map(_._2): _*)
-    val lang = scored.foldLeft(lit("und")) { case (acc, (l, s)) =>
+    val latin = scored.foldLeft(lit("und")) { case (acc, (l, s)) =>
       when(s === best && best > 0, lit(l)).otherwise(acc)
     }
-    struct(lang.as("lang"), best.as("confidence"))
+    val cjk = cjkRatio(text)
+    struct(
+      when(cjk > CjkThreshold, lit("zh")).otherwise(latin).as("lang"),
+      when(cjk > CjkThreshold, cjk).otherwise(best).as("confidence"))
   }
 
   /** Staged language ID: per-language scores are materialized as aliased
@@ -77,17 +93,18 @@ object TextAnalysis {
     val scoreCols = profiles.map { case (l, _) => s"_lid_$l" }
     val staged = df
       .withColumn(toksCol, tokens(lower(col(textCol))))
-      .select(col("*") +: profiles.map { case (l, stops) =>
+      .select(col("*") +: (profiles.map { case (l, stops) =>
         stopwordRatio(col(toksCol), stops).as(s"_lid_$l")
-      }: _*)
+      } :+ cjkRatio(col(textCol)).as("_lid_cjk")): _*)
     val best = greatest(scoreCols.map(col): _*)
-    val lang = profiles.map(_._1).zip(scoreCols).foldLeft(lit("und")) {
+    val latin = profiles.map(_._1).zip(scoreCols).foldLeft(lit("und")) {
       case (acc, (l, sc)) => when(col(sc) === best && best > 0, lit(l)).otherwise(acc)
     }
+    val isCjk = col("_lid_cjk") > CjkThreshold
     staged
-      .withColumn(langCol, lang)
-      .withColumn(confCol, best)
-      .drop(toksCol +: scoreCols: _*)
+      .withColumn(langCol, when(isCjk, lit("zh")).otherwise(latin))
+      .withColumn(confCol, when(isCjk, col("_lid_cjk")).otherwise(best))
+      .drop(toksCol +: "_lid_cjk" +: scoreCols: _*)
   }
 
   // ------------------------------------------------------------ quality

@@ -57,6 +57,22 @@ class TextAnalysisSpec extends AnyFunSuite with SparkSpec {
     assert(langs == Seq("en", "de"))
   }
 
+  test("languageId detects Chinese by CJK script ratio (stopwords are blind to it)") {
+    val df = Seq(
+      "今天天气很好我们一起去公园散步吧",              // pure CJK
+      "the model 模型 was trained on 数据 yesterday", // mixed, mostly latin
+      "the cat sat on the mat and it was happy").toDF("t")
+    val col1 = df.select(TextAnalysis.languageId($"t").as("l"))
+      .select($"l.lang", $"l.confidence").collect()
+    assert(col1(0).getString(0) == "zh" && col1(0).getDouble(1) > 0.9)
+    assert(col1(1).getString(0) != "zh", "minor CJK presence must not flip the label")
+    assert(col1(2).getString(0) == "en")
+    // staged form agrees with the Column form
+    val staged = TextAnalysis.withLanguageId(df, "t")
+      .select($"lang").collect().map(_.getString(0)).toSeq
+    assert(staged == col1.map(_.getString(0)).toSeq)
+  }
+
   test("token counts: whitespace and BPE-ish regex") {
     val df = Seq("Hello, world! It's 42.").toDF("t")
     val ws = df.select(TextAnalysis.tokenCount($"t")).head().getLong(0)
