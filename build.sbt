@@ -9,6 +9,9 @@ libraryDependencies ++= Seq(
   "org.scalatest" %% "scalatest" % "3.2.19" % Test,
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
 )
+// Pin source encoding: behavioral string literals must not depend on the
+// launcher's locale (escapes are still preferred for non-ASCII classes).
+ThisBuild / scalacOptions ++= Seq("-encoding", "UTF-8")
 Test / fork := true
 run / fork := true
 // Forked `run` output goes straight to stdout, NOT through sbt's logger —

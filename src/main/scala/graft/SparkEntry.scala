@@ -633,8 +633,14 @@ object SparkEntry {
         |      / greatest(len(regexp_split_to_array(lower(text), '\s+')), 1) AS s_es,
         |    CAST(len(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x IN ('le','la','de','et','un','une','est','que','pour','dans'))) AS DOUBLE)
         |      / greatest(len(regexp_split_to_array(lower(text), '\s+')), 1) AS s_fr,
-        |    CAST(length(regexp_replace(text, '[^一-鿿]', '', 'g')) AS DOUBLE)
-        |      / greatest(length(text), 1) AS s_cjk,
+        |    CAST(length(regexp_replace(text, '[^\x{3040}-\x{30FF}\x{4E00}-\x{9FFF}]', '', 'g')) AS DOUBLE)
+        |      / greatest(length(text), 1) AS s_jp,
+        |    CAST(length(regexp_replace(text, '[^\x{3040}-\x{30FF}]', '', 'g')) AS DOUBLE)
+        |      / greatest(length(text), 1) AS s_kana,
+        |    CAST(length(regexp_replace(text, '[^\x{AC00}-\x{D7AF}]', '', 'g')) AS DOUBLE)
+        |      / greatest(length(text), 1) AS s_hangul,
+        |    CAST(length(regexp_replace(text, '[^\x{4E00}-\x{9FFF}]', '', 'g')) AS DOUBLE)
+        |      / greatest(length(text), 1) AS s_kanji,
         |    CAST(length(text) AS DOUBLE) AS q_chars,
         |    CAST(len(regexp_split_to_array(text, '\s+')) AS DOUBLE) AS q_toks,
         |    CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS DOUBLE) AS q_punct,
@@ -642,7 +648,7 @@ object SparkEntry {
         |    CAST(length(regexp_replace(text, '[^A-Z]', '', 'g')) AS DOUBLE) AS q_upper
         |  FROM documents),
         |scored AS (
-        |  SELECT doc_id, s_de, s_en, s_es, s_fr, s_cjk,
+        |  SELECT doc_id, s_de, s_en, s_es, s_fr, s_jp, s_kana, s_hangul, s_kanji,
         |    greatest(s_de, s_en, s_es, s_fr) AS best,
         |    q_chars,
         |    (q_chars - (greatest(q_toks, 1.0) - 1)) / greatest(q_toks, 1.0) AS avg_tok,
@@ -651,13 +657,18 @@ object SparkEntry {
         |    q_upper / greatest(q_chars, 1.0) AS upper_r
         |  FROM staged)
         |SELECT doc_id,
-        |  CASE WHEN s_cjk > 0.3 THEN 'zh'
+        |  CASE WHEN s_jp > 0.3 AND s_kana > 0.05 THEN 'ja'
+        |       WHEN s_hangul > 0.3 THEN 'ko'
+        |       WHEN s_kanji > 0.3 THEN 'zh'
         |       WHEN s_fr = best AND best > 0 THEN 'fr'
         |       WHEN s_es = best AND best > 0 THEN 'es'
         |       WHEN s_en = best AND best > 0 THEN 'en'
         |       WHEN s_de = best AND best > 0 THEN 'de'
         |       ELSE 'und' END AS lang,
-        |  CASE WHEN s_cjk > 0.3 THEN s_cjk ELSE best END AS confidence,
+        |  CASE WHEN s_jp > 0.3 AND s_kana > 0.05 THEN s_jp
+        |       WHEN s_hangul > 0.3 THEN s_hangul
+        |       WHEN s_kanji > 0.3 THEN s_kanji
+        |       ELSE best END AS confidence,
         |  (least(q_chars / 1000.0, 1.0) * 0.25)
         |    + ((CASE WHEN avg_tok BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.3 END) * 0.25)
         |    + ((CASE WHEN punct_r BETWEEN 0.0 AND 0.1 THEN 1.0 ELSE 0.5 END) * 0.2)

@@ -41,18 +41,32 @@ object TextAnalysis {
     size(filter(toks, t => t.isin(stops: _*))).cast("double") /
       greatest(size(toks), lit(1))
 
-  /** Fraction of characters in the CJK Unified Ideographs block — stopword
-    * heuristics are blind to unsegmented scripts, so Chinese is detected by
-    * script ratio instead (the standard CLD-style shortcut).
+  /** Share of characters inside a script range (regex char class kept in
+    * \\u escapes — a non-UTF-8 build locale must not mangle the class).
     */
-  def cjkRatio(text: Column): Column =
-    length(regexp_replace(text, "[^一-鿿]", "")).cast("double") /
+  private def scriptRatio(text: Column, charClass: String): Column =
+    length(regexp_replace(text, charClass, "")).cast("double") /
       greatest(length(text), lit(1))
 
-  /** Script-detection threshold: above this CJK character share, the doc is
-    * labeled zh regardless of stopword scores.
+  /** CJK Unified Ideographs (kanji/hanzi) share. */
+  def cjkRatio(text: Column): Column = scriptRatio(text, "[^\u4E00-\u9FFF]")
+
+  /** Hiragana + katakana share — kana presence separates ja from zh. */
+  def kanaRatio(text: Column): Column = scriptRatio(text, "[^\u3040-\u30FF]")
+
+  /** Hangul syllables share. */
+  def hangulRatio(text: Column): Column = scriptRatio(text, "[^\uAC00-\uD7AF]")
+
+  /** Japanese-script share (kana + kanji together). */
+  def japaneseScriptRatio(text: Column): Column =
+    scriptRatio(text, "[^\u3040-\u30FF\u4E00-\u9FFF]")
+
+  /** Script-detection thresholds: above `CjkThreshold` total script share a
+    * doc is labeled by script (ja needs `KanaThreshold` of kana on top —
+    * kanji-only text is zh, kanji+kana is ja), before any stopword scoring.
     */
   val CjkThreshold = 0.3
+  val KanaThreshold = 0.05
 
   /** n-gram-heuristic language ID: argmax of per-language stopword ratios.
     * Returns struct(lang: string, confidence: double); lang = "und"
@@ -71,10 +85,21 @@ object TextAnalysis {
     val latin = scored.foldLeft(lit("und")) { case (acc, (l, s)) =>
       when(s === best && best > 0, lit(l)).otherwise(acc)
     }
-    val cjk = cjkRatio(text)
+    // script detection outranks stopwords; NOTE the confidence SCALE differs
+    // by branch — script share for ja/ko/zh, stopword-token ratio for latin
+    // languages — so confidence cutoffs must be per-language
+    val jp = japaneseScriptRatio(text)
+    val kana = kanaRatio(text)
+    val hangul = hangulRatio(text)
+    val kanji = cjkRatio(text)
+    val isJa = jp > CjkThreshold && kana > KanaThreshold
+    val isKo = hangul > CjkThreshold
+    val isZh = kanji > CjkThreshold
     struct(
-      when(cjk > CjkThreshold, lit("zh")).otherwise(latin).as("lang"),
-      when(cjk > CjkThreshold, cjk).otherwise(best).as("confidence"))
+      when(isJa, lit("ja")).when(isKo, lit("ko")).when(isZh, lit("zh"))
+        .otherwise(latin).as("lang"),
+      when(isJa, jp).when(isKo, hangul).when(isZh, kanji)
+        .otherwise(best).as("confidence"))
   }
 
   /** Staged language ID: per-language scores are materialized as aliased
@@ -91,20 +116,32 @@ object TextAnalysis {
     val toksCol = "_lid_toks"
     val profiles = StopwordProfiles.toSeq.sortBy(_._1)
     val scoreCols = profiles.map { case (l, _) => s"_lid_$l" }
+    val scriptCols = Seq("_lid_jp", "_lid_kana", "_lid_hangul", "_lid_kanji")
     val staged = df
       .withColumn(toksCol, tokens(lower(col(textCol))))
       .select(col("*") +: (profiles.map { case (l, stops) =>
         stopwordRatio(col(toksCol), stops).as(s"_lid_$l")
-      } :+ cjkRatio(col(textCol)).as("_lid_cjk")): _*)
+      } ++ Seq(
+        japaneseScriptRatio(col(textCol)).as("_lid_jp"),
+        kanaRatio(col(textCol)).as("_lid_kana"),
+        hangulRatio(col(textCol)).as("_lid_hangul"),
+        cjkRatio(col(textCol)).as("_lid_kanji"))): _*)
     val best = greatest(scoreCols.map(col): _*)
     val latin = profiles.map(_._1).zip(scoreCols).foldLeft(lit("und")) {
       case (acc, (l, sc)) => when(col(sc) === best && best > 0, lit(l)).otherwise(acc)
     }
-    val isCjk = col("_lid_cjk") > CjkThreshold
+    // same branch order + confidence scales as [[languageId]]
+    val isJa = col("_lid_jp") > CjkThreshold && col("_lid_kana") > KanaThreshold
+    val isKo = col("_lid_hangul") > CjkThreshold
+    val isZh = col("_lid_kanji") > CjkThreshold
     staged
-      .withColumn(langCol, when(isCjk, lit("zh")).otherwise(latin))
-      .withColumn(confCol, when(isCjk, col("_lid_cjk")).otherwise(best))
-      .drop(toksCol +: "_lid_cjk" +: scoreCols: _*)
+      .withColumn(langCol,
+        when(isJa, lit("ja")).when(isKo, lit("ko")).when(isZh, lit("zh"))
+          .otherwise(latin))
+      .withColumn(confCol,
+        when(isJa, col("_lid_jp")).when(isKo, col("_lid_hangul"))
+          .when(isZh, col("_lid_kanji")).otherwise(best))
+      .drop(toksCol +: (scriptCols ++ scoreCols): _*)
   }
 
   // ------------------------------------------------------------ quality

@@ -57,20 +57,38 @@ class TextAnalysisSpec extends AnyFunSuite with SparkSpec {
     assert(langs == Seq("en", "de"))
   }
 
-  test("languageId detects Chinese by CJK script ratio (stopwords are blind to it)") {
-    val df = Seq(
-      "今天天气很好我们一起去公园散步吧",              // pure CJK
-      "the model 模型 was trained on 数据 yesterday", // mixed, mostly latin
-      "the cat sat on the mat and it was happy").toDF("t")
-    val col1 = df.select(TextAnalysis.languageId($"t").as("l"))
+  test("script detection: zh/ja/ko by character ranges (stopwords are blind to them)") {
+    // non-ASCII fixtures are safe here because build.sbt pins -encoding
+    // UTF-8 (the production char classes still use \u escapes outright)
+    val zh = "今天天气很好我们一起去"
+    val ja = "日本の経済は成長している" // kanji + kana mix
+    val ko = "한국어 문장입니다"
+
+    val mixed = s"the model 模型 was trained on 数据 yesterday"
+    val en = "the cat sat on the mat and it was happy"
+    val df = Seq(zh, ja, ko, mixed, en).toDF("t")
+    val got = df.select(TextAnalysis.languageId($"t").as("l"))
       .select($"l.lang", $"l.confidence").collect()
-    assert(col1(0).getString(0) == "zh" && col1(0).getDouble(1) > 0.9)
-    assert(col1(1).getString(0) != "zh", "minor CJK presence must not flip the label")
-    assert(col1(2).getString(0) == "en")
-    // staged form agrees with the Column form
+    assert(got(0).getString(0) == "zh" && got(0).getDouble(1) > 0.9)
+    assert(got(1).getString(0) == "ja", "kanji+kana must be ja, not zh")
+    assert(got(2).getString(0) == "ko")
+    assert(got(3).getString(0) != "zh", "minor CJK presence must not flip the label")
+    assert(got(4).getString(0) == "en")
+    // staged form agrees with the Column form on BOTH lang and confidence
     val staged = TextAnalysis.withLanguageId(df, "t")
-      .select($"lang").collect().map(_.getString(0)).toSeq
-    assert(staged == col1.map(_.getString(0)).toSeq)
+      .select($"lang", $"confidence").collect()
+    assert(staged.map(_.getString(0)).toSeq == got.map(_.getString(0)).toSeq)
+    assert(staged.map(_.getDouble(1)).toSeq == got.map(_.getDouble(1)).toSeq)
+  }
+
+  test("script threshold is strictly greater-than at the 0.3 boundary") {
+    // exactly 3 kanji in 10 chars = 0.30: NOT > 0.3, stays latin-scored
+    val boundary = "一丁丂 abcdef"
+    assert(boundary.length == 10)
+    val lang = Seq(boundary).toDF("t")
+      .select(TextAnalysis.languageId($"t").as("l"))
+      .select($"l.lang").head().getString(0)
+    assert(lang != "zh", "ratio == threshold must not trigger script label")
   }
 
   test("token counts: whitespace and BPE-ish regex") {
