@@ -384,6 +384,19 @@ object SparkEntry {
         .select(col("query_id"), col("id").as("vec_id"), col("rank").as("rnk"))
     }),
 
+    // Amortized-throughput batch kNN: 500 queries in one blocked pass — the
+    // shape that shows batch QPS once Spark's fixed per-job cost is spread
+    // (100 queries at sf0.1 are overhead-dominated: the kernel work is
+    // microseconds against ~0.3s of scheduling).
+    "q36_batch_knn_500" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 500)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      val store = emb.select(col("vec_id").as("id"), col("embedding").as("vector"))
+      Knn.batchTopKBlocked(queries, store, k = 10)
+        .select(col("query_id"), col("id").as("vec_id"), col("rank").as("rnk"))
+    }),
+
     // Embedding near-dup via the SCALABLE hyperplane-LSH path, oracle-checked:
     // the corpus is embeddings plus positively-scaled copies (ids +10000).
     // Scaling by 2 preserves every hyperplane sign bit exactly (doubling is
@@ -773,6 +786,14 @@ object SparkEntry {
     // Identical text => identical fingerprint, so every doc pairs with its
     // planted copy — deterministically, whatever the hash family computes.
     "q35_simhash_exact_dup" ->
-      "SELECT doc_id AS id_a, doc_id + 100000 AS id_b FROM documents"
+      "SELECT doc_id AS id_a, doc_id + 100000 AS id_b FROM documents",
+
+    "q36_batch_knn_500" ->
+      """SELECT query_id, vec_id, rnk FROM (
+        |  SELECT q.vec_id AS query_id, e.vec_id,
+        |    CAST(row_number() OVER (PARTITION BY q.vec_id ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])) DESC, e.vec_id ASC) AS BIGINT) AS rnk
+        |  FROM embeddings e,
+        |       (SELECT * FROM embeddings WHERE vec_id < 500) q
+        |) WHERE rnk <= 10""".stripMargin
   )
 }
