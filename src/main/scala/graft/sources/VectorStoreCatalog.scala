@@ -326,6 +326,51 @@ class VectorStoreCatalog(spark: SparkSession, root: String) {
     (before.length, parquetFiles.length)
   }
 
+  /** Storage-level health report (reference health_check shape:
+    * {'healthy', 'issues': [...]} — tests/demo.py:255-258; its serving-side
+    * inputs (circuit breakers, error rates) are out-of-engine, so the
+    * engine checks what a storage engine can check: config parses, data
+    * readable, every vector matches the configured dimension, no null
+    * vectors, and — when an IVF index exists — index readable and row-count
+    * in sync with the store. One scan over the data.
+    */
+  def healthCheck(userId: String, modelId: String): HealthReport = {
+    val issues = scala.collection.mutable.ArrayBuffer.empty[String]
+    val cfg = try Some(config(userId, modelId)) catch {
+      case e: Exception => issues += s"config unreadable: ${e.getMessage}"; None
+    }
+    var nRows = 0L
+    cfg.foreach { c =>
+      try {
+        val stats = load(userId, modelId).agg(
+          org.apache.spark.sql.functions.count(lit(1)).as("n"),
+          org.apache.spark.sql.functions.count(when(col("vector").isNull, 1))
+            .as("nulls"),
+          org.apache.spark.sql.functions.count(
+            when(col("vector").isNotNull && size(col("vector")) =!= c.dimension, 1))
+            .as("bad_dim")).head()
+        nRows = stats.getLong(0)
+        if (stats.getLong(1) > 0) issues += s"${stats.getLong(1)} null vectors"
+        if (stats.getLong(2) > 0)
+          issues += s"${stats.getLong(2)} vectors with dimension != ${c.dimension}"
+      } catch {
+        case e: Exception => issues += s"data unreadable: ${e.getMessage}"
+      }
+      if (c.indexType == "ivf") {
+        try {
+          val idx = graft.ml.IvfIndex.load(spark, indexPath(userId, modelId), c.metric)
+          val indexed = idx.listStats()
+            .agg(org.apache.spark.sql.functions.sum(col("n_vectors"))).head().getLong(0)
+          if (indexed != nRows)
+            issues += s"index out of sync: $indexed indexed of $nRows rows"
+        } catch {
+          case e: Exception => issues += s"index unreadable: ${e.getMessage}"
+        }
+      }
+    }
+    HealthReport(issues.isEmpty, issues.toSeq, nRows)
+  }
+
   /** Clear store data, keep config (reference clear(),
     * service/optimized_vector_store.py:198-209).
     */
@@ -341,6 +386,9 @@ class VectorStoreCatalog(spark: SparkSession, root: String) {
     fs.delete(new Path(storePath(userId, modelId)), true)
   }
 }
+
+/** Result of [[VectorStoreCatalog.healthCheck]]. */
+case class HealthReport(healthy: Boolean, issues: Seq[String], vectorCount: Long)
 
 object VectorStoreCatalog {
   /** Reference serving caps (api/routes/batch_v1.py:63-64, service/models.py:53). */

@@ -37,6 +37,40 @@ class CatalogOpsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("healthCheck: green store, dim violations, index desync all reported") {
+    val cat = newCatalog
+    cat.create("u", "hc", StoreConfig(dimension = 4))
+    val rnd = new scala.util.Random(2)
+    cat.addVectors("u", "hc",
+      Seq.fill(50)(Seq.fill(4)(rnd.nextFloat())).map(Tuple1(_)).toDF("vector"))
+    val ok = cat.healthCheck("u", "hc")
+    assert(ok.healthy && ok.issues.isEmpty && ok.vectorCount == 50)
+
+    // smuggle wrong-dimension rows past ingest validation (simulates
+    // external writes / corruption): write a parquet file into data/ directly
+    Seq((9999L, Seq(1.0f, 2.0f), Map.empty[String, String]))
+      .toDF("id", "vector", "meta")
+      .write.mode("append").parquet(s"${cat.storePath("u", "hc")}/data")
+    val bad = cat.healthCheck("u", "hc")
+    assert(!bad.healthy)
+    assert(bad.issues.exists(_.contains("dimension != 4")), bad.issues.mkString("; "))
+
+    // index desync: build, then append rows while the index dir is detached
+    val cat2 = newCatalog
+    cat2.create("u", "hc2", StoreConfig(dimension = 4))
+    cat2.addVectors("u", "hc2",
+      Seq.fill(40)(Seq.fill(4)(rnd.nextFloat())).map(Tuple1(_)).toDF("vector"))
+    cat2.buildIndex("u", "hc2", nLists = 2)
+    assert(cat2.healthCheck("u", "hc2").healthy)
+    // write to the store bypassing addVectors' index sync
+    Seq((8888L, Seq(1f, 2f, 3f, 4f), Map.empty[String, String]))
+      .toDF("id", "vector", "meta")
+      .write.mode("append").parquet(s"${cat2.storePath("u", "hc2")}/data")
+    val desync = cat2.healthCheck("u", "hc2")
+    assert(!desync.healthy)
+    assert(desync.issues.exists(_.contains("out of sync")), desync.issues.mkString("; "))
+  }
+
   test("batchQuery on a sparse index: underfilled probes fall back to exact") {
     val cat = newCatalog
     cat.create("u", "tiny", StoreConfig(dimension = 4))
