@@ -24,9 +24,15 @@ object Knn {
 
   /** Conjunctive metadata equality predicate over a map<string,string> column —
     * the reference's only filter form (service/optimized_vector_store.py:159-167).
+    * A string filter matches the raw value OR its TypedMeta JSON-string
+    * literal, so the string-filter API keeps working on stores ingested with
+    * typed encoding (where "image" is stored as "\"image\"").
     */
   def metadataPredicate(metaCol: Column, filter: Map[String, String]): Column =
-    filter.foldLeft(lit(true)) { case (acc, (k, v)) => acc && metaCol(k) === lit(v) }
+    filter.foldLeft(lit(true)) { case (acc, (k, v)) =>
+      acc && (metaCol(k) === lit(v) ||
+        metaCol(k) === lit(graft.sources.TypedMeta.jsonString(v)))
+    }
 
   /** Single-query kNN over a store DataFrame.
     *

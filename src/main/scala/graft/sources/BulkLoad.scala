@@ -75,8 +75,13 @@ object BulkLoad {
         val mat = vectors.toFloatMatrix
         ids.foreach(a => require(a.length == mat.length,
           s"npz bulk file $file: ids member has ${a.length} entries for ${mat.length} vectors"))
+        // minted ids are per-FILE (reference semantics); source_file keeps
+        // rows from a multi-file glob distinguishable despite that
+        val fileName = file.substring(file.lastIndexOf('/') + 1)
         mat.iterator.zipWithIndex.map { case (v, i) =>
-          (v.toSeq, Map("id" -> ids.map(a => a(i).toString).getOrElse(s"bulk_$i")))
+          (v.toSeq, Map(
+            "id" -> ids.map(a => a(i).toString).getOrElse(s"bulk_$i"),
+            "source_file" -> fileName))
         }
       }
       .toDF("vector", "meta")

@@ -84,8 +84,12 @@ object TypedMeta {
     value match {
       case s: String => raw === lit(jsonString(s)) || legacyBare(s)
       case b: Boolean => numeric(if (b) 1.0 else 0.0)
+      // integral values beyond 2^53 lose identity as doubles (adjacent longs
+      // would falsely compare equal) — match those through an exact DECIMAL
+      // cast instead, mirroring Python's arbitrary-precision ==
       case i: Int => numeric(i.toDouble)
-      case l: Long => numeric(l.toDouble)
+      case l: Long if math.abs(l) < (1L << 53) => numeric(l.toDouble)
+      case l: Long => raw.try_cast("decimal(38,0)") === lit(l)
       case s: Short => numeric(s.toDouble)
       case b: Byte => numeric(b.toDouble)
       // NOT f.toDouble: a stored float round-trips through its shortest

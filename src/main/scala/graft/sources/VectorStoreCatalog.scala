@@ -245,11 +245,15 @@ class VectorStoreCatalog(spark: SparkSession, root: String) {
   def deleteVectors(userId: String, modelId: String, predicate: org.apache.spark.sql.Column): Long = {
     // single pass: the deleted-row count is observed below the filter inside
     // the rewrite itself (the CollectMetrics barrier sees every scanned row),
-    // replacing the previous before-count + kept-count + write triple scan
+    // replacing the previous before-count + kept-count + write triple scan.
+    // Deleted = NOT kept: filter(!predicate) also drops NULL-predicate rows
+    // (e.g. a missing meta key), so the count must mirror that exactly —
+    // counting `when(predicate, 1)` alone would deny NULL-row deletions.
     val obs = org.apache.spark.sql.Observation()
     val kept = load(userId, modelId)
       .observe(obs,
-        org.apache.spark.sql.functions.count(when(predicate, lit(1))).as("matched"))
+        org.apache.spark.sql.functions.count(
+          when(coalesce(predicate, lit(true)), lit(1))).as("matched"))
       .filter(!predicate)
     val tmp = s"${storePath(userId, modelId)}/_data_rewrite"
     kept.write.mode("overwrite").parquet(tmp)
@@ -340,6 +344,7 @@ class VectorStoreCatalog(spark: SparkSession, root: String) {
       case e: Exception => issues += s"config unreadable: ${e.getMessage}"; None
     }
     var nRows = 0L
+    var dataOk = false
     cfg.foreach { c =>
       try {
         val stats = load(userId, modelId).agg(
@@ -353,10 +358,13 @@ class VectorStoreCatalog(spark: SparkSession, root: String) {
         if (stats.getLong(1) > 0) issues += s"${stats.getLong(1)} null vectors"
         if (stats.getLong(2) > 0)
           issues += s"${stats.getLong(2)} vectors with dimension != ${c.dimension}"
+        dataOk = true
       } catch {
         case e: Exception => issues += s"data unreadable: ${e.getMessage}"
       }
-      if (c.indexType == "ivf") {
+      // sync check only when the store count is known — an unreadable store
+      // must not masquerade as an index-desync problem
+      if (c.indexType == "ivf" && dataOk) {
         try {
           val idx = graft.ml.IvfIndex.load(spark, indexPath(userId, modelId), c.metric)
           val indexed = idx.listStats()

@@ -135,8 +135,11 @@ object Streams {
     new java.io.File(dir).mkdirs()
 
     def record(operationId: String, batchId: Long, rows: Long): Unit = {
+      // JSON-escape the id (quotes/backslashes in user/model names must not
+      // yield malformed events the PERMISSIVE reader nulls out silently)
+      val opJson = graft.sources.TypedMeta.jsonString(operationId)
       val event =
-        s"""{"operation_id":"$operationId","batch_id":$batchId,""" +
+        s"""{"operation_id":$opJson,"batch_id":$batchId,""" +
           s""""rows":$rows,"ts_ms":${System.currentTimeMillis()}}"""
       // write-then-atomic-rename so a tailing consumer can never observe a
       // partially written event: dot-prefixed files are invisible to Spark's

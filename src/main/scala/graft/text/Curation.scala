@@ -42,10 +42,14 @@ object Curation {
       minQuality: Double = 0.5,
       dedupThreshold: Double = 0.7,
       shingleLen: Int = 3): DataFrame = {
+    // pin the regex-heavy lang/quality lineage ONCE: it feeds the survivor
+    // filter, the dedup-pair generation, the group labeling, and the final
+    // join — unpinned, Catalyst recomputes it for each (3-4 corpus scans)
     val flagged = TextAnalysis.withQualityScore(
         TextAnalysis.withLanguageId(df, textCol), textCol)
       .withColumn("lang_ok", col("lang").isin(langs.toSeq: _*))
       .withColumn("quality_ok", col("quality") >= minQuality)
+      .localCheckpoint(true)
 
     // dedup only among rows that survive the cheap gates
     val survivors = flagged.filter(col("lang_ok") && col("quality_ok"))

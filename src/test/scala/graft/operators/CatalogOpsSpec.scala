@@ -37,6 +37,24 @@ class CatalogOpsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("deleteVectors counts NULL-predicate rows it removes (missing meta key)") {
+    val cat = newCatalog
+    cat.create("u", "nul", StoreConfig(dimension = 2))
+    // 3 rows tagged, 2 rows with NO 'tag' key at all
+    val rows = Seq(
+      (Seq(1f, 2f), Map("tag" -> "keep")),
+      (Seq(1f, 2f), Map("tag" -> "drop")),
+      (Seq(1f, 2f), Map("tag" -> "drop")),
+      (Seq(1f, 2f), Map.empty[String, String]),
+      (Seq(1f, 2f), Map.empty[String, String])).toDF("vector", "meta")
+    cat.addVectors("u", "nul", rows)
+    // predicate is NULL for keyless rows; filter(!p) removes them too, so
+    // the returned count must say 4 (2 matched + 2 NULL), not 2
+    val deleted = cat.deleteVectors("u", "nul", col("meta")("tag") === "drop")
+    assert(deleted == 4, s"expected 4 deletions (2 match + 2 null), got $deleted")
+    assert(cat.count("u", "nul") == 1)
+  }
+
   test("healthCheck: green store, dim violations, index desync all reported") {
     val cat = newCatalog
     cat.create("u", "hc", StoreConfig(dimension = 4))

@@ -44,9 +44,12 @@ class NpzSpec extends AnyFunSuite with SparkSpec {
   test("npz -> DataFrame -> store ingest -> kNN round trip") {
     val df = BulkLoad.npz(spark, resourcePath("golden_vectors.npz"))
     assert(df.count() == 25)
-    // reference-minted metadata ids (batch_v1.py:408-410)
+    // reference-minted metadata ids (batch_v1.py:408-410), disambiguated
+    // across multi-file globs by source_file
     assert(df.select(col("meta")("id")).as[String].collect().toSet
       .contains("bulk_0"))
+    assert(df.select(col("meta")("source_file")).as[String].collect().toSet
+      == Set("golden_vectors.npz"))
 
     val cat = new VectorStoreCatalog(spark,
       java.nio.file.Files.createTempDirectory("graft_npz").toString)

@@ -69,6 +69,30 @@ class TypedMetaSpec extends AnyFunSuite with SparkSpec {
     assert(got(0.25) == Set(2L), "dyadic double matches the float")
   }
 
+  test("longs beyond 2^53 compare exactly, not through doubles") {
+    val big = 9007199254740993L // 2^53 + 1
+    val bdf = Seq((1L, big), (2L, big - 1)).toDF("id", "v")
+      .select($"id", TypedMeta.metaColumn("v" -> $"v").as("meta"))
+    def got(v: Long): Set[Long] =
+      bdf.filter(TypedMeta.typedEquals($"meta", "v", v))
+        .select($"id").collect().map(_.getLong(0)).toSet
+    assert(got(big) == Set(1L), "2^53+1 must match only itself")
+    assert(got(big - 1) == Set(2L), "adjacent longs must not collide via double")
+  }
+
+  test("string-filter API (metadataPredicate) matches typed-encoded stores") {
+    import graft.operators.Knn
+    val df = Seq((1L, "image"), (2L, "audio")).toDF("id", "kind")
+      .select($"id", TypedMeta.metaColumn("kind" -> $"kind").as("meta"))
+    val hit = df.filter(Knn.metadataPredicate($"meta", Map("kind" -> "image")))
+      .select($"id").collect().map(_.getLong(0)).toSet
+    assert(hit == Set(1L))
+    // and still matches legacy raw maps
+    val legacy = Seq((3L, Map("kind" -> "image"))).toDF("id", "meta")
+    assert(legacy.filter(Knn.metadataPredicate($"meta", Map("kind" -> "image")))
+      .count() == 1)
+  }
+
   test("legacy raw string maps still match string filters") {
     val legacy = Seq((1L, Map("category" -> "A")), (2L, Map("category" -> "B")))
       .toDF("id", "meta")
