@@ -75,12 +75,40 @@ object Demo {
          |FROM demo_store a JOIN demo_store b ON a.id < b.id
          |ORDER BY cos DESC LIMIT 5""".stripMargin).show()
 
-    // 7. Stats + delete-by-filter + cleanup
+    // 7. Stats + health + delete-by-filter
     catalog.stats().show()
+    val health = catalog.healthCheck("demo", "minilm")
+    println(s"[demo] health: healthy=${health.healthy} " +
+      s"vectors=${health.vectorCount} issues=${health.issues}")
     val deleted = catalog.deleteVectors("demo", "minilm", col("meta")("label") === "3")
     println(s"[demo] deleted $deleted rows with label=3; remaining = ${catalog.count("demo", "minilm")}")
     catalog.drop("demo", "minilm", force = true)
     println(s"[demo] stores after drop: ${catalog.list()}")
+
+    // 8. Typed metadata: reference demo corpus shape (priority = i % 3 as INT)
+    catalog.create("demo", "typed", StoreConfig(dimension = 64))
+    catalog.addVectors("demo", "typed", emb.select(
+      $"embedding".as("vector"),
+      graft.sources.TypedMeta.metaColumn(
+        "priority" -> ($"vec_id" % 3).cast("int"),
+        "label" -> $"label".cast("string")).as("meta")))
+    val prio1 = catalog.queryTyped("demo", "typed", q0, k = 5,
+      Map("priority" -> 1)).count()
+    val prio1Str = catalog.queryTyped("demo", "typed", q0, k = 5,
+      Map("priority" -> "1")).count()
+    println(s"[demo] typed filter priority=1 (int): $prio1 hits; " +
+      s"priority=\"1\" (string): $prio1Str hits (Python == semantics)")
+    catalog.drop("demo", "typed", force = true)
+
+    // 9. Corpus curation: language -> quality -> near-dup dedup in one pass
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val flagged = graft.text.Curation.withCurationFlags(
+      docs, "doc_id", "text", langs = Set("en", "und"),
+      minQuality = 0.3, dedupThreshold = 0.5)
+    val report = graft.text.Curation.report(flagged)
+    println(s"[demo] curation: ${report.input} docs -> ${report.kept} kept " +
+      s"(${report.droppedLang} lang, ${report.droppedQuality} quality, " +
+      s"${report.droppedDuplicate} dup)")
 
     spark.stop()
   }

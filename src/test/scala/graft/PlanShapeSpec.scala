@@ -47,6 +47,25 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
       s"expected Spark's rank-limit pushdown in:\n$p")
   }
 
+  test("q33: pruned ANN batch search carries a list_id partition filter") {
+    val p = plan("q33_ann_ivf_pruned")
+    val scanFilter = "PartitionFilters: \\[.*list_id.*IN".r
+    assert(scanFilter.findFirstIn(p).isDefined,
+      s"store scan must prune to probed lists:\n$p")
+  }
+
+  test("q34: typed metadata filter stays narrow (no shuffle)") {
+    val p = plan("q34_typed_meta_filter")
+    assert(!p.contains("Exchange"),
+      s"scan -> project -> filter must not shuffle:\n$p")
+  }
+
+  test("q36: amortized batch kNN keeps the partial top-k shape") {
+    val p = plan("q36_batch_knn_500")
+    assert(p.contains("partial_topkaggregator"),
+      s"expected partial bounded top-k before shuffle in:\n$p")
+  }
+
   test("q11: kernel scores in-plan and top-k never globally sorts") {
     // (whole-stage codegen of the kernel itself is asserted in
     // VectorFunctionsSpec — under AQE the pre-execution plan string carries
