@@ -454,6 +454,16 @@ object SparkEntry {
     // nProbe/nLists of the store; partition pruning asserted in
     // IvfIndexSpec). Approximate by design => rows-only check; exactness of
     // the machinery is locked by q23's full-probe equivalence.
+    // Near-dedup: exact n-gram (bigram) Jaccard with the size-ratio
+    // prefilter — the oracle-checkable baseline of the Jaccard family; the
+    // scale path over the same semantics is q18's MinHash banding. Distinct
+    // params from q18 (n=2, t=0.7) so both shingle generators are locked.
+    "q37_ngram_jaccard" -> ((s, dir) => {
+      operators.Dedup.nearDupPairsExact(
+        t(s, dir, "documents"), "doc_id", "text",
+        shingleLen = 2, threshold = 0.7)
+    }),
+
     "q33_ann_ivf_pruned" -> ((s, dir) => {
       val idx = ivfIndexFor(s, dir)
       val emb = t(s, dir, "embeddings")
@@ -787,6 +797,18 @@ object SparkEntry {
     // planted copy — deterministically, whatever the hash family computes.
     "q35_simhash_exact_dup" ->
       "SELECT doc_id AS id_a, doc_id + 100000 AS id_b FROM documents",
+
+    "q37_ngram_jaccard" ->
+      """WITH s AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, len(string_split(text,' '))),
+        |         i -> array_to_string(list_slice(string_split(text,' '), i, i+1), ' '))) AS sh
+        |  FROM documents)
+        |SELECT id_a, id_b, jaccard FROM (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |         CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |           (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+        |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+        |) WHERE jaccard >= 0.7""".stripMargin,
 
     "q36_batch_knn_500" ->
       """SELECT query_id, vec_id, rnk FROM (

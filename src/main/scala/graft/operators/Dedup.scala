@@ -136,6 +136,13 @@ object Dedup {
 
   /** Exact all-pairs n-gram Jaccard — O(N^2) correctness baseline and the
     * DuckDB-oracle-checkable form of near-dup detection.
+    *
+    * The size-ratio prefilter is a NECESSARY condition for the threshold
+    * (jaccard >= t implies |A∩B| <= min(|A|,|B|) and |A∪B| >= max(|A|,|B|),
+    * so min/max >= t), so it prunes pairs before the set-intersection work
+    * without changing the result — the candidate count drops from N²/2 to
+    * only the size-compatible band. The scale path for this semantics is
+    * [[nearDupPairsMinHash]] (oracle-verified against this exact form).
     */
   def nearDupPairsExact(
       df: DataFrame,
@@ -145,7 +152,11 @@ object Dedup {
       threshold: Double = 0.8): DataFrame = {
     val s = df.select(col(idCol).cast("long").as("id"),
       tokenShingles(col(textCol), shingleLen).as("sh"))
-    s.as("a").join(s.as("b"), col("a.id") < col("b.id"))
+      .withColumn("n", size(col("sh")))
+    s.as("a").join(s.as("b"),
+        col("a.id") < col("b.id") &&
+          least(col("a.n"), col("b.n")).cast("double") >=
+            greatest(col("a.n"), col("b.n")) * threshold)
       .select(
         col("a.id").as("id_a"), col("b.id").as("id_b"),
         jaccard(col("a.sh"), col("b.sh")).as("jaccard"))

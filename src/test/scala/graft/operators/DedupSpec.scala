@@ -45,6 +45,22 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(lsh == exact, s"LSH recall/precision mismatch: missed=${exact -- lsh} extra=${lsh -- exact}")
   }
 
+  test("size-ratio prefilter preserves the exact Jaccard result") {
+    // the prefilter is a necessary condition for jaccard >= t, so the exact
+    // path must return the same pairs as a plain all-pairs scan
+    val pre = Dedup.nearDupPairsExact(docs, "doc_id", "text", 2, threshold = 0.7)
+      .select($"id_a", $"id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val s = docs.select($"doc_id".cast("long").as("id"),
+      Dedup.tokenShingles($"text", 2).as("sh"))
+    val all = s.as("a").join(s.as("b"), $"a.id" < $"b.id")
+      .select($"a.id".as("id_a"), $"b.id".as("id_b"),
+        Dedup.jaccard($"a.sh", $"b.sh").as("j"))
+      .filter($"j" >= 0.7)
+      .select($"id_a", $"id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pre.nonEmpty, "testdata should contain planted bigram near-dups")
+    assert(pre == all, s"prefilter changed the result: missed=${all -- pre} extra=${pre -- all}")
+  }
+
   test("minhash jaccard estimate tracks exact jaccard") {
     // signature agreement rate approximates jaccard
     val df = Seq(
