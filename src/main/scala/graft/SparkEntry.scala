@@ -311,6 +311,20 @@ object SparkEntry {
         col("event_type"), col("n"), col("total_value"))
     }),
 
+    // Structured Streaming: exact dedup over the document stream, driven to
+    // completion — first arrival per text fingerprint survives. Output is
+    // the fingerprint set alone so the check is arrival-order-independent;
+    // oracle is batch DISTINCT over the same corpus.
+    "q38_stream_dedup" -> ((s, dir) => {
+      val name = s"q38_out_${System.nanoTime()}"
+      val dedup = streaming.Streams.dedupStream(
+        streaming.Streams.documentStream(s, dir, glob = Some("documents.parquet")))
+      val q = dedup.select(col("fp")).writeStream.outputMode("append")
+        .format("memory").queryName(name).start()
+      try q.processAllAvailable() finally q.stop()
+      s.table(name).select(col("fp"))
+    }),
+
     // A: ROLLUP grouping sets (Catalyst built-in; absent in the reference)
     "q25_rollup" -> ((s, dir) => {
       t(s, dir, "lineitem")
@@ -797,6 +811,9 @@ object SparkEntry {
     // planted copy — deterministically, whatever the hash family computes.
     "q35_simhash_exact_dup" ->
       "SELECT doc_id AS id_a, doc_id + 100000 AS id_b FROM documents",
+
+    "q38_stream_dedup" ->
+      "SELECT DISTINCT md5(text) AS fp FROM documents",
 
     "q37_ngram_jaccard" ->
       """WITH s AS (

@@ -113,6 +113,43 @@ object Streams {
       }
   }
 
+  // ----------------------------------------------------------- stream dedup
+
+  /** documents-table schema as the driver's parquet writes it. */
+  val DocumentSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  /** File-source document stream over a directory of parquet drops. */
+  def documentStream(spark: SparkSession, dir: String, glob: Option[String] = None): DataFrame = {
+    val reader = spark.readStream.schema(DocumentSchema)
+    glob.fold(reader)(g => reader.option("pathGlobFilter", g)).parquet(dir)
+  }
+
+  /** Streaming exact dedup: fingerprint the text and keep the first arrival
+    * per fingerprint. With an event-time column the state is bounded by the
+    * watermark (`dropDuplicatesWithinWatermark`) — the at-scale
+    * configuration, since corpus duplicates cluster in time (re-crawls,
+    * mirrored feeds) and state for fingerprints older than the watermark is
+    * dropped instead of growing with the corpus. Without an event-time
+    * column it falls back to global `dropDuplicates` — unbounded state, only
+    * for bounded (availableNow) replays.
+    */
+  def dedupStream(
+      docs: DataFrame,
+      textCol: String = "text",
+      eventTimeCol: Option[String] = None,
+      watermark: String = "1 hour"): DataFrame = {
+    val fp = docs.withColumn("fp", md5(col(textCol).cast("binary")))
+    eventTimeCol match {
+      case Some(tc) => fp.withWatermark(tc, watermark).dropDuplicatesWithinWatermark("fp")
+      case None => fp.dropDuplicates("fp")
+    }
+  }
+
   // -------------------------------------------------------- progress stream
 
   /** Schema of one progress event (reference SSE event payload shape,

@@ -33,6 +33,50 @@ class StreamsSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("dedupStream keeps one row per text fingerprint across micro-batch drops") {
+    val dropDir = tempDir("graft_dedup_drop")
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(60)
+    // two drops carrying the same 60 docs: every text arrives at least twice
+    docs.write.mode("append").parquet(dropDir)
+    docs.write.mode("append").parquet(dropDir)
+
+    val deduped = Streams.dedupStream(Streams.documentStream(spark, dropDir))
+    val q = deduped.select($"fp").writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("dedup_out").count()
+      val want = docs.select(md5($"text".cast("binary"))).distinct().count()
+      assert(got == want, s"stream emitted $got fps, batch distinct is $want")
+    } finally q.stop()
+  }
+
+  test("dedupStream within-watermark drops near-in-time duplicates with bounded state") {
+    val dropDir = tempDir("graft_dedup_wm_drop")
+    val base = 1700000000000L
+    // 4 distinct texts, each duplicated 2s apart — well inside the watermark
+    val rows = (0 until 8).map(i => (i.toLong, s"text ${i % 4}", base + i * 2000L))
+    rows.toDF("doc_id", "text", "ts_ms")
+      .withColumn("event_time", timestamp_millis($"ts_ms"))
+      .write.mode("append").parquet(dropDir)
+
+    val src = spark.readStream
+      .schema(StructType(Seq(
+        StructField("doc_id", org.apache.spark.sql.types.LongType),
+        StructField("text", org.apache.spark.sql.types.StringType),
+        StructField("ts_ms", org.apache.spark.sql.types.LongType),
+        StructField("event_time", org.apache.spark.sql.types.TimestampType))))
+      .parquet(dropDir)
+    val deduped = Streams.dedupStream(src,
+      eventTimeCol = Some("event_time"), watermark = "10 minutes")
+    val q = deduped.select($"fp").writeStream.outputMode("append")
+      .format("memory").queryName("dedup_wm_out").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("dedup_wm_out").count() == 4)
+    } finally q.stop()
+  }
+
   test("sessionize closes sessions on gap and totals match input") {
     val dropDir = tempDir("graft_sess_drop")
     // craft a tiny deterministic stream: user 1 has two sessions (gap 10min),
