@@ -31,7 +31,12 @@ object Bench {
     // two timed runs per query, report the min: the first run absorbs
     // plan-compilation + page-cache effects, and a GC between queries keeps
     // one query's garbage from billing the next (local single-JVM mode)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // optional positional args: run only the named queries (local iteration)
+    val only = args.toSet
+    val selected =
+      if (only.isEmpty) SparkEntry.queries.toSeq
+      else SparkEntry.queries.filter(q => only(q._1)).toSeq
+    val results = selected.sortBy(_._1).map { case (name, fn) =>
       def once(): Double = {
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.mode("overwrite").format("noop").save()

@@ -468,12 +468,15 @@ object SparkEntry {
     // nProbe/nLists of the store; partition pruning asserted in
     // IvfIndexSpec). Approximate by design => rows-only check; exactness of
     // the machinery is locked by q23's full-probe equivalence.
-    // Near-dedup: exact n-gram (bigram) Jaccard with the size-ratio
-    // prefilter — the oracle-checkable baseline of the Jaccard family; the
-    // scale path over the same semantics is q18's MinHash banding. Distinct
-    // params from q18 (n=2, t=0.7) so both shingle generators are locked.
+    // Near-dedup: exact n-gram (bigram) Jaccard via PREFIX FILTERING with
+    // positional pruning (PPJoin family) and a count-based verify —
+    // identical output to the all-pairs baseline (nearDupPairsExact, kept as
+    // the spec-level reference) with no cross join and no shingle arrays in
+    // any shuffle. nearDupPairsInverted is the alternative for dense
+    // vocabularies where prefixes cannot prune. Distinct params from q18
+    // (n=2, t=0.7) so both shingle generators are locked.
     "q37_ngram_jaccard" -> ((s, dir) => {
-      operators.Dedup.nearDupPairsExact(
+      operators.Dedup.nearDupPairsPrefix(
         t(s, dir, "documents"), "doc_id", "text",
         shingleLen = 2, threshold = 0.7)
     }),

@@ -163,6 +163,124 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Exact n-gram Jaccard pairs via PREFIX FILTERING (AllPairs/PPJoin
+    * family) — same output as [[nearDupPairsExact]] with NO recall loss, but
+    * without the O(N^2) candidate join.
+    *
+    * Why it is lossless: jaccard(A,B) >= t implies |A∩B| >= t*max(|A|,|B|)
+    * >= ceil(t*|A|). Under ANY global total order on shingles, if the
+    * |A| - ceil(t*|A|) + 1 smallest shingles of A (its "prefix") and the
+    * corresponding prefix of B were disjoint, the overlap could be at most
+    * |A| - prefixLen(A) = ceil(t*|A|) - 1 < required — contradiction. So
+    * every qualifying pair shares a prefix shingle and survives the
+    * token-equi-join candidate stage; the exact-Jaccard verify then makes
+    * precision exact. Ordering shingles rarest-document-frequency-first
+    * minimizes candidate fan-out (frequent boilerplate shingles land outside
+    * prefixes).
+    *
+    * Scale shape: one groupBy for document frequencies, one window per doc
+    * to rank shingles, then an equi-join keyed on (rare) prefix shingles —
+    * all hash-partitioned, no cross join anywhere. Candidate width is
+    * sum over prefix tokens of df(token)^2, which the rare-first order keeps
+    * near the true-pair count.
+    */
+  def nearDupPairsPrefix(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleLen: Int = 2,
+      threshold: Double = 0.7): DataFrame = {
+    val toks = shingleTokens(df, idCol, textCol, shingleLen).localCheckpoint(true)
+    val dfreq = toks.groupBy("tok").agg(count(lit(1)).as("df"))
+    // rarest-first global order (ties broken by the token itself so the
+    // order is total — required by the prefix-filter correctness argument)
+    val wDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("df"), col("tok"))
+    val prefixes = toks.join(dfreq, Seq("tok"))
+      .withColumn("pos", row_number().over(wDoc))
+      .filter(col("pos") <= col("n") - ceil(col("n") * threshold) + 1)
+      .select(col("id"), col("n"), col("pos"), col("tok"))
+
+    // positional filter (PPJoin): for the FIRST shared token (in the global
+    // order) at positions (i, j), overlap <= 1 + min(n_a-i, n_b-j) — nothing
+    // before it matches, by minimality. jaccard >= t needs overlap >=
+    // t/(1+t)*(n_a+n_b), so generations failing the bound can be dropped;
+    // the pair survives via its first-shared-token generation, keeping the
+    // candidate stage lossless while pruning the verify fan-out.
+    val alpha = threshold / (1 + threshold)
+    val candidates = prefixes.as("x").join(prefixes.as("y"),
+        col("x.tok") === col("y.tok") &&
+          col("x.id") < col("y.id") &&
+          least(col("x.n"), col("y.n")).cast("double") >=
+            greatest(col("x.n"), col("y.n")) * threshold &&
+          (lit(1) + least(col("x.n") - col("x.pos"), col("y.n") - col("y.pos")))
+            .cast("double") >= (col("x.n") + col("y.n")) * alpha)
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
+        col("x.n").as("n_a"), col("y.n").as("n_b"))
+      .dropDuplicates("id_a", "id_b")
+
+    // count-based verify: a 3-way token join counts shared shingles for the
+    // candidate pairs only — no shingle ARRAY ever enters a shuffle (the
+    // array-join verify ships |C| * 2 full arrays, which dominates cost)
+    countVerify(
+      candidates.join(toks.select(col("id").as("id_a"), col("tok")), Seq("id_a"))
+        .join(toks.select(col("id").as("id_b"), col("tok")), Seq("id_b", "tok")),
+      threshold)
+  }
+
+  /** Exact n-gram Jaccard pairs via a plain INVERTED-INDEX join: the token
+    * self-join emits one row per shared shingle per size-compatible pair and
+    * a hash aggregate counts them — `|A∩B|` arrives as a count, never as an
+    * `array_intersect` over shuffled arrays. jaccard = inter/(n_a+n_b-inter)
+    * is then exact integer arithmetic in doubles.
+    *
+    * Versus [[nearDupPairsPrefix]]: this path's join width is
+    * sum over tokens of df(token)^2 — unbeatable on DENSE vocabularies
+    * (every token frequent, prefixes can't prune) but quadratic in the
+    * hottest token's frequency, so on natural corpora with stopword-like
+    * shingles prefer the prefix path, whose candidate stage only joins on
+    * each doc's rarest shingles. Both return byte-identical results to
+    * [[nearDupPairsExact]].
+    */
+  def nearDupPairsInverted(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleLen: Int = 2,
+      threshold: Double = 0.7): DataFrame = {
+    val toks = shingleTokens(df, idCol, textCol, shingleLen)
+    // identical subplans on both sides => Spark reuses the shuffle exchange
+    countVerify(
+      toks.as("a").join(toks.as("b"),
+        col("a.tok") === col("b.tok") &&
+          col("a.id") < col("b.id") &&
+          least(col("a.n"), col("b.n")).cast("double") >=
+            greatest(col("a.n"), col("b.n")) * threshold)
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+          col("a.n").as("n_a"), col("b.n").as("n_b")),
+      threshold)
+  }
+
+  /** One row per (doc, distinct shingle), with the doc's shingle count. */
+  private def shingleTokens(
+      df: DataFrame, idCol: String, textCol: String, shingleLen: Int): DataFrame =
+    df.select(col(idCol).cast("long").as("id"),
+        tokenShingles(col(textCol), shingleLen).as("sh"))
+      .select(col("id"), size(col("sh")).as("n"), explode(col("sh")).as("tok"))
+
+  /** Shared-token rows -> exact Jaccard pairs. Input: one row per
+    * (id_a, id_b, n_a, n_b) per SHARED shingle; the aggregate count IS the
+    * intersection size (shingle sets are distinct by construction).
+    */
+  private def countVerify(sharedTokenRows: DataFrame, threshold: Double): DataFrame =
+    sharedTokenRows
+      .groupBy(col("id_a"), col("id_b"), col("n_a"), col("n_b"))
+      .agg(count(lit(1)).as("inter"))
+      .select(col("id_a"), col("id_b"),
+        (col("inter").cast("double") /
+          (col("n_a") + col("n_b") - col("inter"))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+
   /** Near-duplicate pairs via SimHash: 64-bit fingerprints banded into
     * `nBands` equal-width chunks; by pigeonhole, any pair with Hamming
     * distance < nBands shares at least one exact chunk, so recall is

@@ -61,6 +61,27 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(pre == all, s"prefilter changed the result: missed=${all -- pre} extra=${pre -- all}")
   }
 
+  test("prefix-filter and inverted-count Jaccard joins equal the exact all-pairs result") {
+    // prefix filtering is lossless for a Jaccard threshold: every pair with
+    // jaccard >= t must share a rare-first prefix shingle, so the equi-join
+    // candidate stage cannot drop a qualifying pair. The inverted-count path
+    // counts every shared shingle outright. Both must match all-pairs
+    // bit-exactly, jaccard value included.
+    for (t <- Seq(0.5, 0.7)) {
+      val exact = Dedup.nearDupPairsExact(docs, "doc_id", "text", 2, threshold = t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val prefix = Dedup.nearDupPairsPrefix(docs, "doc_id", "text", 2, threshold = t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val inverted = Dedup.nearDupPairsInverted(docs, "doc_id", "text", 2, threshold = t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(exact.nonEmpty, "testdata should contain planted bigram near-dups")
+      assert(prefix == exact,
+        s"prefix t=$t: missed=${exact -- prefix} extra=${prefix -- exact}")
+      assert(inverted == exact,
+        s"inverted t=$t: missed=${exact -- inverted} extra=${inverted -- exact}")
+    }
+  }
+
   test("minhash jaccard estimate tracks exact jaccard") {
     // signature agreement rate approximates jaccard
     val df = Seq(
