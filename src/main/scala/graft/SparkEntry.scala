@@ -488,6 +488,38 @@ object SparkEntry {
         .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
       idx.searchBatch(queries, k = 5, nProbe = 4)
         .select(col("query_id"), col("id").as("vec_id"), col("rank").as("rnk"))
+    }),
+
+    // Lexical retrieval: Okapi BM25 top-10 ("dup" is rare => high idf, the
+    // other terms separate on tf). Score doubles hash-match the oracle: the
+    // formula is written in one fixed association order on both sides and
+    // JVM Math.log == libm ln bitwise (probed).
+    "q39_bm25" -> ((s, dir) => {
+      text.TextSearch.bm25TopK(
+        t(s, dir, "documents"), "doc_id", "text",
+        Seq("vector", "merge", "dup"), k = 10)
+    }),
+
+    // Hybrid retrieval: reciprocal-rank fusion of vector top-20 (cosine kNN
+    // on the document embeddings) with BM25 top-20 — the RAG-serving shape
+    // the reference's vector-only pipeline lacks. Fused score = sum of unit
+    // fractions of integer ranks => bit-exact vs the oracle.
+    "q40_hybrid_rrf" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+      val vec = emb.crossJoin(broadcast(q))
+        .select(col("vec_id").cast("long").as("id"),
+          vector.cosine_sim(col("embedding"), col("qv")).as("score"))
+        .orderBy(col("score").desc, col("id").asc)
+        .limit(20)
+        .select(col("id"),
+          row_number().over(Window.orderBy(col("score").desc, col("id").asc))
+            .cast("long").as("rank"))
+      val kw = text.TextSearch.bm25TopK(
+        t(s, dir, "documents"), "doc_id", "text",
+        Seq("vector", "merge", "dup"), k = 20)
+        .select(col("id"), col("rank"))
+      text.TextSearch.rrfFuse(vec, kw, k = 10)
     })
   )
 
@@ -836,6 +868,70 @@ object SparkEntry {
         |    CAST(row_number() OVER (PARTITION BY q.vec_id ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])) DESC, e.vec_id ASC) AS BIGINT) AS rnk
         |  FROM embeddings e,
         |       (SELECT * FROM embeddings WHERE vec_id < 500) q
-        |) WHERE rnk <= 10""".stripMargin
+        |) WHERE rnk <= 10""".stripMargin,
+
+    // BM25 mirror: the formula is written in EXACTLY the association order
+    // of TextSearch.bm25TopK (and ln == JVM Math.log bitwise), so the score
+    // doubles hash-match.
+    "q39_bm25" ->
+      s"""$Bm25ScoredCte
+        |SELECT id, score, rank FROM (
+        |  SELECT id, score,
+        |    CAST(row_number() OVER (ORDER BY score DESC, id ASC) AS BIGINT) AS rank
+        |  FROM scored
+        |) WHERE rank <= 10""".stripMargin,
+
+    "q40_hybrid_rrf" ->
+      s"""$Bm25ScoredCte,
+        |kw AS (
+        |  SELECT id, rank_b FROM (
+        |    SELECT id,
+        |      CAST(row_number() OVER (ORDER BY score DESC, id ASC) AS BIGINT) AS rank_b
+        |    FROM scored
+        |  ) WHERE rank_b <= 20),
+        |vec AS (
+        |  SELECT id, rank_a FROM (
+        |    SELECT e.vec_id AS id,
+        |      CAST(row_number() OVER (ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[])) DESC, e.vec_id ASC) AS BIGINT) AS rank_a
+        |    FROM embeddings e,
+        |         (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) q
+        |  ) WHERE rank_a <= 20),
+        |fused AS (
+        |  SELECT COALESCE(a.id, b.id) AS id,
+        |    COALESCE(1.0 / (60.0 + CAST(a.rank_a AS DOUBLE)), 0.0) +
+        |      COALESCE(1.0 / (60.0 + CAST(b.rank_b AS DOUBLE)), 0.0) AS fused_score
+        |  FROM vec a FULL OUTER JOIN kw b ON a.id = b.id)
+        |SELECT id, fused_score, rank FROM (
+        |  SELECT id, fused_score,
+        |    CAST(row_number() OVER (ORDER BY fused_score DESC, id ASC) AS BIGINT) AS rank
+        |  FROM fused
+        |) WHERE rank <= 10""".stripMargin
   )
+
+  /** Shared BM25 corpus CTE for q39/q40 oracles — terms (vector, merge,
+    * dup), k1=1.2, b=0.75, written to mirror TextSearch.bm25TopK's exact
+    * association order.
+    */
+  private val Bm25ScoredCte: String =
+    """WITH per AS (
+      |  SELECT CAST(doc_id AS BIGINT) AS id,
+      |         len(string_split(text, ' ')) AS dl,
+      |         len(list_filter(string_split(text, ' '), x -> x = 'vector')) AS tf_0,
+      |         len(list_filter(string_split(text, ' '), x -> x = 'merge')) AS tf_1,
+      |         len(list_filter(string_split(text, ' '), x -> x = 'dup')) AS tf_2
+      |  FROM documents),
+      |stats AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+      |         CAST(sum(dl) AS BIGINT) AS sum_dl,
+      |         CAST(sum(CASE WHEN tf_0 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_0,
+      |         CAST(sum(CASE WHEN tf_1 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_1,
+      |         CAST(sum(CASE WHEN tf_2 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_2
+      |  FROM per),
+      |scored AS (
+      |  SELECT id,
+      |    ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df_0 AS DOUBLE) + 0.5) / (CAST(df_0 AS DOUBLE) + 0.5)) * (CAST(tf_0 AS DOUBLE) * (1.2 + 1.0)) / (CAST(tf_0 AS DOUBLE) + 1.2 * ((1.0 - 0.75) + 0.75 * (CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))))
+      |    + ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df_1 AS DOUBLE) + 0.5) / (CAST(df_1 AS DOUBLE) + 0.5)) * (CAST(tf_1 AS DOUBLE) * (1.2 + 1.0)) / (CAST(tf_1 AS DOUBLE) + 1.2 * ((1.0 - 0.75) + 0.75 * (CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))))
+      |    + ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df_2 AS DOUBLE) + 0.5) / (CAST(df_2 AS DOUBLE) + 0.5)) * (CAST(tf_2 AS DOUBLE) * (1.2 + 1.0)) / (CAST(tf_2 AS DOUBLE) + 1.2 * ((1.0 - 0.75) + 0.75 * (CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))))
+      |    AS score
+      |  FROM per CROSS JOIN stats)""".stripMargin
 }
