@@ -520,8 +520,67 @@ object SparkEntry {
         Seq("vector", "merge", "dup"), k = 20)
         .select(col("id"), col("rank"))
       text.TextSearch.rrfFuse(vec, kw, k = 10)
+    }),
+
+    // Test-set decontamination (GPT-3/Llama recipe): flag corpus docs
+    // sharing any 8-token n-gram with the benchmark slice (doc_id % 50 = 0
+    // stands in for an eval set). Benchmark grams broadcast; the corpus is
+    // scanned once.
+    "q41_decontaminate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      operators.Curation.decontaminate(
+        docs.filter(col("doc_id") % 50 =!= 0),
+        docs.filter(col("doc_id") % 50 === 0),
+        "doc_id", "text", ngramLen = 8)
+    }),
+
+    // Deterministic domain mixing: per-source keep-rates decided by an
+    // arithmetic id hash — zero shuffle, reproducible in any engine.
+    "q42_weighted_sample" -> ((s, dir) => {
+      operators.Curation.weightedSample(
+        t(s, dir, "documents"), "doc_id", "source", MixRates)
+        .select(col("doc_id").cast("long").as("id"), col("source"))
+    }),
+
+    // Gopher-style intra-doc repetition: duplicated-token and duplicated-
+    // bigram fractions per document (exact integer ratios in doubles).
+    "q43_repetition" -> ((s, dir) => {
+      operators.Curation.repetitionStats(
+        t(s, dir, "documents"), "doc_id", "text",
+        ngramLen = 2, dupNgramThreshold = 0.1)
+    }),
+
+    // Int8-quantized kNN with exact-cosine re-rank: the 4x-smaller-scan
+    // storage path; codes are bit-reproducible (floor(x*127/s + 0.5)), so
+    // the candidate set — and hence the re-ranked top-10 — is oracle-exact.
+    "q44_quantized_knn" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val qv = emb.filter(col("vec_id") === 0)
+        .select(col("embedding")).head.getSeq[Float](0)
+      ml.Quantize.searchRerank(emb, "vec_id", "embedding", qv, k = 10)
+    }),
+
+    // As-of join (absent from Spark AND the reference — SURVEY §2.3):
+    // every click gets its user's most recent at-or-before error, via the
+    // union-and-sweep single-shuffle plan. ts is dropped from the output
+    // (ns->us truncation differs across engines).
+    "q45_asof_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      operators.AsOfJoin.asOfJoin(clicks, errors, "user_id", "ts", "event_id")
+        .select(col("user_id"), col("event_id"), col("value"),
+          col("right_event_id"), col("right_value"))
     })
   )
+
+  /** Domain-mixing keep-rates for q42 — src{0,4,8,...} full, then 0.5 /
+    * 0.25 / 0.1 by index mod 4 (mirrored literally in the oracle CASE).
+    */
+  private val MixRates: Map[String, Double] =
+    (0 until 20).map(i => s"src$i" -> Seq(1.0, 0.5, 0.25, 0.1)(i % 4)).toMap
 
   // ------------------------------------------------------------- oracle SQL
 
@@ -905,7 +964,91 @@ object SparkEntry {
         |  SELECT id, fused_score,
         |    CAST(row_number() OVER (ORDER BY fused_score DESC, id ASC) AS BIGINT) AS rank
         |  FROM fused
-        |) WHERE rank <= 10""".stripMargin
+        |) WHERE rank <= 10""".stripMargin,
+
+    // 8-token n-grams via 1-based inclusive list slices t[i:i+7]; mirror
+    // of Curation.tokenNgrams' 0-based slice(toks, i+1, 8).
+    "q41_decontaminate" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents WHERE doc_id % 50 <> 0),
+        |bench AS (
+        |  SELECT string_split(text, ' ') AS t FROM documents WHERE doc_id % 50 = 0),
+        |bgrams AS (
+        |  SELECT DISTINCT array_to_string(t[i:i+7], ' ') AS gram
+        |  FROM bench, UNNEST(generate_series(1, len(t) - 7)) AS u(i)),
+        |cgrams AS (
+        |  SELECT DISTINCT doc_id, array_to_string(t[i:i+7], ' ') AS gram
+        |  FROM corpus, UNNEST(generate_series(1, len(t) - 7)) AS u(i)),
+        |hits AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS hits
+        |  FROM cgrams JOIN bgrams USING (gram) GROUP BY doc_id)
+        |SELECT CAST(c.doc_id AS BIGINT) AS id,
+        |  COALESCE(h.hits, 0) AS hits,
+        |  COALESCE(h.hits, 0) > 0 AS contaminated
+        |FROM corpus c LEFT JOIN hits h ON c.doc_id = h.doc_id""".stripMargin,
+
+    // Knuth multiplicative hash in exact BIGINT arithmetic; CASE mirrors
+    // MixRates (src index mod 4 -> 1000/500/250/100 permille).
+    "q42_weighted_sample" ->
+      """SELECT CAST(doc_id AS BIGINT) AS id, source FROM documents
+        |WHERE (doc_id * 2654435761) % 4294967296 % 1000 < CASE
+        |  WHEN source IN ('src0','src4','src8','src12','src16') THEN 1000
+        |  WHEN source IN ('src1','src5','src9','src13','src17') THEN 500
+        |  WHEN source IN ('src2','src6','src10','src14','src18') THEN 250
+        |  ELSE 100 END""".stripMargin,
+
+    "q43_repetition" ->
+      """SELECT id, n_tokens, dup_token_ratio, dup_ngram_ratio,
+        |  dup_ngram_ratio > 0.1 AS repetitive
+        |FROM (
+        |  SELECT CAST(doc_id AS BIGINT) AS id,
+        |    CAST(len(t) AS BIGINT) AS n_tokens,
+        |    CASE WHEN len(t) > 0
+        |      THEN CAST(len(t) - len(list_distinct(t)) AS DOUBLE) / CAST(len(t) AS DOUBLE)
+        |      ELSE 0.0 END AS dup_token_ratio,
+        |    CASE WHEN len(g) > 0
+        |      THEN CAST(len(g) - len(list_distinct(g)) AS DOUBLE) / CAST(len(g) AS DOUBLE)
+        |      ELSE 0.0 END AS dup_ngram_ratio
+        |  FROM (
+        |    SELECT doc_id, t,
+        |      list_transform(generate_series(1, len(t) - 1), i -> array_to_string(t[i:i+1], ' ')) AS g
+        |    FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)))""".stripMargin,
+
+    // Phase 1 mirrors Quantize exactly (floor(x*127/s + 0.5), clamp,
+    // integer dot, score = ((dot * s_a) * s_b) / 16129.0); phase 2 is the
+    // q11-style exact-cosine re-rank of the 40 candidates.
+    "q44_quantized_knn" ->
+      """WITH qz AS (
+        |  SELECT vec_id, embedding, s,
+        |    list_transform(embedding, x -> GREATEST(-127, LEAST(127,
+        |      CAST(floor(CAST(x AS DOUBLE) * 127.0 / s + 0.5) AS BIGINT)))) AS codes
+        |  FROM (
+        |    SELECT vec_id, embedding,
+        |      list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS s
+        |    FROM embeddings)),
+        |q AS (SELECT codes AS qc, s AS qs, embedding AS qv FROM qz WHERE vec_id = 0),
+        |cand AS (
+        |  SELECT vec_id FROM (
+        |    SELECT e.vec_id,
+        |      CAST(row_number() OVER (ORDER BY
+        |        CAST(list_sum(list_transform(generate_series(1, len(e.codes)), i -> e.codes[i] * q.qc[i])) AS DOUBLE)
+        |          * e.s * q.qs / 16129.0 DESC, e.vec_id ASC) AS BIGINT) AS qrnk
+        |    FROM qz e, q
+        |  ) WHERE qrnk <= 40)
+        |SELECT id, rank FROM (
+        |  SELECT e.vec_id AS id,
+        |    CAST(row_number() OVER (ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[])) DESC, e.vec_id ASC) AS BIGINT) AS rank
+        |  FROM embeddings e JOIN cand c ON e.vec_id = c.vec_id, q
+        |) WHERE rank <= 10""".stripMargin,
+
+    // DuckDB ASOF: greatest e.ts <= c.ts per user (ts are unique in
+    // events, so no tie-break is needed); ts excluded from the output.
+    "q45_asof_join" ->
+      """SELECT c.user_id, c.event_id, c.value,
+        |  e.event_id AS right_event_id, e.value AS right_value
+        |FROM (SELECT * FROM events WHERE event_type = 'click') c
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') e
+        |  ON c.user_id = e.user_id AND c.ts >= e.ts""".stripMargin
   )
 
   /** Shared BM25 corpus CTE for q39/q40 oracles — terms (vector, merge,

@@ -1,0 +1,140 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators for training-data pipelines (scale extension).
+  *
+  * Three operators a 100 TB pretraining pipeline runs on every document,
+  * none of which exist in the reference (its pipeline is vector-only —
+  * `core/rag/mlx_rag_native.py` ingests pre-curated text):
+  *
+  *  - [[decontaminate]] — test-set decontamination: flag corpus documents
+  *    sharing any length-n token n-gram with a benchmark/eval set (the
+  *    GPT-3/Llama published recipe). The benchmark side is small by
+  *    definition, so its distinct n-grams BROADCAST and the corpus is
+  *    scanned exactly once — no shuffle of corpus text, ever.
+  *  - [[weightedSample]] — deterministic domain mixing: keep each document
+  *    with a per-source rate, decided by an arithmetic hash of its id.
+  *    ZERO shuffle (a pure filter), reproducible across runs/engines, and
+  *    rate changes re-select a superset/subset rather than reshuffling
+  *    the sample (hash order is stable).
+  *  - [[repetitionStats]] — Gopher-style intra-document repetition: the
+  *    fraction of duplicated tokens and duplicated n-grams inside each
+  *    document. Pure per-row expressions: scales linearly, no shuffle.
+  */
+object Curation {
+
+  /** Tokens on single spaces — matches DuckDB `string_split(text, ' ')`
+    * exactly (consecutive separators yield empty tokens in both engines),
+    * so n-gram strings built from the array are byte-identical.
+    */
+  private def spaceTokens(text: Column): Column = split(text, " ", -1)
+
+  /** All length-`n` token n-grams of `text`, as space-joined strings.
+    * Empty array when the document has fewer than `n` tokens.
+    */
+  def tokenNgrams(text: Column, n: Int): Column = {
+    val toks = spaceTokens(text)
+    when(size(toks) >= n,
+      transform(sequence(lit(0), size(toks) - n),
+        i => array_join(slice(toks, i + 1, lit(n)), " ")))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Test-set decontamination: for every document in `corpus`, count how
+    * many DISTINCT benchmark n-grams it contains and flag it contaminated
+    * if that count is positive.
+    *
+    * Output: (id, hits BIGINT, contaminated BOOLEAN) — one row per corpus
+    * document, including clean ones (hits = 0).
+    *
+    * Scale shape: `benchmark`'s distinct n-grams are exploded and
+    * broadcast (an eval set is KBs–MBs of text; its n-gram set fits every
+    * executor). The corpus is one scan: explode its distinct n-grams,
+    * broadcast-join, count per id, left-join the hit counts back onto the
+    * id spine. At 100 TB the only wide movement is (id, hits) pairs.
+    */
+  def decontaminate(
+      corpus: DataFrame,
+      benchmark: DataFrame,
+      idCol: String,
+      textCol: String,
+      ngramLen: Int = 8): DataFrame = {
+    val benchGrams = benchmark
+      .select(explode(tokenNgrams(col(textCol), ngramLen)).as("gram"))
+      .distinct()
+    val corpusGrams = corpus.select(col(idCol).cast("long").as("id"),
+        explode(array_distinct(tokenNgrams(col(textCol), ngramLen))).as("gram"))
+    val hits = corpusGrams
+      .join(broadcast(benchGrams), Seq("gram"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("hits"))
+    corpus.select(col(idCol).cast("long").as("id"))
+      .join(hits, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("hits"), lit(0L)).as("hits"),
+        (coalesce(col("hits"), lit(0L)) > 0).as("contaminated"))
+  }
+
+  /** Knuth multiplicative hash of a non-negative id — 32-bit mix computed
+    * in exact BIGINT arithmetic, so any engine reproduces it bit-for-bit
+    * (`(id * 2654435761) % 4294967296`). For ids beyond 2^32 compose with
+    * a pre-fold (`id % p` for a large prime) before calling; the testdata
+    * and reference id spaces fit directly.
+    */
+  def idHash(id: Column): Column =
+    pmod(id.cast("long") * lit(2654435761L), lit(4294967296L))
+
+  /** Deterministic weighted sampling for domain mixing: keep a document
+    * iff `idHash(id) % 1000 < rates(source) * 1000`. Documents from
+    * sources absent from `rates` get `defaultRate`.
+    *
+    * A pure filter — no shuffle, no RNG state, reproducible everywhere.
+    * Output: the sampled rows of `df` (all columns).
+    */
+  def weightedSample(
+      df: DataFrame,
+      idCol: String,
+      sourceCol: String,
+      rates: Map[String, Double],
+      defaultRate: Double = 1.0): DataFrame = {
+    require((rates.values.toSeq :+ defaultRate).forall(r => r >= 0 && r <= 1),
+      "rates must be in [0, 1]")
+    val permille = rates.toSeq.sortBy(_._1).foldLeft(
+      lit(math.round(defaultRate * 1000).toInt)) { case (acc, (src, r)) =>
+      when(col(sourceCol) === src, lit(math.round(r * 1000).toInt)).otherwise(acc)
+    }
+    df.filter(pmod(idHash(col(idCol)), lit(1000L)) < permille.cast("long"))
+  }
+
+  /** Gopher-style repetition statistics per document:
+    * (id, n_tokens, dup_token_ratio, dup_ngram_ratio, repetitive).
+    *
+    * dup_token_ratio = (n_tokens - n_distinct_tokens) / n_tokens;
+    * dup_ngram_ratio likewise over length-`ngramLen` n-grams. Ratios are
+    * integer-difference-over-integer divisions evaluated in one fixed
+    * order, so an external oracle bit-matches the doubles. Documents with
+    * no tokens/n-grams get ratio 0.
+    */
+  def repetitionStats(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      ngramLen: Int = 2,
+      dupNgramThreshold: Double = 0.3): DataFrame = {
+    val toks = spaceTokens(col(textCol))
+    val grams = tokenNgrams(col(textCol), ngramLen)
+    def dupRatio(arr: Column): Column =
+      when(size(arr) > 0,
+        (size(arr) - size(array_distinct(arr))).cast("double") /
+          size(arr).cast("double"))
+        .otherwise(lit(0.0))
+    df.select(
+        col(idCol).cast("long").as("id"),
+        size(toks).cast("long").as("n_tokens"),
+        dupRatio(toks).as("dup_token_ratio"),
+        dupRatio(grams).as("dup_ngram_ratio"))
+      .withColumn("repetitive", col("dup_ngram_ratio") > dupNgramThreshold)
+  }
+}

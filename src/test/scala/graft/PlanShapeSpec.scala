@@ -77,4 +77,21 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
     assert(p.contains("PushedFilters: [IsNotNull(vec_id), EqualTo(vec_id,0)]"),
       "query-row lookup must push down")
   }
+
+  test("q41: benchmark n-grams broadcast; corpus text is never shuffled") {
+    val p = plan("q41_decontaminate")
+    assert(p.contains("BroadcastHashJoin"),
+      s"benchmark gram set must broadcast:\n$p")
+    // the only hash exchanges carry (id)/(id, hits)-slim rows, never text:
+    assert(!"Exchange hashpartitioning\\([^)]*text".r.findFirstIn(p).isDefined,
+      s"corpus text must not enter a shuffle:\n$p")
+  }
+
+  test("q45: as-of join is union-and-sweep — one shuffle, no product join") {
+    val p = plan("q45_asof_join")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 1, s"expected exactly one exchange:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+      s"as-of must not plan as a join:\n$p")
+  }
 }

@@ -1,0 +1,50 @@
+package graft.operators
+
+import graft.SparkSpec
+import java.sql.Timestamp
+import org.scalatest.funsuite.AnyFunSuite
+
+class AsOfJoinSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: Long) = new Timestamp(s * 1000L)
+
+  test("asOfJoin attaches latest at-or-before right row per key") {
+    val left = Seq(
+      (1L, ts(10), "c1"), (1L, ts(20), "c2"), (1L, ts(5), "c0"),
+      (2L, ts(15), "c3")
+    ).toDF("k", "ts", "tag")
+    val right = Seq(
+      (1L, ts(8), 100L, 1.0), (1L, ts(12), 101L, 2.0),
+      (2L, ts(15), 102L, 3.0), (2L, ts(16), 103L, 4.0)
+    ).toDF("k", "ts", "rid", "rv")
+
+    val out = AsOfJoin.asOfJoin(left, right, "k", "ts", "rid")
+      .select("tag", "right_rid").as[(String, Option[Long])]
+      .collect().toMap
+    assert(out("c0").isEmpty)            // nothing at-or-before ts=5
+    assert(out("c1").contains(100L))     // ts=10 -> right@8
+    assert(out("c2").contains(101L))     // ts=20 -> right@12
+    assert(out("c3").contains(102L))     // exact-instant right row matches
+  }
+
+  test("equal-(key,ts) right rows resolve to the greatest tie column") {
+    val left = Seq((1L, ts(10), "x")).toDF("k", "ts", "tag")
+    val right = Seq((1L, ts(10), 7L, 0.0), (1L, ts(10), 9L, 0.0), (1L, ts(10), 8L, 0.0))
+      .toDF("k", "ts", "rid", "rv")
+    val out = AsOfJoin.asOfJoin(left, right, "k", "ts", "rid")
+      .select("right_rid").as[Long].head()
+    assert(out == 9L)
+  }
+
+  test("plan is a single shuffle (one Exchange for the window)") {
+    val left = Seq((1L, ts(1), "a")).toDF("k", "ts", "tag")
+    val right = Seq((1L, ts(1), 1L, 0.0)).toDF("k", "ts", "rid", "rv")
+    val p = AsOfJoin.asOfJoin(left, right, "k", "ts", "rid")
+      .queryExecution.executedPlan.toString()
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 1, s"union-and-sweep must shuffle exactly once:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"no product-shaped join allowed:\n$p")
+  }
+}

@@ -1,0 +1,80 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class CurationSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  test("tokenNgrams: sliding windows, short docs yield empty") {
+    val df = Seq((1L, "a b c d"), (2L, "a b")).toDF("id", "text")
+    val out = df.select($"id", Curation.tokenNgrams($"text", 3).as("g"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(out(1L) == Seq("a b c", "b c d"))
+    assert(out(2L) == Seq.empty)
+  }
+
+  test("decontaminate flags exactly the docs sharing an n-gram") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "completely unrelated text with no overlap at all here"),
+      (3L, "we said the quick brown fox jumps over the lazy dog")
+    ).toDF("id", "text")
+    val bench = Seq((100L, "xx the quick brown fox jumps over the lazy dog yy"))
+      .toDF("id", "text")
+    val out = Curation.decontaminate(corpus, bench, "id", "text", ngramLen = 8)
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1)
+    assert(out.map(r => r._1 -> r._3).toSeq ==
+      Seq(1L -> true, 2L -> false, 3L -> true))
+    // doc 1 contains "the quick...dog" as grams 1..3 of the 10-token text;
+    // the benchmark's distinct 8-grams overlapping it: positions given both
+    // texts share the 9-token core => hits > 0 and bounded by gram count
+    assert(out.forall(r => r._2 >= 0 && r._2 <= 3))
+  }
+
+  test("decontaminate includes clean docs with zero hits") {
+    val corpus = Seq((5L, "just one tiny doc")).toDF("id", "text")
+    val bench = Seq((9L, "something else entirely different words here now ok fine")).toDF("id", "text")
+    val out = Curation.decontaminate(corpus, bench, "id", "text").collect()
+    assert(out.length == 1 && out.head.getLong(1) == 0L)
+  }
+
+  test("weightedSample is a deterministic pure filter honoring rates") {
+    val df = (0L until 1000L).map(i => (i, s"src${i % 4}")).toDF("id", "source")
+    val rates = Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.0)
+    val out = Curation.weightedSample(df, "id", "source", rates, defaultRate = 0.1)
+      .groupBy("source").count().as[(String, Long)].collect().toMap
+    assert(out("src0") == 250)                  // rate 1.0 keeps everything
+    assert(!out.contains("src2"))               // rate 0 drops everything
+    assert(out("src1") > 75 && out("src1") < 175)   // ~125 of 250
+    assert(out("src3") > 5 && out("src3") < 60)     // default 0.1 => ~25
+    // deterministic: same result twice
+    val again = Curation.weightedSample(df, "id", "source", rates, 0.1)
+      .agg(sum("id")).head.getLong(0)
+    val first = Curation.weightedSample(df, "id", "source", rates, 0.1)
+      .agg(sum("id")).head.getLong(0)
+    assert(again == first)
+  }
+
+  test("weightedSample plans with no shuffle") {
+    val df = (0L until 100L).map(i => (i, "s")).toDF("id", "source")
+    val p = Curation.weightedSample(df, "id", "source", Map("s" -> 0.5))
+      .queryExecution.executedPlan.toString()
+    assert(!p.contains("Exchange"), s"sampling must not shuffle:\n$p")
+  }
+
+  test("repetitionStats measures duplicated tokens and bigrams") {
+    val df = Seq(
+      (1L, "a a a a"),              // 4 tokens, 1 distinct -> 0.75; grams "a a"x3 -> 2/3
+      (2L, "w x y z"),              // all unique -> 0
+      (3L, "")                      // 1 empty token, 0 grams
+    ).toDF("id", "text")
+    val out = Curation.repetitionStats(df, "id", "text", ngramLen = 2,
+      dupNgramThreshold = 0.3)
+      .as[(Long, Long, Double, Double, Boolean)].collect().sortBy(_._1)
+    assert(out(0) == ((1L, 4L, 0.75, 2.0 / 3.0, true)))
+    assert(out(1) == ((2L, 4L, 0.0, 0.0, false)))
+    assert(out(2)._4 == 0.0)
+  }
+}
