@@ -191,41 +191,78 @@ object Dedup {
       shingleLen: Int = 2,
       threshold: Double = 0.7): DataFrame = {
     val toks = shingleTokens(df, idCol, textCol, shingleLen).localCheckpoint(true)
-    val dfreq = toks.groupBy("tok").agg(count(lit(1)).as("df"))
     // rarest-first global order (ties broken by the token itself so the
-    // order is total — required by the prefix-filter correctness argument)
-    val wDoc = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("id")).orderBy(col("df"), col("tok"))
-    val prefixes = toks.join(dfreq, Seq("tok"))
-      .withColumn("pos", row_number().over(wDoc))
-      .filter(col("pos") <= col("n") - ceil(col("n") * threshold) + 1)
-      .select(col("id"), col("n"), col("pos"), col("tok"))
+    // order is total — required by the prefix-filter correctness argument),
+    // materialized as a dense int id: tid order == global order. The
+    // vocabulary of distinct shingles is orders of magnitude smaller than
+    // the corpus (Heaps' law), so this is a narrow aggregate + window.
+    val tokIds = toks.groupBy("tok").agg(count(lit(1)).as("df"))
+      .withColumn("tid", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("df"), col("tok"))))
+      .select(col("tok"), col("tid"))
 
-    // positional filter (PPJoin): for the FIRST shared token (in the global
-    // order) at positions (i, j), overlap <= 1 + min(n_a-i, n_b-j) — nothing
-    // before it matches, by minimality. jaccard >= t needs overlap >=
-    // t/(1+t)*(n_a+n_b), so generations failing the bound can be dropped;
-    // the pair survives via its first-shared-token generation, keeping the
-    // candidate stage lossless while pruning the verify fan-out.
+    // each doc as its tid-SORTED shingle array: ascending tid IS the global
+    // rarest-first order, so the doc's prefix is just the array's head —
+    // no per-doc window pass anywhere.
+    val docArrs = toks.join(tokIds, Seq("tok"))
+      .groupBy(col("id"))
+      .agg(sort_array(collect_list(col("tid"))).as("arr"))
+      .select(col("id"), size(col("arr")).as("n"), col("arr"))
+      .localCheckpoint(true)
+
+    // l-PREFIX scheme (AdaptJoin, Wang/Li/Feng SIGMOD'12): extend each
+    // doc's prefix to n - ceil(t*n) + l. Then for any qualifying pair the
+    // l smallest SHARED shingles (global order) sit inside BOTH prefixes:
+    // a doc's suffix holds its largest elements, so if the i-th smallest
+    // shared element fell in A's suffix, so would all later ones — that's
+    // o-i+1 elements in a suffix of size ceil(t*n_a)-l <= o-l, forcing
+    // i > l. Requiring >= l shared prefix tokens per pair is therefore
+    // LOSSLESS, and on dense vocabularies (where every shingle is frequent
+    // and 1-token prefix sharing is near-certain) it collapses the
+    // candidate count by an order of magnitude.
+    val l = 3
+    val prefixes = docArrs.select(col("id"), col("n"),
+        posexplode(slice(col("arr"), lit(1),
+          (col("n") - ceil(col("n") * threshold) + l).cast("int"))))
+      .select(col("id"), col("n"), (col("pos") + 1).as("pos"), col("col").as("tid"))
+
+    // positional filter, relaxed for rank-l generations: the r-th smallest
+    // shared token at positions (i, j) bounds overlap <= r + min(n_a-i,
+    // n_b-j); r <= l makes l + min(...) a valid (loosest-needed) bound
+    // against the required overlap t/(1+t)*(n_a+n_b).
     val alpha = threshold / (1 + threshold)
     val candidates = prefixes.as("x").join(prefixes.as("y"),
-        col("x.tok") === col("y.tok") &&
+        col("x.tid") === col("y.tid") &&
           col("x.id") < col("y.id") &&
           least(col("x.n"), col("y.n")).cast("double") >=
             greatest(col("x.n"), col("y.n")) * threshold &&
-          (lit(1) + least(col("x.n") - col("x.pos"), col("y.n") - col("y.pos")))
+          (lit(l) + least(col("x.n") - col("x.pos"), col("y.n") - col("y.pos")))
             .cast("double") >= (col("x.n") + col("y.n")) * alpha)
-      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
+      .groupBy(col("x.id").as("id_a"), col("y.id").as("id_b"),
         col("x.n").as("n_a"), col("y.n").as("n_b"))
-      .dropDuplicates("id_a", "id_b")
+      .agg(count(lit(1)).as("shared_prefix"))
+      // tiny docs can owe fewer than l shared tokens (their whole set is
+      // the prefix and the true overlap may be < l): require min(l,
+      // ceil(t*max(n))) — the guaranteed count in every qualifying case
+      .filter(col("shared_prefix") >=
+        least(lit(l), ceil(greatest(col("n_a"), col("n_b")) * threshold)))
+      .select(col("id_a"), col("id_b"), col("n_a"), col("n_b"))
 
-    // count-based verify: a 3-way token join counts shared shingles for the
-    // candidate pairs only — no shingle ARRAY ever enters a shuffle (the
-    // array-join verify ships |C| * 2 full arrays, which dominates cost)
-    countVerify(
-      candidates.join(toks.select(col("id").as("id_a"), col("tok")), Seq("id_a"))
-        .join(toks.select(col("id").as("id_b"), col("tok")), Seq("id_b", "tok")),
-      threshold)
+    // verify on the int arrays: two id-equi-joins gather (arr_a, arr_b) per
+    // candidate and a codegen'd array_intersect counts the overlap. Join
+    // width is |C| + 2|docs| slim int-array rows — the token-explosion
+    // verify (|C| × tokens-per-doc rows) loses badly when the vocabulary is
+    // dense and candidates share many shingles.
+    candidates
+      .join(docArrs.select(col("id").as("id_a"), col("arr").as("arr_a")), Seq("id_a"))
+      .join(docArrs.select(col("id").as("id_b"), col("arr").as("arr_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        size(array_intersect(col("arr_a"), col("arr_b"))).as("inter"),
+        col("n_a"), col("n_b"))
+      .select(col("id_a"), col("id_b"),
+        (col("inter").cast("double") /
+          (col("n_a") + col("n_b") - col("inter"))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
   }
 
   /** Exact n-gram Jaccard pairs via a plain INVERTED-INDEX join: the token
