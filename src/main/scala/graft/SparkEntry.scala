@@ -988,14 +988,14 @@ object SparkEntry {
         |FROM corpus c LEFT JOIN hits h ON c.doc_id = h.doc_id""".stripMargin,
 
     // Knuth multiplicative hash in exact BIGINT arithmetic; CASE mirrors
-    // MixRates (src index mod 4 -> 1000/500/250/100 permille).
+    // MixRates (src index mod 4 -> 1.0/0.5/0.25/0.1, parts-per-million).
     "q42_weighted_sample" ->
       """SELECT CAST(doc_id AS BIGINT) AS id, source FROM documents
-        |WHERE (doc_id * 2654435761) % 4294967296 % 1000 < CASE
-        |  WHEN source IN ('src0','src4','src8','src12','src16') THEN 1000
-        |  WHEN source IN ('src1','src5','src9','src13','src17') THEN 500
-        |  WHEN source IN ('src2','src6','src10','src14','src18') THEN 250
-        |  ELSE 100 END""".stripMargin,
+        |WHERE (doc_id * 2654435761) % 4294967296 % 1000000 < CASE
+        |  WHEN source IN ('src0','src4','src8','src12','src16') THEN 1000000
+        |  WHEN source IN ('src1','src5','src9','src13','src17') THEN 500000
+        |  WHEN source IN ('src2','src6','src10','src14','src18') THEN 250000
+        |  ELSE 100000 END""".stripMargin,
 
     "q43_repetition" ->
       """SELECT id, n_tokens, dup_token_ratio, dup_ngram_ratio,
@@ -1020,8 +1020,10 @@ object SparkEntry {
     "q44_quantized_knn" ->
       """WITH qz AS (
         |  SELECT vec_id, embedding, s,
-        |    list_transform(embedding, x -> GREATEST(-127, LEAST(127,
-        |      CAST(floor(CAST(x AS DOUBLE) * 127.0 / s + 0.5) AS BIGINT)))) AS codes
+        |    CASE WHEN s > 0 THEN
+        |      list_transform(embedding, x -> GREATEST(-127, LEAST(127,
+        |        CAST(floor(CAST(x AS DOUBLE) * 127.0 / s + 0.5) AS BIGINT))))
+        |    ELSE list_transform(embedding, x -> CAST(0 AS BIGINT)) END AS codes
         |  FROM (
         |    SELECT vec_id, embedding,
         |      list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS s

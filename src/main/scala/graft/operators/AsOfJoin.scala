@@ -41,6 +41,10 @@ object AsOfJoin {
     val leftPayload = left.columns.filterNot(c => c == keyCol || c == tsCol)
     require(rightPayload.contains(rightTieCol),
       s"rightTieCol $rightTieCol must be a right payload column")
+    require(leftPayload.nonEmpty,
+      "left needs at least one payload column besides key/ts (an id)")
+    require(!rightPayload.contains("_tie"),
+      "right payload may not contain a column named _tie (reserved)")
 
     val rp = struct((col(rightTieCol).as("_tie") +: rightPayload.map(col)): _*)
     val lp = struct(leftPayload.map(col): _*)

@@ -87,8 +87,11 @@ object Curation {
     pmod(id.cast("long") * lit(2654435761L), lit(4294967296L))
 
   /** Deterministic weighted sampling for domain mixing: keep a document
-    * iff `idHash(id) % 1000 < rates(source) * 1000`. Documents from
-    * sources absent from `rates` get `defaultRate`.
+    * iff `idHash(id) % 1e6 < rates(source) * 1e6`. Documents from sources
+    * absent from `rates` get `defaultRate`. Rates are quantized to
+    * parts-per-million — rates below 5e-7 round to keeping nothing (and
+    * the require rejects sub-resolution nonzero rates loudly rather than
+    * silently emptying a domain).
     *
     * A pure filter — no shuffle, no RNG state, reproducible everywhere.
     * Output: the sampled rows of `df` (all columns).
@@ -99,13 +102,15 @@ object Curation {
       sourceCol: String,
       rates: Map[String, Double],
       defaultRate: Double = 1.0): DataFrame = {
-    require((rates.values.toSeq :+ defaultRate).forall(r => r >= 0 && r <= 1),
-      "rates must be in [0, 1]")
-    val permille = rates.toSeq.sortBy(_._1).foldLeft(
-      lit(math.round(defaultRate * 1000).toInt)) { case (acc, (src, r)) =>
-      when(col(sourceCol) === src, lit(math.round(r * 1000).toInt)).otherwise(acc)
+    val all = rates.values.toSeq :+ defaultRate
+    require(all.forall(r => r >= 0 && r <= 1), "rates must be in [0, 1]")
+    require(all.forall(r => r == 0 || math.round(r * 1e6) > 0),
+      "nonzero rates below the 1e-6 sampling resolution would drop everything")
+    val ppm = rates.toSeq.sortBy(_._1).foldLeft(
+      lit(math.round(defaultRate * 1e6))) { case (acc, (src, r)) =>
+      when(col(sourceCol) === src, lit(math.round(r * 1e6))).otherwise(acc)
     }
-    df.filter(pmod(idHash(col(idCol)), lit(1000L)) < permille.cast("long"))
+    df.filter(pmod(idHash(col(idCol)), lit(1000000L)) < ppm)
   }
 
   /** Gopher-style repetition statistics per document:
@@ -123,18 +128,29 @@ object Curation {
       textCol: String,
       ngramLen: Int = 2,
       dupNgramThreshold: Double = 0.3): DataFrame = {
-    val toks = spaceTokens(col(textCol))
-    val grams = tokenNgrams(col(textCol), ngramLen)
-    def dupRatio(arr: Column): Column =
-      when(size(arr) > 0,
-        (size(arr) - size(array_distinct(arr))).cast("double") /
-          size(arr).cast("double"))
-        .otherwise(lit(0.0))
-    df.select(
-        col(idCol).cast("long").as("id"),
-        size(toks).cast("long").as("n_tokens"),
-        dupRatio(toks).as("dup_token_ratio"),
-        dupRatio(grams).as("dup_ngram_ratio"))
+    // STAGED projections: HOF lambdas defeat whole-stage-codegen subexpression
+    // elimination (see TextAnalysis), so inlining tokenNgrams into each of
+    // size()/array_distinct() would rebuild the gram array several times per
+    // row — and building it is O(tokens * n) array slicing. CollapseProject
+    // keeps these stages separate because the array exprs are non-cheap and
+    // multiply-referenced, so each array materializes exactly once per row.
+    val arrs = df.select(
+      col(idCol).cast("long").as("id"),
+      spaceTokens(col(textCol)).as("toks"),
+      tokenNgrams(col(textCol), ngramLen).as("grams"))
+    val counts = arrs.select(
+      col("id"),
+      size(col("toks")).as("nt"),
+      size(array_distinct(col("toks"))).as("dt"),
+      size(col("grams")).as("ng"),
+      size(array_distinct(col("grams"))).as("dg"))
+    def dupRatio(n: Column, d: Column): Column =
+      when(n > 0, (n - d).cast("double") / n.cast("double")).otherwise(lit(0.0))
+    counts.select(
+        col("id"),
+        col("nt").cast("long").as("n_tokens"),
+        dupRatio(col("nt"), col("dt")).as("dup_token_ratio"),
+        dupRatio(col("ng"), col("dg")).as("dup_ngram_ratio"))
       .withColumn("repetitive", col("dup_ngram_ratio") > dupNgramThreshold)
   }
 }

@@ -193,13 +193,18 @@ object Dedup {
     val toks = shingleTokens(df, idCol, textCol, shingleLen).localCheckpoint(true)
     // rarest-first global order (ties broken by the token itself so the
     // order is total — required by the prefix-filter correctness argument),
-    // materialized as a dense int id: tid order == global order. The
-    // vocabulary of distinct shingles is orders of magnitude smaller than
-    // the corpus (Heaps' law), so this is a narrow aggregate + window.
-    val tokIds = toks.groupBy("tok").agg(count(lit(1)).as("df"))
-      .withColumn("tid", row_number().over(
-        org.apache.spark.sql.expressions.Window.orderBy(col("df"), col("tok"))))
-      .select(col("tok"), col("tid"))
+    // materialized as a dense id. Ranking runs as a DISTRIBUTED range-
+    // partitioned sort + zipWithIndex — an unpartitioned row_number window
+    // would drag the whole vocabulary through one task, a real bottleneck
+    // when the shingle vocabulary itself is large (Heaps' law slows vocab
+    // growth but billions of shingles are billions of rows).
+    val spark = df.sparkSession
+    val tokIds = spark.createDataFrame(
+      toks.groupBy("tok").agg(count(lit(1)).as("df"))
+        .sort(col("df"), col("tok"))
+        .select(col("tok")).rdd
+        .zipWithIndex.map { case (r, i) => (r.getString(0), i + 1L) })
+      .toDF("tok", "tid")
 
     // each doc as its tid-SORTED shingle array: ascending tid IS the global
     // rarest-first order, so the doc's prefix is just the array's head —

@@ -44,6 +44,9 @@ object TextSearch {
       k1: Double = 1.2,
       b: Double = 0.75): DataFrame = {
     require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    // bag semantics: a repeated query term contributes its full score once
+    // per occurrence (computed once, weighted by multiplicity)
+    val termWeights = queryTerms.groupBy(identity).view.mapValues(_.size).toMap
     val terms = queryTerms.distinct
 
     // one row per doc: dl + tf per query term (single codegen'd projection)
@@ -65,13 +68,15 @@ object TextSearch {
     val avgdl = col("sum_dl").cast("double") / col("n_docs").cast("double")
     // fixed association order: term scores summed left-to-right, each term =
     // idf * (tf*(k1+1)) / (tf + k1*(1 - b + b*(dl/avgdl)))
-    val score = terms.indices.map { i =>
+    val score = terms.zipWithIndex.map { case (t, i) =>
       val tf = col(s"tf_$i").cast("double")
       val dfT = col(s"df_$i").cast("double")
       val idf = log(lit(1.0) +
         (col("n_docs").cast("double") - dfT + lit(0.5)) / (dfT + lit(0.5)))
-      idf * (tf * lit(k1 + 1.0)) /
+      val one = idf * (tf * lit(k1 + 1.0)) /
         (tf + lit(k1) * (lit(1.0 - b) + lit(b) * (col("dl").cast("double") / avgdl)))
+      val w = termWeights(t)
+      if (w == 1) one else one * lit(w.toDouble)
     }.reduceLeft(_ + _)
 
     perDoc.crossJoin(broadcast(stats))

@@ -37,6 +37,17 @@ class AsOfJoinSpec extends AnyFunSuite with SparkSpec {
     assert(out == 9L)
   }
 
+  test("q45's oracle precondition holds: error events have unique (user, ts)") {
+    // DuckDB's ASOF JOIN has no tie-break; asOfJoin resolves equal-(key,ts)
+    // right rows by greatest id. The q45 contract is only hash-stable while
+    // testdata keeps (user_id, ts) unique among errors — assert it so a
+    // regenerated dataset fails HERE with a message, not in the driver diff.
+    val dup = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .filter($"event_type" === "error")
+      .groupBy($"user_id", $"ts").count().filter($"count" > 1).count()
+    assert(dup == 0L, "duplicate (user_id, ts) error events break q45's oracle parity")
+  }
+
   test("plan is a single shuffle (one Exchange for the window)") {
     val left = Seq((1L, ts(1), "a")).toDF("k", "ts", "tag")
     val right = Seq((1L, ts(1), 1L, 0.0)).toDF("k", "ts", "rid", "rv")
