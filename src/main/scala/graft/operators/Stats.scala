@@ -1,0 +1,51 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact distributed order statistics (SURVEY §2.4 aggregation surface;
+  * the reference exposes only mean/count stats — exact percentiles are part
+  * of the corpus-quality extension a training pipeline needs, e.g. token-
+  * count p95 cutoffs).
+  */
+object Stats {
+
+  /** Exact `percentile_disc`-style percentiles per group, computed on a
+    * VALUE HISTOGRAM rather than by sorting raw rows: `groupBy(group,
+    * value)` first collapses the input with map-side partial aggregation
+    * (shuffle carries one row per DISTINCT (group, value), not per input
+    * row), then a window over the small histogram finds, for each p, the
+    * smallest value whose cumulative count reaches `ceil(p * n)`.
+    *
+    * At 100 TB this is the shape you want when the value domain is much
+    * smaller than the row count (token counts, quality scores, prices):
+    * the sort after the shuffle touches distinct values only. The output
+    * value is an ELEMENT of the input (no interpolation arithmetic), so an
+    * external engine reproduces it exactly.
+    *
+    * Output: one row per (group, p): (groupCol, p, pct_value).
+    */
+  def exactPercentiles(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      ps: Seq[Double]): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p > 0 && p <= 1),
+      "percentiles must be in (0, 1]")
+    val hist = df.groupBy(col(groupCol), col(valueCol))
+      .agg(count(lit(1)).as("cnt"))
+    val byGroup = Window.partitionBy(col(groupCol))
+    val cum = hist
+      .withColumn("cum", sum(col("cnt")).over(byGroup.orderBy(col(valueCol))))
+      .withColumn("n", sum(col("cnt")).over(byGroup))
+    cum
+      .select(col(groupCol), col(valueCol), col("cnt"), col("cum"), col("n"),
+        explode(array(ps.map(lit): _*)).as("p"))
+      // smallest value with cum >= r  <=>  the histogram bucket whose
+      // cumulative range [cum - cnt + 1, cum] covers rank r = ceil(p * n)
+      .withColumn("r", ceil(col("p") * col("n")))
+      .filter(col("cum") >= col("r") && col("cum") - col("cnt") < col("r"))
+      .select(col(groupCol), col("p"), col(valueCol).as("pct_value"))
+  }
+}
