@@ -33,6 +33,10 @@ object Bench {
     // one query's garbage from billing the next (local single-JVM mode)
     // optional positional args: run only the named queries (local iteration)
     val only = args.toSet
+    val unknown = only -- SparkEntry.queries.keySet
+    require(unknown.isEmpty,
+      s"unknown query name(s): ${unknown.toSeq.sorted.mkString(", ")} — " +
+        s"valid: ${SparkEntry.queries.keySet.toSeq.sorted.mkString(", ")}")
     val selected =
       if (only.isEmpty) SparkEntry.queries.toSeq
       else SparkEntry.queries.filter(q => only(q._1)).toSeq

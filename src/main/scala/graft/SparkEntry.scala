@@ -536,9 +536,13 @@ object SparkEntry {
 
     // Deterministic domain mixing: per-source keep-rates decided by an
     // arithmetic id hash — zero shuffle, reproducible in any engine.
+    // defaultRate = 0.1 mirrors the oracle CASE's ELSE branch, so a source
+    // value outside src0..src19 (regenerated testdata) cannot silently
+    // diverge from the oracle.
     "q42_weighted_sample" -> ((s, dir) => {
       operators.Curation.weightedSample(
-        t(s, dir, "documents"), "doc_id", "source", MixRates)
+        t(s, dir, "documents"), "doc_id", "source", MixRates,
+        defaultRate = 0.1)
         .select(col("doc_id").cast("long").as("id"), col("source"))
     }),
 

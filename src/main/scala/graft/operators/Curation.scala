@@ -77,14 +77,25 @@ object Curation {
         (coalesce(col("hits"), lit(0L)) > 0).as("contaminated"))
   }
 
-  /** Knuth multiplicative hash of a non-negative id — 32-bit mix computed
-    * in exact BIGINT arithmetic, so any engine reproduces it bit-for-bit
-    * (`(id * 2654435761) % 4294967296`). For ids beyond 2^32 compose with
-    * a pre-fold (`id % p` for a large prime) before calling; the testdata
-    * and reference id spaces fit directly.
+  /** Knuth multiplicative hash of an id — semantically
+    * `((id mod 2^32) * 2654435761) mod 2^32`, computed WITHOUT overflow by
+    * splitting the folded id into 16-bit halves (a naive Long multiply
+    * silently wraps for ids >= Long.MaxValue / 2654435761 ≈ 3.47e9, i.e.
+    * INSIDE the 2^32 domain). Each partial product stays under 2^48, so the
+    * arithmetic is exact BIGINT everywhere and an external engine reproduces
+    * it bit-for-bit — for ids < 3.47e9 the naive one-multiply formula
+    * `(id * 2654435761) % 4294967296` (used in the q42 oracle SQL) agrees;
+    * beyond that an oracle needs a wider type (DuckDB: cast to HUGEINT).
     */
-  def idHash(id: Column): Column =
-    pmod(id.cast("long") * lit(2654435761L), lit(4294967296L))
+  def idHash(id: Column): Column = {
+    val a = pmod(id.cast("long"), lit(4294967296L))
+    val lo = a.bitwiseAND(lit(65535L))
+    val hi = shiftright(a, 16)
+    // a*C mod 2^32 = (lo*C + ((hi*C) mod 2^16) * 2^16) mod 2^32
+    pmod(lo * lit(2654435761L) +
+      pmod(hi * lit(2654435761L), lit(65536L)) * lit(65536L),
+      lit(4294967296L))
+  }
 
   /** Deterministic weighted sampling for domain mixing: keep a document
     * iff `idHash(id) % 1e6 < rates(source) * 1e6`. Documents from sources

@@ -33,6 +33,13 @@ object Stats {
       ps: Seq[Double]): DataFrame = {
     require(ps.nonEmpty && ps.forall(p => p > 0 && p <= 1),
       "percentiles must be in (0, 1]")
+    // Quantize each p to parts-per-million ON THE DRIVER so the per-row rank
+    // r = ceil(p * n) is computed in exact long arithmetic: ceil(ppm*n/1e6)
+    // = (ppm*n + 999999) div 1000000. A double product p*n can land just
+    // above an exact integer (p=0.035, n=200 -> 7.000000000000001, ceil=8 —
+    // one element off for an operator documented as exact percentile_disc).
+    val pq = ps.map(p => (p, math.round(p * 1e6)))
+    require(pq.forall(_._2 > 0), "percentiles below 5e-7 quantize to rank 0")
     val hist = df.groupBy(col(groupCol), col(valueCol))
       .agg(count(lit(1)).as("cnt"))
     val byGroup = Window.partitionBy(col(groupCol))
@@ -41,11 +48,13 @@ object Stats {
       .withColumn("n", sum(col("cnt")).over(byGroup))
     cum
       .select(col(groupCol), col(valueCol), col("cnt"), col("cum"), col("n"),
-        explode(array(ps.map(lit): _*)).as("p"))
+        explode(array(pq.map { case (p, ppm) =>
+          struct(lit(p).as("p"), lit(ppm).as("ppm"))
+        }: _*)).as("pq"))
       // smallest value with cum >= r  <=>  the histogram bucket whose
       // cumulative range [cum - cnt + 1, cum] covers rank r = ceil(p * n)
-      .withColumn("r", ceil(col("p") * col("n")))
+      .withColumn("r", expr("(pq.ppm * n + 999999) div 1000000"))
       .filter(col("cum") >= col("r") && col("cum") - col("cnt") < col("r"))
-      .select(col(groupCol), col("p"), col(valueCol).as("pct_value"))
+      .select(col(groupCol), col("pq.p").as("p"), col(valueCol).as("pct_value"))
   }
 }

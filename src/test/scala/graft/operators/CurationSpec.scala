@@ -57,6 +57,22 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
     assert(again == first)
   }
 
+  test("idHash is exact over the full 2^32 domain (no Long overflow wrap)") {
+    // boundary ids around Long.MaxValue / 2654435761 ≈ 3.47e9, where the
+    // naive one-multiply formula silently wraps, plus the domain edges
+    val ids = Seq(0L, 1L, 12345L, 3472000000L, 3500000000L,
+      4294967295L, 4294967296L, 8589934593L)
+    val got = ids.toDF("id")
+      .select($"id", Curation.idHash($"id").as("h"))
+      .as[(Long, Long)].collect().toMap
+    for (id <- ids) {
+      val expect = ((BigInt(id) % BigInt(2L) .pow(32)) * BigInt(2654435761L) %
+        BigInt(2L).pow(32)).toLong
+      assert(got(id) == expect, s"idHash($id)")
+      assert(got(id) >= 0 && got(id) < 4294967296L)
+    }
+  }
+
   test("weightedSample plans with no shuffle") {
     val df = (0L until 100L).map(i => (i, "s")).toDF("id", "source")
     val p = Curation.weightedSample(df, "id", "source", Map("s" -> 0.5))

@@ -1,0 +1,63 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class StatsSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  /** Reference percentile_disc: smallest element whose rank >= ceil(p*n),
+    * computed with exact BigDecimal arithmetic. */
+  private def disc(sorted: Seq[Long], p: Double): Long = {
+    val n = sorted.size
+    val r = (BigDecimal(p) * n).setScale(0, BigDecimal.RoundingMode.CEILING).toInt
+    sorted(math.max(r, 1) - 1)
+  }
+
+  test("exactPercentiles matches a sorted-seq percentile_disc reference") {
+    val vals = (1L to 200L) ++ (1L to 50L) // duplicates exercise the histogram
+    val df = vals.zipWithIndex
+      .map { case (v, i) => (if (i % 2 == 0) "a" else "b", v) }
+      .toDF("g", "v")
+    val ps = Seq(0.01, 0.25, 0.5, 0.75, 0.95, 1.0)
+    val got = Stats.exactPercentiles(df, "g", "v", ps)
+      .collect()
+      .map(r => ((r.getString(0), r.getDouble(1)), r.getLong(2))).toMap
+    for (g <- Seq("a", "b"); p <- ps) {
+      val sorted = vals.zipWithIndex
+        .filter { case (_, i) => (if (i % 2 == 0) "a" else "b") == g }
+        .map(_._1).sorted
+      assert(got((g, p)) == disc(sorted, p), s"group $g p $p")
+    }
+  }
+
+  test("rank is exact when p*n is an integer in rational arithmetic") {
+    // p=0.035, n=200: the double product is 7.000000000000001, so a
+    // double-ceil returns rank 8 — the exact-integer rank must be 7
+    val df = (1L to 200L).map(("g", _)).toDF("g", "v")
+    val out = Stats.exactPercentiles(df, "g", "v", Seq(0.035)).collect()
+    assert(out.length == 1)
+    assert(out.head.getLong(2) == 7L, "rank ceil(0.035*200) must be exactly 7")
+  }
+
+  test("p=1.0 returns the max; singleton groups return their element") {
+    val df = Seq(("x", 41L), ("x", 99L), ("y", 7L)).toDF("g", "v")
+    val got = Stats.exactPercentiles(df, "g", "v", Seq(0.5, 1.0))
+      .collect()
+      .map(r => ((r.getString(0), r.getDouble(1)), r.getLong(2))).toMap
+    assert(got(("x", 1.0)) == 99L)
+    assert(got(("x", 0.5)) == 41L)
+    assert(got(("y", 0.5)) == 7L && got(("y", 1.0)) == 7L)
+  }
+
+  test("out-of-range percentiles are rejected") {
+    val df = Seq(("g", 1L)).toDF("g", "v")
+    intercept[IllegalArgumentException] {
+      Stats.exactPercentiles(df, "g", "v", Seq(0.0))
+    }
+    intercept[IllegalArgumentException] {
+      Stats.exactPercentiles(df, "g", "v", Seq(1.5))
+    }
+  }
+}
