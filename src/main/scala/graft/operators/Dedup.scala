@@ -522,25 +522,36 @@ object Dedup {
     val planes = AnnUtil.randomPlanes(nBits, dim, seed)
     val sig = Bridge.column(HyperplaneSignature(Bridge.expression(col("vec")), planes))
 
-    val withSig = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
-      .withColumn("sig", sig)
+    // (id, vec) feeds the signature scan and both sides of the verify join;
+    // unlike MinHash's shingleSets (tokenization is worth pinning) this is a
+    // cheap column-pruned scan, so recomputing beats a checkpoint
+    val vecs = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
+
+    // (id, band, bucket) only — the vectors stay OUT of the banding explode
+    // and self-join: shipping `vec` here would cross the exchange nBands
+    // times and sit on both sides of the join, an nBands x shuffle-width tax
+    // at 100 TB of embeddings. They re-join just for the cosine verify.
     val chunks = array((0 until nBands).map { j =>
       struct(lit(j).as("band"),
         shiftright(col("sig"), j * width).bitwiseAND(lit(mask)).as("bucket"))
     }: _*)
-    val banded = withSig
-      .select(col("id"), col("vec"), explode(chunks).as("bb"))
-      .select(col("id"), col("vec"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val banded = vecs
+      .withColumn("sig", sig)
+      .select(col("id"), explode(chunks).as("bb"))
+      .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
 
     val capped = capBuckets(banded, maxBucketSize)
-    capped.as("x").join(capped.as("y"),
+    val candidates = capped.as("x").join(capped.as("y"),
         col("x.band") === col("y.band") &&
           col("x.bucket") === col("y.bucket") &&
           col("x.id") < col("y.id"))
-      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
-        vector.cosine_sim(col("x.vec"), col("y.vec")).as("cosine"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
-      .filter(col("cosine") >= threshold)
+
+    candidates
+      .join(vecs.select(col("id").as("id_a"), col("vec").as("v_a")), Seq("id_a"))
+      .join(vecs.select(col("id").as("id_b"), col("vec").as("v_b")), Seq("id_b"))
+      .filter(vector.cosine_sim(col("v_a"), col("v_b")) >= threshold)
       .select(col("id_a"), col("id_b"))
   }
 }

@@ -87,6 +87,16 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
       s"corpus text must not enter a shuffle:\n$p")
   }
 
+  test("q32: LSH banding exchanges carry no vector column") {
+    // the banding explode + self-join must shuffle slim (id, band, bucket)
+    // rows only; shipping `vec` through them is an nBands x shuffle-width
+    // tax at scale (vectors re-join only for the cosine verify)
+    val p = plan("q32_emb_neardup_lsh")
+    assert(!"Exchange hashpartitioning\\([^)]*(vec|embedding)".r
+      .findFirstIn(p).isDefined,
+      s"vectors must not enter the banding shuffle:\n$p")
+  }
+
   test("q45: as-of join is union-and-sweep — one shuffle, no product join") {
     val p = plan("q45_asof_join")
     val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
