@@ -41,6 +41,29 @@ object SparkEntry {
     ml.IvfIndex.load(s, path)
   }
 
+  /** Deterministic IVF twin for the recall sweep (q46): coarse quantizer =
+    * the first 8 corpus embeddings (vec_id < 8), NOT k-means — so the whole
+    * index (assignment, probe order, pruned search) is a pure argmax the
+    * DuckDB oracle replays in SQL, and the measured recall numbers are
+    * hash-checked rather than taken on faith. One build per (JVM, sf dir),
+    * same memoization rationale as [[ivfIndexFor]].
+    */
+  private val ivfFixedPaths = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def ivfFixedIndexFor(s: SparkSession, dir: String): ml.IvfIndex = {
+    val path = ivfFixedPaths.computeIfAbsent(dir, _ => {
+      val p = java.nio.file.Files.createTempDirectory("graft_ivf_fixed").toString
+      val emb = t(s, dir, "embeddings")
+      val cents = emb.filter(col("vec_id") < 8).orderBy(col("vec_id"))
+        .select(col("embedding")).collect()
+        .map(_.getSeq[Float](0).toArray.map(_.toDouble))
+      ml.IvfIndex.buildWithCentroids(
+        emb.select(col("vec_id").as("id"), col("embedding").as("vector")),
+        "id", "vector", p, cents)
+      p
+    })
+    ml.IvfIndex.load(s, path)
+  }
+
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("q11_knn_cosine")(spark, "/root/testdata/sf0.001")
@@ -577,6 +600,50 @@ object SparkEntry {
       operators.AsOfJoin.asOfJoin(clicks, errors, "user_id", "ts", "event_id")
         .select(col("user_id"), col("event_id"), col("value"),
           col("right_event_id"), col("right_value"))
+    }),
+
+    // IVF recall@10 sweep, ORACLE-CHECKED (the reference's accuracy-harness
+    // analog, tests/performance_demo_hnsw.py:35-101): the index twin uses
+    // corpus rows 0..7 as its coarse quantizer, so the entire approximate
+    // search — assignment argmax, probe ranking, pruned candidate top-k —
+    // is replayed by the oracle in SQL and the recall doubles hash-match
+    // (hits/total is one IEEE division over exact integers). nProbe = 8
+    // probes every list, so its recall row is exactly 1.0 by construction —
+    // a built-in sanity anchor. Statistical recall of the PRODUCTION k-means
+    // index is measured the same way in RecallSpec (table in README).
+    "q46_ivf_recall" -> ((s, dir) => {
+      val idx = ivfFixedIndexFor(s, dir)
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      val exact = idx.searchBatch(queries, k = 10, nProbe = 8) // full probe = exact
+      Seq(1, 2, 4, 8).map { np =>
+        val approx =
+          if (np == 8) exact else idx.searchBatch(queries, k = 10, nProbe = np)
+        ml.Recall.summarize(ml.Recall.recallAtK(approx, exact))
+          .select(lit(np).cast("long").as("n_probe"),
+            col("n_hit"), col("n_exact"), col("recall"))
+      }.reduce(_ unionAll _)
+    }),
+
+    // LSH near-dup PAIR recall vs the exact all-pairs twin, oracle-checked
+    // via the q32 planted-copy corpus: scaled copies keep every hyperplane
+    // sign bit, so ground truth (cosine >= 0.9 = exactly the planted pairs)
+    // is recovered deterministically and the oracle can assert recall = 1.0
+    // from the exact side alone — if the banded path dropped a single pair,
+    // n_found would fall short and the hash check would go red.
+    "q47_lsh_pair_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").filter(col("vec_id") < 500)
+        .select(col("vec_id"), col("embedding"))
+      val copies = emb.select(
+        (col("vec_id") + 10000).as("vec_id"),
+        transform(col("embedding"), x => x * lit(2.0f)).as("embedding"))
+      val corpus = emb.unionAll(copies)
+      val found = operators.Dedup.embeddingNearDupLsh(
+        corpus, "vec_id", "embedding", threshold = 0.9, dim = 64)
+      val truth = operators.Dedup.embeddingNearDupExact(
+        corpus, "vec_id", "embedding", threshold = 0.9)
+      ml.Recall.pairRecall(found, truth)
     })
   )
 
@@ -1054,7 +1121,79 @@ object SparkEntry {
         |  e.event_id AS right_event_id, e.value AS right_value
         |FROM (SELECT * FROM events WHERE event_type = 'click') c
         |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') e
-        |  ON c.user_id = e.user_id AND c.ts >= e.ts""".stripMargin
+        |  ON c.user_id = e.user_id AND c.ts >= e.ts""".stripMargin,
+
+    // Full replay of the fixed-quantizer IVF: assignment = argmax cosine
+    // over centroid rows (ties -> lower list id, mirroring AnnUtil's strict
+    // `<` selection), probes = per-query centroid ranking, approx = top-10
+    // within the union of probed lists, recall = hit fraction vs exact
+    // top-10. The LEFT JOIN from (n_probe x exact) keeps all four sweep rows
+    // even at zero hits, mirroring Recall.recallAtK's truth-side left join.
+    "q46_ivf_recall" ->
+      """WITH cent AS (
+        |  SELECT vec_id AS list_id, CAST(embedding AS DOUBLE[]) AS c
+        |  FROM embeddings WHERE vec_id < 8),
+        |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |assign AS (
+        |  SELECT vec_id, v, list_id FROM (
+        |    SELECT x.vec_id, x.v, c.list_id,
+        |      row_number() OVER (PARTITION BY x.vec_id
+        |        ORDER BY list_cosine_similarity(c.c, x.v) DESC, c.list_id ASC) AS arnk
+        |    FROM v x, cent c
+        |  ) WHERE arnk = 1),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM v WHERE vec_id < 16),
+        |probes AS (
+        |  SELECT q.query_id, c.list_id,
+        |    row_number() OVER (PARTITION BY q.query_id
+        |      ORDER BY list_cosine_similarity(c.c, q.qv) DESC, c.list_id ASC) AS prank
+        |  FROM q, cent c),
+        |exact AS (
+        |  SELECT query_id, vec_id FROM (
+        |    SELECT q.query_id, a.vec_id,
+        |      row_number() OVER (PARTITION BY q.query_id
+        |        ORDER BY list_cosine_similarity(a.v, q.qv) DESC, a.vec_id ASC) AS rnk
+        |    FROM q, assign a
+        |  ) WHERE rnk <= 10),
+        |np AS (SELECT CAST(unnest([1, 2, 4, 8]) AS BIGINT) AS n_probe),
+        |approx AS (
+        |  SELECT n_probe, query_id, vec_id FROM (
+        |    SELECT n.n_probe, p.query_id, a.vec_id,
+        |      row_number() OVER (PARTITION BY n.n_probe, p.query_id
+        |        ORDER BY list_cosine_similarity(a.v, q.qv) DESC, a.vec_id ASC) AS rnk
+        |    FROM np n
+        |    JOIN probes p ON p.prank <= n.n_probe
+        |    JOIN assign a ON a.list_id = p.list_id
+        |    JOIN q ON q.query_id = p.query_id
+        |  ) WHERE rnk <= 10)
+        |SELECT n.n_probe,
+        |  CAST(count(ap.vec_id) AS BIGINT) AS n_hit,
+        |  CAST(count(*) AS BIGINT) AS n_exact,
+        |  CAST(count(ap.vec_id) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS recall
+        |FROM np n
+        |CROSS JOIN exact e
+        |LEFT JOIN approx ap
+        |  ON ap.n_probe = n.n_probe AND ap.query_id = e.query_id AND ap.vec_id = e.vec_id
+        |GROUP BY n.n_probe""".stripMargin,
+
+    // Ground truth from the exact side alone: on the planted-copy corpus the
+    // banded LSH path recovers every true pair deterministically (scaling by
+    // 2 preserves sign bits bit-exactly), so n_found == n_truth and
+    // recall == 1.0 — any dropped pair breaks the hash match.
+    "q47_lsh_pair_recall" ->
+      """WITH corpus AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings WHERE vec_id < 500
+        |  UNION ALL
+        |  SELECT vec_id + 10000, CAST(list_transform(embedding, x -> x * CAST(2.0 AS FLOAT)) AS DOUBLE[])
+        |  FROM embeddings WHERE vec_id < 500),
+        |exact AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+        |  WHERE list_cosine_similarity(a.v, b.v) >= 0.9)
+        |SELECT CAST(count(*) AS BIGINT) AS n_truth,
+        |  CAST(count(*) AS BIGINT) AS n_found,
+        |  CAST(count(*) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS recall
+        |FROM exact""".stripMargin
   )
 
   /** Shared BM25 corpus CTE for q39/q40 oracles — terms (vector, merge,

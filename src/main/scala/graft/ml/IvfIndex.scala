@@ -193,6 +193,41 @@ object IvfIndex {
         c.map(_ / n)
       } else rawCentroids
 
+    writeIndex(df, idCol, vecCol, path, cents, metric)
+  }
+
+  /** Build with an explicit coarse quantizer instead of k-means — the
+    * deterministic variant. Centroid assignment and probe order are then a
+    * pure argmax over the given array (ties to the lower list id), which IS
+    * expressible in ANSI SQL — so a search over this index can be
+    * oracle-checked end to end (q46 uses corpus rows as centroids).
+    * For the cosine metric the centroids are normalized here, mirroring
+    * [[build]] (assignment order is scale-invariant either way).
+    */
+  def buildWithCentroids(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      path: String,
+      centroids: Array[Array[Double]],
+      metric: String = vector.MetricCosine): IvfIndex = {
+    require(centroids.nonEmpty, "centroids must be non-empty")
+    val cents =
+      if (metric == vector.MetricCosine) centroids.map { c =>
+        val n = math.max(math.sqrt(c.map(x => x * x).sum), 1e-8)
+        c.map(_ / n)
+      } else centroids
+    writeIndex(df, idCol, vecCol, path, cents, metric)
+  }
+
+  private def writeIndex(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      path: String,
+      cents: Array[Array[Double]],
+      metric: String): IvfIndex = {
+    val spark = df.sparkSession
     val idx = new IvfIndex(spark, path, cents, metric)
     val meta = if (df.columns.contains("meta")) Seq(col("meta")) else Seq.empty
     df.select(Seq(

@@ -3,11 +3,14 @@ package graft.multimodal
 import java.nio.{ByteBuffer, ByteOrder}
 import java.nio.charset.StandardCharsets
 
-/** Pure-JVM decode for UNCOMPRESSED image formats — PPM (P6) and 24-bit BMP
-  * need no codec library, so for them the multimodal pipeline is real end to
-  * end: bytes -> pixels -> resize -> features -> vector store. Compressed
-  * formats (png/jpeg/...) still go through the stub kernel, as the container
-  * ships no codecs.
+/** JVM-native image decode, no external dependencies:
+  *  - PPM (P6) and 24-bit BMP through hand-rolled header parsers (zero-copy
+  *    raster slice for PPM — the fast path for synthetic/test corpora);
+  *  - PNG / JPEG / GIF / other BMP variants through `javax.imageio`, which
+  *    ships with the JDK (public platform API, codec plugins included).
+  * So the multimodal pipeline is real end to end for every mainstream image
+  * container: bytes -> pixels -> resize -> features -> vector store. Only
+  * audio/video codecs are absent from the JDK and remain stubbed.
   *
   * Reference scope note: the reference has no media pipeline at all — this
   * is part of the 100 TB training-data extension surface (builder brief;
@@ -16,6 +19,9 @@ import java.nio.charset.StandardCharsets
   * never on the driver.
   */
 object ImageCodec {
+
+  // executor-local decode must never spill ImageIO scratch to disk cache
+  javax.imageio.ImageIO.setUseCache(false)
 
   /** Row-major packed RGB, 3 bytes per pixel. */
   case class RawImage(width: Int, height: Int, rgb: Array[Byte]) {
@@ -27,15 +33,71 @@ object ImageCodec {
     def b(x: Int, y: Int): Int = rgb((y * width + x) * 3 + 2) & 0xff
   }
 
+  private def isPpm(b: Array[Byte]) = b.length > 2 && b(0) == 'P' && b(1) == '6'
+  private def isBmp(b: Array[Byte]) = b.length > 2 && b(0) == 'B' && b(1) == 'M'
+  private def isPng(b: Array[Byte]) =
+    b.length > 8 && (b(0) & 0xff) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G'
+  private def isJpeg(b: Array[Byte]) =
+    b.length > 3 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8 && (b(2) & 0xff) == 0xff
+  private def isGif(b: Array[Byte]) =
+    b.length > 6 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8'
+
   def canDecode(bytes: Array[Byte]): Boolean =
-    bytes.length > 2 &&
-      ((bytes(0) == 'P' && bytes(1) == '6') || (bytes(0) == 'B' && bytes(1) == 'M'))
+    isPpm(bytes) || isBmp(bytes) || isPng(bytes) || isJpeg(bytes) || isGif(bytes)
 
   def decode(bytes: Array[Byte]): RawImage =
-    if (bytes.length > 2 && bytes(0) == 'P' && bytes(1) == '6') decodePpm(bytes)
-    else if (bytes.length > 2 && bytes(0) == 'B' && bytes(1) == 'M') decodeBmp24(bytes)
+    if (isPpm(bytes)) decodePpm(bytes)
+    else if (isBmp(bytes)) {
+      // pure-JVM fast path for the common 24-bit case; other BMP variants
+      // (32-bpp, RLE, palettized) and malformed headers fall through to the
+      // imageio plugin, whose failure (null reader) is the decisive error
+      try decodeBmp24(bytes)
+      catch { case scala.util.control.NonFatal(_) => decodeImageIO(bytes) }
+    }
+    else if (isPng(bytes) || isJpeg(bytes) || isGif(bytes)) decodeImageIO(bytes)
     else throw new IllegalArgumentException(
-      "undecodable image (supported uncompressed formats: PPM P6, BMP 24-bit)")
+      "undecodable image (supported: PPM P6, BMP, PNG, JPEG, GIF)")
+
+  /** Compressed-format decode through the JDK's built-in `javax.imageio`
+    * plugins (PNG/JPEG/GIF/BMP/WBMP). Pixels are normalized to packed sRGB
+    * via `getRGB`, so downstream features see one colorspace regardless of
+    * the container's bit depth or palette; alpha is dropped (features are
+    * RGB-only).
+    */
+  def decodeImageIO(bytes: Array[Byte]): RawImage = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    require(img != null, "javax.imageio found no reader for these bytes")
+    val w = img.getWidth
+    val h = img.getHeight
+    val px = img.getRGB(0, 0, w, h, null, 0, w)
+    val out = new Array[Byte](w * h * 3)
+    var i = 0
+    while (i < w * h) {
+      val p = px(i)
+      out(i * 3) = ((p >> 16) & 0xff).toByte
+      out(i * 3 + 1) = ((p >> 8) & 0xff).toByte
+      out(i * 3 + 2) = (p & 0xff).toByte
+      i += 1
+    }
+    RawImage(w, h, out)
+  }
+
+  /** PNG encoder (lossless round-trip tests and store-ready thumbnails). */
+  def encodePng(img: RawImage): Array[Byte] = {
+    val bi = new java.awt.image.BufferedImage(
+      img.width, img.height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val px = new Array[Int](img.width * img.height)
+    var i = 0
+    while (i < px.length) {
+      px(i) = ((img.rgb(i * 3) & 0xff) << 16) |
+        ((img.rgb(i * 3 + 1) & 0xff) << 8) | (img.rgb(i * 3 + 2) & 0xff)
+      i += 1
+    }
+    bi.setRGB(0, 0, img.width, img.height, px, 0, img.width)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(bi, "png", bos)
+    bos.toByteArray
+  }
 
   /** PPM P6: "P6" <ws> width <ws> height <ws> maxval <single ws> raw RGB.
     * '#' comments allowed in the header per the netpbm spec.

@@ -6,13 +6,14 @@ import org.apache.spark.sql.functions._
 /** Multimodal column plumbing: image/audio/video as opaque binary columns
   * with typed metadata, processed in batch-shaped passes.
   *
-  * The decode kernels themselves are STUBS — this container has no image or
-  * audio codecs — but everything Spark-side is real and tested: the schema,
-  * the partition-preserving batched iteration (the Scala analog of a batched
-  * inference UDF: accumulate a bounded batch, run the kernel once per batch,
-  * emit rows), the frame-sampling generator shape, and the feature columns
-  * that feed the vector engine downstream. Swapping a real codec/model into
-  * `DecodeKernel` changes no plumbing.
+  * IMAGE decode is real (PPM/BMP hand-rolled + PNG/JPEG/GIF via the JDK's
+  * `javax.imageio` — see [[ImageCodec]]); AUDIO/VIDEO kernels are STUBS, as
+  * the JDK ships no audio/video codecs. Everything Spark-side is real and
+  * tested either way: the schema, the partition-preserving batched iteration
+  * (the Scala analog of a batched inference UDF: accumulate a bounded batch,
+  * run the kernel once per batch, emit rows), the frame-sampling generator
+  * shape, and the feature columns that feed the vector engine downstream.
+  * Swapping a model into `DecodeKernel` changes no plumbing.
   */
 object Multimodal {
 
@@ -45,11 +46,12 @@ object Multimodal {
       }
   }
 
-  /** REAL image kernel for uncompressed formats (PPM P6 / 24-bit BMP, no
-    * codec library needed): decode -> box-average resize -> L1-normalized
-    * RGB histogram. Formats without a JVM codec follow the `undecodable`
-    * policy: "error" (default) or "stub" (deterministic stand-in features,
-    * keeping mixed corpora flowing).
+  /** REAL image kernel (PPM/BMP/PNG/JPEG/GIF — all JVM-native, see
+    * [[ImageCodec]]): decode -> box-average resize -> L1-normalized RGB
+    * histogram. Bytes without a JVM decoder (audio/video containers,
+    * corrupt payloads) follow the `undecodable` policy: "error" (default)
+    * or "stub" (deterministic stand-in features, keeping mixed corpora
+    * flowing).
     */
   case class RawImageKernel(
       binsPerChannel: Int = 4,
@@ -78,8 +80,8 @@ object Multimodal {
               ImageCodec.resize(img, resizeTo, resizeTo), binsPerChannel)
           case None if undecodable == "stub" => stub.decodeBatch(Seq(row)).head
           case None => throw new IllegalArgumentException(
-            s"media ${row.media_id}: no JVM codec for format '${row.meta.format}' " +
-              "(decodable without codecs: ppm, bmp)")
+            s"media ${row.media_id}: no JVM decoder for format '${row.meta.format}' " +
+              "(decodable: ppm, bmp, png, jpeg, gif)")
         }
       }
   }

@@ -22,6 +22,16 @@ import org.apache.spark.sql.functions._
   */
 object Knn {
 
+  /** Default cap on [[batchTopKBlocked]]'s driver-collected query set:
+    * 16x the serving-layer batch cap (VectorStoreCatalog.MaxBatchQueries =
+    * 1000, mirroring the reference's api/routes/batch_v1.py:63-64). At this
+    * bound the broadcast is maxQueries x dim doubles (~8 MB at 64-dim,
+    * ~128 MB at 1024-dim) and the per-partition heap state is maxQueries x k
+    * entries — safely inside executor memory at local[32] or cluster
+    * defaults. Beyond it, the distributed [[batchTopK]] is the right tool.
+    */
+  val DefaultMaxBlockedQueries: Int = 16384
+
   /** Conjunctive metadata equality predicate over a map<string,string> column —
     * the reference's only filter form (service/optimized_vector_store.py:159-167).
     * A string filter matches the raw value OR its TypedMeta JSON-string
@@ -149,6 +159,14 @@ object Knn {
     * Same ranking semantics as [[batchTopK]] (ties broken by ascending id);
     * euclidean keeps the element-order scalar loop (its canonical form is
     * not a plain inner product).
+    *
+    * The query set is collected to the driver and broadcast (that is what
+    * makes the dgemm shape possible), so it must be BOUNDED: at most
+    * `maxQueries` rows. The guard reads maxQueries + 1 rows, never the whole
+    * DataFrame, so an accidentally-unbounded query set fails fast without
+    * materializing on the driver. For query sets beyond the cap use
+    * [[batchTopK]] (fully distributed, no driver collect) or slice the
+    * queries into capped passes.
     */
   def batchTopKBlocked(
       queries: DataFrame,
@@ -158,17 +176,24 @@ object Knn {
       vecCol: String = "vector",
       idCol: String = "id",
       queryIdCol: String = "query_id",
-      queryVecCol: String = "query_vec"): DataFrame = {
+      queryVecCol: String = "query_vec",
+      maxQueries: Int = DefaultMaxBlockedQueries): DataFrame = {
     val spark = store.sparkSession
     import spark.implicits._
     require(Seq(vector.MetricCosine, vector.MetricEuclidean, vector.MetricDot)
       .contains(metric), s"unsupported metric $metric")
+    require(maxQueries >= 1, s"maxQueries must be >= 1, got $maxQueries")
 
     val qRows: Array[(Long, Array[Double])] = queries
       .select(col(queryIdCol).cast("long"), col(queryVecCol))
+      .limit(maxQueries + 1)
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray.map(_.toDouble)))
     require(qRows.nonEmpty, "empty query set")
+    require(qRows.length <= maxQueries,
+      s"batchTopKBlocked broadcasts the query set (driver-collected): got more " +
+        s"than $maxQueries query rows. Raise maxQueries deliberately, run " +
+        s"capped slices, or use batchTopK for unbounded query sets.")
     val qIds = qRows.map(_._1)
     val qVecs = qRows.map(_._2)
     val qNorms = qVecs.map(v => math.max(math.sqrt(v.map(x => x * x).sum), 1e-8))

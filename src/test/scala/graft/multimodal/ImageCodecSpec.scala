@@ -99,6 +99,53 @@ class ImageCodecSpec extends AnyFunSuite with SparkSpec {
     assert(cos(feats(0L), feats(2L)) < 0.5, "red vs blue must not match")
   }
 
+  test("PNG round trip is lossless via javax.imageio") {
+    val img = RawImage(6, 3, Array.tabulate(6 * 3 * 3)(i => ((i * 37 + 11) % 256).toByte))
+    val png = encodePng(img)
+    assert(canDecode(png), "PNG magic must be recognized")
+    val back = decode(png)
+    assert(back.width == 6 && back.height == 3)
+    assert(back.rgb.toSeq == img.rgb.toSeq, "PNG is lossless — pixels must be exact")
+  }
+
+  test("JPEG decode: lossy but close on a solid color") {
+    val img = solid(16, 16, 180, 60, 30)
+    val bi = new java.awt.image.BufferedImage(16, 16, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 16; x <- 0 until 16) bi.setRGB(x, y, (180 << 16) | (60 << 8) | 30)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(bi, "jpg", bos)
+    val jpeg = bos.toByteArray
+    assert(canDecode(jpeg), "JPEG magic must be recognized")
+    val back = decode(jpeg)
+    assert(back.width == 16 && back.height == 16)
+    assert(math.abs(back.r(8, 8) - img.r(8, 8)) < 12 &&
+      math.abs(back.g(8, 8) - img.g(8, 8)) < 12 &&
+      math.abs(back.b(8, 8) - img.b(8, 8)) < 12,
+      s"jpeg decode too far off: got (${back.r(8, 8)}, ${back.g(8, 8)}, ${back.b(8, 8)})")
+  }
+
+  test("RawImageKernel end-to-end on a PNG corpus: no stub, real features") {
+    import spark.implicits._
+    val rows = Seq(
+      (0L, solid(16, 16, 240, 10, 10)), // red
+      (1L, solid(8, 8, 250, 5, 5)),     // red, other size
+      (2L, solid(16, 16, 10, 10, 240))  // blue
+    ).map { case (id, img) =>
+      Multimodal.MediaRow(id, "image", encodePng(img),
+        Multimodal.MediaMeta(img.width, img.height, "png", 0))
+    }
+    val feats = Multimodal
+      .extractFeatures(spark.createDataset(rows), Multimodal.RawImageKernel())
+      .collect().map(f => f.media_id -> f.features).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+      dot / (math.sqrt(a.map(x => x.toDouble * x).sum) *
+        math.sqrt(b.map(x => x.toDouble * x).sum))
+    }
+    assert(cos(feats(0L), feats(1L)) > 0.99, "two red PNGs must match")
+    assert(cos(feats(0L), feats(2L)) < 0.5, "red vs blue PNG must not match")
+  }
+
   test("undecodable policy: error throws, stub keeps mixed corpora flowing") {
     import spark.implicits._
     val png = Multimodal.MediaRow(7L, "image", Array[Byte](0x50, 0x4e, 0x47, 0),

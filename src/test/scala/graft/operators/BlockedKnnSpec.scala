@@ -34,4 +34,16 @@ class BlockedKnnSpec extends AnyFunSuite with SparkSpec {
     val r = Knn.batchTopKBlocked(queries.limit(2), tiny, k = 10)
     assert(r.count() == 6) // 2 queries x 3 rows available
   }
+
+  test("query-set cap: over-cap set fails fast, at-cap set runs") {
+    val all = emb.select($"id".as("query_id"), $"vector".as("query_vec"))
+    val e = intercept[IllegalArgumentException] {
+      Knn.batchTopKBlocked(all, emb, k = 3, maxQueries = 100)
+    }
+    assert(e.getMessage.contains("batchTopKBlocked"), e.getMessage)
+    assert(e.getMessage.contains("100"), e.getMessage)
+    // exactly at the cap is fine
+    val ok = Knn.batchTopKBlocked(all.limit(100), emb, k = 3, maxQueries = 100)
+    assert(ok.select($"query_id").distinct().count() == 100)
+  }
 }
