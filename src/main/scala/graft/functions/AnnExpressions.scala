@@ -30,7 +30,11 @@ object AnnUtil {
       else eucl2(vec, centroids(c), floatElems)
       c += 1
     }
-    // partial selection of the nProbe smallest scores
+    // partial selection of the nProbe smallest scores; exact score ties
+    // break to the LOWER centroid id (compare (score, id) pairs) so probe
+    // order matches the oracle's `ORDER BY score, list_id ASC` contract —
+    // plain `<` on scores alone can emit tied centroids out of id order
+    // after earlier swaps shuffled idx
     val idx = Array.tabulate(n)(identity)
     val take = math.min(nProbe, n)
     var i = 0
@@ -38,7 +42,8 @@ object AnnUtil {
       var best = i
       var j = i + 1
       while (j < n) {
-        if (scores(idx(j)) < scores(idx(best))) best = j
+        val sj = scores(idx(j)); val sb = scores(idx(best))
+        if (sj < sb || (sj == sb && idx(j) < idx(best))) best = j
         j += 1
       }
       val tmp = idx(i); idx(i) = idx(best); idx(best) = tmp

@@ -49,16 +49,28 @@ object Recall {
     * micro-averaged recall (every (query, neighbor) pair weighs equally).
     * The division is one IEEE double op over two exact integers, so it is
     * bit-identical across engines.
+    *
+    * Empty-input semantics: an empty per-query frame (no exact results at
+    * all) yields (0, 0, 1.0) — vacuous truth is trivially fully recovered.
+    * Defined explicitly so a degenerate sweep can never smuggle a NaN into
+    * a hash-checked contract row.
     */
   def summarize(perQuery: DataFrame): DataFrame =
     perQuery
-      .agg(sum(col("n_hit")).as("n_hit"), sum(col("n_exact")).as("n_exact"))
+      .agg(coalesce(sum(col("n_hit")), lit(0L)).as("n_hit"),
+        coalesce(sum(col("n_exact")), lit(0L)).as("n_exact"))
       .select(col("n_hit"), col("n_exact"),
-        (col("n_hit").cast("double") / col("n_exact").cast("double")).as("recall"))
+        when(col("n_exact") === 0L, lit(1.0))
+          .otherwise(col("n_hit").cast("double") / col("n_exact").cast("double"))
+          .as("recall"))
 
   /** Pair recall for the near-dup families: the fraction of ground-truth
     * pairs (truth, e.g. the exact all-pairs twin) that the candidate-based
     * path (found) recovered. One row: (n_truth, n_found, recall).
+    *
+    * Empty-truth semantics: n_truth = 0 yields (0, 0, 1.0) — no true pairs
+    * means nothing was missed — instead of a 0/0 NaN that would silently
+    * poison a hash-checked contract row.
     */
   def pairRecall(
       found: DataFrame,
@@ -72,6 +84,8 @@ object Recall {
       .join(f, Seq("id_a", "id_b"), "left")
       .agg(count(lit(1)).as("n_truth"), count(col("_hit")).as("n_found"))
       .select(col("n_truth"), col("n_found"),
-        (col("n_found").cast("double") / col("n_truth").cast("double")).as("recall"))
+        when(col("n_truth") === 0L, lit(1.0))
+          .otherwise(col("n_found").cast("double") / col("n_truth").cast("double"))
+          .as("recall"))
   }
 }

@@ -20,7 +20,12 @@ import java.nio.charset.StandardCharsets
   */
 object ImageCodec {
 
-  // executor-local decode must never spill ImageIO scratch to disk cache
+  // Executor-local decode must never spill ImageIO scratch to disk cache.
+  // PROCESS-GLOBAL side effect: this flips a JVM-wide ImageIO flag for every
+  // in-process ImageIO user, at whatever moment ImageCodec is first touched.
+  // Acceptable here because the setting is also the right default for any
+  // batch-executor workload (in-memory scratch beats per-image temp files);
+  // callers needing disk-cached ImageIO elsewhere must set it back.
   javax.imageio.ImageIO.setUseCache(false)
 
   /** Row-major packed RGB, 3 bytes per pixel. */

@@ -29,6 +29,10 @@ object Knn {
     * ~128 MB at 1024-dim) and the per-partition heap state is maxQueries x k
     * entries — safely inside executor memory at local[32] or cluster
     * defaults. Beyond it, the distributed [[batchTopK]] is the right tool.
+    *
+    * NOTE: introducing this default cap was a BREAKING change — callers that
+    * previously passed >16384 queries now fail fast and must either raise
+    * `maxQueries` deliberately or switch to [[batchTopK]].
     */
   val DefaultMaxBlockedQueries: Int = 16384
 
@@ -186,7 +190,9 @@ object Knn {
 
     val qRows: Array[(Long, Array[Double])] = queries
       .select(col(queryIdCol).cast("long"), col(queryVecCol))
-      .limit(maxQueries + 1)
+      // long-add before clamping: maxQueries = Int.MaxValue must not wrap to
+      // a negative limit (AnalysisException) — it degrades to a plain cap
+      .limit(math.min(maxQueries.toLong + 1, Int.MaxValue.toLong).toInt)
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray.map(_.toDouble)))
     require(qRows.nonEmpty, "empty query set")
