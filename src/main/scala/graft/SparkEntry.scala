@@ -644,6 +644,53 @@ object SparkEntry {
       val truth = operators.Dedup.embeddingNearDupExact(
         corpus, "vec_id", "embedding", threshold = 0.9)
       ml.Recall.pairRecall(found, truth)
+    }),
+
+    // SimHash banding pair recall, ORACLE-CHECKED via copy planting — the
+    // last approximate family's recall contract (q19 itself stays
+    // approximate-by-design). Identical text => bit-identical 64-bit
+    // fingerprint => hamming 0, and pigeonhole guarantees a hamming-0 pair
+    // shares every band whatever nBands is — so ALL planted pairs are
+    // recovered deterministically at every sweep point and the oracle can
+    // assert n_found = n_truth = |documents| and recall = 1.0 from row
+    // counts alone. A single dropped pair (banding bug, bucket-cap
+    // over-trim, verify regression) breaks the hash match.
+    "q48_simhash_pair_recall" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val copies = docs.select((col("doc_id") + 100000).as("doc_id"), col("text"))
+      val corpus = docs.unionAll(copies)
+      val truth = docs.select(
+        col("doc_id").as("id_a"), (col("doc_id") + 100000).as("id_b"))
+      Seq(2, 4, 8).map { nb =>
+        // high bucket cap, same reason as q35: determinism needs every copy
+        // to keep its banding rows; production default maxHamming=3 (q19)
+        val found = operators.Dedup.nearDupPairsSimHash(
+          corpus, "doc_id", "text", maxHamming = 3, nBands = nb,
+          maxBucketSize = 1 << 20)
+        ml.Recall.pairRecall(found, truth)
+          .select(lit(nb).cast("long").as("n_bands"),
+            col("n_truth"), col("n_found"), col("recall"))
+      }.reduce(_ unionAll _)
+    }),
+
+    // PII detect + redact (the corpus-scrub pass), ORACLE-CHECKED: PII is
+    // seeded deterministically from doc_id (email/IP/SSN/phone appended to
+    // each doc's text) so every family has >= 1 guaranteed match per row,
+    // and the portable-regex families (ASCII classes + \b only — identical
+    // semantics in Java's engine and RE2) let DuckDB replay both the counts
+    // (regexp_extract_all) and the fixed-order redaction (nested
+    // regexp_replace with 'g'). Counts are computed on the ORIGINAL text;
+    // natural-text accidental matches count identically in both engines.
+    "q49_pii_redaction" -> ((s, dir) => {
+      val seeded = t(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"),
+          lit(" contact user"), col("doc_id"), lit("@example.com from 10.0."),
+          col("doc_id") % 256, lit(".7 ssn 123-45-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+          lit(" call 555-867-5309")).as("text"))
+      text.Pii.withPiiRedaction(seeded, "text")
+        .select(col("doc_id"), col("n_email"), col("n_ip"), col("n_ssn"),
+          col("n_phone"), col("redacted"))
     })
   )
 
@@ -1193,7 +1240,40 @@ object SparkEntry {
         |SELECT CAST(count(*) AS BIGINT) AS n_truth,
         |  CAST(count(*) AS BIGINT) AS n_found,
         |  CAST(count(*) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS recall
-        |FROM exact""".stripMargin
+        |FROM exact""".stripMargin,
+
+    // Planted copies carry hamming-0 fingerprints, which share every band
+    // for ANY nBands (pigeonhole) — so each sweep point recovers all
+    // |documents| planted pairs and recall is exactly 1.0; the counts alone
+    // pin the contract.
+    "q48_simhash_pair_recall" ->
+      """WITH nb AS (SELECT CAST(unnest([2, 4, 8]) AS BIGINT) AS n_bands),
+        |c AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents)
+        |SELECT nb.n_bands, c.n AS n_truth, c.n AS n_found,
+        |  CAST(1.0 AS DOUBLE) AS recall
+        |FROM nb CROSS JOIN c""".stripMargin,
+
+    // Exact replay of the PII pass: same deterministic seeding expression,
+    // same portable regexes (interpolated from Pii's definitions so the two
+    // sides cannot drift), counts via regexp_extract_all on the original
+    // text, redaction as the same fixed-order nested replace ('g' = Java's
+    // replace-all default).
+    "q49_pii_redaction" -> {
+      val seeded = "text || ' contact user' || doc_id || '@example.com from 10.0.' || " +
+        "(doc_id % 256) || '.7 ssn 123-45-' || " +
+        "lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' call 555-867-5309'"
+      val redacted = text.Pii.Families.foldLeft("text") { case (acc, (re, repl)) =>
+        s"regexp_replace($acc, '$re', '$repl', 'g')"
+      }
+      s"""WITH d AS (SELECT doc_id, $seeded AS text FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text, '${text.Pii.EmailRe}')) AS BIGINT) AS n_email,
+         |  CAST(len(regexp_extract_all(text, '${text.Pii.Ipv4Re}')) AS BIGINT) AS n_ip,
+         |  CAST(len(regexp_extract_all(text, '${text.Pii.SsnRe}')) AS BIGINT) AS n_ssn,
+         |  CAST(len(regexp_extract_all(text, '${text.Pii.PhoneRe}')) AS BIGINT) AS n_phone,
+         |  $redacted AS redacted
+         |FROM d""".stripMargin
+    }
   )
 
   /** Shared BM25 corpus CTE for q39/q40 oracles — terms (vector, merge,
