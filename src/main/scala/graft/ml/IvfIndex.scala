@@ -117,6 +117,52 @@ class IvfIndex private (
       .groupBy(col("list_id"))
       .agg(count(lit(1)).as("n_vectors"))
 
+  /** Maintenance snapshot with an explicit rebuild verdict — closes the
+    * "monitor manually" gap in [[append]]'s contract: a caller appending for
+    * months gets a computable drift signal instead of silent degradation.
+    *
+    * Signals (thresholds are arguments, defaults documented on the
+    * constants):
+    *  - `imbalance` = max list size / (nVectors / nLists) — the mean over
+    *    ALL lists, so emptied-out lists raise the signal too (a store whose
+    *    rows collapsed into one hot list reads imbalance = nLists). A hot
+    *    list of factor f means ~f× worst-case probe work AND recall skew
+    *    (vectors crowded into one list crowd out its top-k slots).
+    *  - `appendedFraction` = rows appended since build / current rows.
+    *    Appends assign against FROZEN centroids; once most of the store
+    *    post-dates the quantizer, the k-means partition no longer reflects
+    *    the data distribution even if sizes still look balanced.
+    *
+    * The scan is one groupBy over list ids (<= nLists result rows) — cheap
+    * enough to run after every append batch.
+    */
+  def maintenance(
+      maxImbalance: Double = IvfIndex.DefaultMaxImbalance,
+      maxAppendedFraction: Double = IvfIndex.DefaultMaxAppendedFraction)
+      : IvfIndex.Maintenance = {
+    val per = listStats().collect() // <= nLists rows by construction
+    val sizes = per.map(_.getLong(1))
+    val nVectors = sizes.sum
+    val maxList = if (sizes.isEmpty) 0L else sizes.max
+    val mean = nVectors.toDouble / math.max(centroids.length, 1)
+    val imbalance = if (mean > 0) maxList / mean else 0.0
+    val nAtBuild = IvfIndex.readBuildCount(spark, path)
+    val appendedFraction = nAtBuild match {
+      case Some(b) if nVectors > 0 => math.max(0L, nVectors - b).toDouble / nVectors
+      case _ => 0.0
+    }
+    IvfIndex.Maintenance(
+      nLists = centroids.length,
+      nVectors = nVectors,
+      nonEmptyLists = sizes.length,
+      maxListSize = maxList,
+      meanListSize = mean,
+      imbalance = imbalance,
+      nAtBuild = nAtBuild,
+      appendedFraction = appendedFraction,
+      needsRebuild = imbalance > maxImbalance || appendedFraction > maxAppendedFraction)
+  }
+
   /** Batch ANN search: queries x store as an EQUI-join on list_id (each
     * query explodes to its nProbe lists), then bounded top-k per query.
     * The crucial scale properties vs brute force: (a) the store scan is
@@ -157,6 +203,40 @@ class IvfIndex private (
 }
 
 object IvfIndex {
+
+  /** Rebuild when the hottest list exceeds 4x the mean non-empty list —
+    * past that, probe cost and recall skew dominate any quantizer quality.
+    * (A freshly built k-means index on natural data sits around 1.5-2.5.)
+    */
+  val DefaultMaxImbalance: Double = 4.0
+
+  /** Rebuild when over half the store post-dates the frozen quantizer:
+    * the centroids then describe a minority of the data.
+    */
+  val DefaultMaxAppendedFraction: Double = 0.5
+
+  /** [[IvfIndex.maintenance]] output. `nAtBuild` is None for indexes written
+    * before build counts were recorded (their appendedFraction reads 0.0 —
+    * imbalance still monitors them).
+    */
+  case class Maintenance(
+      nLists: Int,
+      nVectors: Long,
+      nonEmptyLists: Int,
+      maxListSize: Long,
+      meanListSize: Double,
+      imbalance: Double,
+      nAtBuild: Option[Long],
+      appendedFraction: Double,
+      needsRebuild: Boolean)
+
+  private def buildMetaPath(path: String) = s"$path/buildmeta"
+
+  private[ml] def readBuildCount(spark: SparkSession, path: String): Option[Long] =
+    try {
+      spark.read.parquet(buildMetaPath(path))
+        .collect().headOption.map(_.getLong(0))
+    } catch { case _: org.apache.spark.sql.AnalysisException => None }
 
   /** Distributed index build. Input df must carry (idCol, vecCol[, meta]).
     * Writes `{path}/data/list_id=*` partitioned parquet and
@@ -230,16 +310,23 @@ object IvfIndex {
     val spark = df.sparkSession
     val idx = new IvfIndex(spark, path, cents, metric)
     val meta = if (df.columns.contains("meta")) Seq(col("meta")) else Seq.empty
+    // build-time row count observed inside the write pass (single pass over
+    // user lineage) — it anchors maintenance()'s appendedFraction signal
+    val obs = org.apache.spark.sql.Observation()
     df.select(Seq(
         col(idCol).cast("long").as("id"),
         col(vecCol).as("vector"),
         idx.probes(col(vecCol), 1).getItem(0).as("list_id")) ++ meta: _*)
+      .observe(obs, count(lit(1)).as("n"))
       .write.mode("overwrite").partitionBy("list_id").parquet(s"$path/data")
+    val nBuilt = obs.get("n").asInstanceOf[Long]
 
     import spark.implicits._
     cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
       .toDF("list_id", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    Seq(nBuilt).toDF("n_at_build")
+      .coalesce(1).write.mode("overwrite").parquet(buildMetaPath(path))
     idx
   }
 

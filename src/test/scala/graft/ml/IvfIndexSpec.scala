@@ -135,4 +135,43 @@ class IvfIndexSpec extends AnyFunSuite with SparkSpec {
     val stats = idx.listStats().collect()
     assert(stats.map(_.getAs[Long]("n_vectors")).sum == 500L)
   }
+
+  test("maintenance: append drift flips needsRebuild; fresh build is healthy") {
+    val p = java.nio.file.Files.createTempDirectory("graft_ivf_maint").toString
+    IvfIndex.build(emb.filter($"id" < 400), "id", "vector", p, nLists = 8)
+    val idx = IvfIndex.load(spark, p)
+
+    val fresh = idx.maintenance()
+    assert(fresh.nVectors == 400L)
+    assert(fresh.nAtBuild.contains(400L))
+    assert(fresh.appendedFraction == 0.0)
+    assert(!fresh.needsRebuild,
+      s"fresh k-means build should be healthy: $fresh")
+
+    // drift: append every vector 5x over — 5/6 of the store now post-dates
+    // the frozen quantizer, tripping the appended-fraction signal
+    (1 to 5).foreach { i =>
+      idx.append(emb.filter($"id" < 400)
+        .select(($"id" + i * 1000).as("id"), $"vector"))
+    }
+    val drifted = idx.maintenance()
+    assert(drifted.nVectors == 2400L)
+    assert(drifted.appendedFraction > 0.8)
+    assert(drifted.needsRebuild, s"appended-fraction drift must flip: $drifted")
+
+    // imbalance alone also flips it: deterministic hoarding — euclidean
+    // metric, centroid 0 at the data region, the rest absurdly far away,
+    // so EVERY row assigns to list 0 and imbalance reads nLists = 8
+    val p2 = java.nio.file.Files.createTempDirectory("graft_ivf_skew").toString
+    val cents = Array(Array.fill(64)(0.0)) ++
+      (1 until 8).map(i => Array.fill(64)(1e6 * i))
+    IvfIndex.buildWithCentroids(emb, "id", "vector", p2, cents,
+      metric = graft.functions.vector.MetricEuclidean)
+    val skewed = IvfIndex.load(spark, p2,
+      metric = graft.functions.vector.MetricEuclidean).maintenance()
+    assert(skewed.imbalance > IvfIndex.DefaultMaxImbalance,
+      s"hoarding centroid should trip imbalance: $skewed")
+    assert(skewed.needsRebuild)
+    assert(skewed.appendedFraction == 0.0)
+  }
 }
