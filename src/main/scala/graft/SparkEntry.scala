@@ -691,6 +691,25 @@ object SparkEntry {
       text.Pii.withPiiRedaction(seeded, "text")
         .select(col("doc_id"), col("n_email"), col("n_ip"), col("n_ssn"),
           col("n_phone"), col("redacted"))
+    }),
+
+    // Streaming MinHash near-dup (the incremental ingest twin of q18),
+    // ORACLE-CHECKED against the same exact all-pairs Jaccard SQL as q18:
+    // the stream replays the corpus through watermark-capable
+    // flatMapGroupsWithState bucket state and must land on the identical
+    // pair set AND bit-identical jaccard doubles (StreamsSpec additionally
+    // proves arrival-order independence across shuffled drops).
+    "q50_stream_neardup" -> ((s, dir) => {
+      val name = s"q50_out_${System.nanoTime()}"
+      val pairs = streaming.Streams.nearDupPairsMinHashStream(
+        streaming.Streams.documentStream(s, dir, glob = Some("documents.parquet")),
+        "doc_id", "text", shingleLen = 3, numHashes = 128, bands = 32,
+        threshold = 0.5)
+      val q = pairs.toDF().writeStream.outputMode("append")
+        .format("memory").queryName(name).start()
+      try q.processAllAvailable() finally q.stop()
+      // one emission per shared band; identical values => lossless collapse
+      s.table(name).dropDuplicates("id_a", "id_b")
     })
   )
 
@@ -1273,7 +1292,21 @@ object SparkEntry {
          |  CAST(len(regexp_extract_all(text, '${text.Pii.PhoneRe}')) AS BIGINT) AS n_phone,
          |  $redacted AS redacted
          |FROM d""".stripMargin
-    }
+    },
+
+    // The streaming path must recover exactly the batch/exact pair set —
+    // same oracle as q18 (exact all-pairs 3-gram Jaccard at t=0.5).
+    "q50_stream_neardup" ->
+      """WITH s AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, len(string_split(text,' '))-1),
+        |         i -> array_to_string(list_slice(string_split(text,' '), i, i+2), ' '))) AS sh
+        |  FROM documents)
+        |SELECT id_a, id_b, jaccard FROM (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |         CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |           (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+        |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+        |) WHERE jaccard >= 0.5""".stripMargin
   )
 
   /** Shared BM25 corpus CTE for q39/q40 oracles — terms (vector, merge,

@@ -150,6 +150,130 @@ object Streams {
     }
   }
 
+  // ------------------------------------------------------ stream near-dup
+
+  /** One doc's footprint inside one LSH bucket's state: its id and distinct
+    * shingle set (strings, exactly the batch path's `tokenShingles` output,
+    * so the verify arithmetic is bit-identical to `nearDupPairsMinHash`).
+    */
+  case class BucketDoc(id: Long, shingles: Array[String])
+
+  /** An emitted near-duplicate pair, id_a < id_b. */
+  case class NearDupPair(id_a: Long, id_b: Long, jaccard: Double)
+
+  /** Streaming MinHash near-dup: the incremental twin of
+    * `Dedup.nearDupPairsMinHash` — same signature expression, same banding,
+    * same exact-Jaccard verify — emitting each qualifying pair ONCE PER
+    * SHARED BAND as documents arrive (dedupe (id_a, id_b) downstream; the
+    * jaccard double is identical across bands, so a batch-side
+    * `dropDuplicates` after the sink collapses them losslessly).
+    *
+    * Equivalence and order-independence: a pair is emitted when the LATER of
+    * its two docs arrives in a shared bucket, as (min id, max id), so the
+    * emitted pair SET equals the batch path's output on the same corpus
+    * whatever the arrival order (StreamsSpec replays two shuffles of the
+    * same corpus). The one divergence surface is the bucket cap: batch trims
+    * overfull buckets by id order, the stream by ARRIVAL order — identical
+    * as long as no bucket exceeds `maxBucketSize` (boilerplate that full is
+    * what dedup collapses anyway).
+    *
+    * State shape at scale: one entry per (band, bucket) holding <=
+    * maxBucketSize (id, shingle-set) rows. With `eventTimeCol` set, the
+    * input is watermarked and bucket state is EVICTED once the watermark
+    * passes `watermark` beyond the bucket's newest doc — the at-scale
+    * configuration (re-crawl duplicates cluster in time). Without it, state
+    * grows with the corpus: bounded (availableNow) replays only.
+    */
+  def nearDupPairsMinHashStream(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      shingleLen: Int = 3,
+      numHashes: Int = 128,
+      bands: Int = 32,
+      threshold: Double = 0.8,
+      seed: Long = 42L,
+      maxBucketSize: Int = 1000,
+      eventTimeCol: Option[String] = None,
+      watermark: String = "1 hour"): Dataset[NearDupPair] = {
+    require(numHashes % bands == 0, s"numHashes=$numHashes not divisible by bands=$bands")
+    val rows = numHashes / bands
+    val spark = docs.sparkSession
+    import spark.implicits._
+    import graft.operators.Dedup
+
+    val withSig = docs.select(
+      Seq(col(idCol).cast("long").as("id"),
+        Dedup.tokenShingles(col(textCol), shingleLen).as("shingles")) ++
+        eventTimeCol.map(c => col(c).as("event_time")): _*)
+      .withColumn("sig", Dedup.minhashSignature(col("shingles"), numHashes, seed))
+    val bandStructs = array((0 until bands).map { j =>
+      struct(lit(j).as("band"), hash(slice(col("sig"), j * rows + 1, rows)).as("bucket"))
+    }: _*)
+    val banded = withSig
+      .select(Seq(col("id"), col("shingles"), explode(bandStructs).as("bb")) ++
+        eventTimeCol.map(_ => col("event_time")): _*)
+      .select(Seq(col("bb.band").as("band"), col("bb.bucket").as("bucket"),
+        col("id"), col("shingles")) ++
+        eventTimeCol.map(_ => col("event_time")): _*)
+    val watermarked = eventTimeCol match {
+      case Some(_) => banded.withWatermark("event_time", watermark)
+      case None => banded
+    }
+    val timeoutConf = eventTimeCol match {
+      case Some(_) => GroupStateTimeout.EventTimeTimeout
+      case None => GroupStateTimeout.NoTimeout()
+    }
+    val watermarkMillis = org.apache.spark.sql.catalyst.util.IntervalUtils
+      .stringToInterval(org.apache.spark.unsafe.types.UTF8String.fromString(watermark))
+    val horizonMillis =
+      watermarkMillis.days * 86400000L + watermarkMillis.microseconds / 1000L
+
+    watermarked
+      .groupByKey(r => (r.getAs[Int]("band"), r.getAs[Int]("bucket")))
+      .flatMapGroupsWithState[Array[BucketDoc], NearDupPair](
+        OutputMode.Append, timeoutConf) {
+        (_: (Int, Int), newDocs: Iterator[org.apache.spark.sql.Row],
+         state: GroupState[Array[BucketDoc]]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var held = state.getOption.getOrElse(Array.empty[BucketDoc])
+            val out = List.newBuilder[NearDupPair]
+            var maxEvent = Long.MinValue
+            newDocs.foreach { r =>
+              val id = r.getAs[Long]("id")
+              val sh = r.getSeq[String](r.fieldIndex("shingles")).toArray
+              if (eventTimeCol.isDefined)
+                maxEvent = math.max(maxEvent,
+                  r.getAs[java.sql.Timestamp]("event_time").getTime)
+              // batch-cap parity: docs landing in a full bucket generate no
+              // pairs at all (capBuckets drops their banding row entirely)
+              if (held.length < maxBucketSize &&
+                  !held.exists(_.id == id)) { // re-delivered banding row
+                val shSet = sh.toSet
+                held.foreach { other =>
+                  val inter = other.shingles.count(shSet.contains)
+                  // same association order as Dedup.jaccard:
+                  // inter / (|a| + |b| - inter), ints exact in doubles
+                  val j = inter.toDouble /
+                    (other.shingles.length + sh.length - inter)
+                  if (j >= threshold)
+                    out += NearDupPair(math.min(id, other.id),
+                      math.max(id, other.id), j)
+                }
+                held = held :+ BucketDoc(id, sh)
+              }
+            }
+            state.update(held)
+            if (eventTimeCol.isDefined && maxEvent != Long.MinValue)
+              state.setTimeoutTimestamp(maxEvent + horizonMillis)
+            out.result().iterator
+          }
+      }
+  }
+
   // -------------------------------------------------------- progress stream
 
   /** Schema of one progress event (reference SSE event payload shape,

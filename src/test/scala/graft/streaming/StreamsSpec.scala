@@ -77,6 +77,76 @@ class StreamsSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming MinHash near-dup: pair set equals batch, arrival-order-independent") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", $"text")
+    val batch = graft.operators.Dedup.nearDupPairsMinHash(
+        docs, "doc_id", "text", shingleLen = 3, numHashes = 128, bands = 32,
+        threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(batch.nonEmpty, "corpus should contain near-dup pairs at t=0.5")
+
+    // two different arrival orders, each as two sequential micro-batch drops
+    val splits = Seq(
+      "halves" -> Seq(docs.filter($"doc_id" < 250), docs.filter($"doc_id" >= 250)),
+      "parity" -> Seq(docs.filter($"doc_id" % 2 === 1), docs.filter($"doc_id" % 2 === 0)))
+    splits.foreach { case (name, parts) =>
+      val dropDir = tempDir(s"graft_neardup_$name")
+      val src = spark.readStream
+        .schema(StructType(Seq(
+          StructField("doc_id", org.apache.spark.sql.types.LongType),
+          StructField("text", org.apache.spark.sql.types.StringType))))
+        .parquet(dropDir)
+      val pairs = Streams.nearDupPairsMinHashStream(
+        src, "doc_id", "text", shingleLen = 3, numHashes = 128, bands = 32,
+        threshold = 0.5)
+      val q = pairs.toDF().writeStream.outputMode("append")
+        .format("memory").queryName(s"neardup_$name").start()
+      try {
+        parts.foreach { p =>
+          p.write.mode("append").parquet(dropDir)
+          q.processAllAvailable()
+        }
+        val got = spark.table(s"neardup_$name")
+          .dropDuplicates("id_a", "id_b")
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+        assert(got == batch,
+          s"[$name] missed=${batch -- got} extra=${got -- batch}")
+      } finally q.stop()
+    }
+  }
+
+  test("streaming MinHash near-dup: watermarked variant emits the planted pair") {
+    val dropDir = tempDir("graft_neardup_wm")
+    val base = 1700000000000L
+    val rows = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again", base),
+      (2L, "the quick brown fox jumps over the lazy dog again and again", base + 1000L),
+      (3L, "completely different text about spark structured streaming state", base + 2000L))
+    rows.toDF("doc_id", "text", "ts_ms")
+      .withColumn("event_time", timestamp_millis($"ts_ms"))
+      .write.mode("append").parquet(dropDir)
+    val src = spark.readStream
+      .schema(StructType(Seq(
+        StructField("doc_id", org.apache.spark.sql.types.LongType),
+        StructField("text", org.apache.spark.sql.types.StringType),
+        StructField("ts_ms", org.apache.spark.sql.types.LongType),
+        StructField("event_time", org.apache.spark.sql.types.TimestampType))))
+      .parquet(dropDir)
+    val pairs = Streams.nearDupPairsMinHashStream(
+      src, "doc_id", "text", threshold = 0.8,
+      eventTimeCol = Some("event_time"), watermark = "10 minutes")
+    val q = pairs.toDF().writeStream.outputMode("append")
+      .format("memory").queryName("neardup_wm").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("neardup_wm")
+        .dropDuplicates("id_a", "id_b")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == Set((1L, 2L)), s"got $got")
+    } finally q.stop()
+  }
+
   test("sessionize closes sessions on gap and totals match input") {
     val dropDir = tempDir("graft_sess_drop")
     // craft a tiny deterministic stream: user 1 has two sessions (gap 10min),
