@@ -22,6 +22,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.functions.windows.muteNoPartitionWarning() // all global windows here are bounded
 
     // one warm-up pass of the flagship to absorb JVM/codegen warm-up
     try SparkEntry.queries("q11_knn_cosine")(spark, sfDir)

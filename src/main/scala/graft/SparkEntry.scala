@@ -194,7 +194,7 @@ object SparkEntry {
         .orderBy(col("score").desc, col("vec_id").asc)
         .limit(10)
         .select(col("vec_id"),
-          row_number().over(Window.orderBy(col("score").desc, col("vec_id").asc))
+          functions.windows.boundedRank(col("score").desc, col("vec_id").asc)
             .cast("long").as("rnk"))
     }),
 
@@ -208,7 +208,7 @@ object SparkEntry {
         .orderBy(col("dist").asc, col("vec_id").asc)
         .limit(10)
         .select(col("vec_id"),
-          row_number().over(Window.orderBy(col("dist").asc, col("vec_id").asc))
+          functions.windows.boundedRank(col("dist").asc, col("vec_id").asc)
             .cast("long").as("rnk"))
     }),
 
@@ -222,7 +222,7 @@ object SparkEntry {
         .orderBy(col("score").desc, col("vec_id").asc)
         .limit(10)
         .select(col("vec_id"),
-          row_number().over(Window.orderBy(col("score").desc, col("vec_id").asc))
+          functions.windows.boundedRank(col("score").desc, col("vec_id").asc)
             .cast("long").as("rnk"))
     }),
 
@@ -536,7 +536,7 @@ object SparkEntry {
         .orderBy(col("score").desc, col("id").asc)
         .limit(20)
         .select(col("id"),
-          row_number().over(Window.orderBy(col("score").desc, col("id").asc))
+          functions.windows.boundedRank(col("score").desc, col("id").asc)
             .cast("long").as("rank"))
       val kw = text.TextSearch.bm25TopK(
         t(s, dir, "documents"), "doc_id", "text",

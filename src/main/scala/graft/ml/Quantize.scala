@@ -78,7 +78,7 @@ object Quantize {
           col("scale"), col("q_scale")).as("qscore"))
     scored.orderBy(col("qscore").desc, col("id").asc).limit(k)
       .select(col("id"),
-        row_number().over(Window.orderBy(col("qscore").desc, col("id").asc))
+        graft.functions.windows.boundedRank(col("qscore").desc, col("id").asc)
           .cast("long").as("rank"))
   }
 
@@ -99,7 +99,7 @@ object Quantize {
         graft.functions.vector.cosine_sim(col("v"), qv).as("score"))
       .orderBy(col("score").desc, col("id").asc).limit(k)
       .select(col("id"),
-        row_number().over(Window.orderBy(col("score").desc, col("id").asc))
+        graft.functions.windows.boundedRank(col("score").desc, col("id").asc)
           .cast("long").as("rank"))
   }
 }

@@ -80,7 +80,7 @@ object Knn {
     // k rows at this point — the rank window is over a tiny, already-sorted set.
     scored.withColumn(
       "rank",
-      row_number().over(Window.orderBy(col("similarity_score").desc +: tieBreak: _*)))
+      graft.functions.windows.boundedRank(col("similarity_score").desc +: tieBreak: _*))
   }
 
   /** Batch kNN: for every row of `queries` (queryIdCol, queryVecCol), the k
@@ -359,8 +359,7 @@ object Knn {
       k: Int,
       lengthCol: String = "chunk_length",
       scoreCol: String = "similarity_score"): DataFrame = {
-    val w = Window
-      .orderBy(col(scoreCol).desc)
+    val w = graft.functions.windows.boundedGlobal(col(scoreCol).desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     ranked
       .filter(col(scoreCol) >= minSimilarity)

@@ -84,7 +84,7 @@ object TextSearch {
       .orderBy(col("score").desc, col("id").asc)
       .limit(k)
       .select(col("id"), col("score"),
-        row_number().over(Window.orderBy(col("score").desc, col("id").asc))
+        graft.functions.windows.boundedRank(col("score").desc, col("id").asc)
           .cast("long").as("rank"))
   }
 
@@ -110,7 +110,7 @@ object TextSearch {
       .orderBy(col("fused_score").desc, col("id").asc)
       .limit(k)
       .select(col("id"), col("fused_score"),
-        row_number().over(Window.orderBy(col("fused_score").desc, col("id").asc))
+        graft.functions.windows.boundedRank(col("fused_score").desc, col("id").asc)
           .cast("long").as("rank"))
   }
 }

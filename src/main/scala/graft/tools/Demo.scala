@@ -23,6 +23,7 @@ object Demo {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.functions.windows.muteNoPartitionWarning() // all global windows here are bounded
     import spark.implicits._
 
     val root = java.nio.file.Files.createTempDirectory("graft_demo_stores").toString

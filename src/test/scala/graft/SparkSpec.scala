@@ -4,7 +4,8 @@ import org.apache.spark.sql.SparkSession
 
 /** One shared local session for the whole test JVM. */
 object SparkSpec {
-  lazy val spark: SparkSession = SparkSession.builder()
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
     .master("local[4]")
     .appName("graft-test")
     .config("spark.sql.shuffle.partitions", "4")
@@ -13,6 +14,9 @@ object SparkSpec {
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
+    graft.functions.windows.muteNoPartitionWarning() // bounded global ranks only
+    s
+  }
 }
 
 trait SparkSpec {
