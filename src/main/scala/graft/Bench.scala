@@ -29,10 +29,13 @@ object Bench {
       .write.mode("overwrite").format("noop").save()
     catch { case _: Throwable => () }
 
-    // two timed runs per query, report the min: the first run absorbs
-    // plan-compilation + page-cache effects, and a GC between queries keeps
-    // one query's garbage from billing the next (local single-JVM mode)
+    // SPARK_GRAFT_BENCH_RUNS timed runs per query (default 3), report the
+    // min: the first run absorbs plan-compilation + page-cache effects, the
+    // extra runs damp co-located-load noise (a single-shot bench once
+    // recorded a phantom +24% round-over-round), and a GC between queries
+    // keeps one query's garbage from billing the next (local single-JVM).
     // optional positional args: run only the named queries (local iteration)
+    val nRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt.max(1)
     val only = args.toSet
     val unknown = only -- SparkEntry.queries.keySet
     require(unknown.isEmpty,
@@ -51,8 +54,7 @@ object Bench {
         (System.nanoTime() - t0) / 1e9
       }
       System.gc()
-      val t = math.min(once(), once())
-      name -> t
+      name -> Seq.fill(nRuns)(once()).min
     }
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")

@@ -20,14 +20,6 @@ import java.nio.charset.StandardCharsets
   */
 object ImageCodec {
 
-  // Executor-local decode must never spill ImageIO scratch to disk cache.
-  // PROCESS-GLOBAL side effect: this flips a JVM-wide ImageIO flag for every
-  // in-process ImageIO user, at whatever moment ImageCodec is first touched.
-  // Acceptable here because the setting is also the right default for any
-  // batch-executor workload (in-memory scratch beats per-image temp files);
-  // callers needing disk-cached ImageIO elsewhere must set it back.
-  javax.imageio.ImageIO.setUseCache(false)
-
   /** Row-major packed RGB, 3 bytes per pixel. */
   case class RawImage(width: Int, height: Int, rgb: Array[Byte]) {
     require(width > 0 && height > 0, s"bad dimensions ${width}x$height")
@@ -70,7 +62,16 @@ object ImageCodec {
     * RGB-only).
     */
   def decodeImageIO(bytes: Array[Byte]): RawImage = {
-    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    // Executor-local decode must never spill ImageIO scratch to disk temp
+    // files. Scoped per call via an explicit in-memory ImageInputStream —
+    // NOT via ImageIO.setUseCache(false), which would mutate JVM-global
+    // state for every other in-process ImageIO user as a side effect.
+    val stream = new javax.imageio.stream.MemoryCacheImageInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    // ImageIO.read(ImageInputStream) closes the stream itself on success;
+    // the guarded close covers the null-reader path without double-closing.
+    val img = try javax.imageio.ImageIO.read(stream)
+      finally { try stream.close() catch { case _: java.io.IOException => () } }
     require(img != null, "javax.imageio found no reader for these bytes")
     val w = img.getWidth
     val h = img.getHeight
