@@ -79,6 +79,62 @@ object TextHashUtil {
       case other => TypeCheckResult.TypeCheckFailure(
         s"$name requires array<string>, got ${other.simpleString}")
     }
+
+  /** Distinct token n-gram shingles of a text string — the single-pass
+    * kernel behind [[TokenShingles]]. Byte-for-byte equivalent to the
+    * Column formula
+    * `array_distinct(transform(sequence(1, size(toks)-(n-1)),
+    *    i => array_join(slice(toks, i, n), " ")))` with
+    * `toks = split(text, " ")` (falling back to the whole-text join when the
+    * doc has fewer than n tokens) — but ~100x faster: `transform` is a
+    * higher-order function Catalyst always evaluates INTERPRETED (lambda
+    * expressions have no codegen), and per shingle it allocates a slice
+    * array, a joined string and a distinct-scan, where this kernel emits
+    * each shingle as a zero-copy substring view of the original bytes.
+    *
+    * Why substrings suffice: `split(text, " ")` (a literal single-space
+    * regex, limit -1) cuts at EVERY space byte and keeps empty tokens, so
+    * tokens are exactly the byte ranges between space bytes and
+    * `array_join(slice(toks, i, n), " ")` reconstructs the contiguous
+    * original byte range from token i's start to token i+n-1's end. A space
+    * byte (0x20) never occurs inside a UTF-8 multibyte sequence, so byte
+    * scanning is character-safe.
+    */
+  def shingles(str: UTF8String, n: Int): ArrayData = {
+    val bytes = str.getBytes // one materialization; shingles are views into it
+    // token boundaries: starts(i) .. ends(i) exclusive, empties kept
+    val nBytes = bytes.length
+    var nToks = 1
+    var i = 0
+    while (i < nBytes) { if (bytes(i) == 0x20) nToks += 1; i += 1 }
+    val count = nToks - (n - 1)
+    val seen = new java.util.HashSet[UTF8String]()
+    val out = new java.util.ArrayList[UTF8String]()
+    if (count < 1) {
+      // fewer than n tokens: the joined whole IS the original text
+      out.add(UTF8String.fromBytes(bytes))
+    } else {
+      // starts(k) = byte offset of token k; shingle i spans
+      // starts(i) .. end of token i+n-1 (the byte before starts(i+n), or EOS)
+      val starts = new Array[Int](nToks + 1)
+      var k = 1
+      i = 0
+      while (i < nBytes) {
+        if (bytes(i) == 0x20) { starts(k) = i + 1; k += 1 }
+        i += 1
+      }
+      starts(nToks) = nBytes + 1 // virtual delimiter past the end
+      var s = 0
+      while (s < count) {
+        val begin = starts(s)
+        val end = starts(s + n) - 1
+        val sh = UTF8String.fromBytes(bytes, begin, end - begin)
+        if (seen.add(sh)) out.add(sh)
+        s += 1
+      }
+    }
+    new GenericArrayData(out.toArray(new Array[AnyRef](out.size())))
+  }
 }
 
 /** minhash_signature(shingles) -> array<bigint> of length numHashes. */
@@ -104,6 +160,33 @@ case class MinHashSignature(child: Expression, numHashes: Int, seed: Long)
       val bRef = ctx.addReferenceObj("minhashB", bConsts, "long[]")
       s"${ev.value} = graft.functions.TextHashUtil.minhash($arr, $aRef, $bRef, ${seed}L);"
     })
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** token_shingles(text, n) -> array<string> of distinct n-gram shingles
+  * (whitespace tokens, first-occurrence order). See [[TextHashUtil.shingles]]
+  * for the exact split/join/distinct semantics this preserves.
+  */
+case class TokenShingles(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1 && n <= 64, s"shingle length out of range: $n")
+
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "token_shingles"
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires string, got ${other.simpleString}")
+    }
+
+  override def nullSafeEval(v: Any): Any =
+    TextHashUtil.shingles(v.asInstanceOf[UTF8String], n)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, str =>
+      s"${ev.value} = graft.functions.TextHashUtil.shingles($str, $n);")
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }

