@@ -405,27 +405,69 @@ object Dedup {
     require(64 % nBands == 0, s"nBands must divide 64, got $nBands")
     val width = 64 / nBands
     val mask = if (width == 64) -1L else (1L << width) - 1
-    val withFp = df.select(
+    val withFp = widen(df).select(
       col(idCol).cast("long").as("id"),
       simhash(split(col(textCol), " "), seed).as("fp"))
 
+    // COLLAPSE IDENTICAL FINGERPRINTS FIRST: hamming distance and every
+    // band bucket are functions of the fp alone, so candidate generation
+    // runs over DISTINCT fps and duplicate groups expand only into OUTPUT
+    // pairs. This is what makes coarse bands survivable: with 64/nBands-bit
+    // buckets a duplicate-heavy corpus piles g copies into every bucket and
+    // the doc-level self-join did g^2 work per group (measured: the q48
+    // nBands=8 sweep leg spent 60+ s enumerating ~10^8 doc pairs for 7,100
+    // results); fp-level banding does the same candidate work once per
+    // DISTINCT fingerprint pair, making the operator output-bound.
+    // Each fp's doc group keeps its maxBucketSize lowest ids (same
+    // deterministic truncation contract the bucket cap always had —
+    // boilerplate beyond the cap is dropped, and an identical-fp group that
+    // large IS boilerplate).
+    val wFp = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("fp")).orderBy(col("id"))
+    val fpGroups = withFp
+      .withColumn("_rn", row_number().over(wFp))
+      .filter(col("_rn") <= maxBucketSize)
+      .groupBy(col("fp"))
+      .agg(sort_array(collect_list(col("id"))).as("ids"))
+      .localCheckpoint(true) // feeds banding, within- and cross-expansion
+
+    // within-group pairs: identical fps are hamming 0 <= maxHamming always,
+    // found regardless of banding (exact copies never depend on bucket luck)
+    val within = fpGroups
+      .select(col("ids"), posexplode(col("ids")).as(Seq("pa", "id_a")))
+      .select(col("id_a"),
+        explode(slice(col("ids"), col("pa") + 2, size(col("ids")))).as("id_b"))
+      .select(col("id_a"), col("id_b"), lit(0).as("hamming"))
+
+    // cross-group candidates: band-bucket equi-join over DISTINCT fps, with
+    // the bucket cap now bounding distinct fps per bucket (ordered by each
+    // group's min id for determinism)
     val chunks = array((0 until nBands).map { j =>
       struct(lit(j).as("band"),
         shiftright(col("fp"), j * width).bitwiseAND(lit(mask)).as("bucket"))
     }: _*)
-    val banded = withFp
-      .select(col("id"), col("fp"), explode(chunks).as("bb"))
-      .select(col("id"), col("fp"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-
+    val banded = fpGroups
+      .select(col("fp"), element_at(col("ids"), 1).as("id"), explode(chunks).as("bb"))
+      .select(col("fp"), col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
     val capped = capBuckets(banded, maxBucketSize)
-    capped.as("x").join(capped.as("y"),
+    val candFps = capped.as("x").join(capped.as("y"),
         col("x.band") === col("y.band") &&
           col("x.bucket") === col("y.bucket") &&
-          col("x.id") < col("y.id"))
-      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
-        hamming64(col("x.fp"), col("y.fp")).as("hamming"))
-      .dropDuplicates("id_a", "id_b")
+          col("x.fp") < col("y.fp")) // any total order dedupes unordered fp pairs
+      .select(col("x.fp").as("fp_x"), col("y.fp").as("fp_y"))
+      .dropDuplicates("fp_x", "fp_y")
+      .withColumn("hamming", hamming64(col("fp_x"), col("fp_y")))
       .filter(col("hamming") <= maxHamming)
+
+    val cross = candFps
+      .join(fpGroups.select(col("fp").as("fp_x"), col("ids").as("ids_x")), Seq("fp_x"))
+      .join(fpGroups.select(col("fp").as("fp_y"), col("ids").as("ids_y")), Seq("fp_y"))
+      .select(explode(col("ids_x")).as("ia"), col("ids_y"), col("hamming"))
+      .select(col("ia"), explode(col("ids_y")).as("ib"), col("hamming"))
+      .select(least(col("ia"), col("ib")).as("id_a"),
+        greatest(col("ia"), col("ib")).as("id_b"), col("hamming"))
+
+    within.unionAll(cross)
   }
 
   /** Connected components over near-dup pairs -> full duplicate GROUPS
