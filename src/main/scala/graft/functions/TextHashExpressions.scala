@@ -100,21 +100,32 @@ object TextHashUtil {
     * byte (0x20) never occurs inside a UTF-8 multibyte sequence, so byte
     * scanning is character-safe.
     */
-  def shingles(str: UTF8String, n: Int): ArrayData = {
-    val bytes = str.getBytes // one materialization; shingles are views into it
+  def shingles(str: UTF8String, n: Int): ArrayData =
+    ngramCore(str, n, distinct = true, shortDocWhole = true)
+
+  /** All (non-distinct) n-grams, empty array for sub-n-token docs — the
+    * kernel behind [[TokenNgrams]]; byte-equivalent to
+    * `when(size(toks) >= n, transform(sequence(0, size(toks)-n),
+    *    i => array_join(slice(toks, i+1, n), " "))).otherwise(array())`.
+    */
+  def allNgrams(str: UTF8String, n: Int): ArrayData =
+    ngramCore(str, n, distinct = false, shortDocWhole = false)
+
+  private def ngramCore(
+      str: UTF8String, n: Int, distinct: Boolean, shortDocWhole: Boolean): ArrayData = {
+    val bytes = str.getBytes // one materialization; n-grams are views into it
     // token boundaries: starts(i) .. ends(i) exclusive, empties kept
     val nBytes = bytes.length
     var nToks = 1
     var i = 0
     while (i < nBytes) { if (bytes(i) == 0x20) nToks += 1; i += 1 }
     val count = nToks - (n - 1)
-    val seen = new java.util.HashSet[UTF8String]()
     val out = new java.util.ArrayList[UTF8String]()
     if (count < 1) {
-      // fewer than n tokens: the joined whole IS the original text
-      out.add(UTF8String.fromBytes(bytes))
+      // fewer than n tokens: whole-text fallback (shingles) or none (ngrams)
+      if (shortDocWhole) out.add(UTF8String.fromBytes(bytes))
     } else {
-      // starts(k) = byte offset of token k; shingle i spans
+      // starts(k) = byte offset of token k; n-gram i spans
       // starts(i) .. end of token i+n-1 (the byte before starts(i+n), or EOS)
       val starts = new Array[Int](nToks + 1)
       var k = 1
@@ -124,12 +135,13 @@ object TextHashUtil {
         i += 1
       }
       starts(nToks) = nBytes + 1 // virtual delimiter past the end
+      val seen = if (distinct) new java.util.HashSet[UTF8String]() else null
       var s = 0
       while (s < count) {
         val begin = starts(s)
         val end = starts(s + n) - 1
         val sh = UTF8String.fromBytes(bytes, begin, end - begin)
-        if (seen.add(sh)) out.add(sh)
+        if (seen == null || seen.add(sh)) out.add(sh)
         s += 1
       }
     }
@@ -187,6 +199,33 @@ case class TokenShingles(child: Expression, n: Int) extends UnaryExpression {
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, str =>
       s"${ev.value} = graft.functions.TextHashUtil.shingles($str, $n);")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** token_ngrams(text, n) -> array<string> of ALL n-grams in order
+  * (duplicates kept; empty for sub-n-token docs). The multiplicity-
+  * preserving sibling of [[TokenShingles]] — see [[TextHashUtil.allNgrams]].
+  */
+case class TokenNgrams(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1 && n <= 64, s"ngram length out of range: $n")
+
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "token_ngrams"
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires string, got ${other.simpleString}")
+    }
+
+  override def nullSafeEval(v: Any): Any =
+    TextHashUtil.allNgrams(v.asInstanceOf[UTF8String], n)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, str =>
+      s"${ev.value} = graft.functions.TextHashUtil.allNgrams($str, $n);")
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }

@@ -31,16 +31,17 @@ object Curation {
     */
   private def spaceTokens(text: Column): Column = split(text, " ", -1)
 
-  /** All length-`n` token n-grams of `text`, as space-joined strings.
-    * Empty array when the document has fewer than `n` tokens.
+  /** All length-`n` token n-grams of `text`, as space-joined strings,
+    * duplicates kept. Empty array when the document has fewer than `n`
+    * tokens. Codegen'd kernel ([[graft.functions.TokenNgrams]]) —
+    * byte-equivalent to the declarative
+    * `transform(sequence(...), i => array_join(slice(...)))` formula, which
+    * Catalyst could only interpret (higher-order lambdas have no codegen).
     */
-  def tokenNgrams(text: Column, n: Int): Column = {
-    val toks = spaceTokens(text)
-    when(size(toks) >= n,
-      transform(sequence(lit(0), size(toks) - n),
-        i => array_join(slice(toks, i + 1, lit(n)), " ")))
-      .otherwise(array().cast("array<string>"))
-  }
+  def tokenNgrams(text: Column, n: Int): Column =
+    org.apache.spark.sql.graftx.Bridge.column(
+      graft.functions.TokenNgrams(
+        org.apache.spark.sql.graftx.Bridge.expression(text), n))
 
   /** Test-set decontamination: for every document in `corpus`, count how
     * many DISTINCT benchmark n-grams it contains and flag it contaminated

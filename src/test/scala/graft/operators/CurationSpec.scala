@@ -15,6 +15,29 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
     assert(out(2L) == Seq.empty)
   }
 
+  test("tokenNgrams kernel is byte-equivalent to the declarative formula") {
+    // duplicates kept, first-to-last order, empties from repeated spaces,
+    // unicode, and the empty-array short-doc contract
+    def declarative(text: org.apache.spark.sql.Column, n: Int) = {
+      val toks = split(text, " ", -1)
+      when(size(toks) >= n,
+        transform(sequence(lit(0), size(toks) - n),
+          i => array_join(slice(toks, i + 1, lit(n)), " ")))
+        .otherwise(array().cast("array<string>"))
+    }
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val corpus = Seq("", " ", "a", "a b a b a b", "x  y", "東京 日本 東京 日本 kyoto")
+      .toDF("text").unionAll(docs.select($"text"))
+    for (n <- Seq(1, 2, 8)) {
+      val mismatches = corpus
+        .select(Curation.tokenNgrams($"text", n).as("fast"),
+          declarative($"text", n).as("slow"))
+        .filter(not($"fast" <=> $"slow"))
+        .count()
+      assert(mismatches == 0L, s"kernel diverges from declarative formula at n=$n")
+    }
+  }
+
   test("decontaminate flags exactly the docs sharing an n-gram") {
     val corpus = Seq(
       (1L, "the quick brown fox jumps over the lazy dog today"),
