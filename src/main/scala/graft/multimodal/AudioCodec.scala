@@ -1,0 +1,219 @@
+package graft.multimodal
+
+import scala.util.control.NonFatal
+
+/** Pure-JVM audio decode for the multimodal pipeline — the audio analog of
+  * [[ImageCodec]]: a hand-rolled fast path for the dominant container
+  * (RIFF/WAVE PCM, integer 8/16/24/32-bit and float32) plus the JDK's
+  * `javax.sound.sampled` plugins (AIFF, AU, and WAV encodings the fast path
+  * declines). No external codec libraries; compressed formats (MP3/AAC/OGG)
+  * have no JVM decoder and follow the kernel's `undecodable` policy.
+  *
+  * Reference scope note: the reference has no media pipeline — this is part
+  * of the 100 TB training-data extension surface (builder brief; SURVEY.md
+  * north star). Decode runs partition-local inside
+  * [[Multimodal.extractFeatures]]'s bounded batches, never on the driver.
+  */
+object AudioCodec {
+
+  /** Mono-mixed samples in [-1, 1] (channels averaged), with the source
+    * rate/channel layout preserved for metadata.
+    */
+  case class RawAudio(sampleRate: Int, channels: Int, samples: Array[Double]) {
+    require(sampleRate > 0, s"bad sample rate $sampleRate")
+    require(channels > 0, s"bad channel count $channels")
+    def durationSeconds: Double = samples.length.toDouble / sampleRate
+  }
+
+  private def isWav(b: Array[Byte]) =
+    b.length > 12 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+      b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E'
+  private def isAiff(b: Array[Byte]) =
+    b.length > 12 && b(0) == 'F' && b(1) == 'O' && b(2) == 'R' && b(3) == 'M' &&
+      b(8) == 'A' && b(9) == 'I' && b(10) == 'F'
+  private def isAu(b: Array[Byte]) =
+    b.length > 4 && b(0) == '.' && b(1) == 's' && b(2) == 'n' && b(3) == 'd'
+
+  def canDecode(bytes: Array[Byte]): Boolean =
+    isWav(bytes) || isAiff(bytes) || isAu(bytes)
+
+  def decode(bytes: Array[Byte]): RawAudio =
+    if (isWav(bytes)) {
+      // fast path for canonical PCM/float WAV; ADPCM/a-law/mu-law and other
+      // encodings fall through to the javax.sound plugin, whose failure
+      // (unsupported format) is the decisive error
+      try decodeWavPcm(bytes)
+      catch { case NonFatal(_) => decodeJavaSound(bytes) }
+    }
+    else if (isAiff(bytes) || isAu(bytes)) decodeJavaSound(bytes)
+    else throw new IllegalArgumentException(
+      "undecodable audio (supported: WAV PCM/float, AIFF, AU)")
+
+  private def le16(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+  private def le32(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) | ((b(o + 2) & 0xff) << 16) |
+      ((b(o + 3) & 0xff) << 24)
+
+  /** Hand-rolled RIFF/WAVE reader: walks the chunk list for `fmt ` and
+    * `data` (chunk payloads are little-endian; odd-sized chunks carry a pad
+    * byte). Accepts PCM (format 1: unsigned 8 / signed 16/24/32 LE) and
+    * IEEE float32 (format 3), incl. their WAVE_FORMAT_EXTENSIBLE wrapping.
+    */
+  def decodeWavPcm(bytes: Array[Byte]): RawAudio = {
+    require(isWav(bytes), "not a RIFF/WAVE container")
+    var fmtFormat = -1
+    var channels = 0
+    var sampleRate = 0
+    var bits = 0
+    var dataOff = -1
+    var dataLen = 0
+    var o = 12
+    while (o + 8 <= bytes.length && (fmtFormat < 0 || dataOff < 0)) {
+      val id = new String(bytes, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      val size = le32(bytes, o + 4)
+      require(size >= 0 && o + 8 + size <= bytes.length, s"chunk '$id' overruns buffer")
+      if (id == "fmt ") {
+        require(size >= 16, s"fmt chunk too small ($size)")
+        fmtFormat = le16(bytes, o + 8)
+        channels = le16(bytes, o + 10)
+        sampleRate = le32(bytes, o + 12)
+        bits = le16(bytes, o + 22)
+        if (fmtFormat == 0xfffe && size >= 40) // EXTENSIBLE: real format in GUID
+          fmtFormat = le16(bytes, o + 8 + 24)
+      } else if (id == "data") {
+        dataOff = o + 8
+        dataLen = size
+      }
+      o += 8 + size + (size & 1) // odd chunks are padded
+    }
+    require(fmtFormat == 1 || fmtFormat == 3, s"not PCM/float WAV (format $fmtFormat)")
+    require(dataOff >= 0, "no data chunk")
+    require(channels >= 1 && sampleRate >= 1, s"bad fmt: ch=$channels rate=$sampleRate")
+    val bytesPer = bits / 8
+    require(fmtFormat != 1 || Seq(8, 16, 24, 32).contains(bits), s"PCM bits=$bits")
+    require(fmtFormat != 3 || bits == 32, s"float WAV bits=$bits")
+    val frames = dataLen / (bytesPer * channels)
+    val out = new Array[Double](frames)
+    var f = 0
+    while (f < frames) {
+      var acc = 0.0
+      var c = 0
+      while (c < channels) {
+        val p = dataOff + (f * channels + c) * bytesPer
+        acc += (if (fmtFormat == 3)
+          java.lang.Float.intBitsToFloat(le32(bytes, p)).toDouble
+        else bits match {
+          case 8 => ((bytes(p) & 0xff) - 128) / 128.0
+          case 16 => le16(bytes, p).toShort / 32768.0
+          case 24 =>
+            val v = (bytes(p) & 0xff) | ((bytes(p + 1) & 0xff) << 8) |
+              (bytes(p + 2) << 16) // sign-extend via the top byte
+            v / 8388608.0
+          case 32 => le32(bytes, p) / 2147483648.0
+        })
+        c += 1
+      }
+      out(f) = acc / channels
+      f += 1
+    }
+    RawAudio(sampleRate, channels, out)
+  }
+
+  /** JDK `javax.sound.sampled` fallback (AIFF, AU, non-canonical WAV):
+    * transcode to signed 16-bit PCM at the source rate, then mix to mono.
+    */
+  def decodeJavaSound(bytes: Array[Byte]): RawAudio = {
+    import javax.sound.sampled.{AudioFormat, AudioSystem}
+    val in = AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(bytes))
+    try {
+      val src = in.getFormat
+      val target = new AudioFormat(
+        AudioFormat.Encoding.PCM_SIGNED, src.getSampleRate, 16,
+        src.getChannels, 2 * src.getChannels, src.getSampleRate, false)
+      val pcm = AudioSystem.getAudioInputStream(target, in)
+      try {
+        val raw = pcm.readAllBytes()
+        val channels = target.getChannels
+        val frames = raw.length / (2 * channels)
+        val out = new Array[Double](frames)
+        var f = 0
+        while (f < frames) {
+          var acc = 0.0
+          var c = 0
+          while (c < channels) {
+            acc += le16(raw, (f * channels + c) * 2).toShort / 32768.0
+            c += 1
+          }
+          out(f) = acc / channels
+          f += 1
+        }
+        RawAudio(math.round(target.getSampleRate).toInt, channels, out)
+      } finally pcm.close()
+    } finally in.close()
+  }
+
+  /** Fixed-width feature vector: [rms, peak, zero-crossing rate] ++ an
+    * L1-normalized RMS energy envelope over `envelopeBins` equal time
+    * windows. Duration-invariant (the envelope is relative), so clips of
+    * different lengths land in one comparable vector space for the kNN /
+    * near-dup operators downstream.
+    */
+  def features(audio: RawAudio, envelopeBins: Int): Array[Float] = {
+    require(envelopeBins >= 1, s"envelopeBins must be >= 1, got $envelopeBins")
+    val s = audio.samples
+    val n = s.length
+    val out = new Array[Float](3 + envelopeBins)
+    if (n == 0) return out
+    var sumSq = 0.0
+    var peak = 0.0
+    var crossings = 0
+    var i = 0
+    while (i < n) {
+      val v = s(i)
+      sumSq += v * v
+      if (math.abs(v) > peak) peak = math.abs(v)
+      if (i > 0 && (s(i - 1) >= 0) != (v >= 0)) crossings += 1
+      i += 1
+    }
+    out(0) = math.sqrt(sumSq / n).toFloat
+    out(1) = peak.toFloat
+    out(2) = (crossings.toDouble / n).toFloat
+    val env = new Array[Double](envelopeBins)
+    i = 0
+    while (i < n) {
+      env((i.toLong * envelopeBins / n).toInt) += s(i) * s(i)
+      i += 1
+    }
+    var total = 0.0
+    var b = 0
+    while (b < envelopeBins) { env(b) = math.sqrt(env(b)); total += env(b); b += 1 }
+    b = 0
+    while (b < envelopeBins) {
+      out(3 + b) = (if (total > 0) env(b) / total else 0.0).toFloat
+      b += 1
+    }
+    out
+  }
+
+  /** Canonical 16-bit PCM WAV encoder (mono-interleaved if one channel) —
+    * the storage/test twin of [[decodeWavPcm]]; samples clipped to [-1, 1].
+    */
+  def encodeWavPcm16(sampleRate: Int, samples: Array[Double]): Array[Byte] = {
+    require(sampleRate > 0, s"bad sample rate $sampleRate")
+    val dataLen = samples.length * 2
+    val buf = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes); buf.putInt(36 + dataLen); buf.put("WAVE".getBytes)
+    buf.put("fmt ".getBytes); buf.putInt(16)
+    buf.putShort(1); buf.putShort(1) // PCM, mono
+    buf.putInt(sampleRate); buf.putInt(sampleRate * 2)
+    buf.putShort(2); buf.putShort(16) // block align, bits
+    buf.put("data".getBytes); buf.putInt(dataLen)
+    samples.foreach { v =>
+      val clipped = math.max(-1.0, math.min(1.0, v))
+      buf.putShort(math.round(clipped * 32767.0).toShort)
+    }
+    buf.array()
+  }
+}

@@ -7,13 +7,16 @@ import org.apache.spark.sql.functions._
   * with typed metadata, processed in batch-shaped passes.
   *
   * IMAGE decode is real (PPM/BMP hand-rolled + PNG/JPEG/GIF via the JDK's
-  * `javax.imageio` — see [[ImageCodec]]); AUDIO/VIDEO kernels are STUBS, as
-  * the JDK ships no audio/video codecs. Everything Spark-side is real and
-  * tested either way: the schema, the partition-preserving batched iteration
-  * (the Scala analog of a batched inference UDF: accumulate a bounded batch,
-  * run the kernel once per batch, emit rows), the frame-sampling generator
-  * shape, and the feature columns that feed the vector engine downstream.
-  * Swapping a model into `DecodeKernel` changes no plumbing.
+  * `javax.imageio` — see [[ImageCodec]]). AUDIO decode is real (WAV
+  * PCM/float hand-rolled + AIFF/AU via the JDK's `javax.sound.sampled` —
+  * see [[AudioCodec]]); compressed audio (MP3/AAC/OGG) has no JVM decoder.
+  * VIDEO frame extraction is the one remaining STUB — the JDK ships no
+  * video codecs. Everything Spark-side is real and tested either way: the
+  * schema, the partition-preserving batched iteration (the Scala analog of
+  * a batched inference UDF: accumulate a bounded batch, run the kernel once
+  * per batch, emit rows), the frame-sampling generator shape, and the
+  * feature columns that feed the vector engine downstream. Swapping a model
+  * into `DecodeKernel` changes no plumbing.
   */
 object Multimodal {
 
@@ -82,6 +85,42 @@ object Multimodal {
           case None => throw new IllegalArgumentException(
             s"media ${row.media_id}: no JVM decoder for format '${row.meta.format}' " +
               "(decodable: ppm, bmp, png, jpeg, gif)")
+        }
+      }
+  }
+
+  /** REAL audio kernel (WAV PCM/float, AIFF, AU — all JVM-native, see
+    * [[AudioCodec]]): decode -> mono mix -> [rms, peak, zero-crossing rate]
+    * ++ an L1-normalized RMS energy envelope over `envelopeBins` equal time
+    * windows (duration-invariant, so clips of any length share one vector
+    * space). Bytes without a JVM decoder (MP3/AAC/OGG, corrupt payloads)
+    * follow the `undecodable` policy, exactly like [[RawImageKernel]].
+    */
+  case class RawAudioKernel(
+      envelopeBins: Int = 16,
+      undecodable: String = "error") extends DecodeKernel {
+    require(Seq("error", "stub").contains(undecodable),
+      s"undecodable policy must be error|stub, got $undecodable")
+    override def dim: Int = 3 + envelopeBins
+    private lazy val stub = StubDecodeKernel(dim)
+    override def decodeBatch(batch: Seq[MediaRow]): Seq[Array[Float]] =
+      batch.map { row =>
+        // policy covers decode FAILURES too (e.g. an ADPCM WAV passes the
+        // magic check but has no decoder), mirroring RawImageKernel
+        val decoded: Option[AudioCodec.RawAudio] =
+          if (!AudioCodec.canDecode(row.bytes)) None
+          else scala.util.Try(AudioCodec.decode(row.bytes)) match {
+            case scala.util.Success(a) => Some(a)
+            case scala.util.Failure(_) if undecodable == "stub" => None
+            case scala.util.Failure(e) => throw new IllegalArgumentException(
+              s"media ${row.media_id}: audio decode failed (${e.getMessage})")
+          }
+        decoded match {
+          case Some(a) => AudioCodec.features(a, envelopeBins)
+          case None if undecodable == "stub" => stub.decodeBatch(Seq(row)).head
+          case None => throw new IllegalArgumentException(
+            s"media ${row.media_id}: no JVM decoder for format '${row.meta.format}' " +
+              "(decodable: wav pcm/float, aiff, au)")
         }
       }
   }
