@@ -145,20 +145,32 @@ object Multimodal {
     }
   }
 
-  /** Frame sampling for video rows: one row per sampled timestamp
-    * (generator shape — real plumbing, stubbed frame extraction).
+  /** Frame sampling for video rows: one row per sampled timestamp. REAL
+    * for AVI containers ([[VideoCodec]] demux — MJPEG payloads come out as
+    * standalone JPEGs that [[RawImageKernel]]/[[ImageCodec]] decode
+    * directly, cadence and duration from the container header); STUB for
+    * codec-compressed containers (MP4/MKV — no JVM decoder), where the
+    * deterministic stand-in tags the container bytes with the offset so the
+    * generator shape stays testable end to end.
     */
   def sampleFrames(media: Dataset[MediaRow], everyMs: Long): Dataset[Frame] = {
     import media.sparkSession.implicits._
     require(everyMs >= 1, s"everyMs must be >= 1, got $everyMs")
     media.filter(_.kind == "video").flatMap { row =>
-      val n = (row.meta.duration_ms / everyMs).toInt
-      (0 to n).map { i =>
-        val ts = i * everyMs
-        // STUB frame extraction: a real codec seeks to ts and decodes; the
-        // deterministic stand-in tags the container bytes with the offset.
-        val tag = java.nio.ByteBuffer.allocate(8).putLong(ts).array()
-        Frame(row.media_id, i, ts, tag ++ row.bytes.take(8))
+      if (VideoCodec.canDemux(row.bytes)) {
+        val avi = VideoCodec.demuxAvi(row.bytes)
+        val n = (avi.durationMs / everyMs).toInt
+        (0 to n).map { i =>
+          val ts = i * everyMs
+          Frame(row.media_id, i, ts, avi.frames(avi.frameIndexAt(ts)))
+        }
+      } else {
+        val n = (row.meta.duration_ms / everyMs).toInt
+        (0 to n).map { i =>
+          val ts = i * everyMs
+          val tag = java.nio.ByteBuffer.allocate(8).putLong(ts).array()
+          Frame(row.media_id, i, ts, tag ++ row.bytes.take(8))
+        }
       }
     }
   }
