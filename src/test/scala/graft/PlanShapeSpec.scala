@@ -97,6 +97,25 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
       s"vectors must not enter the banding shuffle:\n$p")
   }
 
+  test("q37: prefix-join candidates stay equi-keyed — no product join, no text shuffle") {
+    val p = plan("q37_ngram_jaccard")
+    // the length-bucketed candidate stage and the verify gathers are all
+    // (tid, bucket)/(id) equi-joins; a cartesian/nested-loop here is the
+    // quadratic cliff the prefix filter exists to avoid
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"candidate stage must stay an equi-join:\n$p")
+    assert(!"Exchange hashpartitioning\\([^)]*text".r.findFirstIn(p).isDefined,
+      s"document text must never enter a shuffle:\n$p")
+  }
+
+  test("q19: SimHash banding joins distinct fingerprints, never doc text") {
+    val p = plan("q19_simhash_neardup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"banding must stay an equi-join:\n$p")
+    assert(!"Exchange hashpartitioning\\([^)]*text".r.findFirstIn(p).isDefined,
+      s"document text must never enter a shuffle:\n$p")
+  }
+
   test("q45: as-of join is union-and-sweep — one shuffle, no product join") {
     val p = plan("q45_asof_join")
     val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
