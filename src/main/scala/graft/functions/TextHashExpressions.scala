@@ -100,6 +100,20 @@ object TextHashUtil {
     * byte (0x20) never occurs inside a UTF-8 multibyte sequence, so byte
     * scanning is character-safe.
     */
+  /** Occurrence count of array elements belonging to `set` (nulls skipped).
+    * The kernel behind [[CountInSet]].
+    */
+  def countInSet(arr: ArrayData, set: java.util.HashSet[UTF8String]): Int = {
+    val n = arr.numElements()
+    var count = 0
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i) && set.contains(arr.getUTF8String(i))) count += 1
+      i += 1
+    }
+    count
+  }
+
   def shingles(str: UTF8String, n: Int): ArrayData =
     ngramCore(str, n, distinct = true, shortDocWhole = true)
 
@@ -199,6 +213,39 @@ case class TokenShingles(child: Expression, n: Int) extends UnaryExpression {
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, str =>
       s"${ev.value} = graft.functions.TextHashUtil.shingles($str, $n);")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** count_in_set(arr, values) -> int: occurrences (duplicates counted) of
+  * array elements that belong to a fixed string set. Drop-in for
+  * `size(filter(arr, t => t.isin(values)))`, whose lambda Catalyst can only
+  * interpret — this is the hot kernel of stopword-ratio language ID, which
+  * evaluates one such filter per candidate language per row.
+  */
+case class CountInSet(child: Expression, values: Seq[String]) extends UnaryExpression {
+  require(values.nonEmpty, "empty value set")
+
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "count_in_set"
+  override def dataType: DataType = IntegerType
+  override def checkInputDataTypes(): TypeCheckResult =
+    TextHashUtil.checkStringArray(child.dataType, prettyName)
+
+  @transient private lazy val set: java.util.HashSet[UTF8String] = {
+    val s = new java.util.HashSet[UTF8String]()
+    values.foreach(v => s.add(UTF8String.fromString(v)))
+    s
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    TextHashUtil.countInSet(v.asInstanceOf[ArrayData], set)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr => {
+      val setRef = ctx.addReferenceObj("countInSet", set, "java.util.HashSet")
+      s"${ev.value} = graft.functions.TextHashUtil.countInSet($arr, $setRef);"
+    })
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }

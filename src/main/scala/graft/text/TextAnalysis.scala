@@ -36,10 +36,17 @@ object TextAnalysis {
     "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "una", "es", "por"),
     "fr" -> Seq("le", "la", "de", "et", "un", "une", "est", "que", "pour", "dans"))
 
-  /** Fraction of tokens found in `stops`. */
+  /** Fraction of tokens found in `stops` (duplicates counted). Codegen'd
+    * kernel ([[graft.functions.CountInSet]]) — value-identical to
+    * `size(filter(toks, t => t.isin(stops)))`, whose lambda Catalyst can
+    * only interpret; language ID evaluates one such count per candidate
+    * language per row, so this is the hot path of q21.
+    */
   def stopwordRatio(toks: Column, stops: Seq[String]): Column =
-    size(filter(toks, t => t.isin(stops: _*))).cast("double") /
-      greatest(size(toks), lit(1))
+    org.apache.spark.sql.graftx.Bridge.column(
+      graft.functions.CountInSet(
+        org.apache.spark.sql.graftx.Bridge.expression(toks), stops))
+      .cast("double") / greatest(size(toks), lit(1))
 
   /** Share of characters inside a script range (regex char class kept in
     * \\u escapes — a non-UTF-8 build locale must not mangle the class).
@@ -188,7 +195,10 @@ object TextAnalysis {
       length(text).cast("double").as("_q_chars"),
       size(tokens(text)).cast("double").as("_q_toks"),
       length(regexp_replace(text, "[^.,!?;:]", "")).cast("double").as("_q_punct"),
-      size(filter(tokens(text), t => t.isin(StopwordProfiles("en"): _*)))
+      org.apache.spark.sql.graftx.Bridge.column(
+        graft.functions.CountInSet(
+          org.apache.spark.sql.graftx.Bridge.expression(tokens(text)),
+          StopwordProfiles("en")))
         .cast("double").as("_q_stop"),
       length(regexp_replace(text, "[^A-Z]", "")).cast("double").as("_q_upper"))
     val nToks = greatest(col("_q_toks"), lit(1.0))

@@ -7,6 +7,22 @@ import org.scalatest.funsuite.AnyFunSuite
 class TextAnalysisSpec extends AnyFunSuite with SparkSpec {
   import spark.implicits._
 
+  test("stopwordRatio kernel is value-identical to the declarative filter") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val corpus = Seq("", "the the THE", "no stops here", "der die und the")
+      .toDF("text").unionAll(docs.select($"text"))
+    val stops = TextAnalysis.StopwordProfiles("en")
+    val toks = TextAnalysis.tokens($"text")
+    val declarative = size(filter(toks, t => t.isin(stops: _*))).cast("double") /
+      greatest(size(toks), lit(1))
+    val mismatches = corpus
+      .select(TextAnalysis.stopwordRatio(toks, stops).as("fast"),
+        declarative.as("slow"))
+      .filter(not($"fast" <=> $"slow"))
+      .count()
+    assert(mismatches == 0L, "CountInSet diverges from the interpreted filter")
+  }
+
   test("chunkText: short text is a single identity chunk") {
     assert(TextAnalysis.chunkText("hello world", 100, 10) == Seq("hello world"))
   }
