@@ -710,6 +710,26 @@ object SparkEntry {
       try q.processAllAvailable() finally q.stop()
       // one emission per shared band; identical values => lossless collapse
       s.table(name).dropDuplicates("id_a", "id_b")
+    }),
+
+    // Product-quantization ADC search with FIXED codebooks (the q46
+    // fixed-quantizer trick applied to PQ): codebooks are the subspace
+    // slices of vectors 0..15, code assignment is argmin squared-L2 with
+    // ties to the lowest entry, ADC ranks by (distance asc, id asc) — every
+    // step deterministic, so DuckDB replays codes, tables and ranks
+    // exactly. Output is (query_id, id, rank) BIGINTs only: rank order
+    // validates the distances without hashing float sums. The production
+    // path (k-means codebooks, rerank) is PqSpec's recall harness.
+    "q51_pq_adc" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id").as("id"), col("embedding").as("vector"))
+      val model = ml.ProductQuantizer.fixedModel(emb, "id", "vector",
+        numSubspaces = 8, codebookSize = 16)
+      val codes = ml.ProductQuantizer.encode(emb, "id", "vector", model)
+      val queries = emb.filter(col("id") >= 100 && col("id") < 116)
+        .select(col("id").as("query_id"), col("vector").as("query_vec"))
+      ml.ProductQuantizer.searchBatchAdc(codes, queries, model, k = 10)
+        .select(col("query_id"), col("id"), col("rank"))
     })
   )
 
@@ -1306,7 +1326,44 @@ object SparkEntry {
         |         CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
         |           (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
         |  FROM s a JOIN s b ON a.doc_id < b.doc_id
-        |) WHERE jaccard >= 0.5""".stripMargin
+        |) WHERE jaccard >= 0.5""".stripMargin,
+
+    // Exact replay of the fixed-codebook PQ pipeline: codebooks = subspace
+    // slices of vectors 0..15 (M=8 subspaces x 8 dims, K=16); per-vector
+    // codes by argmin squared-L2 (dimension sums in one fixed order, ties
+    // to the lowest entry); ADC = sum over subspaces of the query's
+    // distance to the coded centroid; top-10 by (adc asc, id asc).
+    "q51_pq_adc" ->
+      """WITH v AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |cent AS (SELECT vec_id AS k, v FROM v WHERE vec_id < 16),
+        |sub AS (SELECT unnest(generate_series(0, 7)) AS m),
+        |d2 AS (
+        |  SELECT x.vec_id, s.m, c.k,
+        |    list_sum(list_transform(generate_series(1, 8), j ->
+        |      (x.v[s.m*8+j] - c.v[s.m*8+j]) * (x.v[s.m*8+j] - c.v[s.m*8+j]))) AS d
+        |  FROM v x CROSS JOIN sub s CROSS JOIN cent c),
+        |codes AS (
+        |  SELECT vec_id, m, k FROM (
+        |    SELECT vec_id, m, k,
+        |      row_number() OVER (PARTITION BY vec_id, m ORDER BY d ASC, k ASC) AS rn
+        |    FROM d2) WHERE rn = 1),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM v
+        |      WHERE vec_id >= 100 AND vec_id < 116),
+        |qtab AS (
+        |  SELECT q.query_id, s.m, c.k,
+        |    list_sum(list_transform(generate_series(1, 8), j ->
+        |      (q.qv[s.m*8+j] - c.v[s.m*8+j]) * (q.qv[s.m*8+j] - c.v[s.m*8+j]))) AS d
+        |  FROM q CROSS JOIN sub s CROSS JOIN cent c),
+        |adc AS (
+        |  SELECT t.query_id, c.vec_id AS id, sum(t.d) AS dist
+        |  FROM codes c JOIN qtab t ON t.m = c.m AND t.k = c.k
+        |  GROUP BY t.query_id, c.vec_id)
+        |SELECT query_id, id, rank FROM (
+        |  SELECT CAST(query_id AS BIGINT) AS query_id, CAST(id AS BIGINT) AS id,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY dist ASC, id ASC) AS BIGINT) AS rank
+        |  FROM adc) WHERE rank <= 10""".stripMargin
   )
 
   /** Shared BM25 corpus CTE for q39/q40 oracles — terms (vector, merge,
