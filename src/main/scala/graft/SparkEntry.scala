@@ -48,6 +48,28 @@ object SparkEntry {
     * hash-checked rather than taken on faith. One build per (JVM, sf dir),
     * same memoization rationale as [[ivfIndexFor]].
     */
+  /** Deterministic IVF-PQ twin (q52): coarse centroids = embeddings 0..3
+    * (euclidean), PQ codebooks = subspace slices of embeddings 0..15 — the
+    * q46 fixed-quantizer and q51 fixed-codebook tricks COMPOSED, so the
+    * pruned ADC pipeline (assign, probe, encode, table, rank) is replayed
+    * end to end by the DuckDB oracle. One build per (JVM, sf dir).
+    */
+  private val ivfPqFixedPaths = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def ivfPqFixedIndexFor(s: SparkSession, dir: String): ml.IvfPq.Index = {
+    val path = ivfPqFixedPaths.computeIfAbsent(dir, _ => {
+      val p = java.nio.file.Files.createTempDirectory("graft_ivfpq_fixed").toString
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id").as("id"), col("embedding").as("vector"))
+      val cents = emb.filter(col("id") < 4).orderBy(col("id"))
+        .select(col("vector")).collect()
+        .map(_.getSeq[Float](0).toArray.map(_.toDouble))
+      ml.IvfPq.buildFixed(emb, "id", "vector", p, cents,
+        numSubspaces = 8, codebookSize = 16)
+      p
+    })
+    ml.IvfPq.load(s, path, graft.functions.vector.MetricEuclidean)
+  }
+
   private val ivfFixedPaths = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def ivfFixedIndexFor(s: SparkSession, dir: String): ml.IvfIndex = {
     val path = ivfFixedPaths.computeIfAbsent(dir, _ => {
@@ -730,6 +752,21 @@ object SparkEntry {
         .select(col("id").as("query_id"), col("vector").as("query_vec"))
       ml.ProductQuantizer.searchBatchAdc(codes, queries, model, k = 10)
         .select(col("query_id"), col("id"), col("rank"))
+    }),
+
+    // IVF-PQ pruned ADC search with FIXED coarse centroids + codebooks
+    // (q46 x q51 composed): partition-pruned scan of the 2 probed lists,
+    // codegen'd ADC within them, ranks by (adc asc, id asc) — every step
+    // deterministic, so the oracle replays the full pipeline in SQL. The
+    // production path (k-means coarse + codebooks, exact re-rank) is
+    // IvfPqSpec's recall harness.
+    "q52_ivfpq_adc" -> ((s, dir) => {
+      val index = ivfPqFixedIndexFor(s, dir)
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") >= 100 && col("vec_id") < 116)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      ml.IvfPq.searchBatchAdc(index, queries, k = 10, nProbe = 2)
+        .select(col("query_id"), col("id"), col("rank"))
     })
   )
 
@@ -1359,6 +1396,61 @@ object SparkEntry {
         |  SELECT t.query_id, c.vec_id AS id, sum(t.d) AS dist
         |  FROM codes c JOIN qtab t ON t.m = c.m AND t.k = c.k
         |  GROUP BY t.query_id, c.vec_id)
+        |SELECT query_id, id, rank FROM (
+        |  SELECT CAST(query_id AS BIGINT) AS query_id, CAST(id AS BIGINT) AS id,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY dist ASC, id ASC) AS BIGINT) AS rank
+        |  FROM adc) WHERE rank <= 10""".stripMargin,
+
+    // Full replay of the fixed IVF-PQ pipeline: coarse assignment = argmin
+    // 64-dim squared-L2 to centroids (embeddings 0..3, ties to the lower
+    // list); probes = the 2 nearest lists per query by the same measure;
+    // codes/tables = the q51 fixed-codebook scheme; ADC restricted to rows
+    // whose assigned list is probed by that query; top-10 by (adc, id).
+    "q52_ivfpq_adc" ->
+      """WITH v AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |cent AS (SELECT vec_id AS list_id, v AS c FROM v WHERE vec_id < 4),
+        |assign AS (
+        |  SELECT vec_id, list_id FROM (
+        |    SELECT x.vec_id, c.list_id,
+        |      row_number() OVER (PARTITION BY x.vec_id ORDER BY
+        |        list_sum(list_transform(generate_series(1, 64), j ->
+        |          (x.v[j] - c.c[j]) * (x.v[j] - c.c[j]))) ASC, c.list_id ASC) AS rn
+        |    FROM v x CROSS JOIN cent c) WHERE rn = 1),
+        |cb AS (SELECT vec_id AS k, v FROM v WHERE vec_id < 16),
+        |sub AS (SELECT unnest(generate_series(0, 7)) AS m),
+        |d2 AS (
+        |  SELECT x.vec_id, s.m, c.k,
+        |    list_sum(list_transform(generate_series(1, 8), j ->
+        |      (x.v[s.m*8+j] - c.v[s.m*8+j]) * (x.v[s.m*8+j] - c.v[s.m*8+j]))) AS d
+        |  FROM v x CROSS JOIN sub s CROSS JOIN cb c),
+        |codes AS (
+        |  SELECT vec_id, m, k FROM (
+        |    SELECT vec_id, m, k,
+        |      row_number() OVER (PARTITION BY vec_id, m ORDER BY d ASC, k ASC) AS rn
+        |    FROM d2) WHERE rn = 1),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM v
+        |      WHERE vec_id >= 100 AND vec_id < 116),
+        |probes AS (
+        |  SELECT query_id, list_id FROM (
+        |    SELECT q.query_id, c.list_id,
+        |      row_number() OVER (PARTITION BY q.query_id ORDER BY
+        |        list_sum(list_transform(generate_series(1, 64), j ->
+        |          (q.qv[j] - c.c[j]) * (q.qv[j] - c.c[j]))) ASC, c.list_id ASC) AS prank
+        |    FROM q CROSS JOIN cent c) WHERE prank <= 2),
+        |qtab AS (
+        |  SELECT q.query_id, s.m, c.k,
+        |    list_sum(list_transform(generate_series(1, 8), j ->
+        |      (q.qv[s.m*8+j] - c.v[s.m*8+j]) * (q.qv[s.m*8+j] - c.v[s.m*8+j]))) AS d
+        |  FROM q CROSS JOIN sub s CROSS JOIN cb c),
+        |adc AS (
+        |  SELECT t.query_id, cd.vec_id AS id, sum(t.d) AS dist
+        |  FROM codes cd
+        |  JOIN assign a ON a.vec_id = cd.vec_id
+        |  JOIN probes p ON p.list_id = a.list_id
+        |  JOIN qtab t ON t.m = cd.m AND t.k = cd.k AND t.query_id = p.query_id
+        |  GROUP BY t.query_id, cd.vec_id)
         |SELECT query_id, id, rank FROM (
         |  SELECT CAST(query_id AS BIGINT) AS query_id, CAST(id AS BIGINT) AS id,
         |    CAST(row_number() OVER (PARTITION BY query_id

@@ -36,7 +36,7 @@ class IvfIndex private (
   def probes(vec: Column, nProbe: Int): Column =
     Bridge.column(CentroidProbes(Bridge.expression(vec), centroids, metric, nProbe))
 
-  private def probeIdsFor(queryVec: Seq[Double], nProbe: Int): Seq[Int] = {
+  private[ml] def probeIdsFor(queryVec: Seq[Double], nProbe: Int): Seq[Int] = {
     // driver-side: centroid count is small by construction
     val cosine = metric == vector.MetricCosine
     val scored = centroids.zipWithIndex.map { case (c, i) =>

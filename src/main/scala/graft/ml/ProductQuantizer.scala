@@ -101,7 +101,7 @@ object ProductQuantizer {
         model.numSubspaces, model.codebookSize, model.subDim)).as("codes"))
 
   /** Per-query ADC distance tables, flattened [query][m][k] row-major. */
-  private def adcTables(model: PqModel, queryVecs: Array[Array[Double]]): Array[Double] = {
+  private[ml] def adcTables(model: PqModel, queryVecs: Array[Array[Double]]): Array[Double] = {
     val m = model.numSubspaces
     val k = model.codebookSize
     val out = new Array[Double](queryVecs.length * m * k)

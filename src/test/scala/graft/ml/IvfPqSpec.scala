@@ -1,0 +1,114 @@
+package graft.ml
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class IvfPqSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  private lazy val emb = spark.read
+    .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    .select($"vec_id".as("id"), $"embedding".as("vector")).cache()
+
+  private def asDouble(v: Seq[Float]): Array[Double] = v.map(_.toDouble).toArray
+
+  // fixed twin: 4 coarse lists from rows 0..3, codebooks from rows 0..15
+  private lazy val fixedIndex = {
+    val p = java.nio.file.Files.createTempDirectory("graft_ivfpq_fixed").toString
+    val cents = emb.filter($"id" < 4).orderBy($"id")
+      .as[(Long, Seq[Float])].collect().map(r => asDouble(r._2))
+    IvfPq.buildFixed(emb, "id", "vector", p, cents,
+      numSubspaces = 8, codebookSize = 16)
+  }
+
+  test("fixed-twin pruned ADC equals a driver-side replay of assign+probe+ADC") {
+    val queries = emb.filter($"id" >= 100 && $"id" < 104)
+      .select($"id".as("query_id"), $"vector".as("query_vec"))
+    val got = IvfPq.searchBatchAdc(fixedIndex, queries, k = 5, nProbe = 2)
+      .select($"query_id", $"id", $"rank").as[(Long, Long, Long)]
+      .collect().toSet
+
+    val model = fixedIndex.model
+    val cents = (0 until 4).map(i => fixedIndex.ivf.centroids(i)).toArray
+    def sqDist(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var j = 0
+      while (j < a.length) { val t = a(j) - b(j); d += t * t; j += 1 }
+      d
+    }
+    val all = emb.as[(Long, Seq[Float])].collect()
+      .map { case (id, v) => (id, asDouble(v)) }
+    def assign(v: Array[Double]): Int =
+      cents.zipWithIndex.minBy { case (c, i) => (sqDist(c, v), i) }._2
+    def codesOf(v: Array[Double]): Array[Int] =
+      (0 until model.numSubspaces).map { m =>
+        (0 until model.codebookSize).minBy { k =>
+          val c = model.centroid(m, k)
+          (sqDist(c, java.util.Arrays.copyOfRange(v, m * model.subDim,
+            (m + 1) * model.subDim)), k)
+        }
+      }.toArray
+    val byList = all.groupBy { case (_, v) => assign(v) }
+    val qs = all.filter { case (id, _) => id >= 100 && id < 104 }
+    val expect = qs.flatMap { case (qid, qv) =>
+      val probes = cents.zipWithIndex
+        .sortBy { case (c, i) => (sqDist(c, qv), i) }.take(2).map(_._2)
+      val adc = probes.flatMap(l => byList.getOrElse(l, Array.empty))
+        .map { case (id, v) =>
+          val cs = codesOf(v)
+          var d = 0.0
+          for (m <- 0 until model.numSubspaces) {
+            val cent = model.centroid(m, cs(m))
+            var j = 0
+            while (j < model.subDim) {
+              val diff = qv(m * model.subDim + j) - cent(j)
+              d += diff * diff
+              j += 1
+            }
+          }
+          (id, d)
+        }
+      adc.sortBy { case (id, d) => (d, id) }.take(5).zipWithIndex
+        .map { case ((id, _), i) => (qid, id, (i + 1).toLong) }
+    }.toSet
+    assert(got == expect)
+  }
+
+  test("ADC scan is partition-pruned to the probed lists") {
+    val queries = emb.filter($"id" < 2)
+      .select($"id".as("query_id"), $"vector".as("query_vec"))
+    val plan = IvfPq.searchBatchAdc(fixedIndex, queries, k = 3, nProbe = 1)
+      .queryExecution.executedPlan.toString
+    // the parquet scan must carry a list_id partition filter, not read all
+    assert(plan.contains("PartitionFilters") && plan.contains("list_id"),
+      s"expected a list_id partition filter in:\n$plan")
+  }
+
+  test("fail-fast query cap") {
+    val queries = emb.limit(5)
+      .select($"id".as("query_id"), $"vector".as("query_vec"))
+    val e = intercept[IllegalArgumentException] {
+      IvfPq.searchBatchAdc(fixedIndex, queries, k = 3, maxQueries = 4)
+    }
+    assert(e.getMessage.contains("maxQueries"))
+  }
+
+  test("trained index: rerank recovers recall lost by pruning+quantization") {
+    val p = java.nio.file.Files.createTempDirectory("graft_ivfpq").toString
+    val index = IvfPq.build(emb, "id", "vector", p,
+      nLists = 16, numSubspaces = 8, codebookSize = 16, maxIter = 5)
+    val queries = emb.filter($"id" < 16)
+      .select($"id".as("query_id"), $"vector".as("query_vec"))
+    val exact = graft.operators.Knn.batchTopK(queries, emb.toDF(), k = 10)
+      .select($"query_id", $"id")
+    val adc = IvfPq.searchBatchAdc(index, queries, k = 10, nProbe = 12)
+      .select($"query_id", $"id")
+    val reranked = IvfPq.searchRerankBatch(index, queries, k = 10,
+      nProbe = 12, overFetch = 4).select($"query_id", $"id")
+    val rAdc = Recall.summarize(Recall.recallAtK(adc, exact)).head().getDouble(2)
+    val rRer = Recall.summarize(Recall.recallAtK(reranked, exact)).head().getDouble(2)
+    info(f"IVF-PQ recall@10 vs exact cosine (nProbe=12/16): adc=$rAdc%.3f reranked=$rRer%.3f")
+    assert(rRer >= rAdc, "re-rank must not lose recall")
+    assert(rRer > 0.5, s"re-ranked recall $rRer unreasonably low")
+  }
+}
