@@ -767,7 +767,17 @@ object SparkEntry {
         .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
       ml.IvfPq.searchBatchAdc(index, queries, k = 10, nProbe = 2)
         .select(col("query_id"), col("id"), col("rank"))
-    })
+    }),
+
+    // CCNet-style boilerplate removal at token granularity (the synthetic
+    // docs are single-line, so the oracle-checked instantiation prunes
+    // high-document-frequency tokens; the line-level path is CurationSpec's
+    // planted-header corpus). df is hash-aggregated, the frequent set
+    // broadcast, text never shuffled.
+    "q53_boilerplate" -> ((s, dir) =>
+      operators.Curation.removeBoilerplate(
+        t(s, dir, "documents"), "doc_id", "text",
+        maxDocFrac = 0.5, delimiter = " "))
   )
 
   /** Domain-mixing keep-rates for q42 — src{0,4,8,...} full, then 0.5 /
@@ -1455,7 +1465,27 @@ object SparkEntry {
         |  SELECT CAST(query_id AS BIGINT) AS query_id, CAST(id AS BIGINT) AS id,
         |    CAST(row_number() OVER (PARTITION BY query_id
         |      ORDER BY dist ASC, id ASC) AS BIGINT) AS rank
-        |  FROM adc) WHERE rank <= 10""".stripMargin
+        |  FROM adc) WHERE rank <= 10""".stripMargin,
+
+    // Replays the frequent-segment semantics directly on token text (the
+    // Spark side aggregates over xxhash64 segment hashes — output-identical
+    // barring a 64-bit collision, which the deterministic corpus rules out).
+    // string_agg skips NULLs, so the CASE keeps only non-frequent tokens,
+    // in position order; fully-boilerplate docs coalesce to ''.
+    "q53_boilerplate" ->
+      """WITH n AS (SELECT count(*) AS nd FROM documents),
+        |parts AS (SELECT doc_id, string_split(text, ' ') AS p FROM documents),
+        |toks AS (
+        |  SELECT d.doc_id, CAST(u.i AS BIGINT) AS pos, d.p[u.i] AS tok
+        |  FROM parts d, unnest(generate_series(1, len(d.p))) AS u(i)),
+        |df AS (SELECT tok, count(DISTINCT doc_id) AS dfc FROM toks GROUP BY tok),
+        |freq AS (SELECT tok FROM df, n WHERE dfc > 0.5 * nd)
+        |SELECT t.doc_id,
+        |  coalesce(string_agg(CASE WHEN f.tok IS NULL THEN t.tok END,
+        |    ' ' ORDER BY t.pos), '') AS cleaned_text,
+        |  CAST(count(f.tok) AS BIGINT) AS n_removed
+        |FROM toks t LEFT JOIN freq f ON f.tok = t.tok
+        |GROUP BY t.doc_id""".stripMargin
   )
 
   /** Shared BM25 corpus CTE for q39/q40 oracles — terms (vector, merge,

@@ -165,4 +165,74 @@ object Curation {
         dupRatio(col("ng"), col("dg")).as("dup_ngram_ratio"))
       .withColumn("repetitive", col("dup_ngram_ratio") > dupNgramThreshold)
   }
+
+  /** Fail-fast cap on the collected boilerplate-segment hash set. 2^20
+    * 8-byte hashes is ~8 MB broadcast — comfortably executor-resident; a
+    * corpus exceeding it has a mis-set threshold, not more boilerplate.
+    */
+  val DefaultMaxBoilerplateSegments: Int = 1 << 20
+
+  /** CCNet-style boilerplate removal: drop SEGMENTS that occur in more than
+    * `maxDocFrac` of documents (site navigation, cookie banners, repeated
+    * headers/footers — the inter-document twin of [[repetitionStats]]'
+    * intra-document signal). A segment is one delimiter-split unit: lines
+    * (`"\n"`, the CCNet granularity) or tokens (corpus-adaptive stopword
+    * pruning — the oracle-checked instantiation, q53).
+    *
+    * Output: (idCol, cleaned_text, n_removed) — cleaned_text re-joins the
+    * surviving segments in order; n_removed counts removed OCCURRENCES.
+    *
+    * Scale shape (the CCNet recipe): document frequency is aggregated over
+    * 64-bit segment HASHES, so the df shuffle moves (hash, partial count)
+    * pairs — never segment text. The frequent-hash set is driver-collected
+    * (capped, fail-fast) and broadcast into a single per-row rewrite pass:
+    * corpus text is scanned twice (df + rewrite) and shuffled ZERO times.
+    * Trade-off, as published: a 64-bit hash collision with a frequent
+    * segment drops an innocent one; at 2^20 frequent segments the per-
+    * segment odds are ~2^-44.
+    *
+    * `totalDocs` skips the internal `count()` when the caller already
+    * knows it (e.g. from a catalog or a prior pass).
+    */
+  def removeBoilerplate(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxDocFrac: Double = 0.5,
+      delimiter: String = "\n",
+      totalDocs: Option[Long] = None,
+      maxBoilerplateSegments: Int = DefaultMaxBoilerplateSegments): DataFrame = {
+    require(maxDocFrac > 0.0 && maxDocFrac <= 1.0,
+      s"maxDocFrac must be in (0,1], got $maxDocFrac")
+    require(delimiter.nonEmpty, "delimiter must be non-empty")
+    val quoted = java.util.regex.Pattern.quote(delimiter)
+    val segments = split(col(textCol), quoted, -1)
+
+    val nDocs = totalDocs.getOrElse(docs.count())
+    val threshold = maxDocFrac * nDocs // double compare, same in the oracle
+    val capLimit = math.min(maxBoilerplateSegments.toLong + 1, Int.MaxValue.toLong).toInt
+    // per-doc-distinct segments -> df; only hashes reach the shuffle
+    val freqRows = docs
+      .select(explode(array_distinct(segments)).as("seg"))
+      .select(xxhash64(col("seg")).as("h"))
+      .groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .filter(col("df").cast("double") > lit(threshold))
+      .select(col("h")).limit(capLimit).collect()
+    require(freqRows.length <= maxBoilerplateSegments,
+      s"boilerplate segment set exceeds maxBoilerplateSegments=" +
+        s"$maxBoilerplateSegments; raise the cap or maxDocFrac")
+    val fset = freqRows.map(_.getLong(0)).toSeq
+
+    // staged so the split and filtered arrays each materialize once per row
+    // (multiply-referenced non-cheap exprs — see repetitionStats)
+    val kept =
+      if (fset.isEmpty) col("_segs") // isin() with zero values is not defined
+      else filter(col("_segs"), s => !xxhash64(s).isin(fset: _*))
+    docs.select(col(idCol), segments.as("_segs"))
+      .select(col(idCol), col("_segs"), kept.as("_kept"))
+      .select(
+        col(idCol),
+        array_join(col("_kept"), delimiter).as("cleaned_text"),
+        (size(col("_segs")) - size(col("_kept"))).cast("long").as("n_removed"))
+  }
 }

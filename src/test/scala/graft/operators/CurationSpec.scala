@@ -116,4 +116,64 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
     assert(out(1) == ((2L, 4L, 0.0, 0.0, false)))
     assert(out(2)._4 == 0.0)
   }
+
+  test("removeBoilerplate drops planted header/footer lines, keeps content in order") {
+    val header = "SITE NAV | home | products"
+    val footer = "(c) example.com - all rights reserved"
+    val docs = (0L until 10L).map { i =>
+      val content = Seq(s"unique-$i alpha", s"unique-$i beta")
+      val lines =
+        (if (i < 8) Seq(header) else Seq.empty) ++ content ++
+          (if (i < 6) Seq(footer) else Seq.empty)
+      (i, lines.mkString("\n"))
+    }.toDF("doc_id", "text")
+    val out = Curation.removeBoilerplate(docs, "doc_id", "text",
+        maxDocFrac = 0.5, delimiter = "\n")
+      .as[(Long, String, Long)].collect().sortBy(_._1)
+    // header in 8/10 docs and footer in 6/10 both exceed the 0.5 fraction
+    out.foreach { case (i, cleaned, nRemoved) =>
+      assert(cleaned == s"unique-$i alpha\nunique-$i beta", s"doc $i")
+      val expected = (if (i < 8) 1 else 0) + (if (i < 6) 1 else 0)
+      assert(nRemoved == expected, s"doc $i n_removed")
+    }
+  }
+
+  test("removeBoilerplate: no frequent segments leaves text unchanged") {
+    val docs = Seq((1L, "only\nlines\nhere"), (2L, "other\ncontent"))
+      .toDF("doc_id", "text")
+    val out = Curation.removeBoilerplate(docs, "doc_id", "text")
+      .as[(Long, String, Long)].collect().sortBy(_._1)
+    assert(out(0) == ((1L, "only\nlines\nhere", 0L)))
+    assert(out(1) == ((2L, "other\ncontent", 0L)))
+  }
+
+  test("removeBoilerplate: fully-boilerplate doc empties; repeats count occurrences") {
+    val docs = Seq(
+      (1L, "spam"), (2L, "spam"), (3L, "spam\nspam\nkeep-me"))
+      .toDF("doc_id", "text")
+    val out = Curation.removeBoilerplate(docs, "doc_id", "text",
+        maxDocFrac = 0.6, delimiter = "\n")
+      .as[(Long, String, Long)].collect().sortBy(_._1)
+    assert(out(0) == ((1L, "", 1L)))
+    assert(out(2) == ((3L, "keep-me", 2L)))
+  }
+
+  test("removeBoilerplate: df shuffle carries hashes, rewrite shuffles nothing") {
+    val docs = (0L until 20L).map(i => (i, s"common\nrare-$i"))
+      .toDF("doc_id", "text")
+    val plan = Curation.removeBoilerplate(docs, "doc_id", "text",
+        totalDocs = Some(20L))
+      .queryExecution.executedPlan.toString()
+    // rewrite phase is a pure projection over the docs scan — no Exchange
+    assert(!plan.contains("Exchange"), s"rewrite must not shuffle:\n$plan")
+  }
+
+  test("removeBoilerplate fail-fast cap on the frequent-segment set") {
+    val docs = Seq((1L, "a\nb"), (2L, "a\nb")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      Curation.removeBoilerplate(docs, "doc_id", "text",
+        maxBoilerplateSegments = 1)
+    }
+    assert(e.getMessage.contains("maxBoilerplateSegments"))
+  }
 }
