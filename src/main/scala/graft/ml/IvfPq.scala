@@ -103,6 +103,26 @@ object IvfPq {
     Index(IvfIndex.load(spark, s"$path/ivf", metric), model, path)
   }
 
+  /** Incremental maintenance, O(batch) like [[IvfIndex.append]]: the new
+    * rows are assigned + appended to the float store AND encoded + appended
+    * to the codes table against the FROZEN codebooks (global codebooks make
+    * this sound — per-list residual coding would force re-encoding on every
+    * centroid drift). Monitor [[IvfIndex.maintenance]] on the coarse half;
+    * a rebuild retrains both quantizers.
+    */
+  def append(index: Index, rows: DataFrame,
+      idCol: String = "id", vecCol: String = "vector"): Long = {
+    val n = index.ivf.append(rows, idCol, vecCol)
+    val model = index.model
+    rows.select(
+        col(idCol).cast("long").as("id"),
+        Bridge.column(PqEncode(Bridge.expression(col(vecCol)), model.flat,
+          model.numSubspaces, model.codebookSize, model.subDim)).as("codes"),
+        index.ivf.probes(col(vecCol), 1).getItem(0).as("list_id"))
+      .write.mode("append").partitionBy("list_id").parquet(index.codesPath)
+    n
+  }
+
   /** Batch ADC search over the probed lists only. Queries are driver-
     * collected and capped (the blocked-kNN discipline); their probe lists
     * and ADC distance tables are computed driver-side (nQueries x nLists

@@ -243,4 +243,34 @@ object ImageCodec {
     }
     out
   }
+
+  /** 64-bit difference hash (dHash): area-average downsample to a 9x8
+    * luminance grid, one bit per horizontal neighbor comparison
+    * (bit = left < right). Robust to recompression, resizing, and mild
+    * global brightness/contrast shifts (monotone pixel transforms preserve
+    * the comparisons); integer luma keeps it bit-deterministic across
+    * platforms. Pairs with [[graft.operators.Dedup.nearDupPairsHamming64]]
+    * for corpus-scale image near-dup.
+    */
+  def dHash(img: RawImage): Long = {
+    val small = resize(img, 9, 8)
+    def luma(x: Int, y: Int): Int = {
+      val i = (y * 9 + x) * 3
+      (299 * (small.rgb(i) & 0xff) + 587 * (small.rgb(i + 1) & 0xff) +
+        114 * (small.rgb(i + 2) & 0xff)) / 1000
+    }
+    var fp = 0L
+    var bit = 0
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        if (luma(x, y) < luma(x + 1, y)) fp |= 1L << bit
+        bit += 1
+        x += 1
+      }
+      y += 1
+    }
+    fp
+  }
 }

@@ -190,6 +190,40 @@ object Multimodal {
     spark.createDataset(rows)
   }
 
+  /** Perceptual fingerprints for image rows: (media_id, fp) with fp =
+    * [[ImageCodec.dHash]] over the decoded image. Partition-local decode,
+    * no shuffle; rows whose bytes no JVM codec handles are dropped (they
+    * can't be perceptually compared) — count the difference against the
+    * input if the pipeline needs an audit trail.
+    */
+  def imageDHash(media: Dataset[MediaRow]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.filter(_.kind == "image")
+      .flatMap { row =>
+        if (ImageCodec.canDecode(row.bytes))
+          Some((row.media_id, ImageCodec.dHash(ImageCodec.decode(row.bytes))))
+        else None
+      }
+      .toDF("media_id", "fp")
+  }
+
+  /** Image near-duplicate pairs: dHash fingerprints fed through the same
+    * banded Hamming engine as text SimHash ([[graft.operators.Dedup
+    * .nearDupPairsHamming64]]) — recall guaranteed for hamming < nBands,
+    * exact-Hamming verify, deterministic bucket caps. The decode pass is
+    * the only image-specific work; candidate generation shuffles ONLY
+    * (id, fp) longs, never pixels.
+    *
+    * Output: (id_a, id_b, hamming) with id_a < id_b.
+    */
+  def imageNearDupPairs(
+      media: Dataset[MediaRow],
+      maxHamming: Int = 3,
+      nBands: Int = 4,
+      maxBucketSize: Int = 1000): DataFrame =
+    graft.operators.Dedup.nearDupPairsHamming64(
+      imageDHash(media), "media_id", "fp", maxHamming, nBands, maxBucketSize)
+
   /** Feature table as a store-ready DataFrame (vector + meta) so multimodal
     * features flow straight into the kNN/ANN/dedup operators. Meta values use
     * the TypedMeta encoding (media_id stays an INT under typed filters).

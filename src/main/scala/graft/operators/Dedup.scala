@@ -402,12 +402,33 @@ object Dedup {
       nBands: Int = 4,
       seed: Long = 42L,
       maxBucketSize: Int = 1000): DataFrame = {
-    require(64 % nBands == 0, s"nBands must divide 64, got $nBands")
-    val width = 64 / nBands
-    val mask = if (width == 64) -1L else (1L << width) - 1
     val withFp = widen(df).select(
       col(idCol).cast("long").as("id"),
       simhash(split(col(textCol), " "), seed).as("fp"))
+    nearDupPairsHamming64(withFp, "id", "fp", maxHamming, nBands, maxBucketSize)
+  }
+
+  /** Near-duplicate pairs over ANY precomputed 64-bit fingerprint column —
+    * the banding engine behind [[nearDupPairsSimHash]], exposed for other
+    * fingerprint families (e.g. image perceptual hashes,
+    * [[graft.multimodal.Multimodal.imageNearDupPairs]]). Same contract:
+    * pigeonhole guarantees recall for hamming < nBands; the exact-Hamming
+    * verify keeps precision exact; identical-fp groups beyond
+    * `maxBucketSize` truncate deterministically (lowest ids kept).
+    */
+  def nearDupPairsHamming64(
+      df: DataFrame,
+      idCol: String,
+      fpCol: String,
+      maxHamming: Int = 3,
+      nBands: Int = 4,
+      maxBucketSize: Int = 1000): DataFrame = {
+    require(64 % nBands == 0, s"nBands must divide 64, got $nBands")
+    val width = 64 / nBands
+    val mask = if (width == 64) -1L else (1L << width) - 1
+    val withFp = df.select(
+      col(idCol).cast("long").as("id"),
+      col(fpCol).cast("long").as("fp"))
 
     // COLLAPSE IDENTICAL FINGERPRINTS FIRST: hamming distance and every
     // band bucket are functions of the fp alone, so candidate generation

@@ -93,6 +93,24 @@ class IvfPqSpec extends AnyFunSuite with SparkSpec {
     assert(e.getMessage.contains("maxQueries"))
   }
 
+  test("append encodes against frozen codebooks; appended rows are searchable") {
+    val p = java.nio.file.Files.createTempDirectory("graft_ivfpq_app").toString
+    val base = emb.filter($"id" < 400)
+    val index = IvfPq.build(base, "id", "vector", p,
+      nLists = 8, numSubspaces = 8, codebookSize = 16, maxIter = 5)
+    val extra = emb.filter($"id" >= 400)
+    val n = IvfPq.append(index, extra)
+    assert(n == 100)
+    // an appended row queried by its own vector must rank itself first
+    val q = emb.filter($"id" === 450)
+      .select($"id".as("query_id"), $"vector".as("query_vec"))
+    val top = IvfPq.searchRerankBatch(index, q, k = 3, nProbe = 8)
+      .filter($"rank" === 1).select($"id").head().getLong(0)
+    assert(top == 450L)
+    // codes table grew consistently
+    assert(spark.read.parquet(index.codesPath).count() == 500)
+  }
+
   test("trained index: rerank recovers recall lost by pruning+quantization") {
     val p = java.nio.file.Files.createTempDirectory("graft_ivfpq").toString
     val index = IvfPq.build(emb, "id", "vector", p,

@@ -174,4 +174,28 @@ class ImageCodecSpec extends AnyFunSuite with SparkSpec {
       Multimodal.RawImageKernel(undecodable = "stub")).collect()
     assert(stubbed.length == 1 && stubbed.head.features.length == 64)
   }
+
+  test("dHash: invariant under resize and monotone brightness, flips on structure") {
+    // horizontal gradient: luma strictly increasing in x
+    def gradient(w: Int, h: Int, reversed: Boolean): ImageCodec.RawImage = {
+      val rgb = new Array[Byte](w * h * 3)
+      for (y <- 0 until h; x <- 0 until w) {
+        val v = (if (reversed) (w - 1 - x) else x) * 255 / (w - 1)
+        val i = (y * w + x) * 3
+        rgb(i) = v.toByte; rgb(i + 1) = v.toByte; rgb(i + 2) = v.toByte
+      }
+      ImageCodec.RawImage(w, h, rgb)
+    }
+    val base = gradient(90, 80, reversed = false)
+    val fp = ImageCodec.dHash(base)
+    // same structure at half resolution -> same hash
+    assert(ImageCodec.dHash(ImageCodec.resize(base, 45, 40)) == fp)
+    // darkened by 20% (monotone, order-preserving on this gradient) -> same
+    val dark = ImageCodec.RawImage(base.width, base.height,
+      base.rgb.map(b => ((b & 0xff) * 9 / 10).toByte))
+    assert(ImageCodec.dHash(dark) == fp)
+    // reversed gradient inverts every comparison -> all 64 bits differ
+    val rev = ImageCodec.dHash(gradient(90, 80, reversed = true))
+    assert(java.lang.Long.bitCount(fp ^ rev) == 64)
+  }
 }

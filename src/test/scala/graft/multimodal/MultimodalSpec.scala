@@ -64,4 +64,34 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     assert(catalog.queryTyped("mm", "stub16", q, k = 1,
       typedFilter = Map("media_id" -> "0")).isEmpty)
   }
+
+  test("imageNearDupPairs pairs re-encoded copies, ignores unrelated images") {
+    // 10 distinct deterministic-noise images as PPM; the first 5 duplicated
+    // as PNG re-encodings (different bytes, same pixels -> same dHash)
+    def noiseImage(seed: Int): ImageCodec.RawImage = {
+      val rnd = new java.util.Random(seed.toLong)
+      val rgb = new Array[Byte](64 * 64 * 3)
+      rnd.nextBytes(rgb)
+      ImageCodec.RawImage(64, 64, rgb)
+    }
+    def row(id: Long, bytes: Array[Byte]) =
+      Multimodal.MediaRow(id, "image", bytes, Multimodal.MediaMeta(64, 64, "img", 0))
+    val originals = (0 until 10).map(i =>
+      row(i.toLong, ImageCodec.encodePpm(noiseImage(i))))
+    val copies = (0 until 5).map(i =>
+      row(100L + i, ImageCodec.encodePng(noiseImage(i))))
+    // one non-image row and one undecodable image row: both must be ignored
+    val junk = Seq(
+      Multimodal.MediaRow(500L, "audio", Array[Byte](1, 2, 3),
+        Multimodal.MediaMeta(0, 0, "wav", 0)),
+      row(501L, Array[Byte](9, 9, 9)))
+    val media = spark.createDataset(originals ++ copies ++ junk)
+    val pairs = Multimodal.imageNearDupPairs(media, maxHamming = 3)
+      .as[(Long, Long, Int)].collect()
+    val pairSet = pairs.map(p => (p._1, p._2)).toSet
+    // exactly the planted (i, 100+i) pairs at hamming 0
+    assert(pairSet == (0 until 5).map(i => (i.toLong, 100L + i)).toSet,
+      s"got $pairSet")
+    assert(pairs.forall(_._3 == 0))
+  }
 }
