@@ -153,10 +153,16 @@ object Streams {
   // ------------------------------------------------------ stream near-dup
 
   /** One doc's footprint inside one LSH bucket's state: its id and distinct
-    * shingle set (strings, exactly the batch path's `tokenShingles` output,
-    * so the verify arithmetic is bit-identical to `nearDupPairsMinHash`).
+    * shingle set, as 64-bit xxhash64 values rather than strings — the
+    * shingle arrays are shuffled into EVERY band's state (x bands
+    * amplification), so hashing cuts state/shuffle bytes ~3x and makes the
+    * verify a long-set intersection. Jaccard depends only on set
+    * CARDINALITIES, which hashing preserves barring a 64-bit collision
+    * inside one document pair (~2^-64 per pair) — the verify arithmetic
+    * stays value-identical to `nearDupPairsMinHash` (StreamsSpec asserts
+    * batch equivalence, bit-identical doubles).
     */
-  case class BucketDoc(id: Long, shingles: Array[String])
+  case class BucketDoc(id: Long, shingles: Array[Long])
 
   /** An emitted near-duplicate pair, id_a < id_b. */
   case class NearDupPair(id_a: Long, id_b: Long, jaccard: Double)
@@ -207,6 +213,9 @@ object Streams {
         Dedup.tokenShingles(col(textCol), shingleLen).as("shingles")) ++
         eventTimeCol.map(c => col(c).as("event_time")): _*)
       .withColumn("sig", Dedup.minhashSignature(col("shingles"), numHashes, seed))
+      // shingle strings hash to longs BEFORE the x-bands explode: only
+      // 8-byte values reach the stateful shuffle and bucket state
+      .withColumn("shingles", transform(col("shingles"), s => xxhash64(s)))
     val bandStructs = array((0 until bands).map { j =>
       struct(lit(j).as("band"), hash(slice(col("sig"), j * rows + 1, rows)).as("bucket"))
     }: _*)
@@ -244,7 +253,7 @@ object Streams {
             var maxEvent = Long.MinValue
             newDocs.foreach { r =>
               val id = r.getAs[Long]("id")
-              val sh = r.getSeq[String](r.fieldIndex("shingles")).toArray
+              val sh = r.getSeq[Long](r.fieldIndex("shingles")).toArray
               if (eventTimeCol.isDefined)
                 maxEvent = math.max(maxEvent,
                   r.getAs[java.sql.Timestamp]("event_time").getTime)
