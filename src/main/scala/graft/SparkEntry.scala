@@ -683,11 +683,17 @@ object SparkEntry {
       val corpus = docs.unionAll(copies)
       val truth = docs.select(
         col("doc_id").as("id_a"), (col("doc_id") + 100000).as("id_b"))
+      // fingerprint ONCE and pin it; each sweep leg re-bands the same fps
+      // (the fp pass tokenizes + hashes the whole corpus — 3x of that
+      // dominated this query before the banding engine was split out)
+      val withFp = corpus.select(col("doc_id").cast("long").as("id"),
+          operators.Dedup.simhash(split(col("text"), " ")).as("fp"))
+        .localCheckpoint(true)
       Seq(2, 4, 8).map { nb =>
         // high bucket cap, same reason as q35: determinism needs every copy
         // to keep its banding rows; production default maxHamming=3 (q19)
-        val found = operators.Dedup.nearDupPairsSimHash(
-          corpus, "doc_id", "text", maxHamming = 3, nBands = nb,
+        val found = operators.Dedup.nearDupPairsHamming64(
+          withFp, "id", "fp", maxHamming = 3, nBands = nb,
           maxBucketSize = 1 << 20)
         ml.Recall.pairRecall(found, truth)
           .select(lit(nb).cast("long").as("n_bands"),
