@@ -783,7 +783,20 @@ object SparkEntry {
     "q53_boilerplate" -> ((s, dir) =>
       operators.Curation.removeBoilerplate(
         t(s, dir, "documents"), "doc_id", "text",
-        maxDocFrac = 0.5, delimiter = " "))
+        maxDocFrac = 0.5, delimiter = " ")),
+
+    // Concat-and-chunk packing layout (GPT-style pretraining arrangement):
+    // deterministic shard assignment, one running-sum window per shard,
+    // every derived column integer-exact — DuckDB replays the layout
+    // bit-for-bit. Whitespace token counts here (q15 semantics); the BPE
+    // path is BpeTokenizerSpec.
+    "q54_pack_layout" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      operators.Packing.packConcatChunk(docs, "doc_id", "n_tokens",
+        contextLen = 512, numShards = 8)
+    })
   )
 
   /** Domain-mixing keep-rates for q42 — src{0,4,8,...} full, then 0.5 /
@@ -1491,7 +1504,26 @@ object SparkEntry {
         |    ' ' ORDER BY t.pos), '') AS cleaned_text,
         |  CAST(count(f.tok) AS BIGINT) AS n_removed
         |FROM toks t LEFT JOIN freq f ON f.tok = t.tok
-        |GROUP BY t.doc_id""".stripMargin
+        |GROUP BY t.doc_id""".stripMargin,
+
+    // The layout is pure integer arithmetic over a per-shard running sum,
+    // so the replay is exact: same shard assignment (ids non-negative, so
+    // % == pmod), same cumulative ends, same floor/mod block math.
+    "q54_pack_layout" ->
+      """WITH t AS (
+        |  SELECT doc_id, doc_id % 8 AS shard,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, shard, n,
+        |    sum(n) OVER (PARTITION BY shard ORDER BY doc_id
+        |                 ROWS UNBOUNDED PRECEDING) AS e
+        |  FROM t)
+        |SELECT doc_id, CAST(shard AS BIGINT) AS shard,
+        |  CAST(floor((e - n) / 512) AS BIGINT) AS seq_index,
+        |  CAST((e - n) % 512 AS BIGINT) AS start_offset,
+        |  (n > 0 AND floor((e - 1) / 512) > floor((e - n) / 512)) AS spans_boundary
+        |FROM c""".stripMargin
   )
 
   /** Shared BM25 corpus CTE for q39/q40 oracles — terms (vector, merge,

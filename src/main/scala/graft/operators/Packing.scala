@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sequence packing: assign every document a position in the
+  * concat-and-chunk training layout (documents concatenated in a
+  * deterministic order, the stream cut into fixed `contextLen` blocks) —
+  * the standard GPT-style pretraining arrangement. The output is a LAYOUT
+  * INDEX (doc -> shard, sequence, offset), not the materialized token
+  * stream: the writer job that follows it only ever touches one shard at a
+  * time.
+  *
+  * Scale shape: packing is inherently sequential (a doc's offset depends
+  * on every doc before it), so a global layout would serialize. Real
+  * pipelines shard first and pack WITHIN shards — here a deterministic
+  * `id % numShards` assignment, so the layout is reproducible across runs
+  * and engines (no RNG, no partition-dependent ordering). The only wide
+  * operation is one running-sum window per shard; the shuffle carries
+  * (id, n_tokens) pairs, never text.
+  *
+  * Reference analog: none (vector-only engine) — LLM-pipeline extension
+  * like [[Curation]]; concat-and-chunk is the published GPT recipe.
+  */
+object Packing {
+
+  /** Layout columns per document:
+    *  - `shard`        — which independent packing stream the doc is in
+    *  - `seq_index`    — which contextLen-sized block its FIRST token is in
+    *  - `start_offset` — token offset of the doc within that block
+    *  - `spans_boundary` — whether the doc crosses into the next block
+    *    (the concat-and-chunk trade-off: boundary docs get split across
+    *    training sequences; the flag makes the cost measurable)
+    */
+  def packConcatChunk(
+      docs: DataFrame,
+      idCol: String,
+      nTokensCol: String,
+      contextLen: Int,
+      numShards: Int = 1024): DataFrame = {
+    require(contextLen >= 1, s"contextLen must be >= 1, got $contextLen")
+    require(numShards >= 1, s"numShards must be >= 1, got $numShards")
+    val w = Window.partitionBy(col("shard")).orderBy(col("_id"))
+    docs
+      .select(col(idCol),
+        col(idCol).cast("long").as("_id"),
+        col(nTokensCol).cast("long").as("_n"),
+        pmod(col(idCol).cast("long"), lit(numShards.toLong)).as("shard"))
+      .withColumn("_end", sum(col("_n")).over(w))
+      .select(
+        col(idCol), col("shard"),
+        floor((col("_end") - col("_n")) / contextLen).as("seq_index"),
+        ((col("_end") - col("_n")) % contextLen).as("start_offset"),
+        (col("_n") > 0 &&
+          floor((col("_end") - 1) / contextLen) >
+            floor((col("_end") - col("_n")) / contextLen)).as("spans_boundary"))
+  }
+
+  /** Shard-level packing summary: sequences produced and tail waste —
+    * the numbers a capacity plan needs before the writer job runs.
+    */
+  def packingStats(
+      layout: DataFrame, docs: DataFrame, idCol: String, nTokensCol: String,
+      contextLen: Int): DataFrame = {
+    require(contextLen >= 1, s"contextLen must be >= 1, got $contextLen")
+    layout.join(docs.select(col(idCol), col(nTokensCol).cast("long").as("_n")), idCol)
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("_n")).as("n_tokens"))
+      .select(col("shard"), col("n_docs"), col("n_tokens"),
+        ceil(col("n_tokens").cast("double") / contextLen).as("n_seqs"),
+        (ceil(col("n_tokens").cast("double") / contextLen) * contextLen -
+          col("n_tokens")).cast("long").as("tail_waste"))
+  }
+}

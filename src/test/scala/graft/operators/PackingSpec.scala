@@ -1,0 +1,59 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.scalatest.funsuite.AnyFunSuite
+
+class PackingSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  test("hand-computed layout: offsets, blocks, boundary spans") {
+    // one shard, token counts 3,4,2,5 into blocks of 5:
+    // ends 3,7,9,14; starts 0,3,7,9
+    val docs = Seq((0L, 3L), (8L, 4L), (16L, 2L), (24L, 5L))
+      .toDF("doc_id", "n_tokens")
+    val out = Packing.packConcatChunk(docs, "doc_id", "n_tokens",
+        contextLen = 5, numShards = 8)
+      .as[(Long, Long, Long, Long, Boolean)].collect().sortBy(_._1)
+    assert(out.forall(_._2 == 0L), "all ids are multiples of 8 -> shard 0")
+    assert(out.map(r => (r._1, r._3, r._4, r._5)).toSeq == Seq(
+      (0L, 0L, 0L, false),  // tokens [0,3)
+      (8L, 0L, 3L, true),   // tokens [3,7) crosses block 0 -> 1
+      (16L, 1L, 2L, false), // tokens [7,9)
+      (24L, 1L, 4L, true))) // tokens [9,14) crosses block 1 -> 2
+  }
+
+  test("zero-token docs take the next offset without spanning") {
+    val docs = Seq((0L, 5L), (1L, 0L), (2L, 3L)).toDF("doc_id", "n_tokens")
+    val out = Packing.packConcatChunk(docs, "doc_id", "n_tokens",
+        contextLen = 4, numShards = 1)
+      .as[(Long, Long, Long, Long, Boolean)].collect().sortBy(_._1)
+    // ends 5,5,8; starts 0,5,5 — doc 2's tokens [5,8) sit inside block 1
+    // ([4,8) exclusive end), so it does NOT span
+    assert(out.map(r => (r._1, r._3, r._4, r._5)).toSeq == Seq(
+      (0L, 0L, 0L, true), (1L, 1L, 1L, false), (2L, 1L, 1L, false)))
+  }
+
+  test("shards pack independently and deterministically") {
+    val docs = (0L until 100L).map(i => (i, 7L)).toDF("doc_id", "n_tokens")
+    val a = Packing.packConcatChunk(docs, "doc_id", "n_tokens", 64, numShards = 4)
+      .as[(Long, Long, Long, Long, Boolean)].collect().sortBy(_._1).toSeq
+    val b = Packing.packConcatChunk(docs, "doc_id", "n_tokens", 64, numShards = 4)
+      .as[(Long, Long, Long, Long, Boolean)].collect().sortBy(_._1).toSeq
+    assert(a == b)
+    // 25 docs x 7 tokens per shard; doc at shard-position p starts at 7p
+    a.foreach { case (id, shard, seq, off, _) =>
+      assert(shard == id % 4)
+      val pos = 7L * (id / 4)
+      assert(seq == pos / 64 && off == pos % 64, s"doc $id")
+    }
+  }
+
+  test("packingStats: sequence counts and tail waste per shard") {
+    val docs = Seq((0L, 10L), (2L, 10L), (1L, 3L)).toDF("doc_id", "n_tokens")
+    val layout = Packing.packConcatChunk(docs, "doc_id", "n_tokens", 8, numShards = 2)
+    val stats = Packing.packingStats(layout, docs, "doc_id", "n_tokens", 8)
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    // shard 0: 20 tokens -> 3 seqs of 8, waste 4; shard 1: 3 tokens -> 1 seq, waste 5
+    assert(stats.toSeq == Seq((0L, 2L, 20L, 3L, 4L), (1L, 1L, 3L, 1L, 5L)))
+  }
+}
