@@ -135,12 +135,20 @@ object IvfPq {
     *
     * Output: (query_id, id, rank, adc) — ranks by (adc asc, id asc).
     */
-  def searchBatchAdc(
-      index: Index, queries: DataFrame, k: Int, nProbe: Int = 8,
-      queryIdCol: String = "query_id", queryVecCol: String = "query_vec",
-      maxQueries: Int = graft.operators.Knn.DefaultMaxBlockedQueries): DataFrame = {
-    val spark = index.spark
-    import spark.implicits._
+  /** The driver-side half of a batch search: queries collected ONCE behind
+    * the fail-fast cap (user lineage never re-runs), ADC tables and probe
+    * lists computed in memory (nQueries x M x K and nQueries x nProbe —
+    * KBs).
+    */
+  private case class ProbedQueries(
+      qIds: Array[Long], qVecs: Array[Array[Double]],
+      probeTriples: Seq[(Int, Long, Int)], tables: Array[Double]) {
+    def probedLists: Seq[Int] = probeTriples.map(_._3).distinct
+  }
+
+  private def probeQueries(
+      index: Index, queries: DataFrame, nProbe: Int,
+      queryIdCol: String, queryVecCol: String, maxQueries: Int): ProbedQueries = {
     val model = index.model
     val probeLimit = math.min(maxQueries.toLong + 1, Int.MaxValue.toLong).toInt
     val qRows = queries
@@ -157,22 +165,27 @@ object IvfPq {
     }.toArray)
     qVecs.foreach(v => require(v.length == model.dim,
       s"query dim ${v.length} != model dim ${model.dim}"))
-    val tables = ProductQuantizer.adcTables(model, qVecs)
-
     val probeTriples = qIds.indices.flatMap { qi =>
       index.ivf.probeIdsFor(qVecs(qi).toSeq, nProbe).map(l => (qi, qIds(qi), l))
     }
-    val probed = probeTriples.toDF("q_idx", "query_id", "list_id")
-    val probedLists = probeTriples.map(_._3).distinct
-    val store = spark.read.parquet(index.codesPath)
-      .filter(col("list_id").isin(probedLists: _*))
+    ProbedQueries(qIds, qVecs, probeTriples,
+      ProductQuantizer.adcTables(model, qVecs))
+  }
 
+  /** Pruned ADC top-k over an already-probed query set. */
+  private def adcTopK(index: Index, pq: ProbedQueries, k: Int): DataFrame = {
+    val spark = index.spark
+    import spark.implicits._
+    val model = index.model
+    val probed = pq.probeTriples.toDF("q_idx", "query_id", "list_id")
+    val store = spark.read.parquet(index.codesPath)
+      .filter(col("list_id").isin(pq.probedLists: _*))
     val topk = udaf(new TopKAggregator(k, ascending = true))
     store.join(broadcast(probed), Seq("list_id"))
       .select(col("query_id"), col("id"),
         Bridge.column(PqAdcScore(
           Bridge.expression(col("codes")), Bridge.expression(col("q_idx")),
-          tables, model.numSubspaces, model.codebookSize)).as("adc"))
+          pq.tables, model.numSubspaces, model.codebookSize)).as("adc"))
       .groupBy(col("query_id"))
       .agg(topk(col("adc"), col("id")).as("topk"))
       .select(col("query_id"), posexplode(col("topk")).as(Seq("pos", "hit")))
@@ -181,9 +194,20 @@ object IvfPq {
         col("hit.score").as("adc"))
   }
 
+  def searchBatchAdc(
+      index: Index, queries: DataFrame, k: Int, nProbe: Int = 8,
+      queryIdCol: String = "query_id", queryVecCol: String = "query_vec",
+      maxQueries: Int = graft.operators.Knn.DefaultMaxBlockedQueries): DataFrame =
+    adcTopK(index,
+      probeQueries(index, queries, nProbe, queryIdCol, queryVecCol, maxQueries), k)
+
   /** Two-phase batch search: pruned ADC over-fetch, then exact re-rank of
-    * the candidates under the index metric, gathering floats from the IVF
-    * store via a (list_id, id) join so the gather is partition-pruned too.
+    * the candidates under the index metric. The float gather scans ONLY the
+    * probed partitions (candidates live in probed lists by construction),
+    * and the re-rank queries are rebuilt from the one driver collect — the
+    * caller's lineage runs exactly once. Exactness: the collected query
+    * vectors are exact float->double widenings, so re-rank scores are
+    * bit-identical to scoring against the original column.
     * Output: (query_id, id, rank, score) — score is the exact similarity.
     */
   def searchRerankBatch(
@@ -192,18 +216,19 @@ object IvfPq {
       queryIdCol: String = "query_id", queryVecCol: String = "query_vec",
       maxQueries: Int = graft.operators.Knn.DefaultMaxBlockedQueries): DataFrame = {
     val spark = index.spark
-    val cand = searchBatchAdc(index, queries, k * overFetch, nProbe,
-        queryIdCol, queryVecCol, maxQueries)
+    import spark.implicits._
+    val pq = probeQueries(index, queries, nProbe, queryIdCol, queryVecCol,
+      maxQueries)
+    val cand = adcTopK(index, pq, k * overFetch)
       .select(col("query_id"), col("id"))
-    // candidate lists are a subset of the probed lists; re-reading with the
-    // same filter keeps the gather partition-pruned (ids are unique per
-    // store, so joining on id alone is correct — list_id only prunes)
     val vecs = spark.read.parquet(s"${index.path}/ivf/data")
+      .filter(col("list_id").isin(pq.probedLists: _*))
       .select(col("id"), col("vector"))
+    val queryDf = pq.qIds.zip(pq.qVecs.map(_.toSeq)).toSeq
+      .toDF("query_id", "_qv")
     val exact = cand
       .join(vecs, Seq("id"))
-      .join(broadcast(queries.select(col(queryIdCol).cast("long").as("query_id"),
-        col(queryVecCol).as("_qv"))), Seq("query_id"))
+      .join(broadcast(queryDf), Seq("query_id"))
       .select(col("query_id"), col("id"),
         vector.similarity(col("vector"), col("_qv"), index.ivf.metric).as("score"))
     val topk = udaf(new TopKAggregator(k, ascending = false))

@@ -82,6 +82,14 @@ class IvfPqSpec extends AnyFunSuite with SparkSpec {
     // the parquet scan must carry a list_id partition filter, not read all
     assert(plan.contains("PartitionFilters") && plan.contains("list_id"),
       s"expected a list_id partition filter in:\n$plan")
+    // the rerank float gather must be pruned the same way (both scans)
+    val rerankPlan = IvfPq.searchRerankBatch(fixedIndex, queries, k = 3,
+        nProbe = 1).queryExecution.executedPlan.toString
+    val prunedScans = rerankPlan.linesIterator.count(l =>
+      l.contains("PartitionFilters: [") && !l.contains("PartitionFilters: []") &&
+        l.contains("list_id"))
+    assert(prunedScans >= 2,
+      s"expected both codes and vector scans list_id-pruned:\n$rerankPlan")
   }
 
   test("fail-fast query cap") {
