@@ -111,6 +111,36 @@ object Demo {
       s"(${report.droppedLang} lang, ${report.droppedQuality} quality, " +
       s"${report.droppedDuplicate} dup)")
 
+    // 10. Compression tiers: IVF-PQ build + pruned ADC search with exact
+    // re-rank (the 100 TB layout: coarse lists prune the scan, codes shrink
+    // what it reads, floats touched only for the candidate gather)
+    val ivfpqPath = java.nio.file.Files.createTempDirectory("graft_demo_ivfpq").toString
+    val embIdx = emb.select($"vec_id".as("id"), $"embedding".as("vector"))
+    val ivfpq = graft.ml.IvfPq.build(embIdx, "id", "vector", ivfpqPath,
+      nLists = 8, numSubspaces = 8, codebookSize = 16, maxIter = 5)
+    val pqTop = graft.ml.IvfPq.searchRerankBatch(ivfpq,
+        embIdx.filter($"id" < 2).select($"id".as("query_id"), $"vector".as("query_vec")),
+        k = 3, nProbe = 4)
+      .filter($"rank" === 1).select($"query_id", $"id").as[(Long, Long)]
+      .collect().sortBy(_._1)
+    println(s"[demo] ivf-pq rerank rank-1 hits (query -> id): ${pqTop.mkString(", ")}")
+
+    // 11. Token accounting: BPE table trained on the corpus, per-source
+    // token budgets (what mixing rates are denominated in)
+    val bpe = graft.text.BpeTokenizer.train(docs, "text", numMerges = 64)
+    val budget = graft.text.BpeTokenizer.tokenBudget(docs, "source", "text", bpe)
+      .orderBy($"source").as[(String, Long, Long)].collect()
+    println(s"[demo] bpe token budget: " +
+      budget.map { case (s, d, t) => s"$s=$t tokens/$d docs" }.mkString(", "))
+
+    // 12. Packing layout: concat-and-chunk index for context 512
+    val packed = graft.operators.Packing.packConcatChunk(
+      docs.select($"doc_id", size(split($"text", " ")).cast("long").as("n_tokens")),
+      "doc_id", "n_tokens", contextLen = 512, numShards = 4)
+    val spans = packed.filter($"spans_boundary").count()
+    println(s"[demo] packing: ${packed.count()} docs laid out, " +
+      s"$spans span a block boundary")
+
     spark.stop()
   }
 }
