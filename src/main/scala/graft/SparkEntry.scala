@@ -796,6 +796,24 @@ object SparkEntry {
           size(split(col("text"), " ")).cast("long").as("n_tokens"))
       operators.Packing.packConcatChunk(docs, "doc_id", "n_tokens",
         contextLen = 512, numShards = 8)
+    }),
+
+    // SemDeDup on the q47 planted-copy corpus with FIXED centroids
+    // (embeddings 0..7, the q46 trick): x2-scaled copies keep cosine and
+    // cluster assignment bit-identical (doubling and sqrt(4s)=2sqrt(s) are
+    // exact in IEEE), so the cluster-scoped pair search must recover
+    // exactly the exact-twin pair set and the oracle replays it in SQL.
+    // The production path (k-means clusters) is SemDedupSpec.
+    "q55_semdedup" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val corpus = emb.select(col("vec_id"), col("embedding")).unionAll(
+        emb.select((col("vec_id") + 10000).as("vec_id"),
+          transform(col("embedding"), x => x * lit(2.0f)).as("embedding")))
+      val cents = emb.filter(col("vec_id") < 8).orderBy(col("vec_id"))
+        .select(col("embedding")).collect()
+        .map(_.getSeq[Float](0).toArray.map(_.toDouble))
+      ml.SemDedup.pairsWithCentroids(corpus, "vec_id", "embedding",
+        cents, threshold = 0.9)
     })
   )
 
@@ -1523,7 +1541,30 @@ object SparkEntry {
         |  CAST(floor((e - n) / 512) AS BIGINT) AS seq_index,
         |  CAST((e - n) % 512 AS BIGINT) AS start_offset,
         |  (n > 0 AND floor((e - 1) / 512) > floor((e - n) / 512)) AS spans_boundary
-        |FROM c""".stripMargin
+        |FROM c""".stripMargin,
+
+    // Cluster assignment is the q46 argmax pattern (cosine is
+    // scale-invariant, so raw centroids rank identically to the Spark
+    // side's normalized ones); pairs join within clusters and verify with
+    // exact cosine, ids only in the hashed output (q22 discipline).
+    "q55_semdedup" ->
+      """WITH corpus AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 10000,
+        |    CAST(list_transform(embedding, x -> x * CAST(2.0 AS FLOAT)) AS DOUBLE[])
+        |  FROM embeddings),
+        |cent AS (SELECT vec_id AS cl, CAST(embedding AS DOUBLE[]) AS c
+        |         FROM embeddings WHERE vec_id < 8),
+        |assign AS (
+        |  SELECT vec_id, v, cl FROM (
+        |    SELECT x.vec_id, x.v, c.cl,
+        |      row_number() OVER (PARTITION BY x.vec_id
+        |        ORDER BY list_cosine_similarity(c.c, x.v) DESC, c.cl ASC) AS rn
+        |    FROM corpus x CROSS JOIN cent c) WHERE rn = 1)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |FROM assign a JOIN assign b ON a.cl = b.cl AND a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.v, b.v) >= 0.9""".stripMargin
   )
 
   /** Shared BM25 corpus CTE for q39/q40 oracles — terms (vector, merge,
