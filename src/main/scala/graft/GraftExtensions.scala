@@ -36,5 +36,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject("simhash64", "64-bit SimHash fingerprint of an array<string>") {
       es => SimHash64(es(0))
     }
+    inject("token_ngrams", "space-joined token n-grams of a string; n must be a literal") {
+      es =>
+        val n = es(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int,
+            org.apache.spark.sql.types.IntegerType) => v
+          case other => throw new IllegalArgumentException(
+            s"token_ngrams: n must be an integer literal, got $other")
+        }
+        TokenNgrams(es(0), n)
+    }
   }
 }

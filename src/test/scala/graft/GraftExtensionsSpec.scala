@@ -21,10 +21,12 @@ class GraftExtensionsSpec extends AnyFunSuite {
       val r = spark.sql(
         """SELECT vec_cosine_sim(array(1.0F, 0.0F), array(1.0F, 0.0F)) AS c,
           |       vec_norm(vec_l2_normalize(array(3.0F, 4.0F))) AS n,
-          |       simhash64(array('a', 'b')) AS f""".stripMargin).head()
+          |       simhash64(array('a', 'b')) AS f,
+          |       token_ngrams('a b c', 2) AS g""".stripMargin).head()
       assert(math.abs(r.getDouble(0) - 1.0) < 1e-9)
       assert(math.abs(r.getDouble(1) - 1.0) < 1e-9)
       assert(r.getLong(2) != 0L)
+      assert(r.getSeq[String](3) == Seq("a b", "b c"))
     } finally {
       // do not stop(): the SparkContext is shared with the suite session
       prior.foreach { p =>
