@@ -814,6 +814,18 @@ object SparkEntry {
         .map(_.getSeq[Float](0).toArray.map(_.toDouble))
       ml.SemDedup.pairsWithCentroids(corpus, "vec_id", "embedding",
         cents, threshold = 0.9)
+    }),
+
+    // Exact distributed percentiles (percentile_disc semantics over a value
+    // histogram — the shuffle carries one row per distinct (group, value)).
+    // Output values are input ELEMENTS and the rank arithmetic is exact
+    // long math, so the oracle replays the formula verbatim. Closes the
+    // last unit-only operator into the contract.
+    "q56_corpus_profile" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+      operators.Stats.exactPercentiles(docs, "source", "n_tok",
+        Seq(0.5, 0.9, 0.99))
     })
   )
 
@@ -1564,7 +1576,28 @@ object SparkEntry {
         |    FROM corpus x CROSS JOIN cent c) WHERE rn = 1)
         |SELECT a.vec_id AS id_a, b.vec_id AS id_b
         |FROM assign a JOIN assign b ON a.cl = b.cl AND a.vec_id < b.vec_id
-        |WHERE list_cosine_similarity(a.v, b.v) >= 0.9""".stripMargin
+        |WHERE list_cosine_similarity(a.v, b.v) >= 0.9""".stripMargin,
+
+    // Verbatim replay of the histogram percentile formula: cumulative
+    // counts per (source, value), rank r = (ppm*n + 999999) div 1e6 in
+    // exact integer arithmetic, answer = the bucket covering rank r.
+    "q56_corpus_profile" ->
+      """WITH t AS (
+        |  SELECT source, CAST(len(string_split(text, ' ')) AS BIGINT) AS v
+        |  FROM documents),
+        |h AS (SELECT source, v, count(*) AS cnt FROM t GROUP BY source, v),
+        |c AS (
+        |  SELECT source, v, cnt,
+        |    sum(cnt) OVER (PARTITION BY source ORDER BY v
+        |                   ROWS UNBOUNDED PRECEDING) AS cum,
+        |    sum(cnt) OVER (PARTITION BY source) AS n
+        |  FROM h),
+        |p AS (SELECT unnest([0.5, 0.9, 0.99]) AS p,
+        |             unnest([500000, 900000, 990000]) AS ppm)
+        |SELECT c.source, p.p, CAST(c.v AS BIGINT) AS pct_value
+        |FROM c CROSS JOIN p
+        |WHERE c.cum >= (p.ppm * c.n + 999999) // 1000000
+        |  AND c.cum - c.cnt < (p.ppm * c.n + 999999) // 1000000""".stripMargin
   )
 
   /** Shared BM25 corpus CTE for q39/q40 oracles — terms (vector, merge,
