@@ -57,6 +57,20 @@ object Packing {
             floor((col("_end") - col("_n")) / contextLen)).as("spans_boundary"))
   }
 
+  /** Writer-facing manifest: for every (shard, seq_index), the docs whose
+    * FIRST token lands in that block, in order — the unit of work a
+    * materialization job consumes (each task renders one sequence by
+    * concatenating its spans, pulling the tail of a boundary-spanning doc
+    * from the previous entry). One groupBy over the layout; rows are
+    * (shard, seq_index, doc span list) — no text moves.
+    */
+  def sequenceManifest(layout: DataFrame, idCol: String = "doc_id"): DataFrame =
+    layout
+      .groupBy(col("shard"), col("seq_index"))
+      .agg(count(lit(1)).as("n_docs"),
+        sort_array(collect_list(struct(
+          col("start_offset"), col(idCol), col("spans_boundary")))).as("docs"))
+
   /** Shard-level packing summary: sequences produced and tail waste —
     * the numbers a capacity plan needs before the writer job runs.
     */

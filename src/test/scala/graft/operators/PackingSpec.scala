@@ -48,6 +48,19 @@ class PackingSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("sequenceManifest orders spans within each block") {
+    val docs = Seq((0L, 3L), (8L, 4L), (16L, 2L), (24L, 5L))
+      .toDF("doc_id", "n_tokens")
+    val layout = Packing.packConcatChunk(docs, "doc_id", "n_tokens", 5, numShards = 8)
+    val manifest = Packing.sequenceManifest(layout)
+      .as[(Long, Long, Long, Seq[(Long, Long, Boolean)])]
+      .collect().sortBy(r => (r._1, r._2))
+    // block 0: docs 0 (off 0) and 8 (off 3, spans); block 1: 16 (off 2), 24 (off 4, spans)
+    assert(manifest.map(r => (r._2, r._3, r._4)).toSeq == Seq(
+      (0L, 2L, Seq((0L, 0L, false), (3L, 8L, true))),
+      (1L, 2L, Seq((2L, 16L, false), (4L, 24L, true)))))
+  }
+
   test("packingStats: sequence counts and tail waste per shard") {
     val docs = Seq((0L, 10L), (2L, 10L), (1L, 3L)).toDF("doc_id", "n_tokens")
     val layout = Packing.packConcatChunk(docs, "doc_id", "n_tokens", 8, numShards = 2)
