@@ -1,0 +1,90 @@
+package graft.text
+
+import graft.functions.LmPerplexity
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftx.Bridge
+
+/** N-gram language-model perplexity filtering — the CCNet recipe's third
+  * leg (alongside dedup and the quality classifier): score every document
+  * by a small LM trained on a reference corpus, keep the low-perplexity
+  * (in-domain) tail. CCNet uses a KenLM 5-gram; the engine-native
+  * equivalent is an add-k-smoothed bigram model, which keeps the count
+  * tables broadcastable and the scoring pass a single codegen'd scan.
+  *
+  * Spark-first split (same discipline as [[BpeTokenizer]]):
+  *  - COUNTS are distributed aggregations (explode -> hash aggregate; the
+  *    shuffle carries (gram, partial count) pairs);
+  *  - the PRUNED tables (top-`maxVocab` unigrams, bigrams over `minCount`
+  *    within that vocab) are driver-collected behind fail-fast caps — at
+  *    100 TB pruning is what makes the published approach work too: KenLM
+  *    tables ship to every worker;
+  *  - SCORING is one broadcast-table expression per row, no shuffle.
+  */
+object NgramLm {
+
+  /** Bounded, broadcastable model. */
+  case class LmModel(
+      unigrams: java.util.HashMap[String, java.lang.Long],
+      bigrams: java.util.HashMap[String, java.lang.Long],
+      vocabSize: Int,
+      totalTokens: Long,
+      k: Double)
+
+  /** Maximum collected bigram rows — 2M entries is tens of MB broadcast,
+    * the practical ceiling for executor-resident tables.
+    */
+  val DefaultMaxBigrams: Int = 1 << 21
+
+  def train(
+      docs: DataFrame,
+      textCol: String,
+      maxVocab: Int = 65536,
+      minBigramCount: Long = 2L,
+      k: Double = 0.1,
+      maxBigrams: Int = DefaultMaxBigrams): LmModel = {
+    val toks = docs.select(explode(split(col(textCol), "\\s+")).as("w"))
+      .filter(col("w") =!= "")
+    // top-maxVocab unigrams by (count desc, word asc) — deterministic prune
+    val uniRows = toks.groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w").asc).limit(maxVocab).collect()
+    val unigrams = new java.util.HashMap[String, java.lang.Long](uniRows.length * 2)
+    var total = 0L
+    uniRows.foreach { r =>
+      unigrams.put(r.getString(0), r.getLong(1))
+      total += r.getLong(1)
+    }
+    require(total > 0, "empty training corpus")
+
+    val biLimit = math.min(maxBigrams.toLong + 1, Int.MaxValue.toLong).toInt
+    val biRows = docs
+      .select(explode(graft.operators.Curation.tokenNgrams(col(textCol), 2)).as("g"))
+      .groupBy(col("g")).agg(count(lit(1)).as("c"))
+      .filter(col("c") >= minBigramCount)
+      .orderBy(col("c").desc, col("g").asc)
+      .limit(biLimit).collect()
+    require(biRows.length <= maxBigrams,
+      s"bigram table exceeds maxBigrams=$maxBigrams; raise minBigramCount")
+    val bigrams = new java.util.HashMap[String, java.lang.Long](biRows.length * 2)
+    biRows.foreach { r =>
+      // keep only bigrams whose history survives the vocab prune — the
+      // scorer backs off through the unigram table for everything else
+      if (unigrams.containsKey(r.getString(0).takeWhile(_ != ' ')))
+        bigrams.put(r.getString(0), r.getLong(1))
+    }
+    LmModel(unigrams, bigrams, unigrams.size(), total, k)
+  }
+
+  /** Perplexity column for a text column (codegen'd, no shuffle). */
+  def perplexity(text: Column, model: LmModel): Column =
+    Bridge.column(LmPerplexity(Bridge.expression(text), model.unigrams,
+      model.bigrams, model.vocabSize, model.totalTokens, model.k))
+
+  /** Keep docs under the perplexity ceiling — the CCNet "head/middle" cut.
+    * A pure filter: zero shuffle, deterministic.
+    */
+  def filterByPerplexity(
+      docs: DataFrame, textCol: String, model: LmModel,
+      maxPerplexity: Double): DataFrame =
+    docs.filter(perplexity(col(textCol), model) <= maxPerplexity)
+}
