@@ -57,8 +57,11 @@ object NgramLm {
     require(total > 0, "empty training corpus")
 
     val biLimit = math.min(maxBigrams.toLong + 1, Int.MaxValue.toLong).toInt
+    // normalize runs of whitespace before the single-space n-gram kernel so
+    // bigram tokenization agrees with the \s+ splits above and in the scorer
     val biRows = docs
-      .select(explode(graft.operators.Curation.tokenNgrams(col(textCol), 2)).as("g"))
+      .select(explode(graft.operators.Curation.tokenNgrams(
+        trim(regexp_replace(col(textCol), "\\s+", " ")), 2)).as("g"))
       .groupBy(col("g")).agg(count(lit(1)).as("c"))
       .filter(col("c") >= minBigramCount)
       .orderBy(col("c").desc, col("g").asc)
