@@ -638,7 +638,11 @@ object SparkEntry {
       val emb = t(s, dir, "embeddings")
       val queries = emb.filter(col("vec_id") < 16)
         .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      // pinned: the exact result feeds all four sweep legs as truth AND
+      // doubles as the nProbe=8 leg — unpinned, Catalyst re-runs the full
+      // probed search once per use (160 rows; 5 recomputations measured)
       val exact = idx.searchBatch(queries, k = 10, nProbe = 8) // full probe = exact
+        .localCheckpoint(true)
       Seq(1, 2, 4, 8).map { np =>
         val approx =
           if (np == 8) exact else idx.searchBatch(queries, k = 10, nProbe = np)
