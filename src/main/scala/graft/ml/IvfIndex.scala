@@ -235,7 +235,18 @@ object IvfIndex {
   private[ml] def readBuildCount(spark: SparkSession, path: String): Option[Long] =
     try {
       spark.read.parquet(buildMetaPath(path))
-        .collect().headOption.map(_.getLong(0))
+        .select(col("n_at_build")).collect().headOption.map(_.getLong(0))
+    } catch { case _: org.apache.spark.sql.AnalysisException => None }
+
+  /** Metric recorded at build time; None for indexes written before the
+    * metric was persisted (their callers must declare it at load).
+    */
+  private[ml] def readBuildMetric(spark: SparkSession, path: String): Option[String] =
+    try {
+      val meta = spark.read.parquet(buildMetaPath(path))
+      if (meta.columns.contains("metric"))
+        meta.select(col("metric")).collect().headOption.map(_.getString(0))
+      else None
     } catch { case _: org.apache.spark.sql.AnalysisException => None }
 
   /** Distributed index build. Input df must carry (idCol, vecCol[, meta]).
@@ -325,16 +336,38 @@ object IvfIndex {
     cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
       .toDF("list_id", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
-    Seq(nBuilt).toDF("n_at_build")
+    Seq((nBuilt, metric)).toDF("n_at_build", "metric")
       .coalesce(1).write.mode("overwrite").parquet(buildMetaPath(path))
     idx
   }
 
-  /** Load a previously built index. */
-  def load(spark: SparkSession, path: String, metric: String = vector.MetricCosine): IvfIndex = {
+  /** Load a previously built index under its PERSISTED metric (recorded at
+    * build time in the buildmeta). Probing and scoring under any other
+    * metric than the one the centroids were trained for silently returns
+    * wrong rankings, so the metric is index state, not a load option.
+    */
+  def load(spark: SparkSession, path: String): IvfIndex = load(spark, path, None)
+
+  /** Load with an explicit metric: validated against the persisted one
+    * (mismatch throws); for pre-metric-persistence indexes it is trusted.
+    */
+  def load(spark: SparkSession, path: String, metric: String): IvfIndex =
+    load(spark, path, Some(metric))
+
+  private def load(spark: SparkSession, path: String, metric: Option[String]): IvfIndex = {
+    val resolved = (readBuildMetric(spark, path), metric) match {
+      case (Some(p), Some(m)) =>
+        require(p == m, s"index at $path was built with metric '$p' but " +
+          s"load was asked for '$m'; omit the metric to use the persisted " +
+          "one, or rebuild the index")
+        p
+      case (Some(p), None) => p
+      case (None, Some(m)) => m // legacy index: caller-declared
+      case (None, None) => vector.MetricCosine // legacy index, legacy default
+    }
     val cents = spark.read.parquet(s"$path/centroids")
       .orderBy("list_id").collect()
       .map(_.getSeq[Double](1).toArray)
-    new IvfIndex(spark, path, cents, metric)
+    new IvfIndex(spark, path, cents, resolved)
   }
 }

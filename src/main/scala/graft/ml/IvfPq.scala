@@ -92,15 +92,30 @@ object IvfPq {
     Index(ivf, model, path)
   }
 
-  /** Load a previously built index (codebooks are persisted at build). */
-  def load(spark: SparkSession, path: String,
-      metric: String = vector.MetricCosine): Index = {
+  /** Load a previously built index (codebooks are persisted at build) under
+    * the metric PERSISTED in the coarse half's buildmeta — an index built
+    * euclidean and reloaded bare no longer silently probes and re-ranks
+    * under cosine (the metric is index state, like [[IvfIndex.load]]).
+    */
+  def load(spark: SparkSession, path: String): Index = {
+    val model = readModel(spark, path)
+    Index(IvfIndex.load(spark, s"$path/ivf"), model, path)
+  }
+
+  /** Load with an explicit metric: validated against the persisted one
+    * (mismatch throws); for pre-metric-persistence indexes it is trusted.
+    */
+  def load(spark: SparkSession, path: String, metric: String): Index = {
+    val model = readModel(spark, path)
+    Index(IvfIndex.load(spark, s"$path/ivf", metric), model, path)
+  }
+
+  private def readModel(spark: SparkSession, path: String): ProductQuantizer.PqModel = {
     val row = spark.read.parquet(s"$path/pqmodel")
       .select(col("num_subspaces"), col("codebook_size"), col("sub_dim"), col("flat"))
       .collect().head
-    val model = ProductQuantizer.PqModel(row.getInt(0), row.getInt(1),
+    ProductQuantizer.PqModel(row.getInt(0), row.getInt(1),
       row.getInt(2), row.getSeq[Double](3).toArray)
-    Index(IvfIndex.load(spark, s"$path/ivf", metric), model, path)
   }
 
   /** Incremental maintenance, O(batch) like [[IvfIndex.append]]: the new

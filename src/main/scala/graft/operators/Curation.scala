@@ -1,7 +1,9 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftx.Bridge
 
 /** Corpus-curation operators for training-data pipelines (scale extension).
   *
@@ -224,10 +226,19 @@ object Curation {
     val fset = freqRows.map(_.getLong(0)).toSeq
 
     // staged so the split and filtered arrays each materialize once per row
-    // (multiply-referenced non-cheap exprs — see repetitionStats)
+    // (multiply-referenced non-cheap exprs — see repetitionStats).
+    // Membership is a Catalyst InSet built DIRECTLY over the hash set —
+    // isin() would construct an In expression with one Literal child per
+    // frequent segment (up to the 2^20 cap), and driver-side analysis over
+    // a million-node tree is slow and OOM-prone long before the optimizer
+    // would convert it to InSet itself.
     val kept =
-      if (fset.isEmpty) col("_segs") // isin() with zero values is not defined
-      else filter(col("_segs"), s => !xxhash64(s).isin(fset: _*))
+      if (fset.isEmpty) col("_segs") // membership of zero values is vacuous
+      else {
+        val hset: Set[Any] = fset.toSet
+        filter(col("_segs"), s => !Bridge.column(
+          catalyst.expressions.InSet(Bridge.expression(xxhash64(s)), hset)))
+      }
     docs.select(col(idCol), segments.as("_segs"))
       .select(col(idCol), col("_segs"), kept.as("_kept"))
       .select(

@@ -31,10 +31,29 @@ object Dedup {
     * one core; at real scale inputs already carry >= defaultParallelism
     * partitions and this is the identity — no shuffle is ever added to an
     * already-wide plan.
+    *
+    * The check is two-tier because measuring width is not free in general:
+    *  - a lineage that already shuffles (agg/join/sort/window/repartition)
+    *    is `spark.sql.shuffle.partitions` wide by construction — returned
+    *    untouched WITHOUT consulting `.rdd`, which under AQE would
+    *    materialize the upstream stages a whole execution early;
+    *  - a narrow lineage (scan/project/filter — the common case here) has
+    *    no exchanges, so `.rdd.getNumPartitions` is pure planning (no jobs)
+    *    and reports the actual scan width. Only a genuinely under-wide scan
+    *    pays the round-robin repartition.
     */
-  private def widen(df: DataFrame): DataFrame = {
-    val p = df.sparkSession.sparkContext.defaultParallelism
-    df.repartition(p)
+  private[operators] def widen(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    val alreadyShuffled = df.queryExecution.analyzed.exists {
+      case _: Aggregate | _: Join | _: Sort | _: Window | _: Distinct |
+           _: Deduplicate | _: RepartitionOperation => true
+      case _ => false
+    }
+    if (alreadyShuffled) df
+    else {
+      val p = df.sparkSession.sparkContext.defaultParallelism
+      if (df.rdd.getNumPartitions >= p) df else df.repartition(p)
+    }
   }
 
   /** Distinct token n-gram shingles of a text column — a codegen'd kernel

@@ -41,7 +41,13 @@ object Packing {
       numShards: Int = 1024): DataFrame = {
     require(contextLen >= 1, s"contextLen must be >= 1, got $contextLen")
     require(numShards >= 1, s"numShards must be >= 1, got $numShards")
+    // ROWS frame, not the default RANGE: RANGE merges peer rows, so two
+    // docs sharing an id would each see a cumulative sum that includes the
+    // OTHER's tokens — corrupting seq_index/start_offset and diverging from
+    // the q54 oracle's ROWS UNBOUNDED PRECEDING. With ROWS the layout is
+    // exact for unique ids and well-defined (one slot per row) otherwise.
     val w = Window.partitionBy(col("shard")).orderBy(col("_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     docs
       .select(col(idCol),
         col(idCol).cast("long").as("_id"),

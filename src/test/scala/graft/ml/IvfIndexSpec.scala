@@ -174,4 +174,26 @@ class IvfIndexSpec extends AnyFunSuite with SparkSpec {
     assert(skewed.needsRebuild)
     assert(skewed.appendedFraction == 0.0)
   }
+
+  test("metric is index state: persisted at build, restored by bare load") {
+    val p = java.nio.file.Files.createTempDirectory("graft_ivf_metric").toString
+    IvfIndex.build(emb, "id", "vector", p, nLists = 4,
+      metric = graft.functions.vector.MetricEuclidean, maxIter = 2)
+    val idx = IvfIndex.load(spark, p)
+    assert(idx.metric == graft.functions.vector.MetricEuclidean,
+      "a euclidean-built index reloaded bare must NOT fall back to cosine")
+  }
+
+  test("load with a mismatched explicit metric fails fast") {
+    val p = java.nio.file.Files.createTempDirectory("graft_ivf_metric2").toString
+    IvfIndex.build(emb, "id", "vector", p, nLists = 4,
+      metric = graft.functions.vector.MetricEuclidean, maxIter = 2)
+    val e = intercept[IllegalArgumentException] {
+      IvfIndex.load(spark, p, graft.functions.vector.MetricCosine)
+    }
+    assert(e.getMessage.contains("metric"))
+    // a MATCHING explicit metric is fine
+    val ok = IvfIndex.load(spark, p, graft.functions.vector.MetricEuclidean)
+    assert(ok.metric == graft.functions.vector.MetricEuclidean)
+  }
 }

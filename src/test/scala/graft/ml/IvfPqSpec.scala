@@ -137,4 +137,15 @@ class IvfPqSpec extends AnyFunSuite with SparkSpec {
     assert(rRer >= rAdc, "re-rank must not lose recall")
     assert(rRer > 0.5, s"re-ranked recall $rRer unreasonably low")
   }
+
+  test("bare load restores the build metric (euclidean is not lost to cosine)") {
+    // buildFixed defaults to euclidean; a bare load used to default the
+    // metric to cosine, silently re-ranking under the wrong geometry
+    val loaded = IvfPq.load(spark, fixedIndex.path)
+    assert(loaded.ivf.metric == graft.functions.vector.MetricEuclidean)
+    val e = intercept[IllegalArgumentException] {
+      IvfPq.load(spark, fixedIndex.path, graft.functions.vector.MetricCosine)
+    }
+    assert(e.getMessage.contains("metric"))
+  }
 }

@@ -176,4 +176,19 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
     }
     assert(e.getMessage.contains("maxBoilerplateSegments"))
   }
+
+  test("removeBoilerplate handles a 50k-entry frequent-segment set") {
+    // membership is a single InSet over the hash set — an In with one
+    // Literal per segment would stall driver-side analysis at this size
+    // (and OOM near the 2^20 cap)
+    val segs = (0 until 50000).map(i => s"boiler-$i")
+    val body = segs.mkString("\n")
+    val docs = Seq((1L, body + "\nunique-one"), (2L, body + "\nunique-two"))
+      .toDF("doc_id", "text")
+    val out = Curation.removeBoilerplate(docs, "doc_id", "text",
+        maxDocFrac = 0.9, totalDocs = Some(2L))
+      .as[(Long, String, Long)].collect().sortBy(_._1)
+    assert(out.map(_._2).toSeq == Seq("unique-one", "unique-two"))
+    assert(out.forall(_._3 == 50000L))
+  }
 }

@@ -229,4 +229,25 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     val bad = groups.filter($"group_id" > $"id").count()
     assert(bad == 0)
   }
+
+  test("widen: under-partitioned narrow input is widened to default parallelism") {
+    val p = spark.sparkContext.defaultParallelism
+    val one = spark.range(0, 100, 1, numPartitions = 1).toDF("id")
+    assert(Dedup.widen(one).rdd.getNumPartitions == p)
+  }
+
+  test("widen: already-wide narrow input passes through, never narrowed") {
+    val p = spark.sparkContext.defaultParallelism
+    val wide = spark.range(0, 1000, 1, numPartitions = 2 * p).toDF("id")
+    assert(Dedup.widen(wide).rdd.getNumPartitions == 2 * p,
+      "widen must not collapse an input wider than defaultParallelism")
+  }
+
+  test("widen: shuffled lineage is returned untouched (no extra exchange)") {
+    val agg = spark.range(0, 100, 1, numPartitions = 1).toDF("id")
+      .groupBy($"id" % 7).count()
+    assert(Dedup.widen(agg) eq agg,
+      "a lineage that already shuffles is shuffle.partitions wide by " +
+        "construction and must not be re-examined or repartitioned")
+  }
 }

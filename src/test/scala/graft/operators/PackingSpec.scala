@@ -33,6 +33,19 @@ class PackingSpec extends AnyFunSuite with SparkSpec {
       (0L, 0L, 0L, true), (1L, 1L, 1L, false), (2L, 1L, 1L, false)))
   }
 
+  test("duplicate ids get per-row running sums (ROWS frame, not RANGE)") {
+    // two docs share id 0 with 3 tokens each: a RANGE frame would hand BOTH
+    // rows the merged cumulative sum 6 (both "starting" at offset 3); the
+    // ROWS frame gives one slot per row — starts {0, 3}, like the oracle's
+    // ROWS UNBOUNDED PRECEDING
+    val docs = Seq((0L, 3L), (0L, 3L), (1L, 4L)).toDF("doc_id", "n_tokens")
+    val out = Packing.packConcatChunk(docs, "doc_id", "n_tokens",
+        contextLen = 100, numShards = 1)
+      .as[(Long, Long, Long, Long, Boolean)].collect()
+    assert(out.filter(_._1 == 0L).map(_._4).sorted.toSeq == Seq(0L, 3L))
+    assert(out.filter(_._1 == 1L).map(_._4).toSeq == Seq(6L))
+  }
+
   test("shards pack independently and deterministically") {
     val docs = (0L until 100L).map(i => (i, 7L)).toDF("doc_id", "n_tokens")
     val a = Packing.packConcatChunk(docs, "doc_id", "n_tokens", 64, numShards = 4)
