@@ -830,7 +830,25 @@ object SparkEntry {
         size(split(col("text"), " ")).cast("long").as("n_tok"))
       operators.Stats.exactPercentiles(docs, "source", "n_tok",
         Seq(0.5, 0.9, 0.99))
-    })
+    }),
+
+    // Corpus-wide keep-first segment dedup (the C4/Dolma paragraph recipe;
+    // instantiated at token granularity like q53, the synthetic docs being
+    // single-line). Only (hash, id, pos) triples shuffle; the drop-lists
+    // fold to one slim row per affected doc before touching text. The
+    // planted multi-paragraph corpus is DedupSpec's.
+    "q57_paragraph_dedup" -> ((s, dir) =>
+      operators.Dedup.dedupParagraphs(
+        t(s, dir, "documents"), "doc_id", "text", delimiter = " ")),
+
+    // Deterministic training-order manifest: portable-hash order key,
+    // shard = key mod 8, dense position per shard — the epoch permutation
+    // a loader streams/resumes; DuckDB replays it bit-for-bit via the q42
+    // arithmetic-hash formula.
+    "q58_train_order" -> ((s, dir) =>
+      operators.Curation.trainOrder(
+        t(s, dir, "documents").select(col("doc_id")),
+        "doc_id", numShards = 8, seed = 7L))
   )
 
   /** Domain-mixing keep-rates for q42 — src{0,4,8,...} full, then 0.5 /
@@ -1601,7 +1619,41 @@ object SparkEntry {
         |SELECT c.source, p.p, CAST(c.v AS BIGINT) AS pct_value
         |FROM c CROSS JOIN p
         |WHERE c.cum >= (p.ppm * c.n + 999999) // 1000000
-        |  AND c.cum - c.cnt < (p.ppm * c.n + 999999) // 1000000""".stripMargin
+        |  AND c.cum - c.cnt < (p.ppm * c.n + 999999) // 1000000""".stripMargin,
+
+    // Keep-first replay on raw segment text (the Spark side ranks xxhash64
+    // segment hashes — output-identical barring a 64-bit collision, which
+    // the deterministic corpus rules out). rn orders every occurrence of a
+    // segment by (doc, position); kept = first occurrence OR below the
+    // length floor (len 0 segments are exempt structure). string_agg skips
+    // NULLs, preserving position order; fully-deduped docs coalesce to ''.
+    "q57_paragraph_dedup" ->
+      """WITH parts AS (SELECT doc_id, string_split(text, ' ') AS p FROM documents),
+        |segs AS (
+        |  SELECT d.doc_id, CAST(u.i AS BIGINT) AS pos, d.p[u.i] AS seg
+        |  FROM parts d, unnest(generate_series(1, len(d.p))) AS u(i)),
+        |ranked AS (
+        |  SELECT doc_id, pos, seg, len(seg) >= 1 AS qual,
+        |    row_number() OVER (PARTITION BY seg ORDER BY doc_id, pos) AS rn
+        |  FROM segs)
+        |SELECT doc_id,
+        |  coalesce(string_agg(CASE WHEN NOT qual OR rn = 1 THEN seg END,
+        |    ' ' ORDER BY pos), '') AS cleaned_text,
+        |  CAST(sum(CASE WHEN qual AND rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_removed
+        |FROM ranked GROUP BY doc_id""".stripMargin,
+
+    // The q42 arithmetic-hash formula (exact BIGINT for ids < 3.47e9) with
+    // the seed added pre-hash, then shard = key mod 8 and a dense 0-based
+    // rank by (key, id) per shard — the whole permutation replays exactly.
+    "q58_train_order" ->
+      """WITH h AS (
+        |  SELECT doc_id, ((doc_id + 7) * 2654435761) % 4294967296 AS key
+        |  FROM documents)
+        |SELECT doc_id, CAST(key % 8 AS BIGINT) AS shard,
+        |  CAST(row_number() OVER (PARTITION BY key % 8 ORDER BY key, doc_id)
+        |    - 1 AS BIGINT) AS position
+        |FROM h""".stripMargin
   )
 
   /** Shared BM25 corpus CTE for q39/q40 oracles — terms (vector, merge,

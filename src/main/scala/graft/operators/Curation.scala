@@ -127,6 +127,41 @@ object Curation {
     df.filter(pmod(idHash(col(idCol)), lit(1000000L)) < ppm)
   }
 
+  /** Deterministic training-order shuffle: assign every document a shard
+    * and a dense position within that shard, pseudo-randomly but
+    * REPRODUCIBLY — the manifest a data loader consumes to stream a
+    * well-mixed epoch, resume mid-epoch (skip to position), and re-mix per
+    * epoch (change `seed`).
+    *
+    * Order key = [[idHash]] of `id + seed` — the same portable arithmetic
+    * hash as [[weightedSample]], so an external engine (or the DuckDB
+    * oracle) reproduces the exact permutation. shard = key mod numShards;
+    * position = dense 0-based rank by (key, id) within the shard.
+    *
+    * Scale shape: one hash-partitioned exchange of (id, key) SLIM pairs
+    * into numShards groups, then a per-shard sort for row_number —
+    * parallelism = numShards (size it >= cluster cores). No text moves;
+    * the loader joins the manifest back to the store by id (or writes it
+    * alongside a bucketed store for a shuffle-free join).
+    *
+    * Output: (idCol, shard, position).
+    */
+  def trainOrder(
+      df: DataFrame,
+      idCol: String,
+      numShards: Int,
+      seed: Long = 0L): DataFrame = {
+    require(numShards >= 1, s"numShards must be >= 1, got $numShards")
+    require(seed >= 0, s"seed must be >= 0, got $seed")
+    val key = idHash(col(idCol).cast("long") + lit(seed))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("_key"), col(idCol))
+    df.select(col(idCol), key.as("_key"),
+        pmod(key, lit(numShards.toLong)).as("shard"))
+      .withColumn("position", (row_number().over(w) - 1).cast("long"))
+      .drop("_key")
+  }
+
   /** Gopher-style repetition statistics per document:
     * (id, n_tokens, dup_token_ratio, dup_ngram_ratio, repetitive).
     *

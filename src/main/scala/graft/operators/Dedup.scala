@@ -91,6 +91,71 @@ object Dedup {
     df.groupBy(col(keyCol))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
+  /** Corpus-wide paragraph-level exact dedup, keep-first (the C4/Dolma
+    * recipe): every occurrence of a repeated segment EXCEPT the first —
+    * ordered by (doc id, position), across documents AND within one — is
+    * removed, and documents are reassembled in original order.
+    *
+    * Output: (idCol, cleaned_text, n_removed) — one row per input doc,
+    * `cleaned_text` empty when every segment lost. Segments shorter than
+    * `minSegmentLen` are exempt — always kept, never counted as duplicates.
+    *
+    * Scale shape (the document text crosses the wire at most once):
+    *  1. segment + hash in place — only (hash, id, pos) triples shuffle;
+    *  2. winner per hash = min (id, pos) — a partial-aggregating groupBy
+    *     over the slim triples;
+    *  3. losers (occurrence != winner) fold to at most one (id, drop
+    *     positions) row per AFFECTED doc — typically a tiny fraction of the
+    *     corpus;
+    *  4. docs left-join that drop-list on id and rewrite segments locally.
+    *     The join is doc-id equi — broadcast when the loser set is small,
+    *     one co-partitioning of the text otherwise (shuffle-free when the
+    *     store is bucketed by id).
+    *
+    * Dedup identity is the 64-bit xxhash of the segment: two DISTINCT
+    * paragraphs colliding would wrongly drop one occurrence. At 1e11
+    * paragraphs that is ~e2 expected collisions corpus-wide — the same
+    * trade every production paragraph-dedup (Dolma's bloom filter) makes,
+    * and zero at oracle scale.
+    */
+  def dedupParagraphs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      delimiter: String = "\n",
+      minSegmentLen: Int = 1): DataFrame = {
+    require(delimiter.nonEmpty, "delimiter must be non-empty")
+    require(minSegmentLen >= 1, s"minSegmentLen must be >= 1, got $minSegmentLen")
+    val quoted = java.util.regex.Pattern.quote(delimiter)
+    val segments = split(col(textCol), quoted, -1)
+
+    // segments below the length floor never participate: with newline
+    // splitting, blank lines are structure, not content — dedup would strip
+    // every blank line in the corpus but the globally first one
+    val occ = widen(docs).select(
+        col(idCol).cast("long").as("_id"),
+        posexplode(segments).as(Seq("_pos", "_seg")))
+      .filter(length(col("_seg")) >= minSegmentLen)
+      .select(col("_id"), col("_pos"), xxhash64(col("_seg")).as("_h"))
+    val winners = occ.groupBy(col("_h"))
+      .agg(min(struct(col("_id"), col("_pos"))).as("_w"))
+    val drops = occ.join(winners, Seq("_h"))
+      .filter(struct(col("_id"), col("_pos")) =!= col("_w"))
+      .groupBy(col("_id"))
+      .agg(sort_array(collect_list(col("_pos"))).as("_drop"))
+
+    docs.select(col(idCol), col(idCol).cast("long").as("_id"), segments.as("_segs"))
+      .join(drops, Seq("_id"), "left")
+      .select(col(idCol), col("_segs"),
+        coalesce(col("_drop"), array().cast("array<int>")).as("_drop"))
+      .select(
+        col(idCol),
+        array_join(
+          filter(col("_segs"), (s, i) => array_position(col("_drop"), i) === 0),
+          delimiter).as("cleaned_text"),
+        size(col("_drop")).cast("long").as("n_removed"))
+  }
+
   /** Cap pathological LSH buckets (boilerplate text / degenerate hyperplane
     * cells): keep at most `maxBucketSize` rows per (band, bucket) so the
     * banding self-join's pair count is bounded by

@@ -116,6 +116,27 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
       s"document text must never enter a shuffle:\n$p")
   }
 
+  test("q57: paragraph-dedup winner stage shuffles hash triples, never segment text") {
+    val p = plan("q57_paragraph_dedup")
+    // the keep-first aggregation and loser fold exchange only
+    // (_h, _id, _pos)/(_id, _drop) slim rows; segments are hashed in place
+    // and the original text re-enters only at the final doc-id join
+    assert(!"Exchange hashpartitioning\\([^)]*_seg".r.findFirstIn(p).isDefined,
+      s"segment text must not enter the winner shuffle:\n$p")
+    assert(p.contains("partial_min") || p.contains("partial_"),
+      s"winner-per-hash must partial-aggregate map-side:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"drop-list join must stay an equi-join:\n$p")
+  }
+
+  test("q58: train-order manifest is one slim exchange plus per-shard sort") {
+    val p = plan("q58_train_order")
+    assert(!"Exchange hashpartitioning\\([^)]*text".r.findFirstIn(p).isDefined,
+      s"manifest must shuffle (id, key) pairs, never text:\n$p")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 1, s"expected exactly one exchange (shard partition):\n$p")
+  }
+
   test("q45: as-of join is union-and-sweep — one shuffle, no product join") {
     val p = plan("q45_asof_join")
     val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length

@@ -177,6 +177,35 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
     assert(e.getMessage.contains("maxBoilerplateSegments"))
   }
 
+  test("trainOrder: reproducible permutation, dense per-shard positions, idHash shards") {
+    val df = spark.range(0, 1000).toDF("id")
+    val a = Curation.trainOrder(df, "id", numShards = 8, seed = 3L)
+      .as[(Long, Long, Long)].collect()
+    assert(a.length == 1000 && a.map(_._1).toSet == (0L until 1000L).toSet,
+      "output is a permutation manifest: every id exactly once")
+    a.groupBy(_._2).foreach { case (shard, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (0L until rows.length).toSeq,
+        s"positions in shard $shard must be dense 0-based")
+    }
+    val b = Curation.trainOrder(df, "id", numShards = 8, seed = 3L)
+      .as[(Long, Long, Long)].collect()
+    assert(a.sortBy(_._1).toSeq == b.sortBy(_._1).toSeq, "same seed, same order")
+    val expectShard = df.select($"id",
+        pmod(Curation.idHash($"id" + lit(3L)), lit(8L)))
+      .as[(Long, Long)].collect().toMap
+    a.foreach { case (id, shard, _) =>
+      assert(shard == expectShard(id), s"shard of id $id") }
+  }
+
+  test("trainOrder: changing the seed re-mixes the epoch") {
+    val df = spark.range(0, 500).toDF("id")
+    def manifest(seed: Long): Map[Long, (Long, Long)] =
+      Curation.trainOrder(df, "id", numShards = 4, seed = seed)
+        .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    val e0 = manifest(0L); val e1 = manifest(1L)
+    assert(e0 != e1, "different seeds must produce different permutations")
+  }
+
   test("removeBoilerplate handles a 50k-entry frequent-segment set") {
     // membership is a single InSet over the hash set — an In with one
     // Literal per segment would stall driver-side analysis at this size

@@ -230,6 +230,35 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(bad == 0)
   }
 
+  test("dedupParagraphs: keep-first across docs and within a doc; blank lines exempt") {
+    val corpus = Seq(
+      (1L, "alpha one\n\nshared para\nbeta"),
+      (2L, "shared para\ngamma\n\nshared para"),
+      (3L, "delta\nalpha one")
+    ).toDF("doc_id", "text")
+    val out = Dedup.dedupParagraphs(corpus, "doc_id", "text")
+      .as[(Long, String, Long)].collect().sortBy(_._1)
+    // doc 1 holds every first occurrence — untouched (blank line included)
+    assert(out(0) == ((1L, "alpha one\n\nshared para\nbeta", 0L)))
+    // doc 2: leading "shared para" lost to doc 1, in-doc repeat lost too;
+    // the blank segment is exempt structure and survives
+    assert(out(1) == ((2L, "gamma\n", 2L)))
+    // doc 3: "alpha one" lost to doc 1 even though it sits mid-doc there
+    assert(out(2) == ((3L, "delta", 1L)))
+  }
+
+  test("dedupParagraphs: minSegmentLen exempts short segments from dedup") {
+    val corpus = Seq((1L, "ab\nxyz"), (2L, "ab\nxyz")).toDF("doc_id", "text")
+    val loose = Dedup.dedupParagraphs(corpus, "doc_id", "text")
+      .as[(Long, String, Long)].collect().sortBy(_._1)
+    assert(loose(1) == ((2L, "", 2L)), "default floor dedups both segments")
+    val floored = Dedup.dedupParagraphs(corpus, "doc_id", "text",
+        minSegmentLen = 3)
+      .as[(Long, String, Long)].collect().sortBy(_._1)
+    assert(floored(1) == ((2L, "ab", 1L)),
+      "'ab' under the floor is exempt; 'xyz' meets it and dedups")
+  }
+
   test("widen: under-partitioned narrow input is widened to default parallelism") {
     val p = spark.sparkContext.defaultParallelism
     val one = spark.range(0, 100, 1, numPartitions = 1).toDF("id")
