@@ -126,10 +126,17 @@ object ProductQuantizer {
     *
     * Output: (query_id, id, rank, adc) with rank 1..k.
     */
-  def searchBatchAdc(
-      codes: DataFrame, queries: DataFrame, model: PqModel, k: Int,
-      queryIdCol: String = "query_id", queryVecCol: String = "query_vec",
-      maxQueries: Int = graft.operators.Knn.DefaultMaxBlockedQueries): DataFrame = {
+  /** Queries collected ONCE behind the fail-fast cap — the caller's query
+    * lineage never re-runs (the [[IvfPq]] discipline); both the ADC pass
+    * and the re-rank rebuild their query sides from this collect.
+    */
+  private case class CollectedQueries(
+      qIds: Array[Long], qVecs: Array[Array[Double]])
+
+  private def collectQueries(
+      queries: DataFrame, model: PqModel,
+      queryIdCol: String, queryVecCol: String,
+      maxQueries: Int): CollectedQueries = {
     val probeLimit = math.min(maxQueries.toLong + 1, Int.MaxValue.toLong).toInt
     val qRows = queries
       .select(col(queryIdCol).cast("long"), col(queryVecCol))
@@ -138,20 +145,23 @@ object ProductQuantizer {
       s"query set exceeds maxQueries=$maxQueries; batch it or raise the cap")
     require(qRows.nonEmpty, "empty query set")
     val sorted = qRows.sortBy(_.getLong(0))
-    val qIds = sorted.map(_.getLong(0))
     val qVecs = sorted.map(_.getSeq[Any](1).map {
       case f: Float => f.toDouble
       case d: Double => d
     }.toArray)
     qVecs.foreach(v => require(v.length == model.dim,
       s"query dim ${v.length} != model dim ${model.dim}"))
-    val tables = adcTables(model, qVecs)
+    CollectedQueries(sorted.map(_.getLong(0)), qVecs)
+  }
 
+  private def adcTopK(
+      codes: DataFrame, model: PqModel, q: CollectedQueries, k: Int): DataFrame = {
+    val tables = adcTables(model, q.qVecs)
     val scored = codes
       .select(col("id"), col("codes"),
-        explode(sequence(lit(0), lit(qIds.length - 1))).as("q_idx"))
+        explode(sequence(lit(0), lit(q.qIds.length - 1))).as("q_idx"))
       .select(col("id"),
-        element_at(typedLit(qIds.toSeq), col("q_idx") + 1).as("query_id"),
+        element_at(typedLit(q.qIds.toSeq), col("q_idx") + 1).as("query_id"),
         Bridge.column(PqAdcScore(
           Bridge.expression(col("codes")), Bridge.expression(col("q_idx").cast("int")),
           tables, model.numSubspaces, model.codebookSize)).as("adc"))
@@ -163,23 +173,37 @@ object ProductQuantizer {
       .select(col("query_id"), col("id"), col("rank"), col("adc"))
   }
 
+  def searchBatchAdc(
+      codes: DataFrame, queries: DataFrame, model: PqModel, k: Int,
+      queryIdCol: String = "query_id", queryVecCol: String = "query_vec",
+      maxQueries: Int = graft.operators.Knn.DefaultMaxBlockedQueries): DataFrame =
+    adcTopK(codes, model,
+      collectQueries(queries, model, queryIdCol, queryVecCol, maxQueries), k)
+
   /** Two-phase batch search: ADC over-fetch, then exact float-cosine
     * re-rank of the candidates (the [[Quantize.searchRerank]] discipline,
-    * batched). Output: (query_id, id, rank, score).
+    * batched). The re-rank query side is rebuilt from the one driver
+    * collect and broadcast — the caller's query lineage runs exactly once,
+    * and the collected vectors are exact float->double widenings, so
+    * re-rank scores are bit-identical to scoring the original column.
+    * Output: (query_id, id, rank, score).
     */
   def searchRerankBatch(
       codes: DataFrame, vectors: DataFrame, queries: DataFrame, model: PqModel,
       k: Int, overFetch: Int = 4,
       idCol: String = "id", vecCol: String = "vector",
-      queryIdCol: String = "query_id", queryVecCol: String = "query_vec"): DataFrame = {
-    val cand = searchBatchAdc(codes, queries, model, k * overFetch,
-      queryIdCol, queryVecCol)
+      queryIdCol: String = "query_id", queryVecCol: String = "query_vec",
+      maxQueries: Int = graft.operators.Knn.DefaultMaxBlockedQueries): DataFrame = {
+    val spark = codes.sparkSession
+    import spark.implicits._
+    val q = collectQueries(queries, model, queryIdCol, queryVecCol, maxQueries)
+    val cand = adcTopK(codes, model, q, k * overFetch)
       .select(col("query_id"), col("id"))
+    val queryDf = q.qIds.zip(q.qVecs.map(_.toSeq)).toSeq.toDF("query_id", "_qv")
     val exact = cand
       .join(vectors.select(col(idCol).cast("long").as("id"), col(vecCol).as("_v")),
         Seq("id"))
-      .join(queries.select(col(queryIdCol).cast("long").as("query_id"),
-        col(queryVecCol).as("_qv")), Seq("query_id"))
+      .join(broadcast(queryDf), Seq("query_id"))
       .select(col("query_id"), col("id"),
         graft.functions.vector.cosine_sim(col("_v"), col("_qv")).as("score"))
     val w = Window.partitionBy(col("query_id"))

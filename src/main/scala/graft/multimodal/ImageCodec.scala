@@ -9,8 +9,10 @@ import java.nio.charset.StandardCharsets
   *  - PNG / JPEG / GIF / other BMP variants through `javax.imageio`, which
   *    ships with the JDK (public platform API, codec plugins included).
   * So the multimodal pipeline is real end to end for every mainstream image
-  * container: bytes -> pixels -> resize -> features -> vector store. Only
-  * audio/video codecs are absent from the JDK and remain stubbed.
+  * container: bytes -> pixels -> resize -> features -> vector store. Audio
+  * has the same treatment in [[AudioCodec]] (WAV/AIFF/AU); [[VideoCodec]]
+  * demuxes AVI/MJPEG frames; only compressed audio (MP3/AAC) and modern
+  * video codecs lack a JVM decoder and fall back to the stub kernel.
   *
   * Reference scope note: the reference has no media pipeline at all — this
   * is part of the 100 TB training-data extension surface (builder brief;
