@@ -848,7 +848,17 @@ object SparkEntry {
     "q58_train_order" -> ((s, dir) =>
       operators.Curation.trainOrder(
         t(s, dir, "documents").select(col("doc_id")),
-        "doc_id", numShards = 8, seed = 7L))
+        "doc_id", numShards = 8, seed = 7L)),
+
+    // Deterministic per-domain carve (held-out/eval sets): exactly 5 docs
+    // per source by portable-hash rank. The rank window sees only the
+    // ~margin*n+64 hash-cutoff survivors per group, never the corpus; the
+    // oracle replays the full-window semantics, which the pruning provably
+    // preserves (or fails loudly).
+    "q59_stratified_take" -> ((s, dir) =>
+      operators.Curation.stratifiedTake(
+        t(s, dir, "documents").select(col("doc_id"), col("source")),
+        "doc_id", "source", n = 5, seed = 5L))
   )
 
   /** Domain-mixing keep-rates for q42 — src{0,4,8,...} full, then 0.5 /
@@ -1653,7 +1663,23 @@ object SparkEntry {
         |SELECT doc_id, CAST(key % 8 AS BIGINT) AS shard,
         |  CAST(row_number() OVER (PARTITION BY key % 8 ORDER BY key, doc_id)
         |    - 1 AS BIGINT) AS position
-        |FROM h""".stripMargin
+        |FROM h""".stripMargin,
+
+    // Replays the UNPRUNED semantics — per-source rank of the arithmetic
+    // hash key — which the Spark side's cutoff pre-filter preserves by
+    // construction (it only drops rows provably outside the top n, or
+    // raises).
+    "q59_stratified_take" ->
+      """WITH h AS (
+        |  SELECT doc_id, source,
+        |    ((doc_id + 5) * 2654435761) % 4294967296 AS key
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, source,
+        |    CAST(row_number() OVER (PARTITION BY source ORDER BY key, doc_id)
+        |      AS BIGINT) AS rank
+        |  FROM h)
+        |SELECT doc_id, source, rank FROM r WHERE rank <= 5""".stripMargin
   )
 
   /** Shared BM25 corpus CTE for q39/q40 oracles — terms (vector, merge,

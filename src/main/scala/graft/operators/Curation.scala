@@ -162,6 +162,64 @@ object Curation {
       .drop("_key")
   }
 
+  /** Deterministic stratified carve: EXACTLY `n` rows per group (fewer only
+    * when the group is smaller) — how a pipeline cuts a held-out/eval set
+    * per domain, reproducibly across runs and engines. Selection is the
+    * rank of the portable [[idHash]] order key within the group, so the
+    * carve is stable under corpus growth in the same way
+    * [[weightedSample]] is under rate changes: a grown group mostly keeps
+    * its previous picks.
+    *
+    * Output manifest (join it back by id, like [[trainOrder]]):
+    * (idCol, groupCol, rank) with rank 1..n by (key, id).
+    *
+    * Scale shape: the rank window never sees the full corpus. Group counts
+    * aggregate slim and broadcast; each row pre-filters against a
+    * per-group hash cutoff keeping ~`margin*n + 64` expected rows, so only
+    * that many rows per group reach the exchange + sort. The cutoff is
+    * probabilistic (binomial tail), so a runtime `raise_error` guard fails
+    * the job loudly if a surviving group falls under the exact-n contract;
+    * the one shape no surviving row can raise on — a group losing EVERY
+    * row — sits under e^-(margin*n + 64) ~ 1e-32 by the additive floor.
+    */
+  def stratifiedTake(
+      df: DataFrame,
+      idCol: String,
+      groupCol: String,
+      n: Int,
+      seed: Long = 0L,
+      margin: Double = 8.0): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    require(margin >= 2.0, s"margin must be >= 2.0, got $margin")
+    require(seed >= 0, s"seed must be >= 0, got $seed")
+    val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("_gc"))
+    val key = idHash(col(idCol).cast("long") + lit(seed))
+    // expected survivors per group = margin*n + 64: the additive floor
+    // pins the zero-survivor probability (the one failure mode no
+    // surviving row can raise on) under e^-(margin*n + 64) ~ 1e-32 even
+    // for n = 1. cutoff >= 2^32 (keep everything) for groups at or under
+    // that size.
+    val cutoff = ceil(lit(margin * n + 64.0) / col("_gc") * lit(4294967296.0))
+    val pre = df.select(col(idCol), col(groupCol), key.as("_key"))
+      .join(broadcast(counts), Seq(groupCol))
+      .filter(col("_key") < cutoff)
+    val byGroup = org.apache.spark.sql.expressions.Window.partitionBy(col(groupCol))
+    val survivors = count(lit(1)).over(byGroup)
+    val rank = row_number().over(byGroup.orderBy(col("_key"), col(idCol)))
+    // the guard lives INSIDE the selected rank column — an unreferenced
+    // assertion column would be pruned out of the plan and never evaluate
+    pre
+      .withColumn("rank",
+        when(survivors < least(lit(n.toLong), col("_gc")),
+          raise_error(concat(
+            lit("stratifiedTake: hash cutoff kept too few rows in group "),
+            col(groupCol).cast("string"),
+            lit(s" for n=$n; raise margin (=$margin)"))).cast("int"))
+          .otherwise(rank).cast("long"))
+      .filter(col("rank") <= n)
+      .select(col(idCol), col(groupCol), col("rank"))
+  }
+
   /** Gopher-style repetition statistics per document:
     * (id, n_tokens, dup_token_ratio, dup_ngram_ratio, repetitive).
     *

@@ -141,6 +141,20 @@ object Demo {
     println(s"[demo] packing: ${packed.count()} docs laid out, " +
       s"$spans span a block boundary")
 
+    // 13. Epoch plumbing: paragraph dedup -> per-domain eval carve ->
+    // deterministic train order (the last mile before a loader)
+    val paraClean = graft.operators.Dedup.dedupParagraphs(
+      docs, "doc_id", "text", delimiter = " ")
+    val removed = paraClean.agg(sum($"n_removed")).head().getLong(0)
+    val carve = graft.operators.Curation.stratifiedTake(
+      docs.select($"doc_id", $"source"), "doc_id", "source", n = 2, seed = 1L)
+    val order = graft.operators.Curation.trainOrder(
+      docs.select($"doc_id"), "doc_id", numShards = 4, seed = 1L)
+    val shard0 = order.filter($"shard" === 0).count()
+    println(s"[demo] epoch: $removed dup segments removed, " +
+      s"${carve.count()} eval docs carved (2/source), " +
+      s"shard 0 streams $shard0 of ${order.count()} docs")
+
     spark.stop()
   }
 }

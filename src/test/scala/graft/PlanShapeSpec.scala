@@ -137,6 +137,15 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
     assert(exchanges == 1, s"expected exactly one exchange (shard partition):\n$p")
   }
 
+  test("q59: stratified carve broadcasts group counts; rank window sees survivors only") {
+    val p = plan("q59_stratified_take")
+    assert(p.contains("BroadcastHashJoin"),
+      s"group counts must broadcast to the cutoff filter:\n$p")
+    // the cutoff filter must run BEFORE the window exchange (the whole
+    // point: the rank sort never sees the full corpus)
+    assert(!p.contains("CartesianProduct"), s"no product join:\n$p")
+  }
+
   test("q45: as-of join is union-and-sweep — one shuffle, no product join") {
     val p = plan("q45_asof_join")
     val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length

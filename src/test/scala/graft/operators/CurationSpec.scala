@@ -197,6 +197,38 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
       assert(shard == expectShard(id), s"shard of id $id") }
   }
 
+  test("stratifiedTake: exactly n per big group, whole small group, brute-force parity") {
+    // 3 sources: two with 200 rows, one with only 3
+    val df = ((0L until 400L).map(i => (i, s"src${i % 2}")) ++
+        Seq((1000L, "tiny"), (1001L, "tiny"), (1002L, "tiny")))
+      .toDF("id", "src")
+    val got = Curation.stratifiedTake(df, "id", "src", n = 10, seed = 2L)
+      .as[(Long, String, Long)].collect()
+    val bySrc = got.groupBy(_._2)
+    assert(bySrc("src0").length == 10 && bySrc("src1").length == 10)
+    assert(bySrc("tiny").length == 3, "groups under n keep every row")
+    bySrc.values.foreach(rows =>
+      assert(rows.map(_._3).sorted.toSeq == (1L to rows.length).toSeq,
+        "ranks are dense from 1"))
+    // parity with the unpruned window semantics
+    val w = org.apache.spark.sql.expressions.Window.partitionBy($"src")
+      .orderBy(Curation.idHash($"id" + lit(2L)), $"id")
+    val brute = df.withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= 10).select($"id", $"src", $"rank")
+      .as[(Long, String, Long)].collect()
+    assert(got.sortBy(r => (r._2, r._3)).toSeq ==
+      brute.sortBy(r => (r._2, r._3)).toSeq)
+  }
+
+  test("stratifiedTake is reproducible and seed-sensitive") {
+    val df = (0L until 300L).map(i => (i, s"s${i % 3}")).toDF("id", "src")
+    def pick(seed: Long): Set[Long] =
+      Curation.stratifiedTake(df, "id", "src", n = 7, seed = seed)
+        .as[(Long, String, Long)].collect().map(_._1).toSet
+    assert(pick(4L) == pick(4L))
+    assert(pick(4L) != pick(5L), "different seeds carve different sets")
+  }
+
   test("trainOrder: changing the seed re-mixes the epoch") {
     val df = spark.range(0, 500).toDF("id")
     def manifest(seed: Long): Map[Long, (Long, Long)] =
