@@ -858,7 +858,23 @@ object SparkEntry {
     "q59_stratified_take" -> ((s, dir) =>
       operators.Curation.stratifiedTake(
         t(s, dir, "documents").select(col("doc_id"), col("source")),
-        "doc_id", "source", n = 5, seed = 5L))
+        "doc_id", "source", n = 5, seed = 5L)),
+
+    // Forward as-of: every click gets the NEXT error at-or-after it (the
+    // q45 sweep over the reversed timeline — same single-exchange plan).
+    // DuckDB replays it natively: ASOF with c.ts <= e.ts picks the nearest
+    // e.ts at-or-after.
+    "q60_asof_forward" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      operators.AsOfJoin.asOfJoin(clicks, errors, "user_id", "ts", "event_id",
+          direction = "forward")
+        .select(col("user_id"), col("event_id"), col("value"),
+          col("right_event_id"), col("right_value"))
+    })
   )
 
   /** Domain-mixing keep-rates for q42 — src{0,4,8,...} full, then 0.5 /
@@ -1679,7 +1695,16 @@ object SparkEntry {
         |    CAST(row_number() OVER (PARTITION BY source ORDER BY key, doc_id)
         |      AS BIGINT) AS rank
         |  FROM h)
-        |SELECT doc_id, source, rank FROM r WHERE rank <= 5""".stripMargin
+        |SELECT doc_id, source, rank FROM r WHERE rank <= 5""".stripMargin,
+
+    // The q45 oracle with the inequality flipped: DuckDB's ASOF picks the
+    // nearest e.ts satisfying c.ts <= e.ts — exactly at-or-after.
+    "q60_asof_forward" ->
+      """SELECT c.user_id, c.event_id, c.value,
+        |  e.event_id AS right_event_id, e.value AS right_value
+        |FROM (SELECT * FROM events WHERE event_type = 'click') c
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') e
+        |  ON c.user_id = e.user_id AND c.ts <= e.ts""".stripMargin
   )
 
   /** Shared BM25 corpus CTE for q39/q40 oracles — terms (vector, merge,

@@ -19,14 +19,19 @@ import org.apache.spark.sql.functions._
   */
 object AsOfJoin {
 
-  /** As-of LEFT join: every left row gets the latest right row of the same
-    * key with `right.ts <= left.ts` (at-or-before semantics, matching
-    * DuckDB/kdb ASOF — a right row at the exact left timestamp matches).
+  /** As-of LEFT join: every left row gets, for `direction = "backward"`
+    * (default), the LATEST right row of the same key with `right.ts <=
+    * left.ts` (at-or-before, matching DuckDB/kdb ASOF — a right row at the
+    * exact left timestamp matches); for `direction = "forward"`, the
+    * EARLIEST right row with `right.ts >= left.ts` (at-or-after — "next
+    * event from now", the other half of the pandas merge_asof surface).
+    * Forward is the same union-and-sweep plan with the timeline swept in
+    * reverse — still one shuffle, still no candidate explosion.
     *
     * `left`/`right`: any schemas containing `keyCol` and `tsCol`; payload
     * column names must not collide after the right side's are prefixed.
     * Output: every left row (all its columns) + each right payload column
-    * renamed `right_<name>` (NULL when no right row at-or-before exists).
+    * renamed `right_<name>` (NULL when no right row in direction exists).
     *
     * Determinism: among right rows sharing (key, ts), the greatest
     * `rightTieCol` wins — pass the right side's unique id.
@@ -36,7 +41,10 @@ object AsOfJoin {
       right: DataFrame,
       keyCol: String,
       tsCol: String,
-      rightTieCol: String): DataFrame = {
+      rightTieCol: String,
+      direction: String = "backward"): DataFrame = {
+    require(direction == "backward" || direction == "forward",
+      s"direction must be backward|forward, got $direction")
     val rightPayload = right.columns.filterNot(c => c == keyCol || c == tsCol)
     val leftPayload = left.columns.filterNot(c => c == keyCol || c == tsCol)
     require(rightPayload.contains(rightTieCol),
@@ -56,9 +64,12 @@ object AsOfJoin {
 
     // right rows (_side=0) sort BEFORE left rows at equal ts, so the
     // running last() has already absorbed a same-instant right row when
-    // the left row is evaluated; _tie breaks equal-(key,ts) right rows
+    // the left row is evaluated; _tie breaks equal-(key,ts) right rows.
+    // forward = the identical sweep over the REVERSED timeline: descending
+    // ts means the running last right row seen is the closest at-or-after
+    val tsOrder = if (direction == "forward") col(tsCol).desc else col(tsCol).asc
     val w = Window.partitionBy(col(keyCol))
-      .orderBy(col(tsCol), col("_side"), col("_rp._tie"))
+      .orderBy(tsOrder, col("_side"), col("_rp._tie"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     r.unionByName(l)

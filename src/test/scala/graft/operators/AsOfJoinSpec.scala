@@ -37,6 +37,35 @@ class AsOfJoinSpec extends AnyFunSuite with SparkSpec {
     assert(out == 9L)
   }
 
+  test("forward direction attaches earliest at-or-after right row per key") {
+    val left = Seq(
+      (1L, ts(10), "c1"), (1L, ts(20), "c2"), (1L, ts(25), "c3"),
+      (2L, ts(15), "c4")
+    ).toDF("k", "ts", "tag")
+    val right = Seq(
+      (1L, ts(8), 100L, 1.0), (1L, ts(12), 101L, 2.0), (1L, ts(21), 102L, 3.0),
+      (2L, ts(15), 103L, 4.0)
+    ).toDF("k", "ts", "rid", "rv")
+    val out = AsOfJoin.asOfJoin(left, right, "k", "ts", "rid",
+        direction = "forward")
+      .select("tag", "right_rid").as[(String, Option[Long])]
+      .collect().toMap
+    assert(out("c1").contains(101L))     // ts=10 -> next right@12
+    assert(out("c2").contains(102L))     // ts=20 -> next right@21
+    assert(out("c3").isEmpty)            // nothing at-or-after ts=25
+    assert(out("c4").contains(103L))     // exact-instant right row matches
+  }
+
+  test("forward ties resolve to the greatest tie column, like backward") {
+    val left = Seq((1L, ts(10), "x")).toDF("k", "ts", "tag")
+    val right = Seq((1L, ts(12), 7L, 0.0), (1L, ts(12), 9L, 0.0))
+      .toDF("k", "ts", "rid", "rv")
+    val out = AsOfJoin.asOfJoin(left, right, "k", "ts", "rid",
+        direction = "forward")
+      .select("right_rid").as[Long].head()
+    assert(out == 9L)
+  }
+
   test("q45's oracle precondition holds: error events have unique (user, ts)") {
     // DuckDB's ASOF JOIN has no tie-break; asOfJoin resolves equal-(key,ts)
     // right rows by greatest id. The q45 contract is only hash-stable while
