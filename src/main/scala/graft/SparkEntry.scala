@@ -874,6 +874,19 @@ object SparkEntry {
           direction = "forward")
         .select(col("user_id"), col("event_id"), col("value"),
           col("right_event_id"), col("right_value"))
+    }),
+
+    // Incremental-ingest near-dup: the batch (doc_id >= 400) deduped
+    // AGAINST the standing corpus (doc_id < 400) — banding joins
+    // batch x corpus only, corpus-internal pairs never form. The oracle is
+    // the exact cross-Jaccard (banding recall is total on this corpus at
+    // these parameters, same guarantee q18 relies on, unit-asserted in
+    // DedupSpec).
+    "q61_neardup_against" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      operators.Dedup.nearDupAgainstMinHash(
+        d.filter(col("doc_id") < 400), d.filter(col("doc_id") >= 400),
+        "doc_id", "text", threshold = 0.5)
     })
   )
 
@@ -1704,7 +1717,22 @@ object SparkEntry {
         |  e.event_id AS right_event_id, e.value AS right_value
         |FROM (SELECT * FROM events WHERE event_type = 'click') c
         |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') e
-        |  ON c.user_id = e.user_id AND c.ts <= e.ts""".stripMargin
+        |  ON c.user_id = e.user_id AND c.ts <= e.ts""".stripMargin,
+
+    // Exact batch x corpus cross-Jaccard (the q18 shingle CTE split at
+    // doc_id 400) — the banding path's recall is total here, so the
+    // approximate operator must reproduce the exact set.
+    "q61_neardup_against" ->
+      """WITH s AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, len(string_split(text,' '))-1),
+        |         i -> array_to_string(list_slice(string_split(text,' '), i, i+2), ' '))) AS sh
+        |  FROM documents)
+        |SELECT batch_id, corpus_id, jaccard FROM (
+        |  SELECT b.doc_id AS batch_id, c.doc_id AS corpus_id,
+        |         CAST(len(list_intersect(b.sh, c.sh)) AS DOUBLE) /
+        |           (len(b.sh) + len(c.sh) - len(list_intersect(b.sh, c.sh))) AS jaccard
+        |  FROM s b, s c WHERE b.doc_id >= 400 AND c.doc_id < 400
+        |) WHERE jaccard >= 0.5""".stripMargin
   )
 
   /** Shared BM25 corpus CTE for q39/q40 oracles — terms (vector, merge,

@@ -231,6 +231,72 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Asymmetric near-dup: which BATCH documents near-duplicate an existing
+    * CORPUS document — the incremental-ingest shape (dedup tonight's crawl
+    * against everything already kept) that a symmetric all-pairs pass
+    * wastes a corpus-squared term on. Same MinHash banding + exact-Jaccard
+    * verify as [[nearDupPairsMinHash]], but the banding join is
+    * batch x corpus only: the corpus side is banded ONCE (reusable across
+    * batches in spirit; here recomputed per call), the candidate join keys
+    * on (band, bucket) with the batch side, and nothing pairs corpus rows
+    * with each other. Output: (batch_id, corpus_id, jaccard) with
+    * jaccard >= threshold; a batch doc hitting several corpus docs yields
+    * one row per hit (take min/any downstream as policy dictates).
+    *
+    * Ids may overlap between the two inputs (they are independent
+    * keyspaces); a (batch_id == corpus_id) row means those two DISTINCT
+    * documents collide, not self-pairing.
+    */
+  def nearDupAgainstMinHash(
+      corpus: DataFrame,
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleLen: Int = 3,
+      numHashes: Int = 128,
+      bands: Int = 32,
+      threshold: Double = 0.8,
+      seed: Long = 42L,
+      maxBucketSize: Int = 1000): DataFrame = {
+    require(numHashes % bands == 0, s"numHashes=$numHashes not divisible by bands=$bands")
+    val rows = numHashes / bands
+
+    def shingled(df: DataFrame): DataFrame = widen(df).select(
+      col(idCol).cast("long").as("id"),
+      tokenShingles(col(textCol), shingleLen).as("shingles"))
+      .localCheckpoint(true)
+    def banded(sh: DataFrame): DataFrame = {
+      val withSig = sh.withColumn("sig",
+        minhashSignature(col("shingles"), numHashes, seed))
+      val bandStructs = array((0 until bands).map { j =>
+        struct(lit(j).as("band"), hash(slice(col("sig"), j * rows + 1, rows)).as("bucket"))
+      }: _*)
+      withSig.select(col("id"), explode(bandStructs).as("bb"))
+        .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    }
+
+    val corpusSh = shingled(corpus)
+    val batchSh = shingled(batch)
+    // cap only the corpus side: a boilerplate-degenerate bucket is a corpus
+    // property, and the batch side must never lose a doc's chance to match
+    val corpusBuckets = capBuckets(banded(corpusSh), maxBucketSize)
+    val batchBuckets = banded(batchSh)
+
+    val candidates = batchBuckets.as("b").join(corpusBuckets.as("c"),
+        col("b.band") === col("c.band") && col("b.bucket") === col("c.bucket"))
+      .select(col("b.id").as("batch_id"), col("c.id").as("corpus_id"))
+      .dropDuplicates("batch_id", "corpus_id")
+
+    candidates
+      .join(batchSh.select(col("id").as("batch_id"), col("shingles").as("sh_b")),
+        Seq("batch_id"))
+      .join(corpusSh.select(col("id").as("corpus_id"), col("shingles").as("sh_c")),
+        Seq("corpus_id"))
+      .select(col("batch_id"), col("corpus_id"),
+        jaccard(col("sh_b"), col("sh_c")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
   /** Exact all-pairs n-gram Jaccard — O(N^2) correctness baseline and the
     * DuckDB-oracle-checkable form of near-dup detection.
     *

@@ -230,6 +230,46 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(bad == 0)
   }
 
+  test("nearDupAgainstMinHash: batch-vs-corpus only, planted copies recovered") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (2L, "completely different corpus content about spark query planning"),
+      // corpus-internal near-dups must NOT appear in the output
+      (3L, "the quick brown fox jumps over the lazy dog again and again tonight")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (11L, "totally novel text sharing nothing with anything else at all here")
+    ).toDF("doc_id", "text")
+    val out = Dedup.nearDupAgainstMinHash(corpus, batch, "doc_id", "text",
+        threshold = 0.5)
+      .as[(Long, Long, Double)].collect()
+    assert(out.exists(r => r._1 == 10L && r._2 == 1L && r._3 == 1.0),
+      "exact planted copy must match its corpus source")
+    assert(out.forall(_._1 >= 10L), "left side is always a batch id")
+    assert(!out.exists(_._1 == 11L), "novel batch doc matches nothing")
+    assert(!out.exists(r => r._1 == 1L || r._1 == 3L),
+      "corpus-internal near-dup pairs (1,3) must not be emitted")
+  }
+
+  test("nearDupAgainstMinHash agrees with the exact cross-pairs twin on testdata") {
+    val corpus = docs.filter($"doc_id" < 400)
+    val batch = docs.filter($"doc_id" >= 400)
+    val got = Dedup.nearDupAgainstMinHash(corpus, batch, "doc_id", "text",
+        threshold = 0.5)
+      .as[(Long, Long, Double)].collect().map(r => (r._1, r._2)).toSet
+    // exact twin: every (batch, corpus) pair with shingle jaccard >= 0.5
+    val sh = docs.select($"doc_id",
+      Dedup.tokenShingles($"text", 3).as("sh"))
+    val exact = sh.as("b").filter($"b.doc_id" >= 400)
+      .crossJoin(sh.as("c").filter($"doc_id" < 400))
+      .select($"b.doc_id".as("bid"), $"c.doc_id".as("cid"),
+        Dedup.jaccard($"b.sh", $"c.sh").as("j"))
+      .filter($"j" >= 0.5)
+      .as[(Long, Long, Double)].collect().map(r => (r._1, r._2)).toSet
+    assert(got == exact, s"banding recall must be total here: ${exact.diff(got)}")
+  }
+
   test("dedupParagraphs: keep-first across docs and within a doc; blank lines exempt") {
     val corpus = Seq(
       (1L, "alpha one\n\nshared para\nbeta"),
