@@ -887,7 +887,16 @@ object SparkEntry {
       operators.Dedup.nearDupAgainstMinHash(
         d.filter(col("doc_id") < 400), d.filter(col("doc_id") >= 400),
         "doc_id", "text", threshold = 0.5)
-    })
+    }),
+
+    // The packing WRITER: render every training sequence's token window
+    // (q54 describes the layout; this materializes it). Span-level rows —
+    // the shuffle moves each token once inside per-(shard, seq) doc
+    // slices, never as token-level rows.
+    "q62_pack_materialize" -> ((s, dir) =>
+      operators.Packing.materializeSequences(
+        t(s, dir, "documents"), "doc_id", "text",
+        contextLen = 512, numShards = 8))
   )
 
   /** Domain-mixing keep-rates for q42 — src{0,4,8,...} full, then 0.5 /
@@ -1732,7 +1741,27 @@ object SparkEntry {
         |         CAST(len(list_intersect(b.sh, c.sh)) AS DOUBLE) /
         |           (len(b.sh) + len(c.sh) - len(list_intersect(b.sh, c.sh))) AS jaccard
         |  FROM s b, s c WHERE b.doc_id >= 400 AND c.doc_id < 400
-        |) WHERE jaccard >= 0.5""".stripMargin
+        |) WHERE jaccard >= 0.5""".stripMargin,
+
+    // Token-level replay of the writer: per-shard global token positions
+    // (by doc id, then in-doc position), windowed into 512-token
+    // sequences. The Spark side computes identical windows from span
+    // slices — same stream, same boundaries.
+    "q62_pack_materialize" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split(text, ' ') AS p, doc_id % 8 AS shard
+        |  FROM documents),
+        |t AS (
+        |  SELECT shard, doc_id, u.i, d.p[u.i] AS tok
+        |  FROM d, unnest(generate_series(1, len(d.p))) AS u(i)),
+        |g AS (
+        |  SELECT shard, tok,
+        |    row_number() OVER (PARTITION BY shard ORDER BY doc_id, i) - 1 AS gpos
+        |  FROM t)
+        |SELECT shard, CAST(gpos // 512 AS BIGINT) AS seq_index,
+        |  string_agg(tok, ' ' ORDER BY gpos) AS seq_text,
+        |  CAST(count(*) AS BIGINT) AS n_tokens
+        |FROM g GROUP BY shard, gpos // 512""".stripMargin
   )
 
   /** Shared BM25 corpus CTE for q39/q40 oracles — terms (vector, merge,

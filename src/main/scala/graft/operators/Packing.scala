@@ -77,6 +77,61 @@ object Packing {
         sort_array(collect_list(struct(
           col("start_offset"), col(idCol), col("spans_boundary")))).as("docs"))
 
+  /** The writer job itself: render every packed training sequence as its
+    * token run — the materialization the layout/manifest only describe.
+    * Output: (shard, seq_index, seq_text, n_tokens) where `seq_text` is
+    * the contextLen-token window of the shard's concatenated token stream
+    * (the final sequence of a shard may run short), tokens joined by a
+    * single space.
+    *
+    * Scale shape — SPAN-level rows, never token-level: each doc becomes
+    * one row per sequence it overlaps (docs + boundary crossings rows
+    * total, each carrying a token-slice of that doc), so the shuffle moves
+    * every token exactly once inside slim span payloads, partitioned by
+    * the (shard, seq) it belongs to. Per-sequence assembly is a sort of
+    * <= n_docs-per-seq spans flattened locally. Zero-token docs occupy no
+    * span and are skipped (they carry no text).
+    */
+  def materializeSequences(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      contextLen: Int,
+      numShards: Int = 1024): DataFrame = {
+    require(contextLen >= 1, s"contextLen must be >= 1, got $contextLen")
+    require(numShards >= 1, s"numShards must be >= 1, got $numShards")
+    val toks = split(col(textCol), " ")
+    val w = Window.partitionBy(col("shard")).orderBy(col("_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val L = contextLen.toLong
+    val spans = docs
+      .select(col(idCol).cast("long").as("_id"), toks.as("_toks"),
+        pmod(col(idCol).cast("long"), lit(numShards.toLong)).as("shard"))
+      .withColumn("_n", size(col("_toks")).cast("long"))
+      .withColumn("_end", sum(col("_n")).over(w))
+      .withColumn("_start", col("_end") - col("_n"))
+      .filter(col("_n") > 0)
+      .select(col("shard"), col("_toks"), col("_start"),
+        explode(sequence(floor(col("_start") / L),
+          floor((col("_end") - 1) / L))).as("seq_index"))
+      .select(col("shard"), col("seq_index"),
+        greatest(col("_start"), col("seq_index") * L).as("_span_start"),
+        slice(col("_toks"),
+          (greatest(col("_start"), col("seq_index") * L) - col("_start") + 1)
+            .cast("int"),
+          (least(col("_start") + size(col("_toks")), (col("seq_index") + 1) * L)
+            - greatest(col("_start"), col("seq_index") * L)).cast("int"))
+          .as("_span"))
+    spans
+      .groupBy(col("shard"), col("seq_index"))
+      .agg(flatten(transform(
+        sort_array(collect_list(struct(col("_span_start"), col("_span")))),
+        x => x.getField("_span"))).as("_seq_toks"))
+      .select(col("shard"), col("seq_index"),
+        array_join(col("_seq_toks"), " ").as("seq_text"),
+        size(col("_seq_toks")).cast("long").as("n_tokens"))
+  }
+
   /** Shard-level packing summary: sequences produced and tail waste —
     * the numbers a capacity plan needs before the writer job runs.
     */

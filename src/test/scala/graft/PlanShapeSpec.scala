@@ -146,6 +146,15 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
     assert(!p.contains("CartesianProduct"), s"no product join:\n$p")
   }
 
+  test("q62: sequence writer is one span shuffle, no joins at all") {
+    val p = plan("q62_pack_materialize")
+    // spans are derived in place from the scan (window + explode + slice);
+    // assembly is one partial-less groupBy of (shard, seq) — any join here
+    // means tokens moved twice
+    assert(!p.contains("Join"), s"writer must not join:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no product:\n$p")
+  }
+
   test("q45: as-of join is union-and-sweep — one shuffle, no product join") {
     val p = plan("q45_asof_join")
     val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length

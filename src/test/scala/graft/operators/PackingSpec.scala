@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.SparkSpec
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 class PackingSpec extends AnyFunSuite with SparkSpec {
@@ -44,6 +45,47 @@ class PackingSpec extends AnyFunSuite with SparkSpec {
       .as[(Long, Long, Long, Long, Boolean)].collect()
     assert(out.filter(_._1 == 0L).map(_._4).sorted.toSeq == Seq(0L, 3L))
     assert(out.filter(_._1 == 1L).map(_._4).toSeq == Seq(6L))
+  }
+
+  test("materializeSequences renders the concatenated token windows") {
+    // one shard; stream = a b c | d e | f g h -> L=4: [a b c d] [e f g h]
+    val docs = Seq((0L, "a b c"), (1L, "d e"), (2L, "f g h"))
+      .toDF("doc_id", "text")
+    val out = Packing.materializeSequences(docs, "doc_id", "text",
+        contextLen = 4, numShards = 1)
+      .as[(Long, Long, String, Long)].collect().sortBy(_._2)
+    assert(out.toSeq == Seq((0L, 0L, "a b c d", 4L), (0L, 1L, "e f g h", 4L)))
+  }
+
+  test("materializeSequences: a long doc spans several sequences; tail runs short") {
+    val docs = Seq((0L, "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9"), (1L, "u0 u1"))
+      .toDF("doc_id", "text")
+    val out = Packing.materializeSequences(docs, "doc_id", "text",
+        contextLen = 3, numShards = 1)
+      .as[(Long, Long, String, Long)].collect().sortBy(_._2)
+    assert(out.map(_._3).toSeq == Seq(
+      "t0 t1 t2", "t3 t4 t5", "t6 t7 t8", "t9 u0 u1"))
+    assert(out.forall(_._4 == 3L))
+  }
+
+  test("materializeSequences round-trips the per-shard token stream on testdata") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", $"text")
+    val out = Packing.materializeSequences(docs, "doc_id", "text",
+      contextLen = 512, numShards = 4)
+    // reassembling sequences in order per shard must give exactly the
+    // shard's docs concatenated in id order
+    // collect_list order is not defined post-shuffle: sort inside the agg
+    def joined(df: org.apache.spark.sql.DataFrame, key: org.apache.spark.sql.Column,
+        ord: org.apache.spark.sql.Column, v: org.apache.spark.sql.Column) =
+      df.groupBy(key.as("shard"))
+        .agg(array_join(transform(
+          sort_array(collect_list(struct(ord.as("o"), v.as("v")))),
+          x => x.getField("v")), " ").as("s"))
+        .as[(Long, String)].collect().toMap
+    val got = joined(out, $"shard", $"seq_index", $"seq_text")
+    val want = joined(docs, pmod($"doc_id", lit(4L)), $"doc_id", $"text")
+    assert(got == want)
   }
 
   test("shards pack independently and deterministically") {
