@@ -41,6 +41,21 @@ object SparkEntry {
     ml.IvfIndex.load(s, path)
   }
 
+  /** One fingerprint-index build per (JVM, sf dir) for q63 — the corpus
+    * half (doc_id < 400) fingerprinted ONCE, batches dedup against the
+    * stored layouts (the ivfIndexFor discipline on the text side).
+    */
+  private val fpPaths = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def fingerprintIndexFor(s: SparkSession, dir: String): operators.FingerprintIndex = {
+    val path = fpPaths.computeIfAbsent(dir, _ => {
+      val p = java.nio.file.Files.createTempDirectory("graft_fp_entry").toString
+      operators.FingerprintIndex.build(
+        t(s, dir, "documents").filter(col("doc_id") < 400), "doc_id", "text", p)
+      p
+    })
+    operators.FingerprintIndex.load(s, path)
+  }
+
   /** Deterministic IVF twin for the recall sweep (q46): coarse quantizer =
     * the first 8 corpus embeddings (vec_id < 8), NOT k-means — so the whole
     * index (assignment, probe order, pruned search) is a pure argmax the
@@ -896,7 +911,17 @@ object SparkEntry {
     "q62_pack_materialize" -> ((s, dir) =>
       operators.Packing.materializeSequences(
         t(s, dir, "documents"), "doc_id", "text",
-        contextLen = 512, numShards = 8))
+        contextLen = 512, numShards = 8)),
+
+    // q61's semantics served from the PERSISTED fingerprint index: the
+    // corpus is fingerprinted once per JVM (memoized build), the batch
+    // dedups against the stored (bands, shingle-hash) layouts, corpus text
+    // untouched. Same exact cross-Jaccard oracle as q61 — the indexed path
+    // must reproduce the recompute-everything path bit for bit.
+    "q63_fingerprint_index" -> ((s, dir) =>
+      fingerprintIndexFor(s, dir).dedupBatch(
+        t(s, dir, "documents").filter(col("doc_id") >= 400),
+        "doc_id", "text", threshold = 0.5))
   )
 
   /** Domain-mixing keep-rates for q42 — src{0,4,8,...} full, then 0.5 /
@@ -1761,7 +1786,21 @@ object SparkEntry {
         |SELECT shard, CAST(gpos // 512 AS BIGINT) AS seq_index,
         |  string_agg(tok, ' ' ORDER BY gpos) AS seq_text,
         |  CAST(count(*) AS BIGINT) AS n_tokens
-        |FROM g GROUP BY shard, gpos // 512""".stripMargin
+        |FROM g GROUP BY shard, gpos // 512""".stripMargin,
+
+    // Identical to the q61 oracle: the stored-index path must serve the
+    // exact same cross-Jaccard result as the recompute path.
+    "q63_fingerprint_index" ->
+      """WITH s AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, len(string_split(text,' '))-1),
+        |         i -> array_to_string(list_slice(string_split(text,' '), i, i+2), ' '))) AS sh
+        |  FROM documents)
+        |SELECT batch_id, corpus_id, jaccard FROM (
+        |  SELECT b.doc_id AS batch_id, c.doc_id AS corpus_id,
+        |         CAST(len(list_intersect(b.sh, c.sh)) AS DOUBLE) /
+        |           (len(b.sh) + len(c.sh) - len(list_intersect(b.sh, c.sh))) AS jaccard
+        |  FROM s b, s c WHERE b.doc_id >= 400 AND c.doc_id < 400
+        |) WHERE jaccard >= 0.5""".stripMargin
   )
 
   /** Shared BM25 corpus CTE for q39/q40 oracles — terms (vector, merge,

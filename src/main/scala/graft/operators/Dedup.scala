@@ -163,7 +163,7 @@ object Dedup {
     * corpus. Trades recall only inside over-full buckets — and a bucket that
     * full is boilerplate, exactly what near-dup dedup is meant to collapse.
     */
-  private def capBuckets(banded: DataFrame, maxBucketSize: Int): DataFrame = {
+  private[operators] def capBuckets(banded: DataFrame, maxBucketSize: Int): DataFrame = {
     val wBucket = org.apache.spark.sql.expressions.Window
       .partitionBy(col("band"), col("bucket")).orderBy(col("id"))
     banded
