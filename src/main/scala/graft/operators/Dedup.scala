@@ -277,10 +277,26 @@ object Dedup {
 
     val corpusSh = shingled(corpus)
     val batchSh = shingled(batch)
+    val batchBuckets = banded(batchSh)
+    // when the batch is smaller than the corpus (the normal ingest shape),
+    // prune corpus banding to buckets the batch probes BEFORE the cap
+    // window: capping sorts per bucket, and a small batch probes a
+    // vanishing fraction of the corpus's buckets — unprobed ones can't
+    // produce candidates anyway, and dropping whole buckets leaves each
+    // surviving bucket's cap contents (lowest ids) unchanged. When the
+    // batch dominates (it probes most buckets), the prune is pure
+    // overhead — skip it. Both frames are checkpointed, so the counts are
+    // cheap row counts, not lineage re-runs.
+    val corpusBandsAll = banded(corpusSh)
+    val preCap =
+      if (batchSh.count() < corpusSh.count())
+        corpusBandsAll.join(
+          batchBuckets.select(col("band"), col("bucket")).distinct(),
+          Seq("band", "bucket"), "left_semi")
+      else corpusBandsAll
     // cap only the corpus side: a boilerplate-degenerate bucket is a corpus
     // property, and the batch side must never lose a doc's chance to match
-    val corpusBuckets = capBuckets(banded(corpusSh), maxBucketSize)
-    val batchBuckets = banded(batchSh)
+    val corpusBuckets = capBuckets(preCap, maxBucketSize)
 
     val candidates = batchBuckets.as("b").join(corpusBuckets.as("c"),
         col("b.band") === col("c.band") && col("b.bucket") === col("c.bucket"))

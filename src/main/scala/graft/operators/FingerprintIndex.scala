@@ -77,11 +77,27 @@ case class FingerprintIndex(
       maxBucketSize: Int = 1000): DataFrame = {
     val batchFp = FingerprintIndex.fingerprints(
       batch, idCol, textCol, shingleLen, numHashes, seed).localCheckpoint(true)
+    val batchBands = FingerprintIndex.banded(batchFp, bands, numHashes / bands)
+    // when the batch is smaller than the index (the normal ingest shape),
+    // prune the stored bands to buckets the batch PROBES before anything
+    // else: the cap window below sorts per bucket, and running it over the
+    // whole standing corpus would shuffle N x bands rows per batch query.
+    // The semi-join drops whole buckets only, so the per-bucket cap
+    // contents — and therefore the result — are unchanged. The size test
+    // is cheap: batchFp is checkpointed, and the docs-table count reads
+    // parquet footers. A batch that dominates the index probes most
+    // buckets, making the prune pure overhead — skip it there.
+    val storedBands = spark.read.parquet(bandsPath)
+    val preCap =
+      if (batchFp.count() < spark.read.parquet(docsPath).count())
+        storedBands.join(
+          batchBands.select(col("band"), col("bucket")).distinct(),
+          Seq("band", "bucket"), "left_semi")
+      else storedBands
     // cap only the corpus side — a degenerate bucket is a corpus property,
     // and the batch side must never lose a doc's chance to match
-    val corpusBands = Dedup.capBuckets(
-      spark.read.parquet(bandsPath), maxBucketSize)
-    val candidates = FingerprintIndex.banded(batchFp, bands, numHashes / bands)
+    val corpusBands = Dedup.capBuckets(preCap, maxBucketSize)
+    val candidates = batchBands
       .as("b").join(corpusBands.as("c"),
         col("b.band") === col("c.band") && col("b.bucket") === col("c.bucket"))
       .select(col("b.id").as("batch_id"), col("c.id").as("corpus_id"))
