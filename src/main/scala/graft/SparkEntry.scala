@@ -25,6 +25,23 @@ object SparkEntry {
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Temp directory for a memoized per-(JVM, sf dir) index build, deleted
+    * on JVM exit — repeated harness runs (bench's 3x, verify, specs) must
+    * not accumulate index directories under /tmp.
+    */
+  private def tempIndexDir(prefix: String): String = {
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        val kids = f.listFiles()
+        if (kids != null) kids.foreach(rm)
+        f.delete(); ()
+      }
+      rm(p.toFile)
+    }))
+    p.toString
+  }
+
   /** One IVF index build per (JVM, sf dir): q23/q33 share it, and the bench's
     * warm+min timing then measures the SEARCH path, not a rebuild per run
     * (the build is its own explicit batch job by design — see IvfIndex).
@@ -32,7 +49,7 @@ object SparkEntry {
   private val ivfPaths = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def ivfIndexFor(s: SparkSession, dir: String): ml.IvfIndex = {
     val path = ivfPaths.computeIfAbsent(dir, _ => {
-      val p = java.nio.file.Files.createTempDirectory("graft_ivf_entry").toString
+      val p = tempIndexDir("graft_ivf_entry")
       val emb = t(s, dir, "embeddings")
         .select(col("vec_id").as("id"), col("embedding").as("vector"))
       ml.IvfIndex.build(emb, "id", "vector", p, nLists = 16)
@@ -48,12 +65,41 @@ object SparkEntry {
   private val fpPaths = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def fingerprintIndexFor(s: SparkSession, dir: String): operators.FingerprintIndex = {
     val path = fpPaths.computeIfAbsent(dir, _ => {
-      val p = java.nio.file.Files.createTempDirectory("graft_fp_entry").toString
+      val p = tempIndexDir("graft_fp_entry")
       operators.FingerprintIndex.build(
         t(s, dir, "documents").filter(col("doc_id") < 400), "doc_id", "text", p)
       p
     })
     operators.FingerprintIndex.load(s, path)
+  }
+
+  /** One Hamming-index build per (JVM, sf dir) for q64 — the corpus half
+    * (doc_id < 400) fingerprinted once into the persisted (fps, bands)
+    * layouts, batches dedup against the store. Fingerprints are the
+    * PORTABLE arithmetic-hash family (q42's idHash over doc_id mod 50,
+    * shifted, plus doc_id mod 3 in the low bits) rather than SimHash, so
+    * the ENTIRE indexed path — banding, candidate join, Hamming verify —
+    * is replayed exactly by the DuckDB oracle: with maxHamming=3 <
+    * nBands=4 the pigeonhole makes banding recall total, so the indexed
+    * result must equal the brute-force cross-Hamming join bit for bit.
+    * (The SimHash/dHash instantiations of the same index are locked by
+    * HammingIndexSpec's brute-force-equality and image-corpus tests —
+    * their fingerprint functions aren't expressible in the oracle's SQL,
+    * the q19 scoping.)
+    */
+  private def portableFp(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    operators.Curation.idHash(id % 50) * 8 + pmod(id, lit(3L))
+  private val hammingPaths = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def hammingIndexFor(s: SparkSession, dir: String): operators.HammingIndex = {
+    val path = hammingPaths.computeIfAbsent(dir, _ => {
+      val p = tempIndexDir("graft_hamming_entry")
+      operators.HammingIndex.build(
+        t(s, dir, "documents").filter(col("doc_id") < 400)
+          .select(col("doc_id"), portableFp(col("doc_id")).as("fp")),
+        "doc_id", "fp", p, nBands = 4, kind = "portable")
+      p
+    })
+    operators.HammingIndex.load(s, path)
   }
 
   /** Deterministic IVF twin for the recall sweep (q46): coarse quantizer =
@@ -72,7 +118,7 @@ object SparkEntry {
   private val ivfPqFixedPaths = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def ivfPqFixedIndexFor(s: SparkSession, dir: String): ml.IvfPq.Index = {
     val path = ivfPqFixedPaths.computeIfAbsent(dir, _ => {
-      val p = java.nio.file.Files.createTempDirectory("graft_ivfpq_fixed").toString
+      val p = tempIndexDir("graft_ivfpq_fixed")
       val emb = t(s, dir, "embeddings")
         .select(col("vec_id").as("id"), col("embedding").as("vector"))
       val cents = emb.filter(col("id") < 4).orderBy(col("id"))
@@ -88,7 +134,7 @@ object SparkEntry {
   private val ivfFixedPaths = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def ivfFixedIndexFor(s: SparkSession, dir: String): ml.IvfIndex = {
     val path = ivfFixedPaths.computeIfAbsent(dir, _ => {
-      val p = java.nio.file.Files.createTempDirectory("graft_ivf_fixed").toString
+      val p = tempIndexDir("graft_ivf_fixed")
       val emb = t(s, dir, "embeddings")
       val cents = emb.filter(col("vec_id") < 8).orderBy(col("vec_id"))
         .select(col("embedding")).collect()
@@ -921,7 +967,19 @@ object SparkEntry {
     "q63_fingerprint_index" -> ((s, dir) =>
       fingerprintIndexFor(s, dir).dedupBatch(
         t(s, dir, "documents").filter(col("doc_id") >= 400),
-        "doc_id", "text", threshold = 0.5))
+        "doc_id", "text", threshold = 0.5)),
+
+    // The HAMMING-side persisted index (SimHash text / image dHash
+    // families), exercised over portable arithmetic fingerprints so the
+    // oracle replays banding + verify exactly: recall is total by
+    // pigeonhole (maxHamming < nBands), so the indexed path must equal the
+    // brute-force cross-Hamming join. Corpus fps come from the stored
+    // layouts — never recomputed.
+    "q64_hamming_index" -> ((s, dir) =>
+      hammingIndexFor(s, dir).dedupBatch(
+        t(s, dir, "documents").filter(col("doc_id") >= 400)
+          .select(col("doc_id"), portableFp(col("doc_id")).as("fp")),
+        "doc_id", "fp", maxHamming = 3))
   )
 
   /** Domain-mixing keep-rates for q42 — src{0,4,8,...} full, then 0.5 /
@@ -1800,7 +1858,22 @@ object SparkEntry {
         |         CAST(len(list_intersect(b.sh, c.sh)) AS DOUBLE) /
         |           (len(b.sh) + len(c.sh) - len(list_intersect(b.sh, c.sh))) AS jaccard
         |  FROM s b, s c WHERE b.doc_id >= 400 AND c.doc_id < 400
-        |) WHERE jaccard >= 0.5""".stripMargin
+        |) WHERE jaccard >= 0.5""".stripMargin,
+
+    // Brute-force batch x corpus Hamming over the q42-portable fingerprint
+    // formula — the indexed path's banding recall is total by pigeonhole
+    // (maxHamming=3 < nBands=4), so exact equality is the contract, not an
+    // approximation.
+    "q64_hamming_index" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    ((doc_id % 50) * 2654435761) % 4294967296 * 8 + (doc_id % 3) AS fp
+        |  FROM documents)
+        |SELECT b.doc_id AS batch_id, c.doc_id AS corpus_id,
+        |  CAST(bit_count(xor(b.fp, c.fp)) AS BIGINT) AS hamming
+        |FROM f b, f c
+        |WHERE b.doc_id >= 400 AND c.doc_id < 400
+        |  AND bit_count(xor(b.fp, c.fp)) <= 3""".stripMargin
   )
 
   /** Shared BM25 corpus CTE for q39/q40 oracles — terms (vector, merge,

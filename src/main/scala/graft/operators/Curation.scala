@@ -178,9 +178,17 @@ object Curation {
     * per-group hash cutoff keeping ~`margin*n + 64` expected rows, so only
     * that many rows per group reach the exchange + sort. The cutoff is
     * probabilistic (binomial tail), so a runtime `raise_error` guard fails
-    * the job loudly if a surviving group falls under the exact-n contract;
-    * the one shape no surviving row can raise on — a group losing EVERY
-    * row — sits under e^-(margin*n + 64) ~ 1e-32 by the additive floor.
+    * the job loudly if a surviving group falls under the exact-n contract.
+    * The one shape no surviving row can raise on — a group losing EVERY
+    * row — sits under e^-(margin*n + 64) ~ 1e-32 for uniform hash values,
+    * but [[idHash]] is a deterministic multiplicative hash, so an
+    * adversarial/structured id set CAN concentrate every key of a group
+    * above the cutoff; with `verifyGroups` (default) a second pass
+    * anti-joins the broadcast group list against the survivors' groups and
+    * raises on any vanished group, restoring the loud-failure contract
+    * unconditionally. The check re-evaluates the (scan + broadcast-join +
+    * filter) lineage once more; pipelines content with the uniformity
+    * assumption can switch it off.
     */
   def stratifiedTake(
       df: DataFrame,
@@ -188,7 +196,8 @@ object Curation {
       groupCol: String,
       n: Int,
       seed: Long = 0L,
-      margin: Double = 8.0): DataFrame = {
+      margin: Double = 8.0,
+      verifyGroups: Boolean = true): DataFrame = {
     require(n >= 1, s"n must be >= 1, got $n")
     require(margin >= 2.0, s"margin must be >= 2.0, got $margin")
     require(seed >= 0, s"seed must be >= 0, got $seed")
@@ -208,7 +217,7 @@ object Curation {
     val rank = row_number().over(byGroup.orderBy(col("_key"), col(idCol)))
     // the guard lives INSIDE the selected rank column — an unreferenced
     // assertion column would be pruned out of the plan and never evaluate
-    pre
+    val taken = pre
       .withColumn("rank",
         when(survivors < least(lit(n.toLong), col("_gc")),
           raise_error(concat(
@@ -218,6 +227,25 @@ object Curation {
           .otherwise(rank).cast("long"))
       .filter(col("rank") <= n)
       .select(col(idCol), col(groupCol), col("rank"))
+    if (!verifyGroups) taken
+    else {
+      // groups that lost EVERY row to the cutoff carry no surviving row for
+      // the in-column guard to raise on — they would silently vanish. Emit
+      // them as raise_error rows unioned onto the result: empty (a no-op)
+      // whenever every group survived, a loud failure otherwise. Both join
+      // sides are group-cardinality small.
+      val vanished = counts
+        .join(pre.select(col(groupCol)).distinct(), Seq(groupCol), "left_anti")
+      val errRows = vanished.select(
+        raise_error(concat(
+          lit("stratifiedTake: hash cutoff kept no rows at all in group "),
+          col(groupCol).cast("string"),
+          lit(s" for n=$n; raise margin (=$margin)")))
+          .cast(df.schema(idCol).dataType).as(idCol),
+        col(groupCol),
+        lit(null).cast("long").as("rank"))
+      taken.unionAll(errRows)
+    }
   }
 
   /** Gopher-style repetition statistics per document:

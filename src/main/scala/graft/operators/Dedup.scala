@@ -33,22 +33,32 @@ object Dedup {
     * already-wide plan.
     *
     * The check is two-tier because measuring width is not free in general:
-    *  - a lineage that already shuffles (agg/join/sort/window/repartition)
+    *  - a lineage whose PHYSICAL plan already contains a shuffle exchange
     *    is `spark.sql.shuffle.partitions` wide by construction — returned
     *    untouched WITHOUT consulting `.rdd`, which under AQE would
-    *    materialize the upstream stages a whole execution early;
-    *  - a narrow lineage (scan/project/filter — the common case here) has
-    *    no exchanges, so `.rdd.getNumPartitions` is pure planning (no jobs)
-    *    and reports the actual scan width. Only a genuinely under-wide scan
-    *    pays the round-robin repartition.
+    *    materialize the upstream stages a whole execution early. The test
+    *    is on the physical plan, not logical operator classes: a
+    *    broadcast-hash join adds NO exchange on its streamed side, so a
+    *    1-partition scan joined to a broadcast dimension used to slip
+    *    through un-widened and run the downstream kernel on one core;
+    *  - an exchange-free lineage (scan/project/filter, or those plus
+    *    broadcast joins) is exactly as wide as its streamed-side scan, so
+    *    `.rdd.getNumPartitions` reports the real width. For the pure
+    *    narrow case that is pure planning (no jobs); a broadcast-join
+    *    lineage additionally materializes its build side once here — by
+    *    definition a small relation, and the price of not losing
+    *    31/32 cores on the scan that follows.
     */
   private[operators] def widen(df: DataFrame): DataFrame = {
-    import org.apache.spark.sql.catalyst.plans.logical._
-    val alreadyShuffled = df.queryExecution.analyzed.exists {
-      case _: Aggregate | _: Join | _: Sort | _: Window | _: Distinct |
-           _: Deduplicate | _: RepartitionOperation => true
-      case _ => false
-    }
+    // the test must run on the EXECUTED plan string: exchanges are inserted
+    // by EnsureRequirements during execution preparation (sparkPlan carries
+    // none), and under AQE the tree is wrapped in a leaf AdaptiveSparkPlanExec
+    // that a typed exists() cannot see through — its toString, however,
+    // prints the full initial plan. Shuffle exchanges print as
+    // "Exchange <partitioning>"; the lookbehind keeps "BroadcastExchange"
+    // (which widens nothing) from matching.
+    val alreadyShuffled = "(?<![A-Za-z])Exchange ".r
+      .findFirstIn(df.queryExecution.executedPlan.toString).isDefined
     if (alreadyShuffled) df
     else {
       val p = df.sparkSession.sparkContext.defaultParallelism
@@ -144,6 +154,18 @@ object Dedup {
       .groupBy(col("_id"))
       .agg(sort_array(collect_list(col("_pos"))).as("_drop"))
 
+    reassemble(docs, idCol, segments, drops, delimiter)
+  }
+
+  /** Rewrite each doc with its drop-list applied: the shared tail of
+    * [[dedupParagraphs]] and [[dedupParagraphsAgainst]]. `drops` is at most
+    * one (_id, _drop positions) row per AFFECTED doc; the join is doc-id
+    * equi (broadcast when the loser set is small) and text is rewritten in
+    * place.
+    */
+  private def reassemble(
+      docs: DataFrame, idCol: String, segments: Column, drops: DataFrame,
+      delimiter: String): DataFrame =
     docs.select(col(idCol), col(idCol).cast("long").as("_id"), segments.as("_segs"))
       .join(drops, Seq("_id"), "left")
       .select(col(idCol), col("_segs"),
@@ -154,6 +176,76 @@ object Dedup {
           filter(col("_segs"), (s, i) => array_position(col("_drop"), i) === 0),
           delimiter).as("cleaned_text"),
         size(col("_drop")).cast("long").as("n_removed"))
+
+  /** Distinct segment hashes of a corpus slice — the standing-corpus state
+    * [[dedupParagraphsAgainst]] consumes ([[SegmentIndex]] persists it).
+    * One column `h`; segments under the length floor are structure, never
+    * dedup state.
+    */
+  def segmentHashes(
+      docs: DataFrame,
+      textCol: String,
+      delimiter: String = "\n",
+      minSegmentLen: Int = 1): DataFrame = {
+    require(delimiter.nonEmpty, "delimiter must be non-empty")
+    val quoted = java.util.regex.Pattern.quote(delimiter)
+    widen(docs)
+      .select(explode(split(col(textCol), quoted, -1)).as("_seg"))
+      .filter(length(col("_seg")) >= minSegmentLen)
+      .select(xxhash64(col("_seg")).as("h"))
+      .distinct()
+  }
+
+  /** Incremental [[dedupParagraphs]]: clean a BATCH against a standing
+    * corpus's segment-hash set (the Dolma bloom-filter shape, exact) —
+    * tonight's crawl never rescans corpus text. A batch segment is dropped
+    * iff it already occurs in the corpus OR earlier in the batch (by
+    * (id, pos)); sub-floor segments are exempt, exactly [[dedupParagraphs]].
+    * Equivalent to running the corpus-wide operator over corpus ∪ batch
+    * (with every corpus id ordered first) and keeping the batch rows —
+    * DedupSpec asserts that equivalence literally.
+    *
+    * Scale shape — the standing corpus is NEVER shuffled: the batch's
+    * distinct segment hashes broadcast into a semi-join that scans the
+    * corpus hash table in place, and the (small, <= batch-distinct) hit
+    * set broadcasts back onto the batch triples. Batch text crosses the
+    * wire once, in the final reassembly join; corpus cost per batch is one
+    * in-place scan of 8-byte hashes (bucket/bloom the stored layout to cut
+    * even that).
+    */
+  def dedupParagraphsAgainst(
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      corpusSegHashes: DataFrame,
+      delimiter: String = "\n",
+      minSegmentLen: Int = 1): DataFrame = {
+    require(delimiter.nonEmpty, "delimiter must be non-empty")
+    require(minSegmentLen >= 1, s"minSegmentLen must be >= 1, got $minSegmentLen")
+    val quoted = java.util.regex.Pattern.quote(delimiter)
+    val segments = split(col(textCol), quoted, -1)
+
+    val occ = widen(batch).select(
+        col(idCol).cast("long").as("_id"),
+        posexplode(segments).as(Seq("_pos", "_seg")))
+      .filter(length(col("_seg")) >= minSegmentLen)
+      .select(col("_id"), col("_pos"), xxhash64(col("_seg")).as("_h"))
+    // corpus membership without moving the corpus: probe hashes broadcast
+    // OUT, the matched subset broadcasts BACK
+    val probes = occ.select(col("_h")).distinct()
+    val hits = corpusSegHashes.select(col("h").as("_h")).distinct()
+      .join(broadcast(probes), Seq("_h"), "left_semi")
+      .withColumn("_inc", lit(true))
+    val winners = occ.groupBy(col("_h"))
+      .agg(min(struct(col("_id"), col("_pos"))).as("_w"))
+    val drops = occ.join(winners, Seq("_h"))
+      .join(broadcast(hits), Seq("_h"), "left")
+      .filter(coalesce(col("_inc"), lit(false)) ||
+        struct(col("_id"), col("_pos")) =!= col("_w"))
+      .groupBy(col("_id"))
+      .agg(sort_array(collect_list(col("_pos"))).as("_drop"))
+
+    reassemble(batch, idCol, segments, drops, delimiter)
   }
 
   /** Cap pathological LSH buckets (boilerplate text / degenerate hyperplane

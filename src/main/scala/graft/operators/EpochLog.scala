@@ -1,0 +1,108 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Commit log for epoch-sliced index layouts ([[FingerprintIndex]],
+  * [[HammingIndex]], [[SegmentIndex]]): each build/append writes its data
+  * files under `layout/epoch=N` directories and then records the epoch in
+  * this log; readers resolve the committed epoch set FIRST and read only
+  * those directories. The one-row parquet append that records an epoch is
+  * the commit point, so a multi-layout write (e.g. docs + bands) becomes
+  * visible all-or-nothing:
+  *
+  *  - a failure BEFORE the commit leaves orphan `epoch=N` directories that
+  *    no reader ever lists (readers enumerate committed epochs, not the
+  *    filesystem), and the next append reuses and OVERWRITES that epoch
+  *    number — self-healing, no rebuild needed;
+  *  - a retried append cannot double-apply: the orphan data is replaced,
+  *    not appended to, before the retry's single commit lands.
+  *
+  * `action = "replace"` marks a compaction epoch: every epoch below it is
+  * dead (readers ignore it; [[FingerprintIndex.compact]] deletes the
+  * directories best-effort after the replace commit is durable).
+  *
+  * Single-writer discipline, like every index here (the reference's index
+  * persistence makes the same assumption, performance/hnsw_index.py:105-129).
+  * The only non-atomic window left is `reset` (build-over-existing
+  * overwrites the log itself) — build is already a destructive operation
+  * whose failure recovery is re-running the build.
+  *
+  * Row counts ride on the commit rows, so size/appended-fraction statistics
+  * come from this KB-sized log instead of a corpus scan.
+  */
+private[graft] case class EpochLog(spark: SparkSession, path: String) {
+
+  private def commitsPath = s"$path/commits"
+
+  private case class Commit(epoch: Long, action: String, nRows: Long)
+
+  private def readCommits(): Seq[Commit] =
+    spark.read.parquet(commitsPath)
+      .select(col("epoch"), col("action"), col("n_rows"))
+      .collect()
+      .map(r => Commit(r.getLong(0), r.getString(1), r.getLong(2)))
+      .sortBy(_.epoch).toSeq
+
+  private def write(rows: Seq[Commit], mode: String): Unit = {
+    import spark.implicits._
+    rows.map(c => (c.epoch, c.action, c.nRows))
+      .toDF("epoch", "action", "n_rows")
+      .coalesce(1).write.mode(mode).parquet(commitsPath)
+  }
+
+  /** Start a fresh log containing exactly epoch 0 as a replace (build). */
+  def reset(nRows: Long): Unit =
+    write(Seq(Commit(0L, "replace", nRows)), "overwrite")
+
+  /** Record `epoch` as committed (the atomic visibility point). */
+  def commit(epoch: Long, action: String, nRows: Long): Unit = {
+    require(Seq("add", "replace").contains(action), s"bad action $action")
+    write(Seq(Commit(epoch, action, nRows)), "append")
+  }
+
+  /** Live epochs: everything at or above the newest replace epoch. */
+  def committedEpochs(): Seq[Long] = {
+    val cs = readCommits()
+    val base = cs.filter(_.action == "replace").map(_.epoch)
+      .reduceOption(_ max _).getOrElse(Long.MinValue)
+    cs.map(_.epoch).filter(_ >= base).distinct.sorted
+  }
+
+  /** Dead epochs (below the newest replace) — compaction's cleanup list. */
+  def deadEpochs(): Seq[Long] = {
+    val cs = readCommits()
+    val base = cs.filter(_.action == "replace").map(_.epoch)
+      .reduceOption(_ max _).getOrElse(Long.MinValue)
+    cs.map(_.epoch).filter(_ < base).distinct.sorted
+  }
+
+  /** The next epoch number to write (orphans from failed appends are
+    * reused and overwritten, so gaps never accumulate).
+    */
+  def nextEpoch(): Long = readCommits().map(_.epoch).reduceOption(_ max _)
+    .getOrElse(-1L) + 1L
+
+  /** (live epoch count, total live rows, rows added since the last replace).
+    * Pure commit-log arithmetic — no data files are touched.
+    */
+  def sizeStats(): (Int, Long, Long) = {
+    val live = committedEpochs().toSet
+    val cs = readCommits().filter(c => live(c.epoch))
+    val appended = cs.filter(_.action == "add").map(_.nRows).sum
+    (live.size, cs.map(_.nRows).sum, appended)
+  }
+
+  /** Resolve a layout's committed data directories for an explicit-path
+    * read (orphan epoch directories are never listed, let alone read).
+    */
+  def layoutPaths(layoutPath: String): Seq[String] =
+    committedEpochs().map(e => s"$layoutPath/epoch=$e")
+
+  /** Best-effort recursive delete of a dead epoch directory. */
+  def deleteDir(dir: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    try { fs.delete(p, true); () } catch { case _: java.io.IOException => () }
+  }
+}

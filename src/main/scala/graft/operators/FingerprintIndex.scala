@@ -11,15 +11,20 @@ import org.apache.spark.sql.functions._
   * build/append/search lifecycle as [[graft.ml.IvfIndex]] on the vector
   * side, Dolma's bloom-filter file on the text side). Layout:
   *
-  *  - `{path}/docs`  — (id, shingle_hashes array<bigint>): the exact-
-  *    Jaccard verify payload, 8 bytes per distinct shingle instead of the
-  *    document text;
-  *  - `{path}/bands` — (id, band, bucket): the LSH candidate keys;
+  *  - `{path}/docs/epoch=N`  — (id, shingle_hashes array<bigint>): the
+  *    exact-Jaccard verify payload, 8 bytes per distinct shingle instead of
+  *    the document text;
+  *  - `{path}/bands/epoch=N` — (id, band, bucket): the LSH candidate keys;
   *  - `{path}/meta`  — (shingle_len, num_hashes, bands, seed): the hash
   *    parameters are INDEX STATE ([[graft.ml.IvfIndex]]'s metric
   *    discipline) — a batch banded under different parameters would
   *    silently match nothing, so load() restores them and callers never
-  *    pass them again.
+  *    pass them again;
+  *  - `{path}/commits` — the [[EpochLog]]: docs and bands land under a new
+  *    epoch directory FIRST and become visible only when the epoch's
+  *    one-row commit is appended, so the two layouts can never go out of
+  *    sync (a failure mid-append leaves an invisible orphan epoch that the
+  *    next append overwrites; a retried append cannot double-apply).
   *
   * Dedup identity is hashed twice (shingle strings -> xxhash64 for the
   * verify sets; signature bands for candidates), so verify Jaccard equals
@@ -36,28 +41,43 @@ case class FingerprintIndex(
 
   def docsPath: String = s"$path/docs"
   def bandsPath: String = s"$path/bands"
+  private val log = EpochLog(spark, path)
+
+  /** The committed corpus layouts (orphan epochs from failed appends are
+    * invisible — [[EpochLog]] resolves directories from the commit log,
+    * never the filesystem).
+    */
+  def storedDocs(): DataFrame = spark.read.parquet(log.layoutPaths(docsPath): _*)
+  def storedBands(): DataFrame = spark.read.parquet(log.layoutPaths(bandsPath): _*)
 
   /** Fingerprint + band a new slice of corpus and append it — O(batch)
     * like [[graft.ml.IvfIndex.append]]; the standing index is never
     * rescanned. Returns rows appended (observed inside the write pass —
-    * a trailing count() would re-run arbitrary user lineage).
+    * a trailing count() would re-run arbitrary user lineage). The append
+    * is atomic: both layouts land under a fresh epoch directory, then one
+    * commit row makes them visible together.
     */
-  def append(docs: DataFrame, idCol: String, textCol: String): Long =
-    writeSlice(docs, idCol, textCol, "append")
+  def append(docs: DataFrame, idCol: String, textCol: String): Long = {
+    val epoch = log.nextEpoch()
+    val n = writeSlice(docs, idCol, textCol, epoch)
+    log.commit(epoch, "add", n)
+    n
+  }
 
   private[operators] def writeSlice(
-      docs: DataFrame, idCol: String, textCol: String, mode: String): Long = {
+      docs: DataFrame, idCol: String, textCol: String, epoch: Long): Long = {
     // one fingerprint pass feeds both layouts: pin it (localCheckpoint,
     // not persist — blocks release with the reference, no CacheManager
-    // entry leaks per call)
+    // entry leaks per call). Overwrite mode: the epoch directory may hold
+    // an orphan from a failed earlier attempt at this same epoch number.
     val fp = FingerprintIndex.fingerprints(
       docs, idCol, textCol, shingleLen, numHashes, seed).localCheckpoint(true)
     val obs = Observation()
     fp.select(col("id"), col("shingle_hashes"))
       .observe(obs, count(lit(1)).as("n"))
-      .write.mode(mode).parquet(docsPath)
+      .write.mode("overwrite").parquet(s"$docsPath/epoch=$epoch")
     FingerprintIndex.banded(fp, bands, numHashes / bands)
-      .write.mode(mode).parquet(bandsPath)
+      .write.mode("overwrite").parquet(s"$bandsPath/epoch=$epoch")
     obs.get("n").asInstanceOf[Long]
   }
 
@@ -84,16 +104,16 @@ case class FingerprintIndex(
     // whole standing corpus would shuffle N x bands rows per batch query.
     // The semi-join drops whole buckets only, so the per-bucket cap
     // contents — and therefore the result — are unchanged. The size test
-    // is cheap: batchFp is checkpointed, and the docs-table count reads
-    // parquet footers. A batch that dominates the index probes most
-    // buckets, making the prune pure overhead — skip it there.
-    val storedBands = spark.read.parquet(bandsPath)
+    // is cheap: batchFp is checkpointed, and the corpus size is commit-log
+    // arithmetic (no data files touched). A batch that dominates the index
+    // probes most buckets, making the prune pure overhead — skip it there.
+    val stored = storedBands()
     val preCap =
-      if (batchFp.count() < spark.read.parquet(docsPath).count())
-        storedBands.join(
+      if (batchFp.count() < log.sizeStats()._2)
+        stored.join(
           batchBands.select(col("band"), col("bucket")).distinct(),
           Seq("band", "bucket"), "left_semi")
-      else storedBands
+      else stored
     // cap only the corpus side — a degenerate bucket is a corpus property,
     // and the batch side must never lose a doc's chance to match
     val corpusBands = Dedup.capBuckets(preCap, maxBucketSize)
@@ -105,15 +125,93 @@ case class FingerprintIndex(
     candidates
       .join(batchFp.select(col("id").as("batch_id"),
         col("shingle_hashes").as("sh_b")), Seq("batch_id"))
-      .join(spark.read.parquet(docsPath).select(col("id").as("corpus_id"),
+      .join(storedDocs().select(col("id").as("corpus_id"),
         col("shingle_hashes").as("sh_c")), Seq("corpus_id"))
       .select(col("batch_id"), col("corpus_id"),
         Dedup.jaccard(col("sh_b"), col("sh_c")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
+
+  /** Maintenance snapshot with an explicit compaction verdict — the
+    * [[graft.ml.IvfIndex.maintenance]] discipline for this index's failure
+    * mode: every append adds one small epoch directory, so a month of
+    * nightly appends degrades every read into a many-directory scan, and
+    * appended content can skew band buckets (boilerplate drift) past what
+    * the query-time cap was sized for.
+    *
+    *  - `numEpochs` / `appendedFraction` come from the commit log — free;
+    *  - bucket skew (`maxBucketRows` / mean) is one slim groupBy over the
+    *    stored (band, bucket) keys — the [[graft.ml.IvfIndex.listStats]]
+    *    cost class, cheap enough after every append batch. Skew above
+    *    `maxBucketSize` means query-time caps are truncating (recall loss
+    *    inside those buckets), worth knowing even though it is bounded.
+    */
+  def maintenance(
+      maxEpochs: Int = FingerprintIndex.DefaultMaxEpochs,
+      maxAppendedFraction: Double = FingerprintIndex.DefaultMaxAppendedFraction)
+      : FingerprintIndex.Maintenance = {
+    val (nEpochs, total, appended) = log.sizeStats()
+    val bucketAgg = storedBands()
+      .groupBy(col("band"), col("bucket")).agg(count(lit(1)).as("n"))
+      .agg(max(col("n")).as("mx"), avg(col("n")).as("mean"),
+        count(lit(1)).as("buckets"))
+      .collect().head
+    val maxBucket = if (bucketAgg.isNullAt(0)) 0L else bucketAgg.getLong(0)
+    val meanBucket = if (bucketAgg.isNullAt(1)) 0.0 else bucketAgg.getDouble(1)
+    val appendedFraction = if (total > 0) appended.toDouble / total else 0.0
+    FingerprintIndex.Maintenance(
+      numEpochs = nEpochs,
+      nDocs = total,
+      appendedFraction = appendedFraction,
+      maxBucketRows = maxBucket,
+      meanBucketRows = meanBucket,
+      bucketSkew = if (meanBucket > 0) maxBucket / meanBucket else 0.0,
+      needsCompaction = nEpochs > maxEpochs || appendedFraction > maxAppendedFraction)
+  }
+
+  /** Rewrite all committed epochs into one — the dedupBatch result is
+    * unchanged by construction (same rows, one directory per layout). The
+    * replace commit is the atomic cutover; dead epoch directories are
+    * deleted best-effort afterwards (a crash between the two leaves
+    * harmless invisible orphans).
+    */
+  def compact(): Unit = {
+    if (log.committedEpochs().lengthCompare(1) <= 0) return
+    val target = log.nextEpoch()
+    val obs = Observation()
+    storedDocs().observe(obs, count(lit(1)).as("n"))
+      .write.mode("overwrite").parquet(s"$docsPath/epoch=$target")
+    storedBands()
+      .write.mode("overwrite").parquet(s"$bandsPath/epoch=$target")
+    val stale = log.committedEpochs()
+    log.commit(target, "replace", obs.get("n").asInstanceOf[Long])
+    stale.foreach { e =>
+      log.deleteDir(s"$docsPath/epoch=$e")
+      log.deleteDir(s"$bandsPath/epoch=$e")
+    }
+  }
 }
 
 object FingerprintIndex {
+
+  /** Compaction triggers: epoch-directory proliferation (every read lists
+    * and opens one directory per append) and appended fraction (mirrors
+    * [[graft.ml.IvfIndex.DefaultMaxAppendedFraction]] — not a correctness
+    * signal here, but the same "most of the index post-dates the build"
+    * drift marker).
+    */
+  val DefaultMaxEpochs: Int = 8
+  val DefaultMaxAppendedFraction: Double = 0.5
+
+  /** Maintenance snapshot — see [[FingerprintIndex.maintenance]]. */
+  case class Maintenance(
+      numEpochs: Int,
+      nDocs: Long,
+      appendedFraction: Double,
+      maxBucketRows: Long,
+      meanBucketRows: Double,
+      bucketSkew: Double,
+      needsCompaction: Boolean)
 
   /** Build a fresh index from the current corpus. */
   def build(
@@ -133,7 +231,8 @@ object FingerprintIndex {
       .toDF("shingle_len", "num_hashes", "bands", "seed")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
     val idx = FingerprintIndex(spark, path, shingleLen, numHashes, bands, seed)
-    idx.writeSlice(docs, idCol, textCol, "overwrite") // replaces stale layouts
+    val n = idx.writeSlice(docs, idCol, textCol, epoch = 0L)
+    EpochLog(spark, path).reset(n) // replaces any stale commit history
     idx
   }
 

@@ -1,0 +1,269 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Observation, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted 64-bit-fingerprint index — [[FingerprintIndex]]'s sibling for
+  * the HAMMING near-dup families: SimHash text fingerprints
+  * ([[Dedup.nearDupPairsSimHash]]) and image perceptual hashes
+  * ([[graft.multimodal.Multimodal.imageDHash]]). Those operators recompute
+  * fingerprints from raw text / decoded pixels on every run — for images
+  * that recompute includes a full image decode, exactly the corpus-side
+  * waste [[FingerprintIndex]] eliminated for MinHash. Here the corpus is
+  * fingerprinted once at ingest (the reference's index-persistence
+  * discipline, performance/hnsw_index.py:105-129) and batches dedup against
+  * the stored layouts; raw corpus media is never touched again.
+  *
+  * Layout (epoch-sliced, atomically committed via [[EpochLog]] like
+  * [[FingerprintIndex]]):
+  *
+  *  - `{path}/fps/epoch=N`   — (id, fp): the id expansion side;
+  *  - `{path}/bands/epoch=N` — (fp, band, bucket) over the slice's DISTINCT
+  *    fps: banding is a function of the fp alone, so candidates are
+  *    generated per distinct fingerprint and duplicate-heavy corpora
+  *    (boilerplate, re-encoded images) cost candidate work once per
+  *    distinct fp, not per row — the [[Dedup.nearDupPairsHamming64]]
+  *    collapse, persisted. Appends may re-add a fp's band rows (dedup
+  *    against the standing corpus would cost an O(corpus) anti-join per
+  *    append); the candidate stage drops duplicates, and [[compact]]
+  *    re-distincts the layout.
+  *  - `{path}/meta` — (n_bands, kind, seed): banding geometry is INDEX
+  *    STATE (a batch banded under a different split would silently match
+  *    nothing); `kind` records the fingerprint family ("simhash", "dhash",
+  *    ...) so a loaded index can refuse fps produced by a different
+  *    extractor; `seed` is the text-side SimHash seed (informational for
+  *    external fingerprints).
+  *
+  * Unlike MinHash there is NO separate verify payload: the fingerprint IS
+  * the verify (hamming is computed directly on the candidate join's fp
+  * pair), so the only per-row state is 16 bytes.
+  */
+case class HammingIndex(
+    spark: SparkSession,
+    path: String,
+    nBands: Int,
+    kind: String,
+    seed: Long) {
+
+  def fpsPath: String = s"$path/fps"
+  def bandsPath: String = s"$path/bands"
+  private val log = EpochLog(spark, path)
+
+  def storedFps(): DataFrame = spark.read.parquet(log.layoutPaths(fpsPath): _*)
+  def storedBands(): DataFrame = spark.read.parquet(log.layoutPaths(bandsPath): _*)
+
+  /** Append a pre-fingerprinted slice — O(batch), atomic (both layouts
+    * become visible together or not at all). Returns rows appended.
+    */
+  def append(fps: DataFrame, idCol: String, fpCol: String): Long = {
+    val epoch = log.nextEpoch()
+    val n = writeSlice(fps, idCol, fpCol, epoch)
+    log.commit(epoch, "add", n)
+    n
+  }
+
+  /** Append a text slice, fingerprinting with the index's SimHash params. */
+  def appendText(docs: DataFrame, idCol: String, textCol: String): Long = {
+    require(kind == "simhash",
+      s"appendText fingerprints with SimHash; this index stores kind=$kind")
+    append(HammingIndex.simhashFps(docs, idCol, textCol, seed), "id", "fp")
+  }
+
+  private[operators] def writeSlice(
+      fps: DataFrame, idCol: String, fpCol: String, epoch: Long): Long = {
+    val slim = fps.select(col(idCol).cast("long").as("id"),
+      col(fpCol).cast("long").as("fp")).localCheckpoint(true)
+    val obs = Observation()
+    slim.observe(obs, count(lit(1)).as("n"))
+      .write.mode("overwrite").parquet(s"$fpsPath/epoch=$epoch")
+    HammingIndex.banded(slim.select(col("fp")).distinct(), nBands)
+      .write.mode("overwrite").parquet(s"$bandsPath/epoch=$epoch")
+    obs.get("n").asInstanceOf[Long]
+  }
+
+  /** Which batch rows near-duplicate an INDEXED row:
+    * (batch_id, corpus_id, hamming) with hamming <= maxHamming. Recall is
+    * the banding pigeonhole: GUARANTEED total for maxHamming < nBands
+    * (fewer than nBands differing bits leave some band identical), so with
+    * the default geometry the result is exact, not approximate. Precision
+    * is exact always (hamming is computed on the fp pair itself).
+    *
+    * Scale shape: candidates join DISTINCT fps — batch bands x stored
+    * bands on (band, bucket), both sides slim longs; the stored side is
+    * pruned to probed buckets BEFORE the dedup/cap machinery (a nightly
+    * batch probes a vanishing fraction of the corpus's buckets). Ids enter
+    * only in the final expansion joins. Raw text/pixels never appear.
+    */
+  def dedupBatch(
+      batchFps: DataFrame,
+      idCol: String,
+      fpCol: String,
+      maxHamming: Int = 3,
+      maxBucketSize: Int = 1000): DataFrame = {
+    val batch = batchFps.select(col(idCol).cast("long").as("id"),
+      col(fpCol).cast("long").as("fp")).localCheckpoint(true)
+    val batchDistinct = batch.select(col("fp")).distinct()
+    val batchBands = HammingIndex.banded(batchDistinct, nBands)
+    val stored = storedBands()
+    // prune stored bands to probed buckets first (cheap semi-join; unprobed
+    // buckets cannot produce candidates), then bound pathological buckets:
+    // at most maxBucketSize DISTINCT corpus fps per (band, bucket), lowest
+    // fps kept — deterministic, and a bucket that full is boilerplate.
+    val preCap = stored
+      .join(batchBands.select(col("band"), col("bucket")).distinct(),
+        Seq("band", "bucket"), "left_semi")
+      // appends may have re-recorded a fp's band rows; candidates must not
+      // count a (fp, band, bucket) twice against the cap
+      .dropDuplicates("fp", "band", "bucket")
+    val wBucket = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band"), col("bucket")).orderBy(col("fp"))
+    val corpusBands = preCap
+      .withColumn("_rn", row_number().over(wBucket))
+      .filter(col("_rn") <= maxBucketSize)
+      .drop("_rn")
+    val candFps = batchBands.as("b").join(corpusBands.as("c"),
+        col("b.band") === col("c.band") && col("b.bucket") === col("c.bucket"))
+      .select(col("b.fp").as("fp_b"), col("c.fp").as("fp_c"))
+      .dropDuplicates("fp_b", "fp_c")
+      .withColumn("hamming",
+        Dedup.hamming64(col("fp_b"), col("fp_c")).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+    candFps
+      .join(batch.select(col("id").as("batch_id"), col("fp").as("fp_b")),
+        Seq("fp_b"))
+      .join(storedFps().select(col("id").as("corpus_id"), col("fp").as("fp_c")),
+        Seq("fp_c"))
+      .select(col("batch_id"), col("corpus_id"), col("hamming"))
+  }
+
+  /** Text-batch convenience: SimHash the batch with the index's params and
+    * dedup against the store — corpus text is never re-read or re-hashed.
+    */
+  def dedupBatchText(
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxHamming: Int = 3,
+      maxBucketSize: Int = 1000): DataFrame = {
+    require(kind == "simhash",
+      s"dedupBatchText fingerprints with SimHash; this index stores kind=$kind")
+    dedupBatch(HammingIndex.simhashFps(batch, idCol, textCol, seed),
+      "id", "fp", maxHamming, maxBucketSize)
+  }
+
+  /** Maintenance snapshot — same triggers as
+    * [[FingerprintIndex.maintenance]] (epoch proliferation + appended
+    * fraction, free from the commit log; bucket skew from one slim scan).
+    */
+  def maintenance(
+      maxEpochs: Int = FingerprintIndex.DefaultMaxEpochs,
+      maxAppendedFraction: Double = FingerprintIndex.DefaultMaxAppendedFraction)
+      : FingerprintIndex.Maintenance = {
+    val (nEpochs, total, appended) = log.sizeStats()
+    val bucketAgg = storedBands().dropDuplicates("fp", "band", "bucket")
+      .groupBy(col("band"), col("bucket")).agg(count(lit(1)).as("n"))
+      .agg(max(col("n")).as("mx"), avg(col("n")).as("mean"))
+      .collect().head
+    val maxBucket = if (bucketAgg.isNullAt(0)) 0L else bucketAgg.getLong(0)
+    val meanBucket = if (bucketAgg.isNullAt(1)) 0.0 else bucketAgg.getDouble(1)
+    val appendedFraction = if (total > 0) appended.toDouble / total else 0.0
+    FingerprintIndex.Maintenance(
+      numEpochs = nEpochs,
+      nDocs = total,
+      appendedFraction = appendedFraction,
+      maxBucketRows = maxBucket,
+      meanBucketRows = meanBucket,
+      bucketSkew = if (meanBucket > 0) maxBucket / meanBucket else 0.0,
+      needsCompaction = nEpochs > maxEpochs || appendedFraction > maxAppendedFraction)
+  }
+
+  /** Rewrite all committed epochs into one, re-distincting the band layout
+    * (appends may have duplicated a fp's band rows). dedupBatch output is
+    * unchanged by construction.
+    */
+  def compact(): Unit = {
+    if (log.committedEpochs().lengthCompare(1) <= 0) return
+    val target = log.nextEpoch()
+    val obs = Observation()
+    storedFps().observe(obs, count(lit(1)).as("n"))
+      .write.mode("overwrite").parquet(s"$fpsPath/epoch=$target")
+    storedBands().dropDuplicates("fp", "band", "bucket")
+      .write.mode("overwrite").parquet(s"$bandsPath/epoch=$target")
+    val stale = log.committedEpochs()
+    log.commit(target, "replace", obs.get("n").asInstanceOf[Long])
+    stale.foreach { e =>
+      log.deleteDir(s"$fpsPath/epoch=$e")
+      log.deleteDir(s"$bandsPath/epoch=$e")
+    }
+  }
+}
+
+object HammingIndex {
+
+  /** Build from a pre-fingerprinted frame (image dHash, an external
+    * perceptual hash, or any 64-bit family). `kind` is recorded as index
+    * state so later appends can assert they use the same extractor.
+    */
+  def build(
+      fps: DataFrame,
+      idCol: String,
+      fpCol: String,
+      path: String,
+      nBands: Int = 4,
+      kind: String = "custom",
+      seed: Long = 42L): HammingIndex = {
+    require(64 % nBands == 0, s"nBands must divide 64, got $nBands")
+    val spark = fps.sparkSession
+    import spark.implicits._
+    Seq((nBands, kind, seed)).toDF("n_bands", "kind", "seed")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    val idx = HammingIndex(spark, path, nBands, kind, seed)
+    val n = idx.writeSlice(fps, idCol, fpCol, epoch = 0L)
+    EpochLog(spark, path).reset(n)
+    idx
+  }
+
+  /** Build from raw text via SimHash (the [[Dedup.nearDupPairsSimHash]]
+    * fingerprint function, persisted).
+    */
+  def buildFromText(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      path: String,
+      nBands: Int = 4,
+      seed: Long = 42L): HammingIndex =
+    build(simhashFps(docs, idCol, textCol, seed), "id", "fp", path,
+      nBands, kind = "simhash", seed = seed)
+
+  /** Load a previously built index; banding geometry and fingerprint kind
+    * come from the persisted meta.
+    */
+  def load(spark: SparkSession, path: String): HammingIndex = {
+    val row = spark.read.parquet(s"$path/meta")
+      .select(col("n_bands"), col("kind"), col("seed"))
+      .collect().head
+    HammingIndex(spark, path, row.getInt(0), row.getString(1), row.getLong(2))
+  }
+
+  private[operators] def simhashFps(
+      docs: DataFrame, idCol: String, textCol: String, seed: Long): DataFrame =
+    Dedup.widen(docs).select(
+      col(idCol).cast("long").as("id"),
+      Dedup.simhash(split(col(textCol), " "), seed).as("fp"))
+
+  /** (fp, band, bucket) band keys for a distinct-fp frame: the fp split
+    * into nBands equal bit chunks — the [[Dedup.nearDupPairsHamming64]]
+    * pigeonhole geometry.
+    */
+  private def banded(fps: DataFrame, nBands: Int): DataFrame = {
+    val width = 64 / nBands
+    val mask = if (width == 64) -1L else (1L << width) - 1
+    val chunks = array((0 until nBands).map { j =>
+      struct(lit(j).as("band"),
+        shiftright(col("fp"), j * width).bitwiseAND(lit(mask)).as("bucket"))
+    }: _*)
+    fps.select(col("fp"), explode(chunks).as("bb"))
+      .select(col("fp"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+  }
+}

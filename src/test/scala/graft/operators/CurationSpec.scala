@@ -220,6 +220,34 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
       brute.sortBy(r => (r._2, r._3)).toSeq)
   }
 
+  test("stratifiedTake: a group losing EVERY row to the cutoff raises, never vanishes") {
+    // idHash is deterministic, so an adversarial id set CAN put a whole
+    // group above the cutoff — build one by mirroring the hash in exact
+    // BigInt arithmetic and keeping only above-cutoff ids
+    val n = 1; val margin = 2.0; val gc = 200
+    val cutoff = math.ceil((margin * n + 64.0) / gc * 4294967296.0).toLong
+    def h(id: Long): Long =
+      ((BigInt(id) % BigInt(4294967296L)) * BigInt(2654435761L) %
+        BigInt(4294967296L)).toLong
+    val badIds = Iterator.from(0).map(_.toLong).filter(h(_) >= cutoff)
+      .take(gc).toSeq
+    val okIds = (1000000L until 1000000L + gc).toSeq // ~2/3 survive the cutoff
+    val df = (badIds.map((_, "bad")) ++ okIds.map((_, "ok"))).toDF("id", "src")
+    val e = intercept[Exception] {
+      Curation.stratifiedTake(df, "id", "src", n = n, margin = margin).collect()
+    }
+    def messages(t: Throwable): String =
+      if (t == null) "" else t.getMessage + "\n" + messages(t.getCause)
+    assert(messages(e).contains("kept no rows at all in group bad"),
+      s"expected the vanished-group guard to fire, got: ${messages(e)}")
+    // with the check off, the documented uniform-hash behavior: the group
+    // silently drops out and every other group still meets its contract
+    val relaxed = Curation.stratifiedTake(df, "id", "src", n = n,
+        margin = margin, verifyGroups = false)
+      .as[(Long, String, Long)].collect()
+    assert(!relaxed.exists(_._2 == "bad") && relaxed.count(_._2 == "ok") == n)
+  }
+
   test("stratifiedTake is reproducible and seed-sensitive") {
     val df = (0L until 300L).map(i => (i, s"s${i % 3}")).toDF("id", "src")
     def pick(seed: Long): Set[Long] =

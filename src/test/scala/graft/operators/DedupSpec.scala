@@ -313,10 +313,35 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
   }
 
   test("widen: shuffled lineage is returned untouched (no extra exchange)") {
-    val agg = spark.range(0, 100, 1, numPartitions = 1).toDF("id")
+    val agg = spark.range(0, 100, 1, numPartitions = 4).toDF("id")
       .groupBy($"id" % 7).count()
     assert(Dedup.widen(agg) eq agg,
       "a lineage that already shuffles is shuffle.partitions wide by " +
         "construction and must not be re-examined or repartitioned")
+  }
+
+  test("widen: an exchange-free aggregate over one partition IS widened") {
+    // a 1-partition child satisfies any clustered distribution, so the
+    // aggregate plans with NO exchange — the logical has-an-Aggregate test
+    // used to wave this 1-partition plan through untouched
+    val p = spark.sparkContext.defaultParallelism
+    val agg = spark.range(0, 100, 1, numPartitions = 1).toDF("id")
+      .groupBy($"id" % 7).count()
+    assert(Dedup.widen(agg).rdd.getNumPartitions == p)
+  }
+
+  test("widen: a broadcast-join lineage over a 1-partition scan is still widened") {
+    // a broadcast hash join adds NO exchange on its streamed side, so the
+    // logical has-a-Join test used to wave this plan through 1-partition —
+    // the physical shuffle-exchange test must catch it
+    val p = spark.sparkContext.defaultParallelism
+    val narrow = spark.range(0, 100, 1, numPartitions = 1).toDF("id")
+    val dim = spark.range(0, 10, 1, numPartitions = 1).toDF("id")
+    val joined = narrow.join(broadcast(dim), Seq("id"))
+    assert(joined.queryExecution.sparkPlan.toString.contains("BroadcastHashJoin"),
+      "precondition: the join must plan as broadcast")
+    assert(Dedup.widen(joined).rdd.getNumPartitions == p,
+      "broadcast joins leave the streamed side's width untouched — a " +
+        "1-partition scan behind one must still widen")
   }
 }

@@ -69,4 +69,57 @@ class FingerprintIndexSpec extends AnyFunSuite with SparkSpec {
     assert(scans.nonEmpty, s"expected stored-layout scans in:\n$plan")
     assert(!plan.contains("CartesianProduct"), s"no product join:\n$plan")
   }
+
+  test("a failed append (uncommitted epoch) is invisible and self-heals") {
+    val p = java.nio.file.Files.createTempDirectory("graft_fpidx_atomic").toString
+    val idx = FingerprintIndex.build(docs.filter($"doc_id" < 200),
+      "doc_id", "text", p)
+    val batch = docs.filter($"doc_id" >= 400)
+    val before = pairs(idx.dedupBatch(batch, "doc_id", "text", 0.5))
+    // simulate a crash mid-append: the epoch directories land but the
+    // commit row never does — exactly the torn state the advisor flagged
+    idx.writeSlice(docs.filter($"doc_id" >= 200 && $"doc_id" < 400),
+      "doc_id", "text", epoch = 1L)
+    assert(pairs(idx.dedupBatch(batch, "doc_id", "text", 0.5)) == before,
+      "an uncommitted epoch must never contribute candidates or verify rows")
+    assert(idx.maintenance().nDocs == 200L,
+      "stats must count committed rows only")
+    // the retried append reuses and overwrites the orphan epoch: no
+    // double-applied docs, result identical to a clean one-shot build
+    idx.append(docs.filter($"doc_id" >= 200 && $"doc_id" < 400),
+      "doc_id", "text")
+    val oneShot = FingerprintIndex.build(docs.filter($"doc_id" < 400),
+      "doc_id", "text",
+      java.nio.file.Files.createTempDirectory("graft_fpidx_atomic1").toString)
+    assert(pairs(idx.dedupBatch(batch, "doc_id", "text", 0.5)) ==
+      pairs(oneShot.dedupBatch(batch, "doc_id", "text", 0.5)))
+    assert(idx.maintenance().nDocs == 400L)
+  }
+
+  test("maintenance flags epoch proliferation; compact resets it and preserves results") {
+    val p = java.nio.file.Files.createTempDirectory("graft_fpidx_maint").toString
+    val idx = FingerprintIndex.build(docs.filter($"doc_id" < 100),
+      "doc_id", "text", p)
+    (0 until 3).foreach { i =>
+      idx.append(docs.filter($"doc_id" >= 100 * (i + 1) &&
+        $"doc_id" < 100 * (i + 2)), "doc_id", "text")
+    }
+    val m = idx.maintenance(maxEpochs = 2)
+    assert(m.numEpochs == 4 && m.nDocs == 400L)
+    assert(m.appendedFraction == 0.75, "3 of 4 slices post-date the build")
+    assert(m.needsCompaction, "either trigger (epochs, appended) suffices")
+    assert(m.maxBucketRows >= 1L && m.bucketSkew >= 1.0)
+    val batch = docs.filter($"doc_id" >= 400)
+    val before = pairs(idx.dedupBatch(batch, "doc_id", "text", 0.5))
+    idx.compact()
+    val after = idx.maintenance(maxEpochs = 2)
+    assert(after.numEpochs == 1 && after.nDocs == 400L &&
+      after.appendedFraction == 0.0 && !after.needsCompaction)
+    assert(pairs(idx.dedupBatch(batch, "doc_id", "text", 0.5)) == before,
+      "compaction must preserve dedupBatch output exactly")
+    // dead epoch directories are actually gone (reads would only ignore
+    // them, but a month of nightly appends must not hoard disk)
+    val live = new java.io.File(s"$p/docs").listFiles().map(_.getName).toSet
+    assert(live == Set("epoch=4"), s"expected only the compacted epoch, got $live")
+  }
 }

@@ -1,0 +1,115 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.multimodal.{ImageCodec, Multimodal}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class HammingIndexSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = spark.read
+    .parquet("/root/testdata/sf0.001/documents.parquet")
+    .select($"doc_id", $"text").cache()
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  private def triples(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long)] =
+    df.as[(Long, Long, Long)].collect().toSet
+
+  /** Exact batch x corpus Hamming pairs — the brute-force truth the index
+    * must reproduce EXACTLY (pigeonhole: maxHamming < nBands is total
+    * recall, and the verify is the fp pair itself).
+    */
+  private def bruteText(
+      corpus: org.apache.spark.sql.DataFrame,
+      batch: org.apache.spark.sql.DataFrame,
+      maxHamming: Int): Set[(Long, Long, Long)] = {
+    def fps(df: org.apache.spark.sql.DataFrame) = df.select(
+      $"doc_id".cast("long").as("id"),
+      Dedup.simhash(split($"text", " "), 42L).as("fp"))
+    triples(fps(batch).as("b").crossJoin(fps(corpus).as("c"))
+      .select(col("b.id").as("batch_id"), col("c.id").as("corpus_id"),
+        Dedup.hamming64(col("b.fp"), col("c.fp")).cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming))
+  }
+
+  test("indexed SimHash batch dedup equals brute-force cross Hamming exactly") {
+    val corpus = docs.filter($"doc_id" < 400)
+    val batch = docs.filter($"doc_id" >= 400)
+    val idx = HammingIndex.buildFromText(corpus, "doc_id", "text", tmp("graft_hidx"))
+    val got = triples(idx.dedupBatchText(batch, "doc_id", "text", maxHamming = 3))
+    assert(got == bruteText(corpus, batch, 3))
+    assert(got.nonEmpty, "testdata is known to contain cross-split near-dups")
+  }
+
+  test("append is equivalent to building on the grown corpus; kind is enforced") {
+    val idx = HammingIndex.buildFromText(docs.filter($"doc_id" < 200),
+      "doc_id", "text", tmp("graft_hidx_app"))
+    val n = idx.appendText(docs.filter($"doc_id" >= 200 && $"doc_id" < 400),
+      "doc_id", "text")
+    assert(n == 200L)
+    val batch = docs.filter($"doc_id" >= 400)
+    assert(triples(idx.dedupBatchText(batch, "doc_id", "text", 3)) ==
+      bruteText(docs.filter($"doc_id" < 400), batch, 3))
+    // an index of external fingerprints must refuse the SimHash text path
+    val ext = HammingIndex.build(docs.limit(5).select(
+        $"doc_id".as("id"), $"doc_id".as("fp")),
+      "id", "fp", tmp("graft_hidx_kind"), kind = "dhash")
+    val e = intercept[IllegalArgumentException] {
+      ext.appendText(docs.limit(1), "doc_id", "text")
+    }
+    assert(e.getMessage.contains("kind=dhash"))
+  }
+
+  test("image dHash corpus: batch of re-encoded copies dedups without re-decoding") {
+    // 10 deterministic-noise PPM originals form the corpus; the batch holds
+    // PNG re-encodings of the first 5 (different bytes, same pixels -> same
+    // dHash) plus 3 fresh images that must not match
+    def noiseImage(seed: Int): ImageCodec.RawImage = {
+      val rnd = new java.util.Random(seed.toLong)
+      val rgb = new Array[Byte](64 * 64 * 3)
+      rnd.nextBytes(rgb)
+      ImageCodec.RawImage(64, 64, rgb)
+    }
+    def row(id: Long, bytes: Array[Byte]) =
+      Multimodal.MediaRow(id, "image", bytes, Multimodal.MediaMeta(64, 64, "img", 0))
+    val corpus = spark.createDataset((0 until 10).map(i =>
+      row(i.toLong, ImageCodec.encodePpm(noiseImage(i)))))
+    val batch = spark.createDataset(
+      (0 until 5).map(i => row(100L + i, ImageCodec.encodePng(noiseImage(i)))) ++
+        (20 until 23).map(i => row(200L + i, ImageCodec.encodePpm(noiseImage(i)))))
+    val idx = HammingIndex.build(Multimodal.imageDHash(corpus), "media_id", "fp",
+      tmp("graft_hidx_img"), kind = "dhash")
+    val got = triples(idx.dedupBatch(Multimodal.imageDHash(batch), "media_id", "fp",
+      maxHamming = 3))
+    assert(got == (0 until 5).map(i => (100L + i, i.toLong, 0L)).toSet, s"got $got")
+  }
+
+  test("a failed append is invisible; compact preserves results and re-distincts bands") {
+    val p = tmp("graft_hidx_maint")
+    val idx = HammingIndex.buildFromText(docs.filter($"doc_id" < 100),
+      "doc_id", "text", p)
+    // torn append: epoch directories land, commit row does not
+    idx.writeSlice(HammingIndex.simhashFps(docs.filter($"doc_id" >= 100 &&
+      $"doc_id" < 200), "doc_id", "text", 42L), "id", "fp", epoch = 1L)
+    assert(idx.maintenance().nDocs == 100L, "uncommitted epoch must not count")
+    val batch = docs.filter($"doc_id" >= 400)
+    val before100 = triples(idx.dedupBatchText(batch, "doc_id", "text", 3))
+    assert(before100 == bruteText(docs.filter($"doc_id" < 100), batch, 3))
+    // retried append self-heals; two more appends to provoke compaction
+    (1 to 3).foreach { i =>
+      idx.appendText(docs.filter($"doc_id" >= 100 * i && $"doc_id" < 100 * (i + 1)),
+        "doc_id", "text")
+    }
+    val m = idx.maintenance(maxEpochs = 2)
+    assert(m.numEpochs == 4 && m.nDocs == 400L && m.needsCompaction)
+    val before = triples(idx.dedupBatchText(batch, "doc_id", "text", 3))
+    idx.compact()
+    assert(!idx.maintenance(maxEpochs = 2).needsCompaction)
+    assert(triples(idx.dedupBatchText(batch, "doc_id", "text", 3)) == before)
+    assert(idx.storedBands().groupBy("fp", "band", "bucket").count()
+      .filter($"count" > 1).isEmpty, "compaction re-distincts the band layout")
+  }
+}
