@@ -102,6 +102,23 @@ object SparkEntry {
     operators.HammingIndex.load(s, path)
   }
 
+  /** One segment-hash index build per (JVM, sf dir) for q65 — the corpus
+    * half's (doc_id < 400) distinct segment hashes persisted once (token
+    * granularity, matching q57's instantiation), batches cleaned against
+    * the stored set.
+    */
+  private val segPaths = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def segmentIndexFor(s: SparkSession, dir: String): operators.SegmentIndex = {
+    val path = segPaths.computeIfAbsent(dir, _ => {
+      val p = tempIndexDir("graft_seg_entry")
+      operators.SegmentIndex.build(
+        t(s, dir, "documents").filter(col("doc_id") < 400), "doc_id", "text",
+        p, delimiter = " ")
+      p
+    })
+    operators.SegmentIndex.load(s, path)
+  }
+
   /** Deterministic IVF twin for the recall sweep (q46): coarse quantizer =
     * the first 8 corpus embeddings (vec_id < 8), NOT k-means — so the whole
     * index (assignment, probe order, pruned search) is a pure argmax the
@@ -979,7 +996,17 @@ object SparkEntry {
       hammingIndexFor(s, dir).dedupBatch(
         t(s, dir, "documents").filter(col("doc_id") >= 400)
           .select(col("doc_id"), portableFp(col("doc_id")).as("fp")),
-        "doc_id", "fp", maxHamming = 3))
+        "doc_id", "fp", maxHamming = 3)),
+
+    // Incremental paragraph dedup: the batch (doc_id >= 400) cleaned
+    // against the corpus's PERSISTED segment-hash set + keep-first within
+    // the batch — equivalent to the corpus-wide q57 recipe restricted to
+    // batch docs (corpus ids all precede batch ids), but corpus text is
+    // never re-read: the stored hash table is scanned in place, probe
+    // hashes broadcast out, hits broadcast back.
+    "q65_paragraph_dedup_incr" -> ((s, dir) =>
+      segmentIndexFor(s, dir).dedupBatch(
+        t(s, dir, "documents").filter(col("doc_id") >= 400), "doc_id", "text"))
   )
 
   /** Domain-mixing keep-rates for q42 — src{0,4,8,...} full, then 0.5 /
@@ -1873,7 +1900,31 @@ object SparkEntry {
         |  CAST(bit_count(xor(b.fp, c.fp)) AS BIGINT) AS hamming
         |FROM f b, f c
         |WHERE b.doc_id >= 400 AND c.doc_id < 400
-        |  AND bit_count(xor(b.fp, c.fp)) <= 3""".stripMargin
+        |  AND bit_count(xor(b.fp, c.fp)) <= 3""".stripMargin,
+
+    // The q57 keep-first recipe with the corpus half lifted into a
+    // membership set: a batch segment survives iff it is fresh against the
+    // corpus AND the first batch occurrence; sub-floor (empty) segments
+    // are exempt structure. String identity here == hash identity in the
+    // operator barring 64-bit collisions (the q57 trade).
+    "q65_paragraph_dedup_incr" ->
+      """WITH parts AS (SELECT doc_id, string_split(text, ' ') AS p FROM documents),
+        |segs AS (
+        |  SELECT d.doc_id, CAST(u.i AS BIGINT) AS pos, d.p[u.i] AS seg
+        |  FROM parts d, unnest(generate_series(1, len(d.p))) AS u(i)),
+        |corpus AS (
+        |  SELECT DISTINCT seg FROM segs WHERE doc_id < 400 AND len(seg) >= 1),
+        |ranked AS (
+        |  SELECT doc_id, pos, seg, len(seg) >= 1 AS qual,
+        |    row_number() OVER (PARTITION BY seg ORDER BY doc_id, pos) AS rn,
+        |    seg IN (SELECT seg FROM corpus) AS inc
+        |  FROM segs WHERE doc_id >= 400)
+        |SELECT doc_id,
+        |  coalesce(string_agg(CASE WHEN NOT qual OR (rn = 1 AND NOT inc) THEN seg END,
+        |    ' ' ORDER BY pos), '') AS cleaned_text,
+        |  CAST(sum(CASE WHEN qual AND (inc OR rn > 1) THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_removed
+        |FROM ranked GROUP BY doc_id""".stripMargin
   )
 
   /** Shared BM25 corpus CTE for q39/q40 oracles — terms (vector, merge,
