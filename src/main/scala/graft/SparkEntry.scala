@@ -1006,7 +1006,37 @@ object SparkEntry {
     // hashes broadcast out, hits broadcast back.
     "q65_paragraph_dedup_incr" -> ((s, dir) =>
       segmentIndexFor(s, dir).dedupBatch(
-        t(s, dir, "documents").filter(col("doc_id") >= 400), "doc_id", "text"))
+        t(s, dir, "documents").filter(col("doc_id") >= 400), "doc_id", "text")),
+
+    // ONLINE ingest dedup end to end: corpus (< 400) indexed fresh (the
+    // operator APPENDS, so no memoized state survives a run), batch docs
+    // stream through foreachBatch -> FingerprintIndex.ingestBatch (corpus
+    // match + within-batch keep-vs-accepted sweep) -> survivors appended.
+    // Output: every batch doc with its kept verdict. The oracle replays
+    // the sequential accepted-set semantics with a recursive CTE over the
+    // exact-Jaccard match/pair sets (banding recall is total on this
+    // corpus, the q18/q61 guarantee).
+    "q66_ingest_dedup" -> ((s, dir) => {
+      val idxPath = tempIndexDir("graft_q66_idx")
+      val idx = operators.FingerprintIndex.build(
+        t(s, dir, "documents").filter(col("doc_id") < 400),
+        "doc_id", "text", idxPath)
+      val keptIds = new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Long]()
+      val q = streaming.Streams.ingestDedupStream(
+        streaming.Streams.documentStream(s, dir, glob = Some("documents.parquet"))
+          .filter(col("doc_id") >= 400),
+        idx, "doc_id", "text", threshold = 0.5,
+        onBatch = (kept, _) => kept.select(col("doc_id")).collect()
+          .foreach(r => keptIds.add(r.getLong(0))))
+      try q.processAllAvailable() finally q.stop()
+      import scala.jdk.CollectionConverters._
+      import s.implicits._
+      val keptDf = keptIds.asScala.map(_.longValue).toSeq.toDF("doc_id")
+        .withColumn("kept", lit(true))
+      t(s, dir, "documents").filter(col("doc_id") >= 400).select(col("doc_id"))
+        .join(keptDf, Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("kept"), lit(false)).as("kept"))
+    })
   )
 
   /** Domain-mixing keep-rates for q42 — src{0,4,8,...} full, then 0.5 /
@@ -1924,7 +1954,45 @@ object SparkEntry {
         |    ' ' ORDER BY pos), '') AS cleaned_text,
         |  CAST(sum(CASE WHEN qual AND (inc OR rn > 1) THEN 1 ELSE 0 END) AS BIGINT)
         |    AS n_removed
-        |FROM ranked GROUP BY doc_id""".stripMargin
+        |FROM ranked GROUP BY doc_id""".stripMargin,
+
+    // Sequential accepted-set replay: batch ids walk in ascending order
+    // through a recursive CTE carrying the kept list; a doc drops iff it
+    // exact-Jaccard-matches the corpus (q61's CTE) or a KEPT earlier batch
+    // doc (matching only DROPPED docs does not drop you). MATERIALIZED
+    // pins the quadratic match/pair CTEs to one evaluation.
+    "q66_ingest_dedup" ->
+      """WITH RECURSIVE
+        |s AS MATERIALIZED (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, len(string_split(text,' '))-1),
+        |         i -> array_to_string(list_slice(string_split(text,' '), i, i+2), ' '))) AS sh
+        |  FROM documents),
+        |matched AS MATERIALIZED (
+        |  SELECT DISTINCT b.doc_id FROM s b, s c
+        |  WHERE b.doc_id >= 400 AND c.doc_id < 400
+        |    AND CAST(len(list_intersect(b.sh, c.sh)) AS DOUBLE) /
+        |        (len(b.sh) + len(c.sh) - len(list_intersect(b.sh, c.sh))) >= 0.5),
+        |pairs AS MATERIALIZED (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM s a, s b
+        |  WHERE a.doc_id >= 400 AND b.doc_id >= 400 AND a.doc_id < b.doc_id
+        |    AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |        (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5),
+        |ordered AS MATERIALIZED (
+        |  SELECT doc_id, CAST(row_number() OVER (ORDER BY doc_id) AS BIGINT) AS rn
+        |  FROM documents WHERE doc_id >= 400),
+        |walk AS (
+        |  SELECT CAST(0 AS BIGINT) AS rn, CAST([] AS BIGINT[]) AS kept
+        |  UNION ALL
+        |  SELECT o.rn,
+        |    CASE WHEN o.doc_id IN (SELECT doc_id FROM matched)
+        |           OR EXISTS (SELECT 1 FROM pairs p
+        |                      WHERE p.id_b = o.doc_id AND list_contains(w.kept, p.id_a))
+        |         THEN w.kept
+        |         ELSE list_append(w.kept, o.doc_id) END
+        |  FROM walk w JOIN ordered o ON o.rn = w.rn + 1),
+        |final AS (SELECT kept FROM walk ORDER BY rn DESC LIMIT 1)
+        |SELECT o.doc_id, list_contains(f.kept, o.doc_id) AS kept
+        |FROM ordered o CROSS JOIN final f""".stripMargin
   )
 
   /** Shared BM25 corpus CTE for q39/q40 oracles — terms (vector, merge,

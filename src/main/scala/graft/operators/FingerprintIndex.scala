@@ -132,6 +132,74 @@ case class FingerprintIndex(
       .filter(col("jaccard") >= threshold)
   }
 
+  /** ONLINE ingest dedup — the operator a nightly/streaming crawl actually
+    * runs, composing [[dedupBatch]] (batch vs standing corpus) with a
+    * within-batch sweep and the index append: returns the batch rows that
+    * survive, having appended exactly those to the index so later batches
+    * dedup against them too.
+    *
+    * Semantics (the online "keep what isn't a near-dup of anything
+    * ACCEPTED" contract): batch docs are considered in ascending id order;
+    * a doc is dropped iff it near-duplicates an indexed corpus doc, or a
+    * KEPT lower-id batch doc. Matching only DROPPED docs does not drop you
+    * (a~b~c with a!~c keeps a and c) — which is what makes the outcome
+    * independent of micro-batch grouping: streaming the same docs in one
+    * batch or many (in id order) lands on the identical kept set and
+    * identical final index (StreamsSpec replays both).
+    *
+    * Scale shape: the distributed work is [[dedupBatch]] plus one
+    * [[Dedup.nearDupPairsMinHash]] pass over the BATCH under the index's
+    * own hash parameters — both banded, neither touches corpus text. Only
+    * the batch's match ids and its internal near-dup PAIRS come to the
+    * driver for the sweep (output-bound by near-dup density, capped
+    * fail-fast at `maxSweepEdges` — the [[Dedup.SmallGraphEdgeThreshold]]
+    * discipline); the dropped-id set broadcasts back as one `InSet`.
+    */
+  def ingestBatch(
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double,
+      maxBucketSize: Int = 1000,
+      maxSweepEdges: Int = Dedup.SmallGraphEdgeThreshold.toInt): DataFrame = {
+    val matchedRows = dedupBatch(batch, idCol, textCol, threshold, maxBucketSize)
+      .select(col("batch_id")).distinct().limit(maxSweepEdges + 1).collect()
+    require(matchedRows.length <= maxSweepEdges,
+      s"ingestBatch: corpus-match set exceeds maxSweepEdges=$maxSweepEdges; " +
+        "raise the cap or split the batch")
+    val matched = matchedRows.map(_.getLong(0)).toSet
+    val pairRows = Dedup.nearDupPairsMinHash(batch, idCol, textCol,
+        shingleLen, numHashes, bands, threshold, seed, maxBucketSize)
+      .select(col("id_a"), col("id_b")).limit(maxSweepEdges + 1).collect()
+    require(pairRows.length <= maxSweepEdges,
+      s"ingestBatch: within-batch pair set exceeds maxSweepEdges=" +
+        s"$maxSweepEdges; raise the cap or split the batch")
+
+    // sequential sweep over the (tiny, output-bound) pair graph: process
+    // involved ids ascending; every lower endpoint of an id's pairs was
+    // decided earlier in the same loop
+    val lowerNeighbors = pairRows.map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._2).view.mapValues(_.map(_._1)).toMap
+    val involved = pairRows.flatMap(r => Seq(r.getLong(0), r.getLong(1)))
+      .distinct.sorted
+    val kept = scala.collection.mutable.Map.empty[Long, Boolean]
+    involved.foreach { id =>
+      kept(id) = !matched(id) &&
+        !lowerNeighbors.getOrElse(id, Array.empty[Long]).exists(kept(_))
+    }
+    val dropped: Set[Any] =
+      (matched ++ involved.filterNot(kept(_))).map(_.asInstanceOf[Any])
+
+    import org.apache.spark.sql.graftx.Bridge
+    val keptDf =
+      if (dropped.isEmpty) batch
+      else batch.filter(!Bridge.column(
+        org.apache.spark.sql.catalyst.expressions.InSet(
+          Bridge.expression(col(idCol).cast("long")), dropped)))
+    append(keptDf, idCol, textCol)
+    keptDf
+  }
+
   /** Maintenance snapshot with an explicit compaction verdict — the
     * [[graft.ml.IvfIndex.maintenance]] discipline for this index's failure
     * mode: every append adds one small epoch directory, so a month of

@@ -283,6 +283,46 @@ object Streams {
       }
   }
 
+  // ------------------------------------------------- online ingest dedup
+
+  /** The nightly-crawl shape wired end to end: each micro-batch of
+    * documents is deduped against the PERSISTED fingerprint index
+    * ([[graft.operators.FingerprintIndex.ingestBatch]]: corpus match +
+    * within-batch sweep), survivors are appended to the index (so later
+    * micro-batches dedup against them) and handed to `onBatch` (write to
+    * the store, stats, ...). This is the q50 + q63 composition as ONE
+    * operator — the stream state lives in the durable index, not in Spark
+    * state, so the stream can stop/restart/resume without replay and the
+    * same index serves batch jobs in between.
+    *
+    * Ordering contract: micro-batches apply in arrival order, docs within
+    * a batch in ascending id order; when arrival order is id-nondecreasing
+    * (the ingest timeline), the kept set and final index are independent
+    * of how the stream was chopped into micro-batches (StreamsSpec).
+    */
+  def ingestDedupStream(
+      docs: DataFrame,
+      index: graft.operators.FingerprintIndex,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      threshold: Double = 0.8,
+      checkpoint: Option[String] = None,
+      onBatch: (DataFrame, Long) => Unit = (_, _) => (),
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    val cp = checkpoint.getOrElse(
+      java.nio.file.Files.createTempDirectory("graft_ingest_dedup_cp").toString)
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", cp)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val kept = index.ingestBatch(batch, idCol, textCol, threshold)
+        onBatch(kept, batchId)
+        ()
+      }
+      .start()
+  }
+
   // -------------------------------------------------------- progress stream
 
   /** Schema of one progress event (reference SSE event payload shape,

@@ -96,6 +96,41 @@ class FingerprintIndexSpec extends AnyFunSuite with SparkSpec {
     assert(idx.maintenance().nDocs == 400L)
   }
 
+  test("ingestBatch: keep-vs-ACCEPTED sweep — dropped docs don't drop their matches") {
+    // controlled shingle overlap (12-token docs, 3-token shingles):
+    //   X (corpus); d ~ X (J=8/12), e ~ d only (J=7/13; e vs X = 5/15)
+    //   a fresh;    b ~ a (8/12),   c ~ b only (7/13; c vs a = 5/15)
+    // online semantics: d drops (corpus), e KEEPS (its only match d was
+    // dropped); b drops (matches KEPT a), c KEEPS (its only match b was
+    // dropped). bands=64 (rows=2) makes banding recall effectively total
+    // at J >= 0.5.
+    def doc(tokens: Seq[String]) = tokens.mkString(" ")
+    val x = (1 to 12).map(i => s"x$i")
+    val a = (1 to 12).map(i => s"a$i")
+    val corpus = Seq((1L, doc(x))).toDF("doc_id", "text")
+    val batch = Seq(
+      10L -> doc(a),
+      11L -> doc(a.take(10) ++ Seq("q1", "q2")), // b ~ a
+      12L -> doc(Seq("r1", "r2", "r3") ++ a.slice(3, 10) ++ Seq("q1", "q2")), // c ~ b
+      13L -> doc(x.take(10) ++ Seq("y1", "y2")), // d ~ X
+      14L -> doc(Seq("z1", "z2", "z3") ++ x.slice(3, 10) ++ Seq("y1", "y2")), // e ~ d
+      15L -> doc((1 to 12).map(i => s"f$i")) // fresh
+    ).toDF("doc_id", "text")
+    val idx = FingerprintIndex.build(corpus, "doc_id", "text",
+      java.nio.file.Files.createTempDirectory("graft_fpidx_ing").toString,
+      numHashes = 128, bands = 64)
+    val kept = idx.ingestBatch(batch, "doc_id", "text", threshold = 0.5)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(kept == Set(10L, 12L, 14L, 15L), s"got $kept")
+    assert(idx.maintenance().nDocs == 5L, "corpus + the 4 kept docs")
+    // a fresh batch doc matching KEPT doc e must now drop against the index
+    val next = idx.ingestBatch(
+      Seq(20L -> doc(Seq("z1", "z2", "z3") ++ x.slice(3, 10) ++ Seq("y1", "y2")))
+        .toDF("doc_id", "text"), "doc_id", "text", threshold = 0.5)
+      .select($"doc_id").as[Long].collect()
+    assert(next.isEmpty, "an exact copy of kept doc 14 must drop")
+  }
+
   test("maintenance flags epoch proliferation; compact resets it and preserves results") {
     val p = java.nio.file.Files.createTempDirectory("graft_fpidx_maint").toString
     val idx = FingerprintIndex.build(docs.filter($"doc_id" < 100),

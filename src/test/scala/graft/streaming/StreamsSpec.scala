@@ -13,6 +13,60 @@ class StreamsSpec extends AnyFunSuite with SparkSpec {
 
   private def tempDir(prefix: String) = Files.createTempDirectory(prefix).toString
 
+  test("ingestDedupStream: chopping the stream differently lands on the same index") {
+    // corpus (< 400) is indexed once; batch docs (>= 400) arrive either as
+    // ONE drop or as TWO id-ordered drops split at 480 — the split
+    // separates the corpus's one within-batch near-dup pair (474, 498), so
+    // the two-drop run must drop 498 via the INDEX (474 was appended by
+    // drop 1) where the one-drop run drops it via the within-batch sweep.
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", $"text")
+    val corpus = docs.filter($"doc_id" < 400)
+    val splits = Seq(
+      "one" -> Seq(docs.filter($"doc_id" >= 400)),
+      "two" -> Seq(docs.filter($"doc_id" >= 400 && $"doc_id" < 480),
+        docs.filter($"doc_id" >= 480)))
+    val results = splits.map { case (name, drops) =>
+      val idx = graft.operators.FingerprintIndex.build(corpus, "doc_id", "text",
+        tempDir(s"graft_ingdedup_idx_$name"))
+      val dropDir = tempDir(s"graft_ingdedup_$name")
+      val keptIds = scala.collection.mutable.Set.empty[Long]
+      val src = spark.readStream
+        .schema(StructType(Seq(
+          StructField("doc_id", org.apache.spark.sql.types.LongType),
+          StructField("text", org.apache.spark.sql.types.StringType))))
+        .parquet(dropDir)
+      val q = Streams.ingestDedupStream(src, idx, "doc_id", "text",
+        threshold = 0.5,
+        onBatch = (kept, _) =>
+          keptIds ++= kept.select($"doc_id").as[Long].collect(),
+        trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(
+          "50 milliseconds"))
+      try {
+        drops.foreach { d =>
+          d.write.mode("append").parquet(dropDir)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+      name -> ((keptIds.toSet, idx.maintenance().nDocs))
+    }.toMap
+    val (keptOne, nOne) = results("one")
+    val (keptTwo, nTwo) = results("two")
+    assert(keptOne == keptTwo,
+      s"chopping changed the kept set: only-one=${keptOne -- keptTwo} " +
+        s"only-two=${keptTwo -- keptOne}")
+    assert(nOne == nTwo && nOne == 400L + keptOne.size)
+    // static-path parity: one direct ingestBatch call on a fresh index
+    val staticIdx = graft.operators.FingerprintIndex.build(corpus, "doc_id",
+      "text", tempDir("graft_ingdedup_static"))
+    val staticKept = staticIdx.ingestBatch(docs.filter($"doc_id" >= 400),
+      "doc_id", "text", threshold = 0.5)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(staticKept == keptOne)
+    // and the planted pair really was decided by two different mechanisms
+    assert(!keptOne.contains(498L) && keptOne.contains(474L))
+  }
+
   test("eventRollup over the events parquet matches batch aggregation") {
     val dropDir = tempDir("graft_events_drop")
     Files.copy(
