@@ -1036,6 +1036,68 @@ object SparkEntry {
       t(s, dir, "documents").filter(col("doc_id") >= 400).select(col("doc_id"))
         .join(keptDf, Seq("doc_id"), "left")
         .select(col("doc_id"), coalesce(col("kept"), lit(false)).as("kept"))
+    }),
+
+    // THE FULL PIPELINE as one contract query — quality gate -> PII scrub
+    // (q49's seeded shape: scrub BEFORE dedup, the published ordering —
+    // redaction collapses per-doc-unique PII into shared placeholders; a
+    // segment-rewrite stage would be degenerate here, the synthetic
+    // corpus's 31-word vocabulary makes any df cut all-or-nothing, and the
+    // segment-dedup compositions are locked separately by q53/q57/q65) ->
+    // near-dup drop (lossless prefix join; drop the higher id of any
+    // qualifying pair) -> test-set decontamination against a held-aside
+    // eval slice -> stratified eval carve (excluded from training) ->
+    // deterministic train order -> packing layout IN TRAIN ORDER. Every
+    // stage is an existing oracle-proven operator; what this query locks
+    // is their COMPOSITION: schema hand-offs, determinism across stages,
+    // and the packByOrder/train-order interaction. Output: one row per
+    // packed training doc with its full manifest entry.
+    "q67_pipeline_e2e" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val base = docs.filter(pmod(col("doc_id"), lit(89L)) =!= 0)
+      val bench = docs.filter(pmod(col("doc_id"), lit(89L)) === 0)
+        .select(col("text").as("cleaned_text"))
+      // 1. quality gate (q16's portable stats as a filter)
+      val toks = split(col("text"), " ")
+      val stops = Seq("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
+      val quality = base.select(col("doc_id"), col("source"), col("text"),
+          size(toks).cast("long").as("_nt"),
+          (size(filter(toks, x => x.isin(stops: _*))).cast("double") /
+            size(toks)).as("_sr"))
+        .filter(col("_nt") >= 30L && col("_sr") >= 0.05)
+        .select(col("doc_id"), col("source"), col("text"))
+      // 2. PII scrub (q49's seeded email+IP, all four redaction families
+      // applied in Pii.redact's fixed order)
+      val cleaned = quality.select(col("doc_id"), col("source"),
+        text.Pii.redact(concat(col("text"),
+          lit(" contact user"), col("doc_id"), lit("@example.com from 10.0."),
+          col("doc_id") % 256, lit(".7"))).as("cleaned_text"))
+      // 3. near-dup drop on the CLEANED text (q37's lossless prefix join;
+      // policy: the higher id of any pair >= threshold drops)
+      val pairs = operators.Dedup.nearDupPairsPrefix(cleaned, "doc_id",
+        "cleaned_text", shingleLen = 3, threshold = 0.5)
+      val deduped = cleaned.join(
+        pairs.select(col("id_b").cast("long").as("doc_id")).distinct(),
+        Seq("doc_id"), "left_anti")
+      // 4. decontaminate vs the eval slice (q41, 8-gram overlap)
+      val decon = operators.Curation.decontaminate(deduped, bench, "doc_id",
+        "cleaned_text", ngramLen = 8)
+      val survivors = deduped.join(
+        decon.filter(!col("contaminated")).select(col("id").as("doc_id")),
+        Seq("doc_id"))
+      // 5. stratified eval carve: 2 docs per source held out (q59)
+      val carved = operators.Curation.stratifiedTake(survivors, "doc_id",
+        "source", n = 2, seed = 11L)
+      val train = survivors.join(carved.select(col("doc_id")), Seq("doc_id"),
+        "left_anti")
+      // 6 + 7. train order (q58) feeding the packer (q54's layout, laid
+      // out by epoch position, not crawl id)
+      val order = operators.Curation.trainOrder(train.select(col("doc_id")),
+        "doc_id", numShards = 4, seed = 7L)
+      val withTok = train.select(col("doc_id"),
+        size(split(col("cleaned_text"), " ")).cast("long").as("n_tokens"))
+      operators.Packing.packByOrder(order.join(withTok, Seq("doc_id")),
+        "doc_id", "n_tokens", "shard", "position", contextLen = 128)
     })
   )
 
@@ -1992,7 +2054,88 @@ object SparkEntry {
         |  FROM walk w JOIN ordered o ON o.rn = w.rn + 1),
         |final AS (SELECT kept FROM walk ORDER BY rn DESC LIMIT 1)
         |SELECT o.doc_id, list_contains(f.kept, o.doc_id) AS kept
-        |FROM ordered o CROSS JOIN final f""".stripMargin
+        |FROM ordered o CROSS JOIN final f""".stripMargin,
+
+    // Stage-by-stage CTE replay of the whole pipeline: q16's quality
+    // stats as a gate, q49's seed + fixed-order redaction chain, q22/q61's
+    // exact-Jaccard pair CTE for the near-dup drop, q41's shared-8-gram
+    // test, the q42-hash carve (seed 11) and train order (seed 7), then
+    // q54's running-sum layout partitioned by train shard in train order.
+    "q67_pipeline_e2e" ->
+      """WITH base AS (
+        |  SELECT doc_id, source, text FROM documents WHERE doc_id % 89 <> 0),
+        |bench AS (
+        |  SELECT text FROM documents WHERE doc_id % 89 = 0),
+        |quality AS (
+        |  SELECT doc_id, source, text FROM base
+        |  WHERE len(string_split(text, ' ')) >= 30
+        |    AND CAST(len(list_filter(string_split(text, ' '),
+        |          x -> x IN ('the','a','of','and','to','in','is','on','for','with')))
+        |        AS DOUBLE) / len(string_split(text, ' ')) >= 0.05),
+        |seeded AS (
+        |  SELECT doc_id, source,
+        |    text || ' contact user' || doc_id || '@example.com from 10.0.' ||
+        |      (doc_id % 256) || '.7' AS t
+        |  FROM quality),
+        |cleaned AS (
+        |  SELECT doc_id, source, regexp_replace(regexp_replace(regexp_replace(regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'), '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'), '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g'), '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g') AS ctext FROM seeded),
+        |sh AS (
+        |  SELECT doc_id, source, ctext,
+        |    list_distinct(list_transform(range(1, len(string_split(ctext,' '))-1),
+        |      i -> array_to_string(list_slice(string_split(ctext,' '), i, i+2), ' '))) AS s
+        |  FROM cleaned),
+        |drops AS (
+        |  SELECT DISTINCT b.doc_id FROM sh a, sh b
+        |  WHERE a.doc_id < b.doc_id
+        |    AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+        |        (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5),
+        |deduped AS (
+        |  SELECT doc_id, source, ctext FROM sh
+        |  WHERE doc_id NOT IN (SELECT doc_id FROM drops)),
+        |bgrams AS (
+        |  SELECT DISTINCT array_to_string(list_slice(b.p, u.i, u.i + 7), ' ') AS g
+        |  FROM (SELECT string_split(text, ' ') AS p FROM bench) b,
+        |       unnest(generate_series(1, len(b.p) - 7)) AS u(i)),
+        |cgrams AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(1, len(string_split(ctext,' '))-6),
+        |      i -> array_to_string(list_slice(string_split(ctext,' '), i, i+7), ' '))) AS gs
+        |  FROM deduped),
+        |survivors AS (
+        |  SELECT d.doc_id, d.source, d.ctext FROM deduped d JOIN cgrams c USING (doc_id)
+        |  WHERE NOT EXISTS (SELECT 1 FROM bgrams g WHERE list_contains(c.gs, g.g))),
+        |keyed AS (
+        |  SELECT doc_id, source, ctext,
+        |    ((doc_id + 11) * 2654435761) % 4294967296 AS ckey
+        |  FROM survivors),
+        |carve AS (
+        |  SELECT doc_id FROM (
+        |    SELECT doc_id,
+        |      row_number() OVER (PARTITION BY source ORDER BY ckey, doc_id) AS r
+        |    FROM keyed) WHERE r <= 2),
+        |train AS (
+        |  SELECT doc_id, ctext FROM keyed
+        |  WHERE doc_id NOT IN (SELECT doc_id FROM carve)),
+        |h AS (
+        |  SELECT doc_id, ctext, ((doc_id + 7) * 2654435761) % 4294967296 AS okey
+        |  FROM train),
+        |ord AS (
+        |  SELECT doc_id,
+        |    CAST(okey % 4 AS BIGINT) AS shard,
+        |    CAST(row_number() OVER (PARTITION BY okey % 4 ORDER BY okey, doc_id) - 1
+        |      AS BIGINT) AS position,
+        |    CAST(len(string_split(ctext, ' ')) AS BIGINT) AS n
+        |  FROM h),
+        |packed AS (
+        |  SELECT doc_id, shard, position, n,
+        |    sum(n) OVER (PARTITION BY shard ORDER BY position
+        |                 ROWS UNBOUNDED PRECEDING) AS e
+        |  FROM ord)
+        |SELECT doc_id, shard, position, n AS n_tokens,
+        |  CAST(floor((e - n) / 128) AS BIGINT) AS seq_index,
+        |  CAST((e - n) % 128 AS BIGINT) AS start_offset,
+        |  (n > 0 AND floor((e - 1) / 128) > floor((e - n) / 128)) AS spans_boundary
+        |FROM packed""".stripMargin
   )
 
   /** Shared BM25 corpus CTE for q39/q40 oracles — terms (vector, merge,

@@ -179,16 +179,21 @@ object Curation {
     * that many rows per group reach the exchange + sort. The cutoff is
     * probabilistic (binomial tail), so a runtime `raise_error` guard fails
     * the job loudly if a surviving group falls under the exact-n contract.
-    * The one shape no surviving row can raise on — a group losing EVERY
-    * row — sits under e^-(margin*n + 64) ~ 1e-32 for uniform hash values,
-    * but [[idHash]] is a deterministic multiplicative hash, so an
-    * adversarial/structured id set CAN concentrate every key of a group
-    * above the cutoff; with `verifyGroups` (default) a second pass
-    * anti-joins the broadcast group list against the survivors' groups and
-    * raises on any vanished group, restoring the loud-failure contract
-    * unconditionally. The check re-evaluates the (scan + broadcast-join +
-    * filter) lineage once more; pipelines content with the uniformity
-    * assumption can switch it off.
+    * The one shape that would otherwise have no surviving row to raise on —
+    * a group losing EVERY row (~1e-32 for uniform hashes, but [[idHash]] is
+    * deterministic, so an adversarial id set CAN concentrate a whole group
+    * above the cutoff) — is covered by a SENTINEL row per group, unioned
+    * into the window input after the cutoff filter: every group always has
+    * at least one row carrying the guard, at the cost of one extra row per
+    * group from the already-aggregated counts. Sentinels order after every
+    * real key (idHash < 2^32 < the sentinel key) and are dropped right
+    * after the guard column evaluates.
+    *
+    * (The guard deliberately lives in the rank column BELOW the window —
+    * window outputs are a predicate-pushdown barrier. An error expression
+    * in a plain projected column is NOT safe: a downstream join or filter
+    * predicate on that column gets pushed down by substitution and
+    * evaluates the raise on every row of the branch's scan.)
     */
   def stratifiedTake(
       df: DataFrame,
@@ -196,8 +201,7 @@ object Curation {
       groupCol: String,
       n: Int,
       seed: Long = 0L,
-      margin: Double = 8.0,
-      verifyGroups: Boolean = true): DataFrame = {
+      margin: Double = 8.0): DataFrame = {
     require(n >= 1, s"n must be >= 1, got $n")
     require(margin >= 2.0, s"margin must be >= 2.0, got $margin")
     require(seed >= 0, s"seed must be >= 0, got $seed")
@@ -212,12 +216,22 @@ object Curation {
     val pre = df.select(col(idCol), col(groupCol), key.as("_key"))
       .join(broadcast(counts), Seq(groupCol))
       .filter(col("_key") < cutoff)
+    // one sentinel per group, keyed past every real idHash value: the
+    // guard row for groups whose real rows ALL fell to the cutoff
+    val sentinelKey = 8589934592L // 2^33
+    val sentinels = counts.select(
+      col(groupCol),
+      lit(0).cast(df.schema(idCol).dataType).as(idCol),
+      lit(sentinelKey).as("_key"),
+      col("_gc"))
+    val preAll = pre.select(col(groupCol), col(idCol), col("_key"), col("_gc"))
+      .unionAll(sentinels)
     val byGroup = org.apache.spark.sql.expressions.Window.partitionBy(col(groupCol))
-    val survivors = count(lit(1)).over(byGroup)
+    val survivors = count(lit(1)).over(byGroup) - 1 // minus the sentinel
     val rank = row_number().over(byGroup.orderBy(col("_key"), col(idCol)))
     // the guard lives INSIDE the selected rank column — an unreferenced
     // assertion column would be pruned out of the plan and never evaluate
-    val taken = pre
+    preAll
       .withColumn("rank",
         when(survivors < least(lit(n.toLong), col("_gc")),
           raise_error(concat(
@@ -225,27 +239,8 @@ object Curation {
             col(groupCol).cast("string"),
             lit(s" for n=$n; raise margin (=$margin)"))).cast("int"))
           .otherwise(rank).cast("long"))
-      .filter(col("rank") <= n)
+      .filter(col("rank") <= n && col("_key") < sentinelKey)
       .select(col(idCol), col(groupCol), col("rank"))
-    if (!verifyGroups) taken
-    else {
-      // groups that lost EVERY row to the cutoff carry no surviving row for
-      // the in-column guard to raise on — they would silently vanish. Emit
-      // them as raise_error rows unioned onto the result: empty (a no-op)
-      // whenever every group survived, a loud failure otherwise. Both join
-      // sides are group-cardinality small.
-      val vanished = counts
-        .join(pre.select(col(groupCol)).distinct(), Seq(groupCol), "left_anti")
-      val errRows = vanished.select(
-        raise_error(concat(
-          lit("stratifiedTake: hash cutoff kept no rows at all in group "),
-          col(groupCol).cast("string"),
-          lit(s" for n=$n; raise margin (=$margin)")))
-          .cast(df.schema(idCol).dataType).as(idCol),
-        col(groupCol),
-        lit(null).cast("long").as("rank"))
-      taken.unionAll(errRows)
-    }
   }
 
   /** Gopher-style repetition statistics per document:

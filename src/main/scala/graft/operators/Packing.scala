@@ -63,6 +63,46 @@ object Packing {
             floor((col("_end") - col("_n")) / contextLen)).as("spans_boundary"))
   }
 
+  /** [[packConcatChunk]] with the concat order made EXPLICIT: pack each
+    * given shard in ascending `orderCol` — the composition a training
+    * pipeline actually runs, where [[Curation.trainOrder]] first assigns
+    * (shard, position) and the packer must lay tokens out in that epoch
+    * order rather than by raw id (sequential-id packing would feed the
+    * model the corpus in crawl order; the whole point of the manifest is
+    * the reproducible mix). Same running-sum plan: one window per shard
+    * over slim (id, order, n_tokens) rows — the shuffle reuses the
+    * trainOrder manifest's own (shard) partitioning when composed.
+    *
+    * `(shardCol, orderCol)` pairs must be unique (trainOrder positions
+    * are dense ranks, so they are); the ROWS frame makes the layout
+    * well-defined regardless.
+    */
+  def packByOrder(
+      docs: DataFrame,
+      idCol: String,
+      nTokensCol: String,
+      shardCol: String,
+      orderCol: String,
+      contextLen: Int): DataFrame = {
+    require(contextLen >= 1, s"contextLen must be >= 1, got $contextLen")
+    val w = Window.partitionBy(col("shard")).orderBy(col("position"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .select(col(idCol),
+        col(shardCol).cast("long").as("shard"),
+        col(orderCol).cast("long").as("position"),
+        col(nTokensCol).cast("long").as("_n"))
+      .withColumn("_end", sum(col("_n")).over(w))
+      .select(
+        col(idCol), col("shard"), col("position"),
+        col("_n").as("n_tokens"),
+        floor((col("_end") - col("_n")) / contextLen).as("seq_index"),
+        ((col("_end") - col("_n")) % contextLen).as("start_offset"),
+        (col("_n") > 0 &&
+          floor((col("_end") - 1) / contextLen) >
+            floor((col("_end") - col("_n")) / contextLen)).as("spans_boundary"))
+  }
+
   /** Writer-facing manifest: for every (shard, seq_index), the docs whose
     * FIRST token lands in that block, in order — the unit of work a
     * materialization job consumes (each task renders one sequence by

@@ -238,14 +238,16 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
     }
     def messages(t: Throwable): String =
       if (t == null) "" else t.getMessage + "\n" + messages(t.getCause)
-    assert(messages(e).contains("kept no rows at all in group bad"),
-      s"expected the vanished-group guard to fire, got: ${messages(e)}")
-    // with the check off, the documented uniform-hash behavior: the group
-    // silently drops out and every other group still meets its contract
-    val relaxed = Curation.stratifiedTake(df, "id", "src", n = n,
-        margin = margin, verifyGroups = false)
-      .as[(Long, String, Long)].collect()
-    assert(!relaxed.exists(_._2 == "bad") && relaxed.count(_._2 == "ok") == n)
+    assert(messages(e).contains("kept too few rows in group bad"),
+      s"expected the sentinel guard to fire, got: ${messages(e)}")
+    // the guard must also survive COMPOSITION: a downstream join pushes
+    // IsNotNull/key predicates into the carve's plan, which must not
+    // detonate (or disable) the guard on healthy data — the union-branch
+    // design this sentinel replaced failed exactly here
+    val healthy = (0L until 300L).map(i => (i, s"s${i % 3}")).toDF("id", "src")
+    val carved = Curation.stratifiedTake(healthy, "id", "src", n = 5)
+    val joined = healthy.join(carved.select($"id"), Seq("id"), "left_anti")
+    assert(joined.count() == 300L - 15L)
   }
 
   test("stratifiedTake is reproducible and seed-sensitive") {

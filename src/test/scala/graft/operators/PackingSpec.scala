@@ -124,4 +124,35 @@ class PackingSpec extends AnyFunSuite with SparkSpec {
     // shard 0: 20 tokens -> 3 seqs of 8, waste 4; shard 1: 3 tokens -> 1 seq, waste 5
     assert(stats.toSeq == Seq((0L, 2L, 20L, 3L, 4L), (1L, 1L, 3L, 1L, 5L)))
   }
+
+  test("packByOrder: id-order shards reproduce packConcatChunk; epoch order reorders the stream") {
+    val docs = Seq((0L, 5L), (1L, 3L), (2L, 7L), (3L, 4L), (4L, 6L), (5L, 2L))
+      .toDF("id", "n")
+    // degenerate composition: shard = id % 2, order = id — must equal the
+    // id-ordered packer bit for bit
+    val viaOrder = Packing.packByOrder(
+        docs.select($"id", $"n", pmod($"id", lit(2)).as("sh"), $"id".as("pos")),
+        "id", "n", "sh", "pos", contextLen = 8)
+      .select($"id", $"shard", $"seq_index", $"start_offset", $"spans_boundary")
+      .as[(Long, Long, Long, Long, Boolean)].collect().toSet
+    val viaChunk = Packing.packConcatChunk(docs, "id", "n", contextLen = 8,
+        numShards = 2)
+      .select($"id", $"shard".cast("long"), $"seq_index", $"start_offset",
+        $"spans_boundary")
+      .as[(Long, Long, Long, Long, Boolean)].collect().toSet
+    assert(viaOrder == viaChunk)
+    // a REVERSED epoch order must lay the same tokens out differently:
+    // one shard, order = -id -> doc 5 packs first
+    val rev = Packing.packByOrder(
+        docs.select($"id", $"n", lit(0).as("sh"), (-$"id").as("pos")),
+        "id", "n", "sh", "pos", contextLen = 8)
+      .select($"id", $"position", $"seq_index", $"start_offset")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._2)
+    assert(rev.head._1 == 5L && rev.head._3 == 0L && rev.head._4 == 0L,
+      "the first doc in epoch order starts the stream")
+    // offsets are the running sum in the GIVEN order: 2,6,4,7,3,5 tokens
+    val offs = rev.map(r => (r._1, r._3 * 8 + r._4)).toMap
+    assert(offs == Map(5L -> 0L, 4L -> 2L, 3L -> 8L, 2L -> 12L, 1L -> 19L,
+      0L -> 22L))
+  }
 }
