@@ -1082,9 +1082,14 @@ object SparkEntry {
       // 4. decontaminate vs the eval slice (q41, 8-gram overlap)
       val decon = operators.Curation.decontaminate(deduped, bench, "doc_id",
         "cleaned_text", ngramLen = 8)
+      // pin the curated set: three consumers follow (carve, train anti-join,
+      // token counts) and each would otherwise re-run the whole
+      // quality+scrub+dedup+decontaminate lineage; the frame is
+      // survivor-sized (slim), the upstream is the expensive part
       val survivors = deduped.join(
         decon.filter(!col("contaminated")).select(col("id").as("doc_id")),
         Seq("doc_id"))
+        .localCheckpoint(true)
       // 5. stratified eval carve: 2 docs per source held out (q59)
       val carved = operators.Curation.stratifiedTake(survivors, "doc_id",
         "source", n = 2, seed = 11L)

@@ -155,6 +155,36 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
     assert(!p.contains("CartesianProduct"), s"no product:\n$p")
   }
 
+  test("q64: Hamming-index dedup joins stored fp layouts — slim longs, no products") {
+    val p = plan("q64_hamming_index")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"banding must stay an equi-join:\n$p")
+    assert(!"Exchange hashpartitioning\\([^)]*text".r.findFirstIn(p).isDefined,
+      s"nothing textual may shuffle — this path is (id, fp) longs only:\n$p")
+  }
+
+  test("q65: incremental paragraph dedup never shuffles the corpus hash table") {
+    val p = plan("q65_paragraph_dedup_incr")
+    // the corpus membership probe must be broadcast-shaped: batch hashes
+    // broadcast OUT (semi-join over the stored set scanned in place), hits
+    // broadcast BACK — a hash-exchange of the stored segs is the corpus-
+    // sized shuffle this operator exists to avoid
+    assert(p.contains("BroadcastHashJoin"), s"probe/hits must broadcast:\n$p")
+    assert(!"Exchange hashpartitioning\\([^)]*_seg".r.findFirstIn(p).isDefined,
+      s"segment text must not enter a shuffle:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no product join:\n$p")
+  }
+
+  test("q67: the composed pipeline stays equi-joined end to end") {
+    val p = plan("q67_pipeline_e2e")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"no stage may degrade to a product join:\n$p")
+    // raw text reaches exactly the per-row stages; the wide ops downstream
+    // of cleaning shuffle ids/hashes/counts only
+    assert(!"Exchange hashpartitioning\\([^)]*cleaned_text".r.findFirstIn(p).isDefined,
+      s"cleaned text must not enter a shuffle:\n$p")
+  }
+
   test("q45: as-of join is union-and-sweep — one shuffle, no product join") {
     val p = plan("q45_asof_join")
     val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length

@@ -155,4 +155,40 @@ class PackingSpec extends AnyFunSuite with SparkSpec {
     assert(offs == Map(5L -> 0L, 4L -> 2L, 3L -> 8L, 2L -> 12L, 1L -> 19L,
       0L -> 22L))
   }
+
+  test("packing denominated in REAL tokenizer tokens: BpeCount feeds the layout") {
+    // context budgets are what a training pipeline actually allocates in
+    // BPE tokens, not whitespace words — packConcatChunk's nTokensCol is
+    // deliberately pluggable, so the composition is one projection
+    import graft.text.BpeTokenizer
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", $"text").limit(64).cache()
+    val model = BpeTokenizer.train(docs, "text", numMerges = 64)
+    assert(model.merges.nonEmpty)
+    val counted = docs.select($"doc_id",
+      BpeTokenizer.bpeTokenCount($"text", model).as("n_bpe"))
+    val layout = Packing.packConcatChunk(counted, "doc_id", "n_bpe",
+        contextLen = 512, numShards = 4)
+      .select($"doc_id", $"shard", $"seq_index", $"start_offset")
+      .as[(Long, Long, Long, Long)].collect()
+    // the layout's global offsets must be the running sums of the BPE
+    // counts, shard by shard, in id order — i.e. the budget really is
+    // denominated in tokenizer tokens
+    val counts = counted.as[(Long, Long)].collect().toMap
+    layout.groupBy(_._2).foreach { case (_, rows) =>
+      var expect = 0L
+      rows.sortBy(_._1).foreach { case (id, _, seq, off) =>
+        assert(seq * 512 + off == expect,
+          s"doc $id: offset ${seq * 512 + off}, expected $expect")
+        expect += counts(id)
+      }
+    }
+    // BPE merges make counts differ from whitespace words (fewer symbols
+    // than characters, more than words is typical; equality would mean the
+    // model learned nothing)
+    val words = docs.select(size(split($"text", " ")).cast("long"))
+      .as[Long].collect().sum
+    assert(counts.values.sum != words,
+      "BPE token total must differ from the whitespace-word total")
+  }
 }
