@@ -94,9 +94,19 @@ case class FingerprintIndex(
       idCol: String,
       textCol: String,
       threshold: Double,
-      maxBucketSize: Int = 1000): DataFrame = {
-    val batchFp = FingerprintIndex.fingerprints(
-      batch, idCol, textCol, shingleLen, numHashes, seed).localCheckpoint(true)
+      maxBucketSize: Int = 1000): DataFrame =
+    dedupBatchFp(FingerprintIndex.fingerprints(
+      batch, idCol, textCol, shingleLen, numHashes, seed).localCheckpoint(true),
+      threshold, maxBucketSize)
+
+  /** [[dedupBatch]] over an already-fingerprinted (pinned) batch frame —
+    * the seam that lets [[ingestBatch]] fingerprint the batch exactly once
+    * for BOTH the corpus match and the within-batch pair scan.
+    */
+  private def dedupBatchFp(
+      batchFp: DataFrame,
+      threshold: Double,
+      maxBucketSize: Int): DataFrame = {
     val batchBands = FingerprintIndex.banded(batchFp, bands, numHashes / bands)
     // when the batch is smaller than the index (the normal ingest shape),
     // prune the stored bands to buckets the batch PROBES before anything
@@ -162,15 +172,20 @@ case class FingerprintIndex(
       threshold: Double,
       maxBucketSize: Int = 1000,
       maxSweepEdges: Int = Dedup.SmallGraphEdgeThreshold.toInt): DataFrame = {
-    val matchedRows = dedupBatch(batch, idCol, textCol, threshold, maxBucketSize)
+    // ONE fingerprint pass: the pinned (id, shingle_hashes, sig) frame
+    // feeds the corpus match AND the within-batch pair scan — tokenizing
+    // the batch is the dominant per-row cost, and a naive composition of
+    // the two public operators would pay it twice
+    val batchFp = FingerprintIndex.fingerprints(
+      batch, idCol, textCol, shingleLen, numHashes, seed).localCheckpoint(true)
+    val matchedRows = dedupBatchFp(batchFp, threshold, maxBucketSize)
       .select(col("batch_id")).distinct().limit(maxSweepEdges + 1).collect()
     require(matchedRows.length <= maxSweepEdges,
       s"ingestBatch: corpus-match set exceeds maxSweepEdges=$maxSweepEdges; " +
         "raise the cap or split the batch")
     val matched = matchedRows.map(_.getLong(0)).toSet
-    val pairRows = Dedup.nearDupPairsMinHash(batch, idCol, textCol,
-        shingleLen, numHashes, bands, threshold, seed, maxBucketSize)
-      .select(col("id_a"), col("id_b")).limit(maxSweepEdges + 1).collect()
+    val pairRows = withinBatchPairs(batchFp, threshold, maxBucketSize)
+      .limit(maxSweepEdges + 1).collect()
     require(pairRows.length <= maxSweepEdges,
       s"ingestBatch: within-batch pair set exceeds maxSweepEdges=" +
         s"$maxSweepEdges; raise the cap or split the batch")
@@ -196,8 +211,56 @@ case class FingerprintIndex(
       else batch.filter(!Bridge.column(
         org.apache.spark.sql.catalyst.expressions.InSet(
           Bridge.expression(col(idCol).cast("long")), dropped)))
-    append(keptDf, idCol, textCol)
+    appendFp(
+      if (dropped.isEmpty) batchFp
+      else batchFp.filter(!Bridge.column(
+        org.apache.spark.sql.catalyst.expressions.InSet(
+          Bridge.expression(col("id")), dropped))))
     keptDf
+  }
+
+  /** [[Dedup.nearDupPairsMinHash]] restricted to a pinned fingerprint
+    * frame: band the signatures, cap buckets, self-join, verify with exact
+    * Jaccard over the hashed shingle sets (count-based, so the doubles are
+    * value-identical to the string-shingle operator barring a 64-bit
+    * collision — the q63-vs-q61 guarantee). Returns (id_a, id_b) pairs,
+    * id_a < id_b.
+    */
+  private def withinBatchPairs(
+      batchFp: DataFrame, threshold: Double, maxBucketSize: Int): DataFrame = {
+    val capped = Dedup.capBuckets(
+      FingerprintIndex.banded(batchFp, bands, numHashes / bands), maxBucketSize)
+    val candidates = capped.as("x").join(capped.as("y"),
+        col("x.band") === col("y.band") &&
+          col("x.bucket") === col("y.bucket") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    candidates
+      .join(batchFp.select(col("id").as("id_a"),
+        col("shingle_hashes").as("sh_a")), Seq("id_a"))
+      .join(batchFp.select(col("id").as("id_b"),
+        col("shingle_hashes").as("sh_b")), Seq("id_b"))
+      .filter(Dedup.jaccard(col("sh_a"), col("sh_b")) >= threshold)
+      .select(col("id_a"), col("id_b"))
+  }
+
+  /** Append an already-fingerprinted (pinned) frame — the write half of
+    * [[ingestBatch]], which must not re-tokenize the survivors it just
+    * fingerprinted.
+    */
+  private def appendFp(fp: DataFrame): Long = {
+    val epoch = log.nextEpoch()
+    val pinned = fp.localCheckpoint(true)
+    val obs = Observation()
+    pinned.select(col("id"), col("shingle_hashes"))
+      .observe(obs, count(lit(1)).as("n"))
+      .write.mode("overwrite").parquet(s"$docsPath/epoch=$epoch")
+    FingerprintIndex.banded(pinned, bands, numHashes / bands)
+      .write.mode("overwrite").parquet(s"$bandsPath/epoch=$epoch")
+    val n = obs.get("n").asInstanceOf[Long]
+    log.commit(epoch, "add", n)
+    n
   }
 
   /** Maintenance snapshot with an explicit compaction verdict — the

@@ -299,6 +299,14 @@ object Streams {
     * a batch in ascending id order; when arrival order is id-nondecreasing
     * (the ingest timeline), the kept set and final index are independent
     * of how the stream was chopped into micro-batches (StreamsSpec).
+    *
+    * Restart semantics: foreachBatch is at-least-once, and a crash between
+    * the index append and the checkpoint commit re-runs the batch — which
+    * is SELF-HEALING here: the re-run's docs now near-duplicate their own
+    * previously-appended copies (Jaccard 1), so every one of them drops
+    * and the retry appends an empty epoch. The index converges to exactly
+    * one copy per survivor; only `onBatch` consumers need their own
+    * idempotence (same as any foreachBatch sink).
     */
   def ingestDedupStream(
       docs: DataFrame,

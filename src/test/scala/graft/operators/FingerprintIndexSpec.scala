@@ -129,6 +129,14 @@ class FingerprintIndexSpec extends AnyFunSuite with SparkSpec {
         .toDF("doc_id", "text"), "doc_id", "text", threshold = 0.5)
       .select($"doc_id").as[Long].collect()
     assert(next.isEmpty, "an exact copy of kept doc 14 must drop")
+    // at-least-once replay self-heals: re-ingesting the SAME batch finds
+    // every doc matching its own appended copy, keeps nothing, and leaves
+    // the index row count unchanged (the documented foreachBatch restart
+    // semantics)
+    val replay = idx.ingestBatch(batch, "doc_id", "text", threshold = 0.5)
+      .select($"doc_id").as[Long].collect()
+    assert(replay.isEmpty, "a replayed batch must be fully dropped")
+    assert(idx.maintenance().nDocs == 5L, "replay must not grow the index")
   }
 
   test("maintenance flags epoch proliferation; compact resets it and preserves results") {
