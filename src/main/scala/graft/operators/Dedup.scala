@@ -826,6 +826,28 @@ object Dedup {
   /** Edge-count cutoff for the driver-side exact path (~16 MB of longs). */
   val SmallGraphEdgeThreshold: Long = 1L << 20
 
+  /** The online keep-vs-ACCEPTED sweep shared by
+    * [[FingerprintIndex.ingestBatch]] / [[HammingIndex.ingestBatch]]:
+    * batch ids are considered ascending; an id is dropped iff it matched
+    * the standing index (`matched`) or a KEPT lower-id batch neighbor
+    * (`pairs`, each (lower, higher)). Matching only DROPPED ids does not
+    * drop you — the property that makes the outcome independent of
+    * micro-batch grouping under id-ordered arrival. Inputs are the
+    * driver-collected, cap-guarded match/pair sets (output-bound by
+    * near-dup density); returns the dropped id set.
+    */
+  private[operators] def acceptedSweepDropped(
+      matched: Set[Long], pairs: Array[(Long, Long)]): Set[Long] = {
+    val lowerNeighbors = pairs.groupBy(_._2).view.mapValues(_.map(_._1)).toMap
+    val involved = pairs.flatMap(p => Seq(p._1, p._2)).distinct.sorted
+    val kept = scala.collection.mutable.Map.empty[Long, Boolean]
+    involved.foreach { id =>
+      kept(id) = !matched(id) &&
+        !lowerNeighbors.getOrElse(id, Array.empty[Long]).exists(kept(_))
+    }
+    matched ++ involved.filterNot(kept(_))
+  }
+
   /** Exact min-label components via union-find with path compression —
     * identical output contract to the distributed rounds.
     */

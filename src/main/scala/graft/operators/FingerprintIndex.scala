@@ -190,20 +190,9 @@ case class FingerprintIndex(
       s"ingestBatch: within-batch pair set exceeds maxSweepEdges=" +
         s"$maxSweepEdges; raise the cap or split the batch")
 
-    // sequential sweep over the (tiny, output-bound) pair graph: process
-    // involved ids ascending; every lower endpoint of an id's pairs was
-    // decided earlier in the same loop
-    val lowerNeighbors = pairRows.map(r => (r.getLong(0), r.getLong(1)))
-      .groupBy(_._2).view.mapValues(_.map(_._1)).toMap
-    val involved = pairRows.flatMap(r => Seq(r.getLong(0), r.getLong(1)))
-      .distinct.sorted
-    val kept = scala.collection.mutable.Map.empty[Long, Boolean]
-    involved.foreach { id =>
-      kept(id) = !matched(id) &&
-        !lowerNeighbors.getOrElse(id, Array.empty[Long]).exists(kept(_))
-    }
-    val dropped: Set[Any] =
-      (matched ++ involved.filterNot(kept(_))).map(_.asInstanceOf[Any])
+    val dropped: Set[Any] = Dedup.acceptedSweepDropped(matched,
+      pairRows.map(r => (r.getLong(0), r.getLong(1))))
+      .map(_.asInstanceOf[Any])
 
     import org.apache.spark.sql.graftx.Bridge
     val keptDf =

@@ -151,6 +151,48 @@ case class HammingIndex(
       "id", "fp", maxHamming, maxBucketSize)
   }
 
+  /** ONLINE ingest dedup for the Hamming families — the image-crawl /
+    * SimHash twin of [[FingerprintIndex.ingestBatch]]: drop batch rows
+    * that near-duplicate the indexed corpus or a KEPT lower-id batch row
+    * (the keep-vs-ACCEPTED sweep, [[Dedup.acceptedSweepDropped]]), append
+    * exactly the survivors' fingerprints, return the surviving rows. With
+    * maxHamming < nBands both the corpus match and the within-batch pair
+    * scan have total recall (pigeonhole), so the decision is exact. For
+    * images, compose with [[graft.multimodal.Multimodal.imageDHash]]:
+    * pixels are decoded once for the batch and never again.
+    */
+  def ingestBatch(
+      batchFps: DataFrame,
+      idCol: String,
+      fpCol: String,
+      maxHamming: Int = 3,
+      maxBucketSize: Int = 1000,
+      maxSweepEdges: Int = Dedup.SmallGraphEdgeThreshold.toInt): DataFrame = {
+    val matchedRows = dedupBatch(batchFps, idCol, fpCol, maxHamming, maxBucketSize)
+      .select(col("batch_id")).distinct().limit(maxSweepEdges + 1).collect()
+    require(matchedRows.length <= maxSweepEdges,
+      s"ingestBatch: corpus-match set exceeds maxSweepEdges=$maxSweepEdges; " +
+        "raise the cap or split the batch")
+    val matched = matchedRows.map(_.getLong(0)).toSet
+    val pairRows = Dedup.nearDupPairsHamming64(batchFps, idCol, fpCol,
+        maxHamming, nBands, maxBucketSize)
+      .select(col("id_a"), col("id_b")).limit(maxSweepEdges + 1).collect()
+    require(pairRows.length <= maxSweepEdges,
+      s"ingestBatch: within-batch pair set exceeds maxSweepEdges=" +
+        s"$maxSweepEdges; raise the cap or split the batch")
+    val dropped: Set[Any] = Dedup.acceptedSweepDropped(matched,
+      pairRows.map(r => (r.getLong(0), r.getLong(1))))
+      .map(_.asInstanceOf[Any])
+    import org.apache.spark.sql.graftx.Bridge
+    val keptDf =
+      if (dropped.isEmpty) batchFps
+      else batchFps.filter(!Bridge.column(
+        org.apache.spark.sql.catalyst.expressions.InSet(
+          Bridge.expression(col(idCol).cast("long")), dropped)))
+    append(keptDf, idCol, fpCol)
+    keptDf
+  }
+
   /** Maintenance snapshot — same triggers as
     * [[FingerprintIndex.maintenance]] (epoch proliferation + appended
     * fraction, free from the commit log; bucket skew from one slim scan).

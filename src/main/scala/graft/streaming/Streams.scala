@@ -331,6 +331,39 @@ object Streams {
       .start()
   }
 
+  /** The paragraph-granularity twin of [[ingestDedupStream]]: each
+    * micro-batch is CLEANED against the persisted segment-hash set
+    * ([[graft.operators.SegmentIndex.ingestBatch]]: corpus segments +
+    * keep-first within the batch), the survivors' segment hashes are
+    * appended so later micro-batches dedup against them, and the cleaned
+    * rows (idCol, cleaned_text, n_removed) go to `onBatch`. Unlike the
+    * near-dup stream this one is NOT replay-idempotent for n_removed
+    * accounting: a replayed batch re-cleans against its own appended
+    * segments and comes back fully deduplicated (empty cleaned_text), so
+    * exactly-once sinks should key on the idCol, not append blindly.
+    */
+  def ingestParagraphDedupStream(
+      docs: DataFrame,
+      index: graft.operators.SegmentIndex,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      checkpoint: Option[String] = None,
+      onBatch: (DataFrame, Long) => Unit = (_, _) => (),
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    val cp = checkpoint.getOrElse(
+      java.nio.file.Files.createTempDirectory("graft_ingest_para_cp").toString)
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", cp)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val cleaned = index.ingestBatch(batch, idCol, textCol)
+        onBatch(cleaned, batchId)
+        ()
+      }
+      .start()
+  }
+
   // -------------------------------------------------------- progress stream
 
   /** Schema of one progress event (reference SSE event payload shape,

@@ -87,6 +87,58 @@ class HammingIndexSpec extends AnyFunSuite with SparkSpec {
     assert(got == (0 until 5).map(i => (100L + i, i.toLong, 0L)).toSet, s"got $got")
   }
 
+  test("ingestBatch: keep-vs-ACCEPTED sweep over fingerprints, replay self-heals") {
+    // corpus fp X; batch: d ~ X (hamming 1), e ~ d only (hamming 2 from d,
+    // 3+ from X? craft: X=0b0000, d=0b0001, e=0b0111 -> h(X,d)=1 drop d;
+    // h(d,e)=2 but d DROPPED; h(X,e)=3 <= max -> e drops against corpus.
+    // Use a cleaner chain instead: a fresh, b ~ a (h1), c ~ b only (h2,
+    // c vs a = h3... with max=2: a kept, b drops (kept a), c keeps (its
+    // only <=2 match b was dropped; c vs a = 3 > 2)
+    val corpus = Seq((1L, 1000L)).toDF("id", "fp") // unrelated region
+    val idx = HammingIndex.build(corpus, "id", "fp", tmp("graft_hidx_ing"),
+      nBands = 4, kind = "custom")
+    val batch = Seq(
+      10L -> 0L, // a fresh
+      11L -> 1L, // b: hamming(a,b)=1
+      12L -> 7L // c: hamming(b,c)=2, hamming(a,c)=3
+    ).toDF("id", "fp")
+    val kept = idx.ingestBatch(batch, "id", "fp", maxHamming = 2)
+      .select($"id").as[Long].collect().toSet
+    assert(kept == Set(10L, 12L), s"got $kept")
+    assert(idx.maintenance().nDocs == 3L, "corpus + the 2 kept fps")
+    // replay: every batch fp now matches its own appended copy (hamming 0)
+    val replay = idx.ingestBatch(batch, "id", "fp", maxHamming = 2)
+      .select($"id").as[Long].collect()
+    assert(replay.isEmpty && idx.maintenance().nDocs == 3L)
+  }
+
+  test("image ingest: a media batch dedups online against the dHash index") {
+    def noiseImage(seed: Int): ImageCodec.RawImage = {
+      val rnd = new java.util.Random(seed.toLong)
+      val rgb = new Array[Byte](64 * 64 * 3)
+      rnd.nextBytes(rgb)
+      ImageCodec.RawImage(64, 64, rgb)
+    }
+    def row(id: Long, bytes: Array[Byte]) =
+      Multimodal.MediaRow(id, "image", bytes, Multimodal.MediaMeta(64, 64, "img", 0))
+    val corpus = spark.createDataset((0 until 6).map(i =>
+      row(i.toLong, ImageCodec.encodePpm(noiseImage(i)))))
+    val idx = HammingIndex.build(Multimodal.imageDHash(corpus), "media_id", "fp",
+      tmp("graft_hidx_imging"), kind = "dhash")
+    // batch: re-encodes of corpus images 0-1 (drop), a duplicated fresh
+    // image (100 kept, 101 dropped as its within-batch copy), one fresh
+    val batch = spark.createDataset(Seq(
+      row(90L, ImageCodec.encodePng(noiseImage(0))),
+      row(91L, ImageCodec.encodePng(noiseImage(1))),
+      row(100L, ImageCodec.encodePpm(noiseImage(40))),
+      row(101L, ImageCodec.encodePng(noiseImage(40))),
+      row(102L, ImageCodec.encodePpm(noiseImage(41)))))
+    val kept = idx.ingestBatch(Multimodal.imageDHash(batch), "media_id", "fp")
+      .select($"media_id").as[Long].collect().toSet
+    assert(kept == Set(100L, 102L), s"got $kept")
+    assert(idx.maintenance().nDocs == 8L)
+  }
+
   test("a failed append is invisible; compact preserves results and re-distincts bands") {
     val p = tmp("graft_hidx_maint")
     val idx = HammingIndex.buildFromText(docs.filter($"doc_id" < 100),

@@ -67,6 +67,36 @@ class StreamsSpec extends AnyFunSuite with SparkSpec {
     assert(!keptOne.contains(498L) && keptOne.contains(474L))
   }
 
+  test("ingestParagraphDedupStream cleans drops against the growing segment index") {
+    val corpus = Seq((1L, "alpha beta")).toDF("doc_id", "text")
+    val idx = graft.operators.SegmentIndex.build(corpus, "doc_id", "text",
+      tempDir("graft_parastream_idx"), delimiter = " ")
+    val dropDir = tempDir("graft_parastream")
+    val out = scala.collection.mutable.Map.empty[Long, (String, Long)]
+    val src = spark.readStream
+      .schema(StructType(Seq(
+        StructField("doc_id", org.apache.spark.sql.types.LongType),
+        StructField("text", org.apache.spark.sql.types.StringType))))
+      .parquet(dropDir)
+    val q = Streams.ingestParagraphDedupStream(src, idx, "doc_id", "text",
+      onBatch = (cleaned, _) => cleaned.as[(Long, String, Long)].collect()
+        .foreach(r => out(r._1) = (r._2, r._3)),
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(
+        "50 milliseconds"))
+    try {
+      Seq((10L, "gamma beta delta")).toDF("doc_id", "text")
+        .write.mode("append").parquet(dropDir)
+      q.processAllAvailable()
+      Seq((20L, "delta epsilon")).toDF("doc_id", "text")
+        .write.mode("append").parquet(dropDir)
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(out(10L) == (("gamma delta"), 1L), "beta was corpus state")
+    assert(out(20L) == (("epsilon"), 1L),
+      "delta survived micro-batch 1 and must be corpus state for batch 2")
+    assert(idx.maintenance().numEpochs == 3)
+  }
+
   test("eventRollup over the events parquet matches batch aggregation") {
     val dropDir = tempDir("graft_events_drop")
     Files.copy(
