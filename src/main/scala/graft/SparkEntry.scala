@@ -1038,6 +1038,17 @@ object SparkEntry {
         .select(col("doc_id"), coalesce(col("kept"), lit(false)).as("kept"))
     }),
 
+    // Mix-to-token-budget: each source sampled down to ~1000 whitespace
+    // tokens (rate = min(1, target/actual) quantized to ppm, then the q42
+    // hash filter) — the "N tokens of domain X" recipe shape. The oracle
+    // recomputes the per-source sums, the exact double division + round,
+    // and the arithmetic-hash filter.
+    "q68_budget_mix" -> ((s, dir) =>
+      operators.Curation.sampleToTokenBudget(
+        t(s, dir, "documents").select(col("doc_id"), col("source"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens")),
+        "doc_id", "source", "n_tokens", targetTokens = 1000L)),
+
     // THE FULL PIPELINE as one contract query — quality gate -> PII scrub
     // (q49's seeded shape: scrub BEFORE dedup, the published ordering —
     // redaction collapses per-doc-unique PII into shared placeholders; a
@@ -2060,6 +2071,26 @@ object SparkEntry {
         |final AS (SELECT kept FROM walk ORDER BY rn DESC LIMIT 1)
         |SELECT o.doc_id, list_contains(f.kept, o.doc_id) AS kept
         |FROM ordered o CROSS JOIN final f""".stripMargin,
+
+    // Per-source sums -> exact double rate -> round-to-ppm -> the q42
+    // arithmetic-hash filter. round() is half-up for positives in both
+    // engines; the division is one IEEE op on two exact integers.
+    "q68_budget_mix" ->
+      """WITH tok AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |sums AS (SELECT source, CAST(sum(n_tokens) AS BIGINT) AS s
+        |         FROM tok GROUP BY source),
+        |rates AS (
+        |  SELECT source, CAST(round(
+        |    CASE WHEN s <= 1000 THEN 1.0
+        |         ELSE CAST(1000 AS DOUBLE) / CAST(s AS DOUBLE) END * 1000000)
+        |    AS BIGINT) AS ppm
+        |  FROM sums)
+        |SELECT t.doc_id, t.source, t.n_tokens
+        |FROM tok t JOIN rates r USING (source)
+        |WHERE (t.doc_id * 2654435761) % 4294967296 % 1000000 < r.ppm""".stripMargin,
 
     // Stage-by-stage CTE replay of the whole pipeline: q16's quality
     // stats as a gate, q49's seed + fixed-order redaction chain, q22/q61's

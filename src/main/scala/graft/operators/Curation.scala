@@ -127,6 +127,49 @@ object Curation {
     df.filter(pmod(idHash(col(idCol)), lit(1000000L)) < ppm)
   }
 
+  /** Mix to a TOKEN budget: sample each source down to ~`targetTokens`
+    * tokens (sources already under budget keep everything) — how a mixing
+    * recipe is actually specified ("50 B tokens of web, 10 B of code"),
+    * composed from the pieces this module already has: one slim per-source
+    * token aggregate, rate = min(1, target / actual) quantized to ppm, then
+    * the [[weightedSample]] hash filter. Inherits every weightedSample
+    * property: pure filter, zero shuffle on the sampling pass, rate changes
+    * re-select supersets/subsets, engine-reproducible. The sampled token
+    * count concentrates tightly around `targetTokens` (documents are
+    * exchangeable under the id hash); exact-to-the-token carving is
+    * [[Packing]]'s job downstream.
+    *
+    * `nTokensCol` chooses the denomination — whitespace words for an
+    * oracle-checkable contract, [[graft.text.BpeTokenizer.bpeTokenCount]]
+    * for real tokenizer budgets.
+    *
+    * Output: the sampled rows of `df` (all columns). The per-source plan
+    * (actual, rate) is a driver-side collect bounded by `maxSources`
+    * (fail-fast — a mixing recipe has tens of sources, not millions).
+    */
+  def sampleToTokenBudget(
+      df: DataFrame,
+      idCol: String,
+      sourceCol: String,
+      nTokensCol: String,
+      targetTokens: Long,
+      maxSources: Int = 10000): DataFrame = {
+    require(targetTokens >= 1, s"targetTokens must be >= 1, got $targetTokens")
+    val sumRows = df.groupBy(col(sourceCol))
+      .agg(sum(col(nTokensCol).cast("long")).as("_tok"))
+      .limit(maxSources + 1).collect()
+    require(sumRows.length <= maxSources,
+      s"sampleToTokenBudget: more than maxSources=$maxSources sources; " +
+        "raise the cap or pre-aggregate the source column")
+    val rates = sumRows.map { r =>
+      val actual = if (r.isNullAt(1)) 0L else r.getLong(1)
+      r.get(0).toString ->
+        (if (actual <= targetTokens) 1.0
+         else targetTokens.toDouble / actual.toDouble)
+    }.toMap
+    weightedSample(df, idCol, sourceCol, rates)
+  }
+
   /** Deterministic training-order shuffle: assign every document a shard
     * and a dense position within that shard, pseudo-randomly but
     * REPRODUCIBLY — the manifest a data loader consumes to stream a

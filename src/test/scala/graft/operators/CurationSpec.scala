@@ -259,6 +259,28 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
     assert(pick(4L) != pick(5L), "different seeds carve different sets")
   }
 
+  test("sampleToTokenBudget: over-budget sources sample down, under-budget keep all") {
+    // src "big": 200 docs x 50 tokens = 10000 tokens; src "small": 10 docs
+    val df = ((0L until 200L).map(i => (i, "big", 50L)) ++
+        (1000L until 1010L).map(i => (i, "small", 50L)))
+      .toDF("id", "src", "n_tok")
+    val got = Curation.sampleToTokenBudget(df, "id", "src", "n_tok",
+        targetTokens = 2000L)
+      .as[(Long, String, Long)].collect()
+    val bySrc = got.groupBy(_._2)
+    assert(bySrc("small").length == 10, "under-budget sources keep every row")
+    val bigTokens = bySrc("big").map(_._3).sum
+    // rate = 0.2; hash sampling concentrates near the target
+    assert(bigTokens > 1000L && bigTokens < 3000L,
+      s"sampled 'big' tokens $bigTokens should be near the 2000 target")
+    // monotone budgets: a larger target re-selects a superset (hash order
+    // is stable — the weightedSample property, inherited)
+    val more = Curation.sampleToTokenBudget(df, "id", "src", "n_tok",
+        targetTokens = 5000L)
+      .as[(Long, String, Long)].collect().map(_._1).toSet
+    assert(got.map(_._1).toSet.subsetOf(more))
+  }
+
   test("trainOrder: changing the seed re-mixes the epoch") {
     val df = spark.range(0, 500).toDF("id")
     def manifest(seed: Long): Map[Long, (Long, Long)] =
