@@ -55,10 +55,34 @@ private[graft] case class EpochLog(spark: SparkSession, path: String) {
   def reset(nRows: Long): Unit =
     write(Seq(Commit(0L, "replace", nRows)), "overwrite")
 
-  /** Record `epoch` as committed (the atomic visibility point). */
+  /** Record `epoch` as committed (the atomic visibility point). A
+    * "replace" commit also prunes the log itself: every earlier commit row
+    * is dead once the replace row is durable (readers filter epochs below
+    * the newest replace anyway), so the pre-existing part files — one tiny
+    * file per append, the meta-level small-file disease — are deleted
+    * file-by-file AFTER the new row lands. Each delete is atomic and only
+    * removes superseded rows, so a reader at any interleaving resolves the
+    * same committed epoch set.
+    */
   def commit(epoch: Long, action: String, nRows: Long): Unit = {
     require(Seq("add", "replace").contains(action), s"bad action $action")
+    val stale = if (action == "replace") listLogFiles() else Seq.empty
     write(Seq(Commit(epoch, action, nRows)), "append")
+    stale.foreach { f =>
+      try { f.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(f, false); () }
+      catch { case _: java.io.IOException => () }
+    }
+  }
+
+  private def listLogFiles(): Seq[org.apache.hadoop.fs.Path] = {
+    val dir = new org.apache.hadoop.fs.Path(commitsPath)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).toSeq
+      .filter(s => s.isFile && !s.getPath.getName.startsWith("_")
+        && !s.getPath.getName.startsWith("."))
+      .map(_.getPath)
   }
 
   /** Live epochs: everything at or above the newest replace epoch. */

@@ -164,5 +164,12 @@ class FingerprintIndexSpec extends AnyFunSuite with SparkSpec {
     // them, but a month of nightly appends must not hoard disk)
     val live = new java.io.File(s"$p/docs").listFiles().map(_.getName).toSet
     assert(live == Set("epoch=4"), s"expected only the compacted epoch, got $live")
+    // ... and so are the superseded commit-log part files (one tiny file
+    // per append otherwise accumulates forever — the meta-level
+    // small-file disease)
+    val logParts = new java.io.File(s"$p/commits").listFiles()
+      .map(_.getName).filter(n => !n.startsWith("_") && !n.startsWith("."))
+    assert(logParts.length == 1,
+      s"compaction must prune dead commit rows, got ${logParts.toSeq}")
   }
 }
