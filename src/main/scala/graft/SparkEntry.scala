@@ -1038,6 +1038,20 @@ object SparkEntry {
         .select(col("doc_id"), coalesce(col("kept"), lit(false)).as("kept"))
     }),
 
+    // Fuzzy decontamination (the Llama-2 fraction recipe): per-doc token
+    // COVERAGE by benchmark-shared 8-grams, skip only above 80% — q41's
+    // benchmark split, but incidental single-gram overlap survives. The
+    // oracle replays positional grams, the coverage union (distinct
+    // covered token positions — overlapping matched grams must not
+    // double-count) and the exact fraction doubles.
+    "q69_decontaminate_frac" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      operators.Curation.decontaminateFraction(
+        docs.filter(col("doc_id") % 50 =!= 0),
+        docs.filter(col("doc_id") % 50 === 0),
+        "doc_id", "text", ngramLen = 8, maxFrac = 0.8)
+    }),
+
     // Mix-to-token-budget: each source sampled down to ~1000 whitespace
     // tokens (rate = min(1, target/actual) quantized to ppm, then the q42
     // hash filter) — the "N tokens of domain X" recipe shape. The oracle
@@ -2071,6 +2085,36 @@ object SparkEntry {
         |final AS (SELECT kept FROM walk ORDER BY rn DESC LIMIT 1)
         |SELECT o.doc_id, list_contains(f.kept, o.doc_id) AS kept
         |FROM ordered o CROSS JOIN final f""".stripMargin,
+
+    // Positional grams (NOT distinct — the same gram at two positions
+    // covers different tokens), coverage = distinct covered positions per
+    // doc; 1-based vs 0-based token positions cancel in the count.
+    "q69_decontaminate_frac" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents WHERE doc_id % 50 <> 0),
+        |bench AS (
+        |  SELECT string_split(text, ' ') AS t FROM documents WHERE doc_id % 50 = 0),
+        |bgrams AS (
+        |  SELECT DISTINCT array_to_string(t[i:i+7], ' ') AS gram
+        |  FROM bench, UNNEST(generate_series(1, len(t) - 7)) AS u(i)),
+        |cg AS (
+        |  SELECT doc_id, CAST(u.i AS BIGINT) AS p, array_to_string(t[i:i+7], ' ') AS gram
+        |  FROM corpus, UNNEST(generate_series(1, len(t) - 7)) AS u(i)),
+        |cov AS (
+        |  SELECT DISTINCT cg.doc_id, cp.q
+        |  FROM cg JOIN bgrams USING (gram), UNNEST(generate_series(cg.p, cg.p + 7)) AS cp(q)),
+        |ncov AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_contaminated FROM cov GROUP BY doc_id)
+        |SELECT CAST(c.doc_id AS BIGINT) AS id,
+        |  CAST(len(c.t) AS BIGINT) AS n_tokens,
+        |  COALESCE(n.n_contaminated, 0) AS n_contaminated,
+        |  CASE WHEN len(c.t) > 0
+        |       THEN CAST(COALESCE(n.n_contaminated, 0) AS DOUBLE) / CAST(len(c.t) AS DOUBLE)
+        |       ELSE 0.0 END AS contaminated_frac,
+        |  (CASE WHEN len(c.t) > 0
+        |       THEN CAST(COALESCE(n.n_contaminated, 0) AS DOUBLE) / CAST(len(c.t) AS DOUBLE)
+        |       ELSE 0.0 END) > 0.8 AS skip
+        |FROM corpus c LEFT JOIN ncov n USING (doc_id)""".stripMargin,
 
     // Per-source sums -> exact double rate -> round-to-ppm -> the q42
     // arithmetic-hash filter. round() is half-up for positives in both

@@ -80,6 +80,56 @@ object Curation {
         (coalesce(col("hits"), lit(0L)) > 0).as("contaminated"))
   }
 
+  /** FUZZY test-set decontamination (the Llama-2 appendix recipe, kept
+    * alongside [[decontaminate]]'s binary flag): a corpus TOKEN is
+    * contaminated if it sits inside any length-`ngramLen` token n-gram
+    * shared with the benchmark, a document's contamination is the FRACTION
+    * of its tokens contaminated, and only documents above `maxFrac` are
+    * skipped — incidental single-n-gram overlap (idioms, boilerplate
+    * phrases) no longer throws away whole documents.
+    *
+    * Output: (id, n_tokens, n_contaminated, contaminated_frac, skip) — one
+    * row per corpus document.
+    *
+    * Scale shape, same skeleton as [[decontaminate]]: benchmark n-grams
+    * broadcast, corpus scanned once for its positional n-grams. The added
+    * coverage step explodes MATCHED grams only into (id, covered token
+    * position) pairs — hit-sized, not corpus-sized — and distinct-counts
+    * them per doc (overlapping matched grams must not double-count a
+    * token).
+    */
+  def decontaminateFraction(
+      corpus: DataFrame,
+      benchmark: DataFrame,
+      idCol: String,
+      textCol: String,
+      ngramLen: Int = 8,
+      maxFrac: Double = 0.8): DataFrame = {
+    require(maxFrac >= 0.0 && maxFrac <= 1.0, s"maxFrac must be in [0,1], got $maxFrac")
+    val benchGrams = benchmark
+      .select(explode(tokenNgrams(col(textCol), ngramLen)).as("gram"))
+      .distinct()
+    // positional grams: posexplode's 0-based index IS the gram's start
+    // token position, so matched gram p covers tokens p .. p+n-1
+    val grams = corpus.select(col(idCol).cast("long").as("id"),
+      posexplode(tokenNgrams(col(textCol), ngramLen)).as(Seq("_p", "gram")))
+    val ncov = grams.join(broadcast(benchGrams), Seq("gram"))
+      .select(col("id"),
+        explode(sequence(col("_p"), col("_p") + (ngramLen - 1))).as("_q"))
+      .groupBy(col("id"))
+      .agg(count_distinct(col("_q")).as("n_contaminated"))
+    corpus.select(col(idCol).cast("long").as("id"),
+        size(spaceTokens(col(textCol))).cast("long").as("n_tokens"))
+      .join(ncov, Seq("id"), "left")
+      .select(col("id"), col("n_tokens"),
+        coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"))
+      .withColumn("contaminated_frac",
+        when(col("n_tokens") > 0,
+          col("n_contaminated").cast("double") / col("n_tokens").cast("double"))
+          .otherwise(lit(0.0)))
+      .withColumn("skip", col("contaminated_frac") > maxFrac)
+  }
+
   /** Knuth multiplicative hash of an id — semantically
     * `((id mod 2^32) * 2654435761) mod 2^32`, computed WITHOUT overflow by
     * splitting the folded id into 16-bit halves (a naive Long multiply

@@ -259,6 +259,27 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
     assert(pick(4L) != pick(5L), "different seeds carve different sets")
   }
 
+  test("decontaminateFraction: incidental overlap survives, near-copies skip") {
+    val bench = Seq((0L, "b1 b2 b3 b4 b5 b6 b7 b8 b9 b10")).toDF("id", "text")
+    val corpus = Seq(
+      // one shared 8-gram inside a 20-token doc: 8/20 = 0.4, below 0.8
+      (1L, "x1 x2 x3 x4 x5 x6 b1 b2 b3 b4 b5 b6 b7 b8 y1 y2 y3 y4 y5 y6"),
+      // a near-copy: 10 bench tokens + 2 extra -> covered 10/12 = 0.833
+      (2L, "b1 b2 b3 b4 b5 b6 b7 b8 b9 b10 z1 z2"),
+      // overlapping matched grams must not double-count: tokens b1..b9
+      // carry two overlapping shared 8-grams, coverage is 9 not 16
+      (3L, "b1 b2 b3 b4 b5 b6 b7 b8 b9 w1 w2 w3 w4 w5 w6 w7 w8 w9"),
+      (4L, "clean only tokens here nothing shared at all")).toDF("id", "text")
+    val got = Curation.decontaminateFraction(corpus, bench, "id", "text")
+      .as[(Long, Long, Long, Double, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._5))).toMap
+    assert(got(1L) == ((20L, 8L, false)), s"got ${got(1L)}")
+    assert(got(2L) == ((12L, 10L, true)), s"got ${got(2L)}")
+    assert(got(3L) == ((18L, 9L, false)),
+      "two overlapping matched grams cover 9 distinct tokens, not 16")
+    assert(got(4L) == ((8L, 0L, false)))
+  }
+
   test("sampleToTokenBudget: over-budget sources sample down, under-budget keep all") {
     // src "big": 200 docs x 50 tokens = 10000 tokens; src "small": 10 docs
     val df = ((0L until 200L).map(i => (i, "big", 50L)) ++
