@@ -212,6 +212,12 @@ object Curation {
       s"sampleToTokenBudget: more than maxSources=$maxSources sources; " +
         "raise the cap or pre-aggregate the source column")
     val rates = sumRows.map { r =>
+      // fail fast on a NULL source: it cannot key the rates map, and
+      // letting it fall through would silently route those rows to
+      // weightedSample's defaultRate=1.0 path (unbudgeted)
+      require(!r.isNullAt(0),
+        s"sampleToTokenBudget: NULL value in source column '$sourceCol' — " +
+          "filter those rows out or map them to an explicit bucket first")
       val actual = if (r.isNullAt(1)) 0L else r.getLong(1)
       r.get(0).toString ->
         (if (actual <= targetTokens) 1.0

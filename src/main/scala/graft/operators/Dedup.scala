@@ -33,10 +33,13 @@ object Dedup {
     * already-wide plan.
     *
     * The check is two-tier because measuring width is not free in general:
-    *  - a lineage whose PHYSICAL plan already contains a shuffle exchange
-    *    is `spark.sql.shuffle.partitions` wide by construction — returned
-    *    untouched WITHOUT consulting `.rdd`, which under AQE would
-    *    materialize the upstream stages a whole execution early. The test
+    *  - a lineage whose PHYSICAL plan already contains a WIDE shuffle
+    *    exchange (any partitioning but SinglePartition — a global limit's
+    *    `Exchange SinglePartition` is exactly 1 partition and must NOT
+    *    count as wide) is `spark.sql.shuffle.partitions` wide by
+    *    construction — returned untouched WITHOUT consulting `.rdd`,
+    *    which under AQE would materialize the upstream stages a whole
+    *    execution early. The test
     *    is on the physical plan, not logical operator classes: a
     *    broadcast-hash join adds NO exchange on its streamed side, so a
     *    1-partition scan joined to a broadcast dimension used to slip
@@ -56,8 +59,14 @@ object Dedup {
     // that a typed exists() cannot see through — its toString, however,
     // prints the full initial plan. Shuffle exchanges print as
     // "Exchange <partitioning>"; the lookbehind keeps "BroadcastExchange"
-    // (which widens nothing) from matching.
-    val alreadyShuffled = "(?<![A-Za-z])Exchange ".r
+    // (which widens nothing) from matching, and the lookahead keeps
+    // "Exchange SinglePartition" (a global limit/sort-to-one lineage —
+    // exactly 1 partition, the opposite of wide) from counting: such
+    // frames fall through to the width probe below and get repartitioned.
+    // (ReusedExchange can't hide a wide shuffle from this test: reuse
+    // points at an Exchange printed elsewhere in the same plan, and AQE's
+    // initial-plan toString prints exchanges un-reused.)
+    val alreadyShuffled = "(?<![A-Za-z])Exchange (?!SinglePartition)".r
       .findFirstIn(df.queryExecution.executedPlan.toString).isDefined
     if (alreadyShuffled) df
     else {

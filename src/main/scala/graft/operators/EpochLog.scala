@@ -37,12 +37,33 @@ private[graft] case class EpochLog(spark: SparkSession, path: String) {
 
   private case class Commit(epoch: Long, action: String, nRows: Long)
 
-  private def readCommits(): Seq[Commit] =
-    spark.read.parquet(commitsPath)
-      .select(col("epoch"), col("action"), col("n_rows"))
-      .collect()
-      .map(r => Commit(r.getLong(0), r.getString(1), r.getLong(2)))
-      .sortBy(_.epoch).toSeq
+  /** A replace commit prunes superseded part files right after its row
+    * lands (see [[commit]]); Spark lists the directory then reads the
+    * files, so a read that spans the prune can hit FileNotFoundException
+    * on a just-deleted part. Re-listing resolves it: the retry sees the
+    * post-replace state (the replace row is durable before any delete
+    * starts), which decodes to the same committed epoch set. Bounded
+    * retries — anything persistent is a real error and rethrows.
+    */
+  private def readCommits(): Seq[Commit] = {
+    def attempt(): Seq[Commit] =
+      spark.read.parquet(commitsPath)
+        .select(col("epoch"), col("action"), col("n_rows"))
+        .collect()
+        .map(r => Commit(r.getLong(0), r.getString(1), r.getLong(2)))
+        .sortBy(_.epoch).toSeq
+    def isMissingFile(t: Throwable): Boolean =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(8)
+        .exists(_.isInstanceOf[java.io.FileNotFoundException])
+    var left = 4
+    while (true) {
+      try return attempt()
+      catch {
+        case e: Throwable if isMissingFile(e) && left > 0 => left -= 1
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
 
   private def write(rows: Seq[Commit], mode: String): Unit = {
     import spark.implicits._
@@ -61,8 +82,10 @@ private[graft] case class EpochLog(spark: SparkSession, path: String) {
     * the newest replace anyway), so the pre-existing part files — one tiny
     * file per append, the meta-level small-file disease — are deleted
     * file-by-file AFTER the new row lands. Each delete is atomic and only
-    * removes superseded rows, so a reader at any interleaving resolves the
-    * same committed epoch set.
+    * removes superseded rows, so every CONSISTENT read resolves the same
+    * committed epoch set; a read that listed the directory before a delete
+    * and opened the file after it gets FileNotFoundException, which
+    * [[readCommits]] absorbs by re-listing (bounded retries).
     */
   def commit(epoch: Long, action: String, nRows: Long): Unit = {
     require(Seq("add", "replace").contains(action), s"bad action $action")

@@ -164,6 +164,25 @@ case class FingerprintIndex(
     * driver for the sweep (output-bound by near-dup density, capped
     * fail-fast at `maxSweepEdges` — the [[Dedup.SmallGraphEdgeThreshold]]
     * discipline); the dropped-id set broadcasts back as one `InSet`.
+    *
+    * Recall caveat: candidate generation caps corpus-side buckets at
+    * `maxBucketSize` (deterministic truncation, the
+    * [[Dedup.nearDupPairsMinHash]] trade), so a boilerplate-dense corpus
+    * bucket can hide a true near-dup from the corpus match; the decision
+    * is exact only up to that cap (and to LSH banding recall).
+    *
+    * `onKept` is the DURABLE-SINK seam: it runs with the final kept frame
+    * BEFORE the index append. Under an at-least-once driver (Structured
+    * Streaming foreachBatch) a crash after the append but before the
+    * caller's checkpoint commit re-runs the batch against an index that
+    * already contains its survivors — every doc then matches its own
+    * appended fingerprints and the re-run keeps NOTHING. A sink written
+    * after ingestBatch returns would lose those rows unrecoverably; a sink
+    * written inside `onKept` already has them, and the only replay artifact
+    * is a duplicate delivery (crash after the sink write, before the
+    * append) that an id-keyed sink deduplicates. Throwing from `onKept`
+    * aborts the append, so a failed sink write leaves the index unchanged
+    * and the retry recomputes the identical kept set.
     */
   def ingestBatch(
       batch: DataFrame,
@@ -171,7 +190,8 @@ case class FingerprintIndex(
       textCol: String,
       threshold: Double,
       maxBucketSize: Int = 1000,
-      maxSweepEdges: Int = Dedup.SmallGraphEdgeThreshold.toInt): DataFrame = {
+      maxSweepEdges: Int = Dedup.SmallGraphEdgeThreshold.toInt,
+      onKept: DataFrame => Unit = _ => ()): DataFrame = {
     // ONE fingerprint pass: the pinned (id, shingle_hashes, sig) frame
     // feeds the corpus match AND the within-batch pair scan — tokenizing
     // the batch is the dominant per-row cost, and a naive composition of
@@ -200,6 +220,8 @@ case class FingerprintIndex(
       else batch.filter(!Bridge.column(
         org.apache.spark.sql.catalyst.expressions.InSet(
           Bridge.expression(col(idCol).cast("long")), dropped)))
+    // sink first, append second — see the replay contract in the docstring
+    onKept(keptDf)
     appendFp(
       if (dropped.isEmpty) batchFp
       else batchFp.filter(!Bridge.column(

@@ -155,11 +155,21 @@ case class HammingIndex(
     * SimHash twin of [[FingerprintIndex.ingestBatch]]: drop batch rows
     * that near-duplicate the indexed corpus or a KEPT lower-id batch row
     * (the keep-vs-ACCEPTED sweep, [[Dedup.acceptedSweepDropped]]), append
-    * exactly the survivors' fingerprints, return the surviving rows. With
-    * maxHamming < nBands both the corpus match and the within-batch pair
-    * scan have total recall (pigeonhole), so the decision is exact. For
-    * images, compose with [[graft.multimodal.Multimodal.imageDHash]]:
-    * pixels are decoded once for the batch and never again.
+    * exactly the survivors' fingerprints, return the surviving rows.
+    * Candidate RECALL is pigeonhole-total (maxHamming < nBands is
+    * enforced), but both the corpus match and the within-batch pair scan
+    * cap buckets at `maxBucketSize` (deterministic truncation, the
+    * [[Dedup.nearDupPairsHamming64]] trade) — a boilerplate-dense bucket
+    * past the cap can therefore KEEP a true near-dup; the decision is
+    * exact only up to that cap. For images, compose with
+    * [[graft.multimodal.Multimodal.imageDHash]]: pixels are decoded once
+    * for the batch and never again.
+    *
+    * `onKept` runs with the final kept frame BEFORE the index append — the
+    * at-least-once replay seam; see [[FingerprintIndex.ingestBatch]] for
+    * the full contract (a sink written after return loses the batch's
+    * survivors when a crash lands between the append and the caller's
+    * checkpoint commit; a sink inside `onKept` sees at-worst duplicates).
     */
   def ingestBatch(
       batchFps: DataFrame,
@@ -167,7 +177,11 @@ case class HammingIndex(
       fpCol: String,
       maxHamming: Int = 3,
       maxBucketSize: Int = 1000,
-      maxSweepEdges: Int = Dedup.SmallGraphEdgeThreshold.toInt): DataFrame = {
+      maxSweepEdges: Int = Dedup.SmallGraphEdgeThreshold.toInt,
+      onKept: DataFrame => Unit = _ => ()): DataFrame = {
+    require(maxHamming < nBands,
+      s"ingestBatch: maxHamming=$maxHamming must be < nBands=$nBands for " +
+        "pigeonhole candidate recall — raise nBands or lower maxHamming")
     val matchedRows = dedupBatch(batchFps, idCol, fpCol, maxHamming, maxBucketSize)
       .select(col("batch_id")).distinct().limit(maxSweepEdges + 1).collect()
     require(matchedRows.length <= maxSweepEdges,
@@ -189,6 +203,8 @@ case class HammingIndex(
       else batchFps.filter(!Bridge.column(
         org.apache.spark.sql.catalyst.expressions.InSet(
           Bridge.expression(col(idCol).cast("long")), dropped)))
+    // sink first, append second — the at-least-once replay contract
+    onKept(keptDf)
     append(keptDf, idCol, fpCol)
     keptDf
   }

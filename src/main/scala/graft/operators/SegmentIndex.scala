@@ -72,9 +72,22 @@ case class SegmentIndex(
   /** Ingest shape: clean the batch, then append the SURVIVING segments'
     * hashes so later batches dedup against them too. Returns the cleaned
     * batch (materialized — the append must see its final state).
+    *
+    * `onCleaned` runs with the cleaned frame BEFORE the segment append —
+    * the at-least-once replay seam ([[FingerprintIndex.ingestBatch]]
+    * contract): a replay after the append re-cleans the batch against its
+    * own appended segments and comes back fully deduplicated (empty
+    * cleaned_text), so a sink written after return would lose the batch's
+    * cleaned rows; a sink inside `onCleaned` sees at-worst a duplicate
+    * delivery it can dedupe by `idCol`.
     */
-  def ingestBatch(batch: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def ingestBatch(
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      onCleaned: DataFrame => Unit = _ => ()): DataFrame = {
     val cleaned = dedupBatch(batch, idCol, textCol).localCheckpoint(true)
+    onCleaned(cleaned)
     append(cleaned.filter(length(col("cleaned_text")) > 0), idCol, "cleaned_text")
     cleaned
   }

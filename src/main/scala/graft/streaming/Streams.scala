@@ -300,13 +300,19 @@ object Streams {
     * (the ingest timeline), the kept set and final index are independent
     * of how the stream was chopped into micro-batches (StreamsSpec).
     *
-    * Restart semantics: foreachBatch is at-least-once, and a crash between
-    * the index append and the checkpoint commit re-runs the batch — which
-    * is SELF-HEALING here: the re-run's docs now near-duplicate their own
-    * previously-appended copies (Jaccard 1), so every one of them drops
-    * and the retry appends an empty epoch. The index converges to exactly
-    * one copy per survivor; only `onBatch` consumers need their own
-    * idempotence (same as any foreachBatch sink).
+    * Restart semantics: foreachBatch is at-least-once. `onBatch` (the
+    * durable sink write) is invoked BEFORE the survivors are appended to
+    * the index — the ordering that makes every crash point recoverable:
+    * a crash after the sink write but before the append re-runs the batch
+    * against an unchanged index, so the sink sees a duplicate delivery it
+    * can dedupe by id; a crash after the append re-runs the batch against
+    * an index that already holds its survivors, so the re-run keeps
+    * nothing — but the sink already received those rows the first time.
+    * (The reverse order would make that second crash point SILENT,
+    * unrecoverable output loss: survivors appended, never delivered, and
+    * dropped as self-duplicates on every replay.) The index converges to
+    * exactly one copy per survivor; `onBatch` consumers need id-keyed
+    * idempotence, same as any foreachBatch sink.
     */
   def ingestDedupStream(
       docs: DataFrame,
@@ -324,8 +330,10 @@ object Streams {
       .option("checkpointLocation", cp)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val kept = index.ingestBatch(batch, idCol, textCol, threshold)
-        onBatch(kept, batchId)
+        // sink-before-append: onBatch runs inside ingestBatch, ahead of the
+        // index append (see the restart-semantics contract above)
+        index.ingestBatch(batch, idCol, textCol, threshold,
+          onKept = kept => onBatch(kept, batchId))
         ()
       }
       .start()
@@ -336,11 +344,14 @@ object Streams {
     * ([[graft.operators.SegmentIndex.ingestBatch]]: corpus segments +
     * keep-first within the batch), the survivors' segment hashes are
     * appended so later micro-batches dedup against them, and the cleaned
-    * rows (idCol, cleaned_text, n_removed) go to `onBatch`. Unlike the
-    * near-dup stream this one is NOT replay-idempotent for n_removed
-    * accounting: a replayed batch re-cleans against its own appended
-    * segments and comes back fully deduplicated (empty cleaned_text), so
-    * exactly-once sinks should key on the idCol, not append blindly.
+    * rows (idCol, cleaned_text, n_removed) go to `onBatch` — invoked
+    * BEFORE the segment append (the [[ingestDedupStream]] restart
+    * contract): a replayed batch re-cleans against its own appended
+    * segments and comes back fully deduplicated (empty cleaned_text), but
+    * the sink already received the real cleaned rows before the append;
+    * the only replay artifact is a duplicate (or empty-text) delivery that
+    * an id-keyed sink resolves by keeping the first non-empty write per
+    * idCol.
     */
   def ingestParagraphDedupStream(
       docs: DataFrame,
@@ -357,8 +368,9 @@ object Streams {
       .option("checkpointLocation", cp)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val cleaned = index.ingestBatch(batch, idCol, textCol)
-        onBatch(cleaned, batchId)
+        // sink-before-append, same contract as ingestDedupStream
+        index.ingestBatch(batch, idCol, textCol,
+          onCleaned = cleaned => onBatch(cleaned, batchId))
         ()
       }
       .start()

@@ -302,6 +302,16 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
     assert(got.map(_._1).toSet.subsetOf(more))
   }
 
+  test("sampleToTokenBudget: a NULL source fails fast, never falls to defaultRate") {
+    val df = Seq((0L, Some("big"), 50L), (1L, None, 50L))
+      .toDF("id", "src", "n_tok")
+    val e = intercept[IllegalArgumentException] {
+      Curation.sampleToTokenBudget(df, "id", "src", "n_tok", targetTokens = 10L)
+    }
+    assert(e.getMessage.contains("NULL value in source column"),
+      s"got: ${e.getMessage}")
+  }
+
   test("trainOrder: changing the seed re-mixes the epoch") {
     val df = spark.range(0, 500).toDF("id")
     def manifest(seed: Long): Map[Long, (Long, Long)] =

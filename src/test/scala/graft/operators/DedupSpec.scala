@@ -330,6 +330,22 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(Dedup.widen(agg).rdd.getNumPartitions == p)
   }
 
+  test("widen: a single-partition global-limit lineage IS widened") {
+    // a global limit plans Exchange SinglePartition — exactly 1 partition,
+    // the opposite of wide; counting ANY 'Exchange ' as already-wide used
+    // to wave this frame through and run the downstream kernel on one core
+    val p = spark.sparkContext.defaultParallelism
+    val limited = spark.range(0, 1000, 1, numPartitions = 8).toDF("id")
+      .limit(100).filter($"id" >= 0) // post-limit op: GlobalLimit, not CollectLimit
+    assert(limited.queryExecution.executedPlan.toString
+        .contains("Exchange SinglePartition"),
+      "precondition: a non-terminal global limit plans Exchange " +
+        "SinglePartition")
+    val widened = Dedup.widen(limited)
+    assert(widened.rdd.getNumPartitions == p,
+      "an Exchange SinglePartition lineage is 1 partition and must widen")
+  }
+
   test("widen: a broadcast-join lineage over a 1-partition scan is still widened") {
     // a broadcast hash join adds NO exchange on its streamed side, so the
     // logical has-a-Join test used to wave this plan through 1-partition —

@@ -139,6 +139,47 @@ class FingerprintIndexSpec extends AnyFunSuite with SparkSpec {
     assert(idx.maintenance().nDocs == 5L, "replay must not grow the index")
   }
 
+  test("ingestBatch: onKept (the sink seam) runs BEFORE the index append") {
+    // the at-least-once replay contract: a sink written after ingestBatch
+    // returns loses the batch's survivors when a crash lands between the
+    // append and the caller's checkpoint commit (the replay drops every
+    // doc as a self-duplicate) — so the sink callback must observe the
+    // index in its PRE-append state, and a sink failure must abort the
+    // append so the retry recomputes the identical kept set
+    val corpus = Seq((1L, (1 to 12).map(i => s"x$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      10L -> (1 to 12).map(i => s"a$i").mkString(" "),
+      11L -> (1 to 12).map(i => s"b$i").mkString(" "))
+      .toDF("doc_id", "text")
+    val idx = FingerprintIndex.build(corpus, "doc_id", "text",
+      java.nio.file.Files.createTempDirectory("graft_fpidx_seam").toString,
+      numHashes = 128, bands = 64)
+
+    // sink failure aborts the append: index unchanged, retry identical
+    val boom = intercept[RuntimeException] {
+      idx.ingestBatch(batch, "doc_id", "text", threshold = 0.5,
+        onKept = _ => throw new RuntimeException("sink down"))
+    }
+    assert(boom.getMessage == "sink down")
+    assert(idx.maintenance().nDocs == 1L,
+      "a failed sink write must leave the index unchanged")
+
+    // successful sink observes pre-append index state and the final kept set
+    var sinkSawDocs = -1L
+    var sinkKept: Set[Long] = Set.empty
+    val kept = idx.ingestBatch(batch, "doc_id", "text", threshold = 0.5,
+      onKept = k => {
+        sinkSawDocs = idx.maintenance().nDocs
+        sinkKept = k.select($"doc_id").as[Long].collect().toSet
+      }).select($"doc_id").as[Long].collect().toSet
+    assert(sinkSawDocs == 1L,
+      "onKept must run before the survivors are appended")
+    assert(sinkKept == Set(10L, 11L) && kept == sinkKept,
+      "onKept sees exactly the returned kept set")
+    assert(idx.maintenance().nDocs == 3L, "append lands after the sink")
+  }
+
   test("maintenance flags epoch proliferation; compact resets it and preserves results") {
     val p = java.nio.file.Files.createTempDirectory("graft_fpidx_maint").toString
     val idx = FingerprintIndex.build(docs.filter($"doc_id" < 100),

@@ -110,6 +110,25 @@ class HammingIndexSpec extends AnyFunSuite with SparkSpec {
     val replay = idx.ingestBatch(batch, "id", "fp", maxHamming = 2)
       .select($"id").as[Long].collect()
     assert(replay.isEmpty && idx.maintenance().nDocs == 3L)
+    // pigeonhole guard: maxHamming >= nBands voids the total-recall claim
+    val guard = intercept[IllegalArgumentException] {
+      idx.ingestBatch(batch, "id", "fp", maxHamming = 4)
+    }
+    assert(guard.getMessage.contains("pigeonhole"), s"got: ${guard.getMessage}")
+    // onKept (the sink seam) runs BEFORE the append: a sink failure must
+    // leave the index unchanged (the at-least-once replay contract)
+    val fresh = Seq(20L -> 3000L).toDF("id", "fp")
+    intercept[RuntimeException] {
+      idx.ingestBatch(fresh, "id", "fp", maxHamming = 2,
+        onKept = _ => throw new RuntimeException("sink down"))
+    }
+    assert(idx.maintenance().nDocs == 3L,
+      "a failed sink write must abort the append")
+    var sawDocs = -1L
+    idx.ingestBatch(fresh, "id", "fp", maxHamming = 2,
+      onKept = _ => sawDocs = idx.maintenance().nDocs)
+    assert(sawDocs == 3L && idx.maintenance().nDocs == 4L,
+      "onKept observes the pre-append index; the append lands after")
   }
 
   test("image ingest: a media batch dedups online against the dHash index") {

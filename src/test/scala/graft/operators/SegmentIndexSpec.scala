@@ -63,6 +63,22 @@ class SegmentIndexSpec extends AnyFunSuite with SparkSpec {
     assert(b2 == Map(20L -> (("epsilon"), 1L)),
       "delta survived batch 1 and must now be corpus state")
     assert(idx.maintenance().numEpochs == 3)
+    // onCleaned (the sink seam) runs BEFORE the segment append: a sink
+    // failure aborts the append (index unchanged → retry re-cleans against
+    // the same state), and a successful sink observes the pre-append epoch
+    // count — the at-least-once replay contract
+    intercept[RuntimeException] {
+      idx.ingestBatch(Seq((30L, "zeta eta")).toDF("id", "text"), "id", "text",
+        onCleaned = _ => throw new RuntimeException("sink down"))
+    }
+    assert(idx.maintenance().numEpochs == 3,
+      "a failed sink write must abort the segment append")
+    var sawEpochs = -1
+    val b3 = rows(idx.ingestBatch(Seq((30L, "zeta eta")).toDF("id", "text"),
+      "id", "text", onCleaned = _ => sawEpochs = idx.maintenance().numEpochs))
+    assert(b3 == Map(30L -> (("zeta eta"), 0L)))
+    assert(sawEpochs == 3 && idx.maintenance().numEpochs == 4,
+      "onCleaned observes the pre-append index; the append lands after")
   }
 
   test("a torn append is invisible; compact preserves results") {
