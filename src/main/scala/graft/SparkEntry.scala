@@ -107,6 +107,23 @@ object SparkEntry {
     * granularity, matching q57's instantiation), batches cleaned against
     * the stored set.
     */
+  /** One hyperplane-LSH index build per (JVM, sf dir) for q70 — the corpus
+    * half of the embeddings (vec_id < 400) signed + banded ONCE into the
+    * persisted (vecs, bands) layouts, batches dedup against the store
+    * (the ivfIndexFor discipline on the embedding-near-dup side).
+    */
+  private val hpPaths = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def hyperplaneIndexFor(s: SparkSession, dir: String): operators.HyperplaneIndex = {
+    val path = hpPaths.computeIfAbsent(dir, _ => {
+      val p = tempIndexDir("graft_hp_entry")
+      operators.HyperplaneIndex.build(
+        t(s, dir, "embeddings").filter(col("vec_id") < 400),
+        "vec_id", "embedding", p, dim = 64)
+      p
+    })
+    operators.HyperplaneIndex.load(s, path)
+  }
+
   private val segPaths = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def segmentIndexFor(s: SparkSession, dir: String): operators.SegmentIndex = {
     val path = segPaths.computeIfAbsent(dir, _ => {
@@ -1128,6 +1145,27 @@ object SparkEntry {
         size(split(col("cleaned_text"), " ")).cast("long").as("n_tokens"))
       operators.Packing.packByOrder(order.join(withTok, Seq("doc_id")),
         "doc_id", "n_tokens", "shard", "position", contextLen = 128)
+    }),
+
+    // The EMBEDDING-side persisted index — q63/q64's discipline for the
+    // last index-less near-dup family: the corpus (vec_id < 400) is signed
+    // + banded once into the stored (vecs, bands) layouts, the batch
+    // (background >= 400 plus positively-scaled copies of corpus vectors)
+    // dedups against the store; corpus signatures are never recomputed and
+    // corpus vectors are read only for candidate ids. Scaling preserves
+    // signs bit-for-bit, so every planted copy collides with its source on
+    // ALL bands deterministically, and the exact-cosine verify makes
+    // precision exact — the oracle is the brute-force batch x corpus
+    // cosine join (the q32 contract, batch-vs-corpus form).
+    "q70_hyperplane_index" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val batch = emb.filter(col("vec_id") >= 400)
+        .unionAll(emb.filter(col("vec_id") < 50).select(
+          (col("vec_id") + 10000).as("vec_id"),
+          transform(col("embedding"), x => x * lit(2.0f)).as("embedding")))
+      hyperplaneIndexFor(s, dir)
+        .dedupBatch(batch, "vec_id", "embedding", threshold = 0.9)
+        .select(col("batch_id"), col("corpus_id"))
     })
   )
 
@@ -2215,7 +2253,26 @@ object SparkEntry {
         |  CAST(floor((e - n) / 128) AS BIGINT) AS seq_index,
         |  CAST((e - n) % 128 AS BIGINT) AS start_offset,
         |  (n > 0 AND floor((e - 1) / 128) > floor((e - n) / 128)) AS spans_boundary
-        |FROM packed""".stripMargin
+        |FROM packed""".stripMargin,
+
+    // Brute-force batch x corpus exact-cosine ground truth (the q32
+    // contract, batch-vs-corpus form): scaling is sign-preserving so every
+    // planted copy collides with its source on all bands deterministically,
+    // background cross pairs stay far below the 0.9 threshold, and the
+    // indexed path must reproduce this join exactly.
+    "q70_hyperplane_index" ->
+      """WITH corpus AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |  WHERE vec_id < 400),
+        |batch AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |  WHERE vec_id >= 400
+        |  UNION ALL
+        |  SELECT vec_id + 10000,
+        |    CAST(list_transform(embedding, x -> x * CAST(2.0 AS FLOAT)) AS DOUBLE[])
+        |  FROM embeddings WHERE vec_id < 50)
+        |SELECT b.vec_id AS batch_id, c.vec_id AS corpus_id
+        |FROM batch b JOIN corpus c ON list_cosine_similarity(b.v, c.v) >= 0.9""".stripMargin
   )
 
   /** Shared BM25 corpus CTE for q39/q40 oracles — terms (vector, merge,

@@ -1,0 +1,333 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Observation, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{vector, AnnUtil, HyperplaneSignature}
+import org.apache.spark.sql.graftx.Bridge
+
+/** Persisted random-hyperplane LSH index — the EMBEDDING-side sibling of
+  * [[FingerprintIndex]] (MinHash text) and [[HammingIndex]] (SimHash/dHash):
+  * [[Dedup.embeddingNearDupLsh]] recomputes hyperplane signatures from raw
+  * vectors on every run, and at 100 TB the standing corpus dwarfs any
+  * nightly batch — so the corpus is signed ONCE at ingest (the reference's
+  * index-persistence discipline, performance/hnsw_index.py:105-129) and
+  * batches dedup against the stored layouts.
+  *
+  * Layout (epoch-sliced, atomically committed via [[EpochLog]]):
+  *
+  *  - `{path}/vecs/epoch=N`  — (id, vec): the exact-cosine VERIFY payload —
+  *    the embedding analog of [[FingerprintIndex]]'s shingle_hashes. This
+  *    duplicates the embedding column next to the index, which is the
+  *    price of never touching the source store at query time; only
+  *    CANDIDATE ids' vectors are ever gathered (the join below), so the
+  *    read cost is bounded by candidate count, not corpus size.
+  *  - `{path}/bands/epoch=N` — (id, band, bucket): the LSH candidate keys
+  *    (nBands equal bit-chunks of the 64-bit-max signature).
+  *  - `{path}/meta` — (dim, n_bits, n_bands, seed): the hyperplane
+  *    geometry is INDEX STATE ([[FingerprintIndex]]'s discipline) — a
+  *    batch signed under different planes would silently match nothing, so
+  *    `load()` restores it and callers never pass it again.
+  *  - `{path}/commits` — the [[EpochLog]]: both layouts become visible
+  *    all-or-nothing; a failure mid-append leaves an invisible orphan.
+  *
+  * Candidate recall is the LSH banding probability (pairs within angle θ
+  * collide on some band w.h.p. — raise nBands to trade work for recall);
+  * precision is EXACT (candidates verify with true cosine on the stored
+  * vectors). Scale-invariant inputs that share signs bit-identically
+  * (e.g. positively scaled copies) collide deterministically.
+  */
+case class HyperplaneIndex(
+    spark: SparkSession,
+    path: String,
+    dim: Int,
+    nBits: Int,
+    nBands: Int,
+    seed: Long) {
+
+  require(nBits % nBands == 0, s"nBits=$nBits not divisible by nBands=$nBands")
+
+  def vecsPath: String = s"$path/vecs"
+  def bandsPath: String = s"$path/bands"
+  private val log = EpochLog(spark, path)
+
+  @transient private lazy val planes: Array[Array[Double]] =
+    AnnUtil.randomPlanes(nBits, dim, seed)
+
+  def storedVecs(): DataFrame = spark.read.parquet(log.layoutPaths(vecsPath): _*)
+  def storedBands(): DataFrame = spark.read.parquet(log.layoutPaths(bandsPath): _*)
+
+  /** hyperplane_sig of a vector column under this index's planes. */
+  private def sigCol(vec: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    Bridge.column(HyperplaneSignature(Bridge.expression(vec), planes))
+
+  /** (id, band, bucket) from a (id, sig) frame — nBands equal bit chunks,
+    * the [[Dedup.embeddingNearDupLsh]] geometry.
+    */
+  private def banded(sigs: DataFrame): DataFrame = {
+    val width = nBits / nBands
+    val mask = if (width == 64) -1L else (1L << width) - 1
+    val chunks = array((0 until nBands).map { j =>
+      struct(lit(j).as("band"),
+        shiftright(col("sig"), j * width).bitwiseAND(lit(mask)).as("bucket"))
+    }: _*)
+    sigs.select(col("id"), explode(chunks).as("bb"))
+      .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+  }
+
+  /** Sign + band a new corpus slice and append it — O(batch), atomic.
+    * Returns rows appended.
+    */
+  def append(vecs: DataFrame, idCol: String, vecCol: String): Long = {
+    val epoch = log.nextEpoch()
+    val n = writeSlice(vecs, idCol, vecCol, epoch)
+    log.commit(epoch, "add", n)
+    n
+  }
+
+  private[operators] def writeSlice(
+      vecs: DataFrame, idCol: String, vecCol: String, epoch: Long): Long = {
+    // one signature pass feeds both layouts (the writeSlice discipline)
+    val signed = vecs.select(col(idCol).cast("long").as("id"),
+        col(vecCol).as("vec"))
+      .withColumn("sig", sigCol(col("vec")))
+      .localCheckpoint(true)
+    val obs = Observation()
+    signed.select(col("id"), col("vec"))
+      .observe(obs, count(lit(1)).as("n"))
+      .write.mode("overwrite").parquet(s"$vecsPath/epoch=$epoch")
+    banded(signed.select(col("id"), col("sig")))
+      .write.mode("overwrite").parquet(s"$bandsPath/epoch=$epoch")
+    obs.get("n").asInstanceOf[Long]
+  }
+
+  /** Which batch vectors near-duplicate an INDEXED vector:
+    * (batch_id, corpus_id, cosine) with cosine >= threshold — the
+    * batch-vs-corpus form of [[Dedup.embeddingNearDupLsh]], corpus side
+    * served from the stored layouts: batch vectors are signed once here;
+    * corpus signatures are never recomputed, and corpus vectors are read
+    * only for CANDIDATE ids (columnar gather, bounded by candidate count).
+    *
+    * Scale shape: the stored bands are pruned to buckets the batch PROBES
+    * before the cap window (a nightly batch probes a vanishing fraction of
+    * corpus buckets — the [[FingerprintIndex.dedupBatch]] prune, with the
+    * same skip when the batch dominates the index); the banding join
+    * carries slim (id, band, bucket) longs only; vectors enter only in the
+    * final verify joins.
+    */
+  def dedupBatch(
+      batch: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      maxBucketSize: Int = 1000): DataFrame =
+    dedupBatchSigned(signBatch(batch, idCol, vecCol), threshold, maxBucketSize)
+
+  /** Pin one (id, vec, sig) frame per batch — feeds the corpus match AND
+    * (in [[ingestBatch]]) the within-batch pair scan.
+    */
+  private def signBatch(
+      batch: DataFrame, idCol: String, vecCol: String): DataFrame =
+    batch.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
+      .withColumn("sig", sigCol(col("vec")))
+      .localCheckpoint(true)
+
+  private def dedupBatchSigned(
+      signed: DataFrame, threshold: Double, maxBucketSize: Int): DataFrame = {
+    val batchBands = banded(signed.select(col("id"), col("sig")))
+    val stored = storedBands()
+    val preCap =
+      if (signed.count() < log.sizeStats()._2)
+        stored.join(
+          batchBands.select(col("band"), col("bucket")).distinct(),
+          Seq("band", "bucket"), "left_semi")
+      else stored
+    // cap only the corpus side — a degenerate bucket is a corpus property,
+    // and the batch side must never lose a vector's chance to match
+    val corpusBands = Dedup.capBuckets(preCap, maxBucketSize)
+    val candidates = batchBands.as("b").join(corpusBands.as("c"),
+        col("b.band") === col("c.band") && col("b.bucket") === col("c.bucket"))
+      .select(col("b.id").as("batch_id"), col("c.id").as("corpus_id"))
+      .dropDuplicates("batch_id", "corpus_id")
+    candidates
+      .join(signed.select(col("id").as("batch_id"), col("vec").as("v_b")),
+        Seq("batch_id"))
+      .join(storedVecs().select(col("id").as("corpus_id"), col("vec").as("v_c")),
+        Seq("corpus_id"))
+      .select(col("batch_id"), col("corpus_id"),
+        vector.cosine_sim(col("v_b"), col("v_c")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
+  /** ONLINE ingest dedup for the embedding family — the
+    * [[FingerprintIndex.ingestBatch]] contract one modality over: drop
+    * batch vectors that near-duplicate the indexed corpus or a KEPT
+    * lower-id batch vector ([[Dedup.acceptedSweepDropped]]), append
+    * exactly the survivors, return the surviving rows. Recall is LSH
+    * banding recall (plus the corpus-side `maxBucketSize` truncation);
+    * precision is exact-cosine.
+    *
+    * `onKept` runs with the final kept frame BEFORE the index append — the
+    * at-least-once replay seam; see [[FingerprintIndex.ingestBatch]] for
+    * the full contract (a sink written after return loses the batch's
+    * survivors when a crash lands between the append and the caller's
+    * checkpoint commit; a sink inside `onKept` sees at-worst duplicates).
+    */
+  def ingestBatch(
+      batch: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      maxBucketSize: Int = 1000,
+      maxSweepEdges: Int = Dedup.SmallGraphEdgeThreshold.toInt,
+      onKept: DataFrame => Unit = _ => ()): DataFrame = {
+    // ONE signature pass feeds the corpus match AND the within-batch scan
+    val signed = signBatch(batch, idCol, vecCol)
+    val matchedRows = dedupBatchSigned(signed, threshold, maxBucketSize)
+      .select(col("batch_id")).distinct().limit(maxSweepEdges + 1).collect()
+    require(matchedRows.length <= maxSweepEdges,
+      s"ingestBatch: corpus-match set exceeds maxSweepEdges=$maxSweepEdges; " +
+        "raise the cap or split the batch")
+    val matched = matchedRows.map(_.getLong(0)).toSet
+    val pairRows = withinBatchPairs(signed, threshold, maxBucketSize)
+      .limit(maxSweepEdges + 1).collect()
+    require(pairRows.length <= maxSweepEdges,
+      s"ingestBatch: within-batch pair set exceeds maxSweepEdges=" +
+        s"$maxSweepEdges; raise the cap or split the batch")
+    val dropped: Set[Any] = Dedup.acceptedSweepDropped(matched,
+      pairRows.map(r => (r.getLong(0), r.getLong(1))))
+      .map(_.asInstanceOf[Any])
+    val keptDf =
+      if (dropped.isEmpty) batch
+      else batch.filter(!Bridge.column(
+        org.apache.spark.sql.catalyst.expressions.InSet(
+          Bridge.expression(col(idCol).cast("long")), dropped)))
+    // sink first, append second — the at-least-once replay contract
+    onKept(keptDf)
+    appendSigned(
+      if (dropped.isEmpty) signed
+      else signed.filter(!Bridge.column(
+        org.apache.spark.sql.catalyst.expressions.InSet(
+          Bridge.expression(col("id")), dropped))))
+    keptDf
+  }
+
+  /** [[Dedup.embeddingNearDupLsh]] restricted to a pinned signed frame:
+    * (id_a, id_b) pairs with id_a < id_b and cosine >= threshold.
+    */
+  private def withinBatchPairs(
+      signed: DataFrame, threshold: Double, maxBucketSize: Int): DataFrame = {
+    val capped = Dedup.capBuckets(
+      banded(signed.select(col("id"), col("sig"))), maxBucketSize)
+    val candidates = capped.as("x").join(capped.as("y"),
+        col("x.band") === col("y.band") &&
+          col("x.bucket") === col("y.bucket") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    candidates
+      .join(signed.select(col("id").as("id_a"), col("vec").as("v_a")), Seq("id_a"))
+      .join(signed.select(col("id").as("id_b"), col("vec").as("v_b")), Seq("id_b"))
+      .filter(vector.cosine_sim(col("v_a"), col("v_b")) >= threshold)
+      .select(col("id_a"), col("id_b"))
+  }
+
+  /** Append an already-signed (pinned) frame — the write half of
+    * [[ingestBatch]], which must not re-sign the survivors.
+    */
+  private def appendSigned(signed: DataFrame): Long = {
+    val epoch = log.nextEpoch()
+    val pinned = signed.localCheckpoint(true)
+    val obs = Observation()
+    pinned.select(col("id"), col("vec"))
+      .observe(obs, count(lit(1)).as("n"))
+      .write.mode("overwrite").parquet(s"$vecsPath/epoch=$epoch")
+    banded(pinned.select(col("id"), col("sig")))
+      .write.mode("overwrite").parquet(s"$bandsPath/epoch=$epoch")
+    val n = obs.get("n").asInstanceOf[Long]
+    log.commit(epoch, "add", n)
+    n
+  }
+
+  /** Maintenance snapshot — same triggers as
+    * [[FingerprintIndex.maintenance]] (epoch proliferation + appended
+    * fraction from the commit log; bucket skew from one slim bands scan).
+    */
+  def maintenance(
+      maxEpochs: Int = FingerprintIndex.DefaultMaxEpochs,
+      maxAppendedFraction: Double = FingerprintIndex.DefaultMaxAppendedFraction)
+      : FingerprintIndex.Maintenance = {
+    val (nEpochs, total, appended) = log.sizeStats()
+    val bucketAgg = storedBands()
+      .groupBy(col("band"), col("bucket")).agg(count(lit(1)).as("n"))
+      .agg(max(col("n")).as("mx"), avg(col("n")).as("mean"))
+      .collect().head
+    val maxBucket = if (bucketAgg.isNullAt(0)) 0L else bucketAgg.getLong(0)
+    val meanBucket = if (bucketAgg.isNullAt(1)) 0.0 else bucketAgg.getDouble(1)
+    val appendedFraction = if (total > 0) appended.toDouble / total else 0.0
+    FingerprintIndex.Maintenance(
+      numEpochs = nEpochs,
+      nDocs = total,
+      appendedFraction = appendedFraction,
+      maxBucketRows = maxBucket,
+      meanBucketRows = meanBucket,
+      bucketSkew = if (meanBucket > 0) maxBucket / meanBucket else 0.0,
+      needsCompaction = nEpochs > maxEpochs || appendedFraction > maxAppendedFraction)
+  }
+
+  /** Rewrite all committed epochs into one. dedupBatch output is unchanged
+    * (each id's vec + band rows move verbatim; ids are append-unique).
+    */
+  def compact(): Unit = {
+    if (log.committedEpochs().lengthCompare(1) <= 0) return
+    val target = log.nextEpoch()
+    val obs = Observation()
+    storedVecs().observe(obs, count(lit(1)).as("n"))
+      .write.mode("overwrite").parquet(s"$vecsPath/epoch=$target")
+    storedBands()
+      .write.mode("overwrite").parquet(s"$bandsPath/epoch=$target")
+    val stale = log.committedEpochs()
+    log.commit(target, "replace", obs.get("n").asInstanceOf[Long])
+    stale.foreach { e =>
+      log.deleteDir(s"$vecsPath/epoch=$e")
+      log.deleteDir(s"$bandsPath/epoch=$e")
+    }
+  }
+}
+
+object HyperplaneIndex {
+
+  /** Build a fresh index over the current corpus. */
+  def build(
+      vecs: DataFrame,
+      idCol: String,
+      vecCol: String,
+      path: String,
+      dim: Int,
+      nBits: Int = 64,
+      nBands: Int = 8,
+      seed: Long = 42L): HyperplaneIndex = {
+    require(dim >= 1, s"dim must be >= 1, got $dim")
+    require(nBits % nBands == 0, s"nBits=$nBits not divisible by nBands=$nBands")
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    Seq((dim, nBits, nBands, seed))
+      .toDF("dim", "n_bits", "n_bands", "seed")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    val idx = HyperplaneIndex(spark, path, dim, nBits, nBands, seed)
+    val n = idx.writeSlice(vecs, idCol, vecCol, epoch = 0L)
+    EpochLog(spark, path).reset(n)
+    idx
+  }
+
+  /** Load a previously built index; the hyperplane geometry comes from the
+    * persisted meta.
+    */
+  def load(spark: SparkSession, path: String): HyperplaneIndex = {
+    val row = spark.read.parquet(s"$path/meta")
+      .select(col("dim"), col("n_bits"), col("n_bands"), col("seed"))
+      .collect().head
+    HyperplaneIndex(spark, path, row.getInt(0), row.getInt(1), row.getInt(2),
+      row.getLong(3))
+  }
+}

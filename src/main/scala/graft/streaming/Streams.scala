@@ -376,6 +376,39 @@ object Streams {
       .start()
   }
 
+  /** The embedding-modality twin of [[ingestDedupStream]]: each micro-batch
+    * of (id, vector) rows is deduped against the persisted hyperplane-LSH
+    * index ([[graft.operators.HyperplaneIndex.ingestBatch]]: exact-cosine
+    * verify against the indexed corpus + within-batch keep-vs-accepted
+    * sweep), survivors are appended (later micro-batches dedup against
+    * them) and handed to `onBatch` BEFORE the append — the same
+    * sink-before-append restart contract as [[ingestDedupStream]]. The
+    * kept set is independent of micro-batch chopping when arrival order is
+    * id-nondecreasing (StreamsSpec replays both choppings).
+    */
+  def ingestEmbeddingDedupStream(
+      vecs: DataFrame,
+      index: graft.operators.HyperplaneIndex,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      threshold: Double = 0.9,
+      checkpoint: Option[String] = None,
+      onBatch: (DataFrame, Long) => Unit = (_, _) => (),
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    val cp = checkpoint.getOrElse(
+      java.nio.file.Files.createTempDirectory("graft_ingest_emb_cp").toString)
+    vecs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", cp)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        index.ingestBatch(batch, idCol, vecCol, threshold,
+          onKept = kept => onBatch(kept, batchId))
+        ()
+      }
+      .start()
+  }
+
   // -------------------------------------------------------- progress stream
 
   /** Schema of one progress event (reference SSE event payload shape,

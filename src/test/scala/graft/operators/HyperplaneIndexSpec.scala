@@ -1,0 +1,148 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.functions.vector
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class HyperplaneIndexSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  // testdata embeddings: 64-dim float, 500 rows at sf0.001; background
+  // pairs top out near cosine 0.51 (the q32 property), so planted
+  // positively-scaled copies (cosine 1.0, bit-identical signatures —
+  // sign(dot) is scale-invariant) are the only pairs at threshold 0.9 and
+  // LSH recall on them is DETERMINISTIC, not probabilistic.
+  private lazy val emb = spark.read
+    .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    .select($"vec_id", $"embedding").cache()
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  private def scaledCopies(
+      src: org.apache.spark.sql.DataFrame, offset: Long, scale: Float) =
+    src.select(($"vec_id" + offset).as("vec_id"),
+      transform($"embedding", x => x * lit(scale)).as("embedding"))
+
+  private def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+    df.select(col("batch_id"), col("corpus_id"))
+      .as[(Long, Long)].collect().toSet
+
+  /** Exact batch x corpus cosine pairs — the brute-force truth. */
+  private def brute(
+      corpus: org.apache.spark.sql.DataFrame,
+      batch: org.apache.spark.sql.DataFrame,
+      threshold: Double): Set[(Long, Long)] =
+    batch.select($"vec_id".cast("long").as("batch_id"),
+        $"embedding".as("v_b"))
+      .crossJoin(corpus.select($"vec_id".cast("long").as("corpus_id"),
+        $"embedding".as("v_c")))
+      .filter(vector.cosine_sim($"v_b", $"v_c") >= threshold)
+      .select($"batch_id", $"corpus_id")
+      .as[(Long, Long)].collect().toSet
+
+  test("indexed batch dedup equals brute-force cross cosine on planted copies") {
+    val corpus = emb.filter($"vec_id" < 400)
+    // batch: background (>= 400) + scaled copies of 50 corpus vectors
+    val batch = emb.filter($"vec_id" >= 400)
+      .unionAll(scaledCopies(emb.filter($"vec_id" < 50), 10000L, 2.0f))
+    val idx = HyperplaneIndex.build(corpus, "vec_id", "embedding",
+      tmp("graft_hpidx"), dim = 64)
+    val got = pairs(idx.dedupBatch(batch, "vec_id", "embedding", threshold = 0.9))
+    assert(got == brute(corpus, batch, 0.9))
+    assert(got == (0L until 50L).map(i => (i + 10000L, i)).toSet,
+      "each planted copy matches exactly its source")
+  }
+
+  test("append is equivalent to building on the grown corpus") {
+    val idx = HyperplaneIndex.build(emb.filter($"vec_id" < 200),
+      "vec_id", "embedding", tmp("graft_hpidx_app"), dim = 64)
+    val n = idx.append(emb.filter($"vec_id" >= 200 && $"vec_id" < 400),
+      "vec_id", "embedding")
+    assert(n == 200L, "append reports the rows it signed")
+    val batch = scaledCopies(emb.filter($"vec_id" < 300), 10000L, 3.0f)
+    val grown = pairs(idx.dedupBatch(batch, "vec_id", "embedding", 0.9))
+    val oneShot = HyperplaneIndex.build(emb.filter($"vec_id" < 400),
+      "vec_id", "embedding", tmp("graft_hpidx_one"), dim = 64)
+    assert(grown == pairs(oneShot.dedupBatch(batch, "vec_id", "embedding", 0.9)))
+    assert(grown == (0L until 300L).map(i => (i + 10000L, i)).toSet,
+      "copies of appended vectors match: the append landed in both layouts")
+  }
+
+  test("load restores the hyperplane geometry; a loaded index searches identically") {
+    val p = tmp("graft_hpidx_load")
+    HyperplaneIndex.build(emb.filter($"vec_id" < 100), "vec_id", "embedding",
+      p, dim = 64, nBits = 32, nBands = 4, seed = 7L)
+    val loaded = HyperplaneIndex.load(spark, p)
+    assert(loaded.dim == 64 && loaded.nBits == 32 && loaded.nBands == 4 &&
+      loaded.seed == 7L)
+    val batch = scaledCopies(emb.filter($"vec_id" < 100), 10000L, 0.5f)
+    assert(pairs(loaded.dedupBatch(batch, "vec_id", "embedding", 0.9)) ==
+      (0L until 100L).map(i => (i + 10000L, i)).toSet)
+  }
+
+  test("a torn append is invisible; compact preserves results") {
+    val p = tmp("graft_hpidx_torn")
+    val idx = HyperplaneIndex.build(emb.filter($"vec_id" < 100),
+      "vec_id", "embedding", p, dim = 64)
+    // simulate a crash mid-append: data lands under the next epoch but the
+    // commit row never does
+    idx.writeSlice(emb.filter($"vec_id" >= 100 && $"vec_id" < 200),
+      "vec_id", "embedding", epoch = 1L)
+    val batch = scaledCopies(emb.filter($"vec_id" < 200), 10000L, 2.0f)
+    val afterTorn = pairs(idx.dedupBatch(batch, "vec_id", "embedding", 0.9))
+    assert(afterTorn == (0L until 100L).map(i => (i + 10000L, i)).toSet,
+      "the uncommitted epoch must be invisible")
+    // the retry overwrites the orphan and commits; then compaction merges
+    // epochs without changing results
+    idx.append(emb.filter($"vec_id" >= 100 && $"vec_id" < 200),
+      "vec_id", "embedding")
+    val full = (0L until 200L).map(i => (i + 10000L, i)).toSet
+    assert(pairs(idx.dedupBatch(batch, "vec_id", "embedding", 0.9)) == full)
+    assert(idx.maintenance().numEpochs == 2)
+    idx.compact()
+    assert(idx.maintenance().numEpochs == 1)
+    assert(pairs(idx.dedupBatch(batch, "vec_id", "embedding", 0.9)) == full)
+  }
+
+  test("ingestBatch: keep-vs-ACCEPTED sweep, replay self-heals, onKept seam") {
+    val corpus = emb.filter($"vec_id" < 100)
+    val idx = HyperplaneIndex.build(corpus, "vec_id", "embedding",
+      tmp("graft_hpidx_ing"), dim = 64)
+    // batch in ascending id order: 5000 = copy of corpus 0 (drops),
+    // 10000/10001 = mutual copies of fresh vector 400 (first kept, second
+    // drops against the KEPT first), 20000 = fresh vector 450 (kept)
+    val batch = scaledCopies(emb.filter($"vec_id" === 0), 5000L, 2.0f)
+      .unionAll(scaledCopies(emb.filter($"vec_id" === 400), 9600L, 1.5f))
+      .unionAll(scaledCopies(emb.filter($"vec_id" === 400), 9601L, 2.5f))
+      .unionAll(scaledCopies(emb.filter($"vec_id" === 450), 19550L, 1.0f))
+    val kept = idx.ingestBatch(batch, "vec_id", "embedding", threshold = 0.9)
+      .select($"vec_id").as[Long].collect().toSet
+    assert(kept == Set(10000L, 20000L), s"got $kept")
+    assert(idx.maintenance().nDocs == 102L, "corpus + the 2 kept vectors")
+    // a copy of KEPT 10000 must now drop against the index
+    val next = idx.ingestBatch(
+      scaledCopies(emb.filter($"vec_id" === 400), 29600L, 4.0f),
+      "vec_id", "embedding", threshold = 0.9)
+      .select($"vec_id").as[Long].collect()
+    assert(next.isEmpty, "a copy of a kept vector must drop")
+    // at-least-once replay self-heals
+    val replay = idx.ingestBatch(batch, "vec_id", "embedding", threshold = 0.9)
+      .select($"vec_id").as[Long].collect()
+    assert(replay.isEmpty && idx.maintenance().nDocs == 102L)
+    // onKept (the sink seam) runs BEFORE the append: a sink failure aborts
+    val fresh = scaledCopies(emb.filter($"vec_id" === 499), 39499L, 1.0f)
+    intercept[RuntimeException] {
+      idx.ingestBatch(fresh, "vec_id", "embedding", threshold = 0.9,
+        onKept = _ => throw new RuntimeException("sink down"))
+    }
+    assert(idx.maintenance().nDocs == 102L,
+      "a failed sink write must abort the append")
+    var sawDocs = -1L
+    idx.ingestBatch(fresh, "vec_id", "embedding", threshold = 0.9,
+      onKept = _ => sawDocs = idx.maintenance().nDocs)
+    assert(sawDocs == 102L && idx.maintenance().nDocs == 103L,
+      "onKept observes the pre-append index; the append lands after")
+  }
+}

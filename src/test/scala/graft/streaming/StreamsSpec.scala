@@ -67,6 +67,62 @@ class StreamsSpec extends AnyFunSuite with SparkSpec {
     assert(!keptOne.contains(498L) && keptOne.contains(474L))
   }
 
+  test("ingestEmbeddingDedupStream: chopping-independent kept set, static parity") {
+    // corpus (< 400) is indexed once; four batch vectors arrive as ONE
+    // drop or TWO id-ordered drops split after id 1000. 1000 = copy of
+    // fresh 450 (kept), 1001 = another copy of 450 (must drop: via the
+    // within-batch sweep in the one-drop run, via the INDEX in the
+    // two-drop run — 1000 was appended by drop 1), 1002 = copy of corpus
+    // 0 (drops), 1003 = copy of fresh 460 (kept)
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select($"vec_id", $"embedding")
+    def copy(src: Long, as: Long, scale: Float) =
+      emb.filter($"vec_id" === src).select(lit(as).as("vec_id"),
+        transform($"embedding", x => x * lit(scale)).as("embedding"))
+    val corpus = emb.filter($"vec_id" < 400)
+    val all = copy(450L, 1000L, 2.0f).unionAll(copy(450L, 1001L, 3.0f))
+      .unionAll(copy(0L, 1002L, 2.0f)).unionAll(copy(460L, 1003L, 1.5f))
+    val splits = Seq(
+      "one" -> Seq(all),
+      "two" -> Seq(copy(450L, 1000L, 2.0f),
+        copy(450L, 1001L, 3.0f).unionAll(copy(0L, 1002L, 2.0f))
+          .unionAll(copy(460L, 1003L, 1.5f))))
+    val results = splits.map { case (name, drops) =>
+      val idx = graft.operators.HyperplaneIndex.build(corpus, "vec_id",
+        "embedding", tempDir(s"graft_ingemb_idx_$name"), dim = 64)
+      val dropDir = tempDir(s"graft_ingemb_$name")
+      val keptIds = scala.collection.mutable.Set.empty[Long]
+      val src = spark.readStream
+        .schema(StructType(Seq(
+          StructField("vec_id", org.apache.spark.sql.types.LongType),
+          StructField("embedding", org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.FloatType)))))
+        .parquet(dropDir)
+      val q = Streams.ingestEmbeddingDedupStream(src, idx, "vec_id",
+        "embedding", threshold = 0.9,
+        onBatch = (kept, _) =>
+          keptIds ++= kept.select($"vec_id").as[Long].collect(),
+        trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(
+          "50 milliseconds"))
+      try {
+        drops.foreach { d =>
+          d.write.mode("append").parquet(dropDir)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+      name -> ((keptIds.toSet, idx.maintenance().nDocs))
+    }.toMap
+    assert(results("one") == results("two"))
+    assert(results("one")._1 == Set(1000L, 1003L))
+    assert(results("one")._2 == 402L, "corpus + the 2 kept vectors")
+    // static-path parity: one direct ingestBatch call on a fresh index
+    val staticIdx = graft.operators.HyperplaneIndex.build(corpus, "vec_id",
+      "embedding", tempDir("graft_ingemb_static"), dim = 64)
+    val staticKept = staticIdx.ingestBatch(all, "vec_id", "embedding",
+      threshold = 0.9).select($"vec_id").as[Long].collect().toSet
+    assert(staticKept == Set(1000L, 1003L))
+  }
+
   test("ingestParagraphDedupStream cleans drops against the growing segment index") {
     val corpus = Seq((1L, "alpha beta")).toDF("doc_id", "text")
     val idx = graft.operators.SegmentIndex.build(corpus, "doc_id", "text",
