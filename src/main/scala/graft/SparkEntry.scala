@@ -84,8 +84,8 @@ object SparkEntry {
     * result must equal the brute-force cross-Hamming join bit for bit.
     * (The SimHash/dHash instantiations of the same index are locked by
     * HammingIndexSpec's brute-force-equality and image-corpus tests —
-    * their fingerprint functions aren't expressible in the oracle's SQL,
-    * the q19 scoping.)
+    * their fingerprint functions aren't expressible in the oracle's SQL;
+    * q19 replays the non-indexed pairs engine over the same portable fps.)
     */
   private def portableFp(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     operators.Curation.idHash(id % 50) * 8 + pmod(id, lit(3L))
@@ -160,6 +160,29 @@ object SparkEntry {
         .map(_.getSeq[Float](0).toArray.map(_.toDouble))
       ml.IvfPq.buildFixed(emb, "id", "vector", p, cents,
         numSubspaces = 8, codebookSize = 16)
+      p
+    })
+    ml.IvfPq.load(s, path, graft.functions.vector.MetricEuclidean)
+  }
+
+  /** The RESIDUAL twin of [[ivfPqFixedIndexFor]] (q71): same fixed coarse
+    * centroids, but codebooks are subspace slices of the RESIDUALS of
+    * embeddings 0..15 and codes quantize `v − c(assign(v))` — the
+    * by_residual=true pipeline with every learned input pinned, so the
+    * oracle replays assignment, residuals, codes, per-(query, list) ADC
+    * tables, and ranks end to end. One build per (JVM, sf dir).
+    */
+  private val ivfPqFixedResPaths = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def ivfPqFixedResIndexFor(s: SparkSession, dir: String): ml.IvfPq.Index = {
+    val path = ivfPqFixedResPaths.computeIfAbsent(dir, _ => {
+      val p = tempIndexDir("graft_ivfpq_fixed_res")
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id").as("id"), col("embedding").as("vector"))
+      val cents = emb.filter(col("id") < 4).orderBy(col("id"))
+        .select(col("vector")).collect()
+        .map(_.getSeq[Float](0).toArray.map(_.toDouble))
+      ml.IvfPq.buildFixed(emb, "id", "vector", p, cents,
+        numSubspaces = 8, codebookSize = 16, residual = true)
       p
     })
     ml.IvfPq.load(s, path, graft.functions.vector.MetricEuclidean)
@@ -390,13 +413,21 @@ object SparkEntry {
         shingleLen = 3, numHashes = 128, bands = 32, threshold = 0.5)
     }),
 
-    // Near-dedup: SimHash fingerprint + banded Hamming (rows-only check —
-    // the hash family has no SQL equivalent). nBands=4 => 16-bit bucket keys
-    // (65536 buckets/band, no boilerplate blow-up) with pigeonhole-guaranteed
-    // recall for hamming <= 3; buckets additionally capped at maxBucketSize.
-    "q19_simhash_neardup" -> ((s, dir) => {
-      operators.Dedup.nearDupPairsSimHash(
-        t(s, dir, "documents"), "doc_id", "text", maxHamming = 3, nBands = 4)
+    // Near-dedup banded-Hamming PAIRS engine (the machinery behind
+    // nearDupPairsSimHash) made fully oracle-replayable — the q64 pattern
+    // on the all-pairs form: portable arithmetic fingerprints stand in for
+    // SimHash (whose hash family has no SQL twin; the text instantiation is
+    // locked by q35's exact-equality twin and q48's recall sweep), so the
+    // fp-group collapse, banding, candidate join, and Hamming verify all
+    // replay bit-for-bit in DuckDB. maxHamming=3 < nBands=4 makes banding
+    // recall total by pigeonhole, so the banded result must equal the
+    // brute-force cross-Hamming join exactly.
+    "q19_hamming_pairs" -> ((s, dir) => {
+      operators.Dedup.nearDupPairsHamming64(
+        t(s, dir, "documents")
+          .select(col("doc_id"), portableFp(col("doc_id")).as("fp")),
+        "doc_id", "fp", maxHamming = 3, nBands = 4)
+        .withColumn("hamming", col("hamming").cast("long"))
     }),
 
     // Chunking generator (reference chunker semantics; oracle emulates the
@@ -426,7 +457,8 @@ object SparkEntry {
     // IVF ANN, full probe (nProbe = nLists): probing every list makes IVF
     // exactly equal to exact kNN, which IS DuckDB-expressible — this is the
     // oracle lock on the whole index machinery (build, assignment, probed
-    // join, bounded top-k). The production pruned path is q33.
+    // join, bounded top-k) for the LEARNED k-means index; the pruned-probe
+    // mechanics are hash-checked on the fixed-quantizer twin by q33.
     "q23_ann_ivf" -> ((s, dir) => {
       val idx = ivfIndexFor(s, dir)
       val emb = t(s, dir, "embeddings")
@@ -621,8 +653,14 @@ object SparkEntry {
         shingleLen = 2, threshold = 0.7)
     }),
 
+    // IVF ANN, PRUNED probe (nProbe=4 of 8 lists) on the FIXED-quantizer
+    // index (q46's twin; the learned-k-means production index is
+    // oracle-locked by q23's full-probe = exact identity) — the oracle
+    // replays assignment, probe ranking, and the partition-pruned top-k in
+    // SQL, so the approximate path's EXACT output is hash-checked rather
+    // than rows-only (q46 quantifies its recall; this locks its mechanics).
     "q33_ann_ivf_pruned" -> ((s, dir) => {
-      val idx = ivfIndexFor(s, dir)
+      val idx = ivfFixedIndexFor(s, dir)
       val emb = t(s, dir, "embeddings")
       val queries = emb.filter(col("vec_id") < 8)
         .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
@@ -768,8 +806,9 @@ object SparkEntry {
     }),
 
     // SimHash banding pair recall, ORACLE-CHECKED via copy planting — the
-    // last approximate family's recall contract (q19 itself stays
-    // approximate-by-design). Identical text => bit-identical 64-bit
+    // recall contract for the SimHash-from-text instantiation (whose hash
+    // family has no SQL twin; q19 hash-checks the same pairs engine over
+    // portable fps). Identical text => bit-identical 64-bit
     // fingerprint => hamming 0, and pigeonhole guarantees a hamming-0 pair
     // shares every band whatever nBands is — so ALL planted pairs are
     // recovered deterministically at every sweep point and the oracle can
@@ -790,7 +829,7 @@ object SparkEntry {
         .localCheckpoint(true)
       Seq(2, 4, 8).map { nb =>
         // high bucket cap, same reason as q35: determinism needs every copy
-        // to keep its banding rows; production default maxHamming=3 (q19)
+        // to keep its banding rows; production default maxHamming=3
         val found = operators.Dedup.nearDupPairsHamming64(
           withFp, "id", "fp", maxHamming = 3, nBands = nb,
           maxBucketSize = 1 << 20)
@@ -1166,6 +1205,23 @@ object SparkEntry {
       hyperplaneIndexFor(s, dir)
         .dedupBatch(batch, "vec_id", "embedding", threshold = 0.9)
         .select(col("batch_id"), col("corpus_id"))
+    }),
+
+    // IVF-PQ with RESIDUAL encoding (FAISS by_residual=true) on the fixed
+    // twin: same pinned coarse centroids as q52, but codebooks are subspace
+    // slices of the residuals of embeddings 0..15 and every code quantizes
+    // v - c(assign(v)); ADC builds one table per (query, probed list) from
+    // the residual query q - c(list). Every learned input is pinned, so the
+    // oracle replays residuals, codes, tables and ranks end to end — the
+    // production (k-means, cosine-normalized) residual path's recall is
+    // IvfPqSpec's harness.
+    "q71_ivfpq_residual" -> ((s, dir) => {
+      val index = ivfPqFixedResIndexFor(s, dir)
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") >= 100 && col("vec_id") < 116)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      ml.IvfPq.searchBatchAdc(index, queries, k = 10, nProbe = 2)
+        .select(col("query_id"), col("id"), col("rank"))
     })
   )
 
@@ -1298,6 +1354,21 @@ object SparkEntry {
         |           (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
         |  FROM s a JOIN s b ON a.doc_id < b.doc_id
         |) WHERE jaccard >= 0.5""".stripMargin,
+
+    // Brute-force cross-Hamming ground truth over the portable arithmetic
+    // fingerprints (q64's fp expression): with maxHamming=3 < nBands=4 the
+    // banded path has pigeonhole-total recall and exact-Hamming precision,
+    // so it must reproduce this join bit for bit.
+    "q19_hamming_pairs" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    ((doc_id % 50) * 2654435761) % 4294967296 * 8 + (doc_id % 3) AS fp
+        |  FROM documents)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS hamming
+        |FROM f a, f b
+        |WHERE a.doc_id < b.doc_id
+        |  AND bit_count(xor(a.fp, b.fp)) <= 3""".stripMargin,
 
     // Chunker emulation: chunk windows sit at fixed stride
     // (chunkSize - overlap = 80), so the generator is a plain range unnest;
@@ -1490,6 +1561,39 @@ object SparkEntry {
         |SELECT a.vec_id AS id_a, b.vec_id AS id_b
         |FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(a.v, b.v) >= 0.9""".stripMargin,
+
+    // Pruned-probe replay on the FIXED quantizer (centroids = embeddings
+    // 0..7, the q46 probe/assign CTEs at n_probe=4, k=5): assignment and
+    // probe ranking are pure cosine argmaxes, so the partition-pruned
+    // search is reproduced exactly — not just its recall.
+    "q33_ann_ivf_pruned" ->
+      """WITH cent AS (
+        |  SELECT vec_id AS list_id, CAST(embedding AS DOUBLE[]) AS c
+        |  FROM embeddings WHERE vec_id < 8),
+        |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |assign AS (
+        |  SELECT vec_id, v, list_id FROM (
+        |    SELECT x.vec_id, x.v, c.list_id,
+        |      row_number() OVER (PARTITION BY x.vec_id
+        |        ORDER BY list_cosine_similarity(c.c, x.v) DESC, c.list_id ASC) AS arnk
+        |    FROM v x, cent c
+        |  ) WHERE arnk = 1),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM v WHERE vec_id < 8),
+        |probes AS (
+        |  SELECT query_id, list_id FROM (
+        |    SELECT q.query_id, c.list_id,
+        |      row_number() OVER (PARTITION BY q.query_id
+        |        ORDER BY list_cosine_similarity(c.c, q.qv) DESC, c.list_id ASC) AS prank
+        |    FROM q, cent c
+        |  ) WHERE prank <= 4)
+        |SELECT query_id, vec_id, rnk FROM (
+        |  SELECT q.query_id, a.vec_id,
+        |    CAST(row_number() OVER (PARTITION BY q.query_id
+        |      ORDER BY list_cosine_similarity(a.v, q.qv) DESC, a.vec_id ASC) AS BIGINT) AS rnk
+        |  FROM q
+        |  JOIN probes p ON p.query_id = q.query_id
+        |  JOIN assign a ON a.list_id = p.list_id
+        |) WHERE rnk <= 5""".stripMargin,
 
     "q34_typed_meta_filter" ->
       "SELECT doc_id FROM documents WHERE doc_id % 3 = 1 AND lang = 'en'",
@@ -2272,7 +2376,71 @@ object SparkEntry {
         |    CAST(list_transform(embedding, x -> x * CAST(2.0 AS FLOAT)) AS DOUBLE[])
         |  FROM embeddings WHERE vec_id < 50)
         |SELECT b.vec_id AS batch_id, c.vec_id AS corpus_id
-        |FROM batch b JOIN corpus c ON list_cosine_similarity(b.v, c.v) >= 0.9""".stripMargin
+        |FROM batch b JOIN corpus c ON list_cosine_similarity(b.v, c.v) >= 0.9""".stripMargin,
+
+    // q52's replay with by_residual=true: residuals r = v - c(assign(v)),
+    // codebooks from the residuals of rows 0..15, one ADC table per
+    // (query, probed list) over the residual query, tables joined to codes
+    // through the row's OWN list (t.list_id = a.list_id) — the exact
+    // discipline of IvfPq.adcTopK's equi-join.
+    "q71_ivfpq_residual" ->
+      """WITH v AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |cent AS (SELECT vec_id AS list_id, v AS c FROM v WHERE vec_id < 4),
+        |assign AS (
+        |  SELECT vec_id, list_id FROM (
+        |    SELECT x.vec_id, c.list_id,
+        |      row_number() OVER (PARTITION BY x.vec_id ORDER BY
+        |        list_sum(list_transform(generate_series(1, 64), j ->
+        |          (x.v[j] - c.c[j]) * (x.v[j] - c.c[j]))) ASC, c.list_id ASC) AS rn
+        |    FROM v x CROSS JOIN cent c) WHERE rn = 1),
+        |res AS (
+        |  SELECT x.vec_id, a.list_id,
+        |    list_transform(generate_series(1, 64), j -> x.v[j] - c.c[j]) AS r
+        |  FROM v x JOIN assign a ON a.vec_id = x.vec_id
+        |  JOIN cent c ON c.list_id = a.list_id),
+        |cb AS (SELECT vec_id AS k, r AS v FROM res WHERE vec_id < 16),
+        |sub AS (SELECT unnest(generate_series(0, 7)) AS m),
+        |d2 AS (
+        |  SELECT x.vec_id, s.m, c.k,
+        |    list_sum(list_transform(generate_series(1, 8), j ->
+        |      (x.r[s.m*8+j] - c.v[s.m*8+j]) * (x.r[s.m*8+j] - c.v[s.m*8+j]))) AS d
+        |  FROM res x CROSS JOIN sub s CROSS JOIN cb c),
+        |codes AS (
+        |  SELECT vec_id, m, k FROM (
+        |    SELECT vec_id, m, k,
+        |      row_number() OVER (PARTITION BY vec_id, m ORDER BY d ASC, k ASC) AS rn
+        |    FROM d2) WHERE rn = 1),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM v
+        |      WHERE vec_id >= 100 AND vec_id < 116),
+        |probes AS (
+        |  SELECT query_id, list_id FROM (
+        |    SELECT q.query_id, c.list_id,
+        |      row_number() OVER (PARTITION BY q.query_id ORDER BY
+        |        list_sum(list_transform(generate_series(1, 64), j ->
+        |          (q.qv[j] - c.c[j]) * (q.qv[j] - c.c[j]))) ASC, c.list_id ASC) AS prank
+        |    FROM q CROSS JOIN cent c) WHERE prank <= 2),
+        |qres AS (
+        |  SELECT p.query_id, p.list_id,
+        |    list_transform(generate_series(1, 64), j -> q.qv[j] - c.c[j]) AS qr
+        |  FROM probes p JOIN q ON q.query_id = p.query_id
+        |  JOIN cent c ON c.list_id = p.list_id),
+        |qtab AS (
+        |  SELECT t.query_id, t.list_id, s.m, c.k,
+        |    list_sum(list_transform(generate_series(1, 8), j ->
+        |      (t.qr[s.m*8+j] - c.v[s.m*8+j]) * (t.qr[s.m*8+j] - c.v[s.m*8+j]))) AS d
+        |  FROM qres t CROSS JOIN sub s CROSS JOIN cb c),
+        |adc AS (
+        |  SELECT t.query_id, cd.vec_id AS id, sum(t.d) AS dist
+        |  FROM codes cd
+        |  JOIN assign a ON a.vec_id = cd.vec_id
+        |  JOIN qtab t ON t.m = cd.m AND t.k = cd.k AND t.list_id = a.list_id
+        |  GROUP BY t.query_id, cd.vec_id)
+        |SELECT query_id, id, rank FROM (
+        |  SELECT CAST(query_id AS BIGINT) AS query_id, CAST(id AS BIGINT) AS id,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY dist ASC, id ASC) AS BIGINT) AS rank
+        |  FROM adc) WHERE rank <= 10""".stripMargin
   )
 
   /** Shared BM25 corpus CTE for q39/q40 oracles — terms (vector, merge,

@@ -108,8 +108,8 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
       s"document text must never enter a shuffle:\n$p")
   }
 
-  test("q19: SimHash banding joins distinct fingerprints, never doc text") {
-    val p = plan("q19_simhash_neardup")
+  test("q19: banded-Hamming pairs join distinct fingerprints, never doc text") {
+    val p = plan("q19_hamming_pairs")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"banding must stay an equi-join:\n$p")
     assert(!"Exchange hashpartitioning\\([^)]*text".r.findFirstIn(p).isDefined,

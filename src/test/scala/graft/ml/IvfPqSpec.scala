@@ -119,23 +119,105 @@ class IvfPqSpec extends AnyFunSuite with SparkSpec {
     assert(spark.read.parquet(index.codesPath).count() == 500)
   }
 
-  test("trained index: rerank recovers recall lost by pruning+quantization") {
-    val p = java.nio.file.Files.createTempDirectory("graft_ivfpq").toString
-    val index = IvfPq.build(emb, "id", "vector", p,
-      nLists = 16, numSubspaces = 8, codebookSize = 16, maxIter = 5)
+  test("trained index: rerank recovers recall lost by pruning+quantization; " +
+      "residual+metric-matched codes beat raw-vector codes") {
     val queries = emb.filter($"id" < 16)
       .select($"id".as("query_id"), $"vector".as("query_vec"))
     val exact = graft.operators.Knn.batchTopK(queries, emb.toDF(), k = 10)
       .select($"query_id", $"id")
-    val adc = IvfPq.searchBatchAdc(index, queries, k = 10, nProbe = 12)
-      .select($"query_id", $"id")
-    val reranked = IvfPq.searchRerankBatch(index, queries, k = 10,
-      nProbe = 12, overFetch = 4).select($"query_id", $"id")
-    val rAdc = Recall.summarize(Recall.recallAtK(adc, exact)).head().getDouble(2)
-    val rRer = Recall.summarize(Recall.recallAtK(reranked, exact)).head().getDouble(2)
-    info(f"IVF-PQ recall@10 vs exact cosine (nProbe=12/16): adc=$rAdc%.3f reranked=$rRer%.3f")
+    def recallOf(df: org.apache.spark.sql.DataFrame): Double =
+      Recall.summarize(Recall.recallAtK(df.select($"query_id", $"id"), exact))
+        .head().getDouble(2)
+
+    val pRes = java.nio.file.Files.createTempDirectory("graft_ivfpq").toString
+    val index = IvfPq.build(emb, "id", "vector", pRes,
+      nLists = 16, numSubspaces = 8, codebookSize = 16, maxIter = 5)
+    assert(index.residual, "learned builds default to residual encoding")
+    val rAdc = recallOf(IvfPq.searchBatchAdc(index, queries, k = 10, nProbe = 12))
+    val rRer = recallOf(IvfPq.searchRerankBatch(index, queries, k = 10,
+      nProbe = 12, overFetch = 4))
+
+    val pRaw = java.nio.file.Files.createTempDirectory("graft_ivfpq_raw").toString
+    val rawIndex = IvfPq.build(emb, "id", "vector", pRaw,
+      nLists = 16, numSubspaces = 8, codebookSize = 16, maxIter = 5,
+      residual = false)
+    val rAdcRaw = recallOf(IvfPq.searchBatchAdc(rawIndex, queries, k = 10, nProbe = 12))
+    info(f"IVF-PQ recall@10 vs exact cosine (nProbe=12/16): " +
+      f"residual adc=$rAdc%.3f reranked=$rRer%.3f | raw adc=$rAdcRaw%.3f")
     assert(rRer >= rAdc, "re-rank must not lose recall")
+    assert(rAdc > rAdcRaw,
+      f"residual ADC recall $rAdc%.3f must beat raw-vector ADC $rAdcRaw%.3f")
     assert(rRer > 0.5, s"re-ranked recall $rRer unreasonably low")
+  }
+
+  test("clustered corpus: residual coding's lift grows with cluster structure") {
+    // the synthetic sf corpus is near-uniform on the sphere (weak clusters),
+    // where the mean-basis residual gain is structurally small; plant REAL
+    // clusters (8 anchors, points = anchor + small noise, normalized) and
+    // the residual codebooks only have to cover the small noise ball while
+    // raw codebooks must cover the whole sphere — the by_residual=true
+    // advantage the object doc promises
+    val rnd = new scala.util.Random(7)
+    def unit(v: Array[Double]): Seq[Float] = {
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(x => (x / n).toFloat).toSeq
+    }
+    val anchors = Array.fill(8)(Array.fill(64)(rnd.nextGaussian()))
+    val pts = (0 until 400).map { i =>
+      val a = anchors(i % 8)
+      (i.toLong, unit(a.map(_ + 0.15 * rnd.nextGaussian())))
+    }
+    val corpus = pts.toDF("id", "vector")
+    val queries = corpus.filter($"id" < 16)
+      .select($"id".as("query_id"), $"vector".as("query_vec"))
+    val exact = graft.operators.Knn.batchTopK(queries, corpus, k = 10)
+      .select($"query_id", $"id")
+    def adcRecall(residual: Boolean): Double = {
+      val p = java.nio.file.Files.createTempDirectory("graft_ivfpq_clus").toString
+      val idx = IvfPq.build(corpus, "id", "vector", p, nLists = 8,
+        numSubspaces = 8, codebookSize = 16, maxIter = 5, residual = residual)
+      Recall.summarize(Recall.recallAtK(
+        IvfPq.searchBatchAdc(idx, queries, k = 10, nProbe = 8)
+          .select($"query_id", $"id"), exact)).head().getDouble(2)
+    }
+    val res = adcRecall(residual = true)
+    val raw = adcRecall(residual = false)
+    info(f"clustered-corpus ADC recall@10 (full probe): residual=$res%.3f raw=$raw%.3f")
+    assert(res >= raw + 0.1,
+      f"expected a material residual lift on clustered data: residual=$res%.3f raw=$raw%.3f")
+  }
+
+  test("residual flag round-trips through load; loaded search is identical") {
+    val p = java.nio.file.Files.createTempDirectory("graft_ivfpq_resload").toString
+    val index = IvfPq.build(emb.filter($"id" < 200), "id", "vector", p,
+      nLists = 4, numSubspaces = 8, codebookSize = 16, maxIter = 3)
+    val loaded = IvfPq.load(spark, p)
+    assert(loaded.residual, "residual flag must persist through load")
+    assert(loaded.ivf.metric == graft.functions.vector.MetricCosine)
+    val queries = emb.filter($"id" < 4)
+      .select($"id".as("query_id"), $"vector".as("query_vec"))
+    def run(i: IvfPq.Index) =
+      IvfPq.searchBatchAdc(i, queries, k = 5, nProbe = 2)
+        .select($"query_id", $"id", $"rank", $"adc")
+        .as[(Long, Long, Long, Double)].collect().toSet
+    assert(run(loaded) == run(index),
+      "a loaded residual index must search bit-identically to the built one")
+    assert(!fixedIndex.residual, "the oracle twin stays by_residual=false")
+    // pre-residual layouts (no `residual` column in pqmodel) load as
+    // by_residual=false — rewrite the fixed twin's pqmodel without the
+    // column to emulate an index written before the flag existed
+    val legacy = java.nio.file.Files.createTempDirectory("graft_ivfpq_legacy").toString
+    val pm = spark.read.parquet(s"${fixedIndex.path}/pqmodel").drop("residual")
+      .localCheckpoint(true)
+    pm.coalesce(1).write.mode("overwrite").parquet(s"$legacy/pqmodel")
+    // point the ivf + codes halves at the fixed twin's real layouts
+    import java.nio.file.{Files, Paths}
+    Files.createSymbolicLink(Paths.get(s"$legacy/ivf"),
+      Paths.get(s"${fixedIndex.path}/ivf"))
+    Files.createSymbolicLink(Paths.get(s"$legacy/codes"),
+      Paths.get(s"${fixedIndex.path}/codes"))
+    assert(!IvfPq.load(spark, legacy).residual,
+      "a pqmodel without the residual column must load as by_residual=false")
   }
 
   test("bare load restores the build metric (euclidean is not lost to cosine)") {
