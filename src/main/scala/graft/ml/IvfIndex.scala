@@ -28,9 +28,42 @@ class IvfIndex private (
     val spark: SparkSession,
     val path: String,
     val centroids: Array[Array[Double]],
-    val metric: String) {
+    val metric: String,
+    val log: Option[graft.operators.EpochLog] = None) {
 
   private def dataPath = s"$path/data"
+
+  /** The store scan, resolved through the epoch log when one governs this
+    * index ([[graft.sources.VectorStoreCatalog]] epoch stores): only
+    * COMMITTED `data/epoch=N` directories are read, so a crashed
+    * (un-committed) append is invisible rather than half-visible. Log-less
+    * (legacy/standalone) layouts read the flat directory as before. The
+    * epoch partition column is dropped so readers see the same schema
+    * either way; list_id partition pruning works identically (the pruning
+    * filter matches inside every committed epoch directory).
+    */
+  private[graft] def storeDf: DataFrame = log match {
+    case None => spark.read.parquet(dataPath)
+    case Some(l) =>
+      val fs = new org.apache.hadoop.fs.Path(dataPath)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      // epochs committed before the index existed have no index-side
+      // directory (their rows are covered by the index build's epoch)
+      val dirs = l.layoutPaths(dataPath)
+        .filter(p => fs.exists(new org.apache.hadoop.fs.Path(p)))
+      if (dirs.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("id",
+              org.apache.spark.sql.types.LongType, nullable = false),
+            org.apache.spark.sql.types.StructField("vector",
+              org.apache.spark.sql.types.ArrayType(
+                org.apache.spark.sql.types.FloatType), nullable = true),
+            org.apache.spark.sql.types.StructField("list_id",
+              org.apache.spark.sql.types.IntegerType, nullable = false))))
+      else spark.read.option("basePath", dataPath).parquet(dirs: _*).drop("epoch")
+  }
 
   /** Probe-list column for a vector column. */
   def probes(vec: Column, nProbe: Int): Column =
@@ -55,7 +88,7 @@ class IvfIndex private (
     */
   def probedScan(queryVec: Seq[Double], nProbe: Int): DataFrame = {
     val lists = probeIdsFor(queryVec, nProbe)
-    spark.read.parquet(dataPath).filter(col("list_id").isin(lists: _*))
+    storeDf.filter(col("list_id").isin(lists: _*))
   }
 
   /** Single-query ANN search. Reads only the probed partitions, in ONE pass:
@@ -82,7 +115,7 @@ class IvfIndex private (
       val rows = hits.collect() // bounded: at most k rows
       // defined semantics for underfilled filtered-ANN: exact full scan
       if (rows.length < k) {
-        Knn.topK(spark.read.parquet(dataPath), queryVec, k, metric,
+        Knn.topK(storeDf, queryVec, k, metric,
           metadataFilter = metadataFilter, predicate = predicate).drop("list_id")
       } else {
         spark.createDataFrame(java.util.Arrays.asList(rows: _*), hits.schema)
@@ -97,23 +130,52 @@ class IvfIndex private (
     * grows; monitor [[listStats]] and run [[IvfIndex.build]] again when
     * imbalance warrants it.
     */
-  def append(rows: DataFrame, idCol: String = "id", vecCol: String = "vector"): Long = {
+  def append(rows: DataFrame, idCol: String = "id", vecCol: String = "vector"): Long =
+    log match {
+      case None =>
+        val assigned = assign(rows, idCol, vecCol)
+        // row count observed inside the write pass — a trailing rows.count()
+        // would re-run the (arbitrary) upstream lineage a second time
+        val obs = org.apache.spark.sql.Observation()
+        assigned.observe(obs, count(lit(1)).as("n"))
+          .write.mode("append").partitionBy("list_id").parquet(dataPath)
+        obs.get("n").asInstanceOf[Long]
+      case Some(l) =>
+        // epoch-governed layout: write-then-commit, so a crash mid-write
+        // leaves an invisible orphan the next append overwrites
+        val epoch = l.nextEpoch()
+        val n = appendEpoch(rows, idCol, vecCol, epoch)
+        l.commit(epoch, "add", n)
+        n
+    }
+
+  private def assign(rows: DataFrame, idCol: String, vecCol: String): DataFrame = {
     val meta = if (rows.columns.contains("meta")) Seq(col("meta")) else Seq.empty
-    val assigned = rows.select(Seq(
+    rows.select(Seq(
       col(idCol).cast("long").as("id"),
       col(vecCol).as("vector"),
       probes(col(vecCol), 1).getItem(0).as("list_id")) ++ meta: _*)
-    // row count observed inside the write pass — a trailing rows.count()
-    // would re-run the (arbitrary) upstream lineage a second time
+  }
+
+  /** Write an append batch under an explicit epoch directory WITHOUT
+    * committing it — the seam a composite owner ([[graft.sources
+    * .VectorStoreCatalog.addVectors]]) uses to make a store append and an
+    * index append visible through ONE commit row in a SHARED log. Overwrite
+    * mode: the directory may hold an orphan from a failed attempt at this
+    * same epoch number.
+    */
+  private[graft] def appendEpoch(
+      rows: DataFrame, idCol: String, vecCol: String, epoch: Long): Long = {
     val obs = org.apache.spark.sql.Observation()
-    assigned.observe(obs, count(lit(1)).as("n"))
-      .write.mode("append").partitionBy("list_id").parquet(dataPath)
+    assign(rows, idCol, vecCol).observe(obs, count(lit(1)).as("n"))
+      .write.mode("overwrite").partitionBy("list_id")
+      .parquet(s"$dataPath/epoch=$epoch")
     obs.get("n").asInstanceOf[Long]
   }
 
   /** Per-list occupancy — the balance signal for deciding when to rebuild. */
   def listStats(): DataFrame =
-    spark.read.parquet(dataPath)
+    storeDf
       .groupBy(col("list_id"))
       .agg(count(lit(1)).as("n_vectors"))
 
@@ -185,7 +247,7 @@ class IvfIndex private (
       .localCheckpoint(true)
     val probedLists = probed.select(col("list_id")).distinct()
       .collect().map(_.getInt(0)).toSeq // <= nLists values by construction
-    val store = spark.read.parquet(dataPath)
+    val store = storeDf
       .filter(col("list_id").isin(probedLists: _*))
     val topk = udaf(new TopKAggregator(k, ascending = false))
     probed.join(store, Seq("list_id"))
@@ -261,7 +323,8 @@ object IvfIndex {
       nLists: Int = 64,
       metric: String = vector.MetricCosine,
       maxIter: Int = 10,
-      seed: Long = 42L): IvfIndex = {
+      seed: Long = 42L,
+      log: Option[graft.operators.EpochLog] = None): IvfIndex = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
 
@@ -284,7 +347,7 @@ object IvfIndex {
         c.map(_ / n)
       } else rawCentroids
 
-    writeIndex(df, idCol, vecCol, path, cents, metric)
+    writeIndex(df, idCol, vecCol, path, cents, metric, log)
   }
 
   /** Build with an explicit coarse quantizer instead of k-means — the
@@ -301,14 +364,15 @@ object IvfIndex {
       vecCol: String,
       path: String,
       centroids: Array[Array[Double]],
-      metric: String = vector.MetricCosine): IvfIndex = {
+      metric: String = vector.MetricCosine,
+      log: Option[graft.operators.EpochLog] = None): IvfIndex = {
     require(centroids.nonEmpty, "centroids must be non-empty")
     val cents =
       if (metric == vector.MetricCosine) centroids.map { c =>
         val n = math.max(math.sqrt(c.map(x => x * x).sum), 1e-8)
         c.map(_ / n)
       } else centroids
-    writeIndex(df, idCol, vecCol, path, cents, metric)
+    writeIndex(df, idCol, vecCol, path, cents, metric, log)
   }
 
   private def writeIndex(
@@ -317,10 +381,20 @@ object IvfIndex {
       vecCol: String,
       path: String,
       cents: Array[Array[Double]],
-      metric: String): IvfIndex = {
+      metric: String,
+      log: Option[graft.operators.EpochLog]): IvfIndex = {
     val spark = df.sparkSession
-    val idx = new IvfIndex(spark, path, cents, metric)
+    val idx = new IvfIndex(spark, path, cents, metric, log)
     val meta = if (df.columns.contains("meta")) Seq(col("meta")) else Seq.empty
+    // log-governed builds land the full dataset under the NEWEST committed
+    // epoch of the owning log (the input df is exactly the committed rows),
+    // so index reads resolve that one directory plus later append epochs;
+    // log-less builds keep the flat layout
+    val dataDir = log match {
+      case None => s"$path/data"
+      case Some(l) =>
+        s"$path/data/epoch=${l.committedEpochs().lastOption.getOrElse(0L)}"
+    }
     // build-time row count observed inside the write pass (single pass over
     // user lineage) — it anchors maintenance()'s appendedFraction signal
     val obs = org.apache.spark.sql.Observation()
@@ -329,7 +403,7 @@ object IvfIndex {
         col(vecCol).as("vector"),
         idx.probes(col(vecCol), 1).getItem(0).as("list_id")) ++ meta: _*)
       .observe(obs, count(lit(1)).as("n"))
-      .write.mode("overwrite").partitionBy("list_id").parquet(s"$path/data")
+      .write.mode("overwrite").partitionBy("list_id").parquet(dataDir)
     val nBuilt = obs.get("n").asInstanceOf[Long]
 
     import spark.implicits._
@@ -346,15 +420,24 @@ object IvfIndex {
     * metric than the one the centroids were trained for silently returns
     * wrong rankings, so the metric is index state, not a load option.
     */
-  def load(spark: SparkSession, path: String): IvfIndex = load(spark, path, None)
+  def load(spark: SparkSession, path: String): IvfIndex =
+    load(spark, path, None, None)
 
   /** Load with an explicit metric: validated against the persisted one
     * (mismatch throws); for pre-metric-persistence indexes it is trusted.
     */
   def load(spark: SparkSession, path: String, metric: String): IvfIndex =
-    load(spark, path, Some(metric))
+    load(spark, path, Some(metric), None)
 
-  private def load(spark: SparkSession, path: String, metric: Option[String]): IvfIndex = {
+  /** Load attached to the epoch log that governs this index's data layout
+    * (catalog-managed epoch stores) — reads resolve committed epochs only.
+    */
+  def load(spark: SparkSession, path: String, metric: String,
+      log: Option[graft.operators.EpochLog]): IvfIndex =
+    load(spark, path, Some(metric), log)
+
+  private def load(spark: SparkSession, path: String, metric: Option[String],
+      log: Option[graft.operators.EpochLog]): IvfIndex = {
     val resolved = (readBuildMetric(spark, path), metric) match {
       case (Some(p), Some(m)) =>
         require(p == m, s"index at $path was built with metric '$p' but " +
@@ -368,6 +451,6 @@ object IvfIndex {
     val cents = spark.read.parquet(s"$path/centroids")
       .orderBy("list_id").collect()
       .map(_.getSeq[Double](1).toArray)
-    new IvfIndex(spark, path, cents, resolved)
+    new IvfIndex(spark, path, cents, resolved, log)
   }
 }

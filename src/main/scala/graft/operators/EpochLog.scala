@@ -46,6 +46,10 @@ private[graft] case class EpochLog(spark: SparkSession, path: String) {
     * retries — anything persistent is a real error and rethrows.
     */
   private def readCommits(): Seq[Commit] = {
+    // a log directory with no commit files yet (a store created but never
+    // written, or a crash before the very first commit) decodes to the
+    // empty epoch set — not a read error
+    if (listLogFiles().isEmpty) return Seq.empty
     def attempt(): Seq[Commit] =
       spark.read.parquet(commitsPath)
         .select(col("epoch"), col("action"), col("n_rows"))
@@ -115,6 +119,13 @@ private[graft] case class EpochLog(spark: SparkSession, path: String) {
       .reduceOption(_ max _).getOrElse(Long.MinValue)
     cs.map(_.epoch).filter(_ >= base).distinct.sorted
   }
+
+  /** Every epoch the log knows, live or dead — ONE log read. This is the
+    * set a replace commit supersedes, so compacting callers snapshot it
+    * BEFORE committing (the replace prunes the log these would be read
+    * from) and prune the directories after.
+    */
+  def allEpochs(): Seq[Long] = readCommits().map(_.epoch).distinct.sorted
 
   /** Dead epochs (below the newest replace) — compaction's cleanup list. */
   def deadEpochs(): Seq[Long] = {

@@ -56,6 +56,28 @@ class VectorStoreCatalog(spark: SparkSession, root: String) {
   private def dataPath(userId: String, modelId: String) =
     s"${storePath(userId, modelId)}/data"
 
+  // ── epoch-committed layout ─────────────────────────────────────────────
+  // New stores write `data/epoch=N` slices governed by ONE EpochLog at
+  // `_epochs/` that ALSO governs the IVF index's `_ivf/data/epoch=N`
+  // slices: a store append and its index append become visible through a
+  // single commit row (all-or-nothing), so a crash between the two writes
+  // can no longer leave store and index permanently out of sync — the
+  // FingerprintIndex/HammingIndex/SegmentIndex discipline applied to the
+  // vector side. Stores written before this layout (flat `data/` parquet,
+  // no `_epochs/`) stay on the legacy plain-append path end to end.
+  private def epochsPath(userId: String, modelId: String) =
+    s"${storePath(userId, modelId)}/_epochs"
+  private def epochMode(userId: String, modelId: String): Boolean =
+    fs.exists(new Path(epochsPath(userId, modelId)))
+  private def storeLog(userId: String, modelId: String): graft.operators.EpochLog =
+    graft.operators.EpochLog(spark, epochsPath(userId, modelId))
+  private def hasIvf(userId: String, modelId: String, cfg: StoreConfig): Boolean =
+    cfg.indexType == "ivf" &&
+      fs.exists(new Path(s"${indexPath(userId, modelId)}/centroids"))
+  private def idxLoad(userId: String, modelId: String, cfg: StoreConfig): graft.ml.IvfIndex =
+    graft.ml.IvfIndex.load(spark, indexPath(userId, modelId), cfg.metric,
+      if (epochMode(userId, modelId)) Some(storeLog(userId, modelId)) else None)
+
   def exists(userId: String, modelId: String): Boolean =
     fs.exists(configPath(userId, modelId))
 
@@ -102,27 +124,53 @@ class VectorStoreCatalog(spark: SparkSession, root: String) {
         meta.cast(MapType(StringType, StringType)).as("meta"),
         col("_dim_ok"))
       .drop("_dim_ok")
-    val hasIndex = cfg.indexType == "ivf" &&
-      fs.exists(new Path(s"${indexPath(userId, modelId)}/centroids"))
+    val hasIndex = hasIvf(userId, modelId, cfg)
     // ids come from monotonically_increasing_id (nondeterministic): pin the
     // batch once so the store write and the index append see identical rows
     val out = if (hasIndex) validated.localCheckpoint(true) else validated
-    // count observed inside the write pass — a trailing rows.count() would
-    // re-run the (arbitrary) input lineage a second time
-    val obs = org.apache.spark.sql.Observation()
-    out.observe(obs, org.apache.spark.sql.functions.count(lit(1)).as("n"))
-      .write.mode("append").parquet(dataPath(userId, modelId))
-    // incremental ANN maintenance: assign + append the same batch to the
-    // IVF index if one exists (reference rebuilds the whole graph here —
-    // service/optimized_vector_store.py:110-113; ours is O(batch))
-    if (hasIndex) {
-      graft.ml.IvfIndex.load(spark, indexPath(userId, modelId), cfg.metric)
-        .append(out)
+    // legacy = a pre-epoch store (flat data/, no _epochs marker); everything
+    // else — including a brand-new store's first append — is epoch mode
+    val legacy = !epochMode(userId, modelId) &&
+      fs.exists(new Path(dataPath(userId, modelId)))
+    if (legacy) {
+      // count observed inside the write pass — a trailing rows.count() would
+      // re-run the (arbitrary) input lineage a second time
+      val obs = org.apache.spark.sql.Observation()
+      out.observe(obs, org.apache.spark.sql.functions.count(lit(1)).as("n"))
+        .write.mode("append").parquet(dataPath(userId, modelId))
+      // incremental ANN maintenance: assign + append the same batch to the
+      // IVF index if one exists (reference rebuilds the whole graph here —
+      // service/optimized_vector_store.py:110-113; ours is O(batch))
+      if (hasIndex) {
+        idxLoad(userId, modelId, cfg).append(out)
+      }
+      // Advance the id base by a generous stride; monotonically_increasing_id
+      // uses the upper 31 bits for the partition, so 2^33 per leaves headroom.
+      writeConfig(cfgPath, cfg, idBase + (1L << 40))
+      obs.get("n").asInstanceOf[Long]
+    } else {
+      // the _epochs marker flips the store to epoch mode BEFORE any data
+      // lands: a crash after this mkdir leaves an empty log = empty store
+      if (!epochMode(userId, modelId)) fs.mkdirs(new Path(epochsPath(userId, modelId)))
+      val log = storeLog(userId, modelId)
+      // advance the id base BEFORE the writes: burning a stride on a failed
+      // append is harmless (ids skip), but advancing after the commit could
+      // crash in between and re-mint colliding ids on the retry
+      writeConfig(cfgPath, cfg, idBase + (1L << 40))
+      val epoch = log.nextEpoch()
+      val obs = org.apache.spark.sql.Observation()
+      out.observe(obs, org.apache.spark.sql.functions.count(lit(1)).as("n"))
+        .write.mode("overwrite")
+        .parquet(s"${dataPath(userId, modelId)}/epoch=$epoch")
+      // same batch into the index's epoch slice — visible only via the ONE
+      // commit row below, together with the store slice or not at all
+      if (hasIndex) {
+        idxLoad(userId, modelId, cfg).appendEpoch(out, "id", "vector", epoch)
+      }
+      val n = obs.get("n").asInstanceOf[Long]
+      log.commit(epoch, "add", n)
+      n
     }
-    // Advance the id base by a generous stride; monotonically_increasing_id
-    // uses the upper 31 bits for the partition, so 2^33 per leaves headroom.
-    writeConfig(cfgPath, cfg, idBase + (1L << 40))
-    obs.get("n").asInstanceOf[Long]
   }
 
   /** Scan (reference _load_store, service/optimized_vector_store.py:225-239).
@@ -131,13 +179,21 @@ class VectorStoreCatalog(spark: SparkSession, root: String) {
   def load(userId: String, modelId: String): DataFrame = {
     require(exists(userId, modelId), s"store $userId/$modelId does not exist")
     val p = dataPath(userId, modelId)
-    if (fs.exists(new Path(p))) spark.read.parquet(p)
-    else spark.createDataFrame(
+    def empty = spark.createDataFrame(
       spark.sparkContext.emptyRDD[Row],
       StructType(Seq(
         StructField("id", LongType, nullable = false),
         StructField("vector", ArrayType(FloatType), nullable = true),
         StructField("meta", MapType(StringType, StringType), nullable = true))))
+    if (epochMode(userId, modelId)) {
+      // read ONLY committed epoch slices — an un-committed (crashed) append
+      // is structurally invisible
+      val dirs = storeLog(userId, modelId).layoutPaths(p)
+        .filter(d => fs.exists(new Path(d)))
+      if (dirs.isEmpty) empty
+      else spark.read.option("basePath", p).parquet(dirs: _*).drop("epoch")
+    } else if (fs.exists(new Path(p))) spark.read.parquet(p)
+    else empty
   }
 
   private def indexPath(userId: String, modelId: String) =
@@ -151,8 +207,12 @@ class VectorStoreCatalog(spark: SparkSession, root: String) {
   def buildIndex(userId: String, modelId: String, nLists: Int = 64): Unit = {
     val cfgPath = configPath(userId, modelId)
     val (cfg, idBase) = readConfig(fs, cfgPath)
+    // epoch stores: the index data lands under the newest committed store
+    // epoch (it covers exactly the committed rows the build read); the
+    // index only becomes load-bearing when the config flips below
     graft.ml.IvfIndex.build(load(userId, modelId), "id", "vector",
-      indexPath(userId, modelId), nLists = nLists, metric = cfg.metric)
+      indexPath(userId, modelId), nLists = nLists, metric = cfg.metric,
+      log = if (epochMode(userId, modelId)) Some(storeLog(userId, modelId)) else None)
     writeConfig(cfgPath, cfg.copy(indexType = "ivf"), idBase)
   }
 
@@ -178,10 +238,9 @@ class VectorStoreCatalog(spark: SparkSession, root: String) {
       s"query dimension ${queryVec.length} != store dimension ${cfg.dimension}")
     def exact = Knn.topK(load(userId, modelId), queryVec, k, cfg.metric,
       metadataFilter = metadataFilter)
-    if (useIndex && cfg.indexType == "ivf" &&
-        fs.exists(new Path(s"${indexPath(userId, modelId)}/centroids"))) {
+    if (useIndex && hasIvf(userId, modelId, cfg)) {
       try {
-        graft.ml.IvfIndex.load(spark, indexPath(userId, modelId), cfg.metric)
+        idxLoad(userId, modelId, cfg)
           .search(queryVec, k, nProbe, metadataFilter)
       } catch {
         case _: Exception => exact // reference :142-144 semantics
@@ -211,10 +270,9 @@ class VectorStoreCatalog(spark: SparkSession, root: String) {
       else Some(TypedMeta.typedPredicate(col("meta"), typedFilter))
     def exact = Knn.topK(load(userId, modelId), queryVec, k, cfg.metric,
       predicate = pred)
-    if (useIndex && cfg.indexType == "ivf" &&
-        fs.exists(new Path(s"${indexPath(userId, modelId)}/centroids"))) {
+    if (useIndex && hasIvf(userId, modelId, cfg)) {
       try {
-        graft.ml.IvfIndex.load(spark, indexPath(userId, modelId), cfg.metric)
+        idxLoad(userId, modelId, cfg)
           .search(queryVec, k, nProbe, predicate = pred)
       } catch {
         case _: Exception => exact
@@ -253,15 +311,58 @@ class VectorStoreCatalog(spark: SparkSession, root: String) {
     val kept = load(userId, modelId)
       .observe(obs,
         org.apache.spark.sql.functions.count(
-          when(coalesce(predicate, lit(true)), lit(1))).as("matched"))
+          when(coalesce(predicate, lit(true)), lit(1))).as("matched"),
+        org.apache.spark.sql.functions.count(lit(1)).as("scanned"))
       .filter(!predicate)
-    val tmp = s"${storePath(userId, modelId)}/_data_rewrite"
-    kept.write.mode("overwrite").parquet(tmp)
-    val dst = new Path(dataPath(userId, modelId))
-    fs.delete(dst, true)
-    fs.rename(new Path(tmp), dst)
-    obs.get("matched").asInstanceOf[Long]
+    if (!epochMode(userId, modelId)) {
+      val tmp = s"${storePath(userId, modelId)}/_data_rewrite"
+      kept.write.mode("overwrite").parquet(tmp)
+      val dst = new Path(dataPath(userId, modelId))
+      fs.delete(dst, true)
+      fs.rename(new Path(tmp), dst)
+      obs.get("matched").asInstanceOf[Long]
+    } else {
+      // epoch store: the kept set becomes a REPLACE epoch in the store
+      // layout AND (when an index exists) the index layout, flipped
+      // together by one commit — the index can no longer go stale against
+      // a delete. The kept lineage reads only committed slices, so the
+      // index write may re-run it safely; pin it anyway when an index
+      // exists so the scan happens once.
+      val cfg = config(userId, modelId)
+      val hasIndex = hasIvf(userId, modelId, cfg)
+      val log = storeLog(userId, modelId)
+      val epoch = log.nextEpoch()
+      val out = if (hasIndex) kept.localCheckpoint(true) else kept
+      out.write.mode("overwrite")
+        .parquet(s"${dataPath(userId, modelId)}/epoch=$epoch")
+      if (hasIndex) {
+        idxLoad(userId, modelId, cfg).appendEpoch(out, "id", "vector", epoch)
+      }
+      val matched = obs.get("matched").asInstanceOf[Long]
+      val keptRows = obs.get("scanned").asInstanceOf[Long] - matched
+      // the superseded epoch set must be captured BEFORE the replace commit:
+      // committing prunes the commit log itself, after which it can no
+      // longer be named
+      val dead = log.allEpochs()
+      log.commit(epoch, "replace", keptRows)
+      pruneEpochDirs(userId, modelId, log, dead)
+      matched
+    }
   }
+
+  /** Best-effort cleanup of epoch directories superseded by a replace
+    * commit (both layouts) — readers resolve committed epochs first, so a
+    * surviving dead directory is invisible, just wasted bytes. The epoch
+    * list must be snapshotted before the replace commit (which prunes the
+    * commit log the list would come from).
+    */
+  private def pruneEpochDirs(
+      userId: String, modelId: String, log: graft.operators.EpochLog,
+      epochs: Seq[Long]): Unit =
+    epochs.foreach { e =>
+      log.deleteDir(s"${dataPath(userId, modelId)}/epoch=$e")
+      log.deleteDir(s"${indexPath(userId, modelId)}/data/epoch=$e")
+    }
 
   /** Batch kNN against one store with the reference's serving caps
     * (api/routes/batch_v1.py:63-64: <=1000 queries, k <= 100). The reference
@@ -292,10 +393,9 @@ class VectorStoreCatalog(spark: SparkSession, root: String) {
     // single-query path: the probed result is pinned (bounded: <= M*k rows),
     // so lazy-execution failures land inside the try, and any query that
     // came back with fewer than k hits triggers the exact batch rescan
-    if (useIndex && cfg.indexType == "ivf" &&
-        fs.exists(new Path(s"${indexPath(userId, modelId)}/centroids"))) {
+    if (useIndex && hasIvf(userId, modelId, cfg)) {
       try {
-        val res = graft.ml.IvfIndex.load(spark, indexPath(userId, modelId), cfg.metric)
+        val res = idxLoad(userId, modelId, cfg)
           .searchBatch(queries, k, nProbe)
           .localCheckpoint(true)
         val hitCounts = res.groupBy(col("query_id"))
@@ -318,16 +418,52 @@ class VectorStoreCatalog(spark: SparkSession, root: String) {
   def optimize(userId: String, modelId: String, targetFileBytes: Long = 128L << 20): (Int, Int) = {
     val dst = new Path(dataPath(userId, modelId))
     if (!fs.exists(dst)) return (0, 0)
-    def parquetFiles = fs.listStatus(dst).filter(_.getPath.getName.endsWith(".parquet"))
-    val before = parquetFiles
-    val totalBytes = before.map(_.getLen).sum
-    val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
-    val df = spark.read.parquet(dst.toString).repartition(nFiles)
-    val tmp = s"${storePath(userId, modelId)}/_compact"
-    df.write.mode("overwrite").parquet(tmp)
-    fs.delete(dst, true)
-    fs.rename(new Path(tmp), dst)
-    (before.length, parquetFiles.length)
+    def filesUnder(p: Path): Seq[org.apache.hadoop.fs.FileStatus] = {
+      if (!fs.exists(p)) return Seq.empty
+      fs.listStatus(p).toSeq.flatMap { s =>
+        if (s.isDirectory) filesUnder(s.getPath)
+        else if (s.getPath.getName.endsWith(".parquet")) Seq(s)
+        else Seq.empty
+      }
+    }
+    if (!epochMode(userId, modelId)) {
+      def parquetFiles = fs.listStatus(dst).filter(_.getPath.getName.endsWith(".parquet"))
+      val before = parquetFiles
+      val totalBytes = before.map(_.getLen).sum
+      val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
+      val df = spark.read.parquet(dst.toString).repartition(nFiles)
+      val tmp = s"${storePath(userId, modelId)}/_compact"
+      df.write.mode("overwrite").parquet(tmp)
+      fs.delete(dst, true)
+      fs.rename(new Path(tmp), dst)
+      (before.length, parquetFiles.length)
+    } else {
+      // epoch store: compaction = rewrite the committed rows into ONE
+      // replace epoch (and re-slice the index alongside), flipped by a
+      // single commit — crash-atomic, and the commit log itself is pruned
+      // by EpochLog's replace handling
+      val before = filesUnder(dst).size
+      val totalBytes = filesUnder(dst).map(_.getLen).sum
+      val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
+      val cfg = config(userId, modelId)
+      val hasIndex = hasIvf(userId, modelId, cfg)
+      val log = storeLog(userId, modelId)
+      val epoch = log.nextEpoch()
+      val obs = org.apache.spark.sql.Observation()
+      val df = load(userId, modelId)
+        .observe(obs, org.apache.spark.sql.functions.count(lit(1)).as("n"))
+        .repartition(nFiles)
+      val out = if (hasIndex) df.localCheckpoint(true) else df
+      out.write.mode("overwrite")
+        .parquet(s"${dataPath(userId, modelId)}/epoch=$epoch")
+      if (hasIndex) {
+        idxLoad(userId, modelId, cfg).appendEpoch(out, "id", "vector", epoch)
+      }
+      val dead = log.allEpochs()
+      log.commit(epoch, "replace", obs.get("n").asInstanceOf[Long])
+      pruneEpochDirs(userId, modelId, log, dead)
+      (before, filesUnder(dst).size)
+    }
   }
 
   /** Storage-level health report (reference health_check shape:
@@ -366,7 +502,7 @@ class VectorStoreCatalog(spark: SparkSession, root: String) {
       // must not masquerade as an index-desync problem
       if (c.indexType == "ivf" && dataOk) {
         try {
-          val idx = graft.ml.IvfIndex.load(spark, indexPath(userId, modelId), c.metric)
+          val idx = idxLoad(userId, modelId, c)
           val indexed = idx.listStats()
             .agg(org.apache.spark.sql.functions.sum(col("n_vectors"))).head().getLong(0)
           if (indexed != nRows)
@@ -380,10 +516,16 @@ class VectorStoreCatalog(spark: SparkSession, root: String) {
   }
 
   /** Clear store data, keep config (reference clear(),
-    * service/optimized_vector_store.py:198-209).
+    * service/optimized_vector_store.py:198-209). The epoch log and the IVF
+    * index data go with it — an index over deleted rows would otherwise
+    * keep serving them ([[buildIndex]] recreates it on demand; the config's
+    * indexType is untouched, and the query path already falls back to the
+    * exact scan while no centroids exist).
     */
   def clear(userId: String, modelId: String): Unit = {
     fs.delete(new Path(dataPath(userId, modelId)), true)
+    fs.delete(new Path(epochsPath(userId, modelId)), true)
+    fs.delete(new Path(indexPath(userId, modelId)), true)
   }
 
   /** Drop the store entirely (reference delete_store, api/routes/admin.py:74-112). */
