@@ -124,6 +124,25 @@ object SparkEntry {
     operators.HyperplaneIndex.load(s, path)
   }
 
+  /** One persisted-SemDeDup build per (JVM, sf dir) for q72: corpus rows
+    * vec_id < 400 assigned to the 8 explicit centroids (embeddings 0..7 —
+    * a pure argmax the oracle replays) and cluster-partitioned once.
+    */
+  private val semDedupPaths = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def semDedupIndexFor(s: SparkSession, dir: String): ml.SemDedupIndex.Index = {
+    val path = semDedupPaths.computeIfAbsent(dir, _ => {
+      val p = tempIndexDir("graft_semdedup_entry")
+      val emb = t(s, dir, "embeddings")
+      val cents = emb.filter(col("vec_id") < 8).orderBy(col("vec_id"))
+        .select(col("embedding")).collect()
+        .map(_.getSeq[Float](0).toArray.map(_.toDouble))
+      ml.SemDedupIndex.buildWithCentroids(
+        emb.filter(col("vec_id") < 400), "vec_id", "embedding", p, cents)
+      p
+    })
+    ml.SemDedupIndex.load(s, path)
+  }
+
   private val segPaths = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def segmentIndexFor(s: SparkSession, dir: String): operators.SegmentIndex = {
     val path = segPaths.computeIfAbsent(dir, _ => {
@@ -1222,6 +1241,26 @@ object SparkEntry {
         .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
       ml.IvfPq.searchBatchAdc(index, queries, k = 10, nProbe = 2)
         .select(col("query_id"), col("id"), col("rank"))
+    }),
+
+    // INCREMENTAL SemDeDup against persisted cluster state (q55's
+    // fixed-centroid twin, batch-vs-corpus form): the corpus (vec_id < 400)
+    // is assigned + cluster-partitioned ONCE at build; the batch
+    // (background >= 400 plus scaled copies of corpus rows — guaranteed
+    // cosine-1.0 duplicates) is scoped to its own clusters against stored
+    // rows, nothing re-clustered, the corpus scan partition-pruned. The
+    // oracle replays assignment (pure argmax over explicit centroids) and
+    // the same-cluster cosine join for both sides.
+    "q72_semdedup_incr" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val batch = emb.select(col("vec_id"), col("embedding"))
+        .filter(col("vec_id") >= 400)
+        .unionAll(emb.filter(col("vec_id") < 30).select(
+          (col("vec_id") + 10000).as("vec_id"),
+          transform(col("embedding"), x => x * lit(2.0f)).as("embedding")))
+      semDedupIndexFor(s, dir)
+        .dedupBatch(batch, "vec_id", "embedding", threshold = 0.9)
+        .select(col("batch_id"), col("corpus_id"))
     })
   )
 
@@ -2440,7 +2479,41 @@ object SparkEntry {
         |  SELECT CAST(query_id AS BIGINT) AS query_id, CAST(id AS BIGINT) AS id,
         |    CAST(row_number() OVER (PARTITION BY query_id
         |      ORDER BY dist ASC, id ASC) AS BIGINT) AS rank
-        |  FROM adc) WHERE rank <= 10""".stripMargin
+        |  FROM adc) WHERE rank <= 10""".stripMargin,
+
+    // Incremental SemDeDup replay: assignment is a pure cosine argmax over
+    // the 8 explicit centroids (ties to the lower id) for BOTH the stored
+    // corpus and the batch; duplicates = same cluster AND exact cosine >=
+    // threshold. Scaling is cosine-invariant, so every planted copy shares
+    // its source's cluster and matches at 1.0 deterministically.
+    "q72_semdedup_incr" ->
+      """WITH corpus AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |  WHERE vec_id < 400),
+        |batch AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |  WHERE vec_id >= 400
+        |  UNION ALL
+        |  SELECT vec_id + 10000,
+        |    CAST(list_transform(embedding, x -> x * CAST(2.0 AS FLOAT)) AS DOUBLE[])
+        |  FROM embeddings WHERE vec_id < 30),
+        |cent AS (SELECT vec_id AS cl, CAST(embedding AS DOUBLE[]) AS c
+        |         FROM embeddings WHERE vec_id < 8),
+        |ca AS (
+        |  SELECT vec_id, v, cl FROM (
+        |    SELECT x.vec_id, x.v, c.cl,
+        |      row_number() OVER (PARTITION BY x.vec_id
+        |        ORDER BY list_cosine_similarity(c.c, x.v) DESC, c.cl ASC) AS rn
+        |    FROM corpus x CROSS JOIN cent c) WHERE rn = 1),
+        |ba AS (
+        |  SELECT vec_id, v, cl FROM (
+        |    SELECT x.vec_id, x.v, c.cl,
+        |      row_number() OVER (PARTITION BY x.vec_id
+        |        ORDER BY list_cosine_similarity(c.c, x.v) DESC, c.cl ASC) AS rn
+        |    FROM batch x CROSS JOIN cent c) WHERE rn = 1)
+        |SELECT b.vec_id AS batch_id, c.vec_id AS corpus_id
+        |FROM ba b JOIN ca c ON b.cl = c.cl
+        |WHERE list_cosine_similarity(b.v, c.v) >= 0.9""".stripMargin
   )
 
   /** Shared BM25 corpus CTE for q39/q40 oracles — terms (vector, merge,

@@ -1,0 +1,90 @@
+package graft.ml
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The persisted-SemDeDup equivalence contract: on a stationary corpus
+  * (frozen centroids), batch-scoped incremental pairs must equal the
+  * full-recluster [[SemDedup.pairsWithCentroids]] pass restricted to pairs
+  * touching the batch — no recall lost to incrementality.
+  */
+class SemDedupIndexSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  private lazy val emb = spark.read
+    .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    .select($"vec_id".as("id"), $"embedding".as("vector")).cache()
+
+  private lazy val corpus = emb.filter($"id" < 400)
+  // batch: background rows + positively-scaled copies of corpus rows
+  // (cosine 1.0 with their source — guaranteed semantic duplicates)
+  private lazy val batch = emb.filter($"id" >= 400)
+    .unionAll(emb.filter($"id" < 30).select(
+      ($"id" + 10000).as("id"),
+      transform($"vector", x => x * lit(2.0f)).as("vector")))
+
+  private lazy val index = {
+    val p = java.nio.file.Files.createTempDirectory("graft_semdedup_idx").toString
+    SemDedupIndex.build(corpus, "id", "vector", p, nClusters = 8, maxIter = 5)
+  }
+
+  test("incremental batch-scoped pairs == full-recluster pairs on a stationary corpus") {
+    val threshold = 0.95
+    val cross = index.dedupBatch(batch, "id", "vector", threshold)
+      .select($"batch_id", $"corpus_id").as[(Long, Long)].collect()
+      .map { case (b, c) => (math.min(b, c), math.max(b, c)) }.toSet
+    val within = index.batchPairs(batch, "id", "vector", threshold)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+
+    // the full pass over corpus ∪ batch with the SAME frozen centroids
+    val full = SemDedup.pairsWithCentroids(
+      corpus.unionAll(batch), "id", "vector", index.centroids, threshold)
+      .as[(Long, Long)].collect().toSet
+    val batchIds = batch.select($"id").as[Long].collect().toSet
+    val fullCross = full.filter { case (a, b) =>
+      batchIds.contains(a) ^ batchIds.contains(b) }
+    val fullWithin = full.filter { case (a, b) =>
+      batchIds.contains(a) && batchIds.contains(b) }
+
+    assert(cross == fullCross,
+      s"cross pairs diverge: incremental ${cross.size}, full ${fullCross.size}")
+    assert(within == fullWithin,
+      s"within-batch pairs diverge: incremental ${within.size}, full ${fullWithin.size}")
+    // the planted copies guarantee the contract is not vacuous
+    assert(cross.size >= 30, s"expected >=30 planted cross dups, got ${cross.size}")
+  }
+
+  test("corpus is read partition-pruned to the batch's clusters") {
+    val plan = index.dedupBatch(batch.limit(5), "id", "vector", 0.95)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("list_id"),
+      s"expected a cluster (list_id) partition filter in:\n$plan")
+  }
+
+  test("append grows the stored corpus; maintenance reports the drift") {
+    val p = java.nio.file.Files.createTempDirectory("graft_semdedup_app").toString
+    val idx = SemDedupIndex.build(emb.filter($"id" < 300), "id", "vector", p,
+      nClusters = 4, maxIter = 5)
+    assert(idx.append(emb.filter($"id" >= 300 && $"id" < 400)) == 100L)
+    // an appended row now matches a scaled copy of itself
+    val probe = emb.filter($"id" === 350).select(
+      ($"id" + 50000).as("id"),
+      transform($"vector", x => x * lit(3.0f)).as("vector"))
+    val hits = idx.dedupBatch(probe, "id", "vector", threshold = 0.999)
+      .select($"corpus_id").as[Long].collect().toSet
+    assert(hits.contains(350L), s"appended row must be matchable, got $hits")
+    val m = idx.maintenance()
+    assert(m.nVectors == 400 && m.appendedFraction === 0.25)
+  }
+
+  test("load restores centroids and serves the same pairs") {
+    val loaded = SemDedupIndex.load(spark, index.path)
+    assert(loaded.centroids.length == 8)
+    val t = 0.95
+    def run(i: SemDedupIndex.Index) =
+      i.dedupBatch(batch, "id", "vector", t)
+        .select($"batch_id", $"corpus_id").as[(Long, Long)].collect().toSet
+    assert(run(loaded) == run(index))
+  }
+}
