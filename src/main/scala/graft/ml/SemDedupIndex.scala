@@ -1,8 +1,11 @@
 package graft.ml
 
 import graft.functions.vector
+import graft.operators.{Dedup, EpochLog}
+import org.apache.spark.sql.catalyst.expressions.InSet
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftx.Bridge
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** PERSISTED SemDeDup state — the incremental form of [[SemDedup]]: the
@@ -42,8 +45,13 @@ object SemDedupIndex {
         idCol: String,
         vecCol: String,
         threshold: Double,
-        maxClusterSize: Int = 10000): DataFrame = {
-      val assigned = assignBatch(batch, idCol, vecCol)
+        maxClusterSize: Int = 10000): DataFrame =
+      dedupAssigned(assignBatch(batch, idCol, vecCol), threshold,
+        maxClusterSize)
+
+    private def dedupAssigned(
+        assigned: DataFrame, threshold: Double,
+        maxClusterSize: Int): DataFrame = {
       val clusters = assigned.select(col("cluster")).distinct()
         .collect().map(_.getInt(0)).toSeq // <= nClusters by construction
       val corpus = cappedCorpus(clusters, maxClusterSize)
@@ -63,19 +71,75 @@ object SemDedupIndex {
         batch: DataFrame,
         idCol: String,
         vecCol: String,
-        threshold: Double): DataFrame = {
-      val assigned = assignBatch(batch, idCol, vecCol)
+        threshold: Double): DataFrame =
+      pairsAssigned(assignBatch(batch, idCol, vecCol), threshold)
+
+    private def pairsAssigned(
+        assigned: DataFrame, threshold: Double): DataFrame =
       assigned.as("a")
         .join(assigned.as("b"),
           col("a.cluster") === col("b.cluster") && col("a.id") < col("b.id"))
         .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
           vector.cosine_sim(col("a._v"), col("b._v")).as("cosine"))
         .filter(col("cosine") >= threshold)
+
+    /** ONLINE ingest dedup for the semantic family — the
+      * [[graft.operators.FingerprintIndex.ingestBatch]] contract with
+      * SemDeDup's cluster-scoped exact-cosine semantics: drop batch rows
+      * that semantically duplicate the indexed corpus or a KEPT lower-id
+      * batch row ([[Dedup.acceptedSweepDropped]]), append exactly the
+      * survivors against the FROZEN centroids, return the surviving rows.
+      * Recall is cluster-scoped (SemDeDup's published trade — a pair
+      * split across clusters is not compared) plus the corpus-side
+      * `maxClusterSize` truncation; precision is exact-cosine.
+      *
+      * `onKept` runs with the final kept frame BEFORE the index append —
+      * the at-least-once replay seam; see
+      * [[graft.operators.FingerprintIndex.ingestBatch]] for the full
+      * contract (a sink written after return loses the batch's survivors
+      * when a crash lands between the append and the caller's checkpoint
+      * commit; a sink inside `onKept` sees at-worst duplicates).
+      */
+    def ingestBatch(
+        batch: DataFrame,
+        idCol: String,
+        vecCol: String,
+        threshold: Double,
+        maxClusterSize: Int = 10000,
+        maxSweepEdges: Int = Dedup.SmallGraphEdgeThreshold.toInt,
+        onKept: DataFrame => Unit = _ => ()): DataFrame = {
+      // ONE assignment pass feeds the corpus match AND the within-batch scan
+      val assigned = assignBatch(batch, idCol, vecCol)
+      val matchedRows = dedupAssigned(assigned, threshold, maxClusterSize)
+        .select(col("batch_id")).distinct().limit(maxSweepEdges + 1).collect()
+      require(matchedRows.length <= maxSweepEdges,
+        s"ingestBatch: corpus-match set exceeds maxSweepEdges=$maxSweepEdges; " +
+          "raise the cap or split the batch")
+      val matched = matchedRows.map(_.getLong(0)).toSet
+      val pairRows = pairsAssigned(assigned, threshold)
+        .select(col("id_a"), col("id_b")).limit(maxSweepEdges + 1).collect()
+      require(pairRows.length <= maxSweepEdges,
+        s"ingestBatch: within-batch pair set exceeds maxSweepEdges=" +
+          s"$maxSweepEdges; raise the cap or split the batch")
+      val dropped: Set[Any] = Dedup.acceptedSweepDropped(matched,
+        pairRows.map(r => (r.getLong(0), r.getLong(1))))
+        .map(_.asInstanceOf[Any])
+      val keptDf =
+        if (dropped.isEmpty) batch
+        else batch.filter(!Bridge.column(InSet(
+          Bridge.expression(col(idCol).cast("long")), dropped)))
+      // sink first, append second — the at-least-once replay contract
+      onKept(keptDf)
+      append(keptDf, idCol, vecCol)
+      keptDf
     }
 
     /** Grow the stored corpus by a batch — O(batch) assignment + append
-      * against the FROZEN centroids; no re-clustering. Watch
-      * [[maintenance]] for when frozen clusters stop describing the data.
+      * against the FROZEN centroids; no re-clustering. Epoch-committed
+      * (write-then-commit) when the index carries a log (every build since
+      * the log landed does): a crash mid-append leaves an invisible
+      * orphan, never a half-visible batch. Watch [[maintenance]] for when
+      * frozen clusters stop describing the data.
       */
     def append(rows: DataFrame, idCol: String = "id", vecCol: String = "vector"): Long =
       ivf.append(rows, idCol, vecCol)
@@ -84,6 +148,24 @@ object SemDedupIndex {
       * the SemDeDup re-cluster triggers.
       */
     def maintenance(): IvfIndex.Maintenance = ivf.maintenance()
+
+    /** Rewrite live epochs into one — the explicit batch maintenance job
+      * ([[graft.operators.FingerprintIndex.compact]] discipline): read the
+      * committed corpus, land it under a fresh epoch, commit it as a
+      * replace (the atomic cutover), then delete the superseded
+      * directories. `dedupBatch` output is unchanged (spec-asserted).
+      */
+    def compact(): Unit = ivf.log.foreach { log =>
+      if (log.committedEpochs().lengthCompare(1) <= 0) return
+      val target = log.nextEpoch()
+      val obs = org.apache.spark.sql.Observation()
+      ivf.storeDf.observe(obs, count(lit(1)).as("n"))
+        .write.mode("overwrite").partitionBy("list_id")
+        .parquet(s"$path/data/epoch=$target")
+      val stale = log.committedEpochs()
+      log.commit(target, "replace", obs.get("n").asInstanceOf[Long])
+      stale.foreach(e => log.deleteDir(s"$path/data/epoch=$e"))
+    }
 
     private def assignBatch(
         batch: DataFrame, idCol: String, vecCol: String): DataFrame =
@@ -118,9 +200,13 @@ object SemDedupIndex {
       nClusters: Int = 64,
       metric: String = vector.MetricCosine,
       maxIter: Int = 10,
-      seed: Long = 42L): Index =
-    Index(IvfIndex.build(df, idCol, vecCol, path, nClusters, metric, maxIter,
-      seed), path)
+      seed: Long = 42L): Index = {
+    val log = EpochLog(df.sparkSession, path)
+    val idx = Index(IvfIndex.build(df, idCol, vecCol, path, nClusters, metric,
+      maxIter, seed, log = Some(log)), path)
+    log.reset(nAtBuild(idx))
+    idx
+  }
 
   /** Deterministic twin: explicit centroids (the [[SemDedup
     * .pairsWithCentroids]] quantizer, persisted).
@@ -131,11 +217,33 @@ object SemDedupIndex {
       vecCol: String,
       path: String,
       centroids: Array[Array[Double]],
-      metric: String = vector.MetricCosine): Index =
-    Index(IvfIndex.buildWithCentroids(df, idCol, vecCol, path, centroids,
-      metric), path)
+      metric: String = vector.MetricCosine): Index = {
+    val log = EpochLog(df.sparkSession, path)
+    val idx = Index(IvfIndex.buildWithCentroids(df, idCol, vecCol, path,
+      centroids, metric, log = Some(log)), path)
+    log.reset(nAtBuild(idx))
+    idx
+  }
 
-  /** Load previously persisted SemDeDup state (metric from buildmeta). */
-  def load(spark: SparkSession, path: String): Index =
-    Index(IvfIndex.load(spark, path), path)
+  // the build wrote data/epoch=0 (a fresh log has no commits); reset makes
+  // that epoch the one committed replace row — the FingerprintIndex.build
+  // bootstrap, with the row count the build already observed
+  private def nAtBuild(idx: Index): Long =
+    IvfIndex.readBuildCount(idx.spark, idx.path).getOrElse(0L)
+
+  /** Load previously persisted SemDeDup state (metric from buildmeta).
+    * Indexes written before the epoch log landed have no commit log and
+    * load log-less (flat-layout reads, plain appends), exactly as built.
+    */
+  def load(spark: SparkSession, path: String): Index = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val log =
+      if (fs.exists(new org.apache.hadoop.fs.Path(s"$path/commits")))
+        Some(EpochLog(spark, path))
+      else None
+    val metric = IvfIndex.readBuildMetric(spark, path)
+      .getOrElse(vector.MetricCosine)
+    Index(IvfIndex.load(spark, path, metric, log), path)
+  }
 }

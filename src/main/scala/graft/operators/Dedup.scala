@@ -240,10 +240,16 @@ object Dedup {
       .filter(length(col("_seg")) >= minSegmentLen)
       .select(col("_id"), col("_pos"), xxhash64(col("_seg")).as("_h"))
     // corpus membership without moving the corpus: probe hashes broadcast
-    // OUT, the matched subset broadcasts BACK
+    // OUT, the matched subset broadcasts BACK. The semi-join runs BEFORE
+    // the distinct — distinct-first would hash-exchange the ENTIRE stored
+    // table on every batch (the corpus-sized shuffle this operator exists
+    // to avoid); semi-join-first prunes in place against the broadcast
+    // probe set, so only the matched subset (bounded by the batch's
+    // distinct hashes) pays the distinct shuffle
     val probes = occ.select(col("_h")).distinct()
-    val hits = corpusSegHashes.select(col("h").as("_h")).distinct()
+    val hits = corpusSegHashes.select(col("h").as("_h"))
       .join(broadcast(probes), Seq("_h"), "left_semi")
+      .distinct()
       .withColumn("_inc", lit(true))
     val winners = occ.groupBy(col("_h"))
       .agg(min(struct(col("_id"), col("_pos"))).as("_w"))
@@ -391,8 +397,10 @@ object Dedup {
     val corpusBandsAll = banded(corpusSh)
     val preCap =
       if (batchSh.count() < corpusSh.count())
+        // broadcast pinned: the probe set is batch-bounded, and a planner
+        // misestimate would shuffle the ENTIRE corpus band table instead
         corpusBandsAll.join(
-          batchBuckets.select(col("band"), col("bucket")).distinct(),
+          broadcast(batchBuckets.select(col("band"), col("bucket")).distinct()),
           Seq("band", "bucket"), "left_semi")
       else corpusBandsAll
     // cap only the corpus side: a boilerplate-degenerate bucket is a corpus
@@ -836,7 +844,8 @@ object Dedup {
   val SmallGraphEdgeThreshold: Long = 1L << 20
 
   /** The online keep-vs-ACCEPTED sweep shared by
-    * [[FingerprintIndex.ingestBatch]] / [[HammingIndex.ingestBatch]]:
+    * [[FingerprintIndex.ingestBatch]] / [[HammingIndex.ingestBatch]] /
+    * [[HyperplaneIndex.ingestBatch]] / [[graft.ml.SemDedupIndex]]:
     * batch ids are considered ascending; an id is dropped iff it matched
     * the standing index (`matched`) or a KEPT lower-id batch neighbor
     * (`pairs`, each (lower, higher)). Matching only DROPPED ids does not
@@ -845,7 +854,7 @@ object Dedup {
     * driver-collected, cap-guarded match/pair sets (output-bound by
     * near-dup density); returns the dropped id set.
     */
-  private[operators] def acceptedSweepDropped(
+  private[graft] def acceptedSweepDropped(
       matched: Set[Long], pairs: Array[(Long, Long)]): Set[Long] = {
     val lowerNeighbors = pairs.groupBy(_._2).view.mapValues(_.map(_._1)).toMap
     val involved = pairs.flatMap(p => Seq(p._1, p._2)).distinct.sorted

@@ -120,8 +120,10 @@ case class FingerprintIndex(
     val stored = storedBands()
     val preCap =
       if (batchFp.count() < log.sizeStats()._2)
+        // broadcast pinned: the probe set is batch-bounded, and a planner
+        // misestimate would shuffle the ENTIRE stored band table instead
         stored.join(
-          batchBands.select(col("band"), col("bucket")).distinct(),
+          broadcast(batchBands.select(col("band"), col("bucket")).distinct()),
           Seq("band", "bucket"), "left_semi")
       else stored
     // cap only the corpus side — a degenerate bucket is a corpus property,

@@ -109,8 +109,10 @@ case class HammingIndex(
     // buckets cannot produce candidates), then bound pathological buckets:
     // at most maxBucketSize DISTINCT corpus fps per (band, bucket), lowest
     // fps kept — deterministic, and a bucket that full is boilerplate.
+    // broadcast pinned: the probe set is batch-bounded, and a planner
+    // misestimate would shuffle the ENTIRE stored band table instead
     val preCap = stored
-      .join(batchBands.select(col("band"), col("bucket")).distinct(),
+      .join(broadcast(batchBands.select(col("band"), col("bucket")).distinct()),
         Seq("band", "bucket"), "left_semi")
       // appends may have re-recorded a fp's band rows; candidates must not
       // count a (fp, band, bucket) twice against the cap

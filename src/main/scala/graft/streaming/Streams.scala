@@ -409,6 +409,40 @@ object Streams {
       .start()
   }
 
+  /** The SEMANTIC twin of [[ingestEmbeddingDedupStream]] — same stream
+    * contract, SemDeDup's cluster-scoped exact-cosine semantics instead of
+    * hyperplane-LSH banding: each micro-batch is assigned to the persisted
+    * index's FROZEN centroids, deduped against stored same-cluster rows
+    * plus kept lower-id batch rows
+    * ([[graft.ml.SemDedupIndex.Index.ingestBatch]]), survivors appended.
+    * `onBatch` runs BEFORE the append (sink-before-append restart
+    * contract, [[ingestDedupStream]]); the kept set is independent of
+    * micro-batch chopping under id-nondecreasing arrival (StreamsSpec
+    * replays both choppings).
+    */
+  def ingestSemDedupStream(
+      vecs: DataFrame,
+      index: graft.ml.SemDedupIndex.Index,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      threshold: Double = 0.9,
+      checkpoint: Option[String] = None,
+      onBatch: (DataFrame, Long) => Unit = (_, _) => (),
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    val cp = checkpoint.getOrElse(
+      java.nio.file.Files.createTempDirectory("graft_ingest_sem_cp").toString)
+    vecs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", cp)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        index.ingestBatch(batch, idCol, vecCol, threshold,
+          onKept = kept => onBatch(kept, batchId))
+        ()
+      }
+      .start()
+  }
+
   // -------------------------------------------------------- progress stream
 
   /** Schema of one progress event (reference SSE event payload shape,

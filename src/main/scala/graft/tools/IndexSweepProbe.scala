@@ -1,0 +1,174 @@
+package graft.tools
+
+import graft.operators.{Dedup, FingerprintIndex, HammingIndex, SegmentIndex}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+/** Scale sweep for the three persisted dedup-index families — the
+  * [[IngestProbe]] lesson (the indexed win only shows once the corpus
+  * dwarfs the batch; 0.9x at 100k docs, 9.4x at 400k for MinHash)
+  * applied to ALL families: for each corpus size in the sweep, build
+  * [[FingerprintIndex]] (MinHash), [[HammingIndex]] (SimHash) and
+  * [[SegmentIndex]] (paragraph hashes) over the SAME materialized corpus,
+  * then time one FIXED 10k-doc batch-vs-corpus match on the indexed path
+  * vs the honest no-index recompute path (re-read + re-fingerprint the
+  * corpus parquet in memory — no throwaway index write is charged to it).
+  * Both paths must agree on the matched-batch-doc count (asserted), so
+  * the ratio compares identical work.
+  *
+  * Corpus docs are paragraph-structured (8 x 25-word paragraphs, ~1 KB,
+  * "\n"-joined) so the segment family gets a realistic hash-set size;
+  * batch near-copies append one word, which keeps them inside
+  * MinHash≥0.8 / SimHash hamming≤3 AND drops their unchanged paragraphs
+  * as corpus dups. Usage:
+  * `runMain graft.tools.IndexSweepProbe [n1 n2 ...]` (default
+  * 25000 100000 400000). Prints [probe] lines + one JSON per scale.
+  */
+object IndexSweepProbe {
+  def main(args: Array[String]): Unit = {
+    val scales = if (args.nonEmpty) args.toSeq.map(_.toInt)
+                 else Seq(25000, 100000, 400000)
+    val batchN = 10000
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.functions.windows.muteNoPartitionWarning()
+    scales.foreach(runScale(spark, _, batchN))
+    spark.stop()
+  }
+
+  /** 8 paragraphs of 25 words over a 500-word vocab, keyed by doc id:
+    * ~1 KB/doc like [[IngestProbe]], but "\n"-delimited so the segment
+    * index stores real per-paragraph hashes.
+    */
+  private def textFor(idCol: Column): Column = {
+    val vocab = array((0 until 500).map(i => lit(s"w$i")): _*)
+    array_join(
+      transform(sequence(lit(0), lit(7)), p => array_join(
+        transform(sequence(lit(1), lit(25)),
+          w => element_at(vocab,
+            pmod(hash(idCol * 1000 + p * 100 + w), lit(500)) + 1)), " ")),
+      "\n")
+  }
+
+  private def time[T](f: => T): (T, Double) = {
+    val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
+  }
+
+  private def runScale(spark: SparkSession, n: Int, batchN: Int): Unit = {
+    // the corpus is MATERIALIZED as parquet (IngestProbe's rule): the
+    // index's whole point is skipping the corpus re-read/re-fingerprint,
+    // so a generated-on-the-fly corpus would flatter the recompute path
+    val corpusPath = java.nio.file.Files
+      .createTempDirectory(s"graft_sweep_corpus_$n").toString
+    spark.range(n.toLong).select(col("id"), textFor(col("id")).as("text"))
+      .write.mode("overwrite").parquet(corpusPath)
+    val corpus = spark.read.parquet(corpusPath)
+    // fixed batch as the corpus grows: half fresh, 30% corpus near-copies
+    // (one appended word — inside every family's match radius, and 7 of 8
+    // paragraphs unchanged), 20% near-copies of the batch's own fresh half.
+    // text resolves BEFORE the id re-key (two selects — the lateral-alias
+    // trap would silently re-key the planted copies)
+    val freshN = batchN / 2
+    val corpDupN = batchN * 3 / 10
+    val batch = spark.range(batchN.toLong).select(col("id"),
+        when(col("id") < freshN, textFor(col("id") + n))
+          .when(col("id") < freshN + corpDupN,
+            concat(textFor(col("id") - freshN), lit(" extra")))
+          .otherwise(concat(textFor(pmod(col("id"), lit(freshN)) + n), lit(" copy")))
+          .as("text"))
+      .select((col("id") + n).as("id"), col("text"))
+      .localCheckpoint(true)
+    println(s"[probe] === corpus $n docs, batch $batchN (fixed) ===")
+
+    def family(name: String)(build: String => Any)(
+        indexed: Any => Long)(recompute: () => Long): (Double, Double, Double) = {
+      val path = java.nio.file.Files
+        .createTempDirectory(s"graft_sweep_$name").toString
+      val (idx, tBuild) = time(build(path))
+      val (nIdx, tIdx) = time(indexed(idx))
+      val (nRe, tRe) = time(recompute())
+      assert(nIdx == nRe,
+        s"$name contrast invalid: indexed matched $nIdx docs, recompute $nRe")
+      println(f"[probe] $name%-8s build $tBuild%6.1f s | match indexed " +
+        f"$tIdx%5.1f s vs recompute $tRe%5.1f s (${tRe / tIdx}%.1fx) " +
+        f"[$nIdx matched docs]")
+      (tBuild, tIdx, tRe)
+    }
+
+    val (mhB, mhI, mhR) = family("minhash") {
+      FingerprintIndex.build(corpus, "id", "text", _)
+    } { idx =>
+      idx.asInstanceOf[FingerprintIndex]
+        .dedupBatch(batch, "id", "text", threshold = 0.8)
+        .select(col("batch_id")).distinct().count()
+    } { () =>
+      Dedup.nearDupAgainstMinHash(corpus, batch, "id", "text", threshold = 0.8)
+        .select(col("batch_id")).distinct().count()
+    }
+
+    val (shB, shI, shR) = family("simhash") {
+      HammingIndex.buildFromText(corpus, "id", "text", _)
+    } { idx =>
+      idx.asInstanceOf[HammingIndex].dedupBatchText(batch, "id", "text")
+        .select(col("batch_id")).distinct().count()
+    } { () =>
+      // no-index twin of dedupBatchText: re-read + re-SimHash the corpus
+      // parquet, band both sides (the index's exact geometry: 4 x 16-bit
+      // pigeonhole chunks), bucket-join, verify hamming <= 3. In-memory
+      // only — charging a throwaway index WRITE to this path would
+      // overstate the ratio.
+      val nBands = 4; val width = 64 / nBands; val mask = (1L << width) - 1
+      def fps(df: DataFrame) = df.select(col("id"),
+        Dedup.simhash(split(col("text"), " ")).as("fp"))
+      def banded(df: DataFrame) = {
+        val chunks = array((0 until nBands).map { j =>
+          struct(lit(j).as("band"),
+            shiftright(col("fp"), j * width).bitwiseAND(lit(mask)).as("bucket"))
+        }: _*)
+        df.select(col("fp")).distinct()
+          .select(col("fp"), explode(chunks).as("bb"))
+          .select(col("fp"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+      }
+      val bFps = fps(batch).localCheckpoint(true)
+      val cFps = fps(corpus)
+      // same 1000-per-bucket cap as dedupBatchText's default, lowest fps
+      // kept — the cap must match or the contrast compares different work
+      val wBucket = Window.partitionBy(col("band"), col("bucket"))
+        .orderBy(col("fp"))
+      val cBanded = banded(cFps)
+        .withColumn("_rn", row_number().over(wBucket))
+        .filter(col("_rn") <= 1000).drop("_rn")
+      banded(bFps).as("b")
+        .join(cBanded.as("c"), Seq("band", "bucket"))
+        .select(col("b.fp").as("fp_b"), col("c.fp").as("fp_c"))
+        .dropDuplicates("fp_b", "fp_c")
+        .filter(Dedup.hamming64(col("fp_b"), col("fp_c")) <= 3)
+        .join(bFps.select(col("id").as("batch_id"), col("fp").as("fp_b")),
+          Seq("fp_b"))
+        .select(col("batch_id")).distinct().count()
+    }
+
+    val (sgB, sgI, sgR) = family("segment") {
+      SegmentIndex.build(corpus, "id", "text", _)
+    } { idx =>
+      idx.asInstanceOf[SegmentIndex].dedupBatch(batch, "id", "text")
+        .agg(sum(col("n_removed"))).collect().head.getLong(0)
+    } { () =>
+      // no-index twin: re-read + re-segment + re-hash the corpus parquet
+      val segs = corpus
+        .select(explode(split(col("text"), "\n")).as("_s"))
+        .filter(length(col("_s")) >= 1)
+        .select(xxhash64(col("_s")).as("h")).distinct()
+      Dedup.dedupParagraphsAgainst(batch, "id", "text", segs)
+        .agg(sum(col("n_removed"))).collect().head.getLong(0)
+    }
+
+    println(f"""{"probe":"index_sweep","corpus":$n,"batch":$batchN,"minhash":{"build_sec":$mhB%.1f,"indexed_sec":$mhI%.1f,"recompute_sec":$mhR%.1f},"simhash":{"build_sec":$shB%.1f,"indexed_sec":$shI%.1f,"recompute_sec":$shR%.1f},"segment":{"build_sec":$sgB%.1f,"indexed_sec":$sgI%.1f,"recompute_sec":$sgR%.1f}}""")
+  }
+}

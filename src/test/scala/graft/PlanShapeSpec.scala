@@ -173,6 +173,39 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
     assert(!"Exchange hashpartitioning\\([^)]*_seg".r.findFirstIn(p).isDefined,
       s"segment text must not enter a shuffle:\n$p")
     assert(!p.contains("CartesianProduct"), s"no product join:\n$p")
+    // STRUCTURAL guard (the string checks above can't see operator ORDER):
+    // walking up from the stored-segs scan, the broadcast semi-join must
+    // come before any shuffle exchange — distinct-before-semi-join would
+    // hash-exchange the whole stored table on every batch, which the
+    // textual asserts miss because the exchange carries longs, not text.
+    // AQE's wrapper is an opaque leaf, so plan with it off for this test.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val prev = spark.conf.get(aqeKey)
+    try {
+      spark.conf.set(aqeKey, "false")
+      val exec = SparkEntry.queries("q65_paragraph_dedup_incr")(spark, sf)
+        .queryExecution.executedPlan
+      def isSegScan(n: SparkPlan): Boolean = n match {
+        case s: FileSourceScanExec =>
+          s.relation.location.rootPaths.exists(_.toString.contains("/segs"))
+        case _ => false
+      }
+      def pathTo(n: SparkPlan): Option[List[SparkPlan]] =
+        if (isSegScan(n)) Some(n :: Nil)
+        else n.children.view.flatMap(pathTo(_)).headOption.map(n :: _)
+      val path = pathTo(exec)
+      assert(path.isDefined, s"no stored-segs scan found in:\n$exec")
+      // nearest wide/broadcast ancestor of the scan decides the shape
+      val firstWide = path.get.reverse.drop(1).find(n =>
+        n.isInstanceOf[ShuffleExchangeExec] || n.isInstanceOf[BroadcastHashJoinExec])
+      assert(firstWide.exists(_.isInstanceOf[BroadcastHashJoinExec]),
+        "the stored segs must hit the broadcast semi-join BEFORE any " +
+          s"shuffle exchange; nearest wide op was $firstWide in:\n$exec")
+    } finally spark.conf.set(aqeKey, prev)
   }
 
   test("q67: the composed pipeline stays equi-joined end to end") {

@@ -78,6 +78,81 @@ class SemDedupIndexSpec extends AnyFunSuite with SparkSpec {
     assert(m.nVectors == 400 && m.appendedFraction === 0.25)
   }
 
+  test("ingestBatch: kept set is chopping-independent and sweep-exact") {
+    val threshold = 0.95
+    // one big batch vs the same rows in two id-ordered chops must accept
+    // the same ids (the keep-vs-ACCEPTED sweep contract, semantic family)
+    def freshIdx(tag: String) = {
+      val p = java.nio.file.Files
+        .createTempDirectory(s"graft_semdedup_ing_$tag").toString
+      SemDedupIndex.build(corpus, "id", "vector", p, nClusters = 8, maxIter = 5)
+    }
+    val ordered = batch.orderBy($"id")
+    val oneShot = freshIdx("one")
+    val keptOne = oneShot.ingestBatch(ordered, "id", "vector", threshold)
+      .select($"id").as[Long].collect().toSet
+    val twoShot = freshIdx("two")
+    val lo = ordered.filter($"id" < 480)
+    val hi = ordered.filter($"id" >= 480)
+    val keptTwo =
+      twoShot.ingestBatch(lo, "id", "vector", threshold)
+        .select($"id").as[Long].collect().toSet ++
+      twoShot.ingestBatch(hi, "id", "vector", threshold)
+        .select($"id").as[Long].collect().toSet
+    assert(keptOne == keptTwo,
+      s"chopping changed the kept set: one=${keptOne.size} two=${keptTwo.size}")
+    // every planted scaled copy (>= 10000) duplicates a CORPUS row → dropped
+    assert(keptOne.forall(_ < 10000), "planted corpus copies must drop")
+    // survivors are appended: a copy of a survivor now matches the index
+    val probe = emb.filter($"id" === keptOne.head).select(
+      ($"id" + 90000).as("id"),
+      transform($"vector", x => x * lit(2.0f)).as("vector"))
+    val hits = oneShot.dedupBatch(probe, "id", "vector", threshold)
+      .select($"corpus_id").as[Long].collect().toSet
+    assert(hits.contains(keptOne.head))
+  }
+
+  test("compact rewrites epochs to one and preserves dedupBatch exactly") {
+    val p = java.nio.file.Files.createTempDirectory("graft_semdedup_cpt").toString
+    val idx = SemDedupIndex.build(emb.filter($"id" < 300), "id", "vector", p,
+      nClusters = 4, maxIter = 5)
+    idx.append(emb.filter($"id" >= 300 && $"id" < 350))
+    idx.append(emb.filter($"id" >= 350 && $"id" < 400))
+    val before = idx.dedupBatch(batch, "id", "vector", 0.95)
+      .select($"batch_id", $"corpus_id").as[(Long, Long)].collect().toSet
+    idx.compact()
+    val reloaded = SemDedupIndex.load(spark, p)
+    assert(reloaded.ivf.log.get.committedEpochs().size == 1,
+      "compaction must leave exactly one live epoch")
+    val after = reloaded.dedupBatch(batch, "id", "vector", 0.95)
+      .select($"batch_id", $"corpus_id").as[(Long, Long)].collect().toSet
+    assert(after == before, "compaction must not change dedup output")
+  }
+
+  test("a crashed (uncommitted) append is invisible to readers") {
+    val p = java.nio.file.Files.createTempDirectory("graft_semdedup_crash").toString
+    val idx = SemDedupIndex.build(emb.filter($"id" < 300), "id", "vector", p,
+      nClusters = 4, maxIter = 5)
+    // simulate a crash mid-append: the epoch directory lands, the commit
+    // row never does — readers must not see the orphan rows
+    val log = idx.ivf.log.get
+    val orphanEpoch = log.nextEpoch()
+    idx.ivf.appendEpoch(
+      emb.filter($"id" >= 300 && $"id" < 400), "id", "vector", orphanEpoch)
+    val probe = emb.filter($"id" === 350).select(
+      ($"id" + 70000).as("id"), $"vector")
+    val hits = SemDedupIndex.load(spark, p)
+      .dedupBatch(probe, "id", "vector", threshold = 0.999)
+      .select($"corpus_id").as[Long].collect().toSet
+    assert(!hits.contains(350L), "uncommitted epoch rows must be invisible")
+    // a committed retry of the same epoch becomes visible
+    log.commit(orphanEpoch, "add", 100L)
+    val hits2 = SemDedupIndex.load(spark, p)
+      .dedupBatch(probe, "id", "vector", threshold = 0.999)
+      .select($"corpus_id").as[Long].collect().toSet
+    assert(hits2.contains(350L))
+  }
+
   test("load restores centroids and serves the same pairs") {
     val loaded = SemDedupIndex.load(spark, index.path)
     assert(loaded.centroids.length == 8)

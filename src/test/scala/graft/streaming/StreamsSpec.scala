@@ -123,6 +123,59 @@ class StreamsSpec extends AnyFunSuite with SparkSpec {
     assert(staticKept == Set(1000L, 1003L))
   }
 
+  test("ingestSemDedupStream: chopping-independent kept set, static parity") {
+    // the ingestEmbeddingDedupStream scenario, semantic family: 1000/1001 =
+    // copies of fresh 450 (1000 kept, 1001 drops — sweep in the one-drop
+    // run, INDEX in the two-drop run), 1002 = corpus copy (drops),
+    // 1003 = copy of fresh 460 (kept)
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select($"vec_id", $"embedding")
+    def copy(src: Long, as: Long, scale: Float) =
+      emb.filter($"vec_id" === src).select(lit(as).as("vec_id"),
+        transform($"embedding", x => x * lit(scale)).as("embedding"))
+    val corpus = emb.filter($"vec_id" < 400)
+    val all = copy(450L, 1000L, 2.0f).unionAll(copy(450L, 1001L, 3.0f))
+      .unionAll(copy(0L, 1002L, 2.0f)).unionAll(copy(460L, 1003L, 1.5f))
+    val splits = Seq(
+      "one" -> Seq(all),
+      "two" -> Seq(copy(450L, 1000L, 2.0f),
+        copy(450L, 1001L, 3.0f).unionAll(copy(0L, 1002L, 2.0f))
+          .unionAll(copy(460L, 1003L, 1.5f))))
+    val results = splits.map { case (name, drops) =>
+      val idx = graft.ml.SemDedupIndex.build(corpus, "vec_id", "embedding",
+        tempDir(s"graft_ingsem_idx_$name"), nClusters = 8, maxIter = 5)
+      val dropDir = tempDir(s"graft_ingsem_$name")
+      val keptIds = scala.collection.mutable.Set.empty[Long]
+      val src = spark.readStream
+        .schema(StructType(Seq(
+          StructField("vec_id", org.apache.spark.sql.types.LongType),
+          StructField("embedding", ArrayType(FloatType)))))
+        .parquet(dropDir)
+      val q = Streams.ingestSemDedupStream(src, idx, "vec_id",
+        "embedding", threshold = 0.9,
+        onBatch = (kept, _) =>
+          keptIds ++= kept.select($"vec_id").as[Long].collect(),
+        trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(
+          "50 milliseconds"))
+      try {
+        drops.foreach { d =>
+          d.write.mode("append").parquet(dropDir)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+      name -> ((keptIds.toSet, idx.maintenance().nVectors))
+    }.toMap
+    assert(results("one") == results("two"))
+    assert(results("one")._1 == Set(1000L, 1003L))
+    assert(results("one")._2 == 402L, "corpus + the 2 kept vectors")
+    // static-path parity: one direct ingestBatch call on a fresh index
+    val staticIdx = graft.ml.SemDedupIndex.build(corpus, "vec_id",
+      "embedding", tempDir("graft_ingsem_static"), nClusters = 8, maxIter = 5)
+    val staticKept = staticIdx.ingestBatch(all, "vec_id", "embedding",
+      threshold = 0.9).select($"vec_id").as[Long].collect().toSet
+    assert(staticKept == Set(1000L, 1003L))
+  }
+
   test("ingestParagraphDedupStream cleans drops against the growing segment index") {
     val corpus = Seq((1L, "alpha beta")).toDF("doc_id", "text")
     val idx = graft.operators.SegmentIndex.build(corpus, "doc_id", "text",
