@@ -1261,7 +1261,20 @@ object SparkEntry {
       semDedupIndexFor(s, dir)
         .dedupBatch(batch, "vec_id", "embedding", threshold = 0.9)
         .select(col("batch_id"), col("corpus_id"))
-    })
+    }),
+
+    // ExactSubstr dedup (Lee et al. 2021) — maximal duplicated token spans
+    // via the n-gram cover; the 128-bit-hashed gram key is the scale path
+    // (16-byte shuffle rows), spec-asserted identical to exact-string keying.
+    "q73_dup_spans" -> ((s, dir) =>
+      operators.SubstringDedup.duplicatedSpans(
+        t(s, dir, "documents"), "doc_id", "text", n = 8)),
+
+    // Span REMOVAL: every copy of each duplicated >= 8-token substring is
+    // cut, survivors rejoined on single spaces; clean docs pass untouched.
+    "q74_substr_clean" -> ((s, dir) =>
+      operators.SubstringDedup.removeDuplicatedSpans(
+        t(s, dir, "documents"), "doc_id", "text", n = 8))
   )
 
   /** Domain-mixing keep-rates for q42 — src{0,4,8,...} full, then 0.5 /
