@@ -17,8 +17,9 @@ import org.apache.spark.sql.functions._
   *    cast to DOUBLE only at the end;
   *  - kNN results expose ids + ranks, not raw float scores;
   *  - rank/count outputs are cast to BIGINT on both sides;
-  *  - timestamps surface as DATE (events.parquet has ns precision that Spark
-  *    truncates to µs).
+  *  - timestamps surface as DATE/hour buckets; events.ts goes through the
+  *    type-probing sources.Events reader (the driver has shipped it as both
+  *    TIMESTAMP(MICROS) and long nanos across rounds).
   */
 object SparkEntry {
 
@@ -314,11 +315,11 @@ object SparkEntry {
         .select(col("c_custkey"), col("c_acctbal"))
     }),
 
-    // A: event-stream daily rollup (events table; ts arrives as long nanos
-    // under spark.sql.legacy.parquet.nanosAsLong)
+    // A: event-stream daily rollup (events table; ts contract probed by the
+    // shared reader — TIMESTAMP(MICROS) today, long nanos historically)
     "q8_events_daily" -> ((s, dir) => {
-      t(s, dir, "events")
-        .groupBy(expr("CAST(timestamp_micros(ts div 1000) AS DATE)").as("day"),
+      sources.Events.read(s, dir)
+        .groupBy(col("event_time").cast("date").as("day"),
           col("event_type"))
         .agg(
           count(lit(1)).as("n"),
@@ -2526,7 +2527,97 @@ object SparkEntry {
         |    FROM batch x CROSS JOIN cent c) WHERE rn = 1)
         |SELECT b.vec_id AS batch_id, c.vec_id AS corpus_id
         |FROM ba b JOIN ca c ON b.cl = c.cl
-        |WHERE list_cosine_similarity(b.v, c.v) >= 0.9""".stripMargin
+        |WHERE list_cosine_similarity(b.v, c.v) >= 0.9""".stripMargin,
+
+    // ExactSubstr replay: 8-gram emission (string_split keeps empty cells,
+    // list slice t[p:p+7] is the contiguous byte range TokenNgrams views),
+    // duplicate detection by COUNT over the gram, span merge is the same
+    // gaps-and-islands as the Spark side (break when p > prev + n).
+    "q73_dup_spans" ->
+      """WITH toks AS (
+        |  SELECT doc_id AS id, string_split(coalesce(text, ''), ' ') AS t
+        |  FROM documents),
+        |ge AS (
+        |  SELECT id, t,
+        |    unnest(generate_series(1, len(t) - 7)) AS p
+        |  FROM toks),
+        |grams AS (
+        |  SELECT id, CAST(p AS BIGINT) AS p,
+        |    array_to_string(t[p:p+7], ' ') AS gram
+        |  FROM ge),
+        |hits AS (
+        |  SELECT id, p FROM (
+        |    SELECT id, p, count(*) OVER (PARTITION BY gram) AS c FROM grams)
+        |  WHERE c >= 2),
+        |lg AS (
+        |  SELECT id, p,
+        |    lag(p) OVER (PARTITION BY id ORDER BY p) AS prev
+        |  FROM hits),
+        |isl AS (
+        |  SELECT id, p,
+        |    sum(CASE WHEN prev IS NULL OR p > prev + 8 THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY id ORDER BY p ROWS UNBOUNDED PRECEDING)
+        |      AS island
+        |  FROM lg)
+        |SELECT id, min(p) AS span_start, max(p) + 7 AS span_end
+        |FROM isl GROUP BY id, island""".stripMargin,
+
+    // Span REMOVAL replay: q73's spans, position-set anti-join (a token
+    // survives iff no span covers its position), survivors rejoined on
+    // single spaces; empty docs normalize to n_tokens 0 / clean_text ''.
+    "q74_substr_clean" ->
+      """WITH toks AS (
+        |  SELECT doc_id AS id,
+        |    CASE WHEN coalesce(text, '') = '' THEN []
+        |         ELSE string_split(text, ' ') END AS t
+        |  FROM documents),
+        |ge AS (
+        |  SELECT id, t,
+        |    unnest(generate_series(1, len(t) - 7)) AS p
+        |  FROM toks),
+        |grams AS (
+        |  SELECT id, CAST(p AS BIGINT) AS p,
+        |    array_to_string(t[p:p+7], ' ') AS gram
+        |  FROM ge),
+        |hits AS (
+        |  SELECT id, p FROM (
+        |    SELECT id, p, count(*) OVER (PARTITION BY gram) AS c FROM grams)
+        |  WHERE c >= 2),
+        |lg AS (
+        |  SELECT id, p,
+        |    lag(p) OVER (PARTITION BY id ORDER BY p) AS prev
+        |  FROM hits),
+        |isl AS (
+        |  SELECT id, p,
+        |    sum(CASE WHEN prev IS NULL OR p > prev + 8 THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY id ORDER BY p ROWS UNBOUNDED PRECEDING)
+        |      AS island
+        |  FROM lg),
+        |spans AS (
+        |  SELECT id, min(p) AS s, max(p) + 7 AS e
+        |  FROM isl GROUP BY id, island),
+        |pos AS (
+        |  SELECT id, t,
+        |    CAST(unnest(generate_series(1, len(t))) AS BIGINT) AS pos
+        |  FROM toks),
+        |surv AS (
+        |  SELECT pos.id,
+        |    array_to_string(list(pos.t[pos.pos] ORDER BY pos.pos), ' ') AS txt
+        |  FROM pos
+        |  WHERE NOT EXISTS (
+        |    SELECT 1 FROM spans sp
+        |    WHERE sp.id = pos.id AND pos.pos BETWEEN sp.s AND sp.e)
+        |  GROUP BY pos.id),
+        |dup AS (
+        |  SELECT id, CAST(sum(e - s + 1) AS BIGINT) AS dup_tokens
+        |  FROM spans GROUP BY id)
+        |SELECT tk.id,
+        |  CAST(len(tk.t) AS BIGINT) AS n_tokens,
+        |  coalesce(dup.dup_tokens, 0) AS dup_tokens,
+        |  coalesce(surv.txt, '') AS clean_text
+        |FROM toks tk
+        |LEFT JOIN dup ON dup.id = tk.id
+        |LEFT JOIN surv ON surv.id = tk.id""".stripMargin
   )
 
   /** Shared BM25 corpus CTE for q39/q40 oracles — terms (vector, merge,

@@ -25,6 +25,15 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // sentinel: a thrown query must surface as a RED row in the
+        // driver's compare (schema/hash mismatch), never as an absent one
+        // — round 9's q8 vanished from CORRECTNESS entirely this way
+        try {
+          import spark.implicits._
+          Seq(s"${e.getClass.getName}: ${String.valueOf(e.getMessage)}".take(500))
+            .toDF("verify_error")
+            .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+        } catch { case _: Throwable => () }
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -25,21 +25,26 @@ import graft.functions.TokenNgrams
   * to suffix-array ExactSubstr with match threshold `n`, with only
   * groupBy/window shuffles.
   *
-  * Scale shape (the whole operator is 2 wide exchanges):
+  * Scale shape (3 slim exchanges, all skew-resilient):
   *  1. one scan emits (gram-key, id, pos) triples — `hashed=true` (the
   *     default) keys by a 128-bit hash pair so the shuffle carries 16
   *     bytes per gram instead of the ~8n-byte gram string;
-  *  2. duplicate detection is a COUNT window over the gram key — one
-  *     shuffle, no second pass (a groupBy+join formulation would shuffle
-  *     the gram rows twice);
+  *  2. duplicate detection is groupBy(count)-then-semi-join, NOT a COUNT
+  *     window: map-side partial aggregation collapses a hot gram
+  *     (boilerplate / stop-word runs) to one row per map partition before
+  *     the count shuffle, and the gram-side semi-join is an equi-join AQE
+  *     can skew-split — a window over the gram key would instead funnel
+  *     every occurrence of a hot gram into ONE WindowExec task (spills
+  *     but no parallelism, the classic 100 TB skew cliff);
   *  3. surviving (id, pos) hits shuffle once by id for the span merge;
   *     the merge itself is gaps-and-islands (lag + running sum) and the
   *     final per-(id, island) aggregation reuses the window's hash
   *     partitioning (HashPartitioning(id) satisfies the grouping's
-  *     ClusteredDistribution(id, island) — no third exchange).
+  *     ClusteredDistribution(id, island) — no further exchange).
   * Nothing is ever collected to the driver and no state is corpus-wide:
-  * at 100 TB the gram-key shuffle is the dominant cost and it is slim,
-  * partial-aggregation-free by design but 16 bytes/row.
+  * at 100 TB the gram-key exchanges dominate and both are slim — the
+  * count side is partial-aggregated (distinct grams per map partition),
+  * the join side is 16 bytes/row.
   */
 object SubstringDedup {
 
@@ -72,18 +77,24 @@ object SubstringDedup {
       hashed: Boolean = true): DataFrame = {
     require(n >= 1, s"n must be >= 1, got $n")
     require(minCount >= 2, s"minCount must be >= 2, got $minCount")
+    // null text never reaches TokenNgrams (null-intolerant): coalesce to ''
+    // so null-text docs behave exactly like empty docs in BOTH entry points
     val grams = Dedup.widen(df).select(
         col(idCol).cast("long").as("id"),
-        posexplode(tokenNgrams(col(textCol), n)).as(Seq("p0", "gram")))
-      .select(col("id"), (col("p0") + 1).as("p"),
+        posexplode(tokenNgrams(coalesce(col(textCol), lit("")), n))
+          .as(Seq("p0", "gram")))
+      .select(col("id"), (col("p0") + 1).cast("long").as("p"),
         (if (hashed) struct(xxhash64(col("gram")), xxhash64(lit("ss2"), col("gram")))
          else struct(col("gram"))).as("k"))
 
-    // one shuffle on the gram key; the count-over-partition window replaces
-    // a groupBy + self-join (which would shuffle the gram rows twice)
-    val dupHits = grams
-      .withColumn("c", count(lit(1)).over(Window.partitionBy("k")))
+    // two-pass heavy-hitter duplicate detection: partial-aggregated counts
+    // (hot grams collapse map-side), then an AQE-skew-splittable semi-join
+    // back onto the gram rows — see the scale-shape note above for why a
+    // COUNT window over k would serialize hot grams into one task
+    val dupKeys = grams.groupBy("k").agg(count(lit(1)).as("c"))
       .filter(col("c") >= minCount)
+      .select("k")
+    val dupHits = grams.join(dupKeys, Seq("k"), "left_semi")
       .select("id", "p")
 
     // gaps-and-islands: windows [p, p+n-1] merge while each start is within
@@ -107,7 +118,11 @@ object SubstringDedup {
     *
     * Output: (id BIGINT, n_tokens BIGINT, dup_tokens BIGINT, clean_text
     * STRING) — one row per input document, clean ones untouched with
-    * dup_tokens = 0.
+    * dup_tokens = 0. NULL and empty text normalize identically in both
+    * entry points: n_tokens = 0, dup_tokens = 0, clean_text = ''. For
+    * non-empty text, n_tokens counts space-split cells (consecutive /
+    * edge spaces count empty cells) — the same position space TokenNgrams
+    * indexes, so span positions and token positions always agree.
     *
     * Scale shape: spans collapse to one array per id (tiny — spans per
     * doc, not tokens per doc), LEFT-join back onto the corpus by id, and
@@ -126,8 +141,12 @@ object SubstringDedup {
       .groupBy("id")
       .agg(collect_list(struct(col("span_start").as("s"), col("span_end").as("e")))
         .as("spans"))
+    // empty/null text -> empty token array (split('') yields [''], which
+    // would report n_tokens = 1 for an empty document)
+    val txt = coalesce(col(textCol), lit(""))
     df.select(col(idCol).cast("long").as("id"),
-        split(col(textCol), " ", -1).as("t"))
+        when(length(txt) === 0, array().cast("array<string>"))
+          .otherwise(split(txt, " ", -1)).as("t"))
       .join(spans, Seq("id"), "left")
       .select(
         col("id"),

@@ -17,26 +17,19 @@ import org.apache.spark.sql.types._
   */
 object Streams {
 
-  /** events-table schema as it arrives from the driver's parquet (ts read as
-    * long nanos under spark.sql.legacy.parquet.nanosAsLong).
-    */
-  val EventSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType),
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
-
   /** File-source event stream over a directory of parquet drops; `glob`
     * narrows to matching file names (the streaming file source requires a
-    * directory path, not a file).
+    * directory path, not a file). The schema is PROBED from the files, not
+    * declared: `ts` has shipped as both TIMESTAMP(MICROS) and long nanos
+    * across driver rounds, and a hardcoded schema over the wrong physical
+    * type reinterprets bits silently (graft.sources.Events holds the
+    * branch).
     */
   def eventStream(spark: SparkSession, dir: String, glob: Option[String] = None): DataFrame = {
-    val reader = spark.readStream.schema(EventSchema)
+    val schema = graft.sources.Events.probeSchema(spark, dir, glob)
+    val reader = spark.readStream.schema(schema)
     val withGlob = glob.fold(reader)(g => reader.option("pathGlobFilter", g))
-    withGlob.parquet(dir)
-      .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+    graft.sources.Events.withEventTime(withGlob.parquet(dir))
   }
 
   /** Watermarked tumbling-window rollup per event_type. */
