@@ -125,6 +125,24 @@ object SparkEntry {
     operators.HyperplaneIndex.load(s, path)
   }
 
+  /** One hyperplane index build per (JVM, sf dir, nBands) for q75's recall
+    * sweep — same corpus signed under three band geometries (the q46
+    * nProbe-sweep discipline applied to the persisted LSH layout).
+    */
+  private val hpSweepPaths = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def hyperplaneSweepIndexFor(
+      s: SparkSession, dir: String, nBands: Int): operators.HyperplaneIndex = {
+    val path = hpSweepPaths.computeIfAbsent(s"$dir#$nBands", _ => {
+      val p = tempIndexDir(s"graft_hp_sweep$nBands")
+      operators.HyperplaneIndex.build(
+        t(s, dir, "embeddings").filter(col("vec_id") < 500)
+          .select(col("vec_id"), col("embedding")),
+        "vec_id", "embedding", p, dim = 64, nBands = nBands)
+      p
+    })
+    operators.HyperplaneIndex.load(s, path)
+  }
+
   /** One persisted-SemDeDup build per (JVM, sf dir) for q72: corpus rows
     * vec_id < 400 assigned to the 8 explicit centroids (embeddings 0..7 —
     * a pure argmax the oracle replays) and cluster-partitioned once.
@@ -1275,7 +1293,33 @@ object SparkEntry {
     // cut, survivors rejoined on single spaces; clean docs pass untouched.
     "q74_substr_clean" -> ((s, dir) =>
       operators.SubstringDedup.removeDuplicatedSpans(
-        t(s, dir, "documents"), "doc_id", "text", n = 8))
+        t(s, dir, "documents"), "doc_id", "text", n = 8)),
+
+    // Banding recall of the PERSISTED hyperplane index — the q46 sweep
+    // shape on the stored-layout path (q47 quantified the batch pairs
+    // operator; this locks the epoch-committed index end to end): planted
+    // scaled copies keep every sign bit, so each must collide with its
+    // source on EVERY band at every nBands — the oracle asserts
+    // n_truth = n_found and recall = 1.0 from row counts alone, and a
+    // single dropped pair (banding bug, committed-epoch read bug, cap
+    // over-trim) goes red.
+    "q75_hyperplane_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").filter(col("vec_id") < 500)
+        .select(col("vec_id"), col("embedding"))
+      val batch = emb.select((col("vec_id") + 10000).as("vec_id"),
+        transform(col("embedding"), x => x * lit(2.0f)).as("embedding"))
+      val truth = emb.select(col("vec_id").as("id_a"),
+        (col("vec_id") + 10000).as("id_b"))
+      Seq(2, 4, 8).map { nb =>
+        val found = hyperplaneSweepIndexFor(s, dir, nb)
+          .dedupBatch(batch, "vec_id", "embedding", threshold = 0.9,
+            maxBucketSize = 1 << 20)
+          .select(col("corpus_id").as("id_a"), col("batch_id").as("id_b"))
+        ml.Recall.pairRecall(found, truth)
+          .select(lit(nb).cast("long").as("n_bands"),
+            col("n_truth"), col("n_found"), col("recall"))
+      }.reduce(_ unionAll _)
+    })
   )
 
   /** Domain-mixing keep-rates for q42 — src{0,4,8,...} full, then 0.5 /
@@ -2617,7 +2661,18 @@ object SparkEntry {
         |  coalesce(surv.txt, '') AS clean_text
         |FROM toks tk
         |LEFT JOIN dup ON dup.id = tk.id
-        |LEFT JOIN surv ON surv.id = tk.id""".stripMargin
+        |LEFT JOIN surv ON surv.id = tk.id""".stripMargin,
+
+    // The q48 determinism argument on the persisted-index path: a x2-scaled
+    // copy keeps every hyperplane sign, hence every band bucket, at every
+    // nBands — recall must be exactly 1.0 at all three sweep points.
+    "q75_hyperplane_recall" ->
+      """WITH nb AS (SELECT CAST(unnest([2, 4, 8]) AS BIGINT) AS n_bands),
+        |c AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings
+        |      WHERE vec_id < 500)
+        |SELECT nb.n_bands, c.n AS n_truth, c.n AS n_found,
+        |  CAST(1.0 AS DOUBLE) AS recall
+        |FROM nb CROSS JOIN c""".stripMargin
   )
 
   /** Shared BM25 corpus CTE for q39/q40 oracles — terms (vector, merge,

@@ -1,11 +1,9 @@
 package graft.ml
 
 import graft.functions.vector
-import graft.operators.{Dedup, EpochLog}
-import org.apache.spark.sql.catalyst.expressions.InSet
+import graft.operators.{Dedup, EpochIndex, EpochLog}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.graftx.Bridge
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** PERSISTED SemDeDup state — the incremental form of [[SemDedup]]: the
@@ -110,24 +108,10 @@ object SemDedupIndex {
         onKept: DataFrame => Unit = _ => ()): DataFrame = {
       // ONE assignment pass feeds the corpus match AND the within-batch scan
       val assigned = assignBatch(batch, idCol, vecCol)
-      val matchedRows = dedupAssigned(assigned, threshold, maxClusterSize)
-        .select(col("batch_id")).distinct().limit(maxSweepEdges + 1).collect()
-      require(matchedRows.length <= maxSweepEdges,
-        s"ingestBatch: corpus-match set exceeds maxSweepEdges=$maxSweepEdges; " +
-          "raise the cap or split the batch")
-      val matched = matchedRows.map(_.getLong(0)).toSet
-      val pairRows = pairsAssigned(assigned, threshold)
-        .select(col("id_a"), col("id_b")).limit(maxSweepEdges + 1).collect()
-      require(pairRows.length <= maxSweepEdges,
-        s"ingestBatch: within-batch pair set exceeds maxSweepEdges=" +
-          s"$maxSweepEdges; raise the cap or split the batch")
-      val dropped: Set[Any] = Dedup.acceptedSweepDropped(matched,
-        pairRows.map(r => (r.getLong(0), r.getLong(1))))
-        .map(_.asInstanceOf[Any])
-      val keptDf =
-        if (dropped.isEmpty) batch
-        else batch.filter(!Bridge.column(InSet(
-          Bridge.expression(col(idCol).cast("long")), dropped)))
+      val dropped = EpochIndex.sweepDropped(
+        dedupAssigned(assigned, threshold, maxClusterSize),
+        pairsAssigned(assigned, threshold), maxSweepEdges)
+      val keptDf = EpochIndex.withoutIds(batch, col(idCol).cast("long"), dropped)
       // sink first, append second — the at-least-once replay contract
       onKept(keptDf)
       append(keptDf, idCol, vecCol)

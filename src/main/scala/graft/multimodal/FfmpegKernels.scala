@@ -1,0 +1,82 @@
+package graft.multimodal
+
+import graft.multimodal.Multimodal.DecodeKernel
+
+/** Real compressed-media decoders behind [[SubprocessDecodeKernel]]'s wire
+  * contract: an ffmpeg-backed adapter script (shipped as a classpath
+  * resource, materialized to a per-JVM temp file) turns MP3/AAC/OGG audio
+  * into time-bucket RMS features and H.264/MP4/MKV video into a
+  * first-keyframe 64-bit dHash — the two compressed families the JVM
+  * cannot decode ([[Multimodal]]'s documented limitation, now an adapter
+  * away instead of a stub).
+  *
+  * The adapter is one process per batch speaking the length-prefixed
+  * framing; ffmpeg runs once per row inside it. A missing/broken ffmpeg
+  * binary is a PROCESS failure (the script exits nonzero before answering
+  * any row), so under `onFailure="fallback"` the whole batch lands on the
+  * in-JVM fallback kernel and a 100 TB job keeps flowing on machines
+  * without ffmpeg — FfmpegKernelsSpec drives exactly that path, binary
+  * present or not.
+  */
+object FfmpegKernels {
+
+  private val ScriptResource = "/graft/multimodal/ffmpeg_decode.py"
+
+  /** Materialize the adapter script once per JVM (executors each do this
+    * lazily on first use — the kernel is serialized by command line, not
+    * by script content).
+    */
+  lazy val scriptPath: String = {
+    val in = getClass.getResourceAsStream(ScriptResource)
+    require(in != null, s"missing classpath resource $ScriptResource")
+    val tmp = java.nio.file.Files.createTempFile("graft_ffmpeg_decode", ".py")
+    try java.nio.file.Files.copy(in, tmp,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    finally in.close()
+    tmp.toFile.deleteOnExit()
+    tmp.toString
+  }
+
+  /** Is an ffmpeg binary runnable on THIS machine? (Integration specs use
+    * it to skip cleanly; production jobs should prefer `onFailure =
+    * "fallback"` over a pre-flight check — the fleet is rarely uniform.)
+    */
+  def available(binary: String = "ffmpeg"): Boolean =
+    try {
+      val p = new ProcessBuilder(binary, "-version")
+        .redirectErrorStream(true).start()
+      p.getInputStream.readAllBytes()
+      p.waitFor() == 0
+    } catch { case _: java.io.IOException => false }
+
+  /** Compressed-audio feature kernel: any container ffmpeg reads -> mono
+    * float32 PCM at `rate` Hz -> `dim` time-bucket RMS energies,
+    * L2-normalized (deterministic — no model in the loop).
+    */
+  def audioFeatures(
+      dim: Int = 64,
+      rate: Int = 16000,
+      binary: String = "ffmpeg",
+      onFailure: String = "error",
+      fallback: Option[DecodeKernel] = None,
+      timeoutMs: Long = 60000L): SubprocessDecodeKernel =
+    SubprocessDecodeKernel(
+      Seq("python3", scriptPath, "--mode", "audio", "--dim", dim.toString,
+        "--rate", rate.toString, "--ffmpeg", binary),
+      dim, onFailure, fallback, timeoutMs)
+
+  /** Compressed-video keyframe kernel: first keyframe (H.264/MP4/MKV/...)
+    * scaled to the dHash geometry, emitted as 64 {0,1} floats — feed it to
+    * [[graft.operators.HammingIndex]] after packing bits, or use the float
+    * vector directly.
+    */
+  def videoKeyframeDHash(
+      binary: String = "ffmpeg",
+      onFailure: String = "error",
+      fallback: Option[DecodeKernel] = None,
+      timeoutMs: Long = 60000L): SubprocessDecodeKernel =
+    SubprocessDecodeKernel(
+      Seq("python3", scriptPath, "--mode", "video", "--dim", "64",
+        "--ffmpeg", binary),
+      64, onFailure, fallback, timeoutMs)
+}

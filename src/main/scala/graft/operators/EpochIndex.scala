@@ -1,0 +1,215 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Observation, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.InSet
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftx.Bridge
+
+/** Shared skeleton of the persisted near-dup index families
+  * ([[FingerprintIndex]] MinHash, [[HammingIndex]] SimHash/dHash,
+  * [[SegmentIndex]] paragraph hashes, [[HyperplaneIndex]] embedding LSH):
+  * the epoch-sliced layout discipline (every layout lands under
+  * `layout/epoch=N`, made visible by one [[EpochLog]] commit row), the
+  * compaction protocol (rewrite-live-epochs + atomic replace commit +
+  * best-effort directory cleanup), and the maintenance snapshot (commit-log
+  * arithmetic + optional band-bucket skew scan). Families keep what is
+  * genuinely theirs — candidate generation, verify semantics, per-layout
+  * write passes — and inherit the lifecycle, so a sixth family costs only
+  * its candidate logic. [[graft.ml.SemDedupIndex]] shares the ingest-sweep
+  * helpers from the companion (its layout is an [[graft.ml.IvfIndex]], not
+  * an epoch-per-append family).
+  */
+private[graft] trait EpochIndex {
+  def spark: SparkSession
+  def path: String
+
+  /** Layout subdirectory names under `path`, epoch-sliced and committed
+    * together. The FIRST carries the row counts recorded on commit rows.
+    */
+  protected def layoutNames: Seq[String]
+
+  protected lazy val log: EpochLog = EpochLog(spark, path)
+
+  protected def layoutDir(name: String): String = s"$path/$name"
+
+  /** Committed rows of one layout — orphan epochs from failed appends are
+    * invisible ([[EpochLog]] resolves directories from the commit log,
+    * never the filesystem).
+    */
+  protected def storedLayout(name: String): DataFrame =
+    spark.read.parquet(log.layoutPaths(layoutDir(name)): _*)
+
+  /** The epoch-commit protocol around one slice write: `write(epoch)` lands
+    * every layout under its `epoch=N` directory (overwrite mode — the
+    * directory may hold an orphan from a failed earlier attempt at this
+    * same epoch number) and returns the primary row count; the single
+    * commit row then makes all layouts visible together. Returns that
+    * count.
+    */
+  protected def appendEpoch(write: Long => Long): Long = {
+    val epoch = log.nextEpoch()
+    val n = write(epoch)
+    log.commit(epoch, "add", n)
+    n
+  }
+
+  /** Frames to persist on compaction, one per layout in [[layoutNames]]
+    * order — a family re-distincts here when appends may duplicate rows.
+    */
+  protected def compactionFrames(): Seq[DataFrame]
+
+  /** Rewrite all committed epochs into one — query results are unchanged by
+    * construction (same rows, one directory per layout). The replace commit
+    * is the atomic cutover; dead epoch directories are deleted best-effort
+    * afterwards (a crash between the two leaves harmless invisible
+    * orphans).
+    */
+  def compact(): Unit = {
+    if (log.committedEpochs().lengthCompare(1) <= 0) return
+    val target = log.nextEpoch()
+    val obs = Observation()
+    layoutNames.zip(compactionFrames()).zipWithIndex.foreach {
+      case ((name, df), i) =>
+        val counted = if (i == 0) df.observe(obs, count(lit(1)).as("n")) else df
+        counted.write.mode("overwrite").parquet(s"${layoutDir(name)}/epoch=$target")
+    }
+    val stale = log.committedEpochs()
+    log.commit(target, "replace", obs.get("n").asInstanceOf[Long])
+    stale.foreach(e => layoutNames.foreach(n =>
+      log.deleteDir(s"${layoutDir(n)}/epoch=$e")))
+  }
+
+  /** (max bucket rows, mean bucket rows) for [[maintenance]] — (0, 0.0) for
+    * set-shaped families with no buckets ([[SegmentIndex]]).
+    */
+  protected def bucketStats(): (Long, Double) = (0L, 0.0)
+
+  /** Maintenance snapshot with an explicit compaction verdict — the
+    * [[graft.ml.IvfIndex.maintenance]] discipline for this layout's failure
+    * mode: every append adds one small epoch directory, so a month of
+    * nightly appends degrades every read into a many-directory scan, and
+    * appended content can skew band buckets (boilerplate drift) past what
+    * the query-time cap was sized for. Epoch counts and appended fraction
+    * are commit-log arithmetic (free); bucket skew is one slim groupBy over
+    * stored band keys — cheap enough after every append batch. Skew above
+    * the query-time cap means caps are truncating (recall loss inside those
+    * buckets), worth knowing even though it is bounded.
+    */
+  def maintenance(
+      maxEpochs: Int = EpochIndex.DefaultMaxEpochs,
+      maxAppendedFraction: Double = EpochIndex.DefaultMaxAppendedFraction)
+      : EpochIndex.Maintenance = {
+    val (nEpochs, total, appended) = log.sizeStats()
+    val (maxBucket, meanBucket) = bucketStats()
+    val appendedFraction = if (total > 0) appended.toDouble / total else 0.0
+    EpochIndex.Maintenance(
+      numEpochs = nEpochs,
+      nDocs = total,
+      appendedFraction = appendedFraction,
+      maxBucketRows = maxBucket,
+      meanBucketRows = meanBucket,
+      bucketSkew = if (meanBucket > 0) maxBucket / meanBucket else 0.0,
+      needsCompaction = nEpochs > maxEpochs || appendedFraction > maxAppendedFraction)
+  }
+
+  /** Band-bucket skew scan over a (band, bucket) frame — the shared
+    * [[bucketStats]] body for banded families.
+    */
+  protected def bandBucketStats(bands: DataFrame): (Long, Double) = {
+    val row = bands.groupBy(col("band"), col("bucket")).agg(count(lit(1)).as("n"))
+      .agg(max(col("n")).as("mx"), avg(col("n")).as("mean"))
+      .collect().head
+    (if (row.isNullAt(0)) 0L else row.getLong(0),
+      if (row.isNullAt(1)) 0.0 else row.getDouble(1))
+  }
+}
+
+private[graft] object EpochIndex {
+
+  /** Compaction triggers: epoch-directory proliferation (every read lists
+    * and opens one directory per append) and appended fraction (mirrors
+    * [[graft.ml.IvfIndex.DefaultMaxAppendedFraction]] — not a correctness
+    * signal here, but the same "most of the index post-dates the build"
+    * drift marker).
+    */
+  val DefaultMaxEpochs: Int = 8
+  val DefaultMaxAppendedFraction: Double = 0.5
+
+  /** Maintenance snapshot — see [[EpochIndex.maintenance]]. */
+  case class Maintenance(
+      numEpochs: Int,
+      nDocs: Long,
+      appendedFraction: Double,
+      maxBucketRows: Long,
+      meanBucketRows: Double,
+      bucketSkew: Double,
+      needsCompaction: Boolean)
+
+  /** (carry..., band, bucket) bit-chunk banding of a 64-bit-max value:
+    * nBands equal bit chunks — the pigeonhole geometry shared by the
+    * Hamming and hyperplane families ([[Dedup.nearDupPairsHamming64]] /
+    * [[Dedup.embeddingNearDupLsh]]).
+    */
+  def bitChunkBands(
+      df: DataFrame, valueCol: String, carryCols: Seq[String],
+      nBits: Int, nBands: Int): DataFrame = {
+    val width = nBits / nBands
+    val mask = if (width == 64) -1L else (1L << width) - 1
+    val chunks = array((0 until nBands).map { j =>
+      struct(lit(j).as("band"),
+        shiftright(col(valueCol), j * width).bitwiseAND(lit(mask)).as("bucket"))
+    }: _*)
+    val carried = carryCols.map(col)
+    df.select(carried :+ explode(chunks).as("bb"): _*)
+      .select(carried :+ col("bb.band").as("band")
+        :+ col("bb.bucket").as("bucket"): _*)
+  }
+
+  /** Prune stored band rows to buckets the batch PROBES, with the broadcast
+    * PINNED on the batch side — the probe set is batch-bounded, and a
+    * planner misestimate would otherwise shuffle the ENTIRE stored band
+    * table. `prune = false` skips it (a batch that dominates the index
+    * probes most buckets, making the prune pure overhead). The semi-join
+    * drops whole buckets only, so downstream per-bucket cap contents — and
+    * therefore results — are unchanged.
+    */
+  def probePruned(
+      stored: DataFrame, batchBands: DataFrame, prune: Boolean): DataFrame =
+    if (prune)
+      stored.join(
+        broadcast(batchBands.select(col("band"), col("bucket")).distinct()),
+        Seq("band", "bucket"), "left_semi")
+    else stored
+
+  /** The accepted-sweep half of the online ingest contract shared by all
+    * four near-dup ingest families: batch ids matching the INDEXED corpus
+    * and within-batch near-dup PAIRS come to the driver (output-bound by
+    * near-dup density, capped fail-fast at `maxSweepEdges` — the
+    * [[Dedup.SmallGraphEdgeThreshold]] discipline), then
+    * [[Dedup.acceptedSweepDropped]] replays the ascending-id keep-vs-
+    * ACCEPTED sweep. Returns the dropped id set.
+    */
+  def sweepDropped(
+      corpusMatches: DataFrame,
+      batchPairs: DataFrame,
+      maxSweepEdges: Int): Set[Long] = {
+    val matchedRows = corpusMatches.select(col("batch_id")).distinct()
+      .limit(maxSweepEdges + 1).collect()
+    require(matchedRows.length <= maxSweepEdges,
+      s"ingestBatch: corpus-match set exceeds maxSweepEdges=$maxSweepEdges; " +
+        "raise the cap or split the batch")
+    val pairRows = batchPairs.select(col("id_a"), col("id_b"))
+      .limit(maxSweepEdges + 1).collect()
+    require(pairRows.length <= maxSweepEdges,
+      s"ingestBatch: within-batch pair set exceeds maxSweepEdges=" +
+        s"$maxSweepEdges; raise the cap or split the batch")
+    Dedup.acceptedSweepDropped(matchedRows.map(_.getLong(0)).toSet,
+      pairRows.map(r => (r.getLong(0), r.getLong(1))))
+  }
+
+  /** Drop rows whose id is in `dropped` — one broadcast `InSet`, no join. */
+  def withoutIds(df: DataFrame, idExpr: Column, dropped: Set[Long]): DataFrame =
+    if (dropped.isEmpty) df
+    else df.filter(!Bridge.column(InSet(Bridge.expression(idExpr),
+      dropped.map(_.asInstanceOf[Any]))))
+}

@@ -9,7 +9,8 @@ import org.apache.spark.sql.functions._
   * corpus side dwarfs any nightly batch, so production pipelines compute
   * fingerprints ONCE at ingest and keep them next to the store (the same
   * build/append/search lifecycle as [[graft.ml.IvfIndex]] on the vector
-  * side, Dolma's bloom-filter file on the text side). Layout:
+  * side, Dolma's bloom-filter file on the text side). Layout (epoch-sliced
+  * + atomically committed — the [[EpochIndex]] lifecycle):
   *
   *  - `{path}/docs/epoch=N`  — (id, shingle_hashes array<bigint>): the
   *    exact-Jaccard verify payload, 8 bytes per distinct shingle instead of
@@ -37,18 +38,14 @@ case class FingerprintIndex(
     shingleLen: Int,
     numHashes: Int,
     bands: Int,
-    seed: Long) {
+    seed: Long) extends EpochIndex {
 
-  def docsPath: String = s"$path/docs"
-  def bandsPath: String = s"$path/bands"
-  private val log = EpochLog(spark, path)
+  def docsPath: String = layoutDir("docs")
+  def bandsPath: String = layoutDir("bands")
+  override protected def layoutNames: Seq[String] = Seq("docs", "bands")
 
-  /** The committed corpus layouts (orphan epochs from failed appends are
-    * invisible — [[EpochLog]] resolves directories from the commit log,
-    * never the filesystem).
-    */
-  def storedDocs(): DataFrame = spark.read.parquet(log.layoutPaths(docsPath): _*)
-  def storedBands(): DataFrame = spark.read.parquet(log.layoutPaths(bandsPath): _*)
+  def storedDocs(): DataFrame = storedLayout("docs")
+  def storedBands(): DataFrame = storedLayout("bands")
 
   /** Fingerprint + band a new slice of corpus and append it — O(batch)
     * like [[graft.ml.IvfIndex.append]]; the standing index is never
@@ -57,21 +54,20 @@ case class FingerprintIndex(
     * is atomic: both layouts land under a fresh epoch directory, then one
     * commit row makes them visible together.
     */
-  def append(docs: DataFrame, idCol: String, textCol: String): Long = {
-    val epoch = log.nextEpoch()
-    val n = writeSlice(docs, idCol, textCol, epoch)
-    log.commit(epoch, "add", n)
-    n
-  }
+  def append(docs: DataFrame, idCol: String, textCol: String): Long =
+    appendEpoch(writeSlice(docs, idCol, textCol, _))
 
   private[operators] def writeSlice(
-      docs: DataFrame, idCol: String, textCol: String, epoch: Long): Long = {
-    // one fingerprint pass feeds both layouts: pin it (localCheckpoint,
-    // not persist — blocks release with the reference, no CacheManager
-    // entry leaks per call). Overwrite mode: the epoch directory may hold
-    // an orphan from a failed earlier attempt at this same epoch number.
-    val fp = FingerprintIndex.fingerprints(
-      docs, idCol, textCol, shingleLen, numHashes, seed).localCheckpoint(true)
+      docs: DataFrame, idCol: String, textCol: String, epoch: Long): Long =
+    writeFp(FingerprintIndex.fingerprints(
+      docs, idCol, textCol, shingleLen, numHashes, seed), epoch)
+
+  /** One fingerprint pass feeds both layouts: pin it (localCheckpoint, not
+    * persist — blocks release with the reference, no CacheManager entry
+    * leaks per call).
+    */
+  private def writeFp(fp0: DataFrame, epoch: Long): Long = {
+    val fp = fp0.localCheckpoint(true)
     val obs = Observation()
     fp.select(col("id"), col("shingle_hashes"))
       .observe(obs, count(lit(1)).as("n"))
@@ -112,20 +108,10 @@ case class FingerprintIndex(
     // prune the stored bands to buckets the batch PROBES before anything
     // else: the cap window below sorts per bucket, and running it over the
     // whole standing corpus would shuffle N x bands rows per batch query.
-    // The semi-join drops whole buckets only, so the per-bucket cap
-    // contents — and therefore the result — are unchanged. The size test
-    // is cheap: batchFp is checkpointed, and the corpus size is commit-log
-    // arithmetic (no data files touched). A batch that dominates the index
-    // probes most buckets, making the prune pure overhead — skip it there.
-    val stored = storedBands()
-    val preCap =
-      if (batchFp.count() < log.sizeStats()._2)
-        // broadcast pinned: the probe set is batch-bounded, and a planner
-        // misestimate would shuffle the ENTIRE stored band table instead
-        stored.join(
-          broadcast(batchBands.select(col("band"), col("bucket")).distinct()),
-          Seq("band", "bucket"), "left_semi")
-      else stored
+    // The size test is cheap: batchFp is checkpointed, and the corpus size
+    // is commit-log arithmetic (no data files touched).
+    val preCap = EpochIndex.probePruned(storedBands(), batchBands,
+      prune = batchFp.count() < log.sizeStats()._2)
     // cap only the corpus side — a degenerate bucket is a corpus property,
     // and the batch side must never lose a doc's chance to match
     val corpusBands = Dedup.capBuckets(preCap, maxBucketSize)
@@ -161,11 +147,9 @@ case class FingerprintIndex(
     *
     * Scale shape: the distributed work is [[dedupBatch]] plus one
     * [[Dedup.nearDupPairsMinHash]] pass over the BATCH under the index's
-    * own hash parameters — both banded, neither touches corpus text. Only
-    * the batch's match ids and its internal near-dup PAIRS come to the
-    * driver for the sweep (output-bound by near-dup density, capped
-    * fail-fast at `maxSweepEdges` — the [[Dedup.SmallGraphEdgeThreshold]]
-    * discipline); the dropped-id set broadcasts back as one `InSet`.
+    * own hash parameters — both banded, neither touches corpus text; the
+    * driver sees only match ids and pairs under the
+    * [[EpochIndex.sweepDropped]] fail-fast caps.
     *
     * Recall caveat: candidate generation caps corpus-side buckets at
     * `maxBucketSize` (deterministic truncation, the
@@ -200,35 +184,14 @@ case class FingerprintIndex(
     // the two public operators would pay it twice
     val batchFp = FingerprintIndex.fingerprints(
       batch, idCol, textCol, shingleLen, numHashes, seed).localCheckpoint(true)
-    val matchedRows = dedupBatchFp(batchFp, threshold, maxBucketSize)
-      .select(col("batch_id")).distinct().limit(maxSweepEdges + 1).collect()
-    require(matchedRows.length <= maxSweepEdges,
-      s"ingestBatch: corpus-match set exceeds maxSweepEdges=$maxSweepEdges; " +
-        "raise the cap or split the batch")
-    val matched = matchedRows.map(_.getLong(0)).toSet
-    val pairRows = withinBatchPairs(batchFp, threshold, maxBucketSize)
-      .limit(maxSweepEdges + 1).collect()
-    require(pairRows.length <= maxSweepEdges,
-      s"ingestBatch: within-batch pair set exceeds maxSweepEdges=" +
-        s"$maxSweepEdges; raise the cap or split the batch")
-
-    val dropped: Set[Any] = Dedup.acceptedSweepDropped(matched,
-      pairRows.map(r => (r.getLong(0), r.getLong(1))))
-      .map(_.asInstanceOf[Any])
-
-    import org.apache.spark.sql.graftx.Bridge
-    val keptDf =
-      if (dropped.isEmpty) batch
-      else batch.filter(!Bridge.column(
-        org.apache.spark.sql.catalyst.expressions.InSet(
-          Bridge.expression(col(idCol).cast("long")), dropped)))
+    val dropped = EpochIndex.sweepDropped(
+      dedupBatchFp(batchFp, threshold, maxBucketSize),
+      withinBatchPairs(batchFp, threshold, maxBucketSize), maxSweepEdges)
+    val keptDf = EpochIndex.withoutIds(batch, col(idCol).cast("long"), dropped)
     // sink first, append second — see the replay contract in the docstring
     onKept(keptDf)
-    appendFp(
-      if (dropped.isEmpty) batchFp
-      else batchFp.filter(!Bridge.column(
-        org.apache.spark.sql.catalyst.expressions.InSet(
-          Bridge.expression(col("id")), dropped))))
+    // the write half must not re-tokenize the survivors it just fingerprinted
+    appendEpoch(writeFp(EpochIndex.withoutIds(batchFp, col("id"), dropped), _))
     keptDf
   }
 
@@ -258,104 +221,14 @@ case class FingerprintIndex(
       .select(col("id_a"), col("id_b"))
   }
 
-  /** Append an already-fingerprinted (pinned) frame — the write half of
-    * [[ingestBatch]], which must not re-tokenize the survivors it just
-    * fingerprinted.
-    */
-  private def appendFp(fp: DataFrame): Long = {
-    val epoch = log.nextEpoch()
-    val pinned = fp.localCheckpoint(true)
-    val obs = Observation()
-    pinned.select(col("id"), col("shingle_hashes"))
-      .observe(obs, count(lit(1)).as("n"))
-      .write.mode("overwrite").parquet(s"$docsPath/epoch=$epoch")
-    FingerprintIndex.banded(pinned, bands, numHashes / bands)
-      .write.mode("overwrite").parquet(s"$bandsPath/epoch=$epoch")
-    val n = obs.get("n").asInstanceOf[Long]
-    log.commit(epoch, "add", n)
-    n
-  }
+  override protected def bucketStats(): (Long, Double) =
+    bandBucketStats(storedBands())
 
-  /** Maintenance snapshot with an explicit compaction verdict — the
-    * [[graft.ml.IvfIndex.maintenance]] discipline for this index's failure
-    * mode: every append adds one small epoch directory, so a month of
-    * nightly appends degrades every read into a many-directory scan, and
-    * appended content can skew band buckets (boilerplate drift) past what
-    * the query-time cap was sized for.
-    *
-    *  - `numEpochs` / `appendedFraction` come from the commit log — free;
-    *  - bucket skew (`maxBucketRows` / mean) is one slim groupBy over the
-    *    stored (band, bucket) keys — the [[graft.ml.IvfIndex.listStats]]
-    *    cost class, cheap enough after every append batch. Skew above
-    *    `maxBucketSize` means query-time caps are truncating (recall loss
-    *    inside those buckets), worth knowing even though it is bounded.
-    */
-  def maintenance(
-      maxEpochs: Int = FingerprintIndex.DefaultMaxEpochs,
-      maxAppendedFraction: Double = FingerprintIndex.DefaultMaxAppendedFraction)
-      : FingerprintIndex.Maintenance = {
-    val (nEpochs, total, appended) = log.sizeStats()
-    val bucketAgg = storedBands()
-      .groupBy(col("band"), col("bucket")).agg(count(lit(1)).as("n"))
-      .agg(max(col("n")).as("mx"), avg(col("n")).as("mean"),
-        count(lit(1)).as("buckets"))
-      .collect().head
-    val maxBucket = if (bucketAgg.isNullAt(0)) 0L else bucketAgg.getLong(0)
-    val meanBucket = if (bucketAgg.isNullAt(1)) 0.0 else bucketAgg.getDouble(1)
-    val appendedFraction = if (total > 0) appended.toDouble / total else 0.0
-    FingerprintIndex.Maintenance(
-      numEpochs = nEpochs,
-      nDocs = total,
-      appendedFraction = appendedFraction,
-      maxBucketRows = maxBucket,
-      meanBucketRows = meanBucket,
-      bucketSkew = if (meanBucket > 0) maxBucket / meanBucket else 0.0,
-      needsCompaction = nEpochs > maxEpochs || appendedFraction > maxAppendedFraction)
-  }
-
-  /** Rewrite all committed epochs into one — the dedupBatch result is
-    * unchanged by construction (same rows, one directory per layout). The
-    * replace commit is the atomic cutover; dead epoch directories are
-    * deleted best-effort afterwards (a crash between the two leaves
-    * harmless invisible orphans).
-    */
-  def compact(): Unit = {
-    if (log.committedEpochs().lengthCompare(1) <= 0) return
-    val target = log.nextEpoch()
-    val obs = Observation()
-    storedDocs().observe(obs, count(lit(1)).as("n"))
-      .write.mode("overwrite").parquet(s"$docsPath/epoch=$target")
-    storedBands()
-      .write.mode("overwrite").parquet(s"$bandsPath/epoch=$target")
-    val stale = log.committedEpochs()
-    log.commit(target, "replace", obs.get("n").asInstanceOf[Long])
-    stale.foreach { e =>
-      log.deleteDir(s"$docsPath/epoch=$e")
-      log.deleteDir(s"$bandsPath/epoch=$e")
-    }
-  }
+  override protected def compactionFrames(): Seq[DataFrame] =
+    Seq(storedDocs(), storedBands())
 }
 
 object FingerprintIndex {
-
-  /** Compaction triggers: epoch-directory proliferation (every read lists
-    * and opens one directory per append) and appended fraction (mirrors
-    * [[graft.ml.IvfIndex.DefaultMaxAppendedFraction]] — not a correctness
-    * signal here, but the same "most of the index post-dates the build"
-    * drift marker).
-    */
-  val DefaultMaxEpochs: Int = 8
-  val DefaultMaxAppendedFraction: Double = 0.5
-
-  /** Maintenance snapshot — see [[FingerprintIndex.maintenance]]. */
-  case class Maintenance(
-      numEpochs: Int,
-      nDocs: Long,
-      appendedFraction: Double,
-      maxBucketRows: Long,
-      meanBucketRows: Double,
-      bucketSkew: Double,
-      needsCompaction: Boolean)
 
   /** Build a fresh index from the current corpus. */
   def build(
@@ -402,7 +275,10 @@ object FingerprintIndex {
         transform(col("_sh"), s => xxhash64(s)).as("shingle_hashes"),
         Dedup.minhashSignature(col("_sh"), numHashes, seed).as("sig"))
 
-  /** (id, band, bucket) candidate keys from a fingerprint frame. */
+  /** (id, band, bucket) candidate keys from a fingerprint frame — bands of
+    * the MinHash signature hashed to a bucket (NOT bit chunks of one word:
+    * the signature is an array, so this family keeps its own banding).
+    */
   private def banded(fp: DataFrame, bands: Int, rows: Int): DataFrame = {
     val bandStructs = array((0 until bands).map { j =>
       struct(lit(j).as("band"),

@@ -14,8 +14,8 @@ import org.apache.spark.sql.functions._
   * discipline, performance/hnsw_index.py:105-129) and batches dedup against
   * the stored layouts; raw corpus media is never touched again.
   *
-  * Layout (epoch-sliced, atomically committed via [[EpochLog]] like
-  * [[FingerprintIndex]]):
+  * Layout (epoch-sliced + atomically committed — the [[EpochIndex]]
+  * lifecycle):
   *
   *  - `{path}/fps/epoch=N`   — (id, fp): the id expansion side;
   *  - `{path}/bands/epoch=N` — (fp, band, bucket) over the slice's DISTINCT
@@ -43,24 +43,20 @@ case class HammingIndex(
     path: String,
     nBands: Int,
     kind: String,
-    seed: Long) {
+    seed: Long) extends EpochIndex {
 
-  def fpsPath: String = s"$path/fps"
-  def bandsPath: String = s"$path/bands"
-  private val log = EpochLog(spark, path)
+  def fpsPath: String = layoutDir("fps")
+  def bandsPath: String = layoutDir("bands")
+  override protected def layoutNames: Seq[String] = Seq("fps", "bands")
 
-  def storedFps(): DataFrame = spark.read.parquet(log.layoutPaths(fpsPath): _*)
-  def storedBands(): DataFrame = spark.read.parquet(log.layoutPaths(bandsPath): _*)
+  def storedFps(): DataFrame = storedLayout("fps")
+  def storedBands(): DataFrame = storedLayout("bands")
 
   /** Append a pre-fingerprinted slice — O(batch), atomic (both layouts
     * become visible together or not at all). Returns rows appended.
     */
-  def append(fps: DataFrame, idCol: String, fpCol: String): Long = {
-    val epoch = log.nextEpoch()
-    val n = writeSlice(fps, idCol, fpCol, epoch)
-    log.commit(epoch, "add", n)
-    n
-  }
+  def append(fps: DataFrame, idCol: String, fpCol: String): Long =
+    appendEpoch(writeSlice(fps, idCol, fpCol, _))
 
   /** Append a text slice, fingerprinting with the index's SimHash params. */
   def appendText(docs: DataFrame, idCol: String, textCol: String): Long = {
@@ -104,16 +100,11 @@ case class HammingIndex(
       col(fpCol).cast("long").as("fp")).localCheckpoint(true)
     val batchDistinct = batch.select(col("fp")).distinct()
     val batchBands = HammingIndex.banded(batchDistinct, nBands)
-    val stored = storedBands()
     // prune stored bands to probed buckets first (cheap semi-join; unprobed
     // buckets cannot produce candidates), then bound pathological buckets:
     // at most maxBucketSize DISTINCT corpus fps per (band, bucket), lowest
     // fps kept — deterministic, and a bucket that full is boilerplate.
-    // broadcast pinned: the probe set is batch-bounded, and a planner
-    // misestimate would shuffle the ENTIRE stored band table instead
-    val preCap = stored
-      .join(broadcast(batchBands.select(col("band"), col("bucket")).distinct()),
-        Seq("band", "bucket"), "left_semi")
+    val preCap = EpochIndex.probePruned(storedBands(), batchBands, prune = true)
       // appends may have re-recorded a fp's band rows; candidates must not
       // count a (fp, band, bucket) twice against the cap
       .dropDuplicates("fp", "band", "bucket")
@@ -156,7 +147,7 @@ case class HammingIndex(
   /** ONLINE ingest dedup for the Hamming families — the image-crawl /
     * SimHash twin of [[FingerprintIndex.ingestBatch]]: drop batch rows
     * that near-duplicate the indexed corpus or a KEPT lower-id batch row
-    * (the keep-vs-ACCEPTED sweep, [[Dedup.acceptedSweepDropped]]), append
+    * (the keep-vs-ACCEPTED sweep, [[EpochIndex.sweepDropped]]), append
     * exactly the survivors' fingerprints, return the surviving rows.
     * Candidate RECALL is pigeonhole-total (maxHamming < nBands is
     * enforced), but both the corpus match and the within-batch pair scan
@@ -184,78 +175,25 @@ case class HammingIndex(
     require(maxHamming < nBands,
       s"ingestBatch: maxHamming=$maxHamming must be < nBands=$nBands for " +
         "pigeonhole candidate recall — raise nBands or lower maxHamming")
-    val matchedRows = dedupBatch(batchFps, idCol, fpCol, maxHamming, maxBucketSize)
-      .select(col("batch_id")).distinct().limit(maxSweepEdges + 1).collect()
-    require(matchedRows.length <= maxSweepEdges,
-      s"ingestBatch: corpus-match set exceeds maxSweepEdges=$maxSweepEdges; " +
-        "raise the cap or split the batch")
-    val matched = matchedRows.map(_.getLong(0)).toSet
-    val pairRows = Dedup.nearDupPairsHamming64(batchFps, idCol, fpCol,
-        maxHamming, nBands, maxBucketSize)
-      .select(col("id_a"), col("id_b")).limit(maxSweepEdges + 1).collect()
-    require(pairRows.length <= maxSweepEdges,
-      s"ingestBatch: within-batch pair set exceeds maxSweepEdges=" +
-        s"$maxSweepEdges; raise the cap or split the batch")
-    val dropped: Set[Any] = Dedup.acceptedSweepDropped(matched,
-      pairRows.map(r => (r.getLong(0), r.getLong(1))))
-      .map(_.asInstanceOf[Any])
-    import org.apache.spark.sql.graftx.Bridge
-    val keptDf =
-      if (dropped.isEmpty) batchFps
-      else batchFps.filter(!Bridge.column(
-        org.apache.spark.sql.catalyst.expressions.InSet(
-          Bridge.expression(col(idCol).cast("long")), dropped)))
+    val dropped = EpochIndex.sweepDropped(
+      dedupBatch(batchFps, idCol, fpCol, maxHamming, maxBucketSize),
+      Dedup.nearDupPairsHamming64(batchFps, idCol, fpCol,
+        maxHamming, nBands, maxBucketSize), maxSweepEdges)
+    val keptDf = EpochIndex.withoutIds(batchFps, col(idCol).cast("long"), dropped)
     // sink first, append second — the at-least-once replay contract
     onKept(keptDf)
     append(keptDf, idCol, fpCol)
     keptDf
   }
 
-  /** Maintenance snapshot — same triggers as
-    * [[FingerprintIndex.maintenance]] (epoch proliferation + appended
-    * fraction, free from the commit log; bucket skew from one slim scan).
-    */
-  def maintenance(
-      maxEpochs: Int = FingerprintIndex.DefaultMaxEpochs,
-      maxAppendedFraction: Double = FingerprintIndex.DefaultMaxAppendedFraction)
-      : FingerprintIndex.Maintenance = {
-    val (nEpochs, total, appended) = log.sizeStats()
-    val bucketAgg = storedBands().dropDuplicates("fp", "band", "bucket")
-      .groupBy(col("band"), col("bucket")).agg(count(lit(1)).as("n"))
-      .agg(max(col("n")).as("mx"), avg(col("n")).as("mean"))
-      .collect().head
-    val maxBucket = if (bucketAgg.isNullAt(0)) 0L else bucketAgg.getLong(0)
-    val meanBucket = if (bucketAgg.isNullAt(1)) 0.0 else bucketAgg.getDouble(1)
-    val appendedFraction = if (total > 0) appended.toDouble / total else 0.0
-    FingerprintIndex.Maintenance(
-      numEpochs = nEpochs,
-      nDocs = total,
-      appendedFraction = appendedFraction,
-      maxBucketRows = maxBucket,
-      meanBucketRows = meanBucket,
-      bucketSkew = if (meanBucket > 0) maxBucket / meanBucket else 0.0,
-      needsCompaction = nEpochs > maxEpochs || appendedFraction > maxAppendedFraction)
-  }
+  override protected def bucketStats(): (Long, Double) =
+    bandBucketStats(storedBands().dropDuplicates("fp", "band", "bucket"))
 
-  /** Rewrite all committed epochs into one, re-distincting the band layout
-    * (appends may have duplicated a fp's band rows). dedupBatch output is
-    * unchanged by construction.
+  /** Compaction re-distincts the band layout (appends may have duplicated
+    * a fp's band rows); dedupBatch output is unchanged by construction.
     */
-  def compact(): Unit = {
-    if (log.committedEpochs().lengthCompare(1) <= 0) return
-    val target = log.nextEpoch()
-    val obs = Observation()
-    storedFps().observe(obs, count(lit(1)).as("n"))
-      .write.mode("overwrite").parquet(s"$fpsPath/epoch=$target")
-    storedBands().dropDuplicates("fp", "band", "bucket")
-      .write.mode("overwrite").parquet(s"$bandsPath/epoch=$target")
-    val stale = log.committedEpochs()
-    log.commit(target, "replace", obs.get("n").asInstanceOf[Long])
-    stale.foreach { e =>
-      log.deleteDir(s"$fpsPath/epoch=$e")
-      log.deleteDir(s"$bandsPath/epoch=$e")
-    }
-  }
+  override protected def compactionFrames(): Seq[DataFrame] =
+    Seq(storedFps(), storedBands().dropDuplicates("fp", "band", "bucket"))
 }
 
 object HammingIndex {
@@ -312,18 +250,10 @@ object HammingIndex {
       col(idCol).cast("long").as("id"),
       Dedup.simhash(split(col(textCol), " "), seed).as("fp"))
 
-  /** (fp, band, bucket) band keys for a distinct-fp frame: the fp split
-    * into nBands equal bit chunks — the [[Dedup.nearDupPairsHamming64]]
-    * pigeonhole geometry.
+  /** (fp, band, bucket) band keys for a distinct-fp frame — the
+    * [[Dedup.nearDupPairsHamming64]] pigeonhole geometry via the shared
+    * bit-chunk banding.
     */
-  private def banded(fps: DataFrame, nBands: Int): DataFrame = {
-    val width = 64 / nBands
-    val mask = if (width == 64) -1L else (1L << width) - 1
-    val chunks = array((0 until nBands).map { j =>
-      struct(lit(j).as("band"),
-        shiftright(col("fp"), j * width).bitwiseAND(lit(mask)).as("bucket"))
-    }: _*)
-    fps.select(col("fp"), explode(chunks).as("bb"))
-      .select(col("fp"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-  }
+  private def banded(fps: DataFrame, nBands: Int): DataFrame =
+    EpochIndex.bitChunkBands(fps, "fp", Seq("fp"), 64, nBands)
 }

@@ -14,7 +14,8 @@ import org.apache.spark.sql.graftx.Bridge
   * index-persistence discipline, performance/hnsw_index.py:105-129) and
   * batches dedup against the stored layouts.
   *
-  * Layout (epoch-sliced, atomically committed via [[EpochLog]]):
+  * Layout (epoch-sliced + atomically committed — the [[EpochIndex]]
+  * lifecycle):
   *
   *  - `{path}/vecs/epoch=N`  — (id, vec): the exact-cosine VERIFY payload —
   *    the embedding analog of [[FingerprintIndex]]'s shingle_hashes. This
@@ -43,55 +44,46 @@ case class HyperplaneIndex(
     dim: Int,
     nBits: Int,
     nBands: Int,
-    seed: Long) {
+    seed: Long) extends EpochIndex {
 
   require(nBits % nBands == 0, s"nBits=$nBits not divisible by nBands=$nBands")
 
-  def vecsPath: String = s"$path/vecs"
-  def bandsPath: String = s"$path/bands"
-  private val log = EpochLog(spark, path)
+  def vecsPath: String = layoutDir("vecs")
+  def bandsPath: String = layoutDir("bands")
+  override protected def layoutNames: Seq[String] = Seq("vecs", "bands")
 
   @transient private lazy val planes: Array[Array[Double]] =
     AnnUtil.randomPlanes(nBits, dim, seed)
 
-  def storedVecs(): DataFrame = spark.read.parquet(log.layoutPaths(vecsPath): _*)
-  def storedBands(): DataFrame = spark.read.parquet(log.layoutPaths(bandsPath): _*)
+  def storedVecs(): DataFrame = storedLayout("vecs")
+  def storedBands(): DataFrame = storedLayout("bands")
 
   /** hyperplane_sig of a vector column under this index's planes. */
   private def sigCol(vec: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     Bridge.column(HyperplaneSignature(Bridge.expression(vec), planes))
 
   /** (id, band, bucket) from a (id, sig) frame — nBands equal bit chunks,
-    * the [[Dedup.embeddingNearDupLsh]] geometry.
+    * the [[Dedup.embeddingNearDupLsh]] geometry via the shared bit-chunk
+    * banding.
     */
-  private def banded(sigs: DataFrame): DataFrame = {
-    val width = nBits / nBands
-    val mask = if (width == 64) -1L else (1L << width) - 1
-    val chunks = array((0 until nBands).map { j =>
-      struct(lit(j).as("band"),
-        shiftright(col("sig"), j * width).bitwiseAND(lit(mask)).as("bucket"))
-    }: _*)
-    sigs.select(col("id"), explode(chunks).as("bb"))
-      .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-  }
+  private def banded(sigs: DataFrame): DataFrame =
+    EpochIndex.bitChunkBands(sigs, "sig", Seq("id"), nBits, nBands)
 
   /** Sign + band a new corpus slice and append it — O(batch), atomic.
     * Returns rows appended.
     */
-  def append(vecs: DataFrame, idCol: String, vecCol: String): Long = {
-    val epoch = log.nextEpoch()
-    val n = writeSlice(vecs, idCol, vecCol, epoch)
-    log.commit(epoch, "add", n)
-    n
-  }
+  def append(vecs: DataFrame, idCol: String, vecCol: String): Long =
+    appendEpoch(writeSlice(vecs, idCol, vecCol, _))
 
   private[operators] def writeSlice(
-      vecs: DataFrame, idCol: String, vecCol: String, epoch: Long): Long = {
-    // one signature pass feeds both layouts (the writeSlice discipline)
-    val signed = vecs.select(col(idCol).cast("long").as("id"),
+      vecs: DataFrame, idCol: String, vecCol: String, epoch: Long): Long =
+    writeSigned(vecs.select(col(idCol).cast("long").as("id"),
         col(vecCol).as("vec"))
-      .withColumn("sig", sigCol(col("vec")))
-      .localCheckpoint(true)
+      .withColumn("sig", sigCol(col("vec"))), epoch)
+
+  /** One signature pass feeds both layouts (the writeSlice discipline). */
+  private def writeSigned(signed0: DataFrame, epoch: Long): Long = {
+    val signed = signed0.localCheckpoint(true)
     val obs = Observation()
     signed.select(col("id"), col("vec"))
       .observe(obs, count(lit(1)).as("n"))
@@ -110,10 +102,10 @@ case class HyperplaneIndex(
     *
     * Scale shape: the stored bands are pruned to buckets the batch PROBES
     * before the cap window (a nightly batch probes a vanishing fraction of
-    * corpus buckets — the [[FingerprintIndex.dedupBatch]] prune, with the
-    * same skip when the batch dominates the index); the banding join
-    * carries slim (id, band, bucket) longs only; vectors enter only in the
-    * final verify joins.
+    * corpus buckets — the [[EpochIndex.probePruned]] prune, skipped when
+    * the batch dominates the index); the banding join carries slim
+    * (id, band, bucket) longs only; vectors enter only in the final verify
+    * joins.
     */
   def dedupBatch(
       batch: DataFrame,
@@ -135,15 +127,8 @@ case class HyperplaneIndex(
   private def dedupBatchSigned(
       signed: DataFrame, threshold: Double, maxBucketSize: Int): DataFrame = {
     val batchBands = banded(signed.select(col("id"), col("sig")))
-    val stored = storedBands()
-    val preCap =
-      if (signed.count() < log.sizeStats()._2)
-        // broadcast pinned: the probe set is batch-bounded, and a planner
-        // misestimate would shuffle the ENTIRE stored band table instead
-        stored.join(
-          broadcast(batchBands.select(col("band"), col("bucket")).distinct()),
-          Seq("band", "bucket"), "left_semi")
-      else stored
+    val preCap = EpochIndex.probePruned(storedBands(), batchBands,
+      prune = signed.count() < log.sizeStats()._2)
     // cap only the corpus side — a degenerate bucket is a corpus property,
     // and the batch side must never lose a vector's chance to match
     val corpusBands = Dedup.capBuckets(preCap, maxBucketSize)
@@ -164,10 +149,10 @@ case class HyperplaneIndex(
   /** ONLINE ingest dedup for the embedding family — the
     * [[FingerprintIndex.ingestBatch]] contract one modality over: drop
     * batch vectors that near-duplicate the indexed corpus or a KEPT
-    * lower-id batch vector ([[Dedup.acceptedSweepDropped]]), append
-    * exactly the survivors, return the surviving rows. Recall is LSH
-    * banding recall (plus the corpus-side `maxBucketSize` truncation);
-    * precision is exact-cosine.
+    * lower-id batch vector ([[EpochIndex.sweepDropped]]), append exactly
+    * the survivors, return the surviving rows. Recall is LSH banding
+    * recall (plus the corpus-side `maxBucketSize` truncation); precision
+    * is exact-cosine.
     *
     * `onKept` runs with the final kept frame BEFORE the index append — the
     * at-least-once replay seam; see [[FingerprintIndex.ingestBatch]] for
@@ -185,32 +170,15 @@ case class HyperplaneIndex(
       onKept: DataFrame => Unit = _ => ()): DataFrame = {
     // ONE signature pass feeds the corpus match AND the within-batch scan
     val signed = signBatch(batch, idCol, vecCol)
-    val matchedRows = dedupBatchSigned(signed, threshold, maxBucketSize)
-      .select(col("batch_id")).distinct().limit(maxSweepEdges + 1).collect()
-    require(matchedRows.length <= maxSweepEdges,
-      s"ingestBatch: corpus-match set exceeds maxSweepEdges=$maxSweepEdges; " +
-        "raise the cap or split the batch")
-    val matched = matchedRows.map(_.getLong(0)).toSet
-    val pairRows = withinBatchPairs(signed, threshold, maxBucketSize)
-      .limit(maxSweepEdges + 1).collect()
-    require(pairRows.length <= maxSweepEdges,
-      s"ingestBatch: within-batch pair set exceeds maxSweepEdges=" +
-        s"$maxSweepEdges; raise the cap or split the batch")
-    val dropped: Set[Any] = Dedup.acceptedSweepDropped(matched,
-      pairRows.map(r => (r.getLong(0), r.getLong(1))))
-      .map(_.asInstanceOf[Any])
-    val keptDf =
-      if (dropped.isEmpty) batch
-      else batch.filter(!Bridge.column(
-        org.apache.spark.sql.catalyst.expressions.InSet(
-          Bridge.expression(col(idCol).cast("long")), dropped)))
-    // sink first, append second — the at-least-once replay contract
+    val dropped = EpochIndex.sweepDropped(
+      dedupBatchSigned(signed, threshold, maxBucketSize),
+      withinBatchPairs(signed, threshold, maxBucketSize), maxSweepEdges)
+    val keptDf = EpochIndex.withoutIds(batch, col(idCol).cast("long"), dropped)
+    // sink first, append second — the at-least-once replay contract;
+    // the write half must not re-sign the survivors it just signed
     onKept(keptDf)
-    appendSigned(
-      if (dropped.isEmpty) signed
-      else signed.filter(!Bridge.column(
-        org.apache.spark.sql.catalyst.expressions.InSet(
-          Bridge.expression(col("id")), dropped))))
+    appendEpoch(writeSigned(
+      EpochIndex.withoutIds(signed, col("id"), dropped), _))
     keptDf
   }
 
@@ -234,67 +202,12 @@ case class HyperplaneIndex(
       .select(col("id_a"), col("id_b"))
   }
 
-  /** Append an already-signed (pinned) frame — the write half of
-    * [[ingestBatch]], which must not re-sign the survivors.
-    */
-  private def appendSigned(signed: DataFrame): Long = {
-    val epoch = log.nextEpoch()
-    val pinned = signed.localCheckpoint(true)
-    val obs = Observation()
-    pinned.select(col("id"), col("vec"))
-      .observe(obs, count(lit(1)).as("n"))
-      .write.mode("overwrite").parquet(s"$vecsPath/epoch=$epoch")
-    banded(pinned.select(col("id"), col("sig")))
-      .write.mode("overwrite").parquet(s"$bandsPath/epoch=$epoch")
-    val n = obs.get("n").asInstanceOf[Long]
-    log.commit(epoch, "add", n)
-    n
-  }
+  override protected def bucketStats(): (Long, Double) =
+    bandBucketStats(storedBands())
 
-  /** Maintenance snapshot — same triggers as
-    * [[FingerprintIndex.maintenance]] (epoch proliferation + appended
-    * fraction from the commit log; bucket skew from one slim bands scan).
-    */
-  def maintenance(
-      maxEpochs: Int = FingerprintIndex.DefaultMaxEpochs,
-      maxAppendedFraction: Double = FingerprintIndex.DefaultMaxAppendedFraction)
-      : FingerprintIndex.Maintenance = {
-    val (nEpochs, total, appended) = log.sizeStats()
-    val bucketAgg = storedBands()
-      .groupBy(col("band"), col("bucket")).agg(count(lit(1)).as("n"))
-      .agg(max(col("n")).as("mx"), avg(col("n")).as("mean"))
-      .collect().head
-    val maxBucket = if (bucketAgg.isNullAt(0)) 0L else bucketAgg.getLong(0)
-    val meanBucket = if (bucketAgg.isNullAt(1)) 0.0 else bucketAgg.getDouble(1)
-    val appendedFraction = if (total > 0) appended.toDouble / total else 0.0
-    FingerprintIndex.Maintenance(
-      numEpochs = nEpochs,
-      nDocs = total,
-      appendedFraction = appendedFraction,
-      maxBucketRows = maxBucket,
-      meanBucketRows = meanBucket,
-      bucketSkew = if (meanBucket > 0) maxBucket / meanBucket else 0.0,
-      needsCompaction = nEpochs > maxEpochs || appendedFraction > maxAppendedFraction)
-  }
-
-  /** Rewrite all committed epochs into one. dedupBatch output is unchanged
-    * (each id's vec + band rows move verbatim; ids are append-unique).
-    */
-  def compact(): Unit = {
-    if (log.committedEpochs().lengthCompare(1) <= 0) return
-    val target = log.nextEpoch()
-    val obs = Observation()
-    storedVecs().observe(obs, count(lit(1)).as("n"))
-      .write.mode("overwrite").parquet(s"$vecsPath/epoch=$target")
-    storedBands()
-      .write.mode("overwrite").parquet(s"$bandsPath/epoch=$target")
-    val stale = log.committedEpochs()
-    log.commit(target, "replace", obs.get("n").asInstanceOf[Long])
-    stale.foreach { e =>
-      log.deleteDir(s"$vecsPath/epoch=$e")
-      log.deleteDir(s"$bandsPath/epoch=$e")
-    }
-  }
+  /** Each id's vec + band rows move verbatim (ids are append-unique). */
+  override protected def compactionFrames(): Seq[DataFrame] =
+    Seq(storedVecs(), storedBands())
 }
 
 object HyperplaneIndex {

@@ -12,8 +12,8 @@ import org.apache.spark.sql.functions._
   * re-read and the per-batch corpus cost is one in-place scan of 8-byte
   * hashes.
   *
-  * Layout (epoch-sliced, atomically committed via [[EpochLog]] like its
-  * siblings [[FingerprintIndex]] / [[HammingIndex]]):
+  * Layout (epoch-sliced + atomically committed — the [[EpochIndex]]
+  * lifecycle):
   *
   *  - `{path}/segs/epoch=N` — (h): the slice's DISTINCT segment hashes.
   *    Appends may re-record a hash already present in an older epoch
@@ -25,29 +25,26 @@ import org.apache.spark.sql.functions._
   *    silently match nothing.
   *
   * Committed row counts (for maintenance) are distinct-hash counts per
-  * slice, not document counts.
+  * slice, not document counts; bucket-skew fields are 0 (a hash SET has no
+  * buckets).
   */
 case class SegmentIndex(
     spark: SparkSession,
     path: String,
     delimiter: String,
-    minSegmentLen: Int) {
+    minSegmentLen: Int) extends EpochIndex {
 
-  def segsPath: String = s"$path/segs"
-  private val log = EpochLog(spark, path)
+  def segsPath: String = layoutDir("segs")
+  override protected def layoutNames: Seq[String] = Seq("segs")
 
-  def storedSegs(): DataFrame = spark.read.parquet(log.layoutPaths(segsPath): _*)
+  def storedSegs(): DataFrame = storedLayout("segs")
 
   /** Segment-hash a corpus slice and append it — O(batch), atomic. Returns
     * distinct hashes appended (including any already present in older
     * epochs).
     */
-  def append(docs: DataFrame, idCol: String, textCol: String): Long = {
-    val epoch = log.nextEpoch()
-    val n = writeSlice(docs, textCol, epoch)
-    log.commit(epoch, "add", n)
-    n
-  }
+  def append(docs: DataFrame, idCol: String, textCol: String): Long =
+    appendEpoch(writeSlice(docs, textCol, _))
 
   private[operators] def writeSlice(
       docs: DataFrame, textCol: String, epoch: Long): Long = {
@@ -92,39 +89,11 @@ case class SegmentIndex(
     cleaned
   }
 
-  /** Maintenance snapshot — epoch proliferation and appended fraction from
-    * the commit log (no data files touched; `nDocs` carries distinct-hash
-    * counts, bucket-skew fields are 0: a hash SET has no buckets).
+  /** Compaction re-distincts the hash set; dedupBatch output is unchanged
+    * (set semantics).
     */
-  def maintenance(
-      maxEpochs: Int = FingerprintIndex.DefaultMaxEpochs,
-      maxAppendedFraction: Double = FingerprintIndex.DefaultMaxAppendedFraction)
-      : FingerprintIndex.Maintenance = {
-    val (nEpochs, total, appended) = log.sizeStats()
-    val appendedFraction = if (total > 0) appended.toDouble / total else 0.0
-    FingerprintIndex.Maintenance(
-      numEpochs = nEpochs,
-      nDocs = total,
-      appendedFraction = appendedFraction,
-      maxBucketRows = 0L,
-      meanBucketRows = 0.0,
-      bucketSkew = 0.0,
-      needsCompaction = nEpochs > maxEpochs || appendedFraction > maxAppendedFraction)
-  }
-
-  /** Rewrite all committed epochs into one, re-distincting the hash set.
-    * dedupBatch output is unchanged (set semantics).
-    */
-  def compact(): Unit = {
-    if (log.committedEpochs().lengthCompare(1) <= 0) return
-    val target = log.nextEpoch()
-    val obs = Observation()
-    storedSegs().distinct().observe(obs, count(lit(1)).as("n"))
-      .write.mode("overwrite").parquet(s"$segsPath/epoch=$target")
-    val stale = log.committedEpochs()
-    log.commit(target, "replace", obs.get("n").asInstanceOf[Long])
-    stale.foreach(e => log.deleteDir(s"$segsPath/epoch=$e"))
-  }
+  override protected def compactionFrames(): Seq[DataFrame] =
+    Seq(storedSegs().distinct())
 }
 
 object SegmentIndex {

@@ -1,6 +1,6 @@
 package graft.tools
 
-import graft.operators.{Dedup, FingerprintIndex, HammingIndex, SegmentIndex}
+import graft.operators.{Dedup, FingerprintIndex, HammingIndex, HyperplaneIndex, SegmentIndex}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -39,6 +39,7 @@ object IndexSweepProbe {
     spark.sparkContext.setLogLevel("WARN")
     graft.functions.windows.muteNoPartitionWarning()
     scales.foreach(runScale(spark, _, batchN))
+    scales.foreach(runEmbedScale(spark, _, batchN))
     spark.stop()
   }
 
@@ -170,5 +171,145 @@ object IndexSweepProbe {
     }
 
     println(f"""{"probe":"index_sweep","corpus":$n,"batch":$batchN,"minhash":{"build_sec":$mhB%.1f,"indexed_sec":$mhI%.1f,"recompute_sec":$mhR%.1f},"simhash":{"build_sec":$shB%.1f,"indexed_sec":$shI%.1f,"recompute_sec":$shR%.1f},"segment":{"build_sec":$sgB%.1f,"indexed_sec":$sgI%.1f,"recompute_sec":$sgR%.1f}}""")
+  }
+
+  /** Deterministic pseudo-random embedding (`dim` floats in [-1, 1]) keyed
+    * by id — scaled copies (x2) keep every hyperplane sign and land in the
+    * source's SemDeDup cluster (cosine is scale-invariant), so the planted
+    * near-dups collide on both embedding index families.
+    */
+  private def vecFor(idCol: Column, dim: Int): Column =
+    transform(sequence(lit(0), lit(dim - 1)), j =>
+      ((pmod(hash(idCol * lit(dim * 31) + j), lit(2000001)) - lit(1000000)) /
+        lit(1000000.0)).cast("float"))
+
+  /** The [[runScale]] contrast for the EMBEDDING index families
+    * ([[HyperplaneIndex]], [[graft.ml.SemDedupIndex]]): same materialized-
+    * corpus rule, same fixed batch shape (half fresh, 30% corpus
+    * near-copies, 20% batch-internal copies — scaled x2, inside
+    * cosine >= 0.99), and the recompute twin re-reads + re-signs /
+    * re-assigns the corpus parquet in memory under the SAME geometry
+    * (planes / frozen centroids — centroids are published SemDeDup state,
+    * so the honest no-index cost is corpus re-assignment, not
+    * re-clustering). Matched batch-id counts are asserted identical.
+    */
+  private def runEmbedScale(spark: SparkSession, n: Int, batchN: Int): Unit = {
+    val dim = 64
+    val threshold = 0.99
+    val corpusPath = java.nio.file.Files
+      .createTempDirectory(s"graft_sweep_emb_$n").toString
+    spark.range(n.toLong).select(col("id"), vecFor(col("id"), dim).as("vec"))
+      .write.mode("overwrite").parquet(corpusPath)
+    val corpus = spark.read.parquet(corpusPath)
+    val freshN = batchN / 2
+    val corpDupN = batchN * 3 / 10
+    val batch = spark.range(batchN.toLong).select(col("id"),
+        when(col("id") < freshN, vecFor(col("id") + n, dim))
+          .when(col("id") < freshN + corpDupN,
+            transform(vecFor(col("id") - freshN, dim), x => x * lit(2.0f)))
+          .otherwise(transform(vecFor(pmod(col("id"), lit(freshN)) + n, dim),
+            x => x * lit(2.0f)))
+          .as("vec"))
+      .select((col("id") + n).as("id"), col("vec"))
+      .localCheckpoint(true)
+    println(s"[probe] === embedding corpus $n vecs, batch $batchN (fixed) ===")
+
+    def family(name: String)(build: String => Any)(
+        indexed: Any => Long)(recompute: () => Long): (Double, Double, Double) = {
+      val path = java.nio.file.Files
+        .createTempDirectory(s"graft_sweep_$name").toString
+      val (idx, tBuild) = time(build(path))
+      val (nIdx, tIdx) = time(indexed(idx))
+      val (nRe, tRe) = time(recompute())
+      assert(nIdx == nRe,
+        s"$name contrast invalid: indexed matched $nIdx ids, recompute $nRe")
+      println(f"[probe] $name%-10s build $tBuild%6.1f s | match indexed " +
+        f"$tIdx%5.1f s vs recompute $tRe%5.1f s (${tRe / tIdx}%.1fx) " +
+        f"[$nIdx matched ids]")
+      (tBuild, tIdx, tRe)
+    }
+
+    val (hpB, hpI, hpR) = family("hyperplane") {
+      HyperplaneIndex.build(corpus, "id", "vec", _, dim = dim)
+    } { idx =>
+      idx.asInstanceOf[HyperplaneIndex]
+        .dedupBatch(batch, "id", "vec", threshold)
+        .select(col("batch_id")).distinct().count()
+    } { () =>
+      // no-index twin of dedupBatch: re-read + re-sign the corpus parquet
+      // under the index's exact geometry (same planes — 64 bits, 8 bands,
+      // seed 42), band both sides, cap 1000, verify exact cosine. In-memory
+      // only; no throwaway index write is charged to this path.
+      import org.apache.spark.sql.graftx.Bridge
+      val planes = graft.functions.AnnUtil.randomPlanes(64, dim, 42L)
+      def signed(df: DataFrame) = df.select(col("id"), col("vec"),
+        Bridge.column(graft.functions.HyperplaneSignature(
+          Bridge.expression(col("vec")), planes)).as("sig"))
+      def banded(df: DataFrame) = {
+        val width = 64 / 8; val mask = (1L << width) - 1
+        val chunks = array((0 until 8).map { j =>
+          struct(lit(j).as("band"),
+            shiftright(col("sig"), j * width).bitwiseAND(lit(mask)).as("bucket"))
+        }: _*)
+        df.select(col("id"), explode(chunks).as("bb"))
+          .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+      }
+      val bSigned = signed(batch).localCheckpoint(true)
+      val cSigned = signed(corpus)
+      val wBucket = Window.partitionBy(col("band"), col("bucket"))
+        .orderBy(col("id"))
+      val cBanded = banded(cSigned.select(col("id"), col("sig")))
+        .withColumn("_rn", row_number().over(wBucket))
+        .filter(col("_rn") <= 1000).drop("_rn")
+      banded(bSigned.select(col("id"), col("sig"))).as("b")
+        .join(cBanded.as("c"), Seq("band", "bucket"))
+        .select(col("b.id").as("batch_id"), col("c.id").as("corpus_id"))
+        .dropDuplicates("batch_id", "corpus_id")
+        .join(bSigned.select(col("id").as("batch_id"), col("vec").as("v_b")),
+          Seq("batch_id"))
+        .join(cSigned.select(col("id").as("corpus_id"), col("vec").as("v_c")),
+          Seq("corpus_id"))
+        .filter(graft.functions.vector.cosine_sim(col("v_b"), col("v_c"))
+          >= threshold)
+        .select(col("batch_id")).distinct().count()
+    }
+
+    // frozen centroids: the first 64 corpus vectors (deterministic — the
+    // q72 buildWithCentroids discipline); cap disabled on both paths so
+    // the matched sets cannot diverge on cap truncation
+    val cents = corpus.filter(col("id") < 64).orderBy(col("id"))
+      .select(col("vec")).collect()
+      .map(_.getSeq[Float](0).toArray.map(_.toDouble))
+    val (sdB, sdI, sdR) = family("semdedup") {
+      graft.ml.SemDedupIndex.buildWithCentroids(corpus, "id", "vec", _, cents)
+    } { idx =>
+      idx.asInstanceOf[graft.ml.SemDedupIndex.Index]
+        .dedupBatch(batch, "id", "vec", threshold, maxClusterSize = n + batchN)
+        .select(col("batch_id")).distinct().count()
+    } { () =>
+      // no-index twin: re-read + re-ASSIGN the corpus parquet against the
+      // same frozen centroids (the cost the stored cluster-partitioned
+      // layout amortizes), then the same cluster-scoped batch x corpus
+      // exact-cosine verify. Assignment uses the index's own probe
+      // expression, so cluster choice is bit-identical.
+      import org.apache.spark.sql.graftx.Bridge
+      def assign(df: DataFrame) = df.select(col("id"), col("vec"),
+        Bridge.column(graft.functions.CentroidProbes(
+          Bridge.expression(col("vec")),
+          cents.map(c => { // mirror the cosine-metric centroid normalization
+            val nrm = math.max(math.sqrt(c.map(x => x * x).sum), 1e-8)
+            c.map(_ / nrm)
+          }),
+          graft.functions.vector.MetricCosine, 1)).getItem(0).as("cluster"))
+      val bAssigned = assign(batch).localCheckpoint(true)
+      val cAssigned = assign(corpus)
+      bAssigned.as("b")
+        .join(cAssigned.as("c"), col("b.cluster") === col("c.cluster"))
+        .filter(graft.functions.vector.cosine_sim(col("b.vec"), col("c.vec"))
+          >= threshold)
+        .select(col("b.id")).distinct().count()
+    }
+
+    println(f"""{"probe":"index_sweep_embed","corpus":$n,"batch":$batchN,"hyperplane":{"build_sec":$hpB%.1f,"indexed_sec":$hpI%.1f,"recompute_sec":$hpR%.1f},"semdedup":{"build_sec":$sdB%.1f,"indexed_sec":$sdI%.1f,"recompute_sec":$sdR%.1f}}""")
   }
 }
