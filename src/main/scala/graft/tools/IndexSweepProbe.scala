@@ -275,8 +275,9 @@ object IndexSweepProbe {
     }
 
     // frozen centroids: the first 64 corpus vectors (deterministic — the
-    // q72 buildWithCentroids discipline); cap disabled on both paths so
-    // the matched sets cannot diverge on cap truncation
+    // q72 buildWithCentroids discipline); the DEFAULT corpus-side cluster
+    // cap applies identically on both paths (same window, same id order),
+    // so the matched sets cannot diverge on cap truncation
     val cents = corpus.filter(col("id") < 64).orderBy(col("id"))
       .select(col("vec")).collect()
       .map(_.getSeq[Float](0).toArray.map(_.toDouble))
@@ -284,13 +285,13 @@ object IndexSweepProbe {
       graft.ml.SemDedupIndex.buildWithCentroids(corpus, "id", "vec", _, cents)
     } { idx =>
       idx.asInstanceOf[graft.ml.SemDedupIndex.Index]
-        .dedupBatch(batch, "id", "vec", threshold, maxClusterSize = n + batchN)
+        .dedupBatch(batch, "id", "vec", threshold)
         .select(col("batch_id")).distinct().count()
     } { () =>
       // no-index twin: re-read + re-ASSIGN the corpus parquet against the
       // same frozen centroids (the cost the stored cluster-partitioned
-      // layout amortizes), then the same cluster-scoped batch x corpus
-      // exact-cosine verify. Assignment uses the index's own probe
+      // layout amortizes), then the same capped cluster-scoped batch x
+      // corpus exact-cosine verify. Assignment uses the index's own probe
       // expression, so cluster choice is bit-identical.
       import org.apache.spark.sql.graftx.Bridge
       def assign(df: DataFrame) = df.select(col("id"), col("vec"),
@@ -302,7 +303,10 @@ object IndexSweepProbe {
           }),
           graft.functions.vector.MetricCosine, 1)).getItem(0).as("cluster"))
       val bAssigned = assign(batch).localCheckpoint(true)
+      val wCluster = Window.partitionBy(col("cluster")).orderBy(col("id"))
       val cAssigned = assign(corpus)
+        .withColumn("_rn", row_number().over(wCluster))
+        .filter(col("_rn") <= 10000).drop("_rn") // dedupBatch's default cap
       bAssigned.as("b")
         .join(cAssigned.as("c"), col("b.cluster") === col("c.cluster"))
         .filter(graft.functions.vector.cosine_sim(col("b.vec"), col("c.vec"))

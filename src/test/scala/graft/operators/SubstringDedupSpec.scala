@@ -80,13 +80,29 @@ class SubstringDedupSpec extends AnyFunSuite with SparkSpec {
     assert(out(1L) == "a b" && out(3L) == "")
   }
 
-  test("span merge adds no third exchange after the id window") {
-    // the (id, island) aggregation must reuse the window's HashPartitioning(id)
+  test("plan shape: partial-agg dup detection, no gram-key window, slim merge") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .select($"doc_id".as("id"), $"text")
     val plan = SubstringDedup.duplicatedSpans(docs, "id", "text", n = 8)
       .queryExecution.executedPlan.toString
+    // duplicate detection is groupBy-then-semi-join: the count MUST have a
+    // map-side partial phase (a hot gram collapses to one row per map
+    // partition before the shuffle), and NO window may run over the gram
+    // key (a COUNT window would funnel a hot gram into one task — the skew
+    // cliff the two-pass design removes). The only window is the
+    // gaps-and-islands merge over id.
+    assert("partial_count".r.findAllIn(plan).nonEmpty,
+      s"gram count must partial-aggregate map-side:\n$plan")
+    assert("windowspecdefinition\\(k#".r.findAllIn(plan).isEmpty,
+      s"no window may partition by the gram key:\n$plan")
+    val windows = "Window \\[".r.findAllIn(plan).length
+    assert(windows == 2,
+      s"expected the two id-partitioned merge windows (lag + running sum), got $windows:\n$plan")
+    // exchange budget: gram-key count, gram-key semi-join side(s), id window
+    // — and the (id, island) aggregation reuses the window's
+    // HashPartitioning(id), adding none
     val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
-    assert(exchanges <= 2, s"expected <= 2 wide exchanges (gram key + id), got $exchanges:\n$plan")
+    assert(exchanges <= 3,
+      s"expected <= 3 wide exchanges (gram count + gram join + id), got $exchanges:\n$plan")
   }
 }
