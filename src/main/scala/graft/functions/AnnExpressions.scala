@@ -93,9 +93,18 @@ object AnnUtil {
     out
   }
 
-  /** Deterministic gaussian hyperplanes. */
+  /** Deterministic gaussian hyperplanes (<= 64: one signature word). */
   def randomPlanes(nBits: Int, dim: Int, seed: Long): Array[Array[Double]] = {
-    require(nBits >= 1 && nBits <= 64, s"nBits must be in [1,64], got $nBits")
+    require(nBits <= 64, s"nBits must be in [1,64], got $nBits")
+    randomPlanesWide(nBits, dim, seed)
+  }
+
+  /** [[randomPlanes]] without the one-word cap — wide signatures span
+    * ceil(nBits/64) longs ([[graft.operators.HyperplaneIndex]] slices this
+    * per word). Same stream: the first 64 planes equal randomPlanes's.
+    */
+  def randomPlanesWide(nBits: Int, dim: Int, seed: Long): Array[Array[Double]] = {
+    require(nBits >= 1, s"nBits must be >= 1, got $nBits")
     val rnd = new java.util.Random(seed)
     Array.fill(nBits)(Array.fill(dim)(rnd.nextGaussian()))
   }

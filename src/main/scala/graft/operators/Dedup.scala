@@ -943,9 +943,19 @@ object Dedup {
       maxBucketSize: Int = 1000): DataFrame = {
     require(nBits % nBands == 0, s"nBits=$nBits not divisible by nBands=$nBands")
     val width = nBits / nBands
+    require(width <= 64, s"band width $width exceeds one signature word")
+    require(nBits <= 64 || 64 % width == 0,
+      s"multi-word signatures need band width dividing 64, got $width")
     val mask = if (width == 64) -1L else (1L << width) - 1
-    val planes = AnnUtil.randomPlanes(nBits, dim, seed)
-    val sig = Bridge.column(HyperplaneSignature(Bridge.expression(col("vec")), planes))
+    // signatures wider than one long span ceil(nBits/64) words — the
+    // bucket-selectivity lever (2^width buckets per band); the default
+    // 64-bit geometry takes the identical single-word path as before
+    val nWords = (nBits + 63) / 64
+    val planes = AnnUtil.randomPlanesWide(nBits, dim, seed)
+    val sigCols = (0 until nWords).map { w =>
+      Bridge.column(HyperplaneSignature(Bridge.expression(col("vec")),
+        planes.slice(w * 64, math.min((w + 1) * 64, nBits)))).as(s"sig$w")
+    }
 
     // (id, vec) feeds the signature scan and both sides of the verify join;
     // unlike MinHash's shingleSets (tokenization is worth pinning) this is a
@@ -957,11 +967,13 @@ object Dedup {
     // times and sit on both sides of the join, an nBands x shuffle-width tax
     // at 100 TB of embeddings. They re-join just for the cosine verify.
     val chunks = array((0 until nBands).map { j =>
+      val w = (j * width) / 64
+      val off = (j * width) % 64
       struct(lit(j).as("band"),
-        shiftright(col("sig"), j * width).bitwiseAND(lit(mask)).as("bucket"))
+        shiftright(col(s"sig$w"), off).bitwiseAND(lit(mask)).as("bucket"))
     }: _*)
     val banded = vecs
-      .withColumn("sig", sig)
+      .select((col("id") +: sigCols): _*)
       .select(col("id"), explode(chunks).as("bb"))
       .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
 

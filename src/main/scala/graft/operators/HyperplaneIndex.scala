@@ -24,7 +24,8 @@ import org.apache.spark.sql.graftx.Bridge
   *    CANDIDATE ids' vectors are ever gathered (the join below), so the
   *    read cost is bounded by candidate count, not corpus size.
   *  - `{path}/bands/epoch=N` — (id, band, bucket): the LSH candidate keys
-  *    (nBands equal bit-chunks of the 64-bit-max signature).
+  *    (nBands equal bit-chunks of the signature; signatures wider than 64
+  *    bits span multiple words — the selectivity lever, see `nWords`).
   *  - `{path}/meta` — (dim, n_bits, n_bands, seed): the hyperplane
   *    geometry is INDEX STATE ([[FingerprintIndex]]'s discipline) — a
   *    batch signed under different planes would silently match nothing, so
@@ -47,27 +48,61 @@ case class HyperplaneIndex(
     seed: Long) extends EpochIndex {
 
   require(nBits % nBands == 0, s"nBits=$nBits not divisible by nBands=$nBands")
+  require(nBits / nBands <= 64,
+    s"band width ${nBits / nBands} exceeds one signature word")
+  require(nBits <= 64 || 64 % (nBits / nBands) == 0,
+    s"multi-word signatures need band width dividing 64, got ${nBits / nBands}")
 
   def vecsPath: String = layoutDir("vecs")
   def bandsPath: String = layoutDir("bands")
   override protected def layoutNames: Seq[String] = Seq("vecs", "bands")
 
+  /** Signatures wider than 64 bits span ceil(nBits/64) longs (`sig0..`) —
+    * the bucket-selectivity lever at corpus scale: bucket count per band is
+    * 2^(nBits/nBands), so the default 64/8 geometry (256 buckets) is
+    * candidate-bound once the corpus passes ~100k rows (IndexSweepProbe
+    * measures it), while 128/8 (65k buckets) or 256/8 (16M) keep the
+    * candidate verify output-bound. Recall per band falls as width grows
+    * (p^width for per-bit agreement p) — raise nBands alongside nBits to
+    * buy selectivity without recall loss, at linear banding-row cost.
+    */
+  private val nWords = (nBits + 63) / 64
+  private val sigNames: Seq[String] = (0 until nWords).map(w => s"sig$w")
+
   @transient private lazy val planes: Array[Array[Double]] =
-    AnnUtil.randomPlanes(nBits, dim, seed)
+    AnnUtil.randomPlanesWide(nBits, dim, seed)
 
   def storedVecs(): DataFrame = storedLayout("vecs")
   def storedBands(): DataFrame = storedLayout("bands")
 
-  /** hyperplane_sig of a vector column under this index's planes. */
-  private def sigCol(vec: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    Bridge.column(HyperplaneSignature(Bridge.expression(vec), planes))
-
-  /** (id, band, bucket) from a (id, sig) frame — nBands equal bit chunks,
-    * the [[Dedup.embeddingNearDupLsh]] geometry via the shared bit-chunk
-    * banding.
+  /** Append per-word hyperplane signature columns `sig0..` (each word signs
+    * against its own 64-plane slice).
     */
-  private def banded(sigs: DataFrame): DataFrame =
-    EpochIndex.bitChunkBands(sigs, "sig", Seq("id"), nBits, nBands)
+  private def withSigs(df: DataFrame,
+      vec: org.apache.spark.sql.Column): DataFrame =
+    (0 until nWords).foldLeft(df) { (d, w) =>
+      d.withColumn(s"sig$w", Bridge.column(HyperplaneSignature(
+        Bridge.expression(vec),
+        planes.slice(w * 64, math.min((w + 1) * 64, nBits)))))
+    }
+
+  /** (id, band, bucket) from an (id, sig0..) frame — nBands equal bit
+    * chunks, each chunk read from its word (chunks never span words; the
+    * one-word case reduces to [[EpochIndex.bitChunkBands]]'s layout
+    * bit-for-bit).
+    */
+  private def banded(sigs: DataFrame): DataFrame = {
+    val width = nBits / nBands
+    val mask = if (width == 64) -1L else (1L << width) - 1
+    val chunks = array((0 until nBands).map { j =>
+      val w = (j * width) / 64
+      val off = (j * width) % 64
+      struct(lit(j).as("band"),
+        shiftright(col(s"sig$w"), off).bitwiseAND(lit(mask)).as("bucket"))
+    }: _*)
+    sigs.select(col("id"), explode(chunks).as("bb"))
+      .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+  }
 
   /** Sign + band a new corpus slice and append it — O(batch), atomic.
     * Returns rows appended.
@@ -77,9 +112,8 @@ case class HyperplaneIndex(
 
   private[operators] def writeSlice(
       vecs: DataFrame, idCol: String, vecCol: String, epoch: Long): Long =
-    writeSigned(vecs.select(col(idCol).cast("long").as("id"),
-        col(vecCol).as("vec"))
-      .withColumn("sig", sigCol(col("vec"))), epoch)
+    writeSigned(withSigs(vecs.select(col(idCol).cast("long").as("id"),
+      col(vecCol).as("vec")), col("vec")), epoch)
 
   /** One signature pass feeds both layouts (the writeSlice discipline). */
   private def writeSigned(signed0: DataFrame, epoch: Long): Long = {
@@ -88,7 +122,7 @@ case class HyperplaneIndex(
     signed.select(col("id"), col("vec"))
       .observe(obs, count(lit(1)).as("n"))
       .write.mode("overwrite").parquet(s"$vecsPath/epoch=$epoch")
-    banded(signed.select(col("id"), col("sig")))
+    banded(signed.select((col("id") +: sigNames.map(col)): _*))
       .write.mode("overwrite").parquet(s"$bandsPath/epoch=$epoch")
     obs.get("n").asInstanceOf[Long]
   }
@@ -120,13 +154,13 @@ case class HyperplaneIndex(
     */
   private def signBatch(
       batch: DataFrame, idCol: String, vecCol: String): DataFrame =
-    batch.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
-      .withColumn("sig", sigCol(col("vec")))
+    withSigs(batch.select(col(idCol).cast("long").as("id"),
+      col(vecCol).as("vec")), col("vec"))
       .localCheckpoint(true)
 
   private def dedupBatchSigned(
       signed: DataFrame, threshold: Double, maxBucketSize: Int): DataFrame = {
-    val batchBands = banded(signed.select(col("id"), col("sig")))
+    val batchBands = banded(signed.select((col("id") +: sigNames.map(col)): _*))
     val preCap = EpochIndex.probePruned(storedBands(), batchBands,
       prune = signed.count() < log.sizeStats()._2)
     // cap only the corpus side — a degenerate bucket is a corpus property,
@@ -188,7 +222,7 @@ case class HyperplaneIndex(
   private def withinBatchPairs(
       signed: DataFrame, threshold: Double, maxBucketSize: Int): DataFrame = {
     val capped = Dedup.capBuckets(
-      banded(signed.select(col("id"), col("sig"))), maxBucketSize)
+      banded(signed.select((col("id") +: sigNames.map(col)): _*)), maxBucketSize)
     val candidates = capped.as("x").join(capped.as("y"),
         col("x.band") === col("y.band") &&
           col("x.bucket") === col("y.bucket") &&

@@ -274,6 +274,55 @@ object IndexSweepProbe {
         .select(col("batch_id")).distinct().count()
     }
 
+    // the same contrast under the WIDE geometry (128 bits / 8 bands =
+    // 16-bit buckets): the selectivity lever the 64/8 default lacks at
+    // 100k+ corpora — candidates collapse ~256x, so the verify join stops
+    // dominating and the indexed-vs-recompute contrast isolates the
+    // corpus-side work again
+    val (hp2B, hp2I, hp2R) = family("hyper128") {
+      HyperplaneIndex.build(corpus, "id", "vec", _, dim = dim, nBits = 128)
+    } { idx =>
+      idx.asInstanceOf[HyperplaneIndex]
+        .dedupBatch(batch, "id", "vec", threshold)
+        .select(col("batch_id")).distinct().count()
+    } { () =>
+      import org.apache.spark.sql.graftx.Bridge
+      val planes = graft.functions.AnnUtil.randomPlanesWide(128, dim, 42L)
+      def signed(df: DataFrame) = df.select(col("id"), col("vec"),
+        Bridge.column(graft.functions.HyperplaneSignature(
+          Bridge.expression(col("vec")), planes.slice(0, 64))).as("sig0"),
+        Bridge.column(graft.functions.HyperplaneSignature(
+          Bridge.expression(col("vec")), planes.slice(64, 128))).as("sig1"))
+      def banded(df: DataFrame) = {
+        val width = 16; val mask = (1L << width) - 1
+        val chunks = array((0 until 8).map { j =>
+          val w = (j * width) / 64; val off = (j * width) % 64
+          struct(lit(j).as("band"),
+            shiftright(col(s"sig$w"), off).bitwiseAND(lit(mask)).as("bucket"))
+        }: _*)
+        df.select(col("id"), explode(chunks).as("bb"))
+          .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+      }
+      val bSigned = signed(batch).localCheckpoint(true)
+      val cSigned = signed(corpus)
+      val wBucket = Window.partitionBy(col("band"), col("bucket"))
+        .orderBy(col("id"))
+      val cBanded = banded(cSigned)
+        .withColumn("_rn", row_number().over(wBucket))
+        .filter(col("_rn") <= 1000).drop("_rn")
+      banded(bSigned).as("b")
+        .join(cBanded.as("c"), Seq("band", "bucket"))
+        .select(col("b.id").as("batch_id"), col("c.id").as("corpus_id"))
+        .dropDuplicates("batch_id", "corpus_id")
+        .join(bSigned.select(col("id").as("batch_id"), col("vec").as("v_b")),
+          Seq("batch_id"))
+        .join(cSigned.select(col("id").as("corpus_id"), col("vec").as("v_c")),
+          Seq("corpus_id"))
+        .filter(graft.functions.vector.cosine_sim(col("v_b"), col("v_c"))
+          >= threshold)
+        .select(col("batch_id")).distinct().count()
+    }
+
     // frozen centroids: the first 64 corpus vectors (deterministic — the
     // q72 buildWithCentroids discipline); the DEFAULT corpus-side cluster
     // cap applies identically on both paths (same window, same id order),
@@ -314,6 +363,6 @@ object IndexSweepProbe {
         .select(col("b.id")).distinct().count()
     }
 
-    println(f"""{"probe":"index_sweep_embed","corpus":$n,"batch":$batchN,"hyperplane":{"build_sec":$hpB%.1f,"indexed_sec":$hpI%.1f,"recompute_sec":$hpR%.1f},"semdedup":{"build_sec":$sdB%.1f,"indexed_sec":$sdI%.1f,"recompute_sec":$sdR%.1f}}""")
+    println(f"""{"probe":"index_sweep_embed","corpus":$n,"batch":$batchN,"hyperplane":{"build_sec":$hpB%.1f,"indexed_sec":$hpI%.1f,"recompute_sec":$hpR%.1f},"hyper128":{"build_sec":$hp2B%.1f,"indexed_sec":$hp2I%.1f,"recompute_sec":$hp2R%.1f},"semdedup":{"build_sec":$sdB%.1f,"indexed_sec":$sdI%.1f,"recompute_sec":$sdR%.1f}}""")
   }
 }

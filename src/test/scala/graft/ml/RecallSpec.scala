@@ -78,5 +78,13 @@ class RecallSpec extends AnyFunSuite with SparkSpec {
     val r = Recall.pairRecall(found, truth).head()
     assert(r.getLong(0) == 500L, s"expected 500 planted truth pairs, got ${r.getLong(0)}")
     assert(r.getDouble(2) == 1.0, s"deterministic recall must be 1.0, got ${r.getDouble(2)}")
+    // WIDE geometry (128 bits / 8 bands = 16-bit buckets, two signature
+    // words): planted scaled copies share every word's signs, so recall
+    // stays deterministic while buckets sharpen 256x
+    val foundWide = Dedup.embeddingNearDupLsh(corpus, "vec_id", "embedding",
+      threshold = 0.9, dim = 64, nBits = 128)
+    val rw = Recall.pairRecall(foundWide, truth).head()
+    assert(rw.getDouble(2) == 1.0,
+      s"wide-signature recall on planted copies must be 1.0, got ${rw.getDouble(2)}")
   }
 }

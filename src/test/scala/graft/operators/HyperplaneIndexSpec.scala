@@ -145,4 +145,41 @@ class HyperplaneIndexSpec extends AnyFunSuite with SparkSpec {
     assert(sawDocs == 102L && idx.maintenance().nDocs == 103L,
       "onKept observes the pre-append index; the append lands after")
   }
+
+  test("wide signatures (nBits > 64) match the brute-force truth and sharpen buckets") {
+    val corpus = emb.filter($"vec_id" < 400)
+    val batch = emb.filter($"vec_id" >= 400)
+      .unionAll(scaledCopies(emb.filter($"vec_id" < 50), 10000L, 2.0f))
+    // 128 bits / 8 bands = 16-bit buckets; planted copies still share every
+    // word's sign bits, so recall on them stays deterministic
+    val wide = HyperplaneIndex.build(corpus, "vec_id", "embedding",
+      tmp("graft_hp_wide"), dim = 64, nBits = 128, nBands = 8)
+    val got = pairs(wide.dedupBatch(batch, "vec_id", "embedding", 0.9))
+    assert(got == brute(corpus, batch, 0.9))
+    // the selectivity claim is measurable: 16-bit buckets spread the corpus
+    // over strictly more distinct (band, bucket) keys than 8-bit buckets
+    val narrow = HyperplaneIndex.build(corpus, "vec_id", "embedding",
+      tmp("graft_hp_narrow"), dim = 64, nBits = 64, nBands = 8)
+    val wideBuckets = wide.storedBands()
+      .select($"band", $"bucket").distinct().count()
+    val narrowBuckets = narrow.storedBands()
+      .select($"band", $"bucket").distinct().count()
+    assert(wideBuckets > narrowBuckets,
+      s"expected sharper buckets: wide=$wideBuckets narrow=$narrowBuckets")
+    // load restores the wide geometry and searches identically
+    val loaded = HyperplaneIndex.load(spark, wide.path)
+    assert(loaded.nBits == 128 && loaded.nBands == 8)
+    assert(pairs(loaded.dedupBatch(batch, "vec_id", "embedding", 0.9)) == got)
+  }
+
+  test("band width must divide the signature word for multi-word geometries") {
+    intercept[IllegalArgumentException] {
+      HyperplaneIndex(spark, "/tmp/x", dim = 64, nBits = 96, nBands = 4,
+        seed = 42L) // width 24 spans word boundaries
+    }
+    intercept[IllegalArgumentException] {
+      HyperplaneIndex(spark, "/tmp/x", dim = 64, nBits = 256, nBands = 2,
+        seed = 42L) // width 128 > one word
+    }
+  }
 }
