@@ -5,17 +5,20 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
-/** Scale sweep for the three persisted dedup-index families — the
+/** Scale sweep for ALL FIVE persisted dedup-index families — the
   * [[IngestProbe]] lesson (the indexed win only shows once the corpus
-  * dwarfs the batch; 0.9x at 100k docs, 9.4x at 400k for MinHash)
-  * applied to ALL families: for each corpus size in the sweep, build
-  * [[FingerprintIndex]] (MinHash), [[HammingIndex]] (SimHash) and
-  * [[SegmentIndex]] (paragraph hashes) over the SAME materialized corpus,
-  * then time one FIXED 10k-doc batch-vs-corpus match on the indexed path
-  * vs the honest no-index recompute path (re-read + re-fingerprint the
-  * corpus parquet in memory — no throwaway index write is charged to it).
-  * Both paths must agree on the matched-batch-doc count (asserted), so
-  * the ratio compares identical work.
+  * dwarfs the batch) applied across the board: for each corpus size,
+  * build [[FingerprintIndex]] (MinHash), [[HammingIndex]] (SimHash),
+  * [[SegmentIndex]] (paragraph hashes), [[HyperplaneIndex]] (embedding
+  * LSH, at BOTH the default 64/8 geometry and the wide 128/8 — the
+  * bucket-selectivity contrast) and [[graft.ml.SemDedupIndex]] (uniform
+  * batch = pruning worst case, plus a cluster-skewed batch = the pruning
+  * case the partitioned layout exists for) over the SAME materialized
+  * corpus, then time one FIXED 10k batch-vs-corpus match on the indexed
+  * path vs the honest no-index recompute path (re-read + re-fingerprint /
+  * re-sign / re-assign the corpus parquet in memory — no throwaway index
+  * write is charged to it). Both paths must agree on the matched-batch
+  * count (asserted), so every ratio compares identical work.
   *
   * Corpus docs are paragraph-structured (8 x 25-word paragraphs, ~1 KB,
   * "\n"-joined) so the segment family gets a realistic hash-set size;
@@ -363,6 +366,45 @@ object IndexSweepProbe {
         .select(col("b.id")).distinct().count()
     }
 
-    println(f"""{"probe":"index_sweep_embed","corpus":$n,"batch":$batchN,"hyperplane":{"build_sec":$hpB%.1f,"indexed_sec":$hpI%.1f,"recompute_sec":$hpR%.1f},"hyper128":{"build_sec":$hp2B%.1f,"indexed_sec":$hp2I%.1f,"recompute_sec":$hp2R%.1f},"semdedup":{"build_sec":$sdB%.1f,"indexed_sec":$sdI%.1f,"recompute_sec":$sdR%.1f}}""")
+    // the PRUNING case the cluster-partitioned layout exists for: a batch
+    // concentrated in 4 of the 64 clusters (10k scaled copies of 4 centroid
+    // vectors). The indexed path reads ONLY those 4 list_id partitions;
+    // the no-index twin must still assign the whole corpus to even learn
+    // which rows are comparable — the uniform-batch leg above is the
+    // pruning worst case, this is the realistic drift/topic-burst shape.
+    val skewBatch = spark.range(batchN.toLong).select(
+        (col("id") + n).as("id"),
+        transform(vecFor(pmod(col("id"), lit(4)), dim), x => x * lit(2.0f))
+          .as("vec"))
+      .localCheckpoint(true)
+    val (skB, skI, skR) = family("semdedup_skew") {
+      graft.ml.SemDedupIndex.buildWithCentroids(corpus, "id", "vec", _, cents)
+    } { idx =>
+      idx.asInstanceOf[graft.ml.SemDedupIndex.Index]
+        .dedupBatch(skewBatch, "id", "vec", threshold)
+        .select(col("batch_id")).distinct().count()
+    } { () =>
+      import org.apache.spark.sql.graftx.Bridge
+      def assign(df: DataFrame) = df.select(col("id"), col("vec"),
+        Bridge.column(graft.functions.CentroidProbes(
+          Bridge.expression(col("vec")),
+          cents.map(c => {
+            val nrm = math.max(math.sqrt(c.map(x => x * x).sum), 1e-8)
+            c.map(_ / nrm)
+          }),
+          graft.functions.vector.MetricCosine, 1)).getItem(0).as("cluster"))
+      val bAssigned = assign(skewBatch).localCheckpoint(true)
+      val wCluster = Window.partitionBy(col("cluster")).orderBy(col("id"))
+      val cAssigned = assign(corpus)
+        .withColumn("_rn", row_number().over(wCluster))
+        .filter(col("_rn") <= 10000).drop("_rn")
+      bAssigned.as("b")
+        .join(cAssigned.as("c"), col("b.cluster") === col("c.cluster"))
+        .filter(graft.functions.vector.cosine_sim(col("b.vec"), col("c.vec"))
+          >= threshold)
+        .select(col("b.id")).distinct().count()
+    }
+
+    println(f"""{"probe":"index_sweep_embed","corpus":$n,"batch":$batchN,"hyperplane":{"build_sec":$hpB%.1f,"indexed_sec":$hpI%.1f,"recompute_sec":$hpR%.1f},"hyper128":{"build_sec":$hp2B%.1f,"indexed_sec":$hp2I%.1f,"recompute_sec":$hp2R%.1f},"semdedup":{"build_sec":$sdB%.1f,"indexed_sec":$sdI%.1f,"recompute_sec":$sdR%.1f},"semdedup_skew":{"build_sec":$skB%.1f,"indexed_sec":$skI%.1f,"recompute_sec":$skR%.1f}}""")
   }
 }
