@@ -90,16 +90,33 @@ case class HyperplaneIndex(
     * chunks, each chunk read from its word (chunks never span words; the
     * one-word case reduces to [[EpochIndex.bitChunkBands]]'s layout
     * bit-for-bit).
+    *
+    * `probeFlips > 0` adds bit-flip MULTI-PROBE buckets (query side only —
+    * the stored layout never changes): for each band, also emit the bucket
+    * with one of the first `probeFlips` bit positions flipped, so a pair
+    * whose signatures differ by <= 1 of those bits per band still meets.
+    * `probeFlips = width` probes every 1-bit neighbor, turning per-band
+    * candidate recall from hamming-0 into hamming-<=1 at (width+1)x the
+    * BATCH banding rows — batch-bounded, corpus side untouched, the
+    * standard trade for wide (selective) buckets.
     */
-  private def banded(sigs: DataFrame): DataFrame = {
+  private def banded(sigs: DataFrame, probeFlips: Int = 0): DataFrame = {
     val width = nBits / nBands
+    require(probeFlips >= 0 && probeFlips <= width,
+      s"probeFlips must be in [0, $width], got $probeFlips")
     val mask = if (width == 64) -1L else (1L << width) - 1
-    val chunks = array((0 until nBands).map { j =>
+    val chunks = array((0 until nBands).flatMap { j =>
       val w = (j * width) / 64
       val off = (j * width) % 64
-      struct(lit(j).as("band"),
-        shiftright(col(s"sig$w"), off).bitwiseAND(lit(mask)).as("bucket"))
+      val base = shiftright(col(s"sig$w"), off).bitwiseAND(lit(mask))
+      struct(lit(j).as("band"), base.as("bucket")) +:
+        (0 until probeFlips).map { b =>
+          struct(lit(j).as("band"),
+            base.bitwiseXOR(lit(1L << b)).as("bucket"))
+        }
     }: _*)
+    // no dedup needed: within a band the base and each single-flip bucket
+    // are pairwise distinct by construction, so this stays exchange-free
     sigs.select(col("id"), explode(chunks).as("bb"))
       .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
   }
@@ -146,8 +163,10 @@ case class HyperplaneIndex(
       idCol: String,
       vecCol: String,
       threshold: Double,
-      maxBucketSize: Int = 1000): DataFrame =
-    dedupBatchSigned(signBatch(batch, idCol, vecCol), threshold, maxBucketSize)
+      maxBucketSize: Int = 1000,
+      probeFlips: Int = 0): DataFrame =
+    dedupBatchSigned(signBatch(batch, idCol, vecCol), threshold, maxBucketSize,
+      probeFlips)
 
   /** Pin one (id, vec, sig) frame per batch — feeds the corpus match AND
     * (in [[ingestBatch]]) the within-batch pair scan.
@@ -159,8 +178,10 @@ case class HyperplaneIndex(
       .localCheckpoint(true)
 
   private def dedupBatchSigned(
-      signed: DataFrame, threshold: Double, maxBucketSize: Int): DataFrame = {
-    val batchBands = banded(signed.select((col("id") +: sigNames.map(col)): _*))
+      signed: DataFrame, threshold: Double, maxBucketSize: Int,
+      probeFlips: Int = 0): DataFrame = {
+    val batchBands =
+      banded(signed.select((col("id") +: sigNames.map(col)): _*), probeFlips)
     val preCap = EpochIndex.probePruned(storedBands(), batchBands,
       prune = signed.count() < log.sizeStats()._2)
     // cap only the corpus side — a degenerate bucket is a corpus property,
@@ -201,11 +222,12 @@ case class HyperplaneIndex(
       threshold: Double,
       maxBucketSize: Int = 1000,
       maxSweepEdges: Int = Dedup.SmallGraphEdgeThreshold.toInt,
-      onKept: DataFrame => Unit = _ => ()): DataFrame = {
+      onKept: DataFrame => Unit = _ => (),
+      probeFlips: Int = 0): DataFrame = {
     // ONE signature pass feeds the corpus match AND the within-batch scan
     val signed = signBatch(batch, idCol, vecCol)
     val dropped = EpochIndex.sweepDropped(
-      dedupBatchSigned(signed, threshold, maxBucketSize),
+      dedupBatchSigned(signed, threshold, maxBucketSize, probeFlips),
       withinBatchPairs(signed, threshold, maxBucketSize), maxSweepEdges)
     val keptDf = EpochIndex.withoutIds(batch, col(idCol).cast("long"), dropped)
     // sink first, append second — the at-least-once replay contract;

@@ -172,6 +172,36 @@ class HyperplaneIndexSpec extends AnyFunSuite with SparkSpec {
     assert(pairs(loaded.dedupBatch(batch, "vec_id", "embedding", 0.9)) == got)
   }
 
+  test("bit-flip multi-probe recovers jittered near-dups exact buckets miss") {
+    // wide geometry so buckets are SELECTIVE (16-bit): multiplicative
+    // jitter flips the low-margin sign bits, breaking every band for some
+    // pairs; probing each band's 1-bit neighbors recovers exactly the
+    // pairs within hamming 1 per band. Deterministic: fixed corpus, fixed
+    // planes (seed), hash-derived jitter.
+    val idx = HyperplaneIndex.build(emb, "vec_id", "embedding",
+      tmp("graft_hp_mp"), dim = 64, nBits = 128, nBands = 8)
+    // jitter BEFORE re-keying (lateral-alias trap: the hash must see the
+    // source vec_id, not the +10000 alias)
+    val batch = emb.select($"vec_id",
+        zip_with($"embedding",
+          transform(sequence(lit(0), lit(63)), j =>
+            ((pmod(hash($"vec_id" * 64 + j), lit(2001)) - lit(1000))
+              .cast("float") / lit(1000.0f))),
+          (x, r) => x * (lit(1.0f) + r * lit(0.2f))).as("embedding"))
+      .select(($"vec_id" + 10000).as("vec_id"), $"embedding")
+    val truth = brute(emb, batch, 0.9)
+    val single = pairs(idx.dedupBatch(batch, "vec_id", "embedding", 0.9))
+    val multi = pairs(idx.dedupBatch(batch, "vec_id", "embedding", 0.9,
+      probeFlips = 16))
+    assert(single.subsetOf(multi), "multi-probe buckets are a superset")
+    assert(multi.subsetOf(truth), "precision stays exact (cosine verify)")
+    assert(multi.size > single.size,
+      s"multi-probe must rescue pairs: single=${single.size} " +
+        s"multi=${multi.size} truth=${truth.size}")
+    info(s"recall: single ${single.size}/${truth.size}, " +
+      s"multi-probe ${multi.size}/${truth.size}")
+  }
+
   test("band width must divide the signature word for multi-word geometries") {
     intercept[IllegalArgumentException] {
       HyperplaneIndex(spark, "/tmp/x", dim = 64, nBits = 96, nBands = 4,
