@@ -49,6 +49,33 @@ object FfmpegKernels {
       p.waitFor() == 0
     } catch { case _: java.io.IOException => false }
 
+  /** The cluster-safe wrapper: the adapter script's temp-file path is a
+    * PER-JVM fact (a driver's /tmp does not exist on a 1000-executor
+    * cluster), so the inner [[SubprocessDecodeKernel]] — whose command
+    * embeds that path — must be built lazily AFTER deserialization on
+    * whichever JVM runs the batch. `@transient lazy` does exactly that;
+    * everything serialized is plain config.
+    */
+  case class FfmpegKernel(
+      mode: String,
+      dim: Int,
+      rate: Int,
+      binary: String,
+      onFailure: String,
+      fallback: Option[DecodeKernel],
+      timeoutMs: Long) extends DecodeKernel {
+    require(Seq("audio", "video").contains(mode), s"bad mode $mode")
+
+    @transient private lazy val inner: SubprocessDecodeKernel =
+      SubprocessDecodeKernel(
+        Seq("python3", scriptPath, "--mode", mode, "--dim", dim.toString,
+          "--rate", rate.toString, "--ffmpeg", binary),
+        dim, onFailure, fallback, timeoutMs)
+
+    override def decodeBatch(batch: Seq[Multimodal.MediaRow]): Seq[Array[Float]] =
+      inner.decodeBatch(batch)
+  }
+
   /** Compressed-audio feature kernel: any container ffmpeg reads -> mono
     * float32 PCM at `rate` Hz -> `dim` time-bucket RMS energies,
     * L2-normalized (deterministic — no model in the loop).
@@ -59,11 +86,8 @@ object FfmpegKernels {
       binary: String = "ffmpeg",
       onFailure: String = "error",
       fallback: Option[DecodeKernel] = None,
-      timeoutMs: Long = 60000L): SubprocessDecodeKernel =
-    SubprocessDecodeKernel(
-      Seq("python3", scriptPath, "--mode", "audio", "--dim", dim.toString,
-        "--rate", rate.toString, "--ffmpeg", binary),
-      dim, onFailure, fallback, timeoutMs)
+      timeoutMs: Long = 60000L): DecodeKernel =
+    FfmpegKernel("audio", dim, rate, binary, onFailure, fallback, timeoutMs)
 
   /** Compressed-video keyframe kernel: first keyframe (H.264/MP4/MKV/...)
     * scaled to the dHash geometry, emitted as 64 {0,1} floats — feed it to
@@ -74,9 +98,6 @@ object FfmpegKernels {
       binary: String = "ffmpeg",
       onFailure: String = "error",
       fallback: Option[DecodeKernel] = None,
-      timeoutMs: Long = 60000L): SubprocessDecodeKernel =
-    SubprocessDecodeKernel(
-      Seq("python3", scriptPath, "--mode", "video", "--dim", "64",
-        "--ffmpeg", binary),
-      64, onFailure, fallback, timeoutMs)
+      timeoutMs: Long = 60000L): DecodeKernel =
+    FfmpegKernel("video", 64, 16000, binary, onFailure, fallback, timeoutMs)
 }

@@ -49,6 +49,27 @@ class FfmpegKernelsSpec extends AnyFunSuite {
       "the whole batch must re-run through the in-JVM fallback")
   }
 
+  test("the kernel survives serialization and re-materializes its script") {
+    // executors deserialize the kernel on JVMs where the driver's temp
+    // file does not exist; the inner subprocess command must be rebuilt
+    // lazily on the receiving side
+    assume(python3Available, "python3 not runnable here")
+    val dim = 8
+    val stub = StubDecodeKernel(dim)
+    val k = FfmpegKernels.audioFeatures(dim = dim,
+      binary = "graft-no-such-ffmpeg-binary",
+      onFailure = "fallback", fallback = Some(stub))
+    val buf = new java.io.ByteArrayOutputStream()
+    val oos = new java.io.ObjectOutputStream(buf)
+    oos.writeObject(k); oos.close()
+    val k2 = new java.io.ObjectInputStream(
+        new java.io.ByteArrayInputStream(buf.toByteArray))
+      .readObject().asInstanceOf[Multimodal.DecodeKernel]
+    val batch = Seq(wavRow(0, 440.0, 0.1))
+    assert(k2.decodeBatch(batch).map(_.toSeq) ==
+      stub.decodeBatch(batch).map(_.toSeq))
+  }
+
   test("missing ffmpeg under onFailure=error surfaces the adapter's stderr") {
     assume(python3Available, "python3 not runnable here")
     val k = FfmpegKernels.audioFeatures(dim = 8,
