@@ -65,6 +65,16 @@ object FfmpegKernels {
       fallback: Option[DecodeKernel],
       timeoutMs: Long) extends DecodeKernel {
     require(Seq("audio", "video").contains(mode), s"bad mode $mode")
+    // mirror the inner SubprocessDecodeKernel's policy requires: the inner
+    // kernel is built lazily on the EXECUTOR (the per-JVM script path), so
+    // without these a misconfigured kernel would only fail at the first
+    // decodeBatch mid-job instead of at driver-side construction
+    require(dim >= 1, s"dim must be >= 1, got $dim")
+    require(Seq("error", "fallback").contains(onFailure),
+      s"onFailure policy must be error|fallback, got $onFailure")
+    require(onFailure != "fallback" || fallback.exists(_.dim == dim),
+      s"onFailure=fallback needs a fallback kernel of the same dim=$dim")
+    require(timeoutMs >= 1, s"timeoutMs must be >= 1, got $timeoutMs")
 
     @transient private lazy val inner: SubprocessDecodeKernel =
       SubprocessDecodeKernel(

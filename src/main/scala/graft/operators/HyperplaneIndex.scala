@@ -207,7 +207,10 @@ case class HyperplaneIndex(
     * lower-id batch vector ([[EpochIndex.sweepDropped]]), append exactly
     * the survivors, return the surviving rows. Recall is LSH banding
     * recall (plus the corpus-side `maxBucketSize` truncation); precision
-    * is exact-cosine.
+    * is exact-cosine. `probeFlips` widens BOTH legs symmetrically — the
+    * batch-vs-corpus match and the within-batch pair scan — so a jittered
+    * intra-batch duplicate is never kept where the identical pair against
+    * the corpus would have been dropped.
     *
     * `onKept` runs with the final kept frame BEFORE the index append — the
     * at-least-once replay seam; see [[FingerprintIndex.ingestBatch]] for
@@ -228,7 +231,8 @@ case class HyperplaneIndex(
     val signed = signBatch(batch, idCol, vecCol)
     val dropped = EpochIndex.sweepDropped(
       dedupBatchSigned(signed, threshold, maxBucketSize, probeFlips),
-      withinBatchPairs(signed, threshold, maxBucketSize), maxSweepEdges)
+      withinBatchPairs(signed, threshold, maxBucketSize, probeFlips),
+      maxSweepEdges)
     val keptDf = EpochIndex.withoutIds(batch, col(idCol).cast("long"), dropped)
     // sink first, append second — the at-least-once replay contract;
     // the write half must not re-sign the survivors it just signed
@@ -240,12 +244,24 @@ case class HyperplaneIndex(
 
   /** [[Dedup.embeddingNearDupLsh]] restricted to a pinned signed frame:
     * (id_a, id_b) pairs with id_a < id_b and cosine >= threshold.
+    *
+    * `probeFlips` reaches hamming-<=1 pairs here exactly as in the corpus
+    * match: flipping ONE side of the self-join is enough, because XOR is
+    * symmetric — if two signatures differ in probed bit k, each side's
+    * flipped bucket IS the other's base bucket, so the pair meets
+    * whichever of the two carries the lower id. Keeping the flips
+    * one-sided also keeps the candidate blowup at (probeFlips+1)x, not
+    * squared. The cap stays on the BASE side only (the dedupBatch
+    * discipline: a degenerate bucket is bounded to cap x bucket rows
+    * without costing the probe side its chance to match).
     */
   private def withinBatchPairs(
-      signed: DataFrame, threshold: Double, maxBucketSize: Int): DataFrame = {
-    val capped = Dedup.capBuckets(
-      banded(signed.select((col("id") +: sigNames.map(col)): _*)), maxBucketSize)
-    val candidates = capped.as("x").join(capped.as("y"),
+      signed: DataFrame, threshold: Double, maxBucketSize: Int,
+      probeFlips: Int = 0): DataFrame = {
+    val sigs = signed.select((col("id") +: sigNames.map(col)): _*)
+    val probe = banded(sigs, probeFlips)
+    val base = Dedup.capBuckets(banded(sigs), maxBucketSize)
+    val candidates = probe.as("x").join(base.as("y"),
         col("x.band") === col("y.band") &&
           col("x.bucket") === col("y.bucket") &&
           col("x.id") < col("y.id"))

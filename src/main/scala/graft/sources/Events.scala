@@ -38,13 +38,47 @@ object Events {
   def read(spark: SparkSession, dir: String): DataFrame =
     withEventTime(spark.read.parquet(s"$dir/events.parquet"))
 
+  /** Declared-schema fallback for the cold-start case: the current driver
+    * contract (ts = TIMESTAMP(MICROS), surfacing as TIMESTAMP_NTZ). Only
+    * used when the probe finds nothing to probe; once a file exists the
+    * probed physical type always wins.
+    */
+  val DefaultEventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampNTZType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
   /** Schema probe for the streaming source. File streams require an
     * explicit schema, and declaring the wrong one silently reinterprets
     * bits (a LongType declaration over a MICROS column was the round-9
     * q24 1000x timeline compression). One batch footer read settles it.
+    *
+    * Bootstrap edge: a stream is often *defined* before the first file
+    * drop lands, and a batch probe of an empty (or not-yet-existing)
+    * directory throws `Unable to infer schema`. In that case we fall back
+    * to `fallback` (default [[DefaultEventSchema]]) rather than failing
+    * stream definition — the declared fallback only governs until real
+    * files exist, at which point probing settles the contract. Pass
+    * `fallback = None` to keep strict probe-or-throw behavior.
     */
-  def probeSchema(spark: SparkSession, dir: String, glob: Option[String] = None): StructType = {
+  def probeSchema(
+      spark: SparkSession,
+      dir: String,
+      glob: Option[String] = None,
+      fallback: Option[StructType] = Some(DefaultEventSchema)): StructType = {
     val r = spark.read
-    glob.fold(r)(g => r.option("pathGlobFilter", g)).parquet(dir).schema
+    try glob.fold(r)(g => r.option("pathGlobFilter", g)).parquet(dir).schema
+    catch {
+      case e: org.apache.spark.sql.AnalysisException
+          if fallback.isDefined &&
+            (e.getMessage.contains("Unable to infer schema") ||
+              e.getMessage.contains("Path does not exist") ||
+              e.getMessage.contains("PATH_NOT_FOUND") ||
+              e.getMessage.contains("UNABLE_TO_INFER_SCHEMA")) =>
+        fallback.get
+    }
   }
 }

@@ -23,7 +23,9 @@ object Streams {
     * declared: `ts` has shipped as both TIMESTAMP(MICROS) and long nanos
     * across driver rounds, and a hardcoded schema over the wrong physical
     * type reinterprets bits silently (graft.sources.Events holds the
-    * branch).
+    * branch). On a not-yet-populated directory the probe falls back to
+    * `Events.DefaultEventSchema`, so the stream can be defined before the
+    * first drop lands (start-stream-then-produce).
     */
   def eventStream(spark: SparkSession, dir: String, glob: Option[String] = None): DataFrame = {
     val schema = graft.sources.Events.probeSchema(spark, dir, glob)

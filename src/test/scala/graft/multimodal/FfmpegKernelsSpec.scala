@@ -35,6 +35,22 @@ class FfmpegKernelsSpec extends AnyFunSuite {
     assert(src.contains("--mode") && src.contains("ffmpeg"))
   }
 
+  test("a misconfigured kernel fails fast at driver-side construction") {
+    // the inner SubprocessDecodeKernel is built lazily on the executor, so
+    // FfmpegKernel mirrors its policy requires to surface config errors at
+    // build time instead of at the first decodeBatch mid-job
+    intercept[IllegalArgumentException](
+      FfmpegKernels.audioFeatures(onFailure = "fallback", fallback = None))
+    intercept[IllegalArgumentException](
+      FfmpegKernels.audioFeatures(dim = 64, onFailure = "fallback",
+        fallback = Some(StubDecodeKernel(32)))) // dim mismatch
+    intercept[IllegalArgumentException](
+      FfmpegKernels.audioFeatures(onFailure = "retry"))
+    intercept[IllegalArgumentException](FfmpegKernels.audioFeatures(dim = 0))
+    intercept[IllegalArgumentException](
+      FfmpegKernels.audioFeatures(timeoutMs = 0L))
+  }
+
   test("missing ffmpeg binary is a PROCESS failure: batch lands on the fallback") {
     assume(python3Available, "python3 not runnable here")
     val dim = 8

@@ -65,6 +65,58 @@ class EventsSpec extends AnyFunSuite with SparkSpec {
     assert(!schema.fieldNames.contains("a"), "the glob must exclude the decoy")
   }
 
+  test("probeSchema on an empty directory falls back to the declared schema") {
+    // cold-start: a stream is defined before the first file drop lands
+    val dir = tmpDir("graft_events_empty")
+    val schema = Events.probeSchema(spark, dir, glob = Some("events.parquet"))
+    assert(schema == Events.DefaultEventSchema)
+    assert(schema("ts").dataType == TimestampNTZType)
+  }
+
+  test("probeSchema on a nonexistent directory falls back too") {
+    val schema = Events.probeSchema(spark, tmpDir("graft_events_gone") + "/never-written")
+    assert(schema == Events.DefaultEventSchema)
+  }
+
+  test("probeSchema with fallback=None keeps strict probe-or-throw behavior") {
+    val dir = tmpDir("graft_events_strict")
+    intercept[org.apache.spark.sql.AnalysisException] {
+      Events.probeSchema(spark, dir, fallback = None)
+    }
+  }
+
+  test("probeSchema prefers the probed file type over the fallback once data exists") {
+    // the fallback declares TIMESTAMP_NTZ; a legacy long-nanos file must win
+    val dir = tmpDir("graft_events_probe_wins")
+    Seq((1L, 1700000000123456789L, 7L, "click", 1.5, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val schema = Events.probeSchema(spark, s"$dir/events.parquet")
+    assert(schema("ts").dataType == LongType)
+  }
+
+  test("eventStream can be defined against a not-yet-populated directory") {
+    // defining the stream must not throw; rows arriving later still flow
+    val dropDir = tmpDir("graft_events_cold_stream")
+    val events = graft.streaming.Streams.eventStream(spark, dropDir)
+    assert(events.isStreaming)
+    assert(events.schema("event_time").dataType == TimestampType)
+    // now land a drop matching the declared contract and run one batch
+    Seq((1L, java.time.LocalDateTime.parse("2024-03-01T10:15:30"), 7L, "click", 1.5, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("append").parquet(dropDir)
+    val sink = tmpDir("graft_events_cold_sink")
+    val q = events.writeStream
+      .format("memory").queryName("cold_start_events")
+      .option("checkpointLocation", s"$sink/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    val got = spark.table("cold_start_events")
+      .select(col("event_time").cast("string")).collect().map(_.getString(0))
+    assert(got.sameElements(Array("2024-03-01 10:15:30")))
+  }
+
   test("the real driver testdata decodes day-for-day with DuckDB's CAST(ts AS DATE)") {
     // the q8 contract at its smallest: event_time's DATE matches the raw
     // wall-clock date for every row (UTC session, SparkSpec config)
