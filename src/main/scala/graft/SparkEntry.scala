@@ -143,6 +143,26 @@ object SparkEntry {
     operators.HyperplaneIndex.load(s, path)
   }
 
+  /** One 64-bit/2-band hyperplane index per (JVM, sf dir) for q77's
+    * multi-probe contract — nBits == dim makes the plane matrix SQUARE, so
+    * [[graft.functions.AnnUtil.signatureJitter]] can place a batch
+    * vector's signature at any exact bit pattern; 2 bands of width 32 keep
+    * incidental bucket collisions out of the construction (2^32 buckets).
+    */
+  private val hpMpPaths = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def hyperplaneMultiProbeIndexFor(
+      s: SparkSession, dir: String): operators.HyperplaneIndex = {
+    val path = hpMpPaths.computeIfAbsent(dir, _ => {
+      val p = tempIndexDir("graft_hp_mp")
+      operators.HyperplaneIndex.build(
+        t(s, dir, "embeddings").filter(col("vec_id") < 100)
+          .select(col("vec_id"), col("embedding")),
+        "vec_id", "embedding", p, dim = 64, nBits = 64, nBands = 2)
+      p
+    })
+    operators.HyperplaneIndex.load(s, path)
+  }
+
   /** One persisted-SemDeDup build per (JVM, sf dir) for q72: corpus rows
     * vec_id < 400 assigned to the 8 explicit centroids (embeddings 0..7 —
     * a pure argmax the oracle replays) and cluster-partitioned once.
@@ -1317,6 +1337,90 @@ object SparkEntry {
           .select(col("corpus_id").as("id_a"), col("batch_id").as("id_b"))
         ml.Recall.pairRecall(found, truth)
           .select(lit(nb).cast("long").as("n_bands"),
+            col("n_truth"), col("n_found"), col("recall"))
+      }.reduce(_ unionAll _)
+    }),
+
+    // ONLINE ingest dedup for the EMBEDDING family end to end (q66's
+    // construction one modality over, on the MULTI-WORD 128/8 geometry —
+    // the wide-signature stored layout's only oracle row): corpus
+    // (vec_id < 400) signed + banded fresh per run (the operator APPENDS),
+    // batch vectors stream through foreachBatch ->
+    // HyperplaneIndex.ingestBatch with probeFlips = 1 (the multi-probe
+    // path, symmetric across the corpus match AND the within-batch sweep)
+    // -> survivors appended. Planted: scaled corpus copies (+10000, 2x)
+    // must drop via the INDEX match; scaled copies of kept batch rows
+    // (+20000, 3x) must drop via the within-batch keep-vs-accepted sweep.
+    // Scaled copies keep every sign bit at any geometry, so banding recall
+    // is total and the oracle can replay the ascending-id accepted walk on
+    // exact cosine (the q66 recursive-CTE construction).
+    "q76_hyperplane_ingest" -> ((s, dir) => {
+      val idxPath = tempIndexDir("graft_q76_idx")
+      val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val idx = operators.HyperplaneIndex.build(
+        emb.filter(col("vec_id") < 400), "vec_id", "embedding", idxPath,
+        dim = 64, nBits = 128, nBands = 8)
+      val src = streaming.Streams.embeddingStream(s, dir,
+          glob = Some("embeddings.parquet"))
+        .select(col("vec_id"), col("embedding"))
+      val batch = src.filter(col("vec_id") >= 400)
+        .unionAll(src.filter(col("vec_id") < 50).select(
+          (col("vec_id") + 10000).as("vec_id"),
+          transform(col("embedding"), x => x * lit(2.0f)).as("embedding")))
+        .unionAll(src.filter(col("vec_id") >= 400 && col("vec_id") < 450)
+          .select((col("vec_id") + 20000).as("vec_id"),
+            transform(col("embedding"), x => x * lit(3.0f)).as("embedding")))
+      val keptIds = new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Long]()
+      val q = streaming.Streams.ingestEmbeddingDedupStream(batch, idx,
+        threshold = 0.9, probeFlips = 1,
+        onBatch = (kept, _) => kept.select(col("vec_id")).collect()
+          .foreach(r => keptIds.add(r.getLong(0))))
+      try q.processAllAvailable() finally q.stop()
+      import scala.jdk.CollectionConverters._
+      import s.implicits._
+      val keptDf = keptIds.asScala.map(_.longValue).toSeq.toDF("vec_id")
+        .withColumn("kept", lit(true))
+      emb.filter(col("vec_id") >= 400).select(col("vec_id"))
+        .unionAll(emb.filter(col("vec_id") < 50)
+          .select((col("vec_id") + 10000).as("vec_id")))
+        .unionAll(emb.filter(col("vec_id") >= 400 && col("vec_id") < 450)
+          .select((col("vec_id") + 20000).as("vec_id")))
+        .join(keptDf, Seq("vec_id"), "left")
+        .select(col("vec_id"), coalesce(col("kept"), lit(false)).as("kept"))
+    }),
+
+    // Bit-flip MULTI-PROBE, provably: with nBits == dim the plane matrix
+    // is square, so signatureJitter constructs a batch twin of each corpus
+    // vector whose signature differs in EXACTLY bit 0 of EVERY band (all
+    // other dots pinned to their original sign at a safe margin). Then
+    // probeFlips = 0 finds NO truth pair (every band's base bucket
+    // differs — the provable miss) and probeFlips = 1 finds ALL of them
+    // (each band's single-flip probe is the source's bucket — the provable
+    // recovery). The verify threshold is vacuous (-2) because the leg
+    // isolates CANDIDATE recall, the thing probeFlips changes; pairRecall
+    // counts truth-pair hits only, so the contract is immune to incidental
+    // bucket collisions (none exist at 2^32 buckets/band anyway).
+    "q77_multiprobe_recall" -> ((s, dir) => {
+      import s.implicits._
+      val idx = hyperplaneMultiProbeIndexFor(s, dir)
+      // same geometry the memoized index was built under (seed default 42)
+      val planes = functions.AnnUtil.randomPlanesWide(64, 64, 42L)
+      val corpus = t(s, dir, "embeddings").filter(col("vec_id") < 100)
+        .select(col("vec_id"), col("embedding")).collect()
+      val jittered = corpus.toSeq.map { r =>
+        val v = r.getSeq[Float](1).toArray.map(_.toDouble)
+        // bit 0 of band 0 is global bit 0; bit 0 of band 1 is global bit 32
+        val j = functions.AnnUtil.signatureJitter(planes, v, Set(0, 32))
+        (r.getLong(0) + 10000L, j.toSeq.map(_.toFloat))
+      }.toDF("vec_id", "embedding")
+      val truth = t(s, dir, "embeddings").filter(col("vec_id") < 100)
+        .select(col("vec_id").as("id_a"), (col("vec_id") + 10000).as("id_b"))
+      Seq(0, 1).map { pf =>
+        val found = idx.dedupBatch(jittered, "vec_id", "embedding",
+          threshold = -2.0, probeFlips = pf)
+          .select(col("corpus_id").as("id_a"), col("batch_id").as("id_b"))
+        ml.Recall.pairRecall(found, truth)
+          .select(lit(pf).cast("long").as("probe_flips"),
             col("n_truth"), col("n_found"), col("recall"))
       }.reduce(_ unionAll _)
     })
@@ -2672,7 +2776,65 @@ object SparkEntry {
         |      WHERE vec_id < 500)
         |SELECT nb.n_bands, c.n AS n_truth, c.n AS n_found,
         |  CAST(1.0 AS DOUBLE) AS recall
-        |FROM nb CROSS JOIN c""".stripMargin
+        |FROM nb CROSS JOIN c""".stripMargin,
+
+    // The q66 sequential accepted-walk, embedding modality: matched = any
+    // batch vector with an exact-cosine >= 0.9 corpus twin; pairs = exact
+    // within-batch >= 0.9 pairs; the walk keeps ascending-id rows whose
+    // near-dups are all corpus-matched or themselves dropped. Scaled
+    // copies are cast through FLOAT first — the Spark side scales float32
+    // columns, and the oracle must round the same bits.
+    "q76_hyperplane_ingest" ->
+      """WITH RECURSIVE
+        |corpus AS MATERIALIZED (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |  WHERE vec_id < 400),
+        |batch AS MATERIALIZED (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |  WHERE vec_id >= 400
+        |  UNION ALL
+        |  SELECT vec_id + 10000,
+        |    CAST(list_transform(embedding, x -> x * CAST(2.0 AS FLOAT)) AS DOUBLE[])
+        |  FROM embeddings WHERE vec_id < 50
+        |  UNION ALL
+        |  SELECT vec_id + 20000,
+        |    CAST(list_transform(embedding, x -> x * CAST(3.0 AS FLOAT)) AS DOUBLE[])
+        |  FROM embeddings WHERE vec_id >= 400 AND vec_id < 450),
+        |matched AS MATERIALIZED (
+        |  SELECT DISTINCT b.vec_id FROM batch b, corpus c
+        |  WHERE list_cosine_similarity(b.v, c.v) >= 0.9),
+        |pairs AS MATERIALIZED (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b FROM batch a, batch b
+        |  WHERE a.vec_id < b.vec_id
+        |    AND list_cosine_similarity(a.v, b.v) >= 0.9),
+        |ordered AS MATERIALIZED (
+        |  SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) AS BIGINT) AS rn
+        |  FROM batch),
+        |walk AS (
+        |  SELECT CAST(0 AS BIGINT) AS rn, CAST([] AS BIGINT[]) AS kept
+        |  UNION ALL
+        |  SELECT o.rn,
+        |    CASE WHEN o.vec_id IN (SELECT vec_id FROM matched)
+        |           OR EXISTS (SELECT 1 FROM pairs p
+        |                      WHERE p.id_b = o.vec_id AND list_contains(w.kept, p.id_a))
+        |         THEN w.kept
+        |         ELSE list_append(w.kept, o.vec_id) END
+        |  FROM walk w JOIN ordered o ON o.rn = w.rn + 1),
+        |final AS (SELECT kept FROM walk ORDER BY rn DESC LIMIT 1)
+        |SELECT o.vec_id, list_contains(f.kept, o.vec_id) AS kept
+        |FROM ordered o CROSS JOIN final f""".stripMargin,
+
+    // Count-derived constants, the q75 argument extended to multi-probe:
+    // the jittered twins are CONSTRUCTED to differ in exactly bit 0 of
+    // every band, so flips=0 finds zero truth pairs and flips=1 finds all
+    // of them — a single stray/missing pair on either leg goes red.
+    "q77_multiprobe_recall" ->
+      """WITH n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings
+        |           WHERE vec_id < 100)
+        |SELECT CAST(0 AS BIGINT) AS probe_flips, n.n AS n_truth,
+        |  CAST(0 AS BIGINT) AS n_found, CAST(0.0 AS DOUBLE) AS recall FROM n
+        |UNION ALL
+        |SELECT CAST(1 AS BIGINT), n.n, n.n, CAST(1.0 AS DOUBLE) FROM n""".stripMargin
   )
 
   /** Shared BM25 corpus CTE for q39/q40 oracles — terms (vector, merge,

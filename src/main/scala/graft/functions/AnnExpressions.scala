@@ -108,6 +108,77 @@ object AnnUtil {
     val rnd = new java.util.Random(seed)
     Array.fill(nBits)(Array.fill(dim)(rnd.nextGaussian()))
   }
+
+  /** Solve the square system `a x = b` by Gauss-Jordan with partial
+    * pivoting (`a` is copied; 64x64 is the intended size — the hyperplane
+    * geometry's plane matrix). Throws on a singular matrix.
+    */
+  def solveLinear(a: Array[Array[Double]], b: Array[Double]): Array[Double] = {
+    val n = a.length
+    require(n >= 1 && a.forall(_.length == n) && b.length == n,
+      s"solveLinear needs a square n x n system, got ${a.length} rows")
+    val m = Array.tabulate(n)(i => a(i).clone())
+    val x = b.clone()
+    var col = 0
+    while (col < n) {
+      var piv = col
+      var r = col + 1
+      while (r < n) { if (math.abs(m(r)(col)) > math.abs(m(piv)(col))) piv = r; r += 1 }
+      require(math.abs(m(piv)(col)) > 0.0, s"singular plane matrix at column $col")
+      if (piv != col) {
+        val tr = m(piv); m(piv) = m(col); m(col) = tr
+        val tb = x(piv); x(piv) = x(col); x(col) = tb
+      }
+      val d = m(col)(col)
+      var j = col; while (j < n) { m(col)(j) /= d; j += 1 }
+      x(col) /= d
+      r = 0
+      while (r < n) {
+        if (r != col && m(r)(col) != 0.0) {
+          val f = m(r)(col)
+          j = col; while (j < n) { m(r)(j) -= f * m(col)(j); j += 1 }
+          x(r) -= f * x(col)
+        }
+        r += 1
+      }
+      col += 1
+    }
+    x
+  }
+
+  /** A vector whose hyperplane signature differs from `vec`'s in EXACTLY
+    * `flipBits` — the deterministic multi-probe test construction: with
+    * nBits == dim the plane matrix is square (generically invertible), so
+    * every dot product is controllable. Each target dot is set to the
+    * sign-flipped side and every other dot to its original side, all at
+    * magnitude >= `marginFrac * ||vec||` — the margin makes the signature
+    * robust to the solve's roundoff AND the float32 round-trip a stored
+    * embedding column imposes (both orders of magnitude below 1e-3).
+    * The returned vector is NOT close to `vec` in general; pair it with a
+    * vacuous verify threshold when testing candidate recall in isolation.
+    */
+  def signatureJitter(
+      planes: Array[Array[Double]],
+      vec: Array[Double],
+      flipBits: Set[Int],
+      marginFrac: Double = 1e-3): Array[Double] = {
+    val n = planes.length
+    require(vec.length == n, s"signatureJitter needs nBits == dim, got " +
+      s"nBits=$n dim=${vec.length}")
+    require(flipBits.forall(b => b >= 0 && b < n), s"flipBits out of [0,$n)")
+    val norm = math.sqrt(vec.map(x => x * x).sum)
+    val margin = marginFrac * math.max(norm, 1e-12)
+    val t = Array.tabulate(n) { k =>
+      var dot = 0.0; var i = 0
+      while (i < vec.length) { dot += planes(k)(i) * vec(i); i += 1 }
+      // the signature convention is (dot > 0); dot == 0 reads as bit 0, so
+      // the "keep the bit" side for a zero dot is the strictly-negative one
+      val bit = dot > 0
+      val want = if (flipBits.contains(k)) !bit else bit
+      (if (want) 1.0 else -1.0) * math.max(math.abs(dot), margin)
+    }
+    solveLinear(planes, t)
+  }
 }
 
 private[functions] trait VecArrayCheck extends Expression {

@@ -124,6 +124,21 @@ object Streams {
     glob.fold(reader)(g => reader.option("pathGlobFilter", g)).parquet(dir)
   }
 
+  /** embeddings-table schema as the driver's parquet writes it. */
+  val EmbeddingSchema: StructType = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("embedding", ArrayType(FloatType)),
+    StructField("label", IntegerType)))
+
+  /** File-source embedding stream over a directory of parquet drops — the
+    * vector-modality twin of [[documentStream]], feeding
+    * [[ingestEmbeddingDedupStream]] / [[ingestSemDedupStream]].
+    */
+  def embeddingStream(spark: SparkSession, dir: String, glob: Option[String] = None): DataFrame = {
+    val reader = spark.readStream.schema(EmbeddingSchema)
+    glob.fold(reader)(g => reader.option("pathGlobFilter", g)).parquet(dir)
+  }
+
   /** Streaming exact dedup: fingerprint the text and keep the first arrival
     * per fingerprint. With an event-time column the state is bounded by the
     * watermark (`dropDuplicatesWithinWatermark`) — the at-scale
@@ -389,7 +404,8 @@ object Streams {
       threshold: Double = 0.9,
       checkpoint: Option[String] = None,
       onBatch: (DataFrame, Long) => Unit = (_, _) => (),
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+      trigger: Trigger = Trigger.AvailableNow(),
+      probeFlips: Int = 0): StreamingQuery = {
     val cp = checkpoint.getOrElse(
       java.nio.file.Files.createTempDirectory("graft_ingest_emb_cp").toString)
     vecs.writeStream
@@ -398,7 +414,7 @@ object Streams {
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         index.ingestBatch(batch, idCol, vecCol, threshold,
-          onKept = kept => onBatch(kept, batchId))
+          onKept = kept => onBatch(kept, batchId), probeFlips = probeFlips)
         ()
       }
       .start()

@@ -202,6 +202,34 @@ class HyperplaneIndexSpec extends AnyFunSuite with SparkSpec {
       s"multi-probe ${multi.size}/${truth.size}")
   }
 
+  test("ingestBatch: probeFlips reaches the within-batch sweep symmetrically") {
+    // the exact-jitter construction (AnnUtilSpec): nBits == dim makes the
+    // plane matrix square, so the twin's signature differs from its
+    // source's in EXACTLY bit 0 of both bands — invisible to the base
+    // within-batch scan, visible to every band's single-flip probe. The
+    // vacuous threshold isolates candidate visibility (the thing
+    // probeFlips changes); corpus-vs-batch collisions are absent at 2^32
+    // buckets/band, so the verdicts are deterministic.
+    val planes = graft.functions.AnnUtil.randomPlanesWide(64, 64, 42L)
+    val corpus = emb.filter($"vec_id" < 100)
+    val v450 = emb.filter($"vec_id" === 450).select($"embedding")
+      .head().getSeq[Float](0).toArray.map(_.toDouble)
+    val twin = graft.functions.AnnUtil.signatureJitter(planes, v450, Set(0, 32))
+    val batch = Seq(
+      (1000L, v450.map(_.toFloat).toSeq),
+      (1001L, twin.map(_.toFloat).toSeq)).toDF("vec_id", "embedding")
+    def ingestKept(name: String, flips: Int): Set[Long] =
+      HyperplaneIndex.build(corpus, "vec_id", "embedding", tmp(name),
+          dim = 64, nBits = 64, nBands = 2)
+        .ingestBatch(batch, "vec_id", "embedding", threshold = -2.0,
+          probeFlips = flips)
+        .select($"vec_id").as[Long].collect().toSet
+    assert(ingestKept("graft_hp_ing_mp0", 0) == Set(1000L, 1001L),
+      "flips=0: the twin pair is invisible, both kept")
+    assert(ingestKept("graft_hp_ing_mp1", 1) == Set(1000L),
+      "flips=1: the within-batch sweep sees the pair, the higher id drops")
+  }
+
   test("band width must divide the signature word for multi-word geometries") {
     intercept[IllegalArgumentException] {
       HyperplaneIndex(spark, "/tmp/x", dim = 64, nBits = 96, nBands = 4,
