@@ -30,7 +30,10 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
   */
 object IndexSweepProbe {
   def main(args: Array[String]): Unit = {
-    val scales = if (args.nonEmpty) args.toSeq.map(_.toInt)
+    val cold = args.headOption.contains("cold")
+    val rest = if (cold) args.drop(1) else args
+    val scales = if (rest.nonEmpty) rest.toSeq.map(_.toInt)
+                 else if (cold) Seq(2000000)
                  else Seq(25000, 100000, 400000)
     val batchN = 10000
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -41,8 +44,11 @@ object IndexSweepProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.functions.windows.muteNoPartitionWarning()
-    scales.foreach(runScale(spark, _, batchN))
-    scales.foreach(runEmbedScale(spark, _, batchN))
+    if (cold) scales.foreach(runCold(spark, _, batchN))
+    else {
+      scales.foreach(runScale(spark, _, batchN))
+      scales.foreach(runEmbedScale(spark, _, batchN))
+    }
     spark.stop()
   }
 
@@ -174,6 +180,111 @@ object IndexSweepProbe {
     }
 
     println(f"""{"probe":"index_sweep","corpus":$n,"batch":$batchN,"minhash":{"build_sec":$mhB%.1f,"indexed_sec":$mhI%.1f,"recompute_sec":$mhR%.1f},"simhash":{"build_sec":$shB%.1f,"indexed_sec":$shI%.1f,"recompute_sec":$shR%.1f},"segment":{"build_sec":$sgB%.1f,"indexed_sec":$sgI%.1f,"recompute_sec":$sgR%.1f}}""")
+  }
+
+  /** Drop the OS page cache (root-only; returns false where not permitted
+    * so the cold leg can report itself honestly instead of silently
+    * measuring a warm read).
+    */
+  private def dropCaches(): Boolean =
+    try {
+      new ProcessBuilder("sync").start().waitFor()
+      new ProcessBuilder("sh", "-c", "echo 3 > /proc/sys/vm/drop_caches")
+        .start().waitFor() == 0
+    } catch { case _: Exception => false }
+
+  private def duBytes(path: String): Long = {
+    def walk(f: java.io.File): Long =
+      if (f.isDirectory) Option(f.listFiles()).map(_.map(walk).sum).getOrElse(0L)
+      else f.length()
+    walk(new java.io.File(path))
+  }
+
+  /** Run `f`, returning (result, seconds, task-level parquet bytesRead).
+    * bytesRead comes from a SparkListener; the bus is async, so a short
+    * drain pause follows `f` — fine for a probe whose sections are
+    * seconds long.
+    */
+  private def measured[T](spark: SparkSession)(f: => T): (T, Double, Long) = {
+    val bytes = new java.util.concurrent.atomic.AtomicLong(0L)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        if (te.taskMetrics != null)
+          bytes.addAndGet(te.taskMetrics.inputMetrics.bytesRead)
+        ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val t0 = System.nanoTime()
+      val r = f
+      val sec = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(2000) // listener-bus drain
+      (r, sec, bytes.get())
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  /** BEYOND-PAGE-CACHE leg (`cold` mode): the warm sweep's minhash
+    * contrast with the OS page cache DROPPED before each timed match, plus
+    * per-path task-level bytesRead — the stored-layout-vs-recompute I/O
+    * claim as a measurement instead of a design argument. The warm sweep
+    * (README "Scale design") times CPU work on page-cached parquet; at
+    * 100 TB nothing is page-cached, and what separates the paths is what
+    * they must READ: the indexed match scans the slim banding layout
+    * (three longs per band-row) + candidate-bounded hash gathers, while
+    * the recompute path must re-read and re-fingerprint the full corpus
+    * text. Usage: `runMain graft.tools.IndexSweepProbe cold [n ...]`
+    * (default 2,000,000 docs ~ 2 GB of corpus parquet).
+    */
+  private def runCold(spark: SparkSession, n: Int, batchN: Int): Unit = {
+    val corpusPath = java.nio.file.Files
+      .createTempDirectory(s"graft_cold_corpus_$n").toString
+    spark.range(n.toLong).select(col("id"), textFor(col("id")).as("text"))
+      .write.mode("overwrite").parquet(corpusPath)
+    val freshN = batchN / 2
+    val corpDupN = batchN * 3 / 10
+    val batch = spark.range(batchN.toLong).select(col("id"),
+        when(col("id") < freshN, textFor(col("id") + n))
+          .when(col("id") < freshN + corpDupN,
+            concat(textFor(col("id") - freshN), lit(" extra")))
+          .otherwise(concat(textFor(pmod(col("id"), lit(freshN)) + n), lit(" copy")))
+          .as("text"))
+      .select((col("id") + n).as("id"), col("text"))
+      .localCheckpoint(true)
+    val idxPath = java.nio.file.Files
+      .createTempDirectory(s"graft_cold_idx_$n").toString
+    val (idx, tBuild) = time(FingerprintIndex.build(
+      spark.read.parquet(corpusPath), "id", "text", idxPath))
+    val corpusBytes = duBytes(corpusPath)
+    val idxBytes = duBytes(idxPath)
+    println(f"[probe] === COLD minhash: corpus $n docs " +
+      f"(${corpusBytes / 1e6}%.0f MB parquet), index layouts " +
+      f"${idxBytes / 1e6}%.0f MB, build $tBuild%.1f s ===")
+
+    def indexed(): Long = idx
+      .dedupBatch(batch, "id", "text", threshold = 0.8)
+      .select(col("batch_id")).distinct().count()
+    def recompute(): Long = Dedup.nearDupAgainstMinHash(
+        spark.read.parquet(corpusPath), batch, "id", "text", threshold = 0.8)
+      .select(col("batch_id")).distinct().count()
+
+    def leg(name: String)(f: () => Long): (Double, Long, Double, Long, Long) = {
+      val dropped = dropCaches()
+      if (!dropped) println(s"[probe] WARNING: cache drop not permitted — " +
+        s"'$name cold' is actually warm")
+      val (nCold, tCold, bCold) = measured(spark)(f())
+      val (nWarm, tWarm, bWarm) = measured(spark)(f())
+      assert(nCold == nWarm)
+      println(f"[probe] $name%-9s cold $tCold%6.1f s (${bCold / 1e6}%8.0f MB read) " +
+        f"| warm $tWarm%6.1f s (${bWarm / 1e6}%8.0f MB read) [$nCold matched]")
+      (tCold, bCold, tWarm, bWarm, nCold)
+    }
+    val (iCold, iBytesR, iWarm, iBytesW, nIdx) = leg("indexed")(() => indexed())
+    val (rCold, rBytesR, rWarm, rBytesW, nRe) = leg("recompute")(() => recompute())
+    assert(nIdx == nRe,
+      s"cold contrast invalid: indexed matched $nIdx, recompute $nRe")
+    println(f"""{"probe":"index_sweep_cold","corpus":$n,"batch":$batchN,"corpus_mb":${corpusBytes / 1e6}%.0f,"index_mb":${idxBytes / 1e6}%.0f,"build_sec":$tBuild%.1f,"indexed":{"cold_sec":$iCold%.1f,"cold_read_mb":${iBytesR / 1e6}%.0f,"warm_sec":$iWarm%.1f,"warm_read_mb":${iBytesW / 1e6}%.0f},"recompute":{"cold_sec":$rCold%.1f,"cold_read_mb":${rBytesR / 1e6}%.0f,"warm_sec":$rWarm%.1f,"warm_read_mb":${rBytesW / 1e6}%.0f}}""")
   }
 
   /** Deterministic pseudo-random embedding (`dim` floats in [-1, 1]) keyed
