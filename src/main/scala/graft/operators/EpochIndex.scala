@@ -181,6 +181,55 @@ private[graft] object EpochIndex {
         Seq("band", "bucket"), "left_semi")
     else stored
 
+  /** Default gate for [[gatherPruned]]: below this corpus size the full
+    * layout scans in a second or two anyway and the extra candidate
+    * materialization job is pure overhead — the oracle/bench corpora
+    * (hundreds of rows) keep their exact current plans.
+    */
+  val GatherPruneMinCorpus: Long = 200000L
+
+  /** Default id cap for [[gatherPruned]]: 100k longs is a sub-MB driver
+    * set; a candidate set past it means the batch resembles the corpus and
+    * the full-layout join was the right plan anyway.
+    */
+  val MaxGatherIds: Int = 100000
+
+  /** Prune the stored VERIFY layout scan to candidate ids (the cold-sweep
+    * finding: the banding join's candidate set is batch-bounded, but the
+    * verify gather joined it against the FULL stored payload layout —
+    * shingle-hash arrays, vector copies — so the indexed path's read
+    * volume was layout-bound, the one term that grows with the corpus
+    * instead of the batch). Candidate ids come to the driver under
+    * `maxIds` (sub-MB — and callers already collect candidate-bounded
+    * sets in the ingest sweep) and go back as an `id IN (...)` scan
+    * filter: the join's probe input collapses from corpus-rows to
+    * candidate-rows, and the predicate reaches the parquet reader where
+    * row-group stats can skip (epoch-local candidate clusters — the
+    * common online-ingest shape — skip whole epochs; uniformly spread
+    * candidates still collapse the join input even when file bytes
+    * cannot prune; a dir-bucketed layout is the identified extension if
+    * byte-level pruning at uniform spread ever dominates).
+    *
+    * Above `maxIds`, or under `minCorpus` rows, the caller's original
+    * full-layout plan is returned unchanged. `candidates` should be
+    * pinned (checkpointed) by the caller — this helper runs one collect
+    * job over it.
+    */
+  def gatherPruned(
+      stored: DataFrame,
+      candidates: DataFrame,
+      candIdCol: String,
+      corpusRows: Long,
+      minCorpus: Long = GatherPruneMinCorpus,
+      maxIds: Int = MaxGatherIds): DataFrame = {
+    if (corpusRows < minCorpus) return stored
+    val rows = candidates.select(col(candIdCol).cast("long").as("id"))
+      .distinct().limit(maxIds + 1).collect()
+    if (rows.length > maxIds) stored
+    else if (rows.isEmpty) stored.filter(lit(false))
+    else stored.filter(col("id").isInCollection(rows.map(_.getLong(0)).toSeq))
+  }
+
   /** The accepted-sweep half of the online ingest contract shared by all
     * four near-dup ingest families: batch ids matching the INDEXED corpus
     * and within-batch near-dup PAIRS come to the driver (output-bound by

@@ -90,10 +90,11 @@ case class FingerprintIndex(
       idCol: String,
       textCol: String,
       threshold: Double,
-      maxBucketSize: Int = 1000): DataFrame =
+      maxBucketSize: Int = 1000,
+      gatherPruneMinCorpus: Long = EpochIndex.GatherPruneMinCorpus): DataFrame =
     dedupBatchFp(FingerprintIndex.fingerprints(
       batch, idCol, textCol, shingleLen, numHashes, seed).localCheckpoint(true),
-      threshold, maxBucketSize)
+      threshold, maxBucketSize, gatherPruneMinCorpus)
 
   /** [[dedupBatch]] over an already-fingerprinted (pinned) batch frame —
     * the seam that lets [[ingestBatch]] fingerprint the batch exactly once
@@ -102,7 +103,9 @@ case class FingerprintIndex(
   private def dedupBatchFp(
       batchFp: DataFrame,
       threshold: Double,
-      maxBucketSize: Int): DataFrame = {
+      maxBucketSize: Int,
+      gatherPruneMinCorpus: Long = EpochIndex.GatherPruneMinCorpus): DataFrame = {
+    val corpusRows = log.sizeStats()._2
     val batchBands = FingerprintIndex.banded(batchFp, bands, numHashes / bands)
     // when the batch is smaller than the index (the normal ingest shape),
     // prune the stored bands to buckets the batch PROBES before anything
@@ -111,19 +114,27 @@ case class FingerprintIndex(
     // The size test is cheap: batchFp is checkpointed, and the corpus size
     // is commit-log arithmetic (no data files touched).
     val preCap = EpochIndex.probePruned(storedBands(), batchBands,
-      prune = batchFp.count() < log.sizeStats()._2)
+      prune = batchFp.count() < corpusRows)
     // cap only the corpus side — a degenerate bucket is a corpus property,
     // and the batch side must never lose a doc's chance to match
     val corpusBands = Dedup.capBuckets(preCap, maxBucketSize)
-    val candidates = batchBands
+    val candidates0 = batchBands
       .as("b").join(corpusBands.as("c"),
         col("b.band") === col("c.band") && col("b.bucket") === col("c.bucket"))
       .select(col("b.id").as("batch_id"), col("c.id").as("corpus_id"))
       .dropDuplicates("batch_id", "corpus_id")
+    // pin the candidate set when the gather prune will collect from it
+    // (the shingle-hash layout is the index's FAT side — ~1.6 KB/doc vs
+    // 12-byte band rows — so the verify join must not scan it corpus-wide)
+    val candidates =
+      if (corpusRows >= gatherPruneMinCorpus) candidates0.localCheckpoint(true)
+      else candidates0
+    val docsSrc = EpochIndex.gatherPruned(storedDocs(), candidates,
+      "corpus_id", corpusRows, gatherPruneMinCorpus)
     candidates
       .join(batchFp.select(col("id").as("batch_id"),
         col("shingle_hashes").as("sh_b")), Seq("batch_id"))
-      .join(storedDocs().select(col("id").as("corpus_id"),
+      .join(docsSrc.select(col("id").as("corpus_id"),
         col("shingle_hashes").as("sh_c")), Seq("corpus_id"))
       .select(col("batch_id"), col("corpus_id"),
         Dedup.jaccard(col("sh_b"), col("sh_c")).as("jaccard"))

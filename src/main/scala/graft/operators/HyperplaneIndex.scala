@@ -164,9 +164,10 @@ case class HyperplaneIndex(
       vecCol: String,
       threshold: Double,
       maxBucketSize: Int = 1000,
-      probeFlips: Int = 0): DataFrame =
+      probeFlips: Int = 0,
+      gatherPruneMinCorpus: Long = EpochIndex.GatherPruneMinCorpus): DataFrame =
     dedupBatchSigned(signBatch(batch, idCol, vecCol), threshold, maxBucketSize,
-      probeFlips)
+      probeFlips, gatherPruneMinCorpus)
 
   /** Pin one (id, vec, sig) frame per batch — feeds the corpus match AND
     * (in [[ingestBatch]]) the within-batch pair scan.
@@ -179,22 +180,32 @@ case class HyperplaneIndex(
 
   private def dedupBatchSigned(
       signed: DataFrame, threshold: Double, maxBucketSize: Int,
-      probeFlips: Int = 0): DataFrame = {
+      probeFlips: Int = 0,
+      gatherPruneMinCorpus: Long = EpochIndex.GatherPruneMinCorpus): DataFrame = {
+    val corpusRows = log.sizeStats()._2
     val batchBands =
       banded(signed.select((col("id") +: sigNames.map(col)): _*), probeFlips)
     val preCap = EpochIndex.probePruned(storedBands(), batchBands,
-      prune = signed.count() < log.sizeStats()._2)
+      prune = signed.count() < corpusRows)
     // cap only the corpus side — a degenerate bucket is a corpus property,
     // and the batch side must never lose a vector's chance to match
     val corpusBands = Dedup.capBuckets(preCap, maxBucketSize)
-    val candidates = batchBands.as("b").join(corpusBands.as("c"),
+    val candidates0 = batchBands.as("b").join(corpusBands.as("c"),
         col("b.band") === col("c.band") && col("b.bucket") === col("c.bucket"))
       .select(col("b.id").as("batch_id"), col("c.id").as("corpus_id"))
       .dropDuplicates("batch_id", "corpus_id")
+    // pin the candidate set when the gather prune will collect from it —
+    // otherwise the banding join would run once for the collect and again
+    // for the verify
+    val candidates =
+      if (corpusRows >= gatherPruneMinCorpus) candidates0.localCheckpoint(true)
+      else candidates0
+    val vecsSrc = EpochIndex.gatherPruned(storedVecs(), candidates,
+      "corpus_id", corpusRows, gatherPruneMinCorpus)
     candidates
       .join(signed.select(col("id").as("batch_id"), col("vec").as("v_b")),
         Seq("batch_id"))
-      .join(storedVecs().select(col("id").as("corpus_id"), col("vec").as("v_c")),
+      .join(vecsSrc.select(col("id").as("corpus_id"), col("vec").as("v_c")),
         Seq("corpus_id"))
       .select(col("batch_id"), col("corpus_id"),
         vector.cosine_sim(col("v_b"), col("v_c")).as("cosine"))

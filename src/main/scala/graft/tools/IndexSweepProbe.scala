@@ -44,7 +44,10 @@ object IndexSweepProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.functions.windows.muteNoPartitionWarning()
-    if (cold) scales.foreach(runCold(spark, _, batchN))
+    if (cold) scales.foreach { n =>
+      runCold(spark, n, batchN)
+      runColdEmbed(spark, n * 5, batchN)
+    }
     else {
       scales.foreach(runScale(spark, _, batchN))
       scales.foreach(runEmbedScale(spark, _, batchN))
@@ -182,6 +185,51 @@ object IndexSweepProbe {
     println(f"""{"probe":"index_sweep","corpus":$n,"batch":$batchN,"minhash":{"build_sec":$mhB%.1f,"indexed_sec":$mhI%.1f,"recompute_sec":$mhR%.1f},"simhash":{"build_sec":$shB%.1f,"indexed_sec":$shI%.1f,"recompute_sec":$shR%.1f},"segment":{"build_sec":$sgB%.1f,"indexed_sec":$sgI%.1f,"recompute_sec":$sgR%.1f}}""")
   }
 
+  /** No-index twin of the 128/8 `HyperplaneIndex.dedupBatch`: re-read +
+    * re-sign the corpus under the index's exact geometry (same planes —
+    * 128 bits, 8 bands, seed 42), band both sides, cap 1000, verify exact
+    * cosine. In-memory only; no throwaway index write is charged to it.
+    * Shared by the warm sweep and the cold leg so both time identical work.
+    */
+  private def hyper128Recompute(
+      corpus: DataFrame, batch: DataFrame, dim: Int, threshold: Double): Long = {
+    import org.apache.spark.sql.graftx.Bridge
+    val planes = graft.functions.AnnUtil.randomPlanesWide(128, dim, 42L)
+    def signed(df: DataFrame) = df.select(col("id"), col("vec"),
+      Bridge.column(graft.functions.HyperplaneSignature(
+        Bridge.expression(col("vec")), planes.slice(0, 64))).as("sig0"),
+      Bridge.column(graft.functions.HyperplaneSignature(
+        Bridge.expression(col("vec")), planes.slice(64, 128))).as("sig1"))
+    def banded(df: DataFrame) = {
+      val width = 16; val mask = (1L << width) - 1
+      val chunks = array((0 until 8).map { j =>
+        val w = (j * width) / 64; val off = (j * width) % 64
+        struct(lit(j).as("band"),
+          shiftright(col(s"sig$w"), off).bitwiseAND(lit(mask)).as("bucket"))
+      }: _*)
+      df.select(col("id"), explode(chunks).as("bb"))
+        .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    }
+    val bSigned = signed(batch).localCheckpoint(true)
+    val cSigned = signed(corpus)
+    val wBucket = Window.partitionBy(col("band"), col("bucket"))
+      .orderBy(col("id"))
+    val cBanded = banded(cSigned)
+      .withColumn("_rn", row_number().over(wBucket))
+      .filter(col("_rn") <= 1000).drop("_rn")
+    banded(bSigned).as("b")
+      .join(cBanded.as("c"), Seq("band", "bucket"))
+      .select(col("b.id").as("batch_id"), col("c.id").as("corpus_id"))
+      .dropDuplicates("batch_id", "corpus_id")
+      .join(bSigned.select(col("id").as("batch_id"), col("vec").as("v_b")),
+        Seq("batch_id"))
+      .join(cSigned.select(col("id").as("corpus_id"), col("vec").as("v_c")),
+        Seq("corpus_id"))
+      .filter(graft.functions.vector.cosine_sim(col("v_b"), col("v_c"))
+        >= threshold)
+      .select(col("batch_id")).distinct().count()
+  }
+
   /** Drop the OS page cache (root-only; returns false where not permitted
     * so the cold leg can report itself honestly instead of silently
     * measuring a warm read).
@@ -200,29 +248,38 @@ object IndexSweepProbe {
     walk(new java.io.File(path))
   }
 
-  /** Run `f`, returning (result, seconds, task-level parquet bytesRead).
-    * bytesRead comes from a SparkListener; the bus is async, so a short
-    * drain pause follows `f` — fine for a probe whose sections are
-    * seconds long.
+  /** (rchar, read_bytes) from /proc/self/io — whole-JVM I/O counters.
+    * `rchar` is every byte the process ASKED the filesystem for (cache-
+    * served or not): the read-volume number that scales with data size.
+    * `read_bytes` is what actually hit storage: ~0 warm, the true disk
+    * cost after a cache drop. Spark's own `inputMetrics.bytesRead` is NOT
+    * usable here — on local file:// the vectorized parquet reader's data-
+    * page reads bypass the Hadoop FileSystem statistics it samples (a
+    * 131 MB full scan reports 0.04 MB; verified empirically), and block-
+    * manager traffic (localCheckpoint re-reads) DOES count, so it
+    * measures the wrong thing in both directions.
     */
-  private def measured[T](spark: SparkSession)(f: => T): (T, Double, Long) = {
-    val bytes = new java.util.concurrent.atomic.AtomicLong(0L)
-    val listener = new org.apache.spark.scheduler.SparkListener {
-      override def onTaskEnd(
-          te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
-        if (te.taskMetrics != null)
-          bytes.addAndGet(te.taskMetrics.inputMetrics.bytesRead)
-        ()
-      }
-    }
-    spark.sparkContext.addSparkListener(listener)
+  private def procIo(): (Long, Long) = {
+    val src = scala.io.Source.fromFile("/proc/self/io")
     try {
-      val t0 = System.nanoTime()
-      val r = f
-      val sec = (System.nanoTime() - t0) / 1e9
-      Thread.sleep(2000) // listener-bus drain
-      (r, sec, bytes.get())
-    } finally spark.sparkContext.removeSparkListener(listener)
+      val m = src.getLines().map(_.split(":\\s*"))
+        .map(a => a(0) -> a(1).trim.toLong).toMap
+      (m("rchar"), m("read_bytes"))
+    } finally src.close()
+  }
+
+  /** Run `f`, returning (result, seconds, bytes requested, bytes from
+    * disk) — I/O via [[procIo]] deltas. Whole-JVM counters, so shuffle
+    * spill reads and jar loads are included; at the GB scales the cold
+    * legs run, parquet dominates.
+    */
+  private def measured[T](f: => T): (T, Double, Long, Long) = {
+    val (rc0, rb0) = procIo()
+    val t0 = System.nanoTime()
+    val r = f
+    val sec = (System.nanoTime() - t0) / 1e9
+    val (rc1, rb1) = procIo()
+    (r, sec, rc1 - rc0, rb1 - rb0)
   }
 
   /** BEYOND-PAGE-CACHE leg (`cold` mode): the warm sweep's minhash
@@ -269,22 +326,80 @@ object IndexSweepProbe {
         spark.read.parquet(corpusPath), batch, "id", "text", threshold = 0.8)
       .select(col("batch_id")).distinct().count()
 
-    def leg(name: String)(f: () => Long): (Double, Long, Double, Long, Long) = {
-      val dropped = dropCaches()
-      if (!dropped) println(s"[probe] WARNING: cache drop not permitted — " +
-        s"'$name cold' is actually warm")
-      val (nCold, tCold, bCold) = measured(spark)(f())
-      val (nWarm, tWarm, bWarm) = measured(spark)(f())
-      assert(nCold == nWarm)
-      println(f"[probe] $name%-9s cold $tCold%6.1f s (${bCold / 1e6}%8.0f MB read) " +
-        f"| warm $tWarm%6.1f s (${bWarm / 1e6}%8.0f MB read) [$nCold matched]")
-      (tCold, bCold, tWarm, bWarm, nCold)
-    }
-    val (iCold, iBytesR, iWarm, iBytesW, nIdx) = leg("indexed")(() => indexed())
-    val (rCold, rBytesR, rWarm, rBytesW, nRe) = leg("recompute")(() => recompute())
+    val (iCold, iReq, iDisk, iWarm, nIdx) = coldLeg("indexed")(() => indexed())
+    val (rCold, rReq, rDisk, rWarm, nRe) = coldLeg("recompute")(() => recompute())
     assert(nIdx == nRe,
       s"cold contrast invalid: indexed matched $nIdx, recompute $nRe")
-    println(f"""{"probe":"index_sweep_cold","corpus":$n,"batch":$batchN,"corpus_mb":${corpusBytes / 1e6}%.0f,"index_mb":${idxBytes / 1e6}%.0f,"build_sec":$tBuild%.1f,"indexed":{"cold_sec":$iCold%.1f,"cold_read_mb":${iBytesR / 1e6}%.0f,"warm_sec":$iWarm%.1f,"warm_read_mb":${iBytesW / 1e6}%.0f},"recompute":{"cold_sec":$rCold%.1f,"cold_read_mb":${rBytesR / 1e6}%.0f,"warm_sec":$rWarm%.1f,"warm_read_mb":${rBytesW / 1e6}%.0f}}""")
+    println(f"""{"probe":"index_sweep_cold","corpus":$n,"batch":$batchN,"corpus_mb":${corpusBytes / 1e6}%.0f,"index_mb":${idxBytes / 1e6}%.0f,"build_sec":$tBuild%.1f,"indexed":{"cold_sec":$iCold%.1f,"requested_mb":${iReq / 1e6}%.0f,"disk_mb":${iDisk / 1e6}%.0f,"warm_sec":$iWarm%.1f},"recompute":{"cold_sec":$rCold%.1f,"requested_mb":${rReq / 1e6}%.0f,"disk_mb":${rDisk / 1e6}%.0f,"warm_sec":$rWarm%.1f}}""")
+  }
+
+  /** Cache-drop + cold/warm run of one leg; returns (coldSec,
+    * requestedBytes, diskBytes, warmSec, matched). The cold run follows a
+    * [[dropCaches]]; the warm repeat shows what the cache was worth.
+    */
+  private def coldLeg(name: String)(f: () => Long): (Double, Long, Long, Double, Long) = {
+    val dropped = dropCaches()
+    if (!dropped) println(s"[probe] WARNING: cache drop not permitted — " +
+      s"'$name cold' is actually warm")
+    val (nCold, tCold, reqCold, diskCold) = measured(f())
+    val (nWarm, tWarm, _, _) = measured(f())
+    assert(nCold == nWarm)
+    println(f"[probe] $name%-9s cold $tCold%6.1f s (${reqCold / 1e6}%7.0f MB " +
+      f"requested, ${diskCold / 1e6}%7.0f MB from disk) | warm $tWarm%6.1f s " +
+      f"[$nCold matched]")
+    (tCold, reqCold, diskCold, tWarm, nCold)
+  }
+
+  /** The cold leg for the EMBEDDING side ([[runCold]]'s shape on the
+    * 128/8 hyperplane family — the geometry the warm sweep recommends at
+    * corpus scale): same cache-drop + bytesRead instrumentation, vector
+    * corpus 5x the text leg's row count (rows are ~260 B vs ~1 KB). The
+    * warm sweep's honest finding was "no local crossover — signing a
+    * page-cached corpus is compute-trivial"; this leg measures what page
+    * cache was hiding: the recompute path must RE-READ the full vector
+    * parquet every batch, the indexed path reads probed band slices +
+    * candidate-bounded vec gathers.
+    */
+  private def runColdEmbed(spark: SparkSession, n: Int, batchN: Int): Unit = {
+    val dim = 64
+    val threshold = 0.99
+    val corpusPath = java.nio.file.Files
+      .createTempDirectory(s"graft_cold_emb_$n").toString
+    spark.range(n.toLong).select(col("id"), vecFor(col("id"), dim).as("vec"))
+      .write.mode("overwrite").parquet(corpusPath)
+    val freshN = batchN / 2
+    val corpDupN = batchN * 3 / 10
+    val batch = spark.range(batchN.toLong).select(col("id"),
+        when(col("id") < freshN, vecFor(col("id") + n, dim))
+          .when(col("id") < freshN + corpDupN,
+            transform(vecFor(col("id") - freshN, dim), x => x * lit(2.0f)))
+          .otherwise(transform(vecFor(pmod(col("id"), lit(freshN)) + n, dim),
+            x => x * lit(2.0f)))
+          .as("vec"))
+      .select((col("id") + n).as("id"), col("vec"))
+      .localCheckpoint(true)
+    val idxPath = java.nio.file.Files
+      .createTempDirectory(s"graft_cold_embidx_$n").toString
+    val (idx, tBuild) = time(HyperplaneIndex.build(
+      spark.read.parquet(corpusPath), "id", "vec", idxPath,
+      dim = dim, nBits = 128))
+    val corpusBytes = duBytes(corpusPath)
+    val idxBytes = duBytes(idxPath)
+    println(f"[probe] === COLD hyper128: corpus $n vecs " +
+      f"(${corpusBytes / 1e6}%.0f MB parquet), index layouts " +
+      f"${idxBytes / 1e6}%.0f MB, build $tBuild%.1f s ===")
+
+    def indexed(): Long = idx
+      .dedupBatch(batch, "id", "vec", threshold)
+      .select(col("batch_id")).distinct().count()
+    def recompute(): Long = hyper128Recompute(
+      spark.read.parquet(corpusPath), batch, dim, threshold)
+
+    val (iCold, iReq, iDisk, iWarm, nIdx) = coldLeg("indexed")(() => indexed())
+    val (rCold, rReq, rDisk, rWarm, nRe) = coldLeg("recompute")(() => recompute())
+    assert(nIdx == nRe,
+      s"cold embed contrast invalid: indexed matched $nIdx, recompute $nRe")
+    println(f"""{"probe":"index_sweep_cold_embed","corpus":$n,"batch":$batchN,"corpus_mb":${corpusBytes / 1e6}%.0f,"index_mb":${idxBytes / 1e6}%.0f,"build_sec":$tBuild%.1f,"indexed":{"cold_sec":$iCold%.1f,"requested_mb":${iReq / 1e6}%.0f,"disk_mb":${iDisk / 1e6}%.0f,"warm_sec":$iWarm%.1f},"recompute":{"cold_sec":$rCold%.1f,"requested_mb":${rReq / 1e6}%.0f,"disk_mb":${rDisk / 1e6}%.0f,"warm_sec":$rWarm%.1f}}""")
   }
 
   /** Deterministic pseudo-random embedding (`dim` floats in [-1, 1]) keyed
@@ -399,43 +514,7 @@ object IndexSweepProbe {
       idx.asInstanceOf[HyperplaneIndex]
         .dedupBatch(batch, "id", "vec", threshold)
         .select(col("batch_id")).distinct().count()
-    } { () =>
-      import org.apache.spark.sql.graftx.Bridge
-      val planes = graft.functions.AnnUtil.randomPlanesWide(128, dim, 42L)
-      def signed(df: DataFrame) = df.select(col("id"), col("vec"),
-        Bridge.column(graft.functions.HyperplaneSignature(
-          Bridge.expression(col("vec")), planes.slice(0, 64))).as("sig0"),
-        Bridge.column(graft.functions.HyperplaneSignature(
-          Bridge.expression(col("vec")), planes.slice(64, 128))).as("sig1"))
-      def banded(df: DataFrame) = {
-        val width = 16; val mask = (1L << width) - 1
-        val chunks = array((0 until 8).map { j =>
-          val w = (j * width) / 64; val off = (j * width) % 64
-          struct(lit(j).as("band"),
-            shiftright(col(s"sig$w"), off).bitwiseAND(lit(mask)).as("bucket"))
-        }: _*)
-        df.select(col("id"), explode(chunks).as("bb"))
-          .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-      }
-      val bSigned = signed(batch).localCheckpoint(true)
-      val cSigned = signed(corpus)
-      val wBucket = Window.partitionBy(col("band"), col("bucket"))
-        .orderBy(col("id"))
-      val cBanded = banded(cSigned)
-        .withColumn("_rn", row_number().over(wBucket))
-        .filter(col("_rn") <= 1000).drop("_rn")
-      banded(bSigned).as("b")
-        .join(cBanded.as("c"), Seq("band", "bucket"))
-        .select(col("b.id").as("batch_id"), col("c.id").as("corpus_id"))
-        .dropDuplicates("batch_id", "corpus_id")
-        .join(bSigned.select(col("id").as("batch_id"), col("vec").as("v_b")),
-          Seq("batch_id"))
-        .join(cSigned.select(col("id").as("corpus_id"), col("vec").as("v_c")),
-          Seq("corpus_id"))
-        .filter(graft.functions.vector.cosine_sim(col("v_b"), col("v_c"))
-          >= threshold)
-        .select(col("batch_id")).distinct().count()
-    }
+    } { () => hyper128Recompute(corpus, batch, dim, threshold) }
 
     // frozen centroids: the first 64 corpus vectors (deterministic — the
     // q72 buildWithCentroids discipline); the DEFAULT corpus-side cluster

@@ -27,6 +27,43 @@ class FingerprintIndexSpec extends AnyFunSuite with SparkSpec {
     assert(indexed.nonEmpty, "testdata is known to contain cross-split near-dups")
   }
 
+  test("gather-pruned verify returns identical pairs and filters the layout scan") {
+    // gatherPruneMinCorpus = 0 forces the at-scale path (candidate ids
+    // collected, verify layout scan filtered to them) on the small corpus;
+    // the result contract must be byte-identical to the full-scan plan
+    val p = java.nio.file.Files.createTempDirectory("graft_fpidx_gp").toString
+    val corpus = docs.filter($"doc_id" < 400)
+    val batch = docs.filter($"doc_id" >= 400)
+    val idx = FingerprintIndex.build(corpus, "doc_id", "text", p)
+    val full = idx.dedupBatch(batch, "doc_id", "text", threshold = 0.5)
+    val pruned = idx.dedupBatch(batch, "doc_id", "text", threshold = 0.5,
+      gatherPruneMinCorpus = 0L)
+    assert(pairs(pruned) == pairs(full))
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("INSET") || plan.contains(" IN ("),
+      "the pruned plan must carry the candidate-id predicate into the " +
+        "layout scan")
+  }
+
+  test("gatherPruned: cap overflow and empty-candidate short circuits") {
+    val stored = (0L until 100L).map(i => (i, s"v$i")).toDF("id", "payload")
+    val cands = Seq(3L, 7L, 3L).toDF("corpus_id")
+    // under the corpus gate: untouched plan
+    assert(EpochIndex.gatherPruned(stored, cands, "corpus_id",
+      corpusRows = 10L, minCorpus = 100L).count() == 100)
+    // active: scan filtered to the distinct candidate ids
+    assert(EpochIndex.gatherPruned(stored, cands, "corpus_id",
+      corpusRows = 1000L, minCorpus = 100L)
+      .select($"id").as[Long].collect().toSet == Set(3L, 7L))
+    // cap overflow: falls back to the full layout (the batch resembles
+    // the corpus; the full join was the right plan)
+    assert(EpochIndex.gatherPruned(stored, cands, "corpus_id",
+      corpusRows = 1000L, minCorpus = 100L, maxIds = 1).count() == 100)
+    // no candidates: nothing to gather
+    assert(EpochIndex.gatherPruned(stored, cands.limit(0), "corpus_id",
+      corpusRows = 1000L, minCorpus = 100L).count() == 0)
+  }
+
   test("append is equivalent to building on the grown corpus") {
     val p = java.nio.file.Files.createTempDirectory("graft_fpidx_app").toString
     val idx = FingerprintIndex.build(docs.filter($"doc_id" < 200),

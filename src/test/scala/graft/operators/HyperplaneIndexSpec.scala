@@ -55,6 +55,21 @@ class HyperplaneIndexSpec extends AnyFunSuite with SparkSpec {
       "each planted copy matches exactly its source")
   }
 
+  test("gather-pruned verify returns identical pairs to the full-scan plan") {
+    // gatherPruneMinCorpus = 0 forces the at-scale candidate-id prune of
+    // the stored vecs scan on the small corpus; results must not change
+    val corpus = emb.filter($"vec_id" < 400)
+    val batch = emb.filter($"vec_id" >= 400)
+      .unionAll(scaledCopies(emb.filter($"vec_id" < 50), 10000L, 2.0f))
+    val idx = HyperplaneIndex.build(corpus, "vec_id", "embedding",
+      tmp("graft_hpidx_gp"), dim = 64)
+    val full = pairs(idx.dedupBatch(batch, "vec_id", "embedding", 0.9))
+    val pruned = pairs(idx.dedupBatch(batch, "vec_id", "embedding", 0.9,
+      gatherPruneMinCorpus = 0L))
+    assert(pruned == full)
+    assert(pruned == (0L until 50L).map(i => (i + 10000L, i)).toSet)
+  }
+
   test("append is equivalent to building on the grown corpus") {
     val idx = HyperplaneIndex.build(emb.filter($"vec_id" < 200),
       "vec_id", "embedding", tmp("graft_hpidx_app"), dim = 64)
