@@ -34,10 +34,19 @@ private[graft] trait EpochIndex {
 
   /** Committed rows of one layout — orphan epochs from failed appends are
     * invisible ([[EpochLog]] resolves directories from the commit log,
-    * never the filesystem).
+    * never the filesystem). A gather-bucketed layout must be read with an
+    * explicit basePath: its `gb=K` directories sit under each `epoch=N`
+    * root, and multi-root partition inference would otherwise refuse the
+    * two-level structure; basePath makes BOTH partition columns explicit
+    * and the synthetic `epoch` one is dropped (only committed epoch paths
+    * are passed, so orphan invisibility is unchanged).
     */
-  protected def storedLayout(name: String): DataFrame =
-    spark.read.parquet(log.layoutPaths(layoutDir(name)): _*)
+  protected def storedLayout(name: String): DataFrame = {
+    val dir = layoutDir(name)
+    val paths = log.layoutPaths(dir)
+    if (gatherBucketsFor(name) <= 0) spark.read.parquet(paths: _*)
+    else spark.read.option("basePath", dir).parquet(paths: _*).drop("epoch")
+  }
 
   /** The epoch-commit protocol around one slice write: `write(epoch)` lands
     * every layout under its `epoch=N` directory (overwrite mode — the
@@ -58,6 +67,16 @@ private[graft] trait EpochIndex {
     */
   protected def compactionFrames(): Seq[DataFrame]
 
+  /** Gather-bucket count for one layout (0 = unbucketed): a non-zero value
+    * means every epoch slice of that layout is written under
+    * `gb=pmod(id, B)` partition directories ([[EpochIndex.writeLayoutSlice]])
+    * so candidate gathers can PRUNE DIRECTORIES, not just collapse the join
+    * input — see [[EpochIndex.gatherPruned]]. Families persist the value as
+    * index meta (the hash-parameter discipline: a layout written bucketed
+    * must be read bucketed forever).
+    */
+  protected def gatherBucketsFor(name: String): Int = 0
+
   /** Rewrite all committed epochs into one — query results are unchanged by
     * construction (same rows, one directory per layout). The replace commit
     * is the atomic cutover; dead epoch directories are deleted best-effort
@@ -71,10 +90,14 @@ private[graft] trait EpochIndex {
     layoutNames.zip(compactionFrames()).zipWithIndex.foreach {
       case ((name, df), i) =>
         val counted = if (i == 0) df.observe(obs, count(lit(1)).as("n")) else df
-        counted.write.mode("overwrite").parquet(s"${layoutDir(name)}/epoch=$target")
+        EpochIndex.writeLayoutSlice(counted,
+          s"${layoutDir(name)}/epoch=$target", gatherBucketsFor(name))
     }
     val stale = log.committedEpochs()
-    log.commit(target, "replace", obs.get("n").asInstanceOf[Long])
+    // a zero-row bucketed rewrite can be AQE-propagated away before the
+    // metric fires — an empty layout compacts to count 0
+    log.commit(target, "replace",
+      scala.util.Try(obs.get("n").asInstanceOf[Long]).getOrElse(0L))
     stale.foreach(e => layoutNames.foreach(n =>
       log.deleteDir(s"${layoutDir(n)}/epoch=$e")))
   }
@@ -194,6 +217,21 @@ private[graft] object EpochIndex {
     */
   val MaxGatherIds: Int = 100000
 
+  /** Write one epoch slice of a layout, gather-bucketed when `buckets > 0`:
+    * rows land under `gb = pmod(id, buckets)` partition directories,
+    * id-sorted within each task so row-group min/max stay tight. The write
+    * repartitions by `gb` (one batch-bounded shuffle — O(batch), the append
+    * discipline) and sorts by (gb, id) so the dynamic-partition writer's
+    * required ordering is already satisfied and no second sort runs.
+    * `buckets = 0` is today's flat layout, byte-for-byte.
+    */
+  def writeLayoutSlice(df: DataFrame, dir: String, buckets: Int): Unit =
+    if (buckets <= 0) df.write.mode("overwrite").parquet(dir)
+    else df.withColumn("gb", pmod(col("id"), lit(buckets)).cast("int"))
+      .repartition(col("gb"))
+      .sortWithinPartitions(col("gb"), col("id"))
+      .write.mode("overwrite").partitionBy("gb").parquet(dir)
+
   /** Prune the stored VERIFY layout scan to candidate ids (the cold-sweep
     * finding: the banding join's candidate set is batch-bounded, but the
     * verify gather joined it against the FULL stored payload layout —
@@ -207,8 +245,17 @@ private[graft] object EpochIndex {
     * row-group stats can skip (epoch-local candidate clusters — the
     * common online-ingest shape — skip whole epochs; uniformly spread
     * candidates still collapse the join input even when file bytes
-    * cannot prune; a dir-bucketed layout is the identified extension if
-    * byte-level pruning at uniform spread ever dominates).
+    * cannot prune).
+    *
+    * `gatherBuckets > 0` adds the BYTE-level prune for uniform spread: the
+    * layout was written under `gb = pmod(id, B)` directories
+    * ([[writeLayoutSlice]]), so the candidate ids' bucket set goes back as
+    * a partition-column predicate and unhit directories are never listed,
+    * opened, or read. With candidate count C ≪ B (the nightly-batch-vs-
+    * standing-corpus shape: B sized so each directory holds ~1 GB of a
+    * 100 TB layout), read volume collapses to ≈ C/B of the layout — the
+    * term file-level parquet stats cannot reach, because Spark pushes
+    * >10-value IN filters to parquet as one global min/max range.
     *
     * Above `maxIds`, or under `minCorpus` rows, the caller's original
     * full-layout plan is returned unchanged. `candidates` should be
@@ -221,13 +268,20 @@ private[graft] object EpochIndex {
       candIdCol: String,
       corpusRows: Long,
       minCorpus: Long = GatherPruneMinCorpus,
-      maxIds: Int = MaxGatherIds): DataFrame = {
+      maxIds: Int = MaxGatherIds,
+      gatherBuckets: Int = 0): DataFrame = {
     if (corpusRows < minCorpus) return stored
     val rows = candidates.select(col(candIdCol).cast("long").as("id"))
       .distinct().limit(maxIds + 1).collect()
     if (rows.length > maxIds) stored
     else if (rows.isEmpty) stored.filter(lit(false))
-    else stored.filter(col("id").isInCollection(rows.map(_.getLong(0)).toSeq))
+    else {
+      val ids = rows.map(_.getLong(0)).toSeq
+      val byId = stored.filter(col("id").isInCollection(ids))
+      if (gatherBuckets <= 0) byId
+      else byId.filter(col("gb").isInCollection(
+        ids.map(i => Math.floorMod(i, gatherBuckets.toLong).toInt).distinct))
+    }
   }
 
   /** The accepted-sweep half of the online ingest contract shared by all

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Observation, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Persisted MinHash fingerprint index — the standing-corpus half of
@@ -38,7 +38,8 @@ case class FingerprintIndex(
     shingleLen: Int,
     numHashes: Int,
     bands: Int,
-    seed: Long) extends EpochIndex {
+    seed: Long,
+    gatherBuckets: Int = 0) extends EpochIndex {
 
   def docsPath: String = layoutDir("docs")
   def bandsPath: String = layoutDir("bands")
@@ -68,13 +69,15 @@ case class FingerprintIndex(
     */
   private def writeFp(fp0: DataFrame, epoch: Long): Long = {
     val fp = fp0.localCheckpoint(true)
-    val obs = Observation()
-    fp.select(col("id"), col("shingle_hashes"))
-      .observe(obs, count(lit(1)).as("n"))
-      .write.mode("overwrite").parquet(s"$docsPath/epoch=$epoch")
+    // the slice is eagerly checkpointed, so counting it re-reads cached
+    // blocks, not user lineage — and unlike an Observation it cannot be
+    // lost when AQE empty-relation-propagates a zero-row bucketed write
+    val n = fp.count()
+    EpochIndex.writeLayoutSlice(fp.select(col("id"), col("shingle_hashes")),
+      s"$docsPath/epoch=$epoch", gatherBuckets)
     FingerprintIndex.banded(fp, bands, numHashes / bands)
       .write.mode("overwrite").parquet(s"$bandsPath/epoch=$epoch")
-    obs.get("n").asInstanceOf[Long]
+    n
   }
 
   /** Which batch documents near-duplicate an INDEXED document:
@@ -130,7 +133,8 @@ case class FingerprintIndex(
       if (corpusRows >= gatherPruneMinCorpus) candidates0.localCheckpoint(true)
       else candidates0
     val docsSrc = EpochIndex.gatherPruned(storedDocs(), candidates,
-      "corpus_id", corpusRows, gatherPruneMinCorpus)
+      "corpus_id", corpusRows, gatherPruneMinCorpus,
+      gatherBuckets = gatherBuckets)
     candidates
       .join(batchFp.select(col("id").as("batch_id"),
         col("shingle_hashes").as("sh_b")), Seq("batch_id"))
@@ -237,11 +241,20 @@ case class FingerprintIndex(
 
   override protected def compactionFrames(): Seq[DataFrame] =
     Seq(storedDocs(), storedBands())
+
+  override protected def gatherBucketsFor(name: String): Int =
+    if (name == "docs") gatherBuckets else 0
 }
 
 object FingerprintIndex {
 
-  /** Build a fresh index from the current corpus. */
+  /** Build a fresh index from the current corpus. `gatherBuckets > 0`
+    * writes the fat docs layout under `gb = pmod(id, B)` directories so
+    * candidate gathers can directory-prune ([[EpochIndex.gatherPruned]]) —
+    * size B so each directory holds ~1 GB of layout; 0 keeps the flat
+    * layout. Like the hash parameters, the value is INDEX STATE: it is
+    * persisted in meta and restored by [[load]].
+    */
   def build(
       docs: DataFrame,
       idCol: String,
@@ -250,29 +263,38 @@ object FingerprintIndex {
       shingleLen: Int = 3,
       numHashes: Int = 128,
       bands: Int = 32,
-      seed: Long = 42L): FingerprintIndex = {
+      seed: Long = 42L,
+      gatherBuckets: Int = 0): FingerprintIndex = {
     require(numHashes % bands == 0,
       s"numHashes=$numHashes not divisible by bands=$bands")
+    require(gatherBuckets >= 0, s"gatherBuckets must be >= 0, got $gatherBuckets")
     val spark = docs.sparkSession
     import spark.implicits._
-    Seq((shingleLen, numHashes, bands, seed))
-      .toDF("shingle_len", "num_hashes", "bands", "seed")
+    Seq((shingleLen, numHashes, bands, seed, gatherBuckets))
+      .toDF("shingle_len", "num_hashes", "bands", "seed", "gather_buckets")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
-    val idx = FingerprintIndex(spark, path, shingleLen, numHashes, bands, seed)
+    val idx = FingerprintIndex(spark, path, shingleLen, numHashes, bands, seed,
+      gatherBuckets)
     val n = idx.writeSlice(docs, idCol, textCol, epoch = 0L)
     EpochLog(spark, path).reset(n) // replaces any stale commit history
     idx
   }
 
   /** Load a previously built index; hash parameters come from the
-    * persisted meta (index state, never a load option).
+    * persisted meta (index state, never a load option). Indexes written
+    * before the gather-bucket option carry no `gather_buckets` column and
+    * load as flat (0) — their layouts ARE flat, so the read contract and
+    * the stored bytes stay consistent by construction.
     */
   def load(spark: SparkSession, path: String): FingerprintIndex = {
-    val row = spark.read.parquet(s"$path/meta")
-      .select(col("shingle_len"), col("num_hashes"), col("bands"), col("seed"))
+    val meta = spark.read.parquet(s"$path/meta")
+    val hasGb = meta.columns.contains("gather_buckets")
+    val row = meta.select(col("shingle_len"), col("num_hashes"), col("bands"),
+        col("seed"),
+        (if (hasGb) col("gather_buckets") else lit(0)).as("gather_buckets"))
       .collect().head
     FingerprintIndex(spark, path, row.getInt(0), row.getInt(1), row.getInt(2),
-      row.getLong(3))
+      row.getLong(3), row.getInt(4))
   }
 
   /** (id, shingle_hashes, sig) — the one pass everything derives from. */

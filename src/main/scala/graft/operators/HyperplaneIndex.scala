@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Observation, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{vector, AnnUtil, HyperplaneSignature}
@@ -45,7 +45,8 @@ case class HyperplaneIndex(
     dim: Int,
     nBits: Int,
     nBands: Int,
-    seed: Long) extends EpochIndex {
+    seed: Long,
+    gatherBuckets: Int = 0) extends EpochIndex {
 
   require(nBits % nBands == 0, s"nBits=$nBits not divisible by nBands=$nBands")
   require(nBits / nBands <= 64,
@@ -135,13 +136,14 @@ case class HyperplaneIndex(
   /** One signature pass feeds both layouts (the writeSlice discipline). */
   private def writeSigned(signed0: DataFrame, epoch: Long): Long = {
     val signed = signed0.localCheckpoint(true)
-    val obs = Observation()
-    signed.select(col("id"), col("vec"))
-      .observe(obs, count(lit(1)).as("n"))
-      .write.mode("overwrite").parquet(s"$vecsPath/epoch=$epoch")
+    // count the checkpointed slice directly — an Observation on a zero-row
+    // bucketed write can be AQE-propagated away (see FingerprintIndex)
+    val n = signed.count()
+    EpochIndex.writeLayoutSlice(signed.select(col("id"), col("vec")),
+      s"$vecsPath/epoch=$epoch", gatherBuckets)
     banded(signed.select((col("id") +: sigNames.map(col)): _*))
       .write.mode("overwrite").parquet(s"$bandsPath/epoch=$epoch")
-    obs.get("n").asInstanceOf[Long]
+    n
   }
 
   /** Which batch vectors near-duplicate an INDEXED vector:
@@ -201,7 +203,8 @@ case class HyperplaneIndex(
       if (corpusRows >= gatherPruneMinCorpus) candidates0.localCheckpoint(true)
       else candidates0
     val vecsSrc = EpochIndex.gatherPruned(storedVecs(), candidates,
-      "corpus_id", corpusRows, gatherPruneMinCorpus)
+      "corpus_id", corpusRows, gatherPruneMinCorpus,
+      gatherBuckets = gatherBuckets)
     candidates
       .join(signed.select(col("id").as("batch_id"), col("vec").as("v_b")),
         Seq("batch_id"))
@@ -291,11 +294,18 @@ case class HyperplaneIndex(
   /** Each id's vec + band rows move verbatim (ids are append-unique). */
   override protected def compactionFrames(): Seq[DataFrame] =
     Seq(storedVecs(), storedBands())
+
+  override protected def gatherBucketsFor(name: String): Int =
+    if (name == "vecs") gatherBuckets else 0
 }
 
 object HyperplaneIndex {
 
-  /** Build a fresh index over the current corpus. */
+  /** Build a fresh index over the current corpus. `gatherBuckets > 0`
+    * writes the fat vecs layout under `gb = pmod(id, B)` directories so
+    * candidate gathers can directory-prune ([[EpochIndex.gatherPruned]]);
+    * persisted as index state like the hyperplane geometry.
+    */
   def build(
       vecs: DataFrame,
       idCol: String,
@@ -304,28 +314,34 @@ object HyperplaneIndex {
       dim: Int,
       nBits: Int = 64,
       nBands: Int = 8,
-      seed: Long = 42L): HyperplaneIndex = {
+      seed: Long = 42L,
+      gatherBuckets: Int = 0): HyperplaneIndex = {
     require(dim >= 1, s"dim must be >= 1, got $dim")
     require(nBits % nBands == 0, s"nBits=$nBits not divisible by nBands=$nBands")
+    require(gatherBuckets >= 0, s"gatherBuckets must be >= 0, got $gatherBuckets")
     val spark = vecs.sparkSession
     import spark.implicits._
-    Seq((dim, nBits, nBands, seed))
-      .toDF("dim", "n_bits", "n_bands", "seed")
+    Seq((dim, nBits, nBands, seed, gatherBuckets))
+      .toDF("dim", "n_bits", "n_bands", "seed", "gather_buckets")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
-    val idx = HyperplaneIndex(spark, path, dim, nBits, nBands, seed)
+    val idx = HyperplaneIndex(spark, path, dim, nBits, nBands, seed,
+      gatherBuckets)
     val n = idx.writeSlice(vecs, idCol, vecCol, epoch = 0L)
     EpochLog(spark, path).reset(n)
     idx
   }
 
   /** Load a previously built index; the hyperplane geometry comes from the
-    * persisted meta.
+    * persisted meta. Pre-gather-bucket indexes (no `gather_buckets`
+    * column) load as flat — their layouts are flat.
     */
   def load(spark: SparkSession, path: String): HyperplaneIndex = {
-    val row = spark.read.parquet(s"$path/meta")
-      .select(col("dim"), col("n_bits"), col("n_bands"), col("seed"))
+    val meta = spark.read.parquet(s"$path/meta")
+    val hasGb = meta.columns.contains("gather_buckets")
+    val row = meta.select(col("dim"), col("n_bits"), col("n_bands"), col("seed"),
+        (if (hasGb) col("gather_buckets") else lit(0)).as("gather_buckets"))
       .collect().head
     HyperplaneIndex(spark, path, row.getInt(0), row.getInt(1), row.getInt(2),
-      row.getLong(3))
+      row.getLong(3), row.getInt(4))
   }
 }

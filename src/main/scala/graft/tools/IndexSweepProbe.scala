@@ -330,7 +330,27 @@ object IndexSweepProbe {
     val (rCold, rReq, rDisk, rWarm, nRe) = coldLeg("recompute")(() => recompute())
     assert(nIdx == nRe,
       s"cold contrast invalid: indexed matched $nIdx, recompute $nRe")
-    println(f"""{"probe":"index_sweep_cold","corpus":$n,"batch":$batchN,"corpus_mb":${corpusBytes / 1e6}%.0f,"index_mb":${idxBytes / 1e6}%.0f,"build_sec":$tBuild%.1f,"indexed":{"cold_sec":$iCold%.1f,"requested_mb":${iReq / 1e6}%.0f,"disk_mb":${iDisk / 1e6}%.0f,"warm_sec":$iWarm%.1f},"recompute":{"cold_sec":$rCold%.1f,"requested_mb":${rReq / 1e6}%.0f,"disk_mb":${rDisk / 1e6}%.0f,"warm_sec":$rWarm%.1f}}""")
+
+    // the GATHER-BUCKETED layout: same index, fat docs layout written under
+    // gb = pmod(id, B) directories (B >> candidate count), so the verify
+    // gather's id set prunes DIRECTORIES instead of reading the whole
+    // layout past a global min/max filter — the disk_mb delta vs the flat
+    // indexed leg is the dir-prune's measured worth
+    val gbBuckets = 16384
+    val idxGbPath = java.nio.file.Files
+      .createTempDirectory(s"graft_cold_idxgb_$n").toString
+    val (idxGb, tBuildGb) = time(FingerprintIndex.build(
+      spark.read.parquet(corpusPath), "id", "text", idxGbPath,
+      gatherBuckets = gbBuckets))
+    println(f"[probe] bucketed index (B=$gbBuckets): layouts " +
+      f"${duBytes(idxGbPath) / 1e6}%.0f MB, build $tBuildGb%.1f s")
+    def indexedGb(): Long = idxGb
+      .dedupBatch(batch, "id", "text", threshold = 0.8)
+      .select(col("batch_id")).distinct().count()
+    val (gCold, gReq, gDisk, gWarm, nGb) = coldLeg("indexed_gb")(() => indexedGb())
+    assert(nGb == nIdx,
+      s"bucketed contrast invalid: bucketed matched $nGb, flat $nIdx")
+    println(f"""{"probe":"index_sweep_cold","corpus":$n,"batch":$batchN,"corpus_mb":${corpusBytes / 1e6}%.0f,"index_mb":${idxBytes / 1e6}%.0f,"build_sec":$tBuild%.1f,"indexed":{"cold_sec":$iCold%.1f,"requested_mb":${iReq / 1e6}%.0f,"disk_mb":${iDisk / 1e6}%.0f,"warm_sec":$iWarm%.1f},"indexed_gb":{"buckets":$gbBuckets,"cold_sec":$gCold%.1f,"requested_mb":${gReq / 1e6}%.0f,"disk_mb":${gDisk / 1e6}%.0f,"warm_sec":$gWarm%.1f},"recompute":{"cold_sec":$rCold%.1f,"requested_mb":${rReq / 1e6}%.0f,"disk_mb":${rDisk / 1e6}%.0f,"warm_sec":$rWarm%.1f}}""")
   }
 
   /** Cache-drop + cold/warm run of one leg; returns (coldSec,
@@ -399,7 +419,23 @@ object IndexSweepProbe {
     val (rCold, rReq, rDisk, rWarm, nRe) = coldLeg("recompute")(() => recompute())
     assert(nIdx == nRe,
       s"cold embed contrast invalid: indexed matched $nIdx, recompute $nRe")
-    println(f"""{"probe":"index_sweep_cold_embed","corpus":$n,"batch":$batchN,"corpus_mb":${corpusBytes / 1e6}%.0f,"index_mb":${idxBytes / 1e6}%.0f,"build_sec":$tBuild%.1f,"indexed":{"cold_sec":$iCold%.1f,"requested_mb":${iReq / 1e6}%.0f,"disk_mb":${iDisk / 1e6}%.0f,"warm_sec":$iWarm%.1f},"recompute":{"cold_sec":$rCold%.1f,"requested_mb":${rReq / 1e6}%.0f,"disk_mb":${rDisk / 1e6}%.0f,"warm_sec":$rWarm%.1f}}""")
+
+    // the gather-bucketed vecs layout — see runCold's indexed_gb leg
+    val gbBuckets = 16384
+    val idxGbPath = java.nio.file.Files
+      .createTempDirectory(s"graft_cold_embidxgb_$n").toString
+    val (idxGb, tBuildGb) = time(HyperplaneIndex.build(
+      spark.read.parquet(corpusPath), "id", "vec", idxGbPath,
+      dim = dim, nBits = 128, gatherBuckets = gbBuckets))
+    println(f"[probe] bucketed index (B=$gbBuckets): layouts " +
+      f"${duBytes(idxGbPath) / 1e6}%.0f MB, build $tBuildGb%.1f s")
+    def indexedGb(): Long = idxGb
+      .dedupBatch(batch, "id", "vec", threshold)
+      .select(col("batch_id")).distinct().count()
+    val (gCold, gReq, gDisk, gWarm, nGb) = coldLeg("indexed_gb")(() => indexedGb())
+    assert(nGb == nIdx,
+      s"bucketed contrast invalid: bucketed matched $nGb, flat $nIdx")
+    println(f"""{"probe":"index_sweep_cold_embed","corpus":$n,"batch":$batchN,"corpus_mb":${corpusBytes / 1e6}%.0f,"index_mb":${idxBytes / 1e6}%.0f,"build_sec":$tBuild%.1f,"indexed":{"cold_sec":$iCold%.1f,"requested_mb":${iReq / 1e6}%.0f,"disk_mb":${iDisk / 1e6}%.0f,"warm_sec":$iWarm%.1f},"indexed_gb":{"buckets":$gbBuckets,"cold_sec":$gCold%.1f,"requested_mb":${gReq / 1e6}%.0f,"disk_mb":${gDisk / 1e6}%.0f,"warm_sec":$gWarm%.1f},"recompute":{"cold_sec":$rCold%.1f,"requested_mb":${rReq / 1e6}%.0f,"disk_mb":${rDisk / 1e6}%.0f,"warm_sec":$rWarm%.1f}}""")
   }
 
   /** Deterministic pseudo-random embedding (`dim` floats in [-1, 1]) keyed
