@@ -1423,8 +1423,66 @@ object SparkEntry {
           .select(lit(pf).cast("long").as("probe_flips"),
             col("n_truth"), col("n_found"), col("recall"))
       }.reduce(_ unionAll _)
+    }),
+
+    // CCNet-style bigram-LM perplexity, the REAL train+score path under
+    // oracle: NgramLm.train on the 3/4 reference slice (deterministic
+    // count tables — top-256 vocab by (count desc, word asc), bigrams with
+    // count >= 2 whose history survives the vocab prune), then the
+    // codegen'd LmPerplexity kernel over the held-out 1/4. The oracle
+    // recomputes BOTH phases in SQL — count tables as aggregations, the
+    // add-k-smoothed per-token chain (first token and unseen-history
+    // backoff against the unigram distribution) as left joins. Output is
+    // integer 1e4-scaled perplexity: the summation ORDER of per-token
+    // log-likelihoods differs between engines (sequential loop vs hash
+    // aggregate), so the raw double is equal only to ~1e-12 relative —
+    // rounding to a 1e-4 grid makes the comparison exact.
+    "q78_lm_perplexity" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val model = text.NgramLm.train(docs.filter(col("doc_id") % 4 =!= 0),
+        "text", maxVocab = 256, minBigramCount = 2)
+      docs.filter(col("doc_id") % 4 === 0)
+        .select(col("doc_id").cast("long").as("id"),
+          round(text.NgramLm.perplexity(col("text"), model) * 10000)
+            .cast("long").as("ppl_x1e4"))
+    }),
+
+    // Linear quality scoring + the GPT-3 Pareto document lottery, both
+    // REAL operators under oracle: scoreLinear applies an explicit
+    // (word -> weight) linear model (the portable seam for externally
+    // trained classifiers — no feature hashing), paretoFilter applies the
+    // published keep rule over the deterministic idHash draw. Weights are
+    // dyadic (multiples of 1/32), so the per-doc dot product is EXACT in
+    // doubles regardless of summation order; only sigmoid carries ulp
+    // noise, absorbed by the 1e6-scaled integer output. The filter runs on
+    // the de-scaled rounded prob so both engines decide from identical
+    // doubles.
+    "q79_quality_linear" -> ((s, dir) => {
+      val scored = text.QualityClassifier.scoreLinear(
+        t(s, dir, "documents"), "doc_id", "text", Q79Weights,
+        intercept = -0.25)
+        .select(col("doc_id"),
+          round(col("quality_prob") * 1000000).cast("long").as("prob_ppm"))
+        .withColumn("quality_prob",
+          col("prob_ppm").cast("double") / lit(1000000.0))
+      text.QualityClassifier.paretoFilter(scored, "doc_id", alpha = 9.0)
+        .select(col("doc_id").cast("long").as("id"), col("prob_ppm"))
     })
   )
+
+  /** q79's fixed linear model: drawn from the synthetic corpus vocabulary,
+    * every weight a multiple of 1/32 so per-doc sums are exact in doubles
+    * (dyadic rationals — addition never rounds at these magnitudes), which
+    * is what lets the oracle replay the score bit-for-bit before the
+    * sigmoid.
+    */
+  private val Q79Weights: Map[String, Double] = Map(
+    "scan" -> 0.125, "column" -> -0.1875, "window" -> 0.25,
+    "sort" -> -0.0625, "join" -> 0.1875, "merge" -> -0.125,
+    "query" -> 0.0625, "slow" -> -0.375, "fast" -> 0.375,
+    "dup" -> -0.5, "spark" -> 0.5, "hash" -> 0.03125,
+    "table" -> -0.03125, "key" -> 0.09375, "data" -> -0.09375,
+    "stream" -> 0.0625)
 
   /** Domain-mixing keep-rates for q42 — src{0,4,8,...} full, then 0.5 /
     * 0.25 / 0.1 by index mod 4 (mirrored literally in the oracle CASE).
@@ -2834,7 +2892,88 @@ object SparkEntry {
         |SELECT CAST(0 AS BIGINT) AS probe_flips, n.n AS n_truth,
         |  CAST(0 AS BIGINT) AS n_found, CAST(0.0 AS DOUBLE) AS recall FROM n
         |UNION ALL
-        |SELECT CAST(1 AS BIGINT), n.n, n.n, CAST(1.0 AS DOUBLE) FROM n""".stripMargin
+        |SELECT CAST(1 AS BIGINT), n.n, n.n, CAST(1.0 AS DOUBLE) FROM n""".stripMargin,
+
+    // Full train+score replay of the bigram LM: count tables as SQL
+    // aggregations (top-256 vocab by (c DESC, w ASC); bigrams with c >= 2
+    // and in-vocab history), then the add-k chain per token — pos 1 and
+    // unseen-history tokens against the unigram distribution, the rest
+    // against P(w|prev) = (c_bigram + k)/(c_prev + k*V). Integer-scaled
+    // output absorbs cross-engine log/sum ulp noise.
+    "q78_lm_perplexity" ->
+      """WITH ref AS (
+        |  SELECT string_split(text, ' ') AS t FROM documents WHERE doc_id % 4 <> 0),
+        |uni AS (
+        |  SELECT w, c FROM (
+        |    SELECT u.w AS w, CAST(count(*) AS BIGINT) AS c
+        |    FROM ref, UNNEST(ref.t) AS u(w) WHERE u.w <> '' GROUP BY u.w)
+        |  ORDER BY c DESC, w ASC LIMIT 256),
+        |tot AS (
+        |  SELECT CAST(sum(c) AS BIGINT) AS bigT, CAST(count(*) AS BIGINT) AS v
+        |  FROM uni),
+        |bi AS (
+        |  SELECT g, c FROM (
+        |    SELECT array_to_string(t[i:i+1], ' ') AS g,
+        |           CAST(count(*) AS BIGINT) AS c
+        |    FROM ref, UNNEST(generate_series(1, len(t) - 1)) AS u(i)
+        |    GROUP BY 1)
+        |  WHERE c >= 2 AND string_split(g, ' ')[1] IN (SELECT w FROM uni)),
+        |tgt AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t
+        |  FROM documents WHERE doc_id % 4 = 0),
+        |tok AS (
+        |  SELECT doc_id, i, t[i] AS w,
+        |         CASE WHEN i > 1 THEN t[i-1] END AS prev
+        |  FROM tgt, UNNEST(generate_series(1, len(t))) AS u(i)
+        |  WHERE t[i] <> ''),
+        |sc AS (
+        |  SELECT tok.doc_id,
+        |    -log2(CASE
+        |      WHEN tok.prev IS NULL OR up.c IS NULL
+        |        THEN (COALESCE(uw.c, 0) + 0.1) / (tot.bigT + 0.1 * tot.v)
+        |      ELSE (COALESCE(b.c, 0) + 0.1) / (up.c + 0.1 * tot.v)
+        |    END) AS nll
+        |  FROM tok CROSS JOIN tot
+        |  LEFT JOIN uni uw ON uw.w = tok.w
+        |  LEFT JOIN uni up ON up.w = tok.prev
+        |  LEFT JOIN bi b ON b.g = tok.prev || ' ' || tok.w),
+        |agg AS (
+        |  SELECT doc_id, pow(2.0, sum(nll) / count(*)) AS ppl
+        |  FROM sc GROUP BY doc_id)
+        |SELECT CAST(t.doc_id AS BIGINT) AS id,
+        |  CAST(round(COALESCE(a.ppl, 0.0) * 10000) AS BIGINT) AS ppl_x1e4
+        |FROM tgt t LEFT JOIN agg a USING (doc_id)""".stripMargin,
+
+    // Linear score: sum(tf * weight) is exact (dyadic weights), sigmoid's
+    // ulp noise dies in the ppm rounding, and the Pareto keep rule runs on
+    // the identical de-scaled double: u from the exact q42 idHash
+    // arithmetic, draw = u^(-1/9) - 1 > 1 - prob.
+    "q79_quality_linear" ->
+      """WITH w(word, wt) AS (VALUES
+        |  ('scan', 0.125), ('column', -0.1875), ('window', 0.25),
+        |  ('sort', -0.0625), ('join', 0.1875), ('merge', -0.125),
+        |  ('query', 0.0625), ('slow', -0.375), ('fast', 0.375),
+        |  ('dup', -0.5), ('spark', 0.5), ('hash', 0.03125),
+        |  ('table', -0.03125), ('key', 0.09375), ('data', -0.09375),
+        |  ('stream', 0.0625)),
+        |tf AS (
+        |  SELECT doc_id, u.w AS word, CAST(count(*) AS BIGINT) AS n
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents) d,
+        |       UNNEST(d.t) AS u(w)
+        |  WHERE u.w <> '' GROUP BY doc_id, u.w),
+        |dot AS (
+        |  SELECT doc_id, sum(n * wt) AS d
+        |  FROM tf JOIN w ON w.word = tf.word GROUP BY doc_id),
+        |scored AS (
+        |  SELECT d0.doc_id,
+        |    CAST(round((1.0 / (1.0 + exp(-(COALESCE(dot.d, 0.0) + -0.25))))
+        |      * 1000000.0) AS BIGINT) AS prob_ppm
+        |  FROM (SELECT doc_id FROM documents) d0
+        |  LEFT JOIN dot USING (doc_id))
+        |SELECT CAST(doc_id AS BIGINT) AS id, prob_ppm FROM scored
+        |WHERE pow(((doc_id * 2654435761) % 4294967296 + 0.5) / 4294967296.0,
+        |          -1.0 / 9.0) - 1.0
+        |      > 1.0 - CAST(prob_ppm AS DOUBLE) / 1000000.0""".stripMargin
   )
 
   /** Shared BM25 corpus CTE for q39/q40 oracles — terms (vector, merge,

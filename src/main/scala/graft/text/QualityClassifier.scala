@@ -74,6 +74,36 @@ object QualityClassifier {
         vector_to_array(col("probability")).getItem(1).as("quality_prob"))
   }
 
+  /** Score with an EXPLICIT (token -> weight) table + intercept — the
+    * linear-model seam: apply an externally trained linear text classifier
+    * (a fastText-style export, or a hashed-TF model whose coefficients
+    * were mapped back to vocabulary words) without the feature-hashing
+    * layer, so the score is engine-portable and exactly replayable.
+    * quality_prob = sigmoid(intercept + Σ over token OCCURRENCES of
+    * weight(token)); tokens outside the table contribute 0 (they hash to
+    * unpenalized features in the hashed model's terms). Scale shape: one
+    * explode + broadcast weight join + per-doc sum — only (id, weight)
+    * pairs shuffle, never text; docs with no weighted tokens score
+    * sigmoid(intercept) via the left join.
+    */
+  def scoreLinear(
+      docs: DataFrame, idCol: String, textCol: String,
+      weights: Map[String, Double], intercept: Double): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val wdf = weights.toSeq.toDF("_qc_w", "_qc_wt")
+    val toks = docs.select(col(idCol),
+        explode(split(col(textCol), "\\s+")).as("_qc_w"))
+      .filter(col("_qc_w") =!= "")
+    val dots = toks.join(broadcast(wdf), Seq("_qc_w"))
+      .groupBy(col(idCol)).agg(sum(col("_qc_wt")).as("_qc_dot"))
+    docs.select(col(idCol)).join(dots, Seq(idCol), "left")
+      .select(col(idCol),
+        (lit(1.0) / (lit(1.0) +
+          exp(-(coalesce(col("_qc_dot"), lit(0.0)) + lit(intercept)))))
+          .as("quality_prob"))
+  }
+
   /** The GPT-3 keep rule: document kept iff a Pareto(alpha) draw exceeds
     * (1 - score) — high scores almost always survive, low scores survive
     * occasionally (preserving tail diversity instead of a hard cutoff).
