@@ -1467,8 +1467,39 @@ object SparkEntry {
           col("prob_ppm").cast("double") / lit(1000000.0))
       text.QualityClassifier.paretoFilter(scored, "doc_id", alpha = 9.0)
         .select(col("doc_id").cast("long").as("id"), col("prob_ppm"))
+    }),
+
+    // BPE segmentation under oracle — the q51 fixed-codebook discipline
+    // applied to the tokenizer: the merge TABLE is fixed (training's
+    // sequential argmax loop has no SQL twin; trainFromDict is
+    // property-spec'd), and the REAL distributed apply path — the
+    // codegen'd BpeSegment/BpeCount kernels, best-ranked-pair-first with
+    // first-occurrence merging — is replayed symbol-for-symbol by a
+    // DuckDB recursive CTE over each distinct word (list lambdas find the
+    // min-rank adjacent pair; one merge per recursion step). Output is the
+    // '|'-joined symbol stream plus the token count the packing/budget
+    // operators are denominated in.
+    "q80_bpe_segment" -> ((s, dir) => {
+      val model = text.BpeTokenizer.BpeModel(Q80Merges)
+      t(s, dir, "documents").filter(col("doc_id") % 5 === 0)
+        .select(col("doc_id").cast("long").as("id"),
+          text.BpeTokenizer.bpeTokenCount(col("text"), model).as("n_tok"),
+          array_join(text.BpeTokenizer.bpeTokens(col("text"), model), "|")
+            .as("segmented"))
     })
   )
+
+  /** q80's fixed merge table (learned-table stand-in, the fixed-codebook
+    * twin discipline): ranks are the Seq order; the pairs are chosen so
+    * corpus words exercise full merges (scan/join/key/the/row), partial
+    * merges (sort -> s|ort, order -> or|d|e|r, group -> g|ro|u|p) and
+    * untouched words in one pass.
+    */
+  private val Q80Merges: Seq[(String, String)] = Seq(
+    ("a", "n</w>"), ("s", "c"), ("sc", "an</w>"), ("t", "h"),
+    ("th", "e</w>"), ("o", "r"), ("or", "t</w>"), ("j", "o"),
+    ("jo", "i"), ("joi", "n</w>"), ("r", "o"), ("ro", "w</w>"),
+    ("k", "e"), ("ke", "y</w>"))
 
   /** q79's fixed linear model: drawn from the synthetic corpus vocabulary,
     * every weight a multiple of 1/32 so per-doc sums are exact in doubles
@@ -2973,7 +3004,74 @@ object SparkEntry {
         |SELECT CAST(doc_id AS BIGINT) AS id, prob_ppm FROM scored
         |WHERE pow(((doc_id * 2654435761) % 4294967296 + 0.5) / 4294967296.0,
         |          -1.0 / 9.0) - 1.0
-        |      > 1.0 - CAST(prob_ppm AS DOUBLE) / 1000000.0""".stripMargin
+        |      > 1.0 - CAST(prob_ppm AS DOUBLE) / 1000000.0""".stripMargin,
+
+    // Symbol-exact replay of the BPE apply kernel: each distinct word
+    // starts as chars (last one carrying </w>), and each recursion step
+    // merges the FIRST occurrence of the best-ranked adjacent pair — the
+    // MAP literal is q80's fixed merge table, rank = entry order. Words
+    // re-assemble per doc in position order.
+    "q80_bpe_segment" ->
+      """WITH RECURSIVE
+        |tgt AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws
+        |  FROM documents WHERE doc_id % 5 = 0),
+        |words AS (
+        |  SELECT DISTINCT u.w AS w FROM tgt, UNNEST(tgt.ws) AS u(w)
+        |  WHERE u.w <> ''),
+        |seg AS (
+        |  SELECT w, list_append(
+        |           list_transform(range(1, len(w)), i -> w[i:i]),
+        |           w[len(w):len(w)] || '</w>') AS syms
+        |  FROM words
+        |  UNION ALL
+        |  SELECT w,
+        |    list_concat(list_concat(syms[1:best-1],
+        |                            [syms[best] || syms[best+1]]),
+        |                syms[best+2:]) AS syms
+        |  FROM (
+        |    SELECT w, syms,
+        |      COALESCE(list_min(prs), 1000000) AS bestRank,
+        |      list_position(prs, list_min(prs)) AS best
+        |    FROM (
+        |      SELECT w, syms,
+        |        list_transform(range(1, len(syms)), i ->
+        |          COALESCE(MAP {
+        |            'a n</w>': 0, 's c': 1, 'sc an</w>': 2, 't h': 3,
+        |            'th e</w>': 4, 'o r': 5, 'or t</w>': 6, 'j o': 7,
+        |            'jo i': 8, 'joi n</w>': 9, 'r o': 10, 'ro w</w>': 11,
+        |            'k e': 12, 'ke y</w>': 13
+        |          }[syms[i] || ' ' || syms[i+1]][1], 1000000)) AS prs
+        |      FROM seg))
+        |  WHERE bestRank < 1000000),
+        |done AS (
+        |  SELECT w, syms FROM (
+        |    SELECT w, syms,
+        |      COALESCE(list_min(list_transform(range(1, len(syms)), i ->
+        |        COALESCE(MAP {
+        |          'a n</w>': 0, 's c': 1, 'sc an</w>': 2, 't h': 3,
+        |          'th e</w>': 4, 'o r': 5, 'or t</w>': 6, 'j o': 7,
+        |          'jo i': 8, 'joi n</w>': 9, 'r o': 10, 'ro w</w>': 11,
+        |          'k e': 12, 'ke y</w>': 13
+        |        }[syms[i] || ' ' || syms[i+1]][1], 1000000))), 1000000)
+        |        AS bestRank
+        |    FROM seg)
+        |  WHERE bestRank = 1000000),
+        |toks AS (
+        |  SELECT doc_id, unnest(ws) AS w, unnest(range(1, len(ws) + 1)) AS pos
+        |  FROM tgt),
+        |flat AS (
+        |  SELECT t.doc_id,
+        |    array_to_string(flatten(list(d.syms ORDER BY t.pos)), '|')
+        |      AS segmented,
+        |    CAST(sum(len(d.syms)) AS BIGINT) AS n_tok
+        |  FROM toks t JOIN done d USING (w)
+        |  WHERE t.w <> ''
+        |  GROUP BY t.doc_id)
+        |SELECT CAST(g.doc_id AS BIGINT) AS id,
+        |  COALESCE(f.n_tok, 0) AS n_tok,
+        |  COALESCE(f.segmented, '') AS segmented
+        |FROM tgt g LEFT JOIN flat f USING (doc_id)""".stripMargin
   )
 
   /** Shared BM25 corpus CTE for q39/q40 oracles — terms (vector, merge,
