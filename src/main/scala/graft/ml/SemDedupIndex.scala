@@ -133,6 +133,13 @@ object SemDedupIndex {
       */
     def maintenance(): IvfIndex.Maintenance = ivf.maintenance()
 
+    /** Committed epoch-directory count — commit-log arithmetic, free; the
+      * cheap proliferation signal the streaming `autoCompact` hook polls
+      * per micro-batch (cluster drift still needs [[maintenance]]'s scan).
+      */
+    def committedEpochCount: Int =
+      ivf.log.map(_.committedEpochs().length).getOrElse(1)
+
     /** Rewrite live epochs into one — the explicit batch maintenance job
       * ([[graft.operators.FingerprintIndex.compact]] discipline): read the
       * committed corpus, land it under a fresh epoch, commit it as a

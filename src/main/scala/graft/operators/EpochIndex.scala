@@ -107,6 +107,22 @@ private[graft] trait EpochIndex {
     */
   protected def bucketStats(): (Long, Double) = (0L, 0.0)
 
+  /** The [[maintenance]] compaction verdict alone, from commit-log
+    * arithmetic only (no bucket-skew scan): cheap enough to evaluate after
+    * EVERY ingest batch, which is what lets the online ingest streams
+    * self-compact ([[graft.streaming.Streams.ingestDedupStream]]
+    * `autoCompact`) instead of relying on an operator noticing the
+    * epoch-proliferation drift.
+    */
+  def needsCompaction(
+      maxEpochs: Int = EpochIndex.DefaultMaxEpochs,
+      maxAppendedFraction: Double = EpochIndex.DefaultMaxAppendedFraction)
+      : Boolean = {
+    val (nEpochs, total, appended) = log.sizeStats()
+    nEpochs > maxEpochs ||
+      (total > 0 && appended.toDouble / total > maxAppendedFraction)
+  }
+
   /** Maintenance snapshot with an explicit compaction verdict — the
     * [[graft.ml.IvfIndex.maintenance]] discipline for this layout's failure
     * mode: every append adds one small epoch directory, so a month of

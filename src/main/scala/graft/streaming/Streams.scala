@@ -323,6 +323,16 @@ object Streams {
     * dropped as self-duplicates on every replay.) The index converges to
     * exactly one copy per survivor; `onBatch` consumers need id-keyed
     * idempotence, same as any foreachBatch sink.
+    *
+    * `autoCompact` closes the operational loop: every append adds one
+    * small epoch directory, so a long-lived stream degrades every index
+    * read into a many-directory scan. With the flag on, each micro-batch
+    * ends with the commit-log-only verdict
+    * ([[graft.operators.EpochIndex.needsCompaction]] — free) and runs
+    * `compact()` when it trips; compaction is atomic (replace-commit
+    * cutover), so a crash mid-compact leaves only invisible orphans and
+    * results are unchanged at every point (spec-asserted against the
+    * non-compacting run).
     */
   def ingestDedupStream(
       docs: DataFrame,
@@ -332,7 +342,8 @@ object Streams {
       threshold: Double = 0.8,
       checkpoint: Option[String] = None,
       onBatch: (DataFrame, Long) => Unit = (_, _) => (),
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+      trigger: Trigger = Trigger.AvailableNow(),
+      autoCompact: Boolean = false): StreamingQuery = {
     val cp = checkpoint.getOrElse(
       java.nio.file.Files.createTempDirectory("graft_ingest_dedup_cp").toString)
     docs.writeStream
@@ -344,6 +355,7 @@ object Streams {
         // index append (see the restart-semantics contract above)
         index.ingestBatch(batch, idCol, textCol, threshold,
           onKept = kept => onBatch(kept, batchId))
+        if (autoCompact && index.needsCompaction()) index.compact()
         ()
       }
       .start()
@@ -370,7 +382,8 @@ object Streams {
       textCol: String = "text",
       checkpoint: Option[String] = None,
       onBatch: (DataFrame, Long) => Unit = (_, _) => (),
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+      trigger: Trigger = Trigger.AvailableNow(),
+      autoCompact: Boolean = false): StreamingQuery = {
     val cp = checkpoint.getOrElse(
       java.nio.file.Files.createTempDirectory("graft_ingest_para_cp").toString)
     docs.writeStream
@@ -381,6 +394,7 @@ object Streams {
         // sink-before-append, same contract as ingestDedupStream
         index.ingestBatch(batch, idCol, textCol,
           onCleaned = cleaned => onBatch(cleaned, batchId))
+        if (autoCompact && index.needsCompaction()) index.compact()
         ()
       }
       .start()
@@ -405,7 +419,8 @@ object Streams {
       checkpoint: Option[String] = None,
       onBatch: (DataFrame, Long) => Unit = (_, _) => (),
       trigger: Trigger = Trigger.AvailableNow(),
-      probeFlips: Int = 0): StreamingQuery = {
+      probeFlips: Int = 0,
+      autoCompact: Boolean = false): StreamingQuery = {
     val cp = checkpoint.getOrElse(
       java.nio.file.Files.createTempDirectory("graft_ingest_emb_cp").toString)
     vecs.writeStream
@@ -415,6 +430,7 @@ object Streams {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         index.ingestBatch(batch, idCol, vecCol, threshold,
           onKept = kept => onBatch(kept, batchId), probeFlips = probeFlips)
+        if (autoCompact && index.needsCompaction()) index.compact()
         ()
       }
       .start()
@@ -439,7 +455,8 @@ object Streams {
       threshold: Double = 0.9,
       checkpoint: Option[String] = None,
       onBatch: (DataFrame, Long) => Unit = (_, _) => (),
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+      trigger: Trigger = Trigger.AvailableNow(),
+      autoCompact: Boolean = false): StreamingQuery = {
     val cp = checkpoint.getOrElse(
       java.nio.file.Files.createTempDirectory("graft_ingest_sem_cp").toString)
     vecs.writeStream
@@ -449,6 +466,11 @@ object Streams {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         index.ingestBatch(batch, idCol, vecCol, threshold,
           onKept = kept => onBatch(kept, batchId))
+        // epoch proliferation is the IvfIndex-layout drift this stream can
+        // fix itself; cluster DRIFT (imbalance) still needs the explicit
+        // recluster job — maintenance() reports it, autoCompact cannot
+        if (autoCompact && index.committedEpochCount >
+          graft.operators.EpochIndex.DefaultMaxEpochs) index.compact()
         ()
       }
       .start()

@@ -480,4 +480,58 @@ class StreamsSpec extends AnyFunSuite with SparkSpec {
     assert(payloads.forall(p =>
       p("event") == "batch_operation_completed" && p("store") == "stream/hook"))
   }
+
+  test("ingestDedupStream autoCompact: epochs stay bounded, results unchanged") {
+    // 10 one-file drops = 10 index appends; without compaction the index
+    // ends at 11 epoch directories. autoCompact evaluates the commit-log
+    // verdict after every micro-batch (DefaultMaxEpochs = 8), so the
+    // directory count must stay bounded while the kept set, the final doc
+    // count, and a post-stream dedupBatch replay stay IDENTICAL to the
+    // non-compacting run.
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", $"text")
+    val corpus = docs.filter($"doc_id" < 400)
+    val drops = (0 until 10).map(i =>
+      docs.filter($"doc_id" >= 400 + i * 10 && $"doc_id" < 410 + i * 10))
+    val probe = docs.filter($"doc_id" >= 300 && $"doc_id" < 400)
+
+    def run(autoCompact: Boolean): (Set[Long], Long, Int, Set[(Long, Long)]) = {
+      val idx = graft.operators.FingerprintIndex.build(corpus, "doc_id",
+        "text", tempDir(s"graft_autocompact_idx_$autoCompact"))
+      val dropDir = tempDir(s"graft_autocompact_$autoCompact")
+      val keptIds = scala.collection.mutable.Set.empty[Long]
+      val src = spark.readStream
+        .schema(StructType(Seq(
+          StructField("doc_id", org.apache.spark.sql.types.LongType),
+          StructField("text", org.apache.spark.sql.types.StringType))))
+        .parquet(dropDir)
+      val q = Streams.ingestDedupStream(src, idx, "doc_id", "text",
+        threshold = 0.5,
+        onBatch = (kept, _) =>
+          keptIds ++= kept.select($"doc_id").as[Long].collect(),
+        trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(
+          "50 milliseconds"),
+        autoCompact = autoCompact)
+      try {
+        drops.foreach { d =>
+          d.coalesce(1).write.mode("append").parquet(dropDir)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+      val m = idx.maintenance()
+      val replay = idx.dedupBatch(probe, "doc_id", "text", threshold = 0.5)
+        .select($"batch_id", $"corpus_id").as[(Long, Long)].collect().toSet
+      (keptIds.toSet, m.nDocs, m.numEpochs, replay)
+    }
+
+    val (keptOff, nOff, epochsOff, replayOff) = run(autoCompact = false)
+    val (keptOn, nOn, epochsOn, replayOn) = run(autoCompact = true)
+    assert(keptOn == keptOff, "autoCompact must not change the kept set")
+    assert(nOn == nOff)
+    assert(replayOn == replayOff,
+      "a compacted index must serve identical dedupBatch results")
+    assert(epochsOff == 11, s"without compaction: build + 10 appends, got $epochsOff")
+    assert(epochsOn <= graft.operators.EpochIndex.DefaultMaxEpochs + 1,
+      s"autoCompact must bound epoch proliferation, got $epochsOn")
+  }
 }
