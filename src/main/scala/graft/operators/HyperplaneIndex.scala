@@ -301,6 +301,31 @@ case class HyperplaneIndex(
 
 object HyperplaneIndex {
 
+  /** The geometry sizing rule, measured by `IndexSweepProbe`: per-band
+    * bucket space must dwarf the corpus or the banding join drowns in
+    * INCIDENTAL candidates (unrelated vectors sharing one band's bits) —
+    * at 10M rows the 128/8 geometry (16-bit buckets, ~150 rows each)
+    * yields millions of candidate pairs and the verify join degenerates to
+    * a full-layout join, while 256/8 (32-bit buckets) keeps candidates
+    * output-bound. This returns the smallest legal nBits whose per-band
+    * bucket count is at least `headroom` x corpusRows (expected incidental
+    * candidates per probed vector ~ nBands/headroom), with band width
+    * rounded up to a divisor of 64 (the multi-word layout constraint) and
+    * capped at 64 bits/band.
+    */
+  def recommendedNBits(
+      corpusRows: Long, nBands: Int = 8, headroom: Long = 64L): Int = {
+    require(corpusRows >= 0 && nBands >= 1 && headroom >= 1)
+    val target = // corpusRows * headroom, saturating instead of overflowing
+      if (corpusRows > Long.MaxValue / headroom) Long.MaxValue
+      else corpusRows * headroom
+    val needed = math.max(1, 64 - java.lang.Long.numberOfLeadingZeros(
+      math.max(1L, target - 1)))
+    val width = Seq(1, 2, 4, 8, 16, 32, 64)
+      .find(_ >= math.min(needed, 64)).get
+    width * nBands
+  }
+
   /** Build a fresh index over the current corpus. `gatherBuckets > 0`
     * writes the fat vecs layout under `gb = pmod(id, B)` directories so
     * candidate gathers can directory-prune ([[EpochIndex.gatherPruned]]);

@@ -30,7 +30,11 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
   */
 object IndexSweepProbe {
   def main(args: Array[String]): Unit = {
-    val cold = args.headOption.contains("cold")
+    // modes: (warm sweep default) | cold | cold_text | cold_embed —
+    // the _text/_embed splits let one leg re-run in isolation (arbitrating
+    // a suspect number without paying the other leg's builds)
+    val mode = args.headOption.getOrElse("")
+    val cold = mode.startsWith("cold")
     val rest = if (cold) args.drop(1) else args
     val scales = if (rest.nonEmpty) rest.toSeq.map(_.toInt)
                  else if (cold) Seq(2000000)
@@ -45,8 +49,8 @@ object IndexSweepProbe {
     spark.sparkContext.setLogLevel("WARN")
     graft.functions.windows.muteNoPartitionWarning()
     if (cold) scales.foreach { n =>
-      runCold(spark, n, batchN)
-      runColdEmbed(spark, n * 5, batchN)
+      if (mode != "cold_embed") runCold(spark, n, batchN)
+      if (mode != "cold_text") runColdEmbed(spark, n * 5, batchN)
     }
     else {
       scales.foreach(runScale(spark, _, batchN))
@@ -185,23 +189,27 @@ object IndexSweepProbe {
     println(f"""{"probe":"index_sweep","corpus":$n,"batch":$batchN,"minhash":{"build_sec":$mhB%.1f,"indexed_sec":$mhI%.1f,"recompute_sec":$mhR%.1f},"simhash":{"build_sec":$shB%.1f,"indexed_sec":$shI%.1f,"recompute_sec":$shR%.1f},"segment":{"build_sec":$sgB%.1f,"indexed_sec":$sgI%.1f,"recompute_sec":$sgR%.1f}}""")
   }
 
-  /** No-index twin of the 128/8 `HyperplaneIndex.dedupBatch`: re-read +
-    * re-sign the corpus under the index's exact geometry (same planes —
-    * 128 bits, 8 bands, seed 42), band both sides, cap 1000, verify exact
-    * cosine. In-memory only; no throwaway index write is charged to it.
-    * Shared by the warm sweep and the cold leg so both time identical work.
+  /** No-index twin of the wide-signature `HyperplaneIndex.dedupBatch`:
+    * re-read + re-sign the corpus under the index's exact geometry (same
+    * planes — `nBits` over 8 bands, seed 42), band both sides, cap 1000,
+    * verify exact cosine. In-memory only; no throwaway index write is
+    * charged to it. Shared by the warm sweep and the cold legs so every
+    * contrast times identical work.
     */
-  private def hyper128Recompute(
-      corpus: DataFrame, batch: DataFrame, dim: Int, threshold: Double): Long = {
+  private def hyperWideRecompute(
+      corpus: DataFrame, batch: DataFrame, dim: Int, threshold: Double,
+      nBits: Int = 128): Long = {
     import org.apache.spark.sql.graftx.Bridge
-    val planes = graft.functions.AnnUtil.randomPlanesWide(128, dim, 42L)
-    def signed(df: DataFrame) = df.select(col("id"), col("vec"),
-      Bridge.column(graft.functions.HyperplaneSignature(
-        Bridge.expression(col("vec")), planes.slice(0, 64))).as("sig0"),
-      Bridge.column(graft.functions.HyperplaneSignature(
-        Bridge.expression(col("vec")), planes.slice(64, 128))).as("sig1"))
+    val planes = graft.functions.AnnUtil.randomPlanesWide(nBits, dim, 42L)
+    val nWords = (nBits + 63) / 64
+    def signed(df: DataFrame) = (0 until nWords).foldLeft(
+      df.select(col("id"), col("vec"))) { (d, w) =>
+      d.withColumn(s"sig$w", Bridge.column(graft.functions.HyperplaneSignature(
+        Bridge.expression(col("vec")),
+        planes.slice(w * 64, math.min((w + 1) * 64, nBits)))))
+    }
     def banded(df: DataFrame) = {
-      val width = 16; val mask = (1L << width) - 1
+      val width = nBits / 8; val mask = if (width == 64) -1L else (1L << width) - 1
       val chunks = array((0 until 8).map { j =>
         val w = (j * width) / 64; val off = (j * width) % 64
         struct(lit(j).as("band"),
@@ -412,7 +420,7 @@ object IndexSweepProbe {
     def indexed(): Long = idx
       .dedupBatch(batch, "id", "vec", threshold)
       .select(col("batch_id")).distinct().count()
-    def recompute(): Long = hyper128Recompute(
+    def recompute(): Long = hyperWideRecompute(
       spark.read.parquet(corpusPath), batch, dim, threshold)
 
     val (iCold, iReq, iDisk, iWarm, nIdx) = coldLeg("indexed")(() => indexed())
@@ -420,7 +428,13 @@ object IndexSweepProbe {
     assert(nIdx == nRe,
       s"cold embed contrast invalid: indexed matched $nIdx, recompute $nRe")
 
-    // the gather-bucketed vecs layout — see runCold's indexed_gb leg
+    // the gather-bucketed vecs layout — see runCold's indexed_gb leg.
+    // NOTE: at this corpus/geometry (10M rows, 16-bit buckets -> ~150
+    // rows/bucket) the banding join yields MILLIONS of incidental
+    // candidates, so the gather prune hits its id cap and BOTH indexed
+    // legs fall back to the full-layout verify join by design — bucketing
+    // cannot help a candidate-bound geometry. The 256-bit legs below are
+    // the fix.
     val gbBuckets = 16384
     val idxGbPath = java.nio.file.Files
       .createTempDirectory(s"graft_cold_embidxgb_$n").toString
@@ -435,7 +449,44 @@ object IndexSweepProbe {
     val (gCold, gReq, gDisk, gWarm, nGb) = coldLeg("indexed_gb")(() => indexedGb())
     assert(nGb == nIdx,
       s"bucketed contrast invalid: bucketed matched $nGb, flat $nIdx")
-    println(f"""{"probe":"index_sweep_cold_embed","corpus":$n,"batch":$batchN,"corpus_mb":${corpusBytes / 1e6}%.0f,"index_mb":${idxBytes / 1e6}%.0f,"build_sec":$tBuild%.1f,"indexed":{"cold_sec":$iCold%.1f,"requested_mb":${iReq / 1e6}%.0f,"disk_mb":${iDisk / 1e6}%.0f,"warm_sec":$iWarm%.1f},"indexed_gb":{"buckets":$gbBuckets,"cold_sec":$gCold%.1f,"requested_mb":${gReq / 1e6}%.0f,"disk_mb":${gDisk / 1e6}%.0f,"warm_sec":$gWarm%.1f},"recompute":{"cold_sec":$rCold%.1f,"requested_mb":${rReq / 1e6}%.0f,"disk_mb":${rDisk / 1e6}%.0f,"warm_sec":$rWarm%.1f}}""")
+
+    // the GEOMETRY lever at corpus scale: 256 bits / 8 bands = 32-bit
+    // buckets (~0.002 expected rows per bucket at 10M), so candidates are
+    // OUTPUT-bound (planted near-dups only), the gather prune stays under
+    // its id cap, and with gatherBuckets the verify gather reads candidate
+    // DIRECTORIES instead of the whole vecs layout — the two levers
+    // composing. Recall on sign-identical copies is structural (all
+    // bands collide); the recompute twin runs the identical geometry.
+    val idx256Path = java.nio.file.Files
+      .createTempDirectory(s"graft_cold_embidx256_$n").toString
+    val (idx256, tBuild256) = time(HyperplaneIndex.build(
+      spark.read.parquet(corpusPath), "id", "vec", idx256Path,
+      dim = dim, nBits = 256))
+    val idx256GbPath = java.nio.file.Files
+      .createTempDirectory(s"graft_cold_embidx256gb_$n").toString
+    val (idx256Gb, tBuild256Gb) = time(HyperplaneIndex.build(
+      spark.read.parquet(corpusPath), "id", "vec", idx256GbPath,
+      dim = dim, nBits = 256, gatherBuckets = gbBuckets))
+    println(f"[probe] 256-bit indexes: flat build $tBuild256%.1f s, " +
+      f"bucketed build $tBuild256Gb%.1f s")
+    def indexed256(): Long = idx256
+      .dedupBatch(batch, "id", "vec", threshold)
+      .select(col("batch_id")).distinct().count()
+    def indexed256Gb(): Long = idx256Gb
+      .dedupBatch(batch, "id", "vec", threshold)
+      .select(col("batch_id")).distinct().count()
+    def recompute256(): Long = hyperWideRecompute(
+      spark.read.parquet(corpusPath), batch, dim, threshold, nBits = 256)
+    val (h6Cold, h6Req, h6Disk, h6Warm, n256) =
+      coldLeg("hy256")(() => indexed256())
+    val (g6Cold, g6Req, g6Disk, g6Warm, n256Gb) =
+      coldLeg("hy256_gb")(() => indexed256Gb())
+    val (r6Cold, r6Req, r6Disk, r6Warm, n256Re) =
+      coldLeg("hy256_re")(() => recompute256())
+    assert(n256 == n256Gb && n256 == n256Re,
+      s"256-bit contrast invalid: flat $n256, bucketed $n256Gb, recompute $n256Re")
+
+    println(f"""{"probe":"index_sweep_cold_embed","corpus":$n,"batch":$batchN,"corpus_mb":${corpusBytes / 1e6}%.0f,"index_mb":${idxBytes / 1e6}%.0f,"build_sec":$tBuild%.1f,"indexed":{"cold_sec":$iCold%.1f,"requested_mb":${iReq / 1e6}%.0f,"disk_mb":${iDisk / 1e6}%.0f,"warm_sec":$iWarm%.1f},"indexed_gb":{"buckets":$gbBuckets,"cold_sec":$gCold%.1f,"requested_mb":${gReq / 1e6}%.0f,"disk_mb":${gDisk / 1e6}%.0f,"warm_sec":$gWarm%.1f},"recompute":{"cold_sec":$rCold%.1f,"requested_mb":${rReq / 1e6}%.0f,"disk_mb":${rDisk / 1e6}%.0f,"warm_sec":$rWarm%.1f},"indexed256":{"cold_sec":$h6Cold%.1f,"requested_mb":${h6Req / 1e6}%.0f,"disk_mb":${h6Disk / 1e6}%.0f,"warm_sec":$h6Warm%.1f},"indexed256_gb":{"buckets":$gbBuckets,"cold_sec":$g6Cold%.1f,"requested_mb":${g6Req / 1e6}%.0f,"disk_mb":${g6Disk / 1e6}%.0f,"warm_sec":$g6Warm%.1f},"recompute256":{"cold_sec":$r6Cold%.1f,"requested_mb":${r6Req / 1e6}%.0f,"disk_mb":${r6Disk / 1e6}%.0f,"warm_sec":$r6Warm%.1f}}""")
   }
 
   /** Deterministic pseudo-random embedding (`dim` floats in [-1, 1]) keyed
@@ -550,7 +601,7 @@ object IndexSweepProbe {
       idx.asInstanceOf[HyperplaneIndex]
         .dedupBatch(batch, "id", "vec", threshold)
         .select(col("batch_id")).distinct().count()
-    } { () => hyper128Recompute(corpus, batch, dim, threshold) }
+    } { () => hyperWideRecompute(corpus, batch, dim, threshold) }
 
     // frozen centroids: the first 64 corpus vectors (deterministic — the
     // q72 buildWithCentroids discipline); the DEFAULT corpus-side cluster

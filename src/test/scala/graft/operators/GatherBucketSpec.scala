@@ -142,6 +142,24 @@ class GatherBucketSpec extends AnyFunSuite with SparkSpec {
     assert(pairs(loaded.dedupBatch(batch, "vec_id", "embedding", 0.9)) == expect)
   }
 
+  test("hyperplane online ingest on a bucketed index equals flat (multi-probe on)") {
+    def run(gb: Int): (Set[Long], Set[Long], Long) = {
+      val idx = HyperplaneIndex.build(vecs.filter($"vec_id" < 300),
+        "vec_id", "embedding", tmp(s"hp_ing$gb"), dim = 64, nBits = 128,
+        gatherBuckets = gb)
+      val b1 = vecs.filter($"vec_id" >= 300 && $"vec_id" < 400)
+      val b2 = vecs.filter($"vec_id" >= 400)
+      val k1 = idx.ingestBatch(b1, "vec_id", "embedding", 0.9, probeFlips = 1)
+        .select($"vec_id").as[Long].collect().toSet
+      val k2 = idx.ingestBatch(b2, "vec_id", "embedding", 0.9, probeFlips = 1)
+        .select($"vec_id").as[Long].collect().toSet
+      (k1, k2, idx.maintenance().nDocs)
+    }
+    val (f1, f2, fN) = run(0)
+    val (b1, b2, bN) = run(8)
+    assert(b1 == f1 && b2 == f2 && bN == fN)
+  }
+
   test("pre-gather-bucket meta (no gather_buckets column) loads as flat") {
     // write the OLD meta schema by hand next to a freshly built flat index:
     // load must default to 0 rather than fail or misread

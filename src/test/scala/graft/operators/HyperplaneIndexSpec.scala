@@ -255,4 +255,23 @@ class HyperplaneIndexSpec extends AnyFunSuite with SparkSpec {
         seed = 42L) // width 128 > one word
     }
   }
+
+  test("recommendedNBits: bucket space dwarfs the corpus, width stays legal") {
+    // the probe-measured cases: 10M rows needs 32-bit buckets (256/8);
+    // small corpora sit happily at 128/8; width never exceeds one word
+    assert(HyperplaneIndex.recommendedNBits(10000000L) == 256)
+    assert(HyperplaneIndex.recommendedNBits(1000L) == 128)
+    assert(HyperplaneIndex.recommendedNBits(1L) == 64)
+    assert(HyperplaneIndex.recommendedNBits(10000000000L) == 512)
+    Seq(1L, 999L, 65536L, 10000000L, 10000000000L, Long.MaxValue / 128)
+      .foreach { n =>
+        val bits = HyperplaneIndex.recommendedNBits(n)
+        val width = bits / 8
+        // the recommendation must always satisfy the constructor contract
+        assert(width >= 1 && width <= 64 && (width == 64 || 64 % width == 0))
+        // and actually clear the headroom bar (or be pinned at the cap)
+        assert(width == 64 ||
+          math.pow(2.0, width) >= 64.0 * n.toDouble)
+      }
+  }
 }
