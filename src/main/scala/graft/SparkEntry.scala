@@ -1486,6 +1486,74 @@ object SparkEntry {
           text.BpeTokenizer.bpeTokenCount(col("text"), model).as("n_tok"),
           array_join(text.BpeTokenizer.bpeTokens(col("text"), model), "|")
             .as("segmented"))
+    }),
+
+    // Batch gap sessionization under oracle (operators.Sessionize — the
+    // offline twin of Streams.sessionize, until now spec-only): one
+    // shuffle on user_id, a lag + running-sum window to assign session
+    // ids, one hash aggregate per session. A 6 h gap against the 30-day /
+    // 150-user events table yields a real mix of multi-event sessions and
+    // singletons (median per-user inter-event gap ~7.3 h). Determinism:
+    // tied ts_ms rows are RANGE-frame peers in both engines (equal lag
+    // diff -> same session regardless of physical order) and the value
+    // total goes through DECIMAL(18,4); ts goes through the type-probing
+    // Events reader, truncated to epoch-ms identically by unix_millis and
+    // epoch_ms.
+    "q81_sessionize" -> ((s, dir) => {
+      val ev = sources.Events.read(s, dir)
+        .withColumn("ts_ms", unix_millis(col("event_time")))
+      operators.Sessionize.sessionize(ev, "user_id", "ts_ms", "value",
+        gapMillis = 6L * 3600 * 1000)
+    }),
+
+    // ONLINE ingest dedup for the SEMANTIC family end to end (q76's
+    // construction with SemDeDup's cluster-scoped exact-cosine semantics —
+    // ingestSemDedupStream + SemDedupIndex.ingestBatch were the last
+    // spec-only ingest family), with autoCompact = true so the
+    // per-micro-batch compaction verdict runs UNDER the oracle
+    // (compaction is output-preserving, so drift would go red here).
+    // Fixed q72 centroids (vec_id < 8 — assignment is a pure argmax the
+    // oracle replays), corpus vec_id < 400 built FRESH per run (the
+    // operator APPENDS). Planted: scaled corpus copies (+10000, 2x) must
+    // drop via the stored-cluster match; scaled copies of kept batch rows
+    // (+20000, 3x) must drop via the within-batch keep-vs-accepted sweep.
+    // Colinear copies share the source's cluster under any frozen
+    // geometry, so cluster-scoping never hides a planted pair.
+    "q82_semdedup_ingest" -> ((s, dir) => {
+      val idxPath = tempIndexDir("graft_q82_idx")
+      val emb = t(s, dir, "embeddings")
+      val cents = emb.filter(col("vec_id") < 8).orderBy(col("vec_id"))
+        .select(col("embedding")).collect()
+        .map(_.getSeq[Float](0).toArray.map(_.toDouble))
+      val idx = ml.SemDedupIndex.buildWithCentroids(
+        emb.filter(col("vec_id") < 400), "vec_id", "embedding", idxPath, cents)
+      val src = streaming.Streams.embeddingStream(s, dir,
+          glob = Some("embeddings.parquet"))
+        .select(col("vec_id"), col("embedding"))
+      val batch = src.filter(col("vec_id") >= 400)
+        .unionAll(src.filter(col("vec_id") < 30).select(
+          (col("vec_id") + 10000).as("vec_id"),
+          transform(col("embedding"), x => x * lit(2.0f)).as("embedding")))
+        .unionAll(src.filter(col("vec_id") >= 400 && col("vec_id") < 450)
+          .select((col("vec_id") + 20000).as("vec_id"),
+            transform(col("embedding"), x => x * lit(3.0f)).as("embedding")))
+      val keptIds = new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Long]()
+      val q = streaming.Streams.ingestSemDedupStream(batch, idx,
+        threshold = 0.9, autoCompact = true,
+        onBatch = (kept, _) => kept.select(col("vec_id")).collect()
+          .foreach(r => keptIds.add(r.getLong(0))))
+      try q.processAllAvailable() finally q.stop()
+      import scala.jdk.CollectionConverters._
+      import s.implicits._
+      val keptDf = keptIds.asScala.map(_.longValue).toSeq.toDF("vec_id")
+        .withColumn("kept", lit(true))
+      emb.filter(col("vec_id") >= 400).select(col("vec_id"))
+        .unionAll(emb.filter(col("vec_id") < 30)
+          .select((col("vec_id") + 10000).as("vec_id")))
+        .unionAll(emb.filter(col("vec_id") >= 400 && col("vec_id") < 450)
+          .select((col("vec_id") + 20000).as("vec_id")))
+        .join(keptDf, Seq("vec_id"), "left")
+        .select(col("vec_id"), coalesce(col("kept"), lit(false)).as("kept"))
     })
   )
 
@@ -3071,7 +3139,91 @@ object SparkEntry {
         |SELECT CAST(g.doc_id AS BIGINT) AS id,
         |  COALESCE(f.n_tok, 0) AS n_tok,
         |  COALESCE(f.segmented, '') AS segmented
-        |FROM tgt g LEFT JOIN flat f USING (doc_id)""".stripMargin
+        |FROM tgt g LEFT JOIN flat f USING (doc_id)""".stripMargin,
+
+    // Gap sessionization replay: identical lag + RANGE-frame running-sum
+    // window (tied ts_ms rows are peers in both engines), DECIMAL-exact
+    // value totals, epoch_ms truncation = unix_millis truncation.
+    "q81_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_ms(ts) AS ts_ms, value FROM events),
+        |b AS (
+        |  SELECT user_id, ts_ms, value,
+        |    CASE WHEN ts_ms - lag(ts_ms)
+        |           OVER (PARTITION BY user_id ORDER BY ts_ms) > 21600000
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM e),
+        |sess AS (
+        |  SELECT user_id, ts_ms, value,
+        |    CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts_ms)
+        |      AS BIGINT) AS session_id
+        |  FROM b)
+        |SELECT user_id, session_id,
+        |  min(ts_ms) AS session_start_ms,
+        |  max(ts_ms) AS session_end_ms,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+        |FROM sess GROUP BY user_id, session_id""".stripMargin,
+
+    // Semantic-family ingest replay: the q76 recursive accepted walk with
+    // q72's cluster scoping — batch rows drop on a same-cluster stored
+    // match or a same-cluster kept lower-id batch row; everything else
+    // survives. Assignment is the pure argmax over the fixed centroids.
+    "q82_semdedup_ingest" ->
+      """WITH RECURSIVE
+        |cent AS MATERIALIZED (
+        |  SELECT vec_id AS cl, CAST(embedding AS DOUBLE[]) AS c
+        |  FROM embeddings WHERE vec_id < 8),
+        |corpus AS MATERIALIZED (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |  WHERE vec_id < 400),
+        |batch AS MATERIALIZED (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |  WHERE vec_id >= 400
+        |  UNION ALL
+        |  SELECT vec_id + 10000,
+        |    CAST(list_transform(embedding, x -> x * CAST(2.0 AS FLOAT)) AS DOUBLE[])
+        |  FROM embeddings WHERE vec_id < 30
+        |  UNION ALL
+        |  SELECT vec_id + 20000,
+        |    CAST(list_transform(embedding, x -> x * CAST(3.0 AS FLOAT)) AS DOUBLE[])
+        |  FROM embeddings WHERE vec_id >= 400 AND vec_id < 450),
+        |ca AS MATERIALIZED (
+        |  SELECT vec_id, v, cl FROM (
+        |    SELECT x.vec_id, x.v, c.cl,
+        |      row_number() OVER (PARTITION BY x.vec_id
+        |        ORDER BY list_cosine_similarity(c.c, x.v) DESC, c.cl ASC) AS rn
+        |    FROM corpus x CROSS JOIN cent c) WHERE rn = 1),
+        |ba AS MATERIALIZED (
+        |  SELECT vec_id, v, cl FROM (
+        |    SELECT x.vec_id, x.v, c.cl,
+        |      row_number() OVER (PARTITION BY x.vec_id
+        |        ORDER BY list_cosine_similarity(c.c, x.v) DESC, c.cl ASC) AS rn
+        |    FROM batch x CROSS JOIN cent c) WHERE rn = 1),
+        |matched AS MATERIALIZED (
+        |  SELECT DISTINCT b.vec_id FROM ba b JOIN ca c ON b.cl = c.cl
+        |  WHERE list_cosine_similarity(b.v, c.v) >= 0.9),
+        |pairs AS MATERIALIZED (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM ba a JOIN ba b ON a.cl = b.cl
+        |  WHERE a.vec_id < b.vec_id
+        |    AND list_cosine_similarity(a.v, b.v) >= 0.9),
+        |ordered AS MATERIALIZED (
+        |  SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) AS BIGINT) AS rn
+        |  FROM batch),
+        |walk AS (
+        |  SELECT CAST(0 AS BIGINT) AS rn, CAST([] AS BIGINT[]) AS kept
+        |  UNION ALL
+        |  SELECT o.rn,
+        |    CASE WHEN o.vec_id IN (SELECT vec_id FROM matched)
+        |           OR EXISTS (SELECT 1 FROM pairs p
+        |                      WHERE p.id_b = o.vec_id AND list_contains(w.kept, p.id_a))
+        |         THEN w.kept
+        |         ELSE list_append(w.kept, o.vec_id) END
+        |  FROM walk w JOIN ordered o ON o.rn = w.rn + 1),
+        |final AS (SELECT kept FROM walk ORDER BY rn DESC LIMIT 1)
+        |SELECT o.vec_id, list_contains(f.kept, o.vec_id) AS kept
+        |FROM ordered o CROSS JOIN final f""".stripMargin
   )
 
   /** Shared BM25 corpus CTE for q39/q40 oracles — terms (vector, merge,
