@@ -1554,6 +1554,43 @@ object SparkEntry {
           .select((col("vec_id") + 20000).as("vec_id")))
         .join(keptDf, Seq("vec_id"), "left")
         .select(col("vec_id"), coalesce(col("kept"), lit(false)).as("kept"))
+    }),
+
+    // ONLINE ingest dedup for the HAMMING family (the last persisted index
+    // family without an online form — image-crawl dHash / SimHash shape):
+    // q64's portable arithmetic fingerprints so the oracle replays the
+    // exact-hamming decision, corpus = EVEN ids < 400 only — fp classes
+    // repeat every 150 ids (CRT of %50 and %3), so an all-id corpus would
+    // match every batch row at hamming 0 and never exercise the
+    // within-batch sweep; halving the corpus leaves the odd-h classes to
+    // dedup purely among themselves (first arrival kept, the rest dropped
+    // by the keep-vs-accepted sweep). maxBucketSize is lifted so the
+    // deterministic bucket-cap trade can't bind (the oracle does not model
+    // truncation).
+    "q83_hamming_ingest" -> ((s, dir) => {
+      val idxPath = tempIndexDir("graft_q83_idx")
+      val idx = operators.HammingIndex.build(
+        t(s, dir, "documents")
+          .filter(col("doc_id") < 400 && col("doc_id") % 2 === 0)
+          .select(col("doc_id"), portableFp(col("doc_id")).as("fp")),
+        "doc_id", "fp", idxPath, nBands = 4, kind = "portable")
+      val src = streaming.Streams.documentStream(s, dir,
+          glob = Some("documents.parquet"))
+        .filter(col("doc_id") >= 400)
+        .select(col("doc_id"), portableFp(col("doc_id")).as("fp"))
+      val keptIds = new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Long]()
+      val q = streaming.Streams.ingestHammingDedupStream(src, idx,
+        "doc_id", "fp", maxHamming = 3, maxBucketSize = 1 << 20,
+        onBatch = (kept, _) => kept.select(col("doc_id")).collect()
+          .foreach(r => keptIds.add(r.getLong(0))))
+      try q.processAllAvailable() finally q.stop()
+      import scala.jdk.CollectionConverters._
+      import s.implicits._
+      val keptDf = keptIds.asScala.map(_.longValue).toSeq.toDF("doc_id")
+        .withColumn("kept", lit(true))
+      t(s, dir, "documents").filter(col("doc_id") >= 400).select(col("doc_id"))
+        .join(keptDf, Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("kept"), lit(false)).as("kept"))
     })
   )
 
@@ -2564,23 +2601,24 @@ object SparkEntry {
         |  WHERE b.doc_id >= 400 AND c.doc_id < 400
         |    AND CAST(len(list_intersect(b.sh, c.sh)) AS DOUBLE) /
         |        (len(b.sh) + len(c.sh) - len(list_intersect(b.sh, c.sh))) >= 0.5),
-        |pairs AS MATERIALIZED (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM s a, s b
+        |partners AS MATERIALIZED (
+        |  SELECT b.doc_id AS id_b, list(a.doc_id) AS ids FROM s a, s b
         |  WHERE a.doc_id >= 400 AND b.doc_id >= 400 AND a.doc_id < b.doc_id
         |    AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-        |        (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5),
+        |        (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5
+        |  GROUP BY b.doc_id),
         |ordered AS MATERIALIZED (
-        |  SELECT doc_id, CAST(row_number() OVER (ORDER BY doc_id) AS BIGINT) AS rn
-        |  FROM documents WHERE doc_id >= 400),
+        |  SELECT d.doc_id, CAST(row_number() OVER (ORDER BY d.doc_id) AS BIGINT) AS rn,
+        |    d.doc_id IN (SELECT doc_id FROM matched) AS is_matched,
+        |    COALESCE(p.ids, []) AS partners
+        |  FROM documents d LEFT JOIN partners p ON p.id_b = d.doc_id
+        |  WHERE d.doc_id >= 400),
         |walk AS (
         |  SELECT CAST(0 AS BIGINT) AS rn, CAST([] AS BIGINT[]) AS kept
         |  UNION ALL
         |  SELECT o.rn,
-        |    CASE WHEN o.doc_id IN (SELECT doc_id FROM matched)
-        |           OR EXISTS (SELECT 1 FROM pairs p
-        |                      WHERE p.id_b = o.doc_id AND list_contains(w.kept, p.id_a))
-        |         THEN w.kept
-        |         ELSE list_append(w.kept, o.doc_id) END
+        |    CASE WHEN o.is_matched OR list_has_any(w.kept, o.partners)
+        |         THEN w.kept ELSE list_append(w.kept, o.doc_id) END
         |  FROM walk w JOIN ordered o ON o.rn = w.rn + 1),
         |final AS (SELECT kept FROM walk ORDER BY rn DESC LIMIT 1)
         |SELECT o.doc_id, list_contains(f.kept, o.doc_id) AS kept
@@ -2960,22 +2998,22 @@ object SparkEntry {
         |matched AS MATERIALIZED (
         |  SELECT DISTINCT b.vec_id FROM batch b, corpus c
         |  WHERE list_cosine_similarity(b.v, c.v) >= 0.9),
-        |pairs AS MATERIALIZED (
-        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b FROM batch a, batch b
+        |partners AS MATERIALIZED (
+        |  SELECT b.vec_id AS id_b, list(a.vec_id) AS ids FROM batch a, batch b
         |  WHERE a.vec_id < b.vec_id
-        |    AND list_cosine_similarity(a.v, b.v) >= 0.9),
+        |    AND list_cosine_similarity(a.v, b.v) >= 0.9
+        |  GROUP BY b.vec_id),
         |ordered AS MATERIALIZED (
-        |  SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) AS BIGINT) AS rn
-        |  FROM batch),
+        |  SELECT b.vec_id, CAST(row_number() OVER (ORDER BY b.vec_id) AS BIGINT) AS rn,
+        |    b.vec_id IN (SELECT vec_id FROM matched) AS is_matched,
+        |    COALESCE(p.ids, []) AS partners
+        |  FROM batch b LEFT JOIN partners p ON p.id_b = b.vec_id),
         |walk AS (
         |  SELECT CAST(0 AS BIGINT) AS rn, CAST([] AS BIGINT[]) AS kept
         |  UNION ALL
         |  SELECT o.rn,
-        |    CASE WHEN o.vec_id IN (SELECT vec_id FROM matched)
-        |           OR EXISTS (SELECT 1 FROM pairs p
-        |                      WHERE p.id_b = o.vec_id AND list_contains(w.kept, p.id_a))
-        |         THEN w.kept
-        |         ELSE list_append(w.kept, o.vec_id) END
+        |    CASE WHEN o.is_matched OR list_has_any(w.kept, o.partners)
+        |         THEN w.kept ELSE list_append(w.kept, o.vec_id) END
         |  FROM walk w JOIN ordered o ON o.rn = w.rn + 1),
         |final AS (SELECT kept FROM walk ORDER BY rn DESC LIMIT 1)
         |SELECT o.vec_id, list_contains(f.kept, o.vec_id) AS kept
@@ -3203,27 +3241,70 @@ object SparkEntry {
         |matched AS MATERIALIZED (
         |  SELECT DISTINCT b.vec_id FROM ba b JOIN ca c ON b.cl = c.cl
         |  WHERE list_cosine_similarity(b.v, c.v) >= 0.9),
-        |pairs AS MATERIALIZED (
-        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |partners AS MATERIALIZED (
+        |  SELECT b.vec_id AS id_b, list(a.vec_id) AS ids
         |  FROM ba a JOIN ba b ON a.cl = b.cl
         |  WHERE a.vec_id < b.vec_id
-        |    AND list_cosine_similarity(a.v, b.v) >= 0.9),
+        |    AND list_cosine_similarity(a.v, b.v) >= 0.9
+        |  GROUP BY b.vec_id),
         |ordered AS MATERIALIZED (
-        |  SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) AS BIGINT) AS rn
-        |  FROM batch),
+        |  SELECT b.vec_id, CAST(row_number() OVER (ORDER BY b.vec_id) AS BIGINT) AS rn,
+        |    b.vec_id IN (SELECT vec_id FROM matched) AS is_matched,
+        |    COALESCE(p.ids, []) AS partners
+        |  FROM batch b LEFT JOIN partners p ON p.id_b = b.vec_id),
         |walk AS (
         |  SELECT CAST(0 AS BIGINT) AS rn, CAST([] AS BIGINT[]) AS kept
         |  UNION ALL
         |  SELECT o.rn,
-        |    CASE WHEN o.vec_id IN (SELECT vec_id FROM matched)
-        |           OR EXISTS (SELECT 1 FROM pairs p
-        |                      WHERE p.id_b = o.vec_id AND list_contains(w.kept, p.id_a))
-        |         THEN w.kept
-        |         ELSE list_append(w.kept, o.vec_id) END
+        |    CASE WHEN o.is_matched OR list_has_any(w.kept, o.partners)
+        |         THEN w.kept ELSE list_append(w.kept, o.vec_id) END
         |  FROM walk w JOIN ordered o ON o.rn = w.rn + 1),
         |final AS (SELECT kept FROM walk ORDER BY rn DESC LIMIT 1)
         |SELECT o.vec_id, list_contains(f.kept, o.vec_id) AS kept
-        |FROM ordered o CROSS JOIN final f""".stripMargin
+        |FROM ordered o CROSS JOIN final f""".stripMargin,
+
+    // Hamming-family ingest replay: the q76 recursive accepted walk over
+    // q64's arithmetic fingerprints — a batch row drops on an exact
+    // hamming <= 3 match against the (even-id) corpus or against a kept
+    // lower-id batch row. Partner lists are precomputed OUTSIDE the
+    // recursion (list_has_any against the carried kept-set): DuckDB
+    // 1.0's correlated EXISTS inside a recursive CTE silently
+    // misevaluates once the pair table is large (~200k rows at sf0.1 —
+    // found empirically: the walk kept rows whose kept partner it no
+    // longer saw), and the subquery-free form is also ~10x faster.
+    "q83_hamming_ingest" ->
+      """WITH RECURSIVE
+        |f AS MATERIALIZED (
+        |  SELECT doc_id,
+        |    ((doc_id % 50) * 2654435761) % 4294967296 * 8 + (doc_id % 3) AS fp
+        |  FROM documents),
+        |corpus AS MATERIALIZED (
+        |  SELECT doc_id, fp FROM f WHERE doc_id < 400 AND doc_id % 2 = 0),
+        |batch AS MATERIALIZED (
+        |  SELECT doc_id, fp FROM f WHERE doc_id >= 400),
+        |matched AS MATERIALIZED (
+        |  SELECT DISTINCT b.doc_id FROM batch b, corpus c
+        |  WHERE bit_count(xor(b.fp, c.fp)) <= 3),
+        |partners AS MATERIALIZED (
+        |  SELECT b.doc_id AS id_b, list(a.doc_id) AS ids
+        |  FROM batch a, batch b
+        |  WHERE a.doc_id < b.doc_id AND bit_count(xor(a.fp, b.fp)) <= 3
+        |  GROUP BY b.doc_id),
+        |ordered AS MATERIALIZED (
+        |  SELECT b.doc_id, CAST(row_number() OVER (ORDER BY b.doc_id) AS BIGINT) AS rn,
+        |    b.doc_id IN (SELECT doc_id FROM matched) AS is_matched,
+        |    COALESCE(p.ids, []) AS partners
+        |  FROM batch b LEFT JOIN partners p ON p.id_b = b.doc_id),
+        |walk AS (
+        |  SELECT CAST(0 AS BIGINT) AS rn, CAST([] AS BIGINT[]) AS kept
+        |  UNION ALL
+        |  SELECT o.rn,
+        |    CASE WHEN o.is_matched OR list_has_any(w.kept, o.partners)
+        |         THEN w.kept ELSE list_append(w.kept, o.doc_id) END
+        |  FROM walk w JOIN ordered o ON o.rn = w.rn + 1),
+        |final AS (SELECT kept FROM walk ORDER BY rn DESC LIMIT 1)
+        |SELECT o.doc_id, list_contains(f2.kept, o.doc_id) AS kept
+        |FROM ordered o CROSS JOIN final f2""".stripMargin
   )
 
   /** Shared BM25 corpus CTE for q39/q40 oracles — terms (vector, merge,

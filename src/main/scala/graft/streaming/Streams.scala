@@ -476,6 +476,44 @@ object Streams {
       .start()
   }
 
+  /** The HAMMING-family twin of [[ingestDedupStream]] — the last persisted
+    * index family to get an online form: each micro-batch of
+    * pre-fingerprinted (id, fp) rows (image dHash, SimHash, any 64-bit
+    * family — pixels/text already reduced upstream, so the stream moves
+    * 16-byte rows) is deduped against the stored banded fingerprints
+    * ([[graft.operators.HammingIndex.ingestBatch]]: pigeonhole-total
+    * candidate recall at maxHamming < nBands, exact-hamming verify, plus
+    * the within-batch keep-vs-accepted sweep), survivors appended so later
+    * micro-batches dedup against them, kept rows to `onBatch` BEFORE the
+    * append (the [[ingestDedupStream]] sink-before-append restart
+    * contract).
+    */
+  def ingestHammingDedupStream(
+      fps: DataFrame,
+      index: graft.operators.HammingIndex,
+      idCol: String = "id",
+      fpCol: String = "fp",
+      maxHamming: Int = 3,
+      maxBucketSize: Int = 1000,
+      checkpoint: Option[String] = None,
+      onBatch: (DataFrame, Long) => Unit = (_, _) => (),
+      trigger: Trigger = Trigger.AvailableNow(),
+      autoCompact: Boolean = false): StreamingQuery = {
+    val cp = checkpoint.getOrElse(
+      java.nio.file.Files.createTempDirectory("graft_ingest_ham_cp").toString)
+    fps.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", cp)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        index.ingestBatch(batch, idCol, fpCol, maxHamming, maxBucketSize,
+          onKept = kept => onBatch(kept, batchId))
+        if (autoCompact && index.needsCompaction()) index.compact()
+        ()
+      }
+      .start()
+  }
+
   // -------------------------------------------------------- progress stream
 
   /** Schema of one progress event (reference SSE event payload shape,

@@ -123,6 +123,61 @@ class StreamsSpec extends AnyFunSuite with SparkSpec {
     assert(staticKept == Set(1000L, 1003L))
   }
 
+  test("ingestHammingDedupStream: chopping-independent kept set, static parity") {
+    // the ingestEmbeddingDedupStream scenario on pre-fingerprinted rows
+    // (the image-dHash / SimHash shape): corpus fps 0..9 (pairwise far),
+    // batch 1000 = exact copy of corpus 3 (drops: index), 1001 = hamming-1
+    // neighbor of corpus 5 (drops: index), 1002 = fresh (kept), 1003 =
+    // hamming-2 neighbor of 1002 (drops: within-batch sweep in the
+    // one-drop run, INDEX in the two-drop run — 1002 was appended by drop
+    // 1), 1004 = fresh (kept). All cross-group distances > 3 (verified
+    // constants).
+    val corpus = (0L until 10L).map(i => (i, i * 1024L)).toDF("id", "fp")
+    val freshA = 15999984L
+    val batchRows = Seq(
+      (1000L, 3L * 1024L), (1001L, 5L * 1024L ^ 1L),
+      (1002L, freshA), (1003L, freshA ^ 3L), (1004L, 0x5555550L))
+    def rows(ids: Long*) =
+      batchRows.filter(r => ids.contains(r._1)).toDF("id", "fp")
+    val splits = Seq(
+      "one" -> Seq(rows(1000L, 1001L, 1002L, 1003L, 1004L)),
+      "two" -> Seq(rows(1000L, 1001L, 1002L), rows(1003L, 1004L)))
+    val results = splits.map { case (name, drops) =>
+      val idx = graft.operators.HammingIndex.build(corpus, "id", "fp",
+        tempDir(s"graft_ingham_idx_$name"), nBands = 4, kind = "custom")
+      val dropDir = tempDir(s"graft_ingham_$name")
+      val keptIds = scala.collection.mutable.Set.empty[Long]
+      val src = spark.readStream
+        .schema(StructType(Seq(
+          StructField("id", org.apache.spark.sql.types.LongType),
+          StructField("fp", org.apache.spark.sql.types.LongType))))
+        .parquet(dropDir)
+      val q = Streams.ingestHammingDedupStream(src, idx, "id", "fp",
+        maxHamming = 3,
+        onBatch = (kept, _) =>
+          keptIds ++= kept.select($"id").as[Long].collect(),
+        trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(
+          "50 milliseconds"))
+      try {
+        drops.foreach { d =>
+          d.write.mode("append").parquet(dropDir)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+      name -> ((keptIds.toSet, idx.maintenance().nDocs))
+    }.toMap
+    assert(results("one") == results("two"))
+    assert(results("one")._1 == Set(1002L, 1004L))
+    assert(results("one")._2 == 12L, "corpus + the 2 kept fingerprints")
+    // static-path parity: one direct ingestBatch call on a fresh index
+    val staticIdx = graft.operators.HammingIndex.build(corpus, "id", "fp",
+      tempDir("graft_ingham_static"), nBands = 4, kind = "custom")
+    val staticKept = staticIdx.ingestBatch(
+      rows(1000L, 1001L, 1002L, 1003L, 1004L), "id", "fp", maxHamming = 3)
+      .select($"id").as[Long].collect().toSet
+    assert(staticKept == Set(1002L, 1004L))
+  }
+
   test("ingestSemDedupStream: chopping-independent kept set, static parity") {
     // the ingestEmbeddingDedupStream scenario, semantic family: 1000/1001 =
     // copies of fresh 450 (1000 kept, 1001 drops — sweep in the one-drop
