@@ -1591,6 +1591,25 @@ object SparkEntry {
       t(s, dir, "documents").filter(col("doc_id") >= 400).select(col("doc_id"))
         .join(keptDf, Seq("doc_id"), "left")
         .select(col("doc_id"), coalesce(col("kept"), lit(false)).as("kept"))
+    }),
+
+    // MMR diversified retrieval under oracle (operators.Mmr — Carbonell &
+    // Goldstein, SIGIR 1998; the RAG-context diversity knob): distributed
+    // top-50 cosine candidates (the q11 discipline: broadcast query,
+    // TakeOrderedAndProject, ascending-id tie-break), then the greedy
+    // rerank to k = 10 at lambda = 0.7. The oracle UNROLLS the ten
+    // selection steps as a chained-CTE argmax — no recursion, applying
+    // the q83 DuckDB-correlated-subquery lesson preemptively — and writes
+    // the penalty factor as (1.0 - 0.7) so both engines compute the
+    // identical double. Output is ids + ranks only (raw doubles never
+    // hashed; argmax gaps dwarf cross-engine ulp noise, the q11 contract).
+    "q84_mmr_rerank" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val qv = emb.filter(col("vec_id") === 0).select(col("embedding"))
+        .head().getSeq[Float](0).map(_.toDouble)
+      operators.Mmr.searchMmr(emb, "vec_id", "embedding", qv,
+        k = 10, fetchN = 50, lambda = 0.7)
+        .select(col("rank"), col("vec_id"))
     })
   )
 
@@ -3304,8 +3323,51 @@ object SparkEntry {
         |  FROM walk w JOIN ordered o ON o.rn = w.rn + 1),
         |final AS (SELECT kept FROM walk ORDER BY rn DESC LIMIT 1)
         |SELECT o.doc_id, list_contains(f2.kept, o.doc_id) AS kept
-        |FROM ordered o CROSS JOIN final f2""".stripMargin
+        |FROM ordered o CROSS JOIN final f2""".stripMargin,
+
+    "q84_mmr_rerank" -> Q84MmrOracle
   )
+
+  /** q84's oracle, generated: the greedy MMR selection unrolled into k
+    * chained argmax CTEs (sel1..selK). Each step ranks the remaining
+    * candidates by lambda * rel - (1 - lambda) * max(sim to selected),
+    * ties on ascending id — exactly [[graft.operators.Mmr.rerank]]'s
+    * loop. Unrolled rather than recursive: DuckDB 1.0 misevaluates
+    * correlated subqueries inside recursive CTEs at scale (the q83
+    * finding), and the chain needs none.
+    */
+  private val Q84MmrOracle: String = {
+    val k = 10
+    val head =
+      """WITH cand AS MATERIALIZED (
+        |  SELECT e.vec_id AS id, CAST(e.embedding AS DOUBLE[]) AS v,
+        |    list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |      CAST(q.qv AS DOUBLE[])) AS rel
+        |  FROM embeddings e,
+        |       (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) q
+        |  ORDER BY rel DESC, e.vec_id ASC LIMIT 50),
+        |sims AS MATERIALIZED (
+        |  SELECT a.id AS a, b.id AS b, list_cosine_similarity(a.v, b.v) AS sim
+        |  FROM cand a, cand b WHERE a.id <> b.id),
+        |sel1 AS MATERIALIZED (
+        |  SELECT id FROM cand ORDER BY 0.7 * rel DESC, id ASC LIMIT 1)""".stripMargin
+    // each step MATERIALIZED: un-materialized CTEs inline at every
+    // reference, and sel_i references all of sel_1..sel_{i-1} — the
+    // expansion is exponential in k without it
+    val steps = (2 to k).map { i =>
+      val prev = (1 until i).map(j => s"SELECT id FROM sel$j").mkString(" UNION ALL ")
+      s"""sel$i AS MATERIALIZED (
+         |  SELECT c.id FROM cand c JOIN sims s ON s.a = c.id
+         |  WHERE s.b IN ($prev) AND c.id NOT IN ($prev)
+         |  GROUP BY c.id, c.rel
+         |  ORDER BY 0.7 * c.rel - (1.0 - 0.7) * max(s.sim) DESC, c.id ASC
+         |  LIMIT 1)""".stripMargin
+    }
+    val out = (1 to k).map(i =>
+      s"SELECT CAST($i AS BIGINT) AS rank, id AS vec_id FROM sel$i")
+      .mkString("\nUNION ALL ")
+    (head +: steps).mkString(",\n") + "\n" + out
+  }
 
   /** Shared BM25 corpus CTE for q39/q40 oracles — terms (vector, merge,
     * dup), k1=1.2, b=0.75, written to mirror TextSearch.bm25TopK's exact
