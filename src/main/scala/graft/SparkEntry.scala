@@ -1610,6 +1610,23 @@ object SparkEntry {
       operators.Mmr.searchMmr(emb, "vec_id", "embedding", qv,
         k = 10, fetchN = 50, lambda = 0.7)
         .select(col("rank"), col("vec_id"))
+    }),
+
+    // Bounded-range self-join under oracle (operators.RangeJoin): all
+    // event pairs of the same user within a 1 h window — the
+    // co-occurrence / attribution join a naive |a-b| <= delta predicate
+    // plans as a per-key cross product. Bucket-and-verify: one equi-join
+    // on (user, floor(ts/delta)) against a 3-bucket probe explode, exact
+    // |diff| verify after — candidate volume tracks output volume, not
+    // events-per-user squared. The oracle is the plain inclusive
+    // predicate (bucketing must neither drop nor invent a pair);
+    // epoch-ms via the shared type-probing Events reader.
+    "q85_range_join" -> ((s, dir) => {
+      val ev = sources.Events.read(s, dir)
+        .select(col("user_id"), col("event_id"),
+          unix_millis(col("event_time")).as("ts_ms"))
+      operators.RangeJoin.selfWithin(ev, "user_id", "event_id", "ts_ms",
+        delta = 3600000L)
     })
   )
 
@@ -3325,7 +3342,17 @@ object SparkEntry {
         |SELECT o.doc_id, list_contains(f2.kept, o.doc_id) AS kept
         |FROM ordered o CROSS JOIN final f2""".stripMargin,
 
-    "q84_mmr_rerank" -> Q84MmrOracle
+    "q84_mmr_rerank" -> Q84MmrOracle,
+
+    // Range-join replay: the raw inclusive predicate — the operator's
+    // bucketing is a pure candidate pruner, so the row sets must be
+    // identical pair for pair.
+    "q85_range_join" ->
+      """SELECT a.user_id, a.event_id AS id_a, b.event_id AS id_b,
+        |  abs(epoch_ms(a.ts) - epoch_ms(b.ts)) AS gap
+        |FROM events a JOIN events b
+        |  ON a.user_id = b.user_id AND a.event_id < b.event_id
+        |WHERE abs(epoch_ms(a.ts) - epoch_ms(b.ts)) <= 3600000""".stripMargin
   )
 
   /** q84's oracle, generated: the greedy MMR selection unrolled into k
