@@ -165,6 +165,32 @@ object Demo {
     println(s"[demo] ingest: batch of 100 vs indexed corpus of 400 -> " +
       s"$fpHits near-dup hits (corpus text untouched)")
 
+    // 15. Diversified retrieval: plain top-k vs MMR over the embeddings —
+    // the RAG-context diversity knob (candidates distributed, greedy
+    // selection over the collected result page)
+    val embAll = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select($"vec_id", $"embedding")
+    val qv = embAll.filter($"vec_id" === 0).select($"embedding")
+      .head().getSeq[Float](0).map(_.toDouble)
+    val plain = graft.operators.Knn.topK(embAll, qv, k = 8,
+      vecCol = "embedding", idCol = "vec_id")
+      .orderBy($"rank").select($"vec_id").as[Long].collect()
+    val diverse = graft.operators.Mmr.searchMmr(embAll, "vec_id", "embedding",
+      qv, k = 8, fetchN = 50, lambda = 0.7)
+      .orderBy($"rank").select($"vec_id").as[Long].collect()
+    println(s"[demo] retrieval: top-8 plain = ${plain.mkString(",")}; " +
+      s"MMR(0.7) = ${diverse.mkString(",")}")
+
+    // 16. Range join: same-user event pairs within an hour — the
+    // co-occurrence join, bucket-and-verify (no per-key cross product)
+    val ev = graft.sources.Events.read(spark, sfDir)
+      .select($"user_id", $"event_id",
+        unix_millis($"event_time").as("ts_ms"))
+    val coocc = graft.operators.RangeJoin.selfWithin(
+      ev, "user_id", "event_id", "ts_ms", delta = 3600000L)
+    println(s"[demo] range join: ${coocc.count()} same-user event pairs " +
+      "within 1h")
+
     spark.stop()
   }
 }
