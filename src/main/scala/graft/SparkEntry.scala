@@ -1627,6 +1627,22 @@ object SparkEntry {
           unix_millis(col("event_time")).as("ts_ms"))
       operators.RangeJoin.selfWithin(ev, "user_id", "event_id", "ts_ms",
         delta = 3600000L)
+    }),
+
+    // The TWO-TABLE range-join form (q85 locked the self form): the
+    // attribution shape — every (click, purchase) pair of the same user
+    // within a 2 h window, diff signed so one-sided windows are a filter
+    // away. Same bucket-and-verify plan; the oracle is again the raw
+    // inclusive predicate.
+    "q86_range_attrib" -> ((s, dir) => {
+      val ev = sources.Events.read(s, dir)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_millis(col("event_time")).as("ts_ms"))
+      operators.RangeJoin.within(
+        ev.filter(col("event_type") === "click"),
+        ev.filter(col("event_type") === "purchase"),
+        "user_id", "event_id", "ts_ms", "event_id", "ts_ms",
+        delta = 7200000L)
     })
   )
 
@@ -3352,7 +3368,14 @@ object SparkEntry {
         |  abs(epoch_ms(a.ts) - epoch_ms(b.ts)) AS gap
         |FROM events a JOIN events b
         |  ON a.user_id = b.user_id AND a.event_id < b.event_id
-        |WHERE abs(epoch_ms(a.ts) - epoch_ms(b.ts)) <= 3600000""".stripMargin
+        |WHERE abs(epoch_ms(a.ts) - epoch_ms(b.ts)) <= 3600000""".stripMargin,
+
+    "q86_range_attrib" ->
+      """SELECT a.user_id, a.event_id AS left_id, b.event_id AS right_id,
+        |  epoch_ms(b.ts) - epoch_ms(a.ts) AS diff
+        |FROM events a JOIN events b ON a.user_id = b.user_id
+        |WHERE a.event_type = 'click' AND b.event_type = 'purchase'
+        |  AND abs(epoch_ms(a.ts) - epoch_ms(b.ts)) <= 7200000""".stripMargin
   )
 
   /** q84's oracle, generated: the greedy MMR selection unrolled into k

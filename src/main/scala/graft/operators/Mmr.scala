@@ -138,6 +138,41 @@ object Mmr {
       .withColumnRenamed("_rel", "relevance")
   }
 
+  /** Diversity-aware context assembly — [[Knn.retrieveContext]] (the
+    * reference's threshold + greedy length cap,
+    * `integrations/mlx_lm_pipeline.py:725-765`) with MMR selection order
+    * in place of raw score order: hits below `minSimilarity` are dropped,
+    * the survivors are MMR-ranked, and the context takes the greedy
+    * prefix of that order whose running `lengthCol` total stays within
+    * `maxContextLength` (same prefix semantics as the score-ordered
+    * original — an overflowing hit ends the take). Returns the input
+    * columns plus `rank`, in MMR order.
+    */
+  def retrieveContextMmr(
+      candidates: DataFrame,
+      idCol: String,
+      vecCol: String,
+      relCol: String,
+      lengthCol: String,
+      minSimilarity: Double,
+      maxContextLength: Long,
+      k: Int,
+      lambda: Double,
+      metric: String = vector.MetricCosine,
+      maxCandidates: Int = 10000): DataFrame = {
+    val eligible = candidates.filter(col(relCol) >= minSimilarity)
+    val order = rerank(eligible, idCol, vecCol, relCol, k, lambda, metric,
+      maxCandidates).select(col("rank"), col(idCol))
+    val w = graft.functions.windows.boundedGlobal(col("rank").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    candidates.join(order, Seq(idCol))
+      .withColumn("_running_len", sum(col(lengthCol)).over(w))
+      .filter(col("_running_len") <= maxContextLength)
+      .drop("_running_len")
+      .orderBy(col("rank"))
+  }
+
   /** Scalar twin of [[vector.similarity]] for the driver-side penalty term
     * — same conventions as the Catalyst kernels (cosine eps clamp 1e-8,
     * euclidean as 1/(1+d)) so a pipeline mixing the distributed and

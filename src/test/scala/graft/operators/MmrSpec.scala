@@ -85,6 +85,26 @@ class MmrSpec extends AnyFunSuite with SparkSpec {
     assert(e.getMessage.contains("maxCandidates"))
   }
 
+  test("retrieveContextMmr: threshold, MMR order, greedy length prefix") {
+    // relevance precomputed (cosine to the query); lengths force the cap
+    // to cut inside the MMR order, and the threshold drops the outlier
+    val cand = Seq(
+      (1L, v(0.9, 0.436, 0, 0.001), 40L),
+      (2L, v(0.9, 0.436, 0, 0.002), 40L),
+      (10L, v(0.85, -0.436, 0, 0), 50L),
+      (20L, v(0, 0, 1.0, 0), 10L)
+    ).toDF("id", "vec", "len")
+      .withColumn("rel",
+        graft.functions.vector.cosine_sim($"vec",
+          org.apache.spark.sql.functions.typedLit(query)))
+    val got = Mmr.retrieveContextMmr(cand, "id", "vec", "rel", "len",
+      minSimilarity = 0.1, maxContextLength = 95L, k = 4, lambda = 0.5)
+      .select($"id", $"rank").as[(Long, Long)].collect().toSeq
+    // eligible = {1, 2, 10} (20 is below threshold); MMR order = 1, 10, 2
+    // (mirror cluster first); running lengths 40, 90, 130 -> 2 overflows
+    assert(got == Seq((1L, 1L), (10L, 2L)), s"got $got")
+  }
+
   test("k exceeding the candidate count returns every candidate once") {
     val picks = Mmr.searchMmr(corpus, "id", "vec", query,
       k = 10, fetchN = 10, lambda = 0.7)
