@@ -225,4 +225,21 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
       s"as-of must not plan as a join:\n$p")
   }
+
+  test("q81: sessionize is one shuffle — windows AND the session aggregate " +
+    "reuse the user partitioning") {
+    val p = plan("q81_sessionize")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 1,
+      s"lag window, running-sum window and groupBy must share one user_id shuffle:\n$p")
+  }
+
+  test("q85/q86: range join is an equi-join on (key, bucket), never a product") {
+    for (q <- Seq("q85_range_join", "q86_range_attrib")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$q must not degrade to a product join:\n$p")
+      assert(p.contains("_bucket"), s"$q must join on the derived bucket:\n$p")
+    }
+  }
 }
