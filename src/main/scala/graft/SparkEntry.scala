@@ -1643,6 +1643,19 @@ object SparkEntry {
         ev.filter(col("event_type") === "purchase"),
         "user_id", "event_id", "ts_ms", "event_id", "ts_ms",
         delta = 7200000L)
+    }),
+
+    // SOFT dedup under oracle (Dedup.duplicationWeights): q29's connected
+    // components extended to the downweight-instead-of-drop recipe —
+    // every doc kept at weight 1/|cluster|, so the weighted corpus sums
+    // to the deduplicated size. Weight is the single division
+    // 1.0 / count, computed identically by both engines.
+    "q87_dup_weights" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = operators.Dedup.nearDupPairsMinHash(
+        docs, "doc_id", "text", shingleLen = 3, numHashes = 128, bands = 32,
+        threshold = 0.5)
+      operators.Dedup.duplicationWeights(docs, pairs, "doc_id")
     })
   )
 
@@ -3375,7 +3388,33 @@ object SparkEntry {
         |  epoch_ms(b.ts) - epoch_ms(a.ts) AS diff
         |FROM events a JOIN events b ON a.user_id = b.user_id
         |WHERE a.event_type = 'click' AND b.event_type = 'purchase'
-        |  AND abs(epoch_ms(a.ts) - epoch_ms(b.ts)) <= 7200000""".stripMargin
+        |  AND abs(epoch_ms(a.ts) - epoch_ms(b.ts)) <= 7200000""".stripMargin,
+
+    // q29's reachability replay + per-component size; weight is the same
+    // single 1.0/count division both engines compute bit-identically.
+    "q87_dup_weights" ->
+      """WITH RECURSIVE s AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, len(string_split(text,' '))-1),
+        |         i -> array_to_string(list_slice(string_split(text,' '), i, i+2), ' '))) AS sh
+        |  FROM documents),
+        |e AS (
+        |  SELECT a.doc_id AS src, b.doc_id AS dst
+        |  FROM s a JOIN s b ON a.doc_id <> b.doc_id
+        |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |        (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5),
+        |reach AS (
+        |  SELECT src, dst FROM e
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src WHERE e.dst <> r.src),
+        |comp AS (
+        |  SELECT d.doc_id AS id,
+        |    LEAST(d.doc_id, coalesce(min(r.dst), d.doc_id)) AS group_id
+        |  FROM documents d LEFT JOIN reach r ON r.src = d.doc_id
+        |  GROUP BY d.doc_id)
+        |SELECT id, group_id,
+        |  CAST(count(*) OVER (PARTITION BY group_id) AS BIGINT) AS cluster_size,
+        |  1.0 / count(*) OVER (PARTITION BY group_id) AS weight
+        |FROM comp""".stripMargin
   )
 
   /** q84's oracle, generated: the greedy MMR selection unrolled into k

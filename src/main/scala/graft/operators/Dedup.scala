@@ -912,6 +912,24 @@ object Dedup {
       .withColumn("is_representative", col("id") === col("group_id"))
   }
 
+  /** SOFT dedup — downweight duplicates instead of dropping them (the
+    * ablation-standard alternative to hard dedup: every row survives with
+    * sampling weight 1 / |dup cluster|, so each duplicate CLUSTER
+    * contributes exactly one row's worth of probability mass and the
+    * weighted corpus sums to the deduplicated size). Built on
+    * [[dedupGroups]]'s connected components; singletons get weight 1.
+    * Output: (id, group_id, cluster_size, weight). Slim by construction —
+    * only (id, group_id) longs enter the size aggregation and join.
+    */
+  def duplicationWeights(df: DataFrame, pairs: DataFrame, idCol: String): DataFrame = {
+    val groups = dedupGroups(df, pairs, idCol).select(col("id"), col("group_id"))
+    val sizes = groups.groupBy(col("group_id"))
+      .agg(count(lit(1)).as("cluster_size"))
+    groups.join(sizes, Seq("group_id"))
+      .select(col("id"), col("group_id"), col("cluster_size"),
+        (lit(1.0) / col("cluster_size")).as("weight"))
+  }
+
   /** Embedding-cosine near-dup pairs, exact all-pairs baseline (O(N^2);
     * the oracle-checkable form). Output: (id_a, id_b) with cosine >= threshold.
     */

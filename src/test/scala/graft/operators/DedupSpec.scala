@@ -230,6 +230,24 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(bad == 0)
   }
 
+  test("duplicationWeights: soft dedup sums to the deduplicated size") {
+    val ids = (1L to 7L).map(Tuple1(_)).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+    val w = Dedup.duplicationWeights(ids, pairs, "doc_id")
+      .select($"id", $"group_id", $"cluster_size", $"weight")
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1)
+    assert(w.map(_._1).toSeq == (1L to 7L), "every row survives")
+    assert(w.filter(r => Set(1L, 2L, 3L)(r._1)).forall(r =>
+      r._2 == 1L && r._3 == 3L && r._4 == 1.0 / 3), s"got ${w.toSeq}")
+    assert(w.filter(r => Set(5L, 6L)(r._1)).forall(r =>
+      r._2 == 5L && r._3 == 2L && r._4 == 0.5))
+    assert(w.filter(r => Set(4L, 7L)(r._1)).forall(r =>
+      r._2 == r._1 && r._3 == 1L && r._4 == 1.0))
+    // the defining invariant: weighted mass = number of distinct clusters
+    val mass = w.map(_._4).sum
+    assert(math.abs(mass - 4.0) < 1e-12, s"weighted corpus mass = $mass, want 4")
+  }
+
   test("nearDupAgainstMinHash: batch-vs-corpus only, planted copies recovered") {
     val corpus = Seq(
       (1L, "the quick brown fox jumps over the lazy dog again and again today"),
