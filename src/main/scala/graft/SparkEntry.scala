@@ -1656,7 +1656,45 @@ object SparkEntry {
         docs, "doc_id", "text", shingleLen = 3, numHashes = 128, bands = 32,
         threshold = 0.5)
       operators.Dedup.duplicationWeights(docs, pairs, "doc_id")
-    })
+    }),
+
+    // SEMANTIC decontamination (Curation.decontaminateSemantic): the
+    // embedding-space complement of q41's n-gram recipe — every 50th
+    // vector is the held-aside eval set, broadcast against the corpus
+    // scan, and a corpus row is contaminated if ANY eval vector is
+    // cosine >= 0.5. Output counts hits, not raw cosines (the q22
+    // ULP-robustness discipline); the oracle replays the broadcast
+    // nested-loop compare with list_cosine_similarity.
+    "q88_semantic_decontaminate" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      operators.Curation.decontaminateSemantic(
+        emb.filter(col("vec_id") % 50 =!= 0),
+        emb.filter(col("vec_id") % 50 === 0),
+        "vec_id", "embedding", threshold = 0.5)
+    }),
+
+    // Percentile length gate (Curation.percentileGate): keep documents
+    // whose whitespace token count sits inside the exact [p5, p95]
+    // percentile band — the outlier-length cut. Both engines compute
+    // linear-interpolated exact percentiles at position p*(n-1)
+    // (Spark `percentile` == DuckDB `quantile_cont`) over INTEGER
+    // counts, so the band edges are identical doubles.
+    "q89_length_gate" -> ((s, dir) =>
+      operators.Curation.percentileGate(
+        t(s, dir, "documents").select(col("doc_id"),
+          size(split(col("text"), "\\s+")).cast("long").as("n_tokens")),
+        "doc_id", "n_tokens", pLow = 0.05, pHigh = 0.95)),
+
+    // Per-language vocabulary heavy hitters (TextAnalysis.topTokensPerKey):
+    // top-10 whitespace tokens per lang by exact count, rank order
+    // cnt DESC, token ASC. The operator runs the bounded
+    // TopKTokenAggregator (partial-aggregated, no per-lang vocabulary
+    // funnel); the oracle replays it as a window rank over exact counts —
+    // identical output, different physical shape by design.
+    "q90_top_tokens" -> ((s, dir) =>
+      text.TextAnalysis.topTokensPerKey(
+        t(s, dir, "documents"), "lang", "text", k = 10)
+        .withColumnRenamed("key", "lang"))
   )
 
   /** q80's fixed merge table (learned-table stand-in, the fixed-codebook
@@ -3414,7 +3452,56 @@ object SparkEntry {
         |SELECT id, group_id,
         |  CAST(count(*) OVER (PARTITION BY group_id) AS BIGINT) AS cluster_size,
         |  1.0 / count(*) OVER (PARTITION BY group_id) AS weight
-        |FROM comp""".stripMargin
+        |FROM comp""".stripMargin,
+
+    // broadcast nested-loop compare replayed as a correlated count; the
+    // cosine is evaluated over DOUBLE[] on both engines (the q11/q22
+    // precision contract) and only counts/booleans reach the hash.
+    "q88_semantic_decontaminate" ->
+      """WITH bench AS (
+        |  SELECT CAST(embedding AS DOUBLE[]) AS bv FROM embeddings
+        |  WHERE vec_id % 50 = 0),
+        |h AS (
+        |  SELECT e.vec_id AS id, count(*) AS hits
+        |  FROM embeddings e, bench b
+        |  WHERE e.vec_id % 50 <> 0
+        |    AND list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), b.bv) >= 0.5
+        |  GROUP BY 1)
+        |SELECT e.vec_id AS id, coalesce(h.hits, 0) AS hits,
+        |  coalesce(h.hits, 0) > 0 AS contaminated
+        |FROM embeddings e LEFT JOIN h ON h.id = e.vec_id
+        |WHERE e.vec_id % 50 <> 0""".stripMargin,
+
+    // exact linear-interpolated percentiles: DuckDB quantile_cont ==
+    // Spark percentile (both interpolate at position p*(n-1)); the
+    // metric is an integer count so the band edges are identical doubles.
+    "q89_length_gate" ->
+      """WITH m AS (
+        |  SELECT doc_id, CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT)
+        |    AS n_tokens FROM documents),
+        |b AS (
+        |  SELECT quantile_cont(n_tokens, 0.05) AS lo,
+        |         quantile_cont(n_tokens, 0.95) AS hi FROM m)
+        |SELECT m.doc_id AS id, m.n_tokens AS metric
+        |FROM m, b
+        |WHERE CAST(m.n_tokens AS DOUBLE) BETWEEN b.lo AND b.hi""".stripMargin,
+
+    // window-rank replay of the bounded top-k aggregator: identical
+    // output, deliberately different physical shape (the operator
+    // partial-aggregates; the oracle may funnel — it is the oracle).
+    "q90_top_tokens" ->
+      """WITH toks AS (
+        |  SELECT lang, unnest(regexp_split_to_array(text, '\s+')) AS token
+        |  FROM documents),
+        |c AS (
+        |  SELECT lang, token, count(*) AS cnt FROM toks
+        |  WHERE len(token) > 0 GROUP BY 1, 2),
+        |r AS (
+        |  SELECT lang, token, cnt,
+        |    CAST(row_number() OVER (
+        |      PARTITION BY lang ORDER BY cnt DESC, token ASC) AS BIGINT) AS rnk
+        |  FROM c)
+        |SELECT lang, token, cnt, rnk FROM r WHERE rnk <= 10""".stripMargin
   )
 
   /** q84's oracle, generated: the greedy MMR selection unrolled into k

@@ -461,4 +461,80 @@ object Curation {
         array_join(col("_kept"), delimiter).as("cleaned_text"),
         (size(col("_segs")) - size(col("_kept"))).cast("long").as("n_removed"))
   }
+
+  /** SEMANTIC test-set decontamination: flag every corpus row whose
+    * embedding is cosine-similar (>= `threshold`) to ANY benchmark/eval
+    * embedding — the embedding-space complement of [[decontaminate]]'s
+    * n-gram recipe (catches paraphrased eval leakage that shares no
+    * 8-gram with the benchmark).
+    *
+    * Output: (id, hits BIGINT, contaminated BOOLEAN) — one row per corpus
+    * row including clean ones, `hits` = how many benchmark vectors matched.
+    * Counts, not raw cosines, so the result hash is ULP-robust across
+    * engines (the q22 discipline).
+    *
+    * Scale shape: an eval set is small by definition, so its vectors
+    * BROADCAST and the corpus is scanned exactly once — the similarity
+    * check runs scan-side as a broadcast nested-loop join (O(B) codegen'd
+    * cosines per corpus row, B = benchmark size), and the only wide
+    * movement is slim (id, hits) pairs into one partial-aggregated count.
+    * Corpus vectors are never exchanged. For benchmark sets too big to
+    * broadcast-scan, prefilter candidates with [[Dedup.embeddingNearDupLsh]]
+    * banding or an [[graft.ml.IvfIndex]] probe and verify only candidates.
+    */
+  def decontaminateSemantic(
+      corpus: DataFrame,
+      benchmark: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double): DataFrame = {
+    val bench = benchmark.select(col(vecCol).as("_bv"))
+    val hits = corpus
+      .select(col(idCol).cast("long").as("id"), col(vecCol).as("_cv"))
+      .join(broadcast(bench),
+        graft.functions.vector.cosine_sim(col("_cv"), col("_bv")) >= threshold)
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("hits"))
+    corpus.select(col(idCol).cast("long").as("id"))
+      .join(hits, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("hits"), lit(0L)).as("hits"),
+        (coalesce(col("hits"), lit(0L)) > 0).as("contaminated"))
+  }
+
+  /** Percentile gate: keep rows whose numeric `metricCol` (token count,
+    * quality score, document length...) lies within the corpus's exact
+    * [pLow, pHigh] percentile band — the standard outlier-length /
+    * degenerate-document cut run before training.
+    *
+    * Output: (id, metric) for kept rows. The thresholds use Spark's EXACT
+    * `percentile` with linear interpolation — position p*(n-1), the
+    * PostgreSQL/DuckDB `quantile_cont` definition, so an external engine
+    * reproduces the cut bit-for-bit on integer metrics (interpolated
+    * bounds are exact dyadic doubles and both engines evaluate the same
+    * IEEE formula).
+    *
+    * Scale shape: pass 1 reduces the whole corpus to ONE row of bounds —
+    * exact `percentile` partial-aggregates per-partition value->count maps,
+    * which stays small precisely when the metric has bounded cardinality
+    * (lengths, counts, quantized scores; for unbounded continuous metrics
+    * swap in `percentile_approx`). Pass 2 broadcasts that row and filters
+    * scan-side: no shuffle ever touches corpus rows.
+    */
+  def percentileGate(
+      df: DataFrame,
+      idCol: String,
+      metricCol: String,
+      pLow: Double,
+      pHigh: Double): DataFrame = {
+    require(pLow >= 0.0 && pHigh <= 1.0 && pLow <= pHigh,
+      s"percentile band must satisfy 0 <= pLow <= pHigh <= 1, got [$pLow, $pHigh]")
+    val bounds = df.agg(
+      expr(s"percentile(`$metricCol`, array($pLow, $pHigh))").as("_b"))
+      .select(col("_b").getItem(0).as("_lo"), col("_b").getItem(1).as("_hi"))
+    df.select(col(idCol).cast("long").as("id"), col(metricCol).as("metric"))
+      .crossJoin(broadcast(bounds))
+      .filter(col("metric").cast("double").between(col("_lo"), col("_hi")))
+      .select(col("id"), col("metric"))
+  }
 }

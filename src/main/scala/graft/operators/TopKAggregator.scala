@@ -62,3 +62,56 @@ class TopKAggregator(k: Int, ascending: Boolean)
   override def outputEncoder: Encoder[Array[ScoredId]] =
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[ScoredId]]()
 }
+
+/** One (count, token) candidate row flowing into a per-key vocabulary top-k. */
+case class CountedToken(cnt: Long, token: String)
+
+/** Bounded top-k over (count, token) pairs: keeps the `k` highest-count
+  * tokens per group, lexicographically-smallest token breaking count ties
+  * (the deterministic, SQL-replayable order `cnt DESC, token ASC`).
+  *
+  * The string twin of [[TopKAggregator]], and the same scale argument: a
+  * per-language heavy-hitter query over web-scale text has a vocabulary that
+  * GROWS with the corpus (misspellings, ids, junk tokens — billions of
+  * distinct strings at 100 TB), so a window `rank() OVER (PARTITION BY lang)`
+  * would funnel every language's whole vocabulary into one task. As a typed
+  * Aggregator Spark runs this as a partial aggregation — each map task
+  * reduces its vocabulary slice to <= k rows per language BEFORE the final
+  * shuffle, which then moves only `languages * k` rows.
+  */
+class TopKTokenAggregator(k: Int)
+    extends Aggregator[CountedToken, ArrayBuffer[CountedToken], Array[CountedToken]] {
+
+  require(k >= 1, s"k must be >= 1, got $k")
+
+  private def better(a: CountedToken, b: CountedToken): Boolean =
+    if (a.cnt != b.cnt) a.cnt > b.cnt else a.token < b.token
+
+  private def prune(buf: ArrayBuffer[CountedToken]): ArrayBuffer[CountedToken] = {
+    if (buf.length > k) {
+      val sorted = buf.sortWith(better)
+      buf.clear()
+      buf ++= sorted.take(k)
+    }
+    buf
+  }
+
+  override def zero: ArrayBuffer[CountedToken] = ArrayBuffer.empty
+
+  override def reduce(buf: ArrayBuffer[CountedToken], in: CountedToken): ArrayBuffer[CountedToken] = {
+    buf += in
+    if (buf.length >= 2 * k) prune(buf) else buf
+  }
+
+  override def merge(a: ArrayBuffer[CountedToken], b: ArrayBuffer[CountedToken]): ArrayBuffer[CountedToken] =
+    prune(a ++= b)
+
+  override def finish(buf: ArrayBuffer[CountedToken]): Array[CountedToken] =
+    buf.sortWith(better).take(k).toArray
+
+  override def bufferEncoder: Encoder[ArrayBuffer[CountedToken]] =
+    Encoders.kryo[ArrayBuffer[CountedToken]]
+
+  override def outputEncoder: Encoder[Array[CountedToken]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[CountedToken]]()
+}

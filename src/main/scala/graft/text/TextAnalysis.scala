@@ -221,6 +221,47 @@ object TextAnalysis {
       .drop("_q_chars", "_q_toks", "_q_punct", "_q_stop", "_q_upper")
   }
 
+  // ---------------------------------------------------------- vocabulary
+
+  /** Per-key vocabulary heavy hitters: the `k` most frequent whitespace
+    * tokens for every value of `keyCol` (language, source, domain...), the
+    * corpus-profiling query behind stopword-list induction, junk-token
+    * triage, and per-domain vocabulary drift checks.
+    *
+    * Output: (key, token, cnt BIGINT, rnk BIGINT), rnk 1..k per key in
+    * `cnt DESC, token ASC` order — fully deterministic, so the whole result
+    * is SQL-replayable (q90's oracle is a window rank over exact counts).
+    *
+    * Scale shape, two bounded stages: (1) `groupBy(key, token).count` runs
+    * with map-side partial aggregation, so each task emits its distinct
+    * (key, token) slice once; (2) the per-key top-k uses
+    * [[graft.operators.TopKTokenAggregator]] — NOT a window rank — because
+    * web-scale vocabulary grows with the corpus (ids, misspellings, junk:
+    * billions of distinct tokens at 100 TB) and a
+    * `rank() OVER (PARTITION BY key)` would funnel each key's entire
+    * vocabulary through one task. The typed aggregator partial-aggregates,
+    * so the final shuffle moves only `keys * k` rows. Empty tokens (from
+    * leading whitespace) are dropped on both engines' definitions.
+    */
+  def topTokensPerKey(
+      df: DataFrame,
+      keyCol: String,
+      textCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val topk = org.apache.spark.sql.functions.udaf(
+      new graft.operators.TopKTokenAggregator(k))
+    df.select(col(keyCol).as("key"), explode(tokens(col(textCol))).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy(col("key"), col("token"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("key"))
+      .agg(topk(col("cnt"), col("token")).as("topk"))
+      .select(col("key"), posexplode(col("topk")).as(Seq("pos", "hit")))
+      .select(col("key"), col("hit.token").as("token"), col("hit.cnt").as("cnt"),
+        (col("pos") + 1).cast("long").as("rnk"))
+  }
+
   // ---------------------------------------------------------- fingerprints
 
   /** Content fingerprints: md5 hex (exact-dedup key) + xxhash64 (cheap 64-bit). */

@@ -103,6 +103,75 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
     assert(!p.contains("Exchange"), s"sampling must not shuffle:\n$p")
   }
 
+  test("decontaminateSemantic: cosine hits counted, clean rows kept at zero") {
+    // bench = the unit x-axis; corpus: an exact copy (cos 1), a scaled copy
+    // (cos 1 — scale-invariant), an orthogonal vector (cos 0), an opposite
+    // vector (cos -1), and a 45-degree vector (cos ~0.707)
+    val corpus = Seq(
+      (1L, Array(1f, 0f)), (2L, Array(5f, 0f)), (3L, Array(0f, 1f)),
+      (4L, Array(-1f, 0f)), (5L, Array(1f, 1f))
+    ).toDF("id", "vec")
+    val bench = Seq((100L, Array(1f, 0f))).toDF("id", "vec")
+    val out = Curation.decontaminateSemantic(corpus, bench, "id", "vec", 0.5)
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq((1L, 1L, true), (2L, 1L, true), (3L, 0L, false),
+      (4L, 0L, false), (5L, 1L, true)))
+  }
+
+  test("decontaminateSemantic: multiple benchmark matches accumulate; empty benchmark is all-clean") {
+    val corpus = Seq((1L, Array(1f, 0f))).toDF("id", "vec")
+    val bench = Seq((10L, Array(1f, 0f)), (11L, Array(2f, 0f)), (12L, Array(0f, 1f)))
+      .toDF("id", "vec")
+    val out = Curation.decontaminateSemantic(corpus, bench, "id", "vec", 0.9)
+      .as[(Long, Long, Boolean)].collect()
+    assert(out.toSeq == Seq((1L, 2L, true)))
+    val empty = Curation.decontaminateSemantic(
+      corpus, bench.filter($"id" < 0), "id", "vec", 0.9)
+      .as[(Long, Long, Boolean)].collect()
+    assert(empty.toSeq == Seq((1L, 0L, false)))
+  }
+
+  test("decontaminateSemantic plans a broadcast compare — corpus vectors never exchange") {
+    val corpus = (0L until 50L).map(i => (i, Array(i.toFloat, 1f))).toDF("id", "vec")
+    val bench = Seq((100L, Array(1f, 0f))).toDF("id", "vec")
+    val p = Curation.decontaminateSemantic(corpus, bench, "id", "vec", 0.5)
+      .queryExecution.executedPlan.toString()
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"benchmark side must broadcast:\n$p")
+    // the only rows allowed into an exchange are slim (id, hits) pairs and
+    // the id spine — never a row carrying the vector column
+    val badExchange = p.linesIterator.zipWithIndex.exists { case (l, _) =>
+      l.contains("Exchange") && l.contains("_cv") }
+    assert(!badExchange, s"corpus vectors must not be exchanged:\n$p")
+  }
+
+  test("percentileGate: exact interpolated band on a known distribution") {
+    // metric 1..10: p25 at position .25*9=2.25 -> 3.25; p75 -> 7.75
+    val df = (1L to 10L).map(i => (i, i)).toDF("id", "n")
+    val out = Curation.percentileGate(df, "id", "n", 0.25, 0.75)
+      .as[(Long, Long)].collect().sortBy(_._1)
+    assert(out.map(_._2).toSeq == Seq(4L, 5L, 6L, 7L))
+  }
+
+  test("percentileGate: full band keeps everything, degenerate band keeps the median value") {
+    val df = Seq((1L, 5L), (2L, 5L), (3L, 7L)).toDF("id", "n")
+    assert(Curation.percentileGate(df, "id", "n", 0.0, 1.0).count() == 3L)
+    val med = Curation.percentileGate(df, "id", "n", 0.5, 0.5)
+      .as[(Long, Long)].collect()
+    assert(med.toSeq == Seq((1L, 5L), (2L, 5L))) // median of {5,5,7} is 5.0
+    intercept[IllegalArgumentException] {
+      Curation.percentileGate(df, "id", "n", 0.9, 0.1)
+    }
+  }
+
+  test("percentileGate: corpus rows are filtered scan-side against a broadcast 1-row bound") {
+    val df = (0L until 100L).map(i => (i, i % 37)).toDF("id", "n")
+    val p = Curation.percentileGate(df, "id", "n", 0.05, 0.95)
+      .queryExecution.executedPlan.toString()
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"bounds must broadcast:\n$p")
+  }
+
   test("repetitionStats measures duplicated tokens and bigrams") {
     val df = Seq(
       (1L, "a a a a"),              // 4 tokens, 1 distinct -> 0.75; grams "a a"x3 -> 2/3

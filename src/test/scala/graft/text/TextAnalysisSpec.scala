@@ -131,4 +131,38 @@ class TextAnalysisSpec extends AnyFunSuite with SparkSpec {
       .select($"f.md5").head().getString(0)
     assert(fp == "900150983cd24fb0d6963f7d28e17f72")
   }
+
+  test("topTokensPerKey: exact counts, cnt-desc token-asc rank, k bound") {
+    val df = Seq(
+      (1L, "en", "b b b a a c"),
+      (2L, "en", "a d"),          // en totals: a=3 b=3 c=1 d=1
+      (3L, "de", "x")
+    ).toDF("id", "lang", "text")
+    val out = TextAnalysis.topTokensPerKey(df, "lang", "text", k = 3)
+      .as[(String, String, Long, Long)].collect().sortBy(r => (r._1, r._4))
+    // ties (a,b)@3 break token-asc; (c,d)@1 break to c at rank 3
+    assert(out.filter(_._1 == "en").toSeq ==
+      Seq(("en", "a", 3L, 1L), ("en", "b", 3L, 2L), ("en", "c", 1L, 3L)))
+    // a key with fewer distinct tokens than k returns them all, no padding
+    assert(out.filter(_._1 == "de").toSeq == Seq(("de", "x", 1L, 1L)))
+  }
+
+  test("topTokensPerKey: empty tokens from whitespace runs never surface") {
+    val df = Seq((1L, "en", "  a   b  ")).toDF("id", "lang", "text")
+    val toks = TextAnalysis.topTokensPerKey(df, "lang", "text", k = 10)
+      .select($"token").as[String].collect().toSet
+    assert(toks == Set("a", "b"))
+  }
+
+  test("topTokensPerKey plans a partial-aggregated top-k, not a window funnel") {
+    val df = Seq((1L, "en", "a b c")).toDF("id", "lang", "text")
+    val plan = TextAnalysis.topTokensPerKey(df, "lang", "text", k = 5)
+      .queryExecution.executedPlan.toString()
+    assert(!plan.contains("Window"),
+      s"per-key top-k must use the bounded aggregator, not a window rank:\n$plan")
+    // the typed aggregator runs as a two-phase ObjectHashAggregate (or
+    // SortAggregate fallback): partial top-k before the lang shuffle
+    assert(plan.contains("ObjectHashAggregate") || plan.contains("SortAggregate"),
+      s"expected a typed-aggregator two-phase plan:\n$plan")
+  }
 }
