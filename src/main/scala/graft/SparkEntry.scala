@@ -1694,7 +1694,17 @@ object SparkEntry {
     "q90_top_tokens" -> ((s, dir) =>
       text.TextAnalysis.topTokensPerKey(
         t(s, dir, "documents"), "lang", "text", k = 10)
-        .withColumnRenamed("key", "lang"))
+        .withColumnRenamed("key", "lang")),
+
+    // Cross-source overlap matrix (Dedup.sourceOverlap): exact pairwise
+    // Jaccard of per-source distinct 3-gram shingle sets — the
+    // "how much of crawl B is already in crawl A" diagnostic. Spark
+    // reduces text to (source, xxhash64) pairs before any shuffle; the
+    // oracle replays set sizes and intersections on the raw shingle
+    // strings (identical unless xxhash64 collides, odds ~2^-25 here).
+    "q91_source_overlap" -> ((s, dir) =>
+      operators.Dedup.sourceOverlap(
+        t(s, dir, "documents"), "source", "text", shingleLen = 3))
   )
 
   /** q80's fixed merge table (learned-table stand-in, the fixed-codebook
@@ -3501,7 +3511,28 @@ object SparkEntry {
         |    CAST(row_number() OVER (
         |      PARTITION BY lang ORDER BY cnt DESC, token ASC) AS BIGINT) AS rnk
         |  FROM c)
-        |SELECT lang, token, cnt, rnk FROM r WHERE rnk <= 10""".stripMargin
+        |SELECT lang, token, cnt, rnk FROM r WHERE rnk <= 10""".stripMargin,
+
+    // per-source distinct shingle sets replayed on raw strings (q87's
+    // shingle CTE shape); jaccard is the same single double division.
+    "q91_source_overlap" ->
+      """WITH s AS (
+        |  SELECT source, unnest(list_distinct(list_transform(
+        |    range(1, len(string_split(text, ' ')) - 1),
+        |    i -> array_to_string(list_slice(string_split(text, ' '), i, i + 2), ' ')))) AS sh
+        |  FROM documents),
+        |g AS (SELECT DISTINCT source, sh FROM s),
+        |sizes AS (SELECT source, count(*) AS n FROM g GROUP BY 1),
+        |shared AS (
+        |  SELECT a.source AS source_a, b.source AS source_b, count(*) AS shared
+        |  FROM g a JOIN g b ON a.sh = b.sh AND a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT sh.source_a, sh.source_b, sh.shared,
+        |  sa.n AS size_a, sb.n AS size_b,
+        |  CAST(sh.shared AS DOUBLE) / (sa.n + sb.n - sh.shared) AS jaccard
+        |FROM shared sh
+        |JOIN sizes sa ON sa.source = sh.source_a
+        |JOIN sizes sb ON sb.source = sh.source_b""".stripMargin
   )
 
   /** q84's oracle, generated: the greedy MMR selection unrolled into k

@@ -930,6 +930,66 @@ object Dedup {
         (lit(1.0) / col("cluster_size")).as("weight"))
   }
 
+  /** Cross-source overlap matrix: for every pair of sources (domains,
+    * crawls, dumps...) the exact Jaccard similarity of their DISTINCT
+    * shingle sets — the corpus diagnostic behind "how much of crawl B is
+    * already in crawl A", run before committing to an expensive pairwise
+    * document dedup between corpora.
+    *
+    * Output: (source_a, source_b, shared, size_a, size_b, jaccard) for
+    * ordered pairs source_a < source_b that share at least one shingle
+    * (zero-overlap pairs are absent — inner-join semantics).
+    *
+    * Scale shape: text leaves the scan as 64-bit shingle hashes — the
+    * distinct (source, hash) reduction partial-aggregates map-side and
+    * nothing wider than (string, long) ever shuffles. The pairwise stage
+    * joins that reduced set on hash, so its per-shingle cost is
+    * |sources containing the shingle|², NOT |corpus|²; at per-domain
+    * granularity (millions of sources) cap it with `maxSourcesPerShingle`,
+    * which EXCLUDES ubiquitous shingles (boilerplate present in more than
+    * the cap's worth of sources) from numerator AND denominators
+    * consistently — the result is then the overlap over discriminating
+    * shingles, a well-defined and still oracle-replayable statistic.
+    * Exactness caveat, same trade as [[Curation.removeBoilerplate]]: two
+    * DIFFERENT shingles colliding in xxhash64 would merge; at 2^20 distinct
+    * shingles the odds are ~2^-25.
+    */
+  def sourceOverlap(
+      df: DataFrame,
+      sourceCol: String,
+      textCol: String,
+      shingleLen: Int = 3,
+      maxSourcesPerShingle: Int = Int.MaxValue): DataFrame = {
+    require(maxSourcesPerShingle >= 2,
+      s"maxSourcesPerShingle must be >= 2 (pairs need two sources), got $maxSourcesPerShingle")
+    val grams = df
+      .select(col(sourceCol).as("source"),
+        explode(tokenShingles(col(textCol), shingleLen)).as("sh"))
+      .select(col("source"), xxhash64(col("sh")).as("h"))
+      .distinct()
+    val kept =
+      if (maxSourcesPerShingle == Int.MaxValue) grams
+      else grams.join(
+        grams.groupBy(col("h")).agg(count(lit(1)).as("_nsrc"))
+          .filter(col("_nsrc") <= maxSourcesPerShingle).select(col("h")),
+        Seq("h"))
+    val sizes = kept.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val shared = kept.as("a")
+      .join(kept.as("b"),
+        col("a.h") === col("b.h") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("shared"))
+    shared
+      .join(sizes.select(col("source").as("source_a"), col("n").as("size_a")),
+        Seq("source_a"))
+      .join(sizes.select(col("source").as("source_b"), col("n").as("size_b")),
+        Seq("source_b"))
+      .select(col("source_a"), col("source_b"), col("shared"),
+        col("size_a"), col("size_b"),
+        (col("shared").cast("double") /
+          (col("size_a") + col("size_b") - col("shared"))).as("jaccard"))
+  }
+
   /** Embedding-cosine near-dup pairs, exact all-pairs baseline (O(N^2);
     * the oracle-checkable form). Output: (id_a, id_b) with cosine >= threshold.
     */

@@ -317,6 +317,52 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
       "'ab' under the floor is exempt; 'xyz' meets it and dedups")
   }
 
+  test("sourceOverlap: exact pairwise Jaccard of per-source shingle sets") {
+    // srcA: {a b c, b c d, c d e}; srcB: {a b c, b c d, x y z};
+    // srcC: {p q r} (disjoint — absent from the matrix)
+    val df = Seq(
+      ("A", "a b c d e"), ("B", "a b c d"), ("B", "x y z"), ("C", "p q r")
+    ).toDF("source", "text")
+    val out = Dedup.sourceOverlap(df, "source", "text")
+      .as[(String, String, Long, Long, Long, Double)].collect()
+    assert(out.toSeq == Seq(("A", "B", 2L, 3L, 3L, 2.0 / 4.0)))
+  }
+
+  test("sourceOverlap: duplicate shingles within a source count once") {
+    val df = Seq(
+      ("A", "a b c"), ("A", "a b c"), ("B", "a b c")).toDF("source", "text")
+    val out = Dedup.sourceOverlap(df, "source", "text")
+      .as[(String, String, Long, Long, Long, Double)].collect()
+    assert(out.toSeq == Seq(("A", "B", 1L, 1L, 1L, 1.0)))
+  }
+
+  test("sourceOverlap: maxSourcesPerShingle drops ubiquitous shingles from both sides") {
+    // "u u u" is in all three sources (ubiquitous at cap 2); each pair also
+    // shares one discriminating shingle
+    val df = Seq(
+      ("A", "u u u"), ("A", "a b c"), ("A", "x y z"),
+      ("B", "u u u"), ("B", "a b c"),
+      ("C", "u u u"), ("C", "x y z")).toDF("source", "text")
+    val capped = Dedup.sourceOverlap(df, "source", "text",
+        maxSourcesPerShingle = 2)
+      .as[(String, String, Long, Long, Long, Double)].collect()
+      .sortBy(r => (r._1, r._2))
+    // denominators exclude the ubiquitous shingle too: A has 2 kept, B/C 1
+    assert(capped.toSeq == Seq(
+      ("A", "B", 1L, 2L, 1L, 0.5), ("A", "C", 1L, 2L, 1L, 0.5)))
+    intercept[IllegalArgumentException] {
+      Dedup.sourceOverlap(df, "source", "text", maxSourcesPerShingle = 1)
+    }
+  }
+
+  test("sourceOverlap: shingle strings reduce to hashes before any exchange") {
+    val df = docs.select($"source", $"text")
+    val p = Dedup.sourceOverlap(df, "source", "text")
+      .queryExecution.executedPlan.toString()
+    val leak = p.linesIterator.exists(l => l.contains("Exchange") && l.contains("sh#"))
+    assert(!leak, s"raw shingles must never shuffle — only (source, hash):\n$p")
+  }
+
   test("widen: under-partitioned narrow input is widened to default parallelism") {
     val p = spark.sparkContext.defaultParallelism
     val one = spark.range(0, 100, 1, numPartitions = 1).toDF("id")
