@@ -1704,7 +1704,38 @@ object SparkEntry {
     // strings (identical unless xxhash64 collides, odds ~2^-25 here).
     "q91_source_overlap" -> ((s, dir) =>
       operators.Dedup.sourceOverlap(
-        t(s, dir, "documents"), "source", "text", shingleLen = 3))
+        t(s, dir, "documents"), "source", "text", shingleLen = 3)),
+
+    // Hard-negative mining (Knn.labelConstrainedTopK, sameLabel=false):
+    // for 8 anchor embeddings, the 5 most-cosine-similar vectors with a
+    // DIFFERENT label — the contrastive-training pair miner. The label
+    // predicate filters inside the broadcast scan stage; the oracle is
+    // the window-rank replay with the same predicate and tie-break.
+    "q92_hard_negatives" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      operators.Knn.labelConstrainedTopK(
+        emb.filter(col("vec_id") < 8).select(
+          col("vec_id").as("query_id"), col("embedding").as("query_vec"),
+          col("label").as("query_label")),
+        emb.select(col("vec_id").as("id"), col("embedding").as("vector"),
+          col("label")),
+        k = 5, sameLabel = false)
+        .select(col("query_id"), col("id").as("vec_id"), col("rank").as("rnk"))
+    }),
+
+    // Hard-positive mining (sameLabel=true): same-label nearest neighbors,
+    // the anchor itself excluded by id — the other half of the miner.
+    "q93_hard_positives" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      operators.Knn.labelConstrainedTopK(
+        emb.filter(col("vec_id") < 8).select(
+          col("vec_id").as("query_id"), col("embedding").as("query_vec"),
+          col("label").as("query_label")),
+        emb.select(col("vec_id").as("id"), col("embedding").as("vector"),
+          col("label")),
+        k = 5, sameLabel = true)
+        .select(col("query_id"), col("id").as("vec_id"), col("rank").as("rnk"))
+    })
   )
 
   /** q80's fixed merge table (learned-table stand-in, the fixed-codebook
@@ -3532,7 +3563,32 @@ object SparkEntry {
         |  CAST(sh.shared AS DOUBLE) / (sa.n + sb.n - sh.shared) AS jaccard
         |FROM shared sh
         |JOIN sizes sa ON sa.source = sh.source_a
-        |JOIN sizes sb ON sb.source = sh.source_b""".stripMargin
+        |JOIN sizes sb ON sb.source = sh.source_b""".stripMargin,
+
+    "q92_hard_negatives" ->
+      """WITH q AS (
+        |  SELECT vec_id AS query_id, embedding AS qv, label AS ql
+        |  FROM embeddings WHERE vec_id < 8),
+        |r AS (
+        |  SELECT q.query_id, e.vec_id,
+        |    CAST(row_number() OVER (PARTITION BY q.query_id
+        |      ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |        CAST(q.qv AS DOUBLE[])) DESC, e.vec_id ASC) AS BIGINT) AS rnk
+        |  FROM embeddings e JOIN q ON e.label <> q.ql)
+        |SELECT query_id, vec_id, rnk FROM r WHERE rnk <= 5""".stripMargin,
+
+    "q93_hard_positives" ->
+      """WITH q AS (
+        |  SELECT vec_id AS query_id, embedding AS qv, label AS ql
+        |  FROM embeddings WHERE vec_id < 8),
+        |r AS (
+        |  SELECT q.query_id, e.vec_id,
+        |    CAST(row_number() OVER (PARTITION BY q.query_id
+        |      ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |        CAST(q.qv AS DOUBLE[])) DESC, e.vec_id ASC) AS BIGINT) AS rnk
+        |  FROM embeddings e
+        |  JOIN q ON e.label = q.ql AND e.vec_id <> q.query_id)
+        |SELECT query_id, vec_id, rnk FROM r WHERE rnk <= 5""".stripMargin
   )
 
   /** q84's oracle, generated: the greedy MMR selection unrolled into k

@@ -116,6 +116,57 @@ object Knn {
         (col("pos") + 1).cast("long").as("rank"))
   }
 
+  /** Label-constrained batch kNN — the contrastive-training mining op:
+    * for every query row, the k most-similar store rows whose label
+    * DISAGREES (`sameLabel = false`: hard negatives — the lookalikes from
+    * other classes a contrastive loss learns the most from) or AGREES
+    * (`sameLabel = true`: hard positives, the anchor itself excluded by id).
+    *
+    * Output: (queryIdCol, id, similarity_score, distance, rank), rank 1..k
+    * per query in score-desc id-asc order — [[batchTopK]]'s exact shape.
+    *
+    * Scale shape, identical to [[batchTopK]]: the query set (with labels)
+    * broadcasts, the label predicate filters INSIDE the codegen'd scan
+    * stage (no candidate ever materializes past it), and the bounded
+    * [[TopKAggregator]] partial-aggregates so only M*k rows cross the one
+    * shuffle. Mining over a labeled 100 TB corpus is exactly one scan.
+    */
+  def labelConstrainedTopK(
+      queries: DataFrame,
+      store: DataFrame,
+      k: Int,
+      sameLabel: Boolean,
+      metric: String = vector.MetricCosine,
+      vecCol: String = "vector",
+      idCol: String = "id",
+      labelCol: String = "label",
+      queryIdCol: String = "query_id",
+      queryVecCol: String = "query_vec",
+      queryLabelCol: String = "query_label"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val topk = udaf(new TopKAggregator(k, ascending = false))
+    val pred =
+      if (sameLabel) col(labelCol) === col(queryLabelCol) && col(idCol) =!= col(queryIdCol)
+      else col(labelCol) =!= col(queryLabelCol)
+    store
+      .crossJoin(broadcast(
+        queries.select(col(queryIdCol), col(queryVecCol), col(queryLabelCol))))
+      .filter(pred)
+      .select(
+        col(queryIdCol),
+        col(idCol),
+        vector.similarity(col(vecCol), col(queryVecCol), metric).as("similarity_score"))
+      .groupBy(col(queryIdCol))
+      .agg(topk(col("similarity_score"), col(idCol)).as("topk"))
+      .select(col(queryIdCol), posexplode(col("topk")).as(Seq("pos", "hit")))
+      .select(
+        col(queryIdCol),
+        col("hit.id").as(idCol),
+        col("hit.score").as("similarity_score"),
+        vector.distanceFromSimilarity(col("hit.score"), metric).as("distance"),
+        (col("pos") + 1).cast("long").as("rank"))
+  }
+
   /** Batch kNN via window ranking — same result as [[batchTopK]] but expressed
     * with built-in window functions only, so it has a 1:1 ANSI SQL equivalent
     * for the DuckDB oracle. Shuffles all M*N scored rows; prefer

@@ -103,6 +103,48 @@ class KnnSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("labelConstrainedTopK: hard negatives exclude the anchor's label entirely") {
+    // 2D geometry: anchor (1,0) label 0; same-label lookalike (0.99,0.1);
+    // other-label rows at decreasing similarity
+    val emb = Seq(
+      (0L, Array(1f, 0f), 0), (1L, Array(0.99f, 0.1f), 0),
+      (2L, Array(0.9f, 0.3f), 1), (3L, Array(0.5f, 0.8f), 1),
+      (4L, Array(0f, 1f), 2)
+    ).toDF("id", "vector", "label")
+    val qs = emb.filter($"id" === 0).select(
+      $"id".as("query_id"), $"vector".as("query_vec"), $"label".as("query_label"))
+    val neg = Knn.labelConstrainedTopK(qs, emb, k = 2, sameLabel = false)
+      .select($"id", $"rank").as[(Long, Long)].collect().sortBy(_._2)
+    // nearest other-label rows: 2 then 3; rows 0/1 (label 0) never appear
+    assert(neg.toSeq == Seq((2L, 1L), (3L, 2L)))
+  }
+
+  test("labelConstrainedTopK: hard positives keep the label and drop the anchor row") {
+    val emb = Seq(
+      (0L, Array(1f, 0f), 0), (1L, Array(0.99f, 0.1f), 0),
+      (2L, Array(0.7f, 0.7f), 0), (3L, Array(0.9f, 0.3f), 1)
+    ).toDF("id", "vector", "label")
+    val qs = emb.filter($"id" === 0).select(
+      $"id".as("query_id"), $"vector".as("query_vec"), $"label".as("query_label"))
+    val pos = Knn.labelConstrainedTopK(qs, emb, k = 5, sameLabel = true)
+      .select($"id", $"rank").as[(Long, Long)].collect().sortBy(_._2)
+    // the anchor itself (id 0) is excluded even though it is cosine-1
+    assert(pos.toSeq == Seq((1L, 1L), (2L, 2L)))
+  }
+
+  test("labelConstrainedTopK plans the batchTopK shape: broadcast queries, partial top-k, no window") {
+    val emb = (0L until 50L).map(i => (i, Array(i.toFloat, 1f), (i % 3).toInt))
+      .toDF("id", "vector", "label")
+    val qs = emb.limit(2).select(
+      $"id".as("query_id"), $"vector".as("query_vec"), $"label".as("query_label"))
+    val p = Knn.labelConstrainedTopK(qs, emb, k = 3, sameLabel = false)
+      .queryExecution.executedPlan.toString()
+    assert(p.contains("BroadcastNestedLoopJoin"), s"queries must broadcast:\n$p")
+    assert(!p.contains("Window"), s"mining must not window-rank:\n$p")
+    assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate"),
+      s"expected the bounded-aggregator two-phase plan:\n$p")
+  }
+
   test("retrieveContext respects min_similarity and max_context_length") {
     val ranked = Seq(
       (1L, 0.9, 100L), (2L, 0.8, 100L), (3L, 0.7, 100L), (4L, 0.2, 10L)
