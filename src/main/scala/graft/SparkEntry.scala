@@ -1735,6 +1735,29 @@ object SparkEntry {
           col("label")),
         k = 5, sameLabel = true)
         .select(col("query_id"), col("id").as("vec_id"), col("rank").as("rnk"))
+    }),
+
+    // Greedy funnel chains (Funnel.chains): per-user earliest
+    // view -> click -> purchase completion, strictly-increasing
+    // timestamps, NULL from the first uncompleted step. Timestamps hash
+    // as epoch millis (the q85/q86 events discipline); the oracle replays
+    // the chain as k-1 LEFT-JOIN + min steps.
+    "q94_funnel_chains" -> ((s, dir) => {
+      val ev = sources.Events.read(s, dir).select(
+        col("user_id"), unix_millis(col("event_time")).as("ts_ms"),
+        col("event_type"))
+      operators.Funnel.chains(ev, "user_id", "ts_ms", "event_type",
+        Seq("view", "click", "purchase"))
+    }),
+
+    // Funnel step counts (Funnel.counts): users reaching each step —
+    // the conversion report derived from the same greedy chain.
+    "q95_funnel_counts" -> ((s, dir) => {
+      val ev = sources.Events.read(s, dir).select(
+        col("user_id"), unix_millis(col("event_time")).as("ts_ms"),
+        col("event_type"))
+      operators.Funnel.counts(ev, "user_id", "ts_ms", "event_type",
+        Seq("view", "click", "purchase"))
     })
   )
 
@@ -3588,7 +3611,47 @@ object SparkEntry {
         |        CAST(q.qv AS DOUBLE[])) DESC, e.vec_id ASC) AS BIGINT) AS rnk
         |  FROM embeddings e
         |  JOIN q ON e.label = q.ql AND e.vec_id <> q.query_id)
-        |SELECT query_id, vec_id, rnk FROM r WHERE rnk <= 5""".stripMargin
+        |SELECT query_id, vec_id, rnk FROM r WHERE rnk <= 5""".stripMargin,
+
+    // greedy earliest chain, strict >: k-1 LEFT JOIN + min steps; NULL
+    // timestamps propagate (a NULL t_i comparison is never true, so every
+    // later step stays NULL) — identical null algebra in both engines.
+    "q94_funnel_chains" ->
+      """WITH t1 AS (
+        |  SELECT user_id, min(epoch_ms(ts)) AS t1 FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |c2 AS (
+        |  SELECT t1.user_id, t1.t1, min(epoch_ms(e.ts)) AS t2
+        |  FROM t1 LEFT JOIN events e ON e.user_id = t1.user_id
+        |    AND e.event_type = 'click' AND epoch_ms(e.ts) > t1.t1
+        |  GROUP BY 1, 2),
+        |c3 AS (
+        |  SELECT c2.user_id, c2.t1, c2.t2, min(epoch_ms(e.ts)) AS t3
+        |  FROM c2 LEFT JOIN events e ON e.user_id = c2.user_id
+        |    AND e.event_type = 'purchase' AND epoch_ms(e.ts) > c2.t2
+        |  GROUP BY 1, 2, 3)
+        |SELECT user_id, t1, t2, t3 FROM c3""".stripMargin,
+
+    "q95_funnel_counts" ->
+      """WITH t1 AS (
+        |  SELECT user_id, min(epoch_ms(ts)) AS t1 FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |c2 AS (
+        |  SELECT t1.user_id, t1.t1, min(epoch_ms(e.ts)) AS t2
+        |  FROM t1 LEFT JOIN events e ON e.user_id = t1.user_id
+        |    AND e.event_type = 'click' AND epoch_ms(e.ts) > t1.t1
+        |  GROUP BY 1, 2),
+        |c3 AS (
+        |  SELECT c2.user_id, c2.t1, c2.t2, min(epoch_ms(e.ts)) AS t3
+        |  FROM c2 LEFT JOIN events e ON e.user_id = c2.user_id
+        |    AND e.event_type = 'purchase' AND epoch_ms(e.ts) > c2.t2
+        |  GROUP BY 1, 2, 3)
+        |SELECT CAST(1 AS BIGINT) AS step, 'view' AS step_type,
+        |       count(t1) AS n_users FROM c3
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), 'click', count(t2) FROM c3
+        |UNION ALL
+        |SELECT CAST(3 AS BIGINT), 'purchase', count(t3) FROM c3""".stripMargin
   )
 
   /** q84's oracle, generated: the greedy MMR selection unrolled into k

@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Funnel analysis over an event stream — "users who did A, then B, then C"
+  * — the conversion-path query every event pipeline runs (absent from the
+  * reference, whose events surface is ingest-progress only:
+  * api/routes/batch_v1.py tracks job state, not user journeys).
+  *
+  * Semantics: the GREEDY earliest chain. Per user, t1 = the earliest
+  * step-1 event; t_{i+1} = the earliest step-{i+1} event STRICTLY after
+  * t_i. Strict inequality means same-instant events never chain (a
+  * deterministic, engine-replayable rule); greedy-earliest is the standard
+  * funnel convention (a user abandoning early then completing later still
+  * counts from their FIRST attempt).
+  *
+  * Scale shape: each step is filtered to its event type SCAN-SIDE, reduced
+  * to slim (user, min ts) pairs with map-side partial aggregation, and
+  * chained onto the accumulating per-user chain with an equi-join on the
+  * user key — k-1 shuffles of per-user scalars, never of raw events, and
+  * per-key cost is bounded by the user's own event count (AQE handles a
+  * hot user). No window ever sees more than one row per user.
+  */
+object Funnel {
+
+  /** Per-user greedy funnel chains. Output: (userCol, t1 .. tk) where t_i
+    * is the timestamp (input column type preserved) of the user's step-i
+    * completion, NULL from the first uncompleted step onward. One row per
+    * user who performed step 1 at least once.
+    */
+  def chains(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String,
+      typeCol: String,
+      steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    require(steps.distinct.size == steps.size,
+      s"funnel steps must be distinct, got $steps")
+    val first = events.filter(col(typeCol) === steps.head)
+      .groupBy(col(userCol))
+      .agg(min(col(tsCol)).as("t1"))
+    steps.zipWithIndex.drop(1).foldLeft(first) { case (chain, (step, i)) =>
+      val stepEvents = events.filter(col(typeCol) === step)
+        .select(col(userCol).as("_u"), col(tsCol).as("_ts"))
+      chain
+        .join(stepEvents,
+          chain(userCol) === col("_u") && col("_ts") > chain(s"t$i"), "left")
+        .groupBy((col(userCol) +: (1 to i).map(j => col(s"t$j"))): _*)
+        .agg(min(col("_ts")).as(s"t${i + 1}"))
+    }
+  }
+
+  /** Funnel step counts: how many users reach each step. Output: one row
+    * per step, (step BIGINT 1-based, step_type, n_users BIGINT), n_users
+    * non-increasing down the funnel. Derived from [[chains]] — the whole
+    * corpus reduces to one aggregate row before the k-row explode.
+    */
+  def counts(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String,
+      typeCol: String,
+      steps: Seq[String]): DataFrame = {
+    val ch = chains(events, userCol, tsCol, typeCol, steps)
+    val aggd = ch.agg(
+      count(col("t1")).as("n1"),
+      (2 to steps.size).map(i => count(col(s"t$i")).as(s"n$i")): _*)
+    val stackArgs = steps.zipWithIndex
+      .map { case (s, i) => s"${i + 1}L, '${s.replace("'", "''")}', n${i + 1}" }
+      .mkString(", ")
+    aggd.selectExpr(
+      s"stack(${steps.size}, $stackArgs) AS (step, step_type, n_users)")
+  }
+}

@@ -1,0 +1,64 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class FunnelSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  // (user, ts, type): u1 completes A->B->C; u2 does B before A (no chain
+  // past A); u3 never does A (absent from output); u4 does A only
+  private lazy val ev = Seq(
+    (1L, 10L, "A"), (1L, 20L, "B"), (1L, 30L, "C"),
+    (2L, 50L, "B"), (2L, 60L, "A"),
+    (3L, 5L, "B"), (3L, 6L, "C"),
+    (4L, 100L, "A")
+  ).toDF("user_id", "ts", "event_type")
+
+  test("chains: greedy earliest completion, NULL from first missed step") {
+    val out = Funnel.chains(ev, "user_id", "ts", "event_type", Seq("A", "B", "C"))
+      .orderBy($"user_id")
+      .as[(Long, Long, Option[Long], Option[Long])].collect()
+    assert(out.toSeq == Seq(
+      (1L, 10L, Some(20L), Some(30L)),
+      (2L, 60L, None, None),      // B happened BEFORE A — must not chain
+      (4L, 100L, None, None)))
+  }
+
+  test("chains: greedy takes the FIRST step-1 event even when a later one would also chain") {
+    val e = Seq(
+      (1L, 10L, "A"), (1L, 40L, "A"), (1L, 50L, "B")).toDF("user_id", "ts", "event_type")
+    val out = Funnel.chains(e, "user_id", "ts", "event_type", Seq("A", "B"))
+      .as[(Long, Long, Option[Long])].collect()
+    assert(out.toSeq == Seq((1L, 10L, Some(50L))))
+  }
+
+  test("chains: same-instant events never chain (strict >)") {
+    val e = Seq((1L, 10L, "A"), (1L, 10L, "B"), (1L, 11L, "B"))
+      .toDF("user_id", "ts", "event_type")
+    val out = Funnel.chains(e, "user_id", "ts", "event_type", Seq("A", "B"))
+      .as[(Long, Long, Option[Long])].collect()
+    assert(out.toSeq == Seq((1L, 10L, Some(11L))))
+  }
+
+  test("counts: non-increasing step totals over the same greedy chain") {
+    val out = Funnel.counts(ev, "user_id", "ts", "event_type", Seq("A", "B", "C"))
+      .orderBy($"step")
+      .as[(Long, String, Long)].collect()
+    assert(out.toSeq == Seq((1L, "A", 3L), (2L, "B", 1L), (3L, "C", 1L)))
+  }
+
+  test("chains: step events reduce to per-user scalars before joining (no raw-event window)") {
+    val p = Funnel.chains(ev, "user_id", "ts", "event_type", Seq("A", "B", "C"))
+      .queryExecution.executedPlan.toString()
+    assert(!p.contains("Window"), s"funnel must not window over raw events:\n$p")
+    // every join input reduces to (user, min ts) with a MAP-SIDE partial
+    // min before any exchange (the type filter folds into the scan — on a
+    // parquet source it shows as PushedFilters)
+    assert(p.contains("partial_min"), s"step mins must partial-aggregate:\n$p")
+    intercept[IllegalArgumentException] {
+      Funnel.chains(ev, "user_id", "ts", "event_type", Seq("A", "A"))
+    }
+  }
+}
