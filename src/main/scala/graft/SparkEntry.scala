@@ -1758,7 +1758,15 @@ object SparkEntry {
         col("event_type"))
       operators.Funnel.counts(ev, "user_id", "ts_ms", "event_type",
         Seq("view", "click", "purchase"))
-    })
+    }),
+
+    // Per-document novelty (Dedup.noveltyScores): fraction of a doc's
+    // distinct 3-gram shingles appearing in no other document. The
+    // novelty double is the same single division both engines compute;
+    // the oracle replays document frequency on raw shingle strings.
+    "q96_novelty" -> ((s, dir) =>
+      operators.Dedup.noveltyScores(
+        t(s, dir, "documents"), "doc_id", "text", shingleLen = 3))
   )
 
   /** q80's fixed merge table (learned-table stand-in, the fixed-codebook
@@ -3651,7 +3659,27 @@ object SparkEntry {
         |UNION ALL
         |SELECT CAST(2 AS BIGINT), 'click', count(t2) FROM c3
         |UNION ALL
-        |SELECT CAST(3 AS BIGINT), 'purchase', count(t3) FROM c3""".stripMargin
+        |SELECT CAST(3 AS BIGINT), 'purchase', count(t3) FROM c3""".stripMargin,
+
+    "q96_novelty" ->
+      """WITH s AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(1, len(string_split(text, ' ')) - 1),
+        |    i -> array_to_string(list_slice(string_split(text, ' '), i, i + 2), ' ')))) AS sh
+        |  FROM documents),
+        |g AS (SELECT DISTINCT doc_id, sh FROM s),
+        |f AS (SELECT sh, count(*) AS df FROM g GROUP BY 1),
+        |p AS (
+        |  SELECT g.doc_id, count(*) AS n_shingles,
+        |    count(*) FILTER (WHERE f.df = 1) AS n_unique
+        |  FROM g JOIN f ON f.sh = g.sh GROUP BY 1)
+        |SELECT d.doc_id AS id,
+        |  coalesce(p.n_shingles, 0) AS n_shingles,
+        |  coalesce(p.n_unique, 0) AS n_unique,
+        |  CASE WHEN coalesce(p.n_shingles, 0) > 0
+        |    THEN CAST(p.n_unique AS DOUBLE) / CAST(p.n_shingles AS DOUBLE)
+        |    ELSE 0.0 END AS novelty
+        |FROM documents d LEFT JOIN p ON p.doc_id = d.doc_id""".stripMargin
   )
 
   /** q84's oracle, generated: the greedy MMR selection unrolled into k

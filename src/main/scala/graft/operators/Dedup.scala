@@ -990,6 +990,47 @@ object Dedup {
           (col("size_a") + col("size_b") - col("shared"))).as("jaccard"))
   }
 
+  /** Per-document novelty score: the fraction of a document's DISTINCT
+    * shingles that appear in NO other document — the "how much of this is
+    * new content" signal behind rare-content upweighting and
+    * memorization-risk triage (a doc of df-1 shingles is unique prose; a
+    * doc of high-df shingles is assembled from corpus boilerplate).
+    *
+    * Output: (id, n_shingles, n_unique, novelty DOUBLE = n_unique /
+    * n_shingles) — one row per document; a shingle-less document scores 0.
+    *
+    * Scale shape, the [[sourceOverlap]] discipline: text leaves the scan
+    * as (id, xxhash64) pairs, document frequency is one partial-aggregated
+    * count over hashes, and the join back to documents carries only
+    * (hash, df=1 flag) — three slim shuffles, no pairwise term at all.
+    * Same xxhash64-collision caveat as [[sourceOverlap]] (odds ~2^-25 at
+    * 2^20 distinct shingles; a collision can only LOWER a novelty score).
+    */
+  def noveltyScores(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleLen: Int = 3): DataFrame = {
+    val grams = df.select(col(idCol).cast("long").as("id"),
+        explode(tokenShingles(col(textCol), shingleLen)).as("sh"))
+      .select(col("id"), xxhash64(col("sh")).as("h"))
+      .distinct()
+    val docFreq = grams.groupBy(col("h")).agg(count(lit(1)).as("_df"))
+    val perDoc = grams.join(docFreq, Seq("h"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        count(when(col("_df") === 1, lit(1))).as("n_unique"))
+    df.select(col(idCol).cast("long").as("id"))
+      .join(perDoc, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+        coalesce(col("n_unique"), lit(0L)).as("n_unique"))
+      .withColumn("novelty",
+        when(col("n_shingles") > 0,
+          col("n_unique").cast("double") / col("n_shingles").cast("double"))
+          .otherwise(lit(0.0)))
+  }
+
   /** Embedding-cosine near-dup pairs, exact all-pairs baseline (O(N^2);
     * the oracle-checkable form). Output: (id_a, id_b) with cosine >= threshold.
     */

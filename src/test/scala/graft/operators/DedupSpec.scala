@@ -363,6 +363,25 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(!leak, s"raw shingles must never shuffle — only (source, hash):\n$p")
   }
 
+  test("noveltyScores: df-1 shingles count as novel, shared ones do not") {
+    // doc 1 {a b c, b c d}: both unique -> 1.0
+    // docs 2/3 share {x y z}; doc 2 also has unique {y z w} -> 0.5; doc 3 -> 0.0
+    val df = Seq(
+      (1L, "a b c d"), (2L, "x y z w"), (3L, "x y z")).toDF("doc_id", "text")
+    val out = Dedup.noveltyScores(df, "doc_id", "text")
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq(
+      (1L, 2L, 2L, 1.0), (2L, 2L, 1L, 0.5), (3L, 1L, 0L, 0.0)))
+  }
+
+  test("noveltyScores: repeated shingles inside one doc stay novel (per-doc distinct df)") {
+    val df = Seq((1L, "a b c a b c"), (2L, "q r s")).toDF("doc_id", "text")
+    val out = Dedup.noveltyScores(df, "doc_id", "text")
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1)
+    // doc 1's shingles each appear in only ONE document (itself), so all novel
+    assert(out.head._1 == 1L && out.head._4 == 1.0)
+  }
+
   test("widen: under-partitioned narrow input is widened to default parallelism") {
     val p = spark.sparkContext.defaultParallelism
     val one = spark.range(0, 100, 1, numPartitions = 1).toDF("id")
