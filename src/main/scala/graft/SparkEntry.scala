@@ -1766,7 +1766,17 @@ object SparkEntry {
     // the oracle replays document frequency on raw shingle strings.
     "q96_novelty" -> ((s, dir) =>
       operators.Dedup.noveltyScores(
-        t(s, dir, "documents"), "doc_id", "text", shingleLen = 3))
+        t(s, dir, "documents"), "doc_id", "text", shingleLen = 3)),
+
+    // Retention cohorts (Funnel.retention): users bucketed into days by
+    // exact integer arithmetic, cohort = first active day, counts of each
+    // cohort active in every later day. Both engines bucket with the same
+    // (ts - ts mod p) / p formula.
+    "q97_retention" -> ((s, dir) => {
+      val ev = sources.Events.read(s, dir).select(
+        col("user_id"), unix_millis(col("event_time")).as("ts_ms"))
+      operators.Funnel.retention(ev, "user_id", "ts_ms", periodMs = 86400000L)
+    })
   )
 
   /** q80's fixed merge table (learned-table stand-in, the fixed-codebook
@@ -3679,7 +3689,20 @@ object SparkEntry {
         |  CASE WHEN coalesce(p.n_shingles, 0) > 0
         |    THEN CAST(p.n_unique AS DOUBLE) / CAST(p.n_shingles AS DOUBLE)
         |    ELSE 0.0 END AS novelty
-        |FROM documents d LEFT JOIN p ON p.doc_id = d.doc_id""".stripMargin
+        |FROM documents d LEFT JOIN p ON p.doc_id = d.doc_id""".stripMargin,
+
+    "q97_retention" ->
+      """WITH a AS (
+        |  SELECT DISTINCT user_id AS u,
+        |    CAST((epoch_ms(ts) - epoch_ms(ts) % 86400000) / 86400000 AS BIGINT)
+        |      AS bucket
+        |  FROM events),
+        |c AS (SELECT u, min(bucket) AS cohort FROM a GROUP BY 1)
+        |SELECT c.cohort, a.bucket,
+        |  a.bucket - c.cohort AS periods_after,
+        |  count(*) AS n_users
+        |FROM a JOIN c ON a.u = c.u
+        |GROUP BY 1, 2, 3""".stripMargin
   )
 
   /** q84's oracle, generated: the greedy MMR selection unrolled into k

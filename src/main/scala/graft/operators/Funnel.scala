@@ -73,4 +73,39 @@ object Funnel {
     aggd.selectExpr(
       s"stack(${steps.size}, $stackArgs) AS (step, step_type, n_users)")
   }
+
+  /** Retention cohorts: bucket time into fixed periods (`periodMs` over a
+    * numeric epoch-ms column), assign each user to the cohort of their
+    * FIRST active period, and count how many of each cohort are active in
+    * every later period — the "day-N retention" report.
+    *
+    * Output: (cohort, bucket, periods_after BIGINT = bucket - cohort,
+    * n_users BIGINT), one row per (cohort, active bucket) pair;
+    * periods_after = 0 rows carry each cohort's size. Bucketing is exact
+    * integer arithmetic (`(ts - ts mod period) / period`), so any engine
+    * reproduces the buckets bit-for-bit.
+    *
+    * Scale shape: raw events collapse to DISTINCT (user, bucket) pairs
+    * with map-side partial aggregation — the only thing ever joined or
+    * re-aggregated is that slim activity set, per-user scalars against
+    * per-user cohort minima. No window, no pairwise term.
+    */
+  def retention(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String,
+      periodMs: Long): DataFrame = {
+    require(periodMs >= 1, s"periodMs must be >= 1, got $periodMs")
+    val bucket = ((col(tsCol) - pmod(col(tsCol), lit(periodMs))) / periodMs)
+      .cast("long")
+    val activity = events
+      .select(col(userCol).as("_u"), bucket.as("bucket"))
+      .distinct()
+    val cohorts = activity.groupBy(col("_u")).agg(min(col("bucket")).as("cohort"))
+    activity.join(cohorts, Seq("_u"))
+      .groupBy(col("cohort"), col("bucket"))
+      .agg(count(lit(1)).as("n_users"))
+      .select(col("cohort"), col("bucket"),
+        (col("bucket") - col("cohort")).as("periods_after"), col("n_users"))
+  }
 }

@@ -191,6 +191,44 @@ object Demo {
     println(s"[demo] range join: ${coocc.count()} same-user event pairs " +
       "within 1h")
 
+    // 17. Event analytics: greedy funnel + day-bucket retention over the
+    // same events — per-user scalars only past the scan
+    val evTyped = graft.sources.Events.read(spark, sfDir)
+      .select($"user_id", unix_millis($"event_time").as("ts_ms"), $"event_type")
+    val funnel = graft.operators.Funnel.counts(evTyped, "user_id", "ts_ms",
+        "event_type", Seq("view", "click", "purchase"))
+      .orderBy($"step")
+      .as[(Long, String, Long)].collect()
+    val cohorts = graft.operators.Funnel.retention(evTyped, "user_id", "ts_ms",
+      periodMs = 86400000L)
+    println(s"[demo] funnel: " +
+      funnel.map { case (_, t, n) => s"$t=$n" }.mkString(" -> ") +
+      s"; retention: ${cohorts.count()} (cohort, day) cells")
+
+    // 18. Corpus diagnostics: cross-source overlap + per-doc novelty — the
+    // "is crawl B already inside crawl A" pre-dedup read
+    val docsAll = spark.read.parquet(s"$sfDir/documents.parquet")
+    val overlap = graft.operators.Dedup.sourceOverlap(docsAll, "source", "text")
+    val topPair = overlap.orderBy($"jaccard".desc, $"source_a", $"source_b")
+      .select($"source_a", $"source_b", $"jaccard").head()
+    val novelty = graft.operators.Dedup.noveltyScores(docsAll, "doc_id", "text")
+      .agg(avg($"novelty")).head().getDouble(0)
+    println(f"[demo] diagnostics: most-overlapping sources = " +
+      f"${topPair.getString(0)}/${topPair.getString(1)} " +
+      f"(J=${topPair.getDouble(2)}%.3f); mean doc novelty = $novelty%.3f")
+
+    // 19. Contrastive mining: hardest other-label neighbor per anchor
+    val embLbl = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val negs = graft.operators.Knn.labelConstrainedTopK(
+      embLbl.filter($"vec_id" < 4).select($"vec_id".as("query_id"),
+        $"embedding".as("query_vec"), $"label".as("query_label")),
+      embLbl.select($"vec_id".as("id"), $"embedding".as("vector"), $"label"),
+      k = 1, sameLabel = false)
+      .orderBy($"query_id")
+      .select($"query_id", $"id").as[(Long, Long)].collect()
+    println(s"[demo] hard negatives (anchor -> nearest other-label): " +
+      negs.map { case (q, i) => s"($q,$i)" }.mkString(", "))
+
     spark.stop()
   }
 }

@@ -49,6 +49,32 @@ class FunnelSpec extends AnyFunSuite with SparkSpec {
     assert(out.toSeq == Seq((1L, "A", 3L), (2L, "B", 1L), (3L, "C", 1L)))
   }
 
+  test("retention: cohort = first active period, later activity counted once per period") {
+    // period 10: u1 active periods {0,1,3} (two events in p1 dedupe);
+    // u2 first seen p1, active {1,3}; u3 only p3
+    val e = Seq(
+      (1L, 0L), (1L, 12L), (1L, 15L), (1L, 30L),
+      (2L, 11L), (2L, 39L),
+      (3L, 35L)
+    ).toDF("user_id", "ts")
+    val out = Funnel.retention(e, "user_id", "ts", periodMs = 10L)
+      .as[(Long, Long, Long, Long)].collect().sortBy(r => (r._1, r._2))
+    assert(out.toSeq == Seq(
+      (0L, 0L, 0L, 1L), (0L, 1L, 1L, 1L), (0L, 3L, 3L, 1L),
+      (1L, 1L, 0L, 1L), (1L, 3L, 2L, 1L),
+      (3L, 3L, 0L, 1L)))
+  }
+
+  test("retention: cohort-size row (periods_after=0) counts every cohort member") {
+    val e = Seq((1L, 5L), (2L, 7L), (3L, 25L)).toDF("user_id", "ts")
+    val out = Funnel.retention(e, "user_id", "ts", periodMs = 10L)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq((0L, 0L, 0L, 2L), (2L, 2L, 0L, 1L)))
+    intercept[IllegalArgumentException] {
+      Funnel.retention(e, "user_id", "ts", periodMs = 0L)
+    }
+  }
+
   test("chains: step events reduce to per-user scalars before joining (no raw-event window)") {
     val p = Funnel.chains(ev, "user_id", "ts", "event_type", Seq("A", "B", "C"))
       .queryExecution.executedPlan.toString()
