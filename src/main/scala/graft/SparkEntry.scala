@@ -1776,6 +1776,43 @@ object SparkEntry {
       val ev = sources.Events.read(s, dir).select(
         col("user_id"), unix_millis(col("event_time")).as("ts_ms"))
       operators.Funnel.retention(ev, "user_id", "ts_ms", periodMs = 86400000L)
+    }),
+
+    // Directed containment (quote/subset detection): |A∩B| / |A| over
+    // distinct 3-gram shingles — catches the short-doc-inside-long-doc
+    // pairs symmetric Jaccard misses. The oracle replays document shingle
+    // sets on raw strings (q96's formula) and the exact ordered-pair
+    // shared counts.
+    "q98_containment" -> ((s, dir) =>
+      operators.Dedup.containmentPairs(
+        t(s, dir, "documents"), "doc_id", "text", threshold = 0.5)),
+
+    // Per-key frequency cap (over-represented-domain guard): keep at most
+    // 10 docs per source, deterministically by the portable idHash draw.
+    // The bounded-aggregator selection replayed by a window rank — same
+    // twin discipline as q90.
+    "q99_cap_per_key" -> ((s, dir) =>
+      operators.Curation.capPerKey(
+        t(s, dir, "documents"), "doc_id", "source", n = 10)),
+
+    // Corpus collocations: adjacent-bigram PMI with exact counts and a
+    // fixed-association pmi double (ln over one IEEE expression — the q39
+    // log-parity precedent).
+    "q100_pmi_bigrams" -> ((s, dir) =>
+      text.TextAnalysis.pmiBigrams(t(s, dir, "documents"), "text",
+        minCount = 30)
+        .drop("pmi")), // ln is not correctly-rounded libm-to-libm: hash lift
+
+    // Cluster-balanced sampling: nearest-centroid assignment over the
+    // fixed centroid twin (vec_id < 8, the q33 discipline) then the q99
+    // per-key cap inside each cluster — diversity-preserving downsampling.
+    "q101_cluster_sample" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val cents = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      val assigned = operators.Knn.assignNearestCentroid(
+        emb, "vec_id", "embedding", cents, "cid", "cvec")
+      operators.Curation.capPerKey(assigned, "id", "centroid_id", n = 20)
     })
   )
 
@@ -3702,7 +3739,70 @@ object SparkEntry {
         |  a.bucket - c.cohort AS periods_after,
         |  count(*) AS n_users
         |FROM a JOIN c ON a.u = c.u
-        |GROUP BY 1, 2, 3""".stripMargin
+        |GROUP BY 1, 2, 3""".stripMargin,
+
+    "q98_containment" ->
+      """WITH s AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(1, len(string_split(text, ' ')) - 1),
+        |    i -> array_to_string(list_slice(string_split(text, ' '), i, i + 2), ' ')))) AS sh
+        |  FROM documents),
+        |sz AS (SELECT doc_id, count(*) AS n FROM s GROUP BY 1),
+        |p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+        |  FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id <> b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT p.id_a, p.id_b, p.shared, sz.n AS size_a,
+        |  CAST(p.shared AS DOUBLE) / CAST(sz.n AS DOUBLE) AS containment
+        |FROM p JOIN sz ON sz.doc_id = p.id_a
+        |WHERE CAST(p.shared AS DOUBLE) / CAST(sz.n AS DOUBLE) >= 0.5""".stripMargin,
+
+    "q99_cap_per_key" ->
+      """SELECT source AS key, doc_id AS id, rnk FROM (
+        |  SELECT source, doc_id, CAST(row_number() OVER (
+        |      PARTITION BY source
+        |      ORDER BY (doc_id * 2654435761) % 4294967296, doc_id) AS BIGINT) AS rnk
+        |  FROM documents)
+        |WHERE rnk <= 10""".stripMargin,
+
+    "q100_pmi_bigrams" ->
+      """WITH toks AS (SELECT string_split(text, ' ') AS t FROM documents),
+        |u AS (SELECT w, count(*) AS n
+        |      FROM (SELECT unnest(t) AS w FROM toks) GROUP BY 1),
+        |b AS (SELECT g, count(*) AS np FROM (
+        |    SELECT unnest(list_transform(range(1, len(t)),
+        |      i -> array_to_string(list_slice(t, i, i + 1), ' '))) AS g
+        |    FROM toks) GROUP BY 1),
+        |tot AS (SELECT (SELECT sum(n) FROM u) AS tu,
+        |               (SELECT sum(np) FROM b) AS tb)
+        |SELECT b.g AS gram,
+        |  string_split(b.g, ' ')[1] AS w_a, string_split(b.g, ' ')[2] AS w_b,
+        |  b.np AS n_pair, ua.n AS n_a, ub.n AS n_b,
+        |  CAST(b.np AS DOUBLE) * CAST(tot.tu AS DOUBLE) * CAST(tot.tu AS DOUBLE) /
+        |     (CAST(tot.tb AS DOUBLE) * CAST(ua.n AS DOUBLE) * CAST(ub.n AS DOUBLE)) AS lift
+        |FROM b CROSS JOIN tot
+        |JOIN u ua ON ua.w = string_split(b.g, ' ')[1]
+        |JOIN u ub ON ub.w = string_split(b.g, ' ')[2]
+        |WHERE b.np >= 30""".stripMargin,
+
+    "q101_cluster_sample" ->
+      """WITH cent AS (
+        |  SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS c
+        |  FROM embeddings WHERE vec_id < 8),
+        |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |assign AS (
+        |  SELECT vec_id, cid FROM (
+        |    SELECT x.vec_id, c.cid,
+        |      row_number() OVER (PARTITION BY x.vec_id
+        |        ORDER BY list_cosine_similarity(c.c, x.v) DESC, c.cid ASC) AS arnk
+        |    FROM v x, cent c
+        |  ) WHERE arnk = 1)
+        |SELECT key, id, rnk FROM (
+        |  SELECT cid AS key, vec_id AS id,
+        |    CAST(row_number() OVER (PARTITION BY cid
+        |      ORDER BY (vec_id * 2654435761) % 4294967296, vec_id) AS BIGINT) AS rnk
+        |  FROM assign)
+        |WHERE rnk <= 20""".stripMargin
   )
 
   /** q84's oracle, generated: the greedy MMR selection unrolled into k

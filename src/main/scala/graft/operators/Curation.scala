@@ -177,6 +177,42 @@ object Curation {
     df.filter(pmod(idHash(col(idCol)), lit(1000000L)) < ppm)
   }
 
+  /** Per-key frequency cap: keep at most `n` rows per key (domain, URL
+    * host, cluster id...), chosen DETERMINISTICALLY — the rows whose
+    * [[idHash]] draw (seed-shifted, id-tiebroken) ranks lowest within the
+    * key. The standard over-represented-domain guard in crawl curation:
+    * unlike a rate (which must be chosen per key), a cap needs no
+    * per-key statistics pass, and unlike `rand()`-based sampling the
+    * survivor set is stable across runs, engines, and partitionings.
+    *
+    * Output: (key, id, rnk BIGINT in [1, n]) — join back on id for the
+    * full rows. Raising `n` re-selects a SUPERSET (hash order is stable),
+    * so cap changes never churn the kept set.
+    *
+    * Scale shape: the per-key selection is a bounded [[TopKAggregator]],
+    * so every map task reduces its slice to <= n rows per key BEFORE the
+    * shuffle — a hot key (one domain = half the crawl) costs its scan but
+    * never funnels its full row set through one task, the failure mode a
+    * `row_number() OVER (PARTITION BY key)` formulation hits at 100 TB
+    * (same argument, measured, as tools/VocabProbe for q90).
+    */
+  def capPerKey(
+      df: DataFrame,
+      idCol: String,
+      keyCol: String,
+      n: Int,
+      seed: Long = 0L): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val topn = udaf(new TopKAggregator(n, ascending = true))
+    df.select(col(keyCol).as("key"), col(idCol).cast("long").as("_id"),
+        idHash(col(idCol).cast("long") + lit(seed)).cast("double").as("_draw"))
+      .groupBy(col("key"))
+      .agg(topn(col("_draw"), col("_id")).as("kept"))
+      .select(col("key"), posexplode(col("kept")).as(Seq("pos", "hit")))
+      .select(col("key"), col("hit.id").as("id"),
+        (col("pos") + 1).cast("long").as("rnk"))
+  }
+
   /** Mix to a TOKEN budget: sample each source down to ~`targetTokens`
     * tokens (sources already under budget keep everything) — how a mixing
     * recipe is actually specified ("50 B tokens of web, 10 B of code"),

@@ -1031,6 +1031,64 @@ object Dedup {
           .otherwise(lit(0.0)))
   }
 
+  /** Directed containment pairs: (id_a, id_b) where at least `threshold`
+    * of document a's DISTINCT shingles also appear in document b — the
+    * QUOTE / subset detector. Symmetric Jaccard (nearDup* families) misses
+    * a short doc fully embedded in a long one (the union term swamps the
+    * intersection); containment |A∩B| / |A| is the published fix
+    * (Broder's resemblance-vs-containment split) and is what catches
+    * article-quoting-article, doc-plus-appended-boilerplate, and
+    * chunk-of-B-reposted-as-A in a crawl.
+    *
+    * Output: (id_a, id_b, shared, size_a, containment DOUBLE =
+    * shared / size_a) for ordered pairs a != b meeting the threshold —
+    * DIRECTED, so a doc contained in its superset appears as (sub, super)
+    * with containment near 1 while (super, sub) usually does not survive.
+    *
+    * Scale shape, the [[sourceOverlap]] discipline: text leaves the scan
+    * as (id, xxhash64) pairs; the pairwise term joins the distinct
+    * (id, hash) set with itself on hash, so per-shingle cost is df², not
+    * |corpus|². `maxDocsPerShingle` is the scale lever: shingles present
+    * in more than the cap's worth of documents (ubiquitous boilerplate —
+    * exactly the df² hot keys) are EXCLUDED from numerator and denominator
+    * consistently, leaving containment over discriminating shingles —
+    * still well-defined, still oracle-replayable. Same xxhash64-collision
+    * caveat as [[sourceOverlap]].
+    */
+  def containmentPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double,
+      shingleLen: Int = 3,
+      maxDocsPerShingle: Int = Int.MaxValue): DataFrame = {
+    require(threshold > 0 && threshold <= 1,
+      s"threshold must be in (0, 1], got $threshold")
+    require(maxDocsPerShingle >= 2,
+      s"maxDocsPerShingle must be >= 2 (pairs need two docs), got $maxDocsPerShingle")
+    val grams = df.select(col(idCol).cast("long").as("id"),
+        explode(tokenShingles(col(textCol), shingleLen)).as("sh"))
+      .select(col("id"), xxhash64(col("sh")).as("h"))
+      .distinct()
+    val kept =
+      if (maxDocsPerShingle == Int.MaxValue) grams
+      else grams.join(
+        grams.groupBy(col("h")).agg(count(lit(1)).as("_ndoc"))
+          .filter(col("_ndoc") <= maxDocsPerShingle).select(col("h")),
+        Seq("h"))
+    val sizes = kept.groupBy(col("id")).agg(count(lit(1)).as("size_a"))
+    kept.as("a")
+      .join(kept.as("b"), col("a.h") === col("b.h") && col("a.id") =!= col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("shared"))
+      .join(sizes.withColumnRenamed("id", "id_a"), Seq("id_a"))
+      .withColumn("containment",
+        col("shared").cast("double") / col("size_a").cast("double"))
+      .filter(col("containment") >= threshold)
+      .select(col("id_a"), col("id_b"), col("shared"), col("size_a"),
+        col("containment"))
+  }
+
   /** Embedding-cosine near-dup pairs, exact all-pairs baseline (O(N^2);
     * the oracle-checkable form). Output: (id_a, id_b) with cosine >= threshold.
     */

@@ -167,6 +167,42 @@ object Knn {
         (col("pos") + 1).cast("long").as("rank"))
   }
 
+  /** Nearest-centroid assignment: each row of `df` labeled with the id of
+    * its best-scoring centroid — the primitive under cluster-balanced
+    * sampling, cluster profiling, and coarse IVF-style routing when the
+    * centroid set is an explicit DataFrame rather than a trained index.
+    * Ties break on centroid id ascending (the [[TopKAggregator]] order, ==
+    * the SQL `ORDER BY score DESC, id ASC` replay).
+    *
+    * Output: (id, centroid_id, score DOUBLE) — exactly one row per input
+    * row.
+    *
+    * Scale shape: centroids broadcast (a centroid table is small by
+    * construction — fail loudly upstream if it isn't), scoring happens in
+    * the codegen'd scan stage, and the bounded top-1 aggregator
+    * partial-aggregates, so the one shuffle carries one slim row per input
+    * row.
+    */
+  def assignNearestCentroid(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroids: DataFrame,
+      centIdCol: String,
+      centVecCol: String,
+      metric: String = vector.MetricCosine): DataFrame = {
+    val top1 = udaf(new TopKAggregator(1, ascending = false))
+    df.select(col(idCol).cast("long").as("id"), col(vecCol).as("_v"))
+      .crossJoin(broadcast(centroids.select(
+        col(centIdCol).cast("long").as("_cid"), col(centVecCol).as("_cv"))))
+      .select(col("id"), col("_cid"),
+        vector.similarity(col("_v"), col("_cv"), metric).as("_score"))
+      .groupBy(col("id"))
+      .agg(top1(col("_score"), col("_cid")).as("best"))
+      .select(col("id"), col("best").getItem(0).getField("id").as("centroid_id"),
+        col("best").getItem(0).getField("score").as("score"))
+  }
+
   /** Batch kNN via window ranking — same result as [[batchTopK]] but expressed
     * with built-in window functions only, so it has a 1:1 ANSI SQL equivalent
     * for the DuckDB oracle. Shuffles all M*N scored rows; prefer

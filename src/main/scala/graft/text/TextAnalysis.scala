@@ -262,6 +262,61 @@ object TextAnalysis {
         (col("pos") + 1).cast("long").as("rnk"))
   }
 
+  /** Corpus collocations: pointwise mutual information of adjacent token
+    * pairs — PMI(a,b) = ln( p(a,b) / (p(a) p(b)) ) with p(a,b) over the
+    * bigram stream and p(a) over the unigram stream. The standard corpus
+    * diagnostic for boilerplate phrases (high count, low PMI), named
+    * entities and collocations (high PMI), and tokenizer-merge candidates;
+    * `minCount` drops the noise floor (PMI of a 1-count pair is
+    * meaningless and the pair table is dominated by them).
+    *
+    * Output: (gram, w_a, w_b, n_pair, n_a, n_b, lift DOUBLE, pmi DOUBLE)
+    * for bigrams with n_pair >= minCount. Tokenization is the
+    * engine-portable single-space split
+    * ([[graft.operators.Curation.tokenNgrams]] bigrams == the DuckDB
+    * `list_slice` formula byte-for-byte). `lift` is the raw probability
+    * ratio p(a,b)/(p(a)p(b)) as ONE fixed-association IEEE expression —
+    * `(np*Nu*Nu)/((Nb*na)*nb)` — bit-identical on any IEEE engine, and
+    * what the oracle hashes; `pmi = ln(lift)` is the conventional scale
+    * but libm `ln` is not correctly-rounded, so two engines can disagree
+    * by 1 ulp on it (measured: JVM `Math.log` vs DuckDB `ln` at sf0.01) —
+    * rank by either, hash-compare only lift.
+    *
+    * Scale shape: two token-keyed partial-aggregated counts (unigrams,
+    * bigrams), the bigram->unigram equi-joins on the token key, and two
+    * 1-row corpus totals broadcast — no window, no pairwise term, nothing
+    * wider than (string, long) in any exchange. The minCount filter runs
+    * BEFORE the unigram joins, so the joined stream is already the
+    * heavy-pair subset.
+    */
+  def pmiBigrams(
+      df: DataFrame,
+      textCol: String,
+      minCount: Long = 5L): DataFrame = {
+    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    val uni = df.select(explode(split(col(textCol), " ", -1)).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+    val biAll = df.select(
+        explode(graft.operators.Curation.tokenNgrams(col(textCol), 2)).as("gram"))
+      .groupBy(col("gram")).agg(count(lit(1)).as("n_pair"))
+    val totals = uni.agg(sum(col("n")).as("total_u")).crossJoin(
+      biAll.agg(sum(col("n_pair")).as("total_b")))
+    biAll.filter(col("n_pair") >= minCount)
+      .withColumn("w_a", split(col("gram"), " ", -1).getItem(0))
+      .withColumn("w_b", split(col("gram"), " ", -1).getItem(1))
+      .join(uni.select(col("w").as("w_a"), col("n").as("n_a")), Seq("w_a"))
+      .join(uni.select(col("w").as("w_b"), col("n").as("n_b")), Seq("w_b"))
+      .crossJoin(broadcast(totals))
+      .withColumn("lift",
+        col("n_pair").cast("double") * col("total_u").cast("double") *
+          col("total_u").cast("double") /
+          (col("total_b").cast("double") * col("n_a").cast("double") *
+            col("n_b").cast("double")))
+      .select(col("gram"), col("w_a"), col("w_b"),
+        col("n_pair"), col("n_a"), col("n_b"),
+        col("lift"), log(col("lift")).as("pmi"))
+  }
+
   // ---------------------------------------------------------- fingerprints
 
   /** Content fingerprints: md5 hex (exact-dedup key) + xxhash64 (cheap 64-bit). */

@@ -404,4 +404,36 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
     assert(out.map(_._2).toSeq == Seq("unique-one", "unique-two"))
     assert(out.forall(_._3 == 50000L))
   }
+
+  test("capPerKey: at most n per key, idHash order, superset stability across caps") {
+    val df = (0L until 40L).map(i => (i, s"k${i % 2}")).toDF("id", "src")
+    val two = Curation.capPerKey(df, "id", "src", n = 2)
+      .as[(String, Long, Long)].collect()
+    assert(two.length == 4 && two.groupBy(_._1).forall(_._2.length == 2))
+    assert(two.forall(r => r._3 >= 1 && r._3 <= 2))
+    // replicate the arithmetic hash order driver-side
+    def h(id: Long): Long = (id * 2654435761L) % 4294967296L
+    for ((k, rows) <- two.groupBy(_._1)) {
+      val ids = (0L until 40L).filter(i => s"k${i % 2}" == k)
+      val expect = ids.sortBy(i => (h(i), i)).take(2)
+      assert(rows.sortBy(_._3).map(_._2).toSeq == expect,
+        s"key $k: expected $expect")
+    }
+    val three = Curation.capPerKey(df, "id", "src", n = 3)
+      .as[(String, Long, Long)].collect()
+    val twoSet = two.map(r => (r._1, r._2)).toSet
+    val threeSet = three.map(r => (r._1, r._2)).toSet
+    assert(twoSet.subsetOf(threeSet), "raising n must re-select a superset")
+  }
+
+  test("capPerKey: keys under the cap keep everything; partial-agg plan") {
+    val df = Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("id", "src")
+    val out = Curation.capPerKey(df, "id", "src", n = 5)
+    assert(out.count() == 3)
+    val plan = out.queryExecution.executedPlan.toString()
+    assert(plan.contains("ObjectHashAggregate") || plan.contains("SortAggregate"),
+      s"expected the bounded typed-aggregator two-phase plan:\n$plan")
+    assert(!plan.contains("Window"),
+      "capPerKey must not plan a per-key window")
+  }
 }

@@ -443,4 +443,41 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
       "broadcast joins leave the streamed side's width untouched — a " +
         "1-partition scan behind one must still widen")
   }
+
+  test("containmentPairs: directed — the quoted doc scores 1.0, the quoting doc does not") {
+    val df = Seq(
+      (1L, "a b c d e f"),
+      (2L, "a b c d e f x y z w"),
+      (3L, "p q r s t u")
+    ).toDF("doc_id", "text")
+    val all = Dedup.containmentPairs(df, "doc_id", "text", threshold = 0.4)
+      .as[(Long, Long, Long, Long, Double)].collect().sortBy(r => (r._1, r._2))
+    // d1 has 4 shingles, all inside d2 (8 shingles); d3 shares nothing
+    assert(all.toSeq == Seq((1L, 2L, 4L, 4L, 1.0), (2L, 1L, 4L, 8L, 0.5)))
+    val strict = Dedup.containmentPairs(df, "doc_id", "text", threshold = 0.75)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect()
+    assert(strict.toSeq == Seq((1L, 2L)))
+  }
+
+  test("containmentPairs: maxDocsPerShingle drops ubiquitous shingles from both sides") {
+    // boilerplate shingle "x y z" in ALL docs; unique content elsewhere
+    val df = Seq(
+      (1L, "x y z a b c"),
+      (2L, "x y z a b c"),
+      (3L, "x y z p q r")
+    ).toDF("doc_id", "text")
+    // uncapped: every doc shares the boilerplate shingles
+    val un = Dedup.containmentPairs(df, "doc_id", "text", threshold = 0.1)
+      .count()
+    assert(un == 6L, s"all 6 directed pairs share boilerplate, got $un")
+    // capped at 2: "x y z"/"y z a" (df=3) excluded; d1/d2 still fully dup
+    val capped = Dedup.containmentPairs(df, "doc_id", "text", threshold = 0.9,
+        maxDocsPerShingle = 2)
+      .select($"id_a", $"id_b", $"containment").as[(Long, Long, Double)]
+      .collect().sortBy(_._1)
+    assert(capped.toSeq == Seq((1L, 2L, 1.0), (2L, 1L, 1.0)))
+    intercept[IllegalArgumentException] {
+      Dedup.containmentPairs(df, "doc_id", "text", threshold = 0.0)
+    }
+  }
 }

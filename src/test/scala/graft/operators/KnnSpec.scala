@@ -153,4 +153,17 @@ class KnnSpec extends AnyFunSuite with SparkSpec {
       maxContextLength = 250, k = 10, lengthCol = "chunk_length").collect()
     assert(res.map(_.getAs[Long]("id")).toSeq == Seq(1L, 2L))
   }
+
+  test("assignNearestCentroid: one row per input, best centroid, id-asc tie-break") {
+    val df = Seq(
+      (0L, Array(1f, 0f)), (1L, Array(0f, 1f)),
+      (2L, Array(0.9f, 0.1f)), (3L, Array(1f, 1f))
+    ).toDF("id", "vec")
+    val cents = Seq((10L, Array(1f, 0f)), (20L, Array(0f, 1f)))
+      .toDF("cid", "cvec")
+    val out = Knn.assignNearestCentroid(df, "id", "vec", cents, "cid", "cvec")
+      .select($"id", $"centroid_id").as[(Long, Long)].collect().sortBy(_._1)
+    // id=3 is equidistant -> lowest centroid id wins
+    assert(out.toSeq == Seq((0L, 10L), (1L, 20L), (2L, 10L), (3L, 10L)))
+  }
 }

@@ -165,4 +165,28 @@ class TextAnalysisSpec extends AnyFunSuite with SparkSpec {
     assert(plan.contains("ObjectHashAggregate") || plan.contains("SortAggregate"),
       s"expected a typed-aggregator two-phase plan:\n$plan")
   }
+
+  test("pmiBigrams: exact counts and the fixed-association pmi double") {
+    val df = Seq("a b", "a b", "a c").toDF("text")
+    val out = TextAnalysis.pmiBigrams(df, "text", minCount = 2)
+      .select($"gram", $"w_a", $"w_b", $"n_pair", $"n_a", $"n_b", $"lift", $"pmi")
+      .as[(String, String, String, Long, Long, Long, Double, Double)].collect()
+    // unigrams: a=3 b=2 c=1 (total 6); bigrams: "a b"=2 "a c"=1 (total 3)
+    assert(out.length == 1)
+    val r = out.head
+    assert(r._1 == "a b" && r._2 == "a" && r._3 == "b")
+    assert((r._4, r._5, r._6) == (2L, 3L, 2L))
+    // lift = (np*Nu*Nu) / ((Nb*na)*nb) = 72/18 = 4, IEEE-exact; pmi = ln 4
+    assert(r._7 == 4.0)
+    assert(r._8 == math.log(4.0))
+  }
+
+  test("pmiBigrams: high-count low-pmi boilerplate ranks below a true collocation") {
+    val boiler = Seq.fill(20)("the cat sat") ++ Seq.fill(20)("the dog ran") ++
+      Seq.fill(5)("san francisco")
+    val out = TextAnalysis.pmiBigrams(boiler.toDF("text"), "text", minCount = 5)
+      .select($"gram", $"pmi").as[(String, Double)].collect().toMap
+    assert(out("san francisco") > out("the cat"),
+      "a dedicated collocation must out-PMI a boilerplate pair")
+  }
 }
