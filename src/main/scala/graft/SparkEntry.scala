@@ -1813,6 +1813,21 @@ object SparkEntry {
       val assigned = operators.Knn.assignNearestCentroid(
         emb, "vec_id", "embedding", cents, "cid", "cvec")
       operators.Curation.capPerKey(assigned, "id", "centroid_id", n = 20)
+    }),
+
+    // Margin-based mining (Artetxe & Schwenk ratio margin): forward top-4
+    // candidates re-ranked by cos / (0.5*(avgK(x)+avgK(y))). Disjoint
+    // query/store splits so no self-pair; every double fixed-association
+    // (pivot sums, one division, no libm) — the oracle replays the full
+    // similarity matrix with window ranks.
+    "q102_margin_mining" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      operators.Knn.marginTopK(
+        emb.filter(col("vec_id") < 100)
+          .select(col("vec_id").as("query_id"), col("embedding").as("query_vec")),
+        emb.filter(col("vec_id") >= 100)
+          .select(col("vec_id").as("id"), col("embedding").as("vector")),
+        k = 4)
     })
   )
 
@@ -3802,7 +3817,44 @@ object SparkEntry {
         |    CAST(row_number() OVER (PARTITION BY cid
         |      ORDER BY (vec_id * 2654435761) % 4294967296, vec_id) AS BIGINT) AS rnk
         |  FROM assign)
-        |WHERE rnk <= 20""".stripMargin
+        |WHERE rnk <= 20""".stripMargin,
+
+    "q102_margin_mining" ->
+      """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+        |           FROM embeddings WHERE vec_id < 100),
+        |s AS (SELECT vec_id AS sid, CAST(embedding AS DOUBLE[]) AS sv
+        |      FROM embeddings WHERE vec_id >= 100),
+        |fwd AS (
+        |  SELECT q.qid, s.sid, list_cosine_similarity(s.sv, q.qv) AS cos,
+        |    row_number() OVER (PARTITION BY q.qid
+        |      ORDER BY list_cosine_similarity(s.sv, q.qv) DESC, s.sid ASC) AS rnk
+        |  FROM q, s),
+        |cand AS (SELECT * FROM fwd WHERE rnk <= 4),
+        |xs AS (
+        |  SELECT qid,
+        |    (max(CASE WHEN rnk = 1 THEN cos END) + max(CASE WHEN rnk = 2 THEN cos END)
+        |     + max(CASE WHEN rnk = 3 THEN cos END) + max(CASE WHEN rnk = 4 THEN cos END))
+        |      / 4.0 AS dx
+        |  FROM cand GROUP BY 1),
+        |rev AS (
+        |  SELECT s.sid, list_cosine_similarity(q.qv, s.sv) AS cos,
+        |    row_number() OVER (PARTITION BY s.sid
+        |      ORDER BY list_cosine_similarity(q.qv, s.sv) DESC, q.qid ASC) AS rnk
+        |  FROM s, q
+        |  WHERE s.sid IN (SELECT sid FROM cand)),
+        |ys AS (
+        |  SELECT sid,
+        |    (max(CASE WHEN rnk = 1 THEN cos END) + max(CASE WHEN rnk = 2 THEN cos END)
+        |     + max(CASE WHEN rnk = 3 THEN cos END) + max(CASE WHEN rnk = 4 THEN cos END))
+        |      / 4.0 AS dy
+        |  FROM rev WHERE rnk <= 4 GROUP BY 1),
+        |m AS (
+        |  SELECT c.qid, c.sid, c.cos, c.cos / (0.5 * (xs.dx + ys.dy)) AS margin
+        |  FROM cand c JOIN xs USING (qid) JOIN ys USING (sid))
+        |SELECT qid AS query_id, sid AS id, cos, margin,
+        |  CAST(row_number() OVER (PARTITION BY qid
+        |    ORDER BY margin DESC, sid ASC) AS BIGINT) AS rnk
+        |FROM m""".stripMargin
   )
 
   /** q84's oracle, generated: the greedy MMR selection unrolled into k

@@ -203,6 +203,79 @@ object Knn {
         col("best").getItem(0).getField("score").as("score"))
   }
 
+  /** Margin-based candidate scoring (the published bitext-mining /
+    * retrieval-calibration rule: Artetxe & Schwenk's ratio margin): each
+    * forward candidate's similarity is renormalized by the neighborhood
+    * density of BOTH endpoints —
+    * `margin(x,y) = cos(x,y) / (0.5 * (avgK(x) + avgK(y)))` with `avgK(x)`
+    * the mean similarity of x's k nearest store rows and `avgK(y)` the
+    * mean similarity of y's k nearest QUERY rows. A raw-cosine top-1 keeps
+    * hub vectors that are close to everything; the margin keeps pairs that
+    * are close to each other RELATIVE to their neighborhoods — the
+    * difference between 50% and 90%+ precision in published parallel-corpus
+    * mining.
+    *
+    * Output: (query_id, id, cos, margin, rnk BIGINT) — the k forward
+    * candidates per query re-ranked by margin desc / id asc. Both sides
+    * must have at least k rows (an under-full neighborhood would make the
+    * fixed-order denominator NULL — require it upstream). Every double is
+    * engine-reproducible: cosines via the shared kernel, the averages as a
+    * FIXED-association pivot sum `((c1+c2)+...)/k`, the margin as one
+    * division — no libm call anywhere.
+    *
+    * Scale shape: one forward [[batchTopK]] (query set broadcast, bounded
+    * aggregator), one reverse pass restricted to the DISTINCT candidate
+    * rows (semi-join; again query-set broadcast + bounded aggregator), two
+    * slim denominator joins, and a final window over <= k rows per query —
+    * bounded by construction, never a hot key.
+    */
+  def marginTopK(
+      queries: DataFrame,
+      store: DataFrame,
+      k: Int,
+      metric: String = vector.MetricCosine,
+      vecCol: String = "vector",
+      idCol: String = "id",
+      queryIdCol: String = "query_id",
+      queryVecCol: String = "query_vec"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val fwd = batchTopK(queries, store, k, metric, vecCol, idCol,
+        queryIdCol, queryVecCol)
+      .select(col(queryIdCol), col(idCol),
+        col("similarity_score").as("cos"), col("rank"))
+    // fixed-association mean of the rank-1..k similarities: pivot each rank
+    // into its own column, then ((c1 + c2) + ...) / k — both engines
+    // evaluate the identical IEEE expression tree
+    def meanTopK(df: DataFrame, keyCol: String, out: String): DataFrame = {
+      val pivots = (1 to k).map(i =>
+        max(when(col("rank") === i, col("cos"))).as(s"_c$i"))
+      val summed = (1 to k).map(i => col(s"_c$i")).reduce(_ + _)
+      df.groupBy(col(keyCol)).agg(pivots.head, pivots.tail: _*)
+        .select(col(keyCol), (summed / lit(k.toDouble)).as(out))
+    }
+    val dx = meanTopK(fwd, queryIdCol, "_dx")
+    val candRows = store.join(
+      fwd.select(col(idCol)).distinct(), Seq(idCol), "left_semi")
+    val topkRev = udaf(new TopKAggregator(k, ascending = false))
+    val rev = candRows
+      .crossJoin(broadcast(queries.select(col(queryIdCol), col(queryVecCol))))
+      .select(col(idCol),
+        vector.similarity(col(vecCol), col(queryVecCol), metric).as("_s"),
+        col(queryIdCol).cast("long").as("_qid"))
+      .groupBy(col(idCol))
+      .agg(topkRev(col("_s"), col("_qid")).as("topk"))
+      .select(col(idCol), posexplode(col("topk")).as(Seq("pos", "hit")))
+      .select(col(idCol), col("hit.score").as("cos"),
+        (col("pos") + 1).cast("long").as("rank"))
+    val dy = meanTopK(rev, idCol, "_dy")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(queryIdCol)).orderBy(col("margin").desc, col(idCol).asc)
+    fwd.join(dx, Seq(queryIdCol)).join(dy, Seq(idCol))
+      .withColumn("margin", col("cos") / (lit(0.5) * (col("_dx") + col("_dy"))))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .select(col(queryIdCol), col(idCol), col("cos"), col("margin"), col("rnk"))
+  }
+
   /** Batch kNN via window ranking — same result as [[batchTopK]] but expressed
     * with built-in window functions only, so it has a 1:1 ANSI SQL equivalent
     * for the DuckDB oracle. Shuffles all M*N scored rows; prefer

@@ -166,4 +166,45 @@ class KnnSpec extends AnyFunSuite with SparkSpec {
     // id=3 is equidistant -> lowest centroid id wins
     assert(out.toSeq == Seq((0L, 10L), (1L, 20L), (2L, 10L), (3L, 10L)))
   }
+
+  test("marginTopK: neighborhood-normalized margin re-ranks and demotes nothing unfairly") {
+    // q0=(1,0), q1=(0,1); store axis-aligned + two diagonals
+    val qs = Seq((0L, Array(1f, 0f)), (1L, Array(0f, 1f)))
+      .toDF("query_id", "query_vec")
+    val st = Seq(
+      (10L, Array(1f, 0f)), (11L, Array(0.6f, 0.8f)),
+      (12L, Array(0f, 1f)), (13L, Array(0.8f, 0.6f))
+    ).toDF("id", "vector")
+    val out = Knn.marginTopK(qs, st, k = 2)
+      .select($"query_id", $"id", $"margin", $"rnk")
+      .as[(Long, Long, Double, Long)].collect().sortBy(r => (r._1, r._4))
+    // forward top-2: q0 -> {s10 cos 1.0, s13 cos 0.8}, dx = 0.9
+    // reverse: dy(s10) = (1+0)/2 = 0.5, dy(s13) = (0.8+0.6)/2 = 0.7
+    // margins: s10 = 1/0.7 ~ 1.4286, s13 = 0.8/0.8 = 1.0
+    assert(out.map(r => (r._1, r._2, r._4)).toSeq ==
+      Seq((0L, 10L, 1L), (0L, 13L, 2L), (1L, 12L, 1L), (1L, 11L, 2L)))
+    assert(math.abs(out(0)._3 - 1.0 / 0.7) < 1e-6)
+    assert(math.abs(out(1)._3 - 1.0) < 1e-6)
+  }
+
+  test("marginTopK: the margin demotes a hub that raw cosine ranks first") {
+    // hub h is moderately close to BOTH queries (dense neighborhood);
+    // t is slightly less close to q0 but isolated from everything else
+    val qs = Seq(
+      (0L, Array(1f, 0f, 0f)), (1L, Array(0.9f, 0.4359f, 0f)),
+      (2L, Array(0.9f, 0f, 0.4359f))
+    ).toDF("query_id", "query_vec")
+    val st = Seq(
+      (10L, Array(0.95f, 0.2205f, 0.2205f)), // hub: close to every query
+      (11L, Array(0.93f, 0f, -0.3676f))      // target: close only to q0
+    ).toDF("id", "vector")
+    val raw = Knn.batchTopK(qs, st, k = 2)
+      .filter($"query_id" === 0 && $"rank" === 1)
+      .select($"id").as[Long].head()
+    val marg = Knn.marginTopK(qs, st, k = 2)
+      .filter($"query_id" === 0 && $"rnk" === 1)
+      .select($"id").as[Long].head()
+    assert(raw == 10L, "precondition: raw cosine must prefer the hub")
+    assert(marg == 11L, "margin must demote the hub and surface the isolated match")
+  }
 }
