@@ -242,4 +242,35 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
       assert(p.contains("_bucket"), s"$q must join on the derived bucket:\n$p")
     }
   }
+
+  test("q98: containment joins shingle hashes only - document text never shuffles") {
+    val p = plan("q98_containment")
+    // text is consumed by the shingle kernel inside the scan stage; every
+    // exchange downstream carries (id, hash) or slimmer
+    val exchanges = p.split("\\n").filter(_.contains("Exchange hashpartitioning"))
+    assert(exchanges.nonEmpty, s"expected hash exchanges in:\n$p")
+    assert(!exchanges.exists(_.contains("text")),
+      s"document text must never enter an exchange:\n${exchanges.mkString("\\n")}")
+  }
+
+  test("q99/q101: per-key cap is a bounded partial aggregation, not a window") {
+    for (q <- Seq("q99_cap_per_key", "q101_cluster_sample")) {
+      val p = plan(q)
+      assert(p.contains("partial_topkaggregator"),
+        s"$q: expected the bounded aggregator's partial phase in:\n$p")
+      assert(!p.contains("WindowExec"),
+        s"$q: the cap must not plan a per-key window funnel:\n$p")
+    }
+  }
+
+  test("q102: margin mining broadcasts the query side in both passes") {
+    val p = plan("q102_margin_mining")
+    assert(p.contains("partial_topkaggregator"),
+      s"forward/reverse kNN must partial-aggregate:\n$p")
+    val bcasts = p.split("\\n").count(_.contains("BroadcastExchange"))
+    assert(bcasts >= 2,
+      s"both kNN passes must broadcast the query set (saw $bcasts):\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"no unbroadcast cross product allowed:\n$p")
+  }
 }
