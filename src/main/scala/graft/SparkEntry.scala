@@ -1828,7 +1828,16 @@ object SparkEntry {
         emb.filter(col("vec_id") >= 100)
           .select(col("vec_id").as("id"), col("embedding").as("vector")),
         k = 4)
-    })
+    }),
+
+    // Winnowing (MOSS) shared-passage pairs: positional 3-gram md5 hashes,
+    // window-4 minima (lexicographic on the hex string — portable), pairs
+    // sharing >= 2 selected fingerprints. The oracle replays gram lists,
+    // window minima, and the pair join verbatim.
+    "q103_winnowing" -> ((s, dir) =>
+      operators.Dedup.winnowingPairs(
+        t(s, dir, "documents"), "doc_id", "text",
+        minShared = 2, shingleLen = 3, window = 4))
   )
 
   /** q80's fixed merge table (learned-table stand-in, the fixed-codebook
@@ -3854,7 +3863,26 @@ object SparkEntry {
         |SELECT qid AS query_id, sid AS id, cos, margin,
         |  CAST(row_number() OVER (PARTITION BY qid
         |    ORDER BY margin DESC, sid ASC) AS BIGINT) AS rnk
-        |FROM m""".stripMargin
+        |FROM m""".stripMargin,
+
+    "q103_winnowing" ->
+      """WITH g AS (
+        |  SELECT doc_id, list_transform(
+        |    list_transform(range(1, len(string_split(text, ' ')) - 1),
+        |      i -> array_to_string(list_slice(string_split(text, ' '), i, i + 2), ' ')),
+        |    x -> md5(x)) AS h
+        |  FROM documents),
+        |sel AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    CASE WHEN len(h) = 0 THEN []::VARCHAR[]
+        |         WHEN len(h) < 4 THEN [list_aggregate(h, 'min')]
+        |         ELSE list_transform(range(1, len(h) - 2),
+        |                i -> list_aggregate(list_slice(h, i, i + 3), 'min'))
+        |    END)) AS fp
+        |  FROM g)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+        |FROM sel a JOIN sel b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin
   )
 
   /** q84's oracle, generated: the greedy MMR selection unrolled into k

@@ -1089,6 +1089,83 @@ object Dedup {
         col("containment"))
   }
 
+  /** Winnowing fingerprint selection (Schleimer/Wilkerson/Aiken's MOSS
+    * algorithm): hash every positional k-gram shingle, slide a window of
+    * `w` consecutive hashes, keep each window's MINIMUM — guaranteeing any
+    * shared run of at least w+k-1 tokens between two documents shares at
+    * least one selected fingerprint, while storing only ~2/(w+1) of the
+    * hashes. The published middle ground between exact-substring dedup
+    * (every gram) and MinHash (no locality guarantee).
+    *
+    * Output: (id, fp) — the DISTINCT selected fingerprints per document.
+    * The hash is the md5 hex string and minima are LEXICOGRAPHIC on it —
+    * md5 and string ordering are engine-portable, so the selection replays
+    * exactly anywhere (a numeric cast would need a portable hex-to-int,
+    * which engines disagree on). A document with fewer than w shingles
+    * contributes its single overall minimum; an empty/shingle-less
+    * document contributes nothing.
+    *
+    * Scale shape: selection is ONE per-row expression chain (positional
+    * grams -> md5 -> window minima -> distinct) inside the scan stage —
+    * zero shuffle; only the slim (id, 32-char fp) pairs leave the row.
+    */
+  def winnowingFingerprints(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleLen: Int = 3,
+      window: Int = 4): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    val grams = Curation.tokenNgrams(col(textCol), shingleLen)
+    // materialize the hash array as a bound attribute BEFORE the window
+    // lambda: a lambda body re-evaluates ordinary child expressions per
+    // element, so an inline `hashes` here would recompute every md5 once
+    // per window — O(n²) digests per document (measured 17 s -> sub-second
+    // at sf0.1 for this exact chain)
+    val hashes = col("_h")
+    val n = size(hashes)
+    val minima = when(n === 0, array().cast("array<string>"))
+      .when(n < window, array(array_min(hashes)))
+      .otherwise(transform(
+        sequence(lit(1), n - window + 1),
+        i => array_min(slice(hashes, i, lit(window)))))
+    df.select(col(idCol).cast("long").as("id"),
+        transform(grams, g => md5(g.cast("binary"))).as("_h"))
+      .select(col("id"), explode(array_distinct(minima)).as("fp"))
+  }
+
+  /** Winnowing match pairs: unordered document pairs sharing at least
+    * `minShared` selected fingerprints — [[winnowingFingerprints]]'
+    * consumer shape, the plagiarism / shared-passage detector. Same
+    * pairwise discipline and `maxDocsPerFp` cap lever as
+    * [[containmentPairs]], but over a fingerprint set winnowing already
+    * thinned ~2/(w+1)×, which shrinks the join's df² term by the square.
+    */
+  def winnowingPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      minShared: Long,
+      shingleLen: Int = 3,
+      window: Int = 4,
+      maxDocsPerFp: Int = Int.MaxValue): DataFrame = {
+    require(minShared >= 1, s"minShared must be >= 1, got $minShared")
+    require(maxDocsPerFp >= 2,
+      s"maxDocsPerFp must be >= 2 (pairs need two docs), got $maxDocsPerFp")
+    val fps = winnowingFingerprints(df, idCol, textCol, shingleLen, window)
+    val kept =
+      if (maxDocsPerFp == Int.MaxValue) fps
+      else fps.join(
+        fps.groupBy(col("fp")).agg(count(lit(1)).as("_ndoc"))
+          .filter(col("_ndoc") <= maxDocsPerFp).select(col("fp")),
+        Seq("fp"))
+    kept.as("a")
+      .join(kept.as("b"), col("a.fp") === col("b.fp") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+  }
+
   /** Embedding-cosine near-dup pairs, exact all-pairs baseline (O(N^2);
     * the oracle-checkable form). Output: (id_a, id_b) with cosine >= threshold.
     */

@@ -480,4 +480,47 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
       Dedup.containmentPairs(df, "doc_id", "text", threshold = 0.0)
     }
   }
+
+  test("winnowingFingerprints: window minima, short-doc fallback, empty-doc nothing") {
+    val df = Seq(
+      (1L, "a b c d e f g h"), // 6 shingles -> 3 windows of 4
+      (2L, "a b c d"),         // 2 shingles < window -> single overall min
+      (3L, "a b"),             // 0 shingles -> no fingerprints
+      (4L, "")
+    ).toDF("doc_id", "text")
+    val fps = Dedup.winnowingFingerprints(df, "doc_id", "text",
+        shingleLen = 3, window = 4)
+      .as[(Long, String)].collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    assert(!fps.contains(3L) && !fps.contains(4L))
+    // replicate driver-side: md5 of positional 3-gram strings
+    def m(t: String): Seq[String] = {
+      val toks = t.split(" ", -1)
+      (0 to toks.length - 3).map(i => toks.slice(i, i + 3).mkString(" "))
+        .map { g =>
+          java.security.MessageDigest.getInstance("MD5")
+            .digest(g.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        }
+    }
+    val h1 = m("a b c d e f g h")
+    val expect1 = (0 to h1.length - 4).map(i => h1.slice(i, i + 4).min).toSet
+    assert(fps(1L) == expect1)
+    assert(fps(2L) == Set(m("a b c d").min))
+    // selection is at most ceil(2/(w+1)) dense: 3 windows can pick <= 3 of 6
+    assert(fps(1L).size <= 3)
+  }
+
+  test("winnowingPairs: a shared run of >= w+k-1 tokens is always caught") {
+    // d1 and d2 share a 7-token run (w=4, k=3 -> guarantee at w+k-1=6);
+    // d3 is unrelated
+    val df = Seq(
+      (1L, "x1 x2 p q r s t u v x3"),
+      (2L, "y1 p q r s t u v y2 y3"),
+      (3L, "m n o zz ww qq rr")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.winnowingPairs(df, "doc_id", "text", minShared = 1)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect()
+    assert(pairs.toSeq.contains((1L, 2L)),
+      "the winnowing guarantee must surface the shared passage")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
 }
