@@ -1837,7 +1837,26 @@ object SparkEntry {
     "q103_winnowing" -> ((s, dir) =>
       operators.Dedup.winnowingPairs(
         t(s, dir, "documents"), "doc_id", "text",
-        minShared = 2, shingleLen = 3, window = 4))
+        minShared = 2, shingleLen = 3, window = 4)),
+
+    // Importance-weighted lottery (the DSIR-style selection half): keep
+    // probability proportional to a per-row weight (here token count —
+    // single-space split for engine parity), ppm-quantized weights summed
+    // as exact longs, the portable idHash draw. ~500 target rows.
+    "q104_importance_lottery" -> ((s, dir) =>
+      operators.Curation.weightedLottery(
+        t(s, dir, "documents").select(col("doc_id"),
+          size(split(col("text"), " ", -1)).cast("double").as("w")),
+        "doc_id", "w", targetRows = 500)),
+
+    // Equi-depth quantile bucketing: 4 length bands cut at the
+    // interpolated quartiles (Spark `percentile` == DuckDB `quantile_cont`,
+    // the q89 parity), assignment scan-side — no ntile global sort.
+    "q105_quantile_buckets" -> ((s, dir) =>
+      operators.Stats.quantileBuckets(
+        t(s, dir, "documents").select(col("doc_id"),
+          size(split(col("text"), " ", -1)).cast("long").as("n_tokens")),
+        "doc_id", "n_tokens", nBuckets = 4))
   )
 
   /** q80's fixed merge table (learned-table stand-in, the fixed-codebook
@@ -3882,7 +3901,36 @@ object SparkEntry {
         |  FROM g)
         |SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
         |FROM sel a JOIN sel b ON a.fp = b.fp AND a.doc_id < b.doc_id
-        |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin
+        |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin,
+
+    "q104_importance_lottery" ->
+      """WITH pre AS (
+        |  SELECT doc_id,
+        |    CAST(round(CAST(len(string_split(text, ' ')) AS DOUBLE) * 1000000.0)
+        |      AS BIGINT) AS weight_ppm
+        |  FROM documents
+        |  WHERE CAST(round(CAST(len(string_split(text, ' ')) AS DOUBLE) * 1000000.0)
+        |      AS BIGINT) > 0),
+        |t AS (SELECT sum(weight_ppm) AS sw FROM pre)
+        |SELECT doc_id AS id, weight_ppm,
+        |  least(1000000, CAST(round(1000000.0 * (500.0 * CAST(weight_ppm AS DOUBLE)
+        |    / CAST(sw AS DOUBLE))) AS BIGINT)) AS rate_ppm
+        |FROM pre, t
+        |WHERE (doc_id * 2654435761) % 4294967296 % 1000000 <
+        |  least(1000000, CAST(round(1000000.0 * (500.0 * CAST(weight_ppm AS DOUBLE)
+        |    / CAST(sw AS DOUBLE))) AS BIGINT))""".stripMargin,
+
+    "q105_quantile_buckets" ->
+      """WITH m AS (
+        |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (SELECT quantile_cont(n_tokens, [0.25, 0.5, 0.75]) AS cuts FROM m)
+        |SELECT m.doc_id AS id, m.n_tokens AS metric,
+        |  CAST((CASE WHEN CAST(m.n_tokens AS DOUBLE) > cuts[1] THEN 1 ELSE 0 END)
+        |     + (CASE WHEN CAST(m.n_tokens AS DOUBLE) > cuts[2] THEN 1 ELSE 0 END)
+        |     + (CASE WHEN CAST(m.n_tokens AS DOUBLE) > cuts[3] THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS bucket
+        |FROM m, c""".stripMargin
   )
 
   /** q84's oracle, generated: the greedy MMR selection unrolled into k

@@ -573,4 +573,43 @@ object Curation {
       .filter(col("metric").cast("double").between(col("_lo"), col("_hi")))
       .select(col("id"), col("metric"))
   }
+
+  /** Importance-weighted lottery: sample ~`targetRows` rows with
+    * per-ROW continuous weights — keep probability proportional to
+    * `weightCol` — decided by the same deterministic [[idHash]] draw as
+    * [[weightedSample]]. This is the selection half of importance
+    * resampling (DSIR-style data selection: weight = how target-like a
+    * document scores under two contrast models), where a per-SOURCE rate
+    * can't express the policy because every row has its own weight.
+    *
+    * Determinism contract: weights quantize to ppm (`round(w * 1e6)`,
+    * summed as exact longs — a double Σw would be partition-order
+    * dependent), each row's keep rate is
+    * `least(1e6, round(1e6 * (target * w / Σw)))` — one fixed-association
+    * IEEE expression over exact integers — and the draw is the portable
+    * arithmetic hash. Reproducible across runs, engines, partitionings;
+    * raising `targetRows` re-selects a superset. Rows with nonpositive or
+    * sub-ppm weight are never kept. Output: (id, weight_ppm, rate_ppm).
+    *
+    * Scale shape: one 1-row exact aggregate broadcast, then a pure filter
+    * — no shuffle of data rows, the [[weightedSample]] discipline.
+    */
+  def weightedLottery(
+      df: DataFrame,
+      idCol: String,
+      weightCol: String,
+      targetRows: Long): DataFrame = {
+    require(targetRows >= 1, s"targetRows must be >= 1, got $targetRows")
+    val pre = df.select(col(idCol).cast("long").as("id"),
+        round(col(weightCol).cast("double") * lit(1000000.0)).cast("long").as("weight_ppm"))
+      .filter(col("weight_ppm") > 0)
+    val total = pre.agg(sum(col("weight_ppm")).as("_sw"))
+    pre.crossJoin(broadcast(total))
+      .withColumn("rate_ppm", least(lit(1000000L),
+        round(lit(1000000.0) * (lit(targetRows.toDouble) *
+          col("weight_ppm").cast("double") / col("_sw").cast("double")))
+          .cast("long")))
+      .filter(pmod(idHash(col("id")), lit(1000000L)) < col("rate_ppm"))
+      .select(col("id"), col("weight_ppm"), col("rate_ppm"))
+  }
 }

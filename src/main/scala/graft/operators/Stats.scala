@@ -57,4 +57,38 @@ object Stats {
       .filter(col("cum") >= col("r") && col("cum") - col("cnt") < col("r"))
       .select(col(groupCol), col("pq.p").as("p"), col(valueCol).as("pct_value"))
   }
+
+  /** Equi-depth quantile bucketing: assign every row the index of its
+    * metric's quantile bucket (`nBuckets` buckets cut at the interpolated
+    * i/n percentiles) — the stratification key under balanced sampling,
+    * per-band mixing recipes, and length-binned batch assembly. Unlike
+    * `ntile`, which is a window over a GLOBAL sort (one task owns the
+    * whole corpus ordering at 100 TB), this computes the n-1 cut points as
+    * ONE 1-row aggregate, broadcasts them, and assigns scan-side:
+    * `bucket = Σ_i [metric > cut_i]` — zero data-row shuffle.
+    *
+    * Cuts use Spark's `percentile` (type 7 linear interpolation — the
+    * same doubles DuckDB `quantile_cont` produces, the q89-proven parity),
+    * so bucket boundaries replay bit-for-bit. Rows equal to a cut fall in
+    * the LOWER bucket (strict `>`); buckets are 0-indexed and can be
+    * empty only under pathological skew (most values equal). Output:
+    * (id, metric, bucket BIGINT in [0, nBuckets-1]).
+    */
+  def quantileBuckets(
+      df: DataFrame,
+      idCol: String,
+      metricCol: String,
+      nBuckets: Int): DataFrame = {
+    require(nBuckets >= 2, s"nBuckets must be >= 2, got $nBuckets")
+    val ps = (1 until nBuckets).map(i => i.toDouble / nBuckets)
+    val cuts = df.agg(
+      expr(s"percentile(`$metricCol`, array(${ps.mkString(", ")}))").as("_c"))
+    val bucket = (0 until nBuckets - 1)
+      .map(i => when(col("metric").cast("double") > col("_c").getItem(i), 1L)
+        .otherwise(0L))
+      .reduce(_ + _)
+    df.select(col(idCol).cast("long").as("id"), col(metricCol).as("metric"))
+      .crossJoin(broadcast(cuts))
+      .select(col("id"), col("metric"), bucket.as("bucket"))
+  }
 }

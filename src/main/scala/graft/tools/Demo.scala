@@ -229,6 +229,29 @@ object Demo {
     println(s"[demo] hard negatives (anchor -> nearest other-label): " +
       negs.map { case (q, i) => s"($q,$i)" }.mkString(", "))
 
+    // 20. Shared-passage detection + collocations + a per-domain cap —
+    // the crawl-hygiene trio
+    val passages = graft.operators.Dedup.winnowingPairs(
+      docsAll, "doc_id", "text", minShared = 2).count()
+    val topPmi = graft.text.TextAnalysis.pmiBigrams(docsAll, "text", minCount = 20)
+      .orderBy($"pmi".desc, $"gram").select($"gram").as[String].head()
+    val capped = graft.operators.Curation.capPerKey(docsAll, "doc_id", "source", n = 5)
+      .count()
+    println(s"[demo] hygiene: $passages winnowing passage pairs; " +
+      s"top collocation = '$topPmi'; per-domain cap(5) keeps $capped docs")
+
+    // 21. Margin-based mining: the ratio margin re-ranks forward kNN
+    val mined = graft.operators.Knn.marginTopK(
+      embLbl.filter($"vec_id" < 8).select($"vec_id".as("query_id"),
+        $"embedding".as("query_vec")),
+      embLbl.filter($"vec_id" >= 8).select($"vec_id".as("id"),
+        $"embedding".as("vector")),
+      k = 4)
+      .filter($"rnk" === 1).orderBy($"query_id")
+      .select($"query_id", $"id").as[(Long, Long)].collect()
+    println(s"[demo] margin mining (query -> best margin match): " +
+      mined.map { case (q, i) => s"($q,$i)" }.mkString(", "))
+
     spark.stop()
   }
 }

@@ -436,4 +436,33 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
     assert(!plan.contains("Window"),
       "capPerKey must not plan a per-key window")
   }
+
+  test("weightedLottery: keep rate proportional to weight, deterministic, superset on raise") {
+    // ids 0..999, weight = 1.0 for even ids, 3.0 for odd: odd ids must be
+    // kept ~3x as often at the same target
+    val df = (0L until 1000L).map(i => (i, if (i % 2 == 0) 1.0 else 3.0))
+      .toDF("id", "w")
+    val out = Curation.weightedLottery(df, "id", "w", targetRows = 200)
+      .as[(Long, Long, Long)].collect()
+    // replicate driver-side: sw = 500*1e6 + 500*3e6 = 2e9
+    def h(id: Long): Long = (id * 2654435761L) % 4294967296L % 1000000L
+    val expect = (0L until 1000L).filter { i =>
+      val w = if (i % 2 == 0) 1000000L else 3000000L
+      val rate = math.min(1000000L,
+        math.round(1000000.0 * (200.0 * w.toDouble / 2.0e9)))
+      h(i) < rate
+    }
+    assert(out.map(_._1).sorted.toSeq == expect)
+    val odd = out.count(_._1 % 2 == 1)
+    val even = out.length - odd
+    assert(odd > even, s"weight-3 rows must dominate, got odd=$odd even=$even")
+    // superset stability
+    val more = Curation.weightedLottery(df, "id", "w", targetRows = 400)
+      .select($"id").as[Long].collect().toSet
+    assert(out.map(_._1).toSet.subsetOf(more))
+    // zero/negative weights never kept
+    val z = Curation.weightedLottery(
+      Seq((1L, 0.0), (2L, -5.0), (3L, 1.0)).toDF("id", "w"), "id", "w", 10)
+    assert(z.select($"id").as[Long].collect().toSeq == Seq(3L))
+  }
 }

@@ -60,4 +60,24 @@ class StatsSpec extends AnyFunSuite with SparkSpec {
       Stats.exactPercentiles(df, "g", "v", Seq(1.5))
     }
   }
+
+  test("quantileBuckets: equi-depth quartiles over 1..8, boundary falls low") {
+    val df = (1L to 8L).map(v => (v, v)).toDF("id", "v")
+    val out = Stats.quantileBuckets(df, "id", "v", nBuckets = 4)
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    // type-7 cuts of 1..8 at (.25,.5,.75) = (2.75, 4.5, 6.25)
+    assert(out.map(r => (r._1, r._3)).toSeq ==
+      Seq((1L,0L),(2L,0L),(3L,1L),(4L,1L),(5L,2L),(6L,2L),(7L,3L),(8L,3L)))
+    intercept[IllegalArgumentException] {
+      Stats.quantileBuckets(df, "id", "v", nBuckets = 1)
+    }
+  }
+
+  test("quantileBuckets: a value equal to a cut stays in the lower bucket") {
+    // 1..5: cuts (2, 3, 4); v=2 -> bucket 0, v=3 -> 1, v=4 -> 2
+    val df = (1L to 5L).map(v => (v, v)).toDF("id", "v")
+    val out = Stats.quantileBuckets(df, "id", "v", nBuckets = 4)
+      .as[(Long, Long, Long)].collect().sortBy(_._1).map(_._3)
+    assert(out.toSeq == Seq(0L, 0L, 1L, 2L, 3L))
+  }
 }
