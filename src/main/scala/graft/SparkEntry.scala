@@ -1856,7 +1856,30 @@ object SparkEntry {
       operators.Stats.quantileBuckets(
         t(s, dir, "documents").select(col("doc_id"),
           size(split(col("text"), " ", -1)).cast("long").as("n_tokens")),
-        "doc_id", "n_tokens", nBuckets = 4))
+        "doc_id", "n_tokens", nBuckets = 4)),
+
+    // Winnowing-family online ingest (the q66 accepted-walk construction
+    // for the SIXTH index family): corpus < 400 indexed, then TWO
+    // sequential ingestBatch calls — the second batch must dedup against
+    // the first's SURVIVORS via the index. The oracle replays selection
+    // (q103's formula), the >= minShared match rule, and the walk;
+    // micro-batch grouping provably doesn't change the outcome.
+    "q106_winnow_ingest" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val idx = operators.WinnowIndex.build(
+        docs.filter(col("doc_id") < 400), "doc_id", "text",
+        tempIndexDir("graft_q106_idx"))
+      val kept1 = idx.ingestBatch(
+        docs.filter(col("doc_id") >= 400 && col("doc_id") < 450),
+        "doc_id", "text").select(col("doc_id"))
+      val kept2 = idx.ingestBatch(
+        docs.filter(col("doc_id") >= 450), "doc_id", "text")
+        .select(col("doc_id"))
+      val keptDf = kept1.unionAll(kept2).withColumn("kept", lit(true))
+      docs.filter(col("doc_id") >= 400).select(col("doc_id"))
+        .join(keptDf, Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("kept"), lit(false)).as("kept"))
+    })
   )
 
   /** q80's fixed merge table (learned-table stand-in, the fixed-codebook
@@ -3930,7 +3953,49 @@ object SparkEntry {
         |     + (CASE WHEN CAST(m.n_tokens AS DOUBLE) > cuts[2] THEN 1 ELSE 0 END)
         |     + (CASE WHEN CAST(m.n_tokens AS DOUBLE) > cuts[3] THEN 1 ELSE 0 END)
         |    AS BIGINT) AS bucket
-        |FROM m, c""".stripMargin
+        |FROM m, c""".stripMargin,
+
+    "q106_winnow_ingest" ->
+      """WITH RECURSIVE
+        |g AS MATERIALIZED (
+        |  SELECT doc_id, list_transform(
+        |    list_transform(range(1, len(string_split(text, ' ')) - 1),
+        |      i -> array_to_string(list_slice(string_split(text, ' '), i, i + 2), ' ')),
+        |    x -> md5(x)) AS h
+        |  FROM documents),
+        |sel AS MATERIALIZED (
+        |  SELECT doc_id, list_distinct(
+        |    CASE WHEN len(h) = 0 THEN []::VARCHAR[]
+        |         WHEN len(h) < 4 THEN [list_aggregate(h, 'min')]
+        |         ELSE list_transform(range(1, len(h) - 2),
+        |                i -> list_aggregate(list_slice(h, i, i + 3), 'min'))
+        |    END) AS fps
+        |  FROM g),
+        |matched AS MATERIALIZED (
+        |  SELECT DISTINCT b.doc_id FROM sel b, sel c
+        |  WHERE b.doc_id >= 400 AND c.doc_id < 400
+        |    AND len(list_intersect(b.fps, c.fps)) >= 2),
+        |partners AS MATERIALIZED (
+        |  SELECT b.doc_id AS id_b, list(a.doc_id) AS ids FROM sel a, sel b
+        |  WHERE a.doc_id >= 400 AND b.doc_id >= 400 AND a.doc_id < b.doc_id
+        |    AND len(list_intersect(a.fps, b.fps)) >= 2
+        |  GROUP BY b.doc_id),
+        |ordered AS MATERIALIZED (
+        |  SELECT d.doc_id, CAST(row_number() OVER (ORDER BY d.doc_id) AS BIGINT) AS rn,
+        |    d.doc_id IN (SELECT doc_id FROM matched) AS is_matched,
+        |    COALESCE(p.ids, []) AS partners
+        |  FROM documents d LEFT JOIN partners p ON p.id_b = d.doc_id
+        |  WHERE d.doc_id >= 400),
+        |walk AS (
+        |  SELECT CAST(0 AS BIGINT) AS rn, CAST([] AS BIGINT[]) AS kept
+        |  UNION ALL
+        |  SELECT o.rn,
+        |    CASE WHEN o.is_matched OR list_has_any(w.kept, o.partners)
+        |         THEN w.kept ELSE list_append(w.kept, o.doc_id) END
+        |  FROM walk w JOIN ordered o ON o.rn = w.rn + 1),
+        |final AS (SELECT kept FROM walk ORDER BY rn DESC LIMIT 1)
+        |SELECT o.doc_id, list_contains(f.kept, o.doc_id) AS kept
+        |FROM ordered o CROSS JOIN final f""".stripMargin
   )
 
   /** q84's oracle, generated: the greedy MMR selection unrolled into k
