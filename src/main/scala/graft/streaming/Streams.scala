@@ -361,6 +361,39 @@ object Streams {
       .start()
   }
 
+  /** The winnowing-family twin of [[ingestDedupStream]]: each micro-batch
+    * runs [[graft.operators.WinnowIndex.ingestBatch]] (shared-passage
+    * match vs the standing corpus + within-batch accepted walk), survivors
+    * go to `onBatch` BEFORE the fingerprint append (the same
+    * sink-before-append restart contract), and the index grows so later
+    * micro-batches dedup against earlier survivors. Outcome is
+    * micro-batch-grouping independent (the q106 walk argument).
+    */
+  def ingestWinnowStream(
+      docs: DataFrame,
+      index: graft.operators.WinnowIndex,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      checkpoint: Option[String] = None,
+      onBatch: (DataFrame, Long) => Unit = (_, _) => (),
+      trigger: Trigger = Trigger.AvailableNow(),
+      autoCompact: Boolean = false): StreamingQuery = {
+    val cp = checkpoint.getOrElse(
+      java.nio.file.Files.createTempDirectory("graft_ingest_winnow_cp").toString)
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", cp)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // sink-before-append, same contract as ingestDedupStream
+        index.ingestBatch(batch, idCol, textCol,
+          onKept = kept => onBatch(kept, batchId))
+        if (autoCompact && index.needsCompaction()) index.compact()
+        ()
+      }
+      .start()
+  }
+
   /** The paragraph-granularity twin of [[ingestDedupStream]]: each
     * micro-batch is CLEANED against the persisted segment-hash set
     * ([[graft.operators.SegmentIndex.ingestBatch]]: corpus segments +

@@ -231,6 +231,58 @@ class StreamsSpec extends AnyFunSuite with SparkSpec {
     assert(staticKept == Set(1000L, 1003L))
   }
 
+  test("ingestWinnowStream: chopping-independent kept set, static parity") {
+    // corpus doc 1 = t1; batch 1000 copies t1 (drops: index), 1001 fresh
+    // (kept), 1002 copies 1001 (drops: within-batch sweep in the one-drop
+    // run, INDEX in the two-drop run), 1003 fresh (kept). 12-token docs
+    // guarantee >= 2 selected fingerprints, so copies always clear
+    // minShared = 2.
+    val t1 = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12"
+    val tA = "a1 a2 a3 a4 a5 a6 a7 a8 a9 a10 a11 a12"
+    val tB = "b1 b2 b3 b4 b5 b6 b7 b8 b9 b10 b11 b12"
+    val batchRows = Seq((1000L, t1), (1001L, tA), (1002L, tA), (1003L, tB))
+    def rows(ids: Long*) =
+      batchRows.filter(r => ids.contains(r._1)).toDF("doc_id", "text")
+    val splits = Seq(
+      "one" -> Seq(rows(1000L, 1001L, 1002L, 1003L)),
+      "two" -> Seq(rows(1000L, 1001L), rows(1002L, 1003L)))
+    val results = splits.map { case (name, drops) =>
+      val idx = graft.operators.WinnowIndex.build(
+        Seq((1L, t1)).toDF("doc_id", "text"), "doc_id", "text",
+        tempDir(s"graft_ingwin_idx_$name"))
+      val dropDir = tempDir(s"graft_ingwin_$name")
+      val keptIds = scala.collection.mutable.Set.empty[Long]
+      val src = spark.readStream
+        .schema(StructType(Seq(
+          StructField("doc_id", org.apache.spark.sql.types.LongType),
+          StructField("text", org.apache.spark.sql.types.StringType))))
+        .parquet(dropDir)
+      val q = Streams.ingestWinnowStream(src, idx, "doc_id", "text",
+        onBatch = (kept, _) =>
+          keptIds ++= kept.select($"doc_id").as[Long].collect(),
+        trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(
+          "50 milliseconds"))
+      try {
+        drops.foreach { d =>
+          d.write.mode("append").parquet(dropDir)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+      name -> ((keptIds.toSet, idx.maintenance().nDocs))
+    }.toMap
+    assert(results("one") == results("two"))
+    assert(results("one")._1 == Set(1001L, 1003L))
+    assert(results("one")._2 == 3L, "corpus doc + the 2 kept docs")
+    // static-path parity: one direct ingestBatch on a fresh index
+    val staticIdx = graft.operators.WinnowIndex.build(
+      Seq((1L, t1)).toDF("doc_id", "text"), "doc_id", "text",
+      tempDir("graft_ingwin_static"))
+    val staticKept = staticIdx.ingestBatch(
+      rows(1000L, 1001L, 1002L, 1003L), "doc_id", "text")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(staticKept == Set(1001L, 1003L))
+  }
+
   test("ingestParagraphDedupStream cleans drops against the growing segment index") {
     val corpus = Seq((1L, "alpha beta")).toDF("doc_id", "text")
     val idx = graft.operators.SegmentIndex.build(corpus, "doc_id", "text",
