@@ -1859,23 +1859,30 @@ object SparkEntry {
         "doc_id", "n_tokens", nBuckets = 4)),
 
     // Winnowing-family online ingest (the q66 accepted-walk construction
-    // for the SIXTH index family): corpus < 400 indexed, then TWO
-    // sequential ingestBatch calls — the second batch must dedup against
-    // the first's SURVIVORS via the index. The oracle replays selection
-    // (q103's formula), the >= minShared match rule, and the walk;
-    // micro-batch grouping provably doesn't change the outcome.
+    // for the SIXTH index family), driven END TO END through the
+    // STREAMING wrapper like q66/q82/q83: corpus < 400 indexed, the rest
+    // streamed through ingestWinnowStream — later micro-batches must
+    // dedup against earlier survivors via the index. The oracle replays
+    // selection (q103's formula), the >= minShared match rule, and the
+    // walk; micro-batch grouping provably doesn't change the outcome
+    // (StreamsSpec chops it differently to the same result).
     "q106_winnow_ingest" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val idx = operators.WinnowIndex.build(
         docs.filter(col("doc_id") < 400), "doc_id", "text",
         tempIndexDir("graft_q106_idx"))
-      val kept1 = idx.ingestBatch(
-        docs.filter(col("doc_id") >= 400 && col("doc_id") < 450),
-        "doc_id", "text").select(col("doc_id"))
-      val kept2 = idx.ingestBatch(
-        docs.filter(col("doc_id") >= 450), "doc_id", "text")
-        .select(col("doc_id"))
-      val keptDf = kept1.unionAll(kept2).withColumn("kept", lit(true))
+      val src = streaming.Streams.documentStream(s, dir,
+          glob = Some("documents.parquet"))
+        .filter(col("doc_id") >= 400)
+      val keptIds = new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Long]()
+      val q = streaming.Streams.ingestWinnowStream(src, idx, "doc_id", "text",
+        onBatch = (kept, _) => kept.select(col("doc_id")).collect()
+          .foreach(r => keptIds.add(r.getLong(0))))
+      try q.processAllAvailable() finally q.stop()
+      import scala.jdk.CollectionConverters._
+      import s.implicits._
+      val keptDf = keptIds.asScala.map(_.longValue).toSeq.toDF("doc_id")
+        .withColumn("kept", lit(true))
       docs.filter(col("doc_id") >= 400).select(col("doc_id"))
         .join(keptDf, Seq("doc_id"), "left")
         .select(col("doc_id"), coalesce(col("kept"), lit(false)).as("kept"))
