@@ -600,8 +600,20 @@ object Curation {
       weightCol: String,
       targetRows: Long): DataFrame = {
     require(targetRows >= 1, s"targetRows must be >= 1, got $targetRows")
-    val pre = df.select(col(idCol).cast("long").as("id"),
-        round(col(weightCol).cast("double") * lit(1000000.0)).cast("long").as("weight_ppm"))
+    // null/NaN/infinite weights DROP with the nonpositive ones — a NaN
+    // would otherwise detonate the ANSI double->long cast mid-job, and an
+    // unscored document has no business in an importance-weighted draw
+    // (score it, or route it to a default-rate weightedSample lane)
+    val w = col(weightCol).cast("double")
+    val pre = df
+      .filter(w.isNotNull && !isnan(w) && w > 0 &&
+        w =!= Double.PositiveInfinity)
+      .select(col(idCol).cast("long").as("id"),
+        // ppm-quantized and clamped to 1e12 (weight 1e6): a runaway weight
+        // would overflow the long cast / the exact Σ; past the clamp its
+        // rate saturates to 1 anyway, so the distortion is immaterial
+        least(round(w * lit(1000000.0)), lit(1000000000000L))
+          .cast("long").as("weight_ppm"))
       .filter(col("weight_ppm") > 0)
     val total = pre.agg(sum(col("weight_ppm")).as("_sw"))
     pre.crossJoin(broadcast(total))

@@ -71,7 +71,11 @@ object Stats {
     * same doubles DuckDB `quantile_cont` produces, the q89-proven parity),
     * so bucket boundaries replay bit-for-bit. Rows equal to a cut fall in
     * the LOWER bucket (strict `>`); buckets are 0-indexed and can be
-    * empty only under pathological skew (most values equal). Output:
+    * empty only under pathological skew (most values equal). A NULL
+    * metric lands in bucket 0 (every `NULL > cut` comparison is
+    * three-valued-unknown, counted as 0 — identical CASE semantics in
+    * ANSI SQL, so the oracle agrees) and is excluded from the cut
+    * computation (`percentile` ignores nulls, both engines). Output:
     * (id, metric, bucket BIGINT in [0, nBuckets-1]).
     */
   def quantileBuckets(

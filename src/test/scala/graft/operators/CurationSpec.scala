@@ -460,9 +460,15 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
     val more = Curation.weightedLottery(df, "id", "w", targetRows = 400)
       .select($"id").as[Long].collect().toSet
     assert(out.map(_._1).toSet.subsetOf(more))
-    // zero/negative weights never kept
+    // zero/negative/null/NaN/infinite weights never kept (and never throw:
+    // a NaN would otherwise blow the ANSI double->long cast mid-job)
     val z = Curation.weightedLottery(
-      Seq((1L, 0.0), (2L, -5.0), (3L, 1.0)).toDF("id", "w"), "id", "w", 10)
+      Seq((1L, 0.0), (2L, -5.0), (3L, 1.0), (4L, Double.NaN),
+        (5L, Double.PositiveInfinity)).toDF("id", "w"), "id", "w", 10)
     assert(z.select($"id").as[Long].collect().toSeq == Seq(3L))
+    val n = Curation.weightedLottery(
+      Seq[(Long, java.lang.Double)]((1L, null), (2L, java.lang.Double.valueOf(2.0)))
+        .toDF("id", "w"), "id", "w", 10)
+    assert(n.select($"id").as[Long].collect().toSeq == Seq(2L))
   }
 }

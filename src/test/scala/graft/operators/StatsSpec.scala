@@ -73,6 +73,16 @@ class StatsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("quantileBuckets: null metric lands in bucket 0 and is excluded from cuts") {
+    val df = Seq[(Long, java.lang.Long)]((1L, 1L), (2L, null), (3L, 2L),
+      (4L, 3L), (5L, 4L)).toDF("id", "v")
+    val out = Stats.quantileBuckets(df, "id", "v", nBuckets = 2)
+      .as[(Long, Option[Long], Long)].collect().sortBy(_._1)
+    // cuts over {1,2,3,4} -> median 2.5; null row present, bucket 0
+    assert(out.map(r => (r._1, r._3)).toSeq ==
+      Seq((1L, 0L), (2L, 0L), (3L, 0L), (4L, 1L), (5L, 1L)))
+  }
+
   test("quantileBuckets: a value equal to a cut stays in the lower bucket") {
     // 1..5: cuts (2, 3, 4); v=2 -> bucket 0, v=3 -> 1, v=4 -> 2
     val df = (1L to 5L).map(v => (v, v)).toDF("id", "v")
