@@ -252,6 +252,28 @@ object Demo {
     println(s"[demo] margin mining (query -> best margin match): " +
       mined.map { case (q, i) => s"($q,$i)" }.mkString(", "))
 
+    // 22. Selection layer: importance lottery + equi-depth bands + a
+    // persisted winnowing index ingest — the last mile before packing
+    val weighted = docsAll.select($"doc_id",
+      size(split($"text", " ", -1)).cast("double").as("w"))
+    val lottery = graft.operators.Curation.weightedLottery(
+      weighted, "doc_id", "w", targetRows = 100).count()
+    val bands = graft.operators.Stats.quantileBuckets(
+        weighted.select($"doc_id", $"w".cast("long").as("n")),
+        "doc_id", "n", nBuckets = 4)
+      .groupBy($"bucket").count().orderBy($"bucket")
+      .as[(Long, Long)].collect()
+    val widx = graft.operators.WinnowIndex.build(
+      docsAll.filter($"doc_id" < 400).select($"doc_id", $"text"),
+      "doc_id", "text",
+      java.nio.file.Files.createTempDirectory("graft_demo_widx").toString)
+    val wKept = widx.ingestBatch(
+      docsAll.filter($"doc_id" >= 400).select($"doc_id", $"text"),
+      "doc_id", "text").count()
+    println(s"[demo] selection: lottery kept $lottery docs (~100 target); " +
+      s"length bands = ${bands.map { case (b, n) => s"$b:$n" }.mkString(" ")}; " +
+      s"winnow ingest kept $wKept of 100 (passage dups dropped)")
+
     spark.stop()
   }
 }
