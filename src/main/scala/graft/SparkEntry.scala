@@ -1886,6 +1886,24 @@ object SparkEntry {
       docs.filter(col("doc_id") >= 400).select(col("doc_id"))
         .join(keptDf, Seq("doc_id"), "left")
         .select(col("doc_id"), coalesce(col("kept"), lit(false)).as("kept"))
+    }),
+
+    // As-of join with a max-staleness tolerance (the pandas
+    // merge_asof(tolerance=...) / feature-store contract): each click's
+    // most recent prior error, NULLed when older than 1 h. The oracle is
+    // DuckDB ASOF post-filtered with the identical gap predicate.
+    "q107_asof_tolerance" -> ((s, dir) => {
+      val ev = sources.Events.read(s, dir).select(
+        col("user_id"), unix_millis(col("event_time")).as("ts_ms"),
+        col("event_id"), col("value"), col("event_type"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts_ms"), col("event_id"), col("value"))
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("user_id"), col("ts_ms"), col("event_id"), col("value"))
+      operators.AsOfJoin.asOfJoin(clicks, errors, "user_id", "ts_ms",
+          "event_id", tolerance = Some(3600000L))
+        .select(col("user_id"), col("event_id"), col("value"),
+          col("right_event_id"), col("right_value"))
     })
   )
 
@@ -4002,7 +4020,18 @@ object SparkEntry {
         |  FROM walk w JOIN ordered o ON o.rn = w.rn + 1),
         |final AS (SELECT kept FROM walk ORDER BY rn DESC LIMIT 1)
         |SELECT o.doc_id, list_contains(f.kept, o.doc_id) AS kept
-        |FROM ordered o CROSS JOIN final f""".stripMargin
+        |FROM ordered o CROSS JOIN final f""".stripMargin,
+
+    "q107_asof_tolerance" ->
+      """WITH c AS (SELECT user_id, epoch_ms(ts) AS tsm, event_id, value
+        |           FROM events WHERE event_type = 'click'),
+        |e AS (SELECT user_id, epoch_ms(ts) AS tsm, event_id, value
+        |      FROM events WHERE event_type = 'error')
+        |SELECT c.user_id, c.event_id, c.value,
+        |  CASE WHEN c.tsm - e.tsm <= 3600000 THEN e.event_id END AS right_event_id,
+        |  CASE WHEN c.tsm - e.tsm <= 3600000 THEN e.value END AS right_value
+        |FROM c ASOF LEFT JOIN e
+        |  ON c.user_id = e.user_id AND c.tsm >= e.tsm""".stripMargin
   )
 
   /** q84's oracle, generated: the greedy MMR selection unrolled into k

@@ -35,6 +35,13 @@ object AsOfJoin {
     *
     * Determinism: among right rows sharing (key, ts), the greatest
     * `rightTieCol` wins — pass the right side's unique id.
+    *
+    * `tolerance` (optional, requires a NUMERIC `tsCol` — epoch millis):
+    * maximum staleness. A match farther than `tolerance` from the left
+    * row NULLs out (the row itself survives — left-join semantics), the
+    * pandas `merge_asof(tolerance=...)` / feature-store max-staleness
+    * contract: "most recent prior feature value, but never older than T".
+    * Same one-shuffle sweep; the check is a post-sweep per-row predicate.
     */
   def asOfJoin(
       left: DataFrame,
@@ -42,7 +49,8 @@ object AsOfJoin {
       keyCol: String,
       tsCol: String,
       rightTieCol: String,
-      direction: String = "backward"): DataFrame = {
+      direction: String = "backward",
+      tolerance: Option[Long] = None): DataFrame = {
     require(direction == "backward" || direction == "forward",
       s"direction must be backward|forward, got $direction")
     val rightPayload = right.columns.filterNot(c => c == keyCol || c == tsCol)
@@ -53,8 +61,12 @@ object AsOfJoin {
       "left needs at least one payload column besides key/ts (an id)")
     require(!rightPayload.contains("_tie"),
       "right payload may not contain a column named _tie (reserved)")
+    require(!rightPayload.contains("_mts"),
+      "right payload may not contain a column named _mts (reserved)")
+    tolerance.foreach(t => require(t >= 0, s"tolerance must be >= 0, got $t"))
 
-    val rp = struct((col(rightTieCol).as("_tie") +: rightPayload.map(col)): _*)
+    val rp = struct((col(rightTieCol).as("_tie") +: col(tsCol).as("_mts") +:
+      rightPayload.map(col)): _*)
     val lp = struct(leftPayload.map(col): _*)
 
     val r = right.select(col(keyCol), col(tsCol), lit(0).as("_side"),
@@ -72,11 +84,20 @@ object AsOfJoin {
       .orderBy(tsOrder, col("_side"), col("_rp._tie"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
+    // within-tolerance gate: direction already guarantees the signed gap
+    // is >= 0, so one upper-bound compare decides; no tolerance -> always
+    val fresh = tolerance.fold(lit(true)) { t =>
+      val gap =
+        if (direction == "forward") col("_match._mts") - col(tsCol)
+        else col(tsCol) - col("_match._mts")
+      gap <= t
+    }
     r.unionByName(l)
       .withColumn("_match", last(col("_rp"), ignoreNulls = true).over(w))
       .filter(col("_side") === 1)
       .select((col(keyCol) +: col(tsCol) +:
         leftPayload.map(c => col(s"_lp.$c").as(c)) ++:
-        rightPayload.map(c => col(s"_match.$c").as(s"right_$c"))): _*)
+        rightPayload.map(c =>
+          when(fresh, col(s"_match.$c")).as(s"right_$c"))): _*)
   }
 }

@@ -87,4 +87,33 @@ class AsOfJoinSpec extends AnyFunSuite with SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"no product-shaped join allowed:\n$p")
   }
+
+  test("tolerance: stale matches NULL out, rows survive, both directions") {
+    val left = Seq((1L, 100L, "l1"), (1L, 500L, "l2"), (2L, 100L, "l3"))
+      .toDF("k", "ts", "lid")
+    val right = Seq((1L, 90L, 900L), (2L, 480L, 901L))
+      .toDF("k", "ts", "rid")
+    // backward, tolerance 50: l1 matches rid 900 (gap 10); l2's latest
+    // prior is also 90 (gap 410 -> stale, NULL); l3 has no prior at all
+    val back = AsOfJoin.asOfJoin(left, right, "k", "ts", "rid",
+        tolerance = Some(50L))
+      .select($"lid", $"right_rid").as[(String, Option[Long])]
+      .collect().toMap
+    assert(back == Map("l1" -> Some(900L), "l2" -> None, "l3" -> None))
+    // forward, tolerance 400: l3's next is 480 (gap 380, fresh); l1's next
+    // within key 1 does not exist (90 < 100), NULL
+    val fwd = AsOfJoin.asOfJoin(left, right, "k", "ts", "rid",
+        direction = "forward", tolerance = Some(400L))
+      .select($"lid", $"right_rid").as[(String, Option[Long])]
+      .collect().toMap
+    assert(fwd == Map("l1" -> None, "l2" -> None, "l3" -> Some(901L)))
+    // no tolerance -> unchanged semantics (l2 keeps the stale match)
+    val plain = AsOfJoin.asOfJoin(left, right, "k", "ts", "rid")
+      .select($"lid", $"right_rid").as[(String, Option[Long])]
+      .collect().toMap
+    assert(plain == Map("l1" -> Some(900L), "l2" -> Some(900L), "l3" -> None))
+    intercept[IllegalArgumentException] {
+      AsOfJoin.asOfJoin(left, right, "k", "ts", "rid", tolerance = Some(-1L))
+    }
+  }
 }
