@@ -1904,6 +1904,22 @@ object SparkEntry {
           "event_id", tolerance = Some(3600000L))
         .select(col("user_id"), col("event_id"), col("value"),
           col("right_event_id"), col("right_value"))
+    }),
+
+    // Length-bucketed packing (the padding/fragmentation reducer batch
+    // assembly actually uses): q105's equi-depth length bands become the
+    // packing shards, so similar-length docs pack together — composing
+    // quantileBuckets with packByOrder, both already individually
+    // oracle-proven, into one replayed layout.
+    "q108_bucketed_pack" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        size(split(col("text"), " ", -1)).cast("long").as("n_tokens"))
+      val bands = operators.Stats.quantileBuckets(
+        docs, "doc_id", "n_tokens", nBuckets = 4)
+      operators.Packing.packByOrder(
+        bands.select(col("id").as("doc_id"), col("metric").as("n_tokens"),
+          col("bucket")),
+        "doc_id", "n_tokens", "bucket", "doc_id", contextLen = 512)
     })
   )
 
@@ -4031,7 +4047,30 @@ object SparkEntry {
         |  CASE WHEN c.tsm - e.tsm <= 3600000 THEN e.event_id END AS right_event_id,
         |  CASE WHEN c.tsm - e.tsm <= 3600000 THEN e.value END AS right_value
         |FROM c ASOF LEFT JOIN e
-        |  ON c.user_id = e.user_id AND c.tsm >= e.tsm""".stripMargin
+        |  ON c.user_id = e.user_id AND c.tsm >= e.tsm""".stripMargin,
+
+    "q108_bucketed_pack" ->
+      """WITH m AS (
+        |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+        |  FROM documents),
+        |c AS (SELECT quantile_cont(n, [0.25, 0.5, 0.75]) AS cuts FROM m),
+        |b AS (
+        |  SELECT m.doc_id, m.n,
+        |    CAST((CASE WHEN CAST(m.n AS DOUBLE) > cuts[1] THEN 1 ELSE 0 END)
+        |       + (CASE WHEN CAST(m.n AS DOUBLE) > cuts[2] THEN 1 ELSE 0 END)
+        |       + (CASE WHEN CAST(m.n AS DOUBLE) > cuts[3] THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS shard
+        |  FROM m, c),
+        |e AS (
+        |  SELECT doc_id, shard, n,
+        |    sum(n) OVER (PARTITION BY shard ORDER BY doc_id
+        |                 ROWS UNBOUNDED PRECEDING) AS e
+        |  FROM b)
+        |SELECT doc_id, shard, CAST(doc_id AS BIGINT) AS position, n AS n_tokens,
+        |  CAST(floor((e - n) / 512) AS BIGINT) AS seq_index,
+        |  CAST((e - n) % 512 AS BIGINT) AS start_offset,
+        |  (n > 0 AND floor((e - 1) / 512) > floor((e - n) / 512)) AS spans_boundary
+        |FROM e""".stripMargin
   )
 
   /** q84's oracle, generated: the greedy MMR selection unrolled into k
