@@ -1920,6 +1920,19 @@ object SparkEntry {
         bands.select(col("id").as("doc_id"), col("metric").as("n_tokens"),
           col("bucket")),
         "doc_id", "n_tokens", "bucket", "doc_id", contextLen = 512)
+    }),
+
+    // Top event paths (Funnel.topPaths): each user's first 5 event types
+    // in (ts, type) order joined with '>', counted, top-20 — the third
+    // classic product-analytics report next to funnel (q94/q95) and
+    // retention (q97). The bounded first-k aggregator replayed by a
+    // window rank, the q90 twin discipline.
+    "q109_top_paths" -> ((s, dir) => {
+      val ev = sources.Events.read(s, dir).select(
+        col("user_id"), unix_millis(col("event_time")).as("ts_ms"),
+        col("event_type"))
+      operators.Funnel.topPaths(ev, "user_id", "ts_ms", "event_type",
+        maxSteps = 5, k = 20)
     })
   )
 
@@ -4070,7 +4083,21 @@ object SparkEntry {
         |  CAST(floor((e - n) / 512) AS BIGINT) AS seq_index,
         |  CAST((e - n) % 512 AS BIGINT) AS start_offset,
         |  (n > 0 AND floor((e - 1) / 512) > floor((e - n) / 512)) AS spans_boundary
-        |FROM e""".stripMargin
+        |FROM e""".stripMargin,
+
+    "q109_top_paths" ->
+      """WITH o AS (
+        |  SELECT user_id, event_type,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY epoch_ms(ts), event_type) AS rn
+        |  FROM events),
+        |p AS (
+        |  SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+        |  FROM o WHERE rn <= 5 GROUP BY user_id),
+        |c AS (SELECT path, CAST(count(*) AS BIGINT) AS n_users FROM p GROUP BY 1)
+        |SELECT path, n_users,
+        |  CAST(row_number() OVER (ORDER BY n_users DESC, path ASC) AS BIGINT) AS rnk
+        |FROM c ORDER BY n_users DESC, path ASC LIMIT 20""".stripMargin
   )
 
   /** q84's oracle, generated: the greedy MMR selection unrolled into k

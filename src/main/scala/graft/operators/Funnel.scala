@@ -90,6 +90,48 @@ object Funnel {
     * re-aggregated is that slim activity set, per-user scalars against
     * per-user cohort minima. No window, no pairwise term.
     */
+  /** Top event paths: each user's first `maxSteps` event types in
+    * timeline order joined with `>`, counted across users, top `k` paths
+    * by count — the "what do users actually do" report next to
+    * [[chains]] (funnel) and [[retention]].
+    *
+    * Determinism: events order by (ts, type) — two events at the same
+    * instant order by type ascending (an engine-portable tiebreak; an id
+    * tiebreak would need the id in the output to replay). Output:
+    * (path, n_users BIGINT, rnk BIGINT), rank by n_users desc / path asc.
+    *
+    * Scale shape: the per-user selection is a bounded [[FirstKAggregator]]
+    * — a bot user with millions of events costs its scan, never an
+    * aggregation buffer (the `collect_list` formulation holds the user's
+    * whole history in memory) — and the path counting is an ordinary
+    * partial-aggregated groupBy. The final top-k is a
+    * TakeOrderedAndProject over one row per DISTINCT path.
+    */
+  def topPaths(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String,
+      typeCol: String,
+      maxSteps: Int,
+      k: Int): DataFrame = {
+    require(maxSteps >= 1, s"maxSteps must be >= 1, got $maxSteps")
+    require(k >= 1, s"k must be >= 1, got $k")
+    val firstK = udaf(new FirstKAggregator(maxSteps))
+    events
+      .select(col(userCol).as("_u"), col(tsCol).cast("long").as("_ts"),
+        col(typeCol).as("_t"))
+      .groupBy(col("_u"))
+      .agg(firstK(col("_ts"), col("_t")).as("steps"))
+      .select(array_join(transform(col("steps"), s => s.getField("token")), ">")
+        .as("path"))
+      .groupBy(col("path")).agg(count(lit(1)).as("n_users"))
+      .orderBy(col("n_users").desc, col("path").asc)
+      .limit(k)
+      .withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("n_users").desc, col("path").asc)).cast("long"))
+  }
+
   def retention(
       events: DataFrame,
       userCol: String,

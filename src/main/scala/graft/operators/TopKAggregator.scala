@@ -115,3 +115,53 @@ class TopKTokenAggregator(k: Int)
   override def outputEncoder: Encoder[Array[CountedToken]] =
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[CountedToken]]()
 }
+
+/** One (sortKey, token) element flowing into a bounded first-k selection. */
+case class KeyedToken(key: Long, token: String)
+
+/** Bounded FIRST-k aggregator: keeps the `k` elements with the SMALLEST
+  * (key, token) — key ascending, token ascending on ties — the "first k
+  * events of a timeline" primitive behind path analysis.
+  *
+  * Same scale argument as [[TopKAggregator]]: a per-user
+  * `collect_list(...)` holds the user's ENTIRE event history in one
+  * aggregation buffer (a bot user with millions of events is an executor
+  * OOM), while this buffer never exceeds 2k elements — each map task
+  * reduces its slice to <= k per user BEFORE the shuffle.
+  */
+class FirstKAggregator(k: Int)
+    extends Aggregator[KeyedToken, ArrayBuffer[KeyedToken], Array[KeyedToken]] {
+
+  require(k >= 1, s"k must be >= 1, got $k")
+
+  private def before(a: KeyedToken, b: KeyedToken): Boolean =
+    if (a.key != b.key) a.key < b.key else a.token < b.token
+
+  private def prune(buf: ArrayBuffer[KeyedToken]): ArrayBuffer[KeyedToken] = {
+    if (buf.length > k) {
+      val sorted = buf.sortWith(before)
+      buf.clear()
+      buf ++= sorted.take(k)
+    }
+    buf
+  }
+
+  override def zero: ArrayBuffer[KeyedToken] = ArrayBuffer.empty
+
+  override def reduce(buf: ArrayBuffer[KeyedToken], in: KeyedToken): ArrayBuffer[KeyedToken] = {
+    buf += in
+    if (buf.length >= 2 * k) prune(buf) else buf
+  }
+
+  override def merge(a: ArrayBuffer[KeyedToken], b: ArrayBuffer[KeyedToken]): ArrayBuffer[KeyedToken] =
+    prune(a ++= b)
+
+  override def finish(buf: ArrayBuffer[KeyedToken]): Array[KeyedToken] =
+    buf.sortWith(before).take(k).toArray
+
+  override def bufferEncoder: Encoder[ArrayBuffer[KeyedToken]] =
+    Encoders.kryo[ArrayBuffer[KeyedToken]]
+
+  override def outputEncoder: Encoder[Array[KeyedToken]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[KeyedToken]]()
+}

@@ -87,4 +87,33 @@ class FunnelSpec extends AnyFunSuite with SparkSpec {
       Funnel.chains(ev, "user_id", "ts", "event_type", Seq("A", "A"))
     }
   }
+
+  test("topPaths: first-k timeline order, type tiebreak, count-desc path-asc rank") {
+    val e = Seq(
+      (1L, 10L, "view"), (1L, 20L, "click"), (1L, 30L, "buy"),
+      (2L, 5L, "view"), (2L, 6L, "click"), (2L, 7L, "buy"),
+      (3L, 1L, "view"), (3L, 2L, "exit"),
+      (4L, 9L, "b"), (4L, 9L, "a") // same instant -> type-asc order
+    ).toDF("user_id", "ts", "event_type")
+    val out = Funnel.topPaths(e, "user_id", "ts", "event_type",
+        maxSteps = 3, k = 10)
+      .as[(String, Long, Long)].collect().sortBy(_._3)
+    assert(out.toSeq == Seq(
+      ("view>click>buy", 2L, 1L), ("a>b", 1L, 2L), ("view>exit", 1L, 3L)))
+  }
+
+  test("topPaths: maxSteps truncates and k caps the report") {
+    val e = Seq(
+      (1L, 1L, "a"), (1L, 2L, "b"), (1L, 3L, "c"), (1L, 4L, "d"),
+      (2L, 1L, "x"), (3L, 1L, "y")
+    ).toDF("user_id", "ts", "event_type")
+    val out = Funnel.topPaths(e, "user_id", "ts", "event_type",
+        maxSteps = 2, k = 2)
+      .as[(String, Long, Long)].collect().sortBy(_._3)
+    assert(out.toSeq == Seq(("a>b", 1L, 1L), ("x", 1L, 2L)))
+    val plan = Funnel.topPaths(e, "user_id", "ts", "event_type", 2, 2)
+      .queryExecution.executedPlan.toString()
+    assert(plan.contains("partial_firstkaggregator"),
+      s"per-user selection must partial-aggregate:\n$plan")
+  }
 }
