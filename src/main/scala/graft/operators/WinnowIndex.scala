@@ -82,9 +82,12 @@ case class WinnowIndex(
 
   private def dedupBatchFps(
       batchFps: DataFrame, maxDocsPerFp: Int): DataFrame = {
+    // commit-log nRows count DOCS, so the prune decision must compare
+    // batch DOCS (distinct ids over the pinned frame), not fingerprint
+    // rows — ~2/(w+1) x grams of them per doc
     val corpusRows = log.sizeStats()._2
     val pre =
-      if (batchFps.count() < corpusRows)
+      if (batchFps.select(col("id")).distinct().count() < corpusRows)
         storedFps().join(
           broadcast(batchFps.select(col("fph")).distinct()),
           Seq("fph"), "left_semi")
