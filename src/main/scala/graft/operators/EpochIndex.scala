@@ -83,8 +83,19 @@ private[graft] trait EpochIndex {
     * afterwards (a crash between the two leaves harmless invisible
     * orphans).
     */
+  /** Override to commit a DIFFERENT row count than the primary layout's
+    * raw row count on compaction — for families whose commit-log unit is
+    * not one-row-per-layout-row (WinnowIndex logs DOCUMENTS while its fps
+    * layout holds several rows per doc; a raw-row replace commit would
+    * corrupt sizeStats-driven prune decisions, maintenance().nDocs, and
+    * the autoCompact trigger fraction). Computed BEFORE the commit, over
+    * the still-visible old epochs — same ids by construction.
+    */
+  protected def compactionCommitCount(): Option[Long] = None
+
   def compact(): Unit = {
     if (log.committedEpochs().lengthCompare(1) <= 0) return
+    val unitCount = compactionCommitCount()
     val target = log.nextEpoch()
     val obs = Observation()
     layoutNames.zip(compactionFrames()).zipWithIndex.foreach {
@@ -96,8 +107,8 @@ private[graft] trait EpochIndex {
     val stale = log.committedEpochs()
     // a zero-row bucketed rewrite can be AQE-propagated away before the
     // metric fires — an empty layout compacts to count 0
-    log.commit(target, "replace",
-      scala.util.Try(obs.get("n").asInstanceOf[Long]).getOrElse(0L))
+    log.commit(target, "replace", unitCount.getOrElse(
+      scala.util.Try(obs.get("n").asInstanceOf[Long]).getOrElse(0L)))
     stale.foreach(e => layoutNames.foreach(n =>
       log.deleteDir(s"${layoutDir(n)}/epoch=$e")))
   }

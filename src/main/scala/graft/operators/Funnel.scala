@@ -74,22 +74,6 @@ object Funnel {
       s"stack(${steps.size}, $stackArgs) AS (step, step_type, n_users)")
   }
 
-  /** Retention cohorts: bucket time into fixed periods (`periodMs` over a
-    * numeric epoch-ms column), assign each user to the cohort of their
-    * FIRST active period, and count how many of each cohort are active in
-    * every later period — the "day-N retention" report.
-    *
-    * Output: (cohort, bucket, periods_after BIGINT = bucket - cohort,
-    * n_users BIGINT), one row per (cohort, active bucket) pair;
-    * periods_after = 0 rows carry each cohort's size. Bucketing is exact
-    * integer arithmetic (`(ts - ts mod period) / period`), so any engine
-    * reproduces the buckets bit-for-bit.
-    *
-    * Scale shape: raw events collapse to DISTINCT (user, bucket) pairs
-    * with map-side partial aggregation — the only thing ever joined or
-    * re-aggregated is that slim activity set, per-user scalars against
-    * per-user cohort minima. No window, no pairwise term.
-    */
   /** Top event paths: each user's first `maxSteps` event types in
     * timeline order joined with `>`, counted across users, top `k` paths
     * by count — the "what do users actually do" report next to
@@ -118,6 +102,10 @@ object Funnel {
     require(k >= 1, s"k must be >= 1, got $k")
     val firstK = udaf(new FirstKAggregator(maxSteps))
     events
+      // a NULL ts cannot encode into the aggregator's primitive key and a
+      // NULL type would NPE its string tiebreak — dirty rows DROP, they
+      // do not abort the job (and cannot appear in a path either way)
+      .filter(col(tsCol).isNotNull && col(typeCol).isNotNull)
       .select(col(userCol).as("_u"), col(tsCol).cast("long").as("_ts"),
         col(typeCol).as("_t"))
       .groupBy(col("_u"))
@@ -132,6 +120,22 @@ object Funnel {
           .orderBy(col("n_users").desc, col("path").asc)).cast("long"))
   }
 
+  /** Retention cohorts: bucket time into fixed periods (`periodMs` over a
+    * numeric epoch-ms column), assign each user to the cohort of their
+    * FIRST active period, and count how many of each cohort are active in
+    * every later period — the "day-N retention" report.
+    *
+    * Output: (cohort, bucket, periods_after BIGINT = bucket - cohort,
+    * n_users BIGINT), one row per (cohort, active bucket) pair;
+    * periods_after = 0 rows carry each cohort's size. Bucketing is exact
+    * integer arithmetic (`(ts - ts mod period) / period`), so any engine
+    * reproduces the buckets bit-for-bit.
+    *
+    * Scale shape: raw events collapse to DISTINCT (user, bucket) pairs
+    * with map-side partial aggregation — the only thing ever joined or
+    * re-aggregated is that slim activity set, per-user scalars against
+    * per-user cohort minima. No window, no pairwise term.
+    */
   def retention(
       events: DataFrame,
       userCol: String,

@@ -191,6 +191,9 @@ object Knn {
       centIdCol: String,
       centVecCol: String,
       metric: String = vector.MetricCosine): DataFrame = {
+    require(!centroids.isEmpty,
+      "assignNearestCentroid: the centroid table is empty — every row " +
+        "would silently vanish from the 'one row per input' contract")
     val top1 = udaf(new TopKAggregator(1, ascending = false))
     df.select(col(idCol).cast("long").as("id"), col(vecCol).as("_v"))
       .crossJoin(broadcast(centroids.select(

@@ -142,6 +142,11 @@ case class WinnowIndex(
 
   override protected def compactionFrames(): Seq[DataFrame] =
     Seq(storedFps())
+
+  // the commit log counts DOCS (writeFps' invariant); a raw fp-row replace
+  // commit would inflate sizeStats ~2/(w+1) x grams per doc
+  override protected def compactionCommitCount(): Option[Long] =
+    Some(storedFps().select(col("id")).distinct().count())
 }
 
 object WinnowIndex {

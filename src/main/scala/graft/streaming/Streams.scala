@@ -367,7 +367,12 @@ object Streams {
     * go to `onBatch` BEFORE the fingerprint append (the same
     * sink-before-append restart contract), and the index grows so later
     * micro-batches dedup against earlier survivors. Outcome is
-    * micro-batch-grouping independent (the q106 walk argument).
+    * micro-batch-grouping independent FOR ID-ORDERED DELIVERY (the q106
+    * walk argument, the same contract as every other family's ingest
+    * stream): if a later micro-batch delivers a LOWER id than an
+    * already-kept higher-id near-dup, the earlier-processed doc wins
+    * instead of the lower id — chop the stream in id order when the
+    * global walk identity matters.
     */
   def ingestWinnowStream(
       docs: DataFrame,

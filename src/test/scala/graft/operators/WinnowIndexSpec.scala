@@ -79,5 +79,9 @@ class WinnowIndexSpec extends AnyFunSuite with SparkSpec {
     val after = idx.dedupBatch(Seq((10L, t)).toDF("id", "text"), "id", "text")
       .select($"corpus_id").as[Long].collect().toSet
     assert(before == after && before == Set(1L))
+    // the replace commit must keep the DOCS unit (writeFps' invariant) —
+    // a raw fp-row count would inflate sizeStats ~2/(w+1) x grams per doc
+    assert(idx.maintenance().nDocs == 2L,
+      "compaction must re-commit document counts, not fingerprint rows")
   }
 }
