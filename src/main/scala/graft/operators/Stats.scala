@@ -82,11 +82,22 @@ object Stats {
       df: DataFrame,
       idCol: String,
       metricCol: String,
-      nBuckets: Int): DataFrame = {
+      nBuckets: Int,
+      approx: Boolean = false): DataFrame = {
     require(nBuckets >= 2, s"nBuckets must be >= 2, got $nBuckets")
     val ps = (1 until nBuckets).map(i => i.toDouble / nBuckets)
-    val cuts = df.agg(
-      expr(s"percentile(`$metricCol`, array(${ps.mkString(", ")}))").as("_c"))
+    // exact `percentile` buffers every value in the aggregation state —
+    // right for bounded-cardinality metrics (lengths, counts, quantized
+    // scores) and for oracle replay; `approx = true` switches the cut
+    // computation to approx_percentile (t-digest-style bounded sketch,
+    // accuracy 1/10000) for unbounded CONTINUOUS metrics at corpus scale,
+    // where exact state would grow with the row count. Bucket assignment
+    // is unchanged either way.
+    val cutExpr =
+      if (approx)
+        s"approx_percentile(`$metricCol`, array(${ps.mkString(", ")}), 10000)"
+      else s"percentile(`$metricCol`, array(${ps.mkString(", ")}))"
+    val cuts = df.agg(expr(cutExpr).as("_c"))
     val bucket = (0 until nBuckets - 1)
       .map(i => when(col("metric").cast("double") > col("_c").getItem(i), 1L)
         .otherwise(0L))

@@ -73,6 +73,14 @@ class StatsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("quantileBuckets: the approx scale path buckets equivalently at small N") {
+    val df = (1L to 8L).map(v => (v, v)).toDF("id", "v")
+    val out = Stats.quantileBuckets(df, "id", "v", nBuckets = 2, approx = true)
+      .groupBy($"bucket").count().as[(Long, Long)].collect().sortBy(_._1)
+    assert(out.map(_._1).toSeq == Seq(0L, 1L) && out.map(_._2).sum == 8L)
+    assert(out.forall(_._2 == 4L), s"equi-depth halves expected: ${out.toSeq}")
+  }
+
   test("quantileBuckets: null metric lands in bucket 0 and is excluded from cuts") {
     val df = Seq[(Long, java.lang.Long)]((1L, 1L), (2L, null), (3L, 2L),
       (4L, 3L), (5L, 4L)).toDF("id", "v")
