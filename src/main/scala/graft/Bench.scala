@@ -59,7 +59,21 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    // ALSO persist the full line: the driver captures only the tail of
+    // stdout, so at 100+ queries the printed line gets beheaded in the
+    // round artifact (BENCH_r11 lost 35/109 timings). The repo file is the
+    // durable copy; round-over-round comparison reads it, not stdout.
+    if (only.isEmpty) {
+      try java.nio.file.Files.write(
+        java.nio.file.Paths.get("BENCH_LOCAL.json"),
+        (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] BENCH_LOCAL.json write failed: ${e.getMessage}")
+      }
+    }
     spark.stop()
   }
 }

@@ -1702,9 +1702,13 @@ object SparkEntry {
     // reduces text to (source, xxhash64) pairs before any shuffle; the
     // oracle replays set sizes and intersections on the raw shingle
     // strings (identical unless xxhash64 collides, odds ~2^-25 here).
+    // Int.MaxValue = the explicit unbounded opt-in (the twin replays
+    // EVERY shingle); the production default caps at 1000 — q110 locks
+    // the capped semantics.
     "q91_source_overlap" -> ((s, dir) =>
       operators.Dedup.sourceOverlap(
-        t(s, dir, "documents"), "source", "text", shingleLen = 3)),
+        t(s, dir, "documents"), "source", "text", shingleLen = 3,
+        maxSourcesPerShingle = Int.MaxValue)),
 
     // Hard-negative mining (Knn.labelConstrainedTopK, sameLabel=false):
     // for 8 anchor embeddings, the 5 most-cosine-similar vectors with a
@@ -1783,9 +1787,11 @@ object SparkEntry {
     // pairs symmetric Jaccard misses. The oracle replays document shingle
     // sets on raw strings (q96's formula) and the exact ordered-pair
     // shared counts.
+    // unbounded opt-in (q91 discipline); the capped path is q110's row
     "q98_containment" -> ((s, dir) =>
       operators.Dedup.containmentPairs(
-        t(s, dir, "documents"), "doc_id", "text", threshold = 0.5)),
+        t(s, dir, "documents"), "doc_id", "text", threshold = 0.5,
+        maxDocsPerShingle = Int.MaxValue)),
 
     // Per-key frequency cap (over-represented-domain guard): keep at most
     // 10 docs per source, deterministically by the portable idHash draw.
@@ -1834,10 +1840,12 @@ object SparkEntry {
     // window-4 minima (lexicographic on the hex string — portable), pairs
     // sharing >= 2 selected fingerprints. The oracle replays gram lists,
     // window minima, and the pair join verbatim.
+    // unbounded opt-in (q91 discipline); the capped path is q110's row
     "q103_winnowing" -> ((s, dir) =>
       operators.Dedup.winnowingPairs(
         t(s, dir, "documents"), "doc_id", "text",
-        minShared = 2, shingleLen = 3, window = 4)),
+        minShared = 2, shingleLen = 3, window = 4,
+        maxDocsPerFp = Int.MaxValue)),
 
     // Importance-weighted lottery (the DSIR-style selection half): keep
     // probability proportional to a per-row weight (here token count —
@@ -1933,7 +1941,19 @@ object SparkEntry {
         col("event_type"))
       operators.Funnel.topPaths(ev, "user_id", "ts_ms", "event_type",
         maxSteps = 5, k = 20)
-    })
+    }),
+
+    // Capped winnowing pairs — q103 with the PRODUCTION hot-key cap
+    // engaged (maxDocsPerFp = 5; the sf corpus has fingerprints of df up
+    // to 9, so the cap provably drops hot fingerprints and the result
+    // differs from q103's unbounded run). Locks the cap SEMANTICS the
+    // 100 TB default relies on: a fingerprint present in more docs than
+    // the cap is excluded from the pair join entirely, thinning pairs —
+    // never inventing them. The twin replays the df filter verbatim.
+    "q110_winnowing_capped" -> ((s, dir) =>
+      operators.Dedup.winnowingPairs(
+        t(s, dir, "documents"), "doc_id", "text",
+        minShared = 2, shingleLen = 3, window = 4, maxDocsPerFp = 5))
   )
 
   /** q80's fixed merge table (learned-table stand-in, the fixed-codebook
@@ -4097,7 +4117,29 @@ object SparkEntry {
         |c AS (SELECT path, CAST(count(*) AS BIGINT) AS n_users FROM p GROUP BY 1)
         |SELECT path, n_users,
         |  CAST(row_number() OVER (ORDER BY n_users DESC, path ASC) AS BIGINT) AS rnk
-        |FROM c ORDER BY n_users DESC, path ASC LIMIT 20""".stripMargin
+        |FROM c ORDER BY n_users DESC, path ASC LIMIT 20""".stripMargin,
+
+    "q110_winnowing_capped" ->
+      """WITH g AS (
+        |  SELECT doc_id, list_transform(
+        |    list_transform(range(1, len(string_split(text, ' ')) - 1),
+        |      i -> array_to_string(list_slice(string_split(text, ' '), i, i + 2), ' ')),
+        |    x -> md5(x)) AS h
+        |  FROM documents),
+        |sel AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    CASE WHEN len(h) = 0 THEN []::VARCHAR[]
+        |         WHEN len(h) < 4 THEN [list_aggregate(h, 'min')]
+        |         ELSE list_transform(range(1, len(h) - 2),
+        |                i -> list_aggregate(list_slice(h, i, i + 3), 'min'))
+        |    END)) AS fp
+        |  FROM g),
+        |kept AS (
+        |  SELECT * FROM sel WHERE fp IN (
+        |    SELECT fp FROM sel GROUP BY 1 HAVING count(*) <= 5))
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+        |FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin
   )
 
   /** q84's oracle, generated: the greedy MMR selection unrolled into k

@@ -615,7 +615,14 @@ object Curation {
         least(round(w * lit(1000000.0)), lit(1000000000000L))
           .cast("long").as("weight_ppm"))
       .filter(col("weight_ppm") > 0)
-    val total = pre.agg(sum(col("weight_ppm")).as("_sw"))
+    // Σ as DECIMAL(38,0): a plain long sum wraps SILENTLY under non-ANSI
+    // defaults (~9.2e6 rows at the 1e12 clamp), corrupting every rate_ppm
+    // with no error; decimal accumulation stays exact to 38 digits
+    // (unreachable: 1e12/row needs 1e26 rows) and engine-portable (DuckDB
+    // sums BIGINT as exact HUGEINT). The downstream double cast is
+    // unchanged.
+    val total = pre.agg(
+      sum(col("weight_ppm").cast("decimal(38,0)")).as("_sw"))
     pre.crossJoin(broadcast(total))
       .withColumn("rate_ppm", least(lit(1000000L),
         round(lit(1000000.0) * (lit(targetRows.toDouble) *

@@ -944,12 +944,16 @@ object Dedup {
     * distinct (source, hash) reduction partial-aggregates map-side and
     * nothing wider than (string, long) ever shuffles. The pairwise stage
     * joins that reduced set on hash, so its per-shingle cost is
-    * |sources containing the shingle|², NOT |corpus|²; at per-domain
-    * granularity (millions of sources) cap it with `maxSourcesPerShingle`,
-    * which EXCLUDES ubiquitous shingles (boilerplate present in more than
-    * the cap's worth of sources) from numerator AND denominators
-    * consistently — the result is then the overlap over discriminating
-    * shingles, a well-defined and still oracle-replayable statistic.
+    * |sources containing the shingle|², NOT |corpus|². The df² term is
+    * why `maxSourcesPerShingle` DEFAULTS to the family's 1000 (the
+    * [[nearDupPairsMinHash]] bucket-cap convention): shingles present in
+    * more than the cap's worth of sources (ubiquitous boilerplate —
+    * exactly the quadratic hot keys) are EXCLUDED from numerator AND
+    * denominators consistently, leaving the overlap over discriminating
+    * shingles — a well-defined and still oracle-replayable statistic.
+    * Pass `Int.MaxValue` EXPLICITLY for the unbounded exact form (small
+    * corpora / oracle twins); that opt-in admits a quadratic self-join
+    * on natural text at scale.
     * Exactness caveat, same trade as [[Curation.removeBoilerplate]]: two
     * DIFFERENT shingles colliding in xxhash64 would merge; at 2^20 distinct
     * shingles the odds are ~2^-25.
@@ -959,7 +963,7 @@ object Dedup {
       sourceCol: String,
       textCol: String,
       shingleLen: Int = 3,
-      maxSourcesPerShingle: Int = Int.MaxValue): DataFrame = {
+      maxSourcesPerShingle: Int = 1000): DataFrame = {
     require(maxSourcesPerShingle >= 2,
       s"maxSourcesPerShingle must be >= 2 (pairs need two sources), got $maxSourcesPerShingle")
     val grams = df
@@ -1048,12 +1052,14 @@ object Dedup {
     * Scale shape, the [[sourceOverlap]] discipline: text leaves the scan
     * as (id, xxhash64) pairs; the pairwise term joins the distinct
     * (id, hash) set with itself on hash, so per-shingle cost is df², not
-    * |corpus|². `maxDocsPerShingle` is the scale lever: shingles present
-    * in more than the cap's worth of documents (ubiquitous boilerplate —
-    * exactly the df² hot keys) are EXCLUDED from numerator and denominator
+    * |corpus|². `maxDocsPerShingle` DEFAULTS to the family's 1000
+    * ([[nearDupPairsMinHash]] convention): shingles present in more than
+    * the cap's worth of documents (ubiquitous boilerplate — exactly the
+    * df² hot keys) are EXCLUDED from numerator and denominator
     * consistently, leaving containment over discriminating shingles —
-    * still well-defined, still oracle-replayable. Same xxhash64-collision
-    * caveat as [[sourceOverlap]].
+    * still well-defined, still oracle-replayable. Pass `Int.MaxValue`
+    * EXPLICITLY for the unbounded exact form (small corpora / oracle
+    * twins). Same xxhash64-collision caveat as [[sourceOverlap]].
     */
   def containmentPairs(
       df: DataFrame,
@@ -1061,7 +1067,7 @@ object Dedup {
       textCol: String,
       threshold: Double,
       shingleLen: Int = 3,
-      maxDocsPerShingle: Int = Int.MaxValue): DataFrame = {
+      maxDocsPerShingle: Int = 1000): DataFrame = {
     require(threshold > 0 && threshold <= 1,
       s"threshold must be in (0, 1], got $threshold")
     require(maxDocsPerShingle >= 2,
@@ -1124,7 +1130,13 @@ object Dedup {
     // at sf0.1 for this exact chain)
     val hashes = col("_h")
     val n = size(hashes)
-    val minima = when(n === 0, array().cast("array<string>"))
+    // null text -> _h null -> size = -1 (legacy sizeOfNull); without the
+    // isNull/<=0 guard the n < window branch would emit array(array_min(
+    // null)) = [null] — an (id, NULL) fingerprint row violating the
+    // "shingle-less document contributes nothing" contract (and WinnowIndex
+    // maps fp through xxhash64, where null hashes to the seed: every
+    // null-text doc would share one synthetic bucket and falsely match)
+    val minima = when(hashes.isNull || n <= 0, array().cast("array<string>"))
       .when(n < window, array(array_min(hashes)))
       .otherwise(transform(
         sequence(lit(1), n - window + 1),
@@ -1137,9 +1149,10 @@ object Dedup {
   /** Winnowing match pairs: unordered document pairs sharing at least
     * `minShared` selected fingerprints — [[winnowingFingerprints]]'
     * consumer shape, the plagiarism / shared-passage detector. Same
-    * pairwise discipline and `maxDocsPerFp` cap lever as
-    * [[containmentPairs]], but over a fingerprint set winnowing already
-    * thinned ~2/(w+1)×, which shrinks the join's df² term by the square.
+    * pairwise discipline and `maxDocsPerFp` cap lever (DEFAULT 1000,
+    * `Int.MaxValue` = explicit unbounded opt-in) as [[containmentPairs]],
+    * but over a fingerprint set winnowing already thinned ~2/(w+1)×,
+    * which shrinks the join's df² term by the square.
     */
   def winnowingPairs(
       df: DataFrame,
@@ -1148,7 +1161,7 @@ object Dedup {
       minShared: Long,
       shingleLen: Int = 3,
       window: Int = 4,
-      maxDocsPerFp: Int = Int.MaxValue): DataFrame = {
+      maxDocsPerFp: Int = 1000): DataFrame = {
     require(minShared >= 1, s"minShared must be >= 1, got $minShared")
     require(maxDocsPerFp >= 2,
       s"maxDocsPerFp must be >= 2 (pairs need two docs), got $maxDocsPerFp")

@@ -242,6 +242,17 @@ object Knn {
       queryIdCol: String = "query_id",
       queryVecCol: String = "query_vec"): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
+    // the documented precondition, ENFORCED: an under-full neighborhood
+    // (either side < k rows) leaves rank-k pivot columns NULL, so every
+    // margin goes NULL and row_number ranks garbage silently. limit(k+…)
+    // makes each check an early-exit scan, not a full count, so the guard
+    // is O(k) even over a 100 TB store.
+    require(queries.limit(k).count() >= k,
+      s"marginTopK: queries has fewer than k=$k rows — avgK(y) over the " +
+        "query neighborhood would be undefined (NULL margins)")
+    require(store.limit(k).count() >= k,
+      s"marginTopK: store has fewer than k=$k rows — avgK(x) over the " +
+        "store neighborhood would be undefined (NULL margins)")
     val fwd = batchTopK(queries, store, k, metric, vecCol, idCol,
         queryIdCol, queryVecCol)
       .select(col(queryIdCol), col(idCol),

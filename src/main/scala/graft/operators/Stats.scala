@@ -69,7 +69,14 @@ object Stats {
     *
     * Cuts use Spark's `percentile` (type 7 linear interpolation — the
     * same doubles DuckDB `quantile_cont` produces, the q89-proven parity),
-    * so bucket boundaries replay bit-for-bit. Rows equal to a cut fall in
+    * so bucket boundaries replay bit-for-bit — ON THE EXACT PATH ONLY.
+    * With `approx = true` the cuts come from `approx_percentile`, a
+    * mergeable sketch whose result can depend on partition merge order:
+    * NOT engine-replayable and not guaranteed run-stable, so keep the
+    * exact path for anything that must reproduce (oracle twins, published
+    * data recipes) and reserve `approx` for unbounded continuous metrics
+    * where the cut only needs to be statistically right (accuracy
+    * 1/10000). Rows equal to a cut fall in
     * the LOWER bucket (strict `>`); buckets are 0-indexed and can be
     * empty only under pathological skew (most values equal). A NULL
     * metric lands in bucket 0 (every `NULL > cut` comparison is

@@ -84,14 +84,30 @@ case class WinnowIndex(
       batchFps: DataFrame, maxDocsPerFp: Int): DataFrame = {
     // commit-log nRows count DOCS, so the prune decision must compare
     // batch DOCS (distinct ids over the pinned frame), not fingerprint
-    // rows — ~2/(w+1) x grams of them per doc
+    // rows — ~2/(w+1) x grams of them per doc. Both counts in one pass
+    // over the pinned frame.
     val corpusRows = log.sizeStats()._2
+    val cnt = batchFps.agg(
+      countDistinct(col("id")).as("docs"),
+      countDistinct(col("fph")).as("fps")).head()
+    val (batchDocs, batchDistinctFps) = (cnt.getLong(0), cnt.getLong(1))
+    // the explicit broadcast() hint bypasses autoBroadcastJoinThreshold,
+    // so it must be bounded HERE (the gatherPruned maxIds discipline): a
+    // multi-million-doc batch — still smaller than the corpus — carries
+    // tens of millions of distinct fph longs, and broadcasting that set
+    // is a driver OOM. Above the bound the prune still runs, just as a
+    // shuffled semi-join (AQE picks the strategy) — strictly cheaper than
+    // capPostings over the unpruned layout either way.
     val pre =
-      if (batchFps.select(col("id")).distinct().count() < corpusRows)
+      if (batchDocs >= corpusRows) storedFps()
+      else {
+        val probes = batchFps.select(col("fph")).distinct()
         storedFps().join(
-          broadcast(batchFps.select(col("fph")).distinct()),
+          if (batchDistinctFps <= WinnowIndex.MaxBroadcastFps)
+            broadcast(probes)
+          else probes,
           Seq("fph"), "left_semi")
-      else storedFps()
+      }
     val capped = WinnowIndex.capPostings(pre, maxDocsPerFp)
     batchFps.as("b").join(capped.as("c"), col("b.fph") === col("c.fph"))
       .groupBy(col("b.id").as("batch_id"), col("c.id").as("corpus_id"))
@@ -150,6 +166,16 @@ case class WinnowIndex(
 }
 
 object WinnowIndex {
+
+  /** Largest distinct-fingerprint probe set shipped via an EXPLICIT
+    * broadcast hint in the dedup prune: 2^20 longs is a ~8 MB payload
+    * (tens of MB as an executor hash set) — comfortably inside driver and
+    * executor budgets, an order of magnitude past
+    * [[EpochIndex.MaxGatherIds]] because a broadcast relation streams
+    * where a driver collect materializes rows. Above it the semi-join
+    * prune still runs, un-hinted.
+    */
+  private[operators] val MaxBroadcastFps: Long = 1L << 20
 
   /** Deterministic posting-list cap: keep each fingerprint's
     * `maxDocsPerFp` lowest-id docs ([[Dedup.capBuckets]]' rule keyed on

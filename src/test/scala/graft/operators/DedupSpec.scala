@@ -509,6 +509,23 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(fps(1L).size <= 3)
   }
 
+  test("winnowingFingerprints: NULL text contributes nothing (no [null] fp row)") {
+    // size(null _h) = -1 under legacy sizeOfNull; without the null guard
+    // the n < window branch emits array(array_min(null)) = [null] — an
+    // (id, NULL) fingerprint row that WinnowIndex's xxhash64(fp) maps to
+    // the seed, falsely bucketing every null-text doc together
+    val df = Seq[(Long, String)]((1L, "a b c d e"), (2L, null), (3L, null))
+      .toDF("doc_id", "text")
+    val fps = Dedup.winnowingFingerprints(df, "doc_id", "text",
+        shingleLen = 3, window = 4)
+      .as[(Long, String)].collect()
+    assert(fps.forall(_._2 != null), "no NULL fingerprint rows")
+    assert(fps.map(_._1).toSet == Set(1L), "null-text docs contribute nothing")
+    val pairs = Dedup.winnowingPairs(df, "doc_id", "text", minShared = 1)
+      .as[(Long, Long, Long)].collect()
+    assert(pairs.isEmpty, "null-text docs must not match each other")
+  }
+
   test("winnowingPairs: a shared run of >= w+k-1 tokens is always caught") {
     // d1 and d2 share a 7-token run (w=4, k=3 -> guarantee at w+k-1=6);
     // d3 is unrelated
