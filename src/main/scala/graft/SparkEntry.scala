@@ -1953,7 +1953,59 @@ object SparkEntry {
     "q110_winnowing_capped" -> ((s, dir) =>
       operators.Dedup.winnowingPairs(
         t(s, dir, "documents"), "doc_id", "text",
-        minShared = 2, shingleLen = 3, window = 4, maxDocsPerFp = 5))
+        minShared = 2, shingleLen = 3, window = 4, maxDocsPerFp = 5)),
+
+    // Diversity-aware context assembly (Mmr.retrieveContextMmr — the
+    // RAG-facing composition: threshold gate + MMR selection order +
+    // greedy running-length cap, all in one oracle row). Candidates are
+    // the q84 top-50 cosine page; rel >= 0.2 drops the weak tail (margin
+    // to the cut >= 8e-4 at both sf, far beyond cross-engine ulp);
+    // per-doc lengths are exact integer arithmetic (40 + 7*id mod 60);
+    // the MMR order replays via the q84 unrolled-argmax chain and the
+    // cap via a running-sum window, <= 320 keeping a strict prefix.
+    // Output ids/ranks/lengths only — raw doubles never hashed.
+    "q111_context_mmr" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val qv = emb.filter(col("vec_id") === 0).select(col("embedding"))
+        .head().getSeq[Float](0).map(_.toDouble)
+      val cand = emb
+        .withColumn("rel", vector.similarity(col("embedding"), typedLit(qv),
+          vector.MetricCosine))
+        .orderBy(col("rel").desc, col("vec_id").asc)
+        .limit(50)
+        .withColumn("n_tokens",
+          (lit(40L) + pmod(col("vec_id").cast("long") * 7, lit(60L))).as("n_tokens"))
+      operators.Mmr.retrieveContextMmr(cand, "vec_id", "embedding", "rel",
+        "n_tokens", minSimilarity = 0.2, maxContextLength = 320L,
+        k = 10, lambda = 0.7)
+        .select(col("rank"), col("vec_id").cast("long").as("vec_id"),
+          col("n_tokens").cast("long").as("n_tokens"))
+    }),
+
+    // Perceptual image fingerprints (Multimodal.imageDHash) — the
+    // multimodal family's first oracle row. 20 synthetic PPM P6 images
+    // whose raster bytes come from EXACT integer arithmetic
+    // (byte i of image id = (id*31 + i*7) mod 256; sizes 9..15 x 8..12 so
+    // the 9x8 box-average resize exercises non-uniform boxes), run through
+    // the REAL codec path: PPM header parse -> raster decode -> integer
+    // box-average downsample -> luma (299r+587g+114b)/1000 -> 64
+    // horizontal-gradient bits. The twin replays the identical arithmetic
+    // from the pixel formula alone — header parsing is the only leg it
+    // can't see, and a parse error would fail loudly, not silently drift.
+    "q112_image_dhash" -> ((s, dir) => {
+      import s.implicits._
+      val rows = (0L until 20L).map { id =>
+        val w = 9 + (id % 7).toInt
+        val h = 8 + (id % 5).toInt
+        val raster = Array.tabulate(w * h * 3)(i =>
+          ((id * 31 + i.toLong * 7) % 256).toByte)
+        val header = s"P6\n$w $h\n255\n".getBytes("US-ASCII")
+        multimodal.Multimodal.MediaRow(id, "image", header ++ raster,
+          multimodal.Multimodal.MediaMeta(w, h, "ppm", 0L))
+      }
+      multimodal.Multimodal.imageDHash(
+        s.createDataset(rows).repartition(4))
+    })
   )
 
   /** q80's fixed merge table (learned-table stand-in, the fixed-codebook
@@ -4139,7 +4191,52 @@ object SparkEntry {
         |    SELECT fp FROM sel GROUP BY 1 HAVING count(*) <= 5))
         |SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
         |FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
-        |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin
+        |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin,
+
+    "q111_context_mmr" -> Q111ContextMmrOracle,
+
+    // Replays q112's whole arithmetic chain from the pixel FORMULA — no
+    // bytes involved: box boundaries by the same floor divisions, channel
+    // sums over the generated ranges, the same three integer divisions
+    // into luma, the same y*8+x bit layout. The only DuckDB-specific move
+    // is the bit-63 literal (1<<63 overflows a BIGINT shift; Long.MinValue
+    // spelled -9223372036854775807 - 1 is the identical two's-complement
+    // word bit_or composes with).
+    "q112_image_dhash" ->
+      """WITH ids AS (
+        |  SELECT range AS id, 9 + range % 7 AS w, 8 + range % 5 AS h
+        |  FROM range(20)),
+        |tgt AS (SELECT t.range AS ty, s.range AS tx FROM range(8) t, range(9) s),
+        |box AS (
+        |  SELECT i.id, i.w, g.ty, g.tx,
+        |    (g.tx * i.w) // 9 AS x0,
+        |    greatest((g.tx * i.w) // 9 + 1, ((g.tx + 1) * i.w) // 9) AS x1,
+        |    (g.ty * i.h) // 8 AS y0,
+        |    greatest((g.ty * i.h) // 8 + 1, ((g.ty + 1) * i.h) // 8) AS y1
+        |  FROM ids i CROSS JOIN tgt g),
+        |px AS (
+        |  SELECT b.id, b.ty, b.tx,
+        |    sum((b.id*31 + ((y.range*b.w + x.range)*3 + 0)*7) % 256) AS sr,
+        |    sum((b.id*31 + ((y.range*b.w + x.range)*3 + 1)*7) % 256) AS sg,
+        |    sum((b.id*31 + ((y.range*b.w + x.range)*3 + 2)*7) % 256) AS sb,
+        |    count(*) AS n
+        |  FROM box b, range(0, 16) y, range(0, 16) x
+        |  WHERE y.range >= b.y0 AND y.range < b.y1
+        |    AND x.range >= b.x0 AND x.range < b.x1
+        |  GROUP BY 1, 2, 3),
+        |luma AS (
+        |  SELECT id, ty, tx,
+        |    (299*(sr // n) + 587*(sg // n) + 114*(sb // n)) // 1000 AS l
+        |  FROM px),
+        |bits AS (
+        |  SELECT a.id, CAST(a.ty * 8 + a.tx AS BIGINT) AS bit
+        |  FROM luma a JOIN luma b ON b.id = a.id AND b.ty = a.ty AND b.tx = a.tx + 1
+        |  WHERE a.tx < 8 AND a.l < b.l)
+        |SELECT i.id AS media_id,
+        |  COALESCE(bit_or(CASE WHEN bit = 63 THEN -9223372036854775807 - 1
+        |                       ELSE 1::BIGINT << bit END), 0::BIGINT) AS fp
+        |FROM ids i LEFT JOIN bits b ON b.id = i.id
+        |GROUP BY 1""".stripMargin
   )
 
   /** q84's oracle, generated: the greedy MMR selection unrolled into k
@@ -4181,6 +4278,51 @@ object SparkEntry {
       s"SELECT CAST($i AS BIGINT) AS rank, id AS vec_id FROM sel$i")
       .mkString("\nUNION ALL ")
     (head +: steps).mkString(",\n") + "\n" + out
+  }
+
+  /** q111's oracle: the q84 unrolled-argmax MMR chain, composed with the
+    * threshold gate (rel >= 0.2 BEFORE selection — [[graft.operators.Mmr
+    * .retrieveContextMmr]]'s eligibility rule) and the greedy
+    * running-length cap (sum over MMR rank order, strict prefix <= 320).
+    * Lengths are exact integer arithmetic so the cap replays exactly.
+    */
+  private val Q111ContextMmrOracle: String = {
+    val k = 10
+    val head =
+      """WITH cand AS MATERIALIZED (
+        |  SELECT e.vec_id AS id, CAST(e.embedding AS DOUBLE[]) AS v,
+        |    list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |      CAST(q.qv AS DOUBLE[])) AS rel
+        |  FROM embeddings e,
+        |       (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) q
+        |  ORDER BY rel DESC, e.vec_id ASC LIMIT 50),
+        |elig AS MATERIALIZED (SELECT * FROM cand WHERE rel >= 0.2),
+        |sims AS MATERIALIZED (
+        |  SELECT a.id AS a, b.id AS b, list_cosine_similarity(a.v, b.v) AS sim
+        |  FROM elig a, elig b WHERE a.id <> b.id),
+        |sel1 AS MATERIALIZED (
+        |  SELECT id FROM elig ORDER BY 0.7 * rel DESC, id ASC LIMIT 1)""".stripMargin
+    val steps = (2 to k).map { i =>
+      val prev = (1 until i).map(j => s"SELECT id FROM sel$j").mkString(" UNION ALL ")
+      s"""sel$i AS MATERIALIZED (
+         |  SELECT c.id FROM elig c JOIN sims s ON s.a = c.id
+         |  WHERE s.b IN ($prev) AND c.id NOT IN ($prev)
+         |  GROUP BY c.id, c.rel
+         |  ORDER BY 0.7 * c.rel - (1.0 - 0.7) * max(s.sim) DESC, c.id ASC
+         |  LIMIT 1)""".stripMargin
+    }
+    val ranked = (1 to k).map(i =>
+      s"SELECT CAST($i AS BIGINT) AS rank, id FROM sel$i")
+      .mkString("\n  UNION ALL ")
+    val tail =
+      s"""run AS MATERIALIZED (
+         |  SELECT r.rank, r.id,
+         |    CAST(40 + (r.id * 7) % 60 AS BIGINT) AS n_tokens,
+         |    sum(40 + (r.id * 7) % 60) OVER (ORDER BY r.rank
+         |      ROWS UNBOUNDED PRECEDING) AS running
+         |  FROM ($ranked) r)
+         |SELECT rank, id AS vec_id, n_tokens FROM run WHERE running <= 320""".stripMargin
+    (head +: steps).mkString(",\n") + ",\n" + tail
   }
 
   /** Shared BM25 corpus CTE for q39/q40 oracles — terms (vector, merge,
