@@ -45,6 +45,46 @@ object Curation {
       graft.functions.TokenNgrams(
         org.apache.spark.sql.graftx.Bridge.expression(text), n))
 
+  /** Distinct benchmark n-grams as 64-bit xxhash64 hashes, the hint gated
+    * on the distinct-gram count: the gram STRINGS never leave the scan
+    * (an 8-gram averages ~50 bytes; the hash is 8 — the join side is an
+    * order of magnitude slimmer either way), and the explicit
+    * `broadcast()` hint — which bypasses autoBroadcastJoinThreshold —
+    * applies only while the set fits `maxBroadcastGrams`. A full
+    * eval-suite UNION (hundreds of millions of distinct 8-grams) would
+    * OOM the driver under an unconditional hint; above the cap the join
+    * runs un-hinted and AQE picks a shuffled strategy. Collision caveat,
+    * the [[graft.operators.Dedup.sourceOverlap]] trade: two different
+    * grams colliding in xxhash64 can add a false hit (odds ~2^-25 at 2^20
+    * distinct grams — noise against the 50-gram dirt an 8-gram overlap
+    * flags).
+    */
+  private def benchGramHashes(
+      benchmark: DataFrame,
+      textCol: String,
+      ngramLen: Int,
+      maxBroadcastGrams: Long): DataFrame = {
+    val grams = benchmark
+      .select(explode(tokenNgrams(col(textCol), ngramLen)).as("gram"))
+      .select(xxhash64(col("gram")).as("_gh"))
+      .distinct()
+    // early-exit count: decides the hint without a full count job when the
+    // set is far beyond the cap (min with Int.MaxValue: limit takes an Int,
+    // and a huge caller-supplied cap must not wrap negative)
+    val probe = math.min(maxBroadcastGrams + 1, Int.MaxValue.toLong).toInt
+    if (grams.limit(probe).count() <= maxBroadcastGrams) broadcast(grams)
+    else grams
+  }
+
+  /** Largest distinct-benchmark-gram set shipped via the explicit
+    * broadcast hint: 4M hashed grams is a ~32 MB payload — comfortable on
+    * every executor and orders of magnitude above any single benchmark
+    * (MMLU+Hellaswag+GSM8K together are low millions of tokens). Past it
+    * — a full eval-suite union, or a benchmark that is itself a corpus —
+    * the decontamination joins fall back to AQE-planned shuffles.
+    */
+  val MaxBroadcastGrams: Long = 4L << 20
+
   /** Test-set decontamination: for every document in `corpus`, count how
     * many DISTINCT benchmark n-grams it contains and flag it contaminated
     * if that count is positive.
@@ -52,25 +92,28 @@ object Curation {
     * Output: (id, hits BIGINT, contaminated BOOLEAN) — one row per corpus
     * document, including clean ones (hits = 0).
     *
-    * Scale shape: `benchmark`'s distinct n-grams are exploded and
-    * broadcast (an eval set is KBs–MBs of text; its n-gram set fits every
-    * executor). The corpus is one scan: explode its distinct n-grams,
-    * broadcast-join, count per id, left-join the hit counts back onto the
-    * id spine. At 100 TB the only wide movement is (id, hits) pairs.
+    * Scale shape: `benchmark`'s distinct n-grams are hashed to 64 bits and
+    * broadcast while they fit `maxBroadcastGrams` (an eval set is KBs–MBs
+    * of text; its n-gram set fits every executor), shuffled-semi-joined
+    * past it — see [[benchGramHashes]] for both the gate and the hash-
+    * collision caveat. The corpus is one scan: explode its distinct
+    * n-grams, hash, join, count per id, left-join the hit counts back
+    * onto the id spine. At 100 TB the only wide movement is (id, hits)
+    * pairs — and (id, hash) pairs on the fallback path.
     */
   def decontaminate(
       corpus: DataFrame,
       benchmark: DataFrame,
       idCol: String,
       textCol: String,
-      ngramLen: Int = 8): DataFrame = {
-    val benchGrams = benchmark
-      .select(explode(tokenNgrams(col(textCol), ngramLen)).as("gram"))
-      .distinct()
+      ngramLen: Int = 8,
+      maxBroadcastGrams: Long = MaxBroadcastGrams): DataFrame = {
+    val benchGrams = benchGramHashes(benchmark, textCol, ngramLen, maxBroadcastGrams)
     val corpusGrams = corpus.select(col(idCol).cast("long").as("id"),
         explode(array_distinct(tokenNgrams(col(textCol), ngramLen))).as("gram"))
+      .select(col("id"), xxhash64(col("gram")).as("_gh"))
     val hits = corpusGrams
-      .join(broadcast(benchGrams), Seq("gram"))
+      .join(benchGrams, Seq("_gh"))
       .groupBy(col("id"))
       .agg(count(lit(1)).as("hits"))
     corpus.select(col(idCol).cast("long").as("id"))
@@ -92,11 +135,12 @@ object Curation {
     * row per corpus document.
     *
     * Scale shape, same skeleton as [[decontaminate]]: benchmark n-grams
-    * broadcast, corpus scanned once for its positional n-grams. The added
-    * coverage step explodes MATCHED grams only into (id, covered token
-    * position) pairs — hit-sized, not corpus-sized — and distinct-counts
-    * them per doc (overlapping matched grams must not double-count a
-    * token).
+    * hashed + size-gated broadcast ([[benchGramHashes]], same fallback
+    * and collision caveat), corpus scanned once for its positional
+    * n-grams. The added coverage step explodes MATCHED grams only into
+    * (id, covered token position) pairs — hit-sized, not corpus-sized —
+    * and distinct-counts them per doc (overlapping matched grams must not
+    * double-count a token).
     */
   def decontaminateFraction(
       corpus: DataFrame,
@@ -104,16 +148,16 @@ object Curation {
       idCol: String,
       textCol: String,
       ngramLen: Int = 8,
-      maxFrac: Double = 0.8): DataFrame = {
+      maxFrac: Double = 0.8,
+      maxBroadcastGrams: Long = MaxBroadcastGrams): DataFrame = {
     require(maxFrac >= 0.0 && maxFrac <= 1.0, s"maxFrac must be in [0,1], got $maxFrac")
-    val benchGrams = benchmark
-      .select(explode(tokenNgrams(col(textCol), ngramLen)).as("gram"))
-      .distinct()
+    val benchGrams = benchGramHashes(benchmark, textCol, ngramLen, maxBroadcastGrams)
     // positional grams: posexplode's 0-based index IS the gram's start
     // token position, so matched gram p covers tokens p .. p+n-1
     val grams = corpus.select(col(idCol).cast("long").as("id"),
-      posexplode(tokenNgrams(col(textCol), ngramLen)).as(Seq("_p", "gram")))
-    val ncov = grams.join(broadcast(benchGrams), Seq("gram"))
+        posexplode(tokenNgrams(col(textCol), ngramLen)).as(Seq("_p", "gram")))
+      .select(col("id"), col("_p"), xxhash64(col("gram")).as("_gh"))
+    val ncov = grams.join(benchGrams, Seq("_gh"))
       .select(col("id"),
         explode(sequence(col("_p"), col("_p") + (ngramLen - 1))).as("_q"))
       .groupBy(col("id"))
@@ -516,14 +560,25 @@ object Curation {
     * movement is slim (id, hits) pairs into one partial-aggregated count.
     * Corpus vectors are never exchanged. For benchmark sets too big to
     * broadcast-scan, prefilter candidates with [[Dedup.embeddingNearDupLsh]]
-    * banding or an [[graft.ml.IvfIndex]] probe and verify only candidates.
+    * banding or an [[graft.ml.IvfIndex]] probe and verify only candidates —
+    * `maxBenchRows` enforces that boundary FAIL-FAST (the
+    * [[graft.operators.Mmr.rerank]] cap discipline): a million fat
+    * embedding rows under an unconditional broadcast hint is a driver OOM
+    * with no error, and O(B) cosines per corpus row stops being a scan-side
+    * bargain long before that.
     */
   def decontaminateSemantic(
       corpus: DataFrame,
       benchmark: DataFrame,
       idCol: String,
       vecCol: String,
-      threshold: Double): DataFrame = {
+      threshold: Double,
+      maxBenchRows: Long = 1L << 20): DataFrame = {
+    require(benchmark.limit(
+        math.min(maxBenchRows + 1, Int.MaxValue.toLong).toInt).count() <= maxBenchRows,
+      s"decontaminateSemantic: benchmark exceeds maxBenchRows=$maxBenchRows " +
+        "— a set this size cannot broadcast-scan; prefilter with " +
+        "embeddingNearDupLsh banding or an IVF probe and verify candidates")
     val bench = benchmark.select(col(vecCol).as("_bv"))
     val hits = corpus
       .select(col(idCol).cast("long").as("id"), col(vecCol).as("_cv"))

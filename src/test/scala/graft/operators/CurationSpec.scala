@@ -56,6 +56,55 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
     assert(out.forall(r => r._2 >= 0 && r._2 <= 3))
   }
 
+  test("decontaminate: gram broadcast hint is size-gated; fallback matches exactly") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "completely unrelated text with no overlap at all here"),
+      (3L, "we said the quick brown fox jumps over the lazy dog")
+    ).toDF("id", "text")
+    val bench = Seq((100L, "xx the quick brown fox jumps over the lazy dog yy"))
+      .toDF("id", "text")
+    val expect = Curation.decontaminate(corpus, bench, "id", "text", ngramLen = 8)
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1).toSeq
+    // kill auto-broadcast so only the explicit hint could broadcast: the
+    // cap=0 leg must then plan a SHUFFLED join (the huge-benchmark path)
+    // and still produce identical rows
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val fb = Curation.decontaminate(corpus, bench, "id", "text",
+        ngramLen = 8, maxBroadcastGrams = 0L)
+      val got = fb.as[(Long, Long, Boolean)].collect().sortBy(_._1).toSeq
+      assert(got == expect, "fallback path must not change results")
+      val p = fb.queryExecution.executedPlan.toString
+      assert(!p.contains("BroadcastHashJoin"),
+        s"cap=0 must suppress the explicit broadcast hint:\n$p")
+      val hinted = Curation.decontaminate(corpus, bench, "id", "text", ngramLen = 8)
+      hinted.collect()
+      assert(hinted.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+        "under the cap the explicit hint must broadcast even with auto-broadcast off")
+      val fbFrac = Curation.decontaminateFraction(corpus, bench, "id", "text",
+        ngramLen = 8, maxFrac = 0.5, maxBroadcastGrams = 0L)
+      val defFrac = Curation.decontaminateFraction(corpus, bench, "id", "text",
+        ngramLen = 8, maxFrac = 0.5)
+      assert(fbFrac.collect().sortBy(_.getLong(0)).toSeq ==
+        defFrac.collect().sortBy(_.getLong(0)).toSeq,
+        "fraction fallback path must not change results")
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
+  test("decontaminateSemantic: an over-cap benchmark fails fast, not OOM") {
+    val corpus = Seq((1L, Array(1.0f, 0.0f))).toDF("id", "vec")
+    val bench = Seq.tabulate(5)(i => Tuple1(Array(i.toFloat, 1.0f))).toDF("vec")
+    val e = intercept[IllegalArgumentException] {
+      Curation.decontaminateSemantic(corpus, bench, "id", "vec", 0.5,
+        maxBenchRows = 4L)
+    }
+    assert(e.getMessage.contains("maxBenchRows"))
+    // at the cap exactly it still runs
+    assert(Curation.decontaminateSemantic(corpus, bench, "id", "vec", 0.5,
+      maxBenchRows = 5L).count() == 1L)
+  }
+
   test("decontaminate includes clean docs with zero hits") {
     val corpus = Seq((5L, "just one tiny doc")).toDF("id", "text")
     val bench = Seq((9L, "something else entirely different words here now ok fine")).toDF("id", "text")
