@@ -36,15 +36,43 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject("simhash64", "64-bit SimHash fingerprint of an array<string>") {
       es => SimHash64(es(0))
     }
+    def intLit(fn: String, arg: String)(e: Expression): Int = e match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Int,
+        org.apache.spark.sql.types.IntegerType) => v
+      case other => throw new IllegalArgumentException(
+        s"$fn: $arg must be an integer literal, got $other")
+    }
+    def longLit(fn: String, arg: String)(e: Expression): Long = e match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Int,
+        org.apache.spark.sql.types.IntegerType) => v.toLong
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Long,
+        org.apache.spark.sql.types.LongType) => v
+      case other => throw new IllegalArgumentException(
+        s"$fn: $arg must be an integer literal, got $other")
+    }
     inject("token_ngrams", "space-joined token n-grams of a string; n must be a literal") {
-      es =>
-        val n = es(1) match {
-          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int,
-            org.apache.spark.sql.types.IntegerType) => v
-          case other => throw new IllegalArgumentException(
-            s"token_ngrams: n must be an integer literal, got $other")
-        }
-        TokenNgrams(es(0), n)
+      es => TokenNgrams(es(0), intLit("token_ngrams", "n")(es(1)))
+    }
+    // dedup primitives — the near-dup building blocks reachable from pure
+    // SQL like the vector kernels: minhash_sig + simhash64 feed banded
+    // self-joins, hamming64 is the verify predicate, winnow_fps is the
+    // MOSS shared-passage selection (the q103 semantics, identical column
+    // chain as operators.Dedup.winnowFps)
+    inject("minhash_sig",
+      "MinHash signature (array<bigint>) of an array<string>; numHashes and seed must be literals") {
+      es => MinHashSignature(es(0),
+        intLit("minhash_sig", "numHashes")(es(1)),
+        longLit("minhash_sig", "seed")(es(2)))
+    }
+    inject("hamming64", "Hamming distance between two 64-bit fingerprints") {
+      es => org.apache.spark.sql.catalyst.expressions.BitwiseCount(
+        org.apache.spark.sql.catalyst.expressions.BitwiseXor(es(0), es(1)))
+    }
+    inject("winnow_fps",
+      "winnowing (MOSS) selected md5 fingerprints of a string; shingleLen and window must be literals") {
+      es => WinnowFps(es(0),
+        intLit("winnow_fps", "shingleLen")(es(1)),
+        intLit("winnow_fps", "window")(es(2)))
     }
   }
 }

@@ -117,6 +117,56 @@ object TextHashUtil {
   def shingles(str: UTF8String, n: Int): ArrayData =
     ngramCore(str, n, distinct = true, shortDocWhole = true)
 
+  private val HexDigits = "0123456789abcdef".toCharArray
+
+  /** Winnowing (MOSS) fingerprint selection — the kernel behind
+    * [[WinnowFps]] and [[graft.operators.Dedup.winnowingFingerprints]]:
+    * md5-hex every positional n-gram, slide a window of `w` hashes, keep
+    * each window's LEXICOGRAPHIC minimum, distinct in first-occurrence
+    * order. Byte-for-byte the declarative
+    * `array_distinct(<window minima over transform(token_ngrams, md5)>)`
+    * formula (md5 = lowercase hex of the gram's UTF-8 bytes; hex-string
+    * lexicographic order == unsigned digest order), with the same edge
+    * rules: empty for a shingle-less doc, the single overall minimum for a
+    * doc of fewer than `w` grams. One pass, one digest per gram — the
+    * O(n²)-recompute trap of an inlined lambda chain can't exist here.
+    */
+  def winnowFps(str: UTF8String, n: Int, w: Int): ArrayData = {
+    val grams = allNgrams(str, n)
+    val len = grams.numElements()
+    if (len == 0) return new GenericArrayData(Array.empty[Any])
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hashes = new Array[UTF8String](len)
+    var i = 0
+    while (i < len) {
+      val digest = md.digest(grams.getUTF8String(i).getBytes)
+      val hex = new Array[Char](32)
+      var j = 0
+      while (j < 16) {
+        hex(2 * j) = HexDigits((digest(j) >> 4) & 0xf)
+        hex(2 * j + 1) = HexDigits(digest(j) & 0xf)
+        j += 1
+      }
+      hashes(i) = UTF8String.fromString(new String(hex))
+      i += 1
+    }
+    val out = new java.util.LinkedHashSet[UTF8String]()
+    val lastStart = if (len < w) 0 else len - w
+    val width = math.min(w, len)
+    var s = 0
+    while (s <= lastStart) {
+      var m = hashes(s)
+      var j = s + 1
+      while (j < s + width) {
+        if (hashes(j).compareTo(m) < 0) m = hashes(j)
+        j += 1
+      }
+      out.add(m)
+      s += 1
+    }
+    new GenericArrayData(out.toArray(new Array[AnyRef](out.size())))
+  }
+
   /** All (non-distinct) n-grams, empty array for sub-n-token docs — the
     * kernel behind [[TokenNgrams]]; byte-equivalent to
     * `when(size(toks) >= n, transform(sequence(0, size(toks)-n),
@@ -273,6 +323,38 @@ case class TokenNgrams(child: Expression, n: Int) extends UnaryExpression {
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, str =>
       s"${ev.value} = graft.functions.TextHashUtil.allNgrams($str, $n);")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** winnow_fps(text, shingleLen, window) -> array<string> of the winnowing
+  * (MOSS) selected md5 fingerprints — see [[TextHashUtil.winnowFps]] for
+  * the exact selection semantics (oracle-locked by q103/q106/q110). NULL
+  * text -> NULL (explode drops it, preserving the "shingle-less document
+  * contributes nothing" contract downstream).
+  */
+case class WinnowFps(child: Expression, shingleLen: Int, window: Int)
+    extends UnaryExpression {
+  require(shingleLen >= 1 && shingleLen <= 64,
+    s"shingle length out of range: $shingleLen")
+  require(window >= 1, s"window must be >= 1, got $window")
+
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "winnow_fps"
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires string, got ${other.simpleString}")
+    }
+
+  override def nullSafeEval(v: Any): Any =
+    TextHashUtil.winnowFps(v.asInstanceOf[UTF8String], shingleLen, window)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, str =>
+      s"${ev.value} = graft.functions.TextHashUtil.winnowFps($str, $shingleLen, $window);")
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }

@@ -1111,40 +1111,37 @@ object Dedup {
     * contributes its single overall minimum; an empty/shingle-less
     * document contributes nothing.
     *
-    * Scale shape: selection is ONE per-row expression chain (positional
-    * grams -> md5 -> window minima -> distinct) inside the scan stage —
-    * zero shuffle; only the slim (id, 32-char fp) pairs leave the row.
+    * Scale shape: selection is ONE codegen'd kernel expression
+    * ([[winnowFps]]: positional grams -> md5 -> window minima -> distinct,
+    * one digest per gram) inside the scan stage — zero shuffle; only the
+    * slim (id, 32-char fp) pairs leave the row.
     */
   def winnowingFingerprints(
       df: DataFrame,
       idCol: String,
       textCol: String,
       shingleLen: Int = 3,
-      window: Int = 4): DataFrame = {
-    require(window >= 1, s"window must be >= 1, got $window")
-    val grams = Curation.tokenNgrams(col(textCol), shingleLen)
-    // materialize the hash array as a bound attribute BEFORE the window
-    // lambda: a lambda body re-evaluates ordinary child expressions per
-    // element, so an inline `hashes` here would recompute every md5 once
-    // per window — O(n²) digests per document (measured 17 s -> sub-second
-    // at sf0.1 for this exact chain)
-    val hashes = col("_h")
-    val n = size(hashes)
-    // null text -> _h null -> size = -1 (legacy sizeOfNull); without the
-    // isNull/<=0 guard the n < window branch would emit array(array_min(
-    // null)) = [null] — an (id, NULL) fingerprint row violating the
-    // "shingle-less document contributes nothing" contract (and WinnowIndex
-    // maps fp through xxhash64, where null hashes to the seed: every
-    // null-text doc would share one synthetic bucket and falsely match)
-    val minima = when(hashes.isNull || n <= 0, array().cast("array<string>"))
-      .when(n < window, array(array_min(hashes)))
-      .otherwise(transform(
-        sequence(lit(1), n - window + 1),
-        i => array_min(slice(hashes, i, lit(window)))))
+      window: Int = 4): DataFrame =
     df.select(col(idCol).cast("long").as("id"),
-        transform(grams, g => md5(g.cast("binary"))).as("_h"))
-      .select(col("id"), explode(array_distinct(minima)).as("fp"))
-  }
+      explode(winnowFps(col(textCol), shingleLen, window)).as("fp"))
+
+  /** The winnowing selection as ONE codegen'd column over the text — the
+    * per-row kernel behind [[winnowingFingerprints]], exposed separately
+    * so the SQL surface (`winnow_fps` in [[graft.GraftExtensions]]) and
+    * ad-hoc pipelines can fingerprint without the explode.
+    *
+    * Returns array<string> of the DISTINCT selected md5 fingerprints;
+    * empty for shingle-less text, NULL for null text (explode drops
+    * both, so a null-text doc contributes nothing downstream either way).
+    * Selection semantics live in [[graft.functions.TextHashUtil
+    * .winnowFps]], oracle-locked by q103/q106/q110; the kernel digests
+    * each gram exactly once, so the O(n²)-recompute trap of an inlined
+    * higher-order-function chain (measured 17 s -> sub-second at sf0.1)
+    * is structurally gone.
+    */
+  def winnowFps(text: Column, shingleLen: Int, window: Int): Column =
+    Bridge.column(graft.functions.WinnowFps(
+      Bridge.expression(text), shingleLen, window))
 
   /** Winnowing match pairs: unordered document pairs sharing at least
     * `minShared` selected fingerprints — [[winnowingFingerprints]]'

@@ -27,6 +27,23 @@ class GraftExtensionsSpec extends AnyFunSuite {
       assert(math.abs(r.getDouble(1) - 1.0) < 1e-9)
       assert(r.getLong(2) != 0L)
       assert(r.getSeq[String](3) == Seq("a b", "b c"))
+      // dedup primitives: hamming64 = popcount(xor); minhash_sig matches
+      // the Scala-side kernel; winnow_fps matches operators.Dedup
+      // .winnowingFingerprints' selection (q103 semantics)
+      val d = spark.sql(
+        """SELECT hamming64(11, 8) AS h,
+          |       minhash_sig(array('a b c', 'b c d'), 16, 42) AS ms,
+          |       winnow_fps('a b c d e f g h', 3, 4) AS wf,
+          |       winnow_fps(CAST(NULL AS STRING), 3, 4) AS wfn""".stripMargin).head()
+      assert(d.getInt(0) == 2, "11 xor 8 = 0b0011 -> 2 bits")
+      assert(d.getSeq[Long](1).length == 16)
+      import spark.implicits._
+      val scalaFps = graft.operators.Dedup.winnowingFingerprints(
+        Seq((1L, "a b c d e f g h")).toDF("id", "text"), "id", "text",
+        shingleLen = 3, window = 4).as[(Long, String)].collect().map(_._2).toSet
+      assert(d.getSeq[String](2).toSet == scalaFps,
+        "SQL winnow_fps must match the operator's selection")
+      assert(d.isNullAt(3), "null text yields NULL (explode drops it)")
     } finally {
       // do not stop(): the SparkContext is shared with the suite session
       prior.foreach { p =>
