@@ -2005,7 +2005,29 @@ object SparkEntry {
       }
       multimodal.Multimodal.imageDHash(
         s.createDataset(rows).repartition(4))
-    })
+    }),
+
+    // Per-document TF-IDF top terms (TextAnalysis.tfIdfTopTerms) — the
+    // keyword-extraction signal. Smooth weighting
+    // tf * (ln((N+1)/(df+1)) + 1); the RANKING is the contract (the q39
+    // BM25 ln precedent — raw scores never hashed), ties on identical
+    // (tf, df) break on term asc in both engines.
+    "q113_tfidf_terms" -> ((s, dir) =>
+      text.TextAnalysis.tfIdfTopTerms(
+        t(s, dir, "documents"), "doc_id", "text", k = 5)),
+
+    // Edit-distance near-dup pairs (Dedup.editDistancePairs) over 30-char
+    // pseudo-titles — the short-string family the shingle recipes are
+    // blind to. The length prefilter is lossless (RangeJoin
+    // bucket-and-verify, delta = maxEdits); the per-block cap keeps the
+    // 400 lowest ids (locking the cap semantics like q110 — the twin
+    // replays it as doc_id < 400 since ids are dense from 0); verify is
+    // exact levenshtein, identical in both engines on ASCII.
+    "q114_edit_distance" -> ((s, dir) =>
+      operators.Dedup.editDistancePairs(
+        t(s, dir, "documents").select(col("doc_id"),
+          substring(col("text"), 1, 30).as("title")),
+        "doc_id", "title", maxEdits = 10, maxDocsPerBlock = 400))
   )
 
   /** q80's fixed merge table (learned-table stand-in, the fixed-codebook
@@ -4236,7 +4258,38 @@ object SparkEntry {
         |  COALESCE(bit_or(CASE WHEN bit = 63 THEN -9223372036854775807 - 1
         |                       ELSE 1::BIGINT << bit END), 0::BIGINT) AS fp
         |FROM ids i LEFT JOIN bits b ON b.id = i.id
-        |GROUP BY 1""".stripMargin
+        |GROUP BY 1""".stripMargin,
+
+    "q113_tfidf_terms" ->
+      """WITH tf AS (
+        |  SELECT id, term, CAST(count(*) AS BIGINT) AS tf
+        |  FROM (SELECT doc_id AS id, unnest(string_split(text, ' ')) AS term
+        |        FROM documents)
+        |  WHERE len(term) > 0 GROUP BY 1, 2),
+        |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT tf.id, tf.term, tf.tf,
+        |    CAST(tf.tf AS DOUBLE) *
+        |      (ln((CAST(n_docs AS DOUBLE) + 1.0) / (CAST(df AS DOUBLE) + 1.0))
+        |        + 1.0) AS score
+        |  FROM tf JOIN dfreq USING (term) CROSS JOIN n)
+        |SELECT id, term, tf, rnk FROM (
+        |  SELECT id, term, tf,
+        |    CAST(row_number() OVER (PARTITION BY id
+        |      ORDER BY score DESC, term ASC) AS BIGINT) AS rnk
+        |  FROM scored)
+        |WHERE rnk <= 5""".stripMargin,
+
+    "q114_edit_distance" ->
+      """WITH t AS (
+        |  SELECT doc_id, substring(text, 1, 30) AS title
+        |  FROM documents WHERE doc_id < 400)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(levenshtein(a.title, b.title) AS BIGINT) AS dist
+        |FROM t a JOIN t b ON a.doc_id < b.doc_id
+        |  AND abs(len(a.title) - len(b.title)) <= 10
+        |WHERE levenshtein(a.title, b.title) <= 10""".stripMargin
   )
 
   /** q84's oracle, generated: the greedy MMR selection unrolled into k

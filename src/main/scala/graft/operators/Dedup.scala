@@ -1176,6 +1176,64 @@ object Dedup {
       .filter(col("shared") >= minShared)
   }
 
+  /** Edit-distance (Levenshtein) near-dup pairs for SHORT strings —
+    * titles, questions, URLs, product names — where the token/shingle
+    * families are blind (a one-character typo changes every 3-gram
+    * around it, but ed = 1). Output: (id_a, id_b, dist BIGINT) for
+    * unordered pairs with levenshtein <= maxEdits.
+    *
+    * Candidates, lossless on length: ed(a,b) <= k implies
+    * |len(a) - len(b)| <= k, so pairs come from [[RangeJoin.selfWithin]]
+    * over the length column (bucket-and-verify, delta = maxEdits — no
+    * length-band is ever cross-compared beyond its neighbors). Within a
+    * (block, length-bucket) the join is exact-quadratic, which is the
+    * point at small block sizes and the cliff at large ones — so
+    * `blockCol` is the recall/scale lever (block on a normalized prefix,
+    * a sorted-token key, a source domain...; None = one global block,
+    * exact but only safe on bounded inputs) and `maxDocsPerBlock` is the
+    * [[containmentPairs]]-convention hot-block cap (lowest ids kept,
+    * deterministic, replayable; Int.MaxValue = explicit unbounded
+    * opt-in). Verify is exact `levenshtein` on the joined texts — same
+    * semantics as DuckDB's, so the whole operator replays.
+    *
+    * Scale shape: the candidate join moves only (block, id, len)
+    * triples; texts re-join by id for the verify only. At 100 TB: pick a
+    * blockCol whose blocks are result-page sized — the operator's cost is
+    * Σ_block min(|block|, cap)², never |corpus|².
+    */
+  def editDistancePairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxEdits: Int,
+      blockCol: Option[String] = None,
+      maxDocsPerBlock: Int = 1000): DataFrame = {
+    require(maxEdits >= 1, s"maxEdits must be >= 1, got $maxEdits")
+    require(maxDocsPerBlock >= 2,
+      s"maxDocsPerBlock must be >= 2 (pairs need two docs), got $maxDocsPerBlock")
+    val block = blockCol.map(col).getOrElse(lit(0)).as("_block")
+    val slim0 = df.select(col(idCol).cast("long").as("id"),
+      length(col(textCol)).cast("long").as("_len"), block)
+    val slim =
+      if (maxDocsPerBlock == Int.MaxValue) slim0
+      else {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("_block")).orderBy(col("id"))
+        slim0.withColumn("_rn", row_number().over(w))
+          .filter(col("_rn") <= maxDocsPerBlock).drop("_rn")
+      }
+    val cand = RangeJoin.selfWithin(slim, "_block", "id", "_len",
+      delta = maxEdits.toLong)
+    val texts = df.select(col(idCol).cast("long").as("id"),
+      col(textCol).as("_txt"))
+    cand
+      .join(texts.select(col("id").as("id_a"), col("_txt").as("_ta")), Seq("id_a"))
+      .join(texts.select(col("id").as("id_b"), col("_txt").as("_tb")), Seq("id_b"))
+      .withColumn("dist", levenshtein(col("_ta"), col("_tb")).cast("long"))
+      .filter(col("dist") <= maxEdits)
+      .select(col("id_a"), col("id_b"), col("dist"))
+  }
+
   /** Embedding-cosine near-dup pairs, exact all-pairs baseline (O(N^2);
     * the oracle-checkable form). Output: (id_a, id_b) with cosine >= threshold.
     */

@@ -317,6 +317,59 @@ object TextAnalysis {
         col("lift"), log(col("lift")).as("pmi"))
   }
 
+  /** Per-document top-k terms by TF-IDF — the classic keyword-extraction /
+    * document-summarization signal (what is this doc ABOUT), and the
+    * routing feature behind topic-stratified sampling when no embedding
+    * exists. Smooth sklearn-style weighting:
+    * `score = tf * (ln((N + 1) / (df + 1)) + 1)` with tf = the term's
+    * count in the doc, df = documents containing the term, N = corpus
+    * size — the +1s keep corpus-universal terms at a positive floor
+    * instead of exactly zero.
+    *
+    * Output: (id, term, tf, rnk BIGINT) — each doc's k highest-scoring
+    * terms, rank by score desc / term asc. The score itself is NOT in the
+    * output: libm `ln` differs by 1 ulp across engines (the q100/pmi
+    * finding), so the replayable contract is the RANKING (the q39 BM25
+    * precedent — score gaps dwarf ulp noise; exact ties have identical
+    * tf/df on both engines and break on the term). Empty terms (leading/
+    * double spaces under the single-space split) are dropped; a doc with
+    * no terms is absent.
+    *
+    * Scale shape: one (id, term)-keyed partial-aggregated count for tf,
+    * one term-keyed count over the distinct pairs for df, the tf->df
+    * equi-join on the term key, a 1-row N broadcast, and a window
+    * PARTITIONED BY DOC — per-partition work is one document's
+    * vocabulary (doc-sized, never corpus-sized, so there is no hot-key
+    * funnel to cap; contrast [[topTokensPerKey]], where the partition key
+    * is a LANGUAGE and the bounded aggregator is mandatory).
+    */
+  def tfIdfTopTerms(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val tf = df.select(col(idCol).cast("long").as("id"),
+        explode(split(col(textCol), " ", -1)).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy(col("id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val docFreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = df.select(col(idCol)).distinct().agg(count(lit(1)).as("n_docs"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id"))
+      .orderBy(col("score").desc, col("term").asc)
+    tf.join(docFreq, Seq("term"))
+      .crossJoin(broadcast(n))
+      .withColumn("score",
+        col("tf").cast("double") *
+          (log((col("n_docs").cast("double") + 1.0) /
+            (col("df").cast("double") + 1.0)) + 1.0))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("id"), col("term"), col("tf"), col("rnk"))
+  }
+
   // ---------------------------------------------------------- fingerprints
 
   /** Content fingerprints: md5 hex (exact-dedup key) + xxhash64 (cheap 64-bit). */

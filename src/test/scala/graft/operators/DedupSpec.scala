@@ -526,6 +526,32 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(pairs.isEmpty, "null-text docs must not match each other")
   }
 
+  test("editDistancePairs: typo pairs found, length filter lossless, cap drops hot blocks") {
+    val df = Seq(
+      (1L, "the quick brown fox"),
+      (2L, "the quick brown fax"),   // ed 1 from doc 1
+      (3L, "the quick brown foxes"), // ed 2 from doc 1, ed 3 from doc 2
+      (4L, "completely different"),
+      (5L, "xx")                     // len diff > maxEdits from all others
+    ).toDF("id", "title")
+    val pairs = Dedup.editDistancePairs(df, "id", "title", maxEdits = 3,
+        maxDocsPerBlock = Int.MaxValue)
+      .as[(Long, Long, Long)].collect().sortBy(p => (p._1, p._2))
+    assert(pairs.toSeq == Seq((1L, 2L, 1L), (1L, 3L, 2L), (2L, 3L, 3L)))
+    // blocking: put doc 3 in its own block -> its pairs vanish, 1-2 stays
+    val blocked = Dedup.editDistancePairs(
+      df.withColumn("blk", when($"id" === 3L, "b").otherwise("a")),
+      "id", "title", maxEdits = 3, blockCol = Some("blk"),
+      maxDocsPerBlock = Int.MaxValue)
+      .as[(Long, Long, Long)].collect()
+    assert(blocked.toSeq == Seq((1L, 2L, 1L)))
+    // cap: 2 lowest ids per block -> only docs 1,2 survive the single block
+    val capped = Dedup.editDistancePairs(df, "id", "title", maxEdits = 3,
+      maxDocsPerBlock = 2)
+      .as[(Long, Long, Long)].collect()
+    assert(capped.toSeq == Seq((1L, 2L, 1L)))
+  }
+
   test("winnowingPairs: a shared run of >= w+k-1 tokens is always caught") {
     // d1 and d2 share a 7-token run (w=4, k=3 -> guarantee at w+k-1=6);
     // d3 is unrelated

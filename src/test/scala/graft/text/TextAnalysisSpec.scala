@@ -166,6 +166,30 @@ class TextAnalysisSpec extends AnyFunSuite with SparkSpec {
       s"expected a typed-aggregator two-phase plan:\n$plan")
   }
 
+  test("tfIdfTopTerms: rare terms outrank common ones, ties break on term") {
+    // 'rare' appears in 1 of 3 docs, 'common' in all 3: in doc 1 both have
+    // tf=1 but idf(rare) > idf(common). Doc 2's doubled common term beats
+    // its single rare term only if 2*idf(common) > idf(rare) — with N=3:
+    // idf(rare) = ln(4/2)+1 = 1.693, idf(common) = ln(4/4)+1 = 1.0 -> 2.0
+    // beats 1.693.
+    val df = Seq(
+      (1L, "rare common"),
+      (2L, "common common other"),
+      (3L, "common misc")
+    ).toDF("id", "text")
+    val out = TextAnalysis.tfIdfTopTerms(df, "id", "text", k = 2)
+      .as[(Long, String, Long, Long)].collect().sortBy(r => (r._1, r._4))
+    assert(out.filter(_._1 == 1L).map(_._2).toSeq == Seq("rare", "common"))
+    assert(out.filter(_._1 == 2L).map(_._2).toSeq == Seq("common", "other"))
+    assert(out.forall(_._4 <= 2), "rank bounded by k")
+    // empty terms never surface; a doc with no terms is absent
+    val e = TextAnalysis.tfIdfTopTerms(
+      Seq((1L, "  a"), (2L, "")).toDF("id", "text"), "id", "text", k = 5)
+      .as[(Long, String, Long, Long)].collect()
+    assert(e.map(_._2).forall(_.nonEmpty))
+    assert(!e.exists(_._1 == 2L), "a doc of only empty tokens is absent")
+  }
+
   test("pmiBigrams: exact counts and the fixed-association pmi double") {
     val df = Seq("a b", "a b", "a c").toDF("text")
     val out = TextAnalysis.pmiBigrams(df, "text", minCount = 2)
