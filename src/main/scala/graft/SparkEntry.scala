@@ -2027,7 +2027,35 @@ object SparkEntry {
       operators.Dedup.editDistancePairs(
         t(s, dir, "documents").select(col("doc_id"),
           substring(col("text"), 1, 30).as("title")),
-        "doc_id", "title", maxEdits = 10, maxDocsPerBlock = 400))
+        "doc_id", "title", maxEdits = 10, maxDocsPerBlock = 400)),
+
+    // First-order Markov transition counts (Funnel.transitions): how
+    // often event type A immediately precedes B per user timeline. The
+    // operator runs the bucket-stitched shape (1 h buckets — window tasks
+    // bounded by events-per-user-per-bucket, cross-bucket links from
+    // per-bucket summary rows); the oracle is the NAIVE global lead()
+    // adjacency — totals provably identical, physical shapes different by
+    // design (the q90 twin discipline).
+    "q115_transitions" -> ((s, dir) => {
+      val ev = sources.Events.read(s, dir).select(
+        col("user_id"), unix_millis(col("event_time")).as("ts_ms"),
+        col("event_type"))
+      operators.Funnel.transitions(ev, "user_id", "ts_ms", "event_type",
+        bucketMs = 3600000L)
+    }),
+
+    // Event-volume anomaly z-scores (Stats.volumeZScores): daily counts
+    // per event type scored against the type's own history. Exact integer
+    // count/sum-of-squares accumulation, fixed-association mean/variance/z
+    // (sqrt is IEEE-correctly-rounded), so the z DOUBLES hash bit-for-bit
+    // — the q21 discipline; zero-variance keys yield NULL z in both
+    // engines.
+    "q116_volume_z" -> ((s, dir) => {
+      val ev = sources.Events.read(s, dir).select(
+        col("event_type"), unix_millis(col("event_time")).as("ts_ms"))
+      operators.Stats.volumeZScores(ev, "event_type", "ts_ms",
+        periodMs = 86400000L)
+    })
   )
 
   /** q80's fixed merge table (learned-table stand-in, the fixed-codebook
@@ -4289,7 +4317,35 @@ object SparkEntry {
         |  CAST(levenshtein(a.title, b.title) AS BIGINT) AS dist
         |FROM t a JOIN t b ON a.doc_id < b.doc_id
         |  AND abs(len(a.title) - len(b.title)) <= 10
-        |WHERE levenshtein(a.title, b.title) <= 10""".stripMargin
+        |WHERE levenshtein(a.title, b.title) <= 10""".stripMargin,
+
+    "q115_transitions" ->
+      """WITH o AS (
+        |  SELECT user_id, event_type,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_ms(ts), event_type) AS nx
+        |  FROM events)
+        |SELECT event_type AS from_type, nx AS to_type,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM o WHERE nx IS NOT NULL GROUP BY 1, 2""".stripMargin,
+
+    "q116_volume_z" ->
+      """WITH c AS (
+        |  SELECT event_type AS key, epoch_ms(ts) // 86400000 AS bucket,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |b AS (SELECT key, count(*) AS k, sum(n) AS s, sum(n * n) AS ss
+        |      FROM c GROUP BY 1)
+        |SELECT c.key, c.bucket, c.n,
+        |  CASE WHEN sqrt((CAST(ss AS DOUBLE)
+        |      - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(k AS DOUBLE))
+        |      / CAST(k AS DOUBLE)) > 0.0
+        |    THEN (CAST(c.n AS DOUBLE) - CAST(s AS DOUBLE) / CAST(k AS DOUBLE))
+        |      / sqrt((CAST(ss AS DOUBLE)
+        |        - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(k AS DOUBLE))
+        |        / CAST(k AS DOUBLE))
+        |  END AS z
+        |FROM c JOIN b USING (key)""".stripMargin
   )
 
   /** q84's oracle, generated: the greedy MMR selection unrolled into k

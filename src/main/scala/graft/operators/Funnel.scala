@@ -120,6 +120,67 @@ object Funnel {
           .orderBy(col("n_users").desc, col("path").asc)).cast("long"))
   }
 
+  /** Event-transition counts (the first-order Markov matrix): how often
+    * event type A is IMMEDIATELY followed by event type B in a user's
+    * timeline — the navigation-flow / next-action model behind "where do
+    * users go from here" and synthetic-session generation. Timeline order
+    * is (ts, type) with the type-ascending tie-break ([[topPaths]]'
+    * portable rule). Output: (from_type, to_type, n BIGINT) — one row per
+    * observed ordered pair, summed across users.
+    *
+    * Scale shape — the hot-key lever is `bucketMs`: a naive
+    * `lead() OVER (PARTITION BY user ORDER BY ts)` sorts a bot user's
+    * ENTIRE history in one task (the [[topPaths]]/FunnelProbe trap).
+    * Here the window partitions by (user, floorDiv(ts, bucketMs)) — one
+    * task's sort is bounded by events-per-user-per-bucket, not
+    * events-per-user — and the cross-bucket links are stitched from
+    * per-bucket SUMMARY rows (first/last event of each non-empty bucket;
+    * a year of 1 h buckets is <= 8.8k summary rows per user regardless of
+    * event volume), ordered by a second window over those summaries.
+    * Same totals as the naive formulation, bounded tasks.
+    */
+  def transitions(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String,
+      typeCol: String,
+      bucketMs: Long): DataFrame = {
+    require(bucketMs >= 1, s"bucketMs must be >= 1, got $bucketMs")
+    val ev = events
+      .filter(col(tsCol).isNotNull && col(typeCol).isNotNull)
+      .select(col(userCol).as("_u"), col(tsCol).cast("long").as("_ts"),
+        col(typeCol).as("_t"),
+        RangeJoin.floorDiv(col(tsCol).cast("long"), bucketMs).as("_b"))
+    val inBucket = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_u"), col("_b")).orderBy(col("_ts"), col("_t"))
+    // within-bucket adjacent pairs + each bucket's first/last event as one
+    // aggregate pass over the same windowed frame
+    val marked = ev
+      .withColumn("_next", lead(col("_t"), 1).over(inBucket))
+      .withColumn("_rn", row_number().over(inBucket))
+      .withColumn("_cnt", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("_u"), col("_b"))))
+    val within = marked.filter(col("_next").isNotNull)
+      .groupBy(col("_t").as("from_type"), col("_next").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    // bucket summaries: <= 2 slim rows per (user, non-empty bucket)
+    val summaries = marked
+      .filter(col("_rn") === 1 || col("_rn") === col("_cnt"))
+      .groupBy(col("_u"), col("_b"))
+      .agg(min_by(col("_t"), struct(col("_ts"), col("_t"))).as("_first"),
+        max_by(col("_t"), struct(col("_ts"), col("_t"))).as("_last"))
+    val acrossW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_u")).orderBy(col("_b"))
+    val across = summaries
+      .withColumn("_nextFirst", lead(col("_first"), 1).over(acrossW))
+      .filter(col("_nextFirst").isNotNull)
+      .groupBy(col("_last").as("from_type"), col("_nextFirst").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    within.unionAll(across)
+      .groupBy(col("from_type"), col("to_type"))
+      .agg(sum(col("n")).as("n"))
+  }
+
   /** Retention cohorts: bucket time into fixed periods (`periodMs` over a
     * numeric epoch-ms column), assign each user to the cohort of their
     * FIRST active period, and count how many of each cohort are active in

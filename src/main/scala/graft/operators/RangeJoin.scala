@@ -101,7 +101,7 @@ object RangeJoin {
     * flirt with 2^53) — either would break the never-drops-a-true-pair
     * guarantee.
     */
-  private def floorDiv(v: Column, d: Long): Column = {
+  private[operators] def floorDiv(v: Column, d: Long): Column = {
     require(d > 0, "bucket width must be positive")
     val m = (v % d + d) % d // floorMod, non-negative
     // (v - m) is an exact multiple of d; the double quotient of two

@@ -58,6 +58,63 @@ object Stats {
       .select(col(groupCol), col("pq.p").as("p"), col(valueCol).as("pct_value"))
   }
 
+  /** Per-key event-volume anomaly scores: bucket time into fixed periods,
+    * count events per (key, bucket), and z-score each bucket's count
+    * against ITS KEY's own history — the traffic-spike / pipeline-stall /
+    * bot-burst detector run over every event firehose ("clicks from
+    * source X are 8 sigma above normal today").
+    *
+    * Output: (key, bucket, n BIGINT, z DOUBLE) — one row per NON-EMPTY
+    * (key, bucket); the mean/std baseline is over the key's non-empty
+    * buckets only (document the zero-inflation trade: a key active one
+    * day a year scores its quiet days as absent, not as z<0 rows — emit
+    * the dense grid upstream if silence itself is the anomaly). z is NULL
+    * when the key's history has zero variance (a constant-rate key has no
+    * scale to score against).
+    *
+    * Determinism contract: counts and their sums of squares accumulate as
+    * exact integers (DECIMAL(38,0) for the squared sum — a long Σn² wraps
+    * silently at ~3e9-count buckets, the [[Curation.weightedLottery]]
+    * finding), mean/variance/z are ONE fixed-association IEEE expression
+    * each (population variance as (Σn² - Σn·Σn/k)/k), and sqrt is
+    * IEEE-correctly-rounded — so the z doubles replay bit-for-bit on any
+    * engine, q21's hash-the-double discipline.
+    *
+    * Scale shape: raw events collapse to (key, bucket) counts with
+    * map-side partial aggregation; the baseline is a second aggregation
+    * over those slim count rows joined back on the key — nothing wider
+    * than (key, long, long) ever shuffles, no window at all.
+    */
+  def volumeZScores(
+      df: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      periodMs: Long): DataFrame = {
+    require(periodMs >= 1, s"periodMs must be >= 1, got $periodMs")
+    val counts = df
+      .filter(col(tsCol).isNotNull && col(keyCol).isNotNull)
+      .select(col(keyCol).as("key"),
+        RangeJoin.floorDiv(col(tsCol).cast("long"), periodMs).as("bucket"))
+      .groupBy(col("key"), col("bucket"))
+      .agg(count(lit(1)).as("n"))
+    val base = counts.groupBy(col("key")).agg(
+      count(lit(1)).as("_k"),
+      sum(col("n")).as("_s"),
+      // cast each factor BEFORE multiplying: a long n*n wraps at n ~ 3e9
+      // and the cast-after would launder the wrapped value into decimal
+      sum(col("n").cast("decimal(19,0)") * col("n").cast("decimal(19,0)"))
+        .as("_ss"))
+    val mean = col("_s").cast("double") / col("_k").cast("double")
+    val variance = (col("_ss").cast("double") -
+      col("_s").cast("double") * col("_s").cast("double") /
+        col("_k").cast("double")) / col("_k").cast("double")
+    counts.join(base, Seq("key"))
+      .withColumn("_std", sqrt(variance))
+      .select(col("key"), col("bucket"), col("n"),
+        when(col("_std") > 0.0,
+          (col("n").cast("double") - mean) / col("_std")).as("z"))
+  }
+
   /** Equi-depth quantile bucketing: assign every row the index of its
     * metric's quantile bucket (`nBuckets` buckets cut at the interpolated
     * i/n percentiles) — the stratification key under balanced sampling,

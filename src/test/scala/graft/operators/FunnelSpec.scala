@@ -116,4 +116,41 @@ class FunnelSpec extends AnyFunSuite with SparkSpec {
     assert(plan.contains("partial_firstkaggregator"),
       s"per-user selection must partial-aggregate:\n$plan")
   }
+
+  test("transitions: bucket-stitched counts equal the naive global adjacency") {
+    // timelines spanning bucket boundaries, same-bucket runs, a
+    // single-event bucket, ties on ts broken by type — every stitch case
+    val evs = Seq(
+      (1L, 10L, "A"), (1L, 20L, "B"),   // bucket 0: A->B
+      (1L, 110L, "C"),                   // bucket 1 single event: B->C link
+      (1L, 250L, "A"), (1L, 251L, "A"),  // bucket 2 (bucket 1->2 link C->A)
+      (2L, 30L, "B"), (2L, 30L, "A"),    // tie: A orders before B -> A->B
+      (3L, 500L, "C")                    // lone event: no transitions
+    ).toDF("user_id", "ts", "event_type")
+    def naive = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"user_id").orderBy($"ts", $"event_type")
+      evs.withColumn("nx", lead($"event_type", 1).over(w))
+        .filter($"nx".isNotNull)
+        .groupBy($"event_type".as("from_type"), $"nx".as("to_type"))
+        .agg(count(lit(1)).as("n"))
+        .as[(String, String, Long)].collect().toSet
+    }
+    for (bucketMs <- Seq(100L, 7L, 1000000L)) {
+      val got = Funnel.transitions(evs, "user_id", "ts", "event_type", bucketMs)
+        .as[(String, String, Long)].collect().toSet
+      assert(got == naive, s"bucketMs=$bucketMs must not change totals")
+    }
+    assert(naive.contains(("A", "B", 2L)), "tie-break and bucket-0 run counted")
+    assert(naive.contains(("C", "A", 1L)), "cross-bucket link counted")
+  }
+
+  test("transitions: null ts/type rows drop; bucketed window never sees a full user history") {
+    val evs = Seq[(Long, java.lang.Long, String)](
+      (1L, 10L, "A"), (1L, null, "B"), (1L, 20L, null), (1L, 30L, "C")
+    ).toDF("user_id", "ts", "event_type")
+    val got = Funnel.transitions(evs, "user_id", "ts", "event_type", 1000L)
+      .as[(String, String, Long)].collect().toSet
+    assert(got == Set(("A", "C", 1L)), "dirty rows drop, clean adjacency remains")
+  }
 }

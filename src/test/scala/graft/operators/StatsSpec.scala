@@ -101,4 +101,27 @@ class StatsSpec extends AnyFunSuite with SparkSpec {
       .as[(Long, Long, Long)].collect().sortBy(_._1).map(_._3)
     assert(out.toSeq == Seq(0L, 0L, 1L, 2L, 3L))
   }
+
+  test("volumeZScores: per-key baseline, exact arithmetic, zero-variance NULL") {
+    // key a: buckets with counts 1, 3 (ts 0-99 -> bucket 0; 100-199 -> 1)
+    //   mean 2, var ((1+9) - 16/2)/2 = 1, std 1 -> z = -1 and +1
+    // key b: two buckets of count 2 each -> zero variance -> z NULL
+    val evs = Seq(
+      ("a", 10L), ("a", 110L), ("a", 120L), ("a", 130L),
+      ("b", 10L), ("b", 20L), ("b", 110L), ("b", 120L)
+    ).toDF("k", "ts")
+    val out = Stats.volumeZScores(evs, "k", "ts", periodMs = 100L)
+      .as[(String, Long, Long, Option[Double])].collect()
+      .sortBy(r => (r._1, r._2))
+    assert(out.map(r => (r._1, r._2, r._3)).toSeq ==
+      Seq(("a", 0L, 1L), ("a", 1L, 3L), ("b", 0L, 2L), ("b", 1L, 2L)))
+    assert(out(0)._4.contains(-1.0) && out(1)._4.contains(1.0))
+    assert(out(2)._4.isEmpty && out(3)._4.isEmpty,
+      "constant-rate key has no scale to score against")
+    // null key/ts rows drop rather than forming a null bucket
+    val dirty = Stats.volumeZScores(
+      Seq[(String, java.lang.Long)](("a", 10L), (null, 20L), ("a", null))
+        .toDF("k", "ts"), "k", "ts", periodMs = 100L)
+    assert(dirty.count() == 1L)
+  }
 }
