@@ -274,4 +274,38 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
     assert(!p.contains("CartesianProduct"),
       s"no unbroadcast cross product allowed:\n$p")
   }
+
+  test("q114: edit-distance candidates join on (block, bucket); text never " +
+    "enters the candidate exchange") {
+    val p = plan("q114_edit_distance")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"candidate generation must not degrade to a product:\n$p")
+    assert(p.contains("_bucket"), s"must join on the length bucket:\n$p")
+    // title strings re-join by id for the verify only; the candidate join's
+    // exchanges carry (block, id, len) triples
+    val candExchanges = p.split("\\n")
+      .filter(l => l.contains("Exchange hashpartitioning") && l.contains("_bucket"))
+    assert(!candExchanges.exists(_.contains("title")),
+      s"text must not ride the candidate exchange:\n${candExchanges.mkString("\n")}")
+  }
+
+  test("q115: transition windows partition by (user, bucket), never user alone") {
+    val p = plan("q115_transitions")
+    val winLines = p.split("\\n").filter(_.contains("windowspecdefinition"))
+    assert(winLines.nonEmpty, s"expected window specs in:\n$p")
+    // the raw-event window must include the bucket in its partition key;
+    // only the summary-row window (<= 2 rows per (user, bucket)) may
+    // partition by user alone
+    val rawEventWins = winLines.filter(_.contains("_ts"))
+    assert(rawEventWins.nonEmpty && rawEventWins.forall(_.contains("_b")),
+      s"raw-event windows must be bucket-bounded:\n${winLines.mkString("\n")}")
+  }
+
+  test("q116: anomaly scores need no window at all") {
+    val p = plan("q116_volume_z")
+    assert(!p.contains("Window"),
+      s"volumeZScores is two aggregations + a join — no window funnel:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"counts must partial-aggregate map-side:\n$p")
+  }
 }
