@@ -2055,6 +2055,27 @@ object SparkEntry {
         col("event_type"), unix_millis(col("event_time")).as("ts_ms"))
       operators.Stats.volumeZScores(ev, "event_type", "ts_ms",
         periodMs = 86400000L)
+    }),
+
+    // Interval-overlap join (RangeJoin.intervalOverlap): 30-min click
+    // windows x 10-min error windows of the same user — the attribution
+    // shape where BOTH sides are spans, not points (q85/q86 cover the
+    // point cases). Buckets at the 10-min granularity; each true pair is
+    // attributed to exactly one bucket (the overlap's start), so the
+    // bucketed plan needs no dedup pass; the oracle is the raw closed-
+    // interval predicate.
+    "q117_interval_overlap" -> ((s, dir) => {
+      val ev = sources.Events.read(s, dir).select(
+        col("user_id"), col("event_id"), col("event_type"),
+        unix_millis(col("event_time")).as("ts_ms"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id"), col("ts_ms").as("s"),
+          (col("ts_ms") + 1800000L).as("e"))
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("user_id"), col("event_id"), col("ts_ms").as("s"),
+          (col("ts_ms") + 600000L).as("e"))
+      operators.RangeJoin.intervalOverlap(clicks, errors, "user_id",
+        "event_id", "s", "e", "event_id", "s", "e", bucketMs = 600000L)
     })
   )
 
@@ -4345,7 +4366,21 @@ object SparkEntry {
         |        - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(k AS DOUBLE))
         |        / CAST(k AS DOUBLE))
         |  END AS z
-        |FROM c JOIN b USING (key)""".stripMargin
+        |FROM c JOIN b USING (key)""".stripMargin,
+
+    "q117_interval_overlap" ->
+      """WITH c AS (
+        |  SELECT user_id, event_id, epoch_ms(ts) AS s,
+        |    epoch_ms(ts) + 1800000 AS e
+        |  FROM events WHERE event_type = 'click'),
+        |er AS (
+        |  SELECT user_id, event_id, epoch_ms(ts) AS s,
+        |    epoch_ms(ts) + 600000 AS e
+        |  FROM events WHERE event_type = 'error')
+        |SELECT c.user_id, c.event_id AS left_id, er.event_id AS right_id,
+        |  CAST(least(c.e, er.e) - greatest(c.s, er.s) AS BIGINT) AS overlap_ms
+        |FROM c JOIN er ON c.user_id = er.user_id
+        |  AND c.s <= er.e AND er.s <= c.e""".stripMargin
   )
 
   /** q84's oracle, generated: the greedy MMR selection unrolled into k

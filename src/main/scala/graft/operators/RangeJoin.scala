@@ -94,6 +94,78 @@ object RangeJoin {
         (col("_rv") - col("_lv")).as("diff"))
   }
 
+  /** Interval-overlap join: every (left, right) pair sharing `keyCol`
+    * whose CLOSED intervals [start, end] overlap — `ls <= re AND
+    * rs <= le` — the attribution / concurrency primitive ("sessions
+    * overlapping an incident window", "ad exposures concurrent with a
+    * visit") that a naive overlap predicate plans as a per-key cross
+    * product. Output: (keyCol, left_id, right_id, overlap_ms LONG =
+    * min(ends) - max(starts), >= 0 for touching intervals).
+    *
+    * Plan shape: each interval explodes into the `bucketMs`-wide buckets
+    * it SPANS and the join is an equi-join on (key, bucket); a true pair
+    * shares every bucket their overlap covers, so the pair is attributed
+    * to exactly ONE of them — the bucket containing the overlap's start,
+    * `floor(max(ls, rs) / bucketMs)` — which makes the output exact
+    * WITHOUT a dropDuplicates exchange (the [[selfWithin]] no-dedup
+    * discipline generalized to spans). Candidate volume per bucket is
+    * |left intervals live in it| x |right intervals live in it| — output-
+    * shaped when `bucketMs` is near the typical interval length.
+    *
+    * Guards: rows with start > end or NULL bounds DROP (an inverted
+    * interval overlaps nothing by the closed-interval definition);
+    * `maxSpanBuckets` fail-fasts (early-exit probe, the
+    * [[Knn.marginTopK]] discipline) when any interval spans more buckets
+    * than the cap — an unbounded span explodes into unbounded rows, and
+    * the fix (a larger `bucketMs`, or splitting pathological intervals
+    * upstream) is a caller decision, not a silent drop.
+    */
+  def intervalOverlap(
+      left: DataFrame,
+      right: DataFrame,
+      keyCol: String,
+      leftIdCol: String,
+      leftStartCol: String,
+      leftEndCol: String,
+      rightIdCol: String,
+      rightStartCol: String,
+      rightEndCol: String,
+      bucketMs: Long,
+      maxSpanBuckets: Int = 1000): DataFrame = {
+    require(bucketMs >= 1, s"bucketMs must be >= 1, got $bucketMs")
+    require(maxSpanBuckets >= 1,
+      s"maxSpanBuckets must be >= 1, got $maxSpanBuckets")
+    def prep(df: DataFrame, id: String, s: String, e: String,
+        idOut: String, sOut: String, eOut: String): DataFrame =
+      df.select(col(keyCol), col(id).cast("long").as(idOut),
+          col(s).cast("long").as(sOut), col(e).cast("long").as(eOut))
+        .filter(col(sOut).isNotNull && col(eOut).isNotNull &&
+          col(sOut) <= col(eOut))
+    val l = prep(left, leftIdCol, leftStartCol, leftEndCol, "left_id", "_ls", "_le")
+    val r = prep(right, rightIdCol, rightStartCol, rightEndCol, "right_id", "_rs", "_re")
+    def spanGuard(df: DataFrame, s: String, e: String, side: String): Unit = {
+      val over = df.filter(
+        floorDiv(col(e), bucketMs) - floorDiv(col(s), bucketMs) >=
+          maxSpanBuckets.toLong).limit(1).count()
+      require(over == 0L,
+        s"intervalOverlap: a $side interval spans >= $maxSpanBuckets buckets " +
+          s"of $bucketMs ms — raise bucketMs or split pathological intervals " +
+          "upstream (an unbounded span explodes into unbounded candidate rows)")
+    }
+    spanGuard(l, "_ls", "_le", "left")
+    spanGuard(r, "_rs", "_re", "right")
+    def explodeBuckets(df: DataFrame, s: String, e: String): DataFrame =
+      df.withColumn("_bucket",
+        explode(sequence(floorDiv(col(s), bucketMs), floorDiv(col(e), bucketMs))))
+    explodeBuckets(l, "_ls", "_le")
+      .join(explodeBuckets(r, "_rs", "_re"), Seq(keyCol, "_bucket"))
+      .filter(col("_ls") <= col("_re") && col("_rs") <= col("_le") &&
+        floorDiv(greatest(col("_ls"), col("_rs")), bucketMs) === col("_bucket"))
+      .select(col(keyCol), col("left_id"), col("right_id"),
+        (least(col("_le"), col("_re")) -
+          greatest(col("_ls"), col("_rs"))).as("overlap_ms"))
+  }
+
   /** Java-semantics floor division as a Column, in EXACT integer
     * arithmetic: SQL's `div` truncates toward zero (wrong bucket for
     * negative values), and a double-division floor can land one bucket

@@ -85,4 +85,43 @@ class RangeJoinSpec extends AnyFunSuite with SparkSpec {
     }
     assert(e.getMessage.contains("delta"))
   }
+
+  test("intervalOverlap matches the brute-force overlap predicate exactly") {
+    val rnd2 = new scala.util.Random(11)
+    // intervals straddle 0 and bucket edges; spans 0..~600 over 250-wide
+    // buckets exercise 1-, 2- and 3-bucket spans
+    def mk(n: Int, tag: Int) = (0 until n).map { i =>
+      val s = rnd2.nextLong(2000) - 1000
+      (i % 4, (tag * 1000 + i).toLong, s, s + rnd2.nextLong(600))
+    }
+    val ls = mk(80, 1); val rs = mk(90, 2)
+    val lf = ls.toDF("k", "id", "s", "e")
+    val rt = rs.toDF("k", "id", "s", "e")
+    val got = RangeJoin.intervalOverlap(lf, rt, "k", "id", "s", "e",
+        "id", "s", "e", bucketMs = 250L)
+      .as[(Int, Long, Long, Long)].collect()
+    assert(got.length == got.toSet.size, "no duplicate pairs from shared buckets")
+    val want = (for {
+      a <- ls; b <- rs
+      if a._1 == b._1 && a._3 <= b._4 && b._3 <= a._4
+    } yield (a._1, a._2, b._2,
+      math.min(a._4, b._4) - math.max(a._3, b._3))).toSet
+    assert(got.toSet == want)
+  }
+
+  test("intervalOverlap: inverted/null intervals drop; giant spans fail fast") {
+    val lf = Seq((1, 10L, 100L, 50L), (1, 11L, 0L, 10L)).toDF("k", "id", "s", "e")
+    val rt = Seq((1, 20L, 5L, 8L)).toDF("k", "id", "s", "e")
+    val out = RangeJoin.intervalOverlap(lf, rt, "k", "id", "s", "e",
+      "id", "s", "e", bucketMs = 100L)
+      .as[(Int, Long, Long, Long)].collect()
+    assert(out.toSeq == Seq((1, 11L, 20L, 3L)), "inverted interval overlaps nothing")
+    val giant = Seq((1, 30L, 0L, 1000000L)).toDF("k", "id", "s", "e")
+    val e = intercept[IllegalArgumentException] {
+      RangeJoin.intervalOverlap(giant, rt, "k", "id", "s", "e",
+        "id", "s", "e", bucketMs = 10L, maxSpanBuckets = 100)
+    }
+    assert(e.getMessage.contains("maxSpanBuckets") ||
+      e.getMessage.contains("buckets"))
+  }
 }
