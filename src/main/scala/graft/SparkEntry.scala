@@ -2076,7 +2076,18 @@ object SparkEntry {
           (col("ts_ms") + 600000L).as("e"))
       operators.RangeJoin.intervalOverlap(clicks, errors, "user_id",
         "event_id", "s", "e", "event_id", "s", "e", bucketMs = 600000L)
-    })
+    }),
+
+    // Robust per-source length outliers (Stats.robustZScores): token
+    // counts scored against each source's median/MAD — the q116
+    // discipline with a 50% breakdown point. Integer metrics make every
+    // interpolated median and deviation an exact dyadic double, so the z
+    // doubles hash bit-for-bit; zero-MAD keys NULL in both engines.
+    "q118_robust_z" -> ((s, dir) =>
+      operators.Stats.robustZScores(
+        t(s, dir, "documents").select(col("doc_id"), col("source"),
+          size(split(col("text"), " ", -1)).cast("long").as("n_tokens")),
+        "doc_id", "source", "n_tokens"))
   )
 
   /** q80's fixed merge table (learned-table stand-in, the fixed-codebook
@@ -4380,7 +4391,23 @@ object SparkEntry {
         |SELECT c.user_id, c.event_id AS left_id, er.event_id AS right_id,
         |  CAST(least(c.e, er.e) - greatest(c.s, er.s) AS BIGINT) AS overlap_ms
         |FROM c JOIN er ON c.user_id = er.user_id
-        |  AND c.s <= er.e AND er.s <= c.e""".stripMargin
+        |  AND c.s <= er.e AND er.s <= c.e""".stripMargin,
+
+    "q118_robust_z" ->
+      """WITH m AS (
+        |  SELECT doc_id AS id, source AS key,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS metric
+        |  FROM documents),
+        |med AS (SELECT key, quantile_cont(metric, 0.5) AS med FROM m GROUP BY 1),
+        |j AS (SELECT m.id, m.key, m.metric, med.med FROM m JOIN med USING (key)),
+        |mad AS (SELECT key,
+        |          quantile_cont(abs(CAST(metric AS DOUBLE) - med), 0.5) AS mad
+        |        FROM j GROUP BY 1)
+        |SELECT j.id, j.key, j.metric,
+        |  CASE WHEN mad > 0.0
+        |    THEN (CAST(j.metric AS DOUBLE) - j.med) / (1.4826 * mad)
+        |  END AS z
+        |FROM j JOIN mad USING (key)""".stripMargin
   )
 
   /** q84's oracle, generated: the greedy MMR selection unrolled into k

@@ -115,6 +115,54 @@ object Stats {
           (col("n").cast("double") - mean) / col("_std")).as("z"))
   }
 
+  /** Per-key ROBUST outlier scores via the median absolute deviation —
+    * the outlier gate that survives its own outliers: [[volumeZScores]]'
+    * mean/std baseline is dragged by the very anomalies it hunts (one
+    * 10^6-token doc inflates sigma until nothing else scores), while
+    * median/MAD have a 50% breakdown point — the standard robust-statistics
+    * recommendation for data-quality cuts (Leys et al. 2013's
+    * "absolute deviation around the median").
+    *
+    * Output: (id, key, metric, z DOUBLE) — one row per input row;
+    * `z = (metric - median) / (1.4826 * MAD)` (the constant scales MAD to
+    * sigma under normality, so the usual |z| > 3 / > 3.5 cut applies);
+    * NULL when the key's MAD is 0 (over half the key's rows share one
+    * value — no robust scale to score against).
+    *
+    * Replay contract: medians use exact `percentile` (type-7 — the q89
+    * DuckDB `quantile_cont` parity); integer metrics make every
+    * interpolated median and every |metric - median| an exact dyadic
+    * double, and the z is one fixed-association expression — so the z
+    * DOUBLES hash bit-for-bit (q116's discipline, robust edition).
+    *
+    * Scale shape: two aggregate+join rounds over (key, metric)-slim rows
+    * — exact `percentile` buffers per-key values, so the same
+    * bounded-cardinality caveat as [[Stats.quantileBuckets]]'s exact path
+    * applies (lengths, counts, quantized scores; swap to approx upstream
+    * for unbounded continuous metrics). No window.
+    */
+  def robustZScores(
+      df: DataFrame,
+      idCol: String,
+      keyCol: String,
+      metricCol: String): DataFrame = {
+    val m = df
+      .filter(col(keyCol).isNotNull && col(metricCol).isNotNull)
+      .select(col(idCol).cast("long").as("id"), col(keyCol).as("key"),
+        col(metricCol).cast("long").as("metric"))
+    val meds = m.groupBy(col("key"))
+      .agg(expr("percentile(metric, 0.5)").as("_med"))
+    val joined = m.join(meds, Seq("key"))
+    val mads = joined.groupBy(col("key"))
+      .agg(expr("percentile(abs(cast(metric as double) - _med), 0.5)")
+        .as("_mad"))
+    joined.join(mads, Seq("key"))
+      .select(col("id"), col("key"), col("metric"),
+        when(col("_mad") > 0.0,
+          (col("metric").cast("double") - col("_med")) /
+            (lit(1.4826) * col("_mad"))).as("z"))
+  }
+
   /** Equi-depth quantile bucketing: assign every row the index of its
     * metric's quantile bucket (`nBuckets` buckets cut at the interpolated
     * i/n percentiles) — the stratification key under balanced sampling,

@@ -124,4 +124,23 @@ class StatsSpec extends AnyFunSuite with SparkSpec {
         .toDF("k", "ts"), "k", "ts", periodMs = 100L)
     assert(dirty.count() == 1L)
   }
+
+  test("robustZScores: median/MAD baseline ignores the outlier, zero-MAD NULL") {
+    // key a: 1,2,3,4,1000 -> median 3... no: median of 5 values = 3rd = 3?
+    // type-7 over {1,2,3,4,1000}: position 0.5*(5-1)=2 -> exact value 3.
+    // deviations {2,1,0,1,997} -> median 1 -> MAD 1.
+    // z(1000) = (1000-3)/1.4826 = 672.5; a mean/std z would be ~1.79 —
+    // the robustness point, asserted as a bound
+    val df = Seq((1L, "a", 1L), (2L, "a", 2L), (3L, "a", 3L),
+      (4L, "a", 4L), (5L, "a", 1000L),
+      (6L, "b", 7L), (7L, "b", 7L), (8L, "b", 7L)).toDF("id", "k", "v")
+    val out = Stats.robustZScores(df, "id", "k", "v")
+      .as[(Long, String, Long, Option[Double])].collect().sortBy(_._1)
+    val zOutlier = out.find(_._1 == 5L).get._4.get
+    assert(math.abs(zOutlier - (1000.0 - 3.0) / (1.4826 * 1.0)) < 1e-9)
+    assert(zOutlier > 100.0, "robust scale must not be dragged by the outlier")
+    assert(out.find(_._1 == 3L).get._4.get == 0.0, "the median scores 0")
+    assert(out.filter(_._2 == "b").forall(_._4.isEmpty),
+      "constant key has MAD 0 -> NULL z")
+  }
 }
