@@ -274,6 +274,49 @@ object Demo {
       s"length bands = ${bands.map { case (b, n) => s"$b:$n" }.mkString(" ")}; " +
       s"winnow ingest kept $wKept of 100 (passage dups dropped)")
 
+    // 23. Event analytics, round two: Markov transitions, volume
+    // anomalies, and the interval-overlap attribution join
+    val evAll = graft.sources.Events.read(spark, sfDir)
+      .select($"user_id", $"event_id", $"event_type",
+        unix_millis($"event_time").as("ts_ms"))
+    val topTrans = graft.operators.Funnel.transitions(
+        evAll, "user_id", "ts_ms", "event_type", bucketMs = 3600000L)
+      .orderBy($"n".desc).limit(3)
+      .as[(String, String, Long)].collect()
+    val maxZ = graft.operators.Stats.volumeZScores(
+        evAll.select($"event_type", $"ts_ms"), "event_type", "ts_ms",
+        periodMs = 86400000L)
+      .agg(max(abs($"z"))).as[Double].head()
+    val overlaps = graft.operators.RangeJoin.intervalOverlap(
+      evAll.filter($"event_type" === "click")
+        .select($"user_id", $"event_id", $"ts_ms".as("s"),
+          ($"ts_ms" + 1800000L).as("e")),
+      evAll.filter($"event_type" === "error")
+        .select($"user_id", $"event_id", $"ts_ms".as("s"),
+          ($"ts_ms" + 600000L).as("e")),
+      "user_id", "event_id", "s", "e", "event_id", "s", "e",
+      bucketMs = 600000L).count()
+    println(s"[demo] events: top transitions = " +
+      topTrans.map { case (a, b, n) => s"$a>$b:$n" }.mkString(", ") +
+      f"; max daily-volume |z| = $maxZ%.2f; " +
+      s"$overlaps click-session x error-window overlaps")
+
+    // 24. Text round two: keywords, short-string typo dedup, robust
+    // length outliers
+    val kw = graft.text.TextAnalysis.tfIdfTopTerms(docsAll, "doc_id", "text", k = 3)
+      .filter($"id" === 0L).orderBy($"rnk").select($"term").as[String].collect()
+    val typos = graft.operators.Dedup.editDistancePairs(
+      docsAll.select($"doc_id", substring($"text", 1, 30).as("title")),
+      "doc_id", "title", maxEdits = 10, maxDocsPerBlock = Int.MaxValue).count()
+    val worst = graft.operators.Stats.robustZScores(
+        docsAll.select($"doc_id", $"source",
+          size(split($"text", " ", -1)).cast("long").as("n")),
+        "doc_id", "source", "n")
+      .agg(max(abs($"z"))).as[Double].head()
+    println(s"[demo] text: doc 0 keywords = ${kw.mkString("/")}; " +
+      s"$typos title pairs within 10 edits; " +
+      f"worst per-source length outlier |z| = $worst%.1f")
+
     spark.stop()
   }
 }
