@@ -2087,6 +2087,19 @@ object SparkEntry {
       operators.Stats.robustZScores(
         t(s, dir, "documents").select(col("doc_id"), col("source"),
           size(split(col("text"), " ", -1)).cast("long").as("n_tokens")),
+        "doc_id", "source", "n_tokens")),
+
+    // Per-source percent ranks (Stats.percentRanks): quantile
+    // normalization of token counts. The operator runs the histogram
+    // shape (window over distinct values per key, rows re-join their
+    // rank); the oracle is the ANSI percent_rank window — identical
+    // doubles by construction ((rank-1)/(n-1), one division of exact
+    // ints), different physical shapes by design (the q90/q115 twin
+    // discipline).
+    "q119_percent_rank" -> ((s, dir) =>
+      operators.Stats.percentRanks(
+        t(s, dir, "documents").select(col("doc_id"), col("source"),
+          size(split(col("text"), " ", -1)).cast("long").as("n_tokens")),
         "doc_id", "source", "n_tokens"))
   )
 
@@ -4407,7 +4420,14 @@ object SparkEntry {
         |  CASE WHEN mad > 0.0
         |    THEN (CAST(j.metric AS DOUBLE) - j.med) / (1.4826 * mad)
         |  END AS z
-        |FROM j JOIN mad USING (key)""".stripMargin
+        |FROM j JOIN mad USING (key)""".stripMargin,
+
+    "q119_percent_rank" ->
+      """SELECT doc_id AS id, source AS key,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS metric,
+        |  percent_rank() OVER (PARTITION BY source
+        |    ORDER BY len(string_split(text, ' '))) AS pr
+        |FROM documents""".stripMargin
   )
 
   /** q84's oracle, generated: the greedy MMR selection unrolled into k

@@ -115,6 +115,53 @@ object Stats {
           (col("n").cast("double") - mean) / col("_std")).as("z"))
   }
 
+  /** Per-key percent ranks (quantile normalization): each row's metric
+    * mapped to its empirical CDF position within its key —
+    * `(rank - 1) / (n - 1)` with `rank` = ANSI `rank()` (ties share the
+    * minimum) — the rank-based normalization behind mixing-weight
+    * schedules and cross-source score calibration (a quality score of
+    * "0.7" means nothing across sources; "better than 92% of its source"
+    * does).
+    *
+    * Output: (id, key, metric, pr DOUBLE in [0, 1]); a single-row key
+    * scores 0.0 (the ANSI `percent_rank` convention). The double is ONE
+    * division of two exact integers, so it replays bit-for-bit.
+    *
+    * Scale shape, the [[exactPercentiles]] histogram discipline: a
+    * `percent_rank() OVER (PARTITION BY key)` window funnels each key's
+    * ENTIRE row set through one sort task (the [[graft.text.TextAnalysis
+    * .topTokensPerKey]] trap, rank edition). Here the input collapses
+    * map-side to one row per DISTINCT (key, metric); the only window runs
+    * over that histogram — bounded by the key's value DOMAIN, not its row
+    * count (a billion-doc source with 10k distinct lengths sorts 10k
+    * rows) — and rows re-join their rank by (key, metric). Same
+    * bounded-cardinality caveat as the exact-percentile family.
+    */
+  def percentRanks(
+      df: DataFrame,
+      idCol: String,
+      keyCol: String,
+      metricCol: String): DataFrame = {
+    val m = df
+      .filter(col(keyCol).isNotNull && col(metricCol).isNotNull)
+      .select(col(idCol).cast("long").as("id"), col(keyCol).as("key"),
+        col(metricCol).cast("long").as("metric"))
+    val hist = m.groupBy(col("key"), col("metric"))
+      .agg(count(lit(1)).as("_cnt"))
+    val w = Window.partitionBy(col("key")).orderBy(col("metric"))
+    val ranked = hist
+      .withColumn("_cum", sum(col("_cnt")).over(w))
+      .select(col("key"), col("metric"),
+        (col("_cum") - col("_cnt")).as("_below"))
+    val totals = hist.groupBy(col("key")).agg(sum(col("_cnt")).as("_n"))
+    m.join(ranked, Seq("key", "metric"))
+      .join(totals, Seq("key"))
+      .select(col("id"), col("key"), col("metric"),
+        when(col("_n") > 1L,
+          col("_below").cast("double") / (col("_n") - 1L).cast("double"))
+          .otherwise(lit(0.0)).as("pr"))
+  }
+
   /** Per-key ROBUST outlier scores via the median absolute deviation —
     * the outlier gate that survives its own outliers: [[volumeZScores]]'
     * mean/std baseline is dragged by the very anomalies it hunts (one

@@ -125,6 +125,26 @@ class StatsSpec extends AnyFunSuite with SparkSpec {
     assert(dirty.count() == 1L)
   }
 
+  test("percentRanks: histogram ranks equal the ANSI percent_rank window exactly") {
+    val rnd = new scala.util.Random(13)
+    val rows = (0 until 400).map(i =>
+      (i.toLong, s"k${i % 3}", rnd.nextInt(20).toLong))
+    val df = rows.toDF("id", "k", "v")
+    val got = Stats.percentRanks(df, "id", "k", "v")
+      .as[(Long, String, Long, Double)].collect().sortBy(_._1)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"k").orderBy($"v")
+    val want = df.withColumn("pr", percent_rank().over(w))
+      .as[(Long, String, Long, Double)].collect().sortBy(_._1)
+    assert(got.toSeq == want.toSeq, "must replicate ANSI percent_rank bit-for-bit")
+    // single-row key scores 0; null key/metric rows drop
+    val solo = Stats.percentRanks(
+      Seq[(Long, String, java.lang.Long)]((1L, "a", 5L), (2L, null, 5L),
+        (3L, "a", null)).toDF("id", "k", "v"), "id", "k", "v")
+      .as[(Long, String, Long, Double)].collect()
+    assert(solo.toSeq == Seq((1L, "a", 5L, 0.0)))
+  }
+
   test("robustZScores: median/MAD baseline ignores the outlier, zero-MAD NULL") {
     // key a: 1,2,3,4,1000 -> median 3... no: median of 5 values = 3rd = 3?
     // type-7 over {1,2,3,4,1000}: position 0.5*(5-1)=2 -> exact value 3.
