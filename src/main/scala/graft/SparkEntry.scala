@@ -2100,7 +2100,20 @@ object SparkEntry {
       operators.Stats.percentRanks(
         t(s, dir, "documents").select(col("doc_id"), col("source"),
           size(split(col("text"), " ", -1)).cast("long").as("n_tokens")),
-        "doc_id", "source", "n_tokens"))
+        "doc_id", "source", "n_tokens")),
+
+    // Two-table edit-distance dedup (Dedup.editDistanceAgainst): new
+    // batch titles (doc_id >= 400) vs the ingested corpus (doc_id < 400)
+    // — the incremental `*Against` shape of q114. Uncapped opt-in here
+    // (q114 locks the cap shape); the twin is the raw blocked predicate.
+    "q120_edit_against" -> ((s, dir) => {
+      val titles = t(s, dir, "documents").select(col("doc_id"),
+        substring(col("text"), 1, 30).as("title"))
+      operators.Dedup.editDistanceAgainst(
+        titles.filter(col("doc_id") >= 400),
+        titles.filter(col("doc_id") < 400),
+        "doc_id", "title", maxEdits = 10, maxDocsPerBlock = Int.MaxValue)
+    })
   )
 
   /** q80's fixed merge table (learned-table stand-in, the fixed-codebook
@@ -4427,7 +4440,16 @@ object SparkEntry {
         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS metric,
         |  percent_rank() OVER (PARTITION BY source
         |    ORDER BY len(string_split(text, ' '))) AS pr
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+
+    "q120_edit_against" ->
+      """WITH t AS (SELECT doc_id, substring(text, 1, 30) AS title FROM documents),
+        |b AS (SELECT * FROM t WHERE doc_id >= 400),
+        |c AS (SELECT * FROM t WHERE doc_id < 400)
+        |SELECT b.doc_id AS batch_id, c.doc_id AS corpus_id,
+        |  CAST(levenshtein(b.title, c.title) AS BIGINT) AS dist
+        |FROM b JOIN c ON abs(len(b.title) - len(c.title)) <= 10
+        |WHERE levenshtein(b.title, c.title) <= 10""".stripMargin
   )
 
   /** q84's oracle, generated: the greedy MMR selection unrolled into k

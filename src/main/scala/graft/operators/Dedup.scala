@@ -1234,6 +1234,56 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("dist"))
   }
 
+  /** Two-table form of [[editDistancePairs]] — which BATCH titles sit
+    * within `maxEdits` of an already-ingested CORPUS title (the
+    * incremental-dedup shape every `*Against` twin in the family serves).
+    * Output: (batch_id, corpus_id, dist BIGINT), all qualifying pairs.
+    *
+    * Same candidate discipline: lossless |len| <= maxEdits prefilter via
+    * [[RangeJoin.within]]'s bucket-and-verify, `blockCol` as the shared
+    * recall/scale lever, and `maxDocsPerBlock` capping the CORPUS side
+    * per block only (lowest ids kept — the batch never loses a match
+    * chance, the [[WinnowIndex]] posting-cap rule).
+    */
+  def editDistanceAgainst(
+      batch: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxEdits: Int,
+      blockCol: Option[String] = None,
+      maxDocsPerBlock: Int = 1000): DataFrame = {
+    require(maxEdits >= 1, s"maxEdits must be >= 1, got $maxEdits")
+    require(maxDocsPerBlock >= 1,
+      s"maxDocsPerBlock must be >= 1, got $maxDocsPerBlock")
+    def slim(df: DataFrame): DataFrame = {
+      val block = blockCol.map(col).getOrElse(lit(0)).as("_block")
+      df.select(col(idCol).cast("long").as("id"),
+        length(col(textCol)).cast("long").as("_len"), block)
+    }
+    val b = slim(batch)
+    val c0 = slim(corpus)
+    val c =
+      if (maxDocsPerBlock == Int.MaxValue) c0
+      else {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("_block")).orderBy(col("id"))
+        c0.withColumn("_rn", row_number().over(w))
+          .filter(col("_rn") <= maxDocsPerBlock).drop("_rn")
+      }
+    val cand = RangeJoin.within(b, c, "_block", "id", "_len", "id", "_len",
+        delta = maxEdits.toLong)
+      .select(col("left_id").as("batch_id"), col("right_id").as("corpus_id"))
+    val bTexts = batch.select(col(idCol).cast("long").as("batch_id"),
+      col(textCol).as("_tb"))
+    val cTexts = corpus.select(col(idCol).cast("long").as("corpus_id"),
+      col(textCol).as("_tc"))
+    cand.join(bTexts, Seq("batch_id")).join(cTexts, Seq("corpus_id"))
+      .withColumn("dist", levenshtein(col("_tb"), col("_tc")).cast("long"))
+      .filter(col("dist") <= maxEdits)
+      .select(col("batch_id"), col("corpus_id"), col("dist"))
+  }
+
   /** Embedding-cosine near-dup pairs, exact all-pairs baseline (O(N^2);
     * the oracle-checkable form). Output: (id_a, id_b) with cosine >= threshold.
     */

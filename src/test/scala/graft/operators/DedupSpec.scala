@@ -552,6 +552,22 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(capped.toSeq == Seq((1L, 2L, 1L)))
   }
 
+  test("editDistanceAgainst: batch-vs-corpus pairs; cap hits the corpus side only") {
+    val corpus = Seq((1L, "the quick brown fox"), (2L, "wholly other words"),
+      (3L, "the quick brown fog")).toDF("id", "title")
+    val batch = Seq((10L, "the quick brown fax"), (11L, "zz")).toDF("id", "title")
+    val out = Dedup.editDistanceAgainst(batch, corpus, "id", "title",
+        maxEdits = 2, maxDocsPerBlock = Int.MaxValue)
+      .as[(Long, Long, Long)].collect().sortBy(p => (p._1, p._2))
+    assert(out.toSeq == Seq((10L, 1L, 1L), (10L, 3L, 2L)))
+    // cap=2 keeps corpus ids 1,2 (lowest) — doc 3 drops, the batch side
+    // is never capped
+    val capped = Dedup.editDistanceAgainst(batch, corpus, "id", "title",
+        maxEdits = 2, maxDocsPerBlock = 2)
+      .as[(Long, Long, Long)].collect()
+    assert(capped.toSeq == Seq((10L, 1L, 1L)))
+  }
+
   test("winnowingPairs: a shared run of >= w+k-1 tokens is always caught") {
     // d1 and d2 share a 7-token run (w=4, k=3 -> guarantee at w+k-1=6);
     // d3 is unrelated
