@@ -2102,15 +2102,18 @@ object SparkEntry {
           size(split(col("text"), " ", -1)).cast("long").as("n_tokens")),
         "doc_id", "source", "n_tokens")),
 
-    // Two-table edit-distance dedup (Dedup.editDistanceAgainst): new
-    // batch titles (doc_id >= 400) vs the ingested corpus (doc_id < 400)
-    // — the incremental `*Against` shape of q114. Uncapped opt-in here
-    // (q114 locks the cap shape); the twin is the raw blocked predicate.
+    // Two-table edit-distance dedup (Dedup.editDistanceAgainst): a
+    // 100-doc batch (doc_id in [400, 500) — fixed-size at EVERY sf, the
+    // q33 fixed-twin discipline; an unbounded batch made the sf0.1 bench
+    // leg 17 s of pure levenshtein) vs the ingested corpus (doc_id <
+    // 400) — the incremental `*Against` shape of q114. Uncapped opt-in
+    // here (q114 locks the cap shape); the twin is the raw blocked
+    // predicate.
     "q120_edit_against" -> ((s, dir) => {
       val titles = t(s, dir, "documents").select(col("doc_id"),
         substring(col("text"), 1, 30).as("title"))
       operators.Dedup.editDistanceAgainst(
-        titles.filter(col("doc_id") >= 400),
+        titles.filter(col("doc_id") >= 400 && col("doc_id") < 500),
         titles.filter(col("doc_id") < 400),
         "doc_id", "title", maxEdits = 10, maxDocsPerBlock = Int.MaxValue)
     })
@@ -4444,7 +4447,7 @@ object SparkEntry {
 
     "q120_edit_against" ->
       """WITH t AS (SELECT doc_id, substring(text, 1, 30) AS title FROM documents),
-        |b AS (SELECT * FROM t WHERE doc_id >= 400),
+        |b AS (SELECT * FROM t WHERE doc_id >= 400 AND doc_id < 500),
         |c AS (SELECT * FROM t WHERE doc_id < 400)
         |SELECT b.doc_id AS batch_id, c.doc_id AS corpus_id,
         |  CAST(levenshtein(b.title, c.title) AS BIGINT) AS dist

@@ -81,9 +81,12 @@ object Stats {
     * engine, q21's hash-the-double discipline.
     *
     * Scale shape: raw events collapse to (key, bucket) counts with
-    * map-side partial aggregation; the baseline is a second aggregation
-    * over those slim count rows joined back on the key — nothing wider
-    * than (key, long, long) ever shuffles, no window at all.
+    * map-side partial aggregation — the input's ONLY scan — and the
+    * per-key baseline is an unordered window over those histogram rows
+    * (bounded by buckets-per-key, the time range over the period — never
+    * by event volume), so no second aggregation branch re-reads the
+    * input and no join is needed. Nothing wider than (key, long, long)
+    * ever shuffles.
     */
   def volumeZScores(
       df: DataFrame,
@@ -97,18 +100,19 @@ object Stats {
         RangeJoin.floorDiv(col(tsCol).cast("long"), periodMs).as("bucket"))
       .groupBy(col("key"), col("bucket"))
       .agg(count(lit(1)).as("n"))
-    val base = counts.groupBy(col("key")).agg(
-      count(lit(1)).as("_k"),
-      sum(col("n")).as("_s"),
-      // cast each factor BEFORE multiplying: a long n*n wraps at n ~ 3e9
-      // and the cast-after would launder the wrapped value into decimal
-      sum(col("n").cast("decimal(19,0)") * col("n").cast("decimal(19,0)"))
-        .as("_ss"))
+    val wk = Window.partitionBy(col("key"))
     val mean = col("_s").cast("double") / col("_k").cast("double")
     val variance = (col("_ss").cast("double") -
       col("_s").cast("double") * col("_s").cast("double") /
         col("_k").cast("double")) / col("_k").cast("double")
-    counts.join(base, Seq("key"))
+    counts
+      .withColumn("_k", count(lit(1)).over(wk))
+      .withColumn("_s", sum(col("n")).over(wk))
+      // cast each factor BEFORE multiplying: a long n*n wraps at n ~ 3e9
+      // and the cast-after would launder the wrapped value into decimal
+      .withColumn("_ss",
+        sum(col("n").cast("decimal(19,0)") * col("n").cast("decimal(19,0)"))
+          .over(wk))
       .withColumn("_std", sqrt(variance))
       .select(col("key"), col("bucket"), col("n"),
         when(col("_std") > 0.0,
@@ -149,13 +153,15 @@ object Stats {
     val hist = m.groupBy(col("key"), col("metric"))
       .agg(count(lit(1)).as("_cnt"))
     val w = Window.partitionBy(col("key")).orderBy(col("metric"))
+    // the per-key total rides the same histogram partitioning as the
+    // cumulative sum (unordered frame) — no second aggregation branch,
+    // no totals join
     val ranked = hist
       .withColumn("_cum", sum(col("_cnt")).over(w))
+      .withColumn("_n", sum(col("_cnt")).over(Window.partitionBy(col("key"))))
       .select(col("key"), col("metric"),
-        (col("_cum") - col("_cnt")).as("_below"))
-    val totals = hist.groupBy(col("key")).agg(sum(col("_cnt")).as("_n"))
+        (col("_cum") - col("_cnt")).as("_below"), col("_n"))
     m.join(ranked, Seq("key", "metric"))
-      .join(totals, Seq("key"))
       .select(col("id"), col("key"), col("metric"),
         when(col("_n") > 1L,
           col("_below").cast("double") / (col("_n") - 1L).cast("double"))
