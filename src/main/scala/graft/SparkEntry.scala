@@ -2116,6 +2116,30 @@ object SparkEntry {
         titles.filter(col("doc_id") >= 400 && col("doc_id") < 500),
         titles.filter(col("doc_id") < 400),
         "doc_id", "title", maxEdits = 10, maxDocsPerBlock = Int.MaxValue)
+    }),
+
+    // Score-ordered context assembly (Knn.retrieveContext — the
+    // reference's threshold + greedy length cap + k,
+    // integrations/mlx_lm_pipeline.py:725-765): the P5 similarity-
+    // threshold filter and T3 running-length cap in ONE oracle row, the
+    // q111 candidate construction in plain score order (q111 locks the
+    // MMR-ordered sibling). Distinct cosines make the order and the
+    // greedy prefix engine-stable; ids/lengths only in the hash.
+    "q121_retrieve_context" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val qv = emb.filter(col("vec_id") === 0).select(col("embedding"))
+        .head().getSeq[Float](0).map(_.toDouble)
+      val cand = emb
+        .withColumn("similarity_score",
+          vector.similarity(col("embedding"), typedLit(qv), vector.MetricCosine))
+        .orderBy(col("similarity_score").desc, col("vec_id").asc)
+        .limit(50)
+        .withColumn("chunk_length",
+          lit(40L) + pmod(col("vec_id").cast("long") * 7, lit(60L)))
+      Knn.retrieveContext(cand, minSimilarity = 0.2,
+          maxContextLength = 320L, k = 10)
+        .select(col("vec_id").cast("long").as("vec_id"),
+          col("chunk_length").cast("long").as("n_tokens"))
     })
   )
 
@@ -4452,7 +4476,26 @@ object SparkEntry {
         |SELECT b.doc_id AS batch_id, c.doc_id AS corpus_id,
         |  CAST(levenshtein(b.title, c.title) AS BIGINT) AS dist
         |FROM b JOIN c ON abs(len(b.title) - len(c.title)) <= 10
-        |WHERE levenshtein(b.title, c.title) <= 10""".stripMargin
+        |WHERE levenshtein(b.title, c.title) <= 10""".stripMargin,
+
+    "q121_retrieve_context" ->
+      """WITH cand AS (
+        |  SELECT e.vec_id AS id,
+        |    list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |      CAST(q.qv AS DOUBLE[])) AS rel
+        |  FROM embeddings e,
+        |       (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) q
+        |  ORDER BY rel DESC, e.vec_id ASC LIMIT 50),
+        |run AS (
+        |  SELECT id, CAST(40 + (id * 7) % 60 AS BIGINT) AS n_tokens, rel,
+        |    sum(40 + (id * 7) % 60) OVER (ORDER BY rel DESC
+        |      ROWS UNBOUNDED PRECEDING) AS running
+        |  FROM cand WHERE rel >= 0.2)
+        |SELECT vec_id, n_tokens FROM (
+        |  SELECT id AS vec_id, n_tokens,
+        |    row_number() OVER (ORDER BY rel DESC) AS rn
+        |  FROM run WHERE running <= 320)
+        |WHERE rn <= 10""".stripMargin
   )
 
   /** q84's oracle, generated: the greedy MMR selection unrolled into k
