@@ -2140,6 +2140,18 @@ object SparkEntry {
           maxContextLength = 320L, k = 10)
         .select(col("vec_id").cast("long").as("vec_id"),
           col("chunk_length").cast("long").as("n_tokens"))
+    }),
+
+    // Leakage-safe split (Curation.leakageSafeSplit): the q29 near-dup
+    // components hashed into train/validation/test ON THE CLUSTER id, so
+    // a test doc's near-twin can never sit in train. The twin replays
+    // q29's reachability grouping + the q42 idHash CASE on group_id.
+    "q122_leakage_split" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = operators.Dedup.nearDupPairsMinHash(
+        docs, "doc_id", "text", shingleLen = 3, numHashes = 128, bands = 32,
+        threshold = 0.5)
+      operators.Curation.leakageSafeSplit(docs, pairs, "doc_id")
     })
   )
 
@@ -4495,7 +4507,34 @@ object SparkEntry {
         |  SELECT id AS vec_id, n_tokens,
         |    row_number() OVER (ORDER BY rel DESC) AS rn
         |  FROM run WHERE running <= 320)
-        |WHERE rn <= 10""".stripMargin
+        |WHERE rn <= 10""".stripMargin,
+
+    "q122_leakage_split" ->
+      """WITH RECURSIVE s AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, len(string_split(text,' '))-1),
+        |         i -> array_to_string(list_slice(string_split(text,' '), i, i+2), ' '))) AS sh
+        |  FROM documents),
+        |e AS (
+        |  SELECT a.doc_id AS src, b.doc_id AS dst
+        |  FROM s a JOIN s b ON a.doc_id <> b.doc_id
+        |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |        (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5),
+        |reach AS (
+        |  SELECT src, dst FROM e
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src WHERE e.dst <> r.src),
+        |g AS (
+        |  SELECT d.doc_id AS id,
+        |    LEAST(d.doc_id, coalesce(min(r.dst), d.doc_id)) AS group_id
+        |  FROM documents d LEFT JOIN reach r ON r.src = d.doc_id
+        |  GROUP BY d.doc_id)
+        |SELECT id, group_id,
+        |  CASE WHEN (group_id * 2654435761) % 4294967296 % 1000000 < 800000
+        |         THEN 'train'
+        |       WHEN (group_id * 2654435761) % 4294967296 % 1000000 < 900000
+        |         THEN 'validation'
+        |       ELSE 'test' END AS split
+        |FROM g""".stripMargin
   )
 
   /** q84's oracle, generated: the greedy MMR selection unrolled into k

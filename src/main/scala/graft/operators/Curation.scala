@@ -629,6 +629,45 @@ object Curation {
       .select(col("id"), col("metric"))
   }
 
+  /** Leakage-safe train/validation/test split: assign every row a split
+    * by a deterministic hash draw on its NEAR-DUP CLUSTER id, so all
+    * members of a duplicate cluster land in the SAME split — the guard
+    * against the classic eval-inflation bug where a test doc's near-twin
+    * sits in train (contamination the n-gram decontaminate pass can't
+    * see once the twin IS the benchmark). `pairs` is any near-dup edge
+    * set ((id_a, id_b) — MinHash, SimHash, winnowing, embedding LSH...);
+    * rows in no pair are their own singleton cluster.
+    *
+    * Output: (id, group_id, split STRING in {train, validation, test}).
+    * Determinism contract: cluster id = min id of the component
+    * ([[graft.operators.Dedup.dedupGroups]]), the draw is the portable
+    * [[idHash]] on the CLUSTER id quantized to ppm — `trainPpm` /
+    * `valPpm` thresholds, remainder test — so the split reproduces
+    * across runs, engines, partitionings, and (deliberately) does NOT
+    * move when non-clustered rows are added.
+    *
+    * Scale shape: [[Dedup.dedupGroups]]' component machinery (driver
+    * union-find under 2^20 edges, distributed pointer-jumping above) plus
+    * one hash-arithmetic projection — no additional shuffle beyond the
+    * grouping itself.
+    */
+  def leakageSafeSplit(
+      df: DataFrame,
+      pairs: DataFrame,
+      idCol: String,
+      trainPpm: Long = 800000L,
+      valPpm: Long = 100000L): DataFrame = {
+    require(trainPpm >= 0 && valPpm >= 0 && trainPpm + valPpm <= 1000000L,
+      s"ppm split must satisfy 0 <= trainPpm + valPpm <= 1e6, " +
+        s"got $trainPpm + $valPpm")
+    val draw = pmod(idHash(col("group_id")), lit(1000000L))
+    Dedup.dedupGroups(df, pairs, idCol)
+      .select(col("id"), col("group_id"),
+        when(draw < trainPpm, lit("train"))
+          .when(draw < trainPpm + valPpm, lit("validation"))
+          .otherwise(lit("test")).as("split"))
+  }
+
   /** Importance-weighted lottery: sample ~`targetRows` rows with
     * per-ROW continuous weights — keep probability proportional to
     * `weightCol` — decided by the same deterministic [[idHash]] draw as

@@ -92,6 +92,27 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
 
+  test("leakageSafeSplit: clusters stay whole; singletons draw on their own id") {
+    val df = (1L to 100L).map(i => Tuple1(i)).toDF("id")
+    // two clusters: {1,2,3} (chained) and {10, 11}
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val out = Curation.leakageSafeSplit(df, pairs, "id")
+      .as[(Long, Long, String)].collect()
+    val byId = out.map(r => r._1 -> r).toMap
+    assert(Seq(1L, 2L, 3L).map(byId(_)._3).distinct.size == 1,
+      "cluster {1,2,3} must share one split")
+    assert(byId(10L)._3 == byId(11L)._3, "cluster {10,11} must share one split")
+    assert(Seq(1L, 2L, 3L).map(byId(_)._2).forall(_ == 1L), "group = min id")
+    // ~80/10/10 at defaults over 100 rows (96 singleton clusters + 2)
+    val counts = out.groupBy(_._3).view.mapValues(_.length).toMap
+    assert(counts("train") > counts.getOrElse("validation", 0))
+    assert(out.map(_._1).toSet == (1L to 100L).toSet, "every row assigned")
+    intercept[IllegalArgumentException] {
+      Curation.leakageSafeSplit(df, pairs, "id", trainPpm = 900000L,
+        valPpm = 200000L)
+    }
+  }
+
   test("decontaminateSemantic: an over-cap benchmark fails fast, not OOM") {
     val corpus = Seq((1L, Array(1.0f, 0.0f))).toDF("id", "vec")
     val bench = Seq.tabulate(5)(i => Tuple1(Array(i.toFloat, 1.0f))).toDF("vec")
