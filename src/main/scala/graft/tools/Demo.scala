@@ -317,6 +317,19 @@ object Demo {
       s"$typos title pairs within 10 edits; " +
       f"worst per-source length outlier |z| = $worst%.1f")
 
+    // 25. Leakage-safe split: near-dup clusters stay whole across
+    // train/validation/test
+    val splitPairs = graft.operators.Dedup.nearDupPairsMinHash(
+      docsAll, "doc_id", "text", shingleLen = 3, numHashes = 128, bands = 32,
+      threshold = 0.5)
+    val splits = graft.operators.Curation.leakageSafeSplit(
+        docsAll, splitPairs, "doc_id")
+      .groupBy($"split").count().orderBy($"split")
+      .as[(String, Long)].collect()
+    println(s"[demo] split: " +
+      splits.map { case (sp, n) => s"$sp=$n" }.mkString(" ") +
+      " (near-dup clusters never straddle)")
+
     spark.stop()
   }
 }

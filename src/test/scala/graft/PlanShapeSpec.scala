@@ -301,11 +301,33 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
       s"raw-event windows must be bucket-bounded:\n${winLines.mkString("\n")}")
   }
 
-  test("q116: anomaly scores need no window at all") {
+  test("q117: interval overlap is one equi-join on (key, bucket) — no product, " +
+    "no dedup pass") {
+    val p = plan("q117_interval_overlap")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"span matching must not degrade to a product:\n$p")
+    assert(p.contains("_bucket"), s"must join on the span bucket:\n$p")
+    // single-bucket pair attribution replaces the dropDuplicates an
+    // explode-both-sides plan would otherwise need — distinct-style
+    // aggregates over the pair stream would betray that regression
+    assert(!p.contains("Deduplicate") && !p.contains("distinct"),
+      s"no dedup pass — pairs attribute to exactly one bucket:\n$p")
+  }
+
+  test("q116: anomaly baseline rides the histogram — one scan, windows over " +
+    "bucket counts only") {
     val p = plan("q116_volume_z")
-    assert(!p.contains("Window"),
-      s"volumeZScores is two aggregations + a join — no window funnel:\n$p")
+    // the input is scanned ONCE: the per-key baseline is a window over the
+    // (key, bucket) count rows, not a second aggregation branch re-reading
+    // the source (each "Scan parquet" line is one scan operator)
+    val scans = p.split("\\n").count(_.contains("Scan parquet"))
+    assert(scans == 1, s"expected exactly one input scan, saw $scans:\n$p")
     assert(p.contains("partial_count") || p.contains("partial_sum"),
       s"counts must partial-aggregate map-side:\n$p")
+    // every window partitions by key over histogram rows (bounded by
+    // buckets-per-key) — none may sort raw events
+    val winLines = p.split("\\n").filter(_.contains("windowspecdefinition"))
+    assert(winLines.nonEmpty && winLines.forall(_.contains("key")),
+      s"windows must partition by key over the histogram:\n${winLines.mkString("\n")}")
   }
 }
