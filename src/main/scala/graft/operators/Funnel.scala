@@ -134,10 +134,12 @@ object Funnel {
     * Here the window partitions by (user, floorDiv(ts, bucketMs)) — one
     * task's sort is bounded by events-per-user-per-bucket, not
     * events-per-user — and the cross-bucket links are stitched from
-    * per-bucket SUMMARY rows (first/last event of each non-empty bucket;
-    * a year of 1 h buckets is <= 8.8k summary rows per user regardless of
-    * event volume), ordered by a second window over those summaries.
-    * Same totals as the naive formulation, bounded tasks.
+    * per-bucket SUMMARY rows (first/last event of each non-empty bucket,
+    * a plain min_by/max_by partial aggregation — no sort at all; a year
+    * of 1 h buckets is <= 8.8k summary rows per user regardless of event
+    * volume), ordered by a window over those summaries only. Same totals
+    * as the naive formulation, bounded tasks, and only the within-bucket
+    * branch ever sorts raw events.
     */
   def transitions(
       events: DataFrame,
@@ -153,19 +155,14 @@ object Funnel {
         RangeJoin.floorDiv(col(tsCol).cast("long"), bucketMs).as("_b"))
     val inBucket = org.apache.spark.sql.expressions.Window
       .partitionBy(col("_u"), col("_b")).orderBy(col("_ts"), col("_t"))
-    // within-bucket adjacent pairs + each bucket's first/last event as one
-    // aggregate pass over the same windowed frame
-    val marked = ev
+    val within = ev
       .withColumn("_next", lead(col("_t"), 1).over(inBucket))
-      .withColumn("_rn", row_number().over(inBucket))
-      .withColumn("_cnt", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("_u"), col("_b"))))
-    val within = marked.filter(col("_next").isNotNull)
+      .filter(col("_next").isNotNull)
       .groupBy(col("_t").as("from_type"), col("_next").as("to_type"))
       .agg(count(lit(1)).as("n"))
-    // bucket summaries: <= 2 slim rows per (user, non-empty bucket)
-    val summaries = marked
-      .filter(col("_rn") === 1 || col("_rn") === col("_cnt"))
+    // bucket summaries: one slim row per (user, non-empty bucket) from a
+    // partial-aggregated min_by/max_by — this branch never sorts events
+    val summaries = ev
       .groupBy(col("_u"), col("_b"))
       .agg(min_by(col("_t"), struct(col("_ts"), col("_t"))).as("_first"),
         max_by(col("_t"), struct(col("_ts"), col("_t"))).as("_last"))
