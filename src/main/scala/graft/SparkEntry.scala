@@ -2142,6 +2142,39 @@ object SparkEntry {
           col("chunk_length").cast("long").as("n_tokens"))
     }),
 
+    // Edit-distance-family online ingest (the q66/q106 accepted-walk
+    // construction for the SEVENTH index family), driven END TO END
+    // through the STREAMING wrapper: 30-char pseudo-titles, corpus < 400
+    // indexed, the rest streamed through ingestEditStream — later
+    // micro-batches must dedup against earlier survivors via the
+    // persisted index. The oracle replays levenshtein matching (simpler
+    // than any fingerprint replay — the twin IS the predicate) and the
+    // ascending-id accepted walk with precomputed partner lists (the q83
+    // DuckDB-recursion lesson).
+    "q123_edit_ingest" -> ((s, dir) => {
+      val titles = t(s, dir, "documents").select(col("doc_id"),
+        substring(col("text"), 1, 30).as("title"))
+      val idx = operators.EditIndex.build(
+        titles.filter(col("doc_id") < 400), "doc_id", "title",
+        tempIndexDir("graft_q123_idx"), maxEdits = 10)
+      val src = streaming.Streams.documentStream(s, dir,
+          glob = Some("documents.parquet"))
+        .filter(col("doc_id") >= 400)
+        .select(col("doc_id"), substring(col("text"), 1, 30).as("title"))
+      val keptIds = new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Long]()
+      val q = streaming.Streams.ingestEditStream(src, idx, "doc_id", "title",
+        onBatch = (kept, _) => kept.select(col("doc_id")).collect()
+          .foreach(r => keptIds.add(r.getLong(0))))
+      try q.processAllAvailable() finally q.stop()
+      import scala.jdk.CollectionConverters._
+      import s.implicits._
+      val keptDf = keptIds.asScala.map(_.longValue).toSeq.toDF("doc_id")
+        .withColumn("kept", lit(true))
+      t(s, dir, "documents").filter(col("doc_id") >= 400).select(col("doc_id"))
+        .join(keptDf, Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("kept"), lit(false)).as("kept"))
+    }),
+
     // Leakage-safe split (Curation.leakageSafeSplit): the q29 near-dup
     // components hashed into train/validation/test ON THE CLUSTER id, so
     // a test doc's near-twin can never sit in train. The twin replays
@@ -4508,6 +4541,38 @@ object SparkEntry {
         |    row_number() OVER (ORDER BY rel DESC) AS rn
         |  FROM run WHERE running <= 320)
         |WHERE rn <= 10""".stripMargin,
+
+    "q123_edit_ingest" ->
+      """WITH RECURSIVE
+        |t AS MATERIALIZED (
+        |  SELECT doc_id, substring(text, 1, 30) AS title FROM documents),
+        |matched AS MATERIALIZED (
+        |  SELECT DISTINCT b.doc_id FROM t b, t c
+        |  WHERE b.doc_id >= 400 AND c.doc_id < 400
+        |    AND abs(len(b.title) - len(c.title)) <= 10
+        |    AND levenshtein(b.title, c.title) <= 10),
+        |partners AS MATERIALIZED (
+        |  SELECT b.doc_id AS id_b, list(a.doc_id) AS ids FROM t a, t b
+        |  WHERE a.doc_id >= 400 AND b.doc_id >= 400 AND a.doc_id < b.doc_id
+        |    AND abs(len(a.title) - len(b.title)) <= 10
+        |    AND levenshtein(a.title, b.title) <= 10
+        |  GROUP BY b.doc_id),
+        |ordered AS MATERIALIZED (
+        |  SELECT d.doc_id, CAST(row_number() OVER (ORDER BY d.doc_id) AS BIGINT) AS rn,
+        |    d.doc_id IN (SELECT doc_id FROM matched) AS is_matched,
+        |    COALESCE(p.ids, []) AS partners
+        |  FROM documents d LEFT JOIN partners p ON p.id_b = d.doc_id
+        |  WHERE d.doc_id >= 400),
+        |walk AS (
+        |  SELECT CAST(0 AS BIGINT) AS rn, CAST([] AS BIGINT[]) AS kept
+        |  UNION ALL
+        |  SELECT o.rn,
+        |    CASE WHEN o.is_matched OR list_has_any(w.kept, o.partners)
+        |         THEN w.kept ELSE list_append(w.kept, o.doc_id) END
+        |  FROM walk w JOIN ordered o ON o.rn = w.rn + 1),
+        |final AS (SELECT kept FROM walk ORDER BY rn DESC LIMIT 1)
+        |SELECT o.doc_id, list_contains(f.kept, o.doc_id) AS kept
+        |FROM ordered o CROSS JOIN final f""".stripMargin,
 
     "q122_leakage_split" ->
       """WITH RECURSIVE s AS (

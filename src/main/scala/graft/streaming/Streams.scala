@@ -374,6 +374,37 @@ object Streams {
     * instead of the lower id — chop the stream in id order when the
     * global walk identity matters.
     */
+  /** The short-string (edit-distance) twin of [[ingestWinnowStream]]:
+    * each micro-batch walks [[graft.operators.EditIndex.ingestBatch]]'s
+    * accepted sweep against the persisted title corpus, survivors are
+    * appended so later micro-batches dedup against them, and kept rows go
+    * to `onBatch` BEFORE the append (the shared sink-before-append
+    * at-least-once contract).
+    */
+  def ingestEditStream(
+      docs: DataFrame,
+      index: graft.operators.EditIndex,
+      idCol: String = "doc_id",
+      textCol: String = "title",
+      checkpoint: Option[String] = None,
+      onBatch: (DataFrame, Long) => Unit = (_, _) => (),
+      trigger: Trigger = Trigger.AvailableNow(),
+      autoCompact: Boolean = false): StreamingQuery = {
+    val cp = checkpoint.getOrElse(
+      java.nio.file.Files.createTempDirectory("graft_ingest_edit_cp").toString)
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", cp)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        index.ingestBatch(batch, idCol, textCol,
+          onKept = kept => onBatch(kept, batchId))
+        if (autoCompact && index.needsCompaction()) index.compact()
+        ()
+      }
+      .start()
+  }
+
   def ingestWinnowStream(
       docs: DataFrame,
       index: graft.operators.WinnowIndex,

@@ -283,6 +283,51 @@ class StreamsSpec extends AnyFunSuite with SparkSpec {
     assert(staticKept == Set(1001L, 1003L))
   }
 
+  test("ingestEditStream: chopping-independent kept set, static parity") {
+    // corpus title 1 = t1; batch 1000 is a 1-edit typo of t1 (drops:
+    // index), 1001 fresh (kept), 1002 a 1-edit typo of 1001 (drops:
+    // within-batch sweep in the one-drop run, INDEX in the two-drop run),
+    // 1003 fresh (kept)
+    val t1 = "the quick brown fox jumps"
+    val batchRows = Seq(
+      (1000L, "the quick brown fox jumpz"),
+      (1001L, "an entirely fresh headline"),
+      (1002L, "an entirely fresh headlin"),
+      (1003L, "something else altogether"))
+    def rows(ids: Long*) =
+      batchRows.filter(r => ids.contains(r._1)).toDF("doc_id", "title")
+    val splits = Seq(
+      "one" -> Seq(rows(1000L, 1001L, 1002L, 1003L)),
+      "two" -> Seq(rows(1000L, 1001L), rows(1002L, 1003L)))
+    val results = splits.map { case (name, drops) =>
+      val idx = graft.operators.EditIndex.build(
+        Seq((1L, t1)).toDF("doc_id", "title"), "doc_id", "title",
+        tempDir(s"graft_ingedit_idx_$name"), maxEdits = 2)
+      val dropDir = tempDir(s"graft_ingedit_$name")
+      val keptIds = scala.collection.mutable.Set.empty[Long]
+      val src = spark.readStream
+        .schema(StructType(Seq(
+          StructField("doc_id", org.apache.spark.sql.types.LongType),
+          StructField("title", org.apache.spark.sql.types.StringType))))
+        .parquet(dropDir)
+      val q = Streams.ingestEditStream(src, idx, "doc_id", "title",
+        onBatch = (kept, _) =>
+          keptIds ++= kept.select($"doc_id").as[Long].collect(),
+        trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(
+          "50 milliseconds"))
+      try {
+        drops.foreach { d =>
+          d.write.mode("append").parquet(dropDir)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+      name -> ((keptIds.toSet, idx.maintenance().nDocs))
+    }.toMap
+    assert(results("one") == results("two"))
+    assert(results("one")._1 == Set(1001L, 1003L))
+    assert(results("one")._2 == 3L, "corpus title + the 2 kept titles")
+  }
+
   test("ingestParagraphDedupStream cleans drops against the growing segment index") {
     val corpus = Seq((1L, "alpha beta")).toDF("doc_id", "text")
     val idx = graft.operators.SegmentIndex.build(corpus, "doc_id", "text",
