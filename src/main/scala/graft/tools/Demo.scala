@@ -330,6 +330,18 @@ object Demo {
       splits.map { case (sp, n) => s"$sp=$n" }.mkString(" ") +
       " (near-dup clusters never straddle)")
 
+    // 26. Title index: the edit-distance family's persisted form — new
+    // headlines dedup against the standing corpus at ingest
+    val titlesAll = docsAll.select($"doc_id", substring($"text", 1, 30).as("title"))
+    val eIdx = graft.operators.EditIndex.build(
+      titlesAll.filter($"doc_id" < 400), "doc_id", "title",
+      java.nio.file.Files.createTempDirectory("graft_demo_eidx").toString,
+      maxEdits = 10)
+    val eKept = eIdx.ingestBatch(
+      titlesAll.filter($"doc_id" >= 400), "doc_id", "title").count()
+    println(s"[demo] title index: edit-distance ingest kept $eKept of 100 " +
+      "(near-title typos dropped against the standing corpus)")
+
     spark.stop()
   }
 }
