@@ -2157,9 +2157,12 @@ object SparkEntry {
       val idx = operators.EditIndex.build(
         titles.filter(col("doc_id") < 400), "doc_id", "title",
         tempIndexDir("graft_q123_idx"), maxEdits = 10)
+      // the streamed batch is PINNED to [400, 500) — fixed-size at every
+      // sf (the q120 discipline; unpinned, the sf0.1 bench leg was 21 s
+      // of levenshtein over a 4600-doc batch)
       val src = streaming.Streams.documentStream(s, dir,
           glob = Some("documents.parquet"))
-        .filter(col("doc_id") >= 400)
+        .filter(col("doc_id") >= 400 && col("doc_id") < 500)
         .select(col("doc_id"), substring(col("text"), 1, 30).as("title"))
       val keptIds = new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Long]()
       val q = streaming.Streams.ingestEditStream(src, idx, "doc_id", "title",
@@ -2170,7 +2173,9 @@ object SparkEntry {
       import s.implicits._
       val keptDf = keptIds.asScala.map(_.longValue).toSeq.toDF("doc_id")
         .withColumn("kept", lit(true))
-      t(s, dir, "documents").filter(col("doc_id") >= 400).select(col("doc_id"))
+      t(s, dir, "documents")
+        .filter(col("doc_id") >= 400 && col("doc_id") < 500)
+        .select(col("doc_id"))
         .join(keptDf, Seq("doc_id"), "left")
         .select(col("doc_id"), coalesce(col("kept"), lit(false)).as("kept"))
     }),
@@ -4548,12 +4553,13 @@ object SparkEntry {
         |  SELECT doc_id, substring(text, 1, 30) AS title FROM documents),
         |matched AS MATERIALIZED (
         |  SELECT DISTINCT b.doc_id FROM t b, t c
-        |  WHERE b.doc_id >= 400 AND c.doc_id < 400
+        |  WHERE b.doc_id >= 400 AND b.doc_id < 500 AND c.doc_id < 400
         |    AND abs(len(b.title) - len(c.title)) <= 10
         |    AND levenshtein(b.title, c.title) <= 10),
         |partners AS MATERIALIZED (
         |  SELECT b.doc_id AS id_b, list(a.doc_id) AS ids FROM t a, t b
-        |  WHERE a.doc_id >= 400 AND b.doc_id >= 400 AND a.doc_id < b.doc_id
+        |  WHERE a.doc_id >= 400 AND a.doc_id < 500
+        |    AND b.doc_id >= 400 AND b.doc_id < 500 AND a.doc_id < b.doc_id
         |    AND abs(len(a.title) - len(b.title)) <= 10
         |    AND levenshtein(a.title, b.title) <= 10
         |  GROUP BY b.doc_id),
@@ -4562,7 +4568,7 @@ object SparkEntry {
         |    d.doc_id IN (SELECT doc_id FROM matched) AS is_matched,
         |    COALESCE(p.ids, []) AS partners
         |  FROM documents d LEFT JOIN partners p ON p.id_b = d.doc_id
-        |  WHERE d.doc_id >= 400),
+        |  WHERE d.doc_id >= 400 AND d.doc_id < 500),
         |walk AS (
         |  SELECT CAST(0 AS BIGINT) AS rn, CAST([] AS BIGINT[]) AS kept
         |  UNION ALL
