@@ -1190,7 +1190,9 @@ object Dedup {
     * point at small block sizes and the cliff at large ones — so
     * `blockCol` is the recall/scale lever (block on a normalized prefix,
     * a sorted-token key, a source domain...; None = one global block,
-    * exact but only safe on bounded inputs) and `maxDocsPerBlock` is the
+    * exact but only safe on bounded inputs; a NULL block value never
+    * equi-joins, so null-blocked docs pair with NOTHING — assign a
+    * sentinel upstream if they must participate) and `maxDocsPerBlock` is the
     * [[containmentPairs]]-convention hot-block cap (lowest ids kept,
     * deterministic, replayable; Int.MaxValue = explicit unbounded
     * opt-in). Verify is exact `levenshtein` on the joined texts — same
