@@ -509,6 +509,39 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(fps(1L).size <= 3)
   }
 
+  test("winnowFps kernel equals the declarative MOSS formula on varied docs") {
+    // independent twin (the TokenNgrams kernel-vs-declarative discipline):
+    // the selection re-expressed as the md5/window-min/distinct column
+    // formula the kernel replaced — bound via a single-element transform
+    // so the lambda references a variable, not a recomputed expression
+    import org.apache.spark.sql.Column
+    def declarative(text: Column, shingleLen: Int, window: Int): Column = {
+      val hashes =
+        transform(Curation.tokenNgrams(text, shingleLen), g => md5(g.cast("binary")))
+      array_distinct(flatten(transform(array(hashes), hs => {
+        val n = size(hs)
+        when(hs.isNull || n <= 0, array().cast("array<string>"))
+          .when(n < window, array(array_min(hs)))
+          .otherwise(transform(sequence(lit(1), n - window + 1),
+            i => array_min(slice(hs, i, lit(window)))))
+      })))
+    }
+    val rnd = new scala.util.Random(17)
+    val docs = (0 until 200).map { i =>
+      val n = rnd.nextInt(12) // 0..11 tokens: empty, sub-window, and long
+      (i.toLong, (0 until n).map(_ => s"w${rnd.nextInt(6)}").mkString(" "))
+    }.toDF("id", "text")
+    for ((k, w) <- Seq((3, 4), (2, 3), (1, 1), (4, 7))) {
+      val mismatches = docs
+        .select(Dedup.winnowFps($"text", k, w).as("fast"),
+          declarative($"text", k, w).as("slow"))
+        .filter(not(array_sort($"fast") <=> array_sort($"slow")))
+        .count()
+      assert(mismatches == 0L,
+        s"kernel diverges from the declarative formula at k=$k w=$w")
+    }
+  }
+
   test("winnowingFingerprints: NULL text contributes nothing (no [null] fp row)") {
     // size(null _h) = -1 under legacy sizeOfNull; without the null guard
     // the n < window branch emits array(array_min(null)) = [null] — an
