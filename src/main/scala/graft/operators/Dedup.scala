@@ -1193,10 +1193,19 @@ object Dedup {
     * exact but only safe on bounded inputs; a NULL block value never
     * equi-joins, so null-blocked docs pair with NOTHING — assign a
     * sentinel upstream if they must participate) and `maxDocsPerBlock` is the
-    * [[containmentPairs]]-convention hot-block cap (lowest ids kept,
+    * [[containmentPairs]]-convention hot cap (lowest ids kept,
     * deterministic, replayable; Int.MaxValue = explicit unbounded
-    * opt-in). Verify is exact `levenshtein` on the joined texts — same
-    * semantics as DuckDB's, so the whole operator replays.
+    * opt-in) applied per (block, length-bucket) — the candidate join's
+    * OWN granularity (`floor(len / maxEdits)`), so a global block never
+    * truncates the corpus to its overall-lowest ids (a doc only competes
+    * with docs its length could even candidate-match) and the cap window
+    * partitions by (block, bucket) instead of funnelling the whole input
+    * through one task. A doc past its bucket's cap is out of the join
+    * entirely (it pairs with nothing, the posting-cap convention — the
+    * cap thins pairs, never invents them). Verify is exact `levenshtein`
+    * on the joined texts — same semantics as DuckDB's, so the whole
+    * operator replays (the cap replays as a `row_number() OVER
+    * (PARTITION BY block, len DIV maxEdits ORDER BY id)` filter).
     *
     * Scale shape: the candidate join moves only (block, id, len)
     * triples; texts re-join by id for the verify only. At 100 TB: pick a
@@ -1220,9 +1229,11 @@ object Dedup {
       if (maxDocsPerBlock == Int.MaxValue) slim0
       else {
         val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("_block")).orderBy(col("id"))
-        slim0.withColumn("_rn", row_number().over(w))
-          .filter(col("_rn") <= maxDocsPerBlock).drop("_rn")
+          .partitionBy(col("_block"), col("_lb")).orderBy(col("id"))
+        slim0
+          .withColumn("_lb", RangeJoin.floorDiv(col("_len"), maxEdits.toLong))
+          .withColumn("_rn", row_number().over(w))
+          .filter(col("_rn") <= maxDocsPerBlock).drop("_rn", "_lb")
       }
     val cand = RangeJoin.selfWithin(slim, "_block", "id", "_len",
       delta = maxEdits.toLong)
@@ -1244,8 +1255,11 @@ object Dedup {
     * Same candidate discipline: lossless |len| <= maxEdits prefilter via
     * [[RangeJoin.within]]'s bucket-and-verify, `blockCol` as the shared
     * recall/scale lever, and `maxDocsPerBlock` capping the CORPUS side
-    * per block only (lowest ids kept — the batch never loses a match
-    * chance, the [[WinnowIndex]] posting-cap rule).
+    * only (lowest ids kept — the batch never loses a match chance, the
+    * [[WinnowIndex]] posting-cap rule), per (block, length-bucket) like
+    * [[editDistancePairs]] — so a global block keeps the lowest ids OF
+    * EACH LENGTH BUCKET, not the corpus's 1000 oldest titles overall,
+    * and the cap window never owns the whole corpus in one task.
     */
   def editDistanceAgainst(
       batch: DataFrame,
@@ -1269,9 +1283,11 @@ object Dedup {
       if (maxDocsPerBlock == Int.MaxValue) c0
       else {
         val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("_block")).orderBy(col("id"))
-        c0.withColumn("_rn", row_number().over(w))
-          .filter(col("_rn") <= maxDocsPerBlock).drop("_rn")
+          .partitionBy(col("_block"), col("_lb")).orderBy(col("id"))
+        c0
+          .withColumn("_lb", RangeJoin.floorDiv(col("_len"), maxEdits.toLong))
+          .withColumn("_rn", row_number().over(w))
+          .filter(col("_rn") <= maxDocsPerBlock).drop("_rn", "_lb")
       }
     val cand = RangeJoin.within(b, c, "_block", "id", "_len", "id", "_len",
         delta = maxEdits.toLong)

@@ -578,11 +578,19 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
       maxDocsPerBlock = Int.MaxValue)
       .as[(Long, Long, Long)].collect()
     assert(blocked.toSeq == Seq((1L, 2L, 1L)))
-    // cap: 2 lowest ids per block -> only docs 1,2 survive the single block
+    // cap applies per (block, length-bucket) — the join's own granularity
+    // (r12 weak #1): lengths 19/19/21/20/2 under maxEdits=3 land in
+    // buckets 6/6/7/6/0, so cap=2 keeps {1,2} of bucket 6, {3}, {5} —
+    // doc 4 (the hot bucket's 3rd id) drops, every pair survives
     val capped = Dedup.editDistancePairs(df, "id", "title", maxEdits = 3,
       maxDocsPerBlock = 2)
-      .as[(Long, Long, Long)].collect()
-    assert(capped.toSeq == Seq((1L, 2L, 1L)))
+      .as[(Long, Long, Long)].collect().sortBy(p => (p._1, p._2))
+    assert(capped.toSeq == Seq((1L, 2L, 1L), (1L, 3L, 2L), (2L, 3L, 3L)))
+    // doc 3 sits BEYOND the hot bucket's 2-lowest-id horizon and still
+    // pairs from its own bucket — the pre-r13 global cap (2 lowest ids of
+    // the whole corpus) could only have produced (1,2)
+    assert(capped.exists(_._2 == 3L),
+      "a doc past the hot bucket's cap must still match from its own bucket")
   }
 
   test("editDistanceAgainst: batch-vs-corpus pairs; cap hits the corpus side only") {
@@ -593,8 +601,9 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
         maxEdits = 2, maxDocsPerBlock = Int.MaxValue)
       .as[(Long, Long, Long)].collect().sortBy(p => (p._1, p._2))
     assert(out.toSeq == Seq((10L, 1L, 1L), (10L, 3L, 2L)))
-    // cap=2 keeps corpus ids 1,2 (lowest) — doc 3 drops, the batch side
-    // is never capped
+    // all three corpus titles share length bucket 9 (lens 19/18/19 under
+    // maxEdits=2), so cap=2 keeps the bucket's lowest ids 1,2 — doc 3
+    // drops; the batch side is never capped
     val capped = Dedup.editDistanceAgainst(batch, corpus, "id", "title",
         maxEdits = 2, maxDocsPerBlock = 2)
       .as[(Long, Long, Long)].collect()

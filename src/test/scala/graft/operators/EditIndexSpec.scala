@@ -51,6 +51,62 @@ class EditIndexSpec extends AnyFunSuite with SparkSpec {
       "dropped titles never appended")
   }
 
+  test("blockCol lever: matches found far beyond the cap's id horizon (r12 weak #1)") {
+    // 1200 same-length corpus titles in 40 blocks => 30 titles per
+    // (block, length-bucket), far under the default 1000 cap. The planted
+    // one-edit twin of corpus id 1150 MUST match — under the old global
+    // block + global cap, the index silently compared batches against
+    // only the corpus's 1000 lowest ids, so id 1150 was unreachable.
+    // Digits are TRIPLED so any two corpus titles are >= 3 edits apart:
+    // the twin's single edit cannot reach anyone but its source.
+    val tripled = regexp_replace(format_string("%06d", col("id")), "(.)", "$1$1$1")
+    val corpus = spark.range(1200).select(
+      col("id"), concat(lit("title "), tripled).as("title"),
+      (col("id") % 40).cast("string").as("blk"))
+    val idx = EditIndex.build(corpus, "id", "title", tmp("graft_eidx_blk"),
+      maxEdits = 1, blockCol = Some("blk"))
+    assert(EditIndex.load(spark, idx.path).blockCol.contains("blk"),
+      "blocking column is persisted index state")
+    val t1150 = "title 000000111111555000" // tripled "001150"
+    val t1151 = "title 000000111111555111" // tripled "001151"
+    val batch = Seq(
+      (9000L, t1150.dropRight(1) + "X", "30"), // 1 edit from 1150 (1150 % 40 = 30)
+      (9001L, t1151.dropRight(1) + "X", "0")   // 1 edit from 1151, WRONG block
+    ).toDF("id", "title", "blk")
+    val hits = idx.dedupBatch(batch, "id", "title")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(hits == Set((9000L, 1150L, 1L)),
+      "in-block match beyond id 1000 found; cross-block titles never pair")
+    // ingest honours the same blocking: 9000 drops, 9001 survives and is
+    // stored WITH its block for later batches
+    val kept = idx.ingestBatch(batch, "id", "title")
+      .select($"id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(9001L))
+    assert(idx.storedTitles().filter($"id" === 9001L)
+      .select($"block").as[String].head() == "0")
+  }
+
+  test("unblocked cap is per length bucket: long feeds keep matching past the cap") {
+    // 1500 corpus titles in THREE length classes (500 each, under the
+    // 1000 cap per bucket) — a twin of corpus id 1499 (the highest id,
+    // length class 2) still matches with NO blockCol configured: each
+    // length class keeps its own 1000 lowest ids, so the corpus no longer
+    // stops matching at its 1000 oldest titles overall.
+    val corpus = spark.range(1500).select(col("id"),
+      concat(lit("needle "), format_string("%04d", col("id")),
+        // three length classes: pad 0 / 8 / 16 chars (maxEdits=1 buckets)
+        lit("x" * 16).substr(lit(1), (pmod(col("id"), lit(3)) * 8).cast("int")))
+        .as("title"))
+    val idx = EditIndex.build(corpus, "id", "title", tmp("graft_eidx_lb"),
+      maxEdits = 1)
+    // the single edit sits in the WORD, so digit neighbours stay >= 2 away
+    val batch = Seq((9000L, "neXdle 1499" + "x" * 16)).toDF("id", "title")
+    val hits = idx.dedupBatch(batch, "id", "title")
+      .select($"corpus_id").as[Long].collect().toSet
+    assert(hits == Set(1499L),
+      "per-bucket cap: id 1499 (500th of its length class) is matchable")
+  }
+
   test("load restores the radius; compaction preserves the match set") {
     val path = tmp("graft_eidx_cmp")
     val idx = EditIndex.build(
