@@ -163,4 +163,30 @@ class StatsSpec extends AnyFunSuite with SparkSpec {
     assert(out.filter(_._2 == "b").forall(_._4.isEmpty),
       "constant key has MAD 0 -> NULL z")
   }
+
+  test("robustZScores: histogram form equals the percentile-aggregate form bit-for-bit") {
+    // random long metrics with heavy ties, odd/even key sizes, a
+    // single-row key, and a zero-MAD key — the r13 histogram rewrite must
+    // reproduce the expr("percentile(..., 0.5)") formulation's doubles
+    // exactly (type-7 medians of integer metrics and their |deviations|
+    // are dyadic, so every interpolation association agrees)
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 501).map(i =>
+      (i.toLong, s"k${i % 4}", rnd.nextInt(25).toLong)) ++
+      Seq((9000L, "solo", 42L)) ++ (0 until 6).map(i => (9100L + i, "const", 5L))
+    val df = rows.toDF("id", "k", "v")
+    val got = Stats.robustZScores(df, "id", "k", "v")
+      .as[(Long, String, Long, Option[Double])].collect().sortBy(_._1)
+    val m = df.select($"id", $"k".as("key"), $"v".cast("long").as("metric"))
+    val meds = m.groupBy($"key").agg(expr("percentile(metric, 0.5)").as("_med"))
+    val joined = m.join(meds, Seq("key"))
+    val mads = joined.groupBy($"key")
+      .agg(expr("percentile(abs(cast(metric as double) - _med), 0.5)").as("_mad"))
+    val want = joined.join(mads, Seq("key"))
+      .select($"id", $"key", $"metric",
+        when($"_mad" > 0.0,
+          ($"metric".cast("double") - $"_med") / (lit(1.4826) * $"_mad")).as("z"))
+      .as[(Long, String, Long, Option[Double])].collect().sortBy(_._1)
+    assert(got.toSeq == want.toSeq)
+  }
 }
