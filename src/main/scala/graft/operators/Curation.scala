@@ -64,15 +64,17 @@ object Curation {
       textCol: String,
       ngramLen: Int,
       maxBroadcastGrams: Long): DataFrame = {
+    // materialize the slim hash set ONCE (executor-local blocks, 8 bytes a
+    // gram): the size gate and the join share the same computation — the
+    // r12 bench regression (q41 0.35→0.45 s, q69 0.40→0.55 s) was this
+    // explode+distinct running twice, once under the sizing count and
+    // again for the join
     val grams = benchmark
       .select(explode(tokenNgrams(col(textCol), ngramLen)).as("gram"))
       .select(xxhash64(col("gram")).as("_gh"))
       .distinct()
-    // early-exit count: decides the hint without a full count job when the
-    // set is far beyond the cap (min with Int.MaxValue: limit takes an Int,
-    // and a huge caller-supplied cap must not wrap negative)
-    val probe = math.min(maxBroadcastGrams + 1, Int.MaxValue.toLong).toInt
-    if (grams.limit(probe).count() <= maxBroadcastGrams) broadcast(grams)
+      .localCheckpoint(true)
+    if (grams.count() <= maxBroadcastGrams) broadcast(grams)
     else grams
   }
 
