@@ -2049,6 +2049,38 @@ object SparkEntry {
             .as("title")),
         "doc_id", "title", maxEdits = 5, maxDocsPerBlock = 100)),
 
+    // Audio features through the REAL codec path (Multimodal
+    // .RawAudioKernel -> AudioCodec) — the multimodal family's second
+    // oracle row, the q112 recipe applied to audio: 12 synthetic 16-bit
+    // PCM WAVs whose samples come from EXACT integer arithmetic
+    // (sample i of clip id = ((id*7919 + i*4799) mod 65535) - 32767,
+    // wrapping across the full signed range so zero crossings genuinely
+    // occur), encoded by the real encodeWavPcm16 (the round figure
+    // s/32767*32767 re-rounds to s exactly), then RIFF header parse ->
+    // PCM decode (s/32768) -> rms/peak/zcr. Every output double replays:
+    // Σ(s/32768)² accumulates exact dyadic terms (order-free), rms is
+    // one division + IEEE sqrt, peak and zcr are single divisions, and
+    // the float32 narrowing is the same IEEE rounding in both engines.
+    "q125_audio_features" -> ((s, dir) => {
+      import s.implicits._
+      val rows = (0L until 12L).map { id =>
+        val n = 150 + (id % 7).toInt * 30
+        val samples = Array.tabulate(n)(i =>
+          (((id * 7919 + i.toLong * 4799) % 65535) - 32767).toDouble / 32767.0)
+        multimodal.Multimodal.MediaRow(id, "audio",
+          multimodal.AudioCodec.encodeWavPcm16(8000, samples),
+          multimodal.Multimodal.MediaMeta(0, 0, "wav", n * 1000L / 8000))
+      }
+      multimodal.Multimodal.extractFeatures(
+        s.createDataset(rows).repartition(4),
+        multimodal.Multimodal.RawAudioKernel(envelopeBins = 1))
+        .toDF()
+        .select(col("media_id"),
+          element_at(col("features"), 1).cast("double").as("rms"),
+          element_at(col("features"), 2).cast("double").as("peak"),
+          element_at(col("features"), 3).cast("double").as("zcr"))
+    }),
+
     // First-order Markov transition counts (Funnel.transitions): how
     // often event type A immediately precedes B per user timeline. The
     // operator runs the bucket-stitched shape (1 h buckets — window tasks
@@ -4506,6 +4538,34 @@ object SparkEntry {
         |FROM t a JOIN t b ON a.doc_id < b.doc_id
         |  AND abs(len(a.title) - len(b.title)) <= 5
         |WHERE levenshtein(a.title, b.title) <= 5""".stripMargin,
+
+    // Replays q125's decode + feature arithmetic from the sample FORMULA
+    // (the q112 discipline): the stored short is the formula value
+    // exactly (one-ulp-safe re-round through the encoder), decode divides
+    // by 2^15, Σs² is exact integer, and each feature is the same
+    // fixed-association double expression narrowed to float32 (REAL) and
+    // widened back — bit-for-bit both engines.
+    "q125_audio_features" ->
+      """WITH ids AS (
+        |  SELECT range AS id, 150 + (range % 7) * 30 AS n FROM range(12)),
+        |s AS (
+        |  SELECT i.id, x.range AS pos,
+        |    ((i.id * 7919 + x.range * 4799) % 65535) - 32767 AS v
+        |  FROM ids i, range(0, 330) x WHERE x.range < i.n),
+        |w AS (
+        |  SELECT id, v, lag(v) OVER (PARTITION BY id ORDER BY pos) AS pv
+        |  FROM s),
+        |agg AS (
+        |  SELECT id, count(*) AS n, CAST(sum(v * v) AS DOUBLE) AS k,
+        |    max(abs(v)) AS pk,
+        |    sum(CASE WHEN pv IS NOT NULL AND ((pv >= 0) <> (v >= 0))
+        |        THEN 1 ELSE 0 END) AS cr
+        |  FROM w GROUP BY id)
+        |SELECT id AS media_id,
+        |  CAST(CAST(sqrt((k / 1073741824.0) / n) AS REAL) AS DOUBLE) AS rms,
+        |  CAST(CAST(CAST(pk AS DOUBLE) / 32768.0 AS REAL) AS DOUBLE) AS peak,
+        |  CAST(CAST(CAST(cr AS DOUBLE) / n AS REAL) AS DOUBLE) AS zcr
+        |FROM agg""".stripMargin,
 
     "q115_transitions" ->
       """WITH o AS (
