@@ -108,6 +108,51 @@ object Streams {
       }
   }
 
+  // ----------------------------------------------------- transition stream
+
+  case class TransitionEvent(user_id: Long, ts_ms: Long, event_type: String)
+  case class TransitionEdge(user_id: Long, from_type: String, to_type: String)
+  case class LastEvent(ts: Long, typ: String)
+
+  /** Streaming twin of [[graft.operators.Funnel.transitions]] — the one
+    * event operator of the r12 round without an incremental form. Emits
+    * one (user, from_type, to_type) ADJACENCY EDGE per consecutive event
+    * pair in each user's timeline; count edges downstream for the Markov
+    * transition matrix (`groupBy(from_type, to_type).count()` — edges
+    * rather than running counts keep the output append-mode composable).
+    *
+    * State is ONE row per user: the timeline's last (ts, type) — exactly
+    * the `max_by` half of the batch operator's bucket-summary rows, which
+    * is all the stitch across micro-batches needs (the batch form's
+    * within-bucket windows become the per-micro-batch sort below, bounded
+    * by a user's events per micro-batch, never their history).
+    *
+    * Parity contract (the shared ingest-stream discipline, time edition):
+    * micro-batch totals equal the batch operator's for TS-ORDERED
+    * DELIVERY per user — each micro-batch is sorted by (ts, type), the
+    * batch tiebreak, but an event arriving in a later micro-batch with an
+    * EARLIER timestamp chains onto the state's last event rather than
+    * splicing into history (chop the stream in ts order when the exact
+    * batch identity matters).
+    */
+  def transitionsStream(
+      events: Dataset[TransitionEvent]): Dataset[TransitionEdge] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[LastEvent, TransitionEdge](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[TransitionEvent],
+         state: GroupState[LastEvent]) =>
+          val sorted = rows.toSeq.sortBy(e => (e.ts_ms, e.event_type))
+          val chain = state.getOption.map(_.typ).toSeq ++ sorted.map(_.event_type)
+          sorted.lastOption.foreach(e =>
+            state.update(LastEvent(e.ts_ms, e.event_type)))
+          chain.sliding(2).collect {
+            case Seq(a, b) => TransitionEdge(userId, a, b)
+          }
+      }
+  }
+
   // ----------------------------------------------------------- stream dedup
 
   /** documents-table schema as the driver's parquet writes it. */

@@ -522,6 +522,54 @@ class StreamsSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("transitionsStream matches batch transitions across micro-batches") {
+    val dropDir = tempDir("graft_trans_drop")
+    val base = 1700000000000L
+    // user 1's timeline spans the two drops (the stitch rides state);
+    // user 2 has a same-ts tie resolved by the (ts, type) batch tiebreak
+    val drop1 = Seq(
+      (1L, base, "view"), (1L, base + 1000, "click"),
+      // user 2 ties at base: the (ts, type) tiebreak orders click, view
+      (2L, base, "view"), (2L, base, "click"))
+    val drop2 = Seq(
+      (1L, base + 2000, "buy"), (2L, base + 5000, "buy"))
+    def write(rows: Seq[(Long, Long, String)], f: String): Unit = {
+      val stage = tempDir(s"graft_trans_stage_$f")
+      rows.zipWithIndex.map { case ((u, t, ty), i) =>
+        (i.toLong, t * 1000000L, u, ty, 1.0, "{}")
+      }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.copy(part.toPath,
+        java.nio.file.Paths.get(s"$dropDir/$f"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    write(drop1, "d1.parquet")
+
+    val events = Streams.eventStream(spark, dropDir, glob = Some("d*.parquet"))
+      .select($"user_id", unix_millis($"event_time").as("ts_ms"), $"event_type")
+      .as[Streams.TransitionEvent]
+    val q = Streams.transitionsStream(events).toDF().writeStream
+      .outputMode("append").format("memory").queryName("trans_out").start()
+    try {
+      q.processAllAvailable()
+      write(drop2, "d2.parquet")
+      q.processAllAvailable()
+      val got = spark.table("trans_out")
+        .groupBy($"from_type", $"to_type").agg(count(lit(1)).as("n"))
+        .as[(String, String, Long)].collect().toSet
+      val want = graft.operators.Funnel.transitions(
+        (drop1 ++ drop2).toDF("user_id", "ts_ms", "event_type"),
+        "user_id", "ts_ms", "event_type", bucketMs = 3600000L)
+        .as[(String, String, Long)].collect().toSet
+      assert(got == want, s"stream $got vs batch $want")
+      // the cross-drop stitch really happened: user 1's click->buy edge
+      // only exists if drop 2 chained onto drop 1's state
+      assert(got.contains(("click", "buy", 1L)))
+    } finally q.stop()
+  }
+
   test("ingestVectors streams JSONL drops into a store with status table") {
     import org.apache.spark.sql.types._
     val dropDir = tempDir("graft_vec_drop")
