@@ -74,5 +74,79 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         intLit("winnow_fps", "shingleLen")(es(1)),
         intLit("winnow_fps", "window")(es(2)))
     }
+
+    // ---------------------------------------- table functions (event/stats)
+    // The round-two analytics layer as SQL TABLE functions (r12 advisory
+    // #6): `SELECT * FROM sessionize(TABLE(events), 'user_id', 'ts_ms',
+    // 'value', 1800000)`. The builder receives the TABLE(...) child as a
+    // FunctionTableSubqueryArgumentExpression, wraps it back into a
+    // DataFrame (Bridge.ofRows on the ACTIVE session — builders run
+    // during analysis, where one always exists), runs the ordinary
+    // operator, and returns its logical plan; column arguments are string
+    // literals (they name columns of the table argument, which SQL can't
+    // express as references).
+    def injectTable(name: String, usage: String)(
+        builder: Seq[Expression] => org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Unit =
+      ext.injectTableFunction((FunctionIdentifier(name), info(name, usage), builder))
+    def tableArg(fn: String)(e: Expression): org.apache.spark.sql.DataFrame =
+      e match {
+        case t: org.apache.spark.sql.catalyst.expressions.FunctionTableSubqueryArgumentExpression =>
+          org.apache.spark.sql.graftx.Bridge.ofRows(
+            org.apache.spark.sql.SparkSession.active, t.plan)
+        case other => throw new IllegalArgumentException(
+          s"$fn: the first argument must be TABLE(...), got $other")
+      }
+    def strLit(fn: String, arg: String)(e: Expression): String = e match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(
+        v: org.apache.spark.unsafe.types.UTF8String,
+        org.apache.spark.sql.types.StringType) => v.toString
+      case other => throw new IllegalArgumentException(
+        s"$fn: $arg must be a string literal naming a column, got $other")
+    }
+    def plan(df: org.apache.spark.sql.DataFrame) =
+      org.apache.spark.sql.graftx.Bridge.plan(df)
+
+    injectTable("sessionize",
+      "sessionize(TABLE(t), userCol, tsMsCol, valueCol, gapMs): gap-closed sessions per user") {
+      es => plan(graft.operators.Sessionize.sessionize(
+        tableArg("sessionize")(es(0)),
+        strLit("sessionize", "userCol")(es(1)),
+        strLit("sessionize", "tsMsCol")(es(2)),
+        strLit("sessionize", "valueCol")(es(3)),
+        longLit("sessionize", "gapMs")(es(4))))
+    }
+    injectTable("percent_ranks",
+      "percent_ranks(TABLE(t), idCol, keyCol, metricCol): per-key percent ranks (histogram form)") {
+      es => plan(graft.operators.Stats.percentRanks(
+        tableArg("percent_ranks")(es(0)),
+        strLit("percent_ranks", "idCol")(es(1)),
+        strLit("percent_ranks", "keyCol")(es(2)),
+        strLit("percent_ranks", "metricCol")(es(3))))
+    }
+    injectTable("volume_z",
+      "volume_z(TABLE(t), keyCol, tsCol, periodMs): per-key event-volume anomaly z-scores") {
+      es => plan(graft.operators.Stats.volumeZScores(
+        tableArg("volume_z")(es(0)),
+        strLit("volume_z", "keyCol")(es(1)),
+        strLit("volume_z", "tsCol")(es(2)),
+        longLit("volume_z", "periodMs")(es(3))))
+    }
+    injectTable("robust_z",
+      "robust_z(TABLE(t), idCol, keyCol, metricCol): median/MAD outlier z-scores") {
+      es => plan(graft.operators.Stats.robustZScores(
+        tableArg("robust_z")(es(0)),
+        strLit("robust_z", "idCol")(es(1)),
+        strLit("robust_z", "keyCol")(es(2)),
+        strLit("robust_z", "metricCol")(es(3))))
+    }
+    injectTable("transitions",
+      "transitions(TABLE(t), userCol, tsCol, typeCol, bucketMs): Markov transition counts") {
+      es => plan(graft.operators.Funnel.transitions(
+        tableArg("transitions")(es(0)),
+        strLit("transitions", "userCol")(es(1)),
+        strLit("transitions", "tsCol")(es(2)),
+        strLit("transitions", "typeCol")(es(3)),
+        longLit("transitions", "bucketMs")(es(4))))
+    }
   }
 }

@@ -1,8 +1,9 @@
 package org.apache.spark.sql.graftx
 
 import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.classic.ExpressionUtils
-import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 /** Minimal bridge into Spark's `private[sql]` surface.
   *
@@ -19,6 +20,17 @@ object Bridge {
 
   /** Unwrap a Column to its Catalyst expression (classic sessions only). */
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Wrap a logical plan as a DataFrame (the `Dataset.ofRows` seam) — the
+    * table-function bridge: an injected TVF builder receives child plans
+    * and must return a plan, while the engine's operators speak DataFrame.
+    */
+  def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
+  /** The logical plan under a DataFrame (inverse of [[ofRows]]). */
+  def plan(df: DataFrame): LogicalPlan = df.queryExecution.logical
 
   /** Register a temp SQL function backed by a Catalyst expression builder,
     * e.g. `SELECT vec_cosine_sim(a, b)`.

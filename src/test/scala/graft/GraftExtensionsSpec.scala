@@ -44,6 +44,39 @@ class GraftExtensionsSpec extends AnyFunSuite {
       assert(d.getSeq[String](2).toSet == scalaFps,
         "SQL winnow_fps must match the operator's selection")
       assert(d.isNullAt(3), "null text yields NULL (explode drops it)")
+      // table functions: the event/stats layer reachable from pure SQL.
+      // Each TVF must equal its DataFrame operator on the same input.
+      import spark.implicits._
+      Seq((1L, 1000L, "a", 1.0), (1L, 2000L, "b", 2.0),
+        (1L, 9000000L, "a", 4.0), (2L, 1000L, "c", 8.0))
+        .toDF("user_id", "ts_ms", "event_type", "value")
+        .createOrReplaceTempView("ext_events")
+      val sess = spark.sql(
+        """SELECT * FROM sessionize(TABLE(ext_events),
+          |  'user_id', 'ts_ms', 'value', 600000)""".stripMargin)
+      assert(sess.count() == 3, "user 1 splits on the 600s gap; user 2 one session")
+      val tvfPr = spark.sql(
+        """SELECT * FROM percent_ranks(TABLE(ext_events),
+          |  'user_id', 'event_type', 'ts_ms') ORDER BY id, metric""".stripMargin)
+        .collect().toSeq
+      val opPr = graft.operators.Stats.percentRanks(
+        spark.table("ext_events"), "user_id", "event_type", "ts_ms")
+        .orderBy("id", "metric").collect().toSeq
+      assert(tvfPr == opPr, "TVF must equal the DataFrame operator")
+      val tvfZ = spark.sql(
+        """SELECT * FROM robust_z(TABLE(ext_events),
+          |  'user_id', 'event_type', 'ts_ms')""".stripMargin).count()
+      assert(tvfZ == 4)
+      val vz = spark.sql(
+        "SELECT * FROM volume_z(TABLE(ext_events), 'event_type', 'ts_ms', 1000)")
+      assert(vz.columns.toSeq == Seq("key", "bucket", "n", "z"))
+      assert(vz.count() == 4)
+      val tr = spark.sql(
+        """SELECT * FROM transitions(TABLE(ext_events),
+          |  'user_id', 'ts_ms', 'event_type', 3600000)""".stripMargin)
+        .as[(String, String, Long)].collect().toSet
+      assert(tr == Set(("a", "b", 1L), ("b", "a", 1L)),
+        "user 1's timeline a->b->a; user 2 has no adjacency")
     } finally {
       // do not stop(): the SparkContext is shared with the suite session
       prior.foreach { p =>
