@@ -1,17 +1,22 @@
 package graft
 
 import graft.functions._
-import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 
 /** Session-extensions entry point: registers the engine's SQL functions at
   * session build time, so any session started with
   * `--conf spark.sql.extensions=graft.GraftExtensions` (or
   * `.withExtensions(new GraftExtensions)`) gets `vec_cosine_sim` etc. in SQL
-  * without touching the library's Scala API.
+  * without touching the library's Scala API. The event/stats layer rides
+  * along as TABLE functions (see [[GraftExtensions.tableFunctions]]);
+  * already-running sessions get the same table functions via
+  * [[GraftExtensions.registerTableFunctions]].
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  import GraftExtensions._
 
   private def info(name: String, usage: String) =
     new ExpressionInfo("graft", null, name, usage, "", "", "", "", "", "", "built-in")
@@ -35,20 +40,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     }
     inject("simhash64", "64-bit SimHash fingerprint of an array<string>") {
       es => SimHash64(es(0))
-    }
-    def intLit(fn: String, arg: String)(e: Expression): Int = e match {
-      case org.apache.spark.sql.catalyst.expressions.Literal(v: Int,
-        org.apache.spark.sql.types.IntegerType) => v
-      case other => throw new IllegalArgumentException(
-        s"$fn: $arg must be an integer literal, got $other")
-    }
-    def longLit(fn: String, arg: String)(e: Expression): Long = e match {
-      case org.apache.spark.sql.catalyst.expressions.Literal(v: Int,
-        org.apache.spark.sql.types.IntegerType) => v.toLong
-      case org.apache.spark.sql.catalyst.expressions.Literal(v: Long,
-        org.apache.spark.sql.types.LongType) => v
-      case other => throw new IllegalArgumentException(
-        s"$fn: $arg must be an integer literal, got $other")
     }
     inject("token_ngrams", "space-joined token n-grams of a string; n must be a literal") {
       es => TokenNgrams(es(0), intLit("token_ngrams", "n")(es(1)))
@@ -75,78 +66,102 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         intLit("winnow_fps", "window")(es(2)))
     }
 
-    // ---------------------------------------- table functions (event/stats)
-    // The round-two analytics layer as SQL TABLE functions (r12 advisory
-    // #6): `SELECT * FROM sessionize(TABLE(events), 'user_id', 'ts_ms',
-    // 'value', 1800000)`. The builder receives the TABLE(...) child as a
-    // FunctionTableSubqueryArgumentExpression, wraps it back into a
-    // DataFrame (Bridge.ofRows on the ACTIVE session — builders run
-    // during analysis, where one always exists), runs the ordinary
-    // operator, and returns its logical plan; column arguments are string
-    // literals (they name columns of the table argument, which SQL can't
-    // express as references).
-    def injectTable(name: String, usage: String)(
-        builder: Seq[Expression] => org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Unit =
+    tableFunctions.foreach { case (name, usage, builder) =>
       ext.injectTableFunction((FunctionIdentifier(name), info(name, usage), builder))
-    def tableArg(fn: String)(e: Expression): org.apache.spark.sql.DataFrame =
-      e match {
-        case t: org.apache.spark.sql.catalyst.expressions.FunctionTableSubqueryArgumentExpression =>
-          org.apache.spark.sql.graftx.Bridge.ofRows(
-            org.apache.spark.sql.SparkSession.active, t.plan)
-        case other => throw new IllegalArgumentException(
-          s"$fn: the first argument must be TABLE(...), got $other")
-      }
-    def strLit(fn: String, arg: String)(e: Expression): String = e match {
-      case org.apache.spark.sql.catalyst.expressions.Literal(
-        v: org.apache.spark.unsafe.types.UTF8String,
-        org.apache.spark.sql.types.StringType) => v.toString
-      case other => throw new IllegalArgumentException(
-        s"$fn: $arg must be a string literal naming a column, got $other")
     }
-    def plan(df: org.apache.spark.sql.DataFrame) =
-      org.apache.spark.sql.graftx.Bridge.plan(df)
+  }
+}
 
-    injectTable("sessionize",
-      "sessionize(TABLE(t), userCol, tsMsCol, valueCol, gapMs): gap-closed sessions per user") {
+object GraftExtensions {
+
+  private def intLit(fn: String, arg: String)(e: Expression): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int,
+      org.apache.spark.sql.types.IntegerType) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn: $arg must be an integer literal, got $other")
+  }
+  private def longLit(fn: String, arg: String)(e: Expression): Long = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int,
+      org.apache.spark.sql.types.IntegerType) => v.toLong
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Long,
+      org.apache.spark.sql.types.LongType) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn: $arg must be an integer literal, got $other")
+  }
+  private def strLit(fn: String, arg: String)(e: Expression): String = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(
+      v: org.apache.spark.unsafe.types.UTF8String,
+      org.apache.spark.sql.types.StringType) => v.toString
+    case other => throw new IllegalArgumentException(
+      s"$fn: $arg must be a string literal naming a column, got $other")
+  }
+  private def tableArg(fn: String)(e: Expression): org.apache.spark.sql.DataFrame =
+    e match {
+      case t: org.apache.spark.sql.catalyst.expressions.FunctionTableSubqueryArgumentExpression =>
+        org.apache.spark.sql.graftx.Bridge.ofRows(SparkSession.active, t.plan)
+      case other => throw new IllegalArgumentException(
+        s"$fn: the first argument must be TABLE(...), got $other")
+    }
+  private def plan(df: org.apache.spark.sql.DataFrame): LogicalPlan =
+    org.apache.spark.sql.graftx.Bridge.plan(df)
+
+  /** The round-two analytics layer as SQL TABLE functions (r12 advisory
+    * #6): `SELECT * FROM sessionize(TABLE(events), 'user_id', 'ts_ms',
+    * 'value', 1800000)`. Each builder receives the TABLE(...) child as a
+    * FunctionTableSubqueryArgumentExpression, wraps it back into a
+    * DataFrame (Bridge.ofRows on the ACTIVE session — builders run
+    * during analysis, where one always exists), runs the ordinary
+    * DataFrame operator, and returns ITS logical plan — SQL and Scala
+    * share one implementation. Column arguments are string literals
+    * (they name columns of the table argument, which SQL can't express
+    * as references). One shared list so session-build injection and
+    * live-session registration can't drift.
+    */
+  val tableFunctions: Seq[(String, String, Seq[Expression] => LogicalPlan)] = Seq(
+    ("sessionize",
+      "sessionize(TABLE(t), userCol, tsMsCol, valueCol, gapMs): gap-closed sessions per user",
       es => plan(graft.operators.Sessionize.sessionize(
         tableArg("sessionize")(es(0)),
         strLit("sessionize", "userCol")(es(1)),
         strLit("sessionize", "tsMsCol")(es(2)),
         strLit("sessionize", "valueCol")(es(3)),
-        longLit("sessionize", "gapMs")(es(4))))
-    }
-    injectTable("percent_ranks",
-      "percent_ranks(TABLE(t), idCol, keyCol, metricCol): per-key percent ranks (histogram form)") {
+        longLit("sessionize", "gapMs")(es(4))))),
+    ("percent_ranks",
+      "percent_ranks(TABLE(t), idCol, keyCol, metricCol): per-key percent ranks (histogram form)",
       es => plan(graft.operators.Stats.percentRanks(
         tableArg("percent_ranks")(es(0)),
         strLit("percent_ranks", "idCol")(es(1)),
         strLit("percent_ranks", "keyCol")(es(2)),
-        strLit("percent_ranks", "metricCol")(es(3))))
-    }
-    injectTable("volume_z",
-      "volume_z(TABLE(t), keyCol, tsCol, periodMs): per-key event-volume anomaly z-scores") {
+        strLit("percent_ranks", "metricCol")(es(3))))),
+    ("volume_z",
+      "volume_z(TABLE(t), keyCol, tsCol, periodMs): per-key event-volume anomaly z-scores",
       es => plan(graft.operators.Stats.volumeZScores(
         tableArg("volume_z")(es(0)),
         strLit("volume_z", "keyCol")(es(1)),
         strLit("volume_z", "tsCol")(es(2)),
-        longLit("volume_z", "periodMs")(es(3))))
-    }
-    injectTable("robust_z",
-      "robust_z(TABLE(t), idCol, keyCol, metricCol): median/MAD outlier z-scores") {
+        longLit("volume_z", "periodMs")(es(3))))),
+    ("robust_z",
+      "robust_z(TABLE(t), idCol, keyCol, metricCol): median/MAD outlier z-scores",
       es => plan(graft.operators.Stats.robustZScores(
         tableArg("robust_z")(es(0)),
         strLit("robust_z", "idCol")(es(1)),
         strLit("robust_z", "keyCol")(es(2)),
-        strLit("robust_z", "metricCol")(es(3))))
-    }
-    injectTable("transitions",
-      "transitions(TABLE(t), userCol, tsCol, typeCol, bucketMs): Markov transition counts") {
+        strLit("robust_z", "metricCol")(es(3))))),
+    ("transitions",
+      "transitions(TABLE(t), userCol, tsCol, typeCol, bucketMs): Markov transition counts",
       es => plan(graft.operators.Funnel.transitions(
         tableArg("transitions")(es(0)),
         strLit("transitions", "userCol")(es(1)),
         strLit("transitions", "tsCol")(es(2)),
         strLit("transitions", "typeCol")(es(3)),
-        longLit("transitions", "bucketMs")(es(4))))
+        longLit("transitions", "bucketMs")(es(4))))))
+
+  /** Register the TABLE functions on an already-running session (the
+    * extension path only applies at session build; Verify/notebooks run
+    * on shared sessions). Idempotent — re-registration replaces.
+    */
+  def registerTableFunctions(spark: SparkSession): Unit =
+    tableFunctions.foreach { case (name, _, builder) =>
+      org.apache.spark.sql.graftx.Bridge.registerTableFunction(spark, name, builder)
     }
-  }
 }

@@ -2081,6 +2081,23 @@ object SparkEntry {
           element_at(col("features"), 3).cast("double").as("zcr"))
     }),
 
+    // The SQL TABLE-function surface under the oracle: q119's operator
+    // reached through spark.sql + TABLE(...) + the live-session registry
+    // (GraftExtensions.registerTableFunctions / Bridge
+    // .registerTableFunction) instead of the Scala API — locking the
+    // whole TVF resolution path (registry -> FunctionTableSubquery
+    // ArgumentExpression -> operator plan). Twin = q119's ANSI
+    // percent_rank window, unchanged: SQL and Scala share one
+    // implementation by construction.
+    "q126_sql_tvf" -> ((s, dir) => {
+      GraftExtensions.registerTableFunctions(s)
+      t(s, dir, "documents").select(col("doc_id"), col("source"),
+        size(split(col("text"), " ", -1)).cast("long").as("n_tokens"))
+        .createOrReplaceTempView("q126_docs")
+      s.sql("""SELECT * FROM percent_ranks(TABLE(q126_docs),
+        'doc_id', 'source', 'n_tokens')""")
+    }),
+
     // First-order Markov transition counts (Funnel.transitions): how
     // often event type A immediately precedes B per user timeline. The
     // operator runs the bucket-stitched shape (1 h buckets — window tasks
@@ -4626,6 +4643,14 @@ object SparkEntry {
         |FROM j JOIN mad USING (key)""".stripMargin,
 
     "q119_percent_rank" ->
+      """SELECT doc_id AS id, source AS key,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS metric,
+        |  percent_rank() OVER (PARTITION BY source
+        |    ORDER BY len(string_split(text, ' '))) AS pr
+        |FROM documents""".stripMargin,
+
+    // q126 = q119 reached through the SQL TVF surface; same twin.
+    "q126_sql_tvf" ->
       """SELECT doc_id AS id, source AS key,
         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS metric,
         |  percent_rank() OVER (PARTITION BY source

@@ -43,4 +43,18 @@ object Bridge {
       .sessionState.functionRegistry
       .createOrReplaceTempFunction(name, builder, "scala_udf")
   }
+
+  /** Register a temp TABLE function (plan builder) on a live session,
+    * e.g. `SELECT * FROM sessionize(TABLE(events), ...)` — the
+    * already-running-session twin of `SparkSessionExtensions
+    * .injectTableFunction`.
+    */
+  def registerTableFunction(
+      spark: SparkSession,
+      name: String,
+      builder: Seq[Expression] => LogicalPlan): Unit = {
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.tableFunctionRegistry
+      .createOrReplaceTempFunction(name, builder, "scala_udf")
+  }
 }
