@@ -2098,6 +2098,36 @@ object SparkEntry {
         'doc_id', 'source', 'n_tokens')""")
     }),
 
+    // Per-benchmark contamination attribution (Curation
+    // .decontaminateByBenchmark): the q41 split with the benchmark side
+    // LABELED into three eval sets (doc_id mod 3) — which eval leaked
+    // into which document, the multi-benchmark audit report. 3-grams
+    // rather than q41's 8 so the attribution surface is real at sf0.01
+    // (357 (doc, eval) rows vs 1). Inner-join semantics (only positive
+    // hits), distinct grams per (benchmark, gram) so a gram shared by
+    // two evals attributes to both.
+    "q127_decontam_by_bench" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      operators.Curation.decontaminateByBenchmark(
+        docs.filter(col("doc_id") % 50 =!= 0),
+        docs.filter(col("doc_id") % 50 === 0)
+          .withColumn("bench", concat(lit("eval"), pmod(col("doc_id"), lit(3)))),
+        "doc_id", "text", "bench", ngramLen = 3)
+    }),
+
+    // Quality-aware representative selection (Dedup.bestPerGroup): q29's
+    // near-dup clusters keeping the LONGEST member (n_chars as the
+    // quality score, ties on lowest id) instead of the lowest id — the
+    // keep-the-best convention production dedup uses. The oracle replays
+    // q29's reachability closure plus a per-group argmax window.
+    "q128_best_per_group" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = operators.Dedup.nearDupPairsMinHash(
+        docs, "doc_id", "text", shingleLen = 3, numHashes = 128, bands = 32,
+        threshold = 0.5)
+      operators.Dedup.bestPerGroup(docs, pairs, "doc_id", "n_chars")
+    }),
+
     // First-order Markov transition counts (Funnel.transitions): how
     // often event type A immediately precedes B per user timeline. The
     // operator runs the bucket-stitched shape (1 h buckets — window tasks
@@ -4648,6 +4678,55 @@ object SparkEntry {
         |  percent_rank() OVER (PARTITION BY source
         |    ORDER BY len(string_split(text, ' '))) AS pr
         |FROM documents""".stripMargin,
+
+    // q41's twin with the benchmark side labeled; inner join only (clean
+    // pairs absent), distinct per (benchmark, gram).
+    "q127_decontam_by_bench" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents WHERE doc_id % 50 <> 0),
+        |bench AS (
+        |  SELECT 'eval' || CAST(doc_id % 3 AS VARCHAR) AS benchmark,
+        |    string_split(text, ' ') AS t
+        |  FROM documents WHERE doc_id % 50 = 0),
+        |bgrams AS (
+        |  SELECT DISTINCT benchmark, array_to_string(t[i:i+2], ' ') AS gram
+        |  FROM bench, UNNEST(generate_series(1, len(t) - 2)) AS u(i)),
+        |cgrams AS (
+        |  SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS gram
+        |  FROM corpus, UNNEST(generate_series(1, len(t) - 2)) AS u(i))
+        |SELECT CAST(c.doc_id AS BIGINT) AS id, b.benchmark,
+        |  CAST(count(*) AS BIGINT) AS hits
+        |FROM cgrams c JOIN bgrams b USING (gram)
+        |GROUP BY 1, 2""".stripMargin,
+
+    // q29's reachability closure + a per-group argmax (score DESC, id ASC).
+    "q128_best_per_group" ->
+      """WITH RECURSIVE s AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, len(string_split(text,' '))-1),
+        |         i -> array_to_string(list_slice(string_split(text,' '), i, i+2), ' '))) AS sh
+        |  FROM documents),
+        |e AS (
+        |  SELECT a.doc_id AS src, b.doc_id AS dst
+        |  FROM s a JOIN s b ON a.doc_id <> b.doc_id
+        |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |        (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5),
+        |reach AS (
+        |  SELECT src, dst FROM e
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src WHERE e.dst <> r.src),
+        |g AS (
+        |  SELECT d.doc_id AS id, CAST(d.n_chars AS DOUBLE) AS score,
+        |    LEAST(d.doc_id, coalesce(min(r.dst), d.doc_id)) AS group_id
+        |  FROM documents d LEFT JOIN reach r ON r.src = d.doc_id
+        |  GROUP BY d.doc_id, d.n_chars),
+        |best AS (
+        |  SELECT group_id, id AS best FROM (
+        |    SELECT group_id, id,
+        |      row_number() OVER (PARTITION BY group_id
+        |        ORDER BY score DESC, id ASC) AS rn
+        |    FROM g) WHERE rn = 1)
+        |SELECT g.id, g.group_id, g.score, g.id = b.best AS is_representative
+        |FROM g JOIN best b USING (group_id)""".stripMargin,
 
     // q126 = q119 reached through the SQL TVF surface; same twin.
     "q126_sql_tvf" ->

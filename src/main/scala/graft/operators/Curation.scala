@@ -125,6 +125,48 @@ object Curation {
         (coalesce(col("hits"), lit(0L)) > 0).as("contaminated"))
   }
 
+  /** Per-benchmark contamination ATTRIBUTION — [[decontaminate]]'s audit
+    * report: WHICH eval set leaked into which document, the question a
+    * multi-benchmark decontamination run answers before deciding what to
+    * drop (a doc hitting a memorized GSM8K answer is a different problem
+    * from one quoting MMLU boilerplate). `benchmark` carries a label
+    * column (`benchCol`); output is one row per (corpus doc, benchmark)
+    * with a POSITIVE distinct-shared-gram count — (id, benchmark,
+    * hits BIGINT), inner-join semantics (clean pairs are absent;
+    * [[decontaminate]] keeps the per-doc zero-row report). A gram shared
+    * by several benchmarks attributes to EACH (distinct per
+    * (benchmark, gram)).
+    *
+    * Scale shape, the [[benchGramHashes]] discipline with a label: the
+    * labeled gram set is hashed to (benchmark, 64-bit) rows, materialized
+    * once, and broadcast while the WHOLE labeled set fits
+    * `maxBroadcastGrams`; the corpus is the same single scan as
+    * [[decontaminate]], and the join moves (id, hash) pairs only. Same
+    * xxhash64 collision caveat.
+    */
+  def decontaminateByBenchmark(
+      corpus: DataFrame,
+      benchmark: DataFrame,
+      idCol: String,
+      textCol: String,
+      benchCol: String,
+      ngramLen: Int = 8,
+      maxBroadcastGrams: Long = MaxBroadcastGrams): DataFrame = {
+    val bench = benchmark
+      .select(col(benchCol).as("benchmark"),
+        explode(tokenNgrams(col(textCol), ngramLen)).as("gram"))
+      .select(col("benchmark"), xxhash64(col("gram")).as("_gh"))
+      .distinct()
+      .localCheckpoint(true)
+    val hinted = if (bench.count() <= maxBroadcastGrams) broadcast(bench) else bench
+    val corpusGrams = corpus.select(col(idCol).cast("long").as("id"),
+        explode(array_distinct(tokenNgrams(col(textCol), ngramLen))).as("gram"))
+      .select(col("id"), xxhash64(col("gram")).as("_gh"))
+    corpusGrams.join(hinted, Seq("_gh"))
+      .groupBy(col("id"), col("benchmark"))
+      .agg(count(lit(1)).as("hits"))
+  }
+
   /** FUZZY test-set decontamination (the Llama-2 appendix recipe, kept
     * alongside [[decontaminate]]'s binary flag): a corpus TOKEN is
     * contaminated if it sits inside any length-`ngramLen` token n-gram

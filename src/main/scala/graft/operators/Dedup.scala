@@ -912,6 +912,39 @@ object Dedup {
       .withColumn("is_representative", col("id") === col("group_id"))
   }
 
+  /** Quality-aware representative selection: [[dedupGroups]] with the
+    * representative chosen as the cluster's BEST row by `scoreCol`
+    * (highest score, ties on lowest id) — the keep-the-longest /
+    * keep-highest-quality convention production dedup pipelines use
+    * instead of keep-min-id (min-id keeps whatever crawled first;
+    * score-argmax keeps the member worth training on). Output:
+    * (id, group_id, score DOUBLE, is_representative), one row per input
+    * row; singletons represent themselves.
+    *
+    * Scale shape: group ids ride [[dedupGroups]]' components unchanged;
+    * the argmax is a `max_by` over a (score, -id) struct — partial
+    * aggregation, one slim (group, best) row per cluster joined back by
+    * group id. No window, no per-cluster sort.
+    */
+  def bestPerGroup(
+      df: DataFrame,
+      pairs: DataFrame,
+      idCol: String,
+      scoreCol: String): DataFrame = {
+    val groups = dedupGroups(df, pairs, idCol).select(col("id"), col("group_id"))
+    val scored = df.select(col(idCol).cast("long").as("id"),
+        col(scoreCol).cast("double").as("score"))
+      .join(groups, Seq("id"))
+    val best = scored.groupBy(col("group_id"))
+      // highest score wins; the negated id breaks ties toward the LOWEST
+      // id (ids are unique, so the struct ordering is total — max_by is
+      // deterministic here)
+      .agg(max_by(col("id"), struct(col("score"), -col("id"))).as("_best"))
+    scored.join(best, Seq("group_id"))
+      .select(col("id"), col("group_id"), col("score"),
+        (col("id") === col("_best")).as("is_representative"))
+  }
+
   /** SOFT dedup — downweight duplicates instead of dropping them (the
     * ablation-standard alternative to hard dedup: every row survives with
     * sampling weight 1 / |dup cluster|, so each duplicate CLUSTER

@@ -424,7 +424,9 @@ object Streams {
     * accepted sweep against the persisted title corpus, survivors are
     * appended so later micro-batches dedup against them, and kept rows go
     * to `onBatch` BEFORE the append (the shared sink-before-append
-    * at-least-once contract).
+    * at-least-once contract). Blocking is INDEX state (r13): when the
+    * index was built with a `blockCol`, every micro-batch frame must
+    * carry that column — the feed-scale recall lever EditProbe measures.
     */
   def ingestEditStream(
       docs: DataFrame,

@@ -56,6 +56,33 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
     assert(out.forall(r => r._2 >= 0 && r._2 <= 3))
   }
 
+  test("decontaminateByBenchmark attributes hits per eval set; shared grams hit both") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "completely unrelated text with no overlap at all here"),
+      (3L, "we said the quick brown fox jumps over the lazy dog")
+    ).toDF("id", "text")
+    val bench = Seq(
+      (100L, "xx the quick brown fox jumps over the lazy dog yy", "evalA"),
+      // evalB repeats evalA's core: the shared grams attribute to BOTH
+      (101L, "zz the quick brown fox jumps over the lazy dog ww", "evalB"),
+      (102L, "no overlap here either honestly truly never once more", "evalC")
+    ).toDF("id", "text", "bench")
+    val out = Curation.decontaminateByBenchmark(
+      corpus, bench, "id", "text", "bench", ngramLen = 8)
+      .as[(Long, String, Long)].collect().toSet
+    assert(out.map(r => (r._1, r._2)) ==
+      Set((1L, "evalA"), (1L, "evalB"), (3L, "evalA"), (3L, "evalB")),
+      s"got $out")
+    assert(out.forall(_._3 > 0), "inner-join semantics: only positive hits")
+    // per-benchmark counts agree with the unlabeled operator on one bench
+    val solo = Curation.decontaminate(corpus,
+      bench.filter($"bench" === "evalA"), "id", "text", ngramLen = 8)
+      .filter($"hits" > 0).as[(Long, Long, Boolean)].collect()
+      .map(r => (r._1, r._2)).toSet
+    assert(out.filter(_._2 == "evalA").map(r => (r._1, r._3)) == solo)
+  }
+
   test("decontaminate: gram broadcast hint is size-gated; fallback matches exactly") {
     val corpus = Seq(
       (1L, "the quick brown fox jumps over the lazy dog today"),

@@ -230,6 +230,20 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(bad == 0)
   }
 
+  test("bestPerGroup: highest score represents, ties break to the lowest id") {
+    val rows = Seq((1L, 10.0), (2L, 50.0), (3L, 20.0), // cluster {1,2,3}: 2 wins
+      (5L, 7.0), (6L, 7.0),                            // cluster {5,6}: tie -> 5
+      (4L, 1.0)).toDF("doc_id", "q")                   // singleton
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+    val out = Dedup.bestPerGroup(rows, pairs, "doc_id", "q")
+      .as[(Long, Long, Double, Boolean)].collect().sortBy(_._1)
+    assert(out.map(r => (r._1, r._2, r._4)).toSeq == Seq(
+      (1L, 1L, false), (2L, 1L, true), (3L, 1L, false),
+      (4L, 4L, true), (5L, 5L, true), (6L, 5L, false)),
+      s"got ${out.toSeq}")
+    assert(out.count(_._4) == 3, "one representative per cluster")
+  }
+
   test("duplicationWeights: soft dedup sums to the deduplicated size") {
     val ids = (1L to 7L).map(Tuple1(_)).toDF("doc_id")
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
