@@ -2128,6 +2128,39 @@ object SparkEntry {
       operators.Dedup.bestPerGroup(docs, pairs, "doc_id", "n_chars")
     }),
 
+    // Video frame sampling through the REAL AVI demux path (Multimodal
+    // .sampleFrames -> VideoCodec.demuxAvi) — the multimodal family's
+    // THIRD oracle row, the q112/q125 recipe applied to the container
+    // layer (payloads stay opaque bytes; MJPEG pixel decode is the
+    // lossy-codec leg no formula can replay): 10 synthetic AVIs via the
+    // real encodeAviMjpeg (avih cadence + LIST movi of 00dc chunks),
+    // payload byte j of frame f = (id*131 + f*17 + j*7) mod 256, frame
+    // lengths varying with (id, f). The demuxer's chunk walk, the avih
+    // cadence, and frameIndexAt's clamp arithmetic (min(ts*1000 div
+    // usPerFrame, n-1)) all replay in exact integer SQL; each sampled
+    // frame's identity is locked by its length and byte sum.
+    "q129_video_demux" -> ((s, dir) => {
+      import s.implicits._
+      val rows = (0L until 10L).map { id =>
+        val usPf = 20000L + (id % 4) * 10000L
+        val n = 8 + (id % 5).toInt
+        val frames = (0 until n).map { f =>
+          val len = 40 + ((id * 3 + f) % 9).toInt
+          Array.tabulate(len)(j =>
+            ((id * 131 + f * 17 + j.toLong * 7) % 256).toByte)
+        }
+        multimodal.Multimodal.MediaRow(id, "video",
+          multimodal.VideoCodec.encodeAviMjpeg(usPf, frames),
+          multimodal.Multimodal.MediaMeta(0, 0, "avi", n.toLong * usPf / 1000L))
+      }
+      multimodal.Multimodal.sampleFrames(
+          s.createDataset(rows).repartition(4), everyMs = 50L)
+        .map(fr => (fr.media_id, fr.frame_index.toLong, fr.ts_ms,
+          fr.frame_bytes.length.toLong,
+          fr.frame_bytes.map(b => (b & 0xff).toLong).sum))
+        .toDF("media_id", "frame_index", "ts_ms", "n_bytes", "byte_sum")
+    }),
+
     // First-order Markov transition counts (Funnel.transitions): how
     // often event type A immediately precedes B per user timeline. The
     // operator runs the bucket-stitched shape (1 h buckets — window tasks
@@ -4727,6 +4760,33 @@ object SparkEntry {
         |    FROM g) WHERE rn = 1)
         |SELECT g.id, g.group_id, g.score, g.id = b.best AS is_representative
         |FROM g JOIN best b USING (group_id)""".stripMargin,
+
+    // Replays q129's demux + sampling arithmetic from the payload
+    // FORMULA: sample count = duration div everyMs (inclusive of 0),
+    // frame index = min(ts*1000 div usPerFrame, n-1), frame identity via
+    // length + byte sum over the generating expression.
+    "q129_video_demux" ->
+      """WITH ids AS (
+        |  SELECT range AS id, 20000 + (range % 4) * 10000 AS uspf,
+        |    8 + range % 5 AS n
+        |  FROM range(10)),
+        |samples AS (
+        |  SELECT i.id, i.uspf, i.n, s.range AS si, s.range * 50 AS ts
+        |  FROM ids i, range(0, 20) s
+        |  WHERE s.range <= (i.n * i.uspf // 1000) // 50),
+        |fr AS (
+        |  SELECT id, si, ts, least(ts * 1000 // uspf, n - 1) AS f
+        |  FROM samples),
+        |sized AS (
+        |  SELECT id, si, ts, f, 40 + (id * 3 + f) % 9 AS len
+        |  FROM fr)
+        |SELECT s.id AS media_id, CAST(s.si AS BIGINT) AS frame_index,
+        |  CAST(s.ts AS BIGINT) AS ts_ms, CAST(s.len AS BIGINT) AS n_bytes,
+        |  CAST(sum((s.id * 131 + s.f * 17 + j.range * 7) % 256) AS BIGINT)
+        |    AS byte_sum
+        |FROM sized s, range(0, 64) j
+        |WHERE j.range < s.len
+        |GROUP BY s.id, s.si, s.ts, s.len""".stripMargin,
 
     // q126 = q119 reached through the SQL TVF surface; same twin.
     "q126_sql_tvf" ->
