@@ -66,8 +66,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         intLit("winnow_fps", "window")(es(2)))
     }
 
-    tableFunctions.foreach { case (name, usage, builder) =>
-      ext.injectTableFunction((FunctionIdentifier(name), info(name, usage), builder))
+    tableFunctions.foreach { case (name, usage, arity, builder) =>
+      ext.injectTableFunction((FunctionIdentifier(name), info(name, usage),
+        checkedArity(name, arity, builder)))
     }
   }
 }
@@ -98,9 +99,30 @@ object GraftExtensions {
   private def tableArg(fn: String)(e: Expression): org.apache.spark.sql.DataFrame =
     e match {
       case t: org.apache.spark.sql.catalyst.expressions.FunctionTableSubqueryArgumentExpression =>
+        // a PARTITION BY / ORDER BY / WITH SINGLE PARTITION spec on the
+        // TABLE argument parses but would be silently DROPPED here (each
+        // operator controls its own partitioning) — fail loudly instead
+        require(t.partitionByExpressions.isEmpty && t.orderByExpressions.isEmpty &&
+          !t.withSinglePartition,
+          s"$fn: PARTITION BY / ORDER BY / WITH SINGLE PARTITION on the " +
+            "TABLE argument are not supported — the operator plans its own " +
+            "partitioning")
         org.apache.spark.sql.graftx.Bridge.ofRows(SparkSession.active, t.plan)
       case other => throw new IllegalArgumentException(
         s"$fn: the first argument must be TABLE(...), got $other")
+    }
+
+  /** Clean wrong-number-of-arguments failure instead of a raw
+    * IndexOutOfBoundsException (too few) or silently ignored extras.
+    */
+  private def checkedArity(
+      name: String, arity: Int,
+      b: Seq[Expression] => LogicalPlan): Seq[Expression] => LogicalPlan =
+    es => {
+      require(es.length == arity,
+        s"$name expects $arity arguments (TABLE(...) + ${arity - 1} " +
+          s"literals), got ${es.length}")
+      b(es)
     }
   private def plan(df: org.apache.spark.sql.DataFrame): LogicalPlan =
     org.apache.spark.sql.graftx.Bridge.plan(df)
@@ -117,10 +139,10 @@ object GraftExtensions {
     * as references). One shared list so session-build injection and
     * live-session registration can't drift.
     */
-  val tableFunctions: Seq[(String, String, Seq[Expression] => LogicalPlan)] = Seq(
+  val tableFunctions: Seq[(String, String, Int, Seq[Expression] => LogicalPlan)] = Seq(
     ("sessionize",
       "sessionize(TABLE(t), userCol, tsMsCol, valueCol, gapMs): gap-closed sessions per user",
-      es => plan(graft.operators.Sessionize.sessionize(
+      5, es => plan(graft.operators.Sessionize.sessionize(
         tableArg("sessionize")(es(0)),
         strLit("sessionize", "userCol")(es(1)),
         strLit("sessionize", "tsMsCol")(es(2)),
@@ -128,28 +150,28 @@ object GraftExtensions {
         longLit("sessionize", "gapMs")(es(4))))),
     ("percent_ranks",
       "percent_ranks(TABLE(t), idCol, keyCol, metricCol): per-key percent ranks (histogram form)",
-      es => plan(graft.operators.Stats.percentRanks(
+      4, es => plan(graft.operators.Stats.percentRanks(
         tableArg("percent_ranks")(es(0)),
         strLit("percent_ranks", "idCol")(es(1)),
         strLit("percent_ranks", "keyCol")(es(2)),
         strLit("percent_ranks", "metricCol")(es(3))))),
     ("volume_z",
       "volume_z(TABLE(t), keyCol, tsCol, periodMs): per-key event-volume anomaly z-scores",
-      es => plan(graft.operators.Stats.volumeZScores(
+      4, es => plan(graft.operators.Stats.volumeZScores(
         tableArg("volume_z")(es(0)),
         strLit("volume_z", "keyCol")(es(1)),
         strLit("volume_z", "tsCol")(es(2)),
         longLit("volume_z", "periodMs")(es(3))))),
     ("robust_z",
       "robust_z(TABLE(t), idCol, keyCol, metricCol): median/MAD outlier z-scores",
-      es => plan(graft.operators.Stats.robustZScores(
+      4, es => plan(graft.operators.Stats.robustZScores(
         tableArg("robust_z")(es(0)),
         strLit("robust_z", "idCol")(es(1)),
         strLit("robust_z", "keyCol")(es(2)),
         strLit("robust_z", "metricCol")(es(3))))),
     ("transitions",
       "transitions(TABLE(t), userCol, tsCol, typeCol, bucketMs): Markov transition counts",
-      es => plan(graft.operators.Funnel.transitions(
+      5, es => plan(graft.operators.Funnel.transitions(
         tableArg("transitions")(es(0)),
         strLit("transitions", "userCol")(es(1)),
         strLit("transitions", "tsCol")(es(2)),
@@ -161,7 +183,8 @@ object GraftExtensions {
     * on shared sessions). Idempotent — re-registration replaces.
     */
   def registerTableFunctions(spark: SparkSession): Unit =
-    tableFunctions.foreach { case (name, _, builder) =>
-      org.apache.spark.sql.graftx.Bridge.registerTableFunction(spark, name, builder)
+    tableFunctions.foreach { case (name, _, arity, builder) =>
+      org.apache.spark.sql.graftx.Bridge.registerTableFunction(
+        spark, name, checkedArity(name, arity, builder))
     }
 }

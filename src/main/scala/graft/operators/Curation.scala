@@ -63,19 +63,26 @@ object Curation {
       benchmark: DataFrame,
       textCol: String,
       ngramLen: Int,
-      maxBroadcastGrams: Long): DataFrame = {
-    // materialize the slim hash set ONCE (executor-local blocks, 8 bytes a
-    // gram): the size gate and the join share the same computation — the
-    // r12 bench regression (q41 0.35→0.45 s, q69 0.40→0.55 s) was this
-    // explode+distinct running twice, once under the sizing count and
-    // again for the join
-    val grams = benchmark
-      .select(explode(tokenNgrams(col(textCol), ngramLen)).as("gram"))
-      .select(xxhash64(col("gram")).as("_gh"))
-      .distinct()
-      .localCheckpoint(true)
-    if (grams.count() <= maxBroadcastGrams) broadcast(grams)
-    else grams
+      maxBroadcastGrams: Long): DataFrame =
+    gateBroadcast(
+      benchmark
+        .select(explode(tokenNgrams(col(textCol), ngramLen)).as("gram"))
+        .select(xxhash64(col("gram")).as("_gh"))
+        .distinct(),
+      maxBroadcastGrams)
+
+  /** One shared materialization for the gram-set size gate and the join —
+    * the r12 bench regression (q41 0.35→0.45 s, q69 0.40→0.55 s) was the
+    * explode+distinct running twice, once under the sizing count and
+    * again for the join. `persist` rather than `localCheckpoint`: lineage
+    * survives, so an executor loss recomputes lost blocks instead of
+    * failing the decontamination job, and an over-cap eval-suite union
+    * (hundreds of millions of grams) degrades by block eviction +
+    * recompute under storage pressure rather than hard materialization.
+    */
+  private def gateBroadcast(grams: DataFrame, maxBroadcastGrams: Long): DataFrame = {
+    val mat = grams.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    if (mat.count() <= maxBroadcastGrams) broadcast(mat) else mat
   }
 
   /** Largest distinct-benchmark-gram set shipped via the explicit
@@ -152,13 +159,13 @@ object Curation {
       benchCol: String,
       ngramLen: Int = 8,
       maxBroadcastGrams: Long = MaxBroadcastGrams): DataFrame = {
-    val bench = benchmark
-      .select(col(benchCol).as("benchmark"),
-        explode(tokenNgrams(col(textCol), ngramLen)).as("gram"))
-      .select(col("benchmark"), xxhash64(col("gram")).as("_gh"))
-      .distinct()
-      .localCheckpoint(true)
-    val hinted = if (bench.count() <= maxBroadcastGrams) broadcast(bench) else bench
+    val hinted = gateBroadcast(
+      benchmark
+        .select(col(benchCol).as("benchmark"),
+          explode(tokenNgrams(col(textCol), ngramLen)).as("gram"))
+        .select(col("benchmark"), xxhash64(col("gram")).as("_gh"))
+        .distinct(),
+      maxBroadcastGrams)
     val corpusGrams = corpus.select(col(idCol).cast("long").as("id"),
         explode(array_distinct(tokenNgrams(col(textCol), ngramLen))).as("gram"))
       .select(col("id"), xxhash64(col("gram")).as("_gh"))

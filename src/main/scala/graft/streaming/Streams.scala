@@ -112,7 +112,7 @@ object Streams {
 
   case class TransitionEvent(user_id: Long, ts_ms: Long, event_type: String)
   case class TransitionEdge(user_id: Long, from_type: String, to_type: String)
-  case class LastEvent(ts: Long, typ: String)
+  case class LastEvent(typ: String)
 
   /** Streaming twin of [[graft.operators.Funnel.transitions]] — the one
     * event operator of the r12 round without an incremental form. Emits
@@ -121,7 +121,7 @@ object Streams {
     * transition matrix (`groupBy(from_type, to_type).count()` — edges
     * rather than running counts keep the output append-mode composable).
     *
-    * State is ONE row per user: the timeline's last (ts, type) — exactly
+    * State is ONE row per user: the timeline's LAST EVENT TYPE — exactly
     * the `max_by` half of the batch operator's bucket-summary rows, which
     * is all the stitch across micro-batches needs (the batch form's
     * within-bucket windows become the per-micro-batch sort below, bounded
@@ -145,8 +145,7 @@ object Streams {
          state: GroupState[LastEvent]) =>
           val sorted = rows.toSeq.sortBy(e => (e.ts_ms, e.event_type))
           val chain = state.getOption.map(_.typ).toSeq ++ sorted.map(_.event_type)
-          sorted.lastOption.foreach(e =>
-            state.update(LastEvent(e.ts_ms, e.event_type)))
+          sorted.lastOption.foreach(e => state.update(LastEvent(e.event_type)))
           chain.sliding(2).collect {
             case Seq(a, b) => TransitionEdge(userId, a, b)
           }

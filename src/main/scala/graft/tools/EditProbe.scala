@@ -68,12 +68,12 @@ object EditProbe {
     def found(out: DataFrame): Boolean =
       out.filter(col("corpus_id") === plantedId).limit(1).count() == 1L
 
-    val missed = time("unblocked, cap 1000 per (global block, length-bucket)") {
+    val foundUnblocked = time("unblocked, cap 1000 per (global block, length-bucket)") {
       found(graft.operators.Dedup.editDistanceAgainst(
         batch, corpus, "id", "title", maxEdits = 3))
     }
-    println(s"[probe]   twin found: $missed — the cap horizon is per length " +
-      "class (~1000 of ~16,666); a feed THIS size needs the blockCol lever")
+    println(s"[probe]   twin found: $foundUnblocked — the cap horizon is per " +
+      "length class (~1000 of ~16,666); a feed THIS size needs the blockCol lever")
     val blocked = time("blocked on source key (blockCol = blk)") {
       found(graft.operators.Dedup.editDistanceAgainst(
         batch, corpus, "id", "title", maxEdits = 3, blockCol = Some("blk")))
@@ -86,7 +86,7 @@ object EditProbe {
     }
     val indexed = time("EditIndex.dedupBatch") { found(idx.dedupBatch(batch, "id", "title")) }
     println(s"[probe]   twin found: $indexed")
-    require(!missed && blocked && indexed,
+    require(!foundUnblocked && blocked && indexed,
       "expected: capped-unblocked misses the horizon; blocked operator and index both recall")
     spark.stop()
   }

@@ -77,6 +77,23 @@ class GraftExtensionsSpec extends AnyFunSuite {
         .as[(String, String, Long)].collect().toSet
       assert(tr == Set(("a", "b", 1L), ("b", "a", 1L)),
         "user 1's timeline a->b->a; user 2 has no adjacency")
+      // loud failures: wrong arity, and a TABLE-arg spec that would
+      // otherwise be silently dropped
+      val arityErr = intercept[Exception] {
+        spark.sql(
+          "SELECT * FROM sessionize(TABLE(ext_events), 'user_id', 'ts_ms', 'value')")
+          .collect()
+      }
+      assert(arityErr.getMessage.contains("expects 5 arguments"),
+        s"got: ${arityErr.getMessage}")
+      val specErr = intercept[Exception] {
+        spark.sql(
+          """SELECT * FROM transitions(TABLE(ext_events) PARTITION BY (user_id),
+            |  'user_id', 'ts_ms', 'event_type', 3600000)""".stripMargin)
+          .collect()
+      }
+      assert(specErr.getMessage.contains("not supported"),
+        s"got: ${specErr.getMessage}")
     } finally {
       // do not stop(): the SparkContext is shared with the suite session
       prior.foreach { p =>
