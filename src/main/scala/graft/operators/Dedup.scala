@@ -924,7 +924,10 @@ object Dedup {
     * Scale shape: group ids ride [[dedupGroups]]' components unchanged;
     * the argmax is a `max_by` over a (score, -id) struct — partial
     * aggregation, one slim (group, best) row per cluster joined back by
-    * group id. No window, no per-cluster sort.
+    * group id. No window, no per-cluster sort. A NULL score never wins
+    * while any scored member exists (it compares as -Inf), and an
+    * all-NULL cluster falls back to the lowest id — every cluster always
+    * has exactly one representative.
     */
   def bestPerGroup(
       df: DataFrame,
@@ -938,8 +941,12 @@ object Dedup {
     val best = scored.groupBy(col("group_id"))
       // highest score wins; the negated id breaks ties toward the LOWEST
       // id (ids are unique, so the struct ordering is total — max_by is
-      // deterministic here)
-      .agg(max_by(col("id"), struct(col("score"), -col("id"))).as("_best"))
+      // deterministic here). NULL scores coalesce to -Inf INSIDE the
+      // ordering only: max_by skips rows whose ordering is NULL, so an
+      // all-NULL cluster would otherwise get NO representative at all
+      .agg(max_by(col("id"),
+        struct(coalesce(col("score"), lit(Double.NegativeInfinity)),
+          -col("id"))).as("_best"))
     scored.join(best, Seq("group_id"))
       .select(col("id"), col("group_id"), col("score"),
         (col("id") === col("_best")).as("is_representative"))

@@ -134,6 +134,13 @@ object Streams {
     * EARLIER timestamp chains onto the state's last event rather than
     * splicing into history (chop the stream in ts order when the exact
     * batch identity matters).
+    *
+    * State never expires by design: it is one short string per EVER-SEEN
+    * user (a billion-user store is tens of GB spread across the
+    * cluster's state backend), and expiring it would silently drop one
+    * edge each time an idle user returns — if that trade is wanted,
+    * bound the key space upstream (e.g. sessionized or time-bucketed
+    * user keys) rather than inside the operator.
     */
   def transitionsStream(
       events: Dataset[TransitionEvent]): Dataset[TransitionEdge] = {

@@ -242,6 +242,15 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
       (4L, 4L, true), (5L, 5L, true), (6L, 5L, false)),
       s"got ${out.toSeq}")
     assert(out.count(_._4) == 3, "one representative per cluster")
+    // NULL scores: never beat a scored member; an all-NULL cluster still
+    // gets exactly one representative (lowest id)
+    val nulls = Seq((1L, Some(2.0)), (2L, None), (7L, None), (8L, None))
+      .toDF("doc_id", "q")
+    val nOut = Dedup.bestPerGroup(nulls,
+        Seq((1L, 2L), (7L, 8L)).toDF("id_a", "id_b"), "doc_id", "q")
+      .as[(Long, Long, Option[Double], Boolean)].collect().sortBy(_._1)
+    assert(nOut.map(r => (r._1, r._4)).toSeq ==
+      Seq((1L, true), (2L, false), (7L, true), (8L, false)), s"got ${nOut.toSeq}")
   }
 
   test("duplicationWeights: soft dedup sums to the deduplicated size") {
