@@ -2161,6 +2161,18 @@ object SparkEntry {
         .toDF("media_id", "frame_index", "ts_ms", "n_bytes", "byte_sum")
     }),
 
+    // Contaminated-span extraction (Curation.contaminatedSpans): WHERE
+    // the benchmark overlap sits in each document — maximal runs of
+    // covered token positions via the pos - row_number island key, exact
+    // integer arithmetic end to end. Same q127 split + 3-gram surface.
+    "q130_contam_spans" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      operators.Curation.contaminatedSpans(
+        docs.filter(col("doc_id") % 50 =!= 0),
+        docs.filter(col("doc_id") % 50 === 0),
+        "doc_id", "text", ngramLen = 3)
+    }),
+
     // First-order Markov transition counts (Funnel.transitions): how
     // often event type A immediately precedes B per user timeline. The
     // operator runs the bucket-stitched shape (1 h buckets — window tasks
@@ -4787,6 +4799,33 @@ object SparkEntry {
         |FROM sized s, range(0, 64) j
         |WHERE j.range < s.len
         |GROUP BY s.id, s.si, s.ts, s.len""".stripMargin,
+
+    // Gaps-and-islands over the covered-position set: positions from
+    // matched 3-grams (start p covers p, p+1, p+2, 0-based), islands via
+    // pos - row_number per doc.
+    "q130_contam_spans" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents WHERE doc_id % 50 <> 0),
+        |bench AS (
+        |  SELECT string_split(text, ' ') AS t FROM documents WHERE doc_id % 50 = 0),
+        |bgrams AS (
+        |  SELECT DISTINCT array_to_string(t[i:i+2], ' ') AS gram
+        |  FROM bench, UNNEST(generate_series(1, len(t) - 2)) AS u(i)),
+        |cgrams AS (
+        |  SELECT doc_id, i - 1 AS p, array_to_string(t[i:i+2], ' ') AS gram
+        |  FROM corpus, UNNEST(generate_series(1, len(t) - 2)) AS u(i)),
+        |covered AS (
+        |  SELECT DISTINCT c.doc_id, c.p + d.range AS q
+        |  FROM cgrams c JOIN bgrams b USING (gram), range(0, 3) d),
+        |isl AS (
+        |  SELECT doc_id, q,
+        |    q - row_number() OVER (PARTITION BY doc_id ORDER BY q) AS grp
+        |  FROM covered)
+        |SELECT CAST(doc_id AS BIGINT) AS id,
+        |  CAST(min(q) AS BIGINT) AS span_start,
+        |  CAST(max(q) AS BIGINT) AS span_end,
+        |  CAST(count(*) AS BIGINT) AS span_tokens
+        |FROM isl GROUP BY doc_id, grp""".stripMargin,
 
     // q126 = q119 reached through the SQL TVF surface; same twin.
     "q126_sql_tvf" ->

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.catalyst
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graftx.Bridge
 
@@ -223,6 +224,50 @@ object Curation {
           col("n_contaminated").cast("double") / col("n_tokens").cast("double"))
           .otherwise(lit(0.0)))
       .withColumn("skip", col("contaminated_frac") > maxFrac)
+  }
+
+  /** Contaminated SPAN extraction — the decontamination family's audit
+    * drill-down: not just how much of a document overlaps the benchmark
+    * ([[decontaminateFraction]]) but WHERE — each maximal run of
+    * benchmark-covered token positions as one row (id, span_start,
+    * span_end, span_tokens), 0-based inclusive token positions. The
+    * "show me the leaked passage" report a human reviews before deciding
+    * a drop rule, and the cut list a span-level redaction step consumes.
+    *
+    * Spans are gaps-and-islands over the covered-position set: a matched
+    * gram at position p covers tokens p..p+n-1, overlapping matches
+    * merge (distinct positions), and consecutive positions chain into
+    * one span (`pos - row_number` island key — exact integer arithmetic,
+    * so an external engine replays the exact spans).
+    *
+    * Scale shape, the [[decontaminateFraction]] skeleton: hashed +
+    * size-gated benchmark grams, one positional corpus scan, and only
+    * MATCHED positions (hit-sized, not corpus-sized) reach the
+    * island window, which partitions per doc.
+    */
+  def contaminatedSpans(
+      corpus: DataFrame,
+      benchmark: DataFrame,
+      idCol: String,
+      textCol: String,
+      ngramLen: Int = 8,
+      maxBroadcastGrams: Long = MaxBroadcastGrams): DataFrame = {
+    val benchGrams = benchGramHashes(benchmark, textCol, ngramLen, maxBroadcastGrams)
+    val grams = corpus.select(col(idCol).cast("long").as("id"),
+        posexplode(tokenNgrams(col(textCol), ngramLen)).as(Seq("_p", "gram")))
+      .select(col("id"), col("_p"), xxhash64(col("gram")).as("_gh"))
+    val covered = grams.join(benchGrams, Seq("_gh"))
+      .select(col("id"),
+        explode(sequence(col("_p"), col("_p") + (ngramLen - 1))).as("_q"))
+      .distinct()
+    val w = Window.partitionBy(col("id")).orderBy(col("_q"))
+    covered
+      .withColumn("_isl", col("_q").cast("long") - row_number().over(w))
+      .groupBy(col("id"), col("_isl"))
+      .agg(min(col("_q")).cast("long").as("span_start"),
+        max(col("_q")).cast("long").as("span_end"),
+        count(lit(1)).as("span_tokens"))
+      .select(col("id"), col("span_start"), col("span_end"), col("span_tokens"))
   }
 
   /** Knuth multiplicative hash of an id — semantically

@@ -330,4 +330,20 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
     assert(winLines.nonEmpty && winLines.forall(_.contains("key")),
       s"windows must partition by key over the histogram:\n${winLines.mkString("\n")}")
   }
+
+  test("fleet-wide: no query in the whole SparkEntry surface plans a CartesianProduct") {
+    // Every crossJoin in the engine is broadcast()-bounded (query vectors,
+    // 1-row aggregates, centroid/cut tables), which plans as
+    // BroadcastNestedLoopJoin; an UNBOUNDED CartesianProduct anywhere is a
+    // silent corpus² term at 100 TB. Sweep the full 129-query surface —
+    // sparkPlan only (no execution of the final query), so the sweep costs
+    // planning time plus the builder side effects the contract queries
+    // already pay in every spec run.
+    val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { q =>
+      val p = SparkEntry.queries(q)(spark, sf).queryExecution.sparkPlan.toString()
+      if (p.contains("CartesianProduct")) Some(q) else None
+    }
+    assert(offenders.isEmpty,
+      s"queries planning an unbounded product: ${offenders.mkString(", ")}")
+  }
 }

@@ -83,6 +83,25 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
     assert(out.filter(_._2 == "evalA").map(r => (r._1, r._3)) == solo)
   }
 
+  test("contaminatedSpans: overlapping matches merge into maximal islands") {
+    // corpus doc 1 tokens: [we said the quick brown fox jumps over the lazy dog today]
+    //                        0   1   2    3     4    5    6    7   8   9   10   11
+    // bench 4-grams cover "the quick brown fox" (2..5) and "over the lazy dog"
+    // (7..10); gram matches at p=2,3 overlap and merge into span 2..6
+    val corpus = Seq(
+      (1L, "we said the quick brown fox jumps over the lazy dog today"),
+      (2L, "completely unrelated text with no overlap at all here")
+    ).toDF("id", "text")
+    val bench = Seq((100L, "xx the quick brown fox jumps yy over the lazy dog zz"))
+      .toDF("id", "text")
+    val out = Curation.contaminatedSpans(corpus, bench, "id", "text", ngramLen = 4)
+      .as[(Long, Long, Long, Long)].collect().sortBy(r => (r._1, r._2))
+    // bench 4-grams include "the quick brown fox", "quick brown fox jumps",
+    // "over the lazy dog" -> doc 1 matches at p=2,3 (covering 2..6) and p=7
+    // (covering 7..10): positions 2..10 chain into ONE maximal span
+    assert(out.toSeq == Seq((1L, 2L, 10L, 9L)), s"got ${out.toSeq}")
+  }
+
   test("decontaminate: gram broadcast hint is size-gated; fallback matches exactly") {
     val corpus = Seq(
       (1L, "the quick brown fox jumps over the lazy dog today"),
