@@ -2173,6 +2173,19 @@ object SparkEntry {
         "doc_id", "text", ngramLen = 3)
     }),
 
+    // Span redaction (Curation.redactSpans): q130's spans CUT out of the
+    // text — the decontamination family's act step. Clean docs pass
+    // through byte-identical; the twin rebuilds each redacted text from
+    // the same covered-position set with an index filter.
+    "q131_redact_spans" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val corpus = docs.filter(col("doc_id") % 50 =!= 0)
+      val spans = operators.Curation.contaminatedSpans(
+        corpus, docs.filter(col("doc_id") % 50 === 0),
+        "doc_id", "text", ngramLen = 3)
+      operators.Curation.redactSpans(corpus, spans, "doc_id", "text")
+    }),
+
     // First-order Markov transition counts (Funnel.transitions): how
     // often event type A immediately precedes B per user timeline. The
     // operator runs the bucket-stitched shape (1 h buckets — window tasks
@@ -4826,6 +4839,35 @@ object SparkEntry {
         |  CAST(max(q) AS BIGINT) AS span_end,
         |  CAST(count(*) AS BIGINT) AS span_tokens
         |FROM isl GROUP BY doc_id, grp""".stripMargin,
+
+    // Rebuilds each redacted text from the q130 covered-position set:
+    // tokens whose 0-based index is NOT covered, rejoined on single
+    // spaces (string_split keeps empty tokens in both engines, so
+    // multi-space originals round-trip identically).
+    "q131_redact_spans" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text, string_split(text, ' ') AS t
+        |  FROM documents WHERE doc_id % 50 <> 0),
+        |bench AS (
+        |  SELECT string_split(text, ' ') AS t FROM documents WHERE doc_id % 50 = 0),
+        |bgrams AS (
+        |  SELECT DISTINCT array_to_string(t[i:i+2], ' ') AS gram
+        |  FROM bench, UNNEST(generate_series(1, len(t) - 2)) AS u(i)),
+        |cgrams AS (
+        |  SELECT doc_id, i - 1 AS p, array_to_string(t[i:i+2], ' ') AS gram
+        |  FROM corpus, UNNEST(generate_series(1, len(t) - 2)) AS u(i)),
+        |covered AS (
+        |  SELECT DISTINCT c.doc_id, c.p + d.range AS q
+        |  FROM cgrams c JOIN bgrams b USING (gram), range(0, 3) d),
+        |cov AS (SELECT doc_id, list(q) AS qs FROM covered GROUP BY doc_id)
+        |SELECT CAST(c.doc_id AS BIGINT) AS id,
+        |  CASE WHEN v.qs IS NULL THEN c.text
+        |    ELSE array_to_string(list_transform(
+        |      list_filter(range(0, len(c.t)), i -> NOT list_contains(v.qs, i)),
+        |      i -> c.t[i + 1]), ' ') END AS redacted_text,
+        |  CAST(CASE WHEN v.qs IS NULL THEN 0 ELSE len(v.qs) END AS BIGINT)
+        |    AS n_redacted
+        |FROM corpus c LEFT JOIN cov v ON v.doc_id = c.doc_id""".stripMargin,
 
     // q126 = q119 reached through the SQL TVF surface; same twin.
     "q126_sql_tvf" ->

@@ -270,6 +270,47 @@ object Curation {
       .select(col("id"), col("span_start"), col("span_end"), col("span_tokens"))
   }
 
+  /** Span REDACTION — the ACT step after [[contaminatedSpans]]' report:
+    * cut every token inside a span out of the text, keeping the clean
+    * remainder (the surgical alternative to dropping a whole document
+    * over one leaked passage). `spans` is any (id, span_start, span_end)
+    * frame — [[contaminatedSpans]]' output, a human-reviewed subset of
+    * it, or PII spans from another detector. Output: (id, redacted_text,
+    * n_redacted BIGINT), one row per CORPUS row; docs without spans pass
+    * through byte-identical (left join), fully-covered docs come out
+    * empty.
+    *
+    * Scale shape: the only shuffle is the per-doc span-list aggregation
+    * and its join onto the corpus — span-sized, not token-sized; the cut
+    * itself is one per-row index-aware higher-order filter (codegen-free
+    * but per-row bounded), so corpus text never shuffles.
+    */
+  def redactSpans(
+      corpus: DataFrame,
+      spans: DataFrame,
+      idCol: String,
+      textCol: String): DataFrame = {
+    val spanList = spans
+      .select(col("id").cast("long").as("id"),
+        struct(col("span_start").cast("long").as("s"),
+          col("span_end").cast("long").as("e")).as("_sp"))
+      .groupBy(col("id")).agg(collect_list(col("_sp")).as("_spans"))
+    val inSpan = (i: Column) =>
+      exists(col("_spans"), s => i >= s("s") && i <= s("e"))
+    corpus.select(col(idCol).cast("long").as("id"), col(textCol).as("_text"))
+      .join(spanList, Seq("id"), "left")
+      .withColumn("_toks", spaceTokens(col("_text")))
+      .select(col("id"),
+        when(col("_spans").isNull, col("_text"))
+          .otherwise(array_join(
+            filter(col("_toks"), (tok, i) => !inSpan(i.cast("long"))), " "))
+          .as("redacted_text"),
+        when(col("_spans").isNull, lit(0L))
+          .otherwise(size(filter(col("_toks"),
+            (tok, i) => inSpan(i.cast("long")))).cast("long"))
+          .as("n_redacted"))
+  }
+
   /** Knuth multiplicative hash of an id — semantically
     * `((id mod 2^32) * 2654435761) mod 2^32`, computed WITHOUT overflow by
     * splitting the folded id into 16-bit halves (a naive Long multiply

@@ -102,6 +102,22 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
     assert(out.toSeq == Seq((1L, 2L, 10L, 9L)), s"got ${out.toSeq}")
   }
 
+  test("redactSpans cuts exactly the spanned tokens; clean docs byte-identical") {
+    val corpus = Seq(
+      (1L, "a b c d e f g"),
+      (2L, "untouched text here"),
+      (3L, "x y z")).toDF("id", "text")
+    val spans = Seq((1L, 1L, 2L), (1L, 5L, 5L), (3L, 0L, 2L))
+      .toDF("id", "span_start", "span_end")
+    val out = Curation.redactSpans(corpus, spans, "id", "text")
+      .as[(Long, String, Long)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq(
+      (1L, "a d e g", 3L),       // cut b,c (1-2) and f (5)
+      (2L, "untouched text here", 0L),
+      (3L, "", 3L)),             // fully covered
+      s"got ${out.toSeq}")
+  }
+
   test("decontaminate: gram broadcast hint is size-gated; fallback matches exactly") {
     val corpus = Seq(
       (1L, "the quick brown fox jumps over the lazy dog today"),
