@@ -2186,6 +2186,37 @@ object SparkEntry {
       operators.Curation.redactSpans(corpus, spans, "doc_id", "text")
     }),
 
+    // Video near-dup by frame-set Jaccard (Multimodal
+    // .videoFrameFingerprints -> videoNearDupPairs) — the multimodal
+    // family's first CROSS-document operator under the oracle: 40
+    // synthetic AVIs through the real demux (frame g's payload bytes
+    // depend only on g = 2*id + f, so consecutive videos genuinely share
+    // frame content), each carrying a COMMON stop-frame (g = 999) that
+    // maxVideosPerFp = 20 < 40 DROPS from the kept universe — locking
+    // the cap semantics, not just the overlap join. Only (id, xxhash64)
+    // longs reach the exchanges (plan-guarded); the twin replays
+    // membership, the df-cap filter, set sizes, and the Jaccard in exact
+    // integer SQL (frame identity = generator identity: distinct g give
+    // distinct bytes because 131 is invertible mod 256 and g < 256).
+    "q132_video_neardup" -> ((s, dir) => {
+      import s.implicits._
+      val rows = (0L until 40L).map { id =>
+        val n = 6 + (id % 5).toInt
+        val frames = (0 until n).map { f =>
+          val g = id * 2 + f
+          Array.tabulate(40 + (g % 9).toInt)(j =>
+            ((g * 131 + j.toLong * 7) % 256).toByte)
+        } :+ Array.tabulate(40)(j => ((999L * 131 + j.toLong * 7) % 256).toByte)
+        multimodal.Multimodal.MediaRow(id, "video",
+          multimodal.VideoCodec.encodeAviMjpeg(50000L, frames),
+          multimodal.Multimodal.MediaMeta(0, 0, "avi", (n + 1) * 50L))
+      }
+      val fps = multimodal.Multimodal.videoFrameFingerprints(
+        s.createDataset(rows).repartition(4), everyMs = 50L)
+      multimodal.Multimodal.videoNearDupPairs(fps,
+        minJaccard = 0.2, maxVideosPerFp = 20)
+    }),
+
     // First-order Markov transition counts (Funnel.transitions): how
     // often event type A immediately precedes B per user timeline. The
     // operator runs the bucket-stitched shape (1 h buckets — window tasks
@@ -4868,6 +4899,30 @@ object SparkEntry {
         |  CAST(CASE WHEN v.qs IS NULL THEN 0 ELSE len(v.qs) END AS BIGINT)
         |    AS n_redacted
         |FROM corpus c LEFT JOIN cov v ON v.doc_id = c.doc_id""".stripMargin,
+
+    // Replays q132's generative frame membership (video id carries frames
+    // g = 2*id + f for f < 6 + id%5, plus the common stop-frame 999),
+    // the df-cap drop (c <= 20 — the stop-frame appears in 40 videos and
+    // is removed), kept-universe set sizes, and the Jaccard filter.
+    "q132_video_neardup" ->
+      """WITH v AS (SELECT range AS id, 6 + range % 5 AS n FROM range(40)),
+        |m AS (
+        |  SELECT v.id, v.id * 2 + f.range AS g
+        |  FROM v, range(0, 10) f WHERE f.range < v.n
+        |  UNION ALL SELECT id, 999 FROM v),
+        |df AS (SELECT g, count(*) AS c FROM m GROUP BY g),
+        |kept AS (SELECT m.id, m.g FROM m JOIN df USING (g) WHERE df.c <= 20),
+        |sz AS (SELECT id, count(*) AS n FROM kept GROUP BY id),
+        |pr AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS shared
+        |       FROM kept a JOIN kept b ON a.g = b.g AND a.id < b.id
+        |       GROUP BY 1, 2)
+        |SELECT CAST(pr.id_a AS BIGINT) AS id_a,
+        |  CAST(pr.id_b AS BIGINT) AS id_b,
+        |  CAST(shared AS BIGINT) AS shared,
+        |  CAST(sa.n AS BIGINT) AS size_a, CAST(sb.n AS BIGINT) AS size_b,
+        |  CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) AS jaccard
+        |FROM pr JOIN sz sa ON sa.id = pr.id_a JOIN sz sb ON sb.id = pr.id_b
+        |WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) >= 0.2""".stripMargin,
 
     // q126 = q119 reached through the SQL TVF surface; same twin.
     "q126_sql_tvf" ->

@@ -224,6 +224,90 @@ object Multimodal {
     graft.operators.Dedup.nearDupPairsHamming64(
       imageDHash(media), "media_id", "fp", maxHamming, nBands, maxBucketSize)
 
+  /** Per-video frame-fingerprint sets: (media_id, fp) DISTINCT rows, one
+    * fingerprint per distinct sampled frame. `perceptual = false` (default)
+    * fingerprints the raw payload bytes (xxhash64, codegen'd) — exact
+    * frame-content identity, the first-pass video dedup signal (re-muxed
+    * copies of the same stream share every fp). `perceptual = true` decodes
+    * each frame with [[ImageCodec]] and takes its 64-bit dHash — re-encoded
+    * frames (same pixels, different bytes) collide as in [[imageDHash]];
+    * frames no JVM codec decodes are dropped.
+    *
+    * Scale shape: demux + fingerprint run partition-local where the video
+    * bytes live; only (media_id, fp) longs ever reach the distinct
+    * exchange — frame payloads never shuffle (plan-guarded).
+    */
+  def videoFrameFingerprints(
+      media: Dataset[MediaRow],
+      everyMs: Long,
+      perceptual: Boolean = false): DataFrame = {
+    import media.sparkSession.implicits._
+    val frames = sampleFrames(media, everyMs)
+    val withFp =
+      if (perceptual)
+        frames.flatMap { fr =>
+          if (ImageCodec.canDecode(fr.frame_bytes))
+            Some((fr.media_id, ImageCodec.dHash(ImageCodec.decode(fr.frame_bytes))))
+          else None
+        }.toDF("media_id", "fp")
+      else
+        frames.toDF().select(col("media_id"),
+          xxhash64(col("frame_bytes")).as("fp"))
+    withFp.distinct()
+  }
+
+  /** Video near-duplicate pairs by frame-set overlap: two videos are
+    * near-dups when the Jaccard similarity of their sampled-frame
+    * fingerprint sets reaches `minJaccard` — the standard first pass for
+    * video dedup in a multimodal training corpus (re-uploads, trims, and
+    * re-muxes share most frames; unrelated videos share none).
+    *
+    * Output: (id_a, id_b, shared, size_a, size_b, jaccard DOUBLE) with
+    * id_a < id_b, jaccard >= minJaccard.
+    *
+    * Scale shape — the [[graft.operators.Dedup.sourceOverlap]] discipline:
+    * fingerprints appearing in more than `maxVideosPerFp` videos are
+    * DROPPED before the pair join (stop-frames: black frames, station
+    * idents, intro cards — precisely the frames that would both blow up
+    * the pairwise term and carry no dedup signal; symmetric, no id bias).
+    * Set sizes are counted over the kept universe, so the Jaccard stays
+    * consistent with its own candidate generation. Only (fp, id) longs
+    * shuffle; the pairwise term is bounded by maxVideosPerFp² per
+    * fingerprint.
+    */
+  def videoNearDupPairs(
+      fps: DataFrame,
+      idCol: String = "media_id",
+      fpCol: String = "fp",
+      minJaccard: Double = 0.5,
+      maxVideosPerFp: Int = 1000): DataFrame = {
+    require(minJaccard >= 0.0 && minJaccard <= 1.0,
+      s"minJaccard must be in [0, 1], got $minJaccard")
+    require(maxVideosPerFp >= 2,
+      s"maxVideosPerFp must be >= 2 (pairs need two videos), got $maxVideosPerFp")
+    val sets = fps.select(col(idCol).cast("long").as("id"),
+      col(fpCol).cast("long").as("h")).distinct()
+    val kept =
+      if (maxVideosPerFp == Int.MaxValue) sets
+      else sets.join(
+        sets.groupBy(col("h")).agg(count(lit(1)).as("_nv"))
+          .filter(col("_nv") <= maxVideosPerFp).select(col("h")),
+        Seq("h"))
+    val sizes = kept.groupBy(col("id")).agg(count(lit(1)).as("n"))
+    val shared = kept.as("a")
+      .join(kept.as("b"), col("a.h") === col("b.h") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("shared"))
+    shared
+      .join(sizes.select(col("id").as("id_a"), col("n").as("size_a")), Seq("id_a"))
+      .join(sizes.select(col("id").as("id_b"), col("n").as("size_b")), Seq("id_b"))
+      .withColumn("jaccard", col("shared").cast("double") /
+        (col("size_a") + col("size_b") - col("shared")))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("id_a"), col("id_b"), col("shared"),
+        col("size_a"), col("size_b"), col("jaccard"))
+  }
+
   /** Feature table as a store-ready DataFrame (vector + meta) so multimodal
     * features flow straight into the kNN/ANN/dedup operators. Meta values use
     * the TypedMeta encoding (media_id stays an INT under typed filters).

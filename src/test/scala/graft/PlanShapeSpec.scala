@@ -331,11 +331,27 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
       s"windows must partition by key over the histogram:\n${winLines.mkString("\n")}")
   }
 
+  test("q132: video near-dup shuffles only fingerprint longs — frame bytes " +
+    "never ride an exchange") {
+    val p = plan("q132_video_neardup")
+    assert(!p.contains("CartesianProduct"),
+      s"frame-overlap join must not degrade to a product:\n$p")
+    // demux + xxhash64 run partition-local before the distinct exchange;
+    // every exchange row is (id, fp) longs — a binary column on any
+    // exchange means frame payloads are being shuffled
+    val exchanges = p.split("\\n").filter(_.contains("Exchange"))
+    assert(exchanges.nonEmpty, s"expected shuffles in:\n$p")
+    assert(!exchanges.exists(l => l.contains("frame_bytes") || l.contains("bytes")),
+      s"frame payloads must not ride an exchange:\n${exchanges.mkString("\n")}")
+    assert(p.contains("partial_count"),
+      s"df-cap and set-size counts must partial-aggregate map-side:\n$p")
+  }
+
   test("fleet-wide: no query in the whole SparkEntry surface plans a CartesianProduct") {
     // Every crossJoin in the engine is broadcast()-bounded (query vectors,
     // 1-row aggregates, centroid/cut tables), which plans as
     // BroadcastNestedLoopJoin; an UNBOUNDED CartesianProduct anywhere is a
-    // silent corpus² term at 100 TB. Sweep the full 129-query surface —
+    // silent corpus² term at 100 TB. Sweep the full query surface —
     // sparkPlan only (no execution of the final query), so the sweep costs
     // planning time plus the builder side effects the contract queries
     // already pay in every spec run.

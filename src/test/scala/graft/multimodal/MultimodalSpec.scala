@@ -65,6 +65,69 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
       typedFilter = Map("media_id" -> "0")).isEmpty)
   }
 
+  test("videoNearDupPairs: frame-set Jaccard finds overlapping videos, " +
+    "stop-frames dropped by the cap") {
+    // global frame pool: frame g's bytes depend only on g; video v carries
+    // frames {2v .. 2v+5} plus a COMMON "black frame" (g = 999) — consecutive
+    // videos share 4 of 6 regular frames, videos >= 3 apart share none
+    def frameBytes(g: Long): Array[Byte] =
+      Array.tabulate(40 + (g % 9).toInt)(j => ((g * 131 + j * 7) % 256).toByte)
+    val vids = (0L until 10L).map { v =>
+      val frames = (0 until 6).map(f => frameBytes(2 * v + f)) :+ frameBytes(999L)
+      Multimodal.MediaRow(v, "video",
+        VideoCodec.encodeAviMjpeg(50000L, frames),
+        Multimodal.MediaMeta(0, 0, "avi", 7 * 50L))
+    }
+    val media = spark.createDataset(vids).repartition(3)
+    val fps = Multimodal.videoFrameFingerprints(media, everyMs = 50L)
+    // 10 videos x 7 distinct frames; the common frame is ONE fp across all
+    assert(fps.count() == 70)
+    assert(fps.groupBy("fp").count().filter($"count" === 10).count() == 1)
+
+    // cap 5 < 10 drops the common frame from the kept universe entirely:
+    // sizes become 6 and only genuine content overlap pairs survive
+    val pairs = Multimodal.videoNearDupPairs(fps, minJaccard = 0.2,
+        maxVideosPerFp = 5)
+      .as[(Long, Long, Long, Long, Long, Double)].collect().sorted
+    assert(pairs.forall(p => p._4 == 6 && p._5 == 6))
+    // adjacent videos: shared 4, jaccard 4/8 = 0.5; distance 2: 2/10 = 0.2
+    val expected = (0L until 9L).map(v => (v, v + 1, 4L, 0.5)) ++
+      (0L until 8L).map(v => (v, v + 2, 2L, 0.2))
+    assert(pairs.map(p => (p._1, p._2, p._3, p._6)).toSet == expected.toSet,
+      s"got ${pairs.mkString(", ")}")
+
+    // without the cap, the shared stop-frame links EVERY pair of videos
+    val uncapped = Multimodal.videoNearDupPairs(fps, minJaccard = 0.01)
+    assert(uncapped.count() == 45)
+  }
+
+  test("videoFrameFingerprints perceptual: re-encoded frames share a dHash") {
+    def noiseImage(seed: Int): ImageCodec.RawImage = {
+      val rnd = new java.util.Random(seed.toLong)
+      val rgb = new Array[Byte](32 * 32 * 3)
+      rnd.nextBytes(rgb)
+      ImageCodec.RawImage(32, 32, rgb)
+    }
+    // same three pixel-frames, one video PPM-encoded, the other PNG-encoded
+    val asPpm = (0 until 3).map(i => ImageCodec.encodePpm(noiseImage(i)))
+    val asPng = (0 until 3).map(i => ImageCodec.encodePng(noiseImage(i)))
+    val media = spark.createDataset(Seq(
+      Multimodal.MediaRow(1L, "video", VideoCodec.encodeAviMjpeg(50000L, asPpm),
+        Multimodal.MediaMeta(0, 0, "avi", 150L)),
+      Multimodal.MediaRow(2L, "video", VideoCodec.encodeAviMjpeg(50000L, asPng),
+        Multimodal.MediaMeta(0, 0, "avi", 150L))))
+    // content hashes disagree (different bytes) -> no pair
+    val exact = Multimodal.videoNearDupPairs(
+      Multimodal.videoFrameFingerprints(media, 50L), minJaccard = 0.5)
+    assert(exact.isEmpty)
+    // perceptual dHashes agree (same pixels) -> full-overlap pair
+    val perc = Multimodal.videoNearDupPairs(
+      Multimodal.videoFrameFingerprints(media, 50L, perceptual = true),
+      minJaccard = 0.5)
+      .as[(Long, Long, Long, Long, Long, Double)].collect()
+    assert(perc.toSeq == Seq((1L, 2L, 3L, 3L, 3L, 1.0)), s"got ${perc.toSeq}")
+  }
+
   test("imageNearDupPairs pairs re-encoded copies, ignores unrelated images") {
     // 10 distinct deterministic-noise images as PPM; the first 5 duplicated
     // as PNG re-encodings (different bytes, same pixels -> same dHash)
