@@ -2217,6 +2217,51 @@ object SparkEntry {
         minJaccard = 0.2, maxVideosPerFp = 20)
     }),
 
+    // Video ONLINE ingest (Streams.ingestVideoStream -> VideoIndex
+    // .ingestBatch) — the eighth ingest family's accepted-walk contract
+    // under the oracle: corpus videos v=0..19 hold frames {5v..5v+4};
+    // streamed batch video 100+x holds frames {5m..5m+4} (x even) or
+    // {5m+2..5m+6} (x odd) with m = x/2 + 10 — so x < 20 matches the
+    // corpus (exact copy when even, jaccard 3/7 when odd), odd x >= 21
+    // is a 3/7 near-dup of its kept even twin (within-batch sweep), and
+    // even x >= 20 survives. minJaccard = 0.4 sits between 3/7 and the
+    // 2/8 adjacent-set overlap. The twin replays generative membership,
+    // both match sides, and the ascending-id accepted walk (the q123
+    // partner-list recursion).
+    "q133_video_ingest" -> ((s, dir) => {
+      import s.implicits._
+      def fb(g: Long): Array[Byte] =
+        Array.tabulate(40 + (g % 9).toInt)(j => ((g * 131 + j.toLong * 7) % 256).toByte)
+      def vid(id: Long, g0: Long): multimodal.Multimodal.MediaRow =
+        multimodal.Multimodal.MediaRow(id, "video",
+          multimodal.VideoCodec.encodeAviMjpeg(
+            50000L, (0 until 5).map(f => fb(g0 + f))),
+          multimodal.Multimodal.MediaMeta(0, 0, "avi", 250L))
+      val corpus = s.createDataset((0L until 20L).map(v => vid(v, 5 * v)))
+      val idx = multimodal.VideoIndex.build(corpus,
+        tempIndexDir("graft_q133_idx"), everyMs = 50L, minJaccard = 0.4)
+      val batch = s.createDataset((0L until 40L).map { x =>
+        val m = x / 2 + 10
+        vid(100 + x, 5 * m + (if (x % 2 == 1) 2 else 0))
+      })
+      val dropDir = tempIndexDir("graft_q133_feed")
+      batch.toDF().write.mode("overwrite").parquet(dropDir)
+      val src = s.readStream
+        .schema(batch.toDF().schema)
+        .parquet(dropDir)
+      val keptIds = new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Long]()
+      val q = streaming.Streams.ingestVideoStream(src, idx,
+        onBatch = (kept, _) => kept.select(col("media_id")).collect()
+          .foreach(r => keptIds.add(r.getLong(0))))
+      try q.processAllAvailable() finally q.stop()
+      import scala.jdk.CollectionConverters._
+      val keptDf = keptIds.asScala.map(_.longValue).toSeq.toDF("media_id")
+        .withColumn("kept", lit(true))
+      batch.toDF().select(col("media_id"))
+        .join(keptDf, Seq("media_id"), "left")
+        .select(col("media_id"), coalesce(col("kept"), lit(false)).as("kept"))
+    }),
+
     // First-order Markov transition counts (Funnel.transitions): how
     // often event type A immediately precedes B per user timeline. The
     // operator runs the bucket-stitched shape (1 h buckets — window tasks
@@ -4923,6 +4968,49 @@ object SparkEntry {
         |  CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) AS jaccard
         |FROM pr JOIN sz sa ON sa.id = pr.id_a JOIN sz sb ON sb.id = pr.id_b
         |WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) >= 0.2""".stripMargin,
+
+    // Generative frame membership (5-frame sets, sizes always 5) + both
+    // match sides + the ascending-id accepted walk (q123's partner-list
+    // recursion: matched-by-corpus always drops; a batch video drops iff
+    // near-dup of a KEPT lower-id one).
+    "q133_video_ingest" ->
+      """WITH RECURSIVE
+        |bm AS (SELECT range AS x, range // 2 + 10 AS m, range % 2 AS odd
+        |       FROM range(40)),
+        |bf AS MATERIALIZED (
+        |  SELECT x, 5 * m + (CASE WHEN odd = 1 THEN 2 ELSE 0 END) + f.range AS g
+        |  FROM bm, range(5) f),
+        |cf AS MATERIALIZED (
+        |  SELECT v.range AS v, 5 * v.range + f.range AS g
+        |  FROM range(20) v, range(5) f),
+        |cm AS MATERIALIZED (
+        |  SELECT DISTINCT x FROM (
+        |    SELECT bf.x FROM bf JOIN cf ON bf.g = cf.g
+        |    GROUP BY bf.x, cf.v
+        |    HAVING CAST(count(*) AS DOUBLE) / (10 - count(*)) >= 0.4)),
+        |pp AS MATERIALIZED (
+        |  SELECT a.x AS id_a, b.x AS id_b
+        |  FROM bf a JOIN bf b ON a.g = b.g AND a.x < b.x
+        |  GROUP BY 1, 2
+        |  HAVING CAST(count(*) AS DOUBLE) / (10 - count(*)) >= 0.4),
+        |partners AS MATERIALIZED (
+        |  SELECT id_b, list(id_a) AS ids FROM pp GROUP BY id_b),
+        |ordered AS MATERIALIZED (
+        |  SELECT bm.x, CAST(row_number() OVER (ORDER BY bm.x) AS BIGINT) AS rn,
+        |    bm.x IN (SELECT x FROM cm) AS is_matched,
+        |    COALESCE(p.ids, []) AS partners
+        |  FROM bm LEFT JOIN partners p ON p.id_b = bm.x),
+        |walk AS (
+        |  SELECT CAST(0 AS BIGINT) AS rn, CAST([] AS BIGINT[]) AS kept
+        |  UNION ALL
+        |  SELECT o.rn,
+        |    CASE WHEN o.is_matched OR list_has_any(w.kept, o.partners)
+        |         THEN w.kept ELSE list_append(w.kept, o.x) END
+        |  FROM walk w JOIN ordered o ON o.rn = w.rn + 1),
+        |final AS (SELECT kept FROM walk ORDER BY rn DESC LIMIT 1)
+        |SELECT CAST(100 + o.x AS BIGINT) AS media_id,
+        |  list_contains(f.kept, o.x) AS kept
+        |FROM ordered o CROSS JOIN final f""".stripMargin,
 
     // q126 = q119 reached through the SQL TVF surface; same twin.
     "q126_sql_tvf" ->

@@ -308,6 +308,65 @@ object Multimodal {
         col("size_a"), col("size_b"), col("jaccard"))
   }
 
+  /** Two-table video near-dup: which BATCH videos overlap an existing
+    * CORPUS video (the incremental-feed question — batch vs standing
+    * corpus, never corpus x corpus). Both sides are (id, fp) fingerprint
+    * tables from [[videoFrameFingerprints]] — the corpus side is typically
+    * precomputed and persisted, so corpus bytes are never re-demuxed.
+    *
+    * Output: (batch_id, corpus_id, shared, size_b, size_c, jaccard) with
+    * jaccard >= minJaccard.
+    *
+    * Scale shape — the [[graft.operators.Dedup.editDistanceAgainst]]
+    * convention: the stop-frame df-cap applies to the CORPUS side only
+    * and bounds CANDIDATE GENERATION alone (a corpus stop-frame present
+    * in half the crawl costs its posting list, not its df x batch term).
+    * Unlike [[videoNearDupPairs]] — where the drop redefines the
+    * similarity universe symmetrically, the sourceOverlap stopword
+    * semantics — sizes here are the TRUE full set sizes on both sides,
+    * so a dropped hot fingerprint can only LOWER `shared` and therefore
+    * the jaccard: the cap never invents a pair, and the reported jaccard
+    * is a lower bound of the true one. An index-backed match
+    * ([[VideoIndex]]) keeps exactly these semantics with persisted
+    * corpus sizes.
+    */
+  def videoNearDupAgainst(
+      batchFps: DataFrame,
+      corpusFps: DataFrame,
+      idCol: String = "media_id",
+      fpCol: String = "fp",
+      minJaccard: Double = 0.5,
+      maxVideosPerFp: Int = 1000): DataFrame = {
+    require(minJaccard >= 0.0 && minJaccard <= 1.0,
+      s"minJaccard must be in [0, 1], got $minJaccard")
+    require(maxVideosPerFp >= 1,
+      s"maxVideosPerFp must be >= 1, got $maxVideosPerFp")
+    def sets(df: DataFrame) = df.select(col(idCol).cast("long").as("id"),
+      col(fpCol).cast("long").as("h")).distinct()
+    val b = sets(batchFps)
+    val c0 = sets(corpusFps)
+    val c =
+      if (maxVideosPerFp == Int.MaxValue) c0
+      else c0.join(
+        c0.groupBy(col("h")).agg(count(lit(1)).as("_nv"))
+          .filter(col("_nv") <= maxVideosPerFp).select(col("h")),
+        Seq("h"))
+    val sizesB = b.groupBy(col("id")).agg(count(lit(1)).as("n"))
+    val sizesC = c0.groupBy(col("id")).agg(count(lit(1)).as("n"))
+    b.as("b").join(c.as("c"), col("b.h") === col("c.h"))
+      .groupBy(col("b.id").as("batch_id"), col("c.id").as("corpus_id"))
+      .agg(count(lit(1)).as("shared"))
+      .join(sizesB.select(col("id").as("batch_id"), col("n").as("size_b")),
+        Seq("batch_id"))
+      .join(sizesC.select(col("id").as("corpus_id"), col("n").as("size_c")),
+        Seq("corpus_id"))
+      .withColumn("jaccard", col("shared").cast("double") /
+        (col("size_b") + col("size_c") - col("shared")))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("batch_id"), col("corpus_id"), col("shared"),
+        col("size_b"), col("size_c"), col("jaccard"))
+  }
+
   /** Feature table as a store-ready DataFrame (vector + meta) so multimodal
     * features flow straight into the kNN/ANN/dedup operators. Meta values use
     * the TypedMeta encoding (media_id stays an INT under typed filters).

@@ -458,6 +458,37 @@ object Streams {
       .start()
   }
 
+  /** Online VIDEO ingest — the [[ingestEditStream]] contract for the
+    * multimodal family: each micro-batch of media rows (schema of
+    * [[graft.multimodal.Multimodal.MediaRow]]) is demuxed, fingerprinted,
+    * and swept against the persisted [[graft.multimodal.VideoIndex]]
+    * (corpus match + within-batch accepted walk); survivors are appended
+    * so later micro-batches dedup against them. Sink-before-append via
+    * `onBatch`, same at-least-once replay argument.
+    */
+  def ingestVideoStream(
+      media: DataFrame,
+      index: graft.multimodal.VideoIndex,
+      checkpoint: Option[String] = None,
+      onBatch: (DataFrame, Long) => Unit = (_, _) => (),
+      trigger: Trigger = Trigger.AvailableNow(),
+      autoCompact: Boolean = false): StreamingQuery = {
+    val cp = checkpoint.getOrElse(
+      java.nio.file.Files.createTempDirectory("graft_ingest_video_cp").toString)
+    media.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", cp)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        import batch.sparkSession.implicits._
+        index.ingestBatch(batch.as[graft.multimodal.Multimodal.MediaRow],
+          onKept = kept => onBatch(kept.toDF(), batchId))
+        if (autoCompact && index.needsCompaction()) index.compact()
+        ()
+      }
+      .start()
+  }
+
   def ingestWinnowStream(
       docs: DataFrame,
       index: graft.operators.WinnowIndex,
