@@ -2262,6 +2262,33 @@ object SparkEntry {
         .select(col("media_id"), coalesce(col("kept"), lit(false)).as("kept"))
     }),
 
+    // Audio near-dup by window-set Jaccard (Multimodal
+    // .audioWindowFingerprints -> videoNearDupPairs, which is generic
+    // over (id, fp) tables) — modality symmetry for the near-dup layer
+    // (image q-image path, video q132, audio here): 30 synthetic clips
+    // through the REAL WAV codec (encodeWavPcm16 -> RIFF parse -> PCM
+    // decode -> PCM16 requantize, all exact integer round-trips), clip c
+    // concatenating segments {c, c+1, c+2} of the q125 sample formula
+    // keyed by segment id — so adjacent clips genuinely share 2 of their
+    // 3 window-aligned PCM segments (jaccard 0.5) and distance-2 clips
+    // share 1 (0.2). The twin replays generative segment membership and
+    // the Jaccard in exact integer SQL.
+    "q134_audio_neardup" -> ((s, dir) => {
+      import s.implicits._
+      val win = 1000 // 125 ms at 8000 Hz
+      def seg(sid: Long): Array[Double] = Array.tabulate(win)(i =>
+        (((sid * 7919 + i.toLong * 4799) % 65535) - 32767).toDouble / 32767.0)
+      val rows = (0L until 30L).map { c =>
+        multimodal.Multimodal.MediaRow(c, "audio",
+          multimodal.AudioCodec.encodeWavPcm16(8000,
+            (c until c + 3).toArray.flatMap(seg)),
+          multimodal.Multimodal.MediaMeta(0, 0, "wav", 375L))
+      }
+      val fps = multimodal.Multimodal.audioWindowFingerprints(
+        s.createDataset(rows).repartition(4), windowMs = 125L)
+      multimodal.Multimodal.videoNearDupPairs(fps, minJaccard = 0.2)
+    }),
+
     // First-order Markov transition counts (Funnel.transitions): how
     // often event type A immediately precedes B per user timeline. The
     // operator runs the bucket-stitched shape (1 h buckets — window tasks
@@ -5011,6 +5038,22 @@ object SparkEntry {
         |SELECT CAST(100 + o.x AS BIGINT) AS media_id,
         |  list_contains(f.kept, o.x) AS kept
         |FROM ordered o CROSS JOIN final f""".stripMargin,
+
+    // Replays q134's generative segment membership (clip c holds windows
+    // c, c+1, c+2; window identity = segment id) and the full-set Jaccard.
+    "q134_audio_neardup" ->
+      """WITH m AS (
+        |  SELECT c.range AS id, c.range + s.range AS seg
+        |  FROM range(30) c, range(3) s),
+        |pr AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS shared
+        |       FROM m a JOIN m b ON a.seg = b.seg AND a.id < b.id
+        |       GROUP BY 1, 2)
+        |SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+        |  CAST(shared AS BIGINT) AS shared,
+        |  CAST(3 AS BIGINT) AS size_a, CAST(3 AS BIGINT) AS size_b,
+        |  CAST(shared AS DOUBLE) / (6 - shared) AS jaccard
+        |FROM pr
+        |WHERE CAST(shared AS DOUBLE) / (6 - shared) >= 0.2""".stripMargin,
 
     // q126 = q119 reached through the SQL TVF surface; same twin.
     "q126_sql_tvf" ->

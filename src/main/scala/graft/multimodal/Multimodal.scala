@@ -308,6 +308,51 @@ object Multimodal {
         col("size_a"), col("size_b"), col("jaccard"))
   }
 
+  /** Per-clip audio window fingerprints: (media_id, fp) DISTINCT rows, one
+    * fingerprint per distinct `windowMs` window of the decoded mono
+    * signal — the audio analog of [[videoFrameFingerprints]], feeding the
+    * same set-overlap operators ([[videoNearDupPairs]] /
+    * [[videoNearDupAgainst]] / [[VideoIndex]] are generic over (id, fp)
+    * tables). Each full window's samples are requantized to PCM16 (exact
+    * for PCM16-sourced audio: decode divides by 32768, the round-trip
+    * recovers the stored int) and content-hashed, so clips sharing
+    * window-aligned PCM segments — re-uploads, concatenations of the same
+    * material, padded tails — overlap in fingerprint space. Windows are
+    * aligned to the clip start and the trailing partial window is dropped:
+    * a mid-window trim shifts alignment and breaks matching (content
+    * identity, not acoustic similarity — the perceptual leg is the
+    * envelope-feature kNN path via [[RawAudioKernel]]). Rows no JVM codec
+    * decodes are dropped.
+    *
+    * Scale shape: decode + window + requantize run partition-local; the
+    * codegen'd xxhash64 collapses each window to a long before the
+    * distinct exchange — PCM bytes never shuffle.
+    */
+  def audioWindowFingerprints(
+      media: Dataset[MediaRow], windowMs: Long): DataFrame = {
+    import media.sparkSession.implicits._
+    require(windowMs >= 1, s"windowMs must be >= 1, got $windowMs")
+    media.filter(_.kind == "audio").flatMap { row =>
+      if (!AudioCodec.canDecode(row.bytes)) Iterator.empty
+      else {
+        val a = AudioCodec.decode(row.bytes)
+        val win = (a.sampleRate.toLong * windowMs / 1000L).toInt
+        if (win < 1) Iterator.empty
+        else a.samples.grouped(win).filter(_.length == win).map { w =>
+          val bb = java.nio.ByteBuffer.allocate(w.length * 2)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          w.foreach { s =>
+            bb.putShort(math.max(-32768L,
+              math.min(32767L, math.round(s * 32768.0))).toShort)
+          }
+          (row.media_id, bb.array())
+        }
+      }
+    }.toDF("media_id", "window")
+      .select(col("media_id"), xxhash64(col("window")).as("fp"))
+      .distinct()
+  }
+
   /** Two-table video near-dup: which BATCH videos overlap an existing
     * CORPUS video (the incremental-feed question — batch vs standing
     * corpus, never corpus x corpus). Both sides are (id, fp) fingerprint

@@ -101,6 +101,34 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     assert(uncapped.count() == 45)
   }
 
+  test("audioWindowFingerprints: clips sharing aligned PCM segments pair; " +
+    "a mid-window trim breaks alignment; non-audio ignored") {
+    val win = 800 // 100 ms at 8000 Hz
+    def seg(sid: Long): Array[Double] = Array.tabulate(win)(i =>
+      (((sid * 7919 + i.toLong * 4799) % 65535) - 32767).toDouble / 32767.0)
+    def clip(id: Long, segs: Seq[Long], dropSamples: Int = 0) =
+      Multimodal.MediaRow(id, "audio",
+        AudioCodec.encodeWavPcm16(8000,
+          segs.toArray.flatMap(seg).drop(dropSamples)),
+        Multimodal.MediaMeta(0, 0, "wav", segs.length * 100L))
+    val media = spark.createDataset(Seq(
+      clip(1L, Seq(0L, 1L, 2L)),
+      clip(2L, Seq(1L, 2L, 3L)), // shares segments 1,2 with clip 1
+      clip(3L, Seq(10L, 11L, 12L)), // unrelated
+      clip(4L, Seq(0L, 1L, 2L), dropSamples = win / 2), // trimmed copy of 1
+      Multimodal.MediaRow(5L, "image", Array[Byte](1, 2, 3),
+        Multimodal.MediaMeta(0, 0, "png", 0))))
+    val fps = Multimodal.audioWindowFingerprints(media, 100L)
+    // clips 1-3: 3 windows each; trimmed clip 4: 2 full windows; image: none
+    assert(fps.groupBy("media_id").count().as[(Long, Long)].collect().toMap ==
+      Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 2L))
+    val pairs = Multimodal.videoNearDupPairs(fps, minJaccard = 0.4)
+      .as[(Long, Long, Long, Long, Long, Double)].collect()
+    // only (1, 2): 2 shared of 3+3 -> jaccard 0.5; the trim shifts every
+    // window boundary, so clip 4 shares NOTHING with its source
+    assert(pairs.toSeq == Seq((1L, 2L, 2L, 3L, 3L, 0.5)), s"got ${pairs.toSeq}")
+  }
+
   test("videoFrameFingerprints perceptual: re-encoded frames share a dHash") {
     def noiseImage(seed: Int): ImageCodec.RawImage = {
       val rnd = new java.util.Random(seed.toLong)
