@@ -200,9 +200,13 @@ object Multimodal {
     import media.sparkSession.implicits._
     media.filter(_.kind == "image")
       .flatMap { row =>
-        if (ImageCodec.canDecode(row.bytes))
-          Some((row.media_id, ImageCodec.dHash(ImageCodec.decode(row.bytes))))
-        else None
+        // Try covers decode FAILURES too (truncated payloads pass the
+        // magic check) — one corrupt row must not kill a corpus-wide
+        // fingerprint pass; the RawImageKernel "stub" policy rationale
+        if (!ImageCodec.canDecode(row.bytes)) None
+        else scala.util.Try(
+          ImageCodec.dHash(ImageCodec.decode(row.bytes))).toOption
+          .map((row.media_id, _))
       }
       .toDF("media_id", "fp")
   }
@@ -246,15 +250,53 @@ object Multimodal {
     val withFp =
       if (perceptual)
         frames.flatMap { fr =>
-          if (ImageCodec.canDecode(fr.frame_bytes))
-            Some((fr.media_id, ImageCodec.dHash(ImageCodec.decode(fr.frame_bytes))))
-          else None
+          // Try covers decode FAILURES (a truncated JPEG frame passes the
+          // magic check): a poison frame must not wedge the job — or, via
+          // the ingest stream, wedge checkpoint replay forever
+          if (!ImageCodec.canDecode(fr.frame_bytes)) None
+          else scala.util.Try(
+            ImageCodec.dHash(ImageCodec.decode(fr.frame_bytes))).toOption
+            .map((fr.media_id, _))
         }.toDF("media_id", "fp")
       else
         frames.toDF().select(col("media_id"),
           xxhash64(col("frame_bytes")).as("fp"))
     withFp.distinct()
   }
+
+  /** Drop fingerprints whose id list exceeds `maxIdsPerFp` — the shared
+    * df-cap of the media set-overlap family (stop-frames / stop-windows).
+    * Input and output are (id, h) set tables.
+    */
+  private[multimodal] def dfCapped(sets: DataFrame, maxIdsPerFp: Int): DataFrame =
+    if (maxIdsPerFp == Int.MaxValue) sets
+    else sets.join(
+      sets.groupBy(col("h")).agg(count(lit(1)).as("_nv"))
+        .filter(col("_nv") <= maxIdsPerFp).select(col("h")),
+      Seq("h"))
+
+  /** (id, n) set sizes of an (id, h) set table. */
+  private[multimodal] def setSizes(sets: DataFrame): DataFrame =
+    sets.groupBy(col("id")).agg(count(lit(1)).as("n"))
+
+  /** Attach both set sizes to an (aCol, bCol, shared) pair-count frame,
+    * add the Jaccard, keep rows at or above `minJaccard` — the shared
+    * assembly of the media set-overlap family. `sizesA`/`sizesB` are
+    * (id, n) frames; WHICH universe they count (kept vs full) is each
+    * operator's documented semantic choice.
+    */
+  private[multimodal] def jaccardFiltered(
+      shared: DataFrame, aCol: String, bCol: String,
+      sizesA: DataFrame, sizesB: DataFrame,
+      sizeACol: String, sizeBCol: String, minJaccard: Double): DataFrame =
+    shared
+      .join(sizesA.select(col("id").as(aCol), col("n").as(sizeACol)), Seq(aCol))
+      .join(sizesB.select(col("id").as(bCol), col("n").as(sizeBCol)), Seq(bCol))
+      .withColumn("jaccard", col("shared").cast("double") /
+        (col(sizeACol) + col(sizeBCol) - col("shared")))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col(aCol), col(bCol), col("shared"),
+        col(sizeACol), col(sizeBCol), col("jaccard"))
 
   /** Video near-duplicate pairs by frame-set overlap: two videos are
     * near-dups when the Jaccard similarity of their sampled-frame
@@ -287,25 +329,15 @@ object Multimodal {
       s"maxVideosPerFp must be >= 2 (pairs need two videos), got $maxVideosPerFp")
     val sets = fps.select(col(idCol).cast("long").as("id"),
       col(fpCol).cast("long").as("h")).distinct()
-    val kept =
-      if (maxVideosPerFp == Int.MaxValue) sets
-      else sets.join(
-        sets.groupBy(col("h")).agg(count(lit(1)).as("_nv"))
-          .filter(col("_nv") <= maxVideosPerFp).select(col("h")),
-        Seq("h"))
-    val sizes = kept.groupBy(col("id")).agg(count(lit(1)).as("n"))
+    val kept = dfCapped(sets, maxVideosPerFp)
+    // kept-universe sizes: the drop redefines the similarity universe
+    val sizes = setSizes(kept)
     val shared = kept.as("a")
       .join(kept.as("b"), col("a.h") === col("b.h") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .agg(count(lit(1)).as("shared"))
-    shared
-      .join(sizes.select(col("id").as("id_a"), col("n").as("size_a")), Seq("id_a"))
-      .join(sizes.select(col("id").as("id_b"), col("n").as("size_b")), Seq("id_b"))
-      .withColumn("jaccard", col("shared").cast("double") /
-        (col("size_a") + col("size_b") - col("shared")))
-      .filter(col("jaccard") >= minJaccard)
-      .select(col("id_a"), col("id_b"), col("shared"),
-        col("size_a"), col("size_b"), col("jaccard"))
+    jaccardFiltered(shared, "id_a", "id_b", sizes, sizes,
+      "size_a", "size_b", minJaccard)
   }
 
   /** Per-clip audio window fingerprints: (media_id, fp) DISTINCT rows, one
@@ -333,20 +365,25 @@ object Multimodal {
     import media.sparkSession.implicits._
     require(windowMs >= 1, s"windowMs must be >= 1, got $windowMs")
     media.filter(_.kind == "audio").flatMap { row =>
-      if (!AudioCodec.canDecode(row.bytes)) Iterator.empty
-      else {
-        val a = AudioCodec.decode(row.bytes)
-        val win = (a.sampleRate.toLong * windowMs / 1000L).toInt
-        if (win < 1) Iterator.empty
-        else a.samples.grouped(win).filter(_.length == win).map { w =>
-          val bb = java.nio.ByteBuffer.allocate(w.length * 2)
-            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-          w.foreach { s =>
-            bb.putShort(math.max(-32768L,
-              math.min(32767L, math.round(s * 32768.0))).toShort)
+      // Try covers decode FAILURES too (an ADPCM WAV passes the RIFF
+      // magic check but has no decoder) — dropped, per the contract above
+      val decoded =
+        if (!AudioCodec.canDecode(row.bytes)) None
+        else scala.util.Try(AudioCodec.decode(row.bytes)).toOption
+      decoded match {
+        case None => Iterator.empty
+        case Some(a) =>
+          val win = (a.sampleRate.toLong * windowMs / 1000L).toInt
+          if (win < 1) Iterator.empty
+          else a.samples.grouped(win).filter(_.length == win).map { w =>
+            val bb = java.nio.ByteBuffer.allocate(w.length * 2)
+              .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+            w.foreach { s =>
+              bb.putShort(math.max(-32768L,
+                math.min(32767L, math.round(s * 32768.0))).toShort)
+            }
+            (row.media_id, bb.array())
           }
-          (row.media_id, bb.array())
-        }
       }
     }.toDF("media_id", "window")
       .select(col("media_id"), xxhash64(col("window")).as("fp"))
@@ -390,26 +427,13 @@ object Multimodal {
       col(fpCol).cast("long").as("h")).distinct()
     val b = sets(batchFps)
     val c0 = sets(corpusFps)
-    val c =
-      if (maxVideosPerFp == Int.MaxValue) c0
-      else c0.join(
-        c0.groupBy(col("h")).agg(count(lit(1)).as("_nv"))
-          .filter(col("_nv") <= maxVideosPerFp).select(col("h")),
-        Seq("h"))
-    val sizesB = b.groupBy(col("id")).agg(count(lit(1)).as("n"))
-    val sizesC = c0.groupBy(col("id")).agg(count(lit(1)).as("n"))
-    b.as("b").join(c.as("c"), col("b.h") === col("c.h"))
+    val shared = b.as("b").join(dfCapped(c0, maxVideosPerFp).as("c"),
+        col("b.h") === col("c.h"))
       .groupBy(col("b.id").as("batch_id"), col("c.id").as("corpus_id"))
       .agg(count(lit(1)).as("shared"))
-      .join(sizesB.select(col("id").as("batch_id"), col("n").as("size_b")),
-        Seq("batch_id"))
-      .join(sizesC.select(col("id").as("corpus_id"), col("n").as("size_c")),
-        Seq("corpus_id"))
-      .withColumn("jaccard", col("shared").cast("double") /
-        (col("size_b") + col("size_c") - col("shared")))
-      .filter(col("jaccard") >= minJaccard)
-      .select(col("batch_id"), col("corpus_id"), col("shared"),
-        col("size_b"), col("size_c"), col("jaccard"))
+    // full sizes on BOTH sides: the cap bounds candidates only
+    jaccardFiltered(shared, "batch_id", "corpus_id", setSizes(b), setSizes(c0),
+      "size_b", "size_c", minJaccard)
   }
 
   /** Feature table as a store-ready DataFrame (vector + meta) so multimodal

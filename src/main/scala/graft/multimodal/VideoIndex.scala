@@ -100,25 +100,16 @@ case class VideoIndex(
           else probes,
           Seq("h"), "left_semi")
       }
-    val kept =
-      if (maxVideosPerFp == Int.MaxValue) pre
-      else pre.join(
-        pre.groupBy(col("h")).agg(count(lit(1)).as("_nv"))
-          .filter(col("_nv") <= maxVideosPerFp).select(col("h")),
-        Seq("h"))
-    val sizesB = batchFps.groupBy(col("id")).agg(count(lit(1)).as("n"))
-    batchFps.as("b").join(kept.as("c"), col("b.h") === col("c.h"))
+    val shared = batchFps.as("b")
+      .join(Multimodal.dfCapped(pre, maxVideosPerFp).as("c"),
+        col("b.h") === col("c.h"))
       .groupBy(col("b.id").as("batch_id"), col("c.id").as("corpus_id"))
       .agg(count(lit(1)).as("shared"))
-      .join(sizesB.select(col("id").as("batch_id"), col("n").as("size_b")),
-        Seq("batch_id"))
-      .join(storedSizes().select(col("id").as("corpus_id"), col("n").as("size_c")),
-        Seq("corpus_id"))
-      .withColumn("jaccard", col("shared").cast("double") /
-        (col("size_b") + col("size_c") - col("shared")))
-      .filter(col("jaccard") >= minJaccard)
-      .select(col("batch_id"), col("corpus_id"), col("shared"),
-        col("size_b"), col("size_c"), col("jaccard"))
+    // batch sizes full from this pass; corpus sizes full from the
+    // PERSISTED layout — the cap bounds candidates only
+    Multimodal.jaccardFiltered(shared, "batch_id", "corpus_id",
+      Multimodal.setSizes(batchFps), storedSizes(),
+      "size_b", "size_c", minJaccard)
   }
 
   /** ONLINE ingest — [[graft.operators.FingerprintIndex.ingestBatch]]'s
@@ -133,6 +124,12 @@ case class VideoIndex(
       maxSweepEdges: Int = Dedup.SmallGraphEdgeThreshold.toInt,
       onKept: Dataset[MediaRow] => Unit = _ => ()): Dataset[MediaRow] = {
     import spark.implicits._
+    // >= 2 here, unlike dedupBatch's >= 1: at 1 the within-batch sweep
+    // would silently drop EVERY shared fingerprint (any batch pair has
+    // _nv = 2) and exact in-batch duplicates would all be kept
+    require(maxVideosPerFp >= 2,
+      s"ingestBatch needs maxVideosPerFp >= 2 (within-batch pairs need " +
+        s"two videos), got $maxVideosPerFp")
     // one demux+fingerprint pass feeds the corpus match AND the batch scan
     val batchFps = fps(media).localCheckpoint(true)
     val dropped = EpochIndex.sweepDropped(
@@ -153,21 +150,14 @@ case class VideoIndex(
     */
   private def withinBatchPairs(
       batchFps: DataFrame, maxVideosPerFp: Int): DataFrame = {
-    val kept =
-      if (maxVideosPerFp == Int.MaxValue) batchFps
-      else batchFps.join(
-        batchFps.groupBy(col("h")).agg(count(lit(1)).as("_nv"))
-          .filter(col("_nv") <= maxVideosPerFp).select(col("h")),
-        Seq("h"))
-    val sizes = batchFps.groupBy(col("id")).agg(count(lit(1)).as("n"))
-    kept.as("a")
+    val kept = Multimodal.dfCapped(batchFps, maxVideosPerFp)
+    val sizes = Multimodal.setSizes(batchFps)
+    val shared = kept.as("a")
       .join(kept.as("b"), col("a.h") === col("b.h") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .agg(count(lit(1)).as("shared"))
-      .join(sizes.select(col("id").as("id_a"), col("n").as("size_a")), Seq("id_a"))
-      .join(sizes.select(col("id").as("id_b"), col("n").as("size_b")), Seq("id_b"))
-      .filter(col("shared").cast("double") /
-        (col("size_a") + col("size_b") - col("shared")) >= minJaccard)
+    Multimodal.jaccardFiltered(shared, "id_a", "id_b", sizes, sizes,
+        "size_a", "size_b", minJaccard)
       .select(col("id_a"), col("id_b"))
   }
 

@@ -83,7 +83,34 @@ object Curation {
     */
   private def gateBroadcast(grams: DataFrame, maxBroadcastGrams: Long): DataFrame = {
     val mat = grams.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    persistedGramSets.add(mat)
+    // bound the cache for long-lived sessions (a notebook or stream
+    // driver calling decontamination per eval suite would otherwise
+    // accumulate spilled gram blocks until JVM exit): keep the most
+    // recent few, unpersist the rest — lineage survives, so a late
+    // re-execution of an old result recomputes instead of failing
+    while (persistedGramSets.size() > MaxCachedGramSets) {
+      val old = persistedGramSets.poll()
+      if (old ne null) old.unpersist(false)
+    }
     if (mat.count() <= maxBroadcastGrams) broadcast(mat) else mat
+  }
+
+  private val persistedGramSets =
+    new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+
+  /** Benchmark gram sets kept cached at once: 2 covers the common
+    * detect-then-act pipeline (e.g. [[contaminatedSpans]] feeding
+    * [[redactSpans]] while a [[decontaminate]] report is still live).
+    */
+  private val MaxCachedGramSets = 2
+
+  /** Unpersist every cached benchmark gram set — explicit cleanup for
+    * long-lived sessions that are done decontaminating.
+    */
+  def releaseGramSets(): Unit = {
+    var df = persistedGramSets.poll()
+    while (df ne null) { df.unpersist(false); df = persistedGramSets.poll() }
   }
 
   /** Largest distinct-benchmark-gram set shipped via the explicit
@@ -300,15 +327,17 @@ object Curation {
     corpus.select(col(idCol).cast("long").as("id"), col(textCol).as("_text"))
       .join(spanList, Seq("id"), "left")
       .withColumn("_toks", spaceTokens(col("_text")))
+      // one O(tokens x spans) pass: the kept array is a PRIOR column
+      // referenced twice below, so CollapseProject leaves it materialized
+      // and n_redacted is pure size arithmetic
+      .withColumn("_kept",
+        when(col("_spans").isNull, col("_toks"))
+          .otherwise(filter(col("_toks"), (tok, i) => !inSpan(i.cast("long")))))
       .select(col("id"),
         when(col("_spans").isNull, col("_text"))
-          .otherwise(array_join(
-            filter(col("_toks"), (tok, i) => !inSpan(i.cast("long"))), " "))
+          .otherwise(array_join(col("_kept"), " "))
           .as("redacted_text"),
-        when(col("_spans").isNull, lit(0L))
-          .otherwise(size(filter(col("_toks"),
-            (tok, i) => inSpan(i.cast("long")))).cast("long"))
-          .as("n_redacted"))
+        (size(col("_toks")) - size(col("_kept"))).cast("long").as("n_redacted"))
   }
 
   /** Knuth multiplicative hash of an id — semantically

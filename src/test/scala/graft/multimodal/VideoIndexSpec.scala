@@ -90,6 +90,16 @@ class VideoIndexSpec extends AnyFunSuite with SparkSpec {
       Map(1L -> 4L, 11L -> 4L, 21L -> 4L))
   }
 
+  test("ingestBatch refuses maxVideosPerFp = 1 — it would silently no-op " +
+    "the within-batch sweep") {
+    val idx = VideoIndex.build(media(video(1L, Seq(0L, 1L))),
+      tmp("graft_vidx_req"), everyMs = 50L, minJaccard = 0.5)
+    val e = intercept[IllegalArgumentException] {
+      idx.ingestBatch(media(video(2L, Seq(5L, 6L))), maxVideosPerFp = 1)
+    }
+    assert(e.getMessage.contains("within-batch"))
+  }
+
   test("load restores geometry; compaction preserves the match set and " +
     "the VIDEOS commit unit") {
     val path = tmp("graft_vidx_load")
