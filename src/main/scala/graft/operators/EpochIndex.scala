@@ -113,6 +113,62 @@ private[graft] trait EpochIndex {
       log.deleteDir(s"${layoutDir(n)}/epoch=$e")))
   }
 
+  /** Remove documents from the index by id — the right-to-be-forgotten /
+    * takedown operator that completes the lifecycle (append, compact,
+    * maintenance, DELETE). Implemented as a filtered compaction: every
+    * layout is rewritten without the ids into one fresh epoch, the
+    * replace commit is the atomic cutover (readers see either all old
+    * epochs or the filtered one — never a half-deleted state), and stale
+    * epoch directories are cleaned best-effort, exactly [[compact]]'s
+    * crash-safety argument. Returns the number of DOCUMENTS actually
+    * removed (commit-unit rows, so absent ids cost nothing but the
+    * rewrite).
+    *
+    * Deletion is id-keyed on each layout's `id` column — the shared
+    * layout convention of every family ([[EpochIndex.writeLayoutSlice]]
+    * gather-buckets by it). The rewrite is O(index), not O(batch): batch
+    * deletes should be coalesced (collect a day's takedowns, delete
+    * once), the same economics as compaction itself.
+    */
+  def deleteIds(ids: Set[Long]): Long = {
+    if (ids.isEmpty) return 0L
+    val unitBefore = compactionCommitCount().getOrElse(log.sizeStats()._2)
+    val target = log.nextEpoch()
+    val obs = Observation()
+    layoutNames.zip(deleteFrames(ids)).zipWithIndex.foreach {
+      case ((name, df), i) =>
+        val counted = if (i == 0) df.observe(obs, count(lit(1)).as("n")) else df
+        EpochIndex.writeLayoutSlice(counted,
+          s"${layoutDir(name)}/epoch=$target", gatherBucketsFor(name))
+    }
+    val stale = log.committedEpochs()
+    // recompute the commit unit over the FILTERED rows for families whose
+    // unit is not raw layout rows (WinnowIndex/VideoIndex count docs)
+    val unitAfter = compactionCommitCount() match {
+      case Some(_) =>
+        // the old epochs are still visible here; count kept docs from the
+        // filtered primary frame instead of re-reading the layout
+        deleteFrames(ids).head.select(col("id")).distinct().count()
+      case None => scala.util.Try(obs.get("n").asInstanceOf[Long]).getOrElse(0L)
+    }
+    log.commit(target, "replace", unitAfter)
+    stale.foreach(e => layoutNames.foreach(n =>
+      log.deleteDir(s"${layoutDir(n)}/epoch=$e")))
+    unitBefore - unitAfter
+  }
+
+  /** Frames to persist on a delete-rewrite, one per layout in
+    * [[layoutNames]] order, WITHOUT the given ids. Default: id-filter
+    * every compaction frame (every family's primary layout is id-keyed by
+    * the shared convention). A family whose AUXILIARY layout is not
+    * id-keyed overrides this to rebuild it from the filtered primary
+    * ([[HammingIndex]]: bands are (fp, band, bucket)); a family with no
+    * id attribution at all overrides [[deleteIds]] to refuse
+    * ([[SegmentIndex]]: an unattributed hash set).
+    */
+  protected def deleteFrames(ids: Set[Long]): Seq[DataFrame] =
+    compactionFrames().map(df => EpochIndex.withoutIds(df, col("id"), ids))
+
   /** (max bucket rows, mean bucket rows) for [[maintenance]] — (0, 0.0) for
     * set-shaped families with no buckets ([[SegmentIndex]]).
     */

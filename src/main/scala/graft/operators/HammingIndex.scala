@@ -194,6 +194,16 @@ case class HammingIndex(
     */
   override protected def compactionFrames(): Seq[DataFrame] =
     Seq(storedFps(), storedBands().dropDuplicates("fp", "band", "bucket"))
+
+  // bands are (fp, band, bucket) — fp-keyed, shared across docs — so a
+  // delete rebuilds them from the filtered fps (deterministic banding):
+  // an fp whose LAST doc is deleted loses its band rows; a shared fp
+  // keeps them
+  override protected def deleteFrames(
+      ids: Set[Long]): Seq[DataFrame] = {
+    val fps = EpochIndex.withoutIds(storedFps(), col("id"), ids)
+    Seq(fps, HammingIndex.banded(fps.select(col("fp")).distinct(), nBands))
+  }
 }
 
 object HammingIndex {

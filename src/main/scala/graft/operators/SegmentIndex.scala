@@ -94,6 +94,15 @@ case class SegmentIndex(
     */
   override protected def compactionFrames(): Seq[DataFrame] =
     Seq(storedSegs().distinct())
+
+  // the segs layout is (h) only — segment hashes carry NO document
+  // attribution, and a hash may be shared by retained documents, so an
+  // id-keyed delete is not expressible; refuse loudly instead of
+  // silently deleting nothing
+  override def deleteIds(ids: Set[Long]): Long =
+    throw new UnsupportedOperationException(
+      "SegmentIndex stores an unattributed segment-hash set; delete by " +
+        "rebuilding the index from the retained corpus")
 }
 
 object SegmentIndex {
