@@ -1447,6 +1447,27 @@ object SparkEntry {
             .cast("long").as("ppl_x1e4"))
     }),
 
+    // Min-K% Prob membership-inference audit (NgramLm.minKProb — Shi et
+    // al. 2024's published recipe over the engine-native bigram LM):
+    // mean of each candidate document's LOWEST ceil(0.2*T) token
+    // log-probs under the q78 reference model. The per-token formula is
+    // exactly q78's (the twin reuses its CTEs); the bottom-k selection
+    // replays as a per-doc (lp, position) window, and the float-sum
+    // order noise dies in the x1e4 rounding (the q78 discipline). Docs
+    // whose least-likely tokens the model still predicts (in-train
+    // lookalikes) score near 0 — the probabilistic complement of the
+    // exact n-gram decontamination family.
+    "q135_mink_prob" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val model = text.NgramLm.train(docs.filter(col("doc_id") % 4 =!= 0),
+        "text", maxVocab = 256, minBigramCount = 2)
+      text.NgramLm.minKProb(docs.filter(col("doc_id") % 4 === 0),
+          "doc_id", "text", model, frac = 0.2)
+        .select(col("id"), col("n_tokens"),
+          round(col("mink_avg_logprob") * 10000).cast("long")
+            .as("mink_x1e4"))
+    }),
+
     // Linear quality scoring + the GPT-3 Pareto document lottery, both
     // REAL operators under oracle: scoreLinear applies an explicit
     // (word -> weight) linear model (the portable seam for externally
@@ -3944,6 +3965,66 @@ object SparkEntry {
         |SELECT CAST(t.doc_id AS BIGINT) AS id,
         |  CAST(round(COALESCE(a.ppl, 0.0) * 10000) AS BIGINT) AS ppl_x1e4
         |FROM tgt t LEFT JOIN agg a USING (doc_id)""".stripMargin,
+
+    // q78's per-token CTEs extended with the bottom-k selection: lp =
+    // -nll ranked ascending per doc (ties by token position — equal
+    // values make the tie choice sum-invariant), kk = max(ceil(0.2*T),1),
+    // float-sum order noise killed by the x1e4 rounding.
+    "q135_mink_prob" ->
+      """WITH ref AS (
+        |  SELECT string_split(text, ' ') AS t FROM documents WHERE doc_id % 4 <> 0),
+        |uni AS (
+        |  SELECT w, c FROM (
+        |    SELECT u.w AS w, CAST(count(*) AS BIGINT) AS c
+        |    FROM ref, UNNEST(ref.t) AS u(w) WHERE u.w <> '' GROUP BY u.w)
+        |  ORDER BY c DESC, w ASC LIMIT 256),
+        |tot AS (
+        |  SELECT CAST(sum(c) AS BIGINT) AS bigT, CAST(count(*) AS BIGINT) AS v
+        |  FROM uni),
+        |bi AS (
+        |  SELECT g, c FROM (
+        |    SELECT array_to_string(t[i:i+1], ' ') AS g,
+        |           CAST(count(*) AS BIGINT) AS c
+        |    FROM ref, UNNEST(generate_series(1, len(t) - 1)) AS u(i)
+        |    GROUP BY 1)
+        |  WHERE c >= 2 AND string_split(g, ' ')[1] IN (SELECT w FROM uni)),
+        |tgt AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t
+        |  FROM documents WHERE doc_id % 4 = 0),
+        |tok AS (
+        |  SELECT doc_id, i, t[i] AS w,
+        |         CASE WHEN i > 1 THEN t[i-1] END AS prev
+        |  FROM tgt, UNNEST(generate_series(1, len(t))) AS u(i)
+        |  WHERE t[i] <> ''),
+        |sc AS (
+        |  SELECT tok.doc_id, tok.i,
+        |    log2(CASE
+        |      WHEN tok.prev IS NULL OR up.c IS NULL
+        |        THEN (COALESCE(uw.c, 0) + 0.1) / (tot.bigT + 0.1 * tot.v)
+        |      ELSE (COALESCE(b.c, 0) + 0.1) / (up.c + 0.1 * tot.v)
+        |    END) AS lp
+        |  FROM tok CROSS JOIN tot
+        |  LEFT JOIN uni uw ON uw.w = tok.w
+        |  LEFT JOIN uni up ON up.w = tok.prev
+        |  LEFT JOIN bi b ON b.g = tok.prev || ' ' || tok.w),
+        |ranked AS (
+        |  SELECT doc_id, lp,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY lp ASC, i ASC) AS rn,
+        |    count(*) OVER (PARTITION BY doc_id) AS tt
+        |  FROM sc),
+        |agg AS (
+        |  SELECT doc_id,
+        |    sum(CASE WHEN rn <= greatest(CAST(ceil(0.2 * tt) AS BIGINT), 1)
+        |        THEN lp END) /
+        |      greatest(CAST(ceil(0.2 * tt) AS BIGINT), 1) AS mink
+        |  FROM ranked GROUP BY doc_id, tt),
+        |ntk AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens
+        |        FROM tok GROUP BY doc_id)
+        |SELECT CAST(t.doc_id AS BIGINT) AS id,
+        |  COALESCE(n.n_tokens, 0) AS n_tokens,
+        |  CAST(round(a.mink * 10000) AS BIGINT) AS mink_x1e4
+        |FROM tgt t LEFT JOIN ntk n USING (doc_id)
+        |LEFT JOIN agg a USING (doc_id)""".stripMargin,
 
     // Linear score: sum(tf * weight) is exact (dyadic weights), sigmoid's
     // ulp noise dies in the ppm rounding, and the Pareto keep rule runs on

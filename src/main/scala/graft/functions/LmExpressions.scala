@@ -55,6 +55,83 @@ object LmUtil {
     }
     math.pow(2.0, h / words.length)
   }
+
+  /** Per-token log2 probabilities under the same add-k bigram model as
+    * [[LmUtil.perplexity]] (identical formula per token — the perplexity
+    * is 2^(-mean of these)). Returns one double per non-empty token, in
+    * token order; empty text returns an empty array.
+    */
+  def tokenLogProbs(
+      text: UTF8String,
+      unigrams: java.util.HashMap[String, java.lang.Long],
+      bigrams: java.util.HashMap[String, java.lang.Long],
+      vocabSize: Int,
+      totalTokens: Long,
+      k: Double): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val words = text.toString.split("\\s+").filter(_.nonEmpty)
+    val out = new Array[Double](words.length)
+    val kv = k * vocabSize
+    var i = 0
+    var prev: String = null
+    while (i < words.length) {
+      val w = words(i)
+      val cw = unigrams.get(w)
+      val p =
+        if (i == 0 || prev == null) {
+          ((if (cw == null) 0L else cw.longValue()) + k) / (totalTokens + kv)
+        } else {
+          val ch = unigrams.get(prev)
+          if (ch == null) {
+            ((if (cw == null) 0L else cw.longValue()) + k) / (totalTokens + kv)
+          } else {
+            val cb = bigrams.get(prev + " " + w)
+            ((if (cb == null) 0L else cb.longValue()) + k) /
+              (ch.longValue() + kv)
+          }
+        }
+      out(i) = math.log(p) / math.log(2.0)
+      prev = w
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+/** lm_token_logprobs(text) -> array<double>: the token-level scoring
+  * surface (memorization / membership-inference audits aggregate it).
+  */
+case class LmTokenLogProbs(
+    child: Expression,
+    unigrams: java.util.HashMap[String, java.lang.Long],
+    bigrams: java.util.HashMap[String, java.lang.Long],
+    vocabSize: Int,
+    totalTokens: Long,
+    k: Double) extends UnaryExpression {
+  require(vocabSize > 0 && totalTokens > 0 && k > 0,
+    s"bad LM parameters: V=$vocabSize T=$totalTokens k=$k")
+
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "lm_token_logprobs"
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    LmUtil.tokenLogProbs(v.asInstanceOf[UTF8String], unigrams, bigrams,
+      vocabSize, totalTokens, k)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, str => {
+      val uni = ctx.addReferenceObj("lmUnigrams", unigrams, "java.util.HashMap")
+      val bi = ctx.addReferenceObj("lmBigrams", bigrams, "java.util.HashMap")
+      s"${ev.value} = graft.functions.LmUtil.tokenLogProbs($str, $uni, $bi, " +
+        s"$vocabSize, ${totalTokens}L, $k);"
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
 /** lm_perplexity(text) -> double, against broadcast count tables. */

@@ -90,4 +90,52 @@ object NgramLm {
       docs: DataFrame, textCol: String, model: LmModel,
       maxPerplexity: Double): DataFrame =
     docs.filter(perplexity(col(textCol), model) <= maxPerplexity)
+
+  /** Per-token log2-probability array (codegen'd, no shuffle) — the
+    * token-level scoring surface [[minKProb]] aggregates; perplexity is
+    * `2^(-mean)` of it by construction.
+    */
+  def tokenLogProbs(text: Column, model: LmModel): Column =
+    Bridge.column(graft.functions.LmTokenLogProbs(Bridge.expression(text),
+      model.unigrams, model.bigrams, model.vocabSize, model.totalTokens,
+      model.k))
+
+  /** Min-K% Prob membership-inference score (Shi et al. 2024, "Detecting
+    * Pretraining Data from Large Language Models" — the published recipe,
+    * applied with the engine-native bigram LM): the mean of each
+    * document's LOWEST ceil(frac x T) token log-probabilities. A document
+    * the model has effectively memorized predicts even its least-likely
+    * tokens well (score near 0); an unseen document's outlier tokens drag
+    * the score down. The memorization-risk audit runs over candidate
+    * training documents against an LM trained on the corpus under
+    * suspicion — the probabilistic complement of the exact n-gram
+    * decontamination family.
+    *
+    * Output: (id, n_tokens, mink_avg_logprob DOUBLE) — one row per doc;
+    * an empty document scores NULL (no evidence).
+    *
+    * Scale shape: one codegen'd scan — the model is broadcast inside the
+    * expression, the per-doc sort/slice/fold are array functions over
+    * that doc's own tokens, and no shuffle exists at all.
+    */
+  def minKProb(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      model: LmModel,
+      frac: Double = 0.2): DataFrame = {
+    require(frac > 0.0 && frac <= 1.0, s"frac must be in (0, 1], got $frac")
+    docs
+      .select(col(idCol).cast("long").as("id"),
+        tokenLogProbs(col(textCol), model).as("_lp"))
+      .withColumn("n_tokens", size(col("_lp")).cast("long"))
+      .withColumn("_kk",
+        greatest(ceil(lit(frac) * col("n_tokens")), lit(1L)).cast("int"))
+      .select(col("id"), col("n_tokens"),
+        when(col("n_tokens") === 0, lit(null).cast("double"))
+          .otherwise(
+            aggregate(slice(sort_array(col("_lp")), lit(1), col("_kk")),
+              lit(0.0), (acc, x) => acc + x) / col("_kk"))
+          .as("mink_avg_logprob"))
+  }
 }

@@ -347,6 +347,17 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
       s"df-cap and set-size counts must partial-aggregate map-side:\n$p")
   }
 
+  test("q134: audio near-dup shuffles only fingerprint longs — PCM bytes " +
+    "never ride an exchange") {
+    val p = plan("q134_audio_neardup")
+    assert(!p.contains("CartesianProduct"),
+      s"window-overlap join must not degrade to a product:\n$p")
+    val exchanges = p.split("\\n").filter(_.contains("Exchange"))
+    assert(exchanges.nonEmpty, s"expected shuffles in:\n$p")
+    assert(!exchanges.exists(l => l.contains("window") || l.contains("bytes")),
+      s"PCM windows must not ride an exchange:\n${exchanges.mkString("\n")}")
+  }
+
   test("fleet-wide: no query in the whole SparkEntry surface plans a CartesianProduct") {
     // Every crossJoin in the engine is broadcast()-bounded (query vectors,
     // 1-row aggregates, centroid/cut tables), which plans as

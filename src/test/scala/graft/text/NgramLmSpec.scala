@@ -53,4 +53,49 @@ class NgramLmSpec extends AnyFunSuite with SparkSpec {
       .as[Double].collect()
     assert(edge.toSeq == Seq(0.0, 0.0))
   }
+
+  test("tokenLogProbs: perplexity is 2^(-mean) of the per-token array, " +
+    "hand-checked on the tiny corpus") {
+    val tiny = Seq((1L, "a b"), (2L, "a b"), (3L, "a c")).toDF("id", "text")
+    val m = NgramLm.train(tiny, "text", k = 1.0, minBigramCount = 1L)
+    val lp = tiny.filter($"id" === 1)
+      .select(NgramLm.tokenLogProbs($"text", m)).head().getSeq[Double](0)
+    // P(a) = 4/9, P(b|a) = 1/2 (the hand computation above)
+    assert(lp.length == 2)
+    assert(math.abs(lp(0) - math.log(4.0 / 9.0) / math.log(2.0)) < 1e-12)
+    assert(math.abs(lp(1) - math.log(0.5) / math.log(2.0)) < 1e-12)
+    val ppl = tiny.filter($"id" === 1)
+      .select(NgramLm.perplexity($"text", m)).head().getDouble(0)
+    assert(math.abs(ppl - math.pow(2.0, -lp.sum / lp.length)) < 1e-12)
+  }
+
+  test("minKProb: memorized (in-train) docs score higher than held-out, " +
+    "held-out higher than junk; empty text is NULL; no shuffle") {
+    val train = docs.filter($"doc_id" < 400)
+    def avgScore(df: org.apache.spark.sql.DataFrame): Double =
+      NgramLm.minKProb(df, "doc_id", "text", model, frac = 0.2)
+        .agg(avg($"mink_avg_logprob")).head().getDouble(0)
+    val inTrain = avgScore(train)
+    val heldOut = avgScore(docs.filter($"doc_id" >= 400))
+    val junk = avgScore((0 until 50)
+      .map(i => (i.toLong, s"zzq$i xkv$i qqj$i wvx$i zzq$i mmk$i"))
+      .toDF("doc_id", "text"))
+    info(f"min-20%% avg logprob: in-train=$inTrain%.2f held-out=$heldOut%.2f " +
+      f"junk=$junk%.2f")
+    assert(inTrain > heldOut && heldOut > junk,
+      s"expected in-train > held-out > junk, got $inTrain / $heldOut / $junk")
+
+    val out = NgramLm.minKProb(
+      Seq((1L, ""), (2L, "a b c d e f g h i j")).toDF("doc_id", "text"),
+      "doc_id", "text", model, frac = 0.25)
+    val rows = out.orderBy($"id").collect()
+    assert(rows(0).isNullAt(2) && rows(0).getLong(1) == 0L)
+    // 10 tokens at frac 0.25 -> kk = 3: mean of the 3 lowest logprobs
+    val lp = Seq((2L, "a b c d e f g h i j")).toDF("doc_id", "text")
+      .select(NgramLm.tokenLogProbs($"text", model)).head().getSeq[Double](0)
+    val expect = lp.sorted.take(3).sum / 3
+    assert(math.abs(rows(1).getDouble(2) - expect) < 1e-12)
+    val plan = out.queryExecution.executedPlan.toString()
+    assert(!plan.contains("Exchange"), s"min-k scoring must not shuffle:\n$plan")
+  }
 }
