@@ -770,6 +770,29 @@ object SparkEntry {
         "doc_id", "text", ngramLen = 8)
     }),
 
+    // Streaming decontamination (Streams.decontaminateStream — the ninth
+    // streaming family): q41's corpus streamed through micro-batches
+    // against its fixed benchmark split, the eval-suite gram set paid
+    // ONCE at stream start. Stateless by design, so chopping is
+    // invisible and the twin is EXACTLY q41's — batch/stream parity
+    // under the oracle, not just the spec.
+    "q136_decontam_stream" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val rows = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long, Boolean)]()
+      val src = streaming.Streams.documentStream(s, dir,
+          glob = Some("documents.parquet"))
+        .filter(col("doc_id") % 50 =!= 0)
+        .select(col("doc_id"), col("text"))
+      val q = streaming.Streams.decontaminateStream(src,
+        docs.filter(col("doc_id") % 50 === 0), "doc_id", "text", ngramLen = 8,
+        onBatch = (report, _) => report.collect().foreach(r =>
+          rows.add((r.getLong(0), r.getLong(1), r.getBoolean(2)))))
+      try q.processAllAvailable() finally q.stop()
+      import scala.jdk.CollectionConverters._
+      rows.asScala.toSeq.toDF("id", "hits", "contaminated")
+    }),
+
     // Deterministic domain mixing: per-source keep-rates decided by an
     // arithmetic id hash — zero shuffle, reproducible in any engine.
     // defaultRate = 0.1 mirrors the oracle CASE's ELSE branch, so a source
@@ -2946,6 +2969,26 @@ object SparkEntry {
     // 8-token n-grams via 1-based inclusive list slices t[i:i+7]; mirror
     // of Curation.tokenNgrams' 0-based slice(toks, i+1, 8).
     "q41_decontaminate" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents WHERE doc_id % 50 <> 0),
+        |bench AS (
+        |  SELECT string_split(text, ' ') AS t FROM documents WHERE doc_id % 50 = 0),
+        |bgrams AS (
+        |  SELECT DISTINCT array_to_string(t[i:i+7], ' ') AS gram
+        |  FROM bench, UNNEST(generate_series(1, len(t) - 7)) AS u(i)),
+        |cgrams AS (
+        |  SELECT DISTINCT doc_id, array_to_string(t[i:i+7], ' ') AS gram
+        |  FROM corpus, UNNEST(generate_series(1, len(t) - 7)) AS u(i)),
+        |hits AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS hits
+        |  FROM cgrams JOIN bgrams USING (gram) GROUP BY doc_id)
+        |SELECT CAST(c.doc_id AS BIGINT) AS id,
+        |  COALESCE(h.hits, 0) AS hits,
+        |  COALESCE(h.hits, 0) > 0 AS contaminated
+        |FROM corpus c LEFT JOIN hits h ON c.doc_id = h.doc_id""".stripMargin,
+
+    // The stream is stateless, so its twin is EXACTLY q41's report.
+    "q136_decontam_stream" ->
       """WITH corpus AS (
         |  SELECT doc_id, string_split(text, ' ') AS t FROM documents WHERE doc_id % 50 <> 0),
         |bench AS (

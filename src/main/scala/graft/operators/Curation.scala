@@ -144,8 +144,41 @@ object Curation {
       idCol: String,
       textCol: String,
       ngramLen: Int = 8,
+      maxBroadcastGrams: Long = MaxBroadcastGrams): DataFrame =
+    decontaminateAgainstGrams(corpus, idCol, textCol, ngramLen,
+      benchGramHashes(benchmark, textCol, ngramLen, maxBroadcastGrams))
+
+  /** A benchmark suite's distinct gram-hash frame, PINNED
+    * (localCheckpoint, lineage cut) and broadcast-gated ONCE — the
+    * precomputed form a streaming decontamination pass scores every
+    * micro-batch against ([[graft.streaming.Streams
+    * .decontaminateStream]]): the eval suite is fixed for the stream's
+    * lifetime, so its grams are paid once, not per batch. One column
+    * `_gh` (xxhash64), matching [[decontaminateAgainstGrams]].
+    */
+  def benchmarkGrams(
+      benchmark: DataFrame,
+      textCol: String,
+      ngramLen: Int = 8,
       maxBroadcastGrams: Long = MaxBroadcastGrams): DataFrame = {
-    val benchGrams = benchGramHashes(benchmark, textCol, ngramLen, maxBroadcastGrams)
+    val pinned = benchmark
+      .select(explode(tokenNgrams(col(textCol), ngramLen)).as("gram"))
+      .select(xxhash64(col("gram")).as("_gh"))
+      .distinct()
+      .localCheckpoint(true)
+    if (pinned.count() <= maxBroadcastGrams) broadcast(pinned) else pinned
+  }
+
+  /** [[decontaminate]] against an already-prepared `_gh` gram frame
+    * (gated + hinted by [[benchGramHashes]] or [[benchmarkGrams]]) — the
+    * scoring half the batch operator and the streaming pass share.
+    */
+  def decontaminateAgainstGrams(
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      ngramLen: Int,
+      benchGrams: DataFrame): DataFrame = {
     val corpusGrams = corpus.select(col(idCol).cast("long").as("id"),
         explode(array_distinct(tokenNgrams(col(textCol), ngramLen))).as("gram"))
       .select(col("id"), xxhash64(col("gram")).as("_gh"))

@@ -458,6 +458,42 @@ object Streams {
       .start()
   }
 
+  /** Streaming DECONTAMINATION: each micro-batch of documents is scored
+    * against a FIXED benchmark suite whose distinct gram-hash set is
+    * prepared ONCE at stream start ([[graft.operators.Curation
+    * .benchmarkGrams]] — pinned, broadcast-gated) and shared by every
+    * batch; `onBatch` receives the per-doc (id, hits, contaminated)
+    * report. Stateless by design — unlike the ingest families nothing is
+    * appended, so replayed batches are pure re-deliveries an id-keyed
+    * sink absorbs. The continuous form of [[graft.operators.Curation
+    * .decontaminate]]: a crawl feed screened against eval suites before
+    * it ever lands in the corpus.
+    */
+  def decontaminateStream(
+      docs: DataFrame,
+      benchmark: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      ngramLen: Int = 8,
+      checkpoint: Option[String] = None,
+      onBatch: (DataFrame, Long) => Unit = (_, _) => (),
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    val grams = graft.operators.Curation.benchmarkGrams(
+      benchmark, textCol, ngramLen)
+    val cp = checkpoint.getOrElse(
+      java.nio.file.Files.createTempDirectory("graft_decontam_cp").toString)
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", cp)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        onBatch(graft.operators.Curation.decontaminateAgainstGrams(
+          batch, idCol, textCol, ngramLen, grams), batchId)
+        ()
+      }
+      .start()
+  }
+
   /** Online VIDEO ingest — the [[ingestEditStream]] contract for the
     * multimodal family: each micro-batch of media rows (schema of
     * [[graft.multimodal.Multimodal.MediaRow]]) is demuxed, fingerprinted,

@@ -734,4 +734,42 @@ class StreamsSpec extends AnyFunSuite with SparkSpec {
     assert(epochsOn <= graft.operators.EpochIndex.DefaultMaxEpochs + 1,
       s"autoCompact must bound epoch proliferation, got $epochsOn")
   }
+
+  test("decontaminateStream: chopped micro-batches reproduce the batch " +
+    "operator's per-doc report; the gram set is paid once") {
+    val bench = Seq((900L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val docRows = Seq(
+      (1L, "intro alpha beta gamma delta outro"), // 2 hit 4-grams
+      (2L, "alpha beta gamma delta"), // 1 hit
+      (3L, "totally clean text with no overlap at all"), // clean
+      (4L, "alpha beta gamma delta alpha beta gamma delta")) // distinct grams
+    def rows(ids: Long*) =
+      docRows.filter(r => ids.contains(r._1)).toDF("doc_id", "text")
+    val dropDir = tempDir("graft_decontam_stream")
+    val out = scala.collection.mutable.Map.empty[Long, (Long, Boolean)]
+    val src = spark.readStream
+      .schema(StructType(Seq(
+        StructField("doc_id", org.apache.spark.sql.types.LongType),
+        StructField("text", org.apache.spark.sql.types.StringType))))
+      .parquet(dropDir)
+    val q = Streams.decontaminateStream(src, bench, "doc_id", "text",
+      ngramLen = 4,
+      onBatch = (report, _) => report.as[(Long, Long, Boolean)].collect()
+        .foreach(r => out(r._1) = (r._2, r._3)),
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(
+        "50 milliseconds"))
+    try {
+      Seq(rows(1L, 2L), rows(3L, 4L)).foreach { d =>
+        d.write.mode("append").parquet(dropDir)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val batchReport = graft.operators.Curation.decontaminate(
+        docRows.toDF("doc_id", "text"), bench, "doc_id", "text", ngramLen = 4)
+      .as[(Long, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out.toMap == batchReport, s"stream $out vs batch $batchReport")
+    assert(out(3L) == ((0L, false)), "clean docs keep their zero-row report")
+    assert(out(1L)._2 && out(2L)._2 && out(4L)._2)
+  }
 }
