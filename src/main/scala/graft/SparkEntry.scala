@@ -779,7 +779,10 @@ object SparkEntry {
     "q136_decontam_stream" -> ((s, dir) => {
       import s.implicits._
       val docs = t(s, dir, "documents")
-      val rows = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long, Boolean)]()
+      // id-keyed sink, per the stream's replay contract: a retried
+      // foreachBatch re-delivers the same per-doc rows, and keyed
+      // upsert absorbs them (a bag sink would duplicate ids)
+      val rows = new java.util.concurrent.ConcurrentHashMap[Long, (Long, Boolean)]()
       val src = streaming.Streams.documentStream(s, dir,
           glob = Some("documents.parquet"))
         .filter(col("doc_id") % 50 =!= 0)
@@ -787,10 +790,11 @@ object SparkEntry {
       val q = streaming.Streams.decontaminateStream(src,
         docs.filter(col("doc_id") % 50 === 0), "doc_id", "text", ngramLen = 8,
         onBatch = (report, _) => report.collect().foreach(r =>
-          rows.add((r.getLong(0), r.getLong(1), r.getBoolean(2)))))
+          rows.put(r.getLong(0), (r.getLong(1), r.getBoolean(2)))))
       try q.processAllAvailable() finally q.stop()
       import scala.jdk.CollectionConverters._
-      rows.asScala.toSeq.toDF("id", "hits", "contaminated")
+      rows.asScala.toSeq.map { case (id, (h, c)) => (id, h, c) }
+        .toDF("id", "hits", "contaminated")
     }),
 
     // Deterministic domain mixing: per-source keep-rates decided by an

@@ -19,17 +19,20 @@ object LmUtil {
     * Empty text scores perplexity = vocabSize + totalTokens upper bound?
     * No: defined as +Infinity-free — empty text returns 0.0 (no evidence).
     */
-  def perplexity(
-      text: UTF8String,
+  /** THE scoring kernel — one copy, both surfaces fold over it. Per-token
+    * log2 probabilities: first token against the unigram distribution;
+    * token i > 0 against P(w_i | w_{i-1}) = (c(bigram)+k) / (c(w_{i-1}) +
+    * k*V), unseen history backing off to the unigram estimate.
+    */
+  private def lps(
+      words: Array[String],
       unigrams: java.util.HashMap[String, java.lang.Long],
       bigrams: java.util.HashMap[String, java.lang.Long],
       vocabSize: Int,
       totalTokens: Long,
-      k: Double): Double = {
-    val words = text.toString.split("\\s+").filter(_.nonEmpty)
-    if (words.isEmpty) return 0.0
+      k: Double): Array[Double] = {
+    val out = new Array[Double](words.length)
     val kv = k * vocabSize
-    var h = 0.0
     var i = 0
     var prev: String = null
     while (i < words.length) {
@@ -49,17 +52,35 @@ object LmUtil {
               (ch.longValue() + kv)
           }
         }
-      h += -(math.log(p) / math.log(2.0))
+      out(i) = math.log(p) / math.log(2.0)
       prev = w
       i += 1
     }
+    out
+  }
+
+  def perplexity(
+      text: UTF8String,
+      unigrams: java.util.HashMap[String, java.lang.Long],
+      bigrams: java.util.HashMap[String, java.lang.Long],
+      vocabSize: Int,
+      totalTokens: Long,
+      k: Double): Double = {
+    val words = text.toString.split("\\s+").filter(_.nonEmpty)
+    if (words.isEmpty) return 0.0
+    val arr = lps(words, unigrams, bigrams, vocabSize, totalTokens, k)
+    // Σ(-lp_i) in token order — IEEE negation is exact, so this is
+    // bit-identical to the pre-refactor accumulate-negated-terms loop
+    var h = 0.0
+    var i = 0
+    while (i < arr.length) { h += -arr(i); i += 1 }
     math.pow(2.0, h / words.length)
   }
 
   /** Per-token log2 probabilities under the same add-k bigram model as
-    * [[LmUtil.perplexity]] (identical formula per token — the perplexity
-    * is 2^(-mean of these)). Returns one double per non-empty token, in
-    * token order; empty text returns an empty array.
+    * [[LmUtil.perplexity]] (the SAME kernel — perplexity is 2^(-mean) of
+    * this by construction, enforced by sharing [[lps]]). One double per
+    * non-empty token, in token order; empty text returns an empty array.
     */
   def tokenLogProbs(
       text: UTF8String,
@@ -69,31 +90,8 @@ object LmUtil {
       totalTokens: Long,
       k: Double): org.apache.spark.sql.catalyst.util.ArrayData = {
     val words = text.toString.split("\\s+").filter(_.nonEmpty)
-    val out = new Array[Double](words.length)
-    val kv = k * vocabSize
-    var i = 0
-    var prev: String = null
-    while (i < words.length) {
-      val w = words(i)
-      val cw = unigrams.get(w)
-      val p =
-        if (i == 0 || prev == null) {
-          ((if (cw == null) 0L else cw.longValue()) + k) / (totalTokens + kv)
-        } else {
-          val ch = unigrams.get(prev)
-          if (ch == null) {
-            ((if (cw == null) 0L else cw.longValue()) + k) / (totalTokens + kv)
-          } else {
-            val cb = bigrams.get(prev + " " + w)
-            ((if (cb == null) 0L else cb.longValue()) + k) /
-              (ch.longValue() + kv)
-          }
-        }
-      out(i) = math.log(p) / math.log(2.0)
-      prev = w
-      i += 1
-    }
-    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      lps(words, unigrams, bigrams, vocabSize, totalTokens, k))
   }
 }
 

@@ -72,6 +72,22 @@ object Curation {
         .distinct(),
       maxBroadcastGrams)
 
+  /** A benchmark suite's prepared gram-hash frame for REPEATED use (the
+    * streaming decontamination pass scores every micro-batch against it):
+    * exactly [[benchGramHashes]] — same gram pipeline, same persist
+    * (recoverable lineage: an executor loss recomputes blocks instead of
+    * killing a long-lived stream), same broadcast gate — surfaced
+    * publicly. Note the persist cache is bounded ([[MaxCachedGramSets]]):
+    * later decontamination calls can evict a stream's gram set, which
+    * silently degrades to per-batch recompute, never to wrong results.
+    */
+  def benchmarkGrams(
+      benchmark: DataFrame,
+      textCol: String,
+      ngramLen: Int = 8,
+      maxBroadcastGrams: Long = MaxBroadcastGrams): DataFrame =
+    benchGramHashes(benchmark, textCol, ngramLen, maxBroadcastGrams)
+
   /** One shared materialization for the gram-set size gate and the join —
     * the r12 bench regression (q41 0.35→0.45 s, q69 0.40→0.55 s) was the
     * explode+distinct running twice, once under the sizing count and
@@ -147,27 +163,6 @@ object Curation {
       maxBroadcastGrams: Long = MaxBroadcastGrams): DataFrame =
     decontaminateAgainstGrams(corpus, idCol, textCol, ngramLen,
       benchGramHashes(benchmark, textCol, ngramLen, maxBroadcastGrams))
-
-  /** A benchmark suite's distinct gram-hash frame, PINNED
-    * (localCheckpoint, lineage cut) and broadcast-gated ONCE — the
-    * precomputed form a streaming decontamination pass scores every
-    * micro-batch against ([[graft.streaming.Streams
-    * .decontaminateStream]]): the eval suite is fixed for the stream's
-    * lifetime, so its grams are paid once, not per batch. One column
-    * `_gh` (xxhash64), matching [[decontaminateAgainstGrams]].
-    */
-  def benchmarkGrams(
-      benchmark: DataFrame,
-      textCol: String,
-      ngramLen: Int = 8,
-      maxBroadcastGrams: Long = MaxBroadcastGrams): DataFrame = {
-    val pinned = benchmark
-      .select(explode(tokenNgrams(col(textCol), ngramLen)).as("gram"))
-      .select(xxhash64(col("gram")).as("_gh"))
-      .distinct()
-      .localCheckpoint(true)
-    if (pinned.count() <= maxBroadcastGrams) broadcast(pinned) else pinned
-  }
 
   /** [[decontaminate]] against an already-prepared `_gh` gram frame
     * (gated + hinted by [[benchGramHashes]] or [[benchmarkGrams]]) — the

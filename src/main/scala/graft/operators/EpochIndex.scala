@@ -132,10 +132,23 @@ private[graft] trait EpochIndex {
     */
   def deleteIds(ids: Set[Long]): Long = {
     if (ids.isEmpty) return 0L
-    val unitBefore = compactionCommitCount().getOrElse(log.sizeStats()._2)
+    // evaluate the family's commit-unit count ONCE — for doc-unit
+    // families it is a full layout scan, and it is needed both for the
+    // "before" figure and for the Some/None unit decision below
+    val unitCounted = compactionCommitCount()
+    val unitBefore = unitCounted.getOrElse(log.sizeStats()._2)
+    val frames = deleteFrames(ids)
+    // a delete that empties the index would write a zero-row epoch — and
+    // a zero-row DYNAMIC-PARTITION write emits no schema-bearing files,
+    // leaving a gather-bucketed layout unreadable. Emptying an index is
+    // a drop, not a delete: refuse loudly. (limit-1 probe on the
+    // un-observed frame, so compaction metrics are untouched.)
+    require(!frames.head.isEmpty,
+      "deleteIds would remove every remaining document; drop the index " +
+        "directory instead of emptying it")
     val target = log.nextEpoch()
     val obs = Observation()
-    layoutNames.zip(deleteFrames(ids)).zipWithIndex.foreach {
+    layoutNames.zip(frames).zipWithIndex.foreach {
       case ((name, df), i) =>
         val counted = if (i == 0) df.observe(obs, count(lit(1)).as("n")) else df
         EpochIndex.writeLayoutSlice(counted,
@@ -144,11 +157,11 @@ private[graft] trait EpochIndex {
     val stale = log.committedEpochs()
     // recompute the commit unit over the FILTERED rows for families whose
     // unit is not raw layout rows (WinnowIndex/VideoIndex count docs)
-    val unitAfter = compactionCommitCount() match {
+    val unitAfter = unitCounted match {
       case Some(_) =>
         // the old epochs are still visible here; count kept docs from the
         // filtered primary frame instead of re-reading the layout
-        deleteFrames(ids).head.select(col("id")).distinct().count()
+        frames.head.select(col("id")).distinct().count()
       case None => scala.util.Try(obs.get("n").asInstanceOf[Long]).getOrElse(0L)
     }
     log.commit(target, "replace", unitAfter)

@@ -13,13 +13,16 @@ import graft.multimodal.{Multimodal, VideoCodec, VideoIndex}
   * slim as the feed grows). A twin of the HIGHEST corpus id is planted in
   * the batch; both paths must find it.
   *
-  * Run: sbt "runMain graft.tools.VideoProbe [corpusVideos] [batchVideos]"
+  * Run: sbt "runMain graft.tools.VideoProbe [corpusVideos] [batchVideos]
+  * [frameLenBytes >= 8]"
   */
 object VideoProbe {
   def main(args: Array[String]): Unit = {
     val corpusVideos = args.headOption.map(_.toLong).getOrElse(50000L)
     val batchVideos = args.lift(1).map(_.toLong).getOrElse(2000L)
     val frameLen = args.lift(2).map(_.toInt).getOrElse(64)
+    require(frameLen >= 8,
+      s"frameLen must be >= 8 (the frame id is embedded as a long), got $frameLen")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

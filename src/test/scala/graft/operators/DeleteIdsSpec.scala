@@ -111,6 +111,18 @@ class DeleteIdsSpec extends AnyFunSuite with SparkSpec {
       .isEmpty, "deleted video stops matching")
   }
 
+  test("deleteIds refuses to EMPTY an index — a zero-row bucketed epoch " +
+    "would be unreadable; emptying is a drop") {
+    val idx = WinnowIndex.build(
+      Seq((1L, "o1 o2 o3 o4 o5 o6 o7 o8 o9 o10 o11 o12")).toDF("id", "text"),
+      "id", "text", tmp("graft_del_empty"))
+    val ex = intercept[IllegalArgumentException](idx.deleteIds(Set(1L)))
+    assert(ex.getMessage.contains("drop the index"))
+    // the refused delete left the index fully intact
+    assert(idx.maintenance().nDocs == 1L)
+    assert(idx.storedFps().select($"id").distinct().count() == 1L)
+  }
+
   test("SegmentIndex refuses id deletes — its hash set carries no " +
     "document attribution") {
     val idx = SegmentIndex.build(
