@@ -89,6 +89,17 @@ object GraftExtensions {
     case other => throw new IllegalArgumentException(
       s"$fn: $arg must be an integer literal, got $other")
   }
+  private def dblLit(fn: String, arg: String)(e: Expression): Double = e match {
+    // SQL `0.0012` parses as a DECIMAL literal; accept the numeric trio
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: org.apache.spark.sql.types.Decimal,
+      _: org.apache.spark.sql.types.DecimalType) => v.toDouble
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Double,
+      org.apache.spark.sql.types.DoubleType) => v
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int,
+      org.apache.spark.sql.types.IntegerType) => v.toDouble
+    case other => throw new IllegalArgumentException(
+      s"$fn: $arg must be a numeric literal, got $other")
+  }
   private def strLit(fn: String, arg: String)(e: Expression): String = e match {
     case org.apache.spark.sql.catalyst.expressions.Literal(
       v: org.apache.spark.unsafe.types.UTF8String,
@@ -176,7 +187,17 @@ object GraftExtensions {
         strLit("transitions", "userCol")(es(1)),
         strLit("transitions", "tsCol")(es(2)),
         strLit("transitions", "typeCol")(es(3)),
-        longLit("transitions", "bucketMs")(es(4))))))
+        longLit("transitions", "bucketMs")(es(4))))),
+    // EAGER builder: the two-pass sketch runs its jobs when the TVF is
+    // analyzed (the candidate set is driver state by design) — an
+    // EXPLAIN of a query over heavy_hitters therefore already pays
+    // pass 1. Documented trade for having the exact-HH path in SQL.
+    ("heavy_hitters",
+      "heavy_hitters(TABLE(t), itemCol, minFrac): exact items above minFrac of the stream (two-pass Misra-Gries)",
+      3, es => plan(graft.operators.HeavyHitters.heavyHitters(
+        tableArg("heavy_hitters")(es(0)),
+        org.apache.spark.sql.functions.col(strLit("heavy_hitters", "itemCol")(es(1))),
+        dblLit("heavy_hitters", "minFrac")(es(2))))))
 
   /** Register the TABLE functions on an already-running session (the
     * extension path only applies at session build; Verify/notebooks run

@@ -77,6 +77,11 @@ class GraftExtensionsSpec extends AnyFunSuite {
         .as[(String, String, Long)].collect().toSet
       assert(tr == Set(("a", "b", 1L), ("b", "a", 1L)),
         "user 1's timeline a->b->a; user 2 has no adjacency")
+      val hh = spark.sql(
+        """SELECT * FROM heavy_hitters(TABLE(ext_events), 'event_type', 0.3)
+          |ORDER BY item""".stripMargin)
+        .as[(String, Long)].collect().toSeq
+      assert(hh == Seq(("a", 2L)), "only 'a' (2/4 = 0.5) clears 0.3")
       // loud failures: wrong arity, and a TABLE-arg spec that would
       // otherwise be silently dropped
       val arityErr = intercept[Exception] {
