@@ -159,6 +159,77 @@ object Streams {
       }
   }
 
+  // --------------------------------------------------- heavy-hitter stream
+
+  case class HhInput(shard: Int, hash: Long)
+  case class HhState(hashes: Array[Long], counts: Array[Long], n: Long)
+  case class HhSummary(shard: Int, hash: Long, est: Long, shard_n: Long)
+
+  /** Streaming twin of [[graft.operators.HeavyHitters]]' pass 1 — the
+    * tenth online family: a sharded Misra–Gries summary maintained
+    * incrementally over an item stream. Items route to one of `nShards`
+    * states by item-hash, so (a) the state layer parallelizes instead of
+    * funneling the stream through one task, and (b) each item's full count
+    * lives in exactly ONE shard, which keeps the summary guarantee intact:
+    * an item with true count > shard_n/(k+1) — and shard_n <= n, so a
+    * fortiori anything above `n/(k+1)` — is present in its shard's
+    * summary after any prefix of micro-batches, however the stream is
+    * chopped (the PODS-2012 merge bound; every micro-batch update is a
+    * merge into the shard's summary).
+    *
+    * Emits each updated shard's CURRENT summary per micro-batch (update
+    * semantics: <= k rows per shard, est = the sketch's undercount-bounded
+    * estimate, shard_n = items seen by the shard). Keep the latest row set
+    * per shard in the sink; at any point
+    * [[graft.operators.HeavyHitters.exactFromCandidates]] over the corpus
+    * with the unioned hashes and `totalN = sum(shard_n)` yields the EXACT
+    * heavy-hitter set — batch/stream parity not just in spirit: both paths
+    * produce a candidate superset with the same guarantee, and pass 2 is
+    * the same code (q140 locks the composition against q137's oracle).
+    *
+    * State per shard is two length-<=2k long arrays — bounded for the
+    * stream's lifetime by construction, the property every other state
+    * here (dedup watermarks, transition last-events) needs policy for.
+    */
+  def heavyHittersStream(
+      items: DataFrame,
+      itemCol: String,
+      sketchSize: Int,
+      nShards: Int = 32): Dataset[HhSummary] = {
+    require(sketchSize >= 1, s"sketchSize must be >= 1, got $sketchSize")
+    require(nShards >= 1, s"nShards must be >= 1, got $nShards")
+    import items.sparkSession.implicits._
+    val mg = new graft.operators.HeavyHitters.MisraGriesAggregator(sketchSize)
+    items
+      .filter(col(itemCol).isNotNull)
+      .select(xxhash64(col(itemCol).cast("string")).as("hash"))
+      .select(pmod(col("hash"), lit(nShards.toLong)).cast("int").as("shard"),
+        col("hash"))
+      .as[HhInput]
+      .groupByKey(_.shard)
+      .flatMapGroupsWithState[HhState, HhSummary](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (shard: Int, rows: Iterator[HhInput], state: GroupState[HhState]) =>
+          val buf = state.getOption match {
+            case Some(s) =>
+              val m = scala.collection.mutable.HashMap.empty[Long, Long]
+              var i = 0
+              while (i < s.hashes.length) { m.update(s.hashes(i), s.counts(i)); i += 1 }
+              m
+            case None => mg.zero
+          }
+          var n = state.getOption.map(_.n).getOrElse(0L)
+          rows.foreach { r => mg.reduce(buf, r.hash); n += 1 }
+          val hs = new Array[Long](buf.size)
+          val cs = new Array[Long](buf.size)
+          var j = 0
+          buf.foreachEntry { (h, c) => hs(j) = h; cs(j) = c; j += 1 }
+          state.update(HhState(hs, cs, n))
+          buf.toSeq.sortBy(_._1)
+            .map { case (h, c) => HhSummary(shard, h, c, n) }.iterator
+      }
+  }
+
   // ----------------------------------------------------------- stream dedup
 
   /** documents-table schema as the driver's parquet writes it. */

@@ -570,6 +570,67 @@ class StreamsSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("heavyHittersStream: sharded MG summaries + exact pass 2 equal batch " +
+      "under any chopping") {
+    // 800 singleton tails + three heavy items; minFrac 0.05 over n=1010:
+    // hotA(120) and hotB(90) pass (>50.5), hotC(50) teeters below
+    val items = (1 to 800).map(i => s"tail$i") ++
+      Seq.fill(120)("hotA") ++ Seq.fill(90)("hotB") ++ Seq.fill(50)("hotC")
+    val shuffled = new scala.util.Random(3).shuffle(items)
+    val minFrac = 0.05
+    val k = math.ceil(1.0 / minFrac).toInt
+    val batch = graft.operators.HeavyHitters.heavyHitters(
+      shuffled.toDF("item"), col("item"), minFrac)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(batch == Map("hotA" -> 120L, "hotB" -> 90L))
+
+    for ((chops, tag) <- Seq(Seq(1010) -> "one", Seq(300, 300, 300, 110) -> "four")) {
+      val dropDir = tempDir(s"graft_hh_drop_$tag")
+      var off = 0
+      def write(nRows: Int, f: String): Unit = {
+        val stage = tempDir(s"graft_hh_stage_$tag$off")
+        shuffled.slice(off, off + nRows).toDF("item")
+          .coalesce(1).write.mode("overwrite").parquet(stage)
+        off += nRows
+        val part = new java.io.File(stage).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        Files.copy(part.toPath, Paths.get(s"$dropDir/$f"),
+          StandardCopyOption.REPLACE_EXISTING)
+      }
+      write(chops.head, "d0.parquet")
+      val src = spark.readStream
+        .schema(StructType(Seq(StructField("item",
+          org.apache.spark.sql.types.StringType))))
+        .option("pathGlobFilter", "d*.parquet").parquet(dropDir)
+      val q = Streams.heavyHittersStream(src, "item", k, nShards = 5)
+        .toDF().writeStream.outputMode("update")
+        .format("memory").queryName(s"hh_out_$tag").start()
+      try {
+        q.processAllAvailable()
+        chops.tail.zipWithIndex.foreach { case (c, i) =>
+          write(c, s"d${i + 1}.parquet")
+          q.processAllAvailable()
+        }
+        // latest snapshot per shard = the rows carrying its max shard_n
+        val all = spark.table(s"hh_out_$tag")
+          .as[Streams.HhSummary].collect().toSeq
+        val latest = all.groupBy(_.shard).values.flatMap { rows =>
+          val mx = rows.map(_.shard_n).max
+          rows.filter(_.shard_n == mx)
+        }.toSeq
+        val totalN = latest.groupBy(_.shard)
+          .map { case (_, rows) => rows.head.shard_n }.sum
+        assert(totalN == 1010L, s"[$tag] totalN=$totalN")
+        val cands = latest.map(_.hash).distinct
+        assert(cands.size <= 5 * 2 * k, s"[$tag] candidate set is bounded")
+        val exact = graft.operators.HeavyHitters.exactFromCandidates(
+          shuffled.toDF("item"), col("item"), minFrac, cands, totalN)
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        assert(exact == batch, s"[$tag] stream+pass2 $exact vs batch $batch")
+      } finally q.stop()
+    }
+  }
+
   test("ingestVectors streams JSONL drops into a store with status table") {
     import org.apache.spark.sql.types._
     val dropDir = tempDir("graft_vec_drop")
