@@ -188,6 +188,95 @@ object Curation {
         (coalesce(col("hits"), lit(0L)) > 0).as("contaminated"))
   }
 
+  /** [[decontaminate]] for benchmark suites whose gram set is too big to
+    * ship exactly — the third tier of the decontamination scale ladder.
+    * Tier 1 (<= `maxBroadcastGrams` distinct grams) broadcasts the exact
+    * hash set; tier 2 falls back to AQE-planned shuffles, which move the
+    * CORPUS gram stream — corpus-sized, the expensive direction. This
+    * tier replaces that with the classic Bloom-prefilter-then-verify
+    * recipe (Bloom 1970; the semi-join-filter pattern every distributed
+    * engine uses for runtime filters, here built on Spark's own
+    * `BloomFilterAggregate`/`BloomFilterMightContain` kernels):
+    *
+    *  1. ONE benchmark scan folds all gram hashes into a Bloom filter of
+    *     FIXED size (`numBits` — 8 MB at the default, regardless of
+    *     whether the suite has 4M or 400M grams); partial buffers OR
+    *     together, so nothing bench-sized shuffles.
+    *  2. ONE corpus scan keeps only grams the filter might contain —
+    *     true hits plus an `fpp`-bounded trickle of false positives;
+    *     everything else dies inside the scan stage.
+    *  3. The survivors (contamination-sized, not corpus-sized) are
+    *     verified EXACTLY: their distinct hashes gate-broadcast back
+    *     against a second benchmark scan to compute the confirmed-gram
+    *     set, and the per-doc hit counts come from survivors x confirmed.
+    *
+    * False positives therefore cost verify rows, never wrong answers —
+    * the output is row-identical to [[decontaminate]] (q142 locks it to
+    * q41's oracle), under the same xxhash64 collision caveat.
+    *
+    * `expectedGrams`/`numBits` default to Spark's runtime-filter caps
+    * (4M items / 2^26 bits ≈ 8 MB, fpp well under 0.1%); for a
+    * 100M+-gram suite raise them together with
+    * `spark.sql.optimizer.runtime.bloomFilter.maxNumItems`/`maxNumBits`
+    * — an undersized filter still answers exactly, just with more
+    * false-positive verify traffic.
+    */
+  def decontaminateBloom(
+      corpus: DataFrame,
+      benchmark: DataFrame,
+      idCol: String,
+      textCol: String,
+      ngramLen: Int = 8,
+      expectedGrams: Long = 4000000L,
+      numBits: Long = 1L << 26,
+      maxBroadcastGrams: Long = MaxBroadcastGrams): DataFrame = {
+    require(expectedGrams > 0 && numBits > 0, "bloom sizing must be positive")
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+
+    val spine = corpus.select(col(idCol).cast("long").as("id"))
+    // bench gram hashes, NO distinct: duplicate Bloom inserts are no-ops,
+    // so the build is one scan with zero exchange (the partial buffers OR)
+    val benchHashes = benchmark
+      .select(explode(tokenNgrams(col(textCol), ngramLen)).as("gram"))
+      .select(xxhash64(col("gram")).as("_gh"))
+    val bloomAgg = Bridge.column(new BloomFilterAggregate(
+      Bridge.expression(col("_gh")),
+      Literal(expectedGrams), Literal(numBits)).toAggregateExpression())
+    val bloom = benchHashes.agg(bloomAgg.as("bf")).head().getAs[Array[Byte]](0)
+    if (bloom == null) { // empty benchmark: every doc is clean
+      return spine.select(col("id"), lit(0L).as("hits"), lit(false).as("contaminated"))
+    }
+    def mightContain(value: Column): Column = Bridge.column(
+      BloomFilterMightContain(
+        Literal(bloom, org.apache.spark.sql.types.BinaryType),
+        Bridge.expression(value)))
+
+    // corpus scan: the filter runs INSIDE the scan stage; survivors are
+    // contamination-sized and reused twice, so persist (lineage kept)
+    val survivors = corpus
+      .select(col(idCol).cast("long").as("id"),
+        explode(array_distinct(tokenNgrams(col(textCol), ngramLen))).as("gram"))
+      .select(col("id"), xxhash64(col("gram")).as("_gh"))
+      .filter(mightContain(col("_gh")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    persistedGramSets.add(survivors)
+
+    // exact verify: survivor hashes (gate-broadcast) against a second
+    // bench scan -> confirmed grams; false positives die here
+    val survHashes = gateBroadcast(survivors.select(col("_gh")).distinct(),
+      maxBroadcastGrams)
+    val confirmed = gateBroadcast(
+      benchHashes.join(survHashes, Seq("_gh")).select(col("_gh")).distinct(),
+      maxBroadcastGrams)
+    val hits = survivors.join(confirmed, Seq("_gh"))
+      .groupBy(col("id")).agg(count(lit(1)).as("hits"))
+    spine.join(hits, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("hits"), lit(0L)).as("hits"),
+        (coalesce(col("hits"), lit(0L)) > 0).as("contaminated"))
+  }
+
   /** Per-benchmark contamination ATTRIBUTION — [[decontaminate]]'s audit
     * report: WHICH eval set leaked into which document, the question a
     * multi-benchmark decontamination run answers before deciding what to
@@ -414,6 +503,71 @@ object Curation {
     }
     df.filter(pmod(idHash(col(idCol)), lit(1000000L)) < ppm)
   }
+
+  /** Temperature-scaled mixing rates — the multilingual/multi-source
+    * "alpha sampling" recipe (Lample & Conneau, "Cross-lingual Language
+    * Model Pretraining", 2019, §3.1; Xue et al., mT5, 2021): sample
+    * source i with probability proportional to n_i^alpha, so alpha < 1
+    * up-weights small sources relative to their natural share and
+    * alpha = 1 keeps the natural distribution. Expressed as per-source
+    * KEEP-RATES for [[weightedSample]]: rate_i proportional to
+    * n_i^(alpha-1), normalized so the most up-weighted source keeps
+    * everything (rate 1.0) — the variant that never oversamples, only
+    * trims the over-represented sources.
+    *
+    * Engine-portable arithmetic: the rate is `base^|1-alpha|` with
+    * `base = n_anchor/n_i` (alpha <= 1, anchor = smallest source) or
+    * `n_i/n_anchor` (alpha > 1, anchor = largest). At alpha = 0.5 — the
+    * common temperature — the exponent is 0.5 and the chain is one IEEE
+    * division + one `sqrt`, both correctly rounded, so an external engine
+    * replays the rates BIT-EXACTLY (the q138 oracle does). Other alphas go
+    * through libm `pow`, which is not correctly rounded — two engines can
+    * disagree by 1 ulp there (the [[graft.text.TextAnalysis.pmiBigrams]]
+    * lift-vs-pmi caveat); rates remain deterministic per engine.
+    *
+    * Scale shape: one slim partial-aggregated per-source count (as many
+    * rows as SOURCES, not documents) collected under `maxSources`; the
+    * sampling filter the rates feed is zero-shuffle arithmetic.
+    */
+  def temperatureRates(
+      df: DataFrame,
+      sourceCol: String,
+      alpha: Double,
+      maxSources: Int = 100000): Map[String, Double] = {
+    require(alpha > 0.0 && alpha <= 2.0, s"alpha must be in (0, 2], got $alpha")
+    val counts = df.groupBy(col(sourceCol).cast("string").as("src"))
+      .agg(count(lit(1)).as("n"))
+      .limit(maxSources + 1)
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    require(counts.length <= maxSources,
+      s"more than maxSources=$maxSources distinct sources; a rate per " +
+        "source stops being a sensible plan there — cap or bucket first")
+    if (counts.isEmpty) return Map.empty
+    val anchor = if (alpha <= 1.0) counts.map(_._2).min else counts.map(_._2).max
+    val e = math.abs(1.0 - alpha)
+    counts.map { case (src, n) =>
+      val base =
+        if (alpha <= 1.0) anchor.toDouble / n.toDouble
+        else n.toDouble / anchor.toDouble
+      val rate = if (e == 0.5) math.sqrt(base) else math.pow(base, e)
+      src -> rate
+    }.toMap
+  }
+
+  /** [[temperatureRates]] composed with [[weightedSample]]: deterministic
+    * temperature-mixed subsample of `df`. Sources are counted from `df`
+    * itself, so every source has a rate and `defaultRate` is never
+    * consulted. Output: the kept rows, all columns.
+    */
+  def temperatureMix(
+      df: DataFrame,
+      idCol: String,
+      sourceCol: String,
+      alpha: Double,
+      maxSources: Int = 100000): DataFrame =
+    weightedSample(df, idCol, sourceCol,
+      temperatureRates(df, sourceCol, alpha, maxSources))
 
   /** Per-key frequency cap: keep at most `n` rows per key (domain, URL
     * host, cluster id...), chosen DETERMINISTICALLY — the rows whose

@@ -56,6 +56,36 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
     assert(out.forall(r => r._2 >= 0 && r._2 <= 3))
   }
 
+  test("decontaminateBloom: row-identical to exact decontaminate, even " +
+      "with a deliberately undersized filter (false positives verified away)") {
+    val rnd = new scala.util.Random(17)
+    def doc(): String = Seq.fill(20)(s"w${rnd.nextInt(40)}").mkString(" ")
+    val planted = "alpha beta gamma delta epsilon zeta eta theta"
+    val corpus = ((1L to 60L).map(i => (i, doc())) :+
+      (61L, s"prefix $planted suffix")).toDF("id", "text")
+    val bench = Seq((100L, s"xx $planted yy"), (101L, doc()))
+      .toDF("id", "text")
+    val exact = Curation.decontaminate(corpus, bench, "id", "text", ngramLen = 8)
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1).toSeq
+    assert(exact.count(_._3) >= 1, "the planted leak must be flagged")
+    val bloom = Curation.decontaminateBloom(
+      corpus, bench, "id", "text", ngramLen = 8)
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1).toSeq
+    assert(bloom == exact, "bloom tier must be row-identical")
+    // 64-bit filter over ~60 bench grams: false-positive rate is large by
+    // construction; exactness must survive because survivors are verified
+    val tiny = Curation.decontaminateBloom(
+      corpus, bench, "id", "text", ngramLen = 8,
+      expectedGrams = 4L, numBits = 64L)
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1).toSeq
+    assert(tiny == exact, "an undersized filter costs verify rows, never answers")
+    // empty benchmark: all clean
+    val clean = Curation.decontaminateBloom(
+      corpus, bench.filter($"id" < 0), "id", "text", ngramLen = 8)
+      .as[(Long, Long, Boolean)].collect()
+    assert(clean.length == 61 && clean.forall(r => r._2 == 0L && !r._3))
+  }
+
   test("decontaminateByBenchmark attributes hits per eval set; shared grams hit both") {
     val corpus = Seq(
       (1L, "the quick brown fox jumps over the lazy dog today"),
