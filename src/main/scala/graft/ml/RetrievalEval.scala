@@ -1,0 +1,113 @@
+package graft.ml
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Label-judged retrieval evaluation: recall@k, precision@k, MRR and
+  * nDCG@k of a ranked result set against a gold relevance table — the IR
+  * complement of [[Recall]] (which scores an approximate path against its
+  * own exact twin, not against ground-truth labels). This is how a RAG or
+  * embedding pipeline is actually graded: run the retriever over a query
+  * set, join the judgments, read the per-query metrics. The reference's
+  * accuracy harness stops at self-recall (tests/performance_demo_hnsw.py);
+  * the judged-metrics layer is an engine extension following the standard
+  * IR definitions (Manning, Raghavan & Schütze, "Introduction to
+  * Information Retrieval", 2008, §8.4).
+  *
+  * Engine-portability of the emitted doubles, per column:
+  * `recall_at_k` (hits/n_gold), `precision_at_k` (hits/k) and `rr`
+  * (1/first_rank) are each ONE correctly-rounded IEEE division over exact
+  * integers — bit-identical on any IEEE engine, safe to hash-compare.
+  * `dcg`/`idcg`/`ndcg` go through libm `log` (not correctly rounded, the
+  * [[graft.text.TextAnalysis.pmiBigrams]] pmi caveat) AND sum float terms
+  * in rank order — deterministic here (the sum folds over a per-query
+  * sorted array, not a partial-aggregation tree) but 1-ulp-fragile across
+  * engines: rank by them, hash-compare the division-only columns.
+  *
+  * Scale shape: both inputs are RESULT-SIZED (|queries| x k and
+  * |queries| x judgments), orders of magnitude below the corpora they
+  * came from; two equi-joins on (query, id), one per-query aggregation,
+  * no window over raw data, nothing corpus-sized anywhere.
+  */
+object RetrievalEval {
+
+  /** Judge `results` against `gold`.
+    *
+    * `results`: one row per retrieved item — (queryIdCol, idCol, rankCol)
+    * with rank 1-based; rows with rank > k are ignored, so callers can
+    * pass a deeper result set and sweep k without re-retrieving.
+    * `gold`: one row per relevant (queryIdCol, idCol) pair. Queries
+    * present in `gold` but missing from `results` still get a row (all
+    * misses); queries with no gold judgments are not scored.
+    *
+    * Output, one row per judged query:
+    * (query, n_gold, hits BIGINT, first_rank BIGINT or NULL,
+    *  recall_at_k, precision_at_k, rr, dcg, idcg, ndcg — all DOUBLE).
+    * `rr` is 0.0 for all-miss queries (the MRR convention); `ndcg` is
+    * dcg/idcg with binary gains, idcg truncated at min(n_gold, k).
+    */
+  def judge(
+      results: DataFrame,
+      gold: DataFrame,
+      k: Int,
+      queryIdCol: String = "query_id",
+      idCol: String = "id",
+      rankCol: String = "rank"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+
+    val res = results
+      .select(col(queryIdCol).as("_q"), col(idCol).as("_id"),
+        col(rankCol).cast("long").as("_rnk"))
+      .filter(col("_rnk") >= 1L && col("_rnk") <= k)
+    val gld = gold
+      .select(col(queryIdCol).as("_q"), col(idCol).as("_id"))
+      .dropDuplicates("_q", "_id")
+
+    // binary-gain DCG term: 1 / log2(rank + 1)
+    val dcgTerm = lit(1.0) / log2(col("_rnk").cast("double") + lit(1.0))
+
+    val perQuery = gld.join(res, Seq("_q", "_id"))
+      .groupBy(col("_q"))
+      .agg(
+        count(lit(1)).as("hits"),
+        min(col("_rnk")).as("first_rank"),
+        sum(dcgTerm).as("dcg"))
+
+    val nGold = gld.groupBy(col("_q")).agg(count(lit(1)).as("n_gold"))
+
+    // ideal DCG: all min(n_gold, k) gold items at the top ranks
+    val idcg = aggregate(
+      sequence(lit(1L), least(col("n_gold"), lit(k.toLong))),
+      lit(0.0),
+      (acc, i) => acc + lit(1.0) / log2(i.cast("double") + lit(1.0)))
+
+    nGold.join(perQuery, Seq("_q"), "left")
+      .select(
+        col("_q").as(queryIdCol),
+        col("n_gold"),
+        coalesce(col("hits"), lit(0L)).as("hits"),
+        col("first_rank"),
+        (coalesce(col("hits"), lit(0L)).cast("double") /
+          col("n_gold").cast("double")).as("recall_at_k"),
+        (coalesce(col("hits"), lit(0L)).cast("double") /
+          lit(k.toDouble)).as("precision_at_k"),
+        coalesce(lit(1.0) / col("first_rank").cast("double"), lit(0.0)).as("rr"),
+        coalesce(col("dcg"), lit(0.0)).as("dcg"),
+        idcg.as("idcg"),
+        (coalesce(col("dcg"), lit(0.0)) / idcg).as("ndcg"))
+  }
+
+  /** Collapse [[judge]] output to one corpus row of macro-averages:
+    * (n_queries, mean_recall, mrr, mean_ndcg). Float means over a partial
+    * aggregation sum in nondeterministic order — report, plot, and
+    * spec-test with tolerances; hash-compare the per-query rows instead
+    * (the [[Recall.summarize]] caveat, which applies to any distributed
+    * float mean).
+    */
+  def summarize(perQuery: DataFrame): DataFrame =
+    perQuery.agg(
+      count(lit(1)).as("n_queries"),
+      avg(col("recall_at_k")).as("mean_recall"),
+      avg(col("rr")).as("mrr"),
+      avg(col("ndcg")).as("mean_ndcg"))
+}

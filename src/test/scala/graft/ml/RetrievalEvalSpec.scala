@@ -1,0 +1,72 @@
+package graft.ml
+
+import graft.SparkSpec
+import org.scalatest.funsuite.AnyFunSuite
+
+class RetrievalEvalSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  // q1: gold {a,b,c}; retrieved a@1, x@2, b@3  -> hits 2, first 1
+  // q2: gold {d};     retrieved y@1, z@2, w@3  -> all miss
+  // q3: gold {e,f};   not retrieved at all     -> scored as all-miss
+  private val results = Seq(
+    ("q1", "a", 1L), ("q1", "x", 2L), ("q1", "b", 3L),
+    ("q2", "y", 1L), ("q2", "z", 2L), ("q2", "w", 3L),
+    ("q4", "a", 1L) // q4 has no gold -> must not be scored
+  ).toDF("query_id", "id", "rank")
+
+  private val gold = Seq(
+    ("q1", "a"), ("q1", "b"), ("q1", "c"),
+    ("q2", "d"),
+    ("q3", "e"), ("q3", "f")
+  ).toDF("query_id", "id")
+
+  private def log2(x: Double) = math.log(x) / math.log(2.0)
+
+  test("per-query metrics match hand-computed IR definitions") {
+    val out = RetrievalEval.judge(results, gold, k = 3)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out.keySet == Set("q1", "q2", "q3"))
+
+    val q1 = out("q1")
+    assert(q1.getLong(1) == 3L && q1.getLong(2) == 2L) // n_gold, hits
+    assert(q1.getLong(3) == 1L)                        // first_rank
+    assert(q1.getDouble(4) == 2.0 / 3.0)               // recall
+    assert(q1.getDouble(5) == 2.0 / 3.0)               // precision
+    assert(q1.getDouble(6) == 1.0)                     // rr
+    val dcg = 1.0 / log2(2.0) + 1.0 / log2(4.0)
+    val idcg = 1.0 / log2(2.0) + 1.0 / log2(3.0) + 1.0 / log2(4.0)
+    assert(math.abs(q1.getDouble(7) - dcg) < 1e-12)
+    assert(math.abs(q1.getDouble(8) - idcg) < 1e-12)
+    assert(math.abs(q1.getDouble(9) - dcg / idcg) < 1e-12)
+
+    val q2 = out("q2")
+    assert(q2.getLong(2) == 0L && q2.isNullAt(3))
+    assert(q2.getDouble(4) == 0.0 && q2.getDouble(6) == 0.0)
+    assert(q2.getDouble(9) == 0.0)
+
+    val q3 = out("q3") // judged query absent from results entirely
+    assert(q3.getLong(1) == 2L && q3.getLong(2) == 0L && q3.getDouble(6) == 0.0)
+  }
+
+  test("rows beyond k are ignored, so one deep result set sweeps k") {
+    // at k=1 only a@1 counts: hits 1, recall 1/3, precision 1
+    val out = RetrievalEval.judge(results, gold, k = 1)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val q1 = out("q1")
+    assert(q1.getLong(2) == 1L)
+    assert(q1.getDouble(4) == 1.0 / 3.0)
+    assert(q1.getDouble(5) == 1.0)
+  }
+
+  test("duplicate gold judgments collapse; summarize macro-averages") {
+    val dupGold = gold.union(Seq(("q1", "a")).toDF("query_id", "id"))
+    val per = RetrievalEval.judge(results, dupGold, k = 3)
+    val q1 = per.collect().map(r => r.getString(0) -> r).toMap.apply("q1")
+    assert(q1.getLong(1) == 3L) // still 3 gold, not 4
+
+    val s = RetrievalEval.summarize(per).head()
+    assert(s.getLong(0) == 3L)
+    assert(math.abs(s.getDouble(2) - (1.0 + 0.0 + 0.0) / 3.0) < 1e-12) // mrr
+  }
+}
