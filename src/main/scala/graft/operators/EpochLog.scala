@@ -157,6 +157,16 @@ private[graft] case class EpochLog(spark: SparkSession, path: String) {
   def layoutPaths(layoutPath: String): Seq[String] =
     committedEpochs().map(e => s"$layoutPath/epoch=$e")
 
+  /** [[layoutPaths]] pinned at a snapshot: only committed directories with
+    * epoch <= `maxEpoch` — the time-travel read set. Epochs below the
+    * newest replace are gone from the log (and their directories pruned),
+    * so a pin older than the last replace/compaction resolves to the
+    * replace epoch's superset state or fails the caller's existence check
+    * loudly — never to a silently partial read.
+    */
+  def layoutPathsAt(layoutPath: String, maxEpoch: Long): Seq[String] =
+    committedEpochs().filter(_ <= maxEpoch).map(e => s"$layoutPath/epoch=$e")
+
   /** Best-effort recursive delete of a dead epoch directory. */
   def deleteDir(dir: String): Unit = {
     val p = new org.apache.hadoop.fs.Path(dir)

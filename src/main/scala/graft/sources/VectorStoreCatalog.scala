@@ -196,6 +196,39 @@ class VectorStoreCatalog(spark: SparkSession, root: String) {
     else empty
   }
 
+  /** The store's committed epoch history (epoch-mode stores only): the
+    * pinnable snapshot ids for [[loadAt]], oldest first. Epochs below the
+    * newest replace/compaction have been pruned and are not listed.
+    */
+  def epochs(userId: String, modelId: String): Seq[Long] = {
+    require(exists(userId, modelId), s"store $userId/$modelId does not exist")
+    require(epochMode(userId, modelId),
+      s"store $userId/$modelId predates the epoch layout — no snapshot history")
+    storeLog(userId, modelId).committedEpochs()
+  }
+
+  /** Snapshot-pinned scan — time travel: the store exactly as of commit
+    * `epoch`. A training run that pins its epoch at start reads the SAME
+    * rows however many appends land mid-run, and the pin is a plain long
+    * that reproduces the input set in a rerun (data-lineage discipline;
+    * same idea as table-format snapshot reads). Fails loudly when `epoch`
+    * is not in the committed history — in particular when a later
+    * `optimize` (replace-compaction) pruned it, the table-format
+    * "snapshot expired" condition; compaction policy therefore bounds how
+    * far back pins stay replayable.
+    */
+  def loadAt(userId: String, modelId: String, epoch: Long): DataFrame = {
+    val committed = epochs(userId, modelId)
+    require(committed.contains(epoch),
+      s"epoch $epoch is not in the committed history of $userId/$modelId " +
+        s"(live: ${committed.mkString(", ")}) — it never existed or a " +
+        "compaction pruned it; pin a listed epoch")
+    val p = dataPath(userId, modelId)
+    val dirs = storeLog(userId, modelId).layoutPathsAt(p, epoch)
+      .filter(d => fs.exists(new Path(d)))
+    spark.read.option("basePath", p).parquet(dirs: _*).drop("epoch")
+  }
+
   private def indexPath(userId: String, modelId: String) =
     s"${storePath(userId, modelId)}/_ivf"
 

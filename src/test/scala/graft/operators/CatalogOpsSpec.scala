@@ -157,6 +157,48 @@ class CatalogOpsSpec extends AnyFunSuite with SparkSpec {
     assert(cat.count("u", "m") == before, "row count must survive compaction")
   }
 
+  test("loadAt pins a snapshot: later appends invisible, compaction expires pins") {
+    val cat = newCatalog
+    cat.create("u", "tt", StoreConfig(dimension = 2))
+    def batch(v: Float, n: Int) =
+      Seq.fill(n)(Seq(v, v)).map(Tuple1(_)).toDF("vector")
+    cat.addVectors("u", "tt", batch(1f, 10)) // epoch 0
+    cat.addVectors("u", "tt", batch(2f, 5))  // epoch 1
+    val eps = cat.epochs("u", "tt")
+    assert(eps == Seq(0L, 1L))
+
+    val pinned = cat.loadAt("u", "tt", 0L)
+    cat.addVectors("u", "tt", batch(3f, 7))  // epoch 2, lands mid-"run"
+    // the PIN is stable: re-resolving epoch 0 still reads 10 rows while
+    // the live view has moved on
+    assert(cat.loadAt("u", "tt", 0L).count() == 10L)
+    assert(pinned.count() == 10L)
+    assert(cat.loadAt("u", "tt", 1L).count() == 15L)
+    assert(cat.load("u", "tt").count() == 22L)
+    assert(cat.epochs("u", "tt") == Seq(0L, 1L, 2L))
+
+    // snapshot contents, not just counts: epoch-1 pin has no 3f rows
+    assert(cat.loadAt("u", "tt", 1L)
+      .filter(element_at(col("vector"), 1) === 3f).count() == 0L)
+
+    // unknown epoch fails loudly
+    val missing = intercept[IllegalArgumentException] {
+      cat.loadAt("u", "tt", 99L)
+    }
+    assert(missing.getMessage.contains("not in the committed history"))
+
+    // compaction replaces history: old pins expire LOUDLY, the new
+    // replace epoch carries the full row set
+    cat.optimize("u", "tt")
+    val expired = intercept[IllegalArgumentException] {
+      cat.loadAt("u", "tt", 0L)
+    }
+    assert(expired.getMessage.contains("compaction pruned"))
+    val live = cat.epochs("u", "tt")
+    assert(live.size == 1)
+    assert(cat.loadAt("u", "tt", live.head).count() == 22L)
+  }
+
   test("maskedMeanPool matches hand computation and respects mask") {
     val df = Seq((
       Seq(Seq(1f, 2f), Seq(3f, 4f), Seq(100f, 100f)),
