@@ -797,6 +797,116 @@ object SparkEntry {
         .toDF("id", "hits", "contaminated")
     }),
 
+    // Corpus-global heavy hitters (Misra-Gries two-pass, EXACT): every
+    // token bigram above 0.12% of the stream. The sketch pass exchanges
+    // partitions x k counters instead of one row per distinct bigram —
+    // the universe that grows with the corpus (tools/HeavyProbe measures
+    // the trade at a 2M-distinct universe). The oracle replays the naive
+    // GROUP BY ... HAVING twin: same rows, corpus-sized shuffle.
+    "q137_heavy_hitters" -> ((s, dir) => {
+      val grams = t(s, dir, "documents")
+        .select(explode(operators.Curation.tokenNgrams(col("text"), 2)).as("gram"))
+      operators.HeavyHitters.heavyHitters(grams, col("gram"), minFrac = 0.0012)
+        .select(col("item").as("gram"), col("cnt"))
+    }),
+
+    // STREAMING heavy hitters (the tenth online family): q137's bigram
+    // stream through sharded Misra-Gries state (flatMapGroupsWithState,
+    // update mode), the per-shard summaries swept into a driver snapshot,
+    // then the SAME exact pass 2 over the corpus — candidates are a
+    // guaranteed superset under any chopping, so the final set equals the
+    // batch path's and the twin is EXACTLY q137's oracle.
+    "q140_heavy_hitters_stream" -> ((s, dir) => {
+      val snap = new java.util.concurrent.ConcurrentHashMap[
+        Int, (Long, Array[Long])]() // shard -> (shard_n, hashes)
+      val grams = streaming.Streams.documentStream(s, dir,
+          glob = Some("documents.parquet"))
+        .select(explode(operators.Curation.tokenNgrams(col("text"), 2)).as("gram"))
+      val minFrac = 0.0012
+      val k = math.ceil(1.0 / minFrac).toInt
+      val q = streaming.Streams.heavyHittersStream(grams, "gram", k)
+        .toDF().writeStream.outputMode("update")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.collect().groupBy(_.getInt(0)).foreach { case (shard, rows) =>
+            // each update carries the shard's FULL current summary
+            snap.put(shard, (rows.head.getLong(3), rows.map(_.getLong(1))))
+          }
+        }.start()
+      try q.processAllAvailable() finally q.stop()
+      import scala.jdk.CollectionConverters._
+      val states = snap.values.asScala.toSeq
+      val cands = states.flatMap(_._2).distinct
+      val totalN = states.map(_._1).sum
+      operators.HeavyHitters.exactFromCandidates(
+        t(s, dir, "documents")
+          .select(explode(operators.Curation.tokenNgrams(col("text"), 2)).as("gram")),
+        col("gram"), minFrac, cands, totalN)
+        .select(col("item").as("gram"), col("cnt"))
+    }),
+
+    // Temperature-scaled mixing (XLM/mT5 alpha sampling, alpha=0.5) over
+    // the LANGUAGE key — the published use case, and the skewed one here
+    // (en is 3.4x fr; the source column is uniform by construction, which
+    // would degenerate every rate to 1.0). Per-language keep-rates are
+    // proportional to n^(alpha-1), anchored so the smallest language keeps
+    // everything, applied through the q42 hash lottery. At alpha=0.5 the
+    // rate chain is one division + one sqrt — both correctly rounded — so
+    // the oracle replays counts, rates, ppm quantization and the kept set
+    // BIT-EXACTLY.
+    "q138_temperature_mix" -> ((s, dir) => {
+      operators.Curation.temperatureMix(
+        t(s, dir, "documents"), "doc_id", "lang", alpha = 0.5)
+        .select(col("doc_id").cast("long").as("id"), col("lang"))
+    }),
+
+    // Label-judged retrieval eval: batch kNN top-10 over the embeddings
+    // table graded against same-label gold (self excluded) — recall@k,
+    // precision@k, MRR per query. Hash-compared columns are single-
+    // division doubles over exact integers (the engine-portable subset);
+    // dcg/ndcg ride libm log and stay spec-verified (RetrievalEvalSpec).
+    "q139_retrieval_eval" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 32)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      val store = emb.select(col("vec_id").as("id"), col("embedding").as("vector"))
+      val results = Knn.batchTopK(queries, store, k = 10)
+      val gold = emb.filter(col("vec_id") < 32)
+        .select(col("vec_id").as("query_id"), col("label").as("_qlab"))
+        .join(emb.select(col("vec_id").as("id"), col("label")),
+          col("_qlab") === col("label") && col("id") =!= col("query_id"))
+        .select("query_id", "id")
+      ml.RetrievalEval.judge(results, gold, k = 10)
+        .select(col("query_id"), col("n_gold"), col("hits"), col("first_rank"),
+          col("recall_at_k"), col("precision_at_k"), col("rr"))
+    }),
+
+    // Bloom-tier decontamination: q41's split through the fixed-size
+    // Bloom prefilter + exact verify (Spark's own BloomFilterAggregate /
+    // BloomFilterMightContain kernels). False positives cost verify rows,
+    // never answers, so the twin is EXACTLY q41's oracle; the filter here
+    // is deliberately small (2^14 bits) so the fp path is actually
+    // exercised at sf scale.
+    "q142_decontam_bloom" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      operators.Curation.decontaminateBloom(
+        docs.filter(col("doc_id") % 50 =!= 0),
+        docs.filter(col("doc_id") % 50 === 0),
+        "doc_id", "text", ngramLen = 8,
+        expectedGrams = 1024L, numBits = 1L << 14)
+    }),
+
+    // Sign random projection (Achlioptas 2003): 64d embeddings onto 16
+    // +/-1 directions derived from the portable Knuth hash — a pure
+    // formula, no RNG state. Every coordinate is a fixed-order fold of
+    // +/-(float-exact) doubles, so even the FLOAT hash compares clean
+    // across engines (the rare oracle row allowed to emit raw doubles).
+    "q141_random_projection" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").filter(col("vec_id") < 50)
+      ml.RandomProjection.project(emb, "vec_id", "embedding", dIn = 64, dOut = 16)
+        .select(col("vec_id"), posexplode(col("proj")).as(Seq("dim", "value")))
+        .select(col("vec_id"), col("dim").cast("long").as("dim"), col("value"))
+    }),
+
     // Deterministic domain mixing: per-source keep-rates decided by an
     // arithmetic id hash — zero shuffle, reproducible in any engine.
     // defaultRate = 0.1 mirrors the oracle CASE's ELSE branch, so a source
@@ -3010,6 +3120,100 @@ object SparkEntry {
         |  COALESCE(h.hits, 0) AS hits,
         |  COALESCE(h.hits, 0) > 0 AS contaminated
         |FROM corpus c LEFT JOIN hits h ON c.doc_id = h.doc_id""".stripMargin,
+
+    // The naive full-universe twin of the two-pass Misra-Gries path: same
+    // rows by the sketch's no-false-negative guarantee + exact pass 2.
+    // Threshold replays Spark's one IEEE product (0.0012 * n) verbatim.
+    "q137_heavy_hitters" ->
+      """WITH g AS (
+        |  SELECT unnest(list_transform(range(1, len(string_split(text, ' '))),
+        |    i -> array_to_string(list_slice(string_split(text, ' '), i, i + 1), ' '))) AS gram
+        |  FROM documents)
+        |SELECT gram, count(*) AS cnt FROM g GROUP BY gram
+        |HAVING CAST(count(*) AS DOUBLE) >
+        |  0.0012 * CAST((SELECT count(*) FROM g) AS DOUBLE)""".stripMargin,
+
+    // Chopping-independent by the summary guarantee; the twin is q137's.
+    "q140_heavy_hitters_stream" ->
+      """WITH g AS (
+        |  SELECT unnest(list_transform(range(1, len(string_split(text, ' '))),
+        |    i -> array_to_string(list_slice(string_split(text, ' '), i, i + 1), ' '))) AS gram
+        |  FROM documents)
+        |SELECT gram, count(*) AS cnt FROM g GROUP BY gram
+        |HAVING CAST(count(*) AS DOUBLE) >
+        |  0.0012 * CAST((SELECT count(*) FROM g) AS DOUBLE)""".stripMargin,
+
+    // Counts -> sqrt rates -> ppm quantization -> q42 hash lottery, every
+    // step correctly-rounded IEEE or exact BIGINT, replayed end to end.
+    // floor(x + 0.5) is Java's Math.round for positive doubles.
+    "q138_temperature_mix" ->
+      """WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+        |r AS (SELECT lang,
+        |        CAST(floor(sqrt(CAST((SELECT min(n) FROM c) AS DOUBLE) / CAST(n AS DOUBLE))
+        |          * 1000000 + 0.5) AS BIGINT) AS ppm
+        |      FROM c)
+        |SELECT CAST(d.doc_id AS BIGINT) AS id, d.lang
+        |FROM documents d JOIN r ON d.lang = r.lang
+        |WHERE (d.doc_id * 2654435761) % 4294967296 % 1000000 < r.ppm""".stripMargin,
+
+    // Batch-kNN ranks (the q14 window twin at k=10) joined to same-label
+    // gold; the emitted doubles are each one division over exact integers.
+    "q139_retrieval_eval" ->
+      """WITH res AS (
+        |  SELECT query_id, vec_id AS id, rnk FROM (
+        |    SELECT q.vec_id AS query_id, e.vec_id,
+        |      CAST(row_number() OVER (PARTITION BY q.vec_id
+        |        ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |                 CAST(q.embedding AS DOUBLE[])) DESC, e.vec_id ASC) AS BIGINT) AS rnk
+        |    FROM embeddings e, (SELECT * FROM embeddings WHERE vec_id < 32) q
+        |  ) WHERE rnk <= 10),
+        |gold AS (
+        |  SELECT q.vec_id AS query_id, e.vec_id AS id
+        |  FROM embeddings q JOIN embeddings e
+        |    ON q.label = e.label AND e.vec_id <> q.vec_id
+        |  WHERE q.vec_id < 32),
+        |hit AS (
+        |  SELECT g.query_id, CAST(count(*) AS BIGINT) AS hits, min(r.rnk) AS first_rank
+        |  FROM gold g JOIN res r ON g.query_id = r.query_id AND g.id = r.id
+        |  GROUP BY g.query_id),
+        |ng AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_gold FROM gold GROUP BY query_id)
+        |SELECT ng.query_id, ng.n_gold,
+        |  COALESCE(hit.hits, CAST(0 AS BIGINT)) AS hits, hit.first_rank,
+        |  CAST(COALESCE(hit.hits, 0) AS DOUBLE) / CAST(ng.n_gold AS DOUBLE) AS recall_at_k,
+        |  CAST(COALESCE(hit.hits, 0) AS DOUBLE) / 10.0 AS precision_at_k,
+        |  COALESCE(1.0 / CAST(hit.first_rank AS DOUBLE), 0.0) AS rr
+        |FROM ng LEFT JOIN hit ON ng.query_id = hit.query_id""".stripMargin,
+
+    // The Bloom prefilter is verified exactly, so the twin is q41's.
+    "q142_decontam_bloom" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents WHERE doc_id % 50 <> 0),
+        |bench AS (
+        |  SELECT string_split(text, ' ') AS t FROM documents WHERE doc_id % 50 = 0),
+        |bgrams AS (
+        |  SELECT DISTINCT array_to_string(t[i:i+7], ' ') AS gram
+        |  FROM bench, UNNEST(generate_series(1, len(t) - 7)) AS u(i)),
+        |cgrams AS (
+        |  SELECT DISTINCT doc_id, array_to_string(t[i:i+7], ' ') AS gram
+        |  FROM corpus, UNNEST(generate_series(1, len(t) - 7)) AS u(i)),
+        |hits AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS hits
+        |  FROM cgrams JOIN bgrams USING (gram) GROUP BY doc_id)
+        |SELECT CAST(c.doc_id AS BIGINT) AS id,
+        |  COALESCE(h.hits, 0) AS hits,
+        |  COALESCE(h.hits, 0) > 0 AS contaminated
+        |FROM corpus c LEFT JOIN hits h ON c.doc_id = h.doc_id""".stripMargin,
+
+    // Same sign formula in exact BIGINT, same 0.0-seeded left fold (the
+    // list_prepend pins the first addition, +/-0.0 included).
+    "q141_random_projection" ->
+      """SELECT vec_id, CAST(j AS BIGINT) AS dim,
+        |  list_reduce(list_prepend(0.0, list_transform(range(1, 65), i ->
+        |    (CASE WHEN ((j*64 + i - 1) * 2654435761) % 4294967296 < 2147483648
+        |      THEN 1.0 ELSE -1.0 END) * CAST(embedding[i] AS DOUBLE))),
+        |    (a, b) -> a + b) AS value
+        |FROM embeddings, UNNEST(range(0, 16)) AS t(j)
+        |WHERE vec_id < 50""".stripMargin,
 
     // Knuth multiplicative hash in exact BIGINT arithmetic; CASE mirrors
     // MixRates (src index mod 4 -> 1.0/0.5/0.25/0.1, parts-per-million).
