@@ -312,4 +312,59 @@ object Stats {
       .crossJoin(broadcast(cuts))
       .select(col("id"), col("metric"), bucket.as("bucket"))
   }
+
+  /** Mergeable distinct-cardinality telemetry: one Apache DataSketches
+    * HLL sketch per key (Spark's `hll_sketch_agg`), with the row count
+    * and the sketch's estimate alongside. The sketch column is the point:
+    * a 100 TB pipeline can afford ONE distinct-count scan per
+    * day/partition but not a rescan for every window anyone asks about —
+    * persisted per-part profiles union into exact-same-machinery
+    * estimates for any combination of parts ([[mergeCardinalityProfiles]])
+    * without touching the data again, the composability
+    * `approx_count_distinct`'s scalar output throws away.
+    *
+    * Estimates are approximate by construction (~1.6%/sqrt(2^lgK/2)
+    * relative standard error ≈ 1% at the default lgK=12, KBs per sketch)
+    * and NOT engine-replayable — this is telemetry, spec-verified against
+    * exact counts, deliberately not an oracle row (the engine's exact
+    * distinct paths remain [[exactPercentiles]]-style aggregations).
+    *
+    * Output: (key STRING, n_rows BIGINT, distinct_est BIGINT,
+    * sketch BINARY).
+    */
+  def cardinalityProfile(
+      df: DataFrame,
+      keyCol: String,
+      itemCol: String,
+      lgK: Int = 12): DataFrame = {
+    require(lgK >= 4 && lgK <= 21, s"lgK must be in [4, 21], got $lgK")
+    df.select(col(keyCol).cast("string").as("key"),
+        col(itemCol).cast("string").as("item"))
+      .filter(col("item").isNotNull)
+      .groupBy(col("key"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        hll_sketch_agg(col("item"), lit(lgK)).as("sketch"))
+      .select(col("key"), col("n_rows"),
+        hll_sketch_estimate(col("sketch")).as("distinct_est"),
+        col("sketch"))
+  }
+
+  /** Union [[cardinalityProfile]] outputs by key — the no-rescan combine:
+    * per-part profiles (days, sources, shards) merge into the profile of
+    * their union, rows summed, sketches HLL-unioned, estimate re-read
+    * from the merged sketch. Parts may use different lgK (the union
+    * downgrades to the coarsest, per DataSketches semantics).
+    */
+  def mergeCardinalityProfiles(profiles: Seq[DataFrame]): DataFrame = {
+    require(profiles.nonEmpty, "nothing to merge")
+    profiles.reduce(_ unionByName _)
+      .groupBy(col("key"))
+      .agg(
+        sum(col("n_rows")).as("n_rows"),
+        hll_union_agg(col("sketch"), lit(true)).as("sketch"))
+      .select(col("key"), col("n_rows"),
+        hll_sketch_estimate(col("sketch")).as("distinct_est"),
+        col("sketch"))
+  }
 }

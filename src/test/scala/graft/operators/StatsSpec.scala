@@ -32,6 +32,31 @@ class StatsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("cardinalityProfile: estimates near exact; split profiles merge " +
+      "to the whole without rescanning") {
+    // key a: 10k rows over 5k distinct; key b: 100 rows, all distinct
+    val rows = (0 until 10000).map(i => ("a", s"v${i % 5000}")) ++
+      (0 until 100).map(i => ("b", s"w$i"))
+    val df = rows.toDF("k", "v").repartition(8)
+    val prof = Stats.cardinalityProfile(df, "k", "v")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(prof("a")._1 == 10000L && prof("b")._1 == 100L)
+    assert(math.abs(prof("a")._2 - 5000L) < 250, s"a est ${prof("a")._2}")
+    assert(math.abs(prof("b")._2 - 100L) <= 2, s"b est ${prof("b")._2}")
+
+    // the mergeable claim: per-half profiles union into the whole's
+    // numbers without touching the data again
+    val (h1, h2) = rows.splitAt(6000)
+    val merged = Stats.mergeCardinalityProfiles(Seq(
+      Stats.cardinalityProfile(h1.toDF("k", "v"), "k", "v"),
+      Stats.cardinalityProfile(h2.toDF("k", "v"), "k", "v")))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(merged("a")._1 == 10000L && merged("b")._1 == 100L)
+    assert(merged("a")._2 == prof("a")._2,
+      "HLL registers are order-free: merged halves equal the single pass")
+    assert(merged("b")._2 == prof("b")._2)
+  }
+
   test("rank is exact when p*n is an integer in rational arithmetic") {
     // p=0.035, n=200: the double product is 7.000000000000001, so a
     // double-ceil returns rank 8 — the exact-integer rank must be 7
