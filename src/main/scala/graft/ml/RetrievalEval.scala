@@ -40,11 +40,18 @@ object RetrievalEval {
     * present in `gold` but missing from `results` still get a row (all
     * misses); queries with no gold judgments are not scored.
     *
+    * `gradeCol` (optional, on `gold`): graded relevance — gains are the
+    * standard 2^grade − 1, DCG sums gain/log2(rank+1) over hits, and IDCG
+    * places the k highest gains at the top ranks. Absent, every judged
+    * pair has gain 1 (binary relevance; 2^1 − 1). Duplicate judgments
+    * keep the HIGHEST grade. hits/recall/precision/rr stay binary either
+    * way (a graded judgment is still "relevant").
+    *
     * Output, one row per judged query:
     * (query, n_gold, hits BIGINT, first_rank BIGINT or NULL,
     *  recall_at_k, precision_at_k, rr, dcg, idcg, ndcg — all DOUBLE).
     * `rr` is 0.0 for all-miss queries (the MRR convention); `ndcg` is
-    * dcg/idcg with binary gains, idcg truncated at min(n_gold, k).
+    * dcg/idcg, idcg truncated at min(n_gold, k).
     */
   def judge(
       results: DataFrame,
@@ -52,19 +59,24 @@ object RetrievalEval {
       k: Int,
       queryIdCol: String = "query_id",
       idCol: String = "id",
-      rankCol: String = "rank"): DataFrame = {
+      rankCol: String = "rank",
+      gradeCol: Option[String] = None): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
 
     val res = results
       .select(col(queryIdCol).as("_q"), col(idCol).as("_id"),
         col(rankCol).cast("long").as("_rnk"))
       .filter(col("_rnk") >= 1L && col("_rnk") <= k)
+    val grade = gradeCol.fold(lit(1.0))(g => col(g).cast("double"))
     val gld = gold
-      .select(col(queryIdCol).as("_q"), col(idCol).as("_id"))
-      .dropDuplicates("_q", "_id")
+      .select(col(queryIdCol).as("_q"), col(idCol).as("_id"),
+        grade.as("_grade"))
+      .groupBy(col("_q"), col("_id"))
+      .agg(max(col("_grade")).as("_grade"))
+      .withColumn("_gain", pow(lit(2.0), col("_grade")) - lit(1.0))
 
-    // binary-gain DCG term: 1 / log2(rank + 1)
-    val dcgTerm = lit(1.0) / log2(col("_rnk").cast("double") + lit(1.0))
+    // DCG term: gain / log2(rank + 1)
+    val dcgTerm = col("_gain") / log2(col("_rnk").cast("double") + lit(1.0))
 
     val perQuery = gld.join(res, Seq("_q", "_id"))
       .groupBy(col("_q"))
@@ -73,13 +85,17 @@ object RetrievalEval {
         min(col("_rnk")).as("first_rank"),
         sum(dcgTerm).as("dcg"))
 
-    val nGold = gld.groupBy(col("_q")).agg(count(lit(1)).as("n_gold"))
+    val nGold = gld.groupBy(col("_q")).agg(
+      count(lit(1)).as("n_gold"),
+      sort_array(collect_list(col("_gain")), asc = false).as("_gains"))
 
-    // ideal DCG: all min(n_gold, k) gold items at the top ranks
+    // ideal DCG: the min(n_gold, k) HIGHEST gains at the top ranks
     val idcg = aggregate(
       sequence(lit(1L), least(col("n_gold"), lit(k.toLong))),
       lit(0.0),
-      (acc, i) => acc + lit(1.0) / log2(i.cast("double") + lit(1.0)))
+      (acc, i) => acc +
+        element_at(col("_gains"), i.cast("int")) /
+          log2(i.cast("double") + lit(1.0)))
 
     nGold.join(perQuery, Seq("_q"), "left")
       .select(

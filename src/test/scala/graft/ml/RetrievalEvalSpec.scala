@@ -59,6 +59,24 @@ class RetrievalEvalSpec extends AnyFunSuite with SparkSpec {
     assert(q1.getDouble(5) == 1.0)
   }
 
+  test("graded relevance: gains 2^grade - 1 drive dcg and the ideal ordering") {
+    val res = Seq(("q1", "b", 1L), ("q1", "a", 2L)).toDF("query_id", "id", "rank")
+    // a is the highly-relevant doc (grade 3 -> gain 7) retrieved BELOW the
+    // marginal b (grade 1 -> gain 1): dcg must pay for the inversion
+    val g = Seq(("q1", "a", 3.0), ("q1", "b", 1.0), ("q1", "a", 1.0))
+      .toDF("query_id", "id", "grade") // duplicate a keeps the max grade
+    val row = RetrievalEval.judge(res, g, k = 3, gradeCol = Some("grade")).head()
+    assert(row.getLong(1) == 2L && row.getLong(2) == 2L) // n_gold, hits
+    val dcg = 1.0 / log2(2.0) + 7.0 / log2(3.0)
+    val idcg = 7.0 / log2(2.0) + 1.0 / log2(3.0)
+    assert(math.abs(row.getDouble(7) - dcg) < 1e-12)
+    assert(math.abs(row.getDouble(8) - idcg) < 1e-12)
+    assert(row.getDouble(9) < 1.0, "the inversion must cost ndcg")
+    // binary call on the same data reduces to gain 1 everywhere
+    val bin = RetrievalEval.judge(res, g.drop("grade"), k = 3).head()
+    assert(bin.getDouble(9) == 1.0, "binary: both gold retrieved in top k")
+  }
+
   test("duplicate gold judgments collapse; summarize macro-averages") {
     val dupGold = gold.union(Seq(("q1", "a")).toDF("query_id", "id"))
     val per = RetrievalEval.judge(results, dupGold, k = 3)
