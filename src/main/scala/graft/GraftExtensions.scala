@@ -197,7 +197,21 @@ object GraftExtensions {
       3, es => plan(graft.operators.HeavyHitters.heavyHitters(
         tableArg("heavy_hitters")(es(0)),
         org.apache.spark.sql.functions.col(strLit("heavy_hitters", "itemCol")(es(1))),
-        dblLit("heavy_hitters", "minFrac")(es(2))))))
+        dblLit("heavy_hitters", "minFrac")(es(2))))),
+    // EAGER like heavy_hitters: the per-source counts are driver state
+    ("temperature_mix",
+      "temperature_mix(TABLE(t), idCol, sourceCol, alpha): alpha-sampled source mixing (keep-rates ~ n^(alpha-1))",
+      4, es => plan(graft.operators.Curation.temperatureMix(
+        tableArg("temperature_mix")(es(0)),
+        strLit("temperature_mix", "idCol")(es(1)),
+        strLit("temperature_mix", "sourceCol")(es(2)),
+        dblLit("temperature_mix", "alpha")(es(3))))),
+    ("retrieval_eval",
+      "retrieval_eval(TABLE(results), TABLE(gold), k): recall/precision/MRR/nDCG per query",
+      3, es => plan(graft.ml.RetrievalEval.judge(
+        tableArg("retrieval_eval")(es(0)),
+        tableArg("retrieval_eval")(es(1)),
+        intLit("retrieval_eval", "k")(es(2))))))
 
   /** Register the TABLE functions on an already-running session (the
     * extension path only applies at session build; Verify/notebooks run

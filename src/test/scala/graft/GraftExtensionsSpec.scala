@@ -82,6 +82,26 @@ class GraftExtensionsSpec extends AnyFunSuite {
           |ORDER BY item""".stripMargin)
         .as[(String, Long)].collect().toSeq
       assert(hh == Seq(("a", 2L)), "only 'a' (2/4 = 0.5) clears 0.3")
+      Seq((1L, "a"), (2L, "a"), (3L, "a"), (4L, "b"))
+        .toDF("id", "src").createOrReplaceTempView("ext_mix")
+      val tmSql = spark.sql(
+        "SELECT * FROM temperature_mix(TABLE(ext_mix), 'id', 'src', 0.5)")
+        .as[(Long, String)].collect().toSet
+      val tmOp = graft.operators.Curation.temperatureMix(
+        spark.table("ext_mix"), "id", "src", 0.5)
+        .as[(Long, String)].collect().toSet
+      assert(tmSql == tmOp && tmSql.exists(_._2 == "b"),
+        "TVF must equal the operator; the smallest source keeps everything")
+      Seq(("q1", "a", 1L), ("q1", "x", 2L)).toDF("query_id", "id", "rank")
+        .createOrReplaceTempView("ext_res")
+      Seq(("q1", "a"), ("q1", "b")).toDF("query_id", "id")
+        .createOrReplaceTempView("ext_gold")
+      val ev = spark.sql(
+        """SELECT query_id, n_gold, hits, rr
+          |FROM retrieval_eval(TABLE(ext_res), TABLE(ext_gold), 2)""".stripMargin)
+        .as[(String, Long, Long, Double)].collect().toSeq
+      assert(ev == Seq(("q1", 2L, 1L, 1.0)),
+        "two-TABLE-argument TVF must judge through the operator")
       // loud failures: wrong arity, and a TABLE-arg spec that would
       // otherwise be silently dropped
       val arityErr = intercept[Exception] {
