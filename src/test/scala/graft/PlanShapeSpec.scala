@@ -358,6 +358,30 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
       s"PCM windows must not ride an exchange:\n${exchanges.mkString("\n")}")
   }
 
+  test("q137: heavy-hitter pass 2 filters candidates scan-side (InSet), " +
+      "then partial-aggregates a bounded key set") {
+    val p = plan("q137_heavy_hitters")
+    assert(p.contains("INSET") || p.contains("InSet"),
+      s"candidate membership must run as an InSet filter in the scan stage:\n$p")
+    assert(p.contains("partial_count"),
+      s"exact counts must partial-aggregate map-side:\n$p")
+  }
+
+  test("q141: random projection is a pure per-row map — zero exchanges") {
+    val p = plan("q141_random_projection")
+    assert(!p.contains("Exchange"),
+      s"projection must not shuffle anything:\n$p")
+  }
+
+  test("q142: bloom decontamination filters inside the scan stage; corpus " +
+      "text never shuffles") {
+    val p = plan("q142_decontam_bloom")
+    assert(p.contains("might_contain"),
+      s"the bloom membership test must appear as a scan-side filter:\n$p")
+    assert(!"Exchange hashpartitioning\\([^)]*text".r.findFirstIn(p).isDefined,
+      s"corpus text must not enter a shuffle:\n$p")
+  }
+
   test("fleet-wide: no query in the whole SparkEntry surface plans a CartesianProduct") {
     // Every crossJoin in the engine is broadcast()-bounded (query vectors,
     // 1-row aggregates, centroid/cut tables), which plans as
