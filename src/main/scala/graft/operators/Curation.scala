@@ -253,24 +253,36 @@ object Curation {
         Bridge.expression(value)))
 
     // corpus scan: the filter runs INSIDE the scan stage; survivors are
-    // contamination-sized and reused twice, so persist (lineage kept)
+    // contamination-sized and reused twice, so persist (lineage kept).
+    // NOT routed through gateBroadcast: that would enqueue three frames
+    // per call into the 2-slot gram-set cache and could evict these very
+    // survivors between their two uses. One gate decision (the survivor
+    // count, which also materializes the cache) covers both hints —
+    // confirmed ⊆ survivor hashes, so it fits wherever they do.
     val survivors = corpus
       .select(col(idCol).cast("long").as("id"),
         explode(array_distinct(tokenNgrams(col(textCol), ngramLen))).as("gram"))
       .select(col("id"), xxhash64(col("gram")).as("_gh"))
       .filter(mightContain(col("_gh")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    persistedGramSets.add(survivors)
 
-    // exact verify: survivor hashes (gate-broadcast) against a second
-    // bench scan -> confirmed grams; false positives die here
-    val survHashes = gateBroadcast(survivors.select(col("_gh")).distinct(),
-      maxBroadcastGrams)
-    val confirmed = gateBroadcast(
-      benchHashes.join(survHashes, Seq("_gh")).select(col("_gh")).distinct(),
-      maxBroadcastGrams)
+    // exact verify: survivor hashes against a second bench scan ->
+    // confirmed grams; false positives die here
+    val survDistinct = survivors.select(col("_gh")).distinct()
+    val fits = survivors.count() <= maxBroadcastGrams // distinct <= rows
+    val survHashes = if (fits) broadcast(survDistinct) else survDistinct
+    val confirmedRaw =
+      benchHashes.join(survHashes, Seq("_gh")).select(col("_gh")).distinct()
+    val confirmed = if (fits) broadcast(confirmedRaw) else confirmedRaw
     val hits = survivors.join(confirmed, Seq("_gh"))
       .groupBy(col("id")).agg(count(lit(1)).as("hits"))
+    // enqueue LAST so cache eviction can only hit older gram sets, never
+    // the survivors this query's lineage still wants cached
+    persistedGramSets.add(survivors)
+    while (persistedGramSets.size() > MaxCachedGramSets) {
+      val old = persistedGramSets.poll()
+      if (old ne null) old.unpersist(false)
+    }
     spine.join(hits, Seq("id"), "left")
       .select(col("id"),
         coalesce(col("hits"), lit(0L)).as("hits"),
