@@ -184,6 +184,48 @@ object TextAnalysis {
         (upperScore * 0.1) + (least(stopRatio * 5.0, lit(1.0)) * 0.2)).as("quality"))
   }
 
+  /** Per-document token-level Shannon entropy (nats) — the lexical-
+    * diversity quality signal: near-zero entropy is a repeated-token
+    * degenerate doc (keyword stuffing, boilerplate loops — the population
+    * [[graft.operators.Curation.repetitionStats]] flags by ratio, here on
+    * a calibrated information scale), entropy near ln(n_tokens) is
+    * every-token-unique (id dumps, tables). The standard filter-band
+    * companion to [[qualityScore]].
+    *
+    * Output: (id, n_tokens, distinct_tokens, entropy_x1e4 BIGINT) —
+    * entropy = Σ −p_t·ln(p_t) over the doc's DISTINCT tokens in
+    * lexicographic order (a fixed-order per-row fold, so the double is
+    * deterministic), quantized ×1e4 (the q135 convention: libm `ln` can
+    * differ by 1 ulp across engines; the quantization swallows it, and
+    * the oracle replays the fold verbatim).
+    *
+    * Scale shape: ZERO shuffle — the histogram, the fold, everything runs
+    * per row inside the scan stage (the token array materializes once in
+    * a prior select so the higher-order lambdas reference a bound
+    * attribute, not a recomputed split — the q103 O(n²) trap). Cost is
+    * O(distinct · n_tokens) per doc, bounded by doc length.
+    */
+  def tokenEntropy(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val staged = df.select(col(idCol).cast("long").as("id"),
+      split(col(textCol), " ", -1).as("_t"))
+    // per-distinct-token counts in lexicographic order, materialized once
+    // per row; the entropy fold then touches each count exactly once
+    val counted = staged.select(col("id"), col("_t"),
+      transform(sort_array(array_distinct(col("_t"))),
+        u => size(filter(col("_t"), x => x === u))).as("_c"))
+    val n = size(col("_t")).cast("double")
+    counted.select(
+      col("id"),
+      size(col("_t")).cast("long").as("n_tokens"),
+      size(col("_c")).cast("long").as("distinct_tokens"),
+      floor(aggregate(
+        col("_c"),
+        lit(0.0),
+        (acc, c) => acc - (c.cast("double") / n) * log(c.cast("double") / n))
+        * lit(10000.0) + lit(0.5))
+        .cast("long").as("entropy_x1e4"))
+  }
+
   /** Staged quality scoring: raw counts are materialized once, the composite
     * is computed from plain column refs (same rationale as [[withLanguageId]]).
     * Appends n_tokens, avg_token_len, punct_ratio, stopword_ratio,

@@ -7,6 +7,34 @@ import org.scalatest.funsuite.AnyFunSuite
 class TextAnalysisSpec extends AnyFunSuite with SparkSpec {
   import spark.implicits._
 
+  test("tokenEntropy: hand-computed values, degenerate and uniform extremes") {
+    val docs = Seq(
+      (1L, "a a a a"),              // one token: H = 0
+      (2L, "a b c d"),              // uniform over 4: H = ln(4)
+      (3L, "a a b b b c"),          // 2/6, 3/6, 1/6
+      (4L, "")                      // split('') = [""]: one token, H = 0
+    ).toDF("id", "text")
+    val got = TextAnalysis.tokenEntropy(docs, "id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    def h(ps: Seq[Double]): Long =
+      math.floor(ps.map(p => -p * math.log(p)).sum * 10000 + 0.5).toLong
+    assert(got(1L) == ((4L, 1L, 0L)))
+    assert(got(2L) == ((4L, 4L, h(Seq(0.25, 0.25, 0.25, 0.25)))))
+    assert(got(3L) == ((6L, 3L,
+      h(Seq(2.0 / 6, 3.0 / 6, 1.0 / 6))))) // fold order by token: a,b,c
+    assert(got(4L) == ((1L, 1L, 0L)))
+    // the diversity signal orders as designed: degenerate < mixed < uniform
+    assert(got(1L)._3 < got(3L)._3 && got(3L)._3 < got(2L)._3)
+  }
+
+  test("tokenEntropy plans zero exchanges (per-row kernel)") {
+    val docs = Seq((1L, "a b a")).toDF("id", "text")
+    val p = TextAnalysis.tokenEntropy(docs, "id", "text")
+      .queryExecution.executedPlan.toString()
+    assert(!p.contains("Exchange"), s"entropy must not shuffle:\n$p")
+  }
+
   test("stopwordRatio kernel is value-identical to the declarative filter") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val corpus = Seq("", "the the THE", "no stops here", "der die und the")
