@@ -77,6 +77,78 @@ object LmUtil {
     math.pow(2.0, h / words.length)
   }
 
+  /** Interpolated Kneser–Ney per-token log2 probabilities (Kneser & Ney
+    * 1995; the interpolated form and fixed discount per Chen & Goodman,
+    * "An empirical study of smoothing techniques for language modeling",
+    * 1999):
+    *
+    *   P(w|h) = max(c(h,w) − D, 0)/c(h·) + ((D · N1+(h,·))/c(h·)) · Pc(w)
+    *   Pc(w)  = (N1+(·,w) + k) / (B + k·V)
+    *
+    * with c(h·)/N1+ totals derived from the PRUNED bigram table (so an
+    * external engine replays training exactly), B = pruned bigram types,
+    * and the continuation base add-k-regularized — the engine's
+    * closed-vocab stand-in for KenLM's <unk> handling: pure KN gives an
+    * out-of-table token probability 0 and the fold −∞. First tokens and
+    * unseen histories score against Pc directly (the backoff target).
+    * Every arithmetic step is written in the exact association the q144
+    * oracle SQL mirrors.
+    */
+  private def lpsKn(
+      words: Array[String],
+      bigrams: java.util.HashMap[String, java.lang.Long],
+      histTotals: java.util.HashMap[String, java.lang.Long],
+      histDistinct: java.util.HashMap[String, java.lang.Long],
+      contCounts: java.util.HashMap[String, java.lang.Long],
+      bTypes: Long,
+      vocabSize: Int,
+      d: Double,
+      k: Double): Array[Double] = {
+    val out = new Array[Double](words.length)
+    val denomBase = bTypes + k * vocabSize
+    var i = 0
+    var prev: String = null
+    while (i < words.length) {
+      val w = words(i)
+      val cc = contCounts.get(w)
+      val base = ((if (cc == null) 0L else cc.longValue()) + k) / denomBase
+      val ct = if (prev == null) null else histTotals.get(prev)
+      val p =
+        if (i == 0 || ct == null) base
+        else {
+          val cb = bigrams.get(prev + " " + w)
+          val n1h = histDistinct.get(prev).longValue()
+          math.max((if (cb == null) 0L else cb.longValue()) - d, 0.0) /
+            ct.longValue() +
+            ((d * n1h) / ct.longValue()) * base
+        }
+      out(i) = math.log(p) / math.log(2.0)
+      prev = w
+      i += 1
+    }
+    out
+  }
+
+  def perplexityKn(
+      text: UTF8String,
+      bigrams: java.util.HashMap[String, java.lang.Long],
+      histTotals: java.util.HashMap[String, java.lang.Long],
+      histDistinct: java.util.HashMap[String, java.lang.Long],
+      contCounts: java.util.HashMap[String, java.lang.Long],
+      bTypes: Long,
+      vocabSize: Int,
+      d: Double,
+      k: Double): Double = {
+    val words = text.toString.split("\\s+").filter(_.nonEmpty)
+    if (words.isEmpty) return 0.0
+    val arr = lpsKn(words, bigrams, histTotals, histDistinct, contCounts,
+      bTypes, vocabSize, d, k)
+    var h = 0.0
+    var i = 0
+    while (i < arr.length) { h += -arr(i); i += 1 }
+    math.pow(2.0, h / words.length)
+  }
+
   /** Per-token log2 probabilities under the same add-k bigram model as
     * [[LmUtil.perplexity]] (the SAME kernel — perplexity is 2^(-mean) of
     * this by construction, enforced by sharing [[lps]]). One double per
@@ -127,6 +199,48 @@ case class LmTokenLogProbs(
       val bi = ctx.addReferenceObj("lmBigrams", bigrams, "java.util.HashMap")
       s"${ev.value} = graft.functions.LmUtil.tokenLogProbs($str, $uni, $bi, " +
         s"$vocabSize, ${totalTokens}L, $k);"
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** lm_kn_perplexity(text) -> double: interpolated Kneser–Ney smoothing
+  * against broadcast count tables (see [[LmUtil.perplexityKn]]).
+  */
+case class LmKnPerplexity(
+    child: Expression,
+    bigrams: java.util.HashMap[String, java.lang.Long],
+    histTotals: java.util.HashMap[String, java.lang.Long],
+    histDistinct: java.util.HashMap[String, java.lang.Long],
+    contCounts: java.util.HashMap[String, java.lang.Long],
+    bTypes: Long,
+    vocabSize: Int,
+    d: Double,
+    k: Double) extends UnaryExpression {
+  require(vocabSize > 0 && bTypes > 0 && k > 0 && d > 0 && d < 1,
+    s"bad KN parameters: V=$vocabSize B=$bTypes d=$d k=$k")
+
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "lm_kn_perplexity"
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    LmUtil.perplexityKn(v.asInstanceOf[UTF8String], bigrams, histTotals,
+      histDistinct, contCounts, bTypes, vocabSize, d, k)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, str => {
+      val bi = ctx.addReferenceObj("knBigrams", bigrams, "java.util.HashMap")
+      val ht = ctx.addReferenceObj("knHistTotals", histTotals, "java.util.HashMap")
+      val hd = ctx.addReferenceObj("knHistDistinct", histDistinct, "java.util.HashMap")
+      val cc = ctx.addReferenceObj("knContCounts", contCounts, "java.util.HashMap")
+      s"${ev.value} = graft.functions.LmUtil.perplexityKn($str, $bi, $ht, " +
+        s"$hd, $cc, ${bTypes}L, $vocabSize, $d, $k);"
     })
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)

@@ -78,6 +78,70 @@ object NgramLm {
     LmModel(unigrams, bigrams, unigrams.size(), total, k)
   }
 
+  /** Interpolated Kneser–Ney model: the add-k table plus the KN
+    * statistics, every one derived DRIVER-SIDE from the already-pruned
+    * bigram table (no extra Spark jobs, and an external engine replays
+    * training exactly because the prune is deterministic):
+    * c(h·)/N1+(h,·) per history, N1+(·,w) per continuation word,
+    * B = pruned bigram types.
+    */
+  case class KnModel(
+      bigrams: java.util.HashMap[String, java.lang.Long],
+      histTotals: java.util.HashMap[String, java.lang.Long],
+      histDistinct: java.util.HashMap[String, java.lang.Long],
+      contCounts: java.util.HashMap[String, java.lang.Long],
+      bTypes: Long,
+      vocabSize: Int,
+      d: Double,
+      k: Double)
+
+  /** Train the interpolated-KN upgrade of [[train]]'s bigram model
+    * (Kneser & Ney 1995; Chen & Goodman 1999's interpolated form with a
+    * fixed discount `d`, the standard 0.75). Same distributed count +
+    * deterministic prune as [[train]]; the KN continuation/history
+    * statistics are a driver pass over the collected table. `k`
+    * regularizes the continuation base so out-of-table tokens keep a
+    * nonzero probability (the closed-vocab stand-in for <unk>).
+    */
+  def trainKn(
+      docs: DataFrame,
+      textCol: String,
+      maxVocab: Int = 65536,
+      minBigramCount: Long = 2L,
+      d: Double = 0.75,
+      k: Double = 0.1,
+      maxBigrams: Int = DefaultMaxBigrams): KnModel = {
+    require(d > 0 && d < 1, s"discount must be in (0,1), got $d")
+    val m = train(docs, textCol, maxVocab, minBigramCount, k, maxBigrams)
+    val histTotals = new java.util.HashMap[String, java.lang.Long]()
+    val histDistinct = new java.util.HashMap[String, java.lang.Long]()
+    val contCounts = new java.util.HashMap[String, java.lang.Long]()
+    val it = m.bigrams.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val g = e.getKey
+      val sp = g.indexOf(' ')
+      val h = g.substring(0, sp)
+      val w = g.substring(sp + 1)
+      val ht = histTotals.get(h)
+      histTotals.put(h, (if (ht == null) 0L else ht.longValue()) + e.getValue.longValue())
+      val hd = histDistinct.get(h)
+      histDistinct.put(h, (if (hd == null) 0L else hd.longValue()) + 1L)
+      val cc = contCounts.get(w)
+      contCounts.put(w, (if (cc == null) 0L else cc.longValue()) + 1L)
+    }
+    require(m.bigrams.size() > 0,
+      "KN needs a nonempty pruned bigram table; lower minBigramCount")
+    KnModel(m.bigrams, histTotals, histDistinct, contCounts,
+      m.bigrams.size().toLong, m.vocabSize, d, k)
+  }
+
+  /** Kneser–Ney perplexity column (codegen'd, no shuffle). */
+  def perplexityKn(text: Column, model: KnModel): Column =
+    Bridge.column(graft.functions.LmKnPerplexity(Bridge.expression(text),
+      model.bigrams, model.histTotals, model.histDistinct, model.contCounts,
+      model.bTypes, model.vocabSize, model.d, model.k))
+
   /** Perplexity column for a text column (codegen'd, no shuffle). */
   def perplexity(text: Column, model: LmModel): Column =
     Bridge.column(LmPerplexity(Bridge.expression(text), model.unigrams,

@@ -25,6 +25,49 @@ class NgramLmSpec extends AnyFunSuite with SparkSpec {
     assert(math.abs(ppl - math.sqrt(4.5)) < 1e-12, s"got $ppl")
   }
 
+  test("Kneser-Ney: hand-computed interpolated probabilities on a tiny corpus") {
+    val tiny = Seq((1L, "a b"), (2L, "a b"), (3L, "a c")).toDF("id", "text")
+    val m = NgramLm.trainKn(tiny, "text", minBigramCount = 2L, d = 0.75, k = 0.1)
+    // pruned bigrams: only "a b"=2 survives minCount=2 -> B=1
+    // hist a: ct=2, n1h=1; cont b: cc=1; V=3
+    assert(m.bTypes == 1L && m.histTotals.get("a") == 2L &&
+      m.histDistinct.get("a") == 1L && m.contCounts.get("b") == 1L)
+    val denom = 1L + 0.1 * 3 // B + kV
+    def base(cc: Long): Double = (cc + 0.1) / denom
+    // "a b": P(a)=base(0) [a has no continuation count],
+    //        P(b|a)=max(2-0.75,0)/2 + ((0.75*1)/2)*base(1)
+    val pA = base(0L)
+    val pBgA = math.max(2L - 0.75, 0.0) / 2L + ((0.75 * 1L) / 2L) * base(1L)
+    val wantPpl = math.pow(2.0,
+      (-(math.log(pA) / math.log(2.0)) + -(math.log(pBgA) / math.log(2.0))) / 2)
+    val got = Seq((9L, "a b")).toDF("id", "text")
+      .select(NgramLm.perplexityKn(col("text"), m)).head().getDouble(0)
+    assert(math.abs(got - wantPpl) < 1e-12, s"got $got want $wantPpl")
+    // unseen history falls back to the continuation base: "c b" scores
+    // base(0) then base(1) (history c has no pruned bigrams)
+    val got2 = Seq((9L, "c b")).toDF("id", "text")
+      .select(NgramLm.perplexityKn(col("text"), m)).head().getDouble(0)
+    val want2 = math.pow(2.0,
+      (-(math.log(base(0L)) / math.log(2.0)) +
+        -(math.log(base(1L)) / math.log(2.0))) / 2)
+    assert(math.abs(got2 - want2) < 1e-12)
+  }
+
+  test("Kneser-Ney separates in-domain from junk and plans no shuffle") {
+    val kn = NgramLm.trainKn(docs.filter($"doc_id" < 400), "text",
+      maxVocab = 256, minBigramCount = 2)
+    val held = docs.filter($"doc_id" >= 400)
+      .select(NgramLm.perplexityKn($"text", kn).as("p"))
+    val junk = Seq((1L, "zq xv qqj wq zzk vvx jjq kqz")).toDF("id", "text")
+      .select(NgramLm.perplexityKn($"text", kn).as("p"))
+    val heldMean = held.agg(avg($"p")).head().getDouble(0)
+    val junkP = junk.head().getDouble(0)
+    assert(junkP > heldMean * 5,
+      s"junk must score far worse: junk=$junkP held-mean=$heldMean")
+    val plan = held.queryExecution.executedPlan.toString()
+    assert(!plan.contains("Exchange"), s"KN scoring must not shuffle:\n$plan")
+  }
+
   test("in-domain held-out docs score far lower than out-of-vocabulary junk") {
     val heldOut = docs.filter($"doc_id" >= 400)
       .select(NgramLm.perplexity($"text", model).as("p"))
