@@ -46,10 +46,25 @@ object DecontamProbe {
       f"string payload ${strBytes / 1e6}%.1f MB vs hashed ${nGrams * 8 / 1e6}%.1f MB " +
       f"(${strBytes.toDouble / (nGrams * 8)}%.1f x slimmer)")
 
+    val shufRecs = new java.util.concurrent.atomic.AtomicLong
+    val shufBytes = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        val m = sc.stageInfo.taskMetrics.shuffleWriteMetrics
+        shufRecs.addAndGet(m.recordsWritten)
+        shufBytes.addAndGet(m.bytesWritten)
+      }
+    })
     def time[T](label: String)(f: => T): T = {
+      Thread.sleep(1000)
+      val r0 = (shufRecs.get, shufBytes.get)
       val t0 = System.nanoTime()
       val r = f
-      println(f"[probe] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      val secs = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(1000)
+      println(f"[probe] $label: $secs%.2f s, shuffled ${shufRecs.get - r0._1}%,d" +
+        f" records / ${(shufBytes.get - r0._2) / 1048576.0}%.1f MiB")
       r
     }
     val hinted = time("broadcast leg (default cap)") {
@@ -64,6 +79,19 @@ object DecontamProbe {
     }
     require(hinted == fallback,
       s"fallback diverged: ${hinted.length} vs ${fallback.length} rows")
+    // tier 3: same un-hinted worst case (cap=0, auto-broadcast off), but
+    // the Bloom prefilter keeps corpus grams out of every exchange — only
+    // survivors (true hits + fp trickle) move. This is the leg that
+    // decides the contest once the eval suite outgrows the exact
+    // broadcast: tier 2's exchange is CORPUS-sized, tier 3's is
+    // contamination-sized.
+    val bloom = time("bloom tier, same worst case (prefilter + exact verify)") {
+      graft.operators.Curation.decontaminateBloom(corpus, bench,
+          "doc_id", "text", maxBroadcastGrams = 0L)
+        .collect().sortBy(_.getLong(0)).toSeq
+    }
+    require(hinted == bloom,
+      s"bloom tier diverged: ${hinted.length} vs ${bloom.length} rows")
     println(s"[probe] legs agree on ${hinted.length} rows, " +
       s"${hinted.count(_.getBoolean(2))} contaminated")
     spark.stop()
