@@ -880,6 +880,30 @@ object SparkEntry {
           col("recall_at_k"), col("precision_at_k"), col("rr"))
     }),
 
+    // Interpolated Kneser-Ney perplexity (the q78 construction with the
+    // published smoothing upgrade): same distributed counts + prune, KN
+    // continuation/history statistics derived driver-side from the pruned
+    // table, scoring one codegen'd shuffle-free scan. Every arithmetic
+    // step mirrors the oracle's association; ln/log2/pow ulps die in the
+    // x1e4 rounding (the q78 discipline).
+    "q144_kn_perplexity" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val model = text.NgramLm.trainKn(docs.filter(col("doc_id") % 4 =!= 0),
+        "text", maxVocab = 256, minBigramCount = 2)
+      docs.filter(col("doc_id") % 4 === 0)
+        .select(col("doc_id").cast("long").as("id"),
+          round(text.NgramLm.perplexityKn(col("text"), model) * 10000)
+            .cast("long").as("ppl_x1e4"))
+    }),
+
+    // Token-entropy lexical diversity (the information-scale companion to
+    // q43's repetition ratios): per-doc Shannon entropy over the token
+    // histogram, computed as a fixed-order per-row fold with ZERO shuffle
+    // (plan-guarded in TextAnalysisSpec) and quantized x1e4 so the libm-ln
+    // ulp (the q135 convention) cannot flip the hash.
+    "q143_token_entropy" -> ((s, dir) =>
+      text.TextAnalysis.tokenEntropy(t(s, dir, "documents"), "doc_id", "text")),
+
     // Bloom-tier decontamination: q41's split through the fixed-size
     // Bloom prefilter + exact verify (Spark's own BloomFilterAggregate /
     // BloomFilterMightContain kernels). False positives cost verify rows,
@@ -3183,6 +3207,81 @@ object SparkEntry {
         |  CAST(COALESCE(hit.hits, 0) AS DOUBLE) / 10.0 AS precision_at_k,
         |  COALESCE(1.0 / CAST(hit.first_rank AS DOUBLE), 0.0) AS rr
         |FROM ng LEFT JOIN hit ON ng.query_id = hit.query_id""".stripMargin,
+
+    // q78's CTEs plus the KN statistics (history totals/distinct and
+    // continuation counts over the PRUNED bigram table, B = its types);
+    // the CASE mirrors the kernel's exact association, casts pinning
+    // every step to DOUBLE.
+    "q144_kn_perplexity" ->
+      """WITH ref AS (
+        |  SELECT string_split(text, ' ') AS t FROM documents WHERE doc_id % 4 <> 0),
+        |uni AS (
+        |  SELECT w, c FROM (
+        |    SELECT u.w AS w, CAST(count(*) AS BIGINT) AS c
+        |    FROM ref, UNNEST(ref.t) AS u(w) WHERE u.w <> '' GROUP BY u.w)
+        |  ORDER BY c DESC, w ASC LIMIT 256),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS v FROM uni),
+        |bi AS (
+        |  SELECT g, c FROM (
+        |    SELECT array_to_string(t[i:i+1], ' ') AS g,
+        |           CAST(count(*) AS BIGINT) AS c
+        |    FROM ref, UNNEST(generate_series(1, len(t) - 1)) AS u(i)
+        |    GROUP BY 1)
+        |  WHERE c >= 2 AND string_split(g, ' ')[1] IN (SELECT w FROM uni)),
+        |hist AS (
+        |  SELECT string_split(g, ' ')[1] AS h,
+        |         CAST(sum(c) AS BIGINT) AS ct,
+        |         CAST(count(*) AS BIGINT) AS n1h
+        |  FROM bi GROUP BY 1),
+        |cont AS (
+        |  SELECT string_split(g, ' ')[2] AS w, CAST(count(*) AS BIGINT) AS cc
+        |  FROM bi GROUP BY 1),
+        |btot AS (SELECT CAST(count(*) AS BIGINT) AS b FROM bi),
+        |tgt AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t
+        |  FROM documents WHERE doc_id % 4 = 0),
+        |tok AS (
+        |  SELECT doc_id, i, t[i] AS w,
+        |         CASE WHEN i > 1 THEN t[i-1] END AS prev
+        |  FROM tgt, UNNEST(generate_series(1, len(t))) AS u(i)
+        |  WHERE t[i] <> ''),
+        |sc AS (
+        |  SELECT tok.doc_id,
+        |    -log2(CASE
+        |      WHEN tok.prev IS NULL OR h.ct IS NULL THEN
+        |        (CAST(COALESCE(cn.cc, 0) AS DOUBLE) + 0.1) /
+        |          (CAST(btot.b AS DOUBLE) + 0.1 * CAST(tot.v AS DOUBLE))
+        |      ELSE
+        |        greatest(CAST(COALESCE(b.c, 0) AS DOUBLE) - 0.75, 0.0) / h.ct +
+        |        ((0.75 * CAST(h.n1h AS DOUBLE)) / h.ct) *
+        |          ((CAST(COALESCE(cn.cc, 0) AS DOUBLE) + 0.1) /
+        |           (CAST(btot.b AS DOUBLE) + 0.1 * CAST(tot.v AS DOUBLE)))
+        |    END) AS nll
+        |  FROM tok CROSS JOIN tot CROSS JOIN btot
+        |  LEFT JOIN hist h ON h.h = tok.prev
+        |  LEFT JOIN cont cn ON cn.w = tok.w
+        |  LEFT JOIN bi b ON b.g = tok.prev || ' ' || tok.w),
+        |agg AS (
+        |  SELECT doc_id, pow(2.0, sum(nll) / count(*)) AS ppl
+        |  FROM sc GROUP BY doc_id)
+        |SELECT CAST(t.doc_id AS BIGINT) AS id,
+        |  CAST(round(COALESCE(a.ppl, 0.0) * 10000) AS BIGINT) AS ppl_x1e4
+        |FROM tgt t LEFT JOIN agg a USING (doc_id)""".stripMargin,
+
+    // Same lexicographic fold: counts in token-sorted order, 0.0-seeded
+    // left fold of -(p)ln(p) terms, floor(x*1e4 + 0.5).
+    "q143_token_entropy" ->
+      """SELECT CAST(doc_id AS BIGINT) AS id,
+        |  CAST(len(t) AS BIGINT) AS n_tokens,
+        |  CAST(len(c) AS BIGINT) AS distinct_tokens,
+        |  CAST(floor(list_reduce(list_prepend(0.0, list_transform(c, x ->
+        |    -(CAST(x AS DOUBLE) / len(t)) * ln(CAST(x AS DOUBLE) / len(t)))),
+        |    (a, b) -> a + b) * 10000 + 0.5) AS BIGINT) AS entropy_x1e4
+        |FROM (
+        |  SELECT doc_id, t,
+        |    list_transform(list_sort(list_distinct(t)),
+        |      u -> len(list_filter(t, x -> x = u))) AS c
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents))""".stripMargin,
 
     // The Bloom prefilter is verified exactly, so the twin is q41's.
     "q142_decontam_bloom" ->
