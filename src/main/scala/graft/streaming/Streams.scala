@@ -190,6 +190,17 @@ object Streams {
     * State per shard is two length-<=2k long arrays — bounded for the
     * stream's lifetime by construction, the property every other state
     * here (dedup watermarks, transition last-events) needs policy for.
+    *
+    * Honest boundary: rows route by ITEM hash, so a stream dominated by
+    * one item funnels that item's rows through its shard's one state
+    * task per micro-batch (16-byte rows, and by definition that item is
+    * a heavy hitter — but the per-batch work is still row-proportional
+    * there). The batch operator's map-side partial aggregation doesn't
+    * have this funnel; Structured Streaming disallows an aggregation
+    * upstream of flatMapGroupsWithState, so the stream cannot
+    * pre-collapse duplicates the same way. If one item is most of the
+    * feed, count it with a plain streaming `groupBy(item).count()` and
+    * save the sketch for the long tail.
     */
   def heavyHittersStream(
       items: DataFrame,

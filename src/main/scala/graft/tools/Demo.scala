@@ -342,6 +342,46 @@ object Demo {
     println(s"[demo] title index: edit-distance ingest kept $eKept of 100 " +
       "(near-title typos dropped against the standing corpus)")
 
+    // 27. Corpus telemetry: exact heavy-hitter bigrams via the two-pass
+    // Misra-Gries sketch, token-entropy quality band, per-source distinct
+    // cardinality from mergeable HLL profiles
+    val hh = graft.operators.HeavyHitters.heavyHitters(
+      docsAll.select(explode(graft.operators.Curation.tokenNgrams($"text", 2))
+        .as("gram")), col("gram"), minFrac = 0.001)
+    val topGram = hh.orderBy($"cnt".desc, $"item".asc).head()
+    val ent = graft.text.TextAnalysis.tokenEntropy(docsAll, "doc_id", "text")
+      .agg(min($"entropy_x1e4"), max($"entropy_x1e4")).head()
+    val card = graft.operators.Stats.cardinalityProfile(
+      docsAll.select($"source", explode(split($"text", " ")).as("w")),
+      "source", "w")
+      .agg(count(lit(1)), max($"distinct_est")).head()
+    println(s"[demo] telemetry: top heavy-hitter bigram = '${topGram.getString(0)}' " +
+      s"x${topGram.getLong(1)}; token-entropy band = " +
+      f"${ent.getLong(0) / 10000.0}%.2f..${ent.getLong(1) / 10000.0}%.2f nats; " +
+      s"${card.getLong(0)} sources profiled, max distinct-token est = ${card.getLong(1)}")
+
+    // 28. Mixing + eval: temperature-flatten the language mix, grade a
+    // retrieval run against same-label gold
+    val mixed = graft.operators.Curation.temperatureMix(
+      docsAll, "doc_id", "lang", alpha = 0.5)
+      .groupBy($"lang").count().orderBy($"count".desc)
+      .as[(String, Long)].collect()
+    val embLab = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val evalQ = embLab.filter($"vec_id" < 8)
+      .select($"vec_id".as("query_id"), $"embedding".as("query_vec"))
+    val evalRes = graft.operators.Knn.batchTopK(evalQ,
+      embLab.select($"vec_id".as("id"), $"embedding".as("vector")), k = 10)
+    val evalGold = embLab.filter($"vec_id" < 8)
+      .select($"vec_id".as("query_id"), $"label".as("_l"))
+      .join(embLab.select($"vec_id".as("id"), $"label"),
+        $"_l" === $"label" && $"id" =!= $"query_id")
+      .select("query_id", "id")
+    val judged = graft.ml.RetrievalEval.summarize(
+      graft.ml.RetrievalEval.judge(evalRes, evalGold, k = 10)).head()
+    println(s"[demo] mix+eval: temperature(0.5) language mix = " +
+      mixed.map { case (l, n) => s"$l:$n" }.mkString(" ") +
+      f"; retrieval MRR = ${judged.getDouble(2)}%.3f over ${judged.getLong(0)} queries")
+
     spark.stop()
   }
 }
