@@ -67,7 +67,10 @@ object RetrievalEval {
       .select(col(queryIdCol).as("_q"), col(idCol).as("_id"),
         col(rankCol).cast("long").as("_rnk"))
       .filter(col("_rnk") >= 1L && col("_rnk") <= k)
-    val grade = gradeCol.fold(lit(1.0))(g => col(g).cast("double"))
+    // a NULL grade is a judgment without a level — binary relevance, not
+    // a NULL that would poison the dcg sum
+    val grade = gradeCol.fold(lit(1.0))(g =>
+      coalesce(col(g).cast("double"), lit(1.0)))
     val gld = gold
       .select(col(queryIdCol).as("_q"), col(idCol).as("_id"),
         grade.as("_grade"))
