@@ -149,6 +149,26 @@ object LmUtil {
     math.pow(2.0, h / words.length)
   }
 
+  /** Per-token log2 probabilities under the interpolated-KN model — the
+    * same kernel as [[perplexityKn]] (perplexity is 2^(-mean) of this by
+    * construction, enforced by sharing [[lpsKn]]).
+    */
+  def tokenLogProbsKn(
+      text: UTF8String,
+      bigrams: java.util.HashMap[String, java.lang.Long],
+      histTotals: java.util.HashMap[String, java.lang.Long],
+      histDistinct: java.util.HashMap[String, java.lang.Long],
+      contCounts: java.util.HashMap[String, java.lang.Long],
+      bTypes: Long,
+      vocabSize: Int,
+      d: Double,
+      k: Double): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val words = text.toString.split("\\s+").filter(_.nonEmpty)
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      lpsKn(words, bigrams, histTotals, histDistinct, contCounts,
+        bTypes, vocabSize, d, k))
+  }
+
   /** Per-token log2 probabilities under the same add-k bigram model as
     * [[LmUtil.perplexity]] (the SAME kernel — perplexity is 2^(-mean) of
     * this by construction, enforced by sharing [[lps]]). One double per
@@ -199,6 +219,48 @@ case class LmTokenLogProbs(
       val bi = ctx.addReferenceObj("lmBigrams", bigrams, "java.util.HashMap")
       s"${ev.value} = graft.functions.LmUtil.tokenLogProbs($str, $uni, $bi, " +
         s"$vocabSize, ${totalTokens}L, $k);"
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** lm_kn_token_logprobs(text) -> array<double>: the KN token-level
+  * scoring surface (the Min-K% audit's better-calibrated input).
+  */
+case class LmKnTokenLogProbs(
+    child: Expression,
+    bigrams: java.util.HashMap[String, java.lang.Long],
+    histTotals: java.util.HashMap[String, java.lang.Long],
+    histDistinct: java.util.HashMap[String, java.lang.Long],
+    contCounts: java.util.HashMap[String, java.lang.Long],
+    bTypes: Long,
+    vocabSize: Int,
+    d: Double,
+    k: Double) extends UnaryExpression {
+  require(vocabSize > 0 && bTypes > 0 && k > 0 && d > 0 && d < 1,
+    s"bad KN parameters: V=$vocabSize B=$bTypes d=$d k=$k")
+
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "lm_kn_token_logprobs"
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    LmUtil.tokenLogProbsKn(v.asInstanceOf[UTF8String], bigrams, histTotals,
+      histDistinct, contCounts, bTypes, vocabSize, d, k)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, str => {
+      val bi = ctx.addReferenceObj("knBigrams", bigrams, "java.util.HashMap")
+      val ht = ctx.addReferenceObj("knHistTotals", histTotals, "java.util.HashMap")
+      val hd = ctx.addReferenceObj("knHistDistinct", histDistinct, "java.util.HashMap")
+      val cc = ctx.addReferenceObj("knContCounts", contCounts, "java.util.HashMap")
+      s"${ev.value} = graft.functions.LmUtil.tokenLogProbsKn($str, $bi, $ht, " +
+        s"$hd, $cc, ${bTypes}L, $vocabSize, $d, $k);"
     })
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)

@@ -142,6 +142,14 @@ object NgramLm {
       model.bigrams, model.histTotals, model.histDistinct, model.contCounts,
       model.bTypes, model.vocabSize, model.d, model.k))
 
+  /** KN per-token log2-probability array (codegen'd, no shuffle) — the
+    * token-level surface [[minKProbKn]] aggregates.
+    */
+  def tokenLogProbsKn(text: Column, model: KnModel): Column =
+    Bridge.column(graft.functions.LmKnTokenLogProbs(Bridge.expression(text),
+      model.bigrams, model.histTotals, model.histDistinct, model.contCounts,
+      model.bTypes, model.vocabSize, model.d, model.k))
+
   /** Perplexity column for a text column (codegen'd, no shuffle). */
   def perplexity(text: Column, model: LmModel): Column =
     Bridge.column(LmPerplexity(Bridge.expression(text), model.unigrams,
@@ -187,11 +195,29 @@ object NgramLm {
       idCol: String,
       textCol: String,
       model: LmModel,
-      frac: Double = 0.2): DataFrame = {
+      frac: Double = 0.2): DataFrame =
+    minKFrom(docs, idCol, tokenLogProbs(col(textCol), model), frac)
+  /** [[minKProb]] under the interpolated-KN model ([[trainKn]]) — the
+    * same bottom-k fold over the better-calibrated per-token surface
+    * (membership-inference power tracks LM quality: a smoothing that
+    * models real continuations tightens the in-train/held-out gap).
+    */
+  def minKProbKn(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      model: KnModel,
+      frac: Double = 0.2): DataFrame =
+    minKFrom(docs, idCol, tokenLogProbsKn(col(textCol), model), frac)
+
+  private def minKFrom(
+      docs: DataFrame,
+      idCol: String,
+      lp: Column,
+      frac: Double): DataFrame = {
     require(frac > 0.0 && frac <= 1.0, s"frac must be in (0, 1], got $frac")
     docs
-      .select(col(idCol).cast("long").as("id"),
-        tokenLogProbs(col(textCol), model).as("_lp"))
+      .select(col(idCol).cast("long").as("id"), lp.as("_lp"))
       .withColumn("n_tokens", size(col("_lp")).cast("long"))
       .withColumn("_kk",
         greatest(ceil(lit(frac) * col("n_tokens")), lit(1L)).cast("int"))
@@ -202,4 +228,5 @@ object NgramLm {
               lit(0.0), (acc, x) => acc + x) / col("_kk"))
           .as("mink_avg_logprob"))
   }
+
 }

@@ -68,6 +68,31 @@ class NgramLmSpec extends AnyFunSuite with SparkSpec {
     assert(!plan.contains("Exchange"), s"KN scoring must not shuffle:\n$plan")
   }
 
+  test("KN token logprobs fold back to KN perplexity; minKProbKn orders " +
+      "in-train > held-out > junk") {
+    val kn = NgramLm.trainKn(docs.filter($"doc_id" < 400), "text",
+      maxVocab = 256, minBigramCount = 2)
+    // consistency: perplexity is 2^(-mean) of the per-token array
+    val row = docs.filter($"doc_id" === 7)
+      .select(NgramLm.tokenLogProbsKn($"text", kn).as("lp"),
+        NgramLm.perplexityKn($"text", kn).as("ppl")).head()
+    val lps = row.getSeq[Double](0)
+    val want = math.pow(2.0, lps.map(-_).sum / lps.length)
+    assert(math.abs(row.getDouble(1) - want) < 1e-9)
+
+    val inTrain = NgramLm.minKProbKn(docs.filter($"doc_id" < 50),
+      "doc_id", "text", kn).agg(avg($"mink_avg_logprob")).head().getDouble(0)
+    val heldOut = NgramLm.minKProbKn(docs.filter($"doc_id" >= 400),
+      "doc_id", "text", kn).agg(avg($"mink_avg_logprob")).head().getDouble(0)
+    val junk = NgramLm.minKProbKn(
+      Seq((1L, "zq xv qqj wq zzk vvx jjq kqz")).toDF("doc_id", "text"),
+      "doc_id", "text", kn).head().getDouble(2)
+    assert(inTrain >= heldOut,
+      s"in-train must not score below held-out: $inTrain vs $heldOut")
+    assert(heldOut > junk + 1.0,
+      s"held-out must clearly beat junk: $heldOut vs $junk")
+  }
+
   test("in-domain held-out docs score far lower than out-of-vocabulary junk") {
     val heldOut = docs.filter($"doc_id" >= 400)
       .select(NgramLm.perplexity($"text", model).as("p"))
