@@ -880,6 +880,32 @@ object SparkEntry {
           col("recall_at_k"), col("precision_at_k"), col("rr"))
     }),
 
+    // STREAMING quality gate (the eleventh online family): q145's
+    // pipeline over a document feed — corpus statistics (temperature
+    // rates, KN model) paid once at stream start per the q136 gram-set
+    // discipline, per-batch work a pure per-row map. Stateless, so the
+    // twin is EXACTLY q145's oracle.
+    "q146_quality_gate_stream" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val rates = operators.Curation.temperatureRates(docs, "lang", alpha = 0.5)
+      val model = text.NgramLm.trainKn(docs.filter(col("doc_id") % 4 =!= 0),
+        "text", maxVocab = 256, minBigramCount = 2)
+      // id-keyed sink: a retried foreachBatch re-delivers the same rows
+      // and keyed upsert absorbs them (the q136 replay contract)
+      val rows = new java.util.concurrent.ConcurrentHashMap[
+        Long, (String, Long, Long)]()
+      val src = streaming.Streams.documentStream(s, dir,
+        glob = Some("documents.parquet"))
+      val q = streaming.Streams.qualityGateStream(src, rates, model,
+        onBatch = (report, _) => report.collect().foreach(r =>
+          rows.put(r.getLong(0), (r.getString(1), r.getLong(2), r.getLong(3)))))
+      try q.processAllAvailable() finally q.stop()
+      import scala.jdk.CollectionConverters._
+      rows.asScala.toSeq.map { case (id, (l, e, p)) => (id, l, e, p) }
+        .toDF("id", "lang", "entropy_x1e4", "ppl_x1e4")
+    }),
+
     // Quality pipeline v2 (the q67 composition discipline over the round's
     // new layer): temperature-flattened language mix -> lexical-diversity
     // floor -> Kneser-Ney in-domain perplexity ceiling, end to end under
@@ -3229,6 +3255,81 @@ object SparkEntry {
         |  CAST(COALESCE(hit.hits, 0) AS DOUBLE) / 10.0 AS precision_at_k,
         |  COALESCE(1.0 / CAST(hit.first_rank AS DOUBLE), 0.0) AS rr
         |FROM ng LEFT JOIN hit ON ng.query_id = hit.query_id""".stripMargin,
+
+    // Stateless stream: the twin is exactly q145's.
+"q146_quality_gate_stream" ->
+      """WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+        |r AS (SELECT lang,
+        |        CAST(floor(sqrt(CAST((SELECT min(n) FROM c) AS DOUBLE) / CAST(n AS DOUBLE))
+        |          * 1000000 + 0.5) AS BIGINT) AS ppm
+        |      FROM c),
+        |mix AS MATERIALIZED (
+        |  SELECT d.doc_id, d.lang, d.text FROM documents d JOIN r ON d.lang = r.lang
+        |  WHERE (d.doc_id * 2654435761) % 4294967296 % 1000000 < r.ppm),
+        |ent AS (
+        |  SELECT doc_id,
+        |    CAST(floor(list_reduce(list_prepend(0.0, list_transform(cl, x ->
+        |      -(CAST(x AS DOUBLE) / len(t)) * ln(CAST(x AS DOUBLE) / len(t)))),
+        |      (a, b) -> a + b) * 10000 + 0.5) AS BIGINT) AS entropy_x1e4
+        |  FROM (
+        |    SELECT doc_id, t,
+        |      list_transform(list_sort(list_distinct(t)),
+        |        u -> len(list_filter(t, x -> x = u))) AS cl
+        |    FROM (SELECT doc_id, string_split(text, ' ') AS t FROM mix))),
+        |ref AS (
+        |  SELECT string_split(text, ' ') AS t FROM documents WHERE doc_id % 4 <> 0),
+        |uni AS (
+        |  SELECT w, c FROM (
+        |    SELECT u.w AS w, CAST(count(*) AS BIGINT) AS c
+        |    FROM ref, UNNEST(ref.t) AS u(w) WHERE u.w <> '' GROUP BY u.w)
+        |  ORDER BY c DESC, w ASC LIMIT 256),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS v FROM uni),
+        |bi AS (
+        |  SELECT g, c FROM (
+        |    SELECT array_to_string(t[i:i+1], ' ') AS g,
+        |           CAST(count(*) AS BIGINT) AS c
+        |    FROM ref, UNNEST(generate_series(1, len(t) - 1)) AS u(i)
+        |    GROUP BY 1)
+        |  WHERE c >= 2 AND string_split(g, ' ')[1] IN (SELECT w FROM uni)),
+        |hist AS (
+        |  SELECT string_split(g, ' ')[1] AS h,
+        |         CAST(sum(c) AS BIGINT) AS ct,
+        |         CAST(count(*) AS BIGINT) AS n1h
+        |  FROM bi GROUP BY 1),
+        |cont AS (
+        |  SELECT string_split(g, ' ')[2] AS w, CAST(count(*) AS BIGINT) AS cc
+        |  FROM bi GROUP BY 1),
+        |btot AS (SELECT CAST(count(*) AS BIGINT) AS b FROM bi),
+        |tgt AS (SELECT doc_id, string_split(text, ' ') AS t FROM mix),
+        |tok AS (
+        |  SELECT doc_id, i, t[i] AS w,
+        |         CASE WHEN i > 1 THEN t[i-1] END AS prev
+        |  FROM tgt, UNNEST(generate_series(1, len(t))) AS u(i)
+        |  WHERE t[i] <> ''),
+        |sc AS (
+        |  SELECT tok.doc_id,
+        |    -log2(CASE
+        |      WHEN tok.prev IS NULL OR h.ct IS NULL THEN
+        |        (CAST(COALESCE(cn.cc, 0) AS DOUBLE) + 0.1) /
+        |          (CAST(btot.b AS DOUBLE) + 0.1 * CAST(tot.v AS DOUBLE))
+        |      ELSE
+        |        greatest(CAST(COALESCE(b.c, 0) AS DOUBLE) - 0.75, 0.0) / h.ct +
+        |        ((0.75 * CAST(h.n1h AS DOUBLE)) / h.ct) *
+        |          ((CAST(COALESCE(cn.cc, 0) AS DOUBLE) + 0.1) /
+        |           (CAST(btot.b AS DOUBLE) + 0.1 * CAST(tot.v AS DOUBLE)))
+        |    END) AS nll
+        |  FROM tok CROSS JOIN tot CROSS JOIN btot
+        |  LEFT JOIN hist h ON h.h = tok.prev
+        |  LEFT JOIN cont cn ON cn.w = tok.w
+        |  LEFT JOIN bi b ON b.g = tok.prev || ' ' || tok.w),
+        |agg AS (
+        |  SELECT doc_id, pow(2.0, sum(nll) / count(*)) AS ppl
+        |  FROM sc GROUP BY doc_id)
+        |SELECT CAST(m.doc_id AS BIGINT) AS id, m.lang, e.entropy_x1e4,
+        |  CAST(round(COALESCE(a.ppl, 0.0) * 10000) AS BIGINT) AS ppl_x1e4
+        |FROM mix m JOIN ent e USING (doc_id) LEFT JOIN agg a USING (doc_id)
+        |WHERE e.entropy_x1e4 > 28000
+        |  AND CAST(round(COALESCE(a.ppl, 0.0) * 10000) AS BIGINT) < 310000""".stripMargin,
 
     // The q138 + q143 + q144 chains composed: mix CTE materialized (the
     // q84 inlining lesson), entropy and perplexity computed per row on

@@ -551,6 +551,58 @@ object Streams {
     * .decontaminate]]: a crawl feed screened against eval suites before
     * it ever lands in the corpus.
     */
+  /** Streaming quality gate — the eleventh online family: q145's
+    * composed pipeline (temperature mix -> token-entropy floor ->
+    * Kneser-Ney perplexity ceiling) over a document feed. The corpus
+    * STATISTICS are paid once at stream start (the
+    * [[decontaminateStream]] gram-set discipline): `rates` from
+    * [[graft.operators.Curation.temperatureRates]] on the reference
+    * corpus, `model` from [[graft.text.NgramLm.trainKn]] — a live feed
+    * cannot re-derive either per batch without changing what "the
+    * distribution" means mid-stream. Per-batch work is then a pure
+    * per-row map (hash lottery + entropy fold + codegen'd KN scan), so
+    * the stream is STATELESS: chopping is invisible and the batch twin
+    * replays exactly (q146 locks it to q145's oracle).
+    *
+    * `onBatch` receives each micro-batch's survivors as
+    * (id, <langCol>, entropy_x1e4, ppl_x1e4).
+    */
+  def qualityGateStream(
+      docs: DataFrame,
+      rates: Map[String, Double],
+      model: graft.text.NgramLm.KnModel,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      langCol: String = "lang",
+      minEntropyX1e4: Long = 28000L,
+      maxPplX1e4: Long = 310000L,
+      checkpoint: Option[String] = None,
+      onBatch: (DataFrame, Long) => Unit = (_, _) => (),
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    val cp = checkpoint.getOrElse(
+      java.nio.file.Files.createTempDirectory("graft_qgate_cp").toString)
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", cp)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val mixed = graft.operators.Curation.weightedSample(
+          batch, idCol, langCol, rates)
+        val ent = graft.text.TextAnalysis.tokenEntropy(mixed, idCol, textCol)
+          .filter(col("entropy_x1e4") > minEntropyX1e4)
+          .select(col("id").as(idCol), col("entropy_x1e4"))
+        val out = mixed.join(ent, Seq(idCol))
+          .select(col(idCol).cast("long").as("id"), col(langCol),
+            col("entropy_x1e4"),
+            round(graft.text.NgramLm.perplexityKn(col(textCol), model) * 10000)
+              .cast("long").as("ppl_x1e4"))
+          .filter(col("ppl_x1e4") < maxPplX1e4)
+        onBatch(out, batchId)
+        ()
+      }
+      .start()
+  }
+
   def decontaminateStream(
       docs: DataFrame,
       benchmark: DataFrame,

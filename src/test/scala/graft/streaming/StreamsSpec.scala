@@ -631,6 +631,63 @@ class StreamsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("qualityGateStream: chopped drops reproduce the batch pipeline; " +
+      "corpus statistics are paid once at stream start") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", $"text", $"lang").localCheckpoint(true)
+    val rates = graft.operators.Curation.temperatureRates(docs, "lang", 0.5)
+    val model = graft.text.NgramLm.trainKn(
+      docs.filter($"doc_id" % 4 =!= 0), "text",
+      maxVocab = 256, minBigramCount = 2)
+    // batch truth: the same stages over the whole table
+    val mixed = graft.operators.Curation.weightedSample(
+      docs, "doc_id", "lang", rates)
+    val ent = graft.text.TextAnalysis.tokenEntropy(mixed, "doc_id", "text")
+      .filter($"entropy_x1e4" > 28000L)
+      .select($"id".as("doc_id"), $"entropy_x1e4")
+    val want = mixed.join(ent, Seq("doc_id"))
+      .select($"doc_id".cast("long").as("id"), $"lang", $"entropy_x1e4",
+        round(graft.text.NgramLm.perplexityKn($"text", model) * 10000)
+          .cast("long").as("ppl_x1e4"))
+      .filter($"ppl_x1e4" < 310000L)
+      .as[(Long, String, Long, Long)].collect().toSet
+    assert(want.nonEmpty && want.size < docs.count(),
+      "both gates must actually drop something for the test to mean anything")
+
+    val dropDir = tempDir("graft_qgate_drop")
+    def write(lo: Long, hi: Long, f: String): Unit = {
+      val stage = tempDir(s"graft_qgate_stage_$lo")
+      docs.filter($"doc_id" >= lo && $"doc_id" < hi)
+        .coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      Files.copy(part.toPath, Paths.get(s"$dropDir/$f"),
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+    write(0L, 150L, "d0.parquet")
+    val src = spark.readStream.schema(Streams.DocumentSchema)
+      .option("pathGlobFilter", "d*.parquet").parquet(dropDir)
+    val got = new java.util.concurrent.ConcurrentHashMap[
+      Long, (String, Long, Long)]()
+    val q = Streams.qualityGateStream(src, rates, model,
+      onBatch = (report, _) => report.collect().foreach(r =>
+        got.put(r.getLong(0), (r.getString(1), r.getLong(2), r.getLong(3)))),
+      // AvailableNow would stop after drop 0; keep polling for d1/d2
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
+    try {
+      q.processAllAvailable()
+      write(150L, 400L, "d1.parquet")
+      q.processAllAvailable()
+      write(400L, 10000L, "d2.parquet")
+      q.processAllAvailable()
+    } finally q.stop()
+    import scala.jdk.CollectionConverters._
+    val gotSet = got.asScala.toSet.map { kv: (Long, (String, Long, Long)) =>
+      (kv._1, kv._2._1, kv._2._2, kv._2._3)
+    }
+    assert(gotSet == want, s"stream ${gotSet.size} vs batch ${want.size}")
+  }
+
   test("ingestVectors streams JSONL drops into a store with status table") {
     import org.apache.spark.sql.types._
     val dropDir = tempDir("graft_vec_drop")
