@@ -44,8 +44,13 @@ object RetrievalEval {
     * standard 2^grade − 1, DCG sums gain/log2(rank+1) over hits, and IDCG
     * places the k highest gains at the top ranks. Absent, every judged
     * pair has gain 1 (binary relevance; 2^1 − 1). Duplicate judgments
-    * keep the HIGHEST grade. hits/recall/precision/rr stay binary either
-    * way (a graded judgment is still "relevant").
+    * keep the HIGHEST grade. Judged-IRRELEVANT pairs (grade <= 0, the
+    * TREC qrels convention) are dropped after the max-grade dedup: they
+    * count as relevant for NO metric — not hits/recall/rr (retrieving a
+    * judged-irrelevant doc is a miss) and not dcg (their gain is <= 0
+    * anyway). A query whose judgments are ALL grade <= 0 has no relevant
+    * set and is not scored, which also keeps idcg > 0 for every emitted
+    * row; ndcg is additionally NULL-guarded on idcg > 0.
     *
     * Output, one row per judged query:
     * (query, n_gold, hits BIGINT, first_rank BIGINT or NULL,
@@ -76,6 +81,7 @@ object RetrievalEval {
         grade.as("_grade"))
       .groupBy(col("_q"), col("_id"))
       .agg(max(col("_grade")).as("_grade"))
+      .filter(col("_grade") > 0.0) // judged-irrelevant: relevant for nothing
       .withColumn("_gain", pow(lit(2.0), col("_grade")) - lit(1.0))
 
     // DCG term: gain / log2(rank + 1)
@@ -113,7 +119,7 @@ object RetrievalEval {
         coalesce(lit(1.0) / col("first_rank").cast("double"), lit(0.0)).as("rr"),
         coalesce(col("dcg"), lit(0.0)).as("dcg"),
         idcg.as("idcg"),
-        (coalesce(col("dcg"), lit(0.0)) / idcg).as("ndcg"))
+        when(idcg > 0.0, coalesce(col("dcg"), lit(0.0)) / idcg).as("ndcg"))
   }
 
   /** Collapse [[judge]] output to one corpus row of macro-averages:

@@ -77,6 +77,27 @@ class RetrievalEvalSpec extends AnyFunSuite with SparkSpec {
     assert(bin.getDouble(9) == 1.0, "binary: both gold retrieved in top k")
   }
 
+  test("judged-irrelevant (grade 0) rows count for nothing; all-zero query " +
+      "unscored, ndcg never NaN") {
+    val res = Seq(("q1", "a", 1L), ("q1", "b", 2L), ("q2", "z", 1L))
+      .toDF("query_id", "id", "rank")
+    // q1: a relevant (2), b judged-IRRELEVANT (0) — retrieving b is a miss;
+    // q2: every judgment grade 0 — no relevant set, must not be scored
+    val g = Seq(("q1", "a", 2.0), ("q1", "b", 0.0), ("q1", "c", 1.0),
+      ("q2", "z", 0.0), ("q2", "w", 0.0)).toDF("query_id", "id", "grade")
+    val out = RetrievalEval.judge(res, g, k = 3, gradeCol = Some("grade"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out.keySet == Set("q1"), s"grade-0-only q2 must be unscored: $out")
+    val q1 = out("q1")
+    assert(q1.getLong(1) == 2L, "n_gold counts only grade>0 judgments")
+    assert(q1.getLong(2) == 1L, "hit on b (grade 0) must not count")
+    assert(q1.getDouble(4) == 0.5 && q1.getDouble(5) == 1.0 / 3.0)
+    val dcg = 3.0 / log2(2.0)
+    val idcg = 3.0 / log2(2.0) + 1.0 / log2(3.0)
+    assert(math.abs(q1.getDouble(9) - dcg / idcg) < 1e-12)
+    assert(!out.values.exists(r => !r.isNullAt(9) && r.getDouble(9).isNaN))
+  }
+
   test("duplicate gold judgments collapse; summarize macro-averages") {
     val dupGold = gold.union(Seq(("q1", "a")).toDF("query_id", "id"))
     val per = RetrievalEval.judge(results, dupGold, k = 3)
