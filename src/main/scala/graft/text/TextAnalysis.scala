@@ -206,8 +206,12 @@ object TextAnalysis {
     * O(distinct · n_tokens) per doc, bounded by doc length.
     */
   def tokenEntropy(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // empty tokens (leading/double/trailing spaces) are dropped, so the
+    // token universe agrees with the \s+-and-drop-empties convention of
+    // NgramLm/LmUtil — q145/q146 compose this gate with the KN gate, and
+    // the two must agree on what a token is
     val staged = df.select(col(idCol).cast("long").as("id"),
-      split(col(textCol), " ", -1).as("_t"))
+      filter(split(col(textCol), " ", -1), x => x =!= "").as("_t"))
     // per-distinct-token counts in lexicographic order, materialized once
     // per row; the entropy fold then touches each count exactly once
     val counted = staged.select(col("id"), col("_t"),

@@ -12,7 +12,8 @@ class TextAnalysisSpec extends AnyFunSuite with SparkSpec {
       (1L, "a a a a"),              // one token: H = 0
       (2L, "a b c d"),              // uniform over 4: H = ln(4)
       (3L, "a a b b b c"),          // 2/6, 3/6, 1/6
-      (4L, "")                      // split('') = [""]: one token, H = 0
+      (4L, ""),                     // no tokens at all: H = 0
+      (5L, "  a b  c d ")           // stray spaces are NOT tokens (LM parity)
     ).toDF("id", "text")
     val got = TextAnalysis.tokenEntropy(docs, "id", "text")
       .collect().map(r => r.getLong(0) ->
@@ -23,7 +24,8 @@ class TextAnalysisSpec extends AnyFunSuite with SparkSpec {
     assert(got(2L) == ((4L, 4L, h(Seq(0.25, 0.25, 0.25, 0.25)))))
     assert(got(3L) == ((6L, 3L,
       h(Seq(2.0 / 6, 3.0 / 6, 1.0 / 6))))) // fold order by token: a,b,c
-    assert(got(4L) == ((1L, 1L, 0L)))
+    assert(got(4L) == ((0L, 0L, 0L)))
+    assert(got(5L) == got(2L), "empty tokens must not shift the histogram")
     // the diversity signal orders as designed: degenerate < mixed < uniform
     assert(got(1L)._3 < got(3L)._3 && got(3L)._3 < got(2L)._3)
   }
