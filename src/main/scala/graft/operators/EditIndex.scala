@@ -47,7 +47,19 @@ case class EditIndex(
   def titlesPath: String = layoutDir("titles")
   override protected def layoutNames: Seq[String] = Seq("titles")
 
-  def storedTitles(): DataFrame = storedLayout("titles")
+  // a pre-blockCol index holds 2-column (id, title) epochs; appends after
+  // the lever landed write 3 columns — merge the schemas so the read is
+  // deterministic whatever footer parquet samples first, and normalize a
+  // pure-legacy index to an explicit NULL block (= unblocked, which is
+  // the only semantics a legacy index can have)
+  override protected def layoutReadOptions(name: String): Map[String, String] =
+    Map("mergeSchema" -> "true")
+
+  def storedTitles(): DataFrame = {
+    val df = storedLayout("titles")
+    if (df.columns.contains("block")) df
+    else df.withColumn("block", lit(null).cast("string"))
+  }
 
   /** The stored blocking key for one input frame: the index's `blockCol`
     * cast to STRING (equality-joinable across any source type), NULL when

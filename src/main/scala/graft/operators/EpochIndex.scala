@@ -41,11 +41,20 @@ private[graft] trait EpochIndex {
     * and the synthetic `epoch` one is dropped (only committed epoch paths
     * are passed, so orphan invisibility is unchanged).
     */
+  /** Per-layout parquet read options. A family whose layout schema GAINED
+    * a column across versions (EditIndex's `block`) must set
+    * `mergeSchema=true` here: a plain read infers the schema from one
+    * arbitrary footer, so mixed-version epoch directories would silently
+    * include or drop the new column depending on file order.
+    */
+  protected def layoutReadOptions(name: String): Map[String, String] = Map.empty
+
   protected def storedLayout(name: String): DataFrame = {
     val dir = layoutDir(name)
     val paths = log.layoutPaths(dir)
-    if (gatherBucketsFor(name) <= 0) spark.read.parquet(paths: _*)
-    else spark.read.option("basePath", dir).parquet(paths: _*).drop("epoch")
+    val reader = spark.read.options(layoutReadOptions(name))
+    if (gatherBucketsFor(name) <= 0) reader.parquet(paths: _*)
+    else reader.option("basePath", dir).parquet(paths: _*).drop("epoch")
   }
 
   /** The epoch-commit protocol around one slice write: `write(epoch)` lands
@@ -158,10 +167,7 @@ private[graft] trait EpochIndex {
     // recompute the commit unit over the FILTERED rows for families whose
     // unit is not raw layout rows (WinnowIndex/VideoIndex count docs)
     val unitAfter = unitCounted match {
-      case Some(_) =>
-        // the old epochs are still visible here; count kept docs from the
-        // filtered primary frame instead of re-reading the layout
-        frames.head.select(col("id")).distinct().count()
+      case Some(_) => deleteCommitCount(frames)
       case None => scala.util.Try(obs.get("n").asInstanceOf[Long]).getOrElse(0L)
     }
     log.commit(target, "replace", unitAfter)
@@ -181,6 +187,20 @@ private[graft] trait EpochIndex {
     */
   protected def deleteFrames(ids: Set[Long]): Seq[DataFrame] =
     compactionFrames().map(df => EpochIndex.withoutIds(df, col("id"), ids))
+
+  /** Commit-unit count of the FILTERED frames after a delete-rewrite —
+    * consulted only for families that define [[compactionCommitCount]]
+    * (doc-unit commits). Default: distinct `id`s of the primary layout
+    * frame, which is the unit for every such family today (WinnowIndex /
+    * VideoIndex commit documents and keep >= 1 id-keyed primary row per
+    * document; old epochs are still visible at call time, so the layout
+    * cannot be re-read). A family whose commit unit is NOT distinct
+    * primary ids MUST override this together with
+    * [[compactionCommitCount]], or its delete-replace commit records a
+    * wrong count.
+    */
+  protected def deleteCommitCount(frames: Seq[DataFrame]): Long =
+    frames.head.select(col("id")).distinct().count()
 
   /** (max bucket rows, mean bucket rows) for [[maintenance]] — (0, 0.0) for
     * set-shaped families with no buckets ([[SegmentIndex]]).

@@ -107,6 +107,33 @@ class EditIndexSpec extends AnyFunSuite with SparkSpec {
       "per-bucket cap: id 1499 (500th of its length class) is matchable")
   }
 
+  test("legacy 2-column epochs merge deterministically with 3-column appends") {
+    val path = tmp("graft_eidx_legacy")
+    // hand-write a pre-blockCol index: (id, title) epoch + block_col-less meta
+    Seq((1L, "the quick brown fox")).toDF("id", "title")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/titles/epoch=0")
+    Seq(2).toDF("max_edits")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    EpochLog(spark, path).reset(1L)
+    val idx = EditIndex.load(spark, path)
+    assert(idx.blockCol.isEmpty, "legacy meta must load as unblocked")
+    // a modern append writes the 3-column layout next to the legacy epoch
+    idx.append(Seq((2L, "a wholly different title")).toDF("id", "title"),
+      "id", "title")
+    val stored = idx.storedTitles()
+    assert(stored.columns.contains("block"),
+      "mixed-version read must carry the block column whatever footer " +
+        "parquet samples first")
+    assert(stored.filter($"block".isNull).count() == 2L,
+      "legacy + unblocked rows both normalize to NULL block")
+    // both epochs stay reachable through the match path
+    val hits = idx.dedupBatch(
+      Seq((10L, "the quick brown fax"), (11L, "a wholly different titl"))
+        .toDF("id", "title"), "id", "title")
+      .select($"corpus_id").as[Long].collect().toSet
+    assert(hits == Set(1L, 2L))
+  }
+
   test("load restores the radius; compaction preserves the match set") {
     val path = tmp("graft_eidx_cmp")
     val idx = EditIndex.build(
