@@ -65,21 +65,26 @@ object Curation {
       textCol: String,
       ngramLen: Int,
       maxBroadcastGrams: Long): DataFrame =
-    gateBroadcast(
-      benchmark
-        .select(explode(tokenNgrams(col(textCol), ngramLen)).as("gram"))
-        .select(xxhash64(col("gram")).as("_gh"))
-        .distinct(),
-      maxBroadcastGrams)
+    gateBroadcast(gramFrame(benchmark, textCol, ngramLen),
+      maxBroadcastGrams, pin = false)._1
+
+  private def gramFrame(
+      benchmark: DataFrame, textCol: String, ngramLen: Int): DataFrame =
+    benchmark
+      .select(explode(tokenNgrams(col(textCol), ngramLen)).as("gram"))
+      .select(xxhash64(col("gram")).as("_gh"))
+      .distinct()
 
   /** A benchmark suite's prepared gram-hash frame for REPEATED use (the
     * streaming decontamination pass scores every micro-batch against it):
     * exactly [[benchGramHashes]] — same gram pipeline, same persist
     * (recoverable lineage: an executor loss recomputes blocks instead of
     * killing a long-lived stream), same broadcast gate — surfaced
-    * publicly. Note the persist cache is bounded ([[MaxCachedGramSets]]):
-    * later decontamination calls can evict a stream's gram set, which
-    * silently degrades to per-batch recompute, never to wrong results.
+    * publicly. The shared persist cache is bounded ([[MaxCachedGramSets]]),
+    * so later decontamination calls can evict a queue-managed gram set —
+    * degrading to per-batch recompute, never to wrong results, and now
+    * with a WARN log naming the cure: a long-lived caller should use
+    * [[benchmarkGramsPinned]] instead.
     */
   def benchmarkGrams(
       benchmark: DataFrame,
@@ -87,6 +92,25 @@ object Curation {
       ngramLen: Int = 8,
       maxBroadcastGrams: Long = MaxBroadcastGrams): DataFrame =
     benchGramHashes(benchmark, textCol, ngramLen, maxBroadcastGrams)
+
+  /** [[benchmarkGrams]] with a PINNED lifetime for long-lived consumers
+    * (a decontamination stream scoring every micro-batch): the gram set
+    * is persisted OUTSIDE the shared [[MaxCachedGramSets]] queue, so no
+    * later decontamination call can evict it mid-stream. Returns
+    * (grams, release) — the caller owns the lifetime and MUST call
+    * `release()` when done (the broadcast-hinted frame itself cannot be
+    * unpersisted: the hint wrapper defeats the cache manager's
+    * plan-identity match, which is why the handle exists).
+    */
+  def benchmarkGramsPinned(
+      benchmark: DataFrame,
+      textCol: String,
+      ngramLen: Int = 8,
+      maxBroadcastGrams: Long = MaxBroadcastGrams): (DataFrame, () => Unit) = {
+    val (res, mat) = gateBroadcast(gramFrame(benchmark, textCol, ngramLen),
+      maxBroadcastGrams, pin = true)
+    (res, () => mat.unpersist(false))
+  }
 
   /** One shared materialization for the gram-set size gate and the join —
     * the r12 bench regression (q41 0.35→0.45 s, q69 0.40→0.55 s) was the
@@ -97,20 +121,33 @@ object Curation {
     * (hundreds of millions of grams) degrades by block eviction +
     * recompute under storage pressure rather than hard materialization.
     */
-  private def gateBroadcast(grams: DataFrame, maxBroadcastGrams: Long): DataFrame = {
+  private def gateBroadcast(grams: DataFrame, maxBroadcastGrams: Long,
+      pin: Boolean): (DataFrame, DataFrame) = {
     val mat = grams.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    persistedGramSets.add(mat)
-    // bound the cache for long-lived sessions (a notebook or stream
-    // driver calling decontamination per eval suite would otherwise
-    // accumulate spilled gram blocks until JVM exit): keep the most
-    // recent few, unpersist the rest — lineage survives, so a late
-    // re-execution of an old result recomputes instead of failing
-    while (persistedGramSets.size() > MaxCachedGramSets) {
-      val old = persistedGramSets.poll()
-      if (old ne null) old.unpersist(false)
+    if (!pin) {
+      persistedGramSets.add(mat)
+      // bound the cache for long-lived sessions (a notebook or stream
+      // driver calling decontamination per eval suite would otherwise
+      // accumulate spilled gram blocks until JVM exit): keep the most
+      // recent few, unpersist the rest — lineage survives, so a late
+      // re-execution of an old result recomputes instead of failing
+      while (persistedGramSets.size() > MaxCachedGramSets) {
+        val old = persistedGramSets.poll()
+        if (old ne null) {
+          log.warn(s"evicting a cached benchmark gram set (shared cache " +
+            s"keeps $MaxCachedGramSets): any still-live consumer — a " +
+            "running decontamination stream, an unexecuted lazy result — " +
+            "silently recomputes its grams per use from here on; pin " +
+            "long-lived sets via benchmarkGramsPinned and release them " +
+            "yourself")
+          old.unpersist(false)
+        }
+      }
     }
-    if (mat.count() <= maxBroadcastGrams) broadcast(mat) else mat
+    (if (mat.count() <= maxBroadcastGrams) broadcast(mat) else mat, mat)
   }
+
+  private lazy val log = org.slf4j.LoggerFactory.getLogger("graft.Curation")
 
   private val persistedGramSets =
     new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
@@ -322,7 +359,7 @@ object Curation {
           explode(tokenNgrams(col(textCol), ngramLen)).as("gram"))
         .select(col("benchmark"), xxhash64(col("gram")).as("_gh"))
         .distinct(),
-      maxBroadcastGrams)
+      maxBroadcastGrams, pin = false)._1
     val corpusGrams = corpus.select(col(idCol).cast("long").as("id"),
         explode(array_distinct(tokenNgrams(col(textCol), ngramLen))).as("gram"))
       .select(col("id"), xxhash64(col("gram")).as("_gh"))

@@ -135,28 +135,102 @@ object Streams {
     * splicing into history (chop the stream in ts order when the exact
     * batch identity matters).
     *
-    * State never expires by design: it is one short string per EVER-SEEN
-    * user (a billion-user store is tens of GB spread across the
-    * cluster's state backend), and expiring it would silently drop one
-    * edge each time an idle user returns — if that trade is wanted,
-    * bound the key space upstream (e.g. sessionized or time-bucketed
-    * user keys) rather than inside the operator.
+    * State lifetime — the `idleTimeoutMs` lever (clears the r13 `weak`):
+    * by default state never expires (one short string per ever-seen
+    * user), which is the right trade only when the key space is bounded
+    * (registered user ids). A feed keyed on session-like ids grows state
+    * with the CORPUS, so for long-running deployments pass
+    * `idleTimeoutMs = Some(30 * 60000L)`: a user idle past the timeout —
+    * in EVENT time, enforced by a watermark + EventTimeTimeout, the
+    * [[sessionize]] machinery — has their state dropped, and their NEXT
+    * event starts a fresh chain. Armed, the operator computes SESSION
+    * transitions: an edge never spans an idle gap longer than the
+    * timeout, i.e. the output equals [[graft.operators.Funnel
+    * .transitions]] applied per idle-gap session (the batch operator's
+    * global adjacency keeps cross-gap edges — its bucket stitching
+    * preserves totals — so the armed stream intentionally drops exactly
+    * the gap-spanning edges, the same boundary [[sessionize]] draws).
+    * Event-time rather than processing-time for two reasons:
+    * the semantics ("idle" means the USER went quiet, not the feed
+    * lagged) and liveness (a ProcessingTimeTimeout stream re-triggers
+    * forever, which breaks `processAllAvailable`-style draining; the
+    * event-time form fires exactly when the watermark passes the
+    * deadline). An event arriving with its deadline already behind the
+    * watermark keeps its chain for one more batch and then expires
+    * (deadline clamped to watermark + 1 — the engine rejects timeout
+    * timestamps at or below the watermark).
+    *
+    * Per-micro-batch memory: `rows.toSeq.sortBy` buffers ONE user's
+    * events for ONE micro-batch on the state task — the same bot-funnel
+    * caveat the batch operator documents for its per-bucket windows;
+    * bound a pathological key upstream if a single user can dominate a
+    * micro-batch.
     */
   def transitionsStream(
-      events: Dataset[TransitionEvent]): Dataset[TransitionEdge] = {
+      events: Dataset[TransitionEvent],
+      idleTimeoutMs: Option[Long] = None): Dataset[TransitionEdge] = {
     import events.sparkSession.implicits._
-    events.groupByKey(_.user_id)
-      .flatMapGroupsWithState[LastEvent, TransitionEdge](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (userId: Long, rows: Iterator[TransitionEvent],
-         state: GroupState[LastEvent]) =>
-          val sorted = rows.toSeq.sortBy(e => (e.ts_ms, e.event_type))
-          val chain = state.getOption.map(_.typ).toSeq ++ sorted.map(_.event_type)
-          sorted.lastOption.foreach(e => state.update(LastEvent(e.event_type)))
-          chain.sliding(2).collect {
-            case Seq(a, b) => TransitionEdge(userId, a, b)
+    idleTimeoutMs match {
+      case None =>
+        events.groupByKey(_.user_id)
+          .flatMapGroupsWithState[LastEvent, TransitionEdge](
+            OutputMode.Append, GroupStateTimeout.NoTimeout) {
+            (userId: Long, rows: Iterator[TransitionEvent],
+             state: GroupState[LastEvent]) =>
+              transitionChain(userId, rows, state, None)
           }
+      case Some(idle) =>
+        require(idle > 0, s"idleTimeoutMs must be > 0, got $idle")
+        events
+          .withColumn("_et", timestamp_millis(col("ts_ms")))
+          .withWatermark("_et", "0 seconds")
+          .as[TransitionEventT]
+          .groupByKey(_.user_id)
+          .flatMapGroupsWithState[LastEvent, TransitionEdge](
+            OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+            (userId: Long, rows: Iterator[TransitionEventT],
+             state: GroupState[LastEvent]) =>
+              transitionChain(userId,
+                rows.map(r => TransitionEvent(r.user_id, r.ts_ms, r.event_type)),
+                state, Some(idle))
+          }
+    }
+  }
+
+  /** [[transitionsStream]]'s event row with the watermark column attached
+    * (the timeout lever needs a TIMESTAMP column to watermark).
+    */
+  case class TransitionEventT(
+      user_id: Long, ts_ms: Long, event_type: String,
+      _et: java.sql.Timestamp)
+
+  /** One user's micro-batch turn of the transition chain — shared by both
+    * timeout modes: stitch the state's last event onto the sorted batch,
+    * emit adjacency edges, leave the newest type in state, and (timeout
+    * mode) arm the event-time deadline at last event + idle.
+    */
+  private def transitionChain(
+      userId: Long,
+      rows: Iterator[TransitionEvent],
+      state: GroupState[LastEvent],
+      idleMs: Option[Long]): Iterator[TransitionEdge] = {
+    if (state.hasTimedOut) {
+      state.remove() // idle user: the next event starts a fresh chain
+      Iterator.empty
+    } else {
+      val sorted = rows.toSeq.sortBy(e => (e.ts_ms, e.event_type))
+      val chain = state.getOption.map(_.typ).toSeq ++ sorted.map(_.event_type)
+      sorted.lastOption.foreach { e =>
+        state.update(LastEvent(e.event_type))
+        idleMs.foreach { idle =>
+          state.setTimeoutTimestamp(
+            math.max(e.ts_ms + idle, state.getCurrentWatermarkMs() + 1))
+        }
       }
+      chain.sliding(2).collect {
+        case Seq(a, b) => TransitionEdge(userId, a, b)
+      }
+    }
   }
 
   // --------------------------------------------------- heavy-hitter stream
@@ -612,11 +686,15 @@ object Streams {
       checkpoint: Option[String] = None,
       onBatch: (DataFrame, Long) => Unit = (_, _) => (),
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
-    val grams = graft.operators.Curation.benchmarkGrams(
+    // PINNED gram set: a later decontamination call must not evict the
+    // stream's grams from the shared cache mid-run (that silently degrades
+    // every subsequent micro-batch to a full explode+distinct recompute);
+    // the stream owns the lifetime and releases on termination below
+    val (grams, release) = graft.operators.Curation.benchmarkGramsPinned(
       benchmark, textCol, ngramLen)
     val cp = checkpoint.getOrElse(
       java.nio.file.Files.createTempDirectory("graft_decontam_cp").toString)
-    docs.writeStream
+    val query = docs.writeStream
       .outputMode("append")
       .option("checkpointLocation", cp)
       .trigger(trigger)
@@ -626,25 +704,50 @@ object Streams {
         ()
       }
       .start()
+    releaseOnTermination(docs.sparkSession, query, release)
+    query
   }
 
-  /** Online VIDEO ingest — the [[ingestEditStream]] contract for the
-    * multimodal family: each micro-batch of media rows (schema of
-    * [[graft.multimodal.Multimodal.MediaRow]]) is demuxed, fingerprinted,
-    * and swept against the persisted [[graft.multimodal.VideoIndex]]
-    * (corpus match + within-batch accepted walk); survivors are appended
-    * so later micro-batches dedup against them. Sink-before-append via
-    * `onBatch`, same at-least-once replay argument.
+  /** Run `release` once when `query` terminates (however it ends) — the
+    * cleanup hook for streams that pin session-level resources.
     */
-  def ingestVideoStream(
+  private def releaseOnTermination(
+      spark: SparkSession,
+      query: StreamingQuery,
+      release: () => Unit): Unit = {
+    val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+      override def onQueryStarted(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryProgress(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit = ()
+      override def onQueryTerminated(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit =
+        if (e.id == query.id) {
+          try release() finally spark.streams.removeListener(this)
+        }
+    }
+    spark.streams.addListener(listener)
+  }
+
+  /** Online MEDIA ingest — the [[ingestEditStream]] contract for the
+    * multimodal families: each micro-batch of media rows (schema of
+    * [[graft.multimodal.Multimodal.MediaRow]]) is decoded, fingerprinted,
+    * and swept against the persisted [[graft.multimodal.MediaSetIndex]]
+    * instance ([[graft.multimodal.VideoIndex]] demux,
+    * [[graft.multimodal.AudioIndex]] PCM windows — one stream shape for
+    * both; corpus match + within-batch accepted walk); survivors are
+    * appended so later micro-batches dedup against them.
+    * Sink-before-append via `onBatch`, same at-least-once replay argument.
+    */
+  def ingestMediaStream(
       media: DataFrame,
-      index: graft.multimodal.VideoIndex,
+      index: graft.multimodal.MediaSetIndex,
       checkpoint: Option[String] = None,
       onBatch: (DataFrame, Long) => Unit = (_, _) => (),
       trigger: Trigger = Trigger.AvailableNow(),
       autoCompact: Boolean = false): StreamingQuery = {
     val cp = checkpoint.getOrElse(
-      java.nio.file.Files.createTempDirectory("graft_ingest_video_cp").toString)
+      java.nio.file.Files.createTempDirectory("graft_ingest_media_cp").toString)
     media.writeStream
       .outputMode("append")
       .option("checkpointLocation", cp)

@@ -570,6 +570,69 @@ class StreamsSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("transitionsStream idleTimeoutMs expires state in event time; " +
+      "returning user starts a fresh chain (batch bucket-boundary parity)") {
+    val dropDir = tempDir("graft_trans_to_drop")
+    val base = 1700000000000L
+    def write(rows: Seq[(Long, Long, String)], f: String): Unit = {
+      val stage = tempDir(s"graft_trans_to_stage_$f")
+      rows.zipWithIndex.map { case ((u, t, ty), i) =>
+        (i.toLong, t * 1000000L, u, ty, 1.0, "{}")
+      }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      Files.copy(part.toPath, Paths.get(s"$dropDir/$f"),
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+    // drop 1: users 1 and 2 each emit a two-event chain
+    write(Seq((1L, base, "view"), (1L, base + 1000, "click"),
+      (2L, base, "view"), (2L, base + 1000, "add")), "d1.parquet")
+
+    val events = Streams.eventStream(spark, dropDir, glob = Some("d*.parquet"))
+      .select($"user_id", unix_millis($"event_time").as("ts_ms"), $"event_type")
+      .as[Streams.TransitionEvent]
+    // idle horizon 1h of EVENT time: expiry is driven by the watermark,
+    // never the wall clock, so the test is deterministic
+    val q = Streams.transitionsStream(events, idleTimeoutMs = Some(3600000L))
+      .toDF().writeStream
+      .outputMode("append").format("memory").queryName("trans_to_out").start()
+    try {
+      q.processAllAvailable()
+      val rowsAfterD1 = q.lastProgress.stateOperators.head.numRowsTotal
+      assert(rowsAfterD1 == 2L, s"expected 2 state rows after drop 1, got $rowsAfterD1")
+
+      // user 3's event 2h later advances the watermark past users 1+2's
+      // idle deadlines: their state must actually be removed
+      write(Seq((3L, base + 7200000, "view")), "d2.parquet")
+      q.processAllAvailable()
+      val rowsAfterD2 = q.lastProgress.stateOperators.head.numRowsTotal
+      assert(rowsAfterD2 == 1L,
+        s"expected users 1+2 expired leaving only user 3, got $rowsAfterD2 state rows")
+
+      // user 1 returns AFTER expiry: fresh chain, so no click->buy edge
+      write(Seq((1L, base + 7203000, "buy")), "d3.parquet")
+      q.processAllAvailable()
+      val got = spark.table("trans_to_out")
+        .groupBy($"from_type", $"to_type").agg(count(lit(1)).as("n"))
+        .as[(String, String, Long)].collect().toSet
+      assert(!got.exists(e => e._2 == "buy"),
+        s"expired user must not chain across the timeout, got $got")
+      // parity: the armed stream equals the batch operator applied PER
+      // idle-gap session — here user 1's buy is its own 1-event session
+      // (synthetic user key 101), so batch-per-session has no buy edge
+      val want = graft.operators.Funnel.transitions(
+        Seq((1L, base, "view"), (1L, base + 1000, "click"),
+          (2L, base, "view"), (2L, base + 1000, "add"),
+          (3L, base + 7200000, "view"), (101L, base + 7203000, "buy"))
+          .toDF("user_id", "ts_ms", "event_type"),
+        "user_id", "ts_ms", "event_type", bucketMs = 3600000L)
+        .as[(String, String, Long)].collect().toSet
+      assert(got == want && got == Set(("view", "click", 1L), ("view", "add", 1L)),
+        s"stream $got vs batch-per-session $want")
+    } finally q.stop()
+  }
+
   test("heavyHittersStream: sharded MG summaries + exact pass 2 equal batch " +
       "under any chopping") {
     // 800 singleton tails + three heavy items; minFrac 0.05 over n=1010:
