@@ -56,14 +56,14 @@ class VideoIndexSpec extends AnyFunSuite with SparkSpec {
     val batch = media(video(100L, Seq(0L, 1L, 999L)))
     val idx = VideoIndex.build(corpus, tmp("graft_vidx_cap"),
       everyMs = 50L, minJaccard = 0.1)
-    val hits = idx.dedupBatch(batch, maxVideosPerFp = 3)
+    val hits = idx.dedupBatch(batch, maxDocsPerFp = 3)
       .as[(Long, Long, Long, Long, Long, Double)].collect()
     // stop-frame dropped: videos 1..4 have no candidate left; video 0
     // matches on its 2 content frames with FULL sizes (3 and 5): j = 2/6
     assert(hits.toSeq == Seq((100L, 0L, 2L, 3L, 5L, 2.0 / 6.0)),
       s"got ${hits.toSeq}")
     // uncapped, the stop-frame adds 1 shared with everyone
-    val un = idx.dedupBatch(batch, maxVideosPerFp = Int.MaxValue)
+    val un = idx.dedupBatch(batch, maxDocsPerFp = Int.MaxValue)
       .as[(Long, Long, Long, Long, Long, Double)].collect()
     assert(un.length == 5 && un.exists(_ == ((100L, 0L, 3L, 3L, 5L, 0.6))),
       s"got ${un.toSeq}")
@@ -95,7 +95,7 @@ class VideoIndexSpec extends AnyFunSuite with SparkSpec {
     val idx = VideoIndex.build(media(video(1L, Seq(0L, 1L))),
       tmp("graft_vidx_req"), everyMs = 50L, minJaccard = 0.5)
     val e = intercept[IllegalArgumentException] {
-      idx.ingestBatch(media(video(2L, Seq(5L, 6L))), maxVideosPerFp = 1)
+      idx.ingestBatch(media(video(2L, Seq(5L, 6L))), maxDocsPerFp = 1)
     }
     assert(e.getMessage.contains("within-batch"))
   }
@@ -120,7 +120,7 @@ class VideoIndexSpec extends AnyFunSuite with SparkSpec {
     assert(idx.maintenance().nDocs == 2L)
   }
 
-  test("ingestVideoStream: chopping-independent kept set") {
+  test("ingestMediaStream: chopping-independent kept set") {
     val batchRows = Seq(
       video(1000L, Seq(0L, 1L, 2L, 3L)), // corpus copy -> drops
       video(1001L, Seq(40L, 41L, 42L, 43L)), // fresh -> kept
@@ -146,7 +146,7 @@ class VideoIndexSpec extends AnyFunSuite with SparkSpec {
       val dropDir = tmp(s"graft_vstream_$name")
       val keptIds = scala.collection.mutable.Set.empty[Long]
       val src = spark.readStream.schema(mediaSchema).parquet(dropDir)
-      val q = Streams.ingestVideoStream(src, idx,
+      val q = Streams.ingestMediaStream(src, idx,
         onBatch = (kept, _) =>
           keptIds ++= kept.select($"media_id").as[Long].collect(),
         trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(
