@@ -102,6 +102,23 @@ private[graft] case class EpochLog(spark: SparkSession, path: String) {
     }
   }
 
+  /** The vacuum (retention) commit point: record fold epoch `foldEpoch` —
+    * whose directory holds the union of every live epoch < `boundary` —
+    * and expire those epochs, in ONE appended file (two rows: the fold's
+    * "add" carries its row count for [[sizeStats]]; the "expire" row
+    * carries the boundary in its n_rows slot — the 3-column schema is
+    * shared with every pre-vacuum log). Readers flip atomically from the
+    * old epoch set to {fold} ∪ {>= boundary}; a crash before this lands
+    * leaves the fold directory orphaned and invisible, exactly an
+    * append's failure mode.
+    */
+  def commitVacuum(foldEpoch: Long, boundary: Long, nRows: Long): Unit = {
+    require(boundary <= foldEpoch,
+      s"vacuum boundary $boundary must be <= fold epoch $foldEpoch")
+    write(Seq(Commit(foldEpoch, "add", nRows),
+      Commit(foldEpoch, "expire", boundary)), "append")
+  }
+
   private def listLogFiles(): Seq[org.apache.hadoop.fs.Path] = {
     val dir = new org.apache.hadoop.fs.Path(commitsPath)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -112,13 +129,45 @@ private[graft] case class EpochLog(spark: SparkSession, path: String) {
       .map(_.getPath)
   }
 
-  /** Live epochs: everything at or above the newest replace epoch. */
-  def committedEpochs(): Seq[Long] = {
+  /** The resolved liveness state: live epochs, plus the active vacuum fold
+    * (fold epoch T, boundary B) if any. Rules:
+    *  - a "replace" row at R kills every epoch < R (compaction, as ever);
+    *  - an "expire" row (T, B) — written by [[commitVacuum]] atomically
+    *    with T's "add" row — kills every epoch < B EXCEPT T itself: the
+    *    `epoch=T` directory holds the FOLD of everything below B, so T is
+    *    live data that logically SORTS BELOW B (snapshot reads at a pin in
+    *    [B, T) must include it — [[layoutPathsAt]]);
+    *  - the active expire is the one with the highest boundary among rows
+    *    surviving the newest replace; superseded folds (an older vacuum's
+    *    T, or any expire below a later compaction) are dead.
+    * With no expire rows this degenerates to exactly the historical
+    * replace-only rule — index-family logs never see expire rows.
+    */
+  private def resolve(): (Seq[Long], Option[(Long, Long)]) = {
     val cs = readCommits()
-    val base = cs.filter(_.action == "replace").map(_.epoch)
+    val r = cs.filter(_.action == "replace").map(_.epoch)
       .reduceOption(_ max _).getOrElse(Long.MinValue)
-    cs.map(_.epoch).filter(_ >= base).distinct.sorted
+    val expires = cs.filter(c => c.action == "expire" && c.epoch >= r)
+    val active = expires.sortBy(c => (c.nRows, c.epoch)).lastOption
+    val b = active.map(_.nRows).getOrElse(Long.MinValue)
+    val deadFolds = expires.map(_.epoch).toSet -- active.map(_.epoch).toSet
+    val live = cs.filter(_.action != "expire").map(_.epoch)
+      .filter(e => e >= r)
+      .filter(e => e >= b || active.exists(_.epoch == e))
+      .filterNot(deadFolds)
+      .distinct.sorted
+    (live, active.map(a => (a.epoch, a.nRows)))
   }
+
+  /** Live epochs: everything at or above the newest replace epoch, minus
+    * epochs expired by a vacuum fold (the fold slice itself stays live).
+    */
+  def committedEpochs(): Seq[Long] = resolve()._1
+
+  /** The active vacuum fold, if any: (fold epoch T, boundary B) — the
+    * `epoch=T` directory holds the union of every epoch that was < B.
+    */
+  def activeFold(): Option[(Long, Long)] = resolve()._2
 
   /** Every epoch the log knows, live or dead — ONE log read. This is the
     * set a replace commit supersedes, so compacting callers snapshot it
@@ -146,7 +195,8 @@ private[graft] case class EpochLog(spark: SparkSession, path: String) {
     */
   def sizeStats(): (Int, Long, Long) = {
     val live = committedEpochs().toSet
-    val cs = readCommits().filter(c => live(c.epoch))
+    // expire rows carry the vacuum boundary in n_rows, not a row count
+    val cs = readCommits().filter(c => live(c.epoch) && c.action != "expire")
     val appended = cs.filter(_.action == "add").map(_.nRows).sum
     (live.size, cs.map(_.nRows).sum, appended)
   }
@@ -164,8 +214,15 @@ private[graft] case class EpochLog(spark: SparkSession, path: String) {
     * replace epoch's superset state or fails the caller's existence check
     * loudly — never to a silently partial read.
     */
-  def layoutPathsAt(layoutPath: String, maxEpoch: Long): Seq[String] =
-    committedEpochs().filter(_ <= maxEpoch).map(e => s"$layoutPath/epoch=$e")
+  def layoutPathsAt(layoutPath: String, maxEpoch: Long): Seq[String] = {
+    val (live, fold) = resolve()
+    // the active fold slice sorts NUMERICALLY above the kept epochs but
+    // holds the LOGICALLY OLDEST rows (everything below the boundary), so
+    // a pin at or past the boundary always includes it
+    val pinned = live.filter(_ <= maxEpoch) ++
+      fold.collect { case (t, b) if b <= maxEpoch && t > maxEpoch => t }
+    pinned.distinct.map(e => s"$layoutPath/epoch=$e")
+  }
 
   /** Best-effort recursive delete of a dead epoch directory. */
   def deleteDir(dir: String): Unit = {

@@ -39,7 +39,7 @@ case class StoreConfig(
   *
   * Store schema: `id: long, vector: array<float>, meta: map<string,string>`.
   */
-class VectorStoreCatalog(spark: SparkSession, root: String) {
+class VectorStoreCatalog(spark: SparkSession, val root: String) {
   import VectorStoreCatalog._
 
   private def fs: FileSystem = new Path(root).getFileSystem(
@@ -227,6 +227,75 @@ class VectorStoreCatalog(spark: SparkSession, root: String) {
     val dirs = storeLog(userId, modelId).layoutPathsAt(p, epoch)
       .filter(d => fs.exists(new Path(d)))
     spark.read.option("basePath", p).parquet(dirs: _*).drop("epoch")
+  }
+
+  /** Epoch retention — completes the time-travel lifecycle that [[loadAt]]
+    * opened: fold every committed epoch below the newest `keepLast` pins
+    * into ONE snapshot slice and expire the originals, reclaiming their
+    * directories. Daily-append stores otherwise accumulate epoch dirs
+    * (and their small files) without bound; a full [[optimize]] reclaims
+    * them but kills EVERY pin, where vacuum keeps the newest `keepLast`
+    * addressable.
+    *
+    * Semantics: after `vacuum(u, m, keepLast = N)`, [[epochs]] lists the
+    * newest N pre-vacuum pins plus the fold slice (itself a valid pin =
+    * the vacuum-time snapshot); [[loadAt]] on any kept pin returns
+    * byte-identical rows (the fold holds exactly the union of the expired
+    * slices); [[loadAt]] on an expired pin fails loudly (the table-format
+    * "snapshot expired" condition). The IVF index's epoch slices ride the
+    * same fold — one commit flips both layouts, the [[addVectors]]
+    * discipline. Atomicity: the fold slice is invisible until
+    * [[graft.operators.EpochLog.commitVacuum]]'s single appended file
+    * lands; expired directories are deleted best-effort AFTER it (a crash
+    * leaves invisible garbage, never a partial state).
+    *
+    * Returns (epochs expired, bytes reclaimed). No-op — (0, 0) — when the
+    * history is already within `keepLast` pins.
+    */
+  def vacuum(userId: String, modelId: String, keepLast: Int,
+      targetFileBytes: Long = 128L << 20): (Int, Long) = {
+    require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
+    require(exists(userId, modelId), s"store $userId/$modelId does not exist")
+    require(epochMode(userId, modelId),
+      s"store $userId/$modelId predates the epoch layout — nothing to vacuum")
+    val log = storeLog(userId, modelId)
+    val fold = log.activeFold()
+    // logical pin order: a previous vacuum's fold slice is the OLDEST
+    // content despite its high epoch number — it never counts as a "kept
+    // recent pin" and always re-folds
+    val pins = log.committedEpochs().filterNot(e => fold.exists(_._1 == e))
+    if (pins.size <= keepLast) return (0, 0L)
+    val boundary = pins(pins.size - keepLast)
+    val foldSet = fold.map(_._1).toSeq ++ pins.filter(_ < boundary)
+    def bytesOf(e: Long): Long = {
+      val dirs = Seq(s"${dataPath(userId, modelId)}/epoch=$e",
+        s"${indexPath(userId, modelId)}/data/epoch=$e")
+      dirs.map(new Path(_)).filter(fs.exists)
+        .map(fs.getContentSummary(_).getLength).sum
+    }
+    val bytesBefore = foldSet.map(bytesOf).sum
+    val cfg = config(userId, modelId)
+    val hasIndex = hasIvf(userId, modelId, cfg)
+    val target = log.nextEpoch()
+    val p = dataPath(userId, modelId)
+    val dirs = foldSet.map(e => s"$p/epoch=$e").filter(d => fs.exists(new Path(d)))
+    // re-slice to the file-size target: the whole point is consolidating
+    // many tiny append slices into few well-sized files
+    val nFiles = math.max(1,
+      math.ceil(bytesBefore.toDouble / targetFileBytes).toInt)
+    val obs = org.apache.spark.sql.Observation()
+    val folded = spark.read.option("basePath", p).parquet(dirs: _*).drop("epoch")
+      .observe(obs, org.apache.spark.sql.functions.count(lit(1)).as("n"))
+      .repartition(nFiles)
+    val out = if (hasIndex) folded.localCheckpoint(true) else folded
+    out.write.mode("overwrite").parquet(s"$p/epoch=$target")
+    if (hasIndex) {
+      idxLoad(userId, modelId, cfg).appendEpoch(out, "id", "vector", target)
+    }
+    log.commitVacuum(target, boundary,
+      scala.util.Try(obs.get("n").asInstanceOf[Long]).getOrElse(0L))
+    pruneEpochDirs(userId, modelId, log, foldSet)
+    (foldSet.size, bytesBefore - bytesOf(target))
   }
 
   private def indexPath(userId: String, modelId: String) =

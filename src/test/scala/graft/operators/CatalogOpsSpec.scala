@@ -199,6 +199,78 @@ class CatalogOpsSpec extends AnyFunSuite with SparkSpec {
     assert(cat.loadAt("u", "tt", live.head).count() == 22L)
   }
 
+  test("vacuum folds old epochs, keeps the newest pins, reclaims bytes; " +
+      "expired pins raise; kept pins byte-identical") {
+    val cat = newCatalog
+    cat.create("u", "vac", StoreConfig(dimension = 2))
+    def batch(v: Float, n: Int) =
+      Seq.fill(n)(Seq(v, v)).map(Tuple1(_)).toDF("vector")
+    (0 until 6).foreach(i => cat.addVectors("u", "vac", batch(i.toFloat, 10)))
+    assert(cat.epochs("u", "vac") == Seq(0L, 1L, 2L, 3L, 4L, 5L))
+    val pin4Rows = cat.loadAt("u", "vac", 4L)
+      .select(element_at(col("vector"), 1)).as[Float].collect().sorted.toSeq
+
+    val (expired, reclaimed) = cat.vacuum("u", "vac", keepLast = 2)
+    assert(expired == 4, s"epochs 0..3 fold, got $expired")
+    assert(reclaimed > 0L,
+      "folding 4 tiny epoch dirs into one slice must reclaim bytes")
+    // the kept pins + the fold slice (epoch 6 = the vacuum-time snapshot)
+    assert(cat.epochs("u", "vac") == Seq(4L, 5L, 6L))
+    // epoch directories really reclaimed: only 3 remain on disk
+    val dataDir = new java.io.File(s"${cat.root}/u/vac/data")
+    assert(dataDir.listFiles().count(_.getName.startsWith("epoch=")) == 3)
+
+    // kept pin reads byte-identical rows through the fold slice
+    assert(cat.loadAt("u", "vac", 4L)
+      .select(element_at(col("vector"), 1)).as[Float].collect().sorted.toSeq
+      == pin4Rows)
+    assert(cat.loadAt("u", "vac", 5L).count() == 60L)
+    assert(cat.load("u", "vac").count() == 60L)
+
+    // expired pin raises loudly
+    val gone = intercept[IllegalArgumentException] {
+      cat.loadAt("u", "vac", 1L)
+    }
+    assert(gone.getMessage.contains("not in the committed history"))
+
+    // vacuum is idempotent at the same horizon... and composes: append two
+    // more epochs, vacuum again — the previous fold re-folds
+    assert(cat.vacuum("u", "vac", keepLast = 3) == ((0, 0L)))
+    cat.addVectors("u", "vac", batch(6f, 10)) // epoch 7
+    cat.addVectors("u", "vac", batch(7f, 10)) // epoch 8
+    val (expired2, _) = cat.vacuum("u", "vac", keepLast = 2)
+    assert(expired2 == 3, "pins 4, 5 + old fold 6 re-fold")
+    assert(cat.epochs("u", "vac") == Seq(7L, 8L, 9L))
+    assert(cat.load("u", "vac").count() == 80L)
+    assert(cat.loadAt("u", "vac", 7L).count() == 70L)
+    // a later full compaction still supersedes everything
+    cat.optimize("u", "vac")
+    assert(cat.epochs("u", "vac").size == 1)
+    assert(cat.load("u", "vac").count() == 80L)
+  }
+
+  test("vacuum folds the IVF index slices alongside the store (one commit)") {
+    val cat = newCatalog
+    cat.create("u", "vidx", StoreConfig(dimension = 4, metric = "cosine"))
+    def batch(seed: Int, n: Int) = Seq.tabulate(n)(i =>
+      Tuple1(Seq.tabulate(4)(j => (seed * 17 + i * 5 + j).toFloat / 97f)))
+      .toDF("vector")
+    cat.addVectors("u", "vidx", batch(1, 30))
+    cat.buildIndex("u", "vidx", nLists = 4)
+    (2 to 4).foreach(s => cat.addVectors("u", "vidx", batch(s, 10)))
+    val probe = cat.load("u", "vidx")
+      .select(col("vector")).head().getSeq[Float](0).map(_.toDouble)
+    val before = cat.query("u", "vidx", probe, k = 5)
+      .select(col("id")).as[Long].collect().toSet
+    val (expired, _) = cat.vacuum("u", "vidx", keepLast = 1)
+    assert(expired == 3)
+    // ANN path still serves the same rows from the folded index slices
+    val after = cat.query("u", "vidx", probe, k = 5)
+      .select(col("id")).as[Long].collect().toSet
+    assert(after == before, s"index fold changed ANN results: $before -> $after")
+    assert(cat.count("u", "vidx") == 60L)
+  }
+
   test("maskedMeanPool matches hand computation and respects mask") {
     val df = Seq((
       Seq(Seq(1f, 2f), Seq(3f, 4f), Seq(100f, 100f)),
