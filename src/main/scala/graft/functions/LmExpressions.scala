@@ -169,6 +169,99 @@ object LmUtil {
         bTypes, vocabSize, d, k))
   }
 
+  /** Interpolated Kneser–Ney TRIGRAM per-token log2 probabilities — the
+    * n=3 extension of [[lpsKn]] (the standard recursion, Chen & Goodman
+    * 1999 §2.7): the highest level discounts raw trigram counts, the
+    * middle level discounts CONTINUATION counts N1+(·vw) derived from the
+    * same pruned trigram table, and the base is the add-k-regularized
+    * continuation distribution:
+    *
+    *   P(w|u v) = max(c(uvw)−D, 0)/c(uv·) + (D·N1+(uv·)/c(uv·))·P(w|v)
+    *   P(w|v)   = max(N1+(·vw)−D, 0)/N1+(·v·)
+    *              + (D·N1+(v··)/N1+(·v·))·Pc(w)
+    *   Pc(w)    = (N1+(··w) + k) / (M + k·V),  M = middle-table types
+    *
+    * First token scores against Pc, second against P(w|v); an unseen
+    * trigram history falls to P(w|v), an unseen middle history to Pc —
+    * each backoff target is exactly the next interpolation base, so the
+    * recursion never skips a level. Every arithmetic step is written in
+    * the exact association the q151 oracle SQL mirrors.
+    */
+  private def lpsKn3(
+      words: Array[String],
+      trigrams: java.util.HashMap[String, java.lang.Long],
+      triHistTotals: java.util.HashMap[String, java.lang.Long],
+      triHistDistinct: java.util.HashMap[String, java.lang.Long],
+      midCounts: java.util.HashMap[String, java.lang.Long],
+      midHistTotals: java.util.HashMap[String, java.lang.Long],
+      midHistDistinct: java.util.HashMap[String, java.lang.Long],
+      contCounts: java.util.HashMap[String, java.lang.Long],
+      mTypes: Long,
+      vocabSize: Int,
+      d: Double,
+      k: Double): Array[Double] = {
+    val out = new Array[Double](words.length)
+    val denomBase = mTypes + k * vocabSize
+    var i = 0
+    var prev: String = null
+    var prev2: String = null
+    while (i < words.length) {
+      val w = words(i)
+      val cc = contCounts.get(w)
+      val base = ((if (cc == null) 0L else cc.longValue()) + k) / denomBase
+      val mh = if (prev == null) null else midHistTotals.get(prev)
+      val mid =
+        if (mh == null) base
+        else {
+          val mc = midCounts.get(prev + " " + w)
+          val nd = midHistDistinct.get(prev).longValue()
+          math.max((if (mc == null) 0L else mc.longValue()) - d, 0.0) /
+            mh.longValue() +
+            ((d * nd) / mh.longValue()) * base
+        }
+      val th = if (prev2 == null) null
+        else triHistTotals.get(prev2 + " " + prev)
+      val p =
+        if (th == null) mid
+        else {
+          val tc = trigrams.get(prev2 + " " + prev + " " + w)
+          val nd = triHistDistinct.get(prev2 + " " + prev).longValue()
+          math.max((if (tc == null) 0L else tc.longValue()) - d, 0.0) /
+            th.longValue() +
+            ((d * nd) / th.longValue()) * mid
+        }
+      out(i) = math.log(p) / math.log(2.0)
+      prev2 = prev
+      prev = w
+      i += 1
+    }
+    out
+  }
+
+  def perplexityKn3(
+      text: UTF8String,
+      trigrams: java.util.HashMap[String, java.lang.Long],
+      triHistTotals: java.util.HashMap[String, java.lang.Long],
+      triHistDistinct: java.util.HashMap[String, java.lang.Long],
+      midCounts: java.util.HashMap[String, java.lang.Long],
+      midHistTotals: java.util.HashMap[String, java.lang.Long],
+      midHistDistinct: java.util.HashMap[String, java.lang.Long],
+      contCounts: java.util.HashMap[String, java.lang.Long],
+      mTypes: Long,
+      vocabSize: Int,
+      d: Double,
+      k: Double): Double = {
+    val words = text.toString.split("\\s+").filter(_.nonEmpty)
+    if (words.isEmpty) return 0.0
+    val arr = lpsKn3(words, trigrams, triHistTotals, triHistDistinct,
+      midCounts, midHistTotals, midHistDistinct, contCounts, mTypes,
+      vocabSize, d, k)
+    var h = 0.0
+    var i = 0
+    while (i < arr.length) { h += -arr(i); i += 1 }
+    math.pow(2.0, h / words.length)
+  }
+
   /** Per-token log2 probabilities under the same add-k bigram model as
     * [[LmUtil.perplexity]] (the SAME kernel — perplexity is 2^(-mean) of
     * this by construction, enforced by sharing [[lps]]). One double per
@@ -303,6 +396,55 @@ case class LmKnPerplexity(
       val cc = ctx.addReferenceObj("knContCounts", contCounts, "java.util.HashMap")
       s"${ev.value} = graft.functions.LmUtil.perplexityKn($str, $bi, $ht, " +
         s"$hd, $cc, ${bTypes}L, $vocabSize, $d, $k);"
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** lm_kn3_perplexity(text) -> double: interpolated TRIGRAM Kneser–Ney
+  * smoothing against broadcast count tables (see [[LmUtil.perplexityKn3]]).
+  */
+case class LmKn3Perplexity(
+    child: Expression,
+    trigrams: java.util.HashMap[String, java.lang.Long],
+    triHistTotals: java.util.HashMap[String, java.lang.Long],
+    triHistDistinct: java.util.HashMap[String, java.lang.Long],
+    midCounts: java.util.HashMap[String, java.lang.Long],
+    midHistTotals: java.util.HashMap[String, java.lang.Long],
+    midHistDistinct: java.util.HashMap[String, java.lang.Long],
+    contCounts: java.util.HashMap[String, java.lang.Long],
+    mTypes: Long,
+    vocabSize: Int,
+    d: Double,
+    k: Double) extends UnaryExpression {
+  require(vocabSize > 0 && mTypes > 0 && k > 0 && d > 0 && d < 1,
+    s"bad KN3 parameters: V=$vocabSize M=$mTypes d=$d k=$k")
+
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "lm_kn3_perplexity"
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    LmUtil.perplexityKn3(v.asInstanceOf[UTF8String], trigrams, triHistTotals,
+      triHistDistinct, midCounts, midHistTotals, midHistDistinct, contCounts,
+      mTypes, vocabSize, d, k)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, str => {
+      val tg = ctx.addReferenceObj("kn3Trigrams", trigrams, "java.util.HashMap")
+      val tht = ctx.addReferenceObj("kn3TriHistTotals", triHistTotals, "java.util.HashMap")
+      val thd = ctx.addReferenceObj("kn3TriHistDistinct", triHistDistinct, "java.util.HashMap")
+      val mc = ctx.addReferenceObj("kn3MidCounts", midCounts, "java.util.HashMap")
+      val mht = ctx.addReferenceObj("kn3MidHistTotals", midHistTotals, "java.util.HashMap")
+      val mhd = ctx.addReferenceObj("kn3MidHistDistinct", midHistDistinct, "java.util.HashMap")
+      val cc = ctx.addReferenceObj("kn3ContCounts", contCounts, "java.util.HashMap")
+      s"${ev.value} = graft.functions.LmUtil.perplexityKn3($str, $tg, $tht, " +
+        s"$thd, $mc, $mht, $mhd, $cc, ${mTypes}L, $vocabSize, $d, $k);"
     })
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)

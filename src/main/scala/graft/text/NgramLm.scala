@@ -136,6 +136,116 @@ object NgramLm {
       m.bigrams.size().toLong, m.vocabSize, d, k)
   }
 
+  /** Interpolated TRIGRAM Kneser–Ney model — the real quality-gate floor
+    * (the bigram [[KnModel]] is the standard textbook floor; production
+    * perplexity gates run trigram+). EVERY statistic derives from ONE
+    * pruned trigram table:
+    *  - trigram level: c(uvw), with c(uv·)/N1+(uv·) per history;
+    *  - middle level: continuation counts N1+(·vw) (distinct u per (v,w)
+    *    in the pruned table), with N1+(·v·)/N1+(v··) per middle history;
+    *  - base: continuation N1+(··w) over middle types M, add-k
+    *    regularized against vocab V.
+    * The prune (count >= minTrigramCount, then (count desc, gram asc)
+    * under `maxTrigrams`) is deterministic, so an external engine replays
+    * training exactly — the q144 discipline at n=3.
+    */
+  case class Kn3Model(
+      trigrams: java.util.HashMap[String, java.lang.Long],
+      triHistTotals: java.util.HashMap[String, java.lang.Long],
+      triHistDistinct: java.util.HashMap[String, java.lang.Long],
+      midCounts: java.util.HashMap[String, java.lang.Long],
+      midHistTotals: java.util.HashMap[String, java.lang.Long],
+      midHistDistinct: java.util.HashMap[String, java.lang.Long],
+      contCounts: java.util.HashMap[String, java.lang.Long],
+      mTypes: Long,
+      vocabSize: Int,
+      d: Double,
+      k: Double)
+
+  /** Train the trigram-KN upgrade of [[trainKn]]. Distributed work is one
+    * exact distinct-word count (vocab size for the base regularizer) and
+    * one trigram count aggregation; the prune collects under a fail-fast
+    * cap and the KN statistics are one driver pass over the collected
+    * table — the same scale shape as [[trainKn]] (KenLM tables ship to
+    * every worker in the published recipe too; pruning is what makes it
+    * work at 100 TB there as well).
+    */
+  def trainKn3(
+      docs: DataFrame,
+      textCol: String,
+      maxVocab: Int = 65536,
+      minTrigramCount: Long = 2L,
+      d: Double = 0.75,
+      k: Double = 0.1,
+      maxTrigrams: Int = DefaultMaxBigrams): Kn3Model = {
+    require(d > 0 && d < 1, s"discount must be in (0,1), got $d")
+    val toks = docs.select(explode(split(col(textCol), "\\s+")).as("w"))
+      .filter(col("w") =!= "")
+    val vocabSize = math.min(
+      toks.agg(countDistinct(col("w"))).head().getLong(0),
+      maxVocab.toLong).toInt
+    require(vocabSize > 0, "empty training corpus")
+    val triLimit = math.min(maxTrigrams.toLong + 1, Int.MaxValue.toLong).toInt
+    val triRows = docs
+      .select(explode(graft.operators.Curation.tokenNgrams(
+        trim(regexp_replace(col(textCol), "\\s+", " ")), 3)).as("g"))
+      .groupBy(col("g")).agg(count(lit(1)).as("c"))
+      .filter(col("c") >= minTrigramCount)
+      .orderBy(col("c").desc, col("g").asc)
+      .limit(triLimit).collect()
+    require(triRows.length <= maxTrigrams,
+      s"trigram table exceeds maxTrigrams=$maxTrigrams; raise minTrigramCount")
+    require(triRows.nonEmpty,
+      "KN3 needs a nonempty pruned trigram table; lower minTrigramCount")
+    val trigrams = new java.util.HashMap[String, java.lang.Long](triRows.length * 2)
+    val triHistTotals = new java.util.HashMap[String, java.lang.Long]()
+    val triHistDistinct = new java.util.HashMap[String, java.lang.Long]()
+    val midCounts = new java.util.HashMap[String, java.lang.Long]()
+    triRows.foreach { r =>
+      val g = r.getString(0)
+      val c = r.getLong(1)
+      trigrams.put(g, c)
+      val s1 = g.indexOf(' ')
+      val s2 = g.indexOf(' ', s1 + 1)
+      val h2 = g.substring(0, s2)
+      val vw = g.substring(s1 + 1)
+      val ht = triHistTotals.get(h2)
+      triHistTotals.put(h2, (if (ht == null) 0L else ht.longValue()) + c)
+      val hd = triHistDistinct.get(h2)
+      triHistDistinct.put(h2, (if (hd == null) 0L else hd.longValue()) + 1L)
+      // continuation count: each (u, v, w) table row is one distinct u
+      val mc = midCounts.get(vw)
+      midCounts.put(vw, (if (mc == null) 0L else mc.longValue()) + 1L)
+    }
+    val midHistTotals = new java.util.HashMap[String, java.lang.Long]()
+    val midHistDistinct = new java.util.HashMap[String, java.lang.Long]()
+    val contCounts = new java.util.HashMap[String, java.lang.Long]()
+    val it = midCounts.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val vw = e.getKey
+      val sp = vw.indexOf(' ')
+      val v = vw.substring(0, sp)
+      val w = vw.substring(sp + 1)
+      val mt = midHistTotals.get(v)
+      midHistTotals.put(v, (if (mt == null) 0L else mt.longValue()) + e.getValue.longValue())
+      val md = midHistDistinct.get(v)
+      midHistDistinct.put(v, (if (md == null) 0L else md.longValue()) + 1L)
+      val cc = contCounts.get(w)
+      contCounts.put(w, (if (cc == null) 0L else cc.longValue()) + 1L)
+    }
+    Kn3Model(trigrams, triHistTotals, triHistDistinct, midCounts,
+      midHistTotals, midHistDistinct, contCounts, midCounts.size().toLong,
+      vocabSize, d, k)
+  }
+
+  /** Trigram-KN perplexity column (codegen'd, no shuffle). */
+  def perplexityKn3(text: Column, model: Kn3Model): Column =
+    Bridge.column(graft.functions.LmKn3Perplexity(Bridge.expression(text),
+      model.trigrams, model.triHistTotals, model.triHistDistinct,
+      model.midCounts, model.midHistTotals, model.midHistDistinct,
+      model.contCounts, model.mTypes, model.vocabSize, model.d, model.k))
+
   /** Kneser–Ney perplexity column (codegen'd, no shuffle). */
   def perplexityKn(text: Column, model: KnModel): Column =
     Bridge.column(graft.functions.LmKnPerplexity(Bridge.expression(text),

@@ -53,6 +53,54 @@ class NgramLmSpec extends AnyFunSuite with SparkSpec {
     assert(math.abs(got2 - want2) < 1e-12)
   }
 
+  test("trigram Kneser-Ney: hand-computed three-level interpolation on a " +
+      "tiny corpus") {
+    // corpus: "a b c" x2, "a b d" -> trigrams "a b c"=2, "a b d"=1; prune
+    // minCount=2 keeps only "a b c"
+    val tiny = Seq((1L, "a b c"), (2L, "a b c"), (3L, "a b d")).toDF("id", "text")
+    val m = NgramLm.trainKn3(tiny, "text", minTrigramCount = 2L, d = 0.75, k = 0.1)
+    // tri table {a b c: 2}; hist "a b": ct=2, nd=1; mid {b c: 1};
+    // mh b: ct=1, nd=1; cont c: 1; M=1; V=4 (a b c d)
+    assert(m.vocabSize == 4 && m.mTypes == 1L)
+    assert(m.triHistTotals.get("a b") == 2L && m.triHistDistinct.get("a b") == 1L)
+    assert(m.midCounts.get("b c") == 1L && m.midHistTotals.get("b") == 1L)
+    assert(m.contCounts.get("c") == 1L)
+    val denom = 1L + 0.1 * 4 // M + kV
+    def base(cc: Long): Double = (cc + 0.1) / denom
+    // score "a b c": P(a)=base(0); P(b|a)=base(0) (mid history a unseen);
+    // P(c|a,b)=max(2-.75,0)/2 + ((.75*1)/2)*midLevel(c|b)
+    //   midLevel(c|b)=max(1-.75,0)/1 + ((.75*1)/1)*base(1)
+    val midCgB = math.max(1L - 0.75, 0.0) / 1L + ((0.75 * 1L) / 1L) * base(1L)
+    val triC = math.max(2L - 0.75, 0.0) / 2L + ((0.75 * 1L) / 2L) * midCgB
+    def l2(x: Double) = math.log(x) / math.log(2.0)
+    val wantPpl = math.pow(2.0,
+      (-l2(base(0L)) + -l2(base(0L)) + -l2(triC)) / 3)
+    val got = Seq((9L, "a b c")).toDF("id", "text")
+      .select(NgramLm.perplexityKn3(col("text"), m)).head().getDouble(0)
+    assert(math.abs(got - wantPpl) < 1e-12, s"got $got want $wantPpl")
+    // unseen trigram history falls to the middle level, unseen middle
+    // history to the base: "x b c" scores base, base, midLevel(c|b)
+    val got2 = Seq((9L, "x b c")).toDF("id", "text")
+      .select(NgramLm.perplexityKn3(col("text"), m)).head().getDouble(0)
+    val want2 = math.pow(2.0, (-l2(base(0L)) + -l2(base(0L)) + -l2(midCgB)) / 3)
+    assert(math.abs(got2 - want2) < 1e-12, s"got $got2 want $want2")
+  }
+
+  test("trigram KN separates in-domain from junk and plans no shuffle") {
+    val kn3 = NgramLm.trainKn3(docs.filter($"doc_id" < 400), "text",
+      maxVocab = 256, minTrigramCount = 2)
+    val held = docs.filter($"doc_id" >= 400)
+      .select(NgramLm.perplexityKn3($"text", kn3).as("p"))
+    val junk = Seq((1L, "zq xv qqj wq zzk vvx jjq kqz")).toDF("id", "text")
+      .select(NgramLm.perplexityKn3($"text", kn3).as("p"))
+    val heldMean = held.agg(avg($"p")).head().getDouble(0)
+    val junkP = junk.head().getDouble(0)
+    assert(junkP > heldMean * 5,
+      s"junk must score far worse: junk=$junkP held-mean=$heldMean")
+    val plan = held.queryExecution.executedPlan.toString()
+    assert(!plan.contains("Exchange"), s"KN3 scoring must not shuffle:\n$plan")
+  }
+
   test("Kneser-Ney separates in-domain from junk and plans no shuffle") {
     val kn = NgramLm.trainKn(docs.filter($"doc_id" < 400), "text",
       maxVocab = 256, minBigramCount = 2)
