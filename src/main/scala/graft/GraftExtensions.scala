@@ -211,7 +211,34 @@ object GraftExtensions {
       3, es => plan(graft.ml.RetrievalEval.judge(
         tableArg("retrieval_eval")(es(0)),
         tableArg("retrieval_eval")(es(1)),
-        intLit("retrieval_eval", "k")(es(2))))))
+        intLit("retrieval_eval", "k")(es(2))))),
+    ("token_entropy",
+      "token_entropy(TABLE(t), idCol, textCol): per-doc token Shannon entropy (lexical diversity)",
+      3, es => plan(graft.text.TextAnalysis.tokenEntropy(
+        tableArg("token_entropy")(es(0)),
+        strLit("token_entropy", "idCol")(es(1)),
+        strLit("token_entropy", "textCol")(es(2))))),
+    ("cardinality_profile",
+      "cardinality_profile(TABLE(t), keyCol, itemCol): per-key rows + HLL distinct estimate + mergeable sketch",
+      3, es => plan(graft.operators.Stats.cardinalityProfile(
+        tableArg("cardinality_profile")(es(0)),
+        strLit("cardinality_profile", "keyCol")(es(1)),
+        strLit("cardinality_profile", "itemCol")(es(2))))),
+    // EAGER like heavy_hitters: training the reference LM is driver state
+    // (distributed counts, deterministic prune, broadcast tables) paid at
+    // analysis time — the trade for having the memorization audit in SQL
+    ("min_k_prob",
+      "min_k_prob(TABLE(docs), TABLE(ref), idCol, textCol, frac): Min-K% Prob membership audit against an add-k LM trained on ref",
+      5, es => {
+        val frac = dblLit("min_k_prob", "frac")(es(4))
+        val textCol = strLit("min_k_prob", "textCol")(es(3))
+        val model = graft.text.NgramLm.train(
+          tableArg("min_k_prob")(es(1)), textCol)
+        plan(graft.text.NgramLm.minKProb(
+          tableArg("min_k_prob")(es(0)),
+          strLit("min_k_prob", "idCol")(es(2)),
+          textCol, model, frac))
+      }))
 
   /** Register the TABLE functions on an already-running session (the
     * extension path only applies at session build; Verify/notebooks run

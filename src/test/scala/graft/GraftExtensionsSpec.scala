@@ -102,6 +102,35 @@ class GraftExtensionsSpec extends AnyFunSuite {
         .as[(String, Long, Long, Double)].collect().toSeq
       assert(ev == Seq(("q1", 2L, 1L, 1.0)),
         "two-TABLE-argument TVF must judge through the operator")
+      // the LM-audit / telemetry layer (r13 advisory #8): token_entropy,
+      // cardinality_profile, min_k_prob reachable from SQL like the dedup
+      // primitives, each equal to its DataFrame operator
+      Seq((1L, "a a a a"), (2L, "a b c d")).toDF("doc_id", "text")
+        .createOrReplaceTempView("ext_docs")
+      val te = spark.sql(
+        "SELECT * FROM token_entropy(TABLE(ext_docs), 'doc_id', 'text')")
+        .as[(Long, Long, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+      assert(te(1L) == ((4L, 1L, 0L)),
+        s"degenerate doc: 1 distinct token, zero entropy; got $te")
+      assert(te(2L)._2 == 4L && te(2L)._3 > 13000L,
+        s"uniform-4 doc: entropy ln(4)=1.386...; got $te")
+      val cp = spark.sql(
+        """SELECT key, n_rows, distinct_est
+          |FROM cardinality_profile(TABLE(ext_events), 'user_id', 'event_type')
+          |ORDER BY key""".stripMargin)
+        .as[(String, Long, Long)].collect().toSeq
+      assert(cp == Seq(("1", 3L, 2L), ("2", 1L, 1L)),
+        s"small sets are exact under the HLL sketch; got $cp")
+      val mk = spark.sql(
+        """SELECT * FROM min_k_prob(TABLE(ext_docs), TABLE(ext_docs),
+          |  'doc_id', 'text', 0.5)""".stripMargin)
+      val mkOp = graft.text.NgramLm.minKProb(
+        spark.table("ext_docs"), "doc_id", "text",
+        graft.text.NgramLm.train(spark.table("ext_docs"), "text"), 0.5)
+      assert(mk.collect().toSeq == mkOp.collect().toSeq,
+        "min_k_prob TVF must equal the operator with the same-trained LM")
+
       // loud failures: wrong arity, and a TABLE-arg spec that would
       // otherwise be silently dropped
       val arityErr = intercept[Exception] {
