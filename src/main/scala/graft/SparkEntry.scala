@@ -944,6 +944,24 @@ object SparkEntry {
             .cast("long").as("ppl_x1e4"))
     }),
 
+    // TRIGRAM Kneser-Ney perplexity (q144 at n=3 — the production gate
+    // order; the bigram model is the textbook floor): one trigram count
+    // aggregation + deterministic prune, ALL THREE interpolation levels'
+    // statistics (trigram histories, N1+ continuation counts, the middle
+    // level's histories, the base distribution) derived driver-side from
+    // that one pruned table, so the twin replays training exactly.
+    // Scoring is one codegen'd shuffle-free scan; ulps die in the x1e4
+    // rounding.
+    "q151_kn3_perplexity" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val model = text.NgramLm.trainKn3(docs.filter(col("doc_id") % 4 =!= 0),
+        "text", maxVocab = 256, minTrigramCount = 2)
+      docs.filter(col("doc_id") % 4 === 0)
+        .select(col("doc_id").cast("long").as("id"),
+          round(text.NgramLm.perplexityKn3(col("text"), model) * 10000)
+            .cast("long").as("ppl_x1e4"))
+    }),
+
     // Token-entropy lexical diversity (the information-scale companion to
     // q43's repetition ratios): per-doc Shannon entropy over the token
     // histogram, computed as a fixed-order per-row fold with ZERO shuffle
@@ -2447,7 +2465,7 @@ object SparkEntry {
         minJaccard = 0.2, maxVideosPerFp = 20)
     }),
 
-    // Video ONLINE ingest (Streams.ingestVideoStream -> VideoIndex
+    // Video ONLINE ingest (Streams.ingestMediaStream -> VideoIndex
     // .ingestBatch) — the eighth ingest family's accepted-walk contract
     // under the oracle: corpus videos v=0..19 hold frames {5v..5v+4};
     // streamed batch video 100+x holds frames {5m..5m+4} (x even) or
@@ -2480,7 +2498,7 @@ object SparkEntry {
         .schema(batch.toDF().schema)
         .parquet(dropDir)
       val keptIds = new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Long]()
-      val q = streaming.Streams.ingestVideoStream(src, idx,
+      val q = streaming.Streams.ingestMediaStream(src, idx,
         onBatch = (kept, _) => kept.select(col("media_id")).collect()
           .foreach(r => keptIds.add(r.getLong(0))))
       try q.processAllAvailable() finally q.stop()
@@ -2517,6 +2535,151 @@ object SparkEntry {
       val fps = multimodal.Multimodal.audioWindowFingerprints(
         s.createDataset(rows).repartition(4), windowMs = 125L)
       multimodal.Multimodal.videoNearDupPairs(fps, minJaccard = 0.2)
+    }),
+
+    // Audio near-dup through the PERSISTED index (AudioIndex.dedupBatch,
+    // the ninth index family — MediaSetIndex with the audio window
+    // geometry): q134's generative clip structure split corpus/batch, so
+    // the oracle locks that the index path reproduces the recompute
+    // path's pair arithmetic — corpus WAV bytes are decoded once at
+    // build, never re-read at match (the VideoProbe economics, audio
+    // edition). Batch clip 100+x copies corpus clip x exactly (j = 1)
+    // and overlaps x±1 (j = 0.5) and x±2 (j = 0.2).
+    "q147_audio_index" -> ((s, dir) => {
+      import s.implicits._
+      val win = 1000 // 125 ms at 8000 Hz
+      def seg(sid: Long): Array[Double] = Array.tabulate(win)(i =>
+        (((sid * 7919 + i.toLong * 4799) % 65535) - 32767).toDouble / 32767.0)
+      def clip(id: Long, c0: Long): multimodal.Multimodal.MediaRow =
+        multimodal.Multimodal.MediaRow(id, "audio",
+          multimodal.AudioCodec.encodeWavPcm16(8000,
+            (c0 until c0 + 3).toArray.flatMap(seg)),
+          multimodal.Multimodal.MediaMeta(0, 0, "wav", 375L))
+      val corpus = s.createDataset((0L until 15L).map(c => clip(c, c)))
+      val idx = multimodal.AudioIndex.build(corpus,
+        tempIndexDir("graft_q147_idx"), windowMs = 125L, minJaccard = 0.2)
+      val batch = s.createDataset((0L until 15L).map(x => clip(100 + x, x)))
+      idx.dedupBatch(batch)
+    }),
+
+    // Audio ONLINE ingest (Streams.ingestMediaStream -> AudioIndex
+    // .ingestBatch) — the q133 accepted-walk construction on the audio
+    // family: corpus clips v=0..19 hold segments {5v..5v+4}; streamed
+    // batch clip 100+x holds {5m..5m+4} (x even) or {5m+2..5m+6} (x odd)
+    // with m = x/2 + 10 — so x < 20 matches the corpus (exact copy when
+    // even, jaccard 3/7 when odd), odd x >= 21 is a 3/7 near-dup of its
+    // kept even twin (within-batch sweep), and even x >= 20 survives.
+    // minJaccard = 0.4 sits between 3/7 and the 2/8 adjacent-set overlap.
+    "q148_audio_ingest" -> ((s, dir) => {
+      import s.implicits._
+      val win = 1000
+      def seg(sid: Long): Array[Double] = Array.tabulate(win)(i =>
+        (((sid * 7919 + i.toLong * 4799) % 65535) - 32767).toDouble / 32767.0)
+      def clip(id: Long, s0: Long): multimodal.Multimodal.MediaRow =
+        multimodal.Multimodal.MediaRow(id, "audio",
+          multimodal.AudioCodec.encodeWavPcm16(8000,
+            (s0 until s0 + 5).toArray.flatMap(seg)),
+          multimodal.Multimodal.MediaMeta(0, 0, "wav", 625L))
+      val corpus = s.createDataset((0L until 20L).map(v => clip(v, 5 * v)))
+      val idx = multimodal.AudioIndex.build(corpus,
+        tempIndexDir("graft_q148_idx"), windowMs = 125L, minJaccard = 0.4)
+      val batch = s.createDataset((0L until 40L).map { x =>
+        val m = x / 2 + 10
+        clip(100 + x, 5 * m + (if (x % 2 == 1) 2 else 0))
+      })
+      val dropDir = tempIndexDir("graft_q148_feed")
+      batch.toDF().write.mode("overwrite").parquet(dropDir)
+      val src = s.readStream
+        .schema(batch.toDF().schema)
+        .parquet(dropDir)
+      val keptIds = new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Long]()
+      val q = streaming.Streams.ingestMediaStream(src, idx,
+        onBatch = (kept, _) => kept.select(col("media_id")).collect()
+          .foreach(r => keptIds.add(r.getLong(0))))
+      try q.processAllAvailable() finally q.stop()
+      import scala.jdk.CollectionConverters._
+      val keptDf = keptIds.asScala.map(_.longValue).toSeq.toDF("media_id")
+        .withColumn("kept", lit(true))
+      batch.toDF().select(col("media_id"))
+        .join(keptDf, Seq("media_id"), "left")
+        .select(col("media_id"), coalesce(col("kept"), lit(false)).as("kept"))
+    }),
+
+    // Per-key HLL cardinality telemetry UNDER THE ORACLE (r13 left it
+    // unit-only): two half-corpus profiles merged without rescanning
+    // (Stats.cardinalityProfile -> mergeCardinalityProfiles), each key row
+    // carrying the EXACT distinct count (replayable) and the sketch-
+    // accuracy contract as a boolean — the tolerance-framed twin: DuckDB
+    // computes key, n_rows, exact distinct and TRUE; a sketch estimate
+    // drifting past 5% of exact (far beyond HLL lgK=12's ~1% RSE, and the
+    // merge must not degrade it) flips the boolean and fails the hash.
+    "q149_cardinality_profile" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val half = (r: Int) => docs.filter(col("doc_id") % 2 === r)
+      val merged = operators.Stats.mergeCardinalityProfiles(Seq(
+        operators.Stats.cardinalityProfile(half(0), "lang", "n_chars"),
+        operators.Stats.cardinalityProfile(half(1), "lang", "n_chars")))
+      val exact = docs.groupBy(col("lang").cast("string").as("key"))
+        .agg(countDistinct(col("n_chars")).as("exact_distinct"))
+      merged.join(exact, Seq("key"))
+        .select(col("key"), col("n_rows"), col("exact_distinct"),
+          (abs(col("distinct_est").cast("double") -
+            col("exact_distinct").cast("double")) <=
+            col("exact_distinct").cast("double") * 0.05).as("within_5pct"))
+    }),
+
+    // Index takedown UNDER THE ORACLE (r13 left deleteIds unit-only): the
+    // delete-then-search contract across FOUR families' probe paths
+    // (MinHash FingerprintIndex, SimHash HammingIndex, WinnowIndex,
+    // EditIndex — every text family with id attribution). Probe 9001
+    // carries deleted doc 10's exact text, probe 9002 kept doc 20's: the
+    // taken-down id must match before the delete, NEVER after, and the
+    // kept id must keep matching through the SAME rewritten epochs. The
+    // twin is the contract itself (VALUES literal — the hit pattern is
+    // generative: exact copies always match, deleted rows cannot).
+    "q150_delete_ids" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents").filter(col("doc_id") < 200)
+        .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+        .localCheckpoint(true)
+      val probe = docs.filter(col("doc_id").isin(10L, 20L))
+        .select((col("doc_id") * 0 + when(col("doc_id") === 10L, 9001L)
+          .otherwise(9002L)).as("doc_id"), col("text"))
+        .localCheckpoint(true)
+      def verdict(family: String, hits: () => DataFrame,
+          del: () => Long): (String, Boolean, Boolean, Boolean) = {
+        def hit(b: Long, c: Long) = hits()
+          .filter(col("batch_id") === b && col("corpus_id") === c)
+          .limit(1).count() > 0
+        val before = hit(9001L, 10L)
+        require(del() == 1L, s"$family: expected exactly one doc deleted")
+        (family, before, hit(9001L, 10L), hit(9002L, 20L))
+      }
+      val fpIdx = operators.FingerprintIndex.build(docs, "doc_id", "text",
+        tempIndexDir("graft_q150_fp"))
+      val hamIdx = operators.HammingIndex.buildFromText(docs, "doc_id", "text",
+        tempIndexDir("graft_q150_ham"))
+      val winIdx = operators.WinnowIndex.build(docs, "doc_id", "text",
+        tempIndexDir("graft_q150_win"))
+      val editIdx = operators.EditIndex.build(
+        docs.select(col("doc_id"), substring(col("text"), 1, 30).as("title")),
+        "doc_id", "title", tempIndexDir("graft_q150_edit"), maxEdits = 2)
+      val editProbe = probe
+        .select(col("doc_id"), substring(col("text"), 1, 30).as("title"))
+      Seq(
+        verdict("minhash",
+          () => fpIdx.dedupBatch(probe, "doc_id", "text", threshold = 0.9),
+          () => fpIdx.deleteIds(Set(10L))),
+        verdict("simhash",
+          () => hamIdx.dedupBatchText(probe, "doc_id", "text", maxHamming = 1),
+          () => hamIdx.deleteIds(Set(10L))),
+        verdict("winnow",
+          () => winIdx.dedupBatch(probe, "doc_id", "text"),
+          () => winIdx.deleteIds(Set(10L))),
+        verdict("edit",
+          () => editIdx.dedupBatch(editProbe, "doc_id", "title"),
+          () => editIdx.deleteIds(Set(10L))))
+        .toDF("family", "hit_before", "hit_after_delete", "kept_still_hits")
     }),
 
     // First-order Markov transition counts (Funnel.transitions): how
@@ -3275,7 +3438,9 @@ object SparkEntry {
         |    SELECT doc_id, t,
         |      list_transform(list_sort(list_distinct(t)),
         |        u -> len(list_filter(t, x -> x = u))) AS cl
-        |    FROM (SELECT doc_id, string_split(text, ' ') AS t FROM mix))),
+        |    FROM (SELECT doc_id,
+        |            list_filter(string_split(text, ' '), x -> x <> '') AS t
+        |          FROM mix))),
         |ref AS (
         |  SELECT string_split(text, ' ') AS t FROM documents WHERE doc_id % 4 <> 0),
         |uni AS (
@@ -3352,7 +3517,9 @@ object SparkEntry {
         |    SELECT doc_id, t,
         |      list_transform(list_sort(list_distinct(t)),
         |        u -> len(list_filter(t, x -> x = u))) AS cl
-        |    FROM (SELECT doc_id, string_split(text, ' ') AS t FROM mix))),
+        |    FROM (SELECT doc_id,
+        |            list_filter(string_split(text, ' '), x -> x <> '') AS t
+        |          FROM mix))),
         |ref AS (
         |  SELECT string_split(text, ' ') AS t FROM documents WHERE doc_id % 4 <> 0),
         |uni AS (
@@ -3468,6 +3635,89 @@ object SparkEntry {
         |  CAST(round(COALESCE(a.ppl, 0.0) * 10000) AS BIGINT) AS ppl_x1e4
         |FROM tgt t LEFT JOIN agg a USING (doc_id)""".stripMargin,
 
+    // q144's replay at n=3: ONE pruned trigram table, every interpolation
+    // level's statistics derived from it in SQL exactly as trainKn3's
+    // driver pass does, the scorer's three-level CASE mirroring the
+    // kernel's backoff order (trigram -> continuation bigram -> base).
+    "q151_kn3_perplexity" ->
+      """WITH ref AS (
+        |  SELECT string_split(text, ' ') AS t FROM documents WHERE doc_id % 4 <> 0),
+        |tot AS (
+        |  SELECT CAST(least(count(DISTINCT u.w), 256) AS BIGINT) AS v
+        |  FROM ref, UNNEST(ref.t) AS u(w) WHERE u.w <> ''),
+        |tri AS (
+        |  SELECT g, c FROM (
+        |    SELECT array_to_string(t[i:i+2], ' ') AS g,
+        |           CAST(count(*) AS BIGINT) AS c
+        |    FROM ref, UNNEST(generate_series(1, len(t) - 2)) AS u(i)
+        |    GROUP BY 1)
+        |  WHERE c >= 2),
+        |th AS (
+        |  SELECT array_to_string(string_split(g, ' ')[1:2], ' ') AS h2,
+        |         CAST(sum(c) AS BIGINT) AS ct,
+        |         CAST(count(*) AS BIGINT) AS nd
+        |  FROM tri GROUP BY 1),
+        |mid AS (
+        |  SELECT array_to_string(string_split(g, ' ')[2:3], ' ') AS m,
+        |         CAST(count(*) AS BIGINT) AS c
+        |  FROM tri GROUP BY 1),
+        |mh AS (
+        |  SELECT string_split(m, ' ')[1] AS v,
+        |         CAST(sum(c) AS BIGINT) AS ct,
+        |         CAST(count(*) AS BIGINT) AS nd
+        |  FROM mid GROUP BY 1),
+        |cont AS (
+        |  SELECT string_split(m, ' ')[2] AS w, CAST(count(*) AS BIGINT) AS cc
+        |  FROM mid GROUP BY 1),
+        |mt AS (SELECT CAST(count(*) AS BIGINT) AS b FROM mid),
+        |tgt AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t
+        |  FROM documents WHERE doc_id % 4 = 0),
+        |tok AS (
+        |  SELECT doc_id, i, t[i] AS w,
+        |         CASE WHEN i > 1 THEN t[i-1] END AS prev,
+        |         CASE WHEN i > 2 THEN t[i-2] END AS prev2
+        |  FROM tgt, UNNEST(generate_series(1, len(t))) AS u(i)
+        |  WHERE t[i] <> ''),
+        |sc AS (
+        |  SELECT tok.doc_id,
+        |    -log2(CASE
+        |      WHEN tok.prev2 IS NULL OR h.ct IS NULL THEN
+        |        CASE WHEN tok.prev IS NULL OR m.ct IS NULL THEN
+        |          (CAST(COALESCE(cn.cc, 0) AS DOUBLE) + 0.1) /
+        |            (CAST(mt.b AS DOUBLE) + 0.1 * CAST(tot.v AS DOUBLE))
+        |        ELSE
+        |          greatest(CAST(COALESCE(md.c, 0) AS DOUBLE) - 0.75, 0.0) / m.ct +
+        |          ((0.75 * CAST(m.nd AS DOUBLE)) / m.ct) *
+        |            ((CAST(COALESCE(cn.cc, 0) AS DOUBLE) + 0.1) /
+        |             (CAST(mt.b AS DOUBLE) + 0.1 * CAST(tot.v AS DOUBLE)))
+        |        END
+        |      ELSE
+        |        greatest(CAST(COALESCE(tg.c, 0) AS DOUBLE) - 0.75, 0.0) / h.ct +
+        |        ((0.75 * CAST(h.nd AS DOUBLE)) / h.ct) *
+        |          (CASE WHEN m.ct IS NULL THEN
+        |            (CAST(COALESCE(cn.cc, 0) AS DOUBLE) + 0.1) /
+        |              (CAST(mt.b AS DOUBLE) + 0.1 * CAST(tot.v AS DOUBLE))
+        |          ELSE
+        |            greatest(CAST(COALESCE(md.c, 0) AS DOUBLE) - 0.75, 0.0) / m.ct +
+        |            ((0.75 * CAST(m.nd AS DOUBLE)) / m.ct) *
+        |              ((CAST(COALESCE(cn.cc, 0) AS DOUBLE) + 0.1) /
+        |               (CAST(mt.b AS DOUBLE) + 0.1 * CAST(tot.v AS DOUBLE)))
+        |          END)
+        |    END) AS nll
+        |  FROM tok CROSS JOIN tot CROSS JOIN mt
+        |  LEFT JOIN th h ON h.h2 = tok.prev2 || ' ' || tok.prev
+        |  LEFT JOIN mh m ON m.v = tok.prev
+        |  LEFT JOIN cont cn ON cn.w = tok.w
+        |  LEFT JOIN tri tg ON tg.g = tok.prev2 || ' ' || tok.prev || ' ' || tok.w
+        |  LEFT JOIN mid md ON md.m = tok.prev || ' ' || tok.w),
+        |agg AS (
+        |  SELECT doc_id, pow(2.0, sum(nll) / count(*)) AS ppl
+        |  FROM sc GROUP BY doc_id)
+        |SELECT CAST(t.doc_id AS BIGINT) AS id,
+        |  CAST(round(COALESCE(a.ppl, 0.0) * 10000) AS BIGINT) AS ppl_x1e4
+        |FROM tgt t LEFT JOIN agg a USING (doc_id)""".stripMargin,
+
     // Same lexicographic fold: counts in token-sorted order, 0.0-seeded
     // left fold of -(p)ln(p) terms, floor(x*1e4 + 0.5).
     "q143_token_entropy" ->
@@ -3481,7 +3731,9 @@ object SparkEntry {
         |  SELECT doc_id, t,
         |    list_transform(list_sort(list_distinct(t)),
         |      u -> len(list_filter(t, x -> x = u))) AS c
-        |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents))""".stripMargin,
+        |  FROM (SELECT doc_id,
+        |          list_filter(string_split(text, ' '), x -> x <> '') AS t
+        |        FROM documents))""".stripMargin,
 
     // The Bloom prefilter is verified exactly, so the twin is q41's.
     "q142_decontam_bloom" ->
@@ -5685,6 +5937,89 @@ object SparkEntry {
         |  CAST(shared AS DOUBLE) / (6 - shared) AS jaccard
         |FROM pr
         |WHERE CAST(shared AS DOUBLE) / (6 - shared) >= 0.2""".stripMargin,
+
+    // The index path must reproduce the q134 arithmetic across the
+    // corpus/batch split: batch clip 100+x holds windows {x, x+1, x+2},
+    // corpus clip c holds {c, c+1, c+2}.
+    "q147_audio_index" ->
+      """WITH b AS (
+        |  SELECT 100 + x.range AS id, x.range + s.range AS seg
+        |  FROM range(15) x, range(3) s),
+        |c AS (
+        |  SELECT cc.range AS id, cc.range + s.range AS seg
+        |  FROM range(15) cc, range(3) s),
+        |pr AS (SELECT b.id AS batch_id, c.id AS corpus_id, count(*) AS shared
+        |       FROM b JOIN c ON b.seg = c.seg GROUP BY 1, 2)
+        |SELECT CAST(batch_id AS BIGINT) AS batch_id,
+        |  CAST(corpus_id AS BIGINT) AS corpus_id,
+        |  CAST(shared AS BIGINT) AS shared,
+        |  CAST(3 AS BIGINT) AS size_b, CAST(3 AS BIGINT) AS size_c,
+        |  CAST(shared AS DOUBLE) / (6 - shared) AS jaccard
+        |FROM pr
+        |WHERE CAST(shared AS DOUBLE) / (6 - shared) >= 0.2""".stripMargin,
+
+    // q133's recursive accepted-walk twin verbatim — the construction is
+    // identical (segment ids play the frame-pool role), only the modality
+    // and the index family under test differ.
+    "q148_audio_ingest" ->
+      """WITH RECURSIVE
+        |bm AS (SELECT range AS x, range // 2 + 10 AS m, range % 2 AS odd
+        |       FROM range(40)),
+        |bf AS MATERIALIZED (
+        |  SELECT x, 5 * m + (CASE WHEN odd = 1 THEN 2 ELSE 0 END) + f.range AS g
+        |  FROM bm, range(5) f),
+        |cf AS MATERIALIZED (
+        |  SELECT v.range AS v, 5 * v.range + f.range AS g
+        |  FROM range(20) v, range(5) f),
+        |cm AS MATERIALIZED (
+        |  SELECT DISTINCT x FROM (
+        |    SELECT bf.x FROM bf JOIN cf ON bf.g = cf.g
+        |    GROUP BY bf.x, cf.v
+        |    HAVING CAST(count(*) AS DOUBLE) / (10 - count(*)) >= 0.4)),
+        |pp AS MATERIALIZED (
+        |  SELECT a.x AS id_a, b.x AS id_b
+        |  FROM bf a JOIN bf b ON a.g = b.g AND a.x < b.x
+        |  GROUP BY 1, 2
+        |  HAVING CAST(count(*) AS DOUBLE) / (10 - count(*)) >= 0.4),
+        |partners AS MATERIALIZED (
+        |  SELECT id_b, list(id_a) AS ids FROM pp GROUP BY id_b),
+        |ordered AS MATERIALIZED (
+        |  SELECT bm.x, CAST(row_number() OVER (ORDER BY bm.x) AS BIGINT) AS rn,
+        |    bm.x IN (SELECT x FROM cm) AS is_matched,
+        |    COALESCE(p.ids, []) AS partners
+        |  FROM bm LEFT JOIN partners p ON p.id_b = bm.x),
+        |walk AS (
+        |  SELECT CAST(0 AS BIGINT) AS rn, CAST([] AS BIGINT[]) AS kept
+        |  UNION ALL
+        |  SELECT o.rn,
+        |    CASE WHEN o.is_matched OR list_has_any(w.kept, o.partners)
+        |         THEN w.kept ELSE list_append(w.kept, o.x) END
+        |  FROM walk w JOIN ordered o ON o.rn = w.rn + 1),
+        |final AS (SELECT kept FROM walk ORDER BY rn DESC LIMIT 1)
+        |SELECT CAST(100 + o.x AS BIGINT) AS media_id,
+        |  list_contains(f.kept, o.x) AS kept
+        |FROM ordered o CROSS JOIN final f""".stripMargin,
+
+    // Exact columns replayed from the data; the sketch-accuracy contract
+    // is the literal TRUE the boolean must match.
+    "q149_cardinality_profile" ->
+      """SELECT CAST(lang AS VARCHAR) AS key,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(count(DISTINCT n_chars) AS BIGINT) AS exact_distinct,
+        |  TRUE AS within_5pct
+        |FROM documents
+        |WHERE n_chars IS NOT NULL
+        |GROUP BY lang""".stripMargin,
+
+    // The generative hit pattern: an exact copy always matches its source
+    // through every family's probe path; a taken-down id never does.
+    "q150_delete_ids" ->
+      """SELECT * FROM (VALUES
+        |  ('minhash', TRUE, FALSE, TRUE),
+        |  ('simhash', TRUE, FALSE, TRUE),
+        |  ('winnow',  TRUE, FALSE, TRUE),
+        |  ('edit',    TRUE, FALSE, TRUE))
+        |t(family, hit_before, hit_after_delete, kept_still_hits)""".stripMargin,
 
     // q126 = q119 reached through the SQL TVF surface; same twin.
     "q126_sql_tvf" ->
