@@ -2639,46 +2639,65 @@ object SparkEntry {
     // generative: exact copies always match, deleted rows cannot).
     "q150_delete_ids" -> ((s, dir) => {
       import s.implicits._
-      val docs = t(s, dir, "documents").filter(col("doc_id") < 200)
+      val docs = t(s, dir, "documents").filter(col("doc_id") < 150)
         .select(col("doc_id").cast("long").as("doc_id"), col("text"))
         .localCheckpoint(true)
       val probe = docs.filter(col("doc_id").isin(10L, 20L))
         .select((col("doc_id") * 0 + when(col("doc_id") === 10L, 9001L)
           .otherwise(9002L)).as("doc_id"), col("text"))
         .localCheckpoint(true)
+      // one collect per phase answers both membership checks, and the four
+      // families run CONCURRENTLY: the lifecycle is dozens of small jobs
+      // (build slices, delete rewrites, probe joins), so overlapping their
+      // scheduling is the wall-time lever — indexes are independent and
+      // Spark actions are thread-safe
       def verdict(family: String, hits: () => DataFrame,
           del: () => Long): (String, Boolean, Boolean, Boolean) = {
-        def hit(b: Long, c: Long) = hits()
-          .filter(col("batch_id") === b && col("corpus_id") === c)
-          .limit(1).count() > 0
-        val before = hit(9001L, 10L)
+        def pairs() = hits().select(col("batch_id"), col("corpus_id"))
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        val before = pairs()(9001L -> 10L)
         require(del() == 1L, s"$family: expected exactly one doc deleted")
-        (family, before, hit(9001L, 10L), hit(9002L, 20L))
+        val after = pairs()
+        (family, before, after(9001L -> 10L), after(9002L -> 20L))
       }
-      val fpIdx = operators.FingerprintIndex.build(docs, "doc_id", "text",
-        tempIndexDir("graft_q150_fp"))
-      val hamIdx = operators.HammingIndex.buildFromText(docs, "doc_id", "text",
-        tempIndexDir("graft_q150_ham"))
-      val winIdx = operators.WinnowIndex.build(docs, "doc_id", "text",
-        tempIndexDir("graft_q150_win"))
-      val editIdx = operators.EditIndex.build(
-        docs.select(col("doc_id"), substring(col("text"), 1, 30).as("title")),
-        "doc_id", "title", tempIndexDir("graft_q150_edit"), maxEdits = 2)
-      val editProbe = probe
-        .select(col("doc_id"), substring(col("text"), 1, 30).as("title"))
-      Seq(
-        verdict("minhash",
-          () => fpIdx.dedupBatch(probe, "doc_id", "text", threshold = 0.9),
-          () => fpIdx.deleteIds(Set(10L))),
-        verdict("simhash",
-          () => hamIdx.dedupBatchText(probe, "doc_id", "text", maxHamming = 1),
-          () => hamIdx.deleteIds(Set(10L))),
-        verdict("winnow",
-          () => winIdx.dedupBatch(probe, "doc_id", "text"),
-          () => winIdx.deleteIds(Set(10L))),
-        verdict("edit",
-          () => editIdx.dedupBatch(editProbe, "doc_id", "title"),
-          () => editIdx.deleteIds(Set(10L))))
+      val families: Seq[() => (String, Boolean, Boolean, Boolean)] = Seq(
+        () => {
+          val idx = operators.FingerprintIndex.build(docs, "doc_id", "text",
+            tempIndexDir("graft_q150_fp"))
+          verdict("minhash",
+            () => idx.dedupBatch(probe, "doc_id", "text", threshold = 0.9),
+            () => idx.deleteIds(Set(10L)))
+        },
+        () => {
+          val idx = operators.HammingIndex.buildFromText(docs, "doc_id",
+            "text", tempIndexDir("graft_q150_ham"))
+          verdict("simhash",
+            () => idx.dedupBatchText(probe, "doc_id", "text", maxHamming = 1),
+            () => idx.deleteIds(Set(10L)))
+        },
+        () => {
+          val idx = operators.WinnowIndex.build(docs, "doc_id", "text",
+            tempIndexDir("graft_q150_win"))
+          verdict("winnow",
+            () => idx.dedupBatch(probe, "doc_id", "text"),
+            () => idx.deleteIds(Set(10L)))
+        },
+        () => {
+          val idx = operators.EditIndex.build(
+            docs.select(col("doc_id"),
+              substring(col("text"), 1, 30).as("title")),
+            "doc_id", "title", tempIndexDir("graft_q150_edit"), maxEdits = 2)
+          val editProbe = probe.select(col("doc_id"),
+            substring(col("text"), 1, 30).as("title"))
+          verdict("edit",
+            () => idx.dedupBatch(editProbe, "doc_id", "title"),
+            () => idx.deleteIds(Set(10L)))
+        })
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      Await.result(
+          Future.sequence(families.map(f => Future(f()))),
+          scala.concurrent.duration.Duration(600, "s"))
         .toDF("family", "hit_before", "hit_after_delete", "kept_still_hits")
     }),
 
