@@ -1,0 +1,109 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.multimodal.{AudioIndex, AudioCodec, Multimodal}
+
+/** Measured evidence for the audio near-dup family at feed scale — the
+  * [[VideoProbe]] contrast on the audio modality: matching a fixed batch
+  * of clips against a standing corpus either RECOMPUTES corpus window
+  * fingerprints from the WAV bytes every run (RIFF parse + PCM decode,
+  * O(corpus) container reads — the no-index path) or scans the persisted
+  * [[AudioIndex]] fps layout (8-byte fingerprint rows, probe-pruned — the
+  * corpus term that stays slim as the feed grows). A twin of the HIGHEST
+  * corpus id is planted in the batch; both paths must find it.
+  *
+  * Run: sbt "runMain graft.tools.AudioProbe [corpusClips] [batchClips]"
+  */
+object AudioProbe {
+  def main(args: Array[String]): Unit = {
+    val corpusClips = args.headOption.map(_.toLong).getOrElse(100000L)
+    val batchClips = args.lift(1).map(_.toLong).getOrElse(2000L)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+
+    // 4 windows per clip, 1000 PCM16 samples each (125 ms at 8000 Hz,
+    // ~8 KB WAV per clip). The global segment id is embedded EXACTLY in
+    // the first 4 samples (16 bits each, the /32768 round-trip is exact
+    // for PCM16-sourced values), so every sid is a DISTINCT window — a
+    // pure (sid*k + i*m) mod 65535 pattern collapses to 65,535 content
+    // classes at feed scale (the VideoProbe 256-class lesson: every
+    // fingerprint then exceeds the df-cap and the corpus degenerates to
+    // stop-windows)
+    val Win = 1000
+    def seg(sid: Long): Array[Double] = {
+      val a = Array.tabulate(Win)(i =>
+        ((((sid * 7919 + i.toLong * 4799) % 65535) - 32767).toInt >> 1) / 32768.0)
+      var j = 0
+      while (j < 4) {
+        a(j) = (((sid >> (16 * j)) & 0xFFFFL).toInt - 32768) / 32768.0
+        j += 1
+      }
+      a
+    }
+    def clip(id: Long, segKey: Long): Multimodal.MediaRow =
+      Multimodal.MediaRow(id, "audio",
+        AudioCodec.encodeWavPcm16(8000,
+          (0 until 4).toArray.flatMap(w => seg(segKey * 4 + w))),
+        Multimodal.MediaMeta(0, 0, "wav", 500L))
+    val corpus: Dataset[Multimodal.MediaRow] = spark.range(corpusClips)
+      .map(id => clip(id, id)).localCheckpoint(true)
+    val plantedId = corpusClips - 1
+    val batch: Dataset[Multimodal.MediaRow] = spark.range(batchClips - 1)
+      .map(id => clip(8000000L + id, 4000000L + id))
+      .union(spark.range(1).map(_ => clip(9000000L, plantedId)))
+      .localCheckpoint(true)
+    println(f"[probe] corpus $corpusClips%,d WAVs x 4 windows x $Win samples, " +
+      f"batch $batchClips%,d, twin of corpus id $plantedId%,d planted")
+
+    def time[T](label: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[probe] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      r
+    }
+    def found(out: DataFrame): Boolean =
+      out.filter(col("corpus_id") === plantedId).limit(1).count() == 1L
+
+    // the no-index path: corpus WAVs re-decoded on EVERY match run
+    val recomputed = time("recompute: decode corpus + videoNearDupAgainst") {
+      found(Multimodal.videoNearDupAgainst(
+        Multimodal.audioWindowFingerprints(batch, 125L),
+        Multimodal.audioWindowFingerprints(corpus, 125L), minJaccard = 0.5))
+    }
+    println(s"[probe]   twin found: $recomputed")
+
+    val dir = java.nio.file.Files.createTempDirectory("graft_audio_probe").toString
+    val idx = time("AudioIndex.build (decode corpus ONCE, persist fps+sizes)") {
+      AudioIndex.build(corpus, dir, windowMs = 125L, minJaccard = 0.5)
+    }
+    val indexed = time("AudioIndex.dedupBatch (batch decode + slim fps scan)") {
+      found(idx.dedupBatch(batch))
+    }
+    println(s"[probe]   twin found: $indexed")
+    require(recomputed && indexed, "both paths must find the planted twin")
+
+    // the term that decides the contest at real feed sizes: per-match
+    // corpus READ VOLUME (these synthetic clips are 8 KB and pinned in
+    // RAM; production audio is minutes long and lives on object storage,
+    // where the recompute leg pays this full volume every run)
+    val mediaBytes = corpus.map(_.bytes.length.toLong).reduce(_ + _)
+    val fpsBytes = {
+      def du(f: java.io.File): Long =
+        if (f.isFile) f.length()
+        else Option(f.listFiles()).map(_.map(du).sum).getOrElse(0L)
+      du(new java.io.File(idx.fpsPath)) +
+        du(new java.io.File(s"$dir/sizes"))
+    }
+    println(f"[probe] per-match corpus read volume: recompute = container " +
+      f"bytes ${mediaBytes / 1e6}%.1f MB; indexed = fps+sizes layouts " +
+      f"${fpsBytes / 1e6}%.1f MB (${mediaBytes.toDouble / fpsBytes}%.0fx slimmer)")
+    spark.stop()
+  }
+}
