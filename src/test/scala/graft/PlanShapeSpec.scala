@@ -358,6 +358,30 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
       s"PCM windows must not ride an exchange:\n${exchanges.mkString("\n")}")
   }
 
+  test("q147: index-backed audio match shuffles only fingerprint longs — " +
+      "corpus WAV bytes never re-read, PCM never rides an exchange") {
+    val p = plan("q147_audio_index")
+    assert(!p.contains("CartesianProduct"),
+      s"index match must not degrade to a product:\n$p")
+    val exchanges = p.split("\\n").filter(_.contains("Exchange"))
+    assert(exchanges.nonEmpty, s"expected shuffles in:\n$p")
+    assert(!exchanges.exists(l => l.contains("window") || l.contains("bytes")),
+      s"PCM windows must not ride an exchange:\n${exchanges.mkString("\n")}")
+    // the corpus side comes from the persisted fps layout, not the media
+    // rows: the only LocalTableScan/media source in the plan is the batch
+    assert(p.contains("Scan parquet") || p.contains("FileScan"),
+      s"corpus side must read the persisted layout:\n$p")
+  }
+
+  test("q151: trigram-KN scoring is one shuffle-free scan over the " +
+      "target split") {
+    val p = plan("q151_kn3_perplexity")
+    assert(!p.contains("Exchange"),
+      s"KN3 scoring must not shuffle (model is broadcast in-expression):\n$p")
+    assert(p.contains("lm_kn3_perplexity"),
+      s"the codegen'd kernel must appear in-plan:\n$p")
+  }
+
   test("q137: heavy-hitter pass 2 filters candidates scan-side (InSet), " +
       "then partial-aggregates a bounded key set") {
     val p = plan("q137_heavy_hitters")
