@@ -1027,6 +1027,16 @@ object Streams {
   /** ST4 analog: stream JSONL/parquet vector drops into a store via
     * micro-batch appends. Each drop row needs a `vector` column (+ optional
     * `meta`). Returns the running query; caller stops it.
+    *
+    * `autoVacuumKeepLast = Some(k)` closes the retention loop for
+    * long-lived ingest the way `autoCompact` does for the index streams:
+    * each micro-batch lands one store epoch, so an unattended feed grows
+    * epoch directories without bound; armed, the stream calls
+    * [[graft.sources.VectorStoreCatalog.vacuum]] whenever the pin count
+    * reaches 2k+1 (k kept pins + k fresh appends + the previous fold), so
+    * the corpus-below-boundary rewrite is paid once per k appends — the
+    * compaction-cadence economics — while the newest k pins always stay
+    * addressable for mid-run snapshot readers.
     */
   def ingestVectors(
       spark: SparkSession,
@@ -1040,7 +1050,10 @@ object Streams {
       statusTable: Option[BatchStatusTable] = None,
       onBatchComplete: Option[Map[String, String] => Boolean] = None,
       hookConfig: CompletionHookConfig = CompletionHookConfig(),
-      progressJournal: Option[ProgressJournal] = None): StreamingQuery = {
+      progressJournal: Option[ProgressJournal] = None,
+      autoVacuumKeepLast: Option[Int] = None): StreamingQuery = {
+    autoVacuumKeepLast.foreach(k => require(k >= 1,
+      s"autoVacuumKeepLast must be >= 1, got $k"))
     val src = format match {
       case "json" => spark.readStream.schema(dropSchema).json(dropDir)
       case "parquet" => spark.readStream.schema(dropSchema).parquet(dropDir)
@@ -1057,6 +1070,12 @@ object Streams {
         val n = catalog.addVectors(userId, modelId, batch)
         statusTable.foreach(_.record(batchId, n))
         progressJournal.foreach(_.record(s"ingest_$userId/$modelId", batchId, n))
+        autoVacuumKeepLast.foreach { k =>
+          if (catalog.epochs(userId, modelId).size >= 2 * k + 1) {
+            catalog.vacuum(userId, modelId, keepLast = k)
+            ()
+          }
+        }
         // ST3: completion notification with the reference's retry/backoff
         onBatchComplete.foreach { send =>
           notifyCompletion(hookConfig, Map(

@@ -784,6 +784,41 @@ class StreamsSpec extends AnyFunSuite with SparkSpec {
     assert(catalog.count("stream", "m1") >= 21)
   }
 
+  test("ingestVectors autoVacuumKeepLast bounds epoch dirs; rows and " +
+      "recent pins survive the folds") {
+    import org.apache.spark.sql.types._
+    val dropDir = tempDir("graft_vec_vac_drop")
+    val root = tempDir("graft_vac_store")
+    val catalog = new VectorStoreCatalog(spark, root)
+    catalog.create("stream", "vac", StoreConfig(dimension = 2))
+    val schema = StructType(Seq(
+      StructField("vector", ArrayType(FloatType)),
+      StructField("meta", MapType(StringType, StringType))))
+    def drop(i: Int): Unit = Files.writeString(
+      Paths.get(s"$dropDir/drop$i.jsonl"),
+      (0 until 5).map(j =>
+        s"""{"vector": [$i, $j], "meta": {"b": "$i"}}""").mkString("\n"))
+    // one checkpointed stream across 7 drops: each drop = one micro-batch
+    // = one store epoch; keepLast 2 must fold whenever pins reach 5
+    val cp = tempDir("graft_vac_cp")
+    (0 until 7).foreach { i =>
+      drop(i)
+      val q = Streams.ingestVectors(spark, dropDir, schema, catalog,
+        "stream", "vac", format = "json", checkpoint = Some(cp),
+        autoVacuumKeepLast = Some(2))
+      try q.processAllAvailable() finally q.stop()
+    }
+    assert(catalog.count("stream", "vac") == 35, "no fold may lose rows")
+    val eps = catalog.epochs("stream", "vac")
+    assert(eps.size <= 5,
+      s"epoch dirs must stay bounded by the vacuum cadence, got $eps")
+    val onDisk = new java.io.File(s"$root/stream/vac/data").listFiles()
+      .count(_.getName.startsWith("epoch="))
+    assert(onDisk == eps.size, s"expired dirs must be reclaimed: $onDisk")
+    // the newest pin is always addressable and reads the full corpus
+    assert(catalog.loadAt("stream", "vac", eps.max).count() == 35)
+  }
+
   test("completion hook: reference retry/backoff semantics (batch_v1.py:611-657)") {
     val cfg = Streams.CompletionHookConfig(retryAttempts = 3, baseBackoffMillis = 1L)
     // succeeds on the 3rd attempt -> true, exactly 3 calls
