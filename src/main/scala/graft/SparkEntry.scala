@@ -2701,6 +2701,30 @@ object SparkEntry {
         .toDF("family", "hit_before", "hit_after_delete", "kept_still_hits")
     }),
 
+    // STREAMING session transitions (the twelfth online family): the
+    // armed transitionsStream over the events feed — an adjacency edge is
+    // emitted only when the pair's event-time gap is within the 1 h idle
+    // horizon, chop-independently (the gap CHECK decides edges; the
+    // EventTimeTimeout expiry is purely the state-size lever), so the
+    // twin is the batch global adjacency with cross-gap edges filtered.
+    "q152_transitions_stream" -> ((s, dir) => {
+      import s.implicits._
+      val name = s"q152_out_${System.nanoTime()}"
+      val events = streaming.Streams
+        .eventStream(s, dir, glob = Some("events.parquet"))
+        .select(col("user_id"), unix_millis(col("event_time")).as("ts_ms"),
+          col("event_type"))
+        .as[streaming.Streams.TransitionEvent]
+      val edges = streaming.Streams.transitionsStream(events,
+        idleTimeoutMs = Some(3600000L))
+      val q = edges.toDF().writeStream.outputMode("append")
+        .format("memory").queryName(name).start()
+      try q.processAllAvailable() finally q.stop()
+      s.table(name)
+        .groupBy(col("from_type"), col("to_type"))
+        .agg(count(lit(1)).as("n"))
+    }),
+
     // First-order Markov transition counts (Funnel.transitions): how
     // often event type A immediately precedes B per user timeline. The
     // operator runs the bucket-stitched shape (1 h buckets — window tasks
@@ -5686,6 +5710,21 @@ object SparkEntry {
         |SELECT event_type AS from_type, nx AS to_type,
         |  CAST(count(*) AS BIGINT) AS n
         |FROM o WHERE nx IS NOT NULL GROUP BY 1, 2""".stripMargin,
+
+    // q115's global adjacency with cross-gap edges filtered: the armed
+    // stream emits a pair iff its event-time gap is within the idle
+    // horizon, however the feed is chopped.
+    "q152_transitions_stream" ->
+      """WITH o AS (
+        |  SELECT user_id, event_type, epoch_ms(ts) AS ts_ms,
+        |    lead(event_type) OVER w AS nx,
+        |    lead(epoch_ms(ts)) OVER w AS nts
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts), event_type))
+        |SELECT event_type AS from_type, nx AS to_type,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM o WHERE nx IS NOT NULL AND nts - ts_ms <= 3600000
+        |GROUP BY 1, 2""".stripMargin,
 
     "q116_volume_z" ->
       """WITH c AS (

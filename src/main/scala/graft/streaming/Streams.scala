@@ -112,7 +112,7 @@ object Streams {
 
   case class TransitionEvent(user_id: Long, ts_ms: Long, event_type: String)
   case class TransitionEdge(user_id: Long, from_type: String, to_type: String)
-  case class LastEvent(typ: String)
+  case class LastEvent(typ: String, ts_ms: Long)
 
   /** Streaming twin of [[graft.operators.Funnel.transitions]] — the one
     * event operator of the r12 round without an incremental form. Emits
@@ -140,25 +140,30 @@ object Streams {
     * user), which is the right trade only when the key space is bounded
     * (registered user ids). A feed keyed on session-like ids grows state
     * with the CORPUS, so for long-running deployments pass
-    * `idleTimeoutMs = Some(30 * 60000L)`: a user idle past the timeout —
-    * in EVENT time, enforced by a watermark + EventTimeTimeout, the
-    * [[sessionize]] machinery — has their state dropped, and their NEXT
-    * event starts a fresh chain. Armed, the operator computes SESSION
-    * transitions: an edge never spans an idle gap longer than the
-    * timeout, i.e. the output equals [[graft.operators.Funnel
-    * .transitions]] applied per idle-gap session (the batch operator's
-    * global adjacency keeps cross-gap edges — its bucket stitching
-    * preserves totals — so the armed stream intentionally drops exactly
-    * the gap-spanning edges, the same boundary [[sessionize]] draws).
-    * Event-time rather than processing-time for two reasons:
-    * the semantics ("idle" means the USER went quiet, not the feed
-    * lagged) and liveness (a ProcessingTimeTimeout stream re-triggers
-    * forever, which breaks `processAllAvailable`-style draining; the
-    * event-time form fires exactly when the watermark passes the
-    * deadline). An event arriving with its deadline already behind the
-    * watermark keeps its chain for one more batch and then expires
-    * (deadline clamped to watermark + 1 — the engine rejects timeout
-    * timestamps at or below the watermark).
+    * `idleTimeoutMs = Some(30 * 60000L)`. Armed, the operator computes
+    * SESSION transitions EXACTLY and chop-independently: an edge is
+    * emitted only when the pair's event-time gap is at most the timeout
+    * (the gap CHECK decides edge semantics — two events landing in the
+    * same micro-batch across a long gap are split just like two landing
+    * in different batches), so the output equals [[graft.operators
+    * .Funnel.transitions]] applied per idle-gap session however the
+    * stream is chopped — oracle-locked by q152 against the gap-filtered
+    * global-adjacency twin. (The batch operator's global adjacency keeps
+    * cross-gap edges; the armed stream drops exactly the gap-spanning
+    * ones, the same boundary [[sessionize]] draws.) State EXPIRY — a
+    * watermark + EventTimeTimeout, the [[sessionize]] machinery — is
+    * then purely the resource lever: a user idle past the timeout has
+    * their state row dropped (their next event starts a fresh chain,
+    * which the gap check would have forced anyway), so the store stops
+    * growing with the corpus without touching the edge set. Event-time
+    * rather than processing-time for two reasons: the semantics ("idle"
+    * means the USER went quiet, not the feed lagged) and liveness (a
+    * ProcessingTimeTimeout stream re-triggers forever, which breaks
+    * `processAllAvailable`-style draining; the event-time form fires
+    * exactly when the watermark passes the deadline). An event arriving
+    * with its deadline already behind the watermark keeps its state for
+    * one more batch and then expires (deadline clamped to watermark + 1
+    * — the engine rejects timeout timestamps at or below the watermark).
     *
     * Per-micro-batch memory: `rows.toSeq.sortBy` buffers ONE user's
     * events for ONE micro-batch on the state task — the same bot-funnel
@@ -206,8 +211,10 @@ object Streams {
 
   /** One user's micro-batch turn of the transition chain — shared by both
     * timeout modes: stitch the state's last event onto the sorted batch,
-    * emit adjacency edges, leave the newest type in state, and (timeout
-    * mode) arm the event-time deadline at last event + idle.
+    * emit adjacency edges (armed mode: only for pairs whose event-time
+    * gap is at most `idleMs` — the chop-independent session boundary),
+    * leave the newest (type, ts) in state, and (armed mode) set the
+    * event-time expiry deadline at last event + idle.
     */
   private def transitionChain(
       userId: Long,
@@ -219,16 +226,19 @@ object Streams {
       Iterator.empty
     } else {
       val sorted = rows.toSeq.sortBy(e => (e.ts_ms, e.event_type))
-      val chain = state.getOption.map(_.typ).toSeq ++ sorted.map(_.event_type)
+      val chain = state.getOption.map(s => (s.typ, s.ts_ms)).toSeq ++
+        sorted.map(e => (e.event_type, e.ts_ms))
       sorted.lastOption.foreach { e =>
-        state.update(LastEvent(e.event_type))
+        state.update(LastEvent(e.event_type, e.ts_ms))
         idleMs.foreach { idle =>
           state.setTimeoutTimestamp(
             math.max(e.ts_ms + idle, state.getCurrentWatermarkMs() + 1))
         }
       }
       chain.sliding(2).collect {
-        case Seq(a, b) => TransitionEdge(userId, a, b)
+        case Seq((a, ta), (b, tb))
+          if idleMs.forall(idle => tb - ta <= idle) =>
+            TransitionEdge(userId, a, b)
       }
     }
   }

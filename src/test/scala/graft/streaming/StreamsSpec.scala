@@ -610,21 +610,29 @@ class StreamsSpec extends AnyFunSuite with SparkSpec {
       assert(rowsAfterD2 == 1L,
         s"expected users 1+2 expired leaving only user 3, got $rowsAfterD2 state rows")
 
-      // user 1 returns AFTER expiry: fresh chain, so no click->buy edge
-      write(Seq((1L, base + 7203000, "buy")), "d3.parquet")
+      // user 1 returns AFTER expiry: fresh chain, so no click->buy edge;
+      // user 4's two events land in the SAME drop with a 2h internal gap —
+      // the gap CHECK must split them even though no timeout fired between
+      // (chop-independence of the armed semantics)
+      write(Seq((1L, base + 7203000, "buy"),
+        (4L, base + 7200000, "open"), (4L, base + 14400000, "close")),
+        "d3.parquet")
       q.processAllAvailable()
       val got = spark.table("trans_to_out")
         .groupBy($"from_type", $"to_type").agg(count(lit(1)).as("n"))
         .as[(String, String, Long)].collect().toSet
       assert(!got.exists(e => e._2 == "buy"),
         s"expired user must not chain across the timeout, got $got")
+      assert(!got.contains(("open", "close", 1L)),
+        s"a within-batch gap beyond the horizon must split the chain, got $got")
       // parity: the armed stream equals the batch operator applied PER
-      // idle-gap session — here user 1's buy is its own 1-event session
-      // (synthetic user key 101), so batch-per-session has no buy edge
+      // idle-gap session — sessions encoded as synthetic user keys (101 =
+      // user 1's second session, 104 = user 4's second)
       val want = graft.operators.Funnel.transitions(
         Seq((1L, base, "view"), (1L, base + 1000, "click"),
           (2L, base, "view"), (2L, base + 1000, "add"),
-          (3L, base + 7200000, "view"), (101L, base + 7203000, "buy"))
+          (3L, base + 7200000, "view"), (101L, base + 7203000, "buy"),
+          (4L, base + 7200000, "open"), (104L, base + 14400000, "close"))
           .toDF("user_id", "ts_ms", "event_type"),
         "user_id", "ts_ms", "event_type", bucketMs = 3600000L)
         .as[(String, String, Long)].collect().toSet
