@@ -2701,6 +2701,33 @@ object SparkEntry {
         .toDF("family", "hit_before", "hit_after_delete", "kept_still_hits")
     }),
 
+    // Epoch retention UNDER THE ORACLE: four epoch appends (vec_id % 4
+    // slices of the embeddings table), vacuum keepLast = 2, then the
+    // VISIBLE ROW SET AT EVERY SURVIVING PIN — pin 0 is the oldest kept
+    // epoch (its snapshot must read the fold slice + itself: slices
+    // 0..2), pins 1..2 are the newer append and the fold pin (both the
+    // full corpus). Rows are identified by a content column (meta vid),
+    // never store ids, so the twin replays generative membership; a fold
+    // that loses or duplicates ANY row flips the hash.
+    "q153_store_vacuum" -> ((s, dir) => {
+      val root = tempIndexDir("graft_q153_store")
+      val cat = new sources.VectorStoreCatalog(s, root)
+      cat.create("u", "vac", sources.StoreConfig(dimension = 64))
+      val emb = t(s, dir, "embeddings")
+      (0 until 4).foreach { r =>
+        cat.addVectors("u", "vac", emb.filter(col("vec_id") % 4 === r)
+          .select(col("embedding").as("vector"),
+            map(lit("vid"), col("vec_id").cast("string")).as("meta")))
+      }
+      val (expired, _) = cat.vacuum("u", "vac", keepLast = 2)
+      require(expired == 2, s"epochs 0+1 must fold, got $expired")
+      cat.epochs("u", "vac").sorted.zipWithIndex.map { case (pin, ord) =>
+        cat.loadAt("u", "vac", pin)
+          .select(lit(ord.toLong).as("pin_ord"),
+            element_at(col("meta"), "vid").cast("long").as("vid"))
+      }.reduce(_ unionAll _)
+    }),
+
     // STREAMING session transitions (the twelfth online family): the
     // armed transitionsStream over the events feed — an adjacency edge is
     // emitted only when the pair's event-time gap is within the 1 h idle
@@ -5710,6 +5737,16 @@ object SparkEntry {
         |SELECT event_type AS from_type, nx AS to_type,
         |  CAST(count(*) AS BIGINT) AS n
         |FROM o WHERE nx IS NOT NULL GROUP BY 1, 2""".stripMargin,
+
+    // Generative pin membership: the oldest kept pin sees slices 0..2
+    // (fold + itself), the newer pins the full corpus.
+    "q153_store_vacuum" ->
+      """SELECT CAST(0 AS BIGINT) AS pin_ord, CAST(vec_id AS BIGINT) AS vid
+        |FROM embeddings WHERE vec_id % 4 < 3
+        |UNION ALL
+        |SELECT CAST(1 AS BIGINT), CAST(vec_id AS BIGINT) FROM embeddings
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), CAST(vec_id AS BIGINT) FROM embeddings""".stripMargin,
 
     // q115's global adjacency with cross-gap edges filtered: the armed
     // stream emits a pair iff its event-time gap is within the idle
