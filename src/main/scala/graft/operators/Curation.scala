@@ -152,6 +152,11 @@ object Curation {
   private val persistedGramSets =
     new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
 
+  /** Test visibility: current queue-managed gram-set count (a PINNED set
+    * must never appear here — that is the whole pin contract).
+    */
+  private[operators] def cachedGramSetCount: Int = persistedGramSets.size()
+
   /** Benchmark gram sets kept cached at once: 2 covers the common
     * detect-then-act pipeline (e.g. [[contaminatedSpans]] feeding
     * [[redactSpans]] while a [[decontaminate]] report is still live).

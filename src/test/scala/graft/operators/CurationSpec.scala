@@ -633,4 +633,31 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
         .toDF("id", "w"), "id", "w", 10)
     assert(n.select($"id").as[Long].collect().toSeq == Seq(2L))
   }
+
+  test("benchmarkGramsPinned survives shared-queue churn; release unpersists") {
+    val bench = Seq((1L, "alpha beta gamma delta epsilon zeta eta theta " +
+      "iota kappa lambda mu")).toDF("doc_id", "text")
+    // settle to a known baseline: no queue-managed sets cached
+    Curation.releaseGramSets()
+    assert(Curation.cachedGramSetCount == 0)
+    val (grams, release) = Curation.benchmarkGramsPinned(bench, "text",
+      ngramLen = 3)
+    assert(grams.count() > 0)
+    // the pin contract: a pinned set NEVER enters the bounded queue, so
+    // no later call can evict it — only the caller's release() ends it
+    assert(Curation.cachedGramSetCount == 0,
+      "a pinned gram set must not occupy a shared-queue slot")
+    // churn the queue with three queue-managed sets: it stays bounded at
+    // 2 and evicts only its own members
+    (0 until 3).foreach(_ =>
+      Curation.benchmarkGrams(bench, "text", ngramLen = 3).count())
+    assert(Curation.cachedGramSetCount == 2,
+      "the shared queue must stay at its 2-slot bound")
+    // the pinned frame still answers (and release is idempotent-safe to
+    // call exactly once, after which the caller drops the handle)
+    assert(grams.count() > 0)
+    release()
+    Curation.releaseGramSets()
+    assert(Curation.cachedGramSetCount == 0)
+  }
 }
