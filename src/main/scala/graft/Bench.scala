@@ -68,9 +68,9 @@ object Bench {
         else (sorted(sorted.size / 2 - 1) + sorted(sorted.size / 2)) / 2.0
       val spreadPct =
         if (median > 0) (sorted.last - sorted.head) / median * 100.0 else 0.0
-      (name, median, spreadPct)
+      (name, median, spreadPct, timed)
     }
-    val qs = results.map { case (k, v, _) => "\"" + k + f"\":$v%.3f" }
+    val qs = results.map { case (k, v, _, _) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val spreads = results.map(_._3).sorted
@@ -79,8 +79,17 @@ object Bench {
       else spreads(((spreads.size - 1) * p).round.toInt)
     val noise =
       f""""noise":{"median_rel_spread_pct":${pct(0.5)}%.1f,"p90_rel_spread_pct":${pct(0.9)}%.1f}"""
+    // per-query RUN ARRAYS ride the line too (r14 judge order): the median
+    // alone cannot support a two-sample comparison, so bench_diff could only
+    // arbitrate against the within-run spread — which between-run drift on
+    // sub-second queries (measured 45-75%) routinely exceeds. With both
+    // lines carrying their samples, bench_diff flags a delta only when the
+    // two run-sets SEPARATE (min(new) > max(old) or vice versa).
+    val runs = results.map { case (k, _, _, t) =>
+      "\"" + k + "\":" + t.map(v => f"$v%.3f").mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
     val line =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,$noise,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"runs":$runs,$noise,"sf":"$sfDir"}"""
     println(line)
     // ALSO persist the full line: the driver captures only the tail of
     // stdout, so at 100+ queries the printed line gets beheaded in the

@@ -3512,7 +3512,8 @@ object SparkEntry {
         |            list_filter(string_split(text, ' '), x -> x <> '') AS t
         |          FROM mix))),
         |ref AS (
-        |  SELECT string_split(text, ' ') AS t FROM documents WHERE doc_id % 4 <> 0),
+        |  SELECT list_filter(string_split(text, ' '), x -> x <> '') AS t
+        |  FROM documents WHERE doc_id % 4 <> 0),
         |uni AS (
         |  SELECT w, c FROM (
         |    SELECT u.w AS w, CAST(count(*) AS BIGINT) AS c
@@ -3535,7 +3536,9 @@ object SparkEntry {
         |  SELECT string_split(g, ' ')[2] AS w, CAST(count(*) AS BIGINT) AS cc
         |  FROM bi GROUP BY 1),
         |btot AS (SELECT CAST(count(*) AS BIGINT) AS b FROM bi),
-        |tgt AS (SELECT doc_id, string_split(text, ' ') AS t FROM mix),
+        |tgt AS (SELECT doc_id,
+        |          list_filter(string_split(text, ' '), x -> x <> '') AS t
+        |        FROM mix),
         |tok AS (
         |  SELECT doc_id, i, t[i] AS w,
         |         CASE WHEN i > 1 THEN t[i-1] END AS prev
@@ -3591,7 +3594,8 @@ object SparkEntry {
         |            list_filter(string_split(text, ' '), x -> x <> '') AS t
         |          FROM mix))),
         |ref AS (
-        |  SELECT string_split(text, ' ') AS t FROM documents WHERE doc_id % 4 <> 0),
+        |  SELECT list_filter(string_split(text, ' '), x -> x <> '') AS t
+        |  FROM documents WHERE doc_id % 4 <> 0),
         |uni AS (
         |  SELECT w, c FROM (
         |    SELECT u.w AS w, CAST(count(*) AS BIGINT) AS c
@@ -3614,7 +3618,9 @@ object SparkEntry {
         |  SELECT string_split(g, ' ')[2] AS w, CAST(count(*) AS BIGINT) AS cc
         |  FROM bi GROUP BY 1),
         |btot AS (SELECT CAST(count(*) AS BIGINT) AS b FROM bi),
-        |tgt AS (SELECT doc_id, string_split(text, ' ') AS t FROM mix),
+        |tgt AS (SELECT doc_id,
+        |          list_filter(string_split(text, ' '), x -> x <> '') AS t
+        |        FROM mix),
         |tok AS (
         |  SELECT doc_id, i, t[i] AS w,
         |         CASE WHEN i > 1 THEN t[i-1] END AS prev
@@ -3651,7 +3657,8 @@ object SparkEntry {
     // every step to DOUBLE.
     "q144_kn_perplexity" ->
       """WITH ref AS (
-        |  SELECT string_split(text, ' ') AS t FROM documents WHERE doc_id % 4 <> 0),
+        |  SELECT list_filter(string_split(text, ' '), x -> x <> '') AS t
+        |  FROM documents WHERE doc_id % 4 <> 0),
         |uni AS (
         |  SELECT w, c FROM (
         |    SELECT u.w AS w, CAST(count(*) AS BIGINT) AS c
@@ -3675,7 +3682,7 @@ object SparkEntry {
         |  FROM bi GROUP BY 1),
         |btot AS (SELECT CAST(count(*) AS BIGINT) AS b FROM bi),
         |tgt AS (
-        |  SELECT doc_id, string_split(text, ' ') AS t
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
         |  FROM documents WHERE doc_id % 4 = 0),
         |tok AS (
         |  SELECT doc_id, i, t[i] AS w,
@@ -3711,7 +3718,8 @@ object SparkEntry {
     // kernel's backoff order (trigram -> continuation bigram -> base).
     "q151_kn3_perplexity" ->
       """WITH ref AS (
-        |  SELECT string_split(text, ' ') AS t FROM documents WHERE doc_id % 4 <> 0),
+        |  SELECT list_filter(string_split(text, ' '), x -> x <> '') AS t
+        |  FROM documents WHERE doc_id % 4 <> 0),
         |tot AS (
         |  SELECT CAST(least(count(DISTINCT u.w), 256) AS BIGINT) AS v
         |  FROM ref, UNNEST(ref.t) AS u(w) WHERE u.w <> ''),
@@ -3741,7 +3749,7 @@ object SparkEntry {
         |  FROM mid GROUP BY 1),
         |mt AS (SELECT CAST(count(*) AS BIGINT) AS b FROM mid),
         |tgt AS (
-        |  SELECT doc_id, string_split(text, ' ') AS t
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
         |  FROM documents WHERE doc_id % 4 = 0),
         |tok AS (
         |  SELECT doc_id, i, t[i] AS w,
@@ -4796,7 +4804,8 @@ object SparkEntry {
     // output absorbs cross-engine log/sum ulp noise.
     "q78_lm_perplexity" ->
       """WITH ref AS (
-        |  SELECT string_split(text, ' ') AS t FROM documents WHERE doc_id % 4 <> 0),
+        |  SELECT list_filter(string_split(text, ' '), x -> x <> '') AS t
+        |  FROM documents WHERE doc_id % 4 <> 0),
         |uni AS (
         |  SELECT w, c FROM (
         |    SELECT u.w AS w, CAST(count(*) AS BIGINT) AS c
@@ -4813,7 +4822,7 @@ object SparkEntry {
         |    GROUP BY 1)
         |  WHERE c >= 2 AND string_split(g, ' ')[1] IN (SELECT w FROM uni)),
         |tgt AS (
-        |  SELECT doc_id, string_split(text, ' ') AS t
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
         |  FROM documents WHERE doc_id % 4 = 0),
         |tok AS (
         |  SELECT doc_id, i, t[i] AS w,
@@ -4844,7 +4853,8 @@ object SparkEntry {
     // float-sum order noise killed by the x1e4 rounding.
     "q135_mink_prob" ->
       """WITH ref AS (
-        |  SELECT string_split(text, ' ') AS t FROM documents WHERE doc_id % 4 <> 0),
+        |  SELECT list_filter(string_split(text, ' '), x -> x <> '') AS t
+        |  FROM documents WHERE doc_id % 4 <> 0),
         |uni AS (
         |  SELECT w, c FROM (
         |    SELECT u.w AS w, CAST(count(*) AS BIGINT) AS c
@@ -4861,7 +4871,7 @@ object SparkEntry {
         |    GROUP BY 1)
         |  WHERE c >= 2 AND string_split(g, ' ')[1] IN (SELECT w FROM uni)),
         |tgt AS (
-        |  SELECT doc_id, string_split(text, ' ') AS t
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
         |  FROM documents WHERE doc_id % 4 = 0),
         |tok AS (
         |  SELECT doc_id, i, t[i] AS w,

@@ -112,6 +112,15 @@ object Streams {
 
   case class TransitionEvent(user_id: Long, ts_ms: Long, event_type: String)
   case class TransitionEdge(user_id: Long, from_type: String, to_type: String)
+
+  /** [[transitionsStream]]'s per-user state row. CHECKPOINT COMPATIBILITY:
+    * `ts_ms` was added in r14 (the armed gap check needs the last event's
+    * TIME, not just its type), which changed the state encoder schema —
+    * restarting a pre-r14 `transitionsStream` checkpoint against this
+    * class fails on a state-schema mismatch. Drain the old query and start
+    * the new one from a fresh checkpoint directory (the operator is
+    * stateful-but-reconstructible: replaying the source rebuilds state).
+    */
   case class LastEvent(typ: String, ts_ms: Long)
 
   /** Streaming twin of [[graft.operators.Funnel.transitions]] — the one
@@ -164,6 +173,19 @@ object Streams {
     * with its deadline already behind the watermark keeps its state for
     * one more batch and then expires (deadline clamped to watermark + 1
     * — the engine rejects timeout timestamps at or below the watermark).
+    *
+    * Behavioral asymmetry the lever buys into: armed mode watermarks the
+    * event time (delay 0), so an event arriving in a LATER micro-batch
+    * with a timestamp at or behind the watermark is DROPPED by the engine
+    * before the state function sees it — un-armed mode stitches any
+    * arrival order (out-of-order events chain onto the state's last event
+    * rather than splicing, per the parity contract above, but are never
+    * lost). If the feed can deliver late events that must still count,
+    * keep them ts-ordered per user (the same chop discipline exact batch
+    * identity already requires) — a nonzero watermark delay is
+    * deliberately NOT exposed, because a delayed watermark would also
+    * delay every expiry and q152's semantics are defined on the gap
+    * check, not on arrival slack.
     *
     * Per-micro-batch memory: `rows.toSeq.sortBy` buffers ONE user's
     * events for ONE micro-batch on the state task — the same bot-funnel
@@ -704,27 +726,44 @@ object Streams {
       benchmark, textCol, ngramLen)
     val cp = checkpoint.getOrElse(
       java.nio.file.Files.createTempDirectory("graft_decontam_cp").toString)
-    val query = docs.writeStream
-      .outputMode("append")
-      .option("checkpointLocation", cp)
-      .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        onBatch(graft.operators.Curation.decontaminateAgainstGrams(
-          batch, idCol, textCol, ngramLen, grams), batchId)
-        ()
-      }
-      .start()
+    // a start() failure (bad source options, unwritable checkpoint) must
+    // not strand the pin: no query exists yet, so no listener can ever fire
+    val query =
+      try docs.writeStream
+        .outputMode("append")
+        .option("checkpointLocation", cp)
+        .trigger(trigger)
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          onBatch(graft.operators.Curation.decontaminateAgainstGrams(
+            batch, idCol, textCol, ngramLen, grams), batchId)
+          ()
+        }
+        .start()
+      catch { case e: Throwable => release(); throw e }
     releaseOnTermination(docs.sparkSession, query, release)
     query
   }
 
-  /** Run `release` once when `query` terminates (however it ends) — the
-    * cleanup hook for streams that pin session-level resources.
+  /** Run `release` EXACTLY ONCE when `query` terminates (however it ends) —
+    * the cleanup hook for streams that pin session-level resources.
+    *
+    * Registration races the query's own lifetime: a stream that fails
+    * instantly (bad source, poisoned first batch) can terminate BEFORE
+    * `addListener` lands, and the listener bus does not replay missed
+    * events — so after registering, re-check activity and release here if
+    * the query is already gone. The compare-and-set keeps the two paths
+    * (listener event vs. post-registration check, which can BOTH observe a
+    * termination that lands between them) exactly-once.
     */
-  private def releaseOnTermination(
+  private[graft] def releaseOnTermination(
       spark: SparkSession,
       query: StreamingQuery,
       release: () => Unit): Unit = {
+    val fired = new java.util.concurrent.atomic.AtomicBoolean(false)
+    def fireOnce(listener: org.apache.spark.sql.streaming.StreamingQueryListener): Unit =
+      if (fired.compareAndSet(false, true)) {
+        try release() finally spark.streams.removeListener(listener)
+      }
     val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
       override def onQueryStarted(
           e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
@@ -732,11 +771,10 @@ object Streams {
           e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit = ()
       override def onQueryTerminated(
           e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit =
-        if (e.id == query.id) {
-          try release() finally spark.streams.removeListener(this)
-        }
+        if (e.id == query.id) fireOnce(this)
     }
     spark.streams.addListener(listener)
+    if (!query.isActive) fireOnce(listener)
   }
 
   /** Online MEDIA ingest — the [[ingestEditStream]] contract for the

@@ -996,4 +996,70 @@ class StreamsSpec extends AnyFunSuite with SparkSpec {
     assert(out(3L) == ((0L, false)), "clean docs keep their zero-row report")
     assert(out(1L)._2 && out(2L)._2 && out(4L)._2)
   }
+
+  test("releaseOnTermination: release fires exactly once even when the " +
+    "query terminated before the listener registered") {
+    // the r14 race: registration happened AFTER start(), so a stream that
+    // fails instantly could terminate before addListener landed and the
+    // pinned resource leaked until JVM exit. The fix re-checks activity
+    // after registering; this leg drives that path deterministically by
+    // registering on a query that is ALREADY dead (strictly later than any
+    // mid-start termination the race could produce).
+    val dir = tempDir("graft_release_race_src")
+    Seq((1L, "x")).toDF("doc_id", "text").write.mode("overwrite").parquet(dir)
+    val src = spark.readStream
+      .schema(StructType(Seq(
+        StructField("doc_id", org.apache.spark.sql.types.LongType),
+        StructField("text", org.apache.spark.sql.types.StringType))))
+      .parquet(dir)
+    val q = src.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", tempDir("graft_release_race_cp"))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (_: org.apache.spark.sql.DataFrame, _: Long) =>
+        throw new RuntimeException("poisoned first batch")
+      }
+      .start()
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.awaitTermination()
+    }
+    assert(!q.isActive, "the poisoned query must be dead before registration")
+    val released = new java.util.concurrent.atomic.AtomicInteger(0)
+    Streams.releaseOnTermination(spark, q, () => released.incrementAndGet())
+    assert(released.get == 1,
+      "registration on an already-terminated query must release immediately")
+    // the listener bus may still deliver the (pre-registration) termination
+    // event it buffered nowhere — give the async bus a beat, then hold the
+    // exactly-once line
+    Thread.sleep(200)
+    assert(released.get == 1, "release must never double-fire")
+  }
+
+  test("releaseOnTermination: normal termination releases exactly once " +
+    "via the listener path") {
+    val dir = tempDir("graft_release_norm_src")
+    Seq((1L, "x")).toDF("doc_id", "text").write.mode("overwrite").parquet(dir)
+    val src = spark.readStream
+      .schema(StructType(Seq(
+        StructField("doc_id", org.apache.spark.sql.types.LongType),
+        StructField("text", org.apache.spark.sql.types.StringType))))
+      .parquet(dir)
+    val q = src.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", tempDir("graft_release_norm_cp"))
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(
+        "50 milliseconds"))
+      .foreachBatch { (_: org.apache.spark.sql.DataFrame, _: Long) => () }
+      .start()
+    val released = new java.util.concurrent.atomic.AtomicInteger(0)
+    Streams.releaseOnTermination(spark, q, () => released.incrementAndGet())
+    assert(released.get == 0, "an active query must not release early")
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination()
+    // listener delivery is async: poll up to 5 s
+    val deadline = System.nanoTime() + 5000000000L
+    while (released.get == 0 && System.nanoTime() < deadline) Thread.sleep(20)
+    assert(released.get == 1, "termination must release exactly once")
+  }
 }

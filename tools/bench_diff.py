@@ -5,25 +5,30 @@ Usage: python3 tools/bench_diff.py OLD_BENCH.json NEW_BENCH.json [--top N]
 
 Reads two Bench JSON lines (BENCH_LOCAL.json files or the {"metric":...}
 line inside a BENCH_r*.json's "tail"), joins per-query timings, and
-separates SIGNAL from WEATHER using the new line's per-run noise object:
-a delta is only reported as signal when |delta| exceeds both the p90
-relative spread of the measuring run and an absolute floor (50 ms —
-scheduler jitter on sub-second queries). Everything else is aggregate
-drift, summarized once.
+separates SIGNAL from WEATHER.
 
-This is the arbitration step the r13 verdict asked for: with identical
-code measuring +/-15% between snapshots, eyeballing per-query deltas
-finds phantoms; this tool only surfaces deltas the run's own measured
-variance cannot explain.
-
-Caveat the surviving signal still carries: the noise object measures
-WITHIN-run spread; BETWEEN-run drift on sub-second queries runs higher
-(two identical-code r14 runs disagreed by 45-75% on a handful of
-sub-0.5s queries). Before believing a flagged sub-second delta, check
-whether the query's code was touched at all — and if it matters, rerun.
+Arbitration, strongest evidence first:
+ 1. TWO-SAMPLE SEPARATION — when BOTH lines carry per-query "runs"
+    arrays (r15+ Bench persists them), a delta is signal only when the
+    run-sets separate: min(new runs) > max(old runs), or vice versa.
+    This is the non-parametric extreme-rank criterion (equivalent to a
+    rank-sum test at its most conservative cut): if the slowest run of
+    one line is still faster than the fastest run of the other, no
+    overlap exists and the delta cannot be within-noise.
+ 2. NOISE-FLOOR FALLBACK — when either line predates run persistence, a
+    delta is signal when |delta| exceeds both the measuring run's p90
+    relative spread and an absolute floor (50 ms — scheduler jitter on
+    sub-second queries). This inherits the r14 caveat: the noise object
+    measures WITHIN-run spread, and between-run drift on sub-second
+    queries runs higher (two identical-code r14 runs disagreed by
+    45-75% on a handful of sub-0.5s queries), so check whether a
+    flagged sub-second query's code was touched at all before believing
+    the delta.
+Both criteria also require the absolute floor, so a 3 ms "separation"
+on a 40 ms query never surfaces.
 """
+import argparse
 import json
-import sys
 
 
 def load(path):
@@ -49,26 +54,29 @@ def load(path):
 
 
 def main():
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    top = 10
-    for a in sys.argv[1:]:
-        if a.startswith("--top"):
-            top = int(a.split("=", 1)[1]) if "=" in a else top
-    if len(args) != 2:
-        raise SystemExit(__doc__)
-    old, new = load(args[0]), load(args[1])
+    ap = argparse.ArgumentParser(
+        description=__doc__, formatter_class=argparse.RawDescriptionHelpFormatter)
+    ap.add_argument("old_bench")
+    ap.add_argument("new_bench")
+    ap.add_argument("--top", type=int, default=10,
+                    help="max signal rows to print (default 10)")
+    ns = ap.parse_args()
+    old, new = load(ns.old_bench), load(ns.new_bench)
     oq, nq = old["queries"], new["queries"]
+    oruns, nruns = old.get("runs", {}), new.get("runs", {})
     common = sorted(set(oq) & set(nq))
     added = sorted(set(nq) - set(oq))
     removed = sorted(set(oq) - set(nq))
     noise = new.get("noise", {})
     p90 = noise.get("p90_rel_spread_pct", 30.0) / 100.0
     floor_s = 0.05
+    two_sample = sum(1 for k in common if oruns.get(k) and nruns.get(k))
 
     print(f"common {len(common)} queries: "
           f"{sum(oq[k] for k in common):.1f}s -> "
           f"{sum(nq[k] for k in common):.1f}s; "
-          f"noise floor p90={p90 * 100:.1f}% (abs {floor_s * 1000:.0f}ms)")
+          f"two-sample on {two_sample}, noise-floor "
+          f"p90={p90 * 100:.1f}% (abs {floor_s * 1000:.0f}ms) on the rest")
     if added:
         print(f"added ({len(added)}): "
               + ", ".join(f"{k}={nq[k]:.2f}s" for k in added))
@@ -79,9 +87,17 @@ def main():
     weather_total = 0.0
     for k in common:
         d = nq[k] - oq[k]
-        base = max(oq[k], 1e-9)
-        if abs(d) > max(p90 * base, floor_s):
-            signal.append((d, k))
+        o_r, n_r = oruns.get(k), nruns.get(k)
+        if o_r and n_r:
+            separated = min(n_r) > max(o_r) or max(n_r) < min(o_r)
+            is_signal = separated and abs(d) > floor_s
+            how = "sep"
+        else:
+            base = max(oq[k], 1e-9)
+            is_signal = abs(d) > max(p90 * base, floor_s)
+            how = "floor"
+        if is_signal:
+            signal.append((d, k, how))
         else:
             weather_total += d
     signal.sort()
@@ -92,11 +108,15 @@ def main():
               "measuring run's own variance")
         return
     print(f"signal ({len(signal)} queries outside the floor):")
-    for d, k in (signal[:top] if len(signal) > top else signal):
+    for d, k, how in (signal[:ns.top] if len(signal) > ns.top else signal):
+        runs_note = ""
+        if how == "sep":
+            runs_note = (f"  old_runs={[round(v, 2) for v in oruns[k]]}"
+                         f" new_runs={[round(v, 2) for v in nruns[k]]}")
         print(f"  {k}: {oq[k]:.2f}s -> {nq[k]:.2f}s ({d:+.2f}s, "
-              f"{d / max(oq[k], 1e-9) * 100:+.0f}%)")
-    if len(signal) > top:
-        print(f"  ... and {len(signal) - top} more (--top=N)")
+              f"{d / max(oq[k], 1e-9) * 100:+.0f}%, {how}){runs_note}")
+    if len(signal) > ns.top:
+        print(f"  ... and {len(signal) - ns.top} more (--top N)")
 
 
 if __name__ == "__main__":
