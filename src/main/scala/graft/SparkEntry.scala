@@ -2701,6 +2701,61 @@ object SparkEntry {
         .toDF("family", "hit_before", "hit_after_delete", "kept_still_hits")
     }),
 
+    // PERCEPTUAL audio near-dup through the persisted index
+    // (AudioPerceptualIndex — spectral-peak band words, simplified Wang
+    // 2003 constellations): the duplicate classes the exact window hash
+    // (q147/q148's AudioIndex) is BLIND to, matched through the same
+    // MediaSetIndex machinery, with the exact family run side by side as
+    // the honest contrast. Tone clips are defined in CONTINUOUS time
+    // (scrambled per-frame tone picks), so the batch carries true
+    // perturbed twins of corpus clips x = 0..9: remastered (gain
+    // 0.3+0.05x, requantized — 100+x), fresh content (200+x), resampled
+    // at 16 kHz (300+x), and identical re-uploads (400+x). The twin is
+    // the generative contract: perceptual hits exactly {remaster,
+    // resample, re-upload}→source, exact hits ONLY the re-upload.
+    "q154_audio_perceptual" -> ((s, dir) => {
+      import s.implicits._
+      val freqTable = Array.tabulate(24)(k =>
+        350.0 * math.pow(2800.0 / 350.0, k / 23.0))
+      def tone(c: Long, f: Int, which: Int): Double = {
+        var h = c * 1000003L + f * 7919L + which * 104729L
+        h ^= h >>> 13; h *= 0xff51afd7ed558ccdL; h ^= h >>> 33
+        freqTable(((h % 24 + 24) % 24).toInt)
+      }
+      def clip(id: Long, c: Long, rate: Int, gain: Double): multimodal.Multimodal.MediaRow = {
+        val samples = Array.tabulate(4 * rate) { i => // 32 frames x 125 ms
+          val tSec = i.toDouble / rate
+          val f = (i.toLong * 8 / rate).toInt
+          gain * (0.35 * math.sin(2 * math.Pi * tone(c, f, 0) * tSec) +
+            0.35 * math.sin(2 * math.Pi * tone(c, f, 1) * tSec))
+        }
+        multimodal.Multimodal.MediaRow(id, "audio",
+          multimodal.AudioCodec.encodeWavPcm16(rate, samples),
+          multimodal.Multimodal.MediaMeta(0, 0, "wav", 4000L))
+      }
+      val corpus = s.createDataset((0L until 10L).map(c => clip(c, c, 8000, 1.0)))
+      val idxP = multimodal.AudioPerceptualIndex.build(corpus,
+        tempIndexDir("graft_q154_p"), frameMs = 125L, minJaccard = 0.3)
+      val idxE = multimodal.AudioIndex.build(corpus,
+        tempIndexDir("graft_q154_e"), windowMs = 125L, minJaccard = 0.5)
+      val batch = s.createDataset((0L until 10L).flatMap(x => Seq(
+        clip(100 + x, x, 8000, 0.3 + 0.05 * x), // remastered twin
+        clip(200 + x, 50 + x, 8000, 1.0), // fresh content
+        clip(300 + x, x, 16000, 1.0), // resampled twin
+        clip(400 + x, x, 8000, 1.0)))) // identical re-upload
+      val p = idxP.dedupBatch(batch).groupBy(col("batch_id"))
+        .agg(count(lit(1)).as("p_hits"), max(col("corpus_id")).as("p_src"))
+      val e = idxE.dedupBatch(batch).groupBy(col("batch_id"))
+        .agg(count(lit(1)).as("e_hits"))
+      batch.toDF().select(col("media_id"))
+        .join(p, col("media_id") === p("batch_id"), "left").drop("batch_id")
+        .join(e, col("media_id") === e("batch_id"), "left").drop("batch_id")
+        .select(col("media_id"),
+          coalesce(col("p_hits"), lit(0L)).as("p_hits"),
+          coalesce(col("p_src"), lit(-1L)).as("p_src"),
+          coalesce(col("e_hits"), lit(0L)).as("e_hits"))
+    }),
+
     // Epoch retention UNDER THE ORACLE: four epoch appends (vec_id % 4
     // slices of the embeddings table), vacuum keepLast = 2, then the
     // VISIBLE ROW SET AT EVERY SURVIVING PIN — pin 0 is the oldest kept
@@ -6062,6 +6117,26 @@ object SparkEntry {
         |  CAST(shared AS DOUBLE) / (6 - shared) AS jaccard
         |FROM pr
         |WHERE CAST(shared AS DOUBLE) / (6 - shared) >= 0.2""".stripMargin,
+
+    // The generative perturbation contract: every remastered / resampled /
+    // re-uploaded twin matches exactly its source through the PERCEPTUAL
+    // index, fresh content matches nothing, and the EXACT index sees only
+    // the byte-identical re-upload (the blindness the perceptual family
+    // exists to close — asserted, not assumed).
+    "q154_audio_perceptual" ->
+      """SELECT CAST(100 + x.range AS BIGINT) AS media_id,
+        |  CAST(1 AS BIGINT) AS p_hits, CAST(x.range AS BIGINT) AS p_src,
+        |  CAST(0 AS BIGINT) AS e_hits
+        |FROM range(10) x
+        |UNION ALL
+        |SELECT CAST(200 + x.range AS BIGINT), CAST(0 AS BIGINT),
+        |  CAST(-1 AS BIGINT), CAST(0 AS BIGINT) FROM range(10) x
+        |UNION ALL
+        |SELECT CAST(300 + x.range AS BIGINT), CAST(1 AS BIGINT),
+        |  CAST(x.range AS BIGINT), CAST(0 AS BIGINT) FROM range(10) x
+        |UNION ALL
+        |SELECT CAST(400 + x.range AS BIGINT), CAST(1 AS BIGINT),
+        |  CAST(x.range AS BIGINT), CAST(1 AS BIGINT) FROM range(10) x""".stripMargin,
 
     // q133's recursive accepted-walk twin verbatim — the construction is
     // identical (segment ids play the frame-pool role), only the modality

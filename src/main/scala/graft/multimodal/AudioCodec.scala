@@ -196,6 +196,148 @@ object AudioCodec {
     out
   }
 
+  /** In-place iterative radix-2 Cooley–Tukey FFT (textbook public
+    * algorithm). `re.length` must be a power of two; `im` same length.
+    * Plenty fast for the perceptual fingerprint's frame sizes (≤ 8k bins);
+    * runs partition-local inside the decode flatMap, never on the driver.
+    */
+  private[multimodal] def fft(re: Array[Double], im: Array[Double]): Unit = {
+    val n = re.length
+    require(n > 0 && (n & (n - 1)) == 0, s"FFT size must be a power of 2, got $n")
+    require(im.length == n, "re/im length mismatch")
+    // bit-reversal permutation
+    var i = 1
+    var j = 0
+    while (i < n) {
+      var bit = n >> 1
+      while ((j & bit) != 0) { j ^= bit; bit >>= 1 }
+      j |= bit
+      if (i < j) {
+        val tr = re(i); re(i) = re(j); re(j) = tr
+        val ti = im(i); im(i) = im(j); im(j) = ti
+      }
+      i += 1
+    }
+    var len = 2
+    while (len <= n) {
+      val ang = -2.0 * math.Pi / len
+      val wr = math.cos(ang)
+      val wi = math.sin(ang)
+      var blk = 0
+      while (blk < n) {
+        var cr = 1.0
+        var ci = 0.0
+        var k = 0
+        while (k < len / 2) {
+          val ur = re(blk + k); val ui = im(blk + k)
+          val vr = re(blk + k + len / 2) * cr - im(blk + k + len / 2) * ci
+          val vi = re(blk + k + len / 2) * ci + im(blk + k + len / 2) * cr
+          re(blk + k) = ur + vr; im(blk + k) = ui + vi
+          re(blk + k + len / 2) = ur - vr; im(blk + k + len / 2) = ui - vi
+          val ncr = cr * wr - ci * wi
+          ci = cr * wi + ci * wr
+          cr = ncr
+          k += 1
+        }
+        blk += len
+      }
+      len <<= 1
+    }
+  }
+
+  /** Per-frame PERCEPTUAL peak words — a simplified spectral-peak
+    * constellation in the spirit of Wang, "An Industrial-Strength Audio
+    * Search Algorithm" (ISMIR 2003; published public knowledge): frame
+    * the mono signal into start-aligned non-overlapping `frameMs` frames
+    * (the [[Multimodal.audioWindowFingerprints]] alignment convention),
+    * Hann-window + FFT each, sum spectrum energy into `bands` log-spaced
+    * bands over [300 Hz, 3 kHz] (ceiling clamped under Nyquist), and emit
+    * per frame the word packing the TOP-2 band INDICES by energy
+    * (strongest * bands + runner-up).
+    *
+    * Why peak RANKS rather than energy values or sign bits: a positive
+    * gain rescales every band uniformly, so the ranking — hence the word
+    * — is EXACTLY gain-invariant; and a spectral peak towers over
+    * requantization / re-encode noise by orders of magnitude, so unlike
+    * sign-of-difference bits (whose leakage-level terms measurably flip
+    * ~2 bits per 16-bit word under PCM16 requantization — tried first,
+    * rejected for set semantics) the top-band identity survives noise.
+    * Bands are absolute-Hz, so the same content at a different sample
+    * rate lands in the same bands (resampling robustness). This is what
+    * the exact PCM window hash cannot do ([[AudioIndex]] documents itself
+    * as content identity, not acoustic similarity);
+    * [[AudioPerceptualIndex]] is its perceptual twin.
+    *
+    * A near-tie between the runner-up and third band can swap under
+    * noise; the set-Jaccard consumer absorbs that (one bad frame costs
+    * `shingle` set elements, not the match). Returns one word per full
+    * frame; empty when no full frame or the rate's Nyquist sits under
+    * the 300 Hz floor.
+    */
+  def peakBandWords(audio: RawAudio, frameMs: Long, bands: Int): Array[Int] = {
+    require(frameMs >= 1, s"frameMs must be >= 1, got $frameMs")
+    require(bands >= 2 && bands <= 256, s"bands must be in [2, 256], got $bands")
+    val n = (audio.sampleRate.toLong * frameMs / 1000L).toInt
+    if (n < 2) return Array.empty
+    val frames = audio.samples.length / n
+    if (frames < 1) return Array.empty
+    var fftN = 1
+    while (fftN < n) fftN <<= 1
+    // Hann window (precomputed once per clip)
+    val hann = Array.tabulate(n)(i =>
+      0.5 * (1.0 - math.cos(2.0 * math.Pi * i / (n - 1))))
+    // log-spaced band edges in Hz over [300, 3000], clamped under Nyquist
+    val fMin = 300.0
+    val fMax = math.min(3000.0, audio.sampleRate * 0.45)
+    require(fMax > fMin,
+      s"sample rate ${audio.sampleRate} too low for the 300 Hz band floor")
+    val edges = Array.tabulate(bands + 1)(k =>
+      fMin * math.pow(fMax / fMin, k.toDouble / bands))
+    val binHz = audio.sampleRate.toDouble / fftN
+    // bin b sits at frequency b*binHz; band of bin = its edge interval
+    val bandOfBin = Array.tabulate(fftN / 2) { b =>
+      val f = b * binHz
+      if (f < fMin || f >= fMax) -1
+      else {
+        var k = 0
+        while (k + 1 <= bands && f >= edges(k + 1)) k += 1
+        k
+      }
+    }
+    val re = new Array[Double](fftN)
+    val im = new Array[Double](fftN)
+    val e = new Array[Double](bands)
+    val out = new Array[Int](frames)
+    var t = 0
+    while (t < frames) {
+      java.util.Arrays.fill(re, 0.0)
+      java.util.Arrays.fill(im, 0.0)
+      var i = 0
+      while (i < n) { re(i) = audio.samples(t * n + i) * hann(i); i += 1 }
+      fft(re, im)
+      java.util.Arrays.fill(e, 0.0)
+      var b = 0
+      while (b < fftN / 2) {
+        val band = bandOfBin(b)
+        if (band >= 0) e(band) += re(b) * re(b) + im(b) * im(b)
+        b += 1
+      }
+      // top-2 band indices by energy (ties broken low-band-first, the
+      // deterministic convention)
+      var b1 = 0
+      var b2 = -1
+      var k = 1
+      while (k < bands) {
+        if (e(k) > e(b1)) { b2 = b1; b1 = k }
+        else if (b2 < 0 || e(k) > e(b2)) b2 = k
+        k += 1
+      }
+      out(t) = b1 * bands + math.max(b2, 0)
+      t += 1
+    }
+    out
+  }
+
   /** Canonical 16-bit PCM WAV encoder (mono-interleaved if one channel) —
     * the storage/test twin of [[decodeWavPcm]]; samples clipped to [-1, 1].
     */

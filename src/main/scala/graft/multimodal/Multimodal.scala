@@ -390,6 +390,66 @@ object Multimodal {
       .distinct()
   }
 
+  /** Per-clip PERCEPTUAL audio fingerprints: (media_id, fp) DISTINCT rows
+    * from [[AudioCodec.peakBandWords]] spectral-peak words (simplified
+    * Wang 2003 constellations — public knowledge), shingled `shingle`
+    * consecutive frames per fingerprint. The perceptual twin of
+    * [[audioWindowFingerprints]]: where the exact window hash matches
+    * only byte-level content identity (a gain-shifted, requantized, or
+    * resampled duplicate — the COMMON duplicate in a scraped audio corpus
+    * — defeats it entirely), peak-rank words are exactly gain-invariant,
+    * tower over quantization noise, and the absolute-Hz bands survive
+    * resampling, so those twins overlap in fingerprint space while
+    * distinct content does not.
+    *
+    * Shingling (k consecutive frame words folded into one 64-bit FNV-1a
+    * value) is what makes SET overlap meaningful: one frame's word has
+    * only bands² states — dense cross-clip collisions — while a k-frame
+    * shingle has bands^(2k) effective states, and one noise-swapped
+    * runner-up band costs at most k shingles of the set rather than the
+    * match. Same start-aligned non-overlapping framing as the exact
+    * geometry, so a mid-frame trim still shifts alignment (documented
+    * limit of both geometries).
+    *
+    * Scale shape: decode + FFT + shingle run partition-local inside one
+    * flatMap; only (id, long) rows reach the distinct exchange — PCM
+    * bytes never shuffle. Rows no JVM codec decodes are dropped, the
+    * shared media-kernel policy.
+    */
+  def audioSpectralFingerprints(
+      media: Dataset[MediaRow],
+      frameMs: Long = 125L,
+      bands: Int = 32,
+      shingle: Int = 4): DataFrame = {
+    import media.sparkSession.implicits._
+    require(frameMs >= 1, s"frameMs must be >= 1, got $frameMs")
+    require(shingle >= 1, s"shingle must be >= 1, got $shingle")
+    media.filter(_.kind == "audio").flatMap { row =>
+      val decoded =
+        if (!AudioCodec.canDecode(row.bytes)) None
+        else scala.util.Try(AudioCodec.decode(row.bytes)).toOption
+      decoded match {
+        case None => Iterator.empty
+        case Some(a) =>
+          val words = scala.util.Try(
+            AudioCodec.peakBandWords(a, frameMs, bands)).getOrElse(Array.empty[Int])
+          if (words.length < shingle) Iterator.empty
+          else (0 to words.length - shingle).iterator.map { i =>
+            // 64-bit FNV-1a over the shingle's words (deterministic,
+            // partition-local; collisions at 2^-64 per pair)
+            var h = 0xcbf29ce484222325L
+            var j = 0
+            while (j < shingle) {
+              h ^= words(i + j).toLong & 0xffffffffL
+              h *= 0x100000001b3L
+              j += 1
+            }
+            (row.media_id, h)
+          }
+      }
+    }.toDF("media_id", "fp").distinct()
+  }
+
   /** Two-table video near-dup: which BATCH videos overlap an existing
     * CORPUS video (the incremental-feed question — batch vs standing
     * corpus, never corpus x corpus). Both sides are (id, fp) fingerprint

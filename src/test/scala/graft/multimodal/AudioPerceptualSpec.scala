@@ -1,0 +1,154 @@
+package graft.multimodal
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The perceptual audio family's contract: duplicates the EXACT window
+  * hash cannot see — gain-shifted, requantized, resampled — match through
+  * the spectral-peak fingerprint, and distinct content does not. Each
+  * leg holds the exact geometry's number next to the perceptual one so
+  * the contrast is measured, not asserted by vibes.
+  */
+class AudioPerceptualSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  // Tone-sequence clips over a CONTINUOUS-TIME definition, so the same
+  // clip can be rendered at any sample rate (a true resample, not an
+  // interpolation approximation): frame f of clip c plays two tones from
+  // a 24-entry log-spaced table, picked by a deterministic scrambled
+  // hash — every frame's spectrum differs from its neighbor's, so the
+  // peak-word sequence carries per-clip information.
+  private val FrameMs = 125L
+  private val FreqTable = Array.tabulate(24)(k =>
+    350.0 * math.pow(2800.0 / 350.0, k / 23.0))
+  private def tone(c: Long, f: Int, which: Int): Double = {
+    // splitmix-style scramble: a LINEAR pick (c*a + f*b mod 24) makes
+    // "distinct" clips time-shifted copies of each other's tone sequence
+    var h = c * 1000003L + f * 7919L + which * 104729L
+    h ^= h >>> 13; h *= 0xff51afd7ed558ccdL; h ^= h >>> 33
+    FreqTable(((h % 24 + 24) % 24).toInt)
+  }
+  private def samples(c: Long, frames: Int, rate: Int, gain: Double): Array[Double] =
+    Array.tabulate(frames * rate * FrameMs.toInt / 1000) { i =>
+      val t = i.toDouble / rate
+      val f = (i.toLong * 1000 / (rate * FrameMs)).toInt
+      gain * (0.35 * math.sin(2 * math.Pi * tone(c, f, 0) * t) +
+        0.35 * math.sin(2 * math.Pi * tone(c, f, 1) * t))
+    }
+  private def clip(id: Long, c: Long, rate: Int = 8000,
+      gain: Double = 1.0, frames: Int = 32): Multimodal.MediaRow =
+    Multimodal.MediaRow(id, "audio",
+      AudioCodec.encodeWavPcm16(rate, samples(c, frames, rate, gain)),
+      Multimodal.MediaMeta(0, 0, "wav", frames * FrameMs))
+
+  private def media(rows: Multimodal.MediaRow*) = spark.createDataset(rows)
+
+  private def jaccard(fps: org.apache.spark.sql.DataFrame,
+      a: Long, b: Long): Double = {
+    val sets = fps.as[(Long, Long)].collect().groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val (sa, sb) = (sets.getOrElse(a, Set.empty), sets.getOrElse(b, Set.empty))
+    if (sa.isEmpty && sb.isEmpty) 0.0
+    else (sa & sb).size.toDouble / (sa | sb).size
+  }
+
+  test("gain-scaled + requantized twin: perceptual jaccard ~1, exact = 0") {
+    val rows = media(
+      clip(0L, c = 7L),
+      clip(1L, c = 7L, gain = 0.4), // re-mastered copy: gain 0.4, re-quantized
+      clip(2L, c = 8L)) // distinct content
+    val per = Multimodal.audioSpectralFingerprints(rows, FrameMs)
+    val jTwin = jaccard(per, 0L, 1L)
+    val jDistinct = jaccard(per, 0L, 2L)
+    // a frame whose two tones share a band leaves the runner-up at
+    // leakage level, where requantization noise can swap it — each such
+    // swap costs at most `shingle` set elements, so the twin sits well
+    // above the 0.3 match threshold but below 1.0 (measured ~0.61 here)
+    assert(jTwin >= 0.5, s"perceptual twin jaccard $jTwin must clear the " +
+      "0.3 match threshold with margin")
+    assert(jDistinct <= 0.1, s"distinct-content jaccard $jDistinct should be ~0")
+    // the honest contrast: the exact window hash sees NOTHING shared
+    val exact = Multimodal.audioWindowFingerprints(rows, FrameMs)
+      .select(col("media_id"), col("fp"))
+    assert(jaccard(exact, 0L, 1L) == 0.0,
+      "exact window hashes must not survive a gain shift")
+  }
+
+  test("resampled twin (same content rendered at 16 kHz): perceptual match") {
+    val rows = media(
+      clip(0L, c = 3L),
+      clip(1L, c = 3L, rate = 16000), // same continuous content, 2x rate
+      clip(2L, c = 4L))
+    val per = Multimodal.audioSpectralFingerprints(rows, FrameMs)
+    val jTwin = jaccard(per, 0L, 1L)
+    val jDistinct = jaccard(per, 0L, 2L)
+    assert(jTwin >= 0.5, s"resampled twin jaccard $jTwin should clear 0.5")
+    assert(jDistinct <= 0.1, s"distinct-content jaccard $jDistinct should be ~0")
+    val exact = Multimodal.audioWindowFingerprints(rows, FrameMs)
+      .select(col("media_id"), col("fp"))
+    assert(jaccard(exact, 0L, 1L) == 0.0,
+      "exact window hashes must not survive resampling")
+  }
+
+  test("index path: gain twin matches its source through the persisted " +
+    "index; distinct clip matches nothing; exact index sees neither") {
+    val corpus = media((0L until 6L).map(c => clip(c, c)): _*)
+    val dirP = java.nio.file.Files.createTempDirectory("graft_apidx").toString
+    val idxP = AudioPerceptualIndex.build(corpus, dirP,
+      frameMs = FrameMs, minJaccard = 0.3)
+    val batch = media(
+      clip(100L, c = 2L, gain = 0.5), // re-mastered twin of corpus clip 2
+      clip(101L, c = 50L)) // fresh content
+    val hits = idxP.dedupBatch(batch)
+      .select(col("batch_id"), col("corpus_id"))
+      .as[(Long, Long)].collect().toSet
+    assert(hits == Set((100L, 2L)), s"got $hits")
+    // meta round-trip: a reloaded index keeps the geometry
+    val reloaded = AudioPerceptualIndex.load(spark, dirP)
+    assert(reloaded.frameMs == FrameMs && reloaded.bands == 32 &&
+      reloaded.shingle == 4 && reloaded.minJaccard == 0.3)
+    assert(reloaded.dedupBatch(batch)
+      .select(col("batch_id"), col("corpus_id"))
+      .as[(Long, Long)].collect().toSet == Set((100L, 2L)))
+    // the exact family on the same split: the twin is invisible
+    val dirE = java.nio.file.Files.createTempDirectory("graft_aeidx").toString
+    val idxE = AudioIndex.build(corpus, dirE, windowMs = FrameMs, minJaccard = 0.1)
+    assert(idxE.dedupBatch(batch).count() == 0L,
+      "the exact index must not see the gain-scaled twin (that is the gap " +
+        "the perceptual family exists to close)")
+  }
+
+  test("ingest through the shared MediaSetIndex walk: gain twins dropped, " +
+    "fresh clips appended and found by the next batch") {
+    val corpus = media((0L until 4L).map(c => clip(c, c, frames = 16)): _*)
+    val dir = java.nio.file.Files.createTempDirectory("graft_apidx_ing").toString
+    val idx = AudioPerceptualIndex.build(corpus, dir,
+      frameMs = FrameMs, minJaccard = 0.3)
+    val batch1 = media(
+      clip(100L, c = 1L, gain = 0.7, frames = 16), // twin of corpus 1 -> drop
+      clip(101L, c = 40L, frames = 16)) // fresh -> kept + appended
+    val kept1 = idx.ingestBatch(batch1).select(col("media_id"))
+      .as[Long].collect().toSet
+    assert(kept1 == Set(101L), s"got $kept1")
+    // a later batch's gain twin of the JUST-APPENDED clip must now drop
+    val batch2 = media(clip(200L, c = 40L, gain = 0.5, frames = 16))
+    val kept2 = idx.ingestBatch(batch2).select(col("media_id"))
+      .as[Long].collect().toSet
+    assert(kept2 == Set.empty[Long],
+      "a twin of an ingested clip must match the standing index")
+  }
+
+  test("peakBandWords: exact gain invariance and framing contract") {
+    val raw = AudioCodec.RawAudio(8000, 1, samples(11L, 8, 8000, 1.0))
+    val words = AudioCodec.peakBandWords(raw, FrameMs, 32)
+    assert(words.length == 8, "one word per full frame")
+    val scaled = AudioCodec.RawAudio(8000, 1,
+      raw.samples.map(_ * 0.125)) // pure scale, no requantization
+    assert(AudioCodec.peakBandWords(scaled, FrameMs, 32).sameElements(words),
+      "peak-rank words are EXACTLY invariant to a positive gain")
+    // too-short clip: no full frame
+    assert(AudioCodec.peakBandWords(
+      AudioCodec.RawAudio(8000, 1, new Array[Double](999)), FrameMs, 32).isEmpty)
+  }
+}
