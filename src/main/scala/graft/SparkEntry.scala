@@ -1327,6 +1327,29 @@ object SparkEntry {
         t(s, dir, "documents").filter(col("doc_id") >= 400),
         "doc_id", "text", threshold = 0.5)),
 
+    // Index-family epoch retention UNDER THE ORACLE — the q153 (store
+    // vacuum) construction on an EpochIndex family, locking r14's #3
+    // advisory: the corpus is indexed across FIVE epoch slices (doc_id % 5
+    // fifths: build + three appends), vacuumed to keepLast = 2 (epochs 0+1
+    // fold into one slice, require-checked), and ingest CONTINUES on the
+    // folded log (the last fifth appends post-vacuum). The batch match
+    // must then equal q63's recompute arithmetic verbatim — a fold that
+    // loses, duplicates, or re-banding-corrupts ANY row flips the hash.
+    "q155_index_vacuum" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val corpus = d.filter(col("doc_id") < 400)
+      val idx = operators.FingerprintIndex.build(
+        corpus.filter(col("doc_id") % 5 === 0), "doc_id", "text",
+        tempIndexDir("graft_q155_fpidx"))
+      (1 to 3).foreach(r =>
+        idx.append(corpus.filter(col("doc_id") % 5 === r), "doc_id", "text"))
+      val folded = idx.vacuum(keepLast = 2)
+      require(folded == 2, s"epochs 0+1 must fold, got $folded")
+      idx.append(corpus.filter(col("doc_id") % 5 === 4), "doc_id", "text")
+      idx.dedupBatch(d.filter(col("doc_id") >= 400), "doc_id", "text",
+        threshold = 0.5)
+    }),
+
     // The HAMMING-side persisted index (SimHash text / image dHash
     // families), exercised over portable arithmetic fingerprints so the
     // oracle replays banding + verify exactly: recall is total by
@@ -2754,6 +2777,48 @@ object SparkEntry {
           coalesce(col("p_hits"), lit(0L)).as("p_hits"),
           coalesce(col("p_src"), lit(-1L)).as("p_src"),
           coalesce(col("e_hits"), lit(0L)).as("e_hits"))
+    }),
+
+    // Compaction (`optimize`) UNDER THE ORACLE — the q153 discipline for
+    // the OTHER destructive maintenance op (r14 advisory #5: it rewrites
+    // every live epoch and kills all pins, exactly the operation whose
+    // row preservation should be hash-proven): a 3-epoch store with an
+    // IVF index serves two kNN queries, is optimized down to ONE replace
+    // epoch (require-checked), and must serve the identical ranked rows
+    // and the identical content membership afterwards. BEFORE rows are
+    // pinned eagerly (localCheckpoint) — optimize mutates the store, so a
+    // lazy 'before' frame would silently re-read the compacted state.
+    // nProbe >= nLists makes the ANN path exhaustive, so the twin replays
+    // it as exact brute-force cosine top-5 (the q46 anchor trick).
+    "q156_store_optimize" -> ((s, dir) => {
+      val root = tempIndexDir("graft_q156_store")
+      val cat = new sources.VectorStoreCatalog(s, root)
+      cat.create("u", "opt", sources.StoreConfig(dimension = 64, metric = "cosine"))
+      val emb = t(s, dir, "embeddings")
+      (0 until 3).foreach { r =>
+        cat.addVectors("u", "opt", emb.filter(col("vec_id") % 3 === r)
+          .select(col("embedding").as("vector"),
+            map(lit("vid"), col("vec_id").cast("string")).as("meta")))
+      }
+      cat.buildIndex("u", "opt", nLists = 4)
+      def qv(i: Int) = emb.filter(col("vec_id") === i)
+        .select(col("embedding")).head.getSeq[Float](0).map(_.toDouble)
+      def top(phase: String) = Seq(0, 7).map { q =>
+        cat.query("u", "opt", qv(q), k = 5, nProbe = 8)
+          .select(lit(phase).as("phase"), lit(q.toLong).as("qid"),
+            col("rank").cast("long").as("rnk"),
+            element_at(col("meta"), "vid").cast("long").as("vid"))
+      }.reduce(_ unionAll _)
+      val before = top("before").localCheckpoint(true)
+      require(cat.epochs("u", "opt").size == 3, "three pre-optimize epochs")
+      cat.optimize("u", "opt")
+      require(cat.epochs("u", "opt").size == 1,
+        "optimize must leave exactly the replace epoch")
+      val membership = cat.load("u", "opt")
+        .select(lit("member").as("phase"), lit(-1L).as("qid"),
+          lit(0L).as("rnk"),
+          element_at(col("meta"), "vid").cast("long").as("vid"))
+      before.unionAll(top("after")).unionAll(membership)
     }),
 
     // Epoch retention UNDER THE ORACLE: four epoch appends (vec_id % 4
@@ -4366,6 +4431,21 @@ object SparkEntry {
         |  FROM s b, s c WHERE b.doc_id >= 400 AND c.doc_id < 400
         |) WHERE jaccard >= 0.5""".stripMargin,
 
+    // q63's twin VERBATIM: the five-epoch build + mid-lifecycle vacuum +
+    // post-fold append land on the same corpus content, so the match
+    // arithmetic is identical — retention must be invisible to results.
+    "q155_index_vacuum" ->
+      """WITH s AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, len(string_split(text,' '))-1),
+        |         i -> array_to_string(list_slice(string_split(text,' '), i, i+2), ' '))) AS sh
+        |  FROM documents)
+        |SELECT batch_id, corpus_id, jaccard FROM (
+        |  SELECT b.doc_id AS batch_id, c.doc_id AS corpus_id,
+        |         CAST(len(list_intersect(b.sh, c.sh)) AS DOUBLE) /
+        |           (len(b.sh) + len(c.sh) - len(list_intersect(b.sh, c.sh))) AS jaccard
+        |  FROM s b, s c WHERE b.doc_id >= 400 AND c.doc_id < 400
+        |) WHERE jaccard >= 0.5""".stripMargin,
+
     // Brute-force batch x corpus Hamming over the q42-portable fingerprint
     // formula — the indexed path's banding recall is total by pigeonhole
     // (maxHamming=3 < nBands=4), so exact equality is the contract, not an
@@ -5805,6 +5885,29 @@ object SparkEntry {
 
     // Generative pin membership: the oldest kept pin sees slices 0..2
     // (fold + itself), the newer pins the full corpus.
+    // Exhaustive-probe ANN = brute-force cosine top-5 (ranked once, served
+    // for BOTH phases — optimize must be invisible); membership = the
+    // table itself.
+    "q156_store_optimize" ->
+      """WITH ranked AS (
+        |  SELECT q.qid, e.vec_id,
+        |    CAST(row_number() OVER (PARTITION BY q.qid
+        |      ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |        CAST(q.qv AS DOUBLE[])) DESC, e.vec_id ASC) AS BIGINT) AS rnk
+        |  FROM embeddings e,
+        |    (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+        |     WHERE vec_id IN (0, 7)) q)
+        |SELECT 'before' AS phase, CAST(qid AS BIGINT) AS qid, rnk,
+        |  CAST(vec_id AS BIGINT) AS vid
+        |FROM ranked WHERE rnk <= 5
+        |UNION ALL
+        |SELECT 'after', CAST(qid AS BIGINT), rnk, CAST(vec_id AS BIGINT)
+        |FROM ranked WHERE rnk <= 5
+        |UNION ALL
+        |SELECT 'member', CAST(-1 AS BIGINT), CAST(0 AS BIGINT),
+        |  CAST(vec_id AS BIGINT)
+        |FROM embeddings""".stripMargin,
+
     "q153_store_vacuum" ->
       """SELECT CAST(0 AS BIGINT) AS pin_ord, CAST(vec_id AS BIGINT) AS vid
         |FROM embeddings WHERE vec_id % 4 < 3

@@ -122,6 +122,56 @@ private[graft] trait EpochIndex {
       log.deleteDir(s"${layoutDir(n)}/epoch=$e")))
   }
 
+  /** Epoch retention for index families — the
+    * [[graft.sources.VectorStoreCatalog.vacuum]] lever, symmetric across
+    * every [[EpochIndex]] family (the machinery was already family-
+    * agnostic: [[EpochLog.commitVacuum]] / `resolve`; only the store
+    * called it). Folds every committed epoch below the newest `keepLast`
+    * into ONE slice per layout and expires the originals, reclaiming
+    * their directories — where [[compact]] rewrites the WHOLE index
+    * (O(index) per run) and a long-lived ingest stream otherwise
+    * accumulates one directory per micro-batch without bound, vacuum
+    * touches only the old slices and leaves the newest `keepLast` epochs
+    * untouched on disk.
+    *
+    * Query results are unchanged by construction: the fold holds exactly
+    * the union of the expired slices' rows, and readers flip atomically
+    * from the old epoch set to {fold} ∪ {kept} on
+    * [[EpochLog.commitVacuum]]'s single appended file (a crash before it
+    * leaves the fold directory orphaned and invisible — an append's
+    * failure mode). The fold's commit-unit count is pure commit-log
+    * arithmetic ([[EpochLog.rowsOf]] — append batches hold disjoint
+    * documents, so folded counts add), never a layout scan. A previous
+    * vacuum's fold slice is the logically OLDEST content despite its high
+    * epoch number, so it always re-folds (vacuum composes). Returns the
+    * number of epochs folded; no-op 0 when history is already within
+    * `keepLast`.
+    */
+  def vacuum(keepLast: Int): Int = {
+    require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
+    val fold = log.activeFold()
+    // logical pin order: an active fold never counts as a kept recent pin
+    val pins = log.committedEpochs().filterNot(e => fold.exists(_._1 == e))
+    if (pins.size <= keepLast) return 0
+    val boundary = pins(pins.size - keepLast)
+    val foldSet = fold.map(_._1).toSeq ++ pins.filter(_ < boundary)
+    val nUnits = log.rowsOf(foldSet.toSet)
+    val target = log.nextEpoch()
+    layoutNames.foreach { name =>
+      val dir = layoutDir(name)
+      val df = spark.read.options(layoutReadOptions(name))
+        .option("basePath", dir)
+        .parquet(foldSet.map(e => s"$dir/epoch=$e"): _*)
+        .drop("epoch").drop("gb") // writeLayoutSlice re-buckets
+      EpochIndex.writeLayoutSlice(df, s"$dir/epoch=$target",
+        gatherBucketsFor(name))
+    }
+    log.commitVacuum(target, boundary, nUnits)
+    foldSet.foreach(e => layoutNames.foreach(n =>
+      log.deleteDir(s"${layoutDir(n)}/epoch=$e")))
+    foldSet.size
+  }
+
   /** Remove documents from the index by id — the right-to-be-forgotten /
     * takedown operator that completes the lifecycle (append, compact,
     * maintenance, DELETE). Implemented as a filtered compaction: every

@@ -201,6 +201,15 @@ private[graft] case class EpochLog(spark: SparkSession, path: String) {
     (live.size, cs.map(_.nRows).sum, appended)
   }
 
+  /** Sum of commit-unit counts recorded for `epochs`' add/replace rows —
+    * what a vacuum fold of those epochs must carry on its own add row, so
+    * [[sizeStats]] stays pure commit-log arithmetic through folds (expire
+    * rows carry the boundary, not a count, and are excluded).
+    */
+  def rowsOf(epochs: Set[Long]): Long =
+    readCommits().filter(c => epochs(c.epoch) && c.action != "expire")
+      .map(_.nRows).sum
+
   /** Resolve a layout's committed data directories for an explicit-path
     * read (orphan epoch directories are never listed, let alone read).
     */

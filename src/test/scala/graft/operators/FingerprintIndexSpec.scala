@@ -64,6 +64,53 @@ class FingerprintIndexSpec extends AnyFunSuite with SparkSpec {
       corpusRows = 1000L, minCorpus = 100L).count() == 0)
   }
 
+  test("vacuum folds old epochs, preserves the match set, reclaims dirs, " +
+    "composes with later appends and a re-vacuum") {
+    val p = java.nio.file.Files.createTempDirectory("graft_fpidx_vac").toString
+    val corpus = docs.filter($"doc_id" < 400)
+    val batch = docs.filter($"doc_id" >= 400)
+    val idx = FingerprintIndex.build(
+      corpus.filter($"doc_id" % 5 === 0), "doc_id", "text", p)
+    (1 to 3).foreach(r =>
+      idx.append(corpus.filter($"doc_id" % 5 === r), "doc_id", "text"))
+    val before = pairs(FingerprintIndex.load(spark, p)
+      .dedupBatch(corpus.filter($"doc_id" % 5 === 4)
+        .unionAll(batch), "doc_id", "text", threshold = 0.5))
+    val log = EpochLog(spark, p)
+    val (epochsBefore, rowsBefore, _) = log.sizeStats()
+    assert(epochsBefore == 4)
+    def epochDirs(): Set[String] = {
+      val d = new java.io.File(s"$p/docs")
+      Option(d.listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.startsWith("epoch=")).map(_.getName).toSet
+    }
+    assert(epochDirs() == Set("epoch=0", "epoch=1", "epoch=2", "epoch=3"))
+    assert(idx.vacuum(keepLast = 2) == 2, "epochs 0+1 fold")
+    // dirs reclaimed: 0 and 1 gone, fold epoch 4 present
+    assert(epochDirs() == Set("epoch=2", "epoch=3", "epoch=4"))
+    val (epochsAfter, rowsAfter, _) = log.sizeStats()
+    assert(epochsAfter == 3 && rowsAfter == rowsBefore,
+      "commit-unit totals survive the fold (pure log arithmetic)")
+    // results identical through a reloaded handle (no cached state)
+    val after = pairs(FingerprintIndex.load(spark, p)
+      .dedupBatch(corpus.filter($"doc_id" % 5 === 4)
+        .unionAll(batch), "doc_id", "text", threshold = 0.5))
+    assert(after == before, "vacuum must be invisible to match results")
+    // ingest continues on the folded log; a re-vacuum re-folds (the fold
+    // slice is the logically oldest content and never counts as kept)
+    idx.append(corpus.filter($"doc_id" % 5 === 4), "doc_id", "text")
+    assert(idx.vacuum(keepLast = 1) == 3,
+      "fold slice + epochs 2 and 3 re-fold under keepLast=1")
+    val finalPairs = pairs(FingerprintIndex.load(spark, p)
+      .dedupBatch(batch, "doc_id", "text", threshold = 0.5))
+    val direct = pairs(Dedup.nearDupAgainstMinHash(corpus, batch,
+      "doc_id", "text", threshold = 0.5))
+    assert(finalPairs == direct,
+      "twice-vacuumed five-epoch index equals the recompute operator")
+    // no-op below the keepLast horizon
+    assert(idx.vacuum(keepLast = 8) == 0)
+  }
+
   test("append is equivalent to building on the grown corpus") {
     val p = java.nio.file.Files.createTempDirectory("graft_fpidx_app").toString
     val idx = FingerprintIndex.build(docs.filter($"doc_id" < 200),

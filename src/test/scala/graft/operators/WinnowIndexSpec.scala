@@ -84,4 +84,26 @@ class WinnowIndexSpec extends AnyFunSuite with SparkSpec {
     assert(idx.maintenance().nDocs == 2L,
       "compaction must re-commit document counts, not fingerprint rows")
   }
+
+  test("vacuum on a doc-unit family: fold keeps DOCUMENT counts and the " +
+    "match set (commit-log arithmetic, no fp-row inflation)") {
+    val path = tmp("graft_widx_vac")
+    def doc(i: Long, prefix: String) =
+      (i, (1 to 12).map(k => s"$prefix$k").mkString(" "))
+    val idx = WinnowIndex.build(
+      Seq(doc(1L, "a")).toDF("id", "text"), "id", "text", path)
+    (2L to 4L).foreach(i => idx.append(
+      Seq(doc(i, ('a' + i.toInt - 1).toChar.toString)).toDF("id", "text"),
+      "id", "text"))
+    val probe = Seq(doc(10L, "b")).toDF("id", "text") // twin of doc 2
+    val before = idx.dedupBatch(probe, "id", "text")
+      .select($"corpus_id").as[Long].collect().toSet
+    assert(before == Set(2L))
+    assert(idx.vacuum(keepLast = 2) == 2, "epochs 0+1 (docs 1, 2) fold")
+    assert(idx.maintenance().nDocs == 4L,
+      "the fold's add row must carry the folded DOC count, not fp rows")
+    assert(idx.dedupBatch(probe, "id", "text")
+      .select($"corpus_id").as[Long].collect().toSet == Set(2L),
+      "a folded document keeps matching through the vacuumed layouts")
+  }
 }
