@@ -238,6 +238,34 @@ object GraftExtensions {
           tableArg("min_k_prob")(es(0)),
           strLit("min_k_prob", "idCol")(es(2)),
           textCol, model, frac))
+      }),
+    // EAGER like min_k_prob (training is driver state paid at analysis
+    // time) — these close the r14 gap where the ACTUAL quality-gate
+    // scorer (q145/q146 run perplexityKn) was unreachable from SQL while
+    // the add-k audit already was
+    ("perplexity_kn",
+      "perplexity_kn(TABLE(docs), TABLE(ref), idCol, textCol): per-doc bigram Kneser-Ney perplexity against an LM trained on ref",
+      4, es => {
+        val textCol = strLit("perplexity_kn", "textCol")(es(3))
+        val model = graft.text.NgramLm.trainKn(
+          tableArg("perplexity_kn")(es(1)), textCol)
+        val docs = tableArg("perplexity_kn")(es(0))
+        plan(docs.select(
+          org.apache.spark.sql.functions.col(strLit("perplexity_kn", "idCol")(es(2))),
+          graft.text.NgramLm.perplexityKn(
+            org.apache.spark.sql.functions.col(textCol), model).as("perplexity")))
+      }),
+    ("perplexity_kn3",
+      "perplexity_kn3(TABLE(docs), TABLE(ref), idCol, textCol): per-doc trigram Kneser-Ney perplexity against an LM trained on ref",
+      4, es => {
+        val textCol = strLit("perplexity_kn3", "textCol")(es(3))
+        val model = graft.text.NgramLm.trainKn3(
+          tableArg("perplexity_kn3")(es(1)), textCol)
+        val docs = tableArg("perplexity_kn3")(es(0))
+        plan(docs.select(
+          org.apache.spark.sql.functions.col(strLit("perplexity_kn3", "idCol")(es(2))),
+          graft.text.NgramLm.perplexityKn3(
+            org.apache.spark.sql.functions.col(textCol), model).as("perplexity")))
       }))
 
   /** Register the TABLE functions on an already-running session (the

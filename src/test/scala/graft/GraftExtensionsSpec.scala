@@ -130,6 +130,36 @@ class GraftExtensionsSpec extends AnyFunSuite {
         graft.text.NgramLm.train(spark.table("ext_docs"), "text"), 0.5)
       assert(mk.collect().toSeq == mkOp.collect().toSeq,
         "min_k_prob TVF must equal the operator with the same-trained LM")
+      // KN perplexity TVFs (r14 advisory #6): the actual quality-gate
+      // scorer, reachable from SQL, equal to the operator column
+      Seq((1L, "a b c a b c a b c"), (2L, "a b c x y z a b c"),
+        (3L, "c b a c b a c b a")).toDF("doc_id", "text")
+        .createOrReplaceTempView("ext_lm")
+      val pk = spark.sql(
+        """SELECT * FROM perplexity_kn(TABLE(ext_lm), TABLE(ext_lm),
+          |  'doc_id', 'text') ORDER BY doc_id""".stripMargin)
+        .as[(Long, Double)].collect().toSeq
+      val pkOp = spark.table("ext_lm").select($"doc_id",
+          graft.text.NgramLm.perplexityKn($"text",
+            graft.text.NgramLm.trainKn(spark.table("ext_lm"), "text"))
+            .as("perplexity"))
+        .orderBy($"doc_id").as[(Long, Double)].collect().toSeq
+      assert(pk == pkOp, "perplexity_kn TVF must equal the operator column")
+      assert(pk.forall(_._2 > 0.0), "perplexities are positive")
+      val pk3 = spark.sql(
+        """SELECT * FROM perplexity_kn3(TABLE(ext_lm), TABLE(ext_lm),
+          |  'doc_id', 'text') ORDER BY doc_id""".stripMargin)
+        .as[(Long, Double)].collect().toSeq
+      val pk3Op = spark.table("ext_lm").select($"doc_id",
+          graft.text.NgramLm.perplexityKn3($"text",
+            graft.text.NgramLm.trainKn3(spark.table("ext_lm"), "text"))
+            .as("perplexity"))
+        .orderBy($"doc_id").as[(Long, Double)].collect().toSeq
+      assert(pk3 == pk3Op, "perplexity_kn3 TVF must equal the operator column")
+      // the in-distribution doc scores lower (better) than the one with
+      // the unseen x y z bridge under BOTH orders
+      assert(pk.head._2 < pk(1)._2 && pk3.head._2 < pk3(1)._2,
+        s"memorized text must score lower perplexity; got kn=$pk kn3=$pk3")
 
       // loud failures: wrong arity, and a TABLE-arg spec that would
       // otherwise be silently dropped
