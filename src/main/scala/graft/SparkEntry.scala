@@ -962,6 +962,25 @@ object SparkEntry {
             .cast("long").as("ppl_x1e4"))
     }),
 
+    // q151 upgraded to MODIFIED Kneser-Ney (Chen & Goodman 1998, the
+    // KenLM production default): per-level d1/d2/d3+ discounts ESTIMATED
+    // from the level's count-of-count statistics (with the KenLM
+    // --discount_fallback branch when a bucket is empty — taken by the
+    // mid level at this corpus scale, and the twin replays the DECISION
+    // arithmetic, not just the value), backoff mass from per-history
+    // exact-count buckets N1/N2/N3+. Tables trained UNPRUNED (the n1
+    // bucket IS the estimator's input). Scoring is the same codegen'd
+    // zero-Exchange scan (plan-guarded in NgramLmSpec).
+    "q157_kn3_mod_perplexity" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val model = text.NgramLm.trainKn3Mod(
+        docs.filter(col("doc_id") % 4 =!= 0), "text", maxVocab = 256)
+      docs.filter(col("doc_id") % 4 === 0)
+        .select(col("doc_id").cast("long").as("id"),
+          round(text.NgramLm.perplexityKn3Mod(col("text"), model) * 10000)
+            .cast("long").as("ppl_x1e4"))
+    }),
+
     // Token-entropy lexical diversity (the information-scale companion to
     // q43's repetition ratios): per-doc Shannon entropy over the token
     // histogram, computed as a fixed-order per-row fold with ZERO shuffle
@@ -3904,6 +3923,155 @@ object SparkEntry {
         |          END)
         |    END) AS nll
         |  FROM tok CROSS JOIN tot CROSS JOIN mt
+        |  LEFT JOIN th h ON h.h2 = tok.prev2 || ' ' || tok.prev
+        |  LEFT JOIN mh m ON m.v = tok.prev
+        |  LEFT JOIN cont cn ON cn.w = tok.w
+        |  LEFT JOIN tri tg ON tg.g = tok.prev2 || ' ' || tok.prev || ' ' || tok.w
+        |  LEFT JOIN mid md ON md.m = tok.prev || ' ' || tok.w),
+        |agg AS (
+        |  SELECT doc_id, pow(2.0, sum(nll) / count(*)) AS ppl
+        |  FROM sc GROUP BY doc_id)
+        |SELECT CAST(t.doc_id AS BIGINT) AS id,
+        |  CAST(round(COALESCE(a.ppl, 0.0) * 10000) AS BIGINT) AS ppl_x1e4
+        |FROM tgt t LEFT JOIN agg a USING (doc_id)""".stripMargin,
+
+    // q151's replay upgraded to modified KN: the UNPRUNED trigram table,
+    // per-level count-of-counts -> Chen-Goodman estimates with the KenLM
+    // fallback CASE (the twin replays the decision, so a bucket emptying
+    // at a different sf flips both engines together), per-history exact-
+    // count buckets feeding the backoff mass, and the three-level scorer
+    // with per-count discounts — every double op in the kernel's exact
+    // association.
+    "q157_kn3_mod_perplexity" ->
+      """WITH ref AS (
+        |  SELECT list_filter(string_split(text, ' '), x -> x <> '') AS t
+        |  FROM documents WHERE doc_id % 4 <> 0),
+        |tot AS (
+        |  SELECT CAST(least(count(DISTINCT u.w), 256) AS BIGINT) AS v
+        |  FROM ref, UNNEST(ref.t) AS u(w) WHERE u.w <> ''),
+        |tri AS MATERIALIZED (
+        |  SELECT array_to_string(t[i:i+2], ' ') AS g,
+        |         CAST(count(*) AS BIGINT) AS c
+        |  FROM ref, UNNEST(generate_series(1, len(t) - 2)) AS u(i)
+        |  GROUP BY 1),
+        |tdisc AS (
+        |  SELECT CASE WHEN ok THEN e1 ELSE 0.5 END AS d1,
+        |         CASE WHEN ok THEN e2 ELSE 1.0 END AS d2,
+        |         CASE WHEN ok THEN e3 ELSE 1.5 END AS d3
+        |  FROM (
+        |    SELECT e1, e2, e3,
+        |      e1 IS NOT NULL AND e1 > 0 AND e1 < 1 AND e2 > 0 AND e2 < 2
+        |        AND e3 > 0 AND e3 < 3 AS ok
+        |    FROM (
+        |      SELECT
+        |        CASE WHEN n1 > 0 AND n2 > 0 AND n3 > 0 AND n4 > 0
+        |          THEN 1.0 - 2.0*(n1/(n1+2.0*n2))*(n2/n1) END AS e1,
+        |        CASE WHEN n1 > 0 AND n2 > 0 AND n3 > 0 AND n4 > 0
+        |          THEN 2.0 - 3.0*(n1/(n1+2.0*n2))*(n3/n2) END AS e2,
+        |        CASE WHEN n1 > 0 AND n2 > 0 AND n3 > 0 AND n4 > 0
+        |          THEN 3.0 - 4.0*(n1/(n1+2.0*n2))*(n4/n3) END AS e3
+        |      FROM (
+        |        SELECT CAST(count(*) FILTER (WHERE c = 1) AS DOUBLE) AS n1,
+        |               CAST(count(*) FILTER (WHERE c = 2) AS DOUBLE) AS n2,
+        |               CAST(count(*) FILTER (WHERE c = 3) AS DOUBLE) AS n3,
+        |               CAST(count(*) FILTER (WHERE c = 4) AS DOUBLE) AS n4
+        |        FROM tri)))),
+        |th AS (
+        |  SELECT array_to_string(string_split(g, ' ')[1:2], ' ') AS h2,
+        |         CAST(sum(c) AS BIGINT) AS ct,
+        |         CAST(count(*) FILTER (WHERE c = 1) AS DOUBLE) AS n1h,
+        |         CAST(count(*) FILTER (WHERE c = 2) AS DOUBLE) AS n2h,
+        |         CAST(count(*) FILTER (WHERE c >= 3) AS DOUBLE) AS n3ph
+        |  FROM tri GROUP BY 1),
+        |mid AS MATERIALIZED (
+        |  SELECT array_to_string(string_split(g, ' ')[2:3], ' ') AS m,
+        |         CAST(count(*) AS BIGINT) AS c
+        |  FROM tri GROUP BY 1),
+        |mdisc AS (
+        |  SELECT CASE WHEN ok THEN e1 ELSE 0.5 END AS d1,
+        |         CASE WHEN ok THEN e2 ELSE 1.0 END AS d2,
+        |         CASE WHEN ok THEN e3 ELSE 1.5 END AS d3
+        |  FROM (
+        |    SELECT e1, e2, e3,
+        |      e1 IS NOT NULL AND e1 > 0 AND e1 < 1 AND e2 > 0 AND e2 < 2
+        |        AND e3 > 0 AND e3 < 3 AS ok
+        |    FROM (
+        |      SELECT
+        |        CASE WHEN n1 > 0 AND n2 > 0 AND n3 > 0 AND n4 > 0
+        |          THEN 1.0 - 2.0*(n1/(n1+2.0*n2))*(n2/n1) END AS e1,
+        |        CASE WHEN n1 > 0 AND n2 > 0 AND n3 > 0 AND n4 > 0
+        |          THEN 2.0 - 3.0*(n1/(n1+2.0*n2))*(n3/n2) END AS e2,
+        |        CASE WHEN n1 > 0 AND n2 > 0 AND n3 > 0 AND n4 > 0
+        |          THEN 3.0 - 4.0*(n1/(n1+2.0*n2))*(n4/n3) END AS e3
+        |      FROM (
+        |        SELECT CAST(count(*) FILTER (WHERE c = 1) AS DOUBLE) AS n1,
+        |               CAST(count(*) FILTER (WHERE c = 2) AS DOUBLE) AS n2,
+        |               CAST(count(*) FILTER (WHERE c = 3) AS DOUBLE) AS n3,
+        |               CAST(count(*) FILTER (WHERE c = 4) AS DOUBLE) AS n4
+        |        FROM mid)))),
+        |mh AS (
+        |  SELECT string_split(m, ' ')[1] AS v,
+        |         CAST(sum(c) AS BIGINT) AS ct,
+        |         CAST(count(*) FILTER (WHERE c = 1) AS DOUBLE) AS n1h,
+        |         CAST(count(*) FILTER (WHERE c = 2) AS DOUBLE) AS n2h,
+        |         CAST(count(*) FILTER (WHERE c >= 3) AS DOUBLE) AS n3ph
+        |  FROM mid GROUP BY 1),
+        |cont AS (
+        |  SELECT string_split(m, ' ')[2] AS w, CAST(count(*) AS BIGINT) AS cc
+        |  FROM mid GROUP BY 1),
+        |mt AS (SELECT CAST(count(*) AS BIGINT) AS b FROM mid),
+        |tgt AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+        |  FROM documents WHERE doc_id % 4 = 0),
+        |tok AS (
+        |  SELECT doc_id, i, t[i] AS w,
+        |         CASE WHEN i > 1 THEN t[i-1] END AS prev,
+        |         CASE WHEN i > 2 THEN t[i-2] END AS prev2
+        |  FROM tgt, UNNEST(generate_series(1, len(t))) AS u(i)
+        |  WHERE t[i] <> ''),
+        |sc AS (
+        |  SELECT tok.doc_id,
+        |    -log2(CASE
+        |      WHEN tok.prev2 IS NULL OR h.ct IS NULL THEN
+        |        CASE WHEN tok.prev IS NULL OR m.ct IS NULL THEN
+        |          (CAST(COALESCE(cn.cc, 0) AS DOUBLE) + 0.1) /
+        |            (CAST(mt.b AS DOUBLE) + 0.1 * CAST(tot.v AS DOUBLE))
+        |        ELSE
+        |          greatest(CAST(COALESCE(md.c, 0) AS DOUBLE) -
+        |            CASE WHEN COALESCE(md.c, 0) = 0 THEN 0.0
+        |                 WHEN md.c = 1 THEN mdisc.d1
+        |                 WHEN md.c = 2 THEN mdisc.d2
+        |                 ELSE mdisc.d3 END, 0.0) / m.ct +
+        |          ((mdisc.d1 * m.n1h + mdisc.d2 * m.n2h + mdisc.d3 * m.n3ph)
+        |            / m.ct) *
+        |            ((CAST(COALESCE(cn.cc, 0) AS DOUBLE) + 0.1) /
+        |             (CAST(mt.b AS DOUBLE) + 0.1 * CAST(tot.v AS DOUBLE)))
+        |        END
+        |      ELSE
+        |        greatest(CAST(COALESCE(tg.c, 0) AS DOUBLE) -
+        |          CASE WHEN COALESCE(tg.c, 0) = 0 THEN 0.0
+        |               WHEN tg.c = 1 THEN tdisc.d1
+        |               WHEN tg.c = 2 THEN tdisc.d2
+        |               ELSE tdisc.d3 END, 0.0) / h.ct +
+        |        ((tdisc.d1 * h.n1h + tdisc.d2 * h.n2h + tdisc.d3 * h.n3ph)
+        |          / h.ct) *
+        |          (CASE WHEN m.ct IS NULL THEN
+        |            (CAST(COALESCE(cn.cc, 0) AS DOUBLE) + 0.1) /
+        |              (CAST(mt.b AS DOUBLE) + 0.1 * CAST(tot.v AS DOUBLE))
+        |          ELSE
+        |            greatest(CAST(COALESCE(md.c, 0) AS DOUBLE) -
+        |              CASE WHEN COALESCE(md.c, 0) = 0 THEN 0.0
+        |                   WHEN md.c = 1 THEN mdisc.d1
+        |                   WHEN md.c = 2 THEN mdisc.d2
+        |                   ELSE mdisc.d3 END, 0.0) / m.ct +
+        |            ((mdisc.d1 * m.n1h + mdisc.d2 * m.n2h + mdisc.d3 * m.n3ph)
+        |              / m.ct) *
+        |              ((CAST(COALESCE(cn.cc, 0) AS DOUBLE) + 0.1) /
+        |               (CAST(mt.b AS DOUBLE) + 0.1 * CAST(tot.v AS DOUBLE)))
+        |          END)
+        |    END) AS nll
+        |  FROM tok CROSS JOIN tot CROSS JOIN mt
+        |  CROSS JOIN tdisc CROSS JOIN mdisc
         |  LEFT JOIN th h ON h.h2 = tok.prev2 || ' ' || tok.prev
         |  LEFT JOIN mh m ON m.v = tok.prev
         |  LEFT JOIN cont cn ON cn.w = tok.w

@@ -262,6 +262,97 @@ object LmUtil {
     math.pow(2.0, h / words.length)
   }
 
+  /** MODIFIED-KN trigram scorer (Chen & Goodman 1998): per-count
+    * discounts D(1)=d1, D(2)=d2, D(>=3)=d3 with backoff mass
+    * γ(h) = (d1·N1(h) + d2·N2(h) + d3·N3+(h)) / c(h); per-history Nr
+    * arrive packed (N1 | N2<<21 | N3+<<42). Same three-level chain and
+    * IEEE op order as [[lpsKn3]] otherwise, so the DuckDB twin replays
+    * the arithmetic exactly.
+    */
+  private def lpsKn3Mod(
+      words: Array[String],
+      trigrams: java.util.HashMap[String, java.lang.Long],
+      triHistTotals: java.util.HashMap[String, java.lang.Long],
+      triHistN: java.util.HashMap[String, java.lang.Long],
+      midCounts: java.util.HashMap[String, java.lang.Long],
+      midHistTotals: java.util.HashMap[String, java.lang.Long],
+      midHistN: java.util.HashMap[String, java.lang.Long],
+      contCounts: java.util.HashMap[String, java.lang.Long],
+      mTypes: Long,
+      vocabSize: Int,
+      td1: Double, td2: Double, td3: Double,
+      md1: Double, md2: Double, md3: Double,
+      k: Double): Array[Double] = {
+    def disc(c: Long, d1: Double, d2: Double, d3: Double): Double =
+      if (c <= 0L) 0.0 else if (c == 1L) d1 else if (c == 2L) d2 else d3
+    def gammaNum(packed: Long, d1: Double, d2: Double, d3: Double): Double = {
+      val m = (1L << 21) - 1
+      d1 * (packed & m) + d2 * ((packed >> 21) & m) + d3 * ((packed >> 42) & m)
+    }
+    val out = new Array[Double](words.length)
+    val denomBase = mTypes + k * vocabSize
+    var i = 0
+    var prev: String = null
+    var prev2: String = null
+    while (i < words.length) {
+      val w = words(i)
+      val cc = contCounts.get(w)
+      val base = ((if (cc == null) 0L else cc.longValue()) + k) / denomBase
+      val mh = if (prev == null) null else midHistTotals.get(prev)
+      val mid =
+        if (mh == null) base
+        else {
+          val mc = midCounts.get(prev + " " + w)
+          val c = if (mc == null) 0L else mc.longValue()
+          val num = gammaNum(midHistN.get(prev).longValue(), md1, md2, md3)
+          math.max(c - disc(c, md1, md2, md3), 0.0) / mh.longValue() +
+            (num / mh.longValue()) * base
+        }
+      val th = if (prev2 == null) null
+        else triHistTotals.get(prev2 + " " + prev)
+      val p =
+        if (th == null) mid
+        else {
+          val tc = trigrams.get(prev2 + " " + prev + " " + w)
+          val c = if (tc == null) 0L else tc.longValue()
+          val num = gammaNum(triHistN.get(prev2 + " " + prev).longValue(),
+            td1, td2, td3)
+          math.max(c - disc(c, td1, td2, td3), 0.0) / th.longValue() +
+            (num / th.longValue()) * mid
+        }
+      out(i) = math.log(p) / math.log(2.0)
+      prev2 = prev
+      prev = w
+      i += 1
+    }
+    out
+  }
+
+  def perplexityKn3Mod(
+      text: UTF8String,
+      trigrams: java.util.HashMap[String, java.lang.Long],
+      triHistTotals: java.util.HashMap[String, java.lang.Long],
+      triHistN: java.util.HashMap[String, java.lang.Long],
+      midCounts: java.util.HashMap[String, java.lang.Long],
+      midHistTotals: java.util.HashMap[String, java.lang.Long],
+      midHistN: java.util.HashMap[String, java.lang.Long],
+      contCounts: java.util.HashMap[String, java.lang.Long],
+      mTypes: Long,
+      vocabSize: Int,
+      td1: Double, td2: Double, td3: Double,
+      md1: Double, md2: Double, md3: Double,
+      k: Double): Double = {
+    val words = text.toString.split("\\s+").filter(_.nonEmpty)
+    if (words.isEmpty) return 0.0
+    val arr = lpsKn3Mod(words, trigrams, triHistTotals, triHistN,
+      midCounts, midHistTotals, midHistN, contCounts, mTypes,
+      vocabSize, td1, td2, td3, md1, md2, md3, k)
+    var h = 0.0
+    var i = 0
+    while (i < arr.length) { h += -arr(i); i += 1 }
+    math.pow(2.0, h / words.length)
+  }
+
   /** Per-token log2 probabilities under the same add-k bigram model as
     * [[LmUtil.perplexity]] (the SAME kernel — perplexity is 2^(-mean) of
     * this by construction, enforced by sharing [[lps]]). One double per
@@ -480,6 +571,63 @@ case class LmPerplexity(
       val bi = ctx.addReferenceObj("lmBigrams", bigrams, "java.util.HashMap")
       s"${ev.value} = graft.functions.LmUtil.perplexity($str, $uni, $bi, " +
         s"$vocabSize, ${totalTokens}L, $k);"
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** lm_kn3_mod_perplexity(text) -> double: MODIFIED Kneser–Ney trigram
+  * perplexity (Chen & Goodman 1998 estimated d1/d2/d3+ discounts, per-
+  * history packed continuation buckets) — the production-KenLM upgrade of
+  * [[LmKn3Perplexity]]. Same codegen'd shuffle-free scan shape.
+  */
+case class LmKn3ModPerplexity(
+    child: Expression,
+    trigrams: java.util.HashMap[String, java.lang.Long],
+    triHistTotals: java.util.HashMap[String, java.lang.Long],
+    triHistN: java.util.HashMap[String, java.lang.Long],
+    midCounts: java.util.HashMap[String, java.lang.Long],
+    midHistTotals: java.util.HashMap[String, java.lang.Long],
+    midHistN: java.util.HashMap[String, java.lang.Long],
+    contCounts: java.util.HashMap[String, java.lang.Long],
+    mTypes: Long,
+    vocabSize: Int,
+    triD1: Double, triD2: Double, triD3: Double,
+    midD1: Double, midD2: Double, midD3: Double,
+    k: Double) extends UnaryExpression {
+  require(vocabSize > 0 && mTypes > 0 && k > 0 &&
+    triD1 > 0 && triD1 < 1 && triD2 > 0 && triD2 < 2 && triD3 > 0 && triD3 < 3 &&
+    midD1 > 0 && midD1 < 1 && midD2 > 0 && midD2 < 2 && midD3 > 0 && midD3 < 3,
+    s"bad modified-KN3 parameters: V=$vocabSize M=$mTypes k=$k " +
+      s"tri=($triD1,$triD2,$triD3) mid=($midD1,$midD2,$midD3)")
+
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "lm_kn3_mod_perplexity"
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    LmUtil.perplexityKn3Mod(v.asInstanceOf[UTF8String], trigrams,
+      triHistTotals, triHistN, midCounts, midHistTotals, midHistN,
+      contCounts, mTypes, vocabSize, triD1, triD2, triD3,
+      midD1, midD2, midD3, k)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, str => {
+      val tg = ctx.addReferenceObj("kn3mTrigrams", trigrams, "java.util.HashMap")
+      val tht = ctx.addReferenceObj("kn3mTriHistTotals", triHistTotals, "java.util.HashMap")
+      val thn = ctx.addReferenceObj("kn3mTriHistN", triHistN, "java.util.HashMap")
+      val mc = ctx.addReferenceObj("kn3mMidCounts", midCounts, "java.util.HashMap")
+      val mht = ctx.addReferenceObj("kn3mMidHistTotals", midHistTotals, "java.util.HashMap")
+      val mhn = ctx.addReferenceObj("kn3mMidHistN", midHistN, "java.util.HashMap")
+      val cc = ctx.addReferenceObj("kn3mContCounts", contCounts, "java.util.HashMap")
+      s"${ev.value} = graft.functions.LmUtil.perplexityKn3Mod($str, $tg, " +
+        s"$tht, $thn, $mc, $mht, $mhn, $cc, ${mTypes}L, $vocabSize, " +
+        s"$triD1, $triD2, $triD3, $midD1, $midD2, $midD3, $k);"
     })
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)

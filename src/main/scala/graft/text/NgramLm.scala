@@ -239,6 +239,165 @@ object NgramLm {
       vocabSize, d, k)
   }
 
+  /** [[Kn3Model]] upgraded to MODIFIED Kneser–Ney (Chen & Goodman 1998;
+    * the KenLM production default — public knowledge): three per-level
+    * discounts d1/d2/d3+ ESTIMATED from the level's count-of-count
+    * statistics instead of one fixed d, with the backoff mass
+    * γ(h) = (d1·N1(h) + d2·N2(h) + d3·N3+(h)) / c(h) where Nr(h) counts
+    * continuations of h seen exactly r times (N3+ at least 3). Per-history
+    * Nr ride ONE packed long per history (N1 | N2<<21 | N3+<<42 — each
+    * bucket < 2^21, enforced at train). Tables are trained UNPRUNED
+    * (minTrigramCount = 1): the n1 bucket IS the singleton mass the
+    * estimator needs, so pruning it away would degenerate Y = n1/(n1+2n2).
+    * Deterministic end to end — an external engine replays training
+    * exactly, the q151 discipline with estimated discounts.
+    */
+  case class Kn3ModModel(
+      trigrams: java.util.HashMap[String, java.lang.Long],
+      triHistTotals: java.util.HashMap[String, java.lang.Long],
+      triHistN: java.util.HashMap[String, java.lang.Long],
+      midCounts: java.util.HashMap[String, java.lang.Long],
+      midHistTotals: java.util.HashMap[String, java.lang.Long],
+      midHistN: java.util.HashMap[String, java.lang.Long],
+      contCounts: java.util.HashMap[String, java.lang.Long],
+      mTypes: Long,
+      vocabSize: Int,
+      triD1: Double, triD2: Double, triD3: Double,
+      midD1: Double, midD2: Double, midD3: Double,
+      k: Double)
+
+  /** Chen–Goodman discount estimates from a level's count distribution:
+    * Y = n1/(n1 + 2 n2); d_r = r − (r+1)·Y·n_{r+1}/n_r for r = 1, 2, 3.
+    * When a count-of-count bucket is empty or an estimate leaves (0, r) —
+    * routine at small-corpus scale (a level's n4 bucket empties first) —
+    * the WHOLE level falls back to (0.5, 1.0, 1.5), exactly KenLM's
+    * `--discount_fallback` defaults (public knowledge), with a WARN. The
+    * branch is pure arithmetic over the count-of-counts, so an external
+    * engine replays the decision deterministically (the q157 twin does).
+    */
+  private[graft] def estimateDiscounts(
+      counts: java.util.Collection[java.lang.Long]): (Double, Double, Double) = {
+    var n1 = 0L; var n2 = 0L; var n3 = 0L; var n4 = 0L
+    val it = counts.iterator()
+    while (it.hasNext) {
+      it.next().longValue() match {
+        case 1L => n1 += 1
+        case 2L => n2 += 1
+        case 3L => n3 += 1
+        case 4L => n4 += 1
+        case _ => ()
+      }
+    }
+    if (n1 > 0 && n2 > 0 && n3 > 0 && n4 > 0) {
+      val y = n1.toDouble / (n1.toDouble + 2.0 * n2.toDouble)
+      val d1 = 1.0 - 2.0 * y * (n2.toDouble / n1.toDouble)
+      val d2 = 2.0 - 3.0 * y * (n3.toDouble / n2.toDouble)
+      val d3 = 3.0 - 4.0 * y * (n4.toDouble / n3.toDouble)
+      if (d1 > 0 && d1 < 1 && d2 > 0 && d2 < 2 && d3 > 0 && d3 < 3)
+        return (d1, d2, d3)
+    }
+    log.warn(s"count-of-counts cannot support estimated discounts " +
+      s"(n1=$n1 n2=$n2 n3=$n3 n4=$n4): level falls back to " +
+      "(0.5, 1.0, 1.5), the KenLM --discount_fallback defaults")
+    (0.5, 1.0, 1.5)
+  }
+
+  private lazy val log = org.slf4j.LoggerFactory.getLogger("graft.NgramLm")
+
+  private def packN(n1: Long, n2: Long, n3p: Long): Long = {
+    require(n1 < (1L << 21) && n2 < (1L << 21) && n3p < (1L << 21),
+      s"per-history continuation bucket overflows 2^21 ($n1/$n2/$n3p)")
+    n1 | (n2 << 21) | (n3p << 42)
+  }
+
+  /** Train the MODIFIED-KN upgrade of [[trainKn3]]. Same scale shape (one
+    * distributed vocab count + one trigram aggregation, driver statistics
+    * under the fail-fast cap) — the trigram table is collected UNPRUNED,
+    * which the cap must absorb (27k distinct trigrams at the sf0.1 bench
+    * corpus vs the 2M default cap; raise `maxTrigrams` or fall back to
+    * [[trainKn3]] when a corpus genuinely needs pruning, trading the
+    * estimator's n1 bucket away deliberately).
+    */
+  def trainKn3Mod(
+      docs: DataFrame,
+      textCol: String,
+      maxVocab: Int = 65536,
+      k: Double = 0.1,
+      maxTrigrams: Int = DefaultMaxBigrams): Kn3ModModel = {
+    val toks = docs.select(explode(split(col(textCol), "\\s+")).as("w"))
+      .filter(col("w") =!= "")
+    val vocabSize = math.min(
+      toks.agg(countDistinct(col("w"))).head().getLong(0),
+      maxVocab.toLong).toInt
+    require(vocabSize > 0, "empty training corpus")
+    val triLimit = math.min(maxTrigrams.toLong + 1, Int.MaxValue.toLong).toInt
+    val triRows = docs
+      .select(explode(graft.operators.Curation.tokenNgrams(
+        trim(regexp_replace(col(textCol), "\\s+", " ")), 3)).as("g"))
+      .groupBy(col("g")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("g").asc)
+      .limit(triLimit).collect()
+    require(triRows.length <= maxTrigrams,
+      s"unpruned trigram table exceeds maxTrigrams=$maxTrigrams; raise the " +
+        "cap or use trainKn3 (pruned, fixed d)")
+    require(triRows.nonEmpty, "modified KN needs a nonempty trigram table")
+    val trigrams = new java.util.HashMap[String, java.lang.Long](triRows.length * 2)
+    val triHistTotals = new java.util.HashMap[String, java.lang.Long]()
+    val midCounts = new java.util.HashMap[String, java.lang.Long]()
+    // per-history bucket tallies before packing
+    val triN1 = new java.util.HashMap[String, Array[Long]]()
+    triRows.foreach { r =>
+      val g = r.getString(0)
+      val c = r.getLong(1)
+      trigrams.put(g, c)
+      val s1 = g.indexOf(' ')
+      val s2 = g.indexOf(' ', s1 + 1)
+      val h2 = g.substring(0, s2)
+      val vw = g.substring(s1 + 1)
+      val ht = triHistTotals.get(h2)
+      triHistTotals.put(h2, (if (ht == null) 0L else ht.longValue()) + c)
+      val buckets = triN1.computeIfAbsent(h2, _ => new Array[Long](3))
+      buckets(math.min(c, 3L).toInt - 1) += 1
+      val mc = midCounts.get(vw)
+      midCounts.put(vw, (if (mc == null) 0L else mc.longValue()) + 1L)
+    }
+    val (td1, td2, td3) = estimateDiscounts(trigrams.values())
+    val triHistN = new java.util.HashMap[String, java.lang.Long](triN1.size() * 2)
+    triN1.forEach((h, b) => triHistN.put(h, packN(b(0), b(1), b(2))))
+    val midHistTotals = new java.util.HashMap[String, java.lang.Long]()
+    val midN = new java.util.HashMap[String, Array[Long]]()
+    val contCounts = new java.util.HashMap[String, java.lang.Long]()
+    val it = midCounts.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val vw = e.getKey
+      val sp = vw.indexOf(' ')
+      val v = vw.substring(0, sp)
+      val w = vw.substring(sp + 1)
+      val mt = midHistTotals.get(v)
+      midHistTotals.put(v, (if (mt == null) 0L else mt.longValue()) + e.getValue.longValue())
+      val buckets = midN.computeIfAbsent(v, _ => new Array[Long](3))
+      buckets(math.min(e.getValue.longValue(), 3L).toInt - 1) += 1
+      val cc = contCounts.get(w)
+      contCounts.put(w, (if (cc == null) 0L else cc.longValue()) + 1L)
+    }
+    val (md1, md2, md3) = estimateDiscounts(midCounts.values())
+    val midHistN = new java.util.HashMap[String, java.lang.Long](midN.size() * 2)
+    midN.forEach((h, b) => midHistN.put(h, packN(b(0), b(1), b(2))))
+    Kn3ModModel(trigrams, triHistTotals, triHistN, midCounts, midHistTotals,
+      midHistN, contCounts, midCounts.size().toLong, vocabSize,
+      td1, td2, td3, md1, md2, md3, k)
+  }
+
+  /** Modified-KN trigram perplexity column (codegen'd, no shuffle). */
+  def perplexityKn3Mod(text: Column, model: Kn3ModModel): Column =
+    Bridge.column(graft.functions.LmKn3ModPerplexity(Bridge.expression(text),
+      model.trigrams, model.triHistTotals, model.triHistN,
+      model.midCounts, model.midHistTotals, model.midHistN,
+      model.contCounts, model.mTypes, model.vocabSize,
+      model.triD1, model.triD2, model.triD3,
+      model.midD1, model.midD2, model.midD3, model.k))
+
   /** Trigram-KN perplexity column (codegen'd, no shuffle). */
   def perplexityKn3(text: Column, model: Kn3Model): Column =
     Bridge.column(graft.functions.LmKn3Perplexity(Bridge.expression(text),

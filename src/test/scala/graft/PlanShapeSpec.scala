@@ -382,6 +382,14 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
       s"the codegen'd kernel must appear in-plan:\n$p")
   }
 
+  test("q157: modified-KN scoring keeps q151's shuffle-free scan shape") {
+    val p = plan("q157_kn3_mod_perplexity")
+    assert(!p.contains("Exchange"),
+      s"mod-KN3 scoring must not shuffle (model is broadcast in-expression):\n$p")
+    assert(p.contains("lm_kn3_mod_perplexity"),
+      s"the codegen'd kernel must appear in-plan:\n$p")
+  }
+
   test("q137: heavy-hitter pass 2 filters candidates scan-side (InSet), " +
       "then partial-aggregates a bounded key set") {
     val p = plan("q137_heavy_hitters")

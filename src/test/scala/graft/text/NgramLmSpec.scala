@@ -86,6 +86,87 @@ class NgramLmSpec extends AnyFunSuite with SparkSpec {
     assert(math.abs(got2 - want2) < 1e-12, s"got $got2 want $want2")
   }
 
+  test("modified KN: Chen-Goodman discount estimates are exact arithmetic") {
+    // counts [1,1,1,2,2,3,4]: n1=3 n2=2 n3=1 n4=1; Y = 3/7;
+    // d1 = 1 - 2*(3/7)*(2/3) = 3/7; d2 = 2 - 3*(3/7)*(1/2) = 19/14;
+    // d3 = 3 - 4*(3/7)*(1/1) = 9/7
+    val counts = new java.util.ArrayList[java.lang.Long]()
+    Seq(1L, 1L, 1L, 2L, 2L, 3L, 4L).foreach(c => counts.add(c))
+    val (d1, d2, d3) = NgramLm.estimateDiscounts(counts)
+    val y = 3.0 / (3.0 + 2.0 * 2.0)
+    assert(d1 == 1.0 - 2.0 * y * (2.0 / 3.0))
+    assert(d2 == 2.0 - 3.0 * y * (1.0 / 2.0))
+    assert(d3 == 3.0 - 4.0 * y * (1.0 / 1.0))
+    // degenerate bucket: the level falls back to KenLM's
+    // --discount_fallback defaults (deterministic, twin-replayable)
+    val bad = new java.util.ArrayList[java.lang.Long]()
+    Seq(1L, 2L, 3L).foreach(c => bad.add(c)) // n4 = 0
+    assert(NgramLm.estimateDiscounts(bad) == ((0.5, 1.0, 1.5)))
+  }
+
+  test("modified KN: trained discounts + per-history buckets replay a " +
+    "hand-scored chain; memorized < held-out < junk; no shuffle") {
+    val ref = docs.filter($"doc_id" < 400)
+    val m = NgramLm.trainKn3Mod(ref, "text", maxVocab = 256)
+    // estimated discounts are in their legal ranges and differ per level
+    assert(m.triD1 > 0 && m.triD1 < 1 && m.triD2 > 0 && m.triD2 < 2 &&
+      m.triD3 > 0 && m.triD3 < 3)
+    assert(m.midD1 > 0 && m.midD1 < 1)
+    // hand-replay ONE scored document against the model tables: the
+    // kernel's arithmetic is pinned by recomputing p(w|h) in test Scala
+    // from the same maps (same op order) for the first 3 tokens
+    val doc = docs.filter($"doc_id" === 400).select($"text").head.getString(0)
+    val words = doc.split("\\s+").filter(_.nonEmpty).take(3)
+    def disc(c: Long, d1: Double, d2: Double, d3: Double) =
+      if (c <= 0) 0.0 else if (c == 1) d1 else if (c == 2) d2 else d3
+    def unpack(p: Long) = {
+      val msk = (1L << 21) - 1
+      ((p & msk).toDouble, ((p >> 21) & msk).toDouble, ((p >> 42) & msk).toDouble)
+    }
+    def base(w: String) = {
+      val cc = Option(m.contCounts.get(w)).map(_.longValue()).getOrElse(0L)
+      (cc + m.k) / (m.mTypes + m.k * m.vocabSize)
+    }
+    def midLvl(v: String, w: String) = Option(m.midHistTotals.get(v)) match {
+      case None => base(w)
+      case Some(ct) =>
+        val c = Option(m.midCounts.get(v + " " + w)).map(_.longValue()).getOrElse(0L)
+        val (n1, n2, n3p) = unpack(m.midHistN.get(v).longValue())
+        math.max(c - disc(c, m.midD1, m.midD2, m.midD3), 0.0) / ct.longValue() +
+          ((m.midD1 * n1 + m.midD2 * n2 + m.midD3 * n3p) / ct.longValue()) * base(w)
+    }
+    def triLvl(u: String, v: String, w: String) =
+      Option(m.triHistTotals.get(u + " " + v)) match {
+        case None => midLvl(v, w)
+        case Some(ct) =>
+          val c = Option(m.trigrams.get(u + " " + v + " " + w))
+            .map(_.longValue()).getOrElse(0L)
+          val (n1, n2, n3p) = unpack(m.triHistN.get(u + " " + v).longValue())
+          math.max(c - disc(c, m.triD1, m.triD2, m.triD3), 0.0) / ct.longValue() +
+            ((m.triD1 * n1 + m.triD2 * n2 + m.triD3 * n3p) / ct.longValue()) *
+              midLvl(v, w)
+      }
+    def l2(x: Double) = math.log(x) / math.log(2.0)
+    val want = math.pow(2.0, -(l2(base(words(0))) + l2(midLvl(words(0), words(1))) +
+      l2(triLvl(words(0), words(1), words(2)))) / 3.0)
+    val got = Seq(Tuple1(words.mkString(" "))).toDF("text")
+      .select(NgramLm.perplexityKn3Mod($"text", m)).head().getDouble(0)
+    assert(math.abs(got - want) < 1e-12, s"got $got want $want")
+    // ordering contract + plan shape
+    val memorized = ref.limit(50)
+      .agg(avg(NgramLm.perplexityKn3Mod($"text", m))).head().getDouble(0)
+    val held = docs.filter($"doc_id" >= 400)
+      .select(NgramLm.perplexityKn3Mod($"text", m).as("p"))
+    val heldMean = held.agg(avg($"p")).head().getDouble(0)
+    val junk = Seq(Tuple1("zq xv qqj wq zzk vvx jjq kqz")).toDF("text")
+      .select(NgramLm.perplexityKn3Mod($"text", m)).head().getDouble(0)
+    assert(memorized < heldMean && heldMean < junk,
+      s"memorized=$memorized < held=$heldMean < junk=$junk must hold")
+    val plan = held.queryExecution.executedPlan.toString()
+    assert(!plan.contains("Exchange"), s"mod-KN3 scoring must not shuffle:\n$plan")
+    assert(plan.contains("lm_kn3_mod_perplexity"), "kernel must be in-plan")
+  }
+
   test("trigram KN separates in-domain from junk and plans no shuffle") {
     val kn3 = NgramLm.trainKn3(docs.filter($"doc_id" < 400), "text",
       maxVocab = 256, minTrigramCount = 2)
