@@ -30,12 +30,13 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
   */
 object IndexSweepProbe {
   def main(args: Array[String]): Unit = {
-    // modes: (warm sweep default) | cold | cold_text | cold_embed —
-    // the _text/_embed splits let one leg re-run in isolation (arbitrating
-    // a suspect number without paying the other leg's builds)
+    // modes: (warm sweep default) | cold | cold_text | cold_embed | audio —
+    // the splits let one leg re-run in isolation (arbitrating a suspect
+    // number without paying the other legs' builds)
     val mode = args.headOption.getOrElse("")
     val cold = mode.startsWith("cold")
-    val rest = if (cold) args.drop(1) else args
+    val audioOnly = mode == "audio"
+    val rest = if (cold || audioOnly) args.drop(1) else args
     val scales = if (rest.nonEmpty) rest.toSeq.map(_.toInt)
                  else if (cold) Seq(2000000)
                  else Seq(25000, 100000, 400000)
@@ -52,11 +53,92 @@ object IndexSweepProbe {
       if (mode != "cold_embed") runCold(spark, n, batchN)
       if (mode != "cold_text") runColdEmbed(spark, n * 5, batchN)
     }
+    else if (audioOnly) scales.foreach(runAudioScale(spark, _, batchN))
     else {
       scales.foreach(runScale(spark, _, batchN))
       scales.foreach(runEmbedScale(spark, _, batchN))
+      scales.foreach(runAudioScale(spark, _, batchN))
     }
     spark.stop()
+  }
+
+  /** Media-modality leg (r14 advisory #8): the [[graft.multimodal
+    * .AudioIndex]] exact-window family measured at the same scales as the
+    * five text/embedding families. Clips are 4 x 125 ms windows (1000
+    * PCM16 samples at 8 kHz, ~8 KB WAV) with the global segment id
+    * embedded exactly in the first samples — every window a distinct
+    * content class (the AudioProbe construction: a small modular pattern
+    * would collapse to 65k classes and degenerate the corpus to
+    * stop-windows). Indexed path scans the persisted fps layout; the
+    * recompute path re-reads + RE-DECODES the corpus WAVs per match —
+    * the term that grows with the corpus. Same fixed batch, matched
+    * counts asserted equal.
+    */
+  private def runAudioScale(spark: SparkSession, n: Int, batchN: Int): Unit = {
+    import spark.implicits._
+    import graft.multimodal.{AudioCodec, AudioIndex, Multimodal}
+    // media-bytes parquet needs a bounded columnar batch: the vectorized
+    // reader reserves rows x bytes CONTIGUOUSLY, and 4096 x ~8 KB WAVs is
+    // a 32 MB reservation that fails at the 400k scale (measured). 256
+    // rows x 8 KB = 2 MB per batch — the production setting for any
+    // binary-media scan; fingerprint layouts (longs) are unaffected.
+    val prevBatch = spark.conf.get("spark.sql.parquet.columnarReaderBatchSize", "4096")
+    spark.conf.set("spark.sql.parquet.columnarReaderBatchSize", "256")
+    try runAudioScaleInner(spark, n, batchN)
+    finally spark.conf.set("spark.sql.parquet.columnarReaderBatchSize", prevBatch)
+  }
+
+  private def runAudioScaleInner(spark: SparkSession, n: Int, batchN: Int): Unit = {
+    import spark.implicits._
+    import graft.multimodal.{AudioCodec, AudioIndex, Multimodal}
+    val Win = 1000
+    def seg(sid: Long): Array[Double] = {
+      val a = Array.tabulate(Win)(i =>
+        ((((sid * 7919 + i.toLong * 4799) % 65535) - 32767).toInt >> 1) / 32768.0)
+      var j = 0
+      while (j < 4) {
+        a(j) = (((sid >> (16 * j)) & 0xFFFFL).toInt - 32768) / 32768.0
+        j += 1
+      }
+      a
+    }
+    def clip(id: Long, segKey: Long): Multimodal.MediaRow =
+      Multimodal.MediaRow(id, "audio",
+        AudioCodec.encodeWavPcm16(8000,
+          (0 until 4).toArray.flatMap(w => seg(segKey * 4 + w))),
+        Multimodal.MediaMeta(0, 0, "wav", 500L))
+    val corpusPath = java.nio.file.Files
+      .createTempDirectory(s"graft_sweep_audio_$n").toString
+    spark.range(n.toLong).map(id => clip(id, id)).toDF()
+      .write.mode("overwrite").parquet(corpusPath)
+    val corpus = spark.read.parquet(corpusPath).as[Multimodal.MediaRow]
+    // fixed batch: half fresh content, half exact twins of corpus clips
+    val freshN = batchN / 2
+    val batch = spark.range(batchN.toLong)
+      .map(i => clip(9000000L + i,
+        if (i < freshN) 5000000L + i else i - freshN))
+      .localCheckpoint(true)
+    println(s"[probe] === audio corpus $n clips, batch $batchN (fixed) ===")
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_sweep_audioidx").toString
+    val (idx, tBuild) = time(
+      AudioIndex.build(corpus, path, windowMs = 125L, minJaccard = 0.5))
+    val (nIdx, tIdx) = time(idx.dedupBatch(batch)
+      .select(col("batch_id")).distinct().count())
+    val (nRe, tRe) = time(Multimodal.videoNearDupAgainst(
+        Multimodal.audioWindowFingerprints(batch, 125L),
+        Multimodal.audioWindowFingerprints(
+          spark.read.parquet(corpusPath).as[Multimodal.MediaRow], 125L),
+        minJaccard = 0.5)
+      .select(col("batch_id")).distinct().count())
+    assert(nIdx == nRe,
+      s"audio contrast invalid: indexed matched $nIdx clips, recompute $nRe")
+    assert(nIdx == freshN.toLong,
+      s"every planted twin must match: got $nIdx of $freshN")
+    println(f"[probe] audio     build $tBuild%6.1f s | match indexed " +
+      f"$tIdx%5.1f s vs recompute $tRe%5.1f s (${tRe / tIdx}%.1fx) " +
+      f"[$nIdx matched clips]")
+    println(f"""{"probe":"index_sweep_audio","corpus":$n,"batch":$batchN,"audio":{"build_sec":$tBuild%.1f,"indexed_sec":$tIdx%.1f,"recompute_sec":$tRe%.1f}}""")
   }
 
   /** 8 paragraphs of 25 words over a 500-word vocab, keyed by doc id:
