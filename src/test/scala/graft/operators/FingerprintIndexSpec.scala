@@ -111,6 +111,34 @@ class FingerprintIndexSpec extends AnyFunSuite with SparkSpec {
     assert(idx.vacuum(keepLast = 8) == 0)
   }
 
+  test("vacuum re-buckets a gather-bucketed layout and keeps the " +
+    "pruned-path match set") {
+    // the fold read crosses TWO partition levels (epoch + gb) and the
+    // rewrite must land bucketed again, or gatherPruned's directory
+    // prune would silently read nothing from the fold slice
+    val p = java.nio.file.Files.createTempDirectory("graft_fpidx_vacgb").toString
+    val corpus = docs.filter($"doc_id" < 400)
+    val batch = docs.filter($"doc_id" >= 400)
+    val idx = FingerprintIndex.build(
+      corpus.filter($"doc_id" % 3 === 0), "doc_id", "text", p,
+      gatherBuckets = 8)
+    (1 to 2).foreach(r =>
+      idx.append(corpus.filter($"doc_id" % 3 === r), "doc_id", "text"))
+    val before = pairs(idx.dedupBatch(batch, "doc_id", "text",
+      threshold = 0.5, gatherPruneMinCorpus = 0L))
+    assert(idx.vacuum(keepLast = 1) == 2)
+    val reloaded = FingerprintIndex.load(spark, p)
+    // the at-scale gather-pruned path must read the re-bucketed fold
+    assert(pairs(reloaded.dedupBatch(batch, "doc_id", "text",
+      threshold = 0.5, gatherPruneMinCorpus = 0L)) == before)
+    // and the gb directories exist under the fold epoch
+    val foldEpoch = EpochLog(spark, p).committedEpochs().max
+    val gbDirs = Option(new java.io.File(s"$p/docs/epoch=$foldEpoch")
+      .listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.startsWith("gb=")).length
+    assert(gbDirs == 8, s"fold slice must be re-bucketed, got $gbDirs dirs")
+  }
+
   test("append is equivalent to building on the grown corpus") {
     val p = java.nio.file.Files.createTempDirectory("graft_fpidx_app").toString
     val idx = FingerprintIndex.build(docs.filter($"doc_id" < 200),
