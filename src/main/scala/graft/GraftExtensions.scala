@@ -266,6 +266,18 @@ object GraftExtensions {
           org.apache.spark.sql.functions.col(strLit("perplexity_kn3", "idCol")(es(2))),
           graft.text.NgramLm.perplexityKn3(
             org.apache.spark.sql.functions.col(textCol), model).as("perplexity")))
+      }),
+    ("perplexity_kn3_mod",
+      "perplexity_kn3_mod(TABLE(docs), TABLE(ref), idCol, textCol): per-doc MODIFIED-KN trigram perplexity (estimated d1/d2/d3+ discounts) against an LM trained on ref",
+      4, es => {
+        val textCol = strLit("perplexity_kn3_mod", "textCol")(es(3))
+        val model = graft.text.NgramLm.trainKn3Mod(
+          tableArg("perplexity_kn3_mod")(es(1)), textCol)
+        val docs = tableArg("perplexity_kn3_mod")(es(0))
+        plan(docs.select(
+          org.apache.spark.sql.functions.col(strLit("perplexity_kn3_mod", "idCol")(es(2))),
+          graft.text.NgramLm.perplexityKn3Mod(
+            org.apache.spark.sql.functions.col(textCol), model).as("perplexity")))
       }))
 
   /** Register the TABLE functions on an already-running session (the

@@ -2840,6 +2840,46 @@ object SparkEntry {
       before.unionAll(top("after")).unionAll(membership)
     }),
 
+    // delete_vectors UNDER THE ORACLE — the trilogy's third destructive
+    // op (q153 locked vacuum, q156 optimize): a predicate delete rewrites
+    // the kept set into one replace epoch AND re-slices the IVF index in
+    // the same commit, so the row proves (a) the deleted ids are gone
+    // from membership, (b) the SURVIVORS' ANN results equal brute-force
+    // over the reduced corpus through the refreshed index, (c) the
+    // matched count is exact. BEFORE rows pinned eagerly, the q156
+    // discipline; exhaustive nProbe keeps the ANN path replayable.
+    "q158_delete_vectors" -> ((s, dir) => {
+      val root = tempIndexDir("graft_q158_store")
+      val cat = new sources.VectorStoreCatalog(s, root)
+      cat.create("u", "del", sources.StoreConfig(dimension = 64, metric = "cosine"))
+      val emb = t(s, dir, "embeddings")
+      (0 until 2).foreach { r =>
+        cat.addVectors("u", "del", emb.filter(col("vec_id") % 2 === r)
+          .select(col("embedding").as("vector"),
+            map(lit("vid"), col("vec_id").cast("string")).as("meta")))
+      }
+      cat.buildIndex("u", "del", nLists = 4)
+      def qv(i: Int) = emb.filter(col("vec_id") === i)
+        .select(col("embedding")).head.getSeq[Float](0).map(_.toDouble)
+      def top(phase: String) = Seq(0, 7).map { q =>
+        cat.query("u", "del", qv(q), k = 5, nProbe = 8)
+          .select(lit(phase).as("phase"), lit(q.toLong).as("qid"),
+            col("rank").cast("long").as("rnk"),
+            element_at(col("meta"), "vid").cast("long").as("vid"))
+      }.reduce(_ unionAll _)
+      val before = top("before").localCheckpoint(true)
+      val deleted = cat.deleteVectors("u", "del",
+        element_at(col("meta"), "vid").cast("long") % 10 === 3)
+      val membership = cat.load("u", "del")
+        .select(lit("member").as("phase"), lit(-1L).as("qid"),
+          lit(0L).as("rnk"),
+          element_at(col("meta"), "vid").cast("long").as("vid"))
+      val countRow = s.range(1)
+        .select(lit("deleted").as("phase"), lit(-1L).as("qid"),
+          lit(0L).as("rnk"), lit(deleted).as("vid"))
+      before.unionAll(top("after")).unionAll(membership).unionAll(countRow)
+    }),
+
     // Epoch retention UNDER THE ORACLE: four epoch appends (vec_id % 4
     // slices of the embeddings table), vacuum keepLast = 2, then the
     // VISIBLE ROW SET AT EVERY SURVIVING PIN — pin 0 is the oldest kept
@@ -6075,6 +6115,42 @@ object SparkEntry {
         |SELECT 'member', CAST(-1 AS BIGINT), CAST(0 AS BIGINT),
         |  CAST(vec_id AS BIGINT)
         |FROM embeddings""".stripMargin,
+
+    // 'before' top-5 over the full corpus, 'after' over the corpus minus
+    // the deleted residue class (through the re-sliced index), membership
+    // = the survivors, and the exact matched count.
+    "q158_delete_vectors" ->
+      """WITH rb AS (
+        |  SELECT q.qid, e.vec_id,
+        |    CAST(row_number() OVER (PARTITION BY q.qid
+        |      ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |        CAST(q.qv AS DOUBLE[])) DESC, e.vec_id ASC) AS BIGINT) AS rnk
+        |  FROM embeddings e,
+        |    (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+        |     WHERE vec_id IN (0, 7)) q),
+        |ra AS (
+        |  SELECT q.qid, e.vec_id,
+        |    CAST(row_number() OVER (PARTITION BY q.qid
+        |      ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |        CAST(q.qv AS DOUBLE[])) DESC, e.vec_id ASC) AS BIGINT) AS rnk
+        |  FROM embeddings e,
+        |    (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+        |     WHERE vec_id IN (0, 7)) q
+        |  WHERE e.vec_id % 10 <> 3)
+        |SELECT 'before' AS phase, CAST(qid AS BIGINT) AS qid, rnk,
+        |  CAST(vec_id AS BIGINT) AS vid
+        |FROM rb WHERE rnk <= 5
+        |UNION ALL
+        |SELECT 'after', CAST(qid AS BIGINT), rnk, CAST(vec_id AS BIGINT)
+        |FROM ra WHERE rnk <= 5
+        |UNION ALL
+        |SELECT 'member', CAST(-1 AS BIGINT), CAST(0 AS BIGINT),
+        |  CAST(vec_id AS BIGINT)
+        |FROM embeddings WHERE vec_id % 10 <> 3
+        |UNION ALL
+        |SELECT 'deleted', CAST(-1 AS BIGINT), CAST(0 AS BIGINT),
+        |  CAST(count(*) AS BIGINT)
+        |FROM embeddings WHERE vec_id % 10 = 3""".stripMargin,
 
     "q153_store_vacuum" ->
       """SELECT CAST(0 AS BIGINT) AS pin_ord, CAST(vec_id AS BIGINT) AS vid

@@ -160,6 +160,18 @@ class GraftExtensionsSpec extends AnyFunSuite {
       // the unseen x y z bridge under BOTH orders
       assert(pk.head._2 < pk(1)._2 && pk3.head._2 < pk3(1)._2,
         s"memorized text must score lower perplexity; got kn=$pk kn3=$pk3")
+      val pkm = spark.sql(
+        """SELECT * FROM perplexity_kn3_mod(TABLE(ext_lm), TABLE(ext_lm),
+          |  'doc_id', 'text') ORDER BY doc_id""".stripMargin)
+        .as[(Long, Double)].collect().toSeq
+      val pkmOp = spark.table("ext_lm").select($"doc_id",
+          graft.text.NgramLm.perplexityKn3Mod($"text",
+            graft.text.NgramLm.trainKn3Mod(spark.table("ext_lm"), "text"))
+            .as("perplexity"))
+        .orderBy($"doc_id").as[(Long, Double)].collect().toSeq
+      assert(pkm == pkmOp,
+        "perplexity_kn3_mod TVF must equal the operator column")
+      assert(pkm.head._2 < pkm(1)._2, s"memorized ordering holds: $pkm")
 
       // loud failures: wrong arity, and a TABLE-arg spec that would
       // otherwise be silently dropped
