@@ -273,13 +273,30 @@ object AudioCodec {
     * `shingle` set elements, not the match). Returns one word per full
     * frame; empty when no full frame or the rate's Nyquist sits under
     * the 300 Hz floor.
+    *
+    * `hopMs` (default 0 = frameMs, non-overlapping) is the TRIM lever:
+    * start-aligned non-overlapping frames break on a mid-frame trim (a
+    * 47 ms cut shifts every window's content), but with hop h the
+    * residual misalignment of ANY trim is at most h/2 — a trim that is
+    * an exact hop multiple just drops leading frames, which a SET
+    * consumer barely notices, and sub-h/2 shifts leave most 125 ms
+    * windows' peak bands unchanged. Cost scales frameMs/hopMs × (more
+    * FFTs, more set elements); the standard overlap trade in published
+    * fingerprinting systems (Haitsma–Kalker run 31/32 overlap).
     */
-  def peakBandWords(audio: RawAudio, frameMs: Long, bands: Int): Array[Int] = {
+  def peakBandWords(
+      audio: RawAudio, frameMs: Long, bands: Int,
+      hopMs: Long = 0L): Array[Int] = {
     require(frameMs >= 1, s"frameMs must be >= 1, got $frameMs")
     require(bands >= 2 && bands <= 256, s"bands must be in [2, 256], got $bands")
+    val hop = if (hopMs <= 0) frameMs else hopMs
+    require(hop <= frameMs, s"hopMs must be <= frameMs, got $hop > $frameMs")
     val n = (audio.sampleRate.toLong * frameMs / 1000L).toInt
+    val hopN = math.max(1, (audio.sampleRate.toLong * hop / 1000L).toInt)
     if (n < 2) return Array.empty
-    val frames = audio.samples.length / n
+    val frames =
+      if (audio.samples.length < n) 0
+      else (audio.samples.length - n) / hopN + 1
     if (frames < 1) return Array.empty
     var fftN = 1
     while (fftN < n) fftN <<= 1
@@ -313,7 +330,7 @@ object AudioCodec {
       java.util.Arrays.fill(re, 0.0)
       java.util.Arrays.fill(im, 0.0)
       var i = 0
-      while (i < n) { re(i) = audio.samples(t * n + i) * hann(i); i += 1 }
+      while (i < n) { re(i) = audio.samples(t * hopN + i) * hann(i); i += 1 }
       fft(re, im)
       java.util.Arrays.fill(e, 0.0)
       var b = 0

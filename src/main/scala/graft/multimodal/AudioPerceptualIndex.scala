@@ -30,10 +30,11 @@ case class AudioPerceptualIndex(
     frameMs: Long,
     bands: Int,
     shingle: Int,
-    minJaccard: Double) extends MediaSetIndex {
+    minJaccard: Double,
+    hopMs: Long = 0L) extends MediaSetIndex {
 
   override protected def fingerprints(media: Dataset[MediaRow]): DataFrame =
-    Multimodal.audioSpectralFingerprints(media, frameMs, bands, shingle)
+    Multimodal.audioSpectralFingerprints(media, frameMs, bands, shingle, hopMs)
       .select(col("media_id").as("id"), col("fp").as("h"))
 }
 
@@ -48,29 +49,42 @@ object AudioPerceptualIndex {
       frameMs: Long = 125L,
       bands: Int = 32,
       shingle: Int = 4,
-      minJaccard: Double = 0.3): AudioPerceptualIndex = {
+      minJaccard: Double = 0.3,
+      hopMs: Long = 0L): AudioPerceptualIndex = {
     require(frameMs >= 1, s"frameMs must be >= 1, got $frameMs")
+    require(hopMs <= frameMs, s"hopMs must be <= frameMs, got $hopMs")
     require(bands >= 2 && bands <= 256, s"bands must be in [2, 256], got $bands")
     require(shingle >= 1, s"shingle must be >= 1, got $shingle")
     require(minJaccard >= 0.0 && minJaccard <= 1.0,
       s"minJaccard must be in [0, 1], got $minJaccard")
     val spark = media.sparkSession
     import spark.implicits._
-    Seq((frameMs, bands, shingle, minJaccard))
-      .toDF("frame_ms", "bands", "shingle", "min_jaccard")
+    Seq((frameMs, bands, shingle, minJaccard, hopMs))
+      .toDF("frame_ms", "bands", "shingle", "min_jaccard", "hop_ms")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
-    val idx = AudioPerceptualIndex(spark, path, frameMs, bands, shingle, minJaccard)
+    val idx = AudioPerceptualIndex(spark, path, frameMs, bands, shingle,
+      minJaccard, hopMs)
     val n = idx.writeSlice(media, epoch = 0L)
     EpochLog(spark, path).reset(n)
     idx
   }
 
-  /** Load a previously built index; geometry comes from the persisted meta. */
+  /** Load a previously built index; geometry comes from the persisted
+    * meta. Pre-hop indexes carry no `hop_ms` column and load as
+    * non-overlapping (0 = hop == frame) — their layouts WERE written
+    * non-overlapping, so the read contract and the stored fingerprints
+    * stay consistent by construction (the FingerprintIndex
+    * gather_buckets convention).
+    */
   def load(spark: SparkSession, path: String): AudioPerceptualIndex = {
-    val row = spark.read.parquet(s"$path/meta")
-      .select(col("frame_ms"), col("bands"), col("shingle"), col("min_jaccard"))
+    val meta = spark.read.parquet(s"$path/meta")
+    val hasHop = meta.columns.contains("hop_ms")
+    val row = meta
+      .select(col("frame_ms"), col("bands"), col("shingle"), col("min_jaccard"),
+        (if (hasHop) col("hop_ms") else lit(0L)).as("hop_ms"))
       .collect().head
     AudioPerceptualIndex(spark, path,
-      row.getLong(0), row.getInt(1), row.getInt(2), row.getDouble(3))
+      row.getLong(0), row.getInt(1), row.getInt(2), row.getDouble(3),
+      row.getLong(4))
   }
 }

@@ -407,9 +407,12 @@ object Multimodal {
     * only bands² states — dense cross-clip collisions — while a k-frame
     * shingle has bands^(2k) effective states, and one noise-swapped
     * runner-up band costs at most k shingles of the set rather than the
-    * match. Same start-aligned non-overlapping framing as the exact
-    * geometry, so a mid-frame trim still shifts alignment (documented
-    * limit of both geometries).
+    * match. Default framing is start-aligned non-overlapping like the
+    * exact geometry, so a mid-frame trim shifts alignment; `hopMs` <
+    * frameMs overlaps frames and bounds any trim's residual misalignment
+    * at hop/2 (a hop-multiple trim just drops leading frames, which a
+    * set consumer barely notices) — the standard overlap trade, paid in
+    * frameMs/hopMs × more FFTs and set elements.
     *
     * Scale shape: decode + FFT + shingle run partition-local inside one
     * flatMap; only (id, long) rows reach the distinct exchange — PCM
@@ -420,7 +423,8 @@ object Multimodal {
       media: Dataset[MediaRow],
       frameMs: Long = 125L,
       bands: Int = 32,
-      shingle: Int = 4): DataFrame = {
+      shingle: Int = 4,
+      hopMs: Long = 0L): DataFrame = {
     import media.sparkSession.implicits._
     require(frameMs >= 1, s"frameMs must be >= 1, got $frameMs")
     require(shingle >= 1, s"shingle must be >= 1, got $shingle")
@@ -432,7 +436,8 @@ object Multimodal {
         case None => Iterator.empty
         case Some(a) =>
           val words = scala.util.Try(
-            AudioCodec.peakBandWords(a, frameMs, bands)).getOrElse(Array.empty[Int])
+            AudioCodec.peakBandWords(a, frameMs, bands, hopMs))
+            .getOrElse(Array.empty[Int])
           if (words.length < shingle) Iterator.empty
           else (0 to words.length - shingle).iterator.map { i =>
             // 64-bit FNV-1a over the shingle's words (deterministic,

@@ -139,6 +139,40 @@ class AudioPerceptualSpec extends AnyFunSuite with SparkSpec {
       "a twin of an ingested clip must match the standing index")
   }
 
+  test("hopMs overlap buys trim robustness: a 47 ms-trimmed twin matches " +
+    "through an overlapped index where the non-overlapping grid loses it") {
+    // trim = drop the first 47 ms (an awkward offset: not a frame or hop
+    // multiple). Continuous-time rendering makes this a true re-cut.
+    def trimmed(id: Long, c: Long, trimMs: Int): Multimodal.MediaRow = {
+      val all = samples(c, 32, 8000, 1.0)
+      Multimodal.MediaRow(id, "audio",
+        AudioCodec.encodeWavPcm16(8000, all.drop(8 * trimMs)),
+        Multimodal.MediaMeta(0, 0, "wav", 32 * FrameMs - trimMs))
+    }
+    val rows = media(clip(0L, c = 5L), trimmed(1L, c = 5L, 47), clip(2L, c = 6L))
+    val jDefault = jaccard(
+      Multimodal.audioSpectralFingerprints(rows, FrameMs), 0L, 1L)
+    val jHop = jaccard(
+      Multimodal.audioSpectralFingerprints(rows, FrameMs, hopMs = 25L), 0L, 1L)
+    val jHopDistinct = jaccard(
+      Multimodal.audioSpectralFingerprints(rows, FrameMs, hopMs = 25L), 0L, 2L)
+    assert(jHop >= 0.3, s"overlapped trim jaccard $jHop must clear the " +
+      s"0.3 match threshold (non-overlapping measured $jDefault)")
+    assert(jHop > jDefault,
+      s"overlap must strictly improve trim recall: hop=$jHop default=$jDefault")
+    assert(jHopDistinct <= 0.1, s"distinct content stays unmatched: $jHopDistinct")
+    // end to end through a persisted overlapped index + meta round-trip
+    val dir = java.nio.file.Files.createTempDirectory("graft_apidx_hop").toString
+    val idx = AudioPerceptualIndex.build(media((0L until 4L).map(c =>
+      clip(c, c)): _*), dir, frameMs = FrameMs, minJaccard = 0.3, hopMs = 25L)
+    val reloaded = AudioPerceptualIndex.load(spark, dir)
+    assert(reloaded.hopMs == 25L, "hop is index state, restored by load")
+    val hits = reloaded.dedupBatch(media(trimmed(100L, c = 2L, 47)))
+      .select(col("batch_id"), col("corpus_id"))
+      .as[(Long, Long)].collect().toSet
+    assert(hits == Set((100L, 2L)), s"got $hits")
+  }
+
   test("peakBandWords: exact gain invariance and framing contract") {
     val raw = AudioCodec.RawAudio(8000, 1, samples(11L, 8, 8000, 1.0))
     val words = AudioCodec.peakBandWords(raw, FrameMs, 32)
