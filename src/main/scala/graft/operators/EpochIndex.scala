@@ -257,6 +257,12 @@ private[graft] trait EpochIndex {
     */
   protected def bucketStats(): (Long, Double) = (0L, 0.0)
 
+  /** Live epoch-directory count — commit-log arithmetic only (no data
+    * scan, unlike [[maintenance]]'s bucket-skew leg): the cadence input
+    * for per-micro-batch retention decisions.
+    */
+  def numEpochs: Int = log.sizeStats()._1
+
   /** The [[maintenance]] compaction verdict alone, from commit-log
     * arithmetic only (no bucket-skew scan): cheap enough to evaluate after
     * EVERY ingest batch, which is what lets the online ingest streams

@@ -572,7 +572,28 @@ object Streams {
     * cutover), so a crash mid-compact leaves only invisible orphans and
     * results are unchanged at every point (spec-asserted against the
     * non-compacting run).
+    *
+    * `autoVacuumKeepLast = Some(k)` (r15, every EpochIndex ingest stream)
+    * is the cheaper steady-state alternative: instead of the O(index)
+    * full rewrite, history past the newest k epochs FOLDS at the 2k+1
+    * cadence ([[ingestVectors]]'s economics — the old-slice rewrite is
+    * paid once per k appends, recent epochs untouched on disk). When both
+    * are armed, a tripped compaction wins the batch (its replace commit
+    * supersedes any fold); results are unchanged under either lever by
+    * the vacuum/compact atomicity arguments.
     */
+  private def maintainIndex(
+      index: graft.operators.EpochIndex,
+      autoCompact: Boolean,
+      autoVacuumKeepLast: Option[Int]): Unit = {
+    autoVacuumKeepLast.foreach(k => require(k >= 1,
+      s"autoVacuumKeepLast must be >= 1, got $k"))
+    if (autoCompact && index.needsCompaction()) index.compact()
+    else autoVacuumKeepLast.foreach { k =>
+      if (index.numEpochs >= 2 * k + 1) { index.vacuum(k); () }
+    }
+  }
+
   def ingestDedupStream(
       docs: DataFrame,
       index: graft.operators.FingerprintIndex,
@@ -582,7 +603,8 @@ object Streams {
       checkpoint: Option[String] = None,
       onBatch: (DataFrame, Long) => Unit = (_, _) => (),
       trigger: Trigger = Trigger.AvailableNow(),
-      autoCompact: Boolean = false): StreamingQuery = {
+      autoCompact: Boolean = false,
+      autoVacuumKeepLast: Option[Int] = None): StreamingQuery = {
     val cp = checkpoint.getOrElse(
       java.nio.file.Files.createTempDirectory("graft_ingest_dedup_cp").toString)
     docs.writeStream
@@ -594,7 +616,7 @@ object Streams {
         // index append (see the restart-semantics contract above)
         index.ingestBatch(batch, idCol, textCol, threshold,
           onKept = kept => onBatch(kept, batchId))
-        if (autoCompact && index.needsCompaction()) index.compact()
+        maintainIndex(index, autoCompact, autoVacuumKeepLast)
         ()
       }
       .start()
@@ -630,7 +652,8 @@ object Streams {
       checkpoint: Option[String] = None,
       onBatch: (DataFrame, Long) => Unit = (_, _) => (),
       trigger: Trigger = Trigger.AvailableNow(),
-      autoCompact: Boolean = false): StreamingQuery = {
+      autoCompact: Boolean = false,
+      autoVacuumKeepLast: Option[Int] = None): StreamingQuery = {
     val cp = checkpoint.getOrElse(
       java.nio.file.Files.createTempDirectory("graft_ingest_edit_cp").toString)
     docs.writeStream
@@ -640,7 +663,7 @@ object Streams {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         index.ingestBatch(batch, idCol, textCol,
           onKept = kept => onBatch(kept, batchId))
-        if (autoCompact && index.needsCompaction()) index.compact()
+        maintainIndex(index, autoCompact, autoVacuumKeepLast)
         ()
       }
       .start()
@@ -793,7 +816,8 @@ object Streams {
       checkpoint: Option[String] = None,
       onBatch: (DataFrame, Long) => Unit = (_, _) => (),
       trigger: Trigger = Trigger.AvailableNow(),
-      autoCompact: Boolean = false): StreamingQuery = {
+      autoCompact: Boolean = false,
+      autoVacuumKeepLast: Option[Int] = None): StreamingQuery = {
     val cp = checkpoint.getOrElse(
       java.nio.file.Files.createTempDirectory("graft_ingest_media_cp").toString)
     media.writeStream
@@ -804,7 +828,7 @@ object Streams {
         import batch.sparkSession.implicits._
         index.ingestBatch(batch.as[graft.multimodal.Multimodal.MediaRow],
           onKept = kept => onBatch(kept.toDF(), batchId))
-        if (autoCompact && index.needsCompaction()) index.compact()
+        maintainIndex(index, autoCompact, autoVacuumKeepLast)
         ()
       }
       .start()
@@ -818,7 +842,8 @@ object Streams {
       checkpoint: Option[String] = None,
       onBatch: (DataFrame, Long) => Unit = (_, _) => (),
       trigger: Trigger = Trigger.AvailableNow(),
-      autoCompact: Boolean = false): StreamingQuery = {
+      autoCompact: Boolean = false,
+      autoVacuumKeepLast: Option[Int] = None): StreamingQuery = {
     val cp = checkpoint.getOrElse(
       java.nio.file.Files.createTempDirectory("graft_ingest_winnow_cp").toString)
     docs.writeStream
@@ -829,7 +854,7 @@ object Streams {
         // sink-before-append, same contract as ingestDedupStream
         index.ingestBatch(batch, idCol, textCol,
           onKept = kept => onBatch(kept, batchId))
-        if (autoCompact && index.needsCompaction()) index.compact()
+        maintainIndex(index, autoCompact, autoVacuumKeepLast)
         ()
       }
       .start()
@@ -857,7 +882,8 @@ object Streams {
       checkpoint: Option[String] = None,
       onBatch: (DataFrame, Long) => Unit = (_, _) => (),
       trigger: Trigger = Trigger.AvailableNow(),
-      autoCompact: Boolean = false): StreamingQuery = {
+      autoCompact: Boolean = false,
+      autoVacuumKeepLast: Option[Int] = None): StreamingQuery = {
     val cp = checkpoint.getOrElse(
       java.nio.file.Files.createTempDirectory("graft_ingest_para_cp").toString)
     docs.writeStream
@@ -868,7 +894,7 @@ object Streams {
         // sink-before-append, same contract as ingestDedupStream
         index.ingestBatch(batch, idCol, textCol,
           onCleaned = cleaned => onBatch(cleaned, batchId))
-        if (autoCompact && index.needsCompaction()) index.compact()
+        maintainIndex(index, autoCompact, autoVacuumKeepLast)
         ()
       }
       .start()
@@ -894,7 +920,8 @@ object Streams {
       onBatch: (DataFrame, Long) => Unit = (_, _) => (),
       trigger: Trigger = Trigger.AvailableNow(),
       probeFlips: Int = 0,
-      autoCompact: Boolean = false): StreamingQuery = {
+      autoCompact: Boolean = false,
+      autoVacuumKeepLast: Option[Int] = None): StreamingQuery = {
     val cp = checkpoint.getOrElse(
       java.nio.file.Files.createTempDirectory("graft_ingest_emb_cp").toString)
     vecs.writeStream
@@ -904,7 +931,7 @@ object Streams {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         index.ingestBatch(batch, idCol, vecCol, threshold,
           onKept = kept => onBatch(kept, batchId), probeFlips = probeFlips)
-        if (autoCompact && index.needsCompaction()) index.compact()
+        maintainIndex(index, autoCompact, autoVacuumKeepLast)
         ()
       }
       .start()
@@ -972,7 +999,8 @@ object Streams {
       checkpoint: Option[String] = None,
       onBatch: (DataFrame, Long) => Unit = (_, _) => (),
       trigger: Trigger = Trigger.AvailableNow(),
-      autoCompact: Boolean = false): StreamingQuery = {
+      autoCompact: Boolean = false,
+      autoVacuumKeepLast: Option[Int] = None): StreamingQuery = {
     val cp = checkpoint.getOrElse(
       java.nio.file.Files.createTempDirectory("graft_ingest_ham_cp").toString)
     fps.writeStream
@@ -982,7 +1010,7 @@ object Streams {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         index.ingestBatch(batch, idCol, fpCol, maxHamming, maxBucketSize,
           onKept = kept => onBatch(kept, batchId))
-        if (autoCompact && index.needsCompaction()) index.compact()
+        maintainIndex(index, autoCompact, autoVacuumKeepLast)
         ()
       }
       .start()

@@ -959,6 +959,58 @@ class StreamsSpec extends AnyFunSuite with SparkSpec {
       s"autoCompact must bound epoch proliferation, got $epochsOn")
   }
 
+  test("ingestDedupStream autoVacuumKeepLast: epoch dirs bounded at the " +
+    "2k+1 cadence, kept set and replay unchanged, recent epochs untouched") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", $"text")
+    val corpus = docs.filter($"doc_id" < 400)
+    val drops = (0 until 10).map(i =>
+      docs.filter($"doc_id" >= 400 + i * 10 && $"doc_id" < 410 + i * 10))
+    val probe = docs.filter($"doc_id" >= 300 && $"doc_id" < 400)
+
+    def run(keepLast: Option[Int]): (Set[Long], Long, Int, Set[(Long, Long)]) = {
+      val idx = graft.operators.FingerprintIndex.build(corpus, "doc_id",
+        "text", tempDir(s"graft_autovac_idx_${keepLast.isDefined}"))
+      val dropDir = tempDir(s"graft_autovac_${keepLast.isDefined}")
+      val keptIds = scala.collection.mutable.Set.empty[Long]
+      val src = spark.readStream
+        .schema(StructType(Seq(
+          StructField("doc_id", org.apache.spark.sql.types.LongType),
+          StructField("text", org.apache.spark.sql.types.StringType))))
+        .parquet(dropDir)
+      val q = Streams.ingestDedupStream(src, idx, "doc_id", "text",
+        threshold = 0.5,
+        onBatch = (kept, _) =>
+          keptIds ++= kept.select($"doc_id").as[Long].collect(),
+        trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(
+          "50 milliseconds"),
+        autoVacuumKeepLast = keepLast)
+      try {
+        drops.foreach { d =>
+          d.coalesce(1).write.mode("append").parquet(dropDir)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+      val m = idx.maintenance()
+      val replay = idx.dedupBatch(probe, "doc_id", "text", threshold = 0.5)
+        .select($"batch_id", $"corpus_id").as[(Long, Long)].collect().toSet
+      (keptIds.toSet, m.nDocs, m.numEpochs, replay)
+    }
+
+    val (keptOff, nOff, epochsOff, replayOff) = run(None)
+    val (keptOn, nOn, epochsOn, replayOn) = run(Some(2))
+    assert(keptOn == keptOff, "autoVacuum must not change the kept set")
+    assert(nOn == nOff, "doc-count arithmetic survives the folds")
+    assert(replayOn == replayOff,
+      "a vacuumed index must serve identical dedupBatch results")
+    assert(epochsOff == 11, s"without retention: build + 10 appends, got $epochsOff")
+    // cadence 2k+1 = 5: the fold fires whenever live epochs reach 5, so
+    // the steady state oscillates in [k+1, 2k] live epochs (+ the fold)
+    assert(epochsOn <= 2 * 2 + 1,
+      s"autoVacuumKeepLast(2) must bound epoch dirs at the 2k+1 cadence, " +
+        s"got $epochsOn")
+  }
+
   test("decontaminateStream: chopped micro-batches reproduce the batch " +
     "operator's per-doc report; the gram set is paid once") {
     val bench = Seq((900L, "alpha beta gamma delta")).toDF("doc_id", "text")
