@@ -2840,6 +2840,77 @@ object SparkEntry {
       before.unionAll(top("after")).unionAll(membership)
     }),
 
+    // PERCEPTUAL audio ONLINE ingest — q148's stream construction on the
+    // TENTH family (Streams.ingestMediaStream -> AudioPerceptualIndex
+    // .ingestBatch): two sequential drops walk the accepted sweep where
+    // every duplicate is a PERTURBED twin the exact family cannot see —
+    // remastered-gain and resampled twins of corpus clips drop via the
+    // corpus match, gain twins of KEPT batch clips drop via the
+    // within-batch walk, and a second drop's twin of a first-drop
+    // survivor must match the APPENDED index state. The twin is the
+    // generative keep/drop contract (VALUES).
+    "q159_audio_perceptual_ingest" -> ((s, dir) => {
+      import s.implicits._
+      val freqTable = Array.tabulate(24)(k =>
+        350.0 * math.pow(2800.0 / 350.0, k / 23.0))
+      def tone(c: Long, f: Int, which: Int): Double = {
+        var h = c * 1000003L + f * 7919L + which * 104729L
+        h ^= h >>> 13; h *= 0xff51afd7ed558ccdL; h ^= h >>> 33
+        freqTable(((h % 24 + 24) % 24).toInt)
+      }
+      def clip(id: Long, c: Long, rate: Int, gain: Double): multimodal.Multimodal.MediaRow = {
+        val samples = Array.tabulate(4 * rate) { i => // 32 frames x 125 ms
+          val tSec = i.toDouble / rate
+          val f = (i.toLong * 8 / rate).toInt
+          gain * (0.35 * math.sin(2 * math.Pi * tone(c, f, 0) * tSec) +
+            0.35 * math.sin(2 * math.Pi * tone(c, f, 1) * tSec))
+        }
+        multimodal.Multimodal.MediaRow(id, "audio",
+          multimodal.AudioCodec.encodeWavPcm16(rate, samples),
+          multimodal.Multimodal.MediaMeta(0, 0, "wav", 4000L))
+      }
+      val corpus = s.createDataset((0L until 6L).map(c => clip(c, c, 8000, 1.0)))
+      val idx = multimodal.AudioPerceptualIndex.build(corpus,
+        tempIndexDir("graft_q159_p"), frameMs = 125L, minJaccard = 0.3)
+      val drop1 = Seq(
+        clip(100, 2, 8000, 0.4), // remastered corpus twin -> drop
+        clip(101, 40, 8000, 1.0), // fresh -> keep
+        clip(102, 4, 16000, 1.0), // resampled corpus twin -> drop
+        clip(103, 40, 8000, 0.5), // gain twin of KEPT 101 -> drop (walk)
+        clip(104, 41, 8000, 1.0), // fresh -> keep
+        clip(105, 2, 8000, 0.7), // another corpus-2 twin -> drop
+        clip(106, 41, 8000, 0.3), // gain twin of KEPT 104 -> drop (walk)
+        clip(107, 42, 8000, 1.0)) // fresh -> keep
+      val drop2 = Seq(
+        clip(200, 42, 8000, 0.6), // twin of the APPENDED survivor 107 -> drop
+        clip(201, 43, 8000, 1.0)) // fresh -> keep
+      val dropDir = tempIndexDir("graft_q159_feed")
+      val schema = s.createDataset(drop1).toDF().schema
+      val src = s.readStream.schema(schema).parquet(dropDir)
+      val keptIds = new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Long]()
+      // ProcessingTime, not the default AvailableNow: the feed dir is
+      // EMPTY at start, and an AvailableNow query over zero files
+      // terminates before the first drop lands (the multi-drop loop
+      // discipline every StreamsSpec replay uses)
+      val q = streaming.Streams.ingestMediaStream(src, idx,
+        onBatch = (kept, _) => kept.select(col("media_id")).collect()
+          .foreach(r => keptIds.add(r.getLong(0))),
+        trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(
+          "50 milliseconds"))
+      try {
+        Seq(drop1, drop2).foreach { d =>
+          s.createDataset(d).toDF().write.mode("append").parquet(dropDir)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+      import scala.jdk.CollectionConverters._
+      val keptDf = keptIds.asScala.map(_.longValue).toSeq.toDF("media_id")
+        .withColumn("kept", lit(true))
+      s.createDataset(drop1 ++ drop2).toDF().select(col("media_id"))
+        .join(keptDf, Seq("media_id"), "left")
+        .select(col("media_id"), coalesce(col("kept"), lit(false)).as("kept"))
+    }),
+
     // delete_vectors UNDER THE ORACLE — the trilogy's third destructive
     // op (q153 locked vacuum, q156 optimize): a predicate delete rewrites
     // the kept set into one replace epoch AND re-slices the IVF index in
@@ -6115,6 +6186,18 @@ object SparkEntry {
         |SELECT 'member', CAST(-1 AS BIGINT), CAST(0 AS BIGINT),
         |  CAST(vec_id AS BIGINT)
         |FROM embeddings""".stripMargin,
+
+    // The generative keep/drop contract: perturbed corpus twins and
+    // walk-order twins of kept batch clips drop; fresh content survives,
+    // including against the second drop's appended state.
+    "q159_audio_perceptual_ingest" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(100 AS BIGINT), FALSE), (CAST(101 AS BIGINT), TRUE),
+        |  (CAST(102 AS BIGINT), FALSE), (CAST(103 AS BIGINT), FALSE),
+        |  (CAST(104 AS BIGINT), TRUE),  (CAST(105 AS BIGINT), FALSE),
+        |  (CAST(106 AS BIGINT), FALSE), (CAST(107 AS BIGINT), TRUE),
+        |  (CAST(200 AS BIGINT), FALSE), (CAST(201 AS BIGINT), TRUE))
+        |t(media_id, kept)""".stripMargin,
 
     // 'before' top-5 over the full corpus, 'after' over the corpus minus
     // the deleted residue class (through the re-sliced index), membership
