@@ -373,6 +373,31 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
       s"corpus side must read the persisted layout:\n$p")
   }
 
+  test("q154: perceptual audio match — no product, media bytes never " +
+      "ride an exchange, both corpus sides read persisted layouts") {
+    val p = plan("q154_audio_perceptual")
+    assert(!p.contains("CartesianProduct"),
+      s"perceptual match must not degrade to a product:\n$p")
+    val exchanges = p.split("\\n").filter(_.contains("Exchange"))
+    assert(exchanges.nonEmpty, s"expected shuffles in:\n$p")
+    assert(!exchanges.exists(l => l.contains("bytes") || l.contains("window")),
+      s"media bytes / PCM windows must not ride an exchange:\n" +
+        exchanges.mkString("\n"))
+    assert(p.contains("Scan parquet") || p.contains("FileScan"),
+      s"corpus sides must read the persisted fps layouts:\n$p")
+  }
+
+  test("q155: vacuumed-index match keeps the q63 shape — no product, " +
+      "shingle arrays never shuffle") {
+    val p = plan("q155_index_vacuum")
+    assert(!p.contains("CartesianProduct"),
+      s"index match must not degrade to a product:\n$p")
+    val exchanges = p.split("\\n").filter(_.contains("Exchange"))
+    assert(!exchanges.exists(_.contains("shingle")),
+      s"shingle-hash arrays must not ride an exchange:\n" +
+        exchanges.mkString("\n"))
+  }
+
   test("q151: trigram-KN scoring is one shuffle-free scan over the " +
       "target split") {
     val p = plan("q151_kn3_perplexity")
