@@ -2840,6 +2840,63 @@ object SparkEntry {
       before.unionAll(top("after")).unionAll(membership)
     }),
 
+    // Bulk upload UNDER THE ORACLE (S3/S4 were unit-only): the
+    // reference's two text bulk formats round-tripped end to end —
+    // embeddings rendered as reference-shape JSONL ({"vector": [...],
+    // "metadata": {...}}) and as a vector-string CSV, read back through
+    // BulkLoad, appended to stores via bulkUpload, and dumped from store
+    // reads. Float values survive exactly (shortest-repr float printing
+    // round-trips in both engines), proven by hashing each row's first
+    // component as a double against the source table.
+    "q160_bulk_load" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val root = tempIndexDir("graft_q160_store")
+      val cat = new sources.VectorStoreCatalog(s, root)
+      val jsonlDir = tempIndexDir("graft_q160_jsonl")
+      emb.select(to_json(struct(
+          col("embedding").as("vector"),
+          map(lit("vid"), col("vec_id").cast("string")).as("metadata"))))
+        .write.mode("overwrite").text(jsonlDir)
+      cat.create("u", "bj", sources.StoreConfig(dimension = 64))
+      sources.BulkLoad.bulkUpload(cat, "u", "bj",
+        sources.BulkLoad.jsonl(s, jsonlDir))
+      val csvDir = tempIndexDir("graft_q160_csv")
+      emb.filter(col("vec_id") < 100)
+        .select(
+          concat_ws(",", transform(col("embedding"),
+            x => x.cast("string"))).as("vector"),
+          col("vec_id").cast("string").as("vid"))
+        .write.mode("overwrite").option("header", "true").csv(csvDir)
+      cat.create("u", "bc", sources.StoreConfig(dimension = 64))
+      sources.BulkLoad.bulkUpload(cat, "u", "bc",
+        sources.BulkLoad.csv(s, csvDir))
+      def dump(model: String, src: String) = cat.load("u", model)
+        .select(lit(src).as("src"),
+          element_at(col("meta"), "vid").cast("long").as("vid"),
+          size(col("vector")).cast("long").as("n_dims"),
+          element_at(col("vector"), 1).cast("double").as("v1"))
+      dump("bj", "jsonl").unionAll(dump("bc", "csv"))
+    }),
+
+    // Cross-store stats + catalog listing UNDER THE ORACLE (A2/S5 were
+    // unit-only): three stores under two tenants, counts replayed
+    // generatively from the residue classes that filled them — the
+    // reference's GET /stats surface (api/routes/vectors.py:121-141)
+    // as one DataFrame.
+    "q161_store_stats" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val root = tempIndexDir("graft_q161_store")
+      val cat = new sources.VectorStoreCatalog(s, root)
+      Seq(("ua", "m0", 0), ("ua", "m1", 1), ("ub", "m2", 2)).foreach {
+        case (u, m, r) =>
+          cat.create(u, m, sources.StoreConfig(dimension = 64))
+          cat.addVectors(u, m, emb.filter(col("vec_id") % 3 === r)
+            .select(col("embedding").as("vector")))
+      }
+      cat.stats().select(col("user_id"), col("model_id"),
+        col("vector_count").cast("long").as("vector_count"))
+    }),
+
     // PERCEPTUAL audio ONLINE ingest — q148's stream construction on the
     // TENTH family (Streams.ingestMediaStream -> AudioPerceptualIndex
     // .ingestBatch): two sequential drops walk the accepted sweep where
@@ -6186,6 +6243,30 @@ object SparkEntry {
         |SELECT 'member', CAST(-1 AS BIGINT), CAST(0 AS BIGINT),
         |  CAST(vec_id AS BIGINT)
         |FROM embeddings""".stripMargin,
+
+    // Counts replayed from the residue classes; store identity literal.
+    "q161_store_stats" ->
+      """SELECT 'ua' AS user_id, 'm0' AS model_id,
+        |  CAST(count(*) AS BIGINT) AS vector_count
+        |FROM embeddings WHERE vec_id % 3 = 0
+        |UNION ALL
+        |SELECT 'ua', 'm1', CAST(count(*) AS BIGINT)
+        |FROM embeddings WHERE vec_id % 3 = 1
+        |UNION ALL
+        |SELECT 'ub', 'm2', CAST(count(*) AS BIGINT)
+        |FROM embeddings WHERE vec_id % 3 = 2""".stripMargin,
+
+    // Both formats must deliver the source table's exact floats: the
+    // first component re-read from each store equals the parquet value.
+    "q160_bulk_load" ->
+      """SELECT 'jsonl' AS src, CAST(vec_id AS BIGINT) AS vid,
+        |  CAST(64 AS BIGINT) AS n_dims,
+        |  CAST(embedding[1] AS DOUBLE) AS v1
+        |FROM embeddings
+        |UNION ALL
+        |SELECT 'csv', CAST(vec_id AS BIGINT), CAST(64 AS BIGINT),
+        |  CAST(embedding[1] AS DOUBLE)
+        |FROM embeddings WHERE vec_id < 100""".stripMargin,
 
     // The generative keep/drop contract: perturbed corpus twins and
     // walk-order twins of kept batch clips drop; fresh content survives,
