@@ -2878,6 +2878,63 @@ object SparkEntry {
       dump("bj", "jsonl").unionAll(dump("bc", "csv"))
     }),
 
+    // Silence-trim alignment UNDER THE ORACLE: the padded-lead-in
+    // duplicate (encoder padding / different-rip trim — byte-exact
+    // content behind 300 ms of silence) defeats BOTH start-aligned audio
+    // geometries; the energy-gate trim (trimSilenceRel, classic VAD
+    // endpointing) normalizes alignment to the content onset. Three
+    // indexes over one corpus: raw exact (must see NOTHING — the gap),
+    // trim-armed exact (padded byte-twins match), trim-armed perceptual
+    // (padded AND remastered twins match). Generative VALUES contract.
+    "q162_audio_trim_silence" -> ((s, dir) => {
+      import s.implicits._
+      val freqTable = Array.tabulate(24)(k =>
+        350.0 * math.pow(2800.0 / 350.0, k / 23.0))
+      def tone(c: Long, f: Int, which: Int): Double = {
+        var h = c * 1000003L + f * 7919L + which * 104729L
+        h ^= h >>> 13; h *= 0xff51afd7ed558ccdL; h ^= h >>> 33
+        freqTable(((h % 24 + 24) % 24).toInt)
+      }
+      def content(c: Long): Array[Double] =
+        Array.tabulate(4 * 8000) { i => // 32 frames x 125 ms at 8 kHz
+          val tSec = i.toDouble / 8000
+          val f = i / 1000
+          0.35 * math.sin(2 * math.Pi * tone(c, f, 0) * tSec) +
+            0.35 * math.sin(2 * math.Pi * tone(c, f, 1) * tSec)
+        }
+      def clip(id: Long, c: Long, gain: Double, padMs: Int): multimodal.Multimodal.MediaRow = {
+        val sam = new Array[Double](8 * padMs) ++ content(c).map(_ * gain) ++
+          new Array[Double](8 * (padMs / 2))
+        multimodal.Multimodal.MediaRow(id, "audio",
+          multimodal.AudioCodec.encodeWavPcm16(8000, sam),
+          multimodal.Multimodal.MediaMeta(0, 0, "wav", 4000L + padMs * 3 / 2))
+      }
+      val corpus = s.createDataset((0L until 6L).map(c => clip(c, c, 1.0, 0)))
+      val rawE = multimodal.AudioIndex.build(corpus,
+        tempIndexDir("graft_q162_raw"), windowMs = 125L, minJaccard = 0.3)
+      val trimE = multimodal.AudioIndex.build(corpus,
+        tempIndexDir("graft_q162_te"), windowMs = 125L, minJaccard = 0.3,
+        trimSilenceRel = 0.01)
+      val trimP = multimodal.AudioPerceptualIndex.build(corpus,
+        tempIndexDir("graft_q162_tp"), frameMs = 125L, minJaccard = 0.3,
+        trimSilenceRel = 0.01)
+      val batch = s.createDataset((0L until 6L).flatMap(x => Seq(
+        clip(100 + x, x, 1.0, 300), // padded byte-exact twin
+        clip(200 + x, x, 0.3 + 0.1 * x, 300), // padded + remastered
+        clip(300 + x, 50 + x, 1.0, 300)))) // padded fresh content
+      def hits(df: org.apache.spark.sql.DataFrame, name: String) =
+        df.groupBy(col("batch_id").as("media_id"))
+          .agg(count(lit(1)).as(name))
+      batch.toDF().select(col("media_id"))
+        .join(hits(rawE.dedupBatch(batch), "raw_exact"), Seq("media_id"), "left")
+        .join(hits(trimE.dedupBatch(batch), "trim_exact"), Seq("media_id"), "left")
+        .join(hits(trimP.dedupBatch(batch), "trim_percep"), Seq("media_id"), "left")
+        .select(col("media_id"),
+          coalesce(col("raw_exact"), lit(0L)).as("raw_exact"),
+          coalesce(col("trim_exact"), lit(0L)).as("trim_exact"),
+          coalesce(col("trim_percep"), lit(0L)).as("trim_percep"))
+    }),
+
     // Cross-store stats + catalog listing UNDER THE ORACLE (A2/S5 were
     // unit-only): three stores under two tenants, counts replayed
     // generatively from the residue classes that filled them — the
@@ -6243,6 +6300,21 @@ object SparkEntry {
         |SELECT 'member', CAST(-1 AS BIGINT), CAST(0 AS BIGINT),
         |  CAST(vec_id AS BIGINT)
         |FROM embeddings""".stripMargin,
+
+    // The padded-duplicate contract: the raw exact index sees nothing
+    // (the gap), the trim-armed exact index sees the byte twins, the
+    // trim-armed perceptual index sees byte AND remastered twins.
+    "q162_audio_trim_silence" ->
+      """SELECT CAST(100 + x.range AS BIGINT) AS media_id,
+        |  CAST(0 AS BIGINT) AS raw_exact, CAST(1 AS BIGINT) AS trim_exact,
+        |  CAST(1 AS BIGINT) AS trim_percep
+        |FROM range(6) x
+        |UNION ALL
+        |SELECT CAST(200 + x.range AS BIGINT), CAST(0 AS BIGINT),
+        |  CAST(0 AS BIGINT), CAST(1 AS BIGINT) FROM range(6) x
+        |UNION ALL
+        |SELECT CAST(300 + x.range AS BIGINT), CAST(0 AS BIGINT),
+        |  CAST(0 AS BIGINT), CAST(0 AS BIGINT) FROM range(6) x""".stripMargin,
 
     // Counts replayed from the residue classes; store identity literal.
     "q161_store_stats" ->

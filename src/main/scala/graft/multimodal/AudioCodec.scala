@@ -355,6 +355,59 @@ object AudioCodec {
     out
   }
 
+  /** Trim leading/trailing SILENCE by energy gate (the classic VAD
+    * endpointing primitive — public knowledge): the signal is scanned in
+    * 10 ms frames, a frame is silent when its RMS falls below
+    * `thresholdRel` × the clip's PEAK frame RMS (relative, so the gate is
+    * exactly gain-invariant like the peak-rank fingerprint), and the
+    * samples outside the first..last non-silent frame are dropped.
+    *
+    * Why it exists here: both audio fingerprint geometries are
+    * start-aligned, so an exact-content duplicate with 200 ms of
+    * prepended silence — a COMMON duplicate class (encoder padding,
+    * lead-in trimmed differently by different rips) — matches NOTHING,
+    * even through the exact window hash. Trimming first normalizes
+    * alignment to the content's own onset. An all-silent (or empty) clip
+    * returns itself unchanged (no onset to align to; the gate must not
+    * invent one from noise).
+    */
+  def trimSilence(audio: RawAudio, thresholdRel: Double = 0.01): RawAudio = {
+    require(thresholdRel > 0 && thresholdRel < 1,
+      s"thresholdRel must be in (0, 1), got $thresholdRel")
+    val n = audio.samples.length
+    val frame = math.max(1, audio.sampleRate / 100) // 10 ms
+    val frames = n / frame
+    if (frames < 1) return audio
+    val rms = new Array[Double](frames)
+    var peak = 0.0
+    var t = 0
+    while (t < frames) {
+      var acc = 0.0
+      var i = 0
+      while (i < frame) {
+        val v = audio.samples(t * frame + i)
+        acc += v * v
+        i += 1
+      }
+      rms(t) = math.sqrt(acc / frame)
+      if (rms(t) > peak) peak = rms(t)
+      t += 1
+    }
+    if (peak <= 0) return audio
+    val thr = thresholdRel * peak
+    var first = 0
+    while (first < frames && rms(first) < thr) first += 1
+    if (first >= frames) return audio // all-silent: unchanged
+    var last = frames - 1
+    while (last > first && rms(last) < thr) last -= 1
+    // trailing partial frame beyond `frames * frame` rides with the tail
+    val from = first * frame
+    val until = if (last == frames - 1) n else (last + 1) * frame
+    if (from == 0 && until == n) audio
+    else audio.copy(samples = java.util.Arrays.copyOfRange(
+      audio.samples, from, until))
+  }
+
   /** Canonical 16-bit PCM WAV encoder (mono-interleaved if one channel) —
     * the storage/test twin of [[decodeWavPcm]]; samples clipped to [-1, 1].
     */

@@ -29,10 +29,11 @@ case class AudioIndex(
     spark: SparkSession,
     path: String,
     windowMs: Long,
-    minJaccard: Double) extends MediaSetIndex {
+    minJaccard: Double,
+    trimSilenceRel: Double = 0.0) extends MediaSetIndex {
 
   override protected def fingerprints(media: Dataset[MediaRow]): DataFrame =
-    Multimodal.audioWindowFingerprints(media, windowMs)
+    Multimodal.audioWindowFingerprints(media, windowMs, trimSilenceRel)
       .select(col("media_id").as("id"), col("fp").as("h"))
 }
 
@@ -45,25 +46,36 @@ object AudioIndex {
       media: Dataset[MediaRow],
       path: String,
       windowMs: Long = 1000L,
-      minJaccard: Double = 0.5): AudioIndex = {
+      minJaccard: Double = 0.5,
+      trimSilenceRel: Double = 0.0): AudioIndex = {
     require(windowMs >= 1, s"windowMs must be >= 1, got $windowMs")
     require(minJaccard >= 0.0 && minJaccard <= 1.0,
       s"minJaccard must be in [0, 1], got $minJaccard")
+    require(trimSilenceRel >= 0.0 && trimSilenceRel < 1.0,
+      s"trimSilenceRel must be in [0, 1), got $trimSilenceRel")
     val spark = media.sparkSession
     import spark.implicits._
-    Seq((windowMs, minJaccard)).toDF("window_ms", "min_jaccard")
+    Seq((windowMs, minJaccard, trimSilenceRel))
+      .toDF("window_ms", "min_jaccard", "trim_silence_rel")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
-    val idx = AudioIndex(spark, path, windowMs, minJaccard)
+    val idx = AudioIndex(spark, path, windowMs, minJaccard, trimSilenceRel)
     val n = idx.writeSlice(media, epoch = 0L)
     EpochLog(spark, path).reset(n)
     idx
   }
 
-  /** Load a previously built index; geometry comes from the persisted meta. */
+  /** Load a previously built index; geometry comes from the persisted
+    * meta. Pre-trim indexes carry no `trim_silence_rel` column and load
+    * with the gate off — their layouts WERE fingerprinted untrimmed
+    * (the absent-column convention).
+    */
   def load(spark: SparkSession, path: String): AudioIndex = {
-    val row = spark.read.parquet(s"$path/meta")
-      .select(col("window_ms"), col("min_jaccard"))
+    val meta = spark.read.parquet(s"$path/meta")
+    val hasTrim = meta.columns.contains("trim_silence_rel")
+    val row = meta
+      .select(col("window_ms"), col("min_jaccard"),
+        (if (hasTrim) col("trim_silence_rel") else lit(0.0)).as("trim_silence_rel"))
       .collect().head
-    AudioIndex(spark, path, row.getLong(0), row.getDouble(1))
+    AudioIndex(spark, path, row.getLong(0), row.getDouble(1), row.getDouble(2))
   }
 }

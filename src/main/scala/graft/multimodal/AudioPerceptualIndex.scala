@@ -31,10 +31,12 @@ case class AudioPerceptualIndex(
     bands: Int,
     shingle: Int,
     minJaccard: Double,
-    hopMs: Long = 0L) extends MediaSetIndex {
+    hopMs: Long = 0L,
+    trimSilenceRel: Double = 0.0) extends MediaSetIndex {
 
   override protected def fingerprints(media: Dataset[MediaRow]): DataFrame =
-    Multimodal.audioSpectralFingerprints(media, frameMs, bands, shingle, hopMs)
+    Multimodal.audioSpectralFingerprints(media, frameMs, bands, shingle,
+        hopMs, trimSilenceRel)
       .select(col("media_id").as("id"), col("fp").as("h"))
 }
 
@@ -50,20 +52,24 @@ object AudioPerceptualIndex {
       bands: Int = 32,
       shingle: Int = 4,
       minJaccard: Double = 0.3,
-      hopMs: Long = 0L): AudioPerceptualIndex = {
+      hopMs: Long = 0L,
+      trimSilenceRel: Double = 0.0): AudioPerceptualIndex = {
     require(frameMs >= 1, s"frameMs must be >= 1, got $frameMs")
     require(hopMs <= frameMs, s"hopMs must be <= frameMs, got $hopMs")
+    require(trimSilenceRel >= 0.0 && trimSilenceRel < 1.0,
+      s"trimSilenceRel must be in [0, 1), got $trimSilenceRel")
     require(bands >= 2 && bands <= 256, s"bands must be in [2, 256], got $bands")
     require(shingle >= 1, s"shingle must be >= 1, got $shingle")
     require(minJaccard >= 0.0 && minJaccard <= 1.0,
       s"minJaccard must be in [0, 1], got $minJaccard")
     val spark = media.sparkSession
     import spark.implicits._
-    Seq((frameMs, bands, shingle, minJaccard, hopMs))
-      .toDF("frame_ms", "bands", "shingle", "min_jaccard", "hop_ms")
+    Seq((frameMs, bands, shingle, minJaccard, hopMs, trimSilenceRel))
+      .toDF("frame_ms", "bands", "shingle", "min_jaccard", "hop_ms",
+        "trim_silence_rel")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
     val idx = AudioPerceptualIndex(spark, path, frameMs, bands, shingle,
-      minJaccard, hopMs)
+      minJaccard, hopMs, trimSilenceRel)
     val n = idx.writeSlice(media, epoch = 0L)
     EpochLog(spark, path).reset(n)
     idx
@@ -79,12 +85,15 @@ object AudioPerceptualIndex {
   def load(spark: SparkSession, path: String): AudioPerceptualIndex = {
     val meta = spark.read.parquet(s"$path/meta")
     val hasHop = meta.columns.contains("hop_ms")
+    val hasTrim = meta.columns.contains("trim_silence_rel")
     val row = meta
       .select(col("frame_ms"), col("bands"), col("shingle"), col("min_jaccard"),
-        (if (hasHop) col("hop_ms") else lit(0L)).as("hop_ms"))
+        (if (hasHop) col("hop_ms") else lit(0L)).as("hop_ms"),
+        (if (hasTrim) col("trim_silence_rel") else lit(0.0))
+          .as("trim_silence_rel"))
       .collect().head
     AudioPerceptualIndex(spark, path,
       row.getLong(0), row.getInt(1), row.getInt(2), row.getDouble(3),
-      row.getLong(4))
+      row.getLong(4), row.getDouble(5))
   }
 }

@@ -361,7 +361,8 @@ object Multimodal {
     * distinct exchange — PCM bytes never shuffle.
     */
   def audioWindowFingerprints(
-      media: Dataset[MediaRow], windowMs: Long): DataFrame = {
+      media: Dataset[MediaRow], windowMs: Long,
+      trimSilenceRel: Double = 0.0): DataFrame = {
     import media.sparkSession.implicits._
     require(windowMs >= 1, s"windowMs must be >= 1, got $windowMs")
     media.filter(_.kind == "audio").flatMap { row =>
@@ -370,6 +371,8 @@ object Multimodal {
       val decoded =
         if (!AudioCodec.canDecode(row.bytes)) None
         else scala.util.Try(AudioCodec.decode(row.bytes)).toOption
+          .map(r => if (trimSilenceRel > 0)
+            AudioCodec.trimSilence(r, trimSilenceRel) else r)
       decoded match {
         case None => Iterator.empty
         case Some(a) =>
@@ -424,7 +427,8 @@ object Multimodal {
       frameMs: Long = 125L,
       bands: Int = 32,
       shingle: Int = 4,
-      hopMs: Long = 0L): DataFrame = {
+      hopMs: Long = 0L,
+      trimSilenceRel: Double = 0.0): DataFrame = {
     import media.sparkSession.implicits._
     require(frameMs >= 1, s"frameMs must be >= 1, got $frameMs")
     require(shingle >= 1, s"shingle must be >= 1, got $shingle")
@@ -432,6 +436,8 @@ object Multimodal {
       val decoded =
         if (!AudioCodec.canDecode(row.bytes)) None
         else scala.util.Try(AudioCodec.decode(row.bytes)).toOption
+          .map(r => if (trimSilenceRel > 0)
+            AudioCodec.trimSilence(r, trimSilenceRel) else r)
       decoded match {
         case None => Iterator.empty
         case Some(a) =>

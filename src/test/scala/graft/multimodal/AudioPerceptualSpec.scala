@@ -173,6 +173,72 @@ class AudioPerceptualSpec extends AnyFunSuite with SparkSpec {
     assert(hits == Set((100L, 2L)), s"got $hits")
   }
 
+  test("trimSilence: padded-lead-in duplicates match through trim-armed " +
+    "indexes (exact AND perceptual) where untrimmed alignment loses them") {
+    // padded twin: 300 ms of true silence prepended + 150 ms appended —
+    // the encoder-padding / different-rip duplicate class. 300 is not a
+    // 125 ms frame multiple, so untrimmed alignment shifts every window.
+    def padded(id: Long, c: Long, gain: Double): Multimodal.MediaRow = {
+      val content = samples(c, 16, 8000, gain)
+      val sam = new Array[Double](2400) ++ content ++ new Array[Double](1200)
+      Multimodal.MediaRow(id, "audio",
+        AudioCodec.encodeWavPcm16(8000, sam),
+        Multimodal.MediaMeta(0, 0, "wav", 16 * FrameMs + 450))
+    }
+    val corpus = media((0L until 4L).map(c => clip(c, c, frames = 16)): _*)
+    val batch = media(
+      padded(100L, c = 1L, gain = 1.0), // exact content, padded -> both families
+      padded(101L, c = 2L, gain = 0.5), // padded AND remastered -> perceptual only
+      padded(102L, c = 30L, gain = 1.0)) // fresh content, padded -> nobody
+    // untrimmed indexes: alignment loss, nothing matches
+    val e0 = AudioIndex.build(corpus,
+      java.nio.file.Files.createTempDirectory("graft_trim_e0").toString,
+      windowMs = FrameMs, minJaccard = 0.3)
+    assert(e0.dedupBatch(batch).count() == 0L,
+      "untrimmed exact index must lose the padded twins (the gap trim closes)")
+    // trim-armed exact index: the byte-exact padded twin matches at J=1
+    val e1 = AudioIndex.build(corpus,
+      java.nio.file.Files.createTempDirectory("graft_trim_e1").toString,
+      windowMs = FrameMs, minJaccard = 0.3, trimSilenceRel = 0.01)
+    val eHits = e1.dedupBatch(batch)
+      .select(col("batch_id"), col("corpus_id"), col("jaccard"))
+      .as[(Long, Long, Double)].collect().toSet
+    assert(eHits == Set((100L, 1L, 1.0)), s"got $eHits")
+    // trim-armed perceptual index: padded + remastered matches too
+    val p1 = AudioPerceptualIndex.build(corpus,
+      java.nio.file.Files.createTempDirectory("graft_trim_p1").toString,
+      frameMs = FrameMs, minJaccard = 0.3, trimSilenceRel = 0.01)
+    val pHits = p1.dedupBatch(batch)
+      .select(col("batch_id"), col("corpus_id")).as[(Long, Long)].collect().toSet
+    assert(pHits == Set((100L, 1L), (101L, 2L)), s"got $pHits")
+    // meta round-trip keeps the gate
+    assert(AudioIndex.load(spark, e1.path).trimSilenceRel == 0.01)
+    assert(AudioPerceptualIndex.load(spark, p1.path).trimSilenceRel == 0.01)
+  }
+
+  test("trimSilence kernel: relative gate is gain-invariant; all-silent " +
+    "and gateless clips unchanged") {
+    val content = samples(9L, 8, 8000, 1.0)
+    val padded = new Array[Double](800) ++ content ++ new Array[Double](400)
+    val t1 = AudioCodec.trimSilence(AudioCodec.RawAudio(8000, 1, padded))
+    assert(t1.samples.length == content.length,
+      s"trim must recover the content extent, got ${t1.samples.length} " +
+        s"vs ${content.length}")
+    assert(t1.samples.sameElements(content), "trim must be sample-exact")
+    // gain invariance of the RELATIVE gate: scaling moves peak and frame
+    // RMS together, so the trim boundaries are identical
+    val t2 = AudioCodec.trimSilence(
+      AudioCodec.RawAudio(8000, 1, padded.map(_ * 0.05)))
+    assert(t2.samples.length == content.length,
+      "the relative gate must trim identically under gain")
+    // all-silent clip: unchanged (no onset to align to)
+    val silent = AudioCodec.RawAudio(8000, 1, new Array[Double](4000))
+    assert(AudioCodec.trimSilence(silent).samples.length == 4000)
+    // no silence: unchanged
+    assert(AudioCodec.trimSilence(AudioCodec.RawAudio(8000, 1, content))
+      .samples.sameElements(content))
+  }
+
   test("peakBandWords: exact gain invariance and framing contract") {
     val raw = AudioCodec.RawAudio(8000, 1, samples(11L, 8, 8000, 1.0))
     val words = AudioCodec.peakBandWords(raw, FrameMs, 32)
