@@ -159,10 +159,17 @@ private[graft] trait EpochIndex {
     val target = log.nextEpoch()
     layoutNames.foreach { name =>
       val dir = layoutDir(name)
-      val df = spark.read.options(layoutReadOptions(name))
-        .option("basePath", dir)
-        .parquet(foldSet.map(e => s"$dir/epoch=$e"): _*)
-        .drop("epoch").drop("gb") // writeLayoutSlice re-buckets
+      val paths = foldSet.map(e => s"$dir/epoch=$e")
+      val reader = spark.read.options(layoutReadOptions(name))
+      // the storedLayout read convention: basePath (which resolves the
+      // two-level epoch/gb partition structure) ONLY for gather-bucketed
+      // layouts — on a flat layout the partition-discovery read path
+      // measurably costs ~2x the plain multi-root scan on wide rows
+      // (shingle-hash arrays), for a column the fold immediately drops
+      val df =
+        if (gatherBucketsFor(name) <= 0) reader.parquet(paths: _*)
+        else reader.option("basePath", dir).parquet(paths: _*)
+          .drop("epoch").drop("gb") // writeLayoutSlice re-buckets
       EpochIndex.writeLayoutSlice(df, s"$dir/epoch=$target",
         gatherBucketsFor(name))
     }
