@@ -83,6 +83,17 @@ def main():
     if removed:
         print(f"removed ({len(removed)}): " + ", ".join(removed))
 
+    # FLEET DRIFT: with 2-3 samples per query, between-run machine-state
+    # drift is CORRELATED across queries — a uniformly-faster second run
+    # "separates" dozens of same-code queries in one direction (measured:
+    # 70/157 separated, all improvements, on an identical-code rerun).
+    # The median relative delta estimates that shared shift; a separated
+    # delta whose direction matches it and whose magnitude is within 3x
+    # of it is annotated ~fleet (the code-diff check still decides).
+    rel = sorted((nq[k] - oq[k]) / max(oq[k], 1e-9) for k in common)
+    fleet = rel[len(rel) // 2] if rel else 0.0
+    print(f"fleet drift (median rel delta): {fleet * 100:+.1f}%")
+
     signal = []
     weather_total = 0.0
     for k in common:
@@ -97,6 +108,9 @@ def main():
             is_signal = abs(d) > max(p90 * base, floor_s)
             how = "floor"
         if is_signal:
+            r = d / max(oq[k], 1e-9)
+            if fleet != 0.0 and r * fleet > 0 and abs(r) <= 3 * abs(fleet):
+                how += "~fleet"
             signal.append((d, k, how))
         else:
             weather_total += d
@@ -107,10 +121,12 @@ def main():
         print("signal: none — every per-query delta is inside the "
               "measuring run's own variance")
         return
-    print(f"signal ({len(signal)} queries outside the floor):")
+    n_fleet = sum(1 for _, _, how in signal if how.endswith("~fleet"))
+    print(f"signal ({len(signal)} queries outside the floor; "
+          f"{n_fleet} of them consistent with the fleet shift):")
     for d, k, how in (signal[:ns.top] if len(signal) > ns.top else signal):
         runs_note = ""
-        if how == "sep":
+        if how.startswith("sep"):
             runs_note = (f"  old_runs={[round(v, 2) for v in oruns[k]]}"
                          f" new_runs={[round(v, 2) for v in nruns[k]]}")
         print(f"  {k}: {oq[k]:.2f}s -> {nq[k]:.2f}s ({d:+.2f}s, "
