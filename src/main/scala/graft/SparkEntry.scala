@@ -1369,6 +1369,40 @@ object SparkEntry {
         threshold = 0.5)
     }),
 
+    // Index TIME TRAVEL under the oracle — the loadAt discipline on an
+    // index family (q155's lifecycle with pins): matches run against the
+    // corpus AS OF a committed epoch. Pin at epoch 1 sees fifths {0,1}
+    // only, through TWO later appends; the live read sees everything;
+    // after a vacuum (fold of epochs 0..2, require-checked to expire the
+    // old pin loudly) a pin at epoch 3 resolves through the fold slice to
+    // fifths {0..3}. Every phase's pairs are q63's arithmetic restricted
+    // to the pinned corpus — replayable by construction.
+    "q163_index_time_travel" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val corpus = d.filter(col("doc_id") < 400)
+      val batch = d.filter(col("doc_id") >= 400)
+      def fifth(r: Int) = corpus.filter(col("doc_id") % 5 === r)
+      val idx = operators.FingerprintIndex.build(fifth(0), "doc_id", "text",
+        tempIndexDir("graft_q163_fpidx"))
+      (1 to 2).foreach(r => idx.append(fifth(r), "doc_id", "text"))
+      (3 to 4).foreach(r => idx.append(fifth(r), "doc_id", "text"))
+      def phase(name: String, asOf: Option[Long]) =
+        idx.dedupBatch(batch, "doc_id", "text", threshold = 0.5, asOf = asOf)
+          .select(lit(name).as("phase"), col("batch_id"), col("corpus_id"),
+            col("jaccard"))
+      // pinned EAGERLY (the q156 discipline): the vacuum below deletes
+      // the folded epoch directories these lazy frames' captured paths
+      // point at, so a post-vacuum evaluation would FileNotFound
+      val live = phase("live", None).localCheckpoint(true)
+      val pin1 = phase("pin1", Some(1L)).localCheckpoint(true)
+      val folded = idx.vacuum(keepLast = 2)
+      require(folded == 3, s"epochs 0..2 must fold, got $folded")
+      val gone = scala.util.Try(
+        idx.dedupBatch(batch, "doc_id", "text", 0.5, asOf = Some(1L)))
+      require(gone.isFailure, "the folded pin must expire loudly")
+      live.unionAll(pin1).unionAll(phase("pin3", Some(3L)))
+    }),
+
     // The HAMMING-side persisted index (SimHash text / image dHash
     // families), exercised over portable arithmetic fingerprints so the
     // oracle replays banding + verify exactly: recall is total by
@@ -4838,6 +4872,29 @@ object SparkEntry {
         |           (len(b.sh) + len(c.sh) - len(list_intersect(b.sh, c.sh))) AS jaccard
         |  FROM s b, s c WHERE b.doc_id >= 400 AND c.doc_id < 400
         |) WHERE jaccard >= 0.5""".stripMargin,
+
+    // q63's arithmetic per phase, restricted to each pin's corpus: live =
+    // all fifths, pin1 = fifths {0,1}, pin3 (through the vacuum fold) =
+    // fifths {0..3}.
+    "q163_index_time_travel" ->
+      """WITH s AS MATERIALIZED (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, len(string_split(text,' '))-1),
+        |         i -> array_to_string(list_slice(string_split(text,' '), i, i+2), ' '))) AS sh
+        |  FROM documents),
+        |pr AS MATERIALIZED (
+        |  SELECT b.doc_id AS batch_id, c.doc_id AS corpus_id,
+        |         c.doc_id % 5 AS fifth,
+        |         CAST(len(list_intersect(b.sh, c.sh)) AS DOUBLE) /
+        |           (len(b.sh) + len(c.sh) - len(list_intersect(b.sh, c.sh))) AS jaccard
+        |  FROM s b, s c WHERE b.doc_id >= 400 AND c.doc_id < 400)
+        |SELECT 'live' AS phase, batch_id, corpus_id, jaccard
+        |FROM pr WHERE jaccard >= 0.5
+        |UNION ALL
+        |SELECT 'pin1', batch_id, corpus_id, jaccard
+        |FROM pr WHERE jaccard >= 0.5 AND fifth < 2
+        |UNION ALL
+        |SELECT 'pin3', batch_id, corpus_id, jaccard
+        |FROM pr WHERE jaccard >= 0.5 AND fifth < 4""".stripMargin,
 
     // Brute-force batch x corpus Hamming over the q42-portable fingerprint
     // formula — the indexed path's banding recall is total by pigeonhole

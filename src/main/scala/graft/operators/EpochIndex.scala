@@ -57,6 +57,36 @@ private[graft] trait EpochIndex {
     else reader.option("basePath", dir).parquet(paths: _*).drop("epoch")
   }
 
+  /** [[storedLayout]] pinned at a snapshot epoch — the index-family twin
+    * of [[graft.sources.VectorStoreCatalog.loadAt]]: only committed
+    * slices with epoch <= `maxEpoch`, plus the active vacuum fold when
+    * the pin reaches past its boundary ([[EpochLog.layoutPathsAt]]).
+    */
+  protected def storedLayoutAt(name: String, maxEpoch: Long): DataFrame = {
+    val dir = layoutDir(name)
+    val paths = log.layoutPathsAt(dir, maxEpoch)
+    val reader = spark.read.options(layoutReadOptions(name))
+    if (gatherBucketsFor(name) <= 0) reader.parquet(paths: _*)
+    else reader.option("basePath", dir).parquet(paths: _*).drop("epoch")
+  }
+
+  /** Addressable snapshot pins: the committed epoch set (a previous
+    * vacuum's fold slice is itself a valid pin — the vacuum-time
+    * snapshot), the store's [[graft.sources.VectorStoreCatalog.epochs]]
+    * discipline. A pinned read at an epoch NOT in this list fails loudly
+    * ([[requirePin]]) — compaction/vacuum/delete expire old pins.
+    */
+  def epochs: Seq[Long] = log.committedEpochs()
+
+  /** The loud pin-validity gate every `...At` read goes through. */
+  protected def requirePin(epoch: Long): Unit = {
+    val live = epochs
+    require(live.contains(epoch),
+      s"epoch $epoch is not in the committed history (live pins: " +
+        s"${live.mkString(", ")}) — compaction, vacuum, or a delete " +
+        "rewrite may have expired it")
+  }
+
   /** The epoch-commit protocol around one slice write: `write(epoch)` lands
     * every layout under its `epoch=N` directory (overwrite mode — the
     * directory may hold an orphan from a failed earlier attempt at this

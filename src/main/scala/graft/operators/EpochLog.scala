@@ -223,14 +223,21 @@ private[graft] case class EpochLog(spark: SparkSession, path: String) {
     * replace epoch's superset state or fails the caller's existence check
     * loudly — never to a silently partial read.
     */
-  def layoutPathsAt(layoutPath: String, maxEpoch: Long): Seq[String] = {
+  def layoutPathsAt(layoutPath: String, maxEpoch: Long): Seq[String] =
+    epochsAt(maxEpoch).map(e => s"$layoutPath/epoch=$e")
+
+  /** The pinned epoch set a snapshot read at `maxEpoch` resolves — the
+    * [[layoutPathsAt]] arithmetic exposed so pinned ROW statistics stay
+    * commit-log-only ([[rowsOf]] over this set): the active fold slice
+    * sorts NUMERICALLY above the kept epochs but holds the LOGICALLY
+    * OLDEST rows (everything below the boundary), so a pin at or past the
+    * boundary always includes it.
+    */
+  def epochsAt(maxEpoch: Long): Seq[Long] = {
     val (live, fold) = resolve()
-    // the active fold slice sorts NUMERICALLY above the kept epochs but
-    // holds the LOGICALLY OLDEST rows (everything below the boundary), so
-    // a pin at or past the boundary always includes it
-    val pinned = live.filter(_ <= maxEpoch) ++
-      fold.collect { case (t, b) if b <= maxEpoch && t > maxEpoch => t }
-    pinned.distinct.map(e => s"$layoutPath/epoch=$e")
+    (live.filter(_ <= maxEpoch) ++
+      fold.collect { case (t, b) if b <= maxEpoch && t > maxEpoch => t })
+      .distinct.sorted
   }
 
   /** Best-effort recursive delete of a dead epoch directory. */

@@ -94,10 +94,11 @@ case class FingerprintIndex(
       textCol: String,
       threshold: Double,
       maxBucketSize: Int = 1000,
-      gatherPruneMinCorpus: Long = EpochIndex.GatherPruneMinCorpus): DataFrame =
+      gatherPruneMinCorpus: Long = EpochIndex.GatherPruneMinCorpus,
+      asOf: Option[Long] = None): DataFrame =
     dedupBatchFp(FingerprintIndex.fingerprints(
       batch, idCol, textCol, shingleLen, numHashes, seed).localCheckpoint(true),
-      threshold, maxBucketSize, gatherPruneMinCorpus)
+      threshold, maxBucketSize, gatherPruneMinCorpus, asOf)
 
   /** [[dedupBatch]] over an already-fingerprinted (pinned) batch frame —
     * the seam that lets [[ingestBatch]] fingerprint the batch exactly once
@@ -107,8 +108,17 @@ case class FingerprintIndex(
       batchFp: DataFrame,
       threshold: Double,
       maxBucketSize: Int,
-      gatherPruneMinCorpus: Long = EpochIndex.GatherPruneMinCorpus): DataFrame = {
-    val corpusRows = log.sizeStats()._2
+      gatherPruneMinCorpus: Long = EpochIndex.GatherPruneMinCorpus,
+      asOf: Option[Long] = None): DataFrame = {
+    // TIME-TRAVEL pin (the loadAt discipline on the index): match against
+    // the corpus AS OF a committed epoch — reproducibility audits ("which
+    // duplicates would we have flagged as of snapshot N"). Expired pins
+    // fail loudly; pinned row counts stay commit-log arithmetic.
+    asOf.foreach(requirePin)
+    def bandsSrc() = asOf.fold(storedBands())(e => storedLayoutAt("bands", e))
+    def docsSrcAll() = asOf.fold(storedDocs())(e => storedLayoutAt("docs", e))
+    val corpusRows = asOf.fold(log.sizeStats()._2)(e =>
+      log.rowsOf(log.epochsAt(e).toSet))
     val batchBands = FingerprintIndex.banded(batchFp, bands, numHashes / bands)
     // when the batch is smaller than the index (the normal ingest shape),
     // prune the stored bands to buckets the batch PROBES before anything
@@ -116,7 +126,7 @@ case class FingerprintIndex(
     // whole standing corpus would shuffle N x bands rows per batch query.
     // The size test is cheap: batchFp is checkpointed, and the corpus size
     // is commit-log arithmetic (no data files touched).
-    val preCap = EpochIndex.probePruned(storedBands(), batchBands,
+    val preCap = EpochIndex.probePruned(bandsSrc(), batchBands,
       prune = batchFp.count() < corpusRows)
     // cap only the corpus side — a degenerate bucket is a corpus property,
     // and the batch side must never lose a doc's chance to match
@@ -132,7 +142,7 @@ case class FingerprintIndex(
     val candidates =
       if (corpusRows >= gatherPruneMinCorpus) candidates0.localCheckpoint(true)
       else candidates0
-    val docsSrc = EpochIndex.gatherPruned(storedDocs(), candidates,
+    val docsSrc = EpochIndex.gatherPruned(docsSrcAll(), candidates,
       "corpus_id", corpusRows, gatherPruneMinCorpus,
       gatherBuckets = gatherBuckets)
     candidates

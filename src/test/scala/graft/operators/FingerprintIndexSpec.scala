@@ -139,6 +139,45 @@ class FingerprintIndexSpec extends AnyFunSuite with SparkSpec {
     assert(gbDirs == 8, s"fold slice must be re-bucketed, got $gbDirs dirs")
   }
 
+  test("asOf pins a snapshot: matches run against the corpus AS IT WAS; " +
+    "appends invisible to the pin; vacuum expires old pins loudly") {
+    val p = java.nio.file.Files.createTempDirectory("graft_fpidx_asof").toString
+    val corpus = docs.filter($"doc_id" < 400)
+    val batch = docs.filter($"doc_id" >= 400)
+    def fifth(r: Int) = corpus.filter($"doc_id" % 5 === r)
+    val idx = FingerprintIndex.build(fifth(0), "doc_id", "text", p)
+    (1 to 2).foreach(r => idx.append(fifth(r), "doc_id", "text"))
+    // pin at epoch 1 = fifths {0, 1}
+    val pinned = pairs(idx.dedupBatch(batch, "doc_id", "text",
+      threshold = 0.5, asOf = Some(1L)))
+    val direct01 = pairs(Dedup.nearDupAgainstMinHash(
+      corpus.filter($"doc_id" % 5 < 2), batch, "doc_id", "text",
+      threshold = 0.5))
+    assert(pinned == direct01,
+      "the pinned match must equal recompute against the as-of corpus")
+    // later appends stay invisible to the same pin
+    (3 to 4).foreach(r => idx.append(fifth(r), "doc_id", "text"))
+    assert(pairs(idx.dedupBatch(batch, "doc_id", "text",
+      threshold = 0.5, asOf = Some(1L))) == pinned)
+    // live read sees everything
+    assert(pairs(idx.dedupBatch(batch, "doc_id", "text", threshold = 0.5))
+      == pairs(Dedup.nearDupAgainstMinHash(corpus, batch, "doc_id", "text",
+        threshold = 0.5)))
+    // vacuum folds epochs 0..2 (keepLast=2 of 5): pin 1 expires LOUDLY,
+    // pin 3 still resolves (fold + epoch 3 = fifths 0..3)
+    assert(idx.vacuum(keepLast = 2) == 3)
+    val gone = intercept[IllegalArgumentException] {
+      idx.dedupBatch(batch, "doc_id", "text", threshold = 0.5, asOf = Some(1L))
+    }
+    assert(gone.getMessage.contains("not in the committed history"))
+    assert(pairs(idx.dedupBatch(batch, "doc_id", "text",
+      threshold = 0.5, asOf = Some(3L)))
+      == pairs(Dedup.nearDupAgainstMinHash(
+        corpus.filter($"doc_id" % 5 < 4), batch, "doc_id", "text",
+        threshold = 0.5)),
+      "a pin past the fold boundary reads the fold slice + kept epochs")
+  }
+
   test("append is equivalent to building on the grown corpus") {
     val p = java.nio.file.Files.createTempDirectory("graft_fpidx_app").toString
     val idx = FingerprintIndex.build(docs.filter($"doc_id" < 200),
