@@ -83,23 +83,33 @@ abstract class MediaSetIndex extends EpochIndex {
     */
   def dedupBatch(
       media: Dataset[MediaRow],
-      maxDocsPerFp: Int = 1000): DataFrame =
-    dedupBatchFps(fingerprints(media).localCheckpoint(true), maxDocsPerFp)
+      maxDocsPerFp: Int = 1000,
+      asOf: Option[Long] = None): DataFrame =
+    dedupBatchFps(fingerprints(media).localCheckpoint(true), maxDocsPerFp,
+      asOf)
 
   private def dedupBatchFps(
-      batchFps: DataFrame, maxDocsPerFp: Int): DataFrame = {
+      batchFps: DataFrame, maxDocsPerFp: Int,
+      asOf: Option[Long] = None): DataFrame = {
     require(maxDocsPerFp >= 1,
       s"maxDocsPerFp must be >= 1, got $maxDocsPerFp")
-    val corpusRows = log.sizeStats()._2
+    // TIME-TRAVEL pin ([[graft.operators.FingerprintIndex.dedupBatch]]'s
+    // asOf contract, shared by all three media families): expired pins
+    // fail loudly, pinned counts stay commit-log arithmetic
+    asOf.foreach(requirePin)
+    def fpsSrc() = asOf.fold(storedFps())(e => storedLayoutAt("fps", e))
+    def sizesSrc() = asOf.fold(storedSizes())(e => storedLayoutAt("sizes", e))
+    val corpusRows = asOf.fold(log.sizeStats()._2)(e =>
+      log.rowsOf(log.epochsAt(e).toSet))
     val cnt = batchFps.agg(
       countDistinct(col("id")).as("docs"),
       countDistinct(col("h")).as("fps")).head()
     val (batchDocs, batchDistinctFps) = (cnt.getLong(0), cnt.getLong(1))
     val pre =
-      if (batchDocs >= corpusRows) storedFps()
+      if (batchDocs >= corpusRows) fpsSrc()
       else {
         val probes = batchFps.select(col("h")).distinct()
-        storedFps().join(
+        fpsSrc().join(
           if (batchDistinctFps <= MediaSetIndex.MaxBroadcastFps) broadcast(probes)
           else probes,
           Seq("h"), "left_semi")
@@ -112,7 +122,7 @@ abstract class MediaSetIndex extends EpochIndex {
     // batch sizes full from this pass; corpus sizes full from the
     // PERSISTED layout — the cap bounds candidates only
     Multimodal.jaccardFiltered(shared, "batch_id", "corpus_id",
-      Multimodal.setSizes(batchFps), storedSizes(),
+      Multimodal.setSizes(batchFps), sizesSrc(),
       "size_b", "size_c", minJaccard)
   }
 

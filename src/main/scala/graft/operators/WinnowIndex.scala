@@ -76,17 +76,24 @@ case class WinnowIndex(
       batch: DataFrame,
       idCol: String,
       textCol: String,
-      maxDocsPerFp: Int = 1000): DataFrame =
+      maxDocsPerFp: Int = 1000,
+      asOf: Option[Long] = None): DataFrame =
     dedupBatchFps(fps(batch, idCol, textCol).localCheckpoint(true),
-      maxDocsPerFp)
+      maxDocsPerFp, asOf)
 
   private def dedupBatchFps(
-      batchFps: DataFrame, maxDocsPerFp: Int): DataFrame = {
+      batchFps: DataFrame, maxDocsPerFp: Int,
+      asOf: Option[Long] = None): DataFrame = {
+    // TIME-TRAVEL pin ([[FingerprintIndex.dedupBatch]]'s asOf contract):
+    // expired pins fail loudly, pinned counts stay commit-log arithmetic
+    asOf.foreach(requirePin)
+    def fpsSrc() = asOf.fold(storedFps())(e => storedLayoutAt("fps", e))
     // commit-log nRows count DOCS, so the prune decision must compare
     // batch DOCS (distinct ids over the pinned frame), not fingerprint
     // rows — ~2/(w+1) x grams of them per doc. Both counts in one pass
     // over the pinned frame.
-    val corpusRows = log.sizeStats()._2
+    val corpusRows = asOf.fold(log.sizeStats()._2)(e =>
+      log.rowsOf(log.epochsAt(e).toSet))
     val cnt = batchFps.agg(
       countDistinct(col("id")).as("docs"),
       countDistinct(col("fph")).as("fps")).head()
@@ -99,10 +106,10 @@ case class WinnowIndex(
     // shuffled semi-join (AQE picks the strategy) — strictly cheaper than
     // capPostings over the unpruned layout either way.
     val pre =
-      if (batchDocs >= corpusRows) storedFps()
+      if (batchDocs >= corpusRows) fpsSrc()
       else {
         val probes = batchFps.select(col("fph")).distinct()
-        storedFps().join(
+        fpsSrc().join(
           if (batchDistinctFps <= WinnowIndex.MaxBroadcastFps)
             broadcast(probes)
           else probes,

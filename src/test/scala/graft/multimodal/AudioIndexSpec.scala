@@ -64,6 +64,27 @@ class AudioIndexSpec extends AnyFunSuite with SparkSpec {
       s"got ${hits.toSeq}")
   }
 
+  test("asOf pins a snapshot on the media families: the pinned match " +
+    "ignores later appends; expired pins fail loudly") {
+    val idx = AudioIndex.build(media(clip(1L, Seq(0L, 1L, 2L, 3L))),
+      tmp("graft_aidx_asof"), windowMs = 125L, minJaccard = 0.5)
+    idx.append(media(clip(2L, Seq(10L, 11L, 12L, 13L)))) // epoch 1
+    idx.append(media(clip(3L, Seq(20L, 21L, 22L, 23L)))) // epoch 2
+    val probe3 = media(clip(100L, Seq(20L, 21L, 22L, 23L)))
+    assert(idx.dedupBatch(probe3).select($"corpus_id")
+      .as[Long].collect().toSet == Set(3L))
+    // pinned at epoch 1: clip 3 does not exist yet; clip 2 does
+    assert(idx.dedupBatch(probe3, asOf = Some(1L)).count() == 0L)
+    assert(idx.dedupBatch(media(clip(101L, Seq(10L, 11L, 12L, 13L))),
+      asOf = Some(1L)).select($"corpus_id").as[Long].collect().toSet
+      == Set(2L))
+    idx.compact()
+    val gone = intercept[IllegalArgumentException] {
+      idx.dedupBatch(probe3, asOf = Some(1L))
+    }
+    assert(gone.getMessage.contains("not in the committed history"))
+  }
+
   test("ingestBatch: corpus dup dropped, within-batch dup dropped, " +
     "cross-batch state; dropped fps never appended") {
     val idx = AudioIndex.build(media(clip(1L, Seq(0L, 1L, 2L, 3L))),

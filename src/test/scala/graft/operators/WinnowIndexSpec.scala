@@ -85,6 +85,30 @@ class WinnowIndexSpec extends AnyFunSuite with SparkSpec {
       "compaction must re-commit document counts, not fingerprint rows")
   }
 
+  test("asOf pins a snapshot on the winnowing family: the pinned match " +
+    "ignores later appends; expired pins fail loudly") {
+    val path = tmp("graft_widx_asof")
+    def doc(i: Long, prefix: String) =
+      (i, (1 to 12).map(k => s"$prefix$k").mkString(" "))
+    val idx = WinnowIndex.build(
+      Seq(doc(1L, "a")).toDF("id", "text"), "id", "text", path)
+    idx.append(Seq(doc(2L, "b")).toDF("id", "text"), "id", "text") // epoch 1
+    idx.append(Seq(doc(3L, "c")).toDF("id", "text"), "id", "text") // epoch 2
+    val probe = Seq(doc(10L, "c")).toDF("id", "text") // twin of doc 3
+    assert(idx.dedupBatch(probe, "id", "text")
+      .select($"corpus_id").as[Long].collect().toSet == Set(3L))
+    // pinned at epoch 1, doc 3 does not exist yet
+    assert(idx.dedupBatch(probe, "id", "text", asOf = Some(1L)).count() == 0L)
+    val probeB = Seq(doc(11L, "b")).toDF("id", "text")
+    assert(idx.dedupBatch(probeB, "id", "text", asOf = Some(1L))
+      .select($"corpus_id").as[Long].collect().toSet == Set(2L))
+    idx.compact()
+    val gone = intercept[IllegalArgumentException] {
+      idx.dedupBatch(probe, "id", "text", asOf = Some(1L))
+    }
+    assert(gone.getMessage.contains("not in the committed history"))
+  }
+
   test("vacuum on a doc-unit family: fold keeps DOCUMENT counts and the " +
     "match set (commit-log arithmetic, no fp-row inflation)") {
     val path = tmp("graft_widx_vac")
