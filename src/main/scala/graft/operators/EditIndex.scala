@@ -61,6 +61,15 @@ case class EditIndex(
     else df.withColumn("block", lit(null).cast("string"))
   }
 
+  /** [[storedTitles]] pinned at a snapshot epoch — same mixed-schema
+    * normalization (pre-`blockCol` epochs carry no block column).
+    */
+  private def titlesAt(maxEpoch: Long): DataFrame = {
+    val df = storedLayoutAt("titles", maxEpoch)
+    if (df.columns.contains("block")) df
+    else df.withColumn("block", lit(null).cast("string"))
+  }
+
   /** The stored blocking key for one input frame: the index's `blockCol`
     * cast to STRING (equality-joinable across any source type), NULL when
     * the index is unblocked.
@@ -106,14 +115,21 @@ case class EditIndex(
       batch: DataFrame,
       idCol: String,
       textCol: String,
-      maxDocsPerBlock: Int = 1000): DataFrame =
+      maxDocsPerBlock: Int = 1000,
+      asOf: Option[Long] = None): DataFrame =
     matchSlim(batch.select(col(idCol).cast("long").as("id"),
-      col(textCol).as("title"), blockExpr(batch).as("block")), maxDocsPerBlock)
+      col(textCol).as("title"), blockExpr(batch).as("block")), maxDocsPerBlock,
+      asOf)
 
   /** [[dedupBatch]] over an already-slimmed (id, title, block) frame. */
-  private def matchSlim(slimBatch: DataFrame, maxDocsPerBlock: Int): DataFrame =
-    Dedup.editDistanceAgainst(slimBatch, storedTitles(), "id", "title",
+  private def matchSlim(slimBatch: DataFrame, maxDocsPerBlock: Int,
+      asOf: Option[Long] = None): DataFrame = {
+    // TIME-TRAVEL pin ([[FingerprintIndex.dedupBatch]]'s asOf contract)
+    asOf.foreach(requirePin)
+    val titles = asOf.fold(storedTitles())(e => titlesAt(e))
+    Dedup.editDistanceAgainst(slimBatch, titles, "id", "title",
       maxEdits, blockCol = opBlock, maxDocsPerBlock = maxDocsPerBlock)
+  }
 
   /** ONLINE ingest — the accepted-walk contract shared by every index
     * family: batch docs in ascending id order, dropped iff within

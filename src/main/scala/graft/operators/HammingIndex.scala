@@ -95,7 +95,12 @@ case class HammingIndex(
       idCol: String,
       fpCol: String,
       maxHamming: Int = 3,
-      maxBucketSize: Int = 1000): DataFrame = {
+      maxBucketSize: Int = 1000,
+      asOf: Option[Long] = None): DataFrame = {
+    // TIME-TRAVEL pin ([[FingerprintIndex.dedupBatch]]'s asOf contract)
+    asOf.foreach(requirePin)
+    def bandsSrc() = asOf.fold(storedBands())(e => storedLayoutAt("bands", e))
+    def fpsSrc() = asOf.fold(storedFps())(e => storedLayoutAt("fps", e))
     val batch = batchFps.select(col(idCol).cast("long").as("id"),
       col(fpCol).cast("long").as("fp")).localCheckpoint(true)
     val batchDistinct = batch.select(col("fp")).distinct()
@@ -104,7 +109,7 @@ case class HammingIndex(
     // buckets cannot produce candidates), then bound pathological buckets:
     // at most maxBucketSize DISTINCT corpus fps per (band, bucket), lowest
     // fps kept — deterministic, and a bucket that full is boilerplate.
-    val preCap = EpochIndex.probePruned(storedBands(), batchBands, prune = true)
+    val preCap = EpochIndex.probePruned(bandsSrc(), batchBands, prune = true)
       // appends may have re-recorded a fp's band rows; candidates must not
       // count a (fp, band, bucket) twice against the cap
       .dropDuplicates("fp", "band", "bucket")
@@ -124,7 +129,7 @@ case class HammingIndex(
     candFps
       .join(batch.select(col("id").as("batch_id"), col("fp").as("fp_b")),
         Seq("fp_b"))
-      .join(storedFps().select(col("id").as("corpus_id"), col("fp").as("fp_c")),
+      .join(fpsSrc().select(col("id").as("corpus_id"), col("fp").as("fp_c")),
         Seq("fp_c"))
       .select(col("batch_id"), col("corpus_id"), col("hamming"))
   }

@@ -167,9 +167,10 @@ case class HyperplaneIndex(
       threshold: Double,
       maxBucketSize: Int = 1000,
       probeFlips: Int = 0,
-      gatherPruneMinCorpus: Long = EpochIndex.GatherPruneMinCorpus): DataFrame =
+      gatherPruneMinCorpus: Long = EpochIndex.GatherPruneMinCorpus,
+      asOf: Option[Long] = None): DataFrame =
     dedupBatchSigned(signBatch(batch, idCol, vecCol), threshold, maxBucketSize,
-      probeFlips, gatherPruneMinCorpus)
+      probeFlips, gatherPruneMinCorpus, asOf)
 
   /** Pin one (id, vec, sig) frame per batch — feeds the corpus match AND
     * (in [[ingestBatch]]) the within-batch pair scan.
@@ -183,11 +184,17 @@ case class HyperplaneIndex(
   private def dedupBatchSigned(
       signed: DataFrame, threshold: Double, maxBucketSize: Int,
       probeFlips: Int = 0,
-      gatherPruneMinCorpus: Long = EpochIndex.GatherPruneMinCorpus): DataFrame = {
-    val corpusRows = log.sizeStats()._2
+      gatherPruneMinCorpus: Long = EpochIndex.GatherPruneMinCorpus,
+      asOf: Option[Long] = None): DataFrame = {
+    // TIME-TRAVEL pin ([[FingerprintIndex.dedupBatch]]'s asOf contract)
+    asOf.foreach(requirePin)
+    def bandsSrc() = asOf.fold(storedBands())(e => storedLayoutAt("bands", e))
+    def vecsSrcAll() = asOf.fold(storedVecs())(e => storedLayoutAt("vecs", e))
+    val corpusRows = asOf.fold(log.sizeStats()._2)(e =>
+      log.rowsOf(log.epochsAt(e).toSet))
     val batchBands =
       banded(signed.select((col("id") +: sigNames.map(col)): _*), probeFlips)
-    val preCap = EpochIndex.probePruned(storedBands(), batchBands,
+    val preCap = EpochIndex.probePruned(bandsSrc(), batchBands,
       prune = signed.count() < corpusRows)
     // cap only the corpus side — a degenerate bucket is a corpus property,
     // and the batch side must never lose a vector's chance to match
@@ -202,7 +209,7 @@ case class HyperplaneIndex(
     val candidates =
       if (corpusRows >= gatherPruneMinCorpus) candidates0.localCheckpoint(true)
       else candidates0
-    val vecsSrc = EpochIndex.gatherPruned(storedVecs(), candidates,
+    val vecsSrc = EpochIndex.gatherPruned(vecsSrcAll(), candidates,
       "corpus_id", corpusRows, gatherPruneMinCorpus,
       gatherBuckets = gatherBuckets)
     candidates

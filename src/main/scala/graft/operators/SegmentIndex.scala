@@ -62,9 +62,14 @@ case class SegmentIndex(
     * place (probe hashes broadcast out, hits broadcast back), never
     * shuffled.
     */
-  def dedupBatch(batch: DataFrame, idCol: String, textCol: String): DataFrame =
-    Dedup.dedupParagraphsAgainst(batch, idCol, textCol, storedSegs(),
+  def dedupBatch(batch: DataFrame, idCol: String, textCol: String,
+      asOf: Option[Long] = None): DataFrame = {
+    // TIME-TRAVEL pin ([[FingerprintIndex.dedupBatch]]'s asOf contract)
+    asOf.foreach(requirePin)
+    Dedup.dedupParagraphsAgainst(batch, idCol, textCol,
+      asOf.fold(storedSegs())(e => storedLayoutAt("segs", e)),
       delimiter, minSegmentLen)
+  }
 
   /** Ingest shape: clean the batch, then append the SURVIVING segments'
     * hashes so later batches dedup against them too. Returns the cleaned
