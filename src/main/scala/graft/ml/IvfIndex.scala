@@ -44,25 +44,99 @@ class IvfIndex private (
     */
   private[graft] def storeDf: DataFrame = log match {
     case None => spark.read.parquet(dataPath)
+    case Some(l) => readEpochDirs(l.layoutPaths(dataPath))
+  }
+
+  /** [[storeDf]] pinned at a committed snapshot epoch — the IVF side of the
+    * [[graft.operators.EpochIndex.storedLayoutAt]] time-travel discipline:
+    * only committed `data/epoch<=maxEpoch` slices, plus the active vacuum
+    * fold when the pin reaches past its boundary. Requires an epoch-logged
+    * index; pins expire LOUDLY under compaction/vacuum ([[requirePin]]).
+    */
+  private[graft] def storeDfAt(maxEpoch: Long): DataFrame = {
+    requirePin(maxEpoch)
+    readEpochDirs(log.get.layoutPathsAt(dataPath, maxEpoch))
+  }
+
+  /** Addressable snapshot pins — the committed epoch set (a previous
+    * vacuum's fold slice is itself a valid pin). Log-less (legacy/
+    * standalone) layouts have a single implicit epoch and no pins.
+    */
+  def epochs: Seq[Long] = log.map(_.committedEpochs()).getOrElse(Seq.empty)
+
+  /** The loud pin-validity gate every `...At` read goes through — the
+    * [[graft.operators.EpochIndex.requirePin]] contract for the IVF side.
+    */
+  private[graft] def requirePin(epoch: Long): Unit = {
+    require(log.isDefined,
+      "time-travel pins need an epoch-logged index; this layout has no " +
+        "commit log (legacy/standalone build)")
+    val live = epochs
+    require(live.contains(epoch),
+      s"epoch $epoch is not in the committed history (live pins: " +
+        s"${live.mkString(", ")}) — compaction, vacuum, or a delete " +
+        "rewrite may have expired it")
+  }
+
+  private def readEpochDirs(paths: Seq[String]): DataFrame = {
+    val fs = new org.apache.hadoop.fs.Path(dataPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // epochs committed before the index existed have no index-side
+    // directory (their rows are covered by the index build's epoch)
+    val dirs = paths.filter(p => fs.exists(new org.apache.hadoop.fs.Path(p)))
+    if (dirs.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("id",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("vector",
+            org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.FloatType), nullable = true),
+          org.apache.spark.sql.types.StructField("list_id",
+            org.apache.spark.sql.types.IntegerType, nullable = false))))
+    else spark.read.option("basePath", dataPath).parquet(dirs: _*).drop("epoch")
+  }
+
+  /** Epoch retention for the IVF layout — [[graft.operators.EpochIndex
+    * .vacuum]]'s lever on the vector side, closing the one lifecycle
+    * asymmetry the text/media families' r15 work left open: a long-lived
+    * embedding ingest stream accumulates one `data/epoch=N` directory per
+    * micro-batch, and `compact()`'s full rewrite was the only counter.
+    * Folds every committed epoch below the newest `keepLast` into ONE
+    * cluster-partitioned slice (O(folded slices), not O(index)), commits
+    * atomically via [[graft.operators.EpochLog.commitVacuum]], and expires
+    * the originals — query results unchanged by construction (same rows,
+    * same `list_id` partitioning; partition pruning inside the fold slice
+    * works exactly as in any append slice). Returns epochs folded; 0 when
+    * history is within `keepLast` or the layout has no log.
+    */
+  def vacuum(keepLast: Int): Int = log match {
+    case None =>
+      require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
+      0 // a log-less flat layout has exactly one implicit epoch
     case Some(l) =>
+      val (foldSet, boundary) = l.vacuumPlan(keepLast) match {
+        case None => return 0
+        case Some(plan) => plan
+      }
+      val nUnits = l.rowsOf(foldSet.toSet)
+      val target = l.nextEpoch()
       val fs = new org.apache.hadoop.fs.Path(dataPath)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      // epochs committed before the index existed have no index-side
-      // directory (their rows are covered by the index build's epoch)
-      val dirs = l.layoutPaths(dataPath)
+      // shared-log epochs with no index-side directory (store-only commits
+      // predating the index) fold to nothing on THIS layout — the commit
+      // still expires them so the boundary advances in lockstep
+      val dirs = foldSet.map(e => s"$dataPath/epoch=$e")
         .filter(p => fs.exists(new org.apache.hadoop.fs.Path(p)))
-      if (dirs.isEmpty)
-        spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-          org.apache.spark.sql.types.StructType(Seq(
-            org.apache.spark.sql.types.StructField("id",
-              org.apache.spark.sql.types.LongType, nullable = false),
-            org.apache.spark.sql.types.StructField("vector",
-              org.apache.spark.sql.types.ArrayType(
-                org.apache.spark.sql.types.FloatType), nullable = true),
-            org.apache.spark.sql.types.StructField("list_id",
-              org.apache.spark.sql.types.IntegerType, nullable = false))))
-      else spark.read.option("basePath", dataPath).parquet(dirs: _*).drop("epoch")
+      if (dirs.nonEmpty)
+        spark.read.option("basePath", dataPath).parquet(dirs: _*)
+          .drop("epoch")
+          .write.mode("overwrite").partitionBy("list_id")
+          .parquet(s"$dataPath/epoch=$target")
+      l.commitVacuum(target, boundary, nUnits)
+      foldSet.foreach(e => l.deleteDir(s"$dataPath/epoch=$e"))
+      foldSet.size
   }
 
   /** Probe-list column for a vector column. */
@@ -238,7 +312,8 @@ class IvfIndex private (
       k: Int,
       nProbe: Int = 8,
       queryIdCol: String = "query_id",
-      queryVecCol: String = "query_vec"): DataFrame = {
+      queryVecCol: String = "query_vec",
+      asOf: Option[Long] = None): DataFrame = {
     // pin the (bounded) probed query set once: it feeds both the probed-list
     // collection and the join, and must not recompute user lineage twice
     val probed = queries.select(
@@ -247,7 +322,9 @@ class IvfIndex private (
       .localCheckpoint(true)
     val probedLists = probed.select(col("list_id")).distinct()
       .collect().map(_.getInt(0)).toSeq // <= nLists values by construction
-    val store = storeDf
+    // TIME-TRAVEL pin: "which neighbours would we have served as of
+    // snapshot N" — the corpus as it was at the pinned commit
+    val store = asOf.fold(storeDf)(storeDfAt)
       .filter(col("list_id").isin(probedLists: _*))
     val topk = udaf(new TopKAggregator(k, ascending = false))
     probed.join(store, Seq("list_id"))

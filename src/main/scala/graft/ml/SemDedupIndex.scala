@@ -37,22 +37,30 @@ object SemDedupIndex {
       * sides in the SAME cluster. The corpus scan is partition-pruned to
       * the clusters the batch actually lands in; corpus vectors are read
       * only there; nothing is re-clustered.
+      *
+      * `asOf = Some(epoch)` pins the STORED side at a committed snapshot
+      * — "which embeddings would we have flagged as of snapshot N", the
+      * q163 audit answered on the semantic family: later appends are
+      * invisible, the pin expires loudly under compaction/vacuum
+      * ([[graft.ml.IvfIndex.requirePin]]), and centroids are FROZEN index
+      * state so pinned assignment equals what the pinned run computed.
       */
     def dedupBatch(
         batch: DataFrame,
         idCol: String,
         vecCol: String,
         threshold: Double,
-        maxClusterSize: Int = 10000): DataFrame =
+        maxClusterSize: Int = 10000,
+        asOf: Option[Long] = None): DataFrame =
       dedupAssigned(assignBatch(batch, idCol, vecCol), threshold,
-        maxClusterSize)
+        maxClusterSize, asOf)
 
     private def dedupAssigned(
         assigned: DataFrame, threshold: Double,
-        maxClusterSize: Int): DataFrame = {
+        maxClusterSize: Int, asOf: Option[Long] = None): DataFrame = {
       val clusters = assigned.select(col("cluster")).distinct()
         .collect().map(_.getInt(0)).toSeq // <= nClusters by construction
-      val corpus = cappedCorpus(clusters, maxClusterSize)
+      val corpus = cappedCorpus(clusters, maxClusterSize, asOf)
       assigned.as("b")
         .join(corpus.as("c"), col("b.cluster") === col("c.cluster"))
         .select(col("b.id").as("batch_id"), col("c.id").as("corpus_id"),
@@ -140,6 +148,18 @@ object SemDedupIndex {
     def committedEpochCount: Int =
       ivf.log.map(_.committedEpochs().length).getOrElse(1)
 
+    /** Addressable snapshot pins for [[dedupBatch]]'s `asOf` — the
+      * committed epoch set ([[graft.ml.IvfIndex.epochs]]).
+      */
+    def epochs: Seq[Long] = ivf.epochs
+
+    /** Epoch retention on the semantic family's IVF layout —
+      * [[graft.ml.IvfIndex.vacuum]]: fold history below the newest
+      * `keepLast` epochs into one cluster-partitioned slice instead of
+      * `compact()`'s O(index) full rewrite. Returns epochs folded.
+      */
+    def vacuum(keepLast: Int): Int = ivf.vacuum(keepLast)
+
     /** Rewrite live epochs into one — the explicit batch maintenance job
       * ([[graft.operators.FingerprintIndex.compact]] discipline): read the
       * committed corpus, land it under a fresh epoch, commit it as a
@@ -166,8 +186,9 @@ object SemDedupIndex {
         ivf.probes(col(vecCol), 1).getItem(0).as("cluster"))
         .localCheckpoint(true) // feeds the cluster prune AND the verify join
 
-    private def cappedCorpus(clusters: Seq[Int], maxClusterSize: Int): DataFrame = {
-      val pruned = ivf.storeDf
+    private def cappedCorpus(clusters: Seq[Int], maxClusterSize: Int,
+        asOf: Option[Long] = None): DataFrame = {
+      val pruned = asOf.fold(ivf.storeDf)(ivf.storeDfAt)
         .filter(col("list_id").isin(clusters: _*))
         .select(col("id"), col("vector").as("_cv"), col("list_id").as("cluster"))
       // deterministic corpus-side cap, lowest ids — SemDedup.pairsWithCentroids'

@@ -178,13 +178,10 @@ private[graft] trait EpochIndex {
     * `keepLast`.
     */
   def vacuum(keepLast: Int): Int = {
-    require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
-    val fold = log.activeFold()
-    // logical pin order: an active fold never counts as a kept recent pin
-    val pins = log.committedEpochs().filterNot(e => fold.exists(_._1 == e))
-    if (pins.size <= keepLast) return 0
-    val boundary = pins(pins.size - keepLast)
-    val foldSet = fold.map(_._1).toSeq ++ pins.filter(_ < boundary)
+    val (foldSet, boundary) = log.vacuumPlan(keepLast) match {
+      case None => return 0
+      case Some(plan) => plan
+    }
     val nUnits = log.rowsOf(foldSet.toSet)
     val target = log.nextEpoch()
     layoutNames.foreach { name =>

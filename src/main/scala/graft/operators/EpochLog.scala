@@ -169,6 +169,27 @@ private[graft] case class EpochLog(spark: SparkSession, path: String) {
     */
   def activeFold(): Option[(Long, Long)] = resolve()._2
 
+  /** The fold plan a `vacuum(keepLast)` run would execute, shared by every
+    * layout family ([[EpochIndex.vacuum]], [[graft.ml.IvfIndex.vacuum]]):
+    * None when history is already within `keepLast` recent pins, else
+    * (foldSet, boundary) where `foldSet` is every epoch to fold — the
+    * active fold slice (logically the OLDEST content despite its high
+    * epoch number, so vacuum composes) plus every non-fold pin below the
+    * boundary — and `boundary` is the oldest KEPT pin. The caller reads
+    * the fold set, writes one fresh slice, and lands [[commitVacuum]].
+    */
+  def vacuumPlan(keepLast: Int): Option[(Seq[Long], Long)] = {
+    require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
+    val (live, fold) = resolve()
+    // logical pin order: an active fold never counts as a kept recent pin
+    val pins = live.filterNot(e => fold.exists(_._1 == e))
+    if (pins.size <= keepLast) None
+    else {
+      val boundary = pins(pins.size - keepLast)
+      Some((fold.map(_._1).toSeq ++ pins.filter(_ < boundary), boundary))
+    }
+  }
+
   /** Every epoch the log knows, live or dead — ONE log read. This is the
     * set a replace commit supersedes, so compacting callers snapshot it
     * BEFORE committing (the replace prunes the log these would be read

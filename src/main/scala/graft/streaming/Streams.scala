@@ -957,7 +957,10 @@ object Streams {
       checkpoint: Option[String] = None,
       onBatch: (DataFrame, Long) => Unit = (_, _) => (),
       trigger: Trigger = Trigger.AvailableNow(),
-      autoCompact: Boolean = false): StreamingQuery = {
+      autoCompact: Boolean = false,
+      autoVacuumKeepLast: Option[Int] = None): StreamingQuery = {
+    autoVacuumKeepLast.foreach(k => require(k >= 1,
+      s"autoVacuumKeepLast must be >= 1, got $k"))
     val cp = checkpoint.getOrElse(
       java.nio.file.Files.createTempDirectory("graft_ingest_sem_cp").toString)
     vecs.writeStream
@@ -969,9 +972,15 @@ object Streams {
           onKept = kept => onBatch(kept, batchId))
         // epoch proliferation is the IvfIndex-layout drift this stream can
         // fix itself; cluster DRIFT (imbalance) still needs the explicit
-        // recluster job — maintenance() reports it, autoCompact cannot
+        // recluster job — maintenance() reports it, autoCompact cannot.
+        // autoVacuumKeepLast is the cheaper steady-state lever (the
+        // [[maintainIndex]] economics on the IVF layout): fold at the
+        // 2k+1 cadence, compaction wins the batch when both trip.
         if (autoCompact && index.committedEpochCount >
           graft.operators.EpochIndex.DefaultMaxEpochs) index.compact()
+        else autoVacuumKeepLast.foreach { k =>
+          if (index.committedEpochCount >= 2 * k + 1) { index.vacuum(k); () }
+        }
         ()
       }
       .start()

@@ -129,6 +129,67 @@ class SemDedupIndexSpec extends AnyFunSuite with SparkSpec {
     assert(after == before, "compaction must not change dedup output")
   }
 
+  test("vacuum folds old epochs and preserves dedupBatch exactly") {
+    val p = java.nio.file.Files.createTempDirectory("graft_semdedup_vac").toString
+    val idx = SemDedupIndex.build(emb.filter($"id" < 200), "id", "vector", p,
+      nClusters = 4, maxIter = 5)
+    (0 until 4).foreach(i => idx.append(
+      emb.filter($"id" >= 200 + i * 50 && $"id" < 250 + i * 50)))
+    val before = idx.dedupBatch(batch, "id", "vector", 0.95)
+      .select($"batch_id", $"corpus_id").as[(Long, Long)].collect().toSet
+    assert(idx.vacuum(keepLast = 2) == 3, "epochs 0..2 must fold")
+    assert(idx.committedEpochCount == 3, "fold + the 2 kept epochs")
+    val after = SemDedupIndex.load(spark, p)
+      .dedupBatch(batch, "id", "vector", 0.95)
+      .select($"batch_id", $"corpus_id").as[(Long, Long)].collect().toSet
+    assert(after == before, "vacuum must not change dedup output")
+    // composes: the fold slice re-folds with the next horizon crossing
+    idx.append(emb.filter($"id" >= 400 && $"id" < 450))
+    assert(idx.vacuum(keepLast = 2) == 2,
+      "the previous fold + the oldest kept epoch re-fold")
+    val again = idx.dedupBatch(emb.filter($"id" < 450), "id", "vector", 0.999)
+    assert(again.filter($"batch_id" === $"corpus_id").count() == 450L,
+      "every stored row still matches itself after two vacuums")
+    // commit-log arithmetic still agrees with the layout
+    assert(idx.maintenance().nVectors == 450L)
+  }
+
+  test("asOf pins the stored corpus; vacuum expires old pins loudly") {
+    val p = java.nio.file.Files.createTempDirectory("graft_semdedup_asof").toString
+    val idx = SemDedupIndex.build(emb.filter($"id" < 300), "id", "vector", p,
+      nClusters = 4, maxIter = 5)
+    idx.append(emb.filter($"id" >= 300 && $"id" < 350)) // epoch 1
+    idx.append(emb.filter($"id" >= 350 && $"id" < 400)) // epoch 2
+    val probe = emb.filter($"id" === 350).select(
+      ($"id" + 80000).as("id"),
+      transform($"vector", x => x * lit(2.0f)).as("vector"))
+    def hits(asOf: Option[Long]) =
+      idx.dedupBatch(probe, "id", "vector", threshold = 0.999, asOf = asOf)
+        .select($"corpus_id").as[Long].collect().toSet
+    assert(hits(None).contains(350L))
+    assert(!hits(Some(1L)).contains(350L),
+      "row 350 does not exist at the epoch-1 pin")
+    assert(hits(Some(2L)).contains(350L))
+    assert(idx.epochs == Seq(0L, 1L, 2L))
+    assert(idx.vacuum(keepLast = 1) == 2, "epochs 0+1 must fold")
+    val gone = intercept[IllegalArgumentException] { hits(Some(1L)) }
+    assert(gone.getMessage.contains("not in the committed history"))
+    // the kept epoch and the fold slice remain addressable pins
+    assert(hits(Some(2L)).contains(350L))
+    // a log-less legacy layout refuses pins loudly
+    val legacyPath =
+      java.nio.file.Files.createTempDirectory("graft_semdedup_nolog").toString
+    val legacy = SemDedupIndex.Index(
+      IvfIndex.buildWithCentroids(emb.filter($"id" < 100), "id", "vector",
+        legacyPath, Array(Array.fill(
+          emb.select($"vector").head().getSeq[Float](0).size)(0.1))),
+      legacyPath)
+    val refuse = intercept[IllegalArgumentException] {
+      legacy.dedupBatch(probe, "id", "vector", 0.9, asOf = Some(0L))
+    }
+    assert(refuse.getMessage.contains("no commit log"))
+  }
+
   test("a crashed (uncommitted) append is invisible to readers") {
     val p = java.nio.file.Files.createTempDirectory("graft_semdedup_crash").toString
     val idx = SemDedupIndex.build(emb.filter($"id" < 300), "id", "vector", p,

@@ -231,6 +231,52 @@ class StreamsSpec extends AnyFunSuite with SparkSpec {
     assert(staticKept == Set(1000L, 1003L))
   }
 
+  test("ingestSemDedupStream autoVacuumKeepLast: epochs fold, results unchanged") {
+    // 6 one-row micro-batches of fresh embeddings: without retention the
+    // index ends at 7 epoch directories (build + 6 appends); with
+    // autoVacuumKeepLast = 2 each batch ends with the commit-log-only
+    // cadence check (fold at 2k+1 = 5 epochs), so the directory count
+    // stays bounded and the kept set / stored corpus are unchanged
+    // (vacuum preserves rows by construction).
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select($"vec_id", $"embedding")
+    val corpus = emb.filter($"vec_id" < 400)
+    val feed = (0 until 6).map(i => emb.filter($"vec_id" === 450 + i)
+      .select(($"vec_id" + 2000).as("vec_id"), $"embedding"))
+    def run(keep: Option[Int]): (Set[Long], Long, Int) = {
+      val idx = graft.ml.SemDedupIndex.build(corpus, "vec_id", "embedding",
+        tempDir(s"graft_semvac_idx_${keep.isDefined}"), nClusters = 8,
+        maxIter = 5)
+      val dropDir = tempDir(s"graft_semvac_${keep.isDefined}")
+      val keptIds = scala.collection.mutable.Set.empty[Long]
+      val src = spark.readStream
+        .schema(StructType(Seq(
+          StructField("vec_id", org.apache.spark.sql.types.LongType),
+          StructField("embedding", ArrayType(FloatType)))))
+        .parquet(dropDir)
+      val q = Streams.ingestSemDedupStream(src, idx, "vec_id", "embedding",
+        threshold = 0.9,
+        onBatch = (kept, _) =>
+          keptIds ++= kept.select($"vec_id").as[Long].collect(),
+        trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(
+          "50 milliseconds"),
+        autoVacuumKeepLast = keep)
+      try feed.foreach { d =>
+        d.write.mode("append").parquet(dropDir)
+        q.processAllAvailable()
+      } finally q.stop()
+      (keptIds.toSet, idx.maintenance().nVectors, idx.committedEpochCount)
+    }
+    val (keptOff, nOff, epochsOff) = run(None)
+    val (keptOn, nOn, epochsOn) = run(Some(2))
+    assert(keptOn == keptOff && keptOn.size == 6,
+      "retention must not change the kept set")
+    assert(nOn == nOff && nOn == 406L)
+    assert(epochsOff == 7, "un-vacuumed: build + one epoch per micro-batch")
+    assert(epochsOn <= 5,
+      s"autoVacuumKeepLast must bound epoch proliferation, got $epochsOn")
+  }
+
   test("ingestWinnowStream: chopping-independent kept set, static parity") {
     // corpus doc 1 = t1; batch 1000 copies t1 (drops: index), 1001 fresh
     // (kept), 1002 copies 1001 (drops: within-batch sweep in the one-drop
