@@ -1403,6 +1403,95 @@ object SparkEntry {
       live.unionAll(pin1).unionAll(phase("pin3", Some(3L)))
     }),
 
+    // IVF-side retention + time travel UNDER THE ORACLE — the q163
+    // construction on the SEMANTIC family (SemDedupIndex over an IvfIndex
+    // layout), closing round 15's one lifecycle asymmetry: the embedding
+    // corpus is indexed across FIVE epoch slices (vec_id % 5 fifths:
+    // build + four appends) against FIXED centroids (embeddings 0..7, the
+    // q46/q55 trick — assignment is a replayable argmax), pinned reads
+    // answer "which embeddings would we have flagged as of snapshot N",
+    // a vacuum folds epochs 0..2 into one cluster-partitioned slice
+    // (require-checked; the folded pin expires LOUDLY), and a post-vacuum
+    // pin resolves through the fold slice to fifths {0..3}. The batch is
+    // x2-scaled copies of the corpus (cosine exactly 1.0 with the source
+    // — doubling is exact in IEEE), so every phase's matches are q55's
+    // cluster-scoped exact-cosine arithmetic restricted to the pinned
+    // fifths.
+    "q164_semdedup_time_travel" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      def fifth(r: Int) = emb.filter(col("vec_id") % 5 === r)
+      val batch = emb.select((col("vec_id") + 10000).as("vec_id"),
+        transform(col("embedding"), x => x * lit(2.0f)).as("embedding"))
+      val cents = emb.filter(col("vec_id") < 8).orderBy(col("vec_id"))
+        .select(col("embedding")).collect()
+        .map(_.getSeq[Float](0).toArray.map(_.toDouble))
+      val idx = ml.SemDedupIndex.buildWithCentroids(fifth(0), "vec_id",
+        "embedding", tempIndexDir("graft_q164_semidx"), cents)
+      (1 to 4).foreach(r => idx.append(fifth(r), "vec_id", "embedding"))
+      def phase(name: String, asOf: Option[Long]) =
+        idx.dedupBatch(batch, "vec_id", "embedding", threshold = 0.9,
+            asOf = asOf)
+          .select(lit(name).as("phase"), col("batch_id"), col("corpus_id"))
+      // pinned EAGERLY (the q163 discipline): the vacuum deletes the
+      // folded epoch directories these lazy frames' captured paths
+      // point at, so a post-vacuum evaluation would FileNotFound
+      val live = phase("live", None).localCheckpoint(true)
+      val pin1 = phase("pin1", Some(1L)).localCheckpoint(true)
+      val folded = idx.vacuum(keepLast = 2)
+      require(folded == 3, s"epochs 0..2 must fold, got $folded")
+      val gone = scala.util.Try(
+        idx.dedupBatch(batch, "vec_id", "embedding", 0.9, asOf = Some(1L)))
+      require(gone.isFailure, "the folded pin must expire loudly")
+      live.unionAll(pin1).unionAll(phase("pin3", Some(3L)))
+    }),
+
+    // EditIndex time travel UNDER THE ORACLE — the q163 construction on
+    // the one family whose pin path has real family-specific logic: the
+    // MIXED-SCHEMA titles layout. Epoch 0 is hand-written in the LEGACY
+    // pre-blockCol 2-column shape (id, title — no block column), epochs
+    // 1..2 are modern 3-column appends, so the pinned reads exercise
+    // titlesAt's mergeSchema + NULL-block normalization on a pure-legacy
+    // snapshot (pin0), a mixed snapshot (pin1), and the post-vacuum fold
+    // (pinv, where the fold slice itself holds merged rows). Matches are
+    // q120's levenshtein arithmetic restricted to the pinned corpus;
+    // vacuum folds epochs 0+1 (require-checked; the old pin expires
+    // loudly).
+    "q165_edit_time_travel" -> ((s, dir) => {
+      val titles = t(s, dir, "documents").select(col("doc_id"),
+        substring(col("text"), 1, 30).as("title"))
+      val path = tempIndexDir("graft_q165_eidx")
+      // the legacy epoch + block_col-less meta (what a pre-blockCol build
+      // wrote) — EditIndex.load normalizes it to an unblocked index
+      val legacy = titles.filter(col("doc_id") < 200)
+        .select(col("doc_id").as("id"), col("title"))
+        .localCheckpoint(true)
+      legacy.write.mode("overwrite").parquet(s"$path/titles/epoch=0")
+      import s.implicits._
+      Seq(10).toDF("max_edits")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+      operators.EpochLog(s, path).reset(legacy.count())
+      val idx = operators.EditIndex.load(s, path)
+      idx.append(titles.filter(col("doc_id") >= 200 && col("doc_id") < 300),
+        "doc_id", "title") // epoch 1 (3-column)
+      idx.append(titles.filter(col("doc_id") >= 300 && col("doc_id") < 400),
+        "doc_id", "title") // epoch 2 (3-column)
+      val batch = titles.filter(col("doc_id") >= 400 && col("doc_id") < 500)
+      def phase(name: String, asOf: Option[Long]) =
+        idx.dedupBatch(batch, "doc_id", "title",
+            maxDocsPerBlock = Int.MaxValue, asOf = asOf)
+          .select(lit(name).as("phase"), col("batch_id"), col("corpus_id"),
+            col("dist"))
+      val live = phase("live", None).localCheckpoint(true)
+      val pin0 = phase("pin0", Some(0L)).localCheckpoint(true)
+      val pin1 = phase("pin1", Some(1L)).localCheckpoint(true)
+      val folded = idx.vacuum(keepLast = 1)
+      require(folded == 2, s"epochs 0+1 must fold, got $folded")
+      val gone = scala.util.Try(idx.dedupBatch(batch, "doc_id", "title",
+        Int.MaxValue, asOf = Some(1L)))
+      require(gone.isFailure, "the folded pin must expire loudly")
+      live.unionAll(pin0).unionAll(pin1).unionAll(phase("pinv", Some(3L)))
+    }),
+
     // The HAMMING-side persisted index (SimHash text / image dHash
     // families), exercised over portable arithmetic fingerprints so the
     // oracle replays banding + verify exactly: recall is total by
@@ -4895,6 +4984,62 @@ object SparkEntry {
         |UNION ALL
         |SELECT 'pin3', batch_id, corpus_id, jaccard
         |FROM pr WHERE jaccard >= 0.5 AND fifth < 4""".stripMargin,
+
+    // The q55 cluster-scoped exact-cosine arithmetic (fixed centroids =
+    // embeddings 0..7, assignment = replayable argmax with ties to the
+    // lower cluster id) with a phase column: each pin restricts the
+    // CORPUS side to the fifths committed at that epoch. The x2-scaled
+    // batch keeps cosine and assignment bit-identical with its source
+    // (doubling is exact in IEEE), so ids alone pin the contract.
+    "q164_semdedup_time_travel" ->
+      """WITH cent AS (SELECT vec_id AS cl, CAST(embedding AS DOUBLE[]) AS c
+        |              FROM embeddings WHERE vec_id < 8),
+        |corpus AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+        |                  vec_id % 5 AS fifth
+        |           FROM embeddings),
+        |batch AS (SELECT vec_id + 10000 AS vec_id,
+        |            CAST(list_transform(embedding, x -> x * CAST(2.0 AS FLOAT))
+        |              AS DOUBLE[]) AS v
+        |          FROM embeddings),
+        |ca AS (SELECT vec_id, v, fifth, cl FROM (
+        |    SELECT x.vec_id, x.v, x.fifth, c.cl,
+        |      row_number() OVER (PARTITION BY x.vec_id
+        |        ORDER BY list_cosine_similarity(c.c, x.v) DESC, c.cl ASC) AS rn
+        |    FROM corpus x CROSS JOIN cent c) WHERE rn = 1),
+        |ba AS (SELECT vec_id, v, cl FROM (
+        |    SELECT x.vec_id, x.v, c.cl,
+        |      row_number() OVER (PARTITION BY x.vec_id
+        |        ORDER BY list_cosine_similarity(c.c, x.v) DESC, c.cl ASC) AS rn
+        |    FROM batch x CROSS JOIN cent c) WHERE rn = 1),
+        |pr AS MATERIALIZED (
+        |  SELECT b.vec_id AS batch_id, c.vec_id AS corpus_id, c.fifth
+        |  FROM ba b JOIN ca c ON b.cl = c.cl
+        |  WHERE list_cosine_similarity(b.v, c.v) >= 0.9)
+        |SELECT 'live' AS phase, batch_id, corpus_id FROM pr
+        |UNION ALL
+        |SELECT 'pin1', batch_id, corpus_id FROM pr WHERE fifth < 2
+        |UNION ALL
+        |SELECT 'pin3', batch_id, corpus_id FROM pr WHERE fifth < 4""".stripMargin,
+
+    // q120's levenshtein arithmetic with a phase column: each pin
+    // restricts the corpus to the doc_id range committed at that epoch
+    // (epoch 0 = the hand-written legacy 2-column slice). The lossless
+    // length prefilter needs no replay — levenshtein <= 10 implies it.
+    "q165_edit_time_travel" ->
+      """WITH t AS (SELECT doc_id, substring(text, 1, 30) AS title FROM documents),
+        |pr AS MATERIALIZED (
+        |  SELECT b.doc_id AS batch_id, c.doc_id AS corpus_id,
+        |    CAST(levenshtein(b.title, c.title) AS BIGINT) AS dist
+        |  FROM t b, t c
+        |  WHERE b.doc_id >= 400 AND b.doc_id < 500 AND c.doc_id < 400
+        |    AND levenshtein(b.title, c.title) <= 10)
+        |SELECT 'live' AS phase, batch_id, corpus_id, dist FROM pr
+        |UNION ALL
+        |SELECT 'pin0', batch_id, corpus_id, dist FROM pr WHERE corpus_id < 200
+        |UNION ALL
+        |SELECT 'pin1', batch_id, corpus_id, dist FROM pr WHERE corpus_id < 300
+        |UNION ALL
+        |SELECT 'pinv', batch_id, corpus_id, dist FROM pr""".stripMargin,
 
     // Brute-force batch x corpus Hamming over the q42-portable fingerprint
     // formula — the indexed path's banding recall is total by pigeonhole
