@@ -246,11 +246,13 @@ object NgramLm {
     * γ(h) = (d1·N1(h) + d2·N2(h) + d3·N3+(h)) / c(h) where Nr(h) counts
     * continuations of h seen exactly r times (N3+ at least 3). Per-history
     * Nr ride ONE packed long per history (N1 | N2<<21 | N3+<<42 — each
-    * bucket < 2^21, enforced at train). Tables are trained UNPRUNED
-    * (minTrigramCount = 1): the n1 bucket IS the singleton mass the
-    * estimator needs, so pruning it away would degenerate Y = n1/(n1+2n2).
-    * Deterministic end to end — an external engine replays training
-    * exactly, the q151 discipline with estimated discounts.
+    * bucket < 2^21, enforced at train). Discount estimation always sees
+    * the UNPRUNED count-of-counts (computed distributedly — the n1 bucket
+    * IS the singleton mass the estimator needs, so it must never be
+    * pruned away); the collected SCORING table prunes deterministically
+    * past `maxTrigrams` (the KenLM shape). Deterministic end to end — an
+    * external engine replays training exactly, the q151 discipline with
+    * estimated discounts.
     */
   case class Kn3ModModel(
       trigrams: java.util.HashMap[String, java.lang.Long],
@@ -288,6 +290,18 @@ object NgramLm {
         case _ => ()
       }
     }
+    estimateDiscountsFromCoc(n1, n2, n3, n4)
+  }
+
+  /** [[estimateDiscounts]] from the four count-of-count buckets directly —
+    * the seam that lets [[trainKn3Mod]] compute them DISTRIBUTEDLY (one
+    * `groupBy(count).count()` per level) instead of collecting the
+    * unpruned table to tally driver-side: n_r is a corpus statistic, not
+    * a table statistic, so the values (and therefore the discounts) are
+    * byte-identical between the two routes.
+    */
+  private[graft] def estimateDiscountsFromCoc(
+      n1: Long, n2: Long, n3: Long, n4: Long): (Double, Double, Double) = {
     if (n1 > 0 && n2 > 0 && n3 > 0 && n4 > 0) {
       val y = n1.toDouble / (n1.toDouble + 2.0 * n2.toDouble)
       val d1 = 1.0 - 2.0 * y * (n2.toDouble / n1.toDouble)
@@ -310,13 +324,29 @@ object NgramLm {
     n1 | (n2 << 21) | (n3p << 42)
   }
 
-  /** Train the MODIFIED-KN upgrade of [[trainKn3]]. Same scale shape (one
-    * distributed vocab count + one trigram aggregation, driver statistics
-    * under the fail-fast cap) — the trigram table is collected UNPRUNED,
-    * which the cap must absorb (27k distinct trigrams at the sf0.1 bench
-    * corpus vs the 2M default cap; raise `maxTrigrams` or fall back to
-    * [[trainKn3]] when a corpus genuinely needs pruning, trading the
-    * estimator's n1 bucket away deliberately).
+  /** Count-of-count buckets n_1..n_4 of a (key, count) frame — ONE
+    * distributed `groupBy(count).count()` whose result is at most four
+    * rows; the [[trainKn3Mod]] estimator input at any corpus scale.
+    */
+  private def countOfCounts(df: DataFrame, cCol: String): (Long, Long, Long, Long) = {
+    val m = df.filter(col(cCol) <= 4)
+      .groupBy(col(cCol)).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (m.getOrElse(1L, 0L), m.getOrElse(2L, 0L),
+      m.getOrElse(3L, 0L), m.getOrElse(4L, 0L))
+  }
+
+  /** Train the MODIFIED-KN upgrade of [[trainKn3]] — the KenLM scale
+    * shape: DISCOUNTS are corpus statistics computed DISTRIBUTEDLY (one
+    * `groupBy(count).count()` count-of-counts aggregation per level over
+    * the unpruned trigram/continuation frames — at most four rows each
+    * reach the driver), so the estimator has no corpus ceiling; only the
+    * SCORING table is collected, PRUNED deterministically to the top
+    * `maxTrigrams` by (count desc, gram asc) when the corpus outgrows the
+    * cap (a WARN records the prune; per-history backoff statistics are
+    * then computed over the pruned table — the table scoring actually
+    * consults, the standard pruned-LM trade). Corpora under the cap train
+    * byte-identically to the collect-everything route (spec-asserted).
     */
   def trainKn3Mod(
       docs: DataFrame,
@@ -330,16 +360,35 @@ object NgramLm {
       toks.agg(countDistinct(col("w"))).head().getLong(0),
       maxVocab.toLong).toInt
     require(vocabSize > 0, "empty training corpus")
-    val triLimit = math.min(maxTrigrams.toLong + 1, Int.MaxValue.toLong).toInt
-    val triRows = docs
+    // ONE trigram-type aggregation, pinned: it feeds the two level
+    // estimators and the pruned scoring-table collect (three jobs over
+    // a frame whose recomputation would re-scan the corpus each time)
+    val triDf = docs
       .select(explode(graft.operators.Curation.tokenNgrams(
         trim(regexp_replace(col(textCol), "\\s+", " ")), 3)).as("g"))
       .groupBy(col("g")).agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
+    // trigram-level n_r over the UNPRUNED table — the n1 bucket is the
+    // singleton mass the estimator needs, which pruning would destroy
+    val (tn1, tn2, tn3, tn4) = countOfCounts(triDf, "c")
+    val (td1, td2, td3) = estimateDiscountsFromCoc(tn1, tn2, tn3, tn4)
+    // middle-level continuation counts N1+(·vw): each trigram TYPE row is
+    // one distinct u for its suffix, so the continuation frame is a
+    // groupBy over suffixes of the TYPE frame — still unpruned
+    val (mn1, mn2, mn3, mn4) = countOfCounts(
+      triDf.select(col("g").substr(
+          locate(" ", col("g")) + lit(1), length(col("g"))).as("vw"))
+        .groupBy(col("vw")).agg(count(lit(1)).as("c")), "c")
+    val (md1, md2, md3) = estimateDiscountsFromCoc(mn1, mn2, mn3, mn4)
+    val triLimit = math.min(maxTrigrams.toLong + 1, Int.MaxValue.toLong).toInt
+    val pruned = triDf
       .orderBy(col("c").desc, col("g").asc)
       .limit(triLimit).collect()
-    require(triRows.length <= maxTrigrams,
-      s"unpruned trigram table exceeds maxTrigrams=$maxTrigrams; raise the " +
-        "cap or use trainKn3 (pruned, fixed d)")
+    if (pruned.length > maxTrigrams)
+      log.warn(s"trigram table exceeds maxTrigrams=$maxTrigrams: scoring " +
+        "table pruned to the top entries by (count desc, gram asc); " +
+        "discounts remain exact corpus statistics")
+    val triRows = pruned.take(maxTrigrams)
     require(triRows.nonEmpty, "modified KN needs a nonempty trigram table")
     val trigrams = new java.util.HashMap[String, java.lang.Long](triRows.length * 2)
     val triHistTotals = new java.util.HashMap[String, java.lang.Long]()
@@ -361,7 +410,6 @@ object NgramLm {
       val mc = midCounts.get(vw)
       midCounts.put(vw, (if (mc == null) 0L else mc.longValue()) + 1L)
     }
-    val (td1, td2, td3) = estimateDiscounts(trigrams.values())
     val triHistN = new java.util.HashMap[String, java.lang.Long](triN1.size() * 2)
     triN1.forEach((h, b) => triHistN.put(h, packN(b(0), b(1), b(2))))
     val midHistTotals = new java.util.HashMap[String, java.lang.Long]()
@@ -381,7 +429,6 @@ object NgramLm {
       val cc = contCounts.get(w)
       contCounts.put(w, (if (cc == null) 0L else cc.longValue()) + 1L)
     }
-    val (md1, md2, md3) = estimateDiscounts(midCounts.values())
     val midHistN = new java.util.HashMap[String, java.lang.Long](midN.size() * 2)
     midN.forEach((h, b) => midHistN.put(h, packN(b(0), b(1), b(2))))
     Kn3ModModel(trigrams, triHistTotals, triHistN, midCounts, midHistTotals,

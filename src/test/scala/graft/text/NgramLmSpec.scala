@@ -167,6 +167,29 @@ class NgramLmSpec extends AnyFunSuite with SparkSpec {
     assert(plan.contains("lm_kn3_mod_perplexity"), "kernel must be in-plan")
   }
 
+  test("modified KN: the estimator has no corpus ceiling — discounts are " +
+    "byte-identical under a scoring-table prune the old cap would refuse") {
+    val ref = docs.filter($"doc_id" < 400)
+    val full = NgramLm.trainKn3Mod(ref, "text", maxVocab = 256)
+    val nTypes = full.trigrams.size()
+    assert(nTypes > 500, s"corpus must outgrow the small cap, got $nTypes")
+    // the r15 code path REQUIRED maxTrigrams >= unpruned types and threw
+    // here; now the scoring table prunes deterministically while the
+    // distributed count-of-counts keeps the discounts exact
+    val pruned = NgramLm.trainKn3Mod(ref, "text", maxVocab = 256,
+      maxTrigrams = 500)
+    assert(pruned.trigrams.size() == 500, "scoring table prunes to the cap")
+    assert((pruned.triD1, pruned.triD2, pruned.triD3) ==
+      ((full.triD1, full.triD2, full.triD3)) &&
+      (pruned.midD1, pruned.midD2, pruned.midD3) ==
+        ((full.midD1, full.midD2, full.midD3)),
+      "discounts are corpus statistics — the prune must not move them")
+    // the pruned model still scores (backoff covers pruned-away grams)
+    val p = docs.filter($"doc_id" >= 400).limit(20)
+      .agg(avg(NgramLm.perplexityKn3Mod($"text", pruned))).head().getDouble(0)
+    assert(p > 1.0 && !p.isNaN)
+  }
+
   test("trigram KN separates in-domain from junk and plans no shuffle") {
     val kn3 = NgramLm.trainKn3(docs.filter($"doc_id" < 400), "text",
       maxVocab = 256, minTrigramCount = 2)
