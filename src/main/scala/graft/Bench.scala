@@ -36,7 +36,13 @@ object Bench {
     // ±15% fleet-wide drift between snapshots. Fast queries get 3 timed
     // runs; contracts whose warm-up already exceeded 2 s get 2 (keeps total
     // harness wall-time inside the driver budget — the heavy contracts
-    // dominate it). A GC between queries keeps one query's garbage from
+    // dominate it) — EXCEPT the >10 s contracts, which get 3 again: a
+    // 2-run sample on the noisiest multi-phase lifecycle queries was the
+    // fleet's weakest arbitration point exactly where absolute seconds are
+    // largest (q163 read [21.4, 9.2] in r15 — a 2.3x spread no two-sample
+    // criterion can adjudicate), and the ~1 extra run per such contract
+    // costs ~30 s over the whole sweep. A GC between queries keeps one
+    // query's garbage from
     // billing the next. Per-query relative spread (max−min)/median across
     // the timed runs is aggregated into a "noise" summary on the JSON line
     // so every round carries its own noise floor next to its timings.
@@ -61,7 +67,8 @@ object Bench {
       }
       System.gc()
       val warmup = once() // discarded
-      val timed = Seq.fill(nRuns.getOrElse(if (warmup > 2.0) 2 else 3))(once())
+      val timed = Seq.fill(nRuns.getOrElse(
+        if (warmup > 10.0) 3 else if (warmup > 2.0) 2 else 3))(once())
       val sorted = timed.sorted
       val median =
         if (sorted.size % 2 == 1) sorted(sorted.size / 2)

@@ -29,6 +29,7 @@ on a 40 ms query never surfaces.
 """
 import argparse
 import json
+import statistics
 
 
 def load(path):
@@ -91,7 +92,9 @@ def main():
     # delta whose direction matches it and whose magnitude is within 3x
     # of it is annotated ~fleet (the code-diff check still decides).
     rel = sorted((nq[k] - oq[k]) / max(oq[k], 1e-9) for k in common)
-    fleet = rel[len(rel) // 2] if rel else 0.0
+    # true median (interpolated on even counts — the upper-element pick
+    # biased the annotation direction on an even query count)
+    fleet = statistics.median(rel) if rel else 0.0
     print(f"fleet drift (median rel delta): {fleet * 100:+.1f}%")
 
     signal = []
@@ -109,7 +112,9 @@ def main():
             how = "floor"
         if is_signal:
             r = d / max(oq[k], 1e-9)
-            if fleet != 0.0 and r * fleet > 0 and abs(r) <= 3 * abs(fleet):
+            # epsilon guard: a near-zero fleet estimate would make the
+            # 3x band degenerate (any same-direction delta "matches")
+            if abs(fleet) > 0.005 and r * fleet > 0 and abs(r) <= 3 * abs(fleet):
                 how += "~fleet"
             signal.append((d, k, how))
         else:
