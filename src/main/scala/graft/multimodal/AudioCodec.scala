@@ -360,7 +360,11 @@ object AudioCodec {
     * 10 ms frames, a frame is silent when its RMS falls below
     * `thresholdRel` × the clip's PEAK frame RMS (relative, so the gate is
     * exactly gain-invariant like the peak-rank fingerprint), and the
-    * samples outside the first..last non-silent frame are dropped.
+    * samples outside the first..last non-silent frame are dropped. The
+    * trailing PARTIAL frame (clip length mod frame) is kept whenever the
+    * last full frame is non-silent OR its own RMS clears the gate, so
+    * real tail content never depends on ending frame-aligned; only a
+    * genuinely sub-gate partial is trimmed with the silent tail.
     *
     * Why it exists here: both audio fingerprint geometries are
     * start-aligned, so an exact-content duplicate with 200 ms of
@@ -400,9 +404,21 @@ object AudioCodec {
     if (first >= frames) return audio // all-silent: unchanged
     var last = frames - 1
     while (last > first && rms(last) < thr) last -= 1
-    // trailing partial frame beyond `frames * frame` rides with the tail
     val from = first * frame
-    val until = if (last == frames - 1) n else (last + 1) * frame
+    // the trailing PARTIAL frame (n mod frame samples) is real content
+    // too: it rides with the tail when the last FULL frame is non-silent,
+    // and it REOPENS the tail when its own RMS clears the gate — without
+    // that check a clip whose content ends just past a frame boundary
+    // would lose its final <10 ms to the silent-full-frame scan, making
+    // trim output depend on whether content happens to end frame-aligned
+    val tailLen = n - frames * frame
+    val tailLoud = tailLen > 0 && {
+      var acc = 0.0
+      var i = frames * frame
+      while (i < n) { val v = audio.samples(i); acc += v * v; i += 1 }
+      math.sqrt(acc / tailLen) >= thr
+    }
+    val until = if (last == frames - 1 || tailLoud) n else (last + 1) * frame
     if (from == 0 && until == n) audio
     else audio.copy(samples = java.util.Arrays.copyOfRange(
       audio.samples, from, until))

@@ -419,8 +419,11 @@ object Multimodal {
     *
     * Scale shape: decode + FFT + shingle run partition-local inside one
     * flatMap; only (id, long) rows reach the distinct exchange — PCM
-    * bytes never shuffle. Rows no JVM codec decodes are dropped, the
-    * shared media-kernel policy.
+    * bytes never shuffle. Rows no JVM codec decodes are dropped (the
+    * shared media-kernel policy); GEOMETRY violations — a sample rate
+    * under the 300 Hz band floor, bad frame/hop/bands config — propagate
+    * loudly instead (a misconfigured corpus must not build an empty
+    * index that matches nothing).
     */
   def audioSpectralFingerprints(
       media: Dataset[MediaRow],
@@ -441,9 +444,12 @@ object Multimodal {
       decoded match {
         case None => Iterator.empty
         case Some(a) =>
-          val words = scala.util.Try(
-            AudioCodec.peakBandWords(a, frameMs, bands, hopMs))
-            .getOrElse(Array.empty[Int])
+          // geometry violations fail FAST (the convention everywhere
+          // else): only undecodable bytes drop silently. Wrapped in Try,
+          // a corpus of e.g. sub-667 Hz clips (under the 300 Hz band
+          // floor) would silently build an EMPTY index that matches
+          // nothing; propagating the require names the offending knob.
+          val words = AudioCodec.peakBandWords(a, frameMs, bands, hopMs)
           if (words.length < shingle) Iterator.empty
           else (0 to words.length - shingle).iterator.map { i =>
             // 64-bit FNV-1a over the shingle's words (deterministic,

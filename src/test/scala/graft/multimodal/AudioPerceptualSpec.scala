@@ -239,6 +239,25 @@ class AudioPerceptualSpec extends AnyFunSuite with SparkSpec {
       .samples.sameElements(content))
   }
 
+  test("trimSilence: a loud trailing PARTIAL frame survives a silent last " +
+    "full frame; a sub-gate partial trims with the silent tail") {
+    // frame = 80 samples at 8 kHz; content ends 40 samples past a frame
+    // boundary with one silent FULL frame in between — pre-fix the scan
+    // stopped at the last non-silent full frame and cut the real tail
+    val tone = Array.tabulate(240)(i =>
+      math.sin(2 * math.Pi * 440.0 * i / 8000.0))
+    val loudTail = Array.tabulate(40)(i => math.sin(i * 0.7))
+    val reopened = AudioCodec.trimSilence(AudioCodec.RawAudio(8000, 1,
+      tone ++ new Array[Double](80) ++ loudTail))
+    assert(reopened.samples.length == 360,
+      s"loud partial must reopen the tail, got ${reopened.samples.length}")
+    // sub-gate partial after a silent full frame: both trim away
+    val cut = AudioCodec.trimSilence(AudioCodec.RawAudio(8000, 1,
+      tone ++ new Array[Double](80) ++ new Array[Double](40)))
+    assert(cut.samples.length == 240,
+      s"silent tail (full + partial) must trim, got ${cut.samples.length}")
+  }
+
   test("peakBandWords: exact gain invariance and framing contract") {
     val raw = AudioCodec.RawAudio(8000, 1, samples(11L, 8, 8000, 1.0))
     val words = AudioCodec.peakBandWords(raw, FrameMs, 32)
