@@ -117,11 +117,52 @@ object Streams {
     * `ts_ms` was added in r14 (the armed gap check needs the last event's
     * TIME, not just its type), which changed the state encoder schema —
     * restarting a pre-r14 `transitionsStream` checkpoint against this
-    * class fails on a state-schema mismatch. Drain the old query and start
-    * the new one from a fresh checkpoint directory (the operator is
+    * class fails on the engine's state-schema check. The failure is
+    * SELF-EXPLANATORY through [[withStateSchemaAdvice]] /
+    * [[stateSchemaAdvice]] (detect-and-instruct — spec-asserted against a
+    * synthetic old-schema checkpoint): drain the old query and start the
+    * new one from a fresh checkpoint directory (the operator is
     * stateful-but-reconstructible: replaying the source rebuilds state).
     */
   case class LastEvent(typ: String, ts_ms: Long)
+
+  /** Detect the engine's state-schema incompatibility in a failure chain
+    * and return the drain-and-restart instruction — the enforcement form
+    * of [[LastEvent]]'s checkpoint-compatibility note. The engine error
+    * (`STATE_STORE_VALUE_SCHEMA_NOT_COMPATIBLE`, surfaced inside a
+    * StreamingQueryException when the restarted query's first batch
+    * opens the state store) names the schemas but not the REMEDY; this
+    * names both. None when the failure is anything else.
+    */
+  def stateSchemaAdvice(t: Throwable): Option[String] = {
+    val isSchema = Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+      .take(12).exists { c =>
+        c.getClass.getName.contains("SchemaNotCompatible") ||
+          String.valueOf(c.getMessage).contains("SCHEMA_NOT_COMPATIBLE")
+      }
+    if (!isSchema) None
+    else Some("the checkpoint's state rows were written by an " +
+      "incompatible state encoder (for transitionsStream: pre-r14 " +
+      "checkpoints hold LastEvent without ts_ms). The operator is " +
+      "stateful-but-reconstructible — stop the old query, start from a " +
+      "FRESH checkpoint directory, and replay the source to rebuild " +
+      "state; no data is lost. In-place state migration is not " +
+      "supported by the engine's state store.")
+  }
+
+  /** Run a stateful-stream start/drain with [[stateSchemaAdvice]] armed:
+    * a state-schema incompatibility rethrows as IllegalStateException
+    * carrying the operator name + the remedy (original failure as cause);
+    * every other failure passes through untouched.
+    */
+  def withStateSchemaAdvice[T](operator: String)(body: => T): T =
+    try body catch {
+      case e: Throwable => stateSchemaAdvice(e) match {
+        case Some(advice) =>
+          throw new IllegalStateException(s"$operator: $advice", e)
+        case None => throw e
+      }
+    }
 
   /** Streaming twin of [[graft.operators.Funnel.transitions]] — the one
     * event operator of the r12 round without an incremental form. Emits

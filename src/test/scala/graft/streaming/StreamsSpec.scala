@@ -8,6 +8,11 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import java.nio.file.{Files, Paths, StandardCopyOption}
 
+/** The pre-r14 [[Streams.LastEvent]] shape (typ only, no ts_ms) — used to
+  * write a synthetic OLD-SCHEMA state checkpoint for the restart spec.
+  */
+case class LegacyLastEvent(typ: String)
+
 class StreamsSpec extends AnyFunSuite with SparkSpec {
   import spark.implicits._
 
@@ -614,6 +619,53 @@ class StreamsSpec extends AnyFunSuite with SparkSpec {
       // only exists if drop 2 chained onto drop 1's state
       assert(got.contains(("click", "buy", 1L)))
     } finally q.stop()
+  }
+
+  test("transitionsStream restart from a pre-r14 (typ-only) checkpoint: " +
+    "withStateSchemaAdvice converts the engine error into the " +
+    "drain-and-restart instruction") {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val srcDir = tempDir("graft_trans_v1_src")
+    val cp = tempDir("graft_trans_v1_cp")
+    Seq((1L, 10L, "view"), (1L, 20L, "click"))
+      .toDF("user_id", "ts_ms", "event_type").write.parquet(s"$srcDir/b0")
+    def src = spark.readStream
+      .schema("user_id long, ts_ms long, event_type string")
+      .parquet(s"$srcDir/*").as[Streams.TransitionEvent]
+    // the synthetic old-schema checkpoint: the SAME operator topology
+    // (one NoTimeout flatMapGroupsWithState keyed by user_id) with the
+    // pre-r14 single-field state class
+    val q1 = src.groupByKey(_.user_id)
+      .flatMapGroupsWithState[LegacyLastEvent, Streams.TransitionEdge](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (u: Long, rows: Iterator[Streams.TransitionEvent],
+         st: GroupState[LegacyLastEvent]) =>
+          rows.toSeq.sortBy(_.ts_ms).lastOption
+            .foreach(e => st.update(LegacyLastEvent(e.event_type)))
+          Iterator.empty
+      }.toDF().writeStream.outputMode("append").format("noop")
+      .option("checkpointLocation", cp).start()
+    q1.processAllAvailable(); q1.stop()
+    // restart the CURRENT operator on the same checkpoint — the engine's
+    // state-schema check refuses; the wrapper must name the remedy
+    Seq((1L, 30L, "buy")).toDF("user_id", "ts_ms", "event_type")
+      .write.mode("append").parquet(s"$srcDir/b1")
+    val e = intercept[IllegalStateException] {
+      Streams.withStateSchemaAdvice("transitionsStream") {
+        val q2 = Streams.transitionsStream(src).toDF().writeStream
+          .outputMode("append").format("noop")
+          .option("checkpointLocation", cp).start()
+        try q2.processAllAvailable()
+        finally { scala.util.Try(q2.stop()); () }
+      }
+    }
+    assert(e.getMessage.contains("transitionsStream") &&
+      e.getMessage.contains("FRESH checkpoint directory"),
+      s"instruction must name operator + remedy, got: ${e.getMessage}")
+    assert(Streams.stateSchemaAdvice(e.getCause).isDefined,
+      "the cause chain carries the engine's schema incompatibility")
+    // non-schema failures pass through the detector untouched
+    assert(Streams.stateSchemaAdvice(new RuntimeException("boom")).isEmpty)
   }
 
   test("transitionsStream idleTimeoutMs expires state in event time; " +
