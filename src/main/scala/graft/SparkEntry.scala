@@ -2921,6 +2921,68 @@ object SparkEntry {
           coalesce(col("e_hits"), lit(0L)).as("e_hits"))
     }),
 
+    // TIME-DELTA LANDMARK audio geometry UNDER THE ORACLE — the q154
+    // construction (same tone-sequence generator, same corpus) with a 3%
+    // TEMPO-stretched twin class (time-scale modification: same tones,
+    // same pitch, every note 3% longer — the DJ-edit/broadcast-speedup
+    // duplicate). The contrast held in-row at the SHARED 0.3 threshold:
+    // the landmark index (peak-EVENT triples with log2-binned gaps —
+    // tempo scales run lengths, never the event sequence) recovers ALL
+    // 10 stretched twins (measured J 0.385..0.656, cross-content <=
+    // 0.02), while the start-aligned frame-word shingles desynchronize
+    // cumulatively and lose 4 of 10 (measured J 0.234..0.450 — a coin
+    // flip under tempo, which is exactly why the landmark geometry
+    // exists). Fresh-content and identical-re-upload classes ride as
+    // controls. The twin is a VALUES contract derived from the
+    // deterministic synthetic-signal construction (the q154 precedent —
+    // the only honest twin for FFT work DuckDB cannot replay).
+    "q166_audio_landmark" -> ((s, dir) => {
+      val freqTable = Array.tabulate(24)(k =>
+        350.0 * math.pow(2800.0 / 350.0, k / 23.0))
+      def tone(c: Long, f: Int, which: Int): Double = {
+        var h = c * 1000003L + f * 7919L + which * 104729L
+        h ^= h >>> 13; h *= 0xff51afd7ed558ccdL; h ^= h >>> 33
+        freqTable(((h % 24 + 24) % 24).toInt)
+      }
+      // the q154 clip with a TEMPO factor: every 125 ms tone lasts
+      // 125 * stretch ms (pitch untouched — the samples still evaluate
+      // the tone at true time t)
+      def clip(id: Long, c: Long, stretch: Double): multimodal.Multimodal.MediaRow = {
+        val samples = Array.tabulate((32 * 8000 * 125 / 1000 * stretch).toInt) { i =>
+          val tSec = i.toDouble / 8000
+          val f = (i / (8000 * 125 * stretch / 1000.0)).toInt
+          0.35 * math.sin(2 * math.Pi * tone(c, f, 0) * tSec) +
+            0.35 * math.sin(2 * math.Pi * tone(c, f, 1) * tSec)
+        }
+        multimodal.Multimodal.MediaRow(id, "audio",
+          multimodal.AudioCodec.encodeWavPcm16(8000, samples),
+          multimodal.Multimodal.MediaMeta(0, 0, "wav", (4000 * stretch).toLong))
+      }
+      val corpus = s.createDataset(
+        (0L until 10L).map(c => clip(c, c, 1.0)))(
+        org.apache.spark.sql.Encoders.product[multimodal.Multimodal.MediaRow])
+      val idxL = multimodal.AudioLandmarkIndex.build(corpus,
+        tempIndexDir("graft_q166_l"), frameMs = 125L, minJaccard = 0.3)
+      val idxF = multimodal.AudioPerceptualIndex.build(corpus,
+        tempIndexDir("graft_q166_f"), frameMs = 125L, minJaccard = 0.3)
+      val batch = s.createDataset((0L until 10L).flatMap(x => Seq(
+        clip(100 + x, x, 1.03), // 3% tempo-stretched twin
+        clip(200 + x, 50 + x, 1.0), // fresh content
+        clip(300 + x, x, 1.0))))( // identical re-upload
+        org.apache.spark.sql.Encoders.product[multimodal.Multimodal.MediaRow])
+      val l = idxL.dedupBatch(batch).groupBy(col("batch_id"))
+        .agg(count(lit(1)).as("lm_hits"), max(col("corpus_id")).as("lm_src"))
+      val f = idxF.dedupBatch(batch).groupBy(col("batch_id"))
+        .agg(count(lit(1)).as("fw_hits"))
+      batch.toDF().select(col("media_id"))
+        .join(l, col("media_id") === l("batch_id"), "left").drop("batch_id")
+        .join(f, col("media_id") === f("batch_id"), "left").drop("batch_id")
+        .select(col("media_id"),
+          coalesce(col("lm_hits"), lit(0L)).as("lm_hits"),
+          coalesce(col("lm_src"), lit(-1L)).as("lm_src"),
+          coalesce(col("fw_hits"), lit(0L)).as("fw_hits"))
+    }),
+
     // Compaction (`optimize`) UNDER THE ORACLE — the q153 discipline for
     // the OTHER destructive maintenance op (r14 advisory #5: it rewrites
     // every live epoch and kills all pins, exactly the operation whose
@@ -6921,6 +6983,24 @@ object SparkEntry {
         |  CAST(x.range AS BIGINT), CAST(0 AS BIGINT) FROM range(10) x
         |UNION ALL
         |SELECT CAST(400 + x.range AS BIGINT), CAST(1 AS BIGINT),
+        |  CAST(x.range AS BIGINT), CAST(1 AS BIGINT) FROM range(10) x""".stripMargin,
+
+    // The q154 VALUES discipline: the contract derived from the
+    // deterministic synthetic construction. Landmark recovers every
+    // stretched twin; the frame-word geometry recovers only the clips
+    // whose measured post-quantization jaccard clears 0.3 — the in-row
+    // coin-flip evidence.
+    "q166_audio_landmark" ->
+      """SELECT CAST(100 + x.range AS BIGINT) AS media_id,
+        |  CAST(1 AS BIGINT) AS lm_hits, CAST(x.range AS BIGINT) AS lm_src,
+        |  CAST(CASE WHEN x.range IN (0, 1, 3, 4, 5, 8) THEN 1 ELSE 0 END
+        |    AS BIGINT) AS fw_hits
+        |FROM range(10) x
+        |UNION ALL
+        |SELECT CAST(200 + x.range AS BIGINT), CAST(0 AS BIGINT),
+        |  CAST(-1 AS BIGINT), CAST(0 AS BIGINT) FROM range(10) x
+        |UNION ALL
+        |SELECT CAST(300 + x.range AS BIGINT), CAST(1 AS BIGINT),
         |  CAST(x.range AS BIGINT), CAST(1 AS BIGINT) FROM range(10) x""".stripMargin,
 
     // q133's recursive accepted-walk twin verbatim — the construction is

@@ -355,6 +355,68 @@ object AudioCodec {
     out
   }
 
+  /** TIME-DELTA LANDMARK words — the geometry [[peakBandWords]] cannot
+    * provide: robustness to small TEMPO edits. Wang 2003's actual hash is
+    * a (peak, peak, Δt) pair across frames (public knowledge); this is
+    * the event-sequence form of it over the per-frame TOP band:
+    *
+    *  1. take the strongest band per frame ([[peakBandWords]] framing —
+    *     gain-invariant by rank, absolute-Hz bands survive resampling);
+    *  2. collapse consecutive duplicates into PEAK EVENTS (band, frame):
+    *     a tempo change scales RUN LENGTHS, never the event sequence;
+    *  3. hash each consecutive event TRIPLE with its two inter-event
+    *     gaps bucketed into log2 bins (gap 1 → bin 0, 2–3 → 1, 4–7 → 2,
+    *     …, capped at 6): a ±few-% tempo edit multiplies every gap by
+    *     ~1.0x, which crosses a log2 edge only for gaps within that few
+    *     % of a power of two — almost every landmark survives, where the
+    *     start-aligned frame-word shingles desynchronize cumulatively
+    *     (drift grows linearly with time until every window straddles a
+    *     tone boundary).
+    *
+    * The triple (b1, g1bin, b2, g2bin, b3) carries bands³·bins² states
+    * (~800k at 32 bands — the cross-clip sparsity SET overlap needs; a
+    * bare pair's bands²·bins ≈ 5k states would collide densely at corpus
+    * scale), FNV-1a-folded into one 64-bit word. One noise-flipped event
+    * costs 3 landmarks of ~events, not the match — the [[peakBandWords]]
+    * shingle trade at the event level.
+    */
+  def landmarkWords(
+      audio: RawAudio, frameMs: Long, bands: Int,
+      hopMs: Long = 0L): Array[Long] = {
+    val words = peakBandWords(audio, frameMs, bands, hopMs)
+    if (words.length < 1) return Array.empty
+    // collapse runs of the same TOP band into events
+    val evBand = new Array[Int](words.length)
+    val evFrame = new Array[Int](words.length)
+    var nEv = 0
+    var t = 0
+    while (t < words.length) {
+      val top = words(t) / bands
+      if (nEv == 0 || evBand(nEv - 1) != top) {
+        evBand(nEv) = top; evFrame(nEv) = t; nEv += 1
+      }
+      t += 1
+    }
+    if (nEv < 3) return Array.empty
+    def gapBin(g: Int): Int =
+      math.min(63 - java.lang.Long.numberOfLeadingZeros(math.max(g, 1).toLong),
+        6L).toInt
+    val out = new Array[Long](nEv - 2)
+    var i = 0
+    while (i < nEv - 2) {
+      var h = 0xcbf29ce484222325L
+      def mix(v: Long): Unit = { h ^= v & 0xffffffffL; h *= 0x100000001b3L }
+      mix(evBand(i).toLong)
+      mix(gapBin(evFrame(i + 1) - evFrame(i)).toLong)
+      mix(evBand(i + 1).toLong)
+      mix(gapBin(evFrame(i + 2) - evFrame(i + 1)).toLong)
+      mix(evBand(i + 2).toLong)
+      out(i) = h
+      i += 1
+    }
+    out
+  }
+
   /** Trim leading/trailing SILENCE by energy gate (the classic VAD
     * endpointing primitive — public knowledge): the signal is scanned in
     * 10 ms frames, a frame is silent when its RMS falls below

@@ -467,6 +467,42 @@ object Multimodal {
     }.toDF("media_id", "fp").distinct()
   }
 
+  /** (media_id, fp) TIME-DELTA LANDMARK fingerprint sets —
+    * [[graft.multimodal.AudioCodec.landmarkWords]] per decodable audio
+    * row: the tempo-robust third geometry next to the exact window hash
+    * (content identity) and the frame-word shingles (gain/requantize/
+    * resample robustness, but start-aligned — a small TEMPO edit
+    * desynchronizes them cumulatively). Landmarks hash peak-event
+    * triples with log2-binned inter-event gaps, so a ±few-% stretch
+    * moves almost no element of the set.
+    *
+    * Same scale shape and policies as [[audioSpectralFingerprints]]:
+    * decode + FFT + landmark extraction partition-local, only (id, long)
+    * rows shuffle; undecodable rows drop, geometry violations propagate.
+    */
+  def audioLandmarkFingerprints(
+      media: Dataset[MediaRow],
+      frameMs: Long = 125L,
+      bands: Int = 32,
+      hopMs: Long = 0L,
+      trimSilenceRel: Double = 0.0): DataFrame = {
+    import media.sparkSession.implicits._
+    require(frameMs >= 1, s"frameMs must be >= 1, got $frameMs")
+    media.filter(_.kind == "audio").flatMap { row =>
+      val decoded =
+        if (!AudioCodec.canDecode(row.bytes)) None
+        else scala.util.Try(AudioCodec.decode(row.bytes)).toOption
+          .map(r => if (trimSilenceRel > 0)
+            AudioCodec.trimSilence(r, trimSilenceRel) else r)
+      decoded match {
+        case None => Iterator.empty
+        case Some(a) =>
+          AudioCodec.landmarkWords(a, frameMs, bands, hopMs)
+            .iterator.map(h => (row.media_id, h))
+      }
+    }.toDF("media_id", "fp").distinct()
+  }
+
   /** Two-table video near-dup: which BATCH videos overlap an existing
     * CORPUS video (the incremental-feed question — batch vs standing
     * corpus, never corpus x corpus). Both sides are (id, fp) fingerprint
