@@ -925,6 +925,44 @@ class StreamsSpec extends AnyFunSuite with SparkSpec {
     assert(catalog.loadAt("stream", "vac", eps.max).count() == 35)
   }
 
+  test("maintainIndex priority: a feed that trips compaction every batch " +
+    "starves vacuum (documented trade) — results still correct") {
+    // corpus of 2 docs, DOUBLING micro-batches (3, 6, 12, 24 fresh docs):
+    // every batch leaves appended fraction > 0.5, so with BOTH levers
+    // armed the tripped compaction wins every turn and the fold lever
+    // never fires (no expire rows ever land) — the r15 verdict's watch
+    // item, pinned as behavior: correctness is untouched (compaction
+    // preserves rows), only the fold economics are forfeited on such a
+    // feed.
+    val docs = (0 until 45).map(i =>
+      (1000L + i, s"fresh document number $i with unique words w${i}a w${i}b"))
+    val batches = Seq((0, 3), (3, 9), (9, 21), (21, 45))
+    val idx = graft.operators.FingerprintIndex.build(
+      Seq((1L, "corpus seed one alpha beta"), (2L, "corpus seed two gamma delta"))
+        .toDF("doc_id", "text"), "doc_id", "text", tempDir("graft_starve_idx"))
+    val dropDir = tempDir("graft_starve")
+    val src = spark.readStream
+      .schema("doc_id long, text string").parquet(s"$dropDir/*")
+    val kept = scala.collection.mutable.Set.empty[Long]
+    val q = Streams.ingestDedupStream(src, idx, "doc_id", "text",
+      threshold = 0.5,
+      onBatch = (k, _) => kept ++= k.select($"doc_id").as[Long].collect(),
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(
+        "50 milliseconds"),
+      autoCompact = true, autoVacuumKeepLast = Some(1))
+    try batches.zipWithIndex.foreach { case ((from, until), b) =>
+      docs.slice(from, until).toDF("doc_id", "text")
+        .write.mode("append").parquet(s"$dropDir/b$b")
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(kept.size == 45, "all fresh docs survive")
+    val log = graft.operators.EpochLog(spark, idx.path)
+    assert(log.activeFold().isEmpty,
+      "vacuum never ran: every batch's tripped compaction won the turn")
+    assert(log.committedEpochs().size == 1,
+      "compaction kept the epoch count collapsed instead")
+  }
+
   test("completion hook: reference retry/backoff semantics (batch_v1.py:611-657)") {
     val cfg = Streams.CompletionHookConfig(retryAttempts = 3, baseBackoffMillis = 1L)
     // succeeds on the 3rd attempt -> true, exactly 3 calls
