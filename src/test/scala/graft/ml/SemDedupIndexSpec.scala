@@ -190,6 +190,23 @@ class SemDedupIndexSpec extends AnyFunSuite with SparkSpec {
     assert(refuse.getMessage.contains("no commit log"))
   }
 
+  test("searchBatch(asOf) serves neighbors from the pinned corpus") {
+    val p = java.nio.file.Files.createTempDirectory("graft_semdedup_sb").toString
+    val idx = SemDedupIndex.build(emb.filter($"id" < 300), "id", "vector", p,
+      nClusters = 4, maxIter = 5)
+    idx.append(emb.filter($"id" >= 300 && $"id" < 400)) // epoch 1
+    val queries = emb.filter($"id" === 350)
+      .select($"id".as("query_id"), $"vector".as("query_vec"))
+    // nProbe = nLists: exhaustive, so rank 1 is the exact nearest
+    def top1(asOf: Option[Long]) =
+      idx.ivf.searchBatch(queries, k = 1, nProbe = 4, asOf = asOf)
+        .filter($"rank" === 1).select($"id").as[Long].head()
+    assert(top1(None) == 350L, "the live read serves the appended row itself")
+    assert(top1(Some(0L)) != 350L,
+      "the epoch-0 pin predates row 350 — 'which neighbors would we have " +
+        "served as of snapshot N'")
+  }
+
   test("a crashed (uncommitted) append is invisible to readers") {
     val p = java.nio.file.Files.createTempDirectory("graft_semdedup_crash").toString
     val idx = SemDedupIndex.build(emb.filter($"id" < 300), "id", "vector", p,
