@@ -130,8 +130,18 @@ class IvfIndex private (
       val dirs = foldSet.map(e => s"$dataPath/epoch=$e")
         .filter(p => fs.exists(new org.apache.hadoop.fs.Path(p)))
       if (dirs.nonEmpty)
+        // one O(fold) shuffle on list_id before the dynamic-partition
+        // write: the fold reads MANY tiny per-epoch cluster directories
+        // (epochs x clusters input splits), and an unshuffled write would
+        // emit up to tasks x clusters files — the small-file disease the
+        // fold exists to cure. Repartitioned, each cluster lands in one
+        // task and the slice consolidates to ~one file per cluster
+        // (VacuumProbe, 800k x 64f tail shape: unshuffled fold 7.8 s vs
+        // compact 10.3 s — overhead-bound at 1.3x; repartitioned 3.4 s
+        // vs 9.8 s, the 2.9x folded-bytes economics the lever promises).
         spark.read.option("basePath", dataPath).parquet(dirs: _*)
           .drop("epoch")
+          .repartition(col("list_id"))
           .write.mode("overwrite").partitionBy("list_id")
           .parquet(s"$dataPath/epoch=$target")
       l.commitVacuum(target, boundary, nUnits)

@@ -104,7 +104,56 @@ object VacuumProbe {
       f"(${tCmpT / tVacT}%.1fx — the cost tracks FOLDED bytes, not index size)")
     require(matches(c) == beforeTail && matches(d) == beforeTail,
       "both retention paths must preserve the match set")
-    println(f"""{"probe":"vacuum","corpus":$n,"mixed":{"vacuum_sec":$tVac%.1f,"compact_sec":$tCmp%.1f},"tail":{"vacuum_sec":$tVacT%.1f,"compact_sec":$tCmpT%.1f}}""")
+
+    // ----- IVF (vector-side) leg: the r16 lever on the SemDedup layout,
+    // same tail-feed steady state (5 tiny old slices + 2 big recent
+    // epochs; keepLast=2 folds only the tiny history while compact
+    // rewrites every cluster partition of the whole index)
+    val vecPath = java.nio.file.Files
+      .createTempDirectory("graft_vacprobe_vecs").toString
+    spark.range(n.toLong).select(col("id"),
+        transform(sequence(lit(1), lit(64)), j =>
+          (pmod(hash(col("id") * 131 + j), lit(1000)).cast("double") / 500.0
+            - 1.0).cast("float")).as("vector"))
+      .write.mode("overwrite").parquet(vecPath)
+    val vecs = spark.read.parquet(vecPath)
+    val vecBatch = vecs.filter(col("id") % 400 === 0)
+      .select((col("id") + n).as("id"),
+        transform(col("vector"), x => x * lit(2.0f)).as("vector"))
+      .localCheckpoint(true)
+    def makeIvf(tag: String): graft.ml.SemDedupIndex.Index = {
+      val p = java.nio.file.Files
+        .createTempDirectory(s"graft_vacprobe_$tag").toString
+      val small = (i: Int) =>
+        vecs.filter(col("id") % 100 >= 90 && col("id") % 5 === i)
+      val idx = graft.ml.SemDedupIndex.build(small(0), "id", "vector", p,
+        nClusters = 32, maxIter = 3)
+      (1 until 5).foreach(i => idx.append(small(i)))
+      (0 until 2).foreach(i => idx.append(
+        vecs.filter(col("id") % 100 < 90 && col("id") % 2 === i)))
+      idx
+    }
+    def ivfMatches(idx: graft.ml.SemDedupIndex.Index): Set[(Long, Long)] =
+      // corpus-side cap lifted: at 800k rows / 32 clusters the 10k default
+      // truncates sources away and the planted-copy equality check needs
+      // the FULL corpus visible (the cap is a recall lever, not retention)
+      idx.dedupBatch(vecBatch, "id", "vector", threshold = 0.999,
+          maxClusterSize = n)
+        .select(col("batch_id"), col("corpus_id"))
+        .as[(Long, Long)].collect().toSet
+    val e = makeIvf("ivfvac")
+    val f = makeIvf("ivfcmp")
+    val beforeIvf = ivfMatches(e)
+    require(beforeIvf.size >= n / 400,
+      s"every planted copy must match its source, got ${beforeIvf.size}")
+    val (foldedI, tVacI) = time(e.vacuum(keepLast = 2))
+    val (_, tCmpI) = time(f.compact())
+    println(f"[probe] IVF tail shape — vacuum(keepLast=2): folded $foldedI " +
+      f"tiny epochs in $tVacI%.1f s; compact(): full rewrite in $tCmpI%.1f s " +
+      f"(${tCmpI / tVacI}%.1fx)")
+    require(ivfMatches(e) == beforeIvf && ivfMatches(f) == beforeIvf,
+      "both IVF retention paths must preserve the match set")
+    println(f"""{"probe":"vacuum","corpus":$n,"mixed":{"vacuum_sec":$tVac%.1f,"compact_sec":$tCmp%.1f},"tail":{"vacuum_sec":$tVacT%.1f,"compact_sec":$tCmpT%.1f},"ivf_tail":{"vacuum_sec":$tVacI%.1f,"compact_sec":$tCmpI%.1f}}""")
     spark.stop()
   }
 }
