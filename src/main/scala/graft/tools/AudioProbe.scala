@@ -170,6 +170,64 @@ object AudioProbe {
     // clip's shingle budget); the gate is the floor, the print the number
     require(pRecall >= 0.9, s"perceptual recall $pRecall below 0.9")
     require(eRecall == 0.0, "exact hashes cannot survive a gain shift")
+
+    // ---- landmark leg (r16): recall on TEMPO-stretched twins (3% time-
+    // scale modification — same tones, same pitch, scaled timing), the
+    // duplicate class the START-ALIGNED frame-word shingles coin-flip on
+    // (their grid desynchronizes cumulatively); the frame-word number is
+    // held next to it as the honest contrast at the SAME threshold.
+    // 32-frame (4 s) clips, the q166 construction: a 16-frame clip's
+    // ~13-triple landmark set is variance-bound (measured recall 0.855
+    // vs frame-word 0.700 — a real but mushy gap); at 32 frames the
+    // per-clip stretched-twin jaccards concentrate (0.385..0.656 vs the
+    // frame words' 0.234..0.450 straddle of the threshold)
+    def stretchClip(id: Long, c: Long, stretch: Double): Multimodal.MediaRow = {
+      val samples = Array.tabulate((32000 * stretch).toInt) { i =>
+        val t = i.toDouble / 8000
+        val f = (i / (1000.0 * stretch)).toInt
+        0.35 * math.sin(2 * math.Pi * toneOf(c, f, 0) * t) +
+          0.35 * math.sin(2 * math.Pi * toneOf(c, f, 1) * t)
+      }
+      Multimodal.MediaRow(id, "audio",
+        AudioCodec.encodeWavPcm16(8000, samples),
+        Multimodal.MediaMeta(0, 0, "wav", (4000 * stretch).toLong))
+    }
+    val lCorpus: Dataset[Multimodal.MediaRow] = spark.range(pCorpusClips)
+      .map(id => stretchClip(id, id, 1.0)).localCheckpoint(true)
+    val lBatch: Dataset[Multimodal.MediaRow] = spark.range(planted)
+      .map(i => stretchClip(7800000L + i, i * step, 1.03))
+      .union(spark.range(fresh)
+        .map(i => stretchClip(7900000L + i, 6000000L + i, 1.0)))
+      .localCheckpoint(true)
+    val ld = java.nio.file.Files.createTempDirectory("graft_audio_probe_l").toString
+    val lIdx = time("AudioLandmarkIndex.build (decode + FFT corpus once)") {
+      graft.multimodal.AudioLandmarkIndex.build(lCorpus, ld,
+        frameMs = 125L, minJaccard = 0.3)
+    }
+    val lHits = time("AudioLandmarkIndex.dedupBatch (tempo twins)") {
+      lIdx.dedupBatch(lBatch)
+        .select(col("batch_id"), col("corpus_id")).as[(Long, Long)]
+        .collect().toSet
+    }
+    val lRecall = (0L until planted).count(i =>
+      lHits.contains((7800000L + i, i * step))).toDouble / planted
+    val lFalse = lHits.count(_._1 >= 7900000L)
+    val fwd = java.nio.file.Files.createTempDirectory("graft_audio_probe_fw").toString
+    val fwIdx = AudioPerceptualIndex.build(lCorpus, fwd,
+      frameMs = 125L, minJaccard = 0.3)
+    val fwHits = time("AudioPerceptualIndex.dedupBatch (frame-word contrast)") {
+      fwIdx.dedupBatch(lBatch)
+        .select(col("batch_id"), col("corpus_id")).as[(Long, Long)]
+        .collect().toSet
+    }
+    val fwRecall = (0L until planted).count(i =>
+      fwHits.contains((7800000L + i, i * step))).toDouble / planted
+    println(f"[probe] 3%%-tempo-twin recall: landmark $lRecall%.3f " +
+      f"($lFalse false hits on fresh), frame-word $fwRecall%.3f — the gap " +
+      "IS the landmark family's reason to exist")
+    require(lRecall >= 0.8, s"landmark tempo recall $lRecall below 0.8")
+    require(lRecall >= fwRecall + 0.2,
+      s"landmark ($lRecall) must clearly beat frame-word ($fwRecall) on tempo twins")
     spark.stop()
   }
 }

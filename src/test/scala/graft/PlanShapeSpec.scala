@@ -398,6 +398,35 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
         exchanges.mkString("\n"))
   }
 
+  test("q166: landmark audio match keeps the q154 shape — no product, " +
+      "media bytes never ride an exchange") {
+    val p = plan("q166_audio_landmark")
+    assert(!p.contains("CartesianProduct"),
+      s"landmark match must not degrade to a product:\n$p")
+    val exchanges = p.split("\\n").filter(_.contains("Exchange"))
+    assert(!exchanges.exists(l => l.contains("bytes") || l.contains("window")),
+      s"media bytes must not ride an exchange:\n" + exchanges.mkString("\n"))
+  }
+
+  test("q164: pinned SemDedup match stays cluster-partition-pruned — " +
+      "no product, list_id partition filter on the pinned corpus scan") {
+    val p = plan("q164_semdedup_time_travel")
+    assert(!p.contains("CartesianProduct"),
+      s"pinned semantic match must not degrade to a product:\n$p")
+    // the un-checkpointed pin3 phase's corpus read must prune clusters
+    // at the directory level (the q55/q82 partition-pruning discipline,
+    // now through layoutPathsAt)
+    assert(p.contains("PartitionFilters") && p.contains("list_id"),
+      s"expected a list_id partition filter on the pinned scan:\n$p")
+  }
+
+  test("q165: pinned edit match keeps the range-bucketed join shape — " +
+      "no product across the mixed-schema pinned corpus") {
+    val p = plan("q165_edit_time_travel")
+    assert(!p.contains("CartesianProduct"),
+      s"edit match must not degrade to a product:\n$p")
+  }
+
   test("q151: trigram-KN scoring is one shuffle-free scan over the " +
       "target split") {
     val p = plan("q151_kn3_perplexity")
