@@ -170,15 +170,24 @@ class IvfIndex private (
   /** The partition-pruned scan a search with this (queryVec, nProbe) runs
     * against — exposed so plan tests can assert the pruning.
     */
-  def probedScan(queryVec: Seq[Double], nProbe: Int): DataFrame = {
+  def probedScan(queryVec: Seq[Double], nProbe: Int): DataFrame =
+    probedScan(queryVec, nProbe, None)
+
+  private def probedScan(
+      queryVec: Seq[Double], nProbe: Int, asOf: Option[Long]): DataFrame = {
     val lists = probeIdsFor(queryVec, nProbe)
-    storeDf.filter(col("list_id").isin(lists: _*))
+    asOf.fold(storeDf)(storeDfAt).filter(col("list_id").isin(lists: _*))
   }
 
   /** Single-query ANN search. Reads only the probed partitions, in ONE pass:
     * the probed result (<= k rows by construction) is collected once, and the
     * underfill test for the exact-fallback path inspects that buffer instead
     * of re-executing the query (`count()` + reuse would run it twice).
+    *
+    * `asOf = Some(epoch)` pins the scan (and the fallback) at a committed
+    * snapshot — the serving form of the time-travel audit: "which
+    * neighbors would we have served as of snapshot N". Pins expire loudly
+    * under compaction/vacuum ([[requirePin]]).
     */
   def search(
       queryVec: Seq[Double],
@@ -186,8 +195,9 @@ class IvfIndex private (
       nProbe: Int = 8,
       metadataFilter: Map[String, String] = Map.empty,
       exactFallback: Boolean = true,
-      predicate: Option[org.apache.spark.sql.Column] = None): DataFrame = {
-    val scan = probedScan(queryVec, nProbe)
+      predicate: Option[org.apache.spark.sql.Column] = None,
+      asOf: Option[Long] = None): DataFrame = {
+    val scan = probedScan(queryVec, nProbe, asOf)
     // reference semantics: over-fetch x10 when post-filtering (P2)
     val candidateK = if (metadataFilter.isEmpty && predicate.isEmpty) k else k * 10
     val hits = Knn.topK(scan, queryVec, candidateK, metric,
@@ -199,7 +209,7 @@ class IvfIndex private (
       val rows = hits.collect() // bounded: at most k rows
       // defined semantics for underfilled filtered-ANN: exact full scan
       if (rows.length < k) {
-        Knn.topK(storeDf, queryVec, k, metric,
+        Knn.topK(asOf.fold(storeDf)(storeDfAt), queryVec, k, metric,
           metadataFilter = metadataFilter, predicate = predicate).drop("list_id")
       } else {
         spark.createDataFrame(java.util.Arrays.asList(rows: _*), hits.schema)

@@ -217,12 +217,21 @@ class VectorStoreCatalog(spark: SparkSession, val root: String) {
     * "snapshot expired" condition; compaction policy therefore bounds how
     * far back pins stay replayable.
     */
-  def loadAt(userId: String, modelId: String, epoch: Long): DataFrame = {
+  /** The loud pin-validity gate shared by [[loadAt]] and the pinned
+    * serving path ([[query]]/[[queryTyped]] `asOf`) — validated BEFORE
+    * either path runs, so an expired pin can never silently degrade into
+    * the live exact-scan fallback.
+    */
+  private def requirePin(userId: String, modelId: String, epoch: Long): Unit = {
     val committed = epochs(userId, modelId)
     require(committed.contains(epoch),
       s"epoch $epoch is not in the committed history of $userId/$modelId " +
         s"(live: ${committed.mkString(", ")}) — it never existed or a " +
         "compaction pruned it; pin a listed epoch")
+  }
+
+  def loadAt(userId: String, modelId: String, epoch: Long): DataFrame = {
+    requirePin(userId, modelId, epoch)
     val p = dataPath(userId, modelId)
     val dirs = storeLog(userId, modelId).layoutPathsAt(p, epoch)
       .filter(d => fs.exists(new Path(d)))
@@ -327,6 +336,15 @@ class VectorStoreCatalog(spark: SparkSession, val root: String) {
     * exact fallback on underfill — and ANY index failure falls back to the
     * exact scan rather than erroring.
     */
+  /** `asOf = Some(epoch)` pins the query at a committed store snapshot
+    * (the [[loadAt]] pin through the SERVING path — "which neighbors
+    * would we have served as of snapshot N"): both the ANN scan and the
+    * exact path read only epochs at or below the pin (the shared commit
+    * log makes store and index pins the same epoch numbers). Expired
+    * pins fail loudly and do NOT fall back to the live exact scan — a
+    * silently-live answer to a snapshot question would be wrong, so the
+    * reference's any-index-error fallback applies only to live queries.
+    */
   def query(
       userId: String,
       modelId: String,
@@ -334,16 +352,19 @@ class VectorStoreCatalog(spark: SparkSession, val root: String) {
       k: Int,
       metadataFilter: Map[String, String] = Map.empty,
       useIndex: Boolean = true,
-      nProbe: Int = 8): DataFrame = {
+      nProbe: Int = 8,
+      asOf: Option[Long] = None): DataFrame = {
     val cfg = config(userId, modelId)
     require(queryVec.length == cfg.dimension,
       s"query dimension ${queryVec.length} != store dimension ${cfg.dimension}")
-    def exact = Knn.topK(load(userId, modelId), queryVec, k, cfg.metric,
-      metadataFilter = metadataFilter)
+    asOf.foreach(e => requirePin(userId, modelId, e))
+    def exact = Knn.topK(
+      asOf.fold(load(userId, modelId))(e => loadAt(userId, modelId, e)),
+      queryVec, k, cfg.metric, metadataFilter = metadataFilter)
     if (useIndex && hasIvf(userId, modelId, cfg)) {
       try {
         idxLoad(userId, modelId, cfg)
-          .search(queryVec, k, nProbe, metadataFilter)
+          .search(queryVec, k, nProbe, metadataFilter, asOf = asOf)
       } catch {
         case _: Exception => exact // reference :142-144 semantics
       }
@@ -363,19 +384,22 @@ class VectorStoreCatalog(spark: SparkSession, val root: String) {
       k: Int,
       typedFilter: Map[String, Any],
       useIndex: Boolean = true,
-      nProbe: Int = 8): DataFrame = {
+      nProbe: Int = 8,
+      asOf: Option[Long] = None): DataFrame = {
     val cfg = config(userId, modelId)
     require(queryVec.length == cfg.dimension,
       s"query dimension ${queryVec.length} != store dimension ${cfg.dimension}")
+    asOf.foreach(e => requirePin(userId, modelId, e))
     val pred =
       if (typedFilter.isEmpty) None
       else Some(TypedMeta.typedPredicate(col("meta"), typedFilter))
-    def exact = Knn.topK(load(userId, modelId), queryVec, k, cfg.metric,
-      predicate = pred)
+    def exact = Knn.topK(
+      asOf.fold(load(userId, modelId))(e => loadAt(userId, modelId, e)),
+      queryVec, k, cfg.metric, predicate = pred)
     if (useIndex && hasIvf(userId, modelId, cfg)) {
       try {
         idxLoad(userId, modelId, cfg)
-          .search(queryVec, k, nProbe, predicate = pred)
+          .search(queryVec, k, nProbe, predicate = pred, asOf = asOf)
       } catch {
         case _: Exception => exact
       }

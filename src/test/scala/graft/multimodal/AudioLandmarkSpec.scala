@@ -98,4 +98,23 @@ class AudioLandmarkSpec extends AnyFunSuite with SparkSpec {
     assert(again == Set(159L),
       "later batches match tempo twins of ingested survivors")
   }
+
+  test("EpochIndex lifecycle inheritance: asOf pin + vacuum on the " +
+    "landmark family") {
+    val idx = AudioLandmarkIndex.build(
+      spark.createDataset((0L until 3L).map(c => clip(c, c))),
+      java.nio.file.Files.createTempDirectory("graft_lm_asof").toString)
+    idx.ingestBatch(spark.createDataset(Seq(clip(3L, 30L)))) // epoch 1
+    idx.ingestBatch(spark.createDataset(Seq(clip(4L, 40L)))) // epoch 2
+    val twin4 = spark.createDataset(Seq(clip(104L, 40L, stretch = 1.03)))
+    def hits(asOf: Option[Long]) = idx.dedupBatch(twin4, asOf = asOf)
+      .select($"corpus_id").as[Long].collect().toSet
+    assert(hits(None) == Set(4L))
+    assert(hits(Some(1L)).isEmpty, "clip 4 does not exist at the pin")
+    assert(idx.vacuum(keepLast = 1) == 2, "epochs 0+1 fold")
+    assert(intercept[IllegalArgumentException] { hits(Some(1L)) }
+      .getMessage.contains("not in the committed history"))
+    assert(hits(Some(2L)) == Set(4L),
+      "the kept pin resolves through the fold slice")
+  }
 }

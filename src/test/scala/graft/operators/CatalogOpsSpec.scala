@@ -199,6 +199,42 @@ class CatalogOpsSpec extends AnyFunSuite with SparkSpec {
     assert(cat.loadAt("u", "tt", live.head).count() == 22L)
   }
 
+  test("query(asOf) pins the SERVING path: ANN and exact answer from the " +
+      "snapshot; expired pins raise instead of degrading to live") {
+    val cat = newCatalog
+    cat.create("u", "qat", StoreConfig(dimension = 2, metric = "cosine"))
+    def batch(v: Float, n: Int) =
+      Seq.tabulate(n)(i => Seq(v, v + 0.01f * i)).map(Tuple1(_)).toDF("vector")
+    cat.addVectors("u", "qat", batch(1f, 10)) // epoch 0
+    cat.buildIndex("u", "qat", nLists = 2)    // index over epoch 0
+    cat.addVectors("u", "qat", batch(-1f, 5)) // epoch 1: OPPOSITE direction
+    val qv = Seq(-1.0, -1.0) // nearest live neighbors are the epoch-1 rows
+    def ids(useIndex: Boolean, asOf: Option[Long]) =
+      cat.query("u", "qat", qv, k = 3, useIndex = useIndex, nProbe = 2,
+          asOf = asOf)
+        .select(element_at(col("vector"), 1)).collect()
+        .map(_.getFloat(0)).toSet
+    assert(ids(useIndex = true, None) == Set(-1f),
+      "live query serves the epoch-1 neighbors")
+    // the pin answers from the snapshot: epoch-1 rows invisible, so the
+    // best available neighbors are the (antipodal) epoch-0 rows — both
+    // through the ANN path and the exact scan
+    assert(ids(useIndex = true, Some(0L)) == Set(1f))
+    assert(ids(useIndex = false, Some(0L)) == Set(1f))
+    // expired/unknown pins raise BEFORE any path runs — never a silent
+    // live answer to a snapshot question
+    assert(intercept[IllegalArgumentException] {
+      ids(useIndex = true, Some(99L))
+    }.getMessage.contains("not in the committed history"))
+    cat.optimize("u", "qat")
+    assert(intercept[IllegalArgumentException] {
+      ids(useIndex = true, Some(0L))
+    }.getMessage.contains("compaction pruned"))
+    // typed-filter twin takes the same pin
+    assert(cat.queryTyped("u", "qat", qv, k = 3, typedFilter = Map.empty,
+      asOf = Some(cat.epochs("u", "qat").head)).count() == 3L)
+  }
+
   test("vacuum folds old epochs, keeps the newest pins, reclaims bytes; " +
       "expired pins raise; kept pins byte-identical") {
     val cat = newCatalog
