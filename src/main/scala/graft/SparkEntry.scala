@@ -3025,6 +3025,50 @@ object SparkEntry {
       before.unionAll(top("after")).unionAll(membership)
     }),
 
+    // The PINNED SERVING QUERY under the oracle — r16's asOf lever on
+    // VectorStoreCatalog.query (the q156 construction with time travel):
+    // three residue-class epochs, the IVF index built at epoch 0 and
+    // incrementally synced by the two appends, and the SAME two kNN
+    // queries answered live and at pins. nProbe >= nLists keeps the ANN
+    // path exhaustive, so every phase is brute-force cosine top-5 over
+    // the pinned epoch subset — replayable verbatim. A vacuum then folds
+    // epoch 0 (require-checked: the pin-0 read expires LOUDLY rather
+    // than degrading to a live answer) and the pin-1 phase re-runs
+    // THROUGH the fold slice, which must not change a single rank.
+    "q167_query_time_travel" -> ((s, dir) => {
+      val root = tempIndexDir("graft_q167_store")
+      val cat = new sources.VectorStoreCatalog(s, root)
+      cat.create("u", "tt", sources.StoreConfig(dimension = 64, metric = "cosine"))
+      val emb = t(s, dir, "embeddings")
+      def third(r: Int) = emb.filter(col("vec_id") % 3 === r)
+        .select(col("embedding").as("vector"),
+          map(lit("vid"), col("vec_id").cast("string")).as("meta"))
+      cat.addVectors("u", "tt", third(0)) // epoch 0
+      cat.buildIndex("u", "tt", nLists = 4) // slices ride the epochs
+      cat.addVectors("u", "tt", third(1)) // epoch 1 (index synced)
+      cat.addVectors("u", "tt", third(2)) // epoch 2
+      def qv(i: Int) = emb.filter(col("vec_id") === i)
+        .select(col("embedding")).head.getSeq[Float](0).map(_.toDouble)
+      def top(phase: String, asOf: Option[Long]) = Seq(0, 7).map { q =>
+        cat.query("u", "tt", qv(q), k = 5, nProbe = 8, asOf = asOf)
+          .select(lit(phase).as("phase"), lit(q.toLong).as("qid"),
+            col("rank").cast("long").as("rnk"),
+            element_at(col("meta"), "vid").cast("long").as("vid"))
+      }.reduce(_ unionAll _)
+      // pinned EAGERLY (the q156/q163 discipline): the vacuum below
+      // deletes the folded epoch directory these frames' captured paths
+      // point at
+      val live = top("live", None).localCheckpoint(true)
+      val pin0 = top("pin0", Some(0L)).localCheckpoint(true)
+      val pin1 = top("pin1", Some(1L)).localCheckpoint(true)
+      require(cat.vacuum("u", "tt", keepLast = 2)._1 == 1, "epoch 0 must fold")
+      val gone = scala.util.Try(
+        cat.query("u", "tt", qv(0), k = 5, asOf = Some(0L)).collect())
+      require(gone.isFailure, "the folded pin must expire loudly")
+      live.unionAll(pin0).unionAll(pin1)
+        .unionAll(top("pinv", Some(1L))) // re-served THROUGH the fold slice
+    }),
+
     // Bulk upload UNDER THE ORACLE (S3/S4 were unit-only): the
     // reference's two text bulk formats round-tripped end to end —
     // embeddings rendered as reference-shape JSONL ({"vector": [...],
@@ -6564,6 +6608,27 @@ object SparkEntry {
         |SELECT 'member', CAST(-1 AS BIGINT), CAST(0 AS BIGINT),
         |  CAST(vec_id AS BIGINT)
         |FROM embeddings""".stripMargin,
+
+    // Brute-force cosine top-5 per (phase, query) over the pinned
+    // residue-class subset — the ANN path is exhaustive (nProbe >=
+    // nLists), ranks tiebreak id-asc on both engines. pinv replays pin1
+    // verbatim: the fold must not change a rank.
+    "q167_query_time_travel" ->
+      """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+        |           FROM embeddings WHERE vec_id IN (0, 7)),
+        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+        |             vec_id % 3 AS third FROM embeddings),
+        |ph AS (SELECT * FROM (VALUES ('live', 3), ('pin0', 1), ('pin1', 2),
+        |                             ('pinv', 2)) AS t(phase, nthirds)),
+        |ranked AS (
+        |  SELECT ph.phase, q.qid, e.vec_id,
+        |    CAST(row_number() OVER (PARTITION BY ph.phase, q.qid
+        |      ORDER BY list_cosine_similarity(e.v, q.qv) DESC,
+        |               e.vec_id ASC) AS BIGINT) AS rnk
+        |  FROM ph JOIN e ON e.third < ph.nthirds CROSS JOIN q)
+        |SELECT phase, CAST(qid AS BIGINT) AS qid, rnk,
+        |  CAST(vec_id AS BIGINT) AS vid
+        |FROM ranked WHERE rnk <= 5""".stripMargin,
 
     // The padded-duplicate contract: the raw exact index sees nothing
     // (the gap), the trim-armed exact index sees the byte twins, the
