@@ -502,7 +502,8 @@ class VectorStoreCatalog(spark: SparkSession, val root: String) {
       queryVecs: Seq[Seq[Double]],
       k: Int,
       useIndex: Boolean = true,
-      nProbe: Int = 8): DataFrame = {
+      nProbe: Int = 8,
+      asOf: Option[Long] = None): DataFrame = {
     require(queryVecs.nonEmpty && queryVecs.size <= VectorStoreCatalog.MaxBatchQueries,
       s"batch size ${queryVecs.size} outside [1, ${VectorStoreCatalog.MaxBatchQueries}]")
     require(k >= 1 && k <= VectorStoreCatalog.MaxBatchK,
@@ -510,11 +511,15 @@ class VectorStoreCatalog(spark: SparkSession, val root: String) {
     val cfg = config(userId, modelId)
     queryVecs.foreach(q => require(q.length == cfg.dimension,
       s"query dimension ${q.length} != store dimension ${cfg.dimension}"))
+    // the [[query]] pin contract: validated FIRST, never a live fallback
+    asOf.foreach(e => requirePin(userId, modelId, e))
     import spark.implicits._
     val queries = queryVecs.zipWithIndex
       .map { case (v, i) => (i.toLong, v) }
       .toDF("query_id", "query_vec")
-    def exact = Knn.batchTopK(queries, load(userId, modelId), k, cfg.metric)
+    def exact = Knn.batchTopK(queries,
+      asOf.fold(load(userId, modelId))(e => loadAt(userId, modelId, e)),
+      k, cfg.metric)
     // same index selection, failure fallback AND underfill fallback as the
     // single-query path: the probed result is pinned (bounded: <= M*k rows),
     // so lazy-execution failures land inside the try, and any query that
@@ -522,7 +527,7 @@ class VectorStoreCatalog(spark: SparkSession, val root: String) {
     if (useIndex && hasIvf(userId, modelId, cfg)) {
       try {
         val res = idxLoad(userId, modelId, cfg)
-          .searchBatch(queries, k, nProbe)
+          .searchBatch(queries, k, nProbe, asOf = asOf)
           .localCheckpoint(true)
         val hitCounts = res.groupBy(col("query_id"))
           .agg(org.apache.spark.sql.functions.count(lit(1)).as("n"))

@@ -221,10 +221,19 @@ class CatalogOpsSpec extends AnyFunSuite with SparkSpec {
     // through the ANN path and the exact scan
     assert(ids(useIndex = true, Some(0L)) == Set(1f))
     assert(ids(useIndex = false, Some(0L)) == Set(1f))
+    // the batch form takes the same pin (epoch-0 rows hold ids 0..9)
+    val batchPinned = cat.batchQuery("u", "qat", Seq(qv, qv), k = 3,
+        nProbe = 2, asOf = Some(0L))
+      .select(col("id")).as[Long].collect().toSet
+    assert(batchPinned.nonEmpty && batchPinned.forall(_ < 10L),
+      s"pinned batchQuery must answer from the snapshot, got $batchPinned")
     // expired/unknown pins raise BEFORE any path runs — never a silent
     // live answer to a snapshot question
     assert(intercept[IllegalArgumentException] {
       ids(useIndex = true, Some(99L))
+    }.getMessage.contains("not in the committed history"))
+    assert(intercept[IllegalArgumentException] {
+      cat.batchQuery("u", "qat", Seq(qv), k = 3, asOf = Some(99L)).collect()
     }.getMessage.contains("not in the committed history"))
     cat.optimize("u", "qat")
     assert(intercept[IllegalArgumentException] {
