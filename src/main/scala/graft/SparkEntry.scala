@@ -981,6 +981,26 @@ object SparkEntry {
             .cast("long").as("ppl_x1e4"))
     }),
 
+    // q151 THE SAME MODEL, trained and scored with NO driver gram table
+    // anywhere: trainKn3Distributed keeps the pruned trigram frame
+    // distributed (only two one-row scalars reach the driver) and
+    // scoreKn3Distributed reaches it through five LEFT equi-joins in the
+    // kernel's exact IEEE association — the route for an LM whose table
+    // outgrows the broadcast ceiling trainKn3's scaladoc documents. Twin
+    // = q151's replay verbatim; matching it proves the no-ceiling path
+    // computes the identical model and identical perplexities.
+    "q168_kn3_distributed" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val m = text.NgramLm.trainKn3Distributed(
+        docs.filter(col("doc_id") % 4 =!= 0), "text",
+        maxVocab = 256, minTrigramCount = 2)
+      val out = text.NgramLm.scoreKn3Distributed(
+        docs.filter(col("doc_id") % 4 === 0), "doc_id", "text", m)
+        .select(col("doc_id").cast("long").as("id"),
+          round(col("ppl") * 10000).cast("long").as("ppl_x1e4"))
+      out
+    }),
+
     // Token-entropy lexical diversity (the information-scale companion to
     // q43's repetition ratios): per-doc Shannon entropy over the token
     // histogram, computed as a fixed-order per-row fold with ZERO shuffle
@@ -4309,7 +4329,22 @@ object SparkEntry {
     // level's statistics derived from it in SQL exactly as trainKn3's
     // driver pass does, the scorer's three-level CASE mirroring the
     // kernel's backoff order (trigram -> continuation bigram -> base).
-    "q151_kn3_perplexity" ->
+    "q151_kn3_perplexity" -> Kn3PerplexityOracle,
+
+    // q168 is THE SAME CONTRACT as q151 — same training split, same
+    // hyperparameters, same model — reached through the driver-free
+    // frames path (trainKn3Distributed + scoreKn3Distributed: no
+    // collected gram table, scoring via joins instead of a broadcast
+    // map). The twin is therefore q151's replay verbatim: the row pins
+    // that the no-ceiling route computes the identical model.
+    "q168_kn3_distributed" -> Kn3PerplexityOracle,
+  ) ++ oracleSqlRest
+
+  /** q151 / q168 shared replay: ONE pruned trigram table, every
+    * interpolation level's statistics derived from it in SQL exactly as
+    * trainKn3's driver pass (and trainKn3Distributed's groupBys) do.
+    */
+  private val Kn3PerplexityOracle: String =
       """WITH ref AS (
         |  SELECT list_filter(string_split(text, ' '), x -> x <> '') AS t
         |  FROM documents WHERE doc_id % 4 <> 0),
@@ -4387,7 +4422,9 @@ object SparkEntry {
         |  FROM sc GROUP BY doc_id)
         |SELECT CAST(t.doc_id AS BIGINT) AS id,
         |  CAST(round(COALESCE(a.ppl, 0.0) * 10000) AS BIGINT) AS ppl_x1e4
-        |FROM tgt t LEFT JOIN agg a USING (doc_id)""".stripMargin,
+        |FROM tgt t LEFT JOIN agg a USING (doc_id)""".stripMargin
+
+  private def oracleSqlRest: Map[String, String] = Map(
 
     // q151's replay upgraded to modified KN: the UNPRUNED trigram table,
     // per-level count-of-counts -> Chen-Goodman estimates with the KenLM

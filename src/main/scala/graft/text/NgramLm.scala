@@ -545,4 +545,166 @@ object NgramLm {
           .as("mink_avg_logprob"))
   }
 
+  // --------------------------------------------------------------------
+  // Fully-distributed trigram KN — the NO-DRIVER-TABLE path.
+  // --------------------------------------------------------------------
+
+  /** [[Kn3Model]] with every gram table living as a DataFrame instead of
+    * a driver HashMap — the shape for an LM whose pruned table does NOT
+    * fit executor memory (the ceiling [[trainKn3]]'s scaladoc documents).
+    * Nothing corpus-sized ever reaches the driver: training is gram-count
+    * aggregations plus two one-row scalar aggregates (vocab size, middle
+    * type count), and scoring joins documents against these frames
+    * instead of probing a broadcast map.
+    *
+    * `trigrams` and `midCounts` are persisted MEMORY_AND_DISK at train
+    * (each feeds 2–3 downstream frames plus the scoring joins — without
+    * the persist every join replays the corpus aggregation); call
+    * [[Kn3Frames.unpersist]] when the model is retired.
+    */
+  case class Kn3Frames(
+      trigrams: DataFrame, // (u, v, w, c)        pruned trigram counts
+      triHist: DataFrame, // (u, v, ht, hd)       history totals/distinct
+      midCounts: DataFrame, // (v, w, mc)         continuation-bigram counts
+      midHist: DataFrame, // (v, mt, md)          middle history totals/distinct
+      contCounts: DataFrame, // (w, cc)           unigram continuation counts
+      mTypes: Long,
+      vocabSize: Int,
+      d: Double,
+      k: Double) {
+    def unpersist(): Unit = {
+      trigrams.unpersist()
+      midCounts.unpersist()
+      ()
+    }
+  }
+
+  /** [[trainKn3]] with NO collected table and NO row cap: the pruned
+    * trigram frame stays distributed, and all four derived statistics
+    * frames are groupBy aggregations over it — exactly the arithmetic of
+    * [[trainKn3]]'s driver pass, so a corpus under that path's
+    * `maxTrigrams` cap trains an IDENTICAL model through either route
+    * (spec-asserted). Only two scalars are computed eagerly (one row
+    * each): the capped distinct-vocab size and the middle-level type
+    * count. This is the route past the broadcast ceiling: a 100 TB
+    * corpus whose `minTrigramCount`-pruned table is still billions of
+    * rows trains and scores without any driver or executor ever holding
+    * the table whole.
+    */
+  def trainKn3Distributed(
+      docs: DataFrame,
+      textCol: String,
+      maxVocab: Int = 65536,
+      minTrigramCount: Long = 2L,
+      d: Double = 0.75,
+      k: Double = 0.1): Kn3Frames = {
+    require(d > 0 && d < 1, s"discount must be in (0,1), got $d")
+    val toks = docs.select(explode(split(col(textCol), "\\s+")).as("w"))
+      .filter(col("w") =!= "")
+    val vocabSize = math.min(
+      toks.agg(countDistinct(col("w"))).head().getLong(0),
+      maxVocab.toLong).toInt
+    require(vocabSize > 0, "empty training corpus")
+    val tri = docs
+      .select(explode(graft.operators.Curation.tokenNgrams(
+        trim(regexp_replace(col(textCol), "\\s+", " ")), 3)).as("g"))
+      .groupBy(col("g")).agg(count(lit(1)).as("c"))
+      .filter(col("c") >= minTrigramCount)
+      .select(split(col("g"), " ").as("p"), col("c"))
+      .select(col("p").getItem(0).as("u"), col("p").getItem(1).as("v"),
+        col("p").getItem(2).as("w"), col("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    require(tri.head(1).nonEmpty,
+      "KN3 needs a nonempty pruned trigram table; lower minTrigramCount")
+    val triHist = tri.groupBy(col("u"), col("v"))
+      .agg(sum(col("c")).as("ht"), count(lit(1)).as("hd"))
+    // each pruned-table row is one distinct u per (v, w) — trainKn3's
+    // continuation-count convention, row for row
+    val midC = tri.groupBy(col("v"), col("w")).agg(count(lit(1)).as("mc"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val midHist = midC.groupBy(col("v"))
+      .agg(sum(col("mc")).as("mt"), count(lit(1)).as("md"))
+    val contC = midC.groupBy(col("w")).agg(count(lit(1)).as("cc"))
+    val mTypes = midC.count()
+    Kn3Frames(tri, triHist, midC, midHist, contC, mTypes, vocabSize, d, k)
+  }
+
+  /** Score per-document trigram-KN perplexity against [[Kn3Frames]] —
+    * the join-based twin of [[perplexityKn3]], byte-for-byte the same
+    * interpolation arithmetic in the same IEEE association
+    * (`LmExpressions.lpsKn3`), but with the model reached through five
+    * equi-joins instead of a broadcast map probe. Output: (idCol, ppl
+    * DOUBLE); an empty document scores 0.0 like the kernel.
+    *
+    * Scale shape: documents explode to slim (id, pos, w, prev, prev2)
+    * token rows — the full token array never rides an Exchange — then
+    * five LEFT equi-joins on gram-string keys (AQE picks broadcast while
+    * a frame fits, shuffled hash/sort-merge past that; the whole point
+    * is that past-the-broadcast-ceiling is ALLOWED here), one per-doc
+    * hash aggregation whose fold replays the kernel's sequential
+    * position-order summation (sort_array before the fold — a
+    * distributed double sum in arbitrary order would be run-to-run
+    * nondeterministic), and a final left join to restore empty docs.
+    * No cartesian term anywhere (plan-guarded in NgramLmSpec).
+    */
+  def scoreKn3Distributed(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      m: Kn3Frames): DataFrame = {
+    val d = m.d
+    val k = m.k
+    val denomBase = m.mTypes + k * m.vocabSize
+    val ws = filter(split(col(textCol), "\\s+"), x => x =!= "")
+    val tok = docs
+      .select(col(idCol).as("_gid"), ws.as("_ws"))
+      .select(col("_gid"), explode(transform(col("_ws"), (x, i) => struct(
+        i.as("pos"), x.as("w"),
+        get(col("_ws"), i - 1).as("prev"),
+        get(col("_ws"), i - 2).as("prev2")))).as("t"))
+      .select(col("_gid"), col("t.pos").as("_pos"), col("t.w").as("_w"),
+        col("t.prev").as("_prev"), col("t.prev2").as("_prev2"))
+
+    val cont = m.contCounts.select(col("w").as("_cw"), col("cc"))
+    val mh = m.midHist.select(col("v").as("_mv"), col("mt"), col("md"))
+    val mc = m.midCounts.select(col("v").as("_mcv"), col("w").as("_mcw"),
+      col("mc"))
+    val th = m.triHist.select(col("u").as("_tu"), col("v").as("_tv"),
+      col("ht"), col("hd"))
+    val tg = m.trigrams.select(col("u").as("_gu"), col("v").as("_gv"),
+      col("w").as("_gw"), col("c").as("tc"))
+
+    val joined = tok
+      .join(cont, tok("_w") === cont("_cw"), "left")
+      .join(mh, col("_prev") === mh("_mv"), "left")
+      .join(mc, col("_prev") === mc("_mcv") && col("_w") === mc("_mcw"),
+        "left")
+      .join(th, col("_prev2") === th("_tu") && col("_prev") === th("_tv"),
+        "left")
+      .join(tg, col("_prev2") === tg("_gu") && col("_prev") === tg("_gv") &&
+        col("_w") === tg("_gw"), "left")
+
+    // the kernel's exact association: base -> mid -> trigram level
+    val base = (coalesce(col("cc"), lit(0L)) + lit(k)) / lit(denomBase)
+    val mid = when(col("mt").isNull, base).otherwise(
+      greatest(coalesce(col("mc"), lit(0L)).cast("double") - lit(d),
+        lit(0.0)) / col("mt") + ((lit(d) * col("md")) / col("mt")) * base)
+    val p = when(col("ht").isNull, mid).otherwise(
+      greatest(coalesce(col("tc"), lit(0L)).cast("double") - lit(d),
+        lit(0.0)) / col("ht") + ((lit(d) * col("hd")) / col("ht")) * mid)
+
+    val perDoc = joined
+      .select(col("_gid"), col("_pos"), log2(p).as("_lp"))
+      .groupBy(col("_gid"))
+      .agg(sort_array(collect_list(struct(col("_pos"), col("_lp"))))
+        .as("_lps"), count(lit(1)).as("_n"))
+      .select(col("_gid"), pow(lit(2.0),
+        aggregate(col("_lps"), lit(0.0),
+          (acc, x) => acc - x.getField("_lp")) / col("_n")).as("_ppl"))
+
+    docs.select(col(idCol).as("_gid")).join(perDoc, Seq("_gid"), "left")
+      .select(col("_gid").as(idCol), coalesce(col("_ppl"), lit(0.0))
+        .as("ppl"))
+  }
+
 }

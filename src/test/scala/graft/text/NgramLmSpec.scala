@@ -318,4 +318,64 @@ class NgramLmSpec extends AnyFunSuite with SparkSpec {
     val plan = out.queryExecution.executedPlan.toString()
     assert(!plan.contains("Exchange"), s"min-k scoring must not shuffle:\n$plan")
   }
+
+  test("distributed KN3 frames: identical model and perplexities to the " +
+      "broadcast route, no cartesian term, no ceiling, empty docs score 0") {
+    val train = docs.filter($"doc_id" % 4 =!= 0)
+    val target = docs.filter($"doc_id" % 4 === 0)
+    val bm = NgramLm.trainKn3(train, "text", maxVocab = 256,
+      minTrigramCount = 2)
+    val fm = NgramLm.trainKn3Distributed(train, "text", maxVocab = 256,
+      minTrigramCount = 2)
+    // model identity: the distributed frames ARE the collected tables
+    assert(fm.vocabSize == bm.vocabSize && fm.mTypes == bm.mTypes)
+    val triMap = fm.trigrams.collect().map(r =>
+      (r.getString(0) + " " + r.getString(1) + " " + r.getString(2)) ->
+        r.getLong(3)).toMap
+    assert(triMap.size == bm.trigrams.size())
+    triMap.foreach { case (g, c) =>
+      assert(bm.trigrams.get(g) != null && bm.trigrams.get(g).longValue() == c,
+        s"trigram $g: frames=$c collected=${bm.trigrams.get(g)}")
+    }
+    val contMap = fm.contCounts.collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(contMap.size == bm.contCounts.size())
+    contMap.foreach { case (w, c) =>
+      assert(bm.contCounts.get(w).longValue() == c)
+    }
+    // scoring: five joins vs one broadcast probe — same IEEE arithmetic,
+    // agreement to ulps (log2/pow libm paths differ); x1e4-rounded exact
+    val dist = NgramLm.scoreKn3Distributed(target, "doc_id", "text", fm)
+    val bc = target.select($"doc_id",
+      NgramLm.perplexityKn3($"text", bm).as("bppl"))
+    val j = dist.join(bc, "doc_id").select($"doc_id", $"ppl", $"bppl")
+      .collect()
+    assert(j.length == target.count())
+    j.foreach { r =>
+      val a = r.getDouble(1); val b = r.getDouble(2)
+      assert(math.abs(a - b) <= 1e-9 * math.max(1.0, math.abs(b)),
+        s"doc ${r.get(0)}: frames=$a broadcast=$b")
+      assert(math.round(a * 10000) == math.round(b * 10000))
+    }
+    val plan = dist.queryExecution.executedPlan.toString()
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoop"),
+      s"distributed scoring must stay equi-joined:\n$plan")
+    // empty/whitespace docs score 0.0 exactly like the kernel
+    val e = NgramLm.scoreKn3Distributed(
+      Seq((7L, "   ")).toDF("doc_id", "text"), "doc_id", "text", fm)
+      .head()
+    assert(e.getDouble(1) == 0.0)
+    fm.unpersist()
+    // the route has no cap: the same corpus that trips trainKn3's
+    // fail-fast maxTrigrams trains fine through the frames path
+    intercept[IllegalArgumentException] {
+      NgramLm.trainKn3(train, "text", maxVocab = 256, minTrigramCount = 1,
+        maxTrigrams = 10)
+    }
+    val fm2 = NgramLm.trainKn3Distributed(train, "text", maxVocab = 256,
+      minTrigramCount = 1)
+    assert(fm2.trigrams.count() > 10)
+    fm2.unpersist()
+  }
 }
