@@ -3203,6 +3203,59 @@ object SparkEntry {
         col("vector_count").cast("long").as("vector_count"))
     }),
 
+    // Store clear under the oracle (S6, reference clear() semantics:
+    // data+epochs+index gone, CONFIG kept): three snapshots — populated,
+    // post-clear (m0 empty at the same dimension, sibling m1 untouched),
+    // and a fresh append onto the cleared store (epoch log restarts
+    // cleanly, same config governs the new rows). Every count is a slice
+    // of the embeddings table, so the twin recomputes all three phases.
+    "q169_store_clear" -> ((s, dir) => {
+      import s.implicits._
+      val emb = t(s, dir, "embeddings")
+      val root = tempIndexDir("graft_q169_store")
+      val cat = new sources.VectorStoreCatalog(s, root)
+      Seq("m0" -> 0, "m1" -> 1).foreach { case (m, r) =>
+        cat.create("u", m, sources.StoreConfig(dimension = 64))
+        cat.addVectors("u", m, emb.filter(col("vec_id") % 3 === r)
+          .select(col("embedding").as("vector")))
+      }
+      def snap(phase: String): Seq[(String, String, Long, Long)] =
+        Seq("m0", "m1").map(m => (phase, m, cat.count("u", m),
+          cat.config("u", m).dimension.toLong))
+      val pre = snap("a_pre")
+      cat.clear("u", "m0")
+      val post = snap("b_post_clear")
+      cat.addVectors("u", "m0", emb.filter(col("vec_id") % 5 === 0)
+        .select(col("embedding").as("vector")))
+      val re = snap("c_re_add")
+      s.createDataset(pre ++ post ++ re)
+        .toDF("phase", "model_id", "vector_count", "dimension")
+    }),
+
+    // Masked mean pooling under the oracle (A4, the sentence-embedding
+    // pooling kernel): embeddings rows become deterministic "token
+    // sequences" (gid = vec_id % 50, tokens in vec_id order, every third
+    // token attention-masked out), pooled with the pure higher-order
+    // kernel. The twin recomputes sum(emb[j]*mask)/max(sum(mask), eps)
+    // per (group, dimension); summation ORDER differs between the
+    // engines (Spark folds in token order, DuckDB's sum is unordered) so
+    // the x1e6 quantization is what makes raw doubles hash-safe here.
+    "q170_masked_pool" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val pooled = emb
+        .select((col("vec_id") % 50).cast("long").as("gid"),
+          col("vec_id").as("vid"), col("embedding"),
+          when(col("vec_id") % 3 =!= 0, 1).otherwise(0).as("m"))
+        .groupBy(col("gid"))
+        .agg(sort_array(collect_list(
+          struct(col("vid"), col("embedding"), col("m")))).as("toks"))
+        .select(col("gid"), functions.vector.maskedMeanPool(
+          col("toks.embedding"), col("toks.m")).as("pooled"))
+      pooled.select(col("gid"), posexplode(col("pooled")).as(Seq("j", "v")))
+        .select(col("gid"), col("j").cast("long").as("j"),
+          round(col("v") * 1e6).cast("long").as("v_x1e6"))
+    }),
+
     // PERCEPTUAL audio ONLINE ingest — q148's stream construction on the
     // TENTH family (Streams.ingestMediaStream -> AudioPerceptualIndex
     // .ingestBatch): two sequential drops walk the accepted sweep where
@@ -6693,6 +6746,42 @@ object SparkEntry {
         |UNION ALL
         |SELECT 'ub', 'm2', CAST(count(*) AS BIGINT)
         |FROM embeddings WHERE vec_id % 3 = 2""".stripMargin,
+
+    // clear() three-phase replay: the cleared store reads 0 at the kept
+    // config dimension while its sibling is untouched, and the post-clear
+    // append restarts from exactly the fresh slice's cardinality.
+    "q169_store_clear" ->
+      """WITH c0 AS (SELECT CAST(count(*) AS BIGINT) AS n
+        |            FROM embeddings WHERE vec_id % 3 = 0),
+        |c1 AS (SELECT CAST(count(*) AS BIGINT) AS n
+        |       FROM embeddings WHERE vec_id % 3 = 1),
+        |c5 AS (SELECT CAST(count(*) AS BIGINT) AS n
+        |       FROM embeddings WHERE vec_id % 5 = 0)
+        |SELECT 'a_pre' AS phase, 'm0' AS model_id,
+        |  (SELECT n FROM c0) AS vector_count, CAST(64 AS BIGINT) AS dimension
+        |UNION ALL SELECT 'a_pre', 'm1', (SELECT n FROM c1), 64
+        |UNION ALL SELECT 'b_post_clear', 'm0', 0, 64
+        |UNION ALL SELECT 'b_post_clear', 'm1', (SELECT n FROM c1), 64
+        |UNION ALL SELECT 'c_re_add', 'm0', (SELECT n FROM c5), 64
+        |UNION ALL SELECT 'c_re_add', 'm1', (SELECT n FROM c1), 64""".stripMargin,
+
+    // Pooling replay: per (group, dimension) masked sum over double-cast
+    // floats divided by the eps-floored mask total; x1e6 quantization
+    // absorbs the engines' differing summation order.
+    "q170_masked_pool" ->
+      """WITH tok AS (
+        |  SELECT vec_id % 50 AS gid, vec_id AS vid, embedding,
+        |         CASE WHEN vec_id % 3 <> 0 THEN 1 ELSE 0 END AS m
+        |  FROM embeddings),
+        |pool AS (
+        |  SELECT gid, j.j AS j,
+        |    sum(CAST(embedding[j.j] AS DOUBLE) * CAST(m AS DOUBLE)) /
+        |      greatest(CAST(sum(m) AS DOUBLE), 1e-9) AS v
+        |  FROM tok, UNNEST(generate_series(1, 64)) AS j(j)
+        |  GROUP BY gid, j.j)
+        |SELECT CAST(gid AS BIGINT) AS gid, CAST(j - 1 AS BIGINT) AS j,
+        |  CAST(round(v * 1e6) AS BIGINT) AS v_x1e6
+        |FROM pool""".stripMargin,
 
     // Both formats must deliver the source table's exact floats: the
     // first component re-read from each store equals the parquet value.
