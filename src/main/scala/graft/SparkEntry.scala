@@ -1001,6 +1001,22 @@ object SparkEntry {
       out
     }),
 
+    // q157 THE SAME MODEL through the frames route — modified KN with
+    // per-count discounts and per-history N1/N2/N3+ buckets living as
+    // frame columns, scoring table never collected (and never pruned:
+    // under the cap, as here, identical to the broadcast model; past it
+    // the frames score the exact unpruned model the broadcast route
+    // must prune). Twin = q157's Chen-Goodman replay verbatim.
+    "q171_kn3_mod_distributed" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val m = text.NgramLm.trainKn3ModDistributed(
+        docs.filter(col("doc_id") % 4 =!= 0), "text", maxVocab = 256)
+      text.NgramLm.scoreKn3ModDistributed(
+        docs.filter(col("doc_id") % 4 === 0), "doc_id", "text", m)
+        .select(col("doc_id").cast("long").as("id"),
+          round(col("ppl") * 10000).cast("long").as("ppl_x1e4"))
+    }),
+
     // Token-entropy lexical diversity (the information-scale companion to
     // q43's repetition ratios): per-doc Shannon entropy over the token
     // histogram, computed as a fixed-order per-row fold with ZERO shuffle
@@ -4486,7 +4502,22 @@ object SparkEntry {
     // count buckets feeding the backoff mass, and the three-level scorer
     // with per-count discounts — every double op in the kernel's exact
     // association.
-    "q157_kn3_mod_perplexity" ->
+    "q157_kn3_mod_perplexity" -> Kn3ModPerplexityOracle,
+
+    // q171 is q157's contract through the frames route: same corpus,
+    // same hyperparameters, discounts from the same distributed
+    // count-of-counts, scoring table never collected (and never pruned
+    // -- identical to the broadcast model while the corpus sits under
+    // its cap, as here). Twin = q157's Chen-Goodman replay verbatim.
+    "q171_kn3_mod_distributed" -> Kn3ModPerplexityOracle,
+  ) ++ oracleSqlRest2
+
+  /** q157 / q171 shared replay: unpruned trigram table, per-level
+    * count-of-counts -> Chen-Goodman estimates with the KenLM fallback
+    * CASE, per-history exact-count buckets, three-level scorer with
+    * per-count discounts in the kernel's exact double association.
+    */
+  private val Kn3ModPerplexityOracle: String =
       """WITH ref AS (
         |  SELECT list_filter(string_split(text, ' '), x -> x <> '') AS t
         |  FROM documents WHERE doc_id % 4 <> 0),
@@ -4626,7 +4657,9 @@ object SparkEntry {
         |  FROM sc GROUP BY doc_id)
         |SELECT CAST(t.doc_id AS BIGINT) AS id,
         |  CAST(round(COALESCE(a.ppl, 0.0) * 10000) AS BIGINT) AS ppl_x1e4
-        |FROM tgt t LEFT JOIN agg a USING (doc_id)""".stripMargin,
+        |FROM tgt t LEFT JOIN agg a USING (doc_id)""".stripMargin
+
+  private def oracleSqlRest2: Map[String, String] = Map(
 
     // Same lexicographic fold: counts in token-sorted order, 0.0-seeded
     // left fold of -(p)ln(p) terms, floor(x*1e4 + 0.5).

@@ -655,15 +655,7 @@ object NgramLm {
     val d = m.d
     val k = m.k
     val denomBase = m.mTypes + k * m.vocabSize
-    val ws = filter(split(col(textCol), "\\s+"), x => x =!= "")
-    val tok = docs
-      .select(col(idCol).as("_gid"), ws.as("_ws"))
-      .select(col("_gid"), explode(transform(col("_ws"), (x, i) => struct(
-        i.as("pos"), x.as("w"),
-        get(col("_ws"), i - 1).as("prev"),
-        get(col("_ws"), i - 2).as("prev2")))).as("t"))
-      .select(col("_gid"), col("t.pos").as("_pos"), col("t.w").as("_w"),
-        col("t.prev").as("_prev"), col("t.prev2").as("_prev2"))
+    val tok = explodeTokens(docs, idCol, textCol)
 
     val cont = m.contCounts.select(col("w").as("_cw"), col("cc"))
     val mh = m.midHist.select(col("v").as("_mv"), col("mt"), col("md"))
@@ -693,18 +685,180 @@ object NgramLm {
       greatest(coalesce(col("tc"), lit(0L)).cast("double") - lit(d),
         lit(0.0)) / col("ht") + ((lit(d) * col("hd")) / col("ht")) * mid)
 
-    val perDoc = joined
-      .select(col("_gid"), col("_pos"), log2(p).as("_lp"))
+    foldPerDoc(docs, idCol, joined.select(col("_gid"), col("_pos"),
+      log2(p).as("_lp")))
+  }
+
+  /** Documents exploded to slim (id, pos, w, prev, prev2) rows — one
+    * Generate whose output never carries the token array.
+    */
+  private def explodeTokens(
+      docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val ws = filter(split(col(textCol), "\\s+"), x => x =!= "")
+    docs
+      .select(col(idCol).as("_gid"), ws.as("_ws"))
+      .select(col("_gid"), explode(transform(col("_ws"), (x, i) => struct(
+        i.as("pos"), x.as("w"),
+        get(col("_ws"), i - 1).as("prev"),
+        get(col("_ws"), i - 2).as("prev2")))).as("t"))
+      .select(col("_gid"), col("t.pos").as("_pos"), col("t.w").as("_w"),
+        col("t.prev").as("_prev"), col("t.prev2").as("_prev2"))
+  }
+
+  /** Per-doc perplexity from scored (_gid, _pos, _lp) rows: the fold
+    * replays the kernel's sequential position-order summation (sort
+    * before folding — a distributed double sum in arbitrary order would
+    * be run-to-run nondeterministic), then empty docs rejoin at 0.0.
+    */
+  private def foldPerDoc(
+      docs: DataFrame, idCol: String, scored: DataFrame): DataFrame = {
+    val perDoc = scored
       .groupBy(col("_gid"))
       .agg(sort_array(collect_list(struct(col("_pos"), col("_lp"))))
         .as("_lps"), count(lit(1)).as("_n"))
       .select(col("_gid"), pow(lit(2.0),
         aggregate(col("_lps"), lit(0.0),
           (acc, x) => acc - x.getField("_lp")) / col("_n")).as("_ppl"))
-
     docs.select(col(idCol).as("_gid")).join(perDoc, Seq("_gid"), "left")
       .select(col("_gid").as(idCol), coalesce(col("_ppl"), lit(0.0))
         .as("ppl"))
+  }
+
+  /** [[Kn3ModModel]] as distributed frames — the modified-KN (production
+    * default) upgrade of [[Kn3Frames]]: per-history exact-count buckets
+    * N1/N2/N3+ ride three long columns on the history frames instead of
+    * one packed long per driver map entry; the six Chen–Goodman discounts
+    * stay plain scalars (they were already computed distributedly in
+    * [[trainKn3Mod]] — at most four count-of-count rows per level reach
+    * the driver). Persistence contract as [[Kn3Frames]].
+    */
+  case class Kn3ModFrames(
+      trigrams: DataFrame, // (u, v, w, c)
+      triHist: DataFrame, // (u, v, ht, tn1, tn2, tn3)
+      midCounts: DataFrame, // (v, w, mc)
+      midHist: DataFrame, // (v, mt, mn1, mn2, mn3)
+      contCounts: DataFrame, // (w, cc)
+      mTypes: Long,
+      vocabSize: Int,
+      triD1: Double, triD2: Double, triD3: Double,
+      midD1: Double, midD2: Double, midD3: Double,
+      k: Double) {
+    def unpersist(): Unit = {
+      trigrams.unpersist()
+      midCounts.unpersist()
+      ()
+    }
+  }
+
+  /** [[trainKn3Mod]] with NO collected scoring table and therefore NO
+    * prune at all: where the broadcast route prunes past `maxTrigrams`
+    * and accepts the standard pruned-LM scoring trade, the frames route
+    * scores against the FULL type table — past the cap the two routes
+    * legitimately diverge (frames = the exact unpruned model), under it
+    * they are identical (spec-asserted). Discount estimation is the same
+    * distributed count-of-counts either way.
+    */
+  def trainKn3ModDistributed(
+      docs: DataFrame,
+      textCol: String,
+      maxVocab: Int = 65536,
+      k: Double = 0.1): Kn3ModFrames = {
+    val toks = docs.select(explode(split(col(textCol), "\\s+")).as("w"))
+      .filter(col("w") =!= "")
+    val vocabSize = math.min(
+      toks.agg(countDistinct(col("w"))).head().getLong(0),
+      maxVocab.toLong).toInt
+    require(vocabSize > 0, "empty training corpus")
+    val tri = docs
+      .select(explode(graft.operators.Curation.tokenNgrams(
+        trim(regexp_replace(col(textCol), "\\s+", " ")), 3)).as("g"))
+      .groupBy(col("g")).agg(count(lit(1)).as("c"))
+      .select(split(col("g"), " ").as("p"), col("c"))
+      .select(col("p").getItem(0).as("u"), col("p").getItem(1).as("v"),
+        col("p").getItem(2).as("w"), col("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    require(tri.head(1).nonEmpty, "modified KN needs a nonempty trigram table")
+    val (tn1, tn2, tn3, tn4) = countOfCounts(tri, "c")
+    val (td1, td2, td3) = estimateDiscountsFromCoc(tn1, tn2, tn3, tn4)
+    val triHist = tri.groupBy(col("u"), col("v")).agg(
+      sum(col("c")).as("ht"),
+      count(when(col("c") === 1, 1)).as("tn1"),
+      count(when(col("c") === 2, 1)).as("tn2"),
+      count(when(col("c") >= 3, 1)).as("tn3"))
+    val midC = tri.groupBy(col("v"), col("w")).agg(count(lit(1)).as("mc"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (mn1, mn2, mn3, mn4) = countOfCounts(midC, "mc")
+    val (md1, md2, md3) = estimateDiscountsFromCoc(mn1, mn2, mn3, mn4)
+    val midHist = midC.groupBy(col("v")).agg(
+      sum(col("mc")).as("mt"),
+      count(when(col("mc") === 1, 1)).as("mn1"),
+      count(when(col("mc") === 2, 1)).as("mn2"),
+      count(when(col("mc") >= 3, 1)).as("mn3"))
+    val contC = midC.groupBy(col("w")).agg(count(lit(1)).as("cc"))
+    val mTypes = midC.count()
+    Kn3ModFrames(tri, triHist, midC, midHist, contC, mTypes, vocabSize,
+      td1, td2, td3, md1, md2, md3, k)
+  }
+
+  /** Modified-KN scoring against [[Kn3ModFrames]] — `LmExpressions
+    * .lpsKn3Mod`'s per-count discounts and γ numerator in the kernel's
+    * exact association, with N1/N2/N3+ read from the joined history
+    * columns instead of an unpacked long. Same join/fold shape as
+    * [[scoreKn3Distributed]].
+    */
+  def scoreKn3ModDistributed(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      m: Kn3ModFrames): DataFrame = {
+    val k = m.k
+    val denomBase = m.mTypes + k * m.vocabSize
+    val tok = explodeTokens(docs, idCol, textCol)
+
+    val cont = m.contCounts.select(col("w").as("_cw"), col("cc"))
+    val mh = m.midHist.select(col("v").as("_mv"), col("mt"),
+      col("mn1"), col("mn2"), col("mn3"))
+    val mc = m.midCounts.select(col("v").as("_mcv"), col("w").as("_mcw"),
+      col("mc"))
+    val th = m.triHist.select(col("u").as("_tu"), col("v").as("_tv"),
+      col("ht"), col("tn1"), col("tn2"), col("tn3"))
+    val tg = m.trigrams.select(col("u").as("_gu"), col("v").as("_gv"),
+      col("w").as("_gw"), col("c").as("tc"))
+
+    val joined = tok
+      .join(cont, tok("_w") === cont("_cw"), "left")
+      .join(mh, col("_prev") === mh("_mv"), "left")
+      .join(mc, col("_prev") === mc("_mcv") && col("_w") === mc("_mcw"),
+        "left")
+      .join(th, col("_prev2") === th("_tu") && col("_prev") === th("_tv"),
+        "left")
+      .join(tg, col("_prev2") === tg("_gu") && col("_prev") === tg("_gv") &&
+        col("_w") === tg("_gw"), "left")
+
+    def disc(c: Column, d1: Double, d2: Double, d3: Double): Column =
+      when(c <= 0, lit(0.0)).when(c === 1, lit(d1))
+        .when(c === 2, lit(d2)).otherwise(lit(d3))
+    // gammaNum's order: d1*N1 + d2*N2 + d3*N3+
+    def gammaNum(n1: Column, n2: Column, n3: Column,
+        d1: Double, d2: Double, d3: Double): Column =
+      lit(d1) * n1 + lit(d2) * n2 + lit(d3) * n3
+
+    val base = (coalesce(col("cc"), lit(0L)) + lit(k)) / lit(denomBase)
+    val mcC = coalesce(col("mc"), lit(0L))
+    val mid = when(col("mt").isNull, base).otherwise(
+      greatest(mcC.cast("double") - disc(mcC, m.midD1, m.midD2, m.midD3),
+        lit(0.0)) / col("mt") +
+        (gammaNum(col("mn1"), col("mn2"), col("mn3"),
+          m.midD1, m.midD2, m.midD3) / col("mt")) * base)
+    val tcC = coalesce(col("tc"), lit(0L))
+    val p = when(col("ht").isNull, mid).otherwise(
+      greatest(tcC.cast("double") - disc(tcC, m.triD1, m.triD2, m.triD3),
+        lit(0.0)) / col("ht") +
+        (gammaNum(col("tn1"), col("tn2"), col("tn3"),
+          m.triD1, m.triD2, m.triD3) / col("ht")) * mid)
+
+    foldPerDoc(docs, idCol, joined.select(col("_gid"), col("_pos"),
+      log2(p).as("_lp")))
   }
 
 }

@@ -378,4 +378,42 @@ class NgramLmSpec extends AnyFunSuite with SparkSpec {
     assert(fm2.trigrams.count() > 10)
     fm2.unpersist()
   }
+
+  test("distributed modified-KN frames: same discounts, same perplexities " +
+      "as the broadcast route while the corpus sits under its cap") {
+    val train = docs.filter($"doc_id" % 4 =!= 0)
+    val target = docs.filter($"doc_id" % 4 === 0)
+    val bm = NgramLm.trainKn3Mod(train, "text", maxVocab = 256)
+    val fm = NgramLm.trainKn3ModDistributed(train, "text", maxVocab = 256)
+    // discounts are corpus statistics from the SAME distributed
+    // count-of-counts — byte-identical between the routes
+    assert(fm.triD1 == bm.triD1 && fm.triD2 == bm.triD2 &&
+      fm.triD3 == bm.triD3)
+    assert(fm.midD1 == bm.midD1 && fm.midD2 == bm.midD2 &&
+      fm.midD3 == bm.midD3)
+    assert(fm.mTypes == bm.mTypes && fm.vocabSize == bm.vocabSize)
+    // per-history buckets: frame columns equal the packed-long tallies
+    val mask = (1L << 21) - 1
+    fm.triHist.collect().foreach { r =>
+      val h = r.getString(0) + " " + r.getString(1)
+      val packed = bm.triHistN.get(h)
+      assert(packed != null, s"history $h missing from broadcast model")
+      assert((packed.longValue() & mask) == r.getLong(3) &&
+        ((packed.longValue() >> 21) & mask) == r.getLong(4) &&
+        ((packed.longValue() >> 42) & mask) == r.getLong(5),
+        s"history $h bucket mismatch")
+    }
+    val dist = NgramLm.scoreKn3ModDistributed(target, "doc_id", "text", fm)
+    val bc = target.select($"doc_id",
+      NgramLm.perplexityKn3Mod($"text", bm).as("bppl"))
+    val j = dist.join(bc, "doc_id").select($"ppl", $"bppl").collect()
+    assert(j.length == target.count())
+    j.foreach { r =>
+      val a = r.getDouble(0); val b = r.getDouble(1)
+      assert(math.abs(a - b) <= 1e-9 * math.max(1.0, math.abs(b)),
+        s"frames=$a broadcast=$b")
+      assert(math.round(a * 10000) == math.round(b * 10000))
+    }
+    fm.unpersist()
+  }
 }
