@@ -20,6 +20,13 @@ import org.apache.spark.sql.graftx.Bridge
   *    100 TB pruning is what makes the published approach work too: KenLM
   *    tables ship to every worker;
   *  - SCORING is one broadcast-table expression per row, no shuffle.
+  *
+  * When the pruned table itself outgrows the broadcast ceiling, the
+  * FRAMES route ([[trainKn3Distributed]]/[[trainKn3ModDistributed]] +
+  * [[scoreKn3Distributed]]/[[scoreKn3ModDistributed]]) keeps every gram
+  * table distributed and scores through equi-joins — same arithmetic,
+  * no driver table, no cap (q168/q171 pin route identity under the
+  * broadcast twins' oracles).
   */
 object NgramLm {
 
