@@ -726,6 +726,39 @@ object SparkEntry {
         .select(col("query_id"), col("id").as("vec_id"), col("rank").as("rnk"))
     }),
 
+    // Cardinality-ADAPTIVE filtered ANN (the Qdrant-documented planning
+    // trade): one cheap match count picks pre-filter-exact for the
+    // selective filter (50 'lowid' rows at every sf — EXACT top-k, no
+    // over-fetch recall loss) and the probed post-filter path for the
+    // broad one (half the corpus). The twin replays BOTH the decision
+    // (CASE over the same count vs the same cap) and each path's
+    // arithmetic — brute force under the selective filter, q33's probe
+    // replay + filter for the broad one.
+    "q172_adaptive_filter" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val root = tempIndexDir("graft_q172_ivf")
+      val cents = emb.filter(col("vec_id") < 8).orderBy(col("vec_id"))
+        .select(col("embedding")).collect()
+        .map(_.getSeq[Float](0).toArray.map(_.toDouble))
+      val store = emb.select(col("vec_id").as("id"),
+        col("embedding").as("vector"),
+        map(lit("lowid"), when(col("vec_id") < 50, "y").otherwise("n"),
+          lit("par"), (col("vec_id") % 2).cast("string")).as("meta"))
+      val idx = ml.IvfIndex.buildWithCentroids(store, "id", "vector", root,
+        cents)
+      val qv = emb.filter(col("vec_id") === 0).select(col("embedding"))
+        .head().getSeq[Float](0).map(_.toDouble).toSeq
+      def one(qcase: String, filt: Map[String, String]) = {
+        val r = idx.searchAdaptive(qv, k = 5, nProbe = 4,
+          metadataFilter = filt, preFilterCap = 100L)
+        r.hits.select(lit(qcase).as("qcase"), lit(r.path).as("path"),
+          lit(r.matches).as("matches"), col("id").as("vec_id"),
+          col("rank").cast("long").as("rnk"))
+      }
+      one("selective", Map("lowid" -> "y"))
+        .unionAll(one("broad", Map("par" -> "1")))
+    }),
+
     // Lexical retrieval: Okapi BM25 top-10 ("dup" is rare => high idf, the
     // other terms separate on tf). Score doubles hash-match the oracle: the
     // formula is written in one fixed association order on both sides and
@@ -3998,6 +4031,61 @@ object SparkEntry {
         |  JOIN probes p ON p.query_id = q.query_id
         |  JOIN assign a ON a.list_id = p.list_id
         |) WHERE rnk <= 5""".stripMargin,
+
+    // Adaptive filtered ANN: the decision CASE replays chooseFilterPath
+    // over the same count and cap; the selective branch is brute force
+    // under the filter, the broad branch is q33's probe replay + filter.
+    "q172_adaptive_filter" ->
+      """WITH cent AS (
+        |  SELECT vec_id AS list_id, CAST(embedding AS DOUBLE[]) AS c
+        |  FROM embeddings WHERE vec_id < 8),
+        |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+        |        CASE WHEN vec_id < 50 THEN 'y' ELSE 'n' END AS lowid,
+        |        CAST(vec_id % 2 AS VARCHAR) AS par
+        |      FROM embeddings),
+        |q AS (SELECT v AS qv FROM v WHERE vec_id = 0),
+        |selc AS (SELECT CAST(count(*) AS BIGINT) AS m FROM v WHERE lowid = 'y'),
+        |brdc AS (SELECT CAST(count(*) AS BIGINT) AS m FROM v WHERE par = '1'),
+        |assign AS (
+        |  SELECT vec_id, v, par, list_id FROM (
+        |    SELECT x.vec_id, x.v, x.par, c.list_id,
+        |      row_number() OVER (PARTITION BY x.vec_id
+        |        ORDER BY list_cosine_similarity(c.c, x.v) DESC, c.list_id ASC) AS arnk
+        |    FROM v x, cent c
+        |  ) WHERE arnk = 1),
+        |probes AS (
+        |  SELECT list_id FROM (
+        |    SELECT c.list_id,
+        |      row_number() OVER (ORDER BY list_cosine_similarity(c.c, q.qv) DESC,
+        |        c.list_id ASC) AS prank
+        |    FROM q, cent c
+        |  ) WHERE prank <= 4),
+        |sel AS (
+        |  SELECT 'selective' AS qcase,
+        |    CASE WHEN (SELECT m FROM selc) <= 100 THEN 'prefilter_exact'
+        |         ELSE 'ivf_postfilter' END AS path,
+        |    (SELECT m FROM selc) AS matches, vec_id, rnk
+        |  FROM (
+        |    SELECT x.vec_id,
+        |      CAST(row_number() OVER (ORDER BY list_cosine_similarity(x.v, q.qv) DESC,
+        |        x.vec_id ASC) AS BIGINT) AS rnk
+        |    FROM v x, q WHERE x.lowid = 'y'
+        |  ) WHERE rnk <= 5),
+        |brd AS (
+        |  SELECT 'broad' AS qcase,
+        |    CASE WHEN (SELECT m FROM brdc) <= 100 THEN 'prefilter_exact'
+        |         ELSE 'ivf_postfilter' END AS path,
+        |    (SELECT m FROM brdc) AS matches, vec_id, rnk
+        |  FROM (
+        |    SELECT a.vec_id,
+        |      CAST(row_number() OVER (ORDER BY list_cosine_similarity(a.v, q.qv) DESC,
+        |        a.vec_id ASC) AS BIGINT) AS rnk
+        |    FROM assign a
+        |    JOIN probes p ON a.list_id = p.list_id
+        |    CROSS JOIN q
+        |    WHERE a.par = '1'
+        |  ) WHERE rnk <= 5)
+        |SELECT * FROM sel UNION ALL SELECT * FROM brd""".stripMargin,
 
     "q34_typed_meta_filter" ->
       "SELECT doc_id FROM documents WHERE doc_id % 3 = 1 AND lang = 'en'",

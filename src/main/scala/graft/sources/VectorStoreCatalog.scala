@@ -406,6 +406,44 @@ class VectorStoreCatalog(spark: SparkSession, val root: String) {
     } else exact
   }
 
+  /** [[query]] with cardinality-adaptive filter planning (the
+    * [[graft.ml.IvfIndex.searchAdaptive]] trade surfaced at the serving
+    * API): a filtered query against an IVF store runs one cheap match
+    * count, then pre-filters + exact-scans when the filter is selective
+    * (exact results, no over-fetch recall loss) or takes the probed
+    * post-filter path when it is broad. Non-IVF stores are always the
+    * exact scan — reported as `exact_scan` with the same match count so
+    * callers see one result shape.
+    */
+  def queryAdaptive(
+      userId: String,
+      modelId: String,
+      queryVec: Seq[Double],
+      k: Int,
+      metadataFilter: Map[String, String],
+      nProbe: Int = 8,
+      preFilterCap: Long = graft.ml.IvfIndex.DefaultPreFilterCap,
+      asOf: Option[Long] = None): graft.ml.IvfIndex.AdaptiveSearch = {
+    val cfg = config(userId, modelId)
+    require(queryVec.length == cfg.dimension,
+      s"query dimension ${queryVec.length} != store dimension ${cfg.dimension}")
+    require(metadataFilter.nonEmpty,
+      "adaptive planning needs a filter; use query() for unfiltered queries")
+    asOf.foreach(e => requirePin(userId, modelId, e))
+    if (hasIvf(userId, modelId, cfg))
+      idxLoad(userId, modelId, cfg).searchAdaptive(queryVec, k, nProbe,
+        metadataFilter, asOf = asOf, preFilterCap = preFilterCap)
+    else {
+      val base = asOf.fold(load(userId, modelId))(e =>
+        loadAt(userId, modelId, e))
+      val matches = base
+        .filter(Knn.metadataPredicate(col("meta"), metadataFilter)).count()
+      graft.ml.IvfIndex.AdaptiveSearch("exact_scan", matches,
+        Knn.topK(base, queryVec, k, cfg.metric,
+          metadataFilter = metadataFilter))
+    }
+  }
+
   def count(userId: String, modelId: String): Long = load(userId, modelId).count()
 
   /** Cross-store stats (reference api/routes/vectors.py:121-141). */

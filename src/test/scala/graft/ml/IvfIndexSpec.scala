@@ -196,4 +196,47 @@ class IvfIndexSpec extends AnyFunSuite with SparkSpec {
     val ok = IvfIndex.load(spark, p, graft.functions.vector.MetricEuclidean)
     assert(ok.metric == graft.functions.vector.MetricEuclidean)
   }
+
+  test("searchAdaptive: cardinality picks the plan — selective filters get " +
+      "exact pre-filtered results, broad filters the probed path") {
+    val root = java.nio.file.Files.createTempDirectory("graft_ivf_ad").toString
+    val store = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select($"vec_id".as("id"), $"embedding".as("vector"),
+        map(lit("lowid"), when($"vec_id" < 50, "y").otherwise("n"),
+          lit("par"), ($"vec_id" % 2).cast("string")).as("meta"))
+    val cents = store.filter($"id" < 8).orderBy($"id").select($"vector")
+      .collect().map(_.getSeq[Float](0).toArray.map(_.toDouble))
+    val idx = IvfIndex.buildWithCentroids(store, "id", "vector", root, cents)
+    val qv = store.filter($"id" === 0).select($"vector").head()
+      .getSeq[Float](0).map(_.toDouble).toSeq
+    // the decision is pure and boundary-exact
+    assert(IvfIndex.chooseFilterPath(100, 100) == IvfIndex.PathPrefilterExact)
+    assert(IvfIndex.chooseFilterPath(101, 100) == IvfIndex.PathIvfPostfilter)
+    // selective: 50 matches <= cap -> pre-filter, EXACT under the filter
+    val sel = idx.searchAdaptive(qv, k = 5, nProbe = 4,
+      metadataFilter = Map("lowid" -> "y"), preFilterCap = 100)
+    assert(sel.path == IvfIndex.PathPrefilterExact && sel.matches == 50)
+    val want = Knn.topK(
+      store.filter(element_at($"meta", "lowid") === "y"), qv, 5)
+      .select($"id").collect().map(_.getLong(0)).toSeq
+    assert(sel.hits.select($"id").collect().map(_.getLong(0)).toSeq == want)
+    // broad: 250 matches > cap -> identical to the probed search() path
+    val broad = idx.searchAdaptive(qv, k = 5, nProbe = 4,
+      metadataFilter = Map("par" -> "1"), preFilterCap = 100)
+    assert(broad.path == IvfIndex.PathIvfPostfilter && broad.matches == 250)
+    val viaSearch = idx.search(qv, 5, nProbe = 4,
+      metadataFilter = Map("par" -> "1"))
+      .select($"id").collect().map(_.getLong(0)).toSeq
+    assert(broad.hits.select($"id").collect()
+      .map(_.getLong(0)).toSeq == viaSearch)
+    // matches <= k: all matches return without the underfill full rescan
+    val tiny = idx.searchAdaptive(qv, k = 5, nProbe = 4,
+      metadataFilter = Map("lowid" -> "y"),
+      predicate = Some($"id" < 3), preFilterCap = 100)
+    assert(tiny.path == IvfIndex.PathPrefilterExact && tiny.matches == 3)
+    assert(tiny.hits.count() == 3)
+    // unfiltered adaptive search is a contract violation, loudly
+    intercept[IllegalArgumentException](idx.searchAdaptive(qv, 5))
+  }
 }
