@@ -246,7 +246,8 @@ class IvfIndex private (
       metadataFilter: Map[String, String] = Map.empty,
       predicate: Option[Column] = None,
       asOf: Option[Long] = None,
-      preFilterCap: Long = IvfIndex.DefaultPreFilterCap): IvfIndex.AdaptiveSearch = {
+      preFilterCap: Long = IvfIndex.DefaultPreFilterCap,
+      matchCount: Option[Long] = None): IvfIndex.AdaptiveSearch = {
     require(metadataFilter.nonEmpty || predicate.nonEmpty,
       "adaptive planning needs a filter; use search() for unfiltered queries")
     require(preFilterCap >= 1, s"preFilterCap must be >= 1, got $preFilterCap")
@@ -255,7 +256,10 @@ class IvfIndex private (
       if (metadataFilter.isEmpty) lit(true)
       else Knn.metadataPredicate(col("meta"), metadataFilter)
     val full = predicate.fold(stringPred)(p => stringPred && p)
-    val matches = base.filter(full).count()
+    // a caller-supplied cardinality (e.g. the catalog's persisted meta
+    // statistics) skips the count job; the decision — and the reported
+    // `matches` — then follow the hint
+    val matches = matchCount.getOrElse(base.filter(full).count())
     val path = IvfIndex.chooseFilterPath(matches, preFilterCap)
     val hits = path match {
       case IvfIndex.PathPrefilterExact =>

@@ -430,14 +430,23 @@ class VectorStoreCatalog(spark: SparkSession, val root: String) {
     require(metadataFilter.nonEmpty,
       "adaptive planning needs a filter; use query() for unfiltered queries")
     asOf.foreach(e => requirePin(userId, modelId, e))
+    // single-key filters on the LIVE store read the persisted epoch-
+    // stamped statistics when fresh — exact, and no per-query count job;
+    // conjunctions, pinned reads, and stale stats live-count
+    val hint =
+      if (asOf.isEmpty && metadataFilter.size == 1) {
+        val (k0, v0) = metadataFilter.head
+        metaStatsCount(userId, modelId, k0, v0)
+      } else None
     if (hasIvf(userId, modelId, cfg))
       idxLoad(userId, modelId, cfg).searchAdaptive(queryVec, k, nProbe,
-        metadataFilter, asOf = asOf, preFilterCap = preFilterCap)
+        metadataFilter, asOf = asOf, preFilterCap = preFilterCap,
+        matchCount = hint)
     else {
       val base = asOf.fold(load(userId, modelId))(e =>
         loadAt(userId, modelId, e))
-      val matches = base
-        .filter(Knn.metadataPredicate(col("meta"), metadataFilter)).count()
+      val matches = hint.getOrElse(base
+        .filter(Knn.metadataPredicate(col("meta"), metadataFilter)).count())
       graft.ml.IvfIndex.AdaptiveSearch("exact_scan", matches,
         Knn.topK(base, queryVec, k, cfg.metric,
           metadataFilter = metadataFilter))
@@ -695,6 +704,65 @@ class VectorStoreCatalog(spark: SparkSession, val root: String) {
     fs.delete(new Path(dataPath(userId, modelId)), true)
     fs.delete(new Path(epochsPath(userId, modelId)), true)
     fs.delete(new Path(indexPath(userId, modelId)), true)
+    fs.delete(new Path(metaStatsPath(userId, modelId)), true)
+  }
+
+  private def metaStatsPath(userId: String, modelId: String) =
+    s"${storePath(userId, modelId)}/meta_stats"
+
+  /** Persist per-(key, value) metadata cardinalities for the CURRENT
+    * committed epoch — the selectivity statistics [[queryAdaptive]]
+    * consults instead of running its per-query count job (FilterProbe
+    * measures that job as the broad-path overhead). One aggregation over
+    * the store's meta column; rows without meta are absent by
+    * construction (a filter cannot match them). Stats are epoch-stamped:
+    * any later commit makes them stale and every consumer falls back to
+    * the live count automatically — refresh after maintenance to re-arm.
+    * Returns the number of distinct (key, value) rows written.
+    */
+  def refreshMetaStats(userId: String, modelId: String): Long = {
+    require(exists(userId, modelId), s"store $userId/$modelId does not exist")
+    require(epochMode(userId, modelId),
+      "meta stats are epoch-stamped; this store predates the epoch layout")
+    val epoch = storeLog(userId, modelId).committedEpochs()
+      .lastOption.getOrElse(0L)
+    val tmp = load(userId, modelId)
+      .select(explode(col("meta")).as(Seq("key", "value")))
+      .groupBy(col("key"), col("value"))
+      .agg(org.apache.spark.sql.functions.count(lit(1)).as("n"))
+      .withColumn("stats_epoch", lit(epoch))
+    val obs = org.apache.spark.sql.Observation()
+    tmp.observe(obs, org.apache.spark.sql.functions.count(lit(1)).as("rows"))
+      .write.mode("overwrite").parquet(metaStatsPath(userId, modelId))
+    obs.get("rows").asInstanceOf[Long]
+  }
+
+  /** Exact match count for a single-key string filter from the persisted
+    * statistics — `Some(n)` only when stats exist AND are stamped with
+    * the store's current committed epoch (stale stats never plan a
+    * query). Sums the raw value and its TypedMeta JSON-string twin, the
+    * same duality [[graft.operators.Knn.metadataPredicate]] matches, so
+    * the number equals what the live count would return. An absent
+    * (key, value) pair under fresh stats is a true zero.
+    */
+  def metaStatsCount(
+      userId: String,
+      modelId: String,
+      key: String,
+      value: String): Option[Long] = {
+    val p = new Path(metaStatsPath(userId, modelId))
+    if (!fs.exists(p) || !epochMode(userId, modelId)) return None
+    val cur = storeLog(userId, modelId).committedEpochs()
+      .lastOption.getOrElse(0L)
+    val df = spark.read.parquet(p.toString)
+    val row = df.agg(
+      max(col("stats_epoch")).as("e"),
+      coalesce(sum(when(col("key") === key &&
+        (col("value") === value ||
+          col("value") === TypedMeta.jsonString(value)), col("n"))),
+        lit(0L)).as("m")).head()
+    if (row.isNullAt(0) || row.getLong(0) != cur) None
+    else Some(row.getLong(1))
   }
 
   /** Drop the store entirely (reference delete_store, api/routes/admin.py:74-112). */

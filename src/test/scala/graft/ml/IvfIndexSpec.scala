@@ -238,5 +238,17 @@ class IvfIndexSpec extends AnyFunSuite with SparkSpec {
     assert(tiny.hits.count() == 3)
     // unfiltered adaptive search is a contract violation, loudly
     intercept[IllegalArgumentException](idx.searchAdaptive(qv, 5))
+    // a matchCount hint is authoritative: a hint on the other side of
+    // the cap flips the plan, proving no count job second-guesses it
+    val hinted = idx.searchAdaptive(qv, k = 5, nProbe = 4,
+      metadataFilter = Map("par" -> "1"), preFilterCap = 100,
+      matchCount = Some(5L))
+    assert(hinted.path == IvfIndex.PathPrefilterExact &&
+      hinted.matches == 5L)
+    assert(hinted.hits.select($"id").collect()
+      .map(_.getLong(0)).toSeq == Knn.topK(
+        store.filter(element_at($"meta", "par") === "1"), qv, 5)
+      .select($"id").collect().map(_.getLong(0)).toSeq,
+      "the hinted prefilter path is still the exact filtered top-k")
   }
 }

@@ -389,4 +389,43 @@ class CatalogOpsSpec extends AnyFunSuite with SparkSpec {
       .collect().map(_.getLong(0)).toSeq
     assert(fallback == exactAfterAdd, "corrupt index must fall back to exact scan")
   }
+
+  test("meta stats: epoch-stamped counts serve queryAdaptive while fresh, " +
+      "go stale on any commit, and absent pairs are true zeros") {
+    val cat = newCatalog
+    cat.create("u", "st", StoreConfig(dimension = 8))
+    val rnd = new scala.util.Random(7)
+    def batch(n: Int, tag: String) = (0 until n)
+      .map(_ => (Seq.fill(8)(rnd.nextFloat()), Map("tag" -> tag)))
+      .toDF("vector", "meta")
+    cat.addVectors("u", "st", batch(40, "a"))
+    cat.addVectors("u", "st", batch(10, "b"))
+    assert(cat.metaStatsCount("u", "st", "tag", "a").isEmpty,
+      "no stats written yet -> live count fallback")
+    val rows = cat.refreshMetaStats("u", "st")
+    assert(rows == 2L, s"two (key,value) pairs expected, got $rows")
+    assert(cat.metaStatsCount("u", "st", "tag", "a").contains(40L))
+    assert(cat.metaStatsCount("u", "st", "tag", "b").contains(10L))
+    // fresh stats + absent pair = a true zero, not a fallback
+    assert(cat.metaStatsCount("u", "st", "tag", "zzz").contains(0L))
+    // the adaptive serving path reports the stats-derived cardinality
+    // (flat store: always the exact scan, but the count job is skipped)
+    val q = Seq.fill(8)(0.5)
+    val viaStats = cat.queryAdaptive("u", "st", q, 3, Map("tag" -> "b"))
+    assert(viaStats.matches == 10L && viaStats.path == "exact_scan")
+    assert(viaStats.hits.count() == 3)
+    // any later commit invalidates: the count MUST see the new rows
+    cat.addVectors("u", "st", batch(5, "b"))
+    assert(cat.metaStatsCount("u", "st", "tag", "b").isEmpty,
+      "stale stats must never plan a query")
+    val live = cat.queryAdaptive("u", "st", q, 3, Map("tag" -> "b"))
+    assert(live.matches == 15L, "stale stats -> live count sees the append")
+    // refresh re-arms at the new epoch
+    cat.refreshMetaStats("u", "st")
+    assert(cat.metaStatsCount("u", "st", "tag", "b").contains(15L))
+    // clear() removes stats with the data
+    cat.clear("u", "st")
+    assert(cat.metaStatsCount("u", "st", "tag", "b").isEmpty)
+  }
+
 }
