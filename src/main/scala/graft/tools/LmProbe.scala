@@ -1,0 +1,88 @@
+package graft.tools
+
+import graft.text.NgramLm
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Measured evidence for the frames LM route (q168/q171). The expected
+  * story was "broadcast map probe wins until the table outgrows
+  * executors"; the measurement is sharper: broadcast wins only while
+  * the table is SMALL (sf0.1 bench: q151 0.59 s vs q168 1.03 s — join
+  * fan-out overhead dominates a tiny model), but once the table is
+  * table-shaped the join route outruns the scorer expression — at 200k
+  * docs / ~1M pruned trigram rows, frames trains 1.8× and scores 2.2×
+  * faster (the expression pays per-token string-concat probes into a
+  * 1M-entry driver-built HashMap; Tungsten hash joins beat that well
+  * before the ceiling is even near). The probe also proves the
+  * capability claim: under a 100k-row cap the collect route REFUSES
+  * this corpus (fail-fast require) while frames trains and scores —
+  * and asserts per-doc route agreement to 1e-9 relative, the q168
+  * identity at probe scale.
+  *
+  * Run: sbt "runMain graft.tools.LmProbe [nDocs]"
+  */
+object LmProbe {
+  def main(args: Array[String]): Unit = {
+    val nDocs = args.headOption.map(_.toInt).getOrElse(200000)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // 50-token docs over a 100-word vocab: ~10M trigram instances over
+    // 1M possible types — counts ~10 each, so the pruned table is
+    // table-shaped (~1M rows), not a handful of survivors
+    val vocab = array((0 until 100).map(i => lit(s"w$i")): _*)
+    val corpusPath = java.nio.file.Files
+      .createTempDirectory("graft_lmprobe").toString
+    spark.range(nDocs.toLong).select(col("id"),
+        array_join(transform(sequence(lit(1), lit(50)), w =>
+          element_at(vocab, pmod(hash(col("id") * 37 + w), lit(100)) + 1)),
+          " ").as("text"))
+      .write.mode("overwrite").parquet(corpusPath)
+    val docs = spark.read.parquet(corpusPath)
+    val train = docs.filter(col("id") % 4 =!= 0)
+    val target = docs.filter(col("id") % 4 === 0)
+
+    def time[T](f: => T): (T, Double) = {
+      val t0 = System.nanoTime(); val r = f
+      (r, (System.nanoTime() - t0) / 1e9)
+    }
+
+    val (bm, tTrainB) = time(NgramLm.trainKn3(train, "text",
+      maxTrigrams = 1 << 21))
+    val (_, tScoreB) = time(target
+      .agg(sum(NgramLm.perplexityKn3(col("text"), bm))).head())
+    val (fm, tTrainF) = time(NgramLm.trainKn3Distributed(train, "text"))
+    val framesScored = NgramLm.scoreKn3Distributed(target, "id", "text", fm)
+    val (_, tScoreF) = time(framesScored.agg(sum(col("ppl"))).head())
+
+    // route identity on a sample (the q168 contract at probe scale)
+    val sample = target.filter(col("id") % 400 === 0)
+    val joined = NgramLm.scoreKn3Distributed(sample, "id", "text", fm)
+      .join(sample.select(col("id"),
+        NgramLm.perplexityKn3(col("text"), bm).as("bppl")), "id")
+      .select(col("ppl"), col("bppl")).collect()
+    require(joined.nonEmpty)
+    joined.foreach { r =>
+      val a = r.getDouble(0); val b = r.getDouble(1)
+      require(math.abs(a - b) <= 1e-9 * math.max(1.0, math.abs(b)),
+        s"route divergence: frames=$a broadcast=$b")
+    }
+
+    // the capability leg: a cap far under this corpus's table makes the
+    // collect route REFUSE (fail-fast), while frames trains and scores
+    val refused =
+      try { NgramLm.trainKn3(train, "text", maxTrigrams = 100000); false }
+      catch { case _: IllegalArgumentException => true }
+    require(refused, "collect route must refuse past its cap")
+    val tableRows = fm.trigrams.count()
+    fm.unpersist()
+
+    println(f"""{"probe":"lm","docs":$nDocs,"pruned_table_rows":$tableRows,"broadcast":{"train_sec":$tTrainB%.2f,"score_sec":$tScoreB%.2f},"frames":{"train_sec":$tTrainF%.2f,"score_sec":$tScoreF%.2f},"cap_100k_refuses_collect_route":$refused}""")
+    spark.stop()
+  }
+}
