@@ -3281,6 +3281,40 @@ object SparkEntry {
         .toDF("phase", "model_id", "vector_count", "dimension")
     }),
 
+    // STATS-backed adaptive serving under the oracle: the store's meta
+    // carries the SAME logical value in both physical encodings the
+    // string-filter API matches (raw "7" on even rows, TypedMeta JSON
+    // "\"7\"" on odd — the duality Knn.metadataPredicate accepts), so
+    // metaStatsCount's sum over both encodings is the number the twin
+    // recomputes as ONE logical count; forgetting the duality halves it
+    // and flips the hash. The serving rows are the exact filtered top-5,
+    // matches and path stamped in-row; the query REQUIRES the hint was
+    // fresh (stats epoch == committed epoch) so the row provably went
+    // through the statistics, not the live count.
+    "q173_stats_adaptive" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val root = tempIndexDir("graft_q173_store")
+      val cat = new sources.VectorStoreCatalog(s, root)
+      cat.create("u", "m", sources.StoreConfig(dimension = 64))
+      val catStr = (col("vec_id") % 20).cast("string")
+      cat.addVectors("u", "m", emb.select(col("embedding").as("vector"),
+        map(
+          lit("cat"), when(col("vec_id") % 2 === 0, catStr)
+            .otherwise(concat(lit("\""), catStr, lit("\""))),
+          lit("vid"), col("vec_id").cast("string")).as("meta")))
+      cat.refreshMetaStats("u", "m")
+      val fromStats = cat.metaStatsCount("u", "m", "cat", "7")
+      require(fromStats.nonEmpty, "stats must be fresh for this row")
+      val qv = emb.filter(col("vec_id") === 0).select(col("embedding"))
+        .head().getSeq[Float](0).map(_.toDouble).toSeq
+      val r = cat.queryAdaptive("u", "m", qv, 5, Map("cat" -> "7"))
+      require(r.matches == fromStats.get,
+        "the reported cardinality must be the stats-derived one")
+      r.hits.select(lit(r.path).as("path"), lit(r.matches).as("matches"),
+        element_at(col("meta"), "vid").cast("long").as("vid"),
+        col("rank").cast("long").as("rnk"))
+    }),
+
     // Masked mean pooling under the oracle (A4, the sentence-embedding
     // pooling kernel): embeddings rows become deterministic "token
     // sequences" (gid = vec_id % 50, tokens in vec_id order, every third
@@ -6885,6 +6919,23 @@ object SparkEntry {
         |UNION ALL SELECT 'b_post_clear', 'm1', (SELECT n FROM c1), 64
         |UNION ALL SELECT 'c_re_add', 'm0', (SELECT n FROM c5), 64
         |UNION ALL SELECT 'c_re_add', 'm1', (SELECT n FROM c1), 64""".stripMargin,
+
+    // One LOGICAL count across both physical encodings, then the exact
+    // filtered top-5 by cosine against vec 0; the flat store always
+    // serves exact_scan, so path is a constant the construction derives.
+    "q173_stats_adaptive" ->
+      """WITH m AS (SELECT CAST(count(*) AS BIGINT) AS m
+        |           FROM embeddings WHERE vec_id % 20 = 7),
+        |q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+        |      FROM embeddings WHERE vec_id = 0)
+        |SELECT 'exact_scan' AS path, (SELECT m FROM m) AS matches, vid, rnk
+        |FROM (
+        |  SELECT x.vec_id AS vid,
+        |    CAST(row_number() OVER (
+        |      ORDER BY list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
+        |        q.qv) DESC, x.vec_id ASC) AS BIGINT) AS rnk
+        |  FROM embeddings x, q WHERE x.vec_id % 20 = 7
+        |) WHERE rnk <= 5""".stripMargin,
 
     // Pooling replay: per (group, dimension) masked sum over double-cast
     // floats divided by the eps-floored mask total; x1e6 quantization
