@@ -169,7 +169,75 @@ class VectorStoreCatalog(spark: SparkSession, val root: String) {
       }
       val n = obs.get("n").asInstanceOf[Long]
       log.commit(epoch, "add", n)
+      maintainMetaStats(userId, modelId, out, epoch)
       n
+    }
+  }
+
+  /** Append-path statistics maintenance: when meta stats exist and were
+    * fresh at the PREVIOUS committed epoch, merge the batch's own counts
+    * and re-stamp at this commit — one batch-sized aggregation, so a
+    * store that ran [[refreshMetaStats]] once stays planable under
+    * append-only load indefinitely (the realistic serving shape).
+    * Destructive commits (delete/optimize/vacuum/clear) deliberately do
+    * NOT maintain: their row sets shrink or move, so stats go stale and
+    * [[metaStatsCount]] falls back to the live count until the next
+    * refresh. Absent stats cost one existence check here — nothing.
+    */
+  private def maintainMetaStats(
+      userId: String, modelId: String, batch: DataFrame, epoch: Long): Unit = {
+    val p = new Path(metaStatsPath(userId, modelId))
+    if (!fs.exists(p)) return
+    val old = spark.read.parquet(p.toString)
+    val stamped = old.agg(max(col("stats_epoch"))).head()
+    if (stamped.isNullAt(0)) return
+    val before = storeLog(userId, modelId).committedEpochs()
+      .filter(_ < epoch).lastOption.getOrElse(-1L)
+    if (stamped.getLong(0) != before) return // already stale: refresh re-arms
+    val batchCounts = batch
+      .select(explode(col("meta")).as(Seq("key", "value")))
+      .groupBy(col("key"), col("value"))
+      .agg(org.apache.spark.sql.functions.count(lit(1)).as("n"))
+    // materialize BEFORE overwriting the directory the plan reads from
+    val merged = old.select(col("key"), col("value"), col("n"))
+      .unionAll(batchCounts)
+      .groupBy(col("key"), col("value")).agg(sum(col("n")).as("n"))
+      .withColumn("stats_epoch", lit(epoch))
+      .localCheckpoint(true)
+    merged.write.mode("overwrite").parquet(p.toString)
+  }
+
+  /** [[queryAdaptive]] with a TYPED filter ([[TypedMeta]] Python-`==`
+    * semantics, the [[queryTyped]] pairing): cardinality comes from a
+    * live count of the typed predicate — typed lookups against the
+    * persisted string-keyed statistics would need the stored-encoding
+    * inverse, so the stats shortcut is string-filter-only for now.
+    */
+  def queryAdaptiveTyped(
+      userId: String,
+      modelId: String,
+      queryVec: Seq[Double],
+      k: Int,
+      typedFilter: Map[String, Any],
+      nProbe: Int = 8,
+      preFilterCap: Long = graft.ml.IvfIndex.DefaultPreFilterCap,
+      asOf: Option[Long] = None): graft.ml.IvfIndex.AdaptiveSearch = {
+    val cfg = config(userId, modelId)
+    require(queryVec.length == cfg.dimension,
+      s"query dimension ${queryVec.length} != store dimension ${cfg.dimension}")
+    require(typedFilter.nonEmpty,
+      "adaptive planning needs a filter; use query() for unfiltered queries")
+    asOf.foreach(e => requirePin(userId, modelId, e))
+    val pred = TypedMeta.typedPredicate(col("meta"), typedFilter)
+    if (hasIvf(userId, modelId, cfg))
+      idxLoad(userId, modelId, cfg).searchAdaptive(queryVec, k, nProbe,
+        predicate = Some(pred), asOf = asOf, preFilterCap = preFilterCap)
+    else {
+      val base = asOf.fold(load(userId, modelId))(e =>
+        loadAt(userId, modelId, e))
+      val matches = base.filter(pred).count()
+      graft.ml.IvfIndex.AdaptiveSearch("exact_scan", matches,
+        Knn.topK(base, queryVec, k, cfg.metric, predicate = Some(pred)))
     }
   }
 

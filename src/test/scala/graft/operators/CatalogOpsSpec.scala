@@ -414,18 +414,50 @@ class CatalogOpsSpec extends AnyFunSuite with SparkSpec {
     val viaStats = cat.queryAdaptive("u", "st", q, 3, Map("tag" -> "b"))
     assert(viaStats.matches == 10L && viaStats.path == "exact_scan")
     assert(viaStats.hits.count() == 3)
-    // any later commit invalidates: the count MUST see the new rows
+    // APPEND commits maintain the stats in place (batch counts merged,
+    // re-stamped at the new epoch): still planable, and still exact
     cat.addVectors("u", "st", batch(5, "b"))
+    assert(cat.metaStatsCount("u", "st", "tag", "b").contains(15L),
+      "append-only load must keep refreshed stats fresh")
+    assert(cat.metaStatsCount("u", "st", "tag", "a").contains(40L))
+    val maintained = cat.queryAdaptive("u", "st", q, 3, Map("tag" -> "b"))
+    assert(maintained.matches == 15L)
+    // DESTRUCTIVE commits invalidate: the count MUST see the shrink live
+    val removed = cat.deleteVectors("u", "st",
+      element_at(col("meta"), "tag") === "b")
+    assert(removed == 15L)
     assert(cat.metaStatsCount("u", "st", "tag", "b").isEmpty,
-      "stale stats must never plan a query")
-    val live = cat.queryAdaptive("u", "st", q, 3, Map("tag" -> "b"))
-    assert(live.matches == 15L, "stale stats -> live count sees the append")
-    // refresh re-arms at the new epoch
+      "stats must go stale on a destructive commit")
+    val live = cat.queryAdaptive("u", "st", q, 3, Map("tag" -> "a"))
+    assert(live.matches == 40L, "stale stats -> live count")
+    // refresh re-arms at the new epoch; a further append maintains again
     cat.refreshMetaStats("u", "st")
-    assert(cat.metaStatsCount("u", "st", "tag", "b").contains(15L))
+    assert(cat.metaStatsCount("u", "st", "tag", "a").contains(40L))
+    cat.addVectors("u", "st", batch(3, "a"))
+    assert(cat.metaStatsCount("u", "st", "tag", "a").contains(43L))
     // clear() removes stats with the data
     cat.clear("u", "st")
-    assert(cat.metaStatsCount("u", "st", "tag", "b").isEmpty)
+    assert(cat.metaStatsCount("u", "st", "tag", "a").isEmpty)
+  }
+
+  test("queryAdaptiveTyped: typed predicate cardinality plans the path; " +
+      "int filters never match their string twins") {
+    val cat = newCatalog
+    cat.create("u", "tq", StoreConfig(dimension = 8))
+    val rnd = new scala.util.Random(13)
+    import graft.sources.TypedMeta
+    val rows = (0 until 30).map { i =>
+      (Seq.fill(8)(rnd.nextFloat()),
+        Map("pri" -> TypedMeta.encode(if (i < 5) 1 else 2)))
+    }.toDF("vector", "meta")
+    cat.addVectors("u", "tq", rows)
+    val q = Seq.fill(8)(0.5)
+    val r = cat.queryAdaptiveTyped("u", "tq", q, 3, Map("pri" -> 1))
+    assert(r.path == "exact_scan" && r.matches == 5L)
+    assert(r.hits.count() == 3)
+    // the string "1" is a different typed value — zero matches
+    val s = cat.queryAdaptiveTyped("u", "tq", q, 3, Map("pri" -> "1"))
+    assert(s.matches == 0L && s.hits.count() == 0)
   }
 
 }
