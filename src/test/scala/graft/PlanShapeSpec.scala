@@ -468,6 +468,16 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
       s"corpus text must not enter a shuffle:\n$p")
   }
 
+  test("q168/q171: frames-route LM scoring stays equi-joined — no product, " +
+      "no nested-loop term anywhere in the five-join chain") {
+    Seq("q168_kn3_distributed", "q171_kn3_mod_distributed").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoop"),
+        s"$q must stay equi-joined:\n$p")
+    }
+  }
+
   test("fleet-wide: no query in the whole SparkEntry surface plans a CartesianProduct") {
     // Every crossJoin in the engine is broadcast()-bounded (query vectors,
     // 1-row aggregates, centroid/cut tables), which plans as
