@@ -925,6 +925,47 @@ class StreamsSpec extends AnyFunSuite with SparkSpec {
     assert(catalog.loadAt("stream", "vac", eps.max).count() == 35)
   }
 
+  test("stream-fed store keeps planable meta stats: append micro-batches " +
+      "maintain them, the autoVacuum fold invalidates them") {
+    import org.apache.spark.sql.types._
+    val dropDir = tempDir("graft_vec_stats_drop")
+    val root = tempDir("graft_stats_store")
+    val catalog = new VectorStoreCatalog(spark, root)
+    catalog.create("stream", "st", StoreConfig(dimension = 2))
+    val schema = StructType(Seq(
+      StructField("vector", ArrayType(FloatType)),
+      StructField("meta", MapType(StringType, StringType))))
+    def drop(i: Int): Unit = Files.writeString(
+      Paths.get(s"$dropDir/drop$i.jsonl"),
+      (0 until 5).map(j =>
+        s"""{"vector": [$i, $j], "meta": {"b": "x"}}""").mkString("\n"))
+    val cp = tempDir("graft_stats_cp")
+    def feed(i: Int, vacuum: Option[Int]): Unit = {
+      drop(i)
+      val q = Streams.ingestVectors(spark, dropDir, schema, catalog,
+        "stream", "st", format = "json", checkpoint = Some(cp),
+        autoVacuumKeepLast = vacuum)
+      try q.processAllAvailable() finally q.stop()
+    }
+    feed(0, None)
+    catalog.refreshMetaStats("stream", "st")
+    assert(catalog.metaStatsCount("stream", "st", "b", "x").contains(5L))
+    // two more micro-batch appends: maintenance keeps the stats fresh
+    feed(1, None)
+    feed(2, None)
+    assert(catalog.metaStatsCount("stream", "st", "b", "x").contains(15L),
+      "append micro-batches must maintain refreshed stats")
+    // arm the vacuum lever and feed past the cadence: the fold is a
+    // destructive commit, so stats must go stale (live-count fallback)
+    (3 until 7).foreach(i => feed(i, Some(2)))
+    assert(catalog.epochs("stream", "st").size <= 5)
+    assert(catalog.metaStatsCount("stream", "st", "b", "x").isEmpty,
+      "a vacuum fold must invalidate the stats")
+    // refresh re-arms over the folded layout
+    catalog.refreshMetaStats("stream", "st")
+    assert(catalog.metaStatsCount("stream", "st", "b", "x").contains(35L))
+  }
+
   test("maintainIndex priority: a feed that trips compaction every batch " +
     "starves vacuum (documented trade) — results still correct") {
     // corpus of 2 docs, DOUBLING micro-batches (3, 6, 12, 24 fresh docs):
