@@ -5,7 +5,9 @@ Runs `graft.Verify` output parquet against the DuckDB oracle SQL from
 oracle_sql.json, compares row counts, column names, and exact values
 (column-name-sorted, row-sorted), and prints a per-query verdict.
 
-Usage: python3 tools/oracle_check.py <sfDir> <verifyOutDir>
+Usage: python3 tools/oracle_check.py <sfDir> <verifyOutDir> [queryName ...]
+       (trailing names restrict the check — pairs with graft.Verify's
+        trailing-name restriction for single-query iteration)
 """
 import json
 import math
@@ -25,7 +27,7 @@ def canon(v):
     return repr(v)
 
 
-def main(sf_dir, out_dir):
+def main(sf_dir, out_dir, only=()):
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
@@ -35,6 +37,8 @@ def main(sf_dir, out_dir):
 
     n_pass = n_fail = 0
     for name, sql in sorted(oracles.items()):
+        if only and name not in only:
+            continue
         try:
             got = con.execute(
                 f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')").fetchdf()
@@ -71,4 +75,4 @@ def main(sf_dir, out_dir):
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    sys.exit(main(sys.argv[1], sys.argv[2], frozenset(sys.argv[3:])))
