@@ -179,10 +179,12 @@ class VectorStoreCatalog(spark: SparkSession, val root: String) {
     * and re-stamp at this commit — one batch-sized aggregation, so a
     * store that ran [[refreshMetaStats]] once stays planable under
     * append-only load indefinitely (the realistic serving shape).
-    * Destructive commits (delete/optimize/vacuum/clear) deliberately do
-    * NOT maintain: their row sets shrink or move, so stats go stale and
-    * [[metaStatsCount]] falls back to the live count until the next
-    * refresh. Absent stats cost one existence check here — nothing.
+    * Layout-only commits (optimize, vacuum) RE-STAMP via
+    * [[reStampMetaStats]] — content is preserved, so are the numbers.
+    * Content-changing commits (delete, clear) deliberately invalidate:
+    * stats go stale and [[metaStatsCount]] falls back to the live count
+    * until the next refresh. Absent stats cost one existence check
+    * here — nothing.
     */
   private def maintainMetaStats(
       userId: String, modelId: String, batch: DataFrame, epoch: Long): Unit = {
@@ -205,6 +207,28 @@ class VectorStoreCatalog(spark: SparkSession, val root: String) {
       .withColumn("stats_epoch", lit(epoch))
       .localCheckpoint(true)
     merged.write.mode("overwrite").parquet(p.toString)
+  }
+
+  /** Layout-only commits (optimize's replace, vacuum's fold) preserve the
+    * store's LOGICAL content, so statistics fresh before the commit stay
+    * numerically correct — re-stamp them at the new epoch instead of
+    * letting them lapse: the retention/compaction levers cost no
+    * planability. `prevLast` is the newest committed epoch BEFORE the
+    * commit (a replace prunes the whole history, so it cannot be
+    * recovered from the log afterwards). Only content-CHANGING commits
+    * (delete, clear) invalidate.
+    */
+  private def reStampMetaStats(
+      userId: String, modelId: String, prevLast: Long, epoch: Long): Unit = {
+    val p = new Path(metaStatsPath(userId, modelId))
+    if (!fs.exists(p)) return
+    val old = spark.read.parquet(p.toString)
+    val stamped = old.agg(max(col("stats_epoch"))).head()
+    if (stamped.isNullAt(0) || stamped.getLong(0) != prevLast) return
+    val restamped = old.drop("stats_epoch")
+      .withColumn("stats_epoch", lit(epoch))
+      .localCheckpoint(true)
+    restamped.write.mode("overwrite").parquet(p.toString)
   }
 
   /** [[queryAdaptive]] with a TYPED filter ([[TypedMeta]] Python-`==`
@@ -369,9 +393,11 @@ class VectorStoreCatalog(spark: SparkSession, val root: String) {
     if (hasIndex) {
       idxLoad(userId, modelId, cfg).appendEpoch(out, "id", "vector", target)
     }
+    val prevLast = log.committedEpochs().lastOption.getOrElse(-1L)
     log.commitVacuum(target, boundary,
       scala.util.Try(obs.get("n").asInstanceOf[Long]).getOrElse(0L))
     pruneEpochDirs(userId, modelId, log, foldSet)
+    reStampMetaStats(userId, modelId, prevLast, target)
     (foldSet.size, bytesBefore - bytesOf(target))
   }
 
@@ -706,8 +732,10 @@ class VectorStoreCatalog(spark: SparkSession, val root: String) {
         idxLoad(userId, modelId, cfg).appendEpoch(out, "id", "vector", epoch)
       }
       val dead = log.allEpochs()
+      val prevLast = log.committedEpochs().lastOption.getOrElse(-1L)
       log.commit(epoch, "replace", obs.get("n").asInstanceOf[Long])
       pruneEpochDirs(userId, modelId, log, dead)
+      reStampMetaStats(userId, modelId, prevLast, epoch)
       (before, filesUnder(dst).size)
     }
   }

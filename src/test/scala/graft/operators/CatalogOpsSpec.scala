@@ -390,8 +390,9 @@ class CatalogOpsSpec extends AnyFunSuite with SparkSpec {
     assert(fallback == exactAfterAdd, "corrupt index must fall back to exact scan")
   }
 
-  test("meta stats: epoch-stamped counts serve queryAdaptive while fresh, " +
-      "go stale on any commit, and absent pairs are true zeros") {
+  test("meta stats: epoch-stamped counts serve queryAdaptive; appends " +
+      "maintain, layout-only commits re-stamp, deletes invalidate, and " +
+      "absent pairs under fresh stats are true zeros") {
     val cat = newCatalog
     cat.create("u", "st", StoreConfig(dimension = 8))
     val rnd = new scala.util.Random(7)
@@ -422,6 +423,12 @@ class CatalogOpsSpec extends AnyFunSuite with SparkSpec {
     assert(cat.metaStatsCount("u", "st", "tag", "a").contains(40L))
     val maintained = cat.queryAdaptive("u", "st", q, 3, Map("tag" -> "b"))
     assert(maintained.matches == 15L)
+    // LAYOUT-ONLY commits preserve content, so the stats re-stamp:
+    // optimize's replace epoch costs no planability
+    cat.optimize("u", "st", targetFileBytes = 1L << 20)
+    assert(cat.metaStatsCount("u", "st", "tag", "b").contains(15L),
+      "a replace-compaction must re-stamp, not invalidate")
+    assert(cat.metaStatsCount("u", "st", "tag", "a").contains(40L))
     // DESTRUCTIVE commits invalidate: the count MUST see the shrink live
     val removed = cat.deleteVectors("u", "st",
       element_at(col("meta"), "tag") === "b")

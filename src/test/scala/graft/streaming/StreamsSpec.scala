@@ -926,7 +926,7 @@ class StreamsSpec extends AnyFunSuite with SparkSpec {
   }
 
   test("stream-fed store keeps planable meta stats: append micro-batches " +
-      "maintain them, the autoVacuum fold invalidates them") {
+      "maintain them and the autoVacuum fold re-stamps them") {
     import org.apache.spark.sql.types._
     val dropDir = tempDir("graft_vec_stats_drop")
     val root = tempDir("graft_stats_store")
@@ -956,14 +956,18 @@ class StreamsSpec extends AnyFunSuite with SparkSpec {
     assert(catalog.metaStatsCount("stream", "st", "b", "x").contains(15L),
       "append micro-batches must maintain refreshed stats")
     // arm the vacuum lever and feed past the cadence: the fold is a
-    // destructive commit, so stats must go stale (live-count fallback)
+    // LAYOUT-ONLY commit — content is preserved, so the stats re-stamp
+    // and the store stays planable through the entire retention cycle
     (3 until 7).foreach(i => feed(i, Some(2)))
     assert(catalog.epochs("stream", "st").size <= 5)
+    assert(catalog.metaStatsCount("stream", "st", "b", "x").contains(35L),
+      "a vacuum fold preserves content and must re-stamp the stats")
+    // a content-CHANGING commit is what invalidates
+    catalog.deleteVectors("stream", "st",
+      org.apache.spark.sql.functions.element_at(
+        org.apache.spark.sql.functions.col("meta"), "b") === "x")
     assert(catalog.metaStatsCount("stream", "st", "b", "x").isEmpty,
-      "a vacuum fold must invalidate the stats")
-    // refresh re-arms over the folded layout
-    catalog.refreshMetaStats("stream", "st")
-    assert(catalog.metaStatsCount("stream", "st", "b", "x").contains(35L))
+      "a delete must invalidate the stats")
   }
 
   test("maintainIndex priority: a feed that trips compaction every batch " +
