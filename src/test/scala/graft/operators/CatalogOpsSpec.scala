@@ -409,6 +409,13 @@ class CatalogOpsSpec extends AnyFunSuite with SparkSpec {
     assert(cat.metaStatsCount("u", "st", "tag", "b").contains(10L))
     // fresh stats + absent pair = a true zero, not a fallback
     assert(cat.metaStatsCount("u", "st", "tag", "zzz").contains(0L))
+    // a PINNED read must live-count its own corpus, never the live
+    // stats: at the first epoch no 'b' rows existed yet, so a stats
+    // consult (10) here would be a wrong answer, not a stale one
+    val e0 = cat.epochs("u", "st").head
+    val pinned = cat.queryAdaptive("u", "st", Seq.fill(8)(0.5), 3,
+      Map("tag" -> "b"), asOf = Some(e0))
+    assert(pinned.matches == 0L && pinned.hits.count() == 0)
     // the adaptive serving path reports the stats-derived cardinality
     // (flat store: always the exact scan, but the count job is skipped)
     val q = Seq.fill(8)(0.5)
