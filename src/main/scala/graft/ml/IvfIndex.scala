@@ -51,11 +51,27 @@ class IvfIndex private (
     * [[graft.operators.EpochIndex.storedLayoutAt]] time-travel discipline:
     * only committed `data/epoch<=maxEpoch` slices, plus the active vacuum
     * fold when the pin reaches past its boundary. Requires an epoch-logged
-    * index; pins expire LOUDLY under compaction/vacuum ([[requirePin]]).
+    * index; pins expire LOUDLY under compaction/vacuum ([[requirePin]]),
+    * and a pin the index layout does not COVER (committed before the
+    * index was built — pre-build epochs have no index-side slices) is
+    * equally loud rather than a silently empty scan: the catalog's
+    * `query(asOf)` catches it and serves the pin from the store's own
+    * snapshot instead.
     */
   private[graft] def storeDfAt(maxEpoch: Long): DataFrame = {
     requirePin(maxEpoch)
-    readEpochDirs(log.get.layoutPathsAt(dataPath, maxEpoch))
+    val paths = log.get.layoutPathsAt(dataPath, maxEpoch)
+    val hfs = new org.apache.hadoop.fs.Path(dataPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val present = paths.filter(p =>
+      hfs.exists(new org.apache.hadoop.fs.Path(p)))
+    if (present.isEmpty && paths.nonEmpty)
+      throw new IllegalStateException(
+        s"index layout does not cover epoch $maxEpoch: the index was " +
+          "built at a later epoch, so pre-build pins have no index-side " +
+          "slices — serve this pin from the store scan (the catalog's " +
+          "query(asOf) falls back to it automatically) or rebuild")
+    readEpochDirs(present)
   }
 
   /** Addressable snapshot pins — the committed epoch set (a previous
@@ -426,6 +442,11 @@ object IvfIndex {
 
   val PathPrefilterExact = "prefilter_exact"
   val PathIvfPostfilter = "ivf_postfilter"
+
+  /** The catalog-level plan for stores with no index (or an unloadable
+    * one): always the exact filtered scan.
+    */
+  val PathExactScan = "exact_scan"
 
   /** Pre-filter exact path allowed while the filter matches at most this
     * many rows — ~tens of MB of vectors scored across executors, well

@@ -169,7 +169,7 @@ class VectorStoreCatalog(spark: SparkSession, val root: String) {
       }
       val n = obs.get("n").asInstanceOf[Long]
       log.commit(epoch, "add", n)
-      maintainMetaStats(userId, modelId, out, epoch)
+      maintainMetaStats(userId, modelId, epoch)
       n
     }
   }
@@ -187,7 +187,7 @@ class VectorStoreCatalog(spark: SparkSession, val root: String) {
     * here — nothing.
     */
   private def maintainMetaStats(
-      userId: String, modelId: String, batch: DataFrame, epoch: Long): Unit = {
+      userId: String, modelId: String, epoch: Long): Unit = {
     val p = new Path(metaStatsPath(userId, modelId))
     if (!fs.exists(p)) return
     val old = spark.read.parquet(p.toString)
@@ -196,7 +196,11 @@ class VectorStoreCatalog(spark: SparkSession, val root: String) {
     val before = storeLog(userId, modelId).committedEpochs()
       .filter(_ < epoch).lastOption.getOrElse(-1L)
     if (stamped.getLong(0) != before) return // already stale: refresh re-arms
-    val batchCounts = batch
+    // count the batch from the slice JUST WRITTEN, never from the caller's
+    // lineage: re-executing an arbitrary (possibly nondeterministic) input
+    // a second time could stamp counts that differ from the committed rows
+    val batchCounts = spark.read
+      .parquet(s"${dataPath(userId, modelId)}/epoch=$epoch")
       .select(explode(col("meta")).as(Seq("key", "value")))
       .groupBy(col("key"), col("value"))
       .agg(org.apache.spark.sql.functions.count(lit(1)).as("n"))
@@ -253,16 +257,22 @@ class VectorStoreCatalog(spark: SparkSession, val root: String) {
       "adaptive planning needs a filter; use query() for unfiltered queries")
     asOf.foreach(e => requirePin(userId, modelId, e))
     val pred = TypedMeta.typedPredicate(col("meta"), typedFilter)
-    if (hasIvf(userId, modelId, cfg))
-      idxLoad(userId, modelId, cfg).searchAdaptive(queryVec, k, nProbe,
-        predicate = Some(pred), asOf = asOf, preFilterCap = preFilterCap)
-    else {
+    def exactScan: graft.ml.IvfIndex.AdaptiveSearch = {
       val base = asOf.fold(load(userId, modelId))(e =>
         loadAt(userId, modelId, e))
       val matches = base.filter(pred).count()
-      graft.ml.IvfIndex.AdaptiveSearch("exact_scan", matches,
-        Knn.topK(base, queryVec, k, cfg.metric, predicate = Some(pred)))
+      graft.ml.IvfIndex.AdaptiveSearch(graft.ml.IvfIndex.PathExactScan,
+        matches, Knn.topK(base, queryVec, k, cfg.metric,
+          predicate = Some(pred)))
     }
+    if (hasIvf(userId, modelId, cfg)) {
+      try {
+        idxLoad(userId, modelId, cfg).searchAdaptive(queryVec, k, nProbe,
+          predicate = Some(pred), asOf = asOf, preFilterCap = preFilterCap)
+      } catch {
+        case _: Exception => exactScan
+      }
+    } else exactScan
   }
 
   /** Scan (reference _load_store, service/optimized_vector_store.py:225-239).
@@ -299,16 +309,6 @@ class VectorStoreCatalog(spark: SparkSession, val root: String) {
     storeLog(userId, modelId).committedEpochs()
   }
 
-  /** Snapshot-pinned scan — time travel: the store exactly as of commit
-    * `epoch`. A training run that pins its epoch at start reads the SAME
-    * rows however many appends land mid-run, and the pin is a plain long
-    * that reproduces the input set in a rerun (data-lineage discipline;
-    * same idea as table-format snapshot reads). Fails loudly when `epoch`
-    * is not in the committed history — in particular when a later
-    * `optimize` (replace-compaction) pruned it, the table-format
-    * "snapshot expired" condition; compaction policy therefore bounds how
-    * far back pins stay replayable.
-    */
   /** The loud pin-validity gate shared by [[loadAt]] and the pinned
     * serving path ([[query]]/[[queryTyped]] `asOf`) — validated BEFORE
     * either path runs, so an expired pin can never silently degrade into
@@ -322,6 +322,16 @@ class VectorStoreCatalog(spark: SparkSession, val root: String) {
         "compaction pruned it; pin a listed epoch")
   }
 
+  /** Snapshot-pinned scan — time travel: the store exactly as of commit
+    * `epoch`. A training run that pins its epoch at start reads the SAME
+    * rows however many appends land mid-run, and the pin is a plain long
+    * that reproduces the input set in a rerun (data-lineage discipline;
+    * same idea as table-format snapshot reads). Fails loudly when `epoch`
+    * is not in the committed history — in particular when a later
+    * `optimize` (replace-compaction) pruned it, the table-format
+    * "snapshot expired" condition; compaction policy therefore bounds how
+    * far back pins stay replayable.
+    */
   def loadAt(userId: String, modelId: String, epoch: Long): DataFrame = {
     requirePin(userId, modelId, epoch)
     val p = dataPath(userId, modelId)
@@ -429,8 +439,8 @@ class VectorStoreCatalog(spark: SparkSession, val root: String) {
     * `use_hnsw` flag), the ANN path runs — with over-fetch under filters and
     * exact fallback on underfill — and ANY index failure falls back to the
     * exact scan rather than erroring.
-    */
-  /** `asOf = Some(epoch)` pins the query at a committed store snapshot
+    *
+    * `asOf = Some(epoch)` pins the query at a committed store snapshot
     * (the [[loadAt]] pin through the SERVING path — "which neighbors
     * would we have served as of snapshot N"): both the ANN scan and the
     * exact path read only epochs at or below the pin (the shared commit
@@ -532,19 +542,27 @@ class VectorStoreCatalog(spark: SparkSession, val root: String) {
         val (k0, v0) = metadataFilter.head
         metaStatsCount(userId, modelId, k0, v0)
       } else None
-    if (hasIvf(userId, modelId, cfg))
-      idxLoad(userId, modelId, cfg).searchAdaptive(queryVec, k, nProbe,
-        metadataFilter, asOf = asOf, preFilterCap = preFilterCap,
-        matchCount = hint)
-    else {
+    // [[query]]'s failure semantics: an unloadable/uncovering index falls
+    // back to the exact scan (over the PINNED snapshot when asOf is set —
+    // the pin contract holds through the fallback)
+    def exactScan: graft.ml.IvfIndex.AdaptiveSearch = {
       val base = asOf.fold(load(userId, modelId))(e =>
         loadAt(userId, modelId, e))
       val matches = hint.getOrElse(base
         .filter(Knn.metadataPredicate(col("meta"), metadataFilter)).count())
-      graft.ml.IvfIndex.AdaptiveSearch("exact_scan", matches,
-        Knn.topK(base, queryVec, k, cfg.metric,
+      graft.ml.IvfIndex.AdaptiveSearch(graft.ml.IvfIndex.PathExactScan,
+        matches, Knn.topK(base, queryVec, k, cfg.metric,
           metadataFilter = metadataFilter))
     }
+    if (hasIvf(userId, modelId, cfg)) {
+      try {
+        idxLoad(userId, modelId, cfg).searchAdaptive(queryVec, k, nProbe,
+          metadataFilter, asOf = asOf, preFilterCap = preFilterCap,
+          matchCount = hint)
+      } catch {
+        case _: Exception => exactScan
+      }
+    } else exactScan
   }
 
   def count(userId: String, modelId: String): Long = load(userId, modelId).count()

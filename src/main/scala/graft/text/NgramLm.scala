@@ -647,6 +647,11 @@ object NgramLm {
     * equi-joins instead of a broadcast map probe. Output: (idCol, ppl
     * DOUBLE); an empty document scores 0.0 like the kernel.
     *
+    * PRECONDITION: `idCol` must be unique per row — the per-doc fold
+    * groups by it, so duplicate ids would merge two documents' tokens
+    * into one perplexity where the per-row broadcast expression scores
+    * each independently (same for [[scoreKn3ModDistributed]]).
+    *
     * Scale shape: documents explode to slim (id, pos, w, prev, prev2)
     * token rows — the full token array never rides an Exchange — then
     * five LEFT equi-joins on gram-string keys (AQE picks broadcast while

@@ -244,6 +244,41 @@ class CatalogOpsSpec extends AnyFunSuite with SparkSpec {
       asOf = Some(cat.epochs("u", "qat").head)).count() == 3L)
   }
 
+  test("a pin OLDER than the index build serves from the store snapshot, " +
+      "never a silently empty index scan") {
+    // the index-coverage hole: epochs 0 and 1 commit BEFORE buildIndex,
+    // so the index layout has no slice at epoch 0 — a pinned index scan
+    // there is uncoverable, which must be LOUD at the index and healed
+    // by the catalog's exact fallback over loadAt
+    val cat = newCatalog
+    cat.create("u", "pre", StoreConfig(dimension = 2, metric = "cosine"))
+    def batch(v: Float, n: Int) =
+      Seq.tabulate(n)(i => Seq(v, v + 0.01f * i)).map(Tuple1(_)).toDF("vector")
+    cat.addVectors("u", "pre", batch(1f, 10))  // epoch 0
+    cat.addVectors("u", "pre", batch(-1f, 5))  // epoch 1
+    cat.buildIndex("u", "pre", nLists = 2)     // index covers epoch 1 onward
+    val qv = Seq(-1.0, -1.0)
+    // catalog serving: pinned at 0, the correct answer is the epoch-0
+    // rows — served through the exact fallback, never empty
+    val pinned = cat.query("u", "pre", qv, k = 3, nProbe = 2, asOf = Some(0L))
+      .select(element_at(col("vector"), 1)).collect()
+      .map(_.getFloat(0)).toSet
+    assert(pinned == Set(1f),
+      s"pre-build pin must serve the snapshot rows, got $pinned")
+    // the index layer itself is loud about the uncovered pin
+    val idx = graft.ml.IvfIndex.load(spark,
+      s"${cat.storePath("u", "pre")}/_ivf", "cosine",
+      Some(graft.operators.EpochLog(spark,
+        s"${cat.storePath("u", "pre")}/_epochs")))
+    val e = intercept[IllegalStateException] {
+      idx.search(qv, 3, nProbe = 2, asOf = Some(0L)).collect()
+    }
+    assert(e.getMessage.contains("does not cover epoch 0"), e.getMessage)
+    // a pin AT the build epoch is covered and serves through the index
+    assert(cat.query("u", "pre", qv, k = 3, nProbe = 2, asOf = Some(1L))
+      .count() == 3L)
+  }
+
   test("vacuum folds old epochs, keeps the newest pins, reclaims bytes; " +
       "expired pins raise; kept pins byte-identical") {
     val cat = newCatalog
@@ -420,7 +455,7 @@ class CatalogOpsSpec extends AnyFunSuite with SparkSpec {
     // (flat store: always the exact scan, but the count job is skipped)
     val q = Seq.fill(8)(0.5)
     val viaStats = cat.queryAdaptive("u", "st", q, 3, Map("tag" -> "b"))
-    assert(viaStats.matches == 10L && viaStats.path == "exact_scan")
+    assert(viaStats.matches == 10L && viaStats.path == graft.ml.IvfIndex.PathExactScan)
     assert(viaStats.hits.count() == 3)
     // APPEND commits maintain the stats in place (batch counts merged,
     // re-stamped at the new epoch): still planable, and still exact
@@ -467,7 +502,7 @@ class CatalogOpsSpec extends AnyFunSuite with SparkSpec {
     cat.addVectors("u", "tq", rows)
     val q = Seq.fill(8)(0.5)
     val r = cat.queryAdaptiveTyped("u", "tq", q, 3, Map("pri" -> 1))
-    assert(r.path == "exact_scan" && r.matches == 5L)
+    assert(r.path == graft.ml.IvfIndex.PathExactScan && r.matches == 5L)
     assert(r.hits.count() == 3)
     // the string "1" is a different typed value — zero matches
     val s = cat.queryAdaptiveTyped("u", "tq", q, 3, Map("pri" -> "1"))

@@ -35,6 +35,10 @@ def main(sf_dir, out_dir, only=()):
     with open(f"{out_dir}/oracle_sql.json") as f:
         oracles = json.load(f)
 
+    unknown = set(only) - set(oracles)
+    if unknown:
+        print(f"ERROR: unknown query name(s): {sorted(unknown)}")
+        return 1
     n_pass = n_fail = 0
     for name, sql in sorted(oracles.items()):
         if only and name not in only:
