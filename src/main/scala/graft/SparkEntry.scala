@@ -3315,6 +3315,34 @@ object SparkEntry {
         col("rank").cast("long").as("rnk"))
     }),
 
+    // PRE-BUILD pin serving under the oracle: epochs 0 and 1 commit
+    // BEFORE buildIndex, so the index layout has no epoch-0 slice — a
+    // pinned index scan there is uncoverable and LOUD, and the catalog
+    // heals it through the exact fallback over the store's own snapshot
+    // (never a silently empty result). The row holds live (full-probe
+    // ANN == brute force over everything) and pin0 (exact fallback ==
+    // brute force over the epoch-0 rows only) in one contract.
+    "q174_prebuild_pin" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val root = tempIndexDir("graft_q174_store")
+      val cat = new sources.VectorStoreCatalog(s, root)
+      cat.create("u", "m", sources.StoreConfig(dimension = 64))
+      def slice(r: Int) = emb.filter(col("vec_id") % 2 === r)
+        .select(col("embedding").as("vector"),
+          map(lit("vid"), col("vec_id").cast("string")).as("meta"))
+      cat.addVectors("u", "m", slice(0)) // epoch 0
+      cat.addVectors("u", "m", slice(1)) // epoch 1
+      cat.buildIndex("u", "m", nLists = 8) // covers epoch 1 onward
+      val qv = emb.filter(col("vec_id") === 1).select(col("embedding"))
+        .head().getSeq[Float](0).map(_.toDouble).toSeq
+      def one(phase: String, asOf: Option[Long]) =
+        cat.query("u", "m", qv, 5, nProbe = 8, asOf = asOf)
+          .select(lit(phase).as("phase"),
+            element_at(col("meta"), "vid").cast("long").as("vid"),
+            col("rank").cast("long").as("rnk"))
+      one("a_live", None).unionAll(one("b_pin0", Some(0L)))
+    }),
+
     // Masked mean pooling under the oracle (A4, the sentence-embedding
     // pooling kernel): embeddings rows become deterministic "token
     // sequences" (gid = vec_id % 50, tokens in vec_id order, every third
@@ -6919,6 +6947,29 @@ object SparkEntry {
         |UNION ALL SELECT 'b_post_clear', 'm1', (SELECT n FROM c1), 64
         |UNION ALL SELECT 'c_re_add', 'm0', (SELECT n FROM c5), 64
         |UNION ALL SELECT 'c_re_add', 'm1', (SELECT n FROM c1), 64""".stripMargin,
+
+    // Live = brute force over everything (full probe makes the ANN path
+    // exact); pin0 = brute force restricted to the even rows the epoch-0
+    // snapshot holds — query vec 1 is an ODD row, so a silently-empty or
+    // silently-live pin both flip the hash.
+    "q174_prebuild_pin" ->
+      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+        |           FROM embeddings WHERE vec_id = 1)
+        |SELECT 'a_live' AS phase, vid, rnk FROM (
+        |  SELECT x.vec_id AS vid,
+        |    CAST(row_number() OVER (
+        |      ORDER BY list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
+        |        q.qv) DESC, x.vec_id ASC) AS BIGINT) AS rnk
+        |  FROM embeddings x, q
+        |) WHERE rnk <= 5
+        |UNION ALL
+        |SELECT 'b_pin0', vid, rnk FROM (
+        |  SELECT x.vec_id AS vid,
+        |    CAST(row_number() OVER (
+        |      ORDER BY list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
+        |        q.qv) DESC, x.vec_id ASC) AS BIGINT) AS rnk
+        |  FROM embeddings x, q WHERE x.vec_id % 2 = 0
+        |) WHERE rnk <= 5""".stripMargin,
 
     // One LOGICAL count across both physical encodings, then the exact
     // filtered top-5 by cosine against vec 0; the flat store always
