@@ -1027,10 +1027,15 @@ object SparkEntry {
       val m = text.NgramLm.trainKn3Distributed(
         docs.filter(col("doc_id") % 4 =!= 0), "text",
         maxVocab = 256, minTrigramCount = 2)
+      // materialize the (test-doc-sized) scores, then release the model's
+      // cached gram frames — a 174-query Verify/bench run must not carry
+      // this model's blocks past its own query
       val out = text.NgramLm.scoreKn3Distributed(
         docs.filter(col("doc_id") % 4 === 0), "doc_id", "text", m)
         .select(col("doc_id").cast("long").as("id"),
           round(col("ppl") * 10000).cast("long").as("ppl_x1e4"))
+        .localCheckpoint(true)
+      m.unpersist()
       out
     }),
 
@@ -1044,10 +1049,54 @@ object SparkEntry {
       val docs = t(s, dir, "documents")
       val m = text.NgramLm.trainKn3ModDistributed(
         docs.filter(col("doc_id") % 4 =!= 0), "text", maxVocab = 256)
-      text.NgramLm.scoreKn3ModDistributed(
+      // q168's discipline: pin the scores, drop the model's cached frames
+      val out = text.NgramLm.scoreKn3ModDistributed(
         docs.filter(col("doc_id") % 4 === 0), "doc_id", "text", m)
         .select(col("doc_id").cast("long").as("id"),
           round(col("ppl") * 10000).cast("long").as("ppl_x1e4"))
+        .localCheckpoint(true)
+      m.unpersist()
+      out
+    }),
+
+    // q144 THE SAME MODEL through the frames route (the r16 gap: the
+    // trigram family had a past-the-broadcast-ceiling path, the
+    // bigram-KN scorer did not): trainKnDistributed keeps the pruned
+    // bigram frame distributed — including the top-256 vocab-membership
+    // filter on histories, now a left-semi join — and scoreKnDistributed
+    // reaches it through three LEFT equi-joins in lpsKn's exact IEEE
+    // association. Twin = q144's replay verbatim.
+    "q178_kn_distributed" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val m = text.NgramLm.trainKnDistributed(
+        docs.filter(col("doc_id") % 4 =!= 0), "text",
+        maxVocab = 256, minBigramCount = 2)
+      val out = text.NgramLm.scoreKnDistributed(
+        docs.filter(col("doc_id") % 4 === 0), "doc_id", "text", m)
+        .select(col("doc_id").cast("long").as("id"),
+          round(col("ppl") * 10000).cast("long").as("ppl_x1e4"))
+        .localCheckpoint(true)
+      m.unpersist()
+      out
+    }),
+
+    // q78 THE SAME MODEL through the frames route — the add-k family
+    // (the scorer behind the q145/q146 quality gates) past the broadcast
+    // ceiling: pruned-vocab totals and bigram counts stay DataFrames,
+    // scoring is three LEFT equi-joins (unigram twice, bigram once) in
+    // lps's exact association. Twin = q78's replay verbatim.
+    "q179_lm_distributed" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val m = text.NgramLm.trainDistributed(
+        docs.filter(col("doc_id") % 4 =!= 0), "text",
+        maxVocab = 256, minBigramCount = 2)
+      val out = text.NgramLm.scoreDistributed(
+        docs.filter(col("doc_id") % 4 === 0), "doc_id", "text", m)
+        .select(col("doc_id").cast("long").as("id"),
+          round(col("ppl") * 10000).cast("long").as("ppl_x1e4"))
+        .localCheckpoint(true)
+      m.unpersist()
+      out
     }),
 
     // Token-entropy lexical diversity (the information-scale companion to
@@ -3343,6 +3392,129 @@ object SparkEntry {
       one("a_live", None).unionAll(one("b_pin0", Some(0L)))
     }),
 
+    // q173's contract on the TYPED filter surface (the r16 verdict's top
+    // ask): pri carries the SAME logical number in three stored
+    // encodings — int literal "7" (vec_id%3=0), double literal "7.0"
+    // (vec_id%3=1), and the QUOTED string "\"7\"" (vec_id%3=2). A typed
+    // int filter {pri: 7} matches the two numeric encodings and must
+    // reject the string twin (Python ==); metaStatsCountTyped serves
+    // that cardinality from the persisted statistics via the
+    // stored-encoding inverse (typedEqualsRaw over the stats value
+    // strings), and the row REQUIRES the hint was fresh and the served
+    // number came from it — the typed surface provably plans from
+    // statistics, not the live count.
+    "q175_stats_adaptive_typed" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val root = tempIndexDir("graft_q175_store")
+      val cat = new sources.VectorStoreCatalog(s, root)
+      cat.create("u", "m", sources.StoreConfig(dimension = 64))
+      val priStr = (col("vec_id") % 10).cast("string")
+      cat.addVectors("u", "m", emb.select(col("embedding").as("vector"),
+        map(
+          lit("pri"), when(col("vec_id") % 3 === 0, priStr)
+            .when(col("vec_id") % 3 === 1, concat(priStr, lit(".0")))
+            .otherwise(concat(lit("\""), priStr, lit("\""))),
+          lit("vid"), col("vec_id").cast("string")).as("meta")))
+      cat.refreshMetaStats("u", "m")
+      val fromStats = cat.metaStatsCountTyped("u", "m", "pri", 7)
+      require(fromStats.nonEmpty, "typed stats must be fresh for this row")
+      val qv = emb.filter(col("vec_id") === 0).select(col("embedding"))
+        .head().getSeq[Float](0).map(_.toDouble).toSeq
+      val r = cat.queryAdaptiveTyped("u", "m", qv, 5, Map("pri" -> 7))
+      require(r.matches == fromStats.get,
+        "the reported cardinality must be the stats-derived one")
+      r.hits.select(lit(r.path).as("path"), lit(r.matches).as("matches"),
+        element_at(col("meta"), "vid").cast("long").as("vid"),
+        col("rank").cast("long").as("rnk"))
+    }),
+
+    // ADAPTIVE planning on the M-query serving surface (r16 verdict ask
+    // #2): ONE shared stats lookup plans the whole filtered batch. Phase
+    // a: the selective filter fits the cap -> prefilter_exact, one
+    // filtered pass feeds the exact batch top-k and the reported matches
+    // is observed INSIDE that pass (require-checked against the fresh
+    // statistics, so the decision provably cost no count job). Phase b:
+    // cap forced to 1 -> ivf_postfilter at full probe, whose per-query
+    // results must still equal the exact filtered brute force (all lists
+    // probed). Hits are joined back to content ids (meta vid), never
+    // store ids, so the twin replays both phases generatively.
+    "q176_batch_adaptive" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val root = tempIndexDir("graft_q176_store")
+      val cat = new sources.VectorStoreCatalog(s, root)
+      cat.create("u", "m", sources.StoreConfig(dimension = 64))
+      cat.addVectors("u", "m", emb.select(col("embedding").as("vector"),
+        map(lit("cat"), (col("vec_id") % 20).cast("string"),
+          lit("vid"), col("vec_id").cast("string")).as("meta")))
+      cat.refreshMetaStats("u", "m")
+      cat.buildIndex("u", "m", nLists = 8) // layout-only: stats stay fresh
+      val fromStats = cat.metaStatsCount("u", "m", "cat", "7")
+      require(fromStats.nonEmpty, "stats must be fresh for this row")
+      val qvs = (0 until 3).map(i => emb.filter(col("vec_id") === i)
+        .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble).toSeq)
+      val idToVid = cat.load("u", "m").select(col("id"),
+        element_at(col("meta"), "vid").cast("long").as("vid"))
+        .localCheckpoint(true)
+      def shaped(phase: String, r: graft.ml.IvfIndex.AdaptiveSearch) =
+        r.hits.join(idToVid, "id")
+          .select(lit(phase).as("phase"), lit(r.path).as("path"),
+            lit(r.matches).as("matches"),
+            col("query_id").cast("long").as("qid"), col("vid"),
+            col("rank").cast("long").as("rnk"))
+      val sel = cat.batchQueryAdaptive("u", "m", qvs, 5, Map("cat" -> "7"))
+      require(sel.path == graft.ml.IvfIndex.PathPrefilterExact &&
+        sel.matches == fromStats.get,
+        "selective batch must plan prefilter_exact from the fresh stats")
+      val broad = cat.batchQueryAdaptive("u", "m", qvs, 5,
+        Map("cat" -> "7"), nProbe = 8, preFilterCap = 1)
+      require(broad.path == graft.ml.IvfIndex.PathIvfPostfilter,
+        "cap=1 must force the probed batch plan")
+      shaped("a_sel", sel).unionAll(shaped("b_broad", broad))
+    }),
+
+    // CONJUNCTION planning from a SOUND BOUND (r16 verdict ask #4): a
+    // two-key filter never has its own stats row, but min over the
+    // per-key fresh counts is an upper bound on the conjunction — bound
+    // <= cap proves prefilter_exact fits with NO count job, and the
+    // executed pass observes the exact matches itself (vec_id%20=7 AND
+    // vec_id%3=1 is the residue class 7 mod 60: far smaller than either
+    // key alone, which is exactly when the bound pays). Phase b forces
+    // cap=1: the bound proves nothing, the live count decides, and the
+    // full-probe postfilter plan must reproduce the same exact top-5.
+    "q177_conjunction_bound" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val root = tempIndexDir("graft_q177_store")
+      val cat = new sources.VectorStoreCatalog(s, root)
+      cat.create("u", "m", sources.StoreConfig(dimension = 64))
+      cat.addVectors("u", "m", emb.select(col("embedding").as("vector"),
+        map(lit("cat"), (col("vec_id") % 20).cast("string"),
+          lit("grp"), (col("vec_id") % 3).cast("string"),
+          lit("vid"), col("vec_id").cast("string")).as("meta")))
+      cat.refreshMetaStats("u", "m")
+      cat.buildIndex("u", "m", nLists = 8)
+      val filter = Map("cat" -> "7", "grp" -> "1")
+      val perKey = filter.toSeq.map { case (k0, v0) =>
+        cat.metaStatsCount("u", "m", k0, v0)
+      }
+      require(perKey.forall(_.isDefined),
+        "per-key stats must be fresh so the bound (not a count job) plans")
+      val qv = emb.filter(col("vec_id") === 0).select(col("embedding"))
+        .head().getSeq[Float](0).map(_.toDouble).toSeq
+      def shaped(phase: String, r: graft.ml.IvfIndex.AdaptiveSearch) =
+        r.hits.select(lit(phase).as("phase"), lit(r.path).as("path"),
+          lit(r.matches).as("matches"),
+          element_at(col("meta"), "vid").cast("long").as("vid"),
+          col("rank").cast("long").as("rnk"))
+      val viaBound = cat.queryAdaptive("u", "m", qv, 5, filter)
+      require(viaBound.path == graft.ml.IvfIndex.PathPrefilterExact,
+        "bound <= cap must pick prefilter_exact")
+      val probed = cat.queryAdaptive("u", "m", qv, 5, filter,
+        nProbe = 8, preFilterCap = 1)
+      require(probed.path == graft.ml.IvfIndex.PathIvfPostfilter,
+        "cap=1 must force the probed plan")
+      shaped("a_bound", viaBound).unionAll(shaped("b_probed", probed))
+    }),
+
     // Masked mean pooling under the oracle (A4, the sentence-embedding
     // pooling kernel): embeddings rows become deterministic "token
     // sequences" (gid = vec_id % 50, tokens in vec_id order, every third
@@ -4487,7 +4659,39 @@ object SparkEntry {
     // continuation counts over the PRUNED bigram table, B = its types);
     // the CASE mirrors the kernel's exact association, casts pinning
     // every step to DOUBLE.
-    "q144_kn_perplexity" ->
+    "q144_kn_perplexity" -> KnPerplexityOracle,
+
+    // q144's replay at n=3: ONE pruned trigram table, every interpolation
+    // level's statistics derived from it in SQL exactly as trainKn3's
+    // driver pass does, the scorer's three-level CASE mirroring the
+    // kernel's backoff order (trigram -> continuation bigram -> base).
+    "q151_kn3_perplexity" -> Kn3PerplexityOracle,
+
+    // q168 is THE SAME CONTRACT as q151 — same training split, same
+    // hyperparameters, same model — reached through the driver-free
+    // frames path (trainKn3Distributed + scoreKn3Distributed: no
+    // collected gram table, scoring via joins instead of a broadcast
+    // map). The twin is therefore q151's replay verbatim: the row pins
+    // that the no-ceiling route computes the identical model.
+    "q168_kn3_distributed" -> Kn3PerplexityOracle,
+
+    // q178 is q144's contract through the driver-free frames path
+    // (trainKnDistributed + scoreKnDistributed) — the twin is q144's
+    // replay verbatim, pinning that the no-ceiling bigram route computes
+    // the identical model and perplexities.
+    "q178_kn_distributed" -> KnPerplexityOracle,
+
+    // q179 likewise for the add-k family: q78's replay verbatim under
+    // trainDistributed + scoreDistributed.
+    "q179_lm_distributed" -> LmPerplexityOracle,
+  ) ++ oracleSqlRest
+
+  /** q144 / q178 shared replay: count tables as SQL aggregations (top-256
+    * vocab by (c DESC, w ASC); bigrams with c >= 2 and in-vocab history),
+    * KN statistics derived from the pruned table, the per-token CASE in
+    * the kernel's exact association.
+    */
+  private val KnPerplexityOracle: String =
       """WITH ref AS (
         |  SELECT list_filter(string_split(text, ' '), x -> x <> '') AS t
         |  FROM documents WHERE doc_id % 4 <> 0),
@@ -4542,22 +4746,56 @@ object SparkEntry {
         |  FROM sc GROUP BY doc_id)
         |SELECT CAST(t.doc_id AS BIGINT) AS id,
         |  CAST(round(COALESCE(a.ppl, 0.0) * 10000) AS BIGINT) AS ppl_x1e4
-        |FROM tgt t LEFT JOIN agg a USING (doc_id)""".stripMargin,
+        |FROM tgt t LEFT JOIN agg a USING (doc_id)""".stripMargin
 
-    // q144's replay at n=3: ONE pruned trigram table, every interpolation
-    // level's statistics derived from it in SQL exactly as trainKn3's
-    // driver pass does, the scorer's three-level CASE mirroring the
-    // kernel's backoff order (trigram -> continuation bigram -> base).
-    "q151_kn3_perplexity" -> Kn3PerplexityOracle,
-
-    // q168 is THE SAME CONTRACT as q151 — same training split, same
-    // hyperparameters, same model — reached through the driver-free
-    // frames path (trainKn3Distributed + scoreKn3Distributed: no
-    // collected gram table, scoring via joins instead of a broadcast
-    // map). The twin is therefore q151's replay verbatim: the row pins
-    // that the no-ceiling route computes the identical model.
-    "q168_kn3_distributed" -> Kn3PerplexityOracle,
-  ) ++ oracleSqlRest
+  /** q78 / q179 shared replay: the add-k chain per token — pos 1 and
+    * unseen-history tokens against the unigram distribution, the rest
+    * against P(w|prev) = (c_bigram + k)/(c_prev + k*V).
+    */
+  private val LmPerplexityOracle: String =
+      """WITH ref AS (
+        |  SELECT list_filter(string_split(text, ' '), x -> x <> '') AS t
+        |  FROM documents WHERE doc_id % 4 <> 0),
+        |uni AS (
+        |  SELECT w, c FROM (
+        |    SELECT u.w AS w, CAST(count(*) AS BIGINT) AS c
+        |    FROM ref, UNNEST(ref.t) AS u(w) WHERE u.w <> '' GROUP BY u.w)
+        |  ORDER BY c DESC, w ASC LIMIT 256),
+        |tot AS (
+        |  SELECT CAST(sum(c) AS BIGINT) AS bigT, CAST(count(*) AS BIGINT) AS v
+        |  FROM uni),
+        |bi AS (
+        |  SELECT g, c FROM (
+        |    SELECT array_to_string(t[i:i+1], ' ') AS g,
+        |           CAST(count(*) AS BIGINT) AS c
+        |    FROM ref, UNNEST(generate_series(1, len(t) - 1)) AS u(i)
+        |    GROUP BY 1)
+        |  WHERE c >= 2 AND string_split(g, ' ')[1] IN (SELECT w FROM uni)),
+        |tgt AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+        |  FROM documents WHERE doc_id % 4 = 0),
+        |tok AS (
+        |  SELECT doc_id, i, t[i] AS w,
+        |         CASE WHEN i > 1 THEN t[i-1] END AS prev
+        |  FROM tgt, UNNEST(generate_series(1, len(t))) AS u(i)
+        |  WHERE t[i] <> ''),
+        |sc AS (
+        |  SELECT tok.doc_id,
+        |    -log2(CASE
+        |      WHEN tok.prev IS NULL OR up.c IS NULL
+        |        THEN (COALESCE(uw.c, 0) + 0.1) / (tot.bigT + 0.1 * tot.v)
+        |      ELSE (COALESCE(b.c, 0) + 0.1) / (up.c + 0.1 * tot.v)
+        |    END) AS nll
+        |  FROM tok CROSS JOIN tot
+        |  LEFT JOIN uni uw ON uw.w = tok.w
+        |  LEFT JOIN uni up ON up.w = tok.prev
+        |  LEFT JOIN bi b ON b.g = tok.prev || ' ' || tok.w),
+        |agg AS (
+        |  SELECT doc_id, pow(2.0, sum(nll) / count(*)) AS ppl
+        |  FROM sc GROUP BY doc_id)
+        |SELECT CAST(t.doc_id AS BIGINT) AS id,
+        |  CAST(round(COALESCE(a.ppl, 0.0) * 10000) AS BIGINT) AS ppl_x1e4
+        |FROM tgt t LEFT JOIN agg a USING (doc_id)""".stripMargin
 
   /** q151 / q168 shared replay: ONE pruned trigram table, every
     * interpolation level's statistics derived from it in SQL exactly as
@@ -5911,50 +6149,7 @@ object SparkEntry {
     // unseen-history tokens against the unigram distribution, the rest
     // against P(w|prev) = (c_bigram + k)/(c_prev + k*V). Integer-scaled
     // output absorbs cross-engine log/sum ulp noise.
-    "q78_lm_perplexity" ->
-      """WITH ref AS (
-        |  SELECT list_filter(string_split(text, ' '), x -> x <> '') AS t
-        |  FROM documents WHERE doc_id % 4 <> 0),
-        |uni AS (
-        |  SELECT w, c FROM (
-        |    SELECT u.w AS w, CAST(count(*) AS BIGINT) AS c
-        |    FROM ref, UNNEST(ref.t) AS u(w) WHERE u.w <> '' GROUP BY u.w)
-        |  ORDER BY c DESC, w ASC LIMIT 256),
-        |tot AS (
-        |  SELECT CAST(sum(c) AS BIGINT) AS bigT, CAST(count(*) AS BIGINT) AS v
-        |  FROM uni),
-        |bi AS (
-        |  SELECT g, c FROM (
-        |    SELECT array_to_string(t[i:i+1], ' ') AS g,
-        |           CAST(count(*) AS BIGINT) AS c
-        |    FROM ref, UNNEST(generate_series(1, len(t) - 1)) AS u(i)
-        |    GROUP BY 1)
-        |  WHERE c >= 2 AND string_split(g, ' ')[1] IN (SELECT w FROM uni)),
-        |tgt AS (
-        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
-        |  FROM documents WHERE doc_id % 4 = 0),
-        |tok AS (
-        |  SELECT doc_id, i, t[i] AS w,
-        |         CASE WHEN i > 1 THEN t[i-1] END AS prev
-        |  FROM tgt, UNNEST(generate_series(1, len(t))) AS u(i)
-        |  WHERE t[i] <> ''),
-        |sc AS (
-        |  SELECT tok.doc_id,
-        |    -log2(CASE
-        |      WHEN tok.prev IS NULL OR up.c IS NULL
-        |        THEN (COALESCE(uw.c, 0) + 0.1) / (tot.bigT + 0.1 * tot.v)
-        |      ELSE (COALESCE(b.c, 0) + 0.1) / (up.c + 0.1 * tot.v)
-        |    END) AS nll
-        |  FROM tok CROSS JOIN tot
-        |  LEFT JOIN uni uw ON uw.w = tok.w
-        |  LEFT JOIN uni up ON up.w = tok.prev
-        |  LEFT JOIN bi b ON b.g = tok.prev || ' ' || tok.w),
-        |agg AS (
-        |  SELECT doc_id, pow(2.0, sum(nll) / count(*)) AS ppl
-        |  FROM sc GROUP BY doc_id)
-        |SELECT CAST(t.doc_id AS BIGINT) AS id,
-        |  CAST(round(COALESCE(a.ppl, 0.0) * 10000) AS BIGINT) AS ppl_x1e4
-        |FROM tgt t LEFT JOIN agg a USING (doc_id)""".stripMargin,
+    "q78_lm_perplexity" -> LmPerplexityOracle,
 
     // q78's per-token CTEs extended with the bottom-k selection: lp =
     // -nll ranked ascending per doc (ties by token position — equal
@@ -6987,6 +7182,69 @@ object SparkEntry {
         |        q.qv) DESC, x.vec_id ASC) AS BIGINT) AS rnk
         |  FROM embeddings x, q WHERE x.vec_id % 20 = 7
         |) WHERE rnk <= 5""".stripMargin,
+
+    // Typed Python-== replay: the int filter 7 accepts the int and double
+    // encodings (vec_id%3 in 0,1) and rejects the quoted-string twin
+    // (vec_id%3=2) — the count sums exactly those two classes, and the
+    // top-5 ranks only within them. A stats path that missed the
+    // numeric duality (or matched the string twin) shifts both.
+    "q175_stats_adaptive_typed" ->
+      """WITH m AS (SELECT CAST(count(*) AS BIGINT) AS m
+        |           FROM embeddings WHERE vec_id % 10 = 7 AND vec_id % 3 <> 2),
+        |q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+        |      FROM embeddings WHERE vec_id = 0)
+        |SELECT 'exact_scan' AS path, (SELECT m FROM m) AS matches, vid, rnk
+        |FROM (
+        |  SELECT x.vec_id AS vid,
+        |    CAST(row_number() OVER (
+        |      ORDER BY list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
+        |        q.qv) DESC, x.vec_id ASC) AS BIGINT) AS rnk
+        |  FROM embeddings x, q WHERE x.vec_id % 10 = 7 AND x.vec_id % 3 <> 2
+        |) WHERE rnk <= 5""".stripMargin,
+
+    // Both phases are the SAME exact per-query filtered top-5 (phase b's
+    // full probe covers every list), under their construction-derived
+    // plan labels and the one shared match count.
+    "q176_batch_adaptive" ->
+      """WITH m AS (SELECT CAST(count(*) AS BIGINT) AS m
+        |           FROM embeddings WHERE vec_id % 20 = 7),
+        |q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+        |      FROM embeddings WHERE vec_id < 3),
+        |rb AS (
+        |  SELECT q.qid, x.vec_id AS vid,
+        |    CAST(row_number() OVER (PARTITION BY q.qid
+        |      ORDER BY list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
+        |        q.qv) DESC, x.vec_id ASC) AS BIGINT) AS rnk
+        |  FROM embeddings x, q WHERE x.vec_id % 20 = 7)
+        |SELECT 'a_sel' AS phase, 'prefilter_exact' AS path,
+        |  (SELECT m FROM m) AS matches, CAST(qid AS BIGINT) AS qid, vid, rnk
+        |FROM rb WHERE rnk <= 5
+        |UNION ALL
+        |SELECT 'b_broad', 'ivf_postfilter', (SELECT m FROM m),
+        |  CAST(qid AS BIGINT), vid, rnk
+        |FROM rb WHERE rnk <= 5""".stripMargin,
+
+    // The conjunction is the residue class 7 mod 60 (7%20=7 and 7%3=1;
+    // 27 and 47 mod 60 fail the mod-3 leg) — the twin counts and ranks
+    // within exactly that class for both phases.
+    "q177_conjunction_bound" ->
+      """WITH m AS (SELECT CAST(count(*) AS BIGINT) AS m
+        |           FROM embeddings WHERE vec_id % 20 = 7 AND vec_id % 3 = 1),
+        |q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+        |      FROM embeddings WHERE vec_id = 0),
+        |rb AS (
+        |  SELECT x.vec_id AS vid,
+        |    CAST(row_number() OVER (
+        |      ORDER BY list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
+        |        q.qv) DESC, x.vec_id ASC) AS BIGINT) AS rnk
+        |  FROM embeddings x, q
+        |  WHERE x.vec_id % 20 = 7 AND x.vec_id % 3 = 1)
+        |SELECT 'a_bound' AS phase, 'prefilter_exact' AS path,
+        |  (SELECT m FROM m) AS matches, vid, rnk
+        |FROM rb WHERE rnk <= 5
+        |UNION ALL
+        |SELECT 'b_probed', 'ivf_postfilter', (SELECT m FROM m), vid, rnk
+        |FROM rb WHERE rnk <= 5""".stripMargin,
 
     // Pooling replay: per (group, dimension) masked sum over double-cast
     // floats divided by the eps-floored mask total; x1e6 quantization

@@ -132,6 +132,9 @@ class IvfIndex private (
       require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
       0 // a log-less flat layout has exactly one implicit epoch
     case Some(l) =>
+      // EpochIndex.vacuum's discipline: sweep crash-orphaned epoch
+      // directories before planning the fold
+      l.sweepOrphanDirs(dataPath)
       val (foldSet, boundary) = l.vacuumPlan(keepLast) match {
         case None => return 0
         case Some(plan) => plan
@@ -254,6 +257,13 @@ class IvfIndex private (
     * under a single probed list at 100 TB scale). The probe costs one
     * extra job per query; this is a batch engine, and the count rides the
     * same pruned layout the search does.
+    *
+    * `matchCount` (an EXACT cardinality, e.g. from the catalog's fresh
+    * statistics) replaces the probe entirely. `matchBound` (an UPPER
+    * bound, e.g. min over per-key statistics for a conjunction) replaces
+    * it only when it proves prefilter-exact fits (bound ≤ cap); the
+    * reported `matches` is then observed inside the scoring pass itself —
+    * exact, and still no count job.
     */
   def searchAdaptive(
       queryVec: Seq[Double],
@@ -263,7 +273,8 @@ class IvfIndex private (
       predicate: Option[Column] = None,
       asOf: Option[Long] = None,
       preFilterCap: Long = IvfIndex.DefaultPreFilterCap,
-      matchCount: Option[Long] = None): IvfIndex.AdaptiveSearch = {
+      matchCount: Option[Long] = None,
+      matchBound: Option[Long] = None): IvfIndex.AdaptiveSearch = {
     require(metadataFilter.nonEmpty || predicate.nonEmpty,
       "adaptive planning needs a filter; use search() for unfiltered queries")
     require(preFilterCap >= 1, s"preFilterCap must be >= 1, got $preFilterCap")
@@ -272,6 +283,24 @@ class IvfIndex private (
       if (metadataFilter.isEmpty) lit(true)
       else Knn.metadataPredicate(col("meta"), metadataFilter)
     val full = predicate.fold(stringPred)(p => stringPred && p)
+    // a caller-supplied UPPER BOUND (e.g. min over per-key statistics for
+    // a conjunction — sound: the conjunction matches a subset of every
+    // key's matches) can prove prefilter-exact fits WITHOUT a count job:
+    // the true count is then observed inside the bounded scoring pass
+    // itself, so the reported `matches` stays exact while the plan choice
+    // cost nothing. A bound above the cap proves nothing (min can be
+    // loose) and falls through to the live count.
+    if (matchCount.isEmpty && matchBound.exists(_ <= preFilterCap)) {
+      val obs = org.apache.spark.sql.Observation()
+      val filtered = base.filter(full)
+        .observe(obs, org.apache.spark.sql.functions
+          .count(org.apache.spark.sql.functions.lit(1)).as("matches"))
+      val hits = Knn.topK(filtered, queryVec, k, metric).drop("list_id")
+      val rows = hits.collect() // bounded: <= k rows
+      val matches = obs.get("matches").asInstanceOf[Long]
+      return IvfIndex.AdaptiveSearch(IvfIndex.PathPrefilterExact, matches,
+        spark.createDataFrame(java.util.Arrays.asList(rows: _*), hits.schema))
+    }
     // a caller-supplied cardinality (e.g. the catalog's persisted meta
     // statistics) skips the count job; the decision — and the reported
     // `matches` — then follow the hint
@@ -398,6 +427,13 @@ class IvfIndex private (
     * only the lists some query probes — at 100 TB the unprobed majority of
     * the store is never touched; (b) the join key co-locates work, so each
     * scanned partition is scored only against the queries that probe it.
+    *
+    * `metadataFilter` restricts the probed rows BEFORE scoring (the filter
+    * composes with the list pruning, so no over-fetch is needed — the
+    * top-k is already over matching candidates); the residual recall gap
+    * is matches living in unprobed lists, which callers close with a
+    * per-query underfill fallback ([[graft.sources.VectorStoreCatalog
+    * .batchQueryAdaptive]]'s contract).
     */
   def searchBatch(
       queries: DataFrame,
@@ -405,7 +441,8 @@ class IvfIndex private (
       nProbe: Int = 8,
       queryIdCol: String = "query_id",
       queryVecCol: String = "query_vec",
-      asOf: Option[Long] = None): DataFrame = {
+      asOf: Option[Long] = None,
+      metadataFilter: Map[String, String] = Map.empty): DataFrame = {
     // pin the (bounded) probed query set once: it feeds both the probed-list
     // collection and the join, and must not recompute user lineage twice
     val probed = queries.select(
@@ -416,8 +453,11 @@ class IvfIndex private (
       .collect().map(_.getInt(0)).toSeq // <= nLists values by construction
     // TIME-TRAVEL pin: "which neighbours would we have served as of
     // snapshot N" — the corpus as it was at the pinned commit
-    val store = asOf.fold(storeDf)(storeDfAt)
+    val pruned = asOf.fold(storeDf)(storeDfAt)
       .filter(col("list_id").isin(probedLists: _*))
+    val store =
+      if (metadataFilter.isEmpty) pruned
+      else pruned.filter(Knn.metadataPredicate(col("meta"), metadataFilter))
     val topk = udaf(new TopKAggregator(k, ascending = false))
     probed.join(store, Seq("list_id"))
       .select(col(queryIdCol), col("id"),

@@ -178,6 +178,10 @@ private[graft] trait EpochIndex {
     * `keepLast`.
     */
   def vacuum(keepLast: Int): Int = {
+    // opportunistic orphan sweep FIRST: a prior crash between a
+    // replace/vacuum commit and its deleteDir loop leaves dead epoch
+    // directories no reader lists and nothing else ever reclaims
+    layoutNames.foreach(n => log.sweepOrphanDirs(layoutDir(n)))
     val (foldSet, boundary) = log.vacuumPlan(keepLast) match {
       case None => return 0
       case Some(plan) => plan

@@ -64,8 +64,19 @@ object TypedMeta {
   }
 
   /** Python-`==` equality of `metaCol(key)` against a typed filter value. */
-  def typedEquals(metaCol: Column, key: String, value: Any): Column = {
-    val raw = metaCol(key)
+  def typedEquals(metaCol: Column, key: String, value: Any): Column =
+    typedEqualsRaw(metaCol(key), value)
+
+  /** Python-`==` equality of a RAW stored-encoding column (a meta map
+    * value, or the `value` column of the persisted meta statistics —
+    * which hold exactly those stored strings) against a typed filter
+    * value. This is the stored-encoding inverse that lets the catalog's
+    * statistics serve TYPED cardinalities: summing `n` over stats rows
+    * this predicate accepts equals counting store rows the meta-side
+    * [[typedEquals]] accepts, because both run the same predicate over
+    * the same value strings.
+    */
+  def typedEqualsRaw(raw: Column, value: Any): Column = {
     def numeric(num: Double): Column = {
       val base = raw.try_cast("double") === lit(num)
       if (num == 1.0) base || raw === lit("true")

@@ -204,13 +204,12 @@ class VectorStoreCatalog(spark: SparkSession, val root: String) {
       .select(explode(col("meta")).as(Seq("key", "value")))
       .groupBy(col("key"), col("value"))
       .agg(org.apache.spark.sql.functions.count(lit(1)).as("n"))
-    // materialize BEFORE overwriting the directory the plan reads from
     val merged = old.select(col("key"), col("value"), col("n"))
       .unionAll(batchCounts)
       .groupBy(col("key"), col("value")).agg(sum(col("n")).as("n"))
       .withColumn("stats_epoch", lit(epoch))
-      .localCheckpoint(true)
-    merged.write.mode("overwrite").parquet(p.toString)
+    publishMetaStats(userId, modelId)(tmp =>
+      merged.write.mode("overwrite").parquet(tmp))
   }
 
   /** Layout-only commits (optimize's replace, vacuum's fold) preserve the
@@ -231,15 +230,18 @@ class VectorStoreCatalog(spark: SparkSession, val root: String) {
     if (stamped.isNullAt(0) || stamped.getLong(0) != prevLast) return
     val restamped = old.drop("stats_epoch")
       .withColumn("stats_epoch", lit(epoch))
-      .localCheckpoint(true)
-    restamped.write.mode("overwrite").parquet(p.toString)
+    publishMetaStats(userId, modelId)(tmp =>
+      restamped.write.mode("overwrite").parquet(tmp))
   }
 
   /** [[queryAdaptive]] with a TYPED filter ([[TypedMeta]] Python-`==`
-    * semantics, the [[queryTyped]] pairing): cardinality comes from a
-    * live count of the typed predicate — typed lookups against the
-    * persisted string-keyed statistics would need the stored-encoding
-    * inverse, so the stats shortcut is string-filter-only for now.
+    * semantics, the [[queryTyped]] pairing). Single-key live queries
+    * plan from the persisted statistics exactly like the string surface:
+    * [[metaStatsCountTyped]] runs the typed predicate over the stats
+    * rows' stored value strings (the stored-encoding inverse), so the
+    * engine's most correct filter form no longer pays a per-query count
+    * job when fresh stats exist. Conjunctions, pinned reads, and stale
+    * stats live-count as before.
     */
   def queryAdaptiveTyped(
       userId: String,
@@ -255,12 +257,30 @@ class VectorStoreCatalog(spark: SparkSession, val root: String) {
       s"query dimension ${queryVec.length} != store dimension ${cfg.dimension}")
     require(typedFilter.nonEmpty,
       "adaptive planning needs a filter; use query() for unfiltered queries")
+    // argument errors stay loud at the catalog boundary — inside the try
+    // below they would silently degrade to exact_scan on indexed stores
+    // (and be silently ignored on non-indexed ones)
+    require(preFilterCap >= 1, s"preFilterCap must be >= 1, got $preFilterCap")
     asOf.foreach(e => requirePin(userId, modelId, e))
     val pred = TypedMeta.typedPredicate(col("meta"), typedFilter)
+    // the string surface's statistics shortcut, through the typed inverse
+    val hint =
+      if (asOf.isEmpty && typedFilter.size == 1) {
+        val (k0, v0) = typedFilter.head
+        metaStatsCountTyped(userId, modelId, k0, v0)
+      } else None
+    // and its conjunction bound (queryAdaptive's min-over-keys rule)
+    val bound =
+      if (asOf.isEmpty && typedFilter.size > 1) {
+        val per = typedFilter.toSeq.map { case (k0, v0) =>
+          metaStatsCountTyped(userId, modelId, k0, v0)
+        }
+        if (per.forall(_.isDefined)) Some(per.flatten.min) else None
+      } else None
     def exactScan: graft.ml.IvfIndex.AdaptiveSearch = {
       val base = asOf.fold(load(userId, modelId))(e =>
         loadAt(userId, modelId, e))
-      val matches = base.filter(pred).count()
+      val matches = hint.getOrElse(base.filter(pred).count())
       graft.ml.IvfIndex.AdaptiveSearch(graft.ml.IvfIndex.PathExactScan,
         matches, Knn.topK(base, queryVec, k, cfg.metric,
           predicate = Some(pred)))
@@ -268,7 +288,8 @@ class VectorStoreCatalog(spark: SparkSession, val root: String) {
     if (hasIvf(userId, modelId, cfg)) {
       try {
         idxLoad(userId, modelId, cfg).searchAdaptive(queryVec, k, nProbe,
-          predicate = Some(pred), asOf = asOf, preFilterCap = preFilterCap)
+          predicate = Some(pred), asOf = asOf, preFilterCap = preFilterCap,
+          matchCount = hint, matchBound = bound)
       } catch {
         case _: Exception => exactScan
       }
@@ -370,6 +391,11 @@ class VectorStoreCatalog(spark: SparkSession, val root: String) {
     require(epochMode(userId, modelId),
       s"store $userId/$modelId predates the epoch layout — nothing to vacuum")
     val log = storeLog(userId, modelId)
+    // sweep crash-orphaned epoch directories (a prior run dying between
+    // its commit and the prune loop) on BOTH layouts the shared log
+    // governs — invisible to readers, reclaimed here
+    log.sweepOrphanDirs(dataPath(userId, modelId))
+    log.sweepOrphanDirs(s"${indexPath(userId, modelId)}/data")
     val fold = log.activeFold()
     // logical pin order: a previous vacuum's fold slice is the OLDEST
     // content despite its high epoch number — it never counts as a "kept
@@ -398,10 +424,24 @@ class VectorStoreCatalog(spark: SparkSession, val root: String) {
     val folded = spark.read.option("basePath", p).parquet(dirs: _*).drop("epoch")
       .observe(obs, org.apache.spark.sql.functions.count(lit(1)).as("n"))
       .repartition(nFiles)
-    val out = if (hasIndex) folded.localCheckpoint(true) else folded
-    out.write.mode("overwrite").parquet(s"$p/epoch=$target")
+    folded.write.mode("overwrite").parquet(s"$p/epoch=$target")
     if (hasIndex) {
-      idxLoad(userId, modelId, cfg).appendEpoch(out, "id", "vector", target)
+      // the index side folds ITS OWN slices (IvfIndex.vacuum's fold body),
+      // never a re-assignment of the store fold: when the index was built
+      // AFTER some appends, its build slice already covers those epochs'
+      // rows — appending the store fold would hold them TWICE and the ANN
+      // path would serve duplicates (caught by CatalogOpsSpec's
+      // build-after-append sweep leg). Index slices absent from the fold
+      // set (pre-build epochs) correctly fold to nothing here.
+      val idxDir = s"${indexPath(userId, modelId)}/data"
+      val idxDirs = foldSet.map(e => s"$idxDir/epoch=$e")
+        .filter(d => fs.exists(new Path(d)))
+      if (idxDirs.nonEmpty)
+        spark.read.option("basePath", idxDir).parquet(idxDirs: _*)
+          .drop("epoch")
+          .repartition(col("list_id"))
+          .write.mode("overwrite").partitionBy("list_id")
+          .parquet(s"$idxDir/epoch=$target")
     }
     val prevLast = log.committedEpochs().lastOption.getOrElse(-1L)
     log.commitVacuum(target, boundary,
@@ -445,9 +485,11 @@ class VectorStoreCatalog(spark: SparkSession, val root: String) {
     * would we have served as of snapshot N"): both the ANN scan and the
     * exact path read only epochs at or below the pin (the shared commit
     * log makes store and index pins the same epoch numbers). Expired
-    * pins fail loudly and do NOT fall back to the live exact scan — a
-    * silently-live answer to a snapshot question would be wrong, so the
-    * reference's any-index-error fallback applies only to live queries.
+    * pins fail loudly BEFORE any path runs and never reach the fallback;
+    * an index failure under a still-valid pin (e.g. a pin predating the
+    * index build) falls back to the PINNED exact scan, never the live
+    * one — the pin contract holds through the fallback (q174 locks
+    * exactly this healing).
     */
   def query(
       userId: String,
@@ -533,14 +575,29 @@ class VectorStoreCatalog(spark: SparkSession, val root: String) {
       s"query dimension ${queryVec.length} != store dimension ${cfg.dimension}")
     require(metadataFilter.nonEmpty,
       "adaptive planning needs a filter; use query() for unfiltered queries")
+    // same loud-argument discipline as queryAdaptiveTyped: validated before
+    // the try so a bad cap can never masquerade as an index failure
+    require(preFilterCap >= 1, s"preFilterCap must be >= 1, got $preFilterCap")
     asOf.foreach(e => requirePin(userId, modelId, e))
     // single-key filters on the LIVE store read the persisted epoch-
     // stamped statistics when fresh — exact, and no per-query count job;
-    // conjunctions, pinned reads, and stale stats live-count
+    // pinned reads and stale stats live-count
     val hint =
       if (asOf.isEmpty && metadataFilter.size == 1) {
         val (k0, v0) = metadataFilter.head
         metaStatsCount(userId, modelId, k0, v0)
+      } else None
+    // conjunctions plan from a SOUND BOUND: the conjunction matches a
+    // subset of every key's matches, so min over fresh per-key counts is
+    // an upper bound — bound ≤ cap proves prefilter-exact fits, and the
+    // executed path observes the exact `matches` itself (searchAdaptive's
+    // matchBound contract). Any stale/absent key drops the bound.
+    val bound =
+      if (asOf.isEmpty && metadataFilter.size > 1) {
+        val per = metadataFilter.toSeq.map { case (k0, v0) =>
+          metaStatsCount(userId, modelId, k0, v0)
+        }
+        if (per.forall(_.isDefined)) Some(per.flatten.min) else None
       } else None
     // [[query]]'s failure semantics: an unloadable/uncovering index falls
     // back to the exact scan (over the PINNED snapshot when asOf is set —
@@ -558,7 +615,7 @@ class VectorStoreCatalog(spark: SparkSession, val root: String) {
       try {
         idxLoad(userId, modelId, cfg).searchAdaptive(queryVec, k, nProbe,
           metadataFilter, asOf = asOf, preFilterCap = preFilterCap,
-          matchCount = hint)
+          matchCount = hint, matchBound = bound)
       } catch {
         case _: Exception => exactScan
       }
@@ -700,6 +757,111 @@ class VectorStoreCatalog(spark: SparkSession, val root: String) {
     } else exact
   }
 
+  /** [[batchQuery]] with [[queryAdaptive]]'s cardinality-adaptive filter
+    * planning, amortized across the batch: the metadata filter is SHARED
+    * by the M queries (the serving shape where adaptivity pays M times —
+    * "these K neighbors, but only rows tagged X", asked for a whole query
+    * batch), so ONE statistics lookup / conjunction bound / count picks
+    * the path for all of them:
+    *
+    *  - `prefilter_exact` (matches ≤ `preFilterCap`): one filtered store
+    *    pass feeds [[graft.operators.Knn.batchTopK]] — EXACT per-query
+    *    top-k, and the reported `matches` is observed inside that same
+    *    pass (no count job at all when fresh statistics or a conjunction
+    *    bound made the decision).
+    *  - `ivf_postfilter` (matches > cap): [[graft.ml.IvfIndex.searchBatch]]
+    *    with the filter pushed inside the probed lists; any query that
+    *    comes back with fewer than k hits triggers the exact filtered
+    *    batch rescan ([[batchQuery]]'s underfill discipline).
+    *  - non-IVF stores: `exact_scan`, same shape.
+    *
+    * Returns one [[graft.ml.IvfIndex.AdaptiveSearch]] whose `hits` carry
+    * (query_id, id, similarity_score, distance, rank) for every query.
+    */
+  def batchQueryAdaptive(
+      userId: String,
+      modelId: String,
+      queryVecs: Seq[Seq[Double]],
+      k: Int,
+      metadataFilter: Map[String, String],
+      nProbe: Int = 8,
+      preFilterCap: Long = graft.ml.IvfIndex.DefaultPreFilterCap,
+      asOf: Option[Long] = None): graft.ml.IvfIndex.AdaptiveSearch = {
+    require(queryVecs.nonEmpty && queryVecs.size <= VectorStoreCatalog.MaxBatchQueries,
+      s"batch size ${queryVecs.size} outside [1, ${VectorStoreCatalog.MaxBatchQueries}]")
+    require(k >= 1 && k <= VectorStoreCatalog.MaxBatchK,
+      s"k=$k outside [1, ${VectorStoreCatalog.MaxBatchK}]")
+    require(metadataFilter.nonEmpty,
+      "adaptive planning needs a filter; use batchQuery() for unfiltered batches")
+    require(preFilterCap >= 1, s"preFilterCap must be >= 1, got $preFilterCap")
+    val cfg = config(userId, modelId)
+    queryVecs.foreach(q => require(q.length == cfg.dimension,
+      s"query dimension ${q.length} != store dimension ${cfg.dimension}"))
+    asOf.foreach(e => requirePin(userId, modelId, e))
+    import spark.implicits._
+    val queries = queryVecs.zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }
+      .toDF("query_id", "query_vec")
+    val pred = Knn.metadataPredicate(col("meta"), metadataFilter)
+    def base = asOf.fold(load(userId, modelId))(e => loadAt(userId, modelId, e))
+    // [[queryAdaptive]]'s statistics discipline, paid ONCE for M queries
+    val hint =
+      if (asOf.isEmpty && metadataFilter.size == 1) {
+        val (k0, v0) = metadataFilter.head
+        metaStatsCount(userId, modelId, k0, v0)
+      } else None
+    val bound =
+      if (asOf.isEmpty && metadataFilter.size > 1) {
+        val per = metadataFilter.toSeq.map { case (k0, v0) =>
+          metaStatsCount(userId, modelId, k0, v0)
+        }
+        if (per.forall(_.isDefined)) Some(per.flatten.min) else None
+      } else None
+    // exact batch over the filtered store, match count observed inside the
+    // same pass (bounded output: <= M*k rows, pinned eagerly)
+    def filteredBatch(path: String): graft.ml.IvfIndex.AdaptiveSearch = {
+      val obs = org.apache.spark.sql.Observation()
+      val filtered = base.filter(pred)
+        .observe(obs, org.apache.spark.sql.functions.count(lit(1)).as("m"))
+      val hits = Knn.batchTopK(queries, filtered, k, cfg.metric)
+        .localCheckpoint(true)
+      graft.ml.IvfIndex.AdaptiveSearch(path,
+        obs.get("m").asInstanceOf[Long], hits)
+    }
+    if (!hasIvf(userId, modelId, cfg))
+      return filteredBatch(graft.ml.IvfIndex.PathExactScan)
+    // decision: exact hint > conjunction bound > live count — the bound
+    // only ever proves the CHEAP side (prefilter fits); past the cap it
+    // proves nothing and the live count decides
+    val matches: Long = hint match {
+      case Some(m) => m
+      case None if bound.exists(_ <= preFilterCap) =>
+        return filteredBatch(graft.ml.IvfIndex.PathPrefilterExact)
+      case None => base.filter(pred).count()
+    }
+    if (matches <= preFilterCap) filteredBatch(graft.ml.IvfIndex.PathPrefilterExact)
+    else {
+      // probed path: filter inside the probed lists, per-query underfill
+      // falls back to the exact filtered batch ([[batchQuery]] semantics)
+      try {
+        val res = idxLoad(userId, modelId, cfg)
+          .searchBatch(queries, k, nProbe, asOf = asOf,
+            metadataFilter = metadataFilter)
+          .localCheckpoint(true)
+        val hitCounts = res.groupBy(col("query_id"))
+          .agg(org.apache.spark.sql.functions.count(lit(1)).as("n"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val underfilled = queryVecs.indices.exists(i =>
+          hitCounts.getOrElse(i.toLong, 0L) < k)
+        if (underfilled) filteredBatch(graft.ml.IvfIndex.PathExactScan)
+        else graft.ml.IvfIndex.AdaptiveSearch(
+          graft.ml.IvfIndex.PathIvfPostfilter, matches, res)
+      } catch {
+        case _: Exception => filteredBatch(graft.ml.IvfIndex.PathExactScan)
+      }
+    }
+  }
+
   /** Compaction (the reference's admin `optimize` endpoint references a
     * store.optimize that was never shipped — api/routes/admin.py:171-192;
     * here it is a real small-file compaction job). Returns (filesBefore,
@@ -819,10 +981,33 @@ class VectorStoreCatalog(spark: SparkSession, val root: String) {
     fs.delete(new Path(epochsPath(userId, modelId)), true)
     fs.delete(new Path(indexPath(userId, modelId)), true)
     fs.delete(new Path(metaStatsPath(userId, modelId)), true)
+    fs.delete(new Path(metaStatsTmpPath(userId, modelId)), true)
   }
 
   private def metaStatsPath(userId: String, modelId: String) =
     s"${storePath(userId, modelId)}/meta_stats"
+  private def metaStatsTmpPath(userId: String, modelId: String) =
+    s"${storePath(userId, modelId)}/_meta_stats_tmp"
+
+  /** Atomic stats publish: the parquet lands in a temp dir and is renamed
+    * into place, so a crash mid-write can never leave PARTIAL files
+    * stamped at the new epoch (a torn direct overwrite would read as
+    * "fresh" but undercounted, and [[queryAdaptive]] would report that
+    * wrong number as the exact match count). A torn temp write leaves the
+    * previous stats intact (stale at worst → live-count fallback); a
+    * crash between delete and rename reads as absent → same fallback.
+    * Directory rename is atomic on HDFS-like stores; on object stores
+    * swap this for a commit-marker protocol.
+    */
+  private def publishMetaStats(
+      userId: String, modelId: String)(write: String => Unit): Unit = {
+    val tmp = metaStatsTmpPath(userId, modelId)
+    val dst = new Path(metaStatsPath(userId, modelId))
+    fs.delete(new Path(tmp), true) // leftovers from a prior crash
+    write(tmp)
+    fs.delete(dst, true)
+    fs.rename(new Path(tmp), dst)
+  }
 
   /** Persist per-(key, value) metadata cardinalities for the CURRENT
     * committed epoch — the selectivity statistics [[queryAdaptive]]
@@ -846,8 +1031,9 @@ class VectorStoreCatalog(spark: SparkSession, val root: String) {
       .agg(org.apache.spark.sql.functions.count(lit(1)).as("n"))
       .withColumn("stats_epoch", lit(epoch))
     val obs = org.apache.spark.sql.Observation()
-    tmp.observe(obs, org.apache.spark.sql.functions.count(lit(1)).as("rows"))
-      .write.mode("overwrite").parquet(metaStatsPath(userId, modelId))
+    publishMetaStats(userId, modelId)(dir =>
+      tmp.observe(obs, org.apache.spark.sql.functions.count(lit(1)).as("rows"))
+        .write.mode("overwrite").parquet(dir))
     obs.get("rows").asInstanceOf[Long]
   }
 
@@ -874,6 +1060,37 @@ class VectorStoreCatalog(spark: SparkSession, val root: String) {
       coalesce(sum(when(col("key") === key &&
         (col("value") === value ||
           col("value") === TypedMeta.jsonString(value)), col("n"))),
+        lit(0L)).as("m")).head()
+    if (row.isNullAt(0) || row.getLong(0) != cur) None
+    else Some(row.getLong(1))
+  }
+
+  /** [[metaStatsCount]] for a TYPED filter value — the stored-encoding
+    * inverse the r16 statistics layer deferred. The stats rows hold the
+    * store's raw value strings, so running [[TypedMeta.typedEqualsRaw]]
+    * (the exact predicate [[TypedMeta.typedEquals]] applies to meta map
+    * values) over the stats `value` column and summing `n` counts
+    * precisely the rows the typed live count would: numeric duality
+    * (1 == 1.0 == true), quoted-string identity ("1" != 1), and the
+    * legacy bare-string fallback all carry over for free because they
+    * are properties of the predicate, not of where it runs. Same
+    * freshness bar: `Some(n)` only when stats are stamped at the
+    * current committed epoch.
+    */
+  def metaStatsCountTyped(
+      userId: String,
+      modelId: String,
+      key: String,
+      value: Any): Option[Long] = {
+    val p = new Path(metaStatsPath(userId, modelId))
+    if (!fs.exists(p) || !epochMode(userId, modelId)) return None
+    val cur = storeLog(userId, modelId).committedEpochs()
+      .lastOption.getOrElse(0L)
+    val df = spark.read.parquet(p.toString)
+    val row = df.agg(
+      max(col("stats_epoch")).as("e"),
+      coalesce(sum(when(col("key") === key &&
+        TypedMeta.typedEqualsRaw(col("value"), value), col("n"))),
         lit(0L)).as("m")).head()
     if (row.isNullAt(0) || row.getLong(0) != cur) None
     else Some(row.getLong(1))

@@ -877,4 +877,207 @@ object NgramLm {
       log2(p).as("_lp")))
   }
 
+  // --------------------------------------------------------------------
+  // Fully-distributed BIGRAM family — the frames route for [[trainKn]]
+  // and [[train]] (the r16 gap: the trigram family had a
+  // past-the-broadcast-ceiling path, the bigram/add-k scorers behind the
+  // q145/q146 quality gates did not).
+  // --------------------------------------------------------------------
+
+  /** Top-`maxVocab` unigram frame by (count desc, word asc) — [[train]]'s
+    * deterministic vocab prune kept AS A FRAME. The vocab is bounded by
+    * the caller's cap by construction (a TakeOrdered of ≤ maxVocab rows —
+    * tiny next to any gram table, and the reason the vocab prune was
+    * never the scale ceiling); the UNBOUNDED object, the bigram table,
+    * is what the frames route refuses to collect or cap.
+    */
+  private def vocabFrame(
+      docs: DataFrame, textCol: String, maxVocab: Int): DataFrame =
+    docs.select(explode(split(col(textCol), "\\s+")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w").asc).limit(maxVocab)
+
+  /** Pruned bigram frame: count >= `minBigramCount`, history surviving
+    * the vocab prune (the [[train]] convention, as a left-semi join
+    * instead of a driver containsKey) — and NO row cap: this is the
+    * table that outgrows the broadcast ceiling, and here it stays a
+    * DataFrame end to end.
+    */
+  private def bigramFrame(
+      docs: DataFrame, textCol: String, minBigramCount: Long,
+      vocab: DataFrame): DataFrame =
+    docs
+      .select(explode(graft.operators.Curation.tokenNgrams(
+        trim(regexp_replace(col(textCol), "\\s+", " ")), 2)).as("g"))
+      .groupBy(col("g")).agg(count(lit(1)).as("c"))
+      .filter(col("c") >= minBigramCount)
+      .select(split(col("g"), " ").as("p"), col("c"))
+      .select(col("p").getItem(0).as("h"), col("p").getItem(1).as("w"),
+        col("c"))
+      .join(vocab.select(col("w").as("h")), Seq("h"), "left_semi")
+
+  /** [[KnModel]] as distributed frames — persistence contract as
+    * [[Kn3Frames]]: `bigrams` feeds three derived aggregations plus the
+    * scoring joins; call [[KnFrames.unpersist]] when the model retires.
+    */
+  case class KnFrames(
+      bigrams: DataFrame, // (h, w, c)   pruned bigram counts
+      hist: DataFrame, // (h, ht, hd)    history totals/distinct
+      contCounts: DataFrame, // (w, cc)  continuation counts
+      bTypes: Long,
+      vocabSize: Int,
+      d: Double,
+      k: Double) {
+    def unpersist(): Unit = {
+      bigrams.unpersist()
+      ()
+    }
+  }
+
+  /** [[trainKn]] with NO collected table and NO row cap — the bigram twin
+    * of [[trainKn3Distributed]]: the pruned bigram frame stays
+    * distributed and both KN statistics frames are aggregations over it,
+    * exactly [[trainKn]]'s driver-pass arithmetic, so a corpus under that
+    * path's `maxBigrams` cap trains an IDENTICAL model through either
+    * route (spec-asserted, and q178 pins it under q144's oracle twin).
+    * Two scalars reach the driver: the capped vocab size and the pruned
+    * bigram type count.
+    */
+  def trainKnDistributed(
+      docs: DataFrame,
+      textCol: String,
+      maxVocab: Int = 65536,
+      minBigramCount: Long = 2L,
+      d: Double = 0.75,
+      k: Double = 0.1): KnFrames = {
+    require(d > 0 && d < 1, s"discount must be in (0,1), got $d")
+    val vocab = vocabFrame(docs, textCol, maxVocab)
+    val bi = bigramFrame(docs, textCol, minBigramCount, vocab)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    require(bi.head(1).nonEmpty,
+      "KN needs a nonempty pruned bigram table; lower minBigramCount")
+    val hist = bi.groupBy(col("h"))
+      .agg(sum(col("c")).as("ht"), count(lit(1)).as("hd"))
+    val contC = bi.groupBy(col("w")).agg(count(lit(1)).as("cc"))
+    val bTypes = bi.count()
+    val vocabSize = vocab.count().toInt
+    KnFrames(bi, hist, contC, bTypes, vocabSize, d, k)
+  }
+
+  /** Per-document interpolated-KN perplexity against [[KnFrames]] — the
+    * join-based twin of [[perplexityKn]], byte-for-byte the kernel's
+    * interpolation arithmetic (`LmExpressions.lpsKn`) with the model
+    * reached through THREE left equi-joins (continuation on w, history
+    * on prev, bigram on (prev, w)) instead of broadcast map probes.
+    * Output: (idCol, ppl DOUBLE); empty documents score 0.0 like the
+    * kernel. Same idCol-uniqueness precondition and scale shape as
+    * [[scoreKn3Distributed]] (slim token rows, AQE-chosen join strategy,
+    * position-ordered per-doc fold, no cartesian term — plan-guarded).
+    */
+  def scoreKnDistributed(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      m: KnFrames): DataFrame = {
+    val d = m.d
+    val k = m.k
+    val denomBase = m.bTypes + k * m.vocabSize
+    val tok = explodeTokens(docs, idCol, textCol)
+
+    val cont = m.contCounts.select(col("w").as("_cw"), col("cc"))
+    val hs = m.hist.select(col("h").as("_hh"), col("ht"), col("hd"))
+    val bg = m.bigrams.select(col("h").as("_bh"), col("w").as("_bw"),
+      col("c").as("cb"))
+
+    val joined = tok
+      .join(cont, tok("_w") === cont("_cw"), "left")
+      .join(hs, col("_prev") === hs("_hh"), "left")
+      .join(bg, col("_prev") === bg("_bh") && col("_w") === bg("_bw"),
+        "left")
+
+    // the kernel's exact association: continuation base, then the
+    // discounted-bigram level (first tokens and unseen histories fall
+    // through to base via the null ht, exactly lpsKn's branch)
+    val base = (coalesce(col("cc"), lit(0L)) + lit(k)) / lit(denomBase)
+    val p = when(col("ht").isNull, base).otherwise(
+      greatest(coalesce(col("cb"), lit(0L)).cast("double") - lit(d),
+        lit(0.0)) / col("ht") + ((lit(d) * col("hd")) / col("ht")) * base)
+
+    foldPerDoc(docs, idCol, joined.select(col("_gid"), col("_pos"),
+      log2(p).as("_lp")))
+  }
+
+  /** [[LmModel]] (add-k bigram) as distributed frames. `unigrams` is
+    * cap-bounded (≤ maxVocab rows) but persisted too — it feeds two
+    * scoring joins and the total-tokens scalar.
+    */
+  case class LmFrames(
+      unigrams: DataFrame, // (w, c)   top-maxVocab vocab counts
+      bigrams: DataFrame, // (h, w, c) pruned bigram counts
+      vocabSize: Int,
+      totalTokens: Long,
+      k: Double) {
+    def unpersist(): Unit = {
+      unigrams.unpersist()
+      bigrams.unpersist()
+      ()
+    }
+  }
+
+  /** [[train]] with NO collected bigram table and NO row cap — the add-k
+    * family's frames route (the scorer behind the q145/q146 quality
+    * gates). Total tokens is [[train]]'s convention: the sum over the
+    * PRUNED vocab, one scalar aggregate.
+    */
+  def trainDistributed(
+      docs: DataFrame,
+      textCol: String,
+      maxVocab: Int = 65536,
+      minBigramCount: Long = 2L,
+      k: Double = 0.1): LmFrames = {
+    val vocab = vocabFrame(docs, textCol, maxVocab)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val total = vocab.agg(coalesce(sum(col("c")), lit(0L))).head().getLong(0)
+    require(total > 0, "empty training corpus")
+    val bi = bigramFrame(docs, textCol, minBigramCount, vocab)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    LmFrames(vocab, bi, vocab.count().toInt, total, k)
+  }
+
+  /** Per-document add-k perplexity against [[LmFrames]] — the join twin
+    * of [[perplexity]] (`LmExpressions.lps` arithmetic): unigram joins
+    * for the current and previous token, bigram join on the pair; first
+    * tokens and pruned-out histories back off to the unigram estimate
+    * through the null ch, exactly the kernel's branch.
+    */
+  def scoreDistributed(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      m: LmFrames): DataFrame = {
+    val k = m.k
+    val kv = k * m.vocabSize
+    val tok = explodeTokens(docs, idCol, textCol)
+
+    val uw = m.unigrams.select(col("w").as("_uw"), col("c").as("cw"))
+    val uh = m.unigrams.select(col("w").as("_uh"), col("c").as("ch"))
+    val bg = m.bigrams.select(col("h").as("_bh"), col("w").as("_bw"),
+      col("c").as("cb"))
+
+    val joined = tok
+      .join(uw, tok("_w") === uw("_uw"), "left")
+      .join(uh, col("_prev") === uh("_uh"), "left")
+      .join(bg, col("_prev") === bg("_bh") && col("_w") === bg("_bw"),
+        "left")
+
+    val uniEst = (coalesce(col("cw"), lit(0L)) + lit(k)) /
+      lit(m.totalTokens + kv)
+    val p = when(col("ch").isNull, uniEst).otherwise(
+      (coalesce(col("cb"), lit(0L)) + lit(k)) / (col("ch") + lit(kv)))
+
+    foldPerDoc(docs, idCol, joined.select(col("_gid"), col("_pos"),
+      log2(p).as("_lp")))
+  }
+
 }

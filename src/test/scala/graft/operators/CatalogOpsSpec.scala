@@ -489,6 +489,222 @@ class CatalogOpsSpec extends AnyFunSuite with SparkSpec {
     assert(cat.metaStatsCount("u", "st", "tag", "a").isEmpty)
   }
 
+  test("metaStatsCountTyped: the stored-encoding inverse serves typed " +
+      "cardinalities from statistics — numeric duality, string identity, " +
+      "a tampered-stats sentinel proves the consult, stale stats live-count") {
+    val cat = newCatalog
+    cat.create("u", "ts", StoreConfig(dimension = 8))
+    val rnd = new scala.util.Random(21)
+    import graft.sources.TypedMeta
+    // 6 int-encoded 1s, 4 double-encoded "1.0"s, 3 bool "true"s, 5 quoted
+    // strings "\"1\"", 12 int 2s — Python ==: the typed filter 1 matches
+    // 6+4+3 = 13; the string filter "1" matches exactly 5
+    val rows = (0 until 30).map { i =>
+      val enc =
+        if (i < 6) "1" else if (i < 10) "1.0" else if (i < 13) "true"
+        else if (i < 18) "\"1\"" else "2"
+      (Seq.fill(8)(rnd.nextFloat()), Map("pri" -> enc))
+    }.toDF("vector", "meta")
+    cat.addVectors("u", "ts", rows)
+    assert(cat.metaStatsCountTyped("u", "ts", "pri", 1).isEmpty,
+      "no stats yet -> live-count fallback")
+    cat.refreshMetaStats("u", "ts")
+    assert(cat.metaStatsCountTyped("u", "ts", "pri", 1).contains(13L))
+    assert(cat.metaStatsCountTyped("u", "ts", "pri", 1.0).contains(13L))
+    assert(cat.metaStatsCountTyped("u", "ts", "pri", true).contains(13L))
+    assert(cat.metaStatsCountTyped("u", "ts", "pri", "1").contains(5L))
+    assert(cat.metaStatsCountTyped("u", "ts", "pri", 2).contains(12L))
+    assert(cat.metaStatsCountTyped("u", "ts", "pri", 99).contains(0L),
+      "fresh stats + absent typed value = true zero")
+    // the typed count equals the live typed predicate count — the inverse
+    // really is the same predicate running over the stats value strings
+    val live = cat.load("u", "ts")
+      .filter(TypedMeta.typedPredicate(col("meta"), Map("pri" -> 1))).count()
+    assert(live == 13L)
+    // DISCRIMINATOR: tamper the persisted stats (n *= 1000, stamp kept) —
+    // queryAdaptiveTyped must now report the tampered number, proving the
+    // cardinality came from the statistics and not a live count
+    val statsDir = s"${cat.storePath("u", "ts")}/meta_stats"
+    val tampered = spark.read.parquet(statsDir)
+      .withColumn("n", col("n") * 1000).localCheckpoint(true)
+    tampered.write.mode("overwrite").parquet(statsDir)
+    val q = Seq.fill(8)(0.5)
+    val viaStats = cat.queryAdaptiveTyped("u", "ts", q, 3, Map("pri" -> 1))
+    assert(viaStats.matches == 13000L,
+      s"typed adaptive query must consult stats (got ${viaStats.matches})")
+    // STALE: a destructive commit invalidates; the same query live-counts.
+    // (Raw equality, not typedEquals: deleteVectors drops NULL-predicate
+    // rows by contract, and typedEquals is NULL on non-numeric encodings.)
+    cat.deleteVectors("u", "ts", element_at(col("meta"), "pri") === "2")
+    assert(cat.metaStatsCountTyped("u", "ts", "pri", 1).isEmpty,
+      "stats must go stale on a destructive commit")
+    val afterDelete = cat.queryAdaptiveTyped("u", "ts", q, 3, Map("pri" -> 1))
+    assert(afterDelete.matches == 13L,
+      "stale stats -> the typed surface provably live-counts")
+  }
+
+  test("conjunction bound: min over fresh per-key stats plans " +
+      "prefilter_exact with observed exact matches and no count job; " +
+      "an over-cap bound falls back to the live count") {
+    val cat = newCatalog
+    cat.create("u", "cb", StoreConfig(dimension = 8))
+    val rnd = new scala.util.Random(31)
+    // tag a: 12 rows, tag b: 40 rows, conjunction (a AND x): 4 rows
+    val rows = (0 until 52).map { i =>
+      val tag = if (i < 12) "a" else "b"
+      val grp = if (i < 4) "x" else "y"
+      (Seq.fill(8)(rnd.nextFloat()), Map("tag" -> tag, "grp" -> grp))
+    }.toDF("vector", "meta")
+    cat.addVectors("u", "cb", rows)
+    cat.refreshMetaStats("u", "cb")
+    cat.buildIndex("u", "cb", nLists = 4)
+    val q = Seq.fill(8)(0.5)
+    val filter = Map("tag" -> "a", "grp" -> "x")
+    val r = cat.queryAdaptive("u", "cb", q, 3, filter)
+    assert(r.path == graft.ml.IvfIndex.PathPrefilterExact,
+      s"bound min(12,4)=4 <= cap must pick prefilter_exact, got ${r.path}")
+    assert(r.matches == 4L,
+      s"matches must be the OBSERVED conjunction count, got ${r.matches}")
+    assert(r.hits.count() == 3)
+    // same filter, cap below the bound: min(12,4)=4 > 1 proves nothing ->
+    // live count (4) > cap -> probed plan; full probe keeps it exact
+    val probed = cat.queryAdaptive("u", "cb", q, 3, filter,
+      nProbe = 4, preFilterCap = 1)
+    assert(probed.path == graft.ml.IvfIndex.PathIvfPostfilter)
+    assert(probed.matches == 4L)
+    val exactIds = r.hits.select($"id").collect().map(_.getLong(0)).toSeq
+    val probedIds = probed.hits.select($"id").collect().map(_.getLong(0)).toSeq
+    assert(probedIds == exactIds, "full-probe postfilter must equal exact")
+    // a stale key (delete invalidates) drops the bound -> live count path
+    // still answers correctly
+    cat.deleteVectors("u", "cb", element_at(col("meta"), "grp") === "y")
+    val live = cat.queryAdaptive("u", "cb", q, 3, filter)
+    assert(live.matches == 4L)
+  }
+
+  test("batchQueryAdaptive: one shared decision per batch — stats-served " +
+      "prefilter_exact, cap-forced probed path equals exact, caps loud") {
+    val cat = newCatalog
+    cat.create("u", "ba", StoreConfig(dimension = 8))
+    val rnd = new scala.util.Random(41)
+    val vecs = Seq.fill(60)(Seq.fill(8)(rnd.nextFloat()))
+    val rows = vecs.zipWithIndex.map { case (v, i) =>
+      (v, Map("tag" -> (if (i % 4 == 0) "hot" else "cold")))
+    }.toDF("vector", "meta")
+    cat.addVectors("u", "ba", rows)
+    cat.refreshMetaStats("u", "ba")
+    cat.buildIndex("u", "ba", nLists = 4)
+    val queries = vecs.take(3).map(_.map(_.toDouble))
+    // selective shared filter: stats-served decision, exact batch results
+    val sel = cat.batchQueryAdaptive("u", "ba", queries, 2, Map("tag" -> "hot"))
+    assert(sel.path == graft.ml.IvfIndex.PathPrefilterExact)
+    assert(sel.matches == 15L, s"observed matches, got ${sel.matches}")
+    assert(sel.hits.count() == 6)
+    // the exact batch reference: brute-force filtered batchTopK
+    val qdf = queries.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("query_id", "query_vec")
+    val ref = Knn.batchTopK(qdf,
+      cat.load("u", "ba").filter(element_at(col("meta"), "tag") === "hot"), 2)
+      .select($"query_id", $"id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val got = sel.hits.select($"query_id", $"id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(got == ref, "prefilter batch must equal exact filtered batch")
+    // cap forced under the count: probed plan at full probe stays exact
+    val broad = cat.batchQueryAdaptive("u", "ba", queries, 2,
+      Map("tag" -> "hot"), nProbe = 4, preFilterCap = 1)
+    assert(broad.path == graft.ml.IvfIndex.PathIvfPostfilter)
+    assert(broad.matches == 15L)
+    val gotBroad = broad.hits.select($"query_id", $"id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(gotBroad == ref, "full-probe probed batch must equal exact")
+    // non-IVF stores report exact_scan with the same result shape
+    val cat2 = newCatalog
+    cat2.create("u", "flat", StoreConfig(dimension = 8))
+    cat2.addVectors("u", "flat", rows)
+    val flat = cat2.batchQueryAdaptive("u", "flat", queries, 2, Map("tag" -> "hot"))
+    assert(flat.path == graft.ml.IvfIndex.PathExactScan && flat.matches == 15L)
+    // argument errors are loud, never a silent plan degrade
+    intercept[IllegalArgumentException] {
+      cat.batchQueryAdaptive("u", "ba", queries, 2, Map("tag" -> "hot"),
+        preFilterCap = 0)
+    }
+    intercept[IllegalArgumentException] {
+      cat.batchQueryAdaptive("u", "ba", queries, 2, Map.empty)
+    }
+    intercept[IllegalArgumentException] {
+      cat.queryAdaptive("u", "ba", queries.head, 2, Map("tag" -> "hot"),
+        preFilterCap = 0)
+    }
+    intercept[IllegalArgumentException] {
+      cat.queryAdaptiveTyped("u", "ba", queries.head, 2, Map("tag" -> "hot"),
+        preFilterCap = -5)
+    }
+  }
+
+  test("store vacuum sweeps crash-orphaned epoch directories on both the " +
+      "store and IVF layouts the shared log governs") {
+    val cat = newCatalog
+    cat.create("u", "orph", StoreConfig(dimension = 8))
+    val rnd = new scala.util.Random(61)
+    def batch(n: Int) =
+      Seq.fill(n)(Seq.fill(8)(rnd.nextFloat())).map(Tuple1(_)).toDF("vector")
+    (0 until 3).foreach(_ => cat.addVectors("u", "orph", batch(30)))
+    cat.buildIndex("u", "orph", nLists = 4)
+    val root = cat.storePath("u", "orph")
+    // dead directories on BOTH layouts (the crash-between-commit-and-prune
+    // window of a replace or a prior vacuum)
+    val storeOrphan = new java.io.File(s"$root/data/epoch=97")
+    val ivfOrphan = new java.io.File(s"$root/_ivf/data/epoch=98")
+    Seq(storeOrphan, ivfOrphan).foreach { d =>
+      d.mkdirs()
+      java.nio.file.Files.write(
+        new java.io.File(d, "part-zombie.parquet").toPath, Array[Byte](9))
+    }
+    val q = cat.load("u", "orph").limit(1).head().getSeq[Float](1)
+      .map(_.toDouble)
+    val before = cat.query("u", "orph", q, 5, nProbe = 4).select($"id")
+      .collect().map(_.getLong(0)).toSeq
+    val (folded, _) = cat.vacuum("u", "orph", keepLast = 1)
+    assert(folded == 2)
+    assert(!storeOrphan.exists() && !ivfOrphan.exists(),
+      "vacuum must sweep crash orphans on both layouts")
+    val after = cat.query("u", "orph", q, 5, nProbe = 4).select($"id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(after == before, "the sweep must be invisible to queries")
+  }
+
+  test("meta stats publish is atomic: a leftover temp dir from a crashed " +
+      "publish is swept, and the published stats stay readable") {
+    val cat = newCatalog
+    cat.create("u", "at", StoreConfig(dimension = 8))
+    val rnd = new scala.util.Random(51)
+    def batch(n: Int, tag: String) = (0 until n)
+      .map(_ => (Seq.fill(8)(rnd.nextFloat()), Map("tag" -> tag)))
+      .toDF("vector", "meta")
+    cat.addVectors("u", "at", batch(10, "a"))
+    // simulate a crash mid-publish: a partial temp dir already on disk
+    val tmpDir = new java.io.File(s"${cat.storePath("u", "at")}/_meta_stats_tmp")
+    tmpDir.mkdirs()
+    java.nio.file.Files.write(
+      new java.io.File(tmpDir, "part-junk.parquet").toPath, Array[Byte](1, 2))
+    cat.refreshMetaStats("u", "at")
+    assert(cat.metaStatsCount("u", "at", "tag", "a").contains(10L),
+      "publish must sweep the stale temp dir and land cleanly")
+    assert(!tmpDir.exists(),
+      "temp dir must not survive a successful publish (rename moves it)")
+    // append-path maintenance goes through the same atomic publish
+    cat.addVectors("u", "at", batch(5, "a"))
+    assert(cat.metaStatsCount("u", "at", "tag", "a").contains(15L))
+    // a crash AFTER delete but BEFORE rename reads as absent -> fallback
+    val statsDir = new org.apache.hadoop.fs.Path(
+      s"${cat.storePath("u", "at")}/meta_stats")
+    val fs = statsDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(statsDir, true)
+    assert(cat.metaStatsCount("u", "at", "tag", "a").isEmpty,
+      "absent stats read as a clean live-count fallback, never an error")
+  }
+
   test("queryAdaptiveTyped: typed predicate cardinality plans the path; " +
       "int filters never match their string twins") {
     val cat = newCatalog

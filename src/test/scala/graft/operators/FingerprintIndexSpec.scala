@@ -111,6 +111,40 @@ class FingerprintIndexSpec extends AnyFunSuite with SparkSpec {
     assert(idx.vacuum(keepLast = 8) == 0)
   }
 
+  test("vacuum sweeps crash-orphaned epoch directories: dead dirs a prior " +
+    "run failed to prune are reclaimed, results untouched") {
+    val p = java.nio.file.Files.createTempDirectory("graft_fpidx_orph").toString
+    val corpus = docs.filter($"doc_id" < 300)
+    val idx = FingerprintIndex.build(
+      corpus.filter($"doc_id" % 3 === 0), "doc_id", "text", p)
+    (1 to 2).foreach(r =>
+      idx.append(corpus.filter($"doc_id" % 3 === r), "doc_id", "text"))
+    // synthesize the crash window: a dead epoch directory that is on disk
+    // but referenced by no live commit (e.g. a vacuum that died between
+    // commitVacuum and its deleteDir loop)
+    val orphan = new java.io.File(s"$p/docs/epoch=97")
+    orphan.mkdirs()
+    java.nio.file.Files.write(
+      new java.io.File(orphan, "part-zombie.parquet").toPath, Array[Byte](9))
+    val before = pairs(FingerprintIndex.load(spark, p)
+      .dedupBatch(docs.filter($"doc_id" >= 300), "doc_id", "text",
+        threshold = 0.5))
+    assert(idx.vacuum(keepLast = 1) == 2)
+    assert(!orphan.exists(),
+      "the next vacuum must reclaim the crash-orphaned directory")
+    val after = pairs(FingerprintIndex.load(spark, p)
+      .dedupBatch(docs.filter($"doc_id" >= 300), "doc_id", "text",
+        threshold = 0.5))
+    assert(after == before, "the sweep must be invisible to match results")
+    // the sweep never touches the nextEpoch slot (an uncommitted append
+    // parked there is the next writer's to overwrite, not the sweep's)
+    val log = EpochLog(spark, p)
+    val parked = new java.io.File(s"$p/docs/epoch=${log.nextEpoch()}")
+    parked.mkdirs()
+    assert(log.sweepOrphanDirs(s"$p/docs").isEmpty)
+    assert(parked.exists(), "nextEpoch slot must survive a sweep")
+  }
+
   test("vacuum re-buckets a gather-bucketed layout and keeps the " +
     "pruned-path match set") {
     // the fold read crosses TWO partition levels (epoch + gb) and the

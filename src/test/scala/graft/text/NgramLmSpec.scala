@@ -379,6 +379,109 @@ class NgramLmSpec extends AnyFunSuite with SparkSpec {
     fm2.unpersist()
   }
 
+  test("distributed KN bigram frames: identical model and perplexities to " +
+      "the broadcast route, vocab prune honored, no cartesian term, no cap") {
+    val train = docs.filter($"doc_id" % 4 =!= 0)
+    val target = docs.filter($"doc_id" % 4 === 0)
+    val bm = NgramLm.trainKn(train, "text", maxVocab = 256,
+      minBigramCount = 2)
+    val fm = NgramLm.trainKnDistributed(train, "text", maxVocab = 256,
+      minBigramCount = 2)
+    // model identity: the frames ARE the collected tables, including the
+    // vocab-membership filter on bigram histories
+    assert(fm.vocabSize == bm.vocabSize && fm.bTypes == bm.bTypes)
+    val biMap = fm.bigrams.collect().map(r =>
+      (r.getString(0) + " " + r.getString(1)) -> r.getLong(2)).toMap
+    assert(biMap.size == bm.bigrams.size())
+    biMap.foreach { case (g, c) =>
+      assert(bm.bigrams.get(g) != null && bm.bigrams.get(g).longValue() == c,
+        s"bigram $g: frames=$c collected=${bm.bigrams.get(g)}")
+    }
+    val contMap = fm.contCounts.collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(contMap.size == bm.contCounts.size())
+    contMap.foreach { case (w, c) =>
+      assert(bm.contCounts.get(w).longValue() == c)
+    }
+    fm.hist.collect().foreach { r =>
+      val h = r.getString(0)
+      assert(bm.histTotals.get(h).longValue() == r.getLong(1) &&
+        bm.histDistinct.get(h).longValue() == r.getLong(2),
+        s"history $h totals/distinct mismatch")
+    }
+    // scoring: three joins vs the broadcast probe — same IEEE association
+    val dist = NgramLm.scoreKnDistributed(target, "doc_id", "text", fm)
+    val bc = target.select($"doc_id",
+      NgramLm.perplexityKn($"text", bm).as("bppl"))
+    val j = dist.join(bc, "doc_id").select($"doc_id", $"ppl", $"bppl")
+      .collect()
+    assert(j.length == target.count())
+    j.foreach { r =>
+      val a = r.getDouble(1); val b = r.getDouble(2)
+      assert(math.abs(a - b) <= 1e-9 * math.max(1.0, math.abs(b)),
+        s"doc ${r.get(0)}: frames=$a broadcast=$b")
+      assert(math.round(a * 10000) == math.round(b * 10000))
+    }
+    val plan = dist.queryExecution.executedPlan.toString()
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoop"),
+      s"distributed scoring must stay equi-joined:\n$plan")
+    val e = NgramLm.scoreKnDistributed(
+      Seq((7L, "   ")).toDF("doc_id", "text"), "doc_id", "text", fm)
+      .head()
+    assert(e.getDouble(1) == 0.0)
+    fm.unpersist()
+    // no cap: the same corpus that trips train()'s fail-fast maxBigrams
+    // trains fine through the frames path
+    intercept[IllegalArgumentException] {
+      NgramLm.trainKn(train, "text", maxVocab = 256, minBigramCount = 1,
+        maxBigrams = 10)
+    }
+    val fm2 = NgramLm.trainKnDistributed(train, "text", maxVocab = 256,
+      minBigramCount = 1)
+    assert(fm2.bigrams.count() > 10)
+    fm2.unpersist()
+  }
+
+  test("distributed add-k frames: identical model and perplexities to the " +
+      "broadcast route, pruned-history backoff honored, empty docs 0") {
+    val train = docs.filter($"doc_id" % 4 =!= 0)
+    val target = docs.filter($"doc_id" % 4 === 0)
+    val bm = NgramLm.train(train, "text", maxVocab = 256, minBigramCount = 2)
+    val fm = NgramLm.trainDistributed(train, "text", maxVocab = 256,
+      minBigramCount = 2)
+    assert(fm.vocabSize == bm.vocabSize && fm.totalTokens == bm.totalTokens)
+    val uniMap = fm.unigrams.collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(uniMap.size == bm.unigrams.size())
+    uniMap.foreach { case (w, c) =>
+      assert(bm.unigrams.get(w).longValue() == c)
+    }
+    val biMap = fm.bigrams.collect().map(r =>
+      (r.getString(0) + " " + r.getString(1)) -> r.getLong(2)).toMap
+    assert(biMap.size == bm.bigrams.size())
+    biMap.foreach { case (g, c) =>
+      assert(bm.bigrams.get(g).longValue() == c)
+    }
+    val dist = NgramLm.scoreDistributed(target, "doc_id", "text", fm)
+    val bc = target.select($"doc_id",
+      NgramLm.perplexity($"text", bm).as("bppl"))
+    val j = dist.join(bc, "doc_id").select($"doc_id", $"ppl", $"bppl")
+      .collect()
+    assert(j.length == target.count())
+    j.foreach { r =>
+      val a = r.getDouble(1); val b = r.getDouble(2)
+      assert(math.abs(a - b) <= 1e-9 * math.max(1.0, math.abs(b)),
+        s"doc ${r.get(0)}: frames=$a broadcast=$b")
+      assert(math.round(a * 10000) == math.round(b * 10000))
+    }
+    val e = NgramLm.scoreDistributed(
+      Seq((7L, "")).toDF("doc_id", "text"), "doc_id", "text", fm)
+      .head()
+    assert(e.getDouble(1) == 0.0)
+    fm.unpersist()
+  }
+
   test("distributed modified-KN frames: same discounts, same perplexities " +
       "as the broadcast route while the corpus sits under its cap") {
     val train = docs.filter($"doc_id" % 4 =!= 0)
