@@ -82,7 +82,52 @@ object LmProbe {
     val tableRows = fm.trigrams.count()
     fm.unpersist()
 
-    println(f"""{"probe":"lm","docs":$nDocs,"pruned_table_rows":$tableRows,"broadcast":{"train_sec":$tTrainB%.2f,"score_sec":$tScoreB%.2f},"frames":{"train_sec":$tTrainF%.2f,"score_sec":$tScoreF%.2f},"cap_100k_refuses_collect_route":$refused}""")
+    // ── the BIGRAM family's crossover (q178) ─────────────────────────────
+    // A 100-word vocab caps bigram types at 10k — never table-shaped — so
+    // this leg uses a 2000-word vocab: ~10M bigram instances over 4M types
+    // leaves a pruned table in the million-row class, the regime where the
+    // trigram leg showed joins beating the broadcast map probe.
+    val vocab2 = array((0 until 2000).map(i => lit(s"w$i")): _*)
+    val corpus2 = java.nio.file.Files
+      .createTempDirectory("graft_lmprobe_bi").toString
+    spark.range(nDocs.toLong).select(col("id"),
+        array_join(transform(sequence(lit(1), lit(50)), w =>
+          element_at(vocab2, pmod(hash(col("id") * 53 + w), lit(2000)) + 1)),
+          " ").as("text"))
+      .write.mode("overwrite").parquet(corpus2)
+    val docs2 = spark.read.parquet(corpus2)
+    val train2 = docs2.filter(col("id") % 4 =!= 0)
+    val target2 = docs2.filter(col("id") % 4 === 0)
+
+    val (bm2, tTrainB2) = time(NgramLm.trainKn(train2, "text",
+      maxBigrams = 1 << 22))
+    val (_, tScoreB2) = time(target2
+      .agg(sum(NgramLm.perplexityKn(col("text"), bm2))).head())
+    val (fm2, tTrainF2) = time(NgramLm.trainKnDistributed(train2, "text"))
+    val knScored = NgramLm.scoreKnDistributed(target2, "id", "text", fm2)
+    val (_, tScoreF2) = time(knScored.agg(sum(col("ppl"))).head())
+
+    // route identity on a sample (the q178 contract at probe scale)
+    val sample2 = target2.filter(col("id") % 400 === 0)
+    val joined2 = NgramLm.scoreKnDistributed(sample2, "id", "text", fm2)
+      .join(sample2.select(col("id"),
+        NgramLm.perplexityKn(col("text"), bm2).as("bppl")), "id")
+      .select(col("ppl"), col("bppl")).collect()
+    require(joined2.nonEmpty)
+    joined2.foreach { r =>
+      val a = r.getDouble(0); val b = r.getDouble(1)
+      require(math.abs(a - b) <= 1e-9 * math.max(1.0, math.abs(b)),
+        s"bigram route divergence: frames=$a broadcast=$b")
+    }
+
+    val refused2 =
+      try { NgramLm.trainKn(train2, "text", maxBigrams = 100000); false }
+      catch { case _: IllegalArgumentException => true }
+    require(refused2, "bigram collect route must refuse past its cap")
+    val tableRows2 = fm2.bigrams.count()
+    fm2.unpersist()
+
+    println(f"""{"probe":"lm","docs":$nDocs,"pruned_table_rows":$tableRows,"broadcast":{"train_sec":$tTrainB%.2f,"score_sec":$tScoreB%.2f},"frames":{"train_sec":$tTrainF%.2f,"score_sec":$tScoreF%.2f},"cap_100k_refuses_collect_route":$refused,"bigram":{"pruned_table_rows":$tableRows2,"broadcast":{"train_sec":$tTrainB2%.2f,"score_sec":$tScoreB2%.2f},"frames":{"train_sec":$tTrainF2%.2f,"score_sec":$tScoreF2%.2f},"cap_100k_refuses_collect_route":$refused2}}""")
     spark.stop()
   }
 }

@@ -468,14 +468,45 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
       s"corpus text must not enter a shuffle:\n$p")
   }
 
-  test("q168/q171: frames-route LM scoring stays equi-joined — no product, " +
-      "no nested-loop term anywhere in the five-join chain") {
-    Seq("q168_kn3_distributed", "q171_kn3_mod_distributed").foreach { q =>
-      val p = plan(q)
+  test("q168/q171/q178/q179: frames-route LM scoring stays equi-joined — " +
+      "no product, no nested-loop term in any family's join chain") {
+    // guarded at the SCORE plan: the SparkEntry rows eagerly checkpoint
+    // their output (so the model frames can unpersist), which makes the
+    // row-level executed plan a table scan — the join chain under guard
+    // is the scorer's own plan, built here exactly as the rows build it
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("text"))
+    val train = docs.filter(
+      org.apache.spark.sql.functions.col("doc_id") % 4 =!= 0)
+    val target = docs.filter(
+      org.apache.spark.sql.functions.col("doc_id") % 4 === 0)
+    def assertEquiJoined(name: String, df: org.apache.spark.sql.DataFrame): Unit = {
+      val p = df.queryExecution.executedPlan.toString()
       assert(!p.contains("CartesianProduct") &&
         !p.contains("BroadcastNestedLoop"),
-        s"$q must stay equi-joined:\n$p")
+        s"$name scoring must stay equi-joined:\n$p")
     }
+    val kn3 = graft.text.NgramLm.trainKn3Distributed(train, "text",
+      maxVocab = 256, minTrigramCount = 2)
+    assertEquiJoined("q168",
+      graft.text.NgramLm.scoreKn3Distributed(target, "doc_id", "text", kn3))
+    kn3.unpersist()
+    val kn3m = graft.text.NgramLm.trainKn3ModDistributed(train, "text",
+      maxVocab = 256)
+    assertEquiJoined("q171",
+      graft.text.NgramLm.scoreKn3ModDistributed(target, "doc_id", "text", kn3m))
+    kn3m.unpersist()
+    val kn = graft.text.NgramLm.trainKnDistributed(train, "text",
+      maxVocab = 256, minBigramCount = 2)
+    assertEquiJoined("q178",
+      graft.text.NgramLm.scoreKnDistributed(target, "doc_id", "text", kn))
+    kn.unpersist()
+    val lm = graft.text.NgramLm.trainDistributed(train, "text",
+      maxVocab = 256, minBigramCount = 2)
+    assertEquiJoined("q179",
+      graft.text.NgramLm.scoreDistributed(target, "doc_id", "text", lm))
+    lm.unpersist()
   }
 
   test("fleet-wide: no query in the whole SparkEntry surface plans a CartesianProduct") {
