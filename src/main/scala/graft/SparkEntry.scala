@@ -3610,6 +3610,83 @@ object SparkEntry {
         .select(col("media_id"), coalesce(col("kept"), lit(false)).as("kept"))
     }),
 
+    // LANDMARK audio ONLINE ingest — q159's stream construction on the
+    // ELEVENTH family (the r16 stretch the verdict left open): every
+    // duplicate is a 3% TEMPO-STRETCHED twin, the perturbation class the
+    // start-aligned frame-word geometry coin-flips on and the Wang-2003
+    // Δt-binned landmark triples hold (q166's measured contrast). The
+    // walk covers all three drop provenances — corpus twin, within-batch
+    // twin of a kept clip, and a twin of the PREVIOUS drop's appended
+    // survivor — and the fw_corpus_hits column pins the blindness in-row:
+    // a perceptual (frame-word) probe of the same batch against the same
+    // corpus sees ONLY the identical re-upload (clip c=2's tempo twin is
+    // in q166's pinned frame-word blind spot), so the corpus twin this
+    // stream drops would provably have sailed through the fw family.
+    "q180_audio_landmark_ingest" -> ((s, dir) => {
+      import s.implicits._
+      val freqTable = Array.tabulate(24)(k =>
+        350.0 * math.pow(2800.0 / 350.0, k / 23.0))
+      def tone(c: Long, f: Int, which: Int): Double = {
+        var h = c * 1000003L + f * 7919L + which * 104729L
+        h ^= h >>> 13; h *= 0xff51afd7ed558ccdL; h ^= h >>> 33
+        freqTable(((h % 24 + 24) % 24).toInt)
+      }
+      def clip(id: Long, c: Long, stretch: Double): multimodal.Multimodal.MediaRow = {
+        val samples = Array.tabulate((32 * 8000 * 125 / 1000 * stretch).toInt) { i =>
+          val tSec = i.toDouble / 8000
+          val f = (i / (8000 * 125 * stretch / 1000.0)).toInt
+          0.35 * math.sin(2 * math.Pi * tone(c, f, 0) * tSec) +
+            0.35 * math.sin(2 * math.Pi * tone(c, f, 1) * tSec)
+        }
+        multimodal.Multimodal.MediaRow(id, "audio",
+          multimodal.AudioCodec.encodeWavPcm16(8000, samples),
+          multimodal.Multimodal.MediaMeta(0, 0, "wav", (4000 * stretch).toLong))
+      }
+      val corpus = s.createDataset((0L until 6L).map(c => clip(c, c, 1.0)))
+      val idx = multimodal.AudioLandmarkIndex.build(corpus,
+        tempIndexDir("graft_q180_l"), frameMs = 125L, minJaccard = 0.3)
+      val fwIdx = multimodal.AudioPerceptualIndex.build(corpus,
+        tempIndexDir("graft_q180_f"), frameMs = 125L, minJaccard = 0.3)
+      val drop1 = Seq(
+        clip(100, 2, 1.03), // tempo twin of corpus clip 2 -> drop (fw-blind)
+        clip(101, 40, 1.0), // fresh -> keep
+        clip(102, 3, 1.0), // identical corpus re-upload -> drop
+        clip(103, 40, 1.03), // tempo twin of KEPT 101 -> drop (walk)
+        clip(104, 41, 1.0)) // fresh -> keep
+      val drop2 = Seq(
+        clip(200, 41, 1.03), // tempo twin of APPENDED survivor 104 -> drop
+        clip(201, 42, 1.0)) // fresh -> keep
+      val dropDir = tempIndexDir("graft_q180_feed")
+      val schema = s.createDataset(drop1).toDF().schema
+      val src = s.readStream.schema(schema).parquet(dropDir)
+      val keptIds = new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Long]()
+      val q = streaming.Streams.ingestMediaStream(src, idx,
+        onBatch = (kept, _) => kept.select(col("media_id")).collect()
+          .foreach(r => keptIds.add(r.getLong(0))),
+        trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(
+          "50 milliseconds"))
+      try {
+        Seq(drop1, drop2).foreach { d =>
+          s.createDataset(d).toDF().write.mode("append").parquet(dropDir)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+      import scala.jdk.CollectionConverters._
+      val keptDf = keptIds.asScala.map(_.longValue).toSeq.toDF("media_id")
+        .withColumn("kept", lit(true))
+      // the frame-word contrast, batch-mode against the SAME corpus: only
+      // the identical re-upload registers; every tempo twin is invisible
+      val fwHits = fwIdx.dedupBatch(s.createDataset(drop1 ++ drop2))
+        .groupBy(col("batch_id")).agg(count(lit(1)).as("fw_corpus_hits"))
+      s.createDataset(drop1 ++ drop2).toDF().select(col("media_id"))
+        .join(keptDf, Seq("media_id"), "left")
+        .join(fwHits, col("media_id") === fwHits("batch_id"), "left")
+        .drop("batch_id")
+        .select(col("media_id"),
+          coalesce(col("kept"), lit(false)).as("kept"),
+          coalesce(col("fw_corpus_hits"), lit(0L)).as("fw_corpus_hits"))
+    }),
+
     // delete_vectors UNDER THE ORACLE — the trilogy's third destructive
     // op (q153 locked vacuum, q156 optimize): a predicate delete rewrites
     // the kept set into one replace epoch AND re-slices the IVF index in
@@ -7287,6 +7364,23 @@ object SparkEntry {
         |  (CAST(106 AS BIGINT), FALSE), (CAST(107 AS BIGINT), TRUE),
         |  (CAST(200 AS BIGINT), FALSE), (CAST(201 AS BIGINT), TRUE))
         |t(media_id, kept)""".stripMargin,
+
+    // The landmark stream's keep/drop contract: every tempo twin drops
+    // (corpus, within-batch walk, appended-survivor provenance alike),
+    // fresh content survives both drops, and the frame-word probe of the
+    // same batch sees ONLY the identical re-upload (102) — the corpus
+    // tempo twin (100, clip 2's 1.03 stretch: q166's pinned fw blind
+    // spot) would have sailed through the frame-word family.
+    "q180_audio_landmark_ingest" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(100 AS BIGINT), FALSE, CAST(0 AS BIGINT)),
+        |  (CAST(101 AS BIGINT), TRUE,  CAST(0 AS BIGINT)),
+        |  (CAST(102 AS BIGINT), FALSE, CAST(1 AS BIGINT)),
+        |  (CAST(103 AS BIGINT), FALSE, CAST(0 AS BIGINT)),
+        |  (CAST(104 AS BIGINT), TRUE,  CAST(0 AS BIGINT)),
+        |  (CAST(200 AS BIGINT), FALSE, CAST(0 AS BIGINT)),
+        |  (CAST(201 AS BIGINT), TRUE,  CAST(0 AS BIGINT)))
+        |t(media_id, kept, fw_corpus_hits)""".stripMargin,
 
     // 'before' top-5 over the full corpus, 'after' over the corpus minus
     // the deleted residue class (through the re-sliced index), membership

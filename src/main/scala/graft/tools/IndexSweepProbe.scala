@@ -53,11 +53,15 @@ object IndexSweepProbe {
       if (mode != "cold_embed") runCold(spark, n, batchN)
       if (mode != "cold_text") runColdEmbed(spark, n * 5, batchN)
     }
-    else if (audioOnly) scales.foreach(runAudioScale(spark, _, batchN))
+    else if (audioOnly) scales.foreach { s =>
+      runAudioScale(spark, s, batchN)
+      runAudioPercepScale(spark, s, batchN)
+    }
     else {
       scales.foreach(runScale(spark, _, batchN))
       scales.foreach(runEmbedScale(spark, _, batchN))
       scales.foreach(runAudioScale(spark, _, batchN))
+      scales.foreach(runAudioPercepScale(spark, _, batchN))
     }
     spark.stop()
   }
@@ -139,6 +143,112 @@ object IndexSweepProbe {
       f"$tIdx%5.1f s vs recompute $tRe%5.1f s (${tRe / tIdx}%.1fx) " +
       f"[$nIdx matched clips]")
     println(f"""{"probe":"index_sweep_audio","corpus":$n,"batch":$batchN,"audio":{"build_sec":$tBuild%.1f,"indexed_sec":$tIdx%.1f,"recompute_sec":$tRe%.1f}}""")
+  }
+
+  /** The TWO INEXACT audio geometries (r16 stretch #8) at the exact leg's
+    * scales: [[graft.multimodal.AudioPerceptualIndex]] (frame-word
+    * shingles) and [[graft.multimodal.AudioLandmarkIndex]] (time-delta
+    * landmark triples), indexed-vs-recompute on the same fixed batch.
+    * Content is REAL tonal audio (the q166 two-tone synthesis — the FFT
+    * families need spectral peaks, not bit patterns): 8 frames x 125 ms
+    * at 8 kHz, ~16 KB WAV per clip. Batch twins are EXACT re-uploads (the
+    * exact leg's convention): perturbation recall is AudioProbe's
+    * measured subject — and NOT deterministic enough to assert here (a
+    * 0.5x gain remaster measured 75.8% frame-word recall at this scale:
+    * PCM16 quantization flips near-tie band ranks) — while this sweep's
+    * subject needs recall pinned at 1.0 so indexed == recompute ==
+    * planted count holds and every ratio compares identical work. What
+    * the recompute side pays that the indexed side never does is the
+    * corpus DECODE + FFT + extraction — the amortization this probe
+    * makes visible per scale.
+    */
+  private def runAudioPercepScale(spark: SparkSession, n: Int, batchN: Int): Unit = {
+    val prevBatch = spark.conf.get("spark.sql.parquet.columnarReaderBatchSize", "4096")
+    spark.conf.set("spark.sql.parquet.columnarReaderBatchSize", "256")
+    try runAudioPercepScaleInner(spark, n, batchN)
+    finally spark.conf.set("spark.sql.parquet.columnarReaderBatchSize", prevBatch)
+  }
+
+  private def runAudioPercepScaleInner(
+      spark: SparkSession, n: Int, batchN: Int): Unit = {
+    import spark.implicits._
+    import graft.multimodal.{AudioCodec, AudioLandmarkIndex,
+      AudioPerceptualIndex, Multimodal}
+    def tone(c: Long, f: Int, which: Int): Double = {
+      var h = c * 1000003L + f * 7919L + which * 104729L
+      h ^= h >>> 13; h *= 0xff51afd7ed558ccdL; h ^= h >>> 33
+      350.0 * math.pow(2800.0 / 350.0, ((h % 24 + 24) % 24) / 23.0)
+    }
+    def clip(id: Long, c: Long, gain: Double): Multimodal.MediaRow = {
+      val samples = Array.tabulate(8 * 1000) { i => // 8 frames x 125 ms
+        val tSec = i.toDouble / 8000
+        val f = i / 1000
+        gain * (0.35 * math.sin(2 * math.Pi * tone(c, f, 0) * tSec) +
+          0.35 * math.sin(2 * math.Pi * tone(c, f, 1) * tSec))
+      }
+      Multimodal.MediaRow(id, "audio",
+        AudioCodec.encodeWavPcm16(8000, samples),
+        Multimodal.MediaMeta(0, 0, "wav", 1000L))
+    }
+    val corpusPath = java.nio.file.Files
+      .createTempDirectory(s"graft_sweep_percep_$n").toString
+    spark.range(n.toLong).map(id => clip(id, id, 1.0)).toDF()
+      .write.mode("overwrite").parquet(corpusPath)
+    def corpus = spark.read.parquet(corpusPath).as[Multimodal.MediaRow]
+    val freshN = batchN / 2
+    val batch = spark.range(batchN.toLong)
+      .map(i => if (i < freshN) clip(9000000L + i, 5000000L + i, 1.0)
+        else clip(9000000L + i, i - freshN, 1.0)) // exact corpus re-upload
+      .localCheckpoint(true)
+    println(s"[probe] === inexact-audio corpus $n clips, batch $batchN (fixed) ===")
+    // perceptual (frame-word) leg
+    val pPath = java.nio.file.Files
+      .createTempDirectory("graft_sweep_percepidx").toString
+    val (pIdx, tBuildP) = time(AudioPerceptualIndex.build(corpus, pPath,
+      frameMs = 125L, minJaccard = 0.3))
+    val (nIdxP, tIdxP) = time(pIdx.dedupBatch(batch)
+      .select(col("batch_id")).distinct().count())
+    val (nReP, tReP) = time(Multimodal.videoNearDupAgainst(
+        Multimodal.audioSpectralFingerprints(batch, 125L),
+        Multimodal.audioSpectralFingerprints(corpus, 125L),
+        minJaccard = 0.3)
+      .select(col("batch_id")).distinct().count())
+    assert(nIdxP == nReP,
+      s"perceptual contrast invalid: indexed $nIdxP vs recompute $nReP")
+    assert(nIdxP == freshN.toLong,
+      s"every planted twin must match perceptually: $nIdxP of $freshN")
+    println(f"[probe] percep    build $tBuildP%6.1f s | match indexed " +
+      f"$tIdxP%5.1f s vs recompute $tReP%5.1f s (${tReP / tIdxP}%.1fx)")
+    // landmark (time-delta triple) leg — at 0.9, not the family default
+    // 0.3: 8-frame two-tone clips yield SMALL landmark sets over a
+    // 24-bin band alphabet, and distinct content cross-matches at 0.3
+    // (measured: 675 false hits per 5000 at this scale). Exact twins
+    // score jaccard 1.0, so 0.9 pins the count without changing what
+    // the probe measures (decode+FFT+extraction cost is threshold-free).
+    val lPath = java.nio.file.Files
+      .createTempDirectory("graft_sweep_lmidx").toString
+    val (lIdx, tBuildL) = time(AudioLandmarkIndex.build(corpus, lPath,
+      frameMs = 125L, minJaccard = 0.9))
+    val (nIdxL, tIdxL) = time(lIdx.dedupBatch(batch)
+      .select(col("batch_id")).distinct().count())
+    val (nReL, tReL) = time(Multimodal.videoNearDupAgainst(
+        Multimodal.audioLandmarkFingerprints(batch, 125L),
+        Multimodal.audioLandmarkFingerprints(corpus, 125L),
+        minJaccard = 0.9)
+      .select(col("batch_id")).distinct().count())
+    assert(nIdxL == nReL,
+      s"landmark contrast invalid: indexed $nIdxL vs recompute $nReL")
+    // ≥99%, not ==: a small fraction of two-tone clips produce degenerate
+    // landmark sets (< 3 peak events after tone collisions — 19 of 5000
+    // planted twins at the 400k scale), and an empty-set clip cannot
+    // match even its exact re-upload. Both paths drop the same clips
+    // (the equality above is exact), so every ratio still compares
+    // identical work.
+    assert(nIdxL >= (freshN * 99L) / 100,
+      s"planted twins must match via landmarks: $nIdxL of $freshN")
+    println(f"[probe] landmark  build $tBuildL%6.1f s | match indexed " +
+      f"$tIdxL%5.1f s vs recompute $tReL%5.1f s (${tReL / tIdxL}%.1fx)")
+    println(f"""{"probe":"index_sweep_audio_inexact","corpus":$n,"batch":$batchN,"perceptual":{"build_sec":$tBuildP%.1f,"indexed_sec":$tIdxP%.1f,"recompute_sec":$tReP%.1f},"landmark":{"build_sec":$tBuildL%.1f,"indexed_sec":$tIdxL%.1f,"recompute_sec":$tReL%.1f}}""")
   }
 
   /** 8 paragraphs of 25 words over a 500-word vocab, keyed by doc id:
