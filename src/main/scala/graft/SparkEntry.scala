@@ -3515,6 +3515,52 @@ object SparkEntry {
       shaped("a_bound", viaBound).unionAll(shaped("b_probed", probed))
     }),
 
+    // q176's batch-adaptive contract on the TYPED surface (q175 x q176):
+    // pri carries the same logical number in q175's three stored
+    // encodings, the shared typed int filter {pri: 7} accepts the two
+    // numeric classes and rejects the quoted-string twin, and ONE
+    // metaStatsCountTyped lookup plans the whole batch (require-checked
+    // fresh and equal to the served matches). Phase b forces cap=1 onto
+    // the probed plan, whose full-probe results must equal the exact
+    // typed-filtered brute force.
+    "q181_batch_adaptive_typed" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val root = tempIndexDir("graft_q181_store")
+      val cat = new sources.VectorStoreCatalog(s, root)
+      cat.create("u", "m", sources.StoreConfig(dimension = 64))
+      val priStr = (col("vec_id") % 10).cast("string")
+      cat.addVectors("u", "m", emb.select(col("embedding").as("vector"),
+        map(
+          lit("pri"), when(col("vec_id") % 3 === 0, priStr)
+            .when(col("vec_id") % 3 === 1, concat(priStr, lit(".0")))
+            .otherwise(concat(lit("\""), priStr, lit("\""))),
+          lit("vid"), col("vec_id").cast("string")).as("meta")))
+      cat.refreshMetaStats("u", "m")
+      cat.buildIndex("u", "m", nLists = 8) // layout-only: stats stay fresh
+      val fromStats = cat.metaStatsCountTyped("u", "m", "pri", 7)
+      require(fromStats.nonEmpty, "typed stats must be fresh for this row")
+      val qvs = (0 until 3).map(i => emb.filter(col("vec_id") === i)
+        .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble).toSeq)
+      val idToVid = cat.load("u", "m").select(col("id"),
+        element_at(col("meta"), "vid").cast("long").as("vid"))
+        .localCheckpoint(true)
+      def shaped(phase: String, r: graft.ml.IvfIndex.AdaptiveSearch) =
+        r.hits.join(idToVid, "id")
+          .select(lit(phase).as("phase"), lit(r.path).as("path"),
+            lit(r.matches).as("matches"),
+            col("query_id").cast("long").as("qid"), col("vid"),
+            col("rank").cast("long").as("rnk"))
+      val sel = cat.batchQueryAdaptiveTyped("u", "m", qvs, 5, Map("pri" -> 7))
+      require(sel.path == graft.ml.IvfIndex.PathPrefilterExact &&
+        sel.matches == fromStats.get,
+        "selective typed batch must plan prefilter_exact from fresh stats")
+      val broad = cat.batchQueryAdaptiveTyped("u", "m", qvs, 5,
+        Map("pri" -> 7), nProbe = 8, preFilterCap = 1)
+      require(broad.path == graft.ml.IvfIndex.PathIvfPostfilter,
+        "cap=1 must force the probed typed batch plan")
+      shaped("a_sel", sel).unionAll(shaped("b_broad", broad))
+    }),
+
     // Masked mean pooling under the oracle (A4, the sentence-embedding
     // pooling kernel): embeddings rows become deterministic "token
     // sequences" (gid = vec_id % 50, tokens in vec_id order, every third
@@ -7321,6 +7367,30 @@ object SparkEntry {
         |FROM rb WHERE rnk <= 5
         |UNION ALL
         |SELECT 'b_probed', 'ivf_postfilter', (SELECT m FROM m), vid, rnk
+        |FROM rb WHERE rnk <= 5""".stripMargin,
+
+    // The typed batch replay: one logical count over the two numeric
+    // encodings (the quoted-string class excluded — Python ==), per-query
+    // exact top-5 within exactly those rows, both plan labels
+    // construction-derived.
+    "q181_batch_adaptive_typed" ->
+      """WITH m AS (SELECT CAST(count(*) AS BIGINT) AS m
+        |           FROM embeddings WHERE vec_id % 10 = 7 AND vec_id % 3 <> 2),
+        |q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+        |      FROM embeddings WHERE vec_id < 3),
+        |rb AS (
+        |  SELECT q.qid, x.vec_id AS vid,
+        |    CAST(row_number() OVER (PARTITION BY q.qid
+        |      ORDER BY list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
+        |        q.qv) DESC, x.vec_id ASC) AS BIGINT) AS rnk
+        |  FROM embeddings x, q
+        |  WHERE x.vec_id % 10 = 7 AND x.vec_id % 3 <> 2)
+        |SELECT 'a_sel' AS phase, 'prefilter_exact' AS path,
+        |  (SELECT m FROM m) AS matches, CAST(qid AS BIGINT) AS qid, vid, rnk
+        |FROM rb WHERE rnk <= 5
+        |UNION ALL
+        |SELECT 'b_broad', 'ivf_postfilter', (SELECT m FROM m),
+        |  CAST(qid AS BIGINT), vid, rnk
         |FROM rb WHERE rnk <= 5""".stripMargin,
 
     // Pooling replay: per (group, dimension) masked sum over double-cast

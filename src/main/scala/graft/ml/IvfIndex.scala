@@ -442,7 +442,8 @@ class IvfIndex private (
       queryIdCol: String = "query_id",
       queryVecCol: String = "query_vec",
       asOf: Option[Long] = None,
-      metadataFilter: Map[String, String] = Map.empty): DataFrame = {
+      metadataFilter: Map[String, String] = Map.empty,
+      predicate: Option[Column] = None): DataFrame = {
     // pin the (bounded) probed query set once: it feeds both the probed-list
     // collection and the join, and must not recompute user lineage twice
     val probed = queries.select(
@@ -455,9 +456,12 @@ class IvfIndex private (
     // snapshot N" — the corpus as it was at the pinned commit
     val pruned = asOf.fold(storeDf)(storeDfAt)
       .filter(col("list_id").isin(probedLists: _*))
-    val store =
+    val stringFiltered =
       if (metadataFilter.isEmpty) pruned
       else pruned.filter(Knn.metadataPredicate(col("meta"), metadataFilter))
+    // arbitrary predicate (e.g. TypedMeta.typedPredicate) composes on top —
+    // the Knn.topK convention on the batch path
+    val store = predicate.fold(stringFiltered)(stringFiltered.filter)
     val topk = udaf(new TopKAggregator(k, ascending = false))
     probed.join(store, Seq("list_id"))
       .select(col(queryIdCol), col("id"),

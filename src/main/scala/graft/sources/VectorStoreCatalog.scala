@@ -862,6 +862,88 @@ class VectorStoreCatalog(spark: SparkSession, val root: String) {
     }
   }
 
+  /** [[batchQueryAdaptive]] with a TYPED shared filter ([[TypedMeta]]
+    * Python-`==` semantics, the [[queryAdaptiveTyped]] pairing on the
+    * M-query surface): one [[metaStatsCountTyped]] lookup / typed
+    * conjunction bound / count plans the whole batch, with the same
+    * three-path contract and underfill discipline.
+    */
+  def batchQueryAdaptiveTyped(
+      userId: String,
+      modelId: String,
+      queryVecs: Seq[Seq[Double]],
+      k: Int,
+      typedFilter: Map[String, Any],
+      nProbe: Int = 8,
+      preFilterCap: Long = graft.ml.IvfIndex.DefaultPreFilterCap,
+      asOf: Option[Long] = None): graft.ml.IvfIndex.AdaptiveSearch = {
+    require(queryVecs.nonEmpty && queryVecs.size <= VectorStoreCatalog.MaxBatchQueries,
+      s"batch size ${queryVecs.size} outside [1, ${VectorStoreCatalog.MaxBatchQueries}]")
+    require(k >= 1 && k <= VectorStoreCatalog.MaxBatchK,
+      s"k=$k outside [1, ${VectorStoreCatalog.MaxBatchK}]")
+    require(typedFilter.nonEmpty,
+      "adaptive planning needs a filter; use batchQuery() for unfiltered batches")
+    require(preFilterCap >= 1, s"preFilterCap must be >= 1, got $preFilterCap")
+    val cfg = config(userId, modelId)
+    queryVecs.foreach(q => require(q.length == cfg.dimension,
+      s"query dimension ${q.length} != store dimension ${cfg.dimension}"))
+    asOf.foreach(e => requirePin(userId, modelId, e))
+    import spark.implicits._
+    val queries = queryVecs.zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }
+      .toDF("query_id", "query_vec")
+    val pred = TypedMeta.typedPredicate(col("meta"), typedFilter)
+    def base = asOf.fold(load(userId, modelId))(e => loadAt(userId, modelId, e))
+    val hint =
+      if (asOf.isEmpty && typedFilter.size == 1) {
+        val (k0, v0) = typedFilter.head
+        metaStatsCountTyped(userId, modelId, k0, v0)
+      } else None
+    val bound =
+      if (asOf.isEmpty && typedFilter.size > 1) {
+        val per = typedFilter.toSeq.map { case (k0, v0) =>
+          metaStatsCountTyped(userId, modelId, k0, v0)
+        }
+        if (per.forall(_.isDefined)) Some(per.flatten.min) else None
+      } else None
+    def filteredBatch(path: String): graft.ml.IvfIndex.AdaptiveSearch = {
+      val obs = org.apache.spark.sql.Observation()
+      val filtered = base.filter(pred)
+        .observe(obs, org.apache.spark.sql.functions.count(lit(1)).as("m"))
+      val hits = Knn.batchTopK(queries, filtered, k, cfg.metric)
+        .localCheckpoint(true)
+      graft.ml.IvfIndex.AdaptiveSearch(path,
+        obs.get("m").asInstanceOf[Long], hits)
+    }
+    if (!hasIvf(userId, modelId, cfg))
+      return filteredBatch(graft.ml.IvfIndex.PathExactScan)
+    val matches: Long = hint match {
+      case Some(m) => m
+      case None if bound.exists(_ <= preFilterCap) =>
+        return filteredBatch(graft.ml.IvfIndex.PathPrefilterExact)
+      case None => base.filter(pred).count()
+    }
+    if (matches <= preFilterCap) filteredBatch(graft.ml.IvfIndex.PathPrefilterExact)
+    else {
+      try {
+        val res = idxLoad(userId, modelId, cfg)
+          .searchBatch(queries, k, nProbe, asOf = asOf,
+            predicate = Some(pred))
+          .localCheckpoint(true)
+        val hitCounts = res.groupBy(col("query_id"))
+          .agg(org.apache.spark.sql.functions.count(lit(1)).as("n"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val underfilled = queryVecs.indices.exists(i =>
+          hitCounts.getOrElse(i.toLong, 0L) < k)
+        if (underfilled) filteredBatch(graft.ml.IvfIndex.PathExactScan)
+        else graft.ml.IvfIndex.AdaptiveSearch(
+          graft.ml.IvfIndex.PathIvfPostfilter, matches, res)
+      } catch {
+        case _: Exception => filteredBatch(graft.ml.IvfIndex.PathExactScan)
+      }
+    }
+  }
+
   /** Compaction (the reference's admin `optimize` endpoint references a
     * store.optimize that was never shipped — api/routes/admin.py:171-192;
     * here it is a real small-file compaction job). Returns (filesBefore,

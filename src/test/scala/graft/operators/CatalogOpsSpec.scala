@@ -624,6 +624,21 @@ class CatalogOpsSpec extends AnyFunSuite with SparkSpec {
     cat2.addVectors("u", "flat", rows)
     val flat = cat2.batchQueryAdaptive("u", "flat", queries, 2, Map("tag" -> "hot"))
     assert(flat.path == graft.ml.IvfIndex.PathExactScan && flat.matches == 15L)
+    // the TYPED batch surface plans identically (a String typed filter
+    // matches the raw store values through the legacy-bare rule) and
+    // returns the same per-query hits as the string surface
+    val selTyped = cat.batchQueryAdaptiveTyped("u", "ba", queries, 2,
+      Map("tag" -> "hot"))
+    assert(selTyped.path == graft.ml.IvfIndex.PathPrefilterExact &&
+      selTyped.matches == 15L)
+    val gotTyped = selTyped.hits.select($"query_id", $"id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(gotTyped == ref, "typed batch must equal the string batch")
+    val broadTyped = cat.batchQueryAdaptiveTyped("u", "ba", queries, 2,
+      Map("tag" -> "hot"), nProbe = 4, preFilterCap = 1)
+    assert(broadTyped.path == graft.ml.IvfIndex.PathIvfPostfilter)
+    assert(broadTyped.hits.select($"query_id", $"id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq == ref)
     // argument errors are loud, never a silent plan degrade
     intercept[IllegalArgumentException] {
       cat.batchQueryAdaptive("u", "ba", queries, 2, Map("tag" -> "hot"),
