@@ -430,10 +430,13 @@ class IvfIndex private (
     *
     * `metadataFilter` restricts the probed rows BEFORE scoring (the filter
     * composes with the list pruning, so no over-fetch is needed — the
-    * top-k is already over matching candidates); the residual recall gap
-    * is matches living in unprobed lists, which callers close with a
-    * per-query underfill fallback ([[graft.sources.VectorStoreCatalog
-    * .batchQueryAdaptive]]'s contract).
+    * top-k is already over matching candidates). The residual recall gap
+    * is matches living in unprobed lists; a per-query underfill fallback
+    * ([[graft.sources.VectorStoreCatalog.batchQueryAdaptive]]'s contract)
+    * closes only the UNDERFILL case — a query whose probed lists hold k
+    * or more matches returns k hits and keeps standard ANN recall, so
+    * the filtered probed path must not be treated as exact except at
+    * full probe.
     */
   def searchBatch(
       queries: DataFrame,

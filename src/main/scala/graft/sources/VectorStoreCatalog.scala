@@ -240,8 +240,8 @@ class VectorStoreCatalog(spark: SparkSession, val root: String) {
     * [[metaStatsCountTyped]] runs the typed predicate over the stats
     * rows' stored value strings (the stored-encoding inverse), so the
     * engine's most correct filter form no longer pays a per-query count
-    * job when fresh stats exist. Conjunctions, pinned reads, and stale
-    * stats live-count as before.
+    * job when fresh stats exist. Typed conjunctions plan from the
+    * min-over-keys bound; pinned reads and stale stats live-count.
     */
   def queryAdaptiveTyped(
       userId: String,
@@ -252,38 +252,77 @@ class VectorStoreCatalog(spark: SparkSession, val root: String) {
       nProbe: Int = 8,
       preFilterCap: Long = graft.ml.IvfIndex.DefaultPreFilterCap,
       asOf: Option[Long] = None): graft.ml.IvfIndex.AdaptiveSearch = {
+    require(typedFilter.nonEmpty,
+      "adaptive planning needs a filter; use query() for unfiltered queries")
+    queryAdaptiveImpl(userId, modelId, queryVec, k, nProbe, preFilterCap,
+      asOf, TypedMeta.typedPredicate(col("meta"), typedFilter),
+      typedFilter.toSeq.map { case (k0, v0) =>
+        metaStatsCountTyped(userId, modelId, k0, v0)
+      })
+  }
+
+  /** The statistics plan for a shared filter: (exact hint, upper bound).
+    * Single-key LIVE filters get the exact fresh-stats count; multi-key
+    * live filters get min over the per-key fresh counts — a SOUND upper
+    * bound on the conjunction (it matches a subset of every key's
+    * matches). Pinned reads and any stale/absent key get neither, and
+    * the lookups are never even run for pinned reads (by-name).
+    */
+  private def statsHints(
+      asOf: Option[Long],
+      lookups: => Seq[Option[Long]]): (Option[Long], Option[Long]) =
+    if (asOf.nonEmpty) (None, None)
+    else lookups match {
+      case Seq(one) => (one, None)
+      case many =>
+        (None, if (many.forall(_.isDefined)) Some(many.flatten.min) else None)
+    }
+
+  /** The shared single-query adaptive body ([[queryAdaptive]] /
+    * [[queryAdaptiveTyped]] differ only in predicate + stats lookup).
+    * The exact-scan leg pays NO separate count job unless a fresh hint
+    * already knows the number: the match count is observed inside the
+    * scoring scan itself (one pass — previously a filtered count job
+    * preceded the topK pass on every non-hinted exact scan).
+    */
+  private def queryAdaptiveImpl(
+      userId: String,
+      modelId: String,
+      queryVec: Seq[Double],
+      k: Int,
+      nProbe: Int,
+      preFilterCap: Long,
+      asOf: Option[Long],
+      pred: org.apache.spark.sql.Column,
+      lookups: => Seq[Option[Long]]): graft.ml.IvfIndex.AdaptiveSearch = {
     val cfg = config(userId, modelId)
     require(queryVec.length == cfg.dimension,
       s"query dimension ${queryVec.length} != store dimension ${cfg.dimension}")
-    require(typedFilter.nonEmpty,
-      "adaptive planning needs a filter; use query() for unfiltered queries")
     // argument errors stay loud at the catalog boundary — inside the try
     // below they would silently degrade to exact_scan on indexed stores
     // (and be silently ignored on non-indexed ones)
     require(preFilterCap >= 1, s"preFilterCap must be >= 1, got $preFilterCap")
     asOf.foreach(e => requirePin(userId, modelId, e))
-    val pred = TypedMeta.typedPredicate(col("meta"), typedFilter)
-    // the string surface's statistics shortcut, through the typed inverse
-    val hint =
-      if (asOf.isEmpty && typedFilter.size == 1) {
-        val (k0, v0) = typedFilter.head
-        metaStatsCountTyped(userId, modelId, k0, v0)
-      } else None
-    // and its conjunction bound (queryAdaptive's min-over-keys rule)
-    val bound =
-      if (asOf.isEmpty && typedFilter.size > 1) {
-        val per = typedFilter.toSeq.map { case (k0, v0) =>
-          metaStatsCountTyped(userId, modelId, k0, v0)
-        }
-        if (per.forall(_.isDefined)) Some(per.flatten.min) else None
-      } else None
+    val (hint, bound) = statsHints(asOf, lookups)
     def exactScan: graft.ml.IvfIndex.AdaptiveSearch = {
       val base = asOf.fold(load(userId, modelId))(e =>
         loadAt(userId, modelId, e))
-      val matches = hint.getOrElse(base.filter(pred).count())
-      graft.ml.IvfIndex.AdaptiveSearch(graft.ml.IvfIndex.PathExactScan,
-        matches, Knn.topK(base, queryVec, k, cfg.metric,
-          predicate = Some(pred)))
+      hint match {
+        case Some(m) =>
+          graft.ml.IvfIndex.AdaptiveSearch(graft.ml.IvfIndex.PathExactScan,
+            m, Knn.topK(base, queryVec, k, cfg.metric,
+              predicate = Some(pred)))
+        case None =>
+          val obs = org.apache.spark.sql.Observation()
+          val filtered = base.filter(pred)
+            .observe(obs, org.apache.spark.sql.functions.count(lit(1)).as("m"))
+          val hits = Knn.topK(filtered, queryVec, k, cfg.metric)
+          val rows = hits.collect() // bounded: <= k rows
+          graft.ml.IvfIndex.AdaptiveSearch(graft.ml.IvfIndex.PathExactScan,
+            obs.get("m").asInstanceOf[Long],
+            spark.createDataFrame(java.util.Arrays.asList(rows: _*),
+              hits.schema))
+      }
     }
     if (hasIvf(userId, modelId, cfg)) {
       try {
@@ -570,56 +609,13 @@ class VectorStoreCatalog(spark: SparkSession, val root: String) {
       nProbe: Int = 8,
       preFilterCap: Long = graft.ml.IvfIndex.DefaultPreFilterCap,
       asOf: Option[Long] = None): graft.ml.IvfIndex.AdaptiveSearch = {
-    val cfg = config(userId, modelId)
-    require(queryVec.length == cfg.dimension,
-      s"query dimension ${queryVec.length} != store dimension ${cfg.dimension}")
     require(metadataFilter.nonEmpty,
       "adaptive planning needs a filter; use query() for unfiltered queries")
-    // same loud-argument discipline as queryAdaptiveTyped: validated before
-    // the try so a bad cap can never masquerade as an index failure
-    require(preFilterCap >= 1, s"preFilterCap must be >= 1, got $preFilterCap")
-    asOf.foreach(e => requirePin(userId, modelId, e))
-    // single-key filters on the LIVE store read the persisted epoch-
-    // stamped statistics when fresh — exact, and no per-query count job;
-    // pinned reads and stale stats live-count
-    val hint =
-      if (asOf.isEmpty && metadataFilter.size == 1) {
-        val (k0, v0) = metadataFilter.head
+    queryAdaptiveImpl(userId, modelId, queryVec, k, nProbe, preFilterCap,
+      asOf, Knn.metadataPredicate(col("meta"), metadataFilter),
+      metadataFilter.toSeq.map { case (k0, v0) =>
         metaStatsCount(userId, modelId, k0, v0)
-      } else None
-    // conjunctions plan from a SOUND BOUND: the conjunction matches a
-    // subset of every key's matches, so min over fresh per-key counts is
-    // an upper bound — bound ≤ cap proves prefilter-exact fits, and the
-    // executed path observes the exact `matches` itself (searchAdaptive's
-    // matchBound contract). Any stale/absent key drops the bound.
-    val bound =
-      if (asOf.isEmpty && metadataFilter.size > 1) {
-        val per = metadataFilter.toSeq.map { case (k0, v0) =>
-          metaStatsCount(userId, modelId, k0, v0)
-        }
-        if (per.forall(_.isDefined)) Some(per.flatten.min) else None
-      } else None
-    // [[query]]'s failure semantics: an unloadable/uncovering index falls
-    // back to the exact scan (over the PINNED snapshot when asOf is set —
-    // the pin contract holds through the fallback)
-    def exactScan: graft.ml.IvfIndex.AdaptiveSearch = {
-      val base = asOf.fold(load(userId, modelId))(e =>
-        loadAt(userId, modelId, e))
-      val matches = hint.getOrElse(base
-        .filter(Knn.metadataPredicate(col("meta"), metadataFilter)).count())
-      graft.ml.IvfIndex.AdaptiveSearch(graft.ml.IvfIndex.PathExactScan,
-        matches, Knn.topK(base, queryVec, k, cfg.metric,
-          metadataFilter = metadataFilter))
-    }
-    if (hasIvf(userId, modelId, cfg)) {
-      try {
-        idxLoad(userId, modelId, cfg).searchAdaptive(queryVec, k, nProbe,
-          metadataFilter, asOf = asOf, preFilterCap = preFilterCap,
-          matchCount = hint, matchBound = bound)
-      } catch {
-        case _: Exception => exactScan
-      }
-    } else exactScan
+      })
   }
 
   def count(userId: String, modelId: String): Long = load(userId, modelId).count()
@@ -787,12 +783,37 @@ class VectorStoreCatalog(spark: SparkSession, val root: String) {
       nProbe: Int = 8,
       preFilterCap: Long = graft.ml.IvfIndex.DefaultPreFilterCap,
       asOf: Option[Long] = None): graft.ml.IvfIndex.AdaptiveSearch = {
+    require(metadataFilter.nonEmpty,
+      "adaptive planning needs a filter; use batchQuery() for unfiltered batches")
+    batchAdaptiveImpl(userId, modelId, queryVecs, k, nProbe, preFilterCap,
+      asOf, Knn.metadataPredicate(col("meta"), metadataFilter),
+      metadataFilter.toSeq.map { case (k0, v0) =>
+        metaStatsCount(userId, modelId, k0, v0)
+      },
+      (idx, queries) => idx.searchBatch(queries, k, nProbe, asOf = asOf,
+        metadataFilter = metadataFilter))
+  }
+
+  /** The shared batch adaptive body ([[batchQueryAdaptive]] /
+    * [[batchQueryAdaptiveTyped]] differ only in predicate, stats lookup,
+    * and which `searchBatch` argument carries the filter).
+    */
+  private def batchAdaptiveImpl(
+      userId: String,
+      modelId: String,
+      queryVecs: Seq[Seq[Double]],
+      k: Int,
+      nProbe: Int,
+      preFilterCap: Long,
+      asOf: Option[Long],
+      pred: org.apache.spark.sql.Column,
+      lookups: => Seq[Option[Long]],
+      probedBatch: (graft.ml.IvfIndex, DataFrame) => DataFrame)
+      : graft.ml.IvfIndex.AdaptiveSearch = {
     require(queryVecs.nonEmpty && queryVecs.size <= VectorStoreCatalog.MaxBatchQueries,
       s"batch size ${queryVecs.size} outside [1, ${VectorStoreCatalog.MaxBatchQueries}]")
     require(k >= 1 && k <= VectorStoreCatalog.MaxBatchK,
       s"k=$k outside [1, ${VectorStoreCatalog.MaxBatchK}]")
-    require(metadataFilter.nonEmpty,
-      "adaptive planning needs a filter; use batchQuery() for unfiltered batches")
     require(preFilterCap >= 1, s"preFilterCap must be >= 1, got $preFilterCap")
     val cfg = config(userId, modelId)
     queryVecs.foreach(q => require(q.length == cfg.dimension,
@@ -802,21 +823,9 @@ class VectorStoreCatalog(spark: SparkSession, val root: String) {
     val queries = queryVecs.zipWithIndex
       .map { case (v, i) => (i.toLong, v) }
       .toDF("query_id", "query_vec")
-    val pred = Knn.metadataPredicate(col("meta"), metadataFilter)
     def base = asOf.fold(load(userId, modelId))(e => loadAt(userId, modelId, e))
     // [[queryAdaptive]]'s statistics discipline, paid ONCE for M queries
-    val hint =
-      if (asOf.isEmpty && metadataFilter.size == 1) {
-        val (k0, v0) = metadataFilter.head
-        metaStatsCount(userId, modelId, k0, v0)
-      } else None
-    val bound =
-      if (asOf.isEmpty && metadataFilter.size > 1) {
-        val per = metadataFilter.toSeq.map { case (k0, v0) =>
-          metaStatsCount(userId, modelId, k0, v0)
-        }
-        if (per.forall(_.isDefined)) Some(per.flatten.min) else None
-      } else None
+    val (hint, bound) = statsHints(asOf, lookups)
     // exact batch over the filtered store, match count observed inside the
     // same pass (bounded output: <= M*k rows, pinned eagerly)
     def filteredBatch(path: String): graft.ml.IvfIndex.AdaptiveSearch = {
@@ -844,9 +853,7 @@ class VectorStoreCatalog(spark: SparkSession, val root: String) {
       // probed path: filter inside the probed lists, per-query underfill
       // falls back to the exact filtered batch ([[batchQuery]] semantics)
       try {
-        val res = idxLoad(userId, modelId, cfg)
-          .searchBatch(queries, k, nProbe, asOf = asOf,
-            metadataFilter = metadataFilter)
+        val res = probedBatch(idxLoad(userId, modelId, cfg), queries)
           .localCheckpoint(true)
         val hitCounts = res.groupBy(col("query_id"))
           .agg(org.apache.spark.sql.functions.count(lit(1)).as("n"))
@@ -877,71 +884,16 @@ class VectorStoreCatalog(spark: SparkSession, val root: String) {
       nProbe: Int = 8,
       preFilterCap: Long = graft.ml.IvfIndex.DefaultPreFilterCap,
       asOf: Option[Long] = None): graft.ml.IvfIndex.AdaptiveSearch = {
-    require(queryVecs.nonEmpty && queryVecs.size <= VectorStoreCatalog.MaxBatchQueries,
-      s"batch size ${queryVecs.size} outside [1, ${VectorStoreCatalog.MaxBatchQueries}]")
-    require(k >= 1 && k <= VectorStoreCatalog.MaxBatchK,
-      s"k=$k outside [1, ${VectorStoreCatalog.MaxBatchK}]")
     require(typedFilter.nonEmpty,
       "adaptive planning needs a filter; use batchQuery() for unfiltered batches")
-    require(preFilterCap >= 1, s"preFilterCap must be >= 1, got $preFilterCap")
-    val cfg = config(userId, modelId)
-    queryVecs.foreach(q => require(q.length == cfg.dimension,
-      s"query dimension ${q.length} != store dimension ${cfg.dimension}"))
-    asOf.foreach(e => requirePin(userId, modelId, e))
-    import spark.implicits._
-    val queries = queryVecs.zipWithIndex
-      .map { case (v, i) => (i.toLong, v) }
-      .toDF("query_id", "query_vec")
     val pred = TypedMeta.typedPredicate(col("meta"), typedFilter)
-    def base = asOf.fold(load(userId, modelId))(e => loadAt(userId, modelId, e))
-    val hint =
-      if (asOf.isEmpty && typedFilter.size == 1) {
-        val (k0, v0) = typedFilter.head
+    batchAdaptiveImpl(userId, modelId, queryVecs, k, nProbe, preFilterCap,
+      asOf, pred,
+      typedFilter.toSeq.map { case (k0, v0) =>
         metaStatsCountTyped(userId, modelId, k0, v0)
-      } else None
-    val bound =
-      if (asOf.isEmpty && typedFilter.size > 1) {
-        val per = typedFilter.toSeq.map { case (k0, v0) =>
-          metaStatsCountTyped(userId, modelId, k0, v0)
-        }
-        if (per.forall(_.isDefined)) Some(per.flatten.min) else None
-      } else None
-    def filteredBatch(path: String): graft.ml.IvfIndex.AdaptiveSearch = {
-      val obs = org.apache.spark.sql.Observation()
-      val filtered = base.filter(pred)
-        .observe(obs, org.apache.spark.sql.functions.count(lit(1)).as("m"))
-      val hits = Knn.batchTopK(queries, filtered, k, cfg.metric)
-        .localCheckpoint(true)
-      graft.ml.IvfIndex.AdaptiveSearch(path,
-        obs.get("m").asInstanceOf[Long], hits)
-    }
-    if (!hasIvf(userId, modelId, cfg))
-      return filteredBatch(graft.ml.IvfIndex.PathExactScan)
-    val matches: Long = hint match {
-      case Some(m) => m
-      case None if bound.exists(_ <= preFilterCap) =>
-        return filteredBatch(graft.ml.IvfIndex.PathPrefilterExact)
-      case None => base.filter(pred).count()
-    }
-    if (matches <= preFilterCap) filteredBatch(graft.ml.IvfIndex.PathPrefilterExact)
-    else {
-      try {
-        val res = idxLoad(userId, modelId, cfg)
-          .searchBatch(queries, k, nProbe, asOf = asOf,
-            predicate = Some(pred))
-          .localCheckpoint(true)
-        val hitCounts = res.groupBy(col("query_id"))
-          .agg(org.apache.spark.sql.functions.count(lit(1)).as("n"))
-          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-        val underfilled = queryVecs.indices.exists(i =>
-          hitCounts.getOrElse(i.toLong, 0L) < k)
-        if (underfilled) filteredBatch(graft.ml.IvfIndex.PathExactScan)
-        else graft.ml.IvfIndex.AdaptiveSearch(
-          graft.ml.IvfIndex.PathIvfPostfilter, matches, res)
-      } catch {
-        case _: Exception => filteredBatch(graft.ml.IvfIndex.PathExactScan)
-      }
-    }
+      },
+      (idx, queries) => idx.searchBatch(queries, k, nProbe, asOf = asOf,
+        predicate = Some(pred)))
   }
 
   /** Compaction (the reference's admin `optimize` endpoint references a
@@ -1088,7 +1040,14 @@ class VectorStoreCatalog(spark: SparkSession, val root: String) {
     fs.delete(new Path(tmp), true) // leftovers from a prior crash
     write(tmp)
     fs.delete(dst, true)
-    fs.rename(new Path(tmp), dst)
+    // HDFS-style rename FAILS by returning false, not throwing — ignoring
+    // it would silently leave stats absent (dst already deleted) while
+    // the caller believes they are armed. Absent stats are CORRECT
+    // (live-count fallback), but the failure must be loud.
+    if (!fs.rename(new Path(tmp), dst))
+      throw new IllegalStateException(
+        s"meta stats publish failed: rename $tmp -> $dst returned false; " +
+          "statistics are unpublished (queries fall back to live counts)")
   }
 
   /** Persist per-(key, value) metadata cardinalities for the CURRENT

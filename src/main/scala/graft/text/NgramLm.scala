@@ -560,6 +560,18 @@ object NgramLm {
   // Fully-distributed trigram KN — the NO-DRIVER-TABLE path.
   // --------------------------------------------------------------------
 
+  /** Run `body`; if it throws, unpersist `frames` first. A validation
+    * that fires AFTER a `.persist()` (empty-table requires, scalar
+    * aggregates) would otherwise leak the cached frame forever — no
+    * handle ever reaches the caller, so the frames' own `unpersist()`
+    * can never run, and in a long-lived session repeatedly-failing
+    * trainings accumulate dead cached blocks that evict live ones.
+    */
+  private def orUnpersist[T](frames: DataFrame*)(body: => T): T =
+    try body catch {
+      case e: Throwable => frames.foreach(_.unpersist()); throw e
+    }
+
   /** [[Kn3Model]] with every gram table living as a DataFrame instead of
     * a driver HashMap — the shape for an LM whose pruned table does NOT
     * fit executor memory (the ceiling [[trainKn3]]'s scaladoc documents).
@@ -625,19 +637,23 @@ object NgramLm {
       .select(col("p").getItem(0).as("u"), col("p").getItem(1).as("v"),
         col("p").getItem(2).as("w"), col("c"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    require(tri.head(1).nonEmpty,
-      "KN3 needs a nonempty pruned trigram table; lower minTrigramCount")
-    val triHist = tri.groupBy(col("u"), col("v"))
-      .agg(sum(col("c")).as("ht"), count(lit(1)).as("hd"))
-    // each pruned-table row is one distinct u per (v, w) — trainKn3's
-    // continuation-count convention, row for row
-    val midC = tri.groupBy(col("v"), col("w")).agg(count(lit(1)).as("mc"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val midHist = midC.groupBy(col("v"))
-      .agg(sum(col("mc")).as("mt"), count(lit(1)).as("md"))
-    val contC = midC.groupBy(col("w")).agg(count(lit(1)).as("cc"))
-    val mTypes = midC.count()
-    Kn3Frames(tri, triHist, midC, midHist, contC, mTypes, vocabSize, d, k)
+    orUnpersist(tri) {
+      require(tri.head(1).nonEmpty,
+        "KN3 needs a nonempty pruned trigram table; lower minTrigramCount")
+      val triHist = tri.groupBy(col("u"), col("v"))
+        .agg(sum(col("c")).as("ht"), count(lit(1)).as("hd"))
+      // each pruned-table row is one distinct u per (v, w) — trainKn3's
+      // continuation-count convention, row for row
+      val midC = tri.groupBy(col("v"), col("w")).agg(count(lit(1)).as("mc"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      orUnpersist(midC) {
+        val midHist = midC.groupBy(col("v"))
+          .agg(sum(col("mc")).as("mt"), count(lit(1)).as("md"))
+        val contC = midC.groupBy(col("w")).agg(count(lit(1)).as("cc"))
+        val mTypes = midC.count()
+        Kn3Frames(tri, triHist, midC, midHist, contC, mTypes, vocabSize, d, k)
+      }
+    }
   }
 
   /** Score per-document trigram-KN perplexity against [[Kn3Frames]] —
@@ -793,27 +809,31 @@ object NgramLm {
       .select(col("p").getItem(0).as("u"), col("p").getItem(1).as("v"),
         col("p").getItem(2).as("w"), col("c"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    require(tri.head(1).nonEmpty, "modified KN needs a nonempty trigram table")
-    val (tn1, tn2, tn3, tn4) = countOfCounts(tri, "c")
-    val (td1, td2, td3) = estimateDiscountsFromCoc(tn1, tn2, tn3, tn4)
-    val triHist = tri.groupBy(col("u"), col("v")).agg(
-      sum(col("c")).as("ht"),
-      count(when(col("c") === 1, 1)).as("tn1"),
-      count(when(col("c") === 2, 1)).as("tn2"),
-      count(when(col("c") >= 3, 1)).as("tn3"))
-    val midC = tri.groupBy(col("v"), col("w")).agg(count(lit(1)).as("mc"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val (mn1, mn2, mn3, mn4) = countOfCounts(midC, "mc")
-    val (md1, md2, md3) = estimateDiscountsFromCoc(mn1, mn2, mn3, mn4)
-    val midHist = midC.groupBy(col("v")).agg(
-      sum(col("mc")).as("mt"),
-      count(when(col("mc") === 1, 1)).as("mn1"),
-      count(when(col("mc") === 2, 1)).as("mn2"),
-      count(when(col("mc") >= 3, 1)).as("mn3"))
-    val contC = midC.groupBy(col("w")).agg(count(lit(1)).as("cc"))
-    val mTypes = midC.count()
-    Kn3ModFrames(tri, triHist, midC, midHist, contC, mTypes, vocabSize,
-      td1, td2, td3, md1, md2, md3, k)
+    orUnpersist(tri) {
+      require(tri.head(1).nonEmpty, "modified KN needs a nonempty trigram table")
+      val (tn1, tn2, tn3, tn4) = countOfCounts(tri, "c")
+      val (td1, td2, td3) = estimateDiscountsFromCoc(tn1, tn2, tn3, tn4)
+      val triHist = tri.groupBy(col("u"), col("v")).agg(
+        sum(col("c")).as("ht"),
+        count(when(col("c") === 1, 1)).as("tn1"),
+        count(when(col("c") === 2, 1)).as("tn2"),
+        count(when(col("c") >= 3, 1)).as("tn3"))
+      val midC = tri.groupBy(col("v"), col("w")).agg(count(lit(1)).as("mc"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      orUnpersist(midC) {
+        val (mn1, mn2, mn3, mn4) = countOfCounts(midC, "mc")
+        val (md1, md2, md3) = estimateDiscountsFromCoc(mn1, mn2, mn3, mn4)
+        val midHist = midC.groupBy(col("v")).agg(
+          sum(col("mc")).as("mt"),
+          count(when(col("mc") === 1, 1)).as("mn1"),
+          count(when(col("mc") === 2, 1)).as("mn2"),
+          count(when(col("mc") >= 3, 1)).as("mn3"))
+        val contC = midC.groupBy(col("w")).agg(count(lit(1)).as("cc"))
+        val mTypes = midC.count()
+        Kn3ModFrames(tri, triHist, midC, midHist, contC, mTypes, vocabSize,
+          td1, td2, td3, md1, md2, md3, k)
+      }
+    }
   }
 
   /** Modified-KN scoring against [[Kn3ModFrames]] — `LmExpressions
@@ -952,17 +972,31 @@ object NgramLm {
       d: Double = 0.75,
       k: Double = 0.1): KnFrames = {
     require(d > 0 && d < 1, s"discount must be in (0,1), got $d")
+    // vocab is persisted for the duration of TRAINING only: it feeds the
+    // semi-join inside bi AND the vocabSize scalar, and recomputing it
+    // (a full-corpus token explode + global top-k) for the second use
+    // would double the vocab cost. KN scoring never touches it, so it
+    // unpersists before return — unlike trainDistributed, whose frames
+    // carry it into the scoring joins.
     val vocab = vocabFrame(docs, textCol, maxVocab)
-    val bi = bigramFrame(docs, textCol, minBigramCount, vocab)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    require(bi.head(1).nonEmpty,
-      "KN needs a nonempty pruned bigram table; lower minBigramCount")
-    val hist = bi.groupBy(col("h"))
-      .agg(sum(col("c")).as("ht"), count(lit(1)).as("hd"))
-    val contC = bi.groupBy(col("w")).agg(count(lit(1)).as("cc"))
-    val bTypes = bi.count()
-    val vocabSize = vocab.count().toInt
-    KnFrames(bi, hist, contC, bTypes, vocabSize, d, k)
+    try {
+      val bi = bigramFrame(docs, textCol, minBigramCount, vocab)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      orUnpersist(bi) {
+        require(bi.head(1).nonEmpty,
+          "KN needs a nonempty pruned bigram table; lower minBigramCount")
+        val hist = bi.groupBy(col("h"))
+          .agg(sum(col("c")).as("ht"), count(lit(1)).as("hd"))
+        val contC = bi.groupBy(col("w")).agg(count(lit(1)).as("cc"))
+        val bTypes = bi.count() // materializes bi fully (through the cache)
+        val vocabSize = vocab.count().toInt
+        KnFrames(bi, hist, contC, bTypes, vocabSize, d, k)
+      }
+    } finally {
+      vocab.unpersist()
+      ()
+    }
   }
 
   /** Per-document interpolated-KN perplexity against [[KnFrames]] — the
@@ -1038,11 +1072,15 @@ object NgramLm {
       k: Double = 0.1): LmFrames = {
     val vocab = vocabFrame(docs, textCol, maxVocab)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val total = vocab.agg(coalesce(sum(col("c")), lit(0L))).head().getLong(0)
-    require(total > 0, "empty training corpus")
-    val bi = bigramFrame(docs, textCol, minBigramCount, vocab)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    LmFrames(vocab, bi, vocab.count().toInt, total, k)
+    orUnpersist(vocab) {
+      val total = vocab.agg(coalesce(sum(col("c")), lit(0L))).head().getLong(0)
+      require(total > 0, "empty training corpus")
+      val bi = bigramFrame(docs, textCol, minBigramCount, vocab)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      orUnpersist(bi) {
+        LmFrames(vocab, bi, vocab.count().toInt, total, k)
+      }
+    }
   }
 
   /** Per-document add-k perplexity against [[LmFrames]] — the join twin

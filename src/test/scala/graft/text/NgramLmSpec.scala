@@ -443,6 +443,38 @@ class NgramLmSpec extends AnyFunSuite with SparkSpec {
     fm2.unpersist()
   }
 
+  test("distributed trainers never leak cached frames on their error " +
+      "paths: a require firing after a persist unpersists first") {
+    def cachedRdds(): Int = spark.sparkContext.getPersistentRDDs.size
+    val junk = Seq((1L, "x y z")).toDF("doc_id", "text")
+    val before = cachedRdds()
+    // every pruned table is empty at this minimum count -> the nonempty
+    // require fires AFTER the frame was persisted
+    intercept[IllegalArgumentException] {
+      NgramLm.trainKnDistributed(junk, "text", minBigramCount = 99L)
+    }
+    intercept[IllegalArgumentException] {
+      NgramLm.trainKn3Distributed(junk, "text", minTrigramCount = 99L)
+    }
+    // empty corpus: add-k's total-tokens require fires after vocab persist
+    intercept[IllegalArgumentException] {
+      NgramLm.trainDistributed(
+        Seq((1L, "")).toDF("doc_id", "text"), "text")
+    }
+    assert(cachedRdds() == before,
+      s"failed trainings must not leave cached frames behind " +
+        s"(before=$before after=${cachedRdds()})")
+    // the success path of trainKnDistributed also releases its
+    // training-only vocab cache (only the bigram frame survives, and
+    // KnFrames.unpersist releases that)
+    val fm = NgramLm.trainKnDistributed(docs.limit(50), "text",
+      maxVocab = 64, minBigramCount = 1)
+    assert(cachedRdds() == before + 1,
+      "only the bigram frame may stay cached after training")
+    fm.unpersist()
+    assert(cachedRdds() == before)
+  }
+
   test("distributed add-k frames: identical model and perplexities to the " +
       "broadcast route, pruned-history backoff honored, empty docs 0") {
     val train = docs.filter($"doc_id" % 4 =!= 0)
