@@ -250,5 +250,64 @@ class IvfIndexSpec extends AnyFunSuite with SparkSpec {
         store.filter(element_at($"meta", "par") === "1"), qv, 5)
       .select($"id").collect().map(_.getLong(0)).toSeq,
       "the hinted prefilter path is still the exact filtered top-k")
+    // a matchBound at or under the cap proves prefilter-exact with NO
+    // count job, and the reported matches is the OBSERVED exact count
+    // (not the bound): bound 80 >= true 50
+    val bounded = idx.searchAdaptive(qv, k = 5, nProbe = 4,
+      metadataFilter = Map("lowid" -> "y"), preFilterCap = 100,
+      matchBound = Some(80L))
+    assert(bounded.path == IvfIndex.PathPrefilterExact &&
+      bounded.matches == 50L,
+      s"bound plans the path, observation reports the truth: $bounded")
+    assert(bounded.hits.select($"id").collect().map(_.getLong(0)).toSeq
+      == want)
+    // a bound ABOVE the cap proves nothing: the live count decides (250
+    // matches > cap -> probed), never a silent prefilter on a loose bound
+    val loose = idx.searchAdaptive(qv, k = 5, nProbe = 4,
+      metadataFilter = Map("par" -> "1"), preFilterCap = 100,
+      matchBound = Some(5000L))
+    assert(loose.path == IvfIndex.PathIvfPostfilter && loose.matches == 250L)
+  }
+
+  test("filtered searchBatch: the filter composes with list pruning — " +
+      "full probe equals the exact filtered batch, the probed plan keeps " +
+      "the list_id partition filter and stays product-free") {
+    val root = java.nio.file.Files.createTempDirectory("graft_ivf_fb").toString
+    val store = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select($"vec_id".as("id"), $"embedding".as("vector"),
+        map(lit("par"), ($"vec_id" % 2).cast("string")).as("meta"))
+    val cents = store.filter($"id" < 8).orderBy($"id").select($"vector")
+      .collect().map(_.getSeq[Float](0).toArray.map(_.toDouble))
+    val idx = IvfIndex.buildWithCentroids(store, "id", "vector", root, cents)
+    val queries = store.filter($"id" < 4)
+      .select($"id".as("query_id"), $"vector".as("query_vec"))
+    // full probe: pre-filtering inside every list IS the exact filtered
+    // batch (string filter and the equivalent predicate agree)
+    val exact = Knn.batchTopK(queries,
+        store.filter(element_at($"meta", "par") === "1"), 5)
+      .select($"query_id", $"id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val viaFilter = idx.searchBatch(queries, 5, nProbe = 8,
+        metadataFilter = Map("par" -> "1"))
+      .select($"query_id", $"id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(viaFilter == exact, "full-probe filtered batch must be exact")
+    val viaPred = idx.searchBatch(queries, 5, nProbe = 8,
+        predicate = Some(element_at($"meta", "par") === "1"))
+      .select($"query_id", $"id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(viaPred == exact, "predicate form must equal the string form")
+    // plan shape at partial probe: the filter must not defeat the
+    // list_id pruning, and the batch join stays an equi-join (no
+    // product, no nested loop — the 100 TB shape)
+    val plan = idx.searchBatch(queries, 5, nProbe = 2,
+        metadataFilter = Map("par" -> "1"))
+      .queryExecution.executedPlan.toString()
+    assert("PartitionFilters: \\[.*list_id.*IN".r.findFirstIn(plan).isDefined,
+      s"filtered batch must keep the list_id partition filter:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoop"),
+      s"filtered batch must stay equi-joined:\n$plan")
   }
 }

@@ -955,6 +955,13 @@ class StreamsSpec extends AnyFunSuite with SparkSpec {
     feed(2, None)
     assert(catalog.metaStatsCount("stream", "st", "b", "x").contains(15L),
       "append micro-batches must maintain refreshed stats")
+    // the TYPED surface reads the same stream-maintained statistics: a
+    // String typed filter matches the raw stored values through the
+    // legacy-bare rule, so the stored-encoding inverse serves the same
+    // count (stream-fed stores never need a re-ingest for typed planning)
+    assert(catalog.metaStatsCountTyped("stream", "st", "b", "x")
+      .contains(15L),
+      "typed lookups must read stream-maintained stats")
     // arm the vacuum lever and feed past the cadence: the fold is a
     // LAYOUT-ONLY commit — content is preserved, so the stats re-stamp
     // and the store stays planable through the entire retention cycle
