@@ -639,6 +639,23 @@ class CatalogOpsSpec extends AnyFunSuite with SparkSpec {
     assert(broadTyped.path == graft.ml.IvfIndex.PathIvfPostfilter)
     assert(broadTyped.hits.select($"query_id", $"id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq == ref)
+    // the pin contract holds on the batch-adaptive surface: a pinned
+    // batch live-counts its own corpus (stats lookups never run) and
+    // serves from the snapshot; later appends are invisible to it
+    val e0 = cat.epochs("u", "ba").head
+    val rnd2 = new scala.util.Random(42)
+    cat.addVectors("u", "ba", Seq.fill(20)(
+      (Seq.fill(8)(rnd2.nextFloat()), Map("tag" -> "hot")))
+      .toDF("vector", "meta"))
+    val live2 = cat.batchQueryAdaptive("u", "ba", queries, 2, Map("tag" -> "hot"))
+    assert(live2.matches == 35L, "live batch sees the appended rows")
+    val pinned = cat.batchQueryAdaptive("u", "ba", queries, 2,
+      Map("tag" -> "hot"), asOf = Some(e0))
+    assert(pinned.matches == 15L,
+      "a pinned batch must count its own corpus, never the live stats")
+    assert(pinned.hits.select($"query_id", $"id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq == ref,
+      "pinned batch hits must come from the snapshot")
     // argument errors are loud, never a silent plan degrade
     intercept[IllegalArgumentException] {
       cat.batchQueryAdaptive("u", "ba", queries, 2, Map("tag" -> "hot"),
