@@ -620,7 +620,19 @@ class VectorStoreCatalog(spark: SparkSession, val root: String) {
 
   def count(userId: String, modelId: String): Long = load(userId, modelId).count()
 
-  /** Cross-store stats (reference api/routes/vectors.py:121-141). */
+  /** Cross-store stats (reference api/routes/vectors.py:121-141).
+    *
+    * Epoch-committed stores answer from PURE COMMIT-LOG ARITHMETIC
+    * ([[graft.operators.EpochLog.sizeStats]] — every add/replace row
+    * carries its observed row count, folds carry their folded sum), so
+    * the admin stats surface costs one KB-sized log read per store
+    * instead of a full data scan per tenant — at many-tenant / 100 TB
+    * scale the difference between an instant listing and a cluster-wide
+    * scan storm. Legacy flat-layout stores (no log) keep the honest
+    * count scan. q161 oracle-locks the numbers against generative
+    * counts; [[healthCheck]] remains the scan-based cross-check that
+    * would surface a lying commit row.
+    */
   def stats(): DataFrame = {
     import spark.implicits._
     val stores = list()
@@ -628,11 +640,12 @@ class VectorStoreCatalog(spark: SparkSession, val root: String) {
       return Seq.empty[(String, String, Long)].toDF("user_id", "model_id", "vector_count")
     stores
       .map { case (u, m) =>
-        load(u, m).select(lit(u).as("user_id"), lit(m).as("model_id"))
-          .groupBy("user_id", "model_id")
-          .agg(org.apache.spark.sql.functions.count(lit(1)).as("vector_count"))
+        val n =
+          if (epochMode(u, m)) storeLog(u, m).sizeStats()._2
+          else load(u, m).count()
+        (u, m, n)
       }
-      .reduce(_ unionAll _)
+      .toDF("user_id", "model_id", "vector_count")
   }
 
   /** Delete-by-predicate — declared but never shipped in the reference

@@ -706,6 +706,38 @@ class CatalogOpsSpec extends AnyFunSuite with SparkSpec {
     assert(after == before, "the sweep must be invisible to queries")
   }
 
+  test("stats(): commit-log arithmetic tracks the data scan through the " +
+      "whole lifecycle (append, delete, optimize, vacuum, clear)") {
+    val cat = newCatalog
+    val rnd = new scala.util.Random(71)
+    def batch(n: Int, tag: String) = (0 until n)
+      .map(_ => (Seq.fill(8)(rnd.nextFloat()), Map("tag" -> tag)))
+      .toDF("vector", "meta")
+    Seq("a", "b").foreach { m =>
+      cat.create("u", m, StoreConfig(dimension = 8))
+      cat.addVectors("u", m, batch(25, "x"))
+      cat.addVectors("u", m, batch(15, "y"))
+    }
+    def statsMap(): Map[String, Long] = cat.stats().collect()
+      .map(r => r.getString(1) -> r.getLong(2)).toMap
+    def scanMap(): Map[String, Long] =
+      Seq("a", "b").map(m => m -> cat.load("u", m).count()).toMap
+    assert(statsMap() == scanMap() && statsMap()("a") == 40L)
+    cat.deleteVectors("u", "a", element_at(col("meta"), "tag") === "y")
+    assert(statsMap() == scanMap() && statsMap()("a") == 25L,
+      "a delete's replace row must carry the kept count")
+    cat.addVectors("u", "a", batch(5, "z"))
+    cat.vacuum("u", "a", keepLast = 1)
+    assert(statsMap() == scanMap() && statsMap()("a") == 30L,
+      "a vacuum fold must preserve the commit-unit totals")
+    cat.optimize("u", "b", targetFileBytes = 1L << 20)
+    assert(statsMap() == scanMap() && statsMap()("b") == 40L,
+      "a compaction replace must carry the full count")
+    cat.clear("u", "b")
+    assert(statsMap() == scanMap() && statsMap()("b") == 0L,
+      "a cleared store reads zero through the log path too")
+  }
+
   test("meta stats publish is atomic: a leftover temp dir from a crashed " +
       "publish is swept, and the published stats stay readable") {
     val cat = newCatalog
