@@ -12,13 +12,6 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object LmUtil {
 
-  /** Per-token average negative log2 likelihood -> perplexity 2^H.
-    * First token scores against the unigram distribution; token i > 0
-    * against P(w_i | w_{i-1}) = (c(bigram)+k) / (c(w_{i-1}) + k*V).
-    * Unseen history backs off to the unigram estimate for the token.
-    * Empty text scores perplexity = vocabSize + totalTokens upper bound?
-    * No: defined as +Infinity-free — empty text returns 0.0 (no evidence).
-    */
   /** THE scoring kernel — one copy, both surfaces fold over it. Per-token
     * log2 probabilities: first token against the unigram distribution;
     * token i > 0 against P(w_i | w_{i-1}) = (c(bigram)+k) / (c(w_{i-1}) +

@@ -748,7 +748,124 @@ object Streams {
       maxPplX1e4: Long = 310000L,
       checkpoint: Option[String] = None,
       onBatch: (DataFrame, Long) => Unit = (_, _) => (),
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    gateStream(docs, checkpoint, trigger, onBatch) { batch =>
+      qualityGate(batch, rates, model, idCol, textCol, langCol,
+        minEntropyX1e4, maxPplX1e4)
+    }
+
+  /** [[qualityGateStream]] with the model as DISTRIBUTED FRAMES
+    * ([[graft.text.NgramLm.KnFrames]]) — the gate for a reference corpus
+    * whose pruned bigram table outgrows the broadcast ceiling
+    * ([[graft.text.NgramLm.trainKn]] refuses past `maxBigrams`;
+    * `LmProbe` measured the broadcast scorer 12.3× slower already at
+    * ~2.2M pruned rows). Same gate decisions byte for byte — q178 pins
+    * that the frames scorer reproduces the kernel's perplexities, and
+    * q182 pins the WHOLE gate against q145's oracle — reached through
+    * three LEFT equi-joins per micro-batch instead of a broadcast map
+    * probe. The frames' persisted blocks are the CALLER's lifetime to
+    * manage (train before start, `frames.unpersist()` after the stream
+    * stops), the same pay-statistics-once discipline as `rates`/`model`.
+    */
+  def qualityGateStreamFrames(
+      docs: DataFrame,
+      rates: Map[String, Double],
+      frames: graft.text.NgramLm.KnFrames,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      langCol: String = "lang",
+      minEntropyX1e4: Long = 28000L,
+      maxPplX1e4: Long = 310000L,
+      checkpoint: Option[String] = None,
+      onBatch: (DataFrame, Long) => Unit = (_, _) => (),
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    gateStream(docs, checkpoint, trigger, onBatch) { batch =>
+      qualityGateFrames(batch, rates, frames, idCol, textCol, langCol,
+        minEntropyX1e4, maxPplX1e4)
+    }
+
+  /** The gate pipeline as a BATCH surface (q145's composition as a
+    * function): temperature-flattened language mix → token-entropy floor
+    * → Kneser–Ney perplexity ceiling, scored by the broadcast kernel.
+    * Output: (id LONG, <langCol>, entropy_x1e4, ppl_x1e4) — survivors
+    * only. The stream form chops this per micro-batch; every stage is
+    * per-row deterministic, so chopping is invisible (q146 == q145).
+    */
+  def qualityGate(
+      docs: DataFrame,
+      rates: Map[String, Double],
+      model: graft.text.NgramLm.KnModel,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      langCol: String = "lang",
+      minEntropyX1e4: Long = 28000L,
+      maxPplX1e4: Long = 310000L): DataFrame =
+    gateBody(docs, rates, idCol, textCol, langCol, minEntropyX1e4,
+      maxPplX1e4) { gated =>
+      gated.withColumn("ppl_x1e4",
+        round(graft.text.NgramLm.perplexityKn(col(textCol), model) * 10000)
+          .cast("long"))
+    }
+
+  /** [[qualityGate]] against [[graft.text.NgramLm.KnFrames]]: perplexity
+    * reached through [[graft.text.NgramLm.scoreKnDistributed]]'s three
+    * LEFT equi-joins (plan-guarded — no product, no nested-loop term),
+    * then equi-joined back onto the gated rows by id. Identical gate
+    * decisions to [[qualityGate]] whenever both routes can train (the
+    * frames model IS the broadcast model as frames); past the broadcast
+    * cap only this route exists.
+    */
+  def qualityGateFrames(
+      docs: DataFrame,
+      rates: Map[String, Double],
+      frames: graft.text.NgramLm.KnFrames,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      langCol: String = "lang",
+      minEntropyX1e4: Long = 28000L,
+      maxPplX1e4: Long = 310000L): DataFrame =
+    gateBody(docs, rates, idCol, textCol, langCol, minEntropyX1e4,
+      maxPplX1e4) { gated =>
+      val ppl = graft.text.NgramLm
+        .scoreKnDistributed(gated, idCol, textCol, frames)
+        .select(col(idCol),
+          round(col("ppl") * 10000).cast("long").as("ppl_x1e4"))
+      gated.join(ppl, Seq(idCol))
+    }
+
+  /** ONE copy of the gate's per-row decision chain, shared by both model
+    * routes and both surfaces (batch + per-micro-batch): mix lottery →
+    * entropy floor → (route-supplied) ppl_x1e4 column → perplexity
+    * ceiling. `score` receives the mixed+entropy-gated rows and must add
+    * `ppl_x1e4`.
+    */
+  private def gateBody(
+      docs: DataFrame,
+      rates: Map[String, Double],
+      idCol: String,
+      textCol: String,
+      langCol: String,
+      minEntropyX1e4: Long,
+      maxPplX1e4: Long)(score: DataFrame => DataFrame): DataFrame = {
+    val mixed = graft.operators.Curation.weightedSample(
+      docs, idCol, langCol, rates)
+    val ent = graft.text.TextAnalysis.tokenEntropy(mixed, idCol, textCol)
+      .filter(col("entropy_x1e4") > minEntropyX1e4)
+      .select(col("id").as(idCol), col("entropy_x1e4"))
+    score(mixed.join(ent, Seq(idCol)))
+      .select(col(idCol).cast("long").as("id"), col(langCol),
+        col("entropy_x1e4"), col("ppl_x1e4"))
+      .filter(col("ppl_x1e4") < maxPplX1e4)
+  }
+
+  /** Shared stream scaffolding for the gate family: stateless
+    * foreachBatch over `gate`, survivors to `onBatch`. */
+  private def gateStream(
+      docs: DataFrame,
+      checkpoint: Option[String],
+      trigger: Trigger,
+      onBatch: (DataFrame, Long) => Unit)(
+      gate: DataFrame => DataFrame): StreamingQuery = {
     val cp = checkpoint.getOrElse(
       java.nio.file.Files.createTempDirectory("graft_qgate_cp").toString)
     docs.writeStream
@@ -756,18 +873,7 @@ object Streams {
       .option("checkpointLocation", cp)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val mixed = graft.operators.Curation.weightedSample(
-          batch, idCol, langCol, rates)
-        val ent = graft.text.TextAnalysis.tokenEntropy(mixed, idCol, textCol)
-          .filter(col("entropy_x1e4") > minEntropyX1e4)
-          .select(col("id").as(idCol), col("entropy_x1e4"))
-        val out = mixed.join(ent, Seq(idCol))
-          .select(col(idCol).cast("long").as("id"), col(langCol),
-            col("entropy_x1e4"),
-            round(graft.text.NgramLm.perplexityKn(col(textCol), model) * 10000)
-              .cast("long").as("ppl_x1e4"))
-          .filter(col("ppl_x1e4") < maxPplX1e4)
-        onBatch(out, batchId)
+        onBatch(gate(batch), batchId)
         ()
       }
       .start()

@@ -857,6 +857,38 @@ class StreamsSpec extends AnyFunSuite with SparkSpec {
     assert(gotSet == want, s"stream ${gotSet.size} vs batch ${want.size}")
   }
 
+  test("qualityGateFrames: gates byte-identically to the broadcast model, " +
+      "and still gates past the broadcast cap where trainKn refuses") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", $"text", $"lang").localCheckpoint(true)
+    val rates = graft.operators.Curation.temperatureRates(docs, "lang", 0.5)
+    val ref = docs.filter($"doc_id" % 4 =!= 0)
+    // broadcast truth: the gate through the collected-table model
+    val model = graft.text.NgramLm.trainKn(ref, "text",
+      maxVocab = 256, minBigramCount = 2)
+    val want = Streams.qualityGate(docs, rates, model)
+      .as[(Long, String, Long, Long)].collect().toSet
+    assert(want.nonEmpty && want.size < docs.count(),
+      "the gate must actually drop something for the test to mean anything")
+    // the broadcast route REFUSES this corpus at a tiny table cap — the
+    // ceiling its scaladoc documents, hit for real here...
+    val refusal = intercept[IllegalArgumentException] {
+      graft.text.NgramLm.trainKn(ref, "text",
+        maxVocab = 256, minBigramCount = 2, maxBigrams = 4)
+    }
+    assert(refusal.getMessage.contains("maxBigrams"))
+    // ...while the frames route has no cap to hit: the SAME corpus trains
+    // (the pruned bigram table stays a DataFrame) and the gate's
+    // decisions are byte-identical to the broadcast truth
+    val frames = graft.text.NgramLm.trainKnDistributed(ref, "text",
+      maxVocab = 256, minBigramCount = 2)
+    try {
+      val got = Streams.qualityGateFrames(docs, rates, frames)
+        .as[(Long, String, Long, Long)].collect().toSet
+      assert(got == want, s"frames gate ${got.size} vs broadcast ${want.size}")
+    } finally frames.unpersist()
+  }
+
   test("ingestVectors streams JSONL drops into a store with status table") {
     import org.apache.spark.sql.types._
     val dropDir = tempDir("graft_vec_drop")
