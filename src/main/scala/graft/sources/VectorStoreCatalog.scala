@@ -742,28 +742,51 @@ class VectorStoreCatalog(spark: SparkSession, val root: String) {
     val queries = queryVecs.zipWithIndex
       .map { case (v, i) => (i.toLong, v) }
       .toDF("query_id", "query_vec")
-    def exact = Knn.batchTopK(queries,
-      asOf.fold(load(userId, modelId))(e => loadAt(userId, modelId, e)),
-      k, cfg.metric)
-    // same index selection, failure fallback AND underfill fallback as the
-    // single-query path: the probed result is pinned (bounded: <= M*k rows),
-    // so lazy-execution failures land inside the try, and any query that
-    // came back with fewer than k hits triggers the exact batch rescan
+    def store = asOf.fold(load(userId, modelId))(e => loadAt(userId, modelId, e))
+    def exact = Knn.batchTopK(queries, store, k, cfg.metric)
+    // same index selection and failure fallback as the single-query path:
+    // the probed result is pinned (bounded: <= M*k rows), so lazy-execution
+    // failures land inside the try. Underfill is healed PER QUERY: only the
+    // query ids that came back with fewer than k hits are rescanned exactly
+    // and unioned back — the satisfied queries keep their probed work
+    // (rescanning all M for one unlucky query is ~2x the work at M large).
     if (useIndex && hasIvf(userId, modelId, cfg)) {
       try {
         val res = idxLoad(userId, modelId, cfg)
           .searchBatch(queries, k, nProbe, asOf = asOf)
           .localCheckpoint(true)
-        val hitCounts = res.groupBy(col("query_id"))
-          .agg(org.apache.spark.sql.functions.count(lit(1)).as("n"))
-          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-        val underfilled = queryVecs.indices.exists(i =>
-          hitCounts.getOrElse(i.toLong, 0L) < k)
-        if (underfilled) exact else res
+        healUnderfill(res, queries, queryVecs.size, k)(under =>
+          Knn.batchTopK(queries.filter(col("query_id").isin(under: _*)),
+            store, k, cfg.metric))
       } catch {
         case _: Exception => exact
       }
     } else exact
+  }
+
+  /** Per-query underfill healing for the batch ANN surfaces: any
+    * `query_id` among the `nQueries` ids with fewer than `k` probed hits
+    * is handed to `rescan` (an EXACT batch over only those ids) and its
+    * probed rows are replaced by the exact ones; satisfied queries keep
+    * their probed rows untouched. Returns `probed` as-is when nothing
+    * underfilled (the common case pays one <= M-row collect and nothing
+    * else). The healed union is pinned eagerly like every batch result.
+    */
+  private def healUnderfill(
+      probed: DataFrame,
+      queries: DataFrame,
+      nQueries: Int,
+      k: Int)(rescan: Seq[Long] => DataFrame): DataFrame = {
+    val hitCounts = probed.groupBy(col("query_id"))
+      .agg(org.apache.spark.sql.functions.count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val under = (0 until nQueries).collect {
+      case i if hitCounts.getOrElse(i.toLong, 0L) < k => i.toLong
+    }
+    if (under.isEmpty) probed
+    else probed.filter(!col("query_id").isin(under: _*))
+      .unionByName(rescan(under))
+      .localCheckpoint(true)
   }
 
   /** [[batchQuery]] with [[queryAdaptive]]'s cardinality-adaptive filter
@@ -780,8 +803,10 @@ class VectorStoreCatalog(spark: SparkSession, val root: String) {
     *    bound made the decision).
     *  - `ivf_postfilter` (matches > cap): [[graft.ml.IvfIndex.searchBatch]]
     *    with the filter pushed inside the probed lists; any query that
-    *    comes back with fewer than k hits triggers the exact filtered
-    *    batch rescan ([[batchQuery]]'s underfill discipline).
+    *    comes back with fewer than k hits is rescanned EXACTLY against
+    *    the filtered store and only its rows replaced — the satisfied
+    *    queries keep their probed results ([[healUnderfill]], the same
+    *    per-query discipline as [[batchQuery]]).
     *  - non-IVF stores: `exact_scan`, same shape.
     *
     * Returns one [[graft.ml.IvfIndex.AdaptiveSearch]] whose `hits` carry
@@ -863,19 +888,20 @@ class VectorStoreCatalog(spark: SparkSession, val root: String) {
     }
     if (matches <= preFilterCap) filteredBatch(graft.ml.IvfIndex.PathPrefilterExact)
     else {
-      // probed path: filter inside the probed lists, per-query underfill
-      // falls back to the exact filtered batch ([[batchQuery]] semantics)
+      // probed path: filter inside the probed lists. Underfill is healed
+      // PER QUERY ([[healUnderfill]]): only the underfilled query ids are
+      // rescanned exactly against the FILTERED store and unioned back —
+      // the M-1 satisfied queries keep their probed work, and the batch's
+      // path label stays ivf_postfilter (that is the plan that was
+      // chosen; healing is a per-query repair, not a re-plan).
       try {
         val res = probedBatch(idxLoad(userId, modelId, cfg), queries)
           .localCheckpoint(true)
-        val hitCounts = res.groupBy(col("query_id"))
-          .agg(org.apache.spark.sql.functions.count(lit(1)).as("n"))
-          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-        val underfilled = queryVecs.indices.exists(i =>
-          hitCounts.getOrElse(i.toLong, 0L) < k)
-        if (underfilled) filteredBatch(graft.ml.IvfIndex.PathExactScan)
-        else graft.ml.IvfIndex.AdaptiveSearch(
-          graft.ml.IvfIndex.PathIvfPostfilter, matches, res)
+        val healed = healUnderfill(res, queries, queryVecs.size, k)(under =>
+          Knn.batchTopK(queries.filter(col("query_id").isin(under: _*)),
+            base.filter(pred), k, cfg.metric))
+        graft.ml.IvfIndex.AdaptiveSearch(
+          graft.ml.IvfIndex.PathIvfPostfilter, matches, healed)
       } catch {
         case _: Exception => filteredBatch(graft.ml.IvfIndex.PathExactScan)
       }

@@ -105,6 +105,59 @@ class CatalogOpsSpec extends AnyFunSuite with SparkSpec {
     assert(res.count() == 5, "underfilled batch ANN must fall back to exact")
   }
 
+  test("batch underfill healing is PER QUERY: satisfied queries keep their " +
+      "probed rows, only underfilled ids are rescanned exactly") {
+    val cat = newCatalog
+    cat.create("u", "mix", StoreConfig(dimension = 4))
+    // cluster A (5 vectors near (1,0,0,0)) and cluster B (3 near
+    // (0,1,0,0)); A's loose member (1,0,1.7,0) has cosine ~0.51 to the
+    // A-query while B's bridge member (1,1.2,0,0) has ~0.64 — the
+    // A-query's TRUE 5th neighbor lives in the OTHER list, so nProbe=1
+    // fills A's k=5 with a worse row than exact: probed != exact while
+    // still satisfied. The B-query's own list holds 3 < k rows.
+    val vecs = Seq(
+      Seq(1.0, 0.0, 0.0, 0.0), Seq(1.0, 0.0, 0.01, 0.0),
+      Seq(1.0, 0.0, 0.02, 0.0), Seq(1.0, 0.0, 0.03, 0.0),
+      Seq(1.0, 0.0, 1.7, 0.0), // loose A member: cosine 0.51 to A-query
+      Seq(0.0, 1.0, 0.0, 0.0), Seq(0.0, 1.0, 0.01, 0.0),
+      Seq(1.0, 1.2, 0.0, 0.0)) // bridge in B's list: cosine 0.64 to A-query
+    cat.addVectors("u", "mix",
+      vecs.map(v => (v, Map("t" -> "x"))).toDF("vector", "meta"))
+    cat.buildIndex("u", "mix", nLists = 2)
+    val qa = Seq(1.0, 0.0, 0.0, 0.0) // satisfied from its 5-row list
+    val qb = Seq(0.0, 1.0, 0.0, 0.0) // underfills: its list has 3 < 5
+    def ids(df: org.apache.spark.sql.DataFrame, q: Long): Set[Long] =
+      df.filter($"query_id" === q).select($"id").as[Long].collect().toSet
+    val bridgeId = cat.batchQuery("u", "mix", Seq(vecs(7)), 1,
+      useIndex = false).select($"id").as[Long].collect().head
+    val exact = cat.batchQuery("u", "mix", Seq(qa, qb), 5, useIndex = false)
+    // the precondition that makes the test discriminating: the bridge is
+    // in qa's exact top-5, and a one-list probe cannot see it
+    assert(ids(exact, 0L).contains(bridgeId),
+      "construction broken: bridge must be an exact top-5 hit for qa")
+
+    val healed = cat.batchQuery("u", "mix", Seq(qa, qb), 5, nProbe = 1)
+    assert(ids(healed, 1L) == ids(exact, 1L),
+      "underfilled query must be healed to the exact top-k")
+    val kept = ids(healed, 0L)
+    assert(kept.size == 5 && !kept.contains(bridgeId),
+      "satisfied query must keep its probed rows — a whole-batch rescan " +
+        "would have pulled the bridge in")
+
+    // the ADAPTIVE surface heals the same way: force the probed plan
+    // (matches=8 > cap=1), same mixed batch, same per-query discipline —
+    // and the batch's plan label stays ivf_postfilter (healing is a
+    // per-query repair, not a re-plan)
+    val ad = cat.batchQueryAdaptive("u", "mix", Seq(qa, qb), 5,
+      metadataFilter = Map("t" -> "x"), nProbe = 1, preFilterCap = 1)
+    assert(ad.path == graft.ml.IvfIndex.PathIvfPostfilter && ad.matches == 8L)
+    assert(ids(ad.hits, 1L) == ids(exact, 1L),
+      "adaptive: underfilled query must be healed to the exact filtered top-k")
+    val keptAd = ids(ad.hits, 0L)
+    assert(keptAd.size == 5 && !keptAd.contains(bridgeId),
+      "adaptive: satisfied query must keep its probed rows")
+  }
+
   test("ingest and delete are single-pass (job counts via SparkListener)") {
     val cat = newCatalog
     cat.create("u", "jc", StoreConfig(dimension = 4))
