@@ -181,10 +181,12 @@ class VectorStoreCatalog(spark: SparkSession, val root: String) {
     * append-only load indefinitely (the realistic serving shape).
     * Layout-only commits (optimize, vacuum) RE-STAMP via
     * [[reStampMetaStats]] — content is preserved, so are the numbers.
-    * Content-changing commits (delete, clear) deliberately invalidate:
-    * stats go stale and [[metaStatsCount]] falls back to the live count
-    * until the next refresh. Absent stats cost one existence check
-    * here — nothing.
+    * Content-CHANGING commits re-arm too, each from data the commit
+    * already wrote: delete recomputes from its kept slice
+    * ([[rearmMetaStatsFromSlice]]) and clear publishes empty stats —
+    * so a store that armed its statistics once stays planable through
+    * its whole lifecycle with no further [[refreshMetaStats]] call.
+    * Absent stats cost one existence check here — nothing.
     */
   private def maintainMetaStats(
       userId: String, modelId: String, epoch: Long): Unit = {
@@ -205,11 +207,56 @@ class VectorStoreCatalog(spark: SparkSession, val root: String) {
       .groupBy(col("key"), col("value"))
       .agg(org.apache.spark.sql.functions.count(lit(1)).as("n"))
     val merged = old.select(col("key"), col("value"), col("n"))
+      .filter(col("key").isNotNull) // drop the stamp row; re-added below
       .unionAll(batchCounts)
       .groupBy(col("key"), col("value")).agg(sum(col("n")).as("n"))
       .withColumn("stats_epoch", lit(epoch))
+      .unionByName(statsStampRow(epoch))
     publishMetaStats(userId, modelId)(tmp =>
       merged.write.mode("overwrite").parquet(tmp))
+  }
+
+  /** One NULL-key stamp row carried in every published stats table: it
+    * keeps `max(stats_epoch)` defined even when the store has no
+    * (key, value) pairs at all, so EMPTY statistics read as fresh true
+    * zeros instead of absent (a cleared store, or one whose rows carry
+    * no metadata, is planable too). Map keys are never NULL, so the row
+    * cannot collide with data, and every consumer's key-equality
+    * predicate skips it.
+    */
+  private def statsStampRow(epoch: Long): DataFrame =
+    spark.range(1).select(
+      lit(null).cast("string").as("key"),
+      lit(null).cast("string").as("value"),
+      lit(0L).as("n"),
+      lit(epoch).as("stats_epoch"))
+
+  /** Destructive-commit statistics re-arm: a REPLACE epoch's directory is
+    * the store's entire logical content, so statistics that were fresh
+    * before the delete are recomputed EXACTLY from the kept slice the
+    * delete just wrote — one batch-sized aggregation inside the same
+    * call, and the adaptive planner keeps its statistics through deletes
+    * instead of live-counting until a manual [[refreshMetaStats]].
+    * Already-stale stats stay stale (the refresh discipline unchanged).
+    * `prevLast` is the newest committed epoch BEFORE the replace (the
+    * commit prunes the log, so it cannot be recovered afterwards).
+    */
+  private def rearmMetaStatsFromSlice(
+      userId: String, modelId: String, prevLast: Long, epoch: Long): Unit = {
+    val p = new Path(metaStatsPath(userId, modelId))
+    if (!fs.exists(p)) return
+    val stamped = spark.read.parquet(p.toString)
+      .agg(max(col("stats_epoch"))).head()
+    if (stamped.isNullAt(0) || stamped.getLong(0) != prevLast) return
+    val counts = spark.read
+      .parquet(s"${dataPath(userId, modelId)}/epoch=$epoch")
+      .select(explode(col("meta")).as(Seq("key", "value")))
+      .groupBy(col("key"), col("value"))
+      .agg(org.apache.spark.sql.functions.count(lit(1)).as("n"))
+      .withColumn("stats_epoch", lit(epoch))
+      .unionByName(statsStampRow(epoch))
+    publishMetaStats(userId, modelId)(tmp =>
+      counts.write.mode("overwrite").parquet(tmp))
   }
 
   /** Layout-only commits (optimize's replace, vacuum's fold) preserve the
@@ -218,8 +265,7 @@ class VectorStoreCatalog(spark: SparkSession, val root: String) {
     * letting them lapse: the retention/compaction levers cost no
     * planability. `prevLast` is the newest committed epoch BEFORE the
     * commit (a replace prunes the whole history, so it cannot be
-    * recovered from the log afterwards). Only content-CHANGING commits
-    * (delete, clear) invalidate.
+    * recovered from the log afterwards).
     */
   private def reStampMetaStats(
       userId: String, modelId: String, prevLast: Long, epoch: Long): Unit = {
@@ -228,8 +274,9 @@ class VectorStoreCatalog(spark: SparkSession, val root: String) {
     val old = spark.read.parquet(p.toString)
     val stamped = old.agg(max(col("stats_epoch"))).head()
     if (stamped.isNullAt(0) || stamped.getLong(0) != prevLast) return
-    val restamped = old.drop("stats_epoch")
+    val restamped = old.filter(col("key").isNotNull).drop("stats_epoch")
       .withColumn("stats_epoch", lit(epoch))
+      .unionByName(statsStampRow(epoch))
     publishMetaStats(userId, modelId)(tmp =>
       restamped.write.mode("overwrite").parquet(tmp))
   }
@@ -691,12 +738,14 @@ class VectorStoreCatalog(spark: SparkSession, val root: String) {
       }
       val matched = obs.get("matched").asInstanceOf[Long]
       val keptRows = obs.get("scanned").asInstanceOf[Long] - matched
-      // the superseded epoch set must be captured BEFORE the replace commit:
-      // committing prunes the commit log itself, after which it can no
-      // longer be named
+      // the superseded epoch set AND the pre-replace last epoch must be
+      // captured BEFORE the replace commit: committing prunes the commit
+      // log itself, after which neither can be named
       val dead = log.allEpochs()
+      val prevLast = log.committedEpochs().lastOption.getOrElse(-1L)
       log.commit(epoch, "replace", keptRows)
       pruneEpochDirs(userId, modelId, log, dead)
+      rearmMetaStatsFromSlice(userId, modelId, prevLast, epoch)
       matched
     }
   }
@@ -1055,6 +1104,13 @@ class VectorStoreCatalog(spark: SparkSession, val root: String) {
     fs.delete(new Path(indexPath(userId, modelId)), true)
     fs.delete(new Path(metaStatsPath(userId, modelId)), true)
     fs.delete(new Path(metaStatsTmpPath(userId, modelId)), true)
+    // an empty store has EMPTY statistics, not absent ones: publish the
+    // bare stamp row at -1 (the empty log's epoch, [[EpochLog.nextEpoch]]'s
+    // base) so the first post-clear append's [[maintainMetaStats]] merges
+    // onto it — the store stays planable through a clear with no
+    // [[refreshMetaStats]] call anywhere in its lifecycle
+    publishMetaStats(userId, modelId)(tmp =>
+      statsStampRow(-1L).write.mode("overwrite").parquet(tmp))
   }
 
   private def metaStatsPath(userId: String, modelId: String) =
@@ -1095,24 +1151,32 @@ class VectorStoreCatalog(spark: SparkSession, val root: String) {
     * measures that job as the broad-path overhead). One aggregation over
     * the store's meta column; rows without meta are absent by
     * construction (a filter cannot match them). Stats are epoch-stamped:
-    * any later commit makes them stale and every consumer falls back to
-    * the live count automatically — refresh after maintenance to re-arm.
-    * Returns the number of distinct (key, value) rows written.
+    * a commit nothing maintained makes them stale and every consumer
+    * falls back to the live count automatically — but every commit
+    * family DOES maintain them in-line (append merges the batch, layout
+    * commits re-stamp, delete recomputes from its kept slice, clear
+    * publishes empty), so one refresh arms a store for life; this entry
+    * point remains for arming pre-existing stores and healing after a
+    * failed publish. Returns the number of distinct (key, value) rows
+    * written (the stamp row excluded).
     */
   def refreshMetaStats(userId: String, modelId: String): Long = {
     require(exists(userId, modelId), s"store $userId/$modelId does not exist")
     require(epochMode(userId, modelId),
       "meta stats are epoch-stamped; this store predates the epoch layout")
     val epoch = storeLog(userId, modelId).committedEpochs()
-      .lastOption.getOrElse(0L)
+      .lastOption.getOrElse(-1L) // empty log: the stamp consumers expect
     val tmp = load(userId, modelId)
       .select(explode(col("meta")).as(Seq("key", "value")))
       .groupBy(col("key"), col("value"))
       .agg(org.apache.spark.sql.functions.count(lit(1)).as("n"))
       .withColumn("stats_epoch", lit(epoch))
     val obs = org.apache.spark.sql.Observation()
+    // the stamp row rides outside the observation: the returned count is
+    // data rows only, and a store with NO metadata still arms (true zeros)
     publishMetaStats(userId, modelId)(dir =>
       tmp.observe(obs, org.apache.spark.sql.functions.count(lit(1)).as("rows"))
+        .unionByName(statsStampRow(epoch))
         .write.mode("overwrite").parquet(dir))
     obs.get("rows").asInstanceOf[Long]
   }
@@ -1132,8 +1196,12 @@ class VectorStoreCatalog(spark: SparkSession, val root: String) {
       value: String): Option[Long] = {
     val p = new Path(metaStatsPath(userId, modelId))
     if (!fs.exists(p) || !epochMode(userId, modelId)) return None
+    // -1 is the EMPTY log's epoch (nextEpoch's base): it can never equal
+    // a committed epoch, so empty-store stats stamped -1 read as fresh
+    // while stats stamped -1 on a store that has since committed read
+    // stale — the pre-r18 getOrElse(0L) collided with the first commit
     val cur = storeLog(userId, modelId).committedEpochs()
-      .lastOption.getOrElse(0L)
+      .lastOption.getOrElse(-1L)
     val df = spark.read.parquet(p.toString)
     val row = df.agg(
       max(col("stats_epoch")).as("e"),
@@ -1164,8 +1232,12 @@ class VectorStoreCatalog(spark: SparkSession, val root: String) {
       value: Any): Option[Long] = {
     val p = new Path(metaStatsPath(userId, modelId))
     if (!fs.exists(p) || !epochMode(userId, modelId)) return None
+    // -1 is the EMPTY log's epoch (nextEpoch's base): it can never equal
+    // a committed epoch, so empty-store stats stamped -1 read as fresh
+    // while stats stamped -1 on a store that has since committed read
+    // stale — the pre-r18 getOrElse(0L) collided with the first commit
     val cur = storeLog(userId, modelId).committedEpochs()
-      .lastOption.getOrElse(0L)
+      .lastOption.getOrElse(-1L)
     val df = spark.read.parquet(p.toString)
     val row = df.agg(
       max(col("stats_epoch")).as("e"),

@@ -479,8 +479,8 @@ class CatalogOpsSpec extends AnyFunSuite with SparkSpec {
   }
 
   test("meta stats: epoch-stamped counts serve queryAdaptive; appends " +
-      "maintain, layout-only commits re-stamp, deletes invalidate, and " +
-      "absent pairs under fresh stats are true zeros") {
+      "maintain, layout-only commits re-stamp, deletes re-arm from the " +
+      "kept slice, and absent pairs under fresh stats are true zeros") {
     val cat = newCatalog
     cat.create("u", "st", StoreConfig(dimension = 8))
     val rnd = new scala.util.Random(7)
@@ -524,22 +524,28 @@ class CatalogOpsSpec extends AnyFunSuite with SparkSpec {
     assert(cat.metaStatsCount("u", "st", "tag", "b").contains(15L),
       "a replace-compaction must re-stamp, not invalidate")
     assert(cat.metaStatsCount("u", "st", "tag", "a").contains(40L))
-    // DESTRUCTIVE commits invalidate: the count MUST see the shrink live
+    // DESTRUCTIVE commits RE-ARM from the kept slice: the count sees the
+    // shrink through recomputed statistics, fresh at the replace epoch
     val removed = cat.deleteVectors("u", "st",
       element_at(col("meta"), "tag") === "b")
     assert(removed == 15L)
-    assert(cat.metaStatsCount("u", "st", "tag", "b").isEmpty,
-      "stats must go stale on a destructive commit")
-    val live = cat.queryAdaptive("u", "st", q, 3, Map("tag" -> "a"))
-    assert(live.matches == 40L, "stale stats -> live count")
-    // refresh re-arms at the new epoch; a further append maintains again
-    cat.refreshMetaStats("u", "st")
-    assert(cat.metaStatsCount("u", "st", "tag", "a").contains(40L))
+    assert(cat.metaStatsCount("u", "st", "tag", "b").contains(0L),
+      "the deleted value reads as a fresh true zero after the re-arm")
+    assert(cat.metaStatsCount("u", "st", "tag", "a").contains(40L),
+      "the kept value's recomputed count is exact")
+    val armed = cat.queryAdaptive("u", "st", q, 3, Map("tag" -> "a"))
+    assert(armed.matches == 40L)
+    // a further append maintains the re-armed stats — the store has now
+    // crossed refresh -> append -> optimize -> delete -> append with ONE
+    // refresh call total
     cat.addVectors("u", "st", batch(3, "a"))
     assert(cat.metaStatsCount("u", "st", "tag", "a").contains(43L))
-    // clear() removes stats with the data
+    // clear() publishes EMPTY stats with the deletion (see the dedicated
+    // clear re-arm spec for the post-clear append lifecycle)
     cat.clear("u", "st")
-    assert(cat.metaStatsCount("u", "st", "tag", "a").isEmpty)
+    assert(cat.metaStatsCount("u", "st", "tag", "a").isEmpty,
+      "between clear and the first append the store is not epoch-mode — " +
+        "consumers live-count the empty store")
   }
 
   test("metaStatsCountTyped: the stored-encoding inverse serves typed " +
@@ -585,15 +591,50 @@ class CatalogOpsSpec extends AnyFunSuite with SparkSpec {
     val viaStats = cat.queryAdaptiveTyped("u", "ts", q, 3, Map("pri" -> 1))
     assert(viaStats.matches == 13000L,
       s"typed adaptive query must consult stats (got ${viaStats.matches})")
-    // STALE: a destructive commit invalidates; the same query live-counts.
+    // DESTRUCTIVE RE-ARM: the delete rewrites the kept set in one replace
+    // epoch and recomputes the stats from that same slice inside the call
+    // — the tampered numbers are recomputed away and the adaptive query
+    // plans from fresh EXACT statistics with no refreshMetaStats call.
     // (Raw equality, not typedEquals: deleteVectors drops NULL-predicate
     // rows by contract, and typedEquals is NULL on non-numeric encodings.)
     cat.deleteVectors("u", "ts", element_at(col("meta"), "pri") === "2")
-    assert(cat.metaStatsCountTyped("u", "ts", "pri", 1).isEmpty,
-      "stats must go stale on a destructive commit")
+    assert(cat.metaStatsCountTyped("u", "ts", "pri", 1).contains(13L),
+      "delete must re-arm stats from the kept slice (tamper recomputed away)")
+    assert(cat.metaStatsCountTyped("u", "ts", "pri", 2).contains(0L),
+      "the deleted value reads as a fresh true zero")
     val afterDelete = cat.queryAdaptiveTyped("u", "ts", q, 3, Map("pri" -> 1))
-    assert(afterDelete.matches == 13L,
-      "stale stats -> the typed surface provably live-counts")
+    assert(afterDelete.matches == 13L)
+    // prove post-delete planning is STATS-planned, not live-counted:
+    // tamper the re-armed stats (data rows only; the NULL-key stamp row
+    // keeps the freshness mark) and watch the tampered number surface
+    val tampered2 = spark.read.parquet(statsDir)
+      .withColumn("n",
+        when(col("key").isNotNull, col("n") * 1000).otherwise(col("n")))
+      .localCheckpoint(true)
+    tampered2.write.mode("overwrite").parquet(statsDir)
+    val viaStats2 = cat.queryAdaptiveTyped("u", "ts", q, 3, Map("pri" -> 1))
+    assert(viaStats2.matches == 13000L,
+      "the delete armed the planner: the very next adaptive query consults " +
+        s"statistics, no refresh anywhere (got ${viaStats2.matches})")
+  }
+
+  test("clear publishes empty statistics; the first post-clear append " +
+      "re-arms them through maintainMetaStats with no refresh call") {
+    val cat = newCatalog
+    cat.create("u", "cl", StoreConfig(dimension = 4))
+    cat.addVectors("u", "cl",
+      Seq((Seq(1.0, 0.0, 0.0, 0.0), Map("t" -> "x"))).toDF("vector", "meta"))
+    cat.refreshMetaStats("u", "cl")
+    assert(cat.metaStatsCount("u", "cl", "t", "x").contains(1L))
+    cat.clear("u", "cl")
+    // the first append after the clear commits the empty log's first
+    // epoch; maintenance merges the batch onto the published empty stats
+    cat.addVectors("u", "cl",
+      Seq((Seq(0.0, 1.0, 0.0, 0.0), Map("t" -> "y"))).toDF("vector", "meta"))
+    assert(cat.metaStatsCount("u", "cl", "t", "y").contains(1L),
+      "post-clear append must plan from maintained statistics")
+    assert(cat.metaStatsCount("u", "cl", "t", "x").contains(0L),
+      "the pre-clear value is a fresh true zero, not a stale survivor")
   }
 
   test("conjunction bound: min over fresh per-key stats plans " +
