@@ -3593,6 +3593,59 @@ object SparkEntry {
       shaped("a_sel", sel).unionAll(shaped("b_broad", broad))
     }),
 
+    // The typed CONJUNCTION bound oracle-locked (q177 x q175 — the r17
+    // verdict's remaining statistics gap): TWO typed keys, each stored in
+    // three encodings, filtered as {pri: 7, grp: 1}. Python == accepts
+    // the numeric classes and rejects the quoted twins on BOTH keys, so
+    // the conjunction is the residue class {37, 57} mod 60 (17 mod 60
+    // falls to pri's quoted class — the encoding legs genuinely prune).
+    // min over the two FRESH metaStatsCountTyped counts is a sound upper
+    // bound on the conjunction; bound <= cap plans prefilter_exact with
+    // NO count job (require-checked on path and per-key freshness) and
+    // the pass observes the exact matches itself. Phase b forces cap=1:
+    // the bound proves nothing, the live count decides, and the
+    // full-probe postfilter must reproduce the same exact top-5.
+    "q183_typed_conjunction_bound" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val root = tempIndexDir("graft_q183_store")
+      val cat = new sources.VectorStoreCatalog(s, root)
+      cat.create("u", "m", sources.StoreConfig(dimension = 64))
+      val priStr = (col("vec_id") % 10).cast("string")
+      val grpStr = (col("vec_id") % 4).cast("string")
+      cat.addVectors("u", "m", emb.select(col("embedding").as("vector"),
+        map(
+          lit("pri"), when(col("vec_id") % 3 === 0, priStr)
+            .when(col("vec_id") % 3 === 1, concat(priStr, lit(".0")))
+            .otherwise(concat(lit("\""), priStr, lit("\""))),
+          lit("grp"), when(col("vec_id") % 5 <= 1, grpStr)
+            .when(col("vec_id") % 5 <= 3, concat(grpStr, lit(".0")))
+            .otherwise(concat(lit("\""), grpStr, lit("\""))),
+          lit("vid"), col("vec_id").cast("string")).as("meta")))
+      cat.refreshMetaStats("u", "m")
+      cat.buildIndex("u", "m", nLists = 8) // layout-only: stats stay fresh
+      val filter: Map[String, Any] = Map("pri" -> 7, "grp" -> 1)
+      val perKey = filter.toSeq.map { case (k0, v0) =>
+        cat.metaStatsCountTyped("u", "m", k0, v0)
+      }
+      require(perKey.forall(_.isDefined),
+        "per-key typed stats must be fresh so the bound, not a count job, plans")
+      val qv = emb.filter(col("vec_id") === 0).select(col("embedding"))
+        .head().getSeq[Float](0).map(_.toDouble).toSeq
+      def shaped(phase: String, r: graft.ml.IvfIndex.AdaptiveSearch) =
+        r.hits.select(lit(phase).as("phase"), lit(r.path).as("path"),
+          lit(r.matches).as("matches"),
+          element_at(col("meta"), "vid").cast("long").as("vid"),
+          col("rank").cast("long").as("rnk"))
+      val viaBound = cat.queryAdaptiveTyped("u", "m", qv, 5, filter)
+      require(viaBound.path == graft.ml.IvfIndex.PathPrefilterExact,
+        "typed bound <= cap must pick prefilter_exact")
+      val probed = cat.queryAdaptiveTyped("u", "m", qv, 5, filter,
+        nProbe = 8, preFilterCap = 1)
+      require(probed.path == graft.ml.IvfIndex.PathIvfPostfilter,
+        "cap=1 must force the probed plan")
+      shaped("a_bound", viaBound).unionAll(shaped("b_probed", probed))
+    }),
+
     // Masked mean pooling under the oracle (A4, the sentence-embedding
     // pooling kernel): embeddings rows become deterministic "token
     // sequences" (gid = vec_id % 50, tokens in vec_id order, every third
@@ -7359,6 +7412,32 @@ object SparkEntry {
         |UNION ALL
         |SELECT 'b_broad', 'ivf_postfilter', (SELECT m FROM m),
         |  CAST(qid AS BIGINT), vid, rnk
+        |FROM rb WHERE rnk <= 5""".stripMargin,
+
+    // The typed conjunction is the residue class {37, 57} mod 60: pri=7
+    // typed keeps vec_id%10=7 minus the quoted class (%3=2), grp=1 typed
+    // keeps vec_id%4=1 minus the quoted class (%5=4) — the twin counts
+    // and ranks within exactly that class for both phases.
+    "q183_typed_conjunction_bound" ->
+      """WITH m AS (SELECT CAST(count(*) AS BIGINT) AS m
+        |           FROM embeddings
+        |           WHERE vec_id % 10 = 7 AND vec_id % 3 <> 2
+        |             AND vec_id % 4 = 1 AND vec_id % 5 <> 4),
+        |q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+        |      FROM embeddings WHERE vec_id = 0),
+        |rb AS (
+        |  SELECT x.vec_id AS vid,
+        |    CAST(row_number() OVER (
+        |      ORDER BY list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
+        |        q.qv) DESC, x.vec_id ASC) AS BIGINT) AS rnk
+        |  FROM embeddings x, q
+        |  WHERE x.vec_id % 10 = 7 AND x.vec_id % 3 <> 2
+        |    AND x.vec_id % 4 = 1 AND x.vec_id % 5 <> 4)
+        |SELECT 'a_bound' AS phase, 'prefilter_exact' AS path,
+        |  (SELECT m FROM m) AS matches, vid, rnk
+        |FROM rb WHERE rnk <= 5
+        |UNION ALL
+        |SELECT 'b_probed', 'ivf_postfilter', (SELECT m FROM m), vid, rnk
         |FROM rb WHERE rnk <= 5""".stripMargin,
 
     // Pooling replay: per (group, dimension) masked sum over double-cast

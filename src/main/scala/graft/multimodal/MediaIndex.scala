@@ -38,6 +38,22 @@ abstract class MediaSetIndex extends EpochIndex {
   /** Match threshold: batch/corpus pairs with set Jaccard >= this. */
   def minJaccard: Double
 
+  /** SET-SIZE-AWARE intersection floor on matches — the guard a ratio
+    * threshold cannot provide: two SMALL fingerprint sets cross a Jaccard
+    * bar on two or three chance-shared hashes (IndexSweepProbe measured
+    * the regime on 8-frame clips at the landmark family's 0.3 default:
+    * the false pairs share 2-3 of sets sized 5-6), while a TRUE near-dup
+    * shares most of its set whatever its size. A pair matches iff
+    * jaccard >= [[minJaccard]] AND shared >= min(minShared, |A|, |B|):
+    * a large set must clear the absolute floor, a tiny set must be shared
+    * (nearly) in full — which is why exact re-uploads of degenerate
+    * 3-landmark clips still match under the guard where a flat floor
+    * would orphan them (the probe's guarded leg pins both properties).
+    * 0 (the default everywhere except where a family persists its own)
+    * keeps the pure-ratio semantics.
+    */
+  def minShared: Int = 0
+
   /** One media slice's DISTINCT (id, h BIGINT) fingerprint set table
     * under the family's persisted geometry.
     */
@@ -122,8 +138,10 @@ abstract class MediaSetIndex extends EpochIndex {
     // batch sizes full from this pass; corpus sizes full from the
     // PERSISTED layout — the cap bounds candidates only
     Multimodal.jaccardFiltered(shared, "batch_id", "corpus_id",
-      Multimodal.setSizes(batchFps), sizesSrc(),
-      "size_b", "size_c", minJaccard)
+        Multimodal.setSizes(batchFps), sizesSrc(),
+        "size_b", "size_c", minJaccard)
+      .filter(col("shared") >=
+        least(lit(minShared), col("size_b"), col("size_c")))
   }
 
   /** ONLINE ingest — [[graft.operators.FingerprintIndex.ingestBatch]]'s
@@ -174,6 +192,8 @@ abstract class MediaSetIndex extends EpochIndex {
       .agg(count(lit(1)).as("shared"))
     Multimodal.jaccardFiltered(shared, "id_a", "id_b", sizes, sizes,
         "size_a", "size_b", minJaccard)
+      .filter(col("shared") >=
+        least(lit(minShared), col("size_a"), col("size_b")))
       .select(col("id_a"), col("id_b"))
   }
 

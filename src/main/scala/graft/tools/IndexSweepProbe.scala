@@ -36,7 +36,8 @@ object IndexSweepProbe {
     val mode = args.headOption.getOrElse("")
     val cold = mode.startsWith("cold")
     val audioOnly = mode == "audio"
-    val rest = if (cold || audioOnly) args.drop(1) else args
+    val guardOnly = mode == "landmark_guard"
+    val rest = if (cold || audioOnly || guardOnly) args.drop(1) else args
     val scales = if (rest.nonEmpty) rest.toSeq.map(_.toInt)
                  else if (cold) Seq(2000000)
                  else Seq(25000, 100000, 400000)
@@ -57,6 +58,7 @@ object IndexSweepProbe {
       runAudioScale(spark, s, batchN)
       runAudioPercepScale(spark, s, batchN)
     }
+    else if (guardOnly) runLandmarkGuard(spark)
     else {
       scales.foreach(runScale(spark, _, batchN))
       scales.foreach(runEmbedScale(spark, _, batchN))
@@ -249,6 +251,81 @@ object IndexSweepProbe {
     println(f"[probe] landmark  build $tBuildL%6.1f s | match indexed " +
       f"$tIdxL%5.1f s vs recompute $tReL%5.1f s (${tReL / tIdxL}%.1fx)")
     println(f"""{"probe":"index_sweep_audio_inexact","corpus":$n,"batch":$batchN,"perceptual":{"build_sec":$tBuildP%.1f,"indexed_sec":$tIdxP%.1f,"recompute_sec":$tReP%.1f},"landmark":{"build_sec":$tBuildL%.1f,"indexed_sec":$tIdxL%.1f,"recompute_sec":$tReL%.1f}}""")
+  }
+
+  /** The landmark SMALL-SET GUARD leg (`landmark_guard` mode): the
+    * measured false-hit regime reproduced at its own scale, then
+    * collapsed by the set-size-aware `minShared` floor (shared >=
+    * min(minShared, |A|, |B|)). Content is [[runAudioPercepScale]]'s
+    * 8-frame two-tone clip — exactly the short-clip class whose landmark
+    * sets (3-6 triples) cross a 0.3 Jaccard ratio on 2-3 chance-shared
+    * hashes. Two indexes over the SAME 5000-clip corpus at the family's
+    * 0.3 default, one with minShared = 4; three probe batches: 5000
+    * FRESH clips (distinct content — every match is false), 1000
+    * 3%-tempo-stretched corpus twins (the q166 robustness class — every
+    * match is true), and 1000 EXACT re-uploads. The guard must collapse
+    * the false hits >= 10x, keep exact-re-upload recall IDENTICAL (the
+    * min(..., |A|, |B|) leg: a tiny set shared in full always matches —
+    * a flat absolute floor would orphan the degenerate 3-landmark
+    * clips), and the documented price is part of the tempo-twin tail
+    * that shares only 2-3 landmarks — the chance-collision band itself,
+    * where the geometry genuinely cannot tell twin from stranger.
+    */
+  private def runLandmarkGuard(spark: SparkSession): Unit = {
+    import spark.implicits._
+    import graft.multimodal.{AudioCodec, AudioLandmarkIndex, Multimodal}
+    def tone(c: Long, f: Int, which: Int): Double = {
+      var h = c * 1000003L + f * 7919L + which * 104729L
+      h ^= h >>> 13; h *= 0xff51afd7ed558ccdL; h ^= h >>> 33
+      350.0 * math.pow(2800.0 / 350.0, ((h % 24 + 24) % 24) / 23.0)
+    }
+    def clip(id: Long, c: Long, stretch: Double): Multimodal.MediaRow = {
+      val samples = Array.tabulate((8 * 1000 * stretch).toInt) { i =>
+        val tSec = i.toDouble / 8000
+        val f = (i / (1000.0 * stretch)).toInt
+        0.35 * math.sin(2 * math.Pi * tone(c, f, 0) * tSec) +
+          0.35 * math.sin(2 * math.Pi * tone(c, f, 1) * tSec)
+      }
+      Multimodal.MediaRow(id, "audio",
+        AudioCodec.encodeWavPcm16(8000, samples),
+        Multimodal.MediaMeta(0, 0, "wav", (1000 * stretch).toLong))
+    }
+    val n = 5000
+    val corpus = spark.range(n.toLong).map(id => clip(id, id, 1.0))
+      .localCheckpoint(true)
+    val fresh = spark.range(n.toLong)
+      .map(i => clip(9000000L + i, 5000000L + i, 1.0)).localCheckpoint(true)
+    val twins = spark.range(1000L)
+      .map(i => clip(8000000L + i, i, 1.03)).localCheckpoint(true)
+    val exact = spark.range(1000L)
+      .map(i => clip(7000000L + i, i, 1.0)).localCheckpoint(true)
+    def idxDir() = java.nio.file.Files
+      .createTempDirectory("graft_lmguard").toString
+    val unguarded = AudioLandmarkIndex.build(corpus, idxDir(),
+      frameMs = 125L, minJaccard = 0.3)
+    val guarded = AudioLandmarkIndex.build(corpus, idxDir(),
+      frameMs = 125L, minJaccard = 0.3, minShared = 4)
+    def hits(idx: AudioLandmarkIndex, batch: org.apache.spark.sql.Dataset[
+        Multimodal.MediaRow]): Long =
+      idx.dedupBatch(batch).select(col("batch_id")).distinct().count()
+    val (falseU, falseG) = (hits(unguarded, fresh), hits(guarded, fresh))
+    val (twinU, twinG) = (hits(unguarded, twins), hits(guarded, twins))
+    val (exactU, exactG) = (hits(unguarded, exact), hits(guarded, exact))
+    assert(falseU >= 100,
+      s"construction must reproduce the false-hit regime (got $falseU/5000)")
+    assert(falseG * 10 <= falseU,
+      s"the guard must collapse false hits >= 10x: $falseU -> $falseG")
+    assert(exactG == exactU,
+      s"exact re-upload recall must be UNTOUCHED by the size-aware floor: " +
+        s"$exactU -> $exactG of 1000")
+    assert(twinG * 3 >= twinU * 2,
+      s"tempo-twin recall outside the chance band must hold: " +
+        s"$twinU -> $twinG of 1000")
+    println(f"[probe] landmark guard (minJaccard 0.3, 8-frame clips, " +
+      f"minShared=4 size-aware): false hits $falseU%4d/5000 -> " +
+      f"$falseG%3d/5000; tempo-twin recall $twinU%4d -> $twinG%4d/1000; " +
+      f"exact re-upload recall $exactU%4d -> $exactG%4d/1000")
+    println(s"""{"probe":"landmark_guard","corpus":$n,"false_unguarded":$falseU,"false_guarded":$falseG,"twin_unguarded":$twinU,"twin_guarded":$twinG,"exact_unguarded":$exactU,"exact_guarded":$exactG}""")
   }
 
   /** 8 paragraphs of 25 words over a 500-word vocab, keyed by doc id:

@@ -99,6 +99,42 @@ class AudioLandmarkSpec extends AnyFunSuite with SparkSpec {
       "later batches match tempo twins of ingested survivors")
   }
 
+  test("minShared guard: shared >= min(minShared, |A|, |B|) — exact " +
+    "re-uploads always pass, partial-overlap twins block at a floor " +
+    "their intersection cannot clear; the floor persists through load") {
+    val corpus = spark.createDataset((0L until 10L).map(c => clip(c, c)))
+    // minShared far above any set size: the size-aware min() clamps the
+    // requirement to |A| and |B| in full — ONLY complete-set matches
+    // (exact re-uploads) survive, which is exactly the semantics that
+    // keeps degenerate tiny-set re-uploads matchable where a flat
+    // absolute floor would orphan them
+    val guarded = AudioLandmarkIndex.build(corpus,
+      java.nio.file.Files.createTempDirectory("graft_lmguard_spec").toString,
+      minJaccard = 0.3, minShared = 1000)
+    val batch = spark.createDataset(Seq(
+      clip(100L, 0L), // exact re-upload: shared == |A| == |B|
+      clip(101L, 9L, stretch = 1.03), // tempo twin (lm J=0.471): partial overlap
+      clip(102L, 50L))) // fresh content
+    val hits = guarded.dedupBatch(batch)
+      .select($"batch_id", $"corpus_id").as[(Long, Long)].collect().toSet
+    assert(hits == Set((100L, 0L)),
+      s"full-set matches only under the clamped floor, got $hits")
+    // the same batch through an UNGUARDED build recovers the tempo twin —
+    // the guard, not the geometry, made the distinction above
+    val unguarded = AudioLandmarkIndex.build(corpus,
+      java.nio.file.Files.createTempDirectory("graft_lmfree_spec").toString,
+      minJaccard = 0.3)
+    val freeHits = unguarded.dedupBatch(batch)
+      .select($"batch_id").as[Long].collect().toSet
+    assert(freeHits == Set(100L, 101L), s"unguarded baseline, got $freeHits")
+    // the floor is INDEX STATE: load round-trips it and matches identically
+    val reloaded = AudioLandmarkIndex.load(spark, guarded.path)
+    assert(reloaded.minShared == 1000)
+    assert(reloaded.dedupBatch(batch)
+      .select($"batch_id", $"corpus_id").as[(Long, Long)].collect().toSet
+      == hits, "loaded index must apply the persisted floor")
+  }
+
   test("EpochIndex lifecycle inheritance: asOf pin + vacuum on the " +
     "landmark family") {
     val idx = AudioLandmarkIndex.build(
