@@ -263,7 +263,12 @@ class IvfIndex private (
     * bound, e.g. min over per-key statistics for a conjunction) replaces
     * it only when it proves prefilter-exact fits (bound ≤ cap); the
     * reported `matches` is then observed inside the scoring pass itself —
-    * exact, and still no count job.
+    * exact, and still no count job. `matchBound` MUST be a sound upper
+    * bound on the filter's cardinality: the plan TRUSTS it (that is the
+    * point — no count job), so an unsound bound makes the prefilter pass
+    * scan past the cap it claimed to fit. Results stay exact either way;
+    * the violation is detected after the pass (observed matches > cap)
+    * and logged loudly.
     */
   def searchAdaptive(
       queryVec: Seq[Double],
@@ -298,6 +303,16 @@ class IvfIndex private (
       val hits = Knn.topK(filtered, queryVec, k, metric).drop("list_id")
       val rows = hits.collect() // bounded: <= k rows
       val matches = obs.get("matches").asInstanceOf[Long]
+      // the bound is TRUSTED for the plan choice (that is its point — no
+      // count job), so an unsound caller bound surfaces only here, after
+      // the pass already paid the unbounded scan: results are still
+      // exact, but the cap/plan-label contract was violated — say so
+      // loudly instead of letting the lie stay silent
+      if (matches > preFilterCap)
+        IvfIndex.slog.warn(s"searchAdaptive: caller matchBound " +
+          s"${matchBound.get} <= cap $preFilterCap but the pass observed " +
+          s"$matches matches — the bound was NOT a sound upper bound; " +
+          "results are exact, the prefilter cap contract was not honored")
       return IvfIndex.AdaptiveSearch(IvfIndex.PathPrefilterExact, matches,
         spark.createDataFrame(java.util.Arrays.asList(rows: _*), hits.schema))
     }
@@ -500,6 +515,9 @@ object IvfIndex {
     * under one probed list's read volume at large corpus scale.
     */
   val DefaultPreFilterCap: Long = 100000L
+
+  private[ml] lazy val slog =
+    org.slf4j.LoggerFactory.getLogger("graft.IvfIndex")
 
   /** The pure plan decision, split out so the boundary is spec-testable
     * and the oracle twin can replay it as a CASE over the same count.

@@ -181,7 +181,7 @@ private[graft] trait EpochIndex {
     // opportunistic orphan sweep FIRST: a prior crash between a
     // replace/vacuum commit and its deleteDir loop leaves dead epoch
     // directories no reader lists and nothing else ever reclaims
-    layoutNames.foreach(n => log.sweepOrphanDirs(layoutDir(n)))
+    log.sweepOrphanDirs(layoutNames.map(layoutDir))
     val (foldSet, boundary) = log.vacuumPlan(keepLast) match {
       case None => return 0
       case Some(plan) => plan

@@ -143,8 +143,11 @@ private[graft] case class EpochLog(spark: SparkSession, path: String) {
     * With no expire rows this degenerates to exactly the historical
     * replace-only rule — index-family logs never see expire rows.
     */
-  private def resolve(): (Seq[Long], Option[(Long, Long)]) = {
-    val cs = readCommits()
+  private def resolve(): (Seq[Long], Option[(Long, Long)]) =
+    resolveFrom(readCommits())
+
+  private def resolveFrom(
+      cs: Seq[Commit]): (Seq[Long], Option[(Long, Long)]) = {
     val r = cs.filter(_.action == "replace").map(_.epoch)
       .reduceOption(_ max _).getOrElse(Long.MinValue)
     val expires = cs.filter(c => c.action == "expire" && c.epoch >= r)
@@ -280,20 +283,33 @@ private[graft] case class EpochLog(spark: SparkSession, path: String) {
     * by the next writer — the log's documented self-healing — and must
     * not be raced by a sweep). Returns the swept epoch numbers.
     */
-  def sweepOrphanDirs(layoutPath: String): Seq[Long] = {
-    val dir = new org.apache.hadoop.fs.Path(layoutPath)
-    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(dir)) return Seq.empty
-    val live = committedEpochs().toSet
-    val next = nextEpoch()
-    val orphans = fs.listStatus(dir).toSeq
-      .filter(_.isDirectory)
-      .map(_.getPath.getName)
-      .filter(_.startsWith("epoch="))
-      .flatMap(n => scala.util.Try(n.stripPrefix("epoch=").toLong).toOption)
-      .filter(e => !live(e) && e != next)
-      .sorted
-    orphans.foreach(e => deleteDir(s"$layoutPath/epoch=$e"))
-    orphans
+  def sweepOrphanDirs(layoutPath: String): Seq[Long] =
+    sweepOrphanDirs(Seq(layoutPath))
+
+  /** Multi-layout form: ONE commit-log read serves every layout's sweep
+    * (live set and nextEpoch derive from the same snapshot) — catalog
+    * vacuum sweeps its store and index layouts in one call instead of
+    * paying four log reads before the fold plan's own.
+    */
+  def sweepOrphanDirs(layoutPaths: Seq[String]): Seq[Long] = {
+    val cs = readCommits()
+    val live = resolveFrom(cs)._1.toSet
+    val next = cs.map(_.epoch).reduceOption(_ max _).getOrElse(-1L) + 1L
+    layoutPaths.flatMap { layoutPath =>
+      val dir = new org.apache.hadoop.fs.Path(layoutPath)
+      val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(dir)) Seq.empty[Long]
+      else {
+        val orphans = fs.listStatus(dir).toSeq
+          .filter(_.isDirectory)
+          .map(_.getPath.getName)
+          .filter(_.startsWith("epoch="))
+          .flatMap(n => scala.util.Try(n.stripPrefix("epoch=").toLong).toOption)
+          .filter(e => !live(e) && e != next)
+          .sorted
+        orphans.foreach(e => deleteDir(s"$layoutPath/epoch=$e"))
+        orphans
+      }
+    }
   }
 }

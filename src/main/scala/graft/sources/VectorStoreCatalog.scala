@@ -190,9 +190,7 @@ class VectorStoreCatalog(spark: SparkSession, val root: String) {
     */
   private def maintainMetaStats(
       userId: String, modelId: String, epoch: Long): Unit = {
-    val p = new Path(metaStatsPath(userId, modelId))
-    if (!fs.exists(p)) return
-    val old = spark.read.parquet(p.toString)
+    val old = metaStatsFrame(userId, modelId).getOrElse(return)
     val stamped = old.agg(max(col("stats_epoch"))).head()
     if (stamped.isNullAt(0)) return
     val before = storeLog(userId, modelId).committedEpochs()
@@ -243,9 +241,7 @@ class VectorStoreCatalog(spark: SparkSession, val root: String) {
     */
   private def rearmMetaStatsFromSlice(
       userId: String, modelId: String, prevLast: Long, epoch: Long): Unit = {
-    val p = new Path(metaStatsPath(userId, modelId))
-    if (!fs.exists(p)) return
-    val stamped = spark.read.parquet(p.toString)
+    val stamped = metaStatsFrame(userId, modelId).getOrElse(return)
       .agg(max(col("stats_epoch"))).head()
     if (stamped.isNullAt(0) || stamped.getLong(0) != prevLast) return
     val counts = spark.read
@@ -269,9 +265,7 @@ class VectorStoreCatalog(spark: SparkSession, val root: String) {
     */
   private def reStampMetaStats(
       userId: String, modelId: String, prevLast: Long, epoch: Long): Unit = {
-    val p = new Path(metaStatsPath(userId, modelId))
-    if (!fs.exists(p)) return
-    val old = spark.read.parquet(p.toString)
+    val old = metaStatsFrame(userId, modelId).getOrElse(return)
     val stamped = old.agg(max(col("stats_epoch"))).head()
     if (stamped.isNullAt(0) || stamped.getLong(0) != prevLast) return
     val restamped = old.filter(col("key").isNotNull).drop("stats_epoch")
@@ -479,9 +473,10 @@ class VectorStoreCatalog(spark: SparkSession, val root: String) {
     val log = storeLog(userId, modelId)
     // sweep crash-orphaned epoch directories (a prior run dying between
     // its commit and the prune loop) on BOTH layouts the shared log
-    // governs — invisible to readers, reclaimed here
-    log.sweepOrphanDirs(dataPath(userId, modelId))
-    log.sweepOrphanDirs(s"${indexPath(userId, modelId)}/data")
+    // governs — invisible to readers, reclaimed here; one log read
+    // serves both sweeps (the multi-layout form)
+    log.sweepOrphanDirs(Seq(dataPath(userId, modelId),
+      s"${indexPath(userId, modelId)}/data"))
     val fold = log.activeFold()
     // logical pin order: a previous vacuum's fold slice is the OLDEST
     // content despite its high epoch number — it never counts as a "kept
@@ -530,8 +525,13 @@ class VectorStoreCatalog(spark: SparkSession, val root: String) {
           .parquet(s"$idxDir/epoch=$target")
     }
     val prevLast = log.committedEpochs().lastOption.getOrElse(-1L)
-    log.commitVacuum(target, boundary,
-      scala.util.Try(obs.get("n").asInstanceOf[Long]).getOrElse(0L))
+    // stats() (r17) answers admin counts from THIS commit row forever: a
+    // lost observation must never commit 0 for a non-empty fold — fall
+    // back to counting the slice just written (one fold-sized scan, on
+    // the failure path only)
+    val foldRows = scala.util.Try(obs.get("n").asInstanceOf[Long])
+      .getOrElse(spark.read.parquet(s"$p/epoch=$target").count())
+    log.commitVacuum(target, boundary, foldRows)
     pruneEpochDirs(userId, modelId, log, foldSet)
     reStampMetaStats(userId, modelId, prevLast, target)
     (foldSet.size, bytesBefore - bytesOf(target))
@@ -1104,6 +1104,7 @@ class VectorStoreCatalog(spark: SparkSession, val root: String) {
     fs.delete(new Path(indexPath(userId, modelId)), true)
     fs.delete(new Path(metaStatsPath(userId, modelId)), true)
     fs.delete(new Path(metaStatsTmpPath(userId, modelId)), true)
+    fs.delete(new Path(metaStatsOldPath(userId, modelId)), true)
     // an empty store has EMPTY statistics, not absent ones: publish the
     // bare stamp row at -1 (the empty log's epoch, [[EpochLog.nextEpoch]]'s
     // base) so the first post-clear append's [[maintainMetaStats]] merges
@@ -1117,32 +1118,58 @@ class VectorStoreCatalog(spark: SparkSession, val root: String) {
     s"${storePath(userId, modelId)}/meta_stats"
   private def metaStatsTmpPath(userId: String, modelId: String) =
     s"${storePath(userId, modelId)}/_meta_stats_tmp"
+  private def metaStatsOldPath(userId: String, modelId: String) =
+    s"${storePath(userId, modelId)}/_meta_stats_old"
 
-  /** Atomic stats publish: the parquet lands in a temp dir and is renamed
-    * into place, so a crash mid-write can never leave PARTIAL files
-    * stamped at the new epoch (a torn direct overwrite would read as
-    * "fresh" but undercounted, and [[queryAdaptive]] would report that
-    * wrong number as the exact match count). A torn temp write leaves the
-    * previous stats intact (stale at worst → live-count fallback); a
-    * crash between delete and rename reads as absent → same fallback.
-    * Directory rename is atomic on HDFS-like stores; on object stores
-    * swap this for a commit-marker protocol.
+  /** Resolve the published stats table, surviving the publish swap
+    * window: prefer the live dir; fall back to the rename-aside backup a
+    * crashed swap may have left — the PREVIOUS stats, stale at worst,
+    * never torn. Every stats consumer reads through this.
+    */
+  private def metaStatsFrame(
+      userId: String, modelId: String): Option[DataFrame] = {
+    val dst = new Path(metaStatsPath(userId, modelId))
+    val old = new Path(metaStatsOldPath(userId, modelId))
+    if (fs.exists(dst)) Some(spark.read.parquet(dst.toString))
+    else if (fs.exists(old)) Some(spark.read.parquet(old.toString))
+    else None
+  }
+
+  /** Atomic stats publish with a RENAME-ASIDE swap: the parquet lands in
+    * a temp dir, the previous stats move aside (never deleted first),
+    * the new dir renames into place, and only then is the aside retired —
+    * so a crash ANYWHERE in the window leaves either the new or the
+    * PREVIOUS stats readable ([[metaStatsFrame]] falls back to the
+    * aside): stale at worst, never torn, never a lost-planability gap
+    * until the next refresh (the pre-r18 delete-then-rename left stats
+    * absent across the window). A torn temp write leaves the live dir
+    * untouched. Directory rename is atomic on HDFS-like stores; on
+    * object stores swap the renames for a commit-marker protocol.
+    * HDFS-style rename FAILS by returning false, not throwing — every
+    * rename is checked loudly (a silently-absent publish would read as
+    * armed to the caller).
     */
   private def publishMetaStats(
       userId: String, modelId: String)(write: String => Unit): Unit = {
     val tmp = metaStatsTmpPath(userId, modelId)
     val dst = new Path(metaStatsPath(userId, modelId))
+    val old = new Path(metaStatsOldPath(userId, modelId))
     fs.delete(new Path(tmp), true) // leftovers from a prior crash
+    // heal a crashed prior swap: the aside dir IS the current stats
+    if (!fs.exists(dst) && fs.exists(old) && !fs.rename(old, dst))
+      throw new IllegalStateException(
+        s"meta stats publish failed: could not heal aside dir $old -> $dst")
     write(tmp)
-    fs.delete(dst, true)
-    // HDFS-style rename FAILS by returning false, not throwing — ignoring
-    // it would silently leave stats absent (dst already deleted) while
-    // the caller believes they are armed. Absent stats are CORRECT
-    // (live-count fallback), but the failure must be loud.
+    fs.delete(old, true)
+    if (fs.exists(dst) && !fs.rename(dst, old))
+      throw new IllegalStateException(
+        s"meta stats publish failed: rename-aside $dst -> $old returned " +
+          "false; the previous stats remain live and unchanged")
     if (!fs.rename(new Path(tmp), dst))
       throw new IllegalStateException(
         s"meta stats publish failed: rename $tmp -> $dst returned false; " +
-          "statistics are unpublished (queries fall back to live counts)")
+          "the previous stats remain readable at the aside path")
+    fs.delete(old, true) // success: retire the fallback
   }
 
   /** Persist per-(key, value) metadata cardinalities for the CURRENT
@@ -1194,15 +1221,14 @@ class VectorStoreCatalog(spark: SparkSession, val root: String) {
       modelId: String,
       key: String,
       value: String): Option[Long] = {
-    val p = new Path(metaStatsPath(userId, modelId))
-    if (!fs.exists(p) || !epochMode(userId, modelId)) return None
+    if (!epochMode(userId, modelId)) return None
+    val df = metaStatsFrame(userId, modelId).getOrElse(return None)
     // -1 is the EMPTY log's epoch (nextEpoch's base): it can never equal
     // a committed epoch, so empty-store stats stamped -1 read as fresh
     // while stats stamped -1 on a store that has since committed read
     // stale — the pre-r18 getOrElse(0L) collided with the first commit
     val cur = storeLog(userId, modelId).committedEpochs()
       .lastOption.getOrElse(-1L)
-    val df = spark.read.parquet(p.toString)
     val row = df.agg(
       max(col("stats_epoch")).as("e"),
       coalesce(sum(when(col("key") === key &&
@@ -1230,15 +1256,14 @@ class VectorStoreCatalog(spark: SparkSession, val root: String) {
       modelId: String,
       key: String,
       value: Any): Option[Long] = {
-    val p = new Path(metaStatsPath(userId, modelId))
-    if (!fs.exists(p) || !epochMode(userId, modelId)) return None
+    if (!epochMode(userId, modelId)) return None
+    val df = metaStatsFrame(userId, modelId).getOrElse(return None)
     // -1 is the EMPTY log's epoch (nextEpoch's base): it can never equal
     // a committed epoch, so empty-store stats stamped -1 read as fresh
     // while stats stamped -1 on a store that has since committed read
     // stale — the pre-r18 getOrElse(0L) collided with the first commit
     val cur = storeLog(userId, modelId).committedEpochs()
       .lastOption.getOrElse(-1L)
-    val df = spark.read.parquet(p.toString)
     val row = df.agg(
       max(col("stats_epoch")).as("e"),
       coalesce(sum(when(col("key") === key &&

@@ -854,10 +854,25 @@ class CatalogOpsSpec extends AnyFunSuite with SparkSpec {
     // append-path maintenance goes through the same atomic publish
     cat.addVectors("u", "at", batch(5, "a"))
     assert(cat.metaStatsCount("u", "at", "tag", "a").contains(15L))
-    // a crash AFTER delete but BEFORE rename reads as absent -> fallback
+    // a crash BETWEEN rename-aside and rename-in leaves the PREVIOUS
+    // stats readable at the aside dir: consumers keep planning
+    // (stale-at-worst, here still fresh — no commit happened), no
+    // lost-planability gap until the next refresh
     val statsDir = new org.apache.hadoop.fs.Path(
       s"${cat.storePath("u", "at")}/meta_stats")
+    val oldDir = new org.apache.hadoop.fs.Path(
+      s"${cat.storePath("u", "at")}/_meta_stats_old")
     val fs = statsDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(statsDir, oldDir), "test setup: simulate crashed swap")
+    assert(cat.metaStatsCount("u", "at", "tag", "a").contains(15L),
+      "the swap window must never lose the previous stats")
+    // the next publish HEALS the crashed swap (aside promoted, then the
+    // normal rename-aside cycle) — live dir back, aside retired
+    cat.refreshMetaStats("u", "at")
+    assert(fs.exists(statsDir) && !fs.exists(oldDir),
+      "publish must heal the aside dir and retire it on success")
+    assert(cat.metaStatsCount("u", "at", "tag", "a").contains(15L))
+    // both dirs gone reads as a clean live-count fallback, never an error
     fs.delete(statsDir, true)
     assert(cat.metaStatsCount("u", "at", "tag", "a").isEmpty,
       "absent stats read as a clean live-count fallback, never an error")
