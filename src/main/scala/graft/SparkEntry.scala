@@ -3646,6 +3646,31 @@ object SparkEntry {
       shaped("a_bound", viaBound).unionAll(shaped("b_probed", probed))
     }),
 
+    // HETEROGENEOUS per-query filters on the batch ANN surface (the r17
+    // stretch): q92's hard-negative mining shape — top-5 most similar
+    // with a label DIFFERENT from each query's OWN — through
+    // IvfIndex.searchBatch. Each query carries its constraint as a rider
+    // column and the pair predicate filters ABOVE the list_id equi-join
+    // (no new join, no product — plan-guarded in IvfIndexSpec), so the
+    // batch plan's partition pruning and per-list co-location survive
+    // per-query constraints. Full probe makes the path exact, so the
+    // twin is q92's window replay verbatim — matching it proves the
+    // batch path computes the miner's exact answer.
+    "q184_batch_mining" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val idx = ml.IvfIndex.build(
+        emb.select(col("vec_id").as("id"), col("embedding").as("vector"),
+          map(lit("label"), col("label").cast("string")).as("meta")),
+        "id", "vector", tempIndexDir("graft_q184_idx"), nLists = 8)
+      val queries = emb.filter(col("vec_id") < 8).select(
+        col("vec_id").as("query_id"), col("embedding").as("query_vec"),
+        col("label").cast("string").as("query_label"))
+      idx.searchBatch(queries, k = 5, nProbe = 8,
+        pairPredicate =
+          Some(element_at(col("meta"), "label") =!= col("query_label")))
+        .select(col("query_id"), col("id").as("vec_id"), col("rank").as("rnk"))
+    }),
+
     // Masked mean pooling under the oracle (A4, the sentence-embedding
     // pooling kernel): embeddings rows become deterministic "token
     // sequences" (gid = vec_id % 50, tokens in vec_id order, every third
@@ -4834,6 +4859,21 @@ object SparkEntry {
           |FROM mix m JOIN ent e USING (doc_id) LEFT JOIN agg a USING (doc_id)
           |WHERE e.entropy_x1e4 > 28000
           |  AND CAST(round(COALESCE(a.ppl, 0.0) * 10000) AS BIGINT) < 310000""".stripMargin
+
+  /** q92's window replay — shared verbatim by q92 (the broadcast miner)
+    * and q184 (the same shape through the batch ANN path at full probe).
+    */
+  private val HardNegativesOracle: String =
+    """WITH q AS (
+      |  SELECT vec_id AS query_id, embedding AS qv, label AS ql
+      |  FROM embeddings WHERE vec_id < 8),
+      |r AS (
+      |  SELECT q.query_id, e.vec_id,
+      |    CAST(row_number() OVER (PARTITION BY q.query_id
+      |      ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+      |        CAST(q.qv AS DOUBLE[])) DESC, e.vec_id ASC) AS BIGINT) AS rnk
+      |  FROM embeddings e JOIN q ON e.label <> q.ql)
+      |SELECT query_id, vec_id, rnk FROM r WHERE rnk <= 5""".stripMargin
 
   private val KnPerplexityOracle: String =
       """WITH ref AS (
@@ -6696,17 +6736,11 @@ object SparkEntry {
         |JOIN sizes sa ON sa.source = sh.source_a
         |JOIN sizes sb ON sb.source = sh.source_b""".stripMargin,
 
-    "q92_hard_negatives" ->
-      """WITH q AS (
-        |  SELECT vec_id AS query_id, embedding AS qv, label AS ql
-        |  FROM embeddings WHERE vec_id < 8),
-        |r AS (
-        |  SELECT q.query_id, e.vec_id,
-        |    CAST(row_number() OVER (PARTITION BY q.query_id
-        |      ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
-        |        CAST(q.qv AS DOUBLE[])) DESC, e.vec_id ASC) AS BIGINT) AS rnk
-        |  FROM embeddings e JOIN q ON e.label <> q.ql)
-        |SELECT query_id, vec_id, rnk FROM r WHERE rnk <= 5""".stripMargin,
+    "q92_hard_negatives" -> HardNegativesOracle,
+
+    // The mining shape through the BATCH ANN path at full probe is the
+    // same exact answer: the twin is q92's replay verbatim.
+    "q184_batch_mining" -> HardNegativesOracle,
 
     "q93_hard_positives" ->
       """WITH q AS (

@@ -452,6 +452,17 @@ class IvfIndex private (
     * or more matches returns k hits and keeps standard ANN recall, so
     * the filtered probed path must not be treated as exact except at
     * full probe.
+    *
+    * `pairPredicate` is the HETEROGENEOUS per-query filter (the
+    * hard-negative mining shape: "top-k within each query's OWN
+    * constraint"): a predicate over the joined (query columns × store
+    * columns) row — e.g. `col("label") =!= col("query_label")` with a
+    * label rider on `queries` — filtering ABOVE the list_id equi-join,
+    * so it adds no join and no product (plan-guarded) and composes with
+    * the shared `metadataFilter`/`predicate`. Every extra column on
+    * `queries` rides through the probe explode for it to reference;
+    * store-side pruning still happens first (the shared filters), the
+    * per-pair leg prunes last because only it needs both sides.
     */
   def searchBatch(
       queries: DataFrame,
@@ -461,11 +472,14 @@ class IvfIndex private (
       queryVecCol: String = "query_vec",
       asOf: Option[Long] = None,
       metadataFilter: Map[String, String] = Map.empty,
-      predicate: Option[Column] = None): DataFrame = {
+      predicate: Option[Column] = None,
+      pairPredicate: Option[Column] = None): DataFrame = {
     // pin the (bounded) probed query set once: it feeds both the probed-list
-    // collection and the join, and must not recompute user lineage twice
+    // collection and the join, and must not recompute user lineage twice.
+    // ALL query columns ride along — rider columns (query labels, group
+    // keys) are what pairPredicate filters on
     val probed = queries.select(
-        col(queryIdCol), col(queryVecCol),
+        col("*"),
         explode(probes(col(queryVecCol), nProbe)).as("list_id"))
       .localCheckpoint(true)
     val probedLists = probed.select(col("list_id")).distinct()
@@ -481,7 +495,8 @@ class IvfIndex private (
     // the Knn.topK convention on the batch path
     val store = predicate.fold(stringFiltered)(stringFiltered.filter)
     val topk = udaf(new TopKAggregator(k, ascending = false))
-    probed.join(store, Seq("list_id"))
+    val joined = probed.join(store, Seq("list_id"))
+    pairPredicate.fold(joined)(joined.filter)
       .select(col(queryIdCol), col("id"),
         vector.similarity(col("vector"), col(queryVecCol), metric).as("similarity_score"))
       .groupBy(col(queryIdCol))

@@ -310,4 +310,47 @@ class IvfIndexSpec extends AnyFunSuite with SparkSpec {
       !plan.contains("BroadcastNestedLoop"),
       s"filtered batch must stay equi-joined:\n$plan")
   }
+
+  test("pairPredicate searchBatch: heterogeneous per-query filters — " +
+      "full probe equals each query's OWN exact constrained top-k, the " +
+      "plan keeps list_id pruning and stays product-free") {
+    val root = java.nio.file.Files.createTempDirectory("graft_ivf_pp").toString
+    val store = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select($"vec_id".as("id"), $"embedding".as("vector"),
+        map(lit("label"), $"label".cast("string")).as("meta"))
+    val cents = store.filter($"id" < 8).orderBy($"id").select($"vector")
+      .collect().map(_.getSeq[Float](0).toArray.map(_.toDouble))
+    val idx = IvfIndex.buildWithCentroids(store, "id", "vector", root, cents)
+    // each query carries its OWN label rider — the q92 mining shape
+    val queries = store.filter($"id" < 4)
+      .select($"id".as("query_id"), $"vector".as("query_vec"),
+        element_at($"meta", "label").as("query_label"))
+    val pp = element_at($"meta", "label") =!= $"query_label"
+    val got = idx.searchBatch(queries, 5, nProbe = 8, pairPredicate = Some(pp))
+      .select($"query_id", $"id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    // exact truth per query: brute-force top-5 over the OTHER-label rows
+    val want = queries.collect().flatMap { q =>
+      val qid = q.getLong(0)
+      val ql = q.getString(2)
+      Knn.batchTopK(
+          queries.filter($"query_id" === qid).drop("query_label"),
+          store.filter(element_at($"meta", "label") =!= ql), 5)
+        .select($"query_id", $"id").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+    }.sorted.toSeq
+    assert(got == want, "per-query constrained batch must be exact at full probe")
+    // queries with DIFFERENT labels must get DIFFERENT candidate pools —
+    // the heterogeneity the shared-filter surface cannot express
+    val labels = queries.select($"query_label").distinct().count()
+    assert(labels >= 2, "construction needs at least two query labels")
+    val plan = idx.searchBatch(queries, 5, nProbe = 2, pairPredicate = Some(pp))
+      .queryExecution.executedPlan.toString()
+    assert("PartitionFilters: \\[.*list_id.*IN".r.findFirstIn(plan).isDefined,
+      s"pair-filtered batch must keep the list_id partition filter:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoop"),
+      s"pair-filtered batch must stay equi-joined:\n$plan")
+  }
 }
