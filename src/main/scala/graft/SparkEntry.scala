@@ -3671,6 +3671,49 @@ object SparkEntry {
         .select(col("query_id"), col("id").as("vec_id"), col("rank").as("rnk"))
     }),
 
+    // STATISTICS SURVIVE THE DELETE (the r18 re-arm, oracle-locked): the
+    // store arms its statistics ONCE; a destructive delete then removes
+    // the grp=0 third of every class, and the very next adaptive query —
+    // no refreshMetaStats anywhere past the first — is require-checked
+    // to plan from statistics that already know the post-delete
+    // cardinality (the delete recomputed them from the kept slice it
+    // wrote, inside its own commit). Both phases replay generatively
+    // from the residue classes: cat=7 before the delete is vec_id%20=7;
+    // after it, the same class minus vec_id%3=0 — fewer matches AND a
+    // different top-5 whenever a deleted row ranked.
+    "q185_delete_rearm" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val root = tempIndexDir("graft_q185_store")
+      val cat = new sources.VectorStoreCatalog(s, root)
+      cat.create("u", "m", sources.StoreConfig(dimension = 64))
+      cat.addVectors("u", "m", emb.select(col("embedding").as("vector"),
+        map(lit("cat"), (col("vec_id") % 20).cast("string"),
+          lit("grp"), (col("vec_id") % 3).cast("string"),
+          lit("vid"), col("vec_id").cast("string")).as("meta")))
+      cat.refreshMetaStats("u", "m")
+      val qv = emb.filter(col("vec_id") === 0).select(col("embedding"))
+        .head().getSeq[Float](0).map(_.toDouble).toSeq
+      def shaped(phase: String, r: graft.ml.IvfIndex.AdaptiveSearch) =
+        r.hits.select(lit(phase).as("phase"), lit(r.matches).as("matches"),
+          element_at(col("meta"), "vid").cast("long").as("vid"),
+          col("rank").cast("long").as("rnk"))
+      val before = cat.metaStatsCount("u", "m", "cat", "7")
+      require(before.nonEmpty, "stats must be fresh before the delete")
+      val a = cat.queryAdaptive("u", "m", qv, 5, Map("cat" -> "7"))
+      require(a.matches == before.get, "phase a must plan from the stats")
+      // pin phase a BEFORE the delete: its replace commit prunes the
+      // epoch directories a lazy phase-a frame would re-read
+      val aRows = shaped("a_before", a).localCheckpoint(true)
+      cat.deleteVectors("u", "m", element_at(col("meta"), "grp") === "0")
+      val after = cat.metaStatsCount("u", "m", "cat", "7")
+      require(after.nonEmpty,
+        "the delete must re-arm the stats — fresh with no refresh call")
+      val b = cat.queryAdaptive("u", "m", qv, 5, Map("cat" -> "7"))
+      require(b.matches == after.get && b.matches < a.matches,
+        "phase b must plan from the RE-ARMED stats, which saw the shrink")
+      aRows.unionAll(shaped("b_after", b))
+    }),
+
     // Masked mean pooling under the oracle (A4, the sentence-embedding
     // pooling kernel): embeddings rows become deterministic "token
     // sequences" (gid = vec_id % 50, tokens in vec_id order, every third
@@ -6741,6 +6784,36 @@ object SparkEntry {
     // The mining shape through the BATCH ANN path at full probe is the
     // same exact answer: the twin is q92's replay verbatim.
     "q184_batch_mining" -> HardNegativesOracle,
+
+    // Both phases are exact filtered top-5 over their residue classes;
+    // phase b's class is phase a's minus the deleted grp=0 third. That
+    // the POST-delete phase planned from statistics (not a live count)
+    // is require-checked in the construction — no refresh call exists.
+    "q185_delete_rearm" ->
+      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+        |      FROM embeddings WHERE vec_id = 0),
+        |ma AS (SELECT CAST(count(*) AS BIGINT) AS m
+        |       FROM embeddings WHERE vec_id % 20 = 7),
+        |mb AS (SELECT CAST(count(*) AS BIGINT) AS m
+        |       FROM embeddings WHERE vec_id % 20 = 7 AND vec_id % 3 <> 0),
+        |ra AS (
+        |  SELECT x.vec_id AS vid,
+        |    CAST(row_number() OVER (
+        |      ORDER BY list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
+        |        q.qv) DESC, x.vec_id ASC) AS BIGINT) AS rnk
+        |  FROM embeddings x, q WHERE x.vec_id % 20 = 7),
+        |rb AS (
+        |  SELECT x.vec_id AS vid,
+        |    CAST(row_number() OVER (
+        |      ORDER BY list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
+        |        q.qv) DESC, x.vec_id ASC) AS BIGINT) AS rnk
+        |  FROM embeddings x, q
+        |  WHERE x.vec_id % 20 = 7 AND x.vec_id % 3 <> 0)
+        |SELECT 'a_before' AS phase, (SELECT m FROM ma) AS matches, vid, rnk
+        |FROM ra WHERE rnk <= 5
+        |UNION ALL
+        |SELECT 'b_after', (SELECT m FROM mb), vid, rnk
+        |FROM rb WHERE rnk <= 5""".stripMargin,
 
     "q93_hard_positives" ->
       """WITH q AS (

