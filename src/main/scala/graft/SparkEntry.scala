@@ -978,19 +978,14 @@ object SparkEntry {
     // replays the chain stage by stage; the KN model trains on the FIXED
     // %4 reference split independent of the upstream gates.
     "q145_quality_pipeline" -> ((s, dir) => {
+      // the pipeline IS the gate function (r18: one copy of the decision
+      // chain for the batch surface, both stream forms, and both model
+      // routes — this row pins the batch+broadcast corner of it)
       val docs = t(s, dir, "documents")
-      val mixed = operators.Curation.temperatureMix(docs, "doc_id", "lang", alpha = 0.5)
-      val ent = text.TextAnalysis.tokenEntropy(mixed, "doc_id", "text")
-        .filter(col("entropy_x1e4") > 28000L)
-        .select(col("id").as("doc_id"), col("entropy_x1e4"))
+      val rates = operators.Curation.temperatureRates(docs, "lang", alpha = 0.5)
       val model = text.NgramLm.trainKn(docs.filter(col("doc_id") % 4 =!= 0),
         "text", maxVocab = 256, minBigramCount = 2)
-      mixed.join(ent, Seq("doc_id"))
-        .select(col("doc_id").cast("long").as("id"), col("lang"),
-          col("entropy_x1e4"),
-          round(text.NgramLm.perplexityKn(col("text"), model) * 10000)
-            .cast("long").as("ppl_x1e4"))
-        .filter(col("ppl_x1e4") < 310000L)
+      streaming.Streams.qualityGate(docs, rates, model)
     }),
 
     // Interpolated Kneser-Ney perplexity (the q78 construction with the
