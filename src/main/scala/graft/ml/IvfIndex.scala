@@ -477,7 +477,17 @@ class IvfIndex private (
     // pin the (bounded) probed query set once: it feeds both the probed-list
     // collection and the join, and must not recompute user lineage twice.
     // ALL query columns ride along — rider columns (query labels, group
-    // keys) are what pairPredicate filters on
+    // keys) are what pairPredicate filters on. Riders must not shadow the
+    // store side: a rider named like a store column would make the joined
+    // frame ambiguous (or, for list_id, corrupt the join key) — loud here,
+    // where the caller can rename, instead of an AnalysisException later.
+    val storeSide = Set("id", "vector", "meta", "list_id")
+    val riderClash = queries.columns
+      .filterNot(c => c == queryIdCol || c == queryVecCol)
+      .filter(storeSide)
+    require(riderClash.isEmpty,
+      s"query rider columns ${riderClash.mkString(", ")} collide with " +
+        "store-side columns (id, vector, meta, list_id); rename them")
     val probed = queries.select(
         col("*"),
         explode(probes(col(queryVecCol), nProbe)).as("list_id"))

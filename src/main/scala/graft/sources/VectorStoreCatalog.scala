@@ -1109,9 +1109,12 @@ class VectorStoreCatalog(spark: SparkSession, val root: String) {
     // bare stamp row at -1 (the empty log's epoch, [[EpochLog.nextEpoch]]'s
     // base) so the first post-clear append's [[maintainMetaStats]] merges
     // onto it — the store stays planable through a clear with no
-    // [[refreshMetaStats]] call anywhere in its lifecycle
-    publishMetaStats(userId, modelId)(tmp =>
-      statsStampRow(-1L).write.mode("overwrite").parquet(tmp))
+    // [[refreshMetaStats]] call anywhere in its lifecycle. Guarded on
+    // existence: clear of a never-created store stays a pure no-op
+    // instead of littering a store-shaped directory with a stamp file.
+    if (exists(userId, modelId))
+      publishMetaStats(userId, modelId)(tmp =>
+        statsStampRow(-1L).write.mode("overwrite").parquet(tmp))
   }
 
   private def metaStatsPath(userId: String, modelId: String) =
@@ -1122,17 +1125,24 @@ class VectorStoreCatalog(spark: SparkSession, val root: String) {
     s"${storePath(userId, modelId)}/_meta_stats_old"
 
   /** Resolve the published stats table, surviving the publish swap
-    * window: prefer the live dir; fall back to the rename-aside backup a
-    * crashed swap may have left — the PREVIOUS stats, stale at worst,
-    * never torn. Every stats consumer reads through this.
+    * window: a crashed swap's rename-aside backup (the PREVIOUS stats,
+    * stale at worst, never torn) is HEALED here — promoted back to the
+    * live dir BEFORE the read, not merely read in place, because
+    * consumers build LAZY plans over the returned frame: maintain/
+    * re-stamp pass those plans into the next publish, whose own heal
+    * would rename the aside out from under the captured file paths
+    * (FileNotFoundException mid-publish). Promoting at read time means
+    * every plan references the live dir and the publish heal is a no-op.
+    * Every stats consumer reads through this.
     */
   private def metaStatsFrame(
       userId: String, modelId: String): Option[DataFrame] = {
     val dst = new Path(metaStatsPath(userId, modelId))
     val old = new Path(metaStatsOldPath(userId, modelId))
-    if (fs.exists(dst)) Some(spark.read.parquet(dst.toString))
-    else if (fs.exists(old)) Some(spark.read.parquet(old.toString))
-    else None
+    if (!fs.exists(dst) && fs.exists(old) && !fs.rename(old, dst))
+      throw new IllegalStateException(
+        s"meta stats read failed: could not heal aside dir $old -> $dst")
+    if (fs.exists(dst)) Some(spark.read.parquet(dst.toString)) else None
   }
 
   /** Atomic stats publish with a RENAME-ASIDE swap: the parquet lands in

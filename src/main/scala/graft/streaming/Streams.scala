@@ -825,7 +825,14 @@ object Streams {
       minEntropyX1e4: Long = 28000L,
       maxPplX1e4: Long = 310000L): DataFrame =
     gateBody(docs, rates, idCol, textCol, langCol, minEntropyX1e4,
-      maxPplX1e4) { gated =>
+      maxPplX1e4) { gated0 =>
+      // pin the mixed+entropy-gated rows: this frame feeds the scorer's
+      // token explode, the per-doc fold's id spine, AND the outer join —
+      // three consumers of a lineage whose entropy aggregation Spark
+      // would otherwise recompute per consumer (the broadcast route's
+      // single withColumn never pays this). localCheckpoint blocks free
+      // on GC, the repo-wide pin discipline.
+      val gated = gated0.localCheckpoint(true)
       val ppl = graft.text.NgramLm
         .scoreKnDistributed(gated, idCol, textCol, frames)
         .select(col(idCol),

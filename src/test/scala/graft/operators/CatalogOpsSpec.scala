@@ -872,6 +872,16 @@ class CatalogOpsSpec extends AnyFunSuite with SparkSpec {
     assert(fs.exists(statsDir) && !fs.exists(oldDir),
       "publish must heal the aside dir and retire it on success")
     assert(cat.metaStatsCount("u", "at", "tag", "a").contains(15L))
+    // the heal must also survive a MAINTAIN publish, whose merge plan
+    // LAZILY reads the stats it is replacing: the read-side promotion
+    // (metaStatsFrame) moves the aside to the live dir BEFORE the plan
+    // captures file paths, so the publish's own swap cannot rename the
+    // aside out from under the running merge
+    assert(fs.rename(statsDir, oldDir), "test setup: crash swap again")
+    cat.addVectors("u", "at", batch(5, "a")) // maintain merges through heal
+    assert(fs.exists(statsDir) && !fs.exists(oldDir))
+    assert(cat.metaStatsCount("u", "at", "tag", "a").contains(20L),
+      "append maintenance must merge onto the healed stats")
     // both dirs gone reads as a clean live-count fallback, never an error
     fs.delete(statsDir, true)
     assert(cat.metaStatsCount("u", "at", "tag", "a").isEmpty,
