@@ -3666,6 +3666,62 @@ object SparkEntry {
         .select(col("query_id"), col("id").as("vec_id"), col("rank").as("rnk"))
     }),
 
+    // The planner lattice's LAST corner (q176 × q181 × q183): BATCH +
+    // TYPED + CONJUNCTION. Two typed keys in three stored encodings
+    // each, filtered as {pri: 7, grp: 1} over M queries — ONE
+    // min-over-keys typed bound plans the whole batch with NO count job
+    // (require-checked prefilter_exact; matches observed inside the
+    // scoring pass), and the cap-forced phase pushes the typed
+    // conjunction inside the probed lists at full probe, reproducing
+    // the exact per-query top-5 within the residue class {37, 57}
+    // mod 60. With this row every (single|batch) × (string|typed) ×
+    // (exact-hint|conjunction-bound) cell of the adaptive planner is
+    // oracle-locked.
+    "q186_batch_typed_conjunction" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val root = tempIndexDir("graft_q186_store")
+      val cat = new sources.VectorStoreCatalog(s, root)
+      cat.create("u", "m", sources.StoreConfig(dimension = 64))
+      val priStr = (col("vec_id") % 10).cast("string")
+      val grpStr = (col("vec_id") % 4).cast("string")
+      cat.addVectors("u", "m", emb.select(col("embedding").as("vector"),
+        map(
+          lit("pri"), when(col("vec_id") % 3 === 0, priStr)
+            .when(col("vec_id") % 3 === 1, concat(priStr, lit(".0")))
+            .otherwise(concat(lit("\""), priStr, lit("\""))),
+          lit("grp"), when(col("vec_id") % 5 <= 1, grpStr)
+            .when(col("vec_id") % 5 <= 3, concat(grpStr, lit(".0")))
+            .otherwise(concat(lit("\""), grpStr, lit("\""))),
+          lit("vid"), col("vec_id").cast("string")).as("meta")))
+      cat.refreshMetaStats("u", "m")
+      cat.buildIndex("u", "m", nLists = 8) // layout-only: stats stay fresh
+      val filter: Map[String, Any] = Map("pri" -> 7, "grp" -> 1)
+      val perKey = filter.toSeq.map { case (k0, v0) =>
+        cat.metaStatsCountTyped("u", "m", k0, v0)
+      }
+      require(perKey.forall(_.isDefined),
+        "typed per-key stats must be fresh so the bound plans the batch")
+      val qvs = (0 until 3).map(i => emb.filter(col("vec_id") === i)
+        .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble).toSeq)
+      val idToVid = cat.load("u", "m").select(col("id"),
+        element_at(col("meta"), "vid").cast("long").as("vid"))
+        .localCheckpoint(true)
+      def shaped(phase: String, r: graft.ml.IvfIndex.AdaptiveSearch) =
+        r.hits.join(idToVid, "id")
+          .select(lit(phase).as("phase"), lit(r.path).as("path"),
+            lit(r.matches).as("matches"),
+            col("query_id").cast("long").as("qid"), col("vid"),
+            col("rank").cast("long").as("rnk"))
+      val sel = cat.batchQueryAdaptiveTyped("u", "m", qvs, 5, filter)
+      require(sel.path == graft.ml.IvfIndex.PathPrefilterExact,
+        "typed conjunction bound <= cap must plan the batch prefilter_exact")
+      val broad = cat.batchQueryAdaptiveTyped("u", "m", qvs, 5, filter,
+        nProbe = 8, preFilterCap = 1)
+      require(broad.path == graft.ml.IvfIndex.PathIvfPostfilter,
+        "cap=1 must force the probed typed batch plan")
+      shaped("a_sel", sel).unionAll(shaped("b_broad", broad))
+    }),
+
     // STATISTICS SURVIVE THE DELETE (the r18 re-arm, oracle-locked): the
     // store arms its statistics ONCE; a destructive delete then removes
     // the grp=0 third of every class, and the very next adaptive query —
@@ -6779,6 +6835,32 @@ object SparkEntry {
     // The mining shape through the BATCH ANN path at full probe is the
     // same exact answer: the twin is q92's replay verbatim.
     "q184_batch_mining" -> HardNegativesOracle,
+
+    // Per-query exact top-5 within the typed conjunction's residue class
+    // {37, 57} mod 60 (q183's class, batched): one logical count, both
+    // plan labels construction-derived.
+    "q186_batch_typed_conjunction" ->
+      """WITH m AS (SELECT CAST(count(*) AS BIGINT) AS m
+        |           FROM embeddings
+        |           WHERE vec_id % 10 = 7 AND vec_id % 3 <> 2
+        |             AND vec_id % 4 = 1 AND vec_id % 5 <> 4),
+        |q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+        |      FROM embeddings WHERE vec_id < 3),
+        |rb AS (
+        |  SELECT q.qid, x.vec_id AS vid,
+        |    CAST(row_number() OVER (PARTITION BY q.qid
+        |      ORDER BY list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
+        |        q.qv) DESC, x.vec_id ASC) AS BIGINT) AS rnk
+        |  FROM embeddings x, q
+        |  WHERE x.vec_id % 10 = 7 AND x.vec_id % 3 <> 2
+        |    AND x.vec_id % 4 = 1 AND x.vec_id % 5 <> 4)
+        |SELECT 'a_sel' AS phase, 'prefilter_exact' AS path,
+        |  (SELECT m FROM m) AS matches, CAST(qid AS BIGINT) AS qid, vid, rnk
+        |FROM rb WHERE rnk <= 5
+        |UNION ALL
+        |SELECT 'b_broad', 'ivf_postfilter', (SELECT m FROM m),
+        |  CAST(qid AS BIGINT), vid, rnk
+        |FROM rb WHERE rnk <= 5""".stripMargin,
 
     // Both phases are exact filtered top-5 over their residue classes;
     // phase b's class is phase a's minus the deleted grp=0 third. That
