@@ -314,7 +314,8 @@ class IvfIndex private (
           s"$matches matches — the bound was NOT a sound upper bound; " +
           "results are exact, the prefilter cap contract was not honored")
       return IvfIndex.AdaptiveSearch(IvfIndex.PathPrefilterExact, matches,
-        spark.createDataFrame(java.util.Arrays.asList(rows: _*), hits.schema))
+        spark.createDataFrame(java.util.Arrays.asList(rows: _*), hits.schema),
+        boundViolated = matches > preFilterCap)
     }
     // a caller-supplied cardinality (e.g. the catalog's persisted meta
     // statistics) skips the count job; the decision — and the reported
@@ -488,6 +489,13 @@ class IvfIndex private (
     require(riderClash.isEmpty,
       s"query rider columns ${riderClash.mkString(", ")} collide with " +
         "store-side columns (id, vector, meta, list_id); rename them")
+    // the id/vec columns themselves must not shadow the store side either:
+    // queryIdCol = "id" would hit exactly the ambiguous-column failure the
+    // rider guard exists to prevent (they ride the same joined frame)
+    val keyClash = Seq(queryIdCol, queryVecCol).filter(storeSide)
+    require(keyClash.isEmpty,
+      s"query id/vector columns ${keyClash.mkString(", ")} collide with " +
+        "store-side columns (id, vector, meta, list_id); rename them")
     val probed = queries.select(
         col("*"),
         explode(probes(col(queryVecCol), nProbe)).as("list_id"))
@@ -523,9 +531,18 @@ class IvfIndex private (
 object IvfIndex {
 
   /** [[IvfIndex.searchAdaptive]] result: the chosen plan, the cardinality
-    * probe's match count, and the hits.
+    * probe's match count, and the hits. `boundViolated` is the
+    * PROGRAMMATIC form of the matchBound soundness check: true iff the
+    * caller supplied a `matchBound <= preFilterCap` that the scoring pass
+    * then observed to be unsound (true matches > cap). Results are exact
+    * either way; the flag lets calling code react to the broken contract
+    * (the log line alone cannot be consumed by a caller).
     */
-  case class AdaptiveSearch(path: String, matches: Long, hits: DataFrame)
+  case class AdaptiveSearch(
+      path: String,
+      matches: Long,
+      hits: DataFrame,
+      boundViolated: Boolean = false)
 
   val PathPrefilterExact = "prefilter_exact"
   val PathIvfPostfilter = "ivf_postfilter"
@@ -541,7 +558,7 @@ object IvfIndex {
     */
   val DefaultPreFilterCap: Long = 100000L
 
-  private[ml] lazy val slog =
+  private[graft] lazy val slog =
     org.slf4j.LoggerFactory.getLogger("graft.IvfIndex")
 
   /** The pure plan decision, split out so the boundary is spec-testable

@@ -211,8 +211,17 @@ private[graft] case class EpochLog(spark: SparkSession, path: String) {
   /** The next epoch number to write (orphans from failed appends are
     * reused and overwritten, so gaps never accumulate).
     */
-  def nextEpoch(): Long = readCommits().map(_.epoch).reduceOption(_ max _)
-    .getOrElse(-1L) + 1L
+  def nextEpoch(): Long = nextEpochFrom(readCommits())
+
+  /** [[nextEpoch]] over a pre-read commit seq — the one definition of
+    * "next epoch", shared with the multi-layout sweep (which must derive
+    * liveness and next-epoch from the SAME snapshot it swept against; a
+    * second inline max-epoch formula could silently diverge from this one
+    * under a future rule change and delete a directory readers still
+    * list).
+    */
+  private def nextEpochFrom(cs: Seq[Commit]): Long =
+    cs.map(_.epoch).reduceOption(_ max _).getOrElse(-1L) + 1L
 
   /** (live epoch count, total live rows, rows added since the last replace).
     * Pure commit-log arithmetic — no data files are touched.
@@ -294,7 +303,7 @@ private[graft] case class EpochLog(spark: SparkSession, path: String) {
   def sweepOrphanDirs(layoutPaths: Seq[String]): Seq[Long] = {
     val cs = readCommits()
     val live = resolveFrom(cs)._1.toSet
-    val next = cs.map(_.epoch).reduceOption(_ max _).getOrElse(-1L) + 1L
+    val next = nextEpochFrom(cs)
     layoutPaths.flatMap { layoutPath =>
       val dir = new org.apache.hadoop.fs.Path(layoutPath)
       val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)

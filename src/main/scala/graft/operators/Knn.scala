@@ -86,6 +86,18 @@ object Knn {
   /** Batch kNN: for every row of `queries` (queryIdCol, queryVecCol), the k
     * best rows of `store`. Scale path — bounded top-k aggregation.
     *
+    * `pairPredicate` is the HETEROGENEOUS per-query constraint (the
+    * [[graft.ml.IvfIndex.searchBatch]] mining contract on the EXACT
+    * path): a predicate over the joined (query columns × store columns)
+    * row, filtering between the broadcast join and the scoring — each
+    * query's top-k is then over only ITS OWN matching candidates. With it
+    * set, every extra `queries` column (the riders the predicate
+    * references) rides the broadcast; rider names must not collide with
+    * store columns (loud here, where the caller can rename). Same plan
+    * shape either way: one broadcast join, the per-pair filter inside the
+    * scan stage, bounded top-k aggregation — [[labelConstrainedTopK]] is
+    * the fixed-predicate special case of this.
+    *
     * Output: (queryIdCol, id, similarity_score, distance, rank).
     */
   def batchTopK(
@@ -96,10 +108,20 @@ object Knn {
       vecCol: String = "vector",
       idCol: String = "id",
       queryIdCol: String = "query_id",
-      queryVecCol: String = "query_vec"): DataFrame = {
+      queryVecCol: String = "query_vec",
+      pairPredicate: Option[Column] = None): DataFrame = {
     val topk = udaf(new TopKAggregator(k, ascending = false))
-    val scored = store
-      .crossJoin(broadcast(queries.select(col(queryIdCol), col(queryVecCol))))
+    val qSide = pairPredicate match {
+      case None => queries.select(col(queryIdCol), col(queryVecCol))
+      case Some(_) =>
+        val clash = queries.columns.filter(store.columns.toSet)
+        require(clash.isEmpty,
+          s"query columns ${clash.mkString(", ")} collide with store " +
+            "columns; rename them before pairPredicate batch scoring")
+        queries // riders ride the broadcast for the predicate to reference
+    }
+    val joined = store.crossJoin(broadcast(qSide))
+    val scored = pairPredicate.fold(joined)(joined.filter)
       .select(
         col(queryIdCol),
         col(idCol),

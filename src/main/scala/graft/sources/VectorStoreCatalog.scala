@@ -778,64 +778,132 @@ class VectorStoreCatalog(spark: SparkSession, val root: String) {
       useIndex: Boolean = true,
       nProbe: Int = 8,
       asOf: Option[Long] = None): DataFrame = {
-    require(queryVecs.nonEmpty && queryVecs.size <= VectorStoreCatalog.MaxBatchQueries,
-      s"batch size ${queryVecs.size} outside [1, ${VectorStoreCatalog.MaxBatchQueries}]")
-    require(k >= 1 && k <= VectorStoreCatalog.MaxBatchK,
-      s"k=$k outside [1, ${VectorStoreCatalog.MaxBatchK}]")
     val cfg = config(userId, modelId)
     queryVecs.foreach(q => require(q.length == cfg.dimension,
       s"query dimension ${q.length} != store dimension ${cfg.dimension}"))
+    batchQueryFrame(userId, modelId, queriesFromVecs(queryVecs), k,
+      useIndex, nProbe, asOf)
+  }
+
+  /** [[batchQuery]] over a caller-built QUERY FRAME — (`query_id` LONG,
+    * unique per row; `query_vec`; any rider columns) — with an optional
+    * per-query heterogeneous `pairPredicate` over the joined
+    * (query columns × store columns) row: the hard-negative-mining shape
+    * ("each query's top-k within its OWN constraint") served from a
+    * MANAGED store, with everything the catalog batch path gives the
+    * shared-filter shape — index selection, per-query underfill healing
+    * whose exact rescan honors each query's own pair constraint, pinned
+    * time travel, and the exact-scan failure fallback. Rider names must
+    * not collide with store columns (id, vector, meta, list_id — loud at
+    * the call); vector dimensions are the caller's contract on this
+    * surface (the Seq form validates them driver-side).
+    */
+  def batchQueryFrame(
+      userId: String,
+      modelId: String,
+      queries: DataFrame,
+      k: Int,
+      useIndex: Boolean = true,
+      nProbe: Int = 8,
+      asOf: Option[Long] = None,
+      pairPredicate: Option[org.apache.spark.sql.Column] = None): DataFrame = {
+    require(k >= 1 && k <= VectorStoreCatalog.MaxBatchK,
+      s"k=$k outside [1, ${VectorStoreCatalog.MaxBatchK}]")
+    val cfg = config(userId, modelId)
     // the [[query]] pin contract: validated FIRST, never a live fallback
     asOf.foreach(e => requirePin(userId, modelId, e))
-    import spark.implicits._
-    val queries = queryVecs.zipWithIndex
-      .map { case (v, i) => (i.toLong, v) }
-      .toDF("query_id", "query_vec")
+    val ids = boundedQueryIds(queries)
     def store = asOf.fold(load(userId, modelId))(e => loadAt(userId, modelId, e))
-    def exact = Knn.batchTopK(queries, store, k, cfg.metric)
+    def exact = Knn.batchTopK(queries, store, k, cfg.metric,
+      pairPredicate = pairPredicate)
     // same index selection and failure fallback as the single-query path:
     // the probed result is pinned (bounded: <= M*k rows), so lazy-execution
     // failures land inside the try. Underfill is healed PER QUERY: only the
     // query ids that came back with fewer than k hits are rescanned exactly
     // and unioned back — the satisfied queries keep their probed work
     // (rescanning all M for one unlucky query is ~2x the work at M large).
+    // The rescan carries the SAME pairPredicate, so healed rows still
+    // satisfy the underfilled query's own constraint.
     if (useIndex && hasIvf(userId, modelId, cfg)) {
       try {
         val res = idxLoad(userId, modelId, cfg)
-          .searchBatch(queries, k, nProbe, asOf = asOf)
+          .searchBatch(queries, k, nProbe, asOf = asOf,
+            pairPredicate = pairPredicate)
           .localCheckpoint(true)
-        healUnderfill(res, queries, queryVecs.size, k)(under =>
-          Knn.batchTopK(queries.filter(col("query_id").isin(under: _*)),
-            store, k, cfg.metric))
+        healUnderfill(res, queries, ids, k)(underQ =>
+          Knn.batchTopK(underQ, store, k, cfg.metric,
+            pairPredicate = pairPredicate))
       } catch {
         case _: Exception => exact
       }
     } else exact
   }
 
-  /** Per-query underfill healing for the batch ANN surfaces: any
-    * `query_id` among the `nQueries` ids with fewer than `k` probed hits
-    * is handed to `rescan` (an EXACT batch over only those ids) and its
+  /** The driver-built query frame every Seq-based batch surface feeds the
+    * frame form: ids are the vector positions (0..M-1).
+    */
+  private def queriesFromVecs(queryVecs: Seq[Seq[Double]]): DataFrame = {
+    require(queryVecs.nonEmpty && queryVecs.size <= VectorStoreCatalog.MaxBatchQueries,
+      s"batch size ${queryVecs.size} outside [1, ${VectorStoreCatalog.MaxBatchQueries}]")
+    import spark.implicits._
+    queryVecs.zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }
+      .toDF("query_id", "query_vec")
+  }
+
+  /** Collect and validate the query-id universe of a batch frame — ONE
+    * bounded collect shared by the serving cap check, the uniqueness
+    * check (duplicate ids would silently merge two queries' top-k), and
+    * [[healUnderfill]]'s underfill scan. The +1 limit keeps an
+    * accidentally-unbounded frame from ever materializing on the driver.
+    */
+  private def boundedQueryIds(queries: DataFrame): Seq[Long] = {
+    val cap = VectorStoreCatalog.MaxBatchQueries
+    val ids = queries.select(col("query_id").cast("long"))
+      .limit(cap + 1).collect().map(_.getLong(0)).toSeq
+    require(ids.nonEmpty && ids.size <= cap,
+      s"batch query frame outside [1, $cap] rows")
+    require(ids.distinct.size == ids.size,
+      "batch query frame has duplicate query_id values — each would merge " +
+        "into one top-k; make query_id unique")
+    ids
+  }
+
+  /** Per-query underfill healing for the batch ANN surfaces: any of the
+    * frame's query `ids` with fewer than `k` probed hits is handed to
+    * `rescan` (an EXACT batch over only those queries' rows) and its
     * probed rows are replaced by the exact ones; satisfied queries keep
     * their probed rows untouched. Returns `probed` as-is when nothing
     * underfilled (the common case pays one <= M-row collect and nothing
     * else). The healed union is pinned eagerly like every batch result.
+    * Small underfill sets restrict via `isin`; past
+    * [[VectorStoreCatalog.HealSemiJoinThreshold]] ids both the keep side
+    * and the rescan restrict through a broadcast semi/anti join against
+    * an ids frame instead — one giant `In` predicate is not the
+    * scale-proof plan shape (behavior identical either way).
     */
   private def healUnderfill(
       probed: DataFrame,
       queries: DataFrame,
-      nQueries: Int,
-      k: Int)(rescan: Seq[Long] => DataFrame): DataFrame = {
+      ids: Seq[Long],
+      k: Int)(rescan: DataFrame => DataFrame): DataFrame = {
     val hitCounts = probed.groupBy(col("query_id"))
       .agg(org.apache.spark.sql.functions.count(lit(1)).as("n"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val under = (0 until nQueries).collect {
-      case i if hitCounts.getOrElse(i.toLong, 0L) < k => i.toLong
-    }
+    val under = ids.filter(id => hitCounts.getOrElse(id, 0L) < k)
     if (under.isEmpty) probed
-    else probed.filter(!col("query_id").isin(under: _*))
-      .unionByName(rescan(under))
-      .localCheckpoint(true)
+    else if (under.size <= VectorStoreCatalog.HealSemiJoinThreshold)
+      probed.filter(!col("query_id").isin(under: _*))
+        .unionByName(rescan(queries.filter(col("query_id").isin(under: _*))))
+        .localCheckpoint(true)
+    else {
+      import spark.implicits._
+      val underDf = under.toDF("query_id")
+      probed.join(broadcast(underDf), Seq("query_id"), "left_anti")
+        .unionByName(rescan(
+          queries.join(broadcast(underDf), Seq("query_id"), "left_semi")))
+        .localCheckpoint(true)
+    }
   }
 
   /** [[batchQuery]] with [[queryAdaptive]]'s cardinality-adaptive filter
@@ -872,57 +940,127 @@ class VectorStoreCatalog(spark: SparkSession, val root: String) {
       asOf: Option[Long] = None): graft.ml.IvfIndex.AdaptiveSearch = {
     require(metadataFilter.nonEmpty,
       "adaptive planning needs a filter; use batchQuery() for unfiltered batches")
-    batchAdaptiveImpl(userId, modelId, queryVecs, k, nProbe, preFilterCap,
-      asOf, Knn.metadataPredicate(col("meta"), metadataFilter),
-      metadataFilter.toSeq.map { case (k0, v0) =>
-        metaStatsCount(userId, modelId, k0, v0)
-      },
-      (idx, queries) => idx.searchBatch(queries, k, nProbe, asOf = asOf,
-        metadataFilter = metadataFilter))
+    validateVecDims(userId, modelId, queryVecs)
+    batchQueryAdaptiveFrame(userId, modelId, queriesFromVecs(queryVecs), k,
+      metadataFilter, nProbe, preFilterCap, asOf)
   }
 
-  /** The shared batch adaptive body ([[batchQueryAdaptive]] /
-    * [[batchQueryAdaptiveTyped]] differ only in predicate, stats lookup,
-    * and which `searchBatch` argument carries the filter).
+  /** [[batchQueryAdaptive]] over a caller-built query frame (the
+    * [[batchQueryFrame]] contract: unique `query_id`, `query_vec`, rider
+    * columns) with an optional per-query `pairPredicate` — the ADAPTIVE
+    * serving form of the mining shape. The SHARED `metadataFilter` plans
+    * the batch exactly as before (one statistics lookup / conjunction
+    * bound / count for all M queries); the pair predicate composes on
+    * top of whichever path is chosen — it is heterogeneous by
+    * construction, so it never participates in the cardinality decision,
+    * and [[healUnderfill]]'s exact rescan carries it so healed rows
+    * still satisfy the underfilled query's OWN constraint.
+    *
+    * `metadataFilter` may be EMPTY when `pairPredicate` is given (the
+    * pure mining shape): planning then uses the store's committed row
+    * count — commit-log arithmetic on epoch stores, zero count jobs —
+    * as the exact cardinality, and `prefilter_exact` degrades to the
+    * exact batch over the whole (bounded) store.
+    */
+  def batchQueryAdaptiveFrame(
+      userId: String,
+      modelId: String,
+      queries: DataFrame,
+      k: Int,
+      metadataFilter: Map[String, String] = Map.empty,
+      nProbe: Int = 8,
+      preFilterCap: Long = graft.ml.IvfIndex.DefaultPreFilterCap,
+      asOf: Option[Long] = None,
+      pairPredicate: Option[org.apache.spark.sql.Column] = None)
+      : graft.ml.IvfIndex.AdaptiveSearch = {
+    require(metadataFilter.nonEmpty || pairPredicate.nonEmpty,
+      "adaptive planning needs a filter (shared or per-query); use " +
+        "batchQueryFrame() for unfiltered batches")
+    val pred =
+      if (metadataFilter.isEmpty) lit(true)
+      else Knn.metadataPredicate(col("meta"), metadataFilter)
+    batchAdaptiveImpl(userId, modelId, queries, k, nProbe, preFilterCap,
+      asOf, pred,
+      if (metadataFilter.isEmpty)
+        (storeRowCountHint(userId, modelId, asOf), None)
+      else statsHints(asOf, metadataFilter.toSeq.map { case (k0, v0) =>
+        metaStatsCount(userId, modelId, k0, v0)
+      }),
+      (idx, qs) => idx.searchBatch(qs, k, nProbe, asOf = asOf,
+        metadataFilter = metadataFilter, pairPredicate = pairPredicate),
+      pairPredicate)
+  }
+
+  /** The store's committed row count as an EXACT planning hint for
+    * unfiltered (pair-predicate-only) adaptive batches: pure commit-log
+    * arithmetic on epoch stores — live for the current state, [[EpochLog
+    * .rowsOf]] over the pinned epoch set for time travel — so the plan
+    * decision costs no count job. Legacy flat stores return None and the
+    * impl's live count decides.
+    */
+  private def storeRowCountHint(
+      userId: String, modelId: String, asOf: Option[Long]): Option[Long] = {
+    if (!epochMode(userId, modelId)) return None
+    val log = storeLog(userId, modelId)
+    Some(asOf.fold(log.sizeStats()._2)(e => log.rowsOf(log.epochsAt(e).toSet)))
+  }
+
+  private def validateVecDims(
+      userId: String, modelId: String, queryVecs: Seq[Seq[Double]]): Unit = {
+    val dim = config(userId, modelId).dimension
+    queryVecs.foreach(q => require(q.length == dim,
+      s"query dimension ${q.length} != store dimension $dim"))
+  }
+
+  /** The shared batch adaptive body (the string/typed × Seq/frame
+    * surfaces differ only in predicate, planning hints, and which
+    * `searchBatch` argument carries the shared filter). `hints` is the
+    * pre-computed (exact hint, upper bound) pair; `pairPredicate` rides
+    * every path (probed, exact, heal rescan) without ever planning.
     */
   private def batchAdaptiveImpl(
       userId: String,
       modelId: String,
-      queryVecs: Seq[Seq[Double]],
+      queries: DataFrame,
       k: Int,
       nProbe: Int,
       preFilterCap: Long,
       asOf: Option[Long],
       pred: org.apache.spark.sql.Column,
-      lookups: => Seq[Option[Long]],
-      probedBatch: (graft.ml.IvfIndex, DataFrame) => DataFrame)
+      hints: => (Option[Long], Option[Long]),
+      probedBatch: (graft.ml.IvfIndex, DataFrame) => DataFrame,
+      pairPredicate: Option[org.apache.spark.sql.Column] = None)
       : graft.ml.IvfIndex.AdaptiveSearch = {
-    require(queryVecs.nonEmpty && queryVecs.size <= VectorStoreCatalog.MaxBatchQueries,
-      s"batch size ${queryVecs.size} outside [1, ${VectorStoreCatalog.MaxBatchQueries}]")
     require(k >= 1 && k <= VectorStoreCatalog.MaxBatchK,
       s"k=$k outside [1, ${VectorStoreCatalog.MaxBatchK}]")
     require(preFilterCap >= 1, s"preFilterCap must be >= 1, got $preFilterCap")
     val cfg = config(userId, modelId)
-    queryVecs.foreach(q => require(q.length == cfg.dimension,
-      s"query dimension ${q.length} != store dimension ${cfg.dimension}"))
     asOf.foreach(e => requirePin(userId, modelId, e))
-    import spark.implicits._
-    val queries = queryVecs.zipWithIndex
-      .map { case (v, i) => (i.toLong, v) }
-      .toDF("query_id", "query_vec")
+    val ids = boundedQueryIds(queries)
     def base = asOf.fold(load(userId, modelId))(e => loadAt(userId, modelId, e))
     // [[queryAdaptive]]'s statistics discipline, paid ONCE for M queries
-    val (hint, bound) = statsHints(asOf, lookups)
+    val (hint, bound) = hints
     // exact batch over the filtered store, match count observed inside the
-    // same pass (bounded output: <= M*k rows, pinned eagerly)
-    def filteredBatch(path: String): graft.ml.IvfIndex.AdaptiveSearch = {
+    // same pass (bounded output: <= M*k rows, pinned eagerly).
+    // `viaBound`: the plan was chosen by a caller/stats upper bound, so an
+    // observed count past the cap means the bound was unsound — flagged
+    // programmatically, the [[graft.ml.IvfIndex.searchAdaptive]] contract.
+    def filteredBatch(path: String, viaBound: Boolean = false)
+        : graft.ml.IvfIndex.AdaptiveSearch = {
       val obs = org.apache.spark.sql.Observation()
       val filtered = base.filter(pred)
         .observe(obs, org.apache.spark.sql.functions.count(lit(1)).as("m"))
-      val hits = Knn.batchTopK(queries, filtered, k, cfg.metric)
+      val hits = Knn.batchTopK(queries, filtered, k, cfg.metric,
+          pairPredicate = pairPredicate)
         .localCheckpoint(true)
-      graft.ml.IvfIndex.AdaptiveSearch(path,
-        obs.get("m").asInstanceOf[Long], hits)
+      val m = obs.get("m").asInstanceOf[Long]
+      if (viaBound && m > preFilterCap)
+        graft.ml.IvfIndex.slog.warn(s"batchQueryAdaptive: bound <= cap " +
+          s"$preFilterCap but the pass observed $m matches — the bound was " +
+          "NOT a sound upper bound; results are exact, the prefilter cap " +
+          "contract was not honored")
+      graft.ml.IvfIndex.AdaptiveSearch(path, m, hits,
+        boundViolated = viaBound && m > preFilterCap)
     }
     if (!hasIvf(userId, modelId, cfg))
       return filteredBatch(graft.ml.IvfIndex.PathExactScan)
@@ -932,23 +1070,25 @@ class VectorStoreCatalog(spark: SparkSession, val root: String) {
     val matches: Long = hint match {
       case Some(m) => m
       case None if bound.exists(_ <= preFilterCap) =>
-        return filteredBatch(graft.ml.IvfIndex.PathPrefilterExact)
+        return filteredBatch(graft.ml.IvfIndex.PathPrefilterExact,
+          viaBound = true)
       case None => base.filter(pred).count()
     }
     if (matches <= preFilterCap) filteredBatch(graft.ml.IvfIndex.PathPrefilterExact)
     else {
       // probed path: filter inside the probed lists. Underfill is healed
       // PER QUERY ([[healUnderfill]]): only the underfilled query ids are
-      // rescanned exactly against the FILTERED store and unioned back —
-      // the M-1 satisfied queries keep their probed work, and the batch's
+      // rescanned exactly against the FILTERED store — under their own
+      // pair predicate when one rides the batch — and unioned back; the
+      // M-1 satisfied queries keep their probed work, and the batch's
       // path label stays ivf_postfilter (that is the plan that was
       // chosen; healing is a per-query repair, not a re-plan).
       try {
         val res = probedBatch(idxLoad(userId, modelId, cfg), queries)
           .localCheckpoint(true)
-        val healed = healUnderfill(res, queries, queryVecs.size, k)(under =>
-          Knn.batchTopK(queries.filter(col("query_id").isin(under: _*)),
-            base.filter(pred), k, cfg.metric))
+        val healed = healUnderfill(res, queries, ids, k)(underQ =>
+          Knn.batchTopK(underQ, base.filter(pred), k, cfg.metric,
+            pairPredicate = pairPredicate))
         graft.ml.IvfIndex.AdaptiveSearch(
           graft.ml.IvfIndex.PathIvfPostfilter, matches, healed)
       } catch {
@@ -974,14 +1114,45 @@ class VectorStoreCatalog(spark: SparkSession, val root: String) {
       asOf: Option[Long] = None): graft.ml.IvfIndex.AdaptiveSearch = {
     require(typedFilter.nonEmpty,
       "adaptive planning needs a filter; use batchQuery() for unfiltered batches")
-    val pred = TypedMeta.typedPredicate(col("meta"), typedFilter)
-    batchAdaptiveImpl(userId, modelId, queryVecs, k, nProbe, preFilterCap,
+    validateVecDims(userId, modelId, queryVecs)
+    batchQueryAdaptiveTypedFrame(userId, modelId, queriesFromVecs(queryVecs),
+      k, typedFilter, nProbe, preFilterCap, asOf)
+  }
+
+  /** [[batchQueryAdaptiveFrame]]'s TYPED twin: shared typed filter (may
+    * be empty when `pairPredicate` is given — the commit-log row count
+    * then plans, as on the string surface) + per-query pair predicate,
+    * same three-path contract, heal honoring each query's own
+    * constraint.
+    */
+  def batchQueryAdaptiveTypedFrame(
+      userId: String,
+      modelId: String,
+      queries: DataFrame,
+      k: Int,
+      typedFilter: Map[String, Any] = Map.empty,
+      nProbe: Int = 8,
+      preFilterCap: Long = graft.ml.IvfIndex.DefaultPreFilterCap,
+      asOf: Option[Long] = None,
+      pairPredicate: Option[org.apache.spark.sql.Column] = None)
+      : graft.ml.IvfIndex.AdaptiveSearch = {
+    require(typedFilter.nonEmpty || pairPredicate.nonEmpty,
+      "adaptive planning needs a filter (shared or per-query); use " +
+        "batchQueryFrame() for unfiltered batches")
+    val pred =
+      if (typedFilter.isEmpty) lit(true)
+      else TypedMeta.typedPredicate(col("meta"), typedFilter)
+    batchAdaptiveImpl(userId, modelId, queries, k, nProbe, preFilterCap,
       asOf, pred,
-      typedFilter.toSeq.map { case (k0, v0) =>
+      if (typedFilter.isEmpty)
+        (storeRowCountHint(userId, modelId, asOf), None)
+      else statsHints(asOf, typedFilter.toSeq.map { case (k0, v0) =>
         metaStatsCountTyped(userId, modelId, k0, v0)
-      },
-      (idx, queries) => idx.searchBatch(queries, k, nProbe, asOf = asOf,
-        predicate = Some(pred)))
+      }),
+      (idx, qs) => idx.searchBatch(qs, k, nProbe, asOf = asOf,
+        predicate = if (typedFilter.isEmpty) None else Some(pred),
+        pairPredicate = pairPredicate),
+      pairPredicate)
   }
 
   /** Compaction (the reference's admin `optimize` endpoint references a
@@ -1139,7 +1310,13 @@ class VectorStoreCatalog(spark: SparkSession, val root: String) {
       userId: String, modelId: String): Option[DataFrame] = {
     val dst = new Path(metaStatsPath(userId, modelId))
     val old = new Path(metaStatsOldPath(userId, modelId))
-    if (!fs.exists(dst) && fs.exists(old) && !fs.rename(old, dst))
+    // read-time healing MUTATES the store dir, so two concurrent readers
+    // after a crash can race the rename: the loser's rename returns false
+    // because the WINNER already promoted the aside — re-check the
+    // destination before declaring failure (only a still-absent dst means
+    // the heal really failed and the query cannot proceed)
+    if (!fs.exists(dst) && fs.exists(old) && !fs.rename(old, dst) &&
+        !fs.exists(dst))
       throw new IllegalStateException(
         s"meta stats read failed: could not heal aside dir $old -> $dst")
     if (fs.exists(dst)) Some(spark.read.parquet(dst.toString)) else None
@@ -1165,8 +1342,12 @@ class VectorStoreCatalog(spark: SparkSession, val root: String) {
     val dst = new Path(metaStatsPath(userId, modelId))
     val old = new Path(metaStatsOldPath(userId, modelId))
     fs.delete(new Path(tmp), true) // leftovers from a prior crash
-    // heal a crashed prior swap: the aside dir IS the current stats
-    if (!fs.exists(dst) && fs.exists(old) && !fs.rename(old, dst))
+    // heal a crashed prior swap: the aside dir IS the current stats. A
+    // concurrent READER's read-time heal can win this rename (see
+    // [[metaStatsFrame]]) — a false return with dst now present is that
+    // benign race, not a failure
+    if (!fs.exists(dst) && fs.exists(old) && !fs.rename(old, dst) &&
+        !fs.exists(dst))
       throw new IllegalStateException(
         s"meta stats publish failed: could not heal aside dir $old -> $dst")
     write(tmp)
@@ -1300,6 +1481,14 @@ object VectorStoreCatalog {
   val MaxBatchQueries = 1000
   val MaxBatchK = 100
   val MaxSingleK = 1000
+
+  /** Above this many underfilled query ids, [[VectorStoreCatalog
+    * .healUnderfill]] restricts via a broadcast semi/anti join instead of
+    * an `isin` list — a 64-term `In` is fine, a thousands-term one is a
+    * predicate-tree/codegen liability, and the join form is the plan
+    * shape that survives any M.
+    */
+  val HealSemiJoinThreshold = 64
 
   private val NamePattern = "^[A-Za-z0-9._-]{1,128}$".r
   def validName(s: String): Boolean = NamePattern.matches(s)

@@ -267,6 +267,23 @@ class IvfIndexSpec extends AnyFunSuite with SparkSpec {
       metadataFilter = Map("par" -> "1"), preFilterCap = 100,
       matchBound = Some(5000L))
     assert(loose.path == IvfIndex.PathIvfPostfilter && loose.matches == 250L)
+    // an UNSOUND bound (<= cap but under the TRUE count) is trusted for
+    // the plan — that is the no-count-job point — detected inside the
+    // pass, and surfaced PROGRAMMATICALLY: boundViolated = true with
+    // results still exact (the log line alone cannot be consumed by code)
+    val unsound = idx.searchAdaptive(qv, k = 5, nProbe = 4,
+      metadataFilter = Map("par" -> "1"), preFilterCap = 100,
+      matchBound = Some(100L))
+    assert(unsound.path == IvfIndex.PathPrefilterExact &&
+      unsound.matches == 250L && unsound.boundViolated,
+      s"an unsound bound must set boundViolated: $unsound")
+    assert(unsound.hits.select($"id").collect().map(_.getLong(0)).toSeq ==
+      Knn.topK(store.filter(element_at($"meta", "par") === "1"), qv, 5)
+        .select($"id").collect().map(_.getLong(0)).toSeq,
+      "results stay exact under an unsound bound")
+    // every sound outcome reads false (honest default on all paths)
+    assert(!sel.boundViolated && !broad.boundViolated &&
+      !hinted.boundViolated && !bounded.boundViolated && !loose.boundViolated)
   }
 
   test("filtered searchBatch: the filter composes with list pruning — " +

@@ -158,6 +158,148 @@ class CatalogOpsSpec extends AnyFunSuite with SparkSpec {
       "adaptive: satisfied query must keep its probed rows")
   }
 
+  test("mining frame surface: underfill heals to rows that satisfy the " +
+      "query's OWN rider constraint; satisfied queries keep probed work") {
+    val cat = newCatalog
+    cat.create("u", "mine", StoreConfig(dimension = 4))
+    // two clusters with label riders. q0 (near A, label a, wants label<>a)
+    // finds only ONE disagreeing row in its probed list — the heal's exact
+    // rescan must pull label-b rows from the OTHER cluster, never the
+    // nearer label-a rows (a rescan that dropped the pair predicate would
+    // return those). q1 (near B, label b, wants label<>b) is satisfied
+    // from its own list, but its TRUE 3rd disagreeing neighbor is the
+    // bridge in list A — probed != exact while satisfied, so an
+    // accidental whole-batch rescan would be caught.
+    val rows = Seq(
+      (Seq(1.0, 0.0, 0.0, 0.0), "a"), (Seq(1.0, 0.0, 0.01, 0.0), "a"),
+      (Seq(1.0, 0.0, 0.02, 0.0), "a"), (Seq(1.0, 0.0, 0.03, 0.0), "a"),
+      (Seq(1.0, 0.0, 0.04, 0.0), "a"),
+      (Seq(1.0, 0.0, 0.05, 0.0), "b"), // x1: A-list's only disagreeing row
+      (Seq(1.2, 1.0, 0.0, 0.0), "a"), // bridge: lands in A, cos 0.64 to q1
+      (Seq(0.0, 1.0, 0.0, 0.0), "b"), (Seq(0.0, 1.0, 0.01, 0.0), "b"),
+      (Seq(0.0, 1.0, 0.02, 0.0), "b"), (Seq(0.0, 1.0, 0.03, 0.0), "b"),
+      (Seq(0.0, 1.0, 0.1, 0.0), "a"), (Seq(0.0, 1.0, 0.2, 0.0), "a"),
+      (Seq(0.0, 1.0, 1.7, 0.0), "a")) // loose B member: cos 0.51 to q1
+    cat.addVectors("u", "mine",
+      rows.map { case (v, l) => (v, Map("label" -> l)) }.toDF("vector", "meta"))
+    cat.buildIndex("u", "mine", nLists = 2)
+    val queries = Seq(
+      (0L, Seq(1.0, 0.0, 0.0, 0.0), "a"),
+      (1L, Seq(0.0, 1.0, 0.0, 0.0), "b"))
+      .toDF("query_id", "query_vec", "q_label")
+    val pair = element_at(col("meta"), "label") =!= col("q_label")
+    def ids(df: org.apache.spark.sql.DataFrame, q: Long): Set[Long] =
+      df.filter($"query_id" === q).select($"id").as[Long].collect().toSet
+    val labelOf = cat.load("u", "mine")
+      .select($"id", element_at($"meta", "label").as("l"))
+      .as[(Long, String)].collect().toMap
+    val exact = cat.batchQueryFrame("u", "mine", queries, 3,
+      useIndex = false, pairPredicate = Some(pair))
+    val bridgeLike = ids(exact, 1L).filter(id => labelOf(id) == "a")
+    assert(ids(exact, 0L).forall(id => labelOf(id) == "b") &&
+      ids(exact, 1L).forall(id => labelOf(id) == "a"),
+      "construction broken: exact mining must honor each rider")
+
+    val healed = cat.batchQueryFrame("u", "mine", queries, 3,
+      nProbe = 1, pairPredicate = Some(pair))
+    // q0 underfilled (1 disagreeing row in its list) -> healed EXACTLY,
+    // and every healed row satisfies q0's own constraint
+    assert(ids(healed, 0L) == ids(exact, 0L),
+      "underfilled mining query must heal to the exact constrained top-k")
+    assert(ids(healed, 0L).forall(id => labelOf(id) == "b"),
+      "healed rows must satisfy the underfilled query's OWN rider constraint")
+    // q1 satisfied from its probed list: keeps probed work (the bridge —
+    // in its exact top-k — stays invisible at nProbe=1)
+    val kept = ids(healed, 1L)
+    assert(kept.size == 3 && bridgeLike.exists(b => !kept.contains(b)),
+      "satisfied mining query must keep its probed rows")
+
+    // the ADAPTIVE frame surface with an EMPTY shared filter: the
+    // commit-log row count plans (exact hint, no count job), cap=1
+    // forces the probed path, and the same per-query heal runs
+    val ad = cat.batchQueryAdaptiveFrame("u", "mine", queries, 3,
+      nProbe = 1, preFilterCap = 1, pairPredicate = Some(pair))
+    assert(ad.path == graft.ml.IvfIndex.PathIvfPostfilter &&
+      ad.matches == rows.size.toLong,
+      "empty shared filter must plan from the commit-log row count")
+    assert(ids(ad.hits, 0L) == ids(exact, 0L) &&
+      ids(ad.hits, 0L).forall(id => labelOf(id) == "b"))
+    // and the selective side: cap >= store rows -> exact batch, pair
+    // predicate still honored
+    val sel = cat.batchQueryAdaptiveFrame("u", "mine", queries, 3,
+      pairPredicate = Some(pair))
+    assert(sel.path == graft.ml.IvfIndex.PathPrefilterExact)
+    assert(ids(sel.hits, 0L) == ids(exact, 0L) &&
+      ids(sel.hits, 1L) == ids(exact, 1L))
+
+    // typed frame twin: shared typed filter composes with the pair
+    // predicate through the same impl
+    val typed = cat.batchQueryAdaptiveTypedFrame("u", "mine", queries, 3,
+      typedFilter = Map("label" -> "a"), pairPredicate = Some(pair))
+    assert(typed.path == graft.ml.IvfIndex.PathPrefilterExact)
+    assert(typed.hits.filter($"query_id" === 1L).count() == 3 &&
+      typed.hits.filter($"query_id" === 0L).count() == 0,
+      "shared typed filter label=a ∧ pair label<>rider: q0 (rider a) has " +
+        "no candidates, q1 (rider b) keeps its three label-a rows")
+  }
+
+  test("heal semi-join form: past the isin threshold the underfilled set " +
+      "restricts via broadcast semi/anti join — behavior identical") {
+    val cat = newCatalog
+    cat.create("u", "semi", StoreConfig(dimension = 4))
+    // list A: 3 rows (satisfied at k=2); list B: 1 row (underfills k=2)
+    val rows = Seq(
+      Seq(1.0, 0.0, 0.0, 0.0), Seq(1.0, 0.0, 0.01, 0.0),
+      Seq(1.0, 0.0, 0.02, 0.0), Seq(0.0, 1.0, 0.0, 0.0))
+    cat.addVectors("u", "semi", rows.map(Tuple1(_)).toDF("vector"))
+    cat.buildIndex("u", "semi", nLists = 2)
+    val n = VectorStoreCatalog.HealSemiJoinThreshold + 6
+    // n underfilled queries (near B) + 4 satisfied ones (near A)
+    val qs = (0 until n).map(i =>
+      (i.toLong, Seq(0.0, 1.0, 0.001 * i, 0.0))) ++
+      (n until n + 4).map(i => (i.toLong, Seq(1.0, 0.0, 0.001 * i, 0.0)))
+    val queries = qs.toDF("query_id", "query_vec")
+    val healed = cat.batchQueryFrame("u", "semi", queries, 2, nProbe = 1)
+    val exact = cat.batchQueryFrame("u", "semi", queries, 2, useIndex = false)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select($"query_id", $"id").as[(Long, Long)].collect().toSet
+    assert(pairs(healed) == pairs(exact),
+      "semi-join heal must produce exactly the exact batch's (query, id) set")
+  }
+
+  test("batch frame guards: duplicate query_id, rider/store collisions") {
+    val cat = newCatalog
+    cat.create("u", "g", StoreConfig(dimension = 4))
+    cat.addVectors("u", "g",
+      (0 until 6).map(i => Seq(1.0, 0.001 * i, 0.0, 0.0))
+        .map(Tuple1(_)).toDF("vector"))
+    val dup = Seq((0L, Seq(1.0, 0.0, 0.0, 0.0)), (0L, Seq(0.0, 1.0, 0.0, 0.0)))
+      .toDF("query_id", "query_vec")
+    intercept[IllegalArgumentException] {
+      cat.batchQueryFrame("u", "g", dup, 2)
+    }
+    // rider named like a store column is loud on the indexed path
+    cat.buildIndex("u", "g", nLists = 2)
+    val clash = Seq((0L, Seq(1.0, 0.0, 0.0, 0.0), "x"))
+      .toDF("query_id", "query_vec", "meta")
+    intercept[IllegalArgumentException] {
+      graft.ml.IvfIndex.load(spark,
+          s"${cat.storePath("u", "g")}/_ivf")
+        .searchBatch(clash, 2, pairPredicate = Some(lit(true)))
+    }
+    // ... and on the exact batch kernel
+    intercept[IllegalArgumentException] {
+      Knn.batchTopK(clash, cat.load("u", "g"), 2,
+        pairPredicate = Some(lit(true)))
+    }
+    // the id/vec column names themselves must not shadow the store side
+    val shadow = Seq((0L, Seq(1.0, 0.0, 0.0, 0.0))).toDF("id", "query_vec")
+    intercept[IllegalArgumentException] {
+      graft.ml.IvfIndex.load(spark, s"${cat.storePath("u", "g")}/_ivf")
+        .searchBatch(shadow, 2, queryIdCol = "id")
+    }
+  }
+
   test("ingest and delete are single-pass (job counts via SparkListener)") {
     val cat = newCatalog
     cat.create("u", "jc", StoreConfig(dimension = 4))
