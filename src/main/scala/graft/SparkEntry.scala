@@ -3722,6 +3722,57 @@ object SparkEntry {
       shaped("a_sel", sel).unionAll(shaped("b_broad", broad))
     }),
 
+    // THE MINING SHAPE SERVED FROM A TENANT STORE (the r18 verdict's #1
+    // gap): q184's per-query heterogeneous constraint — top-5 most
+    // similar with a label DIFFERENT from each query's OWN, carried as a
+    // rider column on the query frame — through the catalog's adaptive
+    // batch serving, composed with a SHARED filter (par=1) and the full
+    // q186 lifecycle: fresh statistics plan phase a prefilter_exact from
+    // the single-key hint (no count job, require-checked), and phase b's
+    // cap=1 forces the probed plan at full probe, where the pair
+    // predicate filters above the list_id equi-join and the per-query
+    // underfill heal — were it to fire — rescans under each query's own
+    // constraint. Both phases replay generatively: exact top-5 within
+    // par=1 ∧ label<>query_label per query.
+    "q187_catalog_mining" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val root = tempIndexDir("graft_q187_store")
+      val cat = new sources.VectorStoreCatalog(s, root)
+      cat.create("u", "m", sources.StoreConfig(dimension = 64))
+      cat.addVectors("u", "m", emb.select(col("embedding").as("vector"),
+        map(lit("par"), (col("vec_id") % 2).cast("string"),
+          lit("label"), col("label").cast("string"),
+          lit("vid"), col("vec_id").cast("string")).as("meta")))
+      cat.refreshMetaStats("u", "m")
+      cat.buildIndex("u", "m", nLists = 8) // layout-only: stats stay fresh
+      require(cat.metaStatsCount("u", "m", "par", "1").nonEmpty,
+        "the shared filter's stats must be fresh so the hint, not a " +
+          "count job, plans the batch")
+      val queries = emb.filter(col("vec_id") < 8).select(
+        col("vec_id").as("query_id"), col("embedding").as("query_vec"),
+        col("label").cast("string").as("q_label"))
+      val pair = element_at(col("meta"), "label") =!= col("q_label")
+      val idToVid = cat.load("u", "m").select(col("id"),
+        element_at(col("meta"), "vid").cast("long").as("vid"))
+        .localCheckpoint(true)
+      def shaped(phase: String, r: graft.ml.IvfIndex.AdaptiveSearch) =
+        r.hits.join(idToVid, "id")
+          .select(lit(phase).as("phase"), lit(r.path).as("path"),
+            lit(r.matches).as("matches"),
+            col("query_id").cast("long").as("qid"), col("vid"),
+            col("rank").cast("long").as("rnk"))
+      val sel = cat.batchQueryAdaptiveFrame("u", "m", queries, 5,
+        Map("par" -> "1"), pairPredicate = Some(pair))
+      require(sel.path == graft.ml.IvfIndex.PathPrefilterExact,
+        "fresh shared-filter stats must plan the mining batch prefilter_exact")
+      val broad = cat.batchQueryAdaptiveFrame("u", "m", queries, 5,
+        Map("par" -> "1"), nProbe = 8, preFilterCap = 1,
+        pairPredicate = Some(pair))
+      require(broad.path == graft.ml.IvfIndex.PathIvfPostfilter,
+        "cap=1 must force the probed mining plan")
+      shaped("a_sel", sel).unionAll(shaped("b_broad", broad))
+    }),
+
     // STATISTICS SURVIVE THE DELETE (the r18 re-arm, oracle-locked): the
     // store arms its statistics ONCE; a destructive delete then removes
     // the grp=0 third of every class, and the very next adaptive query —
@@ -6835,6 +6886,31 @@ object SparkEntry {
     // The mining shape through the BATCH ANN path at full probe is the
     // same exact answer: the twin is q92's replay verbatim.
     "q184_batch_mining" -> HardNegativesOracle,
+
+    // The mining shape from a TENANT store: per-query exact top-5 within
+    // par=1 ∧ label<>query_label; one shared-filter count, both plan
+    // labels construction-derived (q186's two-phase discipline with a
+    // pair predicate riding both plans).
+    "q187_catalog_mining" ->
+      """WITH m AS (SELECT CAST(count(*) AS BIGINT) AS m
+        |           FROM embeddings WHERE vec_id % 2 = 1),
+        |q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv,
+        |        label AS ql
+        |      FROM embeddings WHERE vec_id < 8),
+        |r AS (
+        |  SELECT q.qid, x.vec_id AS vid,
+        |    CAST(row_number() OVER (PARTITION BY q.qid
+        |      ORDER BY list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
+        |        q.qv) DESC, x.vec_id ASC) AS BIGINT) AS rnk
+        |  FROM embeddings x JOIN q ON x.label <> q.ql
+        |  WHERE x.vec_id % 2 = 1)
+        |SELECT 'a_sel' AS phase, 'prefilter_exact' AS path,
+        |  (SELECT m FROM m) AS matches, CAST(qid AS BIGINT) AS qid, vid, rnk
+        |FROM r WHERE rnk <= 5
+        |UNION ALL
+        |SELECT 'b_broad', 'ivf_postfilter', (SELECT m FROM m),
+        |  CAST(qid AS BIGINT), vid, rnk
+        |FROM r WHERE rnk <= 5""".stripMargin,
 
     // Per-query exact top-5 within the typed conjunction's residue class
     // {37, 57} mod 60 (q183's class, batched): one logical count, both
