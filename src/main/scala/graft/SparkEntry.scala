@@ -971,6 +971,29 @@ object SparkEntry {
         .toDF("id", "lang", "entropy_x1e4", "ppl_x1e4")
     }),
 
+    // THE GATE AT TRIGRAM ORDER, through the frames route (the r18
+    // verdict's #2 gap): q145's decision chain — temperature mix ->
+    // entropy floor -> KN perplexity ceiling — scored by the PRODUCTION
+    // gate order (q151's trigram model) via scoreKn3Distributed's five
+    // LEFT equi-joins (plan-guarded), the route with no broadcast
+    // ceiling. One shared gateBody with every other gate form; the
+    // ceiling sits at the corpus's trigram median (bigram and trigram
+    // perplexity scales differ — same chain, recalibrated knob). The
+    // twin composes q145's mix+entropy replay with q151's trigram
+    // training/scoring replay end to end.
+    "q188_quality_gate_kn3" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val rates = operators.Curation.temperatureRates(docs, "lang", alpha = 0.5)
+      val frames = text.NgramLm.trainKn3Distributed(
+        docs.filter(col("doc_id") % 4 =!= 0), "text",
+        maxVocab = 256, minTrigramCount = 2)
+      val out = streaming.Streams.qualityGateKn3Frames(docs, rates, frames,
+          maxPplX1e4 = 640000L)
+        .localCheckpoint(true) // survivors pinned, then release the frames
+      frames.unpersist()
+      out
+    }),
+
     // Quality pipeline v2 (the q67 composition discipline over the round's
     // new layer): temperature-flattened language mix -> lexical-diversity
     // floor -> Kneser-Ney in-domain perplexity ceiling, end to end under
@@ -4879,6 +4902,7 @@ object SparkEntry {
     // q145's oracle — matching it proves the frames model gates
     // byte-identically.
     "q182_quality_gate_frames" -> QualityGateOracle,
+    "q188_quality_gate_kn3" -> Kn3QualityGateOracle,
 
     // The q138 + q143 + q144 chains composed: mix CTE materialized (the
     // q84 inlining lesson), entropy and perplexity computed per row on
@@ -5004,6 +5028,112 @@ object SparkEntry {
           |FROM mix m JOIN ent e USING (doc_id) LEFT JOIN agg a USING (doc_id)
           |WHERE e.entropy_x1e4 > 28000
           |  AND CAST(round(COALESCE(a.ppl, 0.0) * 10000) AS BIGINT) < 310000""".stripMargin
+
+  /** q188's replay: q145's mix + entropy stages composed with q151's
+    * trigram KN training/scoring arithmetic (the tgt set is the MIX, not
+    * the %4 test split), ceiling at the corpus's trigram scale.
+    */
+  private val Kn3QualityGateOracle: String =
+    """WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+          |r AS (SELECT lang,
+          |        CAST(floor(sqrt(CAST((SELECT min(n) FROM c) AS DOUBLE) / CAST(n AS DOUBLE))
+          |          * 1000000 + 0.5) AS BIGINT) AS ppm
+          |      FROM c),
+          |mix AS MATERIALIZED (
+          |  SELECT d.doc_id, d.lang, d.text FROM documents d JOIN r ON d.lang = r.lang
+          |  WHERE (d.doc_id * 2654435761) % 4294967296 % 1000000 < r.ppm),
+          |ent AS (
+          |  SELECT doc_id,
+          |    CAST(floor(list_reduce(list_prepend(0.0, list_transform(cl, x ->
+          |      -(CAST(x AS DOUBLE) / len(t)) * ln(CAST(x AS DOUBLE) / len(t)))),
+          |      (a, b) -> a + b) * 10000 + 0.5) AS BIGINT) AS entropy_x1e4
+          |  FROM (
+          |    SELECT doc_id, t,
+          |      list_transform(list_sort(list_distinct(t)),
+          |        u -> len(list_filter(t, x -> x = u))) AS cl
+          |    FROM (SELECT doc_id,
+          |            list_filter(string_split(text, ' '), x -> x <> '') AS t
+          |          FROM mix))),
+          |ref AS (
+          |  SELECT list_filter(string_split(text, ' '), x -> x <> '') AS t
+          |  FROM documents WHERE doc_id % 4 <> 0),
+          |tot AS (
+          |  SELECT CAST(least(count(DISTINCT u.w), 256) AS BIGINT) AS v
+          |  FROM ref, UNNEST(ref.t) AS u(w) WHERE u.w <> ''),
+          |tri AS (
+          |  SELECT g, c FROM (
+          |    SELECT array_to_string(t[i:i+2], ' ') AS g,
+          |           CAST(count(*) AS BIGINT) AS c
+          |    FROM ref, UNNEST(generate_series(1, len(t) - 2)) AS u(i)
+          |    GROUP BY 1)
+          |  WHERE c >= 2),
+          |th AS (
+          |  SELECT array_to_string(string_split(g, ' ')[1:2], ' ') AS h2,
+          |         CAST(sum(c) AS BIGINT) AS ct,
+          |         CAST(count(*) AS BIGINT) AS nd
+          |  FROM tri GROUP BY 1),
+          |mid AS (
+          |  SELECT array_to_string(string_split(g, ' ')[2:3], ' ') AS m,
+          |         CAST(count(*) AS BIGINT) AS c
+          |  FROM tri GROUP BY 1),
+          |mh AS (
+          |  SELECT string_split(m, ' ')[1] AS v,
+          |         CAST(sum(c) AS BIGINT) AS ct,
+          |         CAST(count(*) AS BIGINT) AS nd
+          |  FROM mid GROUP BY 1),
+          |cont AS (
+          |  SELECT string_split(m, ' ')[2] AS w, CAST(count(*) AS BIGINT) AS cc
+          |  FROM mid GROUP BY 1),
+          |mt AS (SELECT CAST(count(*) AS BIGINT) AS b FROM mid),
+          |tgt AS (SELECT doc_id,
+          |          list_filter(string_split(text, ' '), x -> x <> '') AS t
+          |        FROM mix),
+          |tok AS (
+          |  SELECT doc_id, i, t[i] AS w,
+          |         CASE WHEN i > 1 THEN t[i-1] END AS prev,
+          |         CASE WHEN i > 2 THEN t[i-2] END AS prev2
+          |  FROM tgt, UNNEST(generate_series(1, len(t))) AS u(i)
+          |  WHERE t[i] <> ''),
+          |sc AS (
+          |  SELECT tok.doc_id,
+          |    -log2(CASE
+          |      WHEN tok.prev2 IS NULL OR h.ct IS NULL THEN
+          |        CASE WHEN tok.prev IS NULL OR m.ct IS NULL THEN
+          |          (CAST(COALESCE(cn.cc, 0) AS DOUBLE) + 0.1) /
+          |            (CAST(mt.b AS DOUBLE) + 0.1 * CAST(tot.v AS DOUBLE))
+          |        ELSE
+          |          greatest(CAST(COALESCE(md.c, 0) AS DOUBLE) - 0.75, 0.0) / m.ct +
+          |          ((0.75 * CAST(m.nd AS DOUBLE)) / m.ct) *
+          |            ((CAST(COALESCE(cn.cc, 0) AS DOUBLE) + 0.1) /
+          |             (CAST(mt.b AS DOUBLE) + 0.1 * CAST(tot.v AS DOUBLE)))
+          |        END
+          |      ELSE
+          |        greatest(CAST(COALESCE(tg.c, 0) AS DOUBLE) - 0.75, 0.0) / h.ct +
+          |        ((0.75 * CAST(h.nd AS DOUBLE)) / h.ct) *
+          |          (CASE WHEN m.ct IS NULL THEN
+          |            (CAST(COALESCE(cn.cc, 0) AS DOUBLE) + 0.1) /
+          |              (CAST(mt.b AS DOUBLE) + 0.1 * CAST(tot.v AS DOUBLE))
+          |          ELSE
+          |            greatest(CAST(COALESCE(md.c, 0) AS DOUBLE) - 0.75, 0.0) / m.ct +
+          |            ((0.75 * CAST(m.nd AS DOUBLE)) / m.ct) *
+          |              ((CAST(COALESCE(cn.cc, 0) AS DOUBLE) + 0.1) /
+          |               (CAST(mt.b AS DOUBLE) + 0.1 * CAST(tot.v AS DOUBLE)))
+          |          END)
+          |    END) AS nll
+          |  FROM tok CROSS JOIN tot CROSS JOIN mt
+          |  LEFT JOIN th h ON h.h2 = tok.prev2 || ' ' || tok.prev
+          |  LEFT JOIN mh m ON m.v = tok.prev
+          |  LEFT JOIN cont cn ON cn.w = tok.w
+          |  LEFT JOIN tri tg ON tg.g = tok.prev2 || ' ' || tok.prev || ' ' || tok.w
+          |  LEFT JOIN mid md ON md.m = tok.prev || ' ' || tok.w),
+          |agg AS (
+          |  SELECT doc_id, pow(2.0, sum(nll) / count(*)) AS ppl
+          |  FROM sc GROUP BY doc_id)
+          |SELECT CAST(m.doc_id AS BIGINT) AS id, m.lang, e.entropy_x1e4,
+          |  CAST(round(COALESCE(a.ppl, 0.0) * 10000) AS BIGINT) AS ppl_x1e4
+          |FROM mix m JOIN ent e USING (doc_id) LEFT JOIN agg a USING (doc_id)
+          |WHERE e.entropy_x1e4 > 28000
+          |  AND CAST(round(COALESCE(a.ppl, 0.0) * 10000) AS BIGINT) < 640000""".stripMargin
 
   /** q92's window replay — shared verbatim by q92 (the broadcast miner)
     * and q184 (the same shape through the batch ANN path at full probe).

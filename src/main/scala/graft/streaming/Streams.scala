@@ -840,6 +840,104 @@ object Streams {
       gated.join(ppl, Seq(idCol))
     }
 
+  /** [[qualityGate]] at TRIGRAM order — the production gate order
+    * (q151's scaladoc): the same decision chain through
+    * [[graft.text.NgramLm.perplexityKn3]]'s codegen'd broadcast scan.
+    * The bigram gate is the textbook floor; a production curation gate
+    * scores KN at n=3, and both scorers already existed — this surfaces
+    * them through the ONE shared [[gateBody]].
+    */
+  def qualityGateKn3(
+      docs: DataFrame,
+      rates: Map[String, Double],
+      model: graft.text.NgramLm.Kn3Model,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      langCol: String = "lang",
+      minEntropyX1e4: Long = 28000L,
+      maxPplX1e4: Long = 310000L): DataFrame =
+    gateBody(docs, rates, idCol, textCol, langCol, minEntropyX1e4,
+      maxPplX1e4) { gated =>
+      gated.withColumn("ppl_x1e4",
+        round(graft.text.NgramLm.perplexityKn3(col(textCol), model) * 10000)
+          .cast("long"))
+    }
+
+  /** [[qualityGateKn3]] against [[graft.text.NgramLm.Kn3Frames]]:
+    * perplexity reached through [[graft.text.NgramLm
+    * .scoreKn3Distributed]]'s five LEFT equi-joins (plan-guarded — no
+    * product, no nested-loop term), then equi-joined back onto the gated
+    * rows by id — the [[qualityGateFrames]] discipline one model order
+    * up. Identical gate decisions to [[qualityGateKn3]] whenever both
+    * routes can train (the frames model IS the broadcast model as
+    * frames, spec-asserted); past [[graft.text.NgramLm.trainKn3]]'s
+    * broadcast cap only this route exists.
+    */
+  def qualityGateKn3Frames(
+      docs: DataFrame,
+      rates: Map[String, Double],
+      frames: graft.text.NgramLm.Kn3Frames,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      langCol: String = "lang",
+      minEntropyX1e4: Long = 28000L,
+      maxPplX1e4: Long = 310000L): DataFrame =
+    gateBody(docs, rates, idCol, textCol, langCol, minEntropyX1e4,
+      maxPplX1e4) { gated0 =>
+      // the qualityGateFrames pin, same three consumers (scorer explode,
+      // per-doc fold spine, outer join)
+      val gated = gated0.localCheckpoint(true)
+      val ppl = graft.text.NgramLm
+        .scoreKn3Distributed(gated, idCol, textCol, frames)
+        .select(col(idCol),
+          round(col("ppl") * 10000).cast("long").as("ppl_x1e4"))
+      gated.join(ppl, Seq(idCol))
+    }
+
+  /** [[qualityGateStream]] at trigram order — the stream form of
+    * [[qualityGateKn3]], stateless like every gate stream (pure per-row
+    * map per micro-batch; chopping invisible).
+    */
+  def qualityGateStreamKn3(
+      docs: DataFrame,
+      rates: Map[String, Double],
+      model: graft.text.NgramLm.Kn3Model,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      langCol: String = "lang",
+      minEntropyX1e4: Long = 28000L,
+      maxPplX1e4: Long = 310000L,
+      checkpoint: Option[String] = None,
+      onBatch: (DataFrame, Long) => Unit = (_, _) => (),
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    gateStream(docs, checkpoint, trigger, onBatch) { batch =>
+      qualityGateKn3(batch, rates, model, idCol, textCol, langCol,
+        minEntropyX1e4, maxPplX1e4)
+    }
+
+  /** [[qualityGateStreamFrames]] at trigram order — the no-ceiling gate
+    * stream for a reference corpus whose pruned TRIGRAM table outgrows
+    * the broadcast cap; per-micro-batch scoring is [[graft.text.NgramLm
+    * .scoreKn3Distributed]]'s five equi-joins. Frames lifetime is the
+    * caller's, as on the bigram form.
+    */
+  def qualityGateStreamKn3Frames(
+      docs: DataFrame,
+      rates: Map[String, Double],
+      frames: graft.text.NgramLm.Kn3Frames,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      langCol: String = "lang",
+      minEntropyX1e4: Long = 28000L,
+      maxPplX1e4: Long = 310000L,
+      checkpoint: Option[String] = None,
+      onBatch: (DataFrame, Long) => Unit = (_, _) => (),
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    gateStream(docs, checkpoint, trigger, onBatch) { batch =>
+      qualityGateKn3Frames(batch, rates, frames, idCol, textCol, langCol,
+        minEntropyX1e4, maxPplX1e4)
+    }
+
   /** ONE copy of the gate's per-row decision chain, shared by both model
     * routes and both surfaces (batch + per-micro-batch): mix lottery →
     * entropy floor → (route-supplied) ppl_x1e4 column → perplexity

@@ -528,6 +528,26 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
     } finally frames.unpersist()
   }
 
+  test("q188: the TRIGRAM frames gate's scoring plan stays equi-joined — " +
+      "no product, no nested-loop term through mix/entropy/five-join ppl") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("text"),
+        org.apache.spark.sql.functions.col("lang"))
+    val rates = graft.operators.Curation.temperatureRates(docs, "lang", 0.5)
+    val frames = graft.text.NgramLm.trainKn3Distributed(
+      docs.filter(org.apache.spark.sql.functions.col("doc_id") % 4 =!= 0),
+      "text", maxVocab = 256, minTrigramCount = 2)
+    try {
+      val gate = graft.streaming.Streams.qualityGateKn3Frames(
+        docs, rates, frames, maxPplX1e4 = 640000L)
+      val p = gate.queryExecution.executedPlan.toString()
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoop"),
+        s"KN3 frames gate scoring must stay equi-joined:\n$p")
+    } finally frames.unpersist()
+  }
+
   test("fleet-wide: no query in the whole SparkEntry surface plans a CartesianProduct") {
     // Every crossJoin in the engine is broadcast()-bounded (query vectors,
     // 1-row aggregates, centroid/cut tables), which plans as

@@ -889,6 +889,72 @@ class StreamsSpec extends AnyFunSuite with SparkSpec {
     } finally frames.unpersist()
   }
 
+  test("qualityGateKn3Frames: the TRIGRAM gate's decisions are " +
+      "byte-identical across the broadcast and frames routes, and the " +
+      "frames route still gates where trainKn3 refuses at the cap") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", $"text", $"lang").localCheckpoint(true)
+    val rates = graft.operators.Curation.temperatureRates(docs, "lang", 0.5)
+    val ref = docs.filter($"doc_id" % 4 =!= 0)
+    // broadcast truth: the gate through the collected trigram table
+    // (ceiling at the trigram perplexity scale — the q188 knob)
+    val model = graft.text.NgramLm.trainKn3(ref, "text",
+      maxVocab = 256, minTrigramCount = 2)
+    val want = Streams.qualityGateKn3(docs, rates, model,
+        maxPplX1e4 = 640000L)
+      .as[(Long, String, Long, Long)].collect().toSet
+    assert(want.nonEmpty && want.size < docs.count(),
+      "the trigram gate must actually drop something to mean anything")
+    // the PERPLEXITY ceiling must discriminate too (not just mix+entropy):
+    // an unbounded ceiling keeps strictly more survivors
+    val noCeiling = Streams.qualityGateKn3(docs, rates, model,
+        maxPplX1e4 = Long.MaxValue)
+      .as[(Long, String, Long, Long)].collect().toSet
+    assert(want.size < noCeiling.size,
+      "the 640000 ceiling must gate some mixed+entropy survivors")
+    // the broadcast route refuses this corpus at a tiny trigram cap...
+    val refusal = intercept[IllegalArgumentException] {
+      graft.text.NgramLm.trainKn3(ref, "text",
+        maxVocab = 256, minTrigramCount = 2, maxTrigrams = 4)
+    }
+    assert(refusal.getMessage.contains("maxTrigrams"))
+    // ...while the frames route trains the SAME corpus with no cap and
+    // gates byte-identically
+    val frames = graft.text.NgramLm.trainKn3Distributed(ref, "text",
+      maxVocab = 256, minTrigramCount = 2)
+    try {
+      val got = Streams.qualityGateKn3Frames(docs, rates, frames,
+          maxPplX1e4 = 640000L)
+        .as[(Long, String, Long, Long)].collect().toSet
+      assert(got == want,
+        s"KN3 frames gate ${got.size} vs broadcast ${want.size}")
+      // the stream form chops the same chain per micro-batch (stateless)
+      val dropDir = tempDir("graft_qgate3_drop")
+      val stage = tempDir("graft_qgate3_stage")
+      docs.coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      Files.copy(part.toPath, Paths.get(s"$dropDir/d0.parquet"),
+        StandardCopyOption.REPLACE_EXISTING)
+      val src = spark.readStream.schema(Streams.DocumentSchema)
+        .option("pathGlobFilter", "d*.parquet").parquet(dropDir)
+      val got2 = new java.util.concurrent.ConcurrentHashMap[
+        Long, (String, Long, Long)]()
+      val q = Streams.qualityGateStreamKn3Frames(src, rates, frames,
+        maxPplX1e4 = 640000L,
+        onBatch = (report, _) => report.collect().foreach(r =>
+          got2.put(r.getLong(0), (r.getString(1), r.getLong(2), r.getLong(3)))))
+      try q.processAllAvailable() finally q.stop()
+      import scala.jdk.CollectionConverters._
+      val gotStream = got2.asScala.toSet
+        .map { kv: (Long, (String, Long, Long)) =>
+          (kv._1, kv._2._1, kv._2._2, kv._2._3)
+        }
+      assert(gotStream == want,
+        s"KN3 frames gate stream ${gotStream.size} vs batch ${want.size}")
+    } finally frames.unpersist()
+  }
+
   test("ingestVectors streams JSONL drops into a store with status table") {
     import org.apache.spark.sql.types._
     val dropDir = tempDir("graft_vec_drop")
