@@ -3796,6 +3796,47 @@ object SparkEntry {
       shaped("a_sel", sel).unionAll(shaped("b_broad", broad))
     }),
 
+    // THE MAINTENANCE VERDICT ORACLE-LOCKED (the drift advisory's
+    // arithmetic, not just its spec): a deterministic-centroid index
+    // (embeddings 0..7 as the quantizer — the q46 trick, so assignment
+    // is a replayable argmax) reports maintenance() before and after a
+    // SKEWED append (every corpus row re-appended as embedding 0's
+    // vector — the frozen quantizer funnels all of them into one list).
+    // The twin recomputes every signal generatively: per-list sizes from
+    // the argmax, the funnel list as vec 0's own assignment, imbalance =
+    // max/(n/8) in the engine's exact op order, appended fraction from
+    // the build count, and the needsRebuild CASE over the default
+    // thresholds. The skew drives imbalance past 4.0 while appended
+    // fraction sits exactly AT 0.5 (not past it) — the row locks the
+    // strict-inequality boundary too.
+    "q189_maintenance_verdict" -> ((s, dir) => {
+      import s.implicits._
+      val emb = t(s, dir, "embeddings")
+      val root = tempIndexDir("graft_q189_idx")
+      val cents = emb.filter(col("vec_id") < 8).orderBy(col("vec_id"))
+        .select(col("embedding")).collect()
+        .map(_.getSeq[Float](0).toArray.map(_.toDouble))
+      val idx = ml.IvfIndex.buildWithCentroids(
+        emb.select(col("vec_id").as("id"), col("embedding").as("vector")),
+        "id", "vector", root, cents)
+      val before = idx.maintenance()
+      val v0 = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").as("v0"))
+      idx.append(emb.select((col("vec_id") + 1000000).as("id"))
+        .crossJoin(broadcast(v0)).select(col("id"), col("v0").as("vector")))
+      val after = idx.maintenance()
+      def row(phase: String, m: ml.IvfIndex.Maintenance) =
+        (phase, m.nLists.toLong, m.nVectors, m.nonEmptyLists.toLong,
+          m.maxListSize, math.round(m.imbalance * 10000),
+          math.round(m.appendedFraction * 10000),
+          if (m.needsRebuild) 1L else 0L)
+      require(!before.needsRebuild && after.needsRebuild,
+        "the skewed append must trip the advisory the fresh build passed")
+      Seq(row("a_fresh", before), row("b_skewed", after))
+        .toDF("phase", "n_lists", "n_vectors", "nonempty", "max_list",
+          "imbalance_x1e4", "appended_x1e4", "needs_rebuild")
+    }),
+
     // STATISTICS SURVIVE THE DELETE (the r18 re-arm, oracle-locked): the
     // store arms its statistics ONCE; a destructive delete then removes
     // the grp=0 third of every class, and the very next adaptive query —
@@ -7067,6 +7108,51 @@ object SparkEntry {
         |SELECT 'b_broad', 'ivf_postfilter', (SELECT m FROM m),
         |  CAST(qid AS BIGINT), vid, rnk
         |FROM rb WHERE rnk <= 5""".stripMargin,
+
+    // Maintenance signals replayed generatively: argmax assignment over
+    // the 8 fixed centroids gives per-list sizes; the skew funnels into
+    // vec 0's own list; imbalance/appended-fraction/needsRebuild replay
+    // the engine's exact double op order and threshold CASE.
+    "q189_maintenance_verdict" ->
+      """WITH cent AS (
+        |  SELECT vec_id AS list_id, CAST(embedding AS DOUBLE[]) AS c
+        |  FROM embeddings WHERE vec_id < 8),
+        |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |assign AS (
+        |  SELECT vec_id, list_id FROM (
+        |    SELECT x.vec_id, c.list_id,
+        |      row_number() OVER (PARTITION BY x.vec_id
+        |        ORDER BY list_cosine_similarity(c.c, x.v) DESC, c.list_id ASC) AS arnk
+        |    FROM v x, cent c) WHERE arnk = 1),
+        |sizes AS (SELECT list_id, CAST(count(*) AS BIGINT) AS n
+        |          FROM assign GROUP BY 1),
+        |nb AS (SELECT CAST(count(*) AS BIGINT) AS n FROM v),
+        |aft AS (
+        |  SELECT s.list_id,
+        |    s.n + CASE WHEN s.list_id =
+        |        (SELECT list_id FROM assign WHERE vec_id = 0)
+        |      THEN (SELECT n FROM nb) ELSE 0 END AS n
+        |  FROM sizes s),
+        |st AS (
+        |  SELECT 'a_fresh' AS phase, (SELECT n FROM nb) AS nv,
+        |    (SELECT CAST(count(*) AS BIGINT) FROM sizes) AS ne,
+        |    (SELECT max(n) FROM sizes) AS mx,
+        |    CAST(0 AS BIGINT) AS ap_num
+        |  UNION ALL
+        |  SELECT 'b_skewed', 2 * (SELECT n FROM nb),
+        |    (SELECT CAST(count(*) AS BIGINT) FROM aft WHERE n > 0),
+        |    (SELECT max(n) FROM aft),
+        |    (SELECT n FROM nb))
+        |SELECT phase, CAST(8 AS BIGINT) AS n_lists, nv AS n_vectors,
+        |  ne AS nonempty, mx AS max_list,
+        |  CAST(round(CAST(mx AS DOUBLE) / (CAST(nv AS DOUBLE) / 8.0)
+        |    * 10000) AS BIGINT) AS imbalance_x1e4,
+        |  CAST(round(CAST(ap_num AS DOUBLE) / CAST(nv AS DOUBLE)
+        |    * 10000) AS BIGINT) AS appended_x1e4,
+        |  CAST(CASE WHEN CAST(mx AS DOUBLE) / (CAST(nv AS DOUBLE) / 8.0) > 4.0
+        |    OR CAST(ap_num AS DOUBLE) / CAST(nv AS DOUBLE) > 0.5
+        |    THEN 1 ELSE 0 END AS BIGINT) AS needs_rebuild
+        |FROM st""".stripMargin,
 
     // Both phases are exact filtered top-5 over their residue classes;
     // phase b's class is phase a's minus the deleted grp=0 third. That

@@ -544,10 +544,23 @@ class VectorStoreCatalog(spark: SparkSession, val root: String) {
     * flip the config to indexType="ivf" — the Spark answer to the
     * reference's rebuild-on-every-add HNSW
     * (service/optimized_vector_store.py:110-113).
+    *
+    * REBUILD semantics (an index already exists): the old index is
+    * retired FIRST, centroids before data — `hasIvf` flips off at the
+    * first delete, so a crash anywhere in the rebuild window leaves a
+    * store that serves correct (exact-scan) answers until the next
+    * build. Without this, an epoch store's stale index epoch slices
+    * from pre-rebuild appends would double-serve their rows alongside
+    * the fresh build's full slice.
     */
   def buildIndex(userId: String, modelId: String, nLists: Int = 64): Unit = {
     val cfgPath = configPath(userId, modelId)
     val (cfg, idBase) = readConfig(fs, cfgPath)
+    val centPath = new Path(s"${indexPath(userId, modelId)}/centroids")
+    if (fs.exists(centPath)) {
+      fs.delete(centPath, true)
+      fs.delete(new Path(s"${indexPath(userId, modelId)}/data"), true)
+    }
     // epoch stores: the index data lands under the newest committed store
     // epoch (it covers exactly the committed rows the build read); the
     // index only becomes load-bearing when the config flips below
@@ -555,6 +568,25 @@ class VectorStoreCatalog(spark: SparkSession, val root: String) {
       indexPath(userId, modelId), nLists = nLists, metric = cfg.metric,
       log = if (epochMode(userId, modelId)) Some(storeLog(userId, modelId)) else None)
     writeConfig(cfgPath, cfg.copy(indexType = "ivf"), idBase)
+  }
+
+  /** The store's index-drift verdict ([[graft.ml.IvfIndex.maintenance]]
+    * surfaced at the serving API): list-size imbalance and
+    * appended-fraction signals with an explicit `needsRebuild`, `None`
+    * for stores with no (loadable) IVF index. One <= nLists aggregation —
+    * cheap enough for an operator loop to poll after append bursts.
+    * [[optimize]] checks this automatically and can repair in-line.
+    */
+  def indexMaintenance(
+      userId: String,
+      modelId: String,
+      maxImbalance: Double = graft.ml.IvfIndex.DefaultMaxImbalance,
+      maxAppendedFraction: Double = graft.ml.IvfIndex.DefaultMaxAppendedFraction)
+      : Option[graft.ml.IvfIndex.Maintenance] = {
+    val cfg = config(userId, modelId)
+    if (!hasIvf(userId, modelId, cfg)) None
+    else Some(idxLoad(userId, modelId, cfg)
+      .maintenance(maxImbalance, maxAppendedFraction))
   }
 
   /** kNN query against one store under its configured metric
@@ -1159,8 +1191,39 @@ class VectorStoreCatalog(spark: SparkSession, val root: String) {
     * store.optimize that was never shipped — api/routes/admin.py:171-192;
     * here it is a real small-file compaction job). Returns (filesBefore,
     * filesAfter).
+    *
+    * As the store's MAINTENANCE entry point it also runs the index-drift
+    * check ([[indexMaintenance]]): appends assign against frozen
+    * centroids, and compaction preserves `list_id` assignments — so skew
+    * survives optimize and must be surfaced here, not silently carried.
+    * Past the thresholds it logs a LOUD rebuild advisory; with
+    * `autoRebuildIndex = true` it repairs in-line ([[buildIndex]] at the
+    * index's current list count — fresh distributed k-means over the
+    * post-compaction rows).
     */
-  def optimize(userId: String, modelId: String, targetFileBytes: Long = 128L << 20): (Int, Int) = {
+  def optimize(userId: String, modelId: String,
+      targetFileBytes: Long = 128L << 20,
+      autoRebuildIndex: Boolean = false): (Int, Int) = {
+    val result = optimizeFiles(userId, modelId, targetFileBytes)
+    indexMaintenance(userId, modelId).foreach { m =>
+      if (m.needsRebuild) {
+        VectorStoreCatalog.slog.warn(
+          s"store $userId/$modelId index drift past thresholds: " +
+            s"imbalance ${f"${m.imbalance}%.2f"} (hottest list " +
+            s"${m.maxListSize} vs mean ${f"${m.meanListSize}%.1f"}), " +
+            s"appended fraction ${f"${m.appendedFraction}%.2f"} over " +
+            s"${m.nVectors} rows — probe cost and recall degrade until a " +
+            "rebuild" + (if (autoRebuildIndex) "; rebuilding now"
+            else "; run buildIndex() or optimize(autoRebuildIndex = true)"))
+        if (autoRebuildIndex) buildIndex(userId, modelId,
+          nLists = m.nLists)
+      }
+    }
+    result
+  }
+
+  private def optimizeFiles(
+      userId: String, modelId: String, targetFileBytes: Long): (Int, Int) = {
     val dst = new Path(dataPath(userId, modelId))
     if (!fs.exists(dst)) return (0, 0)
     def filesUnder(p: Path): Seq[org.apache.hadoop.fs.FileStatus] = {
@@ -1477,6 +1540,9 @@ class VectorStoreCatalog(spark: SparkSession, val root: String) {
 case class HealthReport(healthy: Boolean, issues: Seq[String], vectorCount: Long)
 
 object VectorStoreCatalog {
+  private[graft] lazy val slog =
+    org.slf4j.LoggerFactory.getLogger("graft.VectorStoreCatalog")
+
   /** Reference serving caps (api/routes/batch_v1.py:63-64, service/models.py:53). */
   val MaxBatchQueries = 1000
   val MaxBatchK = 100

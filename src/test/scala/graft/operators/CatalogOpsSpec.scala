@@ -243,6 +243,62 @@ class CatalogOpsSpec extends AnyFunSuite with SparkSpec {
         "no candidates, q1 (rider b) keeps its three label-a rows")
   }
 
+  test("index drift: skewed appends trip the maintenance advisory; " +
+      "optimize(autoRebuildIndex) repairs and clears it") {
+    val cat = newCatalog
+    cat.create("u", "drift", StoreConfig(dimension = 4))
+    // balanced start: four clear clusters, 8 rows each
+    val start = (0 until 4).flatMap(c => (0 until 8).map { i =>
+      Seq.tabulate(4)(j => if (j == c) 1.0 else 0.001 * i)
+    })
+    cat.addVectors("u", "drift", start.map(Tuple1(_)).toDF("vector"))
+    cat.buildIndex("u", "drift", nLists = 4)
+    val fresh = cat.indexMaintenance("u", "drift").get
+    assert(!fresh.needsRebuild,
+      s"a fresh build on balanced clusters must be healthy: $fresh")
+    // drift: 48 more rows ALL near cluster 0 — the frozen centroids
+    // funnel every one into the same list
+    val drift = (0 until 48).map(i => Seq(1.0, 0.002 * i, 0.0, 0.0))
+    cat.addVectors("u", "drift", drift.map(Tuple1(_)).toDF("vector"))
+    // the imbalance signal alone (appendedFraction can never exceed 1):
+    // hottest list 56 vs mean 80/4 = 20 -> 2.8
+    val skewed = cat.indexMaintenance("u", "drift",
+      maxImbalance = 2.0, maxAppendedFraction = 1.0).get
+    assert(skewed.needsRebuild && skewed.imbalance > 2.0,
+      s"skewed appends must trip the imbalance advisory: $skewed")
+    // ... and the DEFAULT thresholds trip via appendedFraction (48/80)
+    assert(cat.indexMaintenance("u", "drift").get.needsRebuild)
+    // the maintenance entry point repairs in-line: fresh k-means over the
+    // post-compaction rows at the index's current list count
+    cat.optimize("u", "drift", autoRebuildIndex = true)
+    val rebuilt = cat.indexMaintenance("u", "drift").get
+    assert(!rebuilt.needsRebuild,
+      s"a rebuild must clear the advisory: $rebuilt")
+    assert(rebuilt.nVectors == 80 && cat.healthCheck("u", "drift").healthy)
+  }
+
+  test("buildIndex over an existing index retires the stale epoch slices: " +
+      "rebuild after appends serves every row exactly once") {
+    val cat = newCatalog
+    cat.create("u", "rb", StoreConfig(dimension = 4))
+    val rnd = new scala.util.Random(11)
+    cat.addVectors("u", "rb",
+      Seq.fill(8)(Seq.fill(4)(rnd.nextDouble())).map(Tuple1(_)).toDF("vector"))
+    cat.buildIndex("u", "rb", nLists = 2) // index slice under epoch 0
+    cat.addVectors("u", "rb",
+      Seq.fill(8)(Seq.fill(4)(rnd.nextDouble())).map(Tuple1(_)).toDF("vector"))
+    // rebuild WITHOUT compaction: the fresh full build lands under the
+    // newest epoch; without the retire-first discipline the old epoch-0
+    // index slice would keep double-serving its 8 rows
+    cat.buildIndex("u", "rb", nLists = 2)
+    val hc = cat.healthCheck("u", "rb")
+    assert(hc.healthy, s"rebuild must not double-index: ${hc.issues}")
+    val res = cat.query("u", "rb", Seq.fill(4)(0.5), k = 16)
+    val got = res.select($"id").as[Long].collect()
+    assert(got.length == 16 && got.distinct.length == 16,
+      "a full-k query after rebuild must return each row exactly once")
+  }
+
   test("heal semi-join form: past the isin threshold the underfilled set " +
       "restricts via broadcast semi/anti join — behavior identical") {
     val cat = newCatalog
