@@ -3796,6 +3796,128 @@ object SparkEntry {
       shaped("a_sel", sel).unionAll(shaped("b_broad", broad))
     }),
 
+    // MINING × TYPED CONJUNCTION (q187 × q186): the per-query rider
+    // constraint composed with the planner lattice's hardest shared
+    // filter — two typed keys in three encodings each, planned for the
+    // whole batch by the min-over-keys bound with NO count job
+    // (require-checked), the pair predicate riding BOTH plans. Phase b's
+    // cap=1 forces the probed plan at full probe: the typed conjunction
+    // pushes inside the probed lists and the pair predicate filters
+    // above the equi-join. The twin replays residue class {37, 57}
+    // mod 60 ∧ lab <> each query's own label; matches stays the SHARED
+    // filter's count (the heterogeneous leg never plans — by
+    // construction it cannot: its cardinality differs per query).
+    "q190_mining_typed_conjunction" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val root = tempIndexDir("graft_q190_store")
+      val cat = new sources.VectorStoreCatalog(s, root)
+      cat.create("u", "m", sources.StoreConfig(dimension = 64))
+      val priStr = (col("vec_id") % 10).cast("string")
+      val grpStr = (col("vec_id") % 4).cast("string")
+      cat.addVectors("u", "m", emb.select(col("embedding").as("vector"),
+        map(
+          lit("pri"), when(col("vec_id") % 3 === 0, priStr)
+            .when(col("vec_id") % 3 === 1, concat(priStr, lit(".0")))
+            .otherwise(concat(lit("\""), priStr, lit("\""))),
+          lit("grp"), when(col("vec_id") % 5 <= 1, grpStr)
+            .when(col("vec_id") % 5 <= 3, concat(grpStr, lit(".0")))
+            .otherwise(concat(lit("\""), grpStr, lit("\""))),
+          lit("lab"), col("label").cast("string"),
+          lit("vid"), col("vec_id").cast("string")).as("meta")))
+      cat.refreshMetaStats("u", "m")
+      cat.buildIndex("u", "m", nLists = 8) // layout-only: stats stay fresh
+      val filter: Map[String, Any] = Map("pri" -> 7, "grp" -> 1)
+      require(filter.keys.forall(k0 =>
+        cat.metaStatsCountTyped("u", "m", k0, filter(k0)).isDefined),
+        "typed per-key stats must be fresh so the bound plans the batch")
+      val queries = emb.filter(col("vec_id") < 3).select(
+        col("vec_id").as("query_id"), col("embedding").as("query_vec"),
+        col("label").cast("string").as("q_label"))
+      val pair = element_at(col("meta"), "lab") =!= col("q_label")
+      val idToVid = cat.load("u", "m").select(col("id"),
+        element_at(col("meta"), "vid").cast("long").as("vid"))
+        .localCheckpoint(true)
+      def shaped(phase: String, r: graft.ml.IvfIndex.AdaptiveSearch) =
+        r.hits.join(idToVid, "id")
+          .select(lit(phase).as("phase"), lit(r.path).as("path"),
+            lit(r.matches).as("matches"),
+            col("query_id").cast("long").as("qid"), col("vid"),
+            col("rank").cast("long").as("rnk"))
+      val sel = cat.batchQueryAdaptiveTypedFrame("u", "m", queries, 5,
+        filter, pairPredicate = Some(pair))
+      require(sel.path == graft.ml.IvfIndex.PathPrefilterExact &&
+        !sel.boundViolated,
+        "the typed conjunction bound must plan the mining batch prefilter_exact")
+      val broad = cat.batchQueryAdaptiveTypedFrame("u", "m", queries, 5,
+        filter, nProbe = 8, preFilterCap = 1, pairPredicate = Some(pair))
+      require(broad.path == graft.ml.IvfIndex.PathIvfPostfilter,
+        "cap=1 must force the probed typed mining plan")
+      shaped("a_sel", sel).unionAll(shaped("b_broad", broad))
+    }),
+
+    // MINING THROUGH A TIME-TRAVEL PIN: poison rows appended AFTER the
+    // pin duplicate the query vector exactly (cosine 1.0 — they would
+    // rank at the top of any live mining query), under a label the pair
+    // predicate KEEPS. The pinned phase must not see them, and its plan
+    // must still cost zero count jobs: with no shared filter, the
+    // adaptive frame surface plans from the PINNED commit-log row count
+    // (EpochLog.rowsOf over the pinned epoch set — require-checked
+    // equal to the pre-append count). The live phase ranks the poison
+    // first. Both phases replay generatively; rider = vec 0's own
+    // label, so the pair predicate also provably prunes (vec 0 itself —
+    // cosine 1.0 — is excluded everywhere).
+    "q191_mining_pinned" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val root = tempIndexDir("graft_q191_store")
+      val cat = new sources.VectorStoreCatalog(s, root)
+      cat.create("u", "m", sources.StoreConfig(dimension = 64))
+      cat.addVectors("u", "m", emb.select(col("embedding").as("vector"),
+        map(lit("lab"), col("label").cast("string"),
+          lit("vid"), col("vec_id").cast("string")).as("meta")))
+      cat.buildIndex("u", "m", nLists = 8)
+      val pin = cat.epochs("u", "m").last
+      val baseCount = emb.count()
+      // poison: 3 exact copies of vec 0's embedding under fresh vids and
+      // a label that differs from EVERY real label (the pair predicate
+      // keeps them for any query rider drawn from real labels)
+      val v0 = emb.filter(col("vec_id") === 0).select(col("embedding").as("v0"))
+      cat.addVectors("u", "m", emb.filter(col("vec_id") < 3)
+        .select((col("vec_id") + 1000000).as("pvid"))
+        .crossJoin(broadcast(v0))
+        .select(col("v0").as("vector"),
+          map(lit("lab"), lit("poison"),
+            lit("vid"), col("pvid").cast("string")).as("meta")))
+      val q0lab = emb.filter(col("vec_id") === 0)
+        .select(col("label").cast("string")).head().getString(0)
+      val queries = emb.filter(col("vec_id") === 0).select(
+        col("vec_id").as("query_id"), col("embedding").as("query_vec"),
+        col("label").cast("string").as("q_label"))
+      val pair = element_at(col("meta"), "lab") =!= col("q_label")
+      require(q0lab != "poison", "construction: poison label must be fresh")
+      val idToVid = cat.load("u", "m").select(col("id"),
+        element_at(col("meta"), "vid").cast("long").as("vid"))
+        .localCheckpoint(true)
+      def shaped(phase: String, r: graft.ml.IvfIndex.AdaptiveSearch) =
+        r.hits.join(idToVid, "id")
+          .select(lit(phase).as("phase"), lit(r.path).as("path"),
+            lit(r.matches).as("matches"),
+            col("query_id").cast("long").as("qid"), col("vid"),
+            col("rank").cast("long").as("rnk"))
+      val pinned = cat.batchQueryAdaptiveFrame("u", "m", queries, 5,
+        asOf = Some(pin), pairPredicate = Some(pair))
+      require(pinned.path == graft.ml.IvfIndex.PathPrefilterExact &&
+        pinned.matches == baseCount,
+        "the pinned plan must come from the PINNED commit-log row count")
+      // pin the pinned phase's rows NOW: they are served from epoch dirs
+      // a later destructive commit could prune (the q185 lesson)
+      val pinnedRows = shaped("a_pinned", pinned).localCheckpoint(true)
+      val live = cat.batchQueryAdaptiveFrame("u", "m", queries, 5,
+        pairPredicate = Some(pair))
+      require(live.matches == baseCount + 3,
+        "the live plan must see the poison rows in its row count")
+      pinnedRows.unionAll(shaped("b_live", live))
+    }),
+
     // THE MAINTENANCE VERDICT ORACLE-LOCKED (the drift advisory's
     // arithmetic, not just its spec): a deterministic-centroid index
     // (embeddings 0..7 as the quantizer — the q46 trick, so assignment
@@ -7107,6 +7229,73 @@ object SparkEntry {
         |UNION ALL
         |SELECT 'b_broad', 'ivf_postfilter', (SELECT m FROM m),
         |  CAST(qid AS BIGINT), vid, rnk
+        |FROM rb WHERE rnk <= 5""".stripMargin,
+
+    // Mining × typed conjunction: exact per-query top-5 within residue
+    // class {37, 57} mod 60 ∧ lab <> each query's own label; matches is
+    // the SHARED filter's count (the per-query leg never plans).
+    "q190_mining_typed_conjunction" ->
+      """WITH m AS (SELECT CAST(count(*) AS BIGINT) AS m
+        |           FROM embeddings
+        |           WHERE vec_id % 10 = 7 AND vec_id % 3 <> 2
+        |             AND vec_id % 4 = 1 AND vec_id % 5 <> 4),
+        |q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv,
+        |        label AS ql
+        |      FROM embeddings WHERE vec_id < 3),
+        |rb AS (
+        |  SELECT q.qid, x.vec_id AS vid,
+        |    CAST(row_number() OVER (PARTITION BY q.qid
+        |      ORDER BY list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
+        |        q.qv) DESC, x.vec_id ASC) AS BIGINT) AS rnk
+        |  FROM embeddings x JOIN q ON x.label <> q.ql
+        |  WHERE x.vec_id % 10 = 7 AND x.vec_id % 3 <> 2
+        |    AND x.vec_id % 4 = 1 AND x.vec_id % 5 <> 4)
+        |SELECT 'a_sel' AS phase, 'prefilter_exact' AS path,
+        |  (SELECT m FROM m) AS matches, CAST(qid AS BIGINT) AS qid, vid, rnk
+        |FROM rb WHERE rnk <= 5
+        |UNION ALL
+        |SELECT 'b_broad', 'ivf_postfilter', (SELECT m FROM m),
+        |  CAST(qid AS BIGINT), vid, rnk
+        |FROM rb WHERE rnk <= 5""".stripMargin,
+
+    // Mining through a pin: the pinned phase replays from the base
+    // corpus alone; the live phase from base ∪ the three poison copies
+    // of vec 0's embedding (which rank at the top — cosine 1.0 — and
+    // tie-break among themselves by vid, the minted-id order); vec 0
+    // itself is excluded everywhere by its own rider. Matches are the
+    // commit-log row counts of the respective snapshots.
+    "q191_mining_pinned" ->
+      """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv,
+        |        CAST(label AS VARCHAR) AS ql
+        |      FROM embeddings WHERE vec_id = 0),
+        |nb AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings),
+        |base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+        |           CAST(label AS VARCHAR) AS lab
+        |         FROM embeddings),
+        |poison AS (SELECT p.vec_id + 1000000 AS vec_id,
+        |    (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings
+        |     WHERE vec_id = 0) AS v,
+        |    'poison' AS lab
+        |  FROM embeddings p WHERE p.vec_id < 3),
+        |ra AS (
+        |  SELECT x.vec_id AS vid,
+        |    CAST(row_number() OVER (
+        |      ORDER BY list_cosine_similarity(x.v, q.qv) DESC,
+        |        x.vec_id ASC) AS BIGINT) AS rnk
+        |  FROM base x, q WHERE x.lab <> q.ql),
+        |rb AS (
+        |  SELECT x.vec_id AS vid,
+        |    CAST(row_number() OVER (
+        |      ORDER BY list_cosine_similarity(x.v, q.qv) DESC,
+        |        x.vec_id ASC) AS BIGINT) AS rnk
+        |  FROM (SELECT * FROM base UNION ALL SELECT * FROM poison) x, q
+        |  WHERE x.lab <> q.ql)
+        |SELECT 'a_pinned' AS phase, 'prefilter_exact' AS path,
+        |  (SELECT n FROM nb) AS matches, CAST(0 AS BIGINT) AS qid, vid, rnk
+        |FROM ra WHERE rnk <= 5
+        |UNION ALL
+        |SELECT 'b_live', 'prefilter_exact',
+        |  CAST((SELECT n FROM nb) + 3 AS BIGINT), CAST(0 AS BIGINT), vid, rnk
         |FROM rb WHERE rnk <= 5""".stripMargin,
 
     // Maintenance signals replayed generatively: argmax assignment over
