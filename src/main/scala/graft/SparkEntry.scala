@@ -207,6 +207,20 @@ object SparkEntry {
     * pruned ADC pipeline (assign, probe, encode, table, rank) is replayed
     * end to end by the DuckDB oracle. One build per (JVM, sf dir).
     */
+  /** Shared result shaping for the adaptive-batch oracle rows (q186,
+    * q187, q190, q191): minted store ids mapped back to vids through the
+    * construction's idToVid frame, plan label and matches carried as
+    * construction-derived (require-checked) literals.
+    */
+  private def shapedAdaptive(idToVid: org.apache.spark.sql.DataFrame)(
+      phase: String, r: ml.IvfIndex.AdaptiveSearch)
+      : org.apache.spark.sql.DataFrame =
+    r.hits.join(idToVid, "id")
+      .select(lit(phase).as("phase"), lit(r.path).as("path"),
+        lit(r.matches).as("matches"),
+        col("query_id").cast("long").as("qid"), col("vid"),
+        col("rank").cast("long").as("rnk"))
+
   private val ivfPqFixedPaths = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def ivfPqFixedIndexFor(s: SparkSession, dir: String): ml.IvfPq.Index = {
     val path = ivfPqFixedPaths.computeIfAbsent(dir, _ => {
@@ -3505,12 +3519,7 @@ object SparkEntry {
       val idToVid = cat.load("u", "m").select(col("id"),
         element_at(col("meta"), "vid").cast("long").as("vid"))
         .localCheckpoint(true)
-      def shaped(phase: String, r: graft.ml.IvfIndex.AdaptiveSearch) =
-        r.hits.join(idToVid, "id")
-          .select(lit(phase).as("phase"), lit(r.path).as("path"),
-            lit(r.matches).as("matches"),
-            col("query_id").cast("long").as("qid"), col("vid"),
-            col("rank").cast("long").as("rnk"))
+      val shaped = shapedAdaptive(idToVid) _
       val sel = cat.batchQueryAdaptive("u", "m", qvs, 5, Map("cat" -> "7"))
       require(sel.path == graft.ml.IvfIndex.PathPrefilterExact &&
         sel.matches == fromStats.get,
@@ -3594,12 +3603,7 @@ object SparkEntry {
       val idToVid = cat.load("u", "m").select(col("id"),
         element_at(col("meta"), "vid").cast("long").as("vid"))
         .localCheckpoint(true)
-      def shaped(phase: String, r: graft.ml.IvfIndex.AdaptiveSearch) =
-        r.hits.join(idToVid, "id")
-          .select(lit(phase).as("phase"), lit(r.path).as("path"),
-            lit(r.matches).as("matches"),
-            col("query_id").cast("long").as("qid"), col("vid"),
-            col("rank").cast("long").as("rnk"))
+      val shaped = shapedAdaptive(idToVid) _
       val sel = cat.batchQueryAdaptiveTyped("u", "m", qvs, 5, Map("pri" -> 7))
       require(sel.path == graft.ml.IvfIndex.PathPrefilterExact &&
         sel.matches == fromStats.get,
@@ -3729,12 +3733,7 @@ object SparkEntry {
       val idToVid = cat.load("u", "m").select(col("id"),
         element_at(col("meta"), "vid").cast("long").as("vid"))
         .localCheckpoint(true)
-      def shaped(phase: String, r: graft.ml.IvfIndex.AdaptiveSearch) =
-        r.hits.join(idToVid, "id")
-          .select(lit(phase).as("phase"), lit(r.path).as("path"),
-            lit(r.matches).as("matches"),
-            col("query_id").cast("long").as("qid"), col("vid"),
-            col("rank").cast("long").as("rnk"))
+      val shaped = shapedAdaptive(idToVid) _
       val sel = cat.batchQueryAdaptiveTyped("u", "m", qvs, 5, filter)
       require(sel.path == graft.ml.IvfIndex.PathPrefilterExact,
         "typed conjunction bound <= cap must plan the batch prefilter_exact")
@@ -3778,12 +3777,7 @@ object SparkEntry {
       val idToVid = cat.load("u", "m").select(col("id"),
         element_at(col("meta"), "vid").cast("long").as("vid"))
         .localCheckpoint(true)
-      def shaped(phase: String, r: graft.ml.IvfIndex.AdaptiveSearch) =
-        r.hits.join(idToVid, "id")
-          .select(lit(phase).as("phase"), lit(r.path).as("path"),
-            lit(r.matches).as("matches"),
-            col("query_id").cast("long").as("qid"), col("vid"),
-            col("rank").cast("long").as("rnk"))
+      val shaped = shapedAdaptive(idToVid) _
       val sel = cat.batchQueryAdaptiveFrame("u", "m", queries, 5,
         Map("par" -> "1"), pairPredicate = Some(pair))
       require(sel.path == graft.ml.IvfIndex.PathPrefilterExact,
@@ -3837,12 +3831,7 @@ object SparkEntry {
       val idToVid = cat.load("u", "m").select(col("id"),
         element_at(col("meta"), "vid").cast("long").as("vid"))
         .localCheckpoint(true)
-      def shaped(phase: String, r: graft.ml.IvfIndex.AdaptiveSearch) =
-        r.hits.join(idToVid, "id")
-          .select(lit(phase).as("phase"), lit(r.path).as("path"),
-            lit(r.matches).as("matches"),
-            col("query_id").cast("long").as("qid"), col("vid"),
-            col("rank").cast("long").as("rnk"))
+      val shaped = shapedAdaptive(idToVid) _
       val sel = cat.batchQueryAdaptiveTypedFrame("u", "m", queries, 5,
         filter, pairPredicate = Some(pair))
       require(sel.path == graft.ml.IvfIndex.PathPrefilterExact &&
@@ -3897,12 +3886,7 @@ object SparkEntry {
       val idToVid = cat.load("u", "m").select(col("id"),
         element_at(col("meta"), "vid").cast("long").as("vid"))
         .localCheckpoint(true)
-      def shaped(phase: String, r: graft.ml.IvfIndex.AdaptiveSearch) =
-        r.hits.join(idToVid, "id")
-          .select(lit(phase).as("phase"), lit(r.path).as("path"),
-            lit(r.matches).as("matches"),
-            col("query_id").cast("long").as("qid"), col("vid"),
-            col("rank").cast("long").as("rnk"))
+      val shaped = shapedAdaptive(idToVid) _
       val pinned = cat.batchQueryAdaptiveFrame("u", "m", queries, 5,
         asOf = Some(pin), pairPredicate = Some(pair))
       require(pinned.path == graft.ml.IvfIndex.PathPrefilterExact &&

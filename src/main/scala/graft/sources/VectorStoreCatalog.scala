@@ -534,6 +534,12 @@ class VectorStoreCatalog(spark: SparkSession, val root: String) {
     log.commitVacuum(target, boundary, foldRows)
     pruneEpochDirs(userId, modelId, log, foldSet)
     reStampMetaStats(userId, modelId, prevLast, target)
+    // retention is the maintenance pass a LONG-LIVED ingest reaches
+    // (streams vacuum via autoVacuumKeepLast; they never call optimize),
+    // so the index-drift advisory must fire here too — warn-only: a
+    // rebuild mid-stream is the operator's call, not the fold's. Cost:
+    // one <= nLists aggregation over the just-folded layout.
+    warnIfDrift(userId, modelId, " after vacuum")
     (foldSet.size, bytesBefore - bytesOf(target))
   }
 
@@ -556,11 +562,12 @@ class VectorStoreCatalog(spark: SparkSession, val root: String) {
   def buildIndex(userId: String, modelId: String, nLists: Int = 64): Unit = {
     val cfgPath = configPath(userId, modelId)
     val (cfg, idBase) = readConfig(fs, cfgPath)
-    val centPath = new Path(s"${indexPath(userId, modelId)}/centroids")
-    if (fs.exists(centPath)) {
-      fs.delete(centPath, true)
-      fs.delete(new Path(s"${indexPath(userId, modelId)}/data"), true)
-    }
+    // UNCONDITIONAL deletes (a no-op on absent paths): gating the data
+    // delete on centroids existing would let a prior rebuild's crash —
+    // centroids gone, stale data slices still present — skip the retire
+    // on the NEXT rebuild and resurrect double-serving slices
+    fs.delete(new Path(s"${indexPath(userId, modelId)}/centroids"), true)
+    fs.delete(new Path(s"${indexPath(userId, modelId)}/data"), true)
     // epoch stores: the index data lands under the newest committed store
     // epoch (it covers exactly the committed rows the build read); the
     // index only becomes load-bearing when the config flips below
@@ -585,8 +592,32 @@ class VectorStoreCatalog(spark: SparkSession, val root: String) {
       : Option[graft.ml.IvfIndex.Maintenance] = {
     val cfg = config(userId, modelId)
     if (!hasIvf(userId, modelId, cfg)) None
-    else Some(idxLoad(userId, modelId, cfg)
-      .maintenance(maxImbalance, maxAppendedFraction))
+    // an existing-but-unreadable index (torn centroids write, corrupt
+    // parquet) reads as None — exactly the serving paths' degrade-to-
+    // exact discipline: an advisory consulted AFTER a vacuum/optimize
+    // commit must never fail the maintenance operation itself
+    // ([[healthCheck]] is the surface that reports unreadable indexes)
+    else scala.util.Try(idxLoad(userId, modelId, cfg)
+      .maintenance(maxImbalance, maxAppendedFraction)).toOption
+  }
+
+  /** The one copy of the drift-advisory log line ([[optimize]] and
+    * [[vacuum]] both consult it). Returns the verdict so `optimize` can
+    * chain its auto-rebuild.
+    */
+  private def warnIfDrift(userId: String, modelId: String,
+      context: String): Option[graft.ml.IvfIndex.Maintenance] = {
+    val m = indexMaintenance(userId, modelId).filter(_.needsRebuild)
+    m.foreach { v =>
+      VectorStoreCatalog.slog.warn(
+        s"store $userId/$modelId index drift past thresholds$context: " +
+          s"imbalance ${f"${v.imbalance}%.2f"} (hottest list " +
+          s"${v.maxListSize} vs mean ${f"${v.meanListSize}%.1f"}), " +
+          s"appended fraction ${f"${v.appendedFraction}%.2f"} over " +
+          s"${v.nVectors} rows — probe cost and recall degrade until a " +
+          "rebuild: run buildIndex() or optimize(autoRebuildIndex = true)")
+    }
+    m
   }
 
   /** kNN query against one store under its configured metric
@@ -811,10 +842,9 @@ class VectorStoreCatalog(spark: SparkSession, val root: String) {
       nProbe: Int = 8,
       asOf: Option[Long] = None): DataFrame = {
     val cfg = config(userId, modelId)
-    queryVecs.foreach(q => require(q.length == cfg.dimension,
-      s"query dimension ${q.length} != store dimension ${cfg.dimension}"))
-    batchQueryFrame(userId, modelId, queriesFromVecs(queryVecs), k,
-      useIndex, nProbe, asOf)
+    validateVecDims(cfg, queryVecs)
+    batchQueryFrameWith(userId, modelId, cfg, queriesFromVecs(queryVecs),
+      k, useIndex, nProbe, asOf, None)
   }
 
   /** [[batchQuery]] over a caller-built QUERY FRAME — (`query_id` LONG,
@@ -838,12 +868,33 @@ class VectorStoreCatalog(spark: SparkSession, val root: String) {
       useIndex: Boolean = true,
       nProbe: Int = 8,
       asOf: Option[Long] = None,
-      pairPredicate: Option[org.apache.spark.sql.Column] = None): DataFrame = {
+      pairPredicate: Option[org.apache.spark.sql.Column] = None): DataFrame =
+    batchQueryFrameWith(userId, modelId, config(userId, modelId), queries,
+      k, useIndex, nProbe, asOf, pairPredicate)
+
+  private def batchQueryFrameWith(
+      userId: String,
+      modelId: String,
+      cfg: StoreConfig,
+      queries0: DataFrame,
+      k: Int,
+      useIndex: Boolean,
+      nProbe: Int,
+      asOf: Option[Long],
+      pairPredicate: Option[org.apache.spark.sql.Column]): DataFrame = {
     require(k >= 1 && k <= VectorStoreCatalog.MaxBatchK,
       s"k=$k outside [1, ${VectorStoreCatalog.MaxBatchK}]")
-    val cfg = config(userId, modelId)
+    // column collisions must be LOUD — validated before the index try
+    // below, whose broad fallback would otherwise swallow the require
+    // and silently degrade every call to the exact scan
+    requireNoStoreClash(queries0)
     // the [[query]] pin contract: validated FIRST, never a live fallback
     asOf.foreach(e => requirePin(userId, modelId, e))
+    // pin the frame ONCE: it is evaluated by the id collect, the probed
+    // explode, and the heal rescan — a nondeterministic caller lineage
+    // (sampled source, changing table) would otherwise desynchronize
+    // the heal's id universe from the rows actually joined
+    val queries = queries0.localCheckpoint(true)
     val ids = boundedQueryIds(queries)
     def store = asOf.fold(load(userId, modelId))(e => loadAt(userId, modelId, e))
     def exact = Knn.batchTopK(queries, store, k, cfg.metric,
@@ -883,6 +934,19 @@ class VectorStoreCatalog(spark: SparkSession, val root: String) {
       .toDF("query_id", "query_vec")
   }
 
+  /** Rider names must not shadow the store side: a collision would
+    * surface as an ambiguous-column AnalysisException (or a corrupted
+    * join key) deep inside the batch plan — loud here, at the surface,
+    * where the caller can rename.
+    */
+  private def requireNoStoreClash(queries: DataFrame): Unit = {
+    val storeSide = Set("id", "vector", "meta", "list_id")
+    val clash = queries.columns.filter(storeSide)
+    require(clash.isEmpty,
+      s"query frame columns ${clash.mkString(", ")} collide with store " +
+        "columns (id, vector, meta, list_id); rename them")
+  }
+
   /** Collect and validate the query-id universe of a batch frame — ONE
     * bounded collect shared by the serving cap check, the uniqueness
     * check (duplicate ids would silently merge two queries' top-k), and
@@ -891,8 +955,11 @@ class VectorStoreCatalog(spark: SparkSession, val root: String) {
     */
   private def boundedQueryIds(queries: DataFrame): Seq[Long] = {
     val cap = VectorStoreCatalog.MaxBatchQueries
-    val ids = queries.select(col("query_id").cast("long"))
-      .limit(cap + 1).collect().map(_.getLong(0)).toSeq
+    val rows = queries.select(col("query_id").cast("long"))
+      .limit(cap + 1).collect()
+    require(rows.forall(!_.isNullAt(0)),
+      "batch query frame has NULL query_id values")
+    val ids = rows.map(_.getLong(0)).toSeq
     require(ids.nonEmpty && ids.size <= cap,
       s"batch query frame outside [1, $cap] rows")
     require(ids.distinct.size == ids.size,
@@ -972,9 +1039,11 @@ class VectorStoreCatalog(spark: SparkSession, val root: String) {
       asOf: Option[Long] = None): graft.ml.IvfIndex.AdaptiveSearch = {
     require(metadataFilter.nonEmpty,
       "adaptive planning needs a filter; use batchQuery() for unfiltered batches")
-    validateVecDims(userId, modelId, queryVecs)
-    batchQueryAdaptiveFrame(userId, modelId, queriesFromVecs(queryVecs), k,
-      metadataFilter, nProbe, preFilterCap, asOf)
+    val cfg = config(userId, modelId)
+    validateVecDims(cfg, queryVecs)
+    batchQueryAdaptiveFrameWith(userId, modelId, cfg,
+      queriesFromVecs(queryVecs), k, metadataFilter, nProbe, preFilterCap,
+      asOf, None)
   }
 
   /** [[batchQueryAdaptive]] over a caller-built query frame (the
@@ -1004,6 +1073,21 @@ class VectorStoreCatalog(spark: SparkSession, val root: String) {
       preFilterCap: Long = graft.ml.IvfIndex.DefaultPreFilterCap,
       asOf: Option[Long] = None,
       pairPredicate: Option[org.apache.spark.sql.Column] = None)
+      : graft.ml.IvfIndex.AdaptiveSearch =
+    batchQueryAdaptiveFrameWith(userId, modelId, config(userId, modelId),
+      queries, k, metadataFilter, nProbe, preFilterCap, asOf, pairPredicate)
+
+  private def batchQueryAdaptiveFrameWith(
+      userId: String,
+      modelId: String,
+      cfg: StoreConfig,
+      queries: DataFrame,
+      k: Int,
+      metadataFilter: Map[String, String],
+      nProbe: Int,
+      preFilterCap: Long,
+      asOf: Option[Long],
+      pairPredicate: Option[org.apache.spark.sql.Column])
       : graft.ml.IvfIndex.AdaptiveSearch = {
     require(metadataFilter.nonEmpty || pairPredicate.nonEmpty,
       "adaptive planning needs a filter (shared or per-query); use " +
@@ -1011,7 +1095,7 @@ class VectorStoreCatalog(spark: SparkSession, val root: String) {
     val pred =
       if (metadataFilter.isEmpty) lit(true)
       else Knn.metadataPredicate(col("meta"), metadataFilter)
-    batchAdaptiveImpl(userId, modelId, queries, k, nProbe, preFilterCap,
+    batchAdaptiveImpl(userId, modelId, cfg, queries, k, nProbe, preFilterCap,
       asOf, pred,
       if (metadataFilter.isEmpty)
         (storeRowCountHint(userId, modelId, asOf), None)
@@ -1038,11 +1122,9 @@ class VectorStoreCatalog(spark: SparkSession, val root: String) {
   }
 
   private def validateVecDims(
-      userId: String, modelId: String, queryVecs: Seq[Seq[Double]]): Unit = {
-    val dim = config(userId, modelId).dimension
-    queryVecs.foreach(q => require(q.length == dim,
-      s"query dimension ${q.length} != store dimension $dim"))
-  }
+      cfg: StoreConfig, queryVecs: Seq[Seq[Double]]): Unit =
+    queryVecs.foreach(q => require(q.length == cfg.dimension,
+      s"query dimension ${q.length} != store dimension ${cfg.dimension}"))
 
   /** The shared batch adaptive body (the string/typed × Seq/frame
     * surfaces differ only in predicate, planning hints, and which
@@ -1053,7 +1135,8 @@ class VectorStoreCatalog(spark: SparkSession, val root: String) {
   private def batchAdaptiveImpl(
       userId: String,
       modelId: String,
-      queries: DataFrame,
+      cfg: StoreConfig,
+      queries0: DataFrame,
       k: Int,
       nProbe: Int,
       preFilterCap: Long,
@@ -1066,8 +1149,13 @@ class VectorStoreCatalog(spark: SparkSession, val root: String) {
     require(k >= 1 && k <= VectorStoreCatalog.MaxBatchK,
       s"k=$k outside [1, ${VectorStoreCatalog.MaxBatchK}]")
     require(preFilterCap >= 1, s"preFilterCap must be >= 1, got $preFilterCap")
-    val cfg = config(userId, modelId)
+    // loud BEFORE the probed try below, whose exact-scan fallback would
+    // otherwise swallow the collision require silently
+    requireNoStoreClash(queries0)
     asOf.foreach(e => requirePin(userId, modelId, e))
+    // the batchQueryFrameWith pin rationale: one evaluation of the
+    // caller's lineage serves the id collect, the probed path, and heal
+    val queries = queries0.localCheckpoint(true)
     val ids = boundedQueryIds(queries)
     def base = asOf.fold(load(userId, modelId))(e => loadAt(userId, modelId, e))
     // [[queryAdaptive]]'s statistics discipline, paid ONCE for M queries
@@ -1146,9 +1234,11 @@ class VectorStoreCatalog(spark: SparkSession, val root: String) {
       asOf: Option[Long] = None): graft.ml.IvfIndex.AdaptiveSearch = {
     require(typedFilter.nonEmpty,
       "adaptive planning needs a filter; use batchQuery() for unfiltered batches")
-    validateVecDims(userId, modelId, queryVecs)
-    batchQueryAdaptiveTypedFrame(userId, modelId, queriesFromVecs(queryVecs),
-      k, typedFilter, nProbe, preFilterCap, asOf)
+    val cfg = config(userId, modelId)
+    validateVecDims(cfg, queryVecs)
+    batchQueryAdaptiveTypedFrameWith(userId, modelId, cfg,
+      queriesFromVecs(queryVecs), k, typedFilter, nProbe, preFilterCap,
+      asOf, None)
   }
 
   /** [[batchQueryAdaptiveFrame]]'s TYPED twin: shared typed filter (may
@@ -1167,6 +1257,22 @@ class VectorStoreCatalog(spark: SparkSession, val root: String) {
       preFilterCap: Long = graft.ml.IvfIndex.DefaultPreFilterCap,
       asOf: Option[Long] = None,
       pairPredicate: Option[org.apache.spark.sql.Column] = None)
+      : graft.ml.IvfIndex.AdaptiveSearch =
+    batchQueryAdaptiveTypedFrameWith(userId, modelId,
+      config(userId, modelId), queries, k, typedFilter, nProbe,
+      preFilterCap, asOf, pairPredicate)
+
+  private def batchQueryAdaptiveTypedFrameWith(
+      userId: String,
+      modelId: String,
+      cfg: StoreConfig,
+      queries: DataFrame,
+      k: Int,
+      typedFilter: Map[String, Any],
+      nProbe: Int,
+      preFilterCap: Long,
+      asOf: Option[Long],
+      pairPredicate: Option[org.apache.spark.sql.Column])
       : graft.ml.IvfIndex.AdaptiveSearch = {
     require(typedFilter.nonEmpty || pairPredicate.nonEmpty,
       "adaptive planning needs a filter (shared or per-query); use " +
@@ -1174,7 +1280,7 @@ class VectorStoreCatalog(spark: SparkSession, val root: String) {
     val pred =
       if (typedFilter.isEmpty) lit(true)
       else TypedMeta.typedPredicate(col("meta"), typedFilter)
-    batchAdaptiveImpl(userId, modelId, queries, k, nProbe, preFilterCap,
+    batchAdaptiveImpl(userId, modelId, cfg, queries, k, nProbe, preFilterCap,
       asOf, pred,
       if (typedFilter.isEmpty)
         (storeRowCountHint(userId, modelId, asOf), None)
@@ -1205,19 +1311,8 @@ class VectorStoreCatalog(spark: SparkSession, val root: String) {
       targetFileBytes: Long = 128L << 20,
       autoRebuildIndex: Boolean = false): (Int, Int) = {
     val result = optimizeFiles(userId, modelId, targetFileBytes)
-    indexMaintenance(userId, modelId).foreach { m =>
-      if (m.needsRebuild) {
-        VectorStoreCatalog.slog.warn(
-          s"store $userId/$modelId index drift past thresholds: " +
-            s"imbalance ${f"${m.imbalance}%.2f"} (hottest list " +
-            s"${m.maxListSize} vs mean ${f"${m.meanListSize}%.1f"}), " +
-            s"appended fraction ${f"${m.appendedFraction}%.2f"} over " +
-            s"${m.nVectors} rows — probe cost and recall degrade until a " +
-            "rebuild" + (if (autoRebuildIndex) "; rebuilding now"
-            else "; run buildIndex() or optimize(autoRebuildIndex = true)"))
-        if (autoRebuildIndex) buildIndex(userId, modelId,
-          nLists = m.nLists)
-      }
+    warnIfDrift(userId, modelId, "").foreach { m =>
+      if (autoRebuildIndex) buildIndex(userId, modelId, nLists = m.nLists)
     }
     result
   }

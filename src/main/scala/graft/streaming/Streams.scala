@@ -846,6 +846,13 @@ object Streams {
     * The bigram gate is the textbook floor; a production curation gate
     * scores KN at n=3, and both scorers already existed — this surfaces
     * them through the ONE shared [[gateBody]].
+    *
+    * NOTE the default `maxPplX1e4` is 640000, NOT the bigram gates'
+    * 310000: bigram and trigram perplexity live on different scales
+    * (measured ~2× apart on the test corpus — the trigram model backs
+    * off more under the same pruning), so a bigram-calibrated ceiling
+    * would silently over-gate. Calibrate the knob to YOUR corpus either
+    * way; the default only anchors the right order of magnitude.
     */
   def qualityGateKn3(
       docs: DataFrame,
@@ -855,7 +862,7 @@ object Streams {
       textCol: String = "text",
       langCol: String = "lang",
       minEntropyX1e4: Long = 28000L,
-      maxPplX1e4: Long = 310000L): DataFrame =
+      maxPplX1e4: Long = 640000L): DataFrame =
     gateBody(docs, rates, idCol, textCol, langCol, minEntropyX1e4,
       maxPplX1e4) { gated =>
       gated.withColumn("ppl_x1e4",
@@ -881,7 +888,7 @@ object Streams {
       textCol: String = "text",
       langCol: String = "lang",
       minEntropyX1e4: Long = 28000L,
-      maxPplX1e4: Long = 310000L): DataFrame =
+      maxPplX1e4: Long = 640000L): DataFrame =
     gateBody(docs, rates, idCol, textCol, langCol, minEntropyX1e4,
       maxPplX1e4) { gated0 =>
       // the qualityGateFrames pin, same three consumers (scorer explode,
@@ -906,7 +913,7 @@ object Streams {
       textCol: String = "text",
       langCol: String = "lang",
       minEntropyX1e4: Long = 28000L,
-      maxPplX1e4: Long = 310000L,
+      maxPplX1e4: Long = 640000L,
       checkpoint: Option[String] = None,
       onBatch: (DataFrame, Long) => Unit = (_, _) => (),
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
@@ -929,7 +936,7 @@ object Streams {
       textCol: String = "text",
       langCol: String = "lang",
       minEntropyX1e4: Long = 28000L,
-      maxPplX1e4: Long = 310000L,
+      maxPplX1e4: Long = 640000L,
       checkpoint: Option[String] = None,
       onBatch: (DataFrame, Long) => Unit = (_, _) => (),
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =

@@ -354,6 +354,24 @@ class CatalogOpsSpec extends AnyFunSuite with SparkSpec {
       graft.ml.IvfIndex.load(spark, s"${cat.storePath("u", "g")}/_ivf")
         .searchBatch(shadow, 2, queryIdCol = "id")
     }
+    // the CATALOG surfaces reject the collision LOUDLY before their
+    // exact-scan fallback try — a clash must never silently degrade
+    // every call to the brute-force path
+    intercept[IllegalArgumentException] {
+      cat.batchQueryFrame("u", "g", clash, 2)
+    }
+    intercept[IllegalArgumentException] {
+      cat.batchQueryAdaptiveFrame("u", "g", clash, 2,
+        pairPredicate = Some(lit(true)))
+    }
+    // NULL query ids are the guard's message, not a raw NPE
+    val nullId = Seq((Some(0L), Seq(1.0, 0.0, 0.0, 0.0)),
+      (None: Option[Long], Seq(0.0, 1.0, 0.0, 0.0)))
+      .toDF("query_id", "query_vec")
+    val e = intercept[IllegalArgumentException] {
+      cat.batchQueryFrame("u", "g", nullId, 2)
+    }
+    assert(e.getMessage.contains("NULL query_id"))
   }
 
   test("ingest and delete are single-pass (job counts via SparkListener)") {
