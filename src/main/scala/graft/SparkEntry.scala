@@ -1008,6 +1008,25 @@ object SparkEntry {
       out
     }),
 
+    // THE GATE UNDER MODIFIED KN (q188's construction at q157's model —
+    // the KenLM production default): per-level ESTIMATED discounts
+    // d1/d2/d3+ from count-of-count statistics, scored through
+    // scoreKn3ModDistributed's equi-joins. With this row every LM family
+    // the engine trains (add-k, bigram-KN, trigram-KN, modified-KN) can
+    // gate, each through its no-ceiling frames route, all under oracles.
+    // Ceiling at the mod-KN scale (estimated discounts roughly halve
+    // fixed-d trigram perplexity on this corpus).
+    "q192_quality_gate_kn3mod" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val rates = operators.Curation.temperatureRates(docs, "lang", alpha = 0.5)
+      val frames = text.NgramLm.trainKn3ModDistributed(
+        docs.filter(col("doc_id") % 4 =!= 0), "text", maxVocab = 256)
+      val out = streaming.Streams.qualityGateKn3ModFrames(docs, rates, frames)
+        .localCheckpoint(true) // survivors pinned, then release the frames
+      frames.unpersist()
+      out
+    }),
+
     // Quality pipeline v2 (the q67 composition discipline over the round's
     // new layer): temperature-flattened language mix -> lexical-diversity
     // floor -> Kneser-Ney in-domain perplexity ceiling, end to end under
@@ -5653,7 +5672,71 @@ object SparkEntry {
         |  CAST(round(COALESCE(a.ppl, 0.0) * 10000) AS BIGINT) AS ppl_x1e4
         |FROM tgt t LEFT JOIN agg a USING (doc_id)""".stripMargin
 
+  /** q192's replay: q145's mix + entropy stages wrapped around q157's
+    * modified-KN model CTEs — built by SUBSTITUTION from
+    * [[Kn3ModPerplexityOracle]] (tgt reads the mix, the final SELECT
+    * applies the gate), so the estimated-discount arithmetic exists in
+    * exactly one copy. The requires pin the substitution points: if the
+    * q157 oracle's shape ever changes, this fails loudly at class init
+    * instead of silently diverging.
+    */
+  private val Kn3ModQualityGateOracle: String = {
+    val mixEnt =
+      """WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+        |r AS (SELECT lang,
+        |        CAST(floor(sqrt(CAST((SELECT min(n) FROM c) AS DOUBLE) / CAST(n AS DOUBLE))
+        |          * 1000000 + 0.5) AS BIGINT) AS ppm
+        |      FROM c),
+        |mix AS MATERIALIZED (
+        |  SELECT d.doc_id, d.lang, d.text FROM documents d JOIN r ON d.lang = r.lang
+        |  WHERE (d.doc_id * 2654435761) % 4294967296 % 1000000 < r.ppm),
+        |ent AS (
+        |  SELECT doc_id,
+        |    CAST(floor(list_reduce(list_prepend(0.0, list_transform(cl, x ->
+        |      -(CAST(x AS DOUBLE) / len(t)) * ln(CAST(x AS DOUBLE) / len(t)))),
+        |      (a, b) -> a + b) * 10000 + 0.5) AS BIGINT) AS entropy_x1e4
+        |  FROM (
+        |    SELECT doc_id, t,
+        |      list_transform(list_sort(list_distinct(t)),
+        |        u -> len(list_filter(t, x -> x = u))) AS cl
+        |    FROM (SELECT doc_id,
+        |            list_filter(string_split(text, ' '), x -> x <> '') AS t
+        |          FROM mix))),
+        |ref AS (""".stripMargin
+    val oldTgt =
+      """tgt AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+        |  FROM documents WHERE doc_id % 4 = 0),""".stripMargin
+    val newTgt =
+      """tgt AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+        |  FROM mix),""".stripMargin
+    val oldSel =
+      """SELECT CAST(t.doc_id AS BIGINT) AS id,
+        |  CAST(round(COALESCE(a.ppl, 0.0) * 10000) AS BIGINT) AS ppl_x1e4
+        |FROM tgt t LEFT JOIN agg a USING (doc_id)""".stripMargin
+    val newSel =
+      """SELECT CAST(m.doc_id AS BIGINT) AS id, m.lang, e.entropy_x1e4,
+        |  CAST(round(COALESCE(a.ppl, 0.0) * 10000) AS BIGINT) AS ppl_x1e4
+        |FROM mix m JOIN ent e USING (doc_id) LEFT JOIN agg a USING (doc_id)
+        |WHERE e.entropy_x1e4 > 28000
+        |  AND CAST(round(COALESCE(a.ppl, 0.0) * 10000) AS BIGINT) < 330000""".stripMargin
+    require(Kn3ModPerplexityOracle.startsWith("WITH ref AS (") &&
+      Kn3ModPerplexityOracle.contains(oldTgt) &&
+      Kn3ModPerplexityOracle.contains(oldSel),
+      "q157 oracle shape changed — re-anchor q192's substitution")
+    Kn3ModPerplexityOracle
+      .replace("WITH ref AS (", mixEnt)
+      .replace(oldTgt, newTgt)
+      .replace(oldSel, newSel)
+  }
+
   private def oracleSqlRest2: Map[String, String] = Map(
+
+    // The gate under MODIFIED KN (q145's chain × q157's model), frames
+    // route: the twin is q157's replay re-targeted at the mix with the
+    // gate SELECT — built by substitution, one copy of the arithmetic.
+    "q192_quality_gate_kn3mod" -> Kn3ModQualityGateOracle,
 
     // Same lexicographic fold: counts in token-sorted order, 0.0-seeded
     // left fold of -(p)ln(p) terms, floor(x*1e4 + 0.5).

@@ -901,6 +901,74 @@ object Streams {
       gated.join(ppl, Seq(idCol))
     }
 
+  /** [[qualityGateKn3]] under MODIFIED Kneser–Ney (Chen & Goodman 1998,
+    * the KenLM production default — q157's model): per-level estimated
+    * discounts d1/d2/d3+ instead of one fixed d, same shared
+    * [[gateBody]]. Every LM family the engine trains can now gate.
+    * Default ceiling 330000: estimated discounts pull perplexity well
+    * under fixed-d trigram scale (measured ~halved on the test corpus)
+    * — calibrate to YOUR corpus as ever.
+    */
+  def qualityGateKn3Mod(
+      docs: DataFrame,
+      rates: Map[String, Double],
+      model: graft.text.NgramLm.Kn3ModModel,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      langCol: String = "lang",
+      minEntropyX1e4: Long = 28000L,
+      maxPplX1e4: Long = 330000L): DataFrame =
+    gateBody(docs, rates, idCol, textCol, langCol, minEntropyX1e4,
+      maxPplX1e4) { gated =>
+      gated.withColumn("ppl_x1e4",
+        round(graft.text.NgramLm.perplexityKn3Mod(col(textCol), model) * 10000)
+          .cast("long"))
+    }
+
+  /** [[qualityGateKn3Mod]] against [[graft.text.NgramLm.Kn3ModFrames]] —
+    * the no-broadcast-ceiling route ([[graft.text.NgramLm
+    * .scoreKn3ModDistributed]]'s equi-joins), the [[qualityGateKn3Frames]]
+    * discipline on the modified-KN model.
+    */
+  def qualityGateKn3ModFrames(
+      docs: DataFrame,
+      rates: Map[String, Double],
+      frames: graft.text.NgramLm.Kn3ModFrames,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      langCol: String = "lang",
+      minEntropyX1e4: Long = 28000L,
+      maxPplX1e4: Long = 330000L): DataFrame =
+    gateBody(docs, rates, idCol, textCol, langCol, minEntropyX1e4,
+      maxPplX1e4) { gated0 =>
+      val gated = gated0.localCheckpoint(true) // the three-consumer pin
+      val ppl = graft.text.NgramLm
+        .scoreKn3ModDistributed(gated, idCol, textCol, frames)
+        .select(col(idCol),
+          round(col("ppl") * 10000).cast("long").as("ppl_x1e4"))
+      gated.join(ppl, Seq(idCol))
+    }
+
+  /** Stream form of [[qualityGateKn3ModFrames]] — stateless per-batch
+    * chop like every gate stream; frames lifetime is the caller's.
+    */
+  def qualityGateStreamKn3ModFrames(
+      docs: DataFrame,
+      rates: Map[String, Double],
+      frames: graft.text.NgramLm.Kn3ModFrames,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      langCol: String = "lang",
+      minEntropyX1e4: Long = 28000L,
+      maxPplX1e4: Long = 330000L,
+      checkpoint: Option[String] = None,
+      onBatch: (DataFrame, Long) => Unit = (_, _) => (),
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    gateStream(docs, checkpoint, trigger, onBatch) { batch =>
+      qualityGateKn3ModFrames(batch, rates, frames, idCol, textCol, langCol,
+        minEntropyX1e4, maxPplX1e4)
+    }
+
   /** [[qualityGateStream]] at trigram order — the stream form of
     * [[qualityGateKn3]], stateless like every gate stream (pure per-row
     * map per micro-batch; chopping invisible).

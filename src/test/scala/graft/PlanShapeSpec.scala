@@ -548,6 +548,26 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
     } finally frames.unpersist()
   }
 
+  test("q192: the MODIFIED-KN frames gate's scoring plan stays " +
+      "equi-joined — no product, no nested-loop term") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("text"),
+        org.apache.spark.sql.functions.col("lang"))
+    val rates = graft.operators.Curation.temperatureRates(docs, "lang", 0.5)
+    val frames = graft.text.NgramLm.trainKn3ModDistributed(
+      docs.filter(org.apache.spark.sql.functions.col("doc_id") % 4 =!= 0),
+      "text", maxVocab = 256)
+    try {
+      val gate = graft.streaming.Streams.qualityGateKn3ModFrames(
+        docs, rates, frames)
+      val p = gate.queryExecution.executedPlan.toString()
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoop"),
+        s"mod-KN frames gate scoring must stay equi-joined:\n$p")
+    } finally frames.unpersist()
+  }
+
   test("fleet-wide: no query in the whole SparkEntry surface plans a CartesianProduct") {
     // Every crossJoin in the engine is broadcast()-bounded (query vectors,
     // 1-row aggregates, centroid/cut tables), which plans as

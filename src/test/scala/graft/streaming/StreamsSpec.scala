@@ -955,6 +955,33 @@ class StreamsSpec extends AnyFunSuite with SparkSpec {
     } finally frames.unpersist()
   }
 
+  test("qualityGateKn3Mod: the modified-KN gate's decisions are " +
+      "byte-identical across broadcast and frames routes, and the " +
+      "estimated-discount ceiling discriminates") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", $"text", $"lang").localCheckpoint(true)
+    val rates = graft.operators.Curation.temperatureRates(docs, "lang", 0.5)
+    val ref = docs.filter($"doc_id" % 4 =!= 0)
+    val model = graft.text.NgramLm.trainKn3Mod(ref, "text", maxVocab = 256)
+    val want = Streams.qualityGateKn3Mod(docs, rates, model)
+      .as[(Long, String, Long, Long)].collect().toSet
+    assert(want.nonEmpty && want.size < docs.count(),
+      "the mod-KN gate must actually drop something to mean anything")
+    val noCeiling = Streams.qualityGateKn3Mod(docs, rates, model,
+        maxPplX1e4 = Long.MaxValue)
+      .as[(Long, String, Long, Long)].collect().toSet
+    assert(want.size < noCeiling.size,
+      "the mod-KN ceiling must gate some mixed+entropy survivors")
+    val frames = graft.text.NgramLm.trainKn3ModDistributed(ref, "text",
+      maxVocab = 256)
+    try {
+      val got = Streams.qualityGateKn3ModFrames(docs, rates, frames)
+        .as[(Long, String, Long, Long)].collect().toSet
+      assert(got == want,
+        s"mod-KN frames gate ${got.size} vs broadcast ${want.size}")
+    } finally frames.unpersist()
+  }
+
   test("ingestVectors streams JSONL drops into a store with status table") {
     import org.apache.spark.sql.types._
     val dropDir = tempDir("graft_vec_drop")
