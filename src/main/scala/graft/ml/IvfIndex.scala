@@ -433,7 +433,8 @@ class IvfIndex private (
       imbalance = imbalance,
       nAtBuild = nAtBuild,
       appendedFraction = appendedFraction,
-      needsRebuild = imbalance > maxImbalance || appendedFraction > maxAppendedFraction)
+      needsRebuild = imbalance > maxImbalance || appendedFraction > maxAppendedFraction,
+      suggestedNLists = IvfIndex.suggestNLists(centroids.length, nVectors))
   }
 
   /** Batch ANN search: queries x store as an EQUI-join on list_id (each
@@ -580,7 +581,12 @@ object IvfIndex {
 
   /** [[IvfIndex.maintenance]] output. `nAtBuild` is None for indexes written
     * before build counts were recorded (their appendedFraction reads 0.0 —
-    * imbalance still monitors them).
+    * imbalance still monitors them). `suggestedNLists` is the geometry a
+    * REBUILD should use ([[suggestNLists]]) — re-quantizing alone repairs
+    * skew but not density (the ivf_drift probe's measured finding: after a
+    * hot-direction doubling, a same-geometry rebuild cut hot-query probe
+    * cost only ~10%); probe cost per query is ~nProbe × N / nLists, so
+    * lists must scale with the corpus.
     */
   case class Maintenance(
       nLists: Int,
@@ -591,7 +597,18 @@ object IvfIndex {
       imbalance: Double,
       nAtBuild: Option[Long],
       appendedFraction: Double,
-      needsRebuild: Boolean)
+      needsRebuild: Boolean,
+      suggestedNLists: Int)
+
+  /** Rebuild geometry suggestion: the published IVF rule of thumb (FAISS
+    * guidelines — public knowledge) puts the cluster count around
+    * sqrt(N); we floor at the CURRENT list count so a suggestion never
+    * coarsens an index an operator deliberately built finer, and at 1 for
+    * degenerate corpora.
+    */
+  private[graft] def suggestNLists(current: Int, nVectors: Long): Int =
+    math.max(math.max(current, 1),
+      math.ceil(math.sqrt(math.max(nVectors, 0L).toDouble)).toInt)
 
   private def buildMetaPath(path: String) = s"$path/buildmeta"
 

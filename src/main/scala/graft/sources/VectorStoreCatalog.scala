@@ -615,7 +615,8 @@ class VectorStoreCatalog(spark: SparkSession, val root: String) {
           s"${v.maxListSize} vs mean ${f"${v.meanListSize}%.1f"}), " +
           s"appended fraction ${f"${v.appendedFraction}%.2f"} over " +
           s"${v.nVectors} rows — probe cost and recall degrade until a " +
-          "rebuild: run buildIndex() or optimize(autoRebuildIndex = true)")
+          s"rebuild at ~${v.suggestedNLists} lists: run buildIndex() or " +
+          "optimize(autoRebuildIndex = true)")
     }
     m
   }
@@ -1304,15 +1305,21 @@ class VectorStoreCatalog(spark: SparkSession, val root: String) {
     * survives optimize and must be surfaced here, not silently carried.
     * Past the thresholds it logs a LOUD rebuild advisory; with
     * `autoRebuildIndex = true` it repairs in-line ([[buildIndex]] at the
-    * index's current list count — fresh distributed k-means over the
-    * post-compaction rows).
+    * SUGGESTED list count — fresh distributed k-means over the
+    * post-compaction rows, geometry rescaled to the corpus).
     */
   def optimize(userId: String, modelId: String,
       targetFileBytes: Long = 128L << 20,
       autoRebuildIndex: Boolean = false): (Int, Int) = {
     val result = optimizeFiles(userId, modelId, targetFileBytes)
+    // the repair also RESCALES the geometry ([[graft.ml.IvfIndex
+    // .suggestNLists]], floored at the current count): the ivf_drift
+    // probe measured that a same-geometry rebuild repairs skew but not
+    // density — probe cost per query is ~nProbe × N / nLists, so the
+    // list count must grow with the corpus
     warnIfDrift(userId, modelId, "").foreach { m =>
-      if (autoRebuildIndex) buildIndex(userId, modelId, nLists = m.nLists)
+      if (autoRebuildIndex) buildIndex(userId, modelId,
+        nLists = m.suggestedNLists)
     }
     result
   }

@@ -272,20 +272,25 @@ object IndexSweepProbe {
     * and the maintenance imbalance signal.
     *
     * MEASURED (n = 200k + 200k drift, 2026-08-16): recall stays 1.000
-    * throughout — the funnel list contains its queries' true neighbors,
-    * so in this construction skew is a COST disease, not a recall one.
-    * Probe cost for hot-direction queries blows up 4.9× (51,565 →
-    * 251,565 rows/query: the whole drifted mass rides every probe that
-    * touches the funnel list) and even base-cluster queries pay when a
-    * noise-ranked probe lands on it; imbalance 2.00 → 8.50 trips the
-    * default advisory. The rebuild restores BALANCE (8.50 → 2.85 — the
-    * worst-case list is bounded again) but hot-direction probe cost only
-    * drops ~10% (251,565 → 226,875): half the corpus now genuinely LIVES
-    * in that direction, and at fixed nLists IVF probe cost is
-    * proportional to local density, not fixable by re-quantizing.
-    * Honest operational rule the advisory encodes: rebuild repairs skew
-    * (frozen-quantizer artifacts); density growth needs nLists to scale
-    * with the corpus — which the rebuild knob is also the lever for.
+    * through drift and same-geometry rebuild — the funnel list contains
+    * its queries' true neighbors, so in this construction skew is a COST
+    * disease, not a recall one. Probe cost for hot-direction queries
+    * blows up 5× (50,000 → 250,000 rows/query: the whole drifted mass
+    * rides every probe touching the funnel list); imbalance 1.00 → 8.50
+    * trips the default advisory. A SAME-GEOMETRY rebuild restores
+    * balance (8.50 → 2.91) but cuts hot-direction cost only ~9%
+    * (250,000 → 228,750): half the corpus now genuinely LIVES in that
+    * direction — at fixed nLists probe cost is local density. The
+    * RESCALED rebuild (suggestNLists: 633 ≈ sqrt(400k) lists, 60.6 s
+    * build vs 11.4 s same-geometry) is the real lever: at np=32 (a 5%
+    * probe fraction) base-cluster recall is 0.960 at 16,647 rows/query —
+    * 6× cheaper than the same-geometry rebuild at near recall parity —
+    * and hot-direction queries read 27,527 rows (8× cheaper) at recall
+    * 0.700 (their mass now spans MANY fine lists, so a fixed probe count
+    * covers less of it: dense regions want proportionally more probes).
+    * Honest operational rule the advisory + optimize(autoRebuildIndex)
+    * encode: rebuild repairs skew; rescaling to ~sqrt(N) repairs COST;
+    * probe count is the per-query recall dial either way.
     */
   private def runIvfDrift(spark: SparkSession, n: Int): Unit = {
     import spark.implicits._
@@ -319,30 +324,31 @@ object IndexSweepProbe {
     val qDrift = mkRows(spark.range(20).toDF("id"), lit(0))
       .select((col("id") + 100).as("query_id"), col("vector").as("query_vec"))
       .localCheckpoint(true)
-    def recallOf(queries: DataFrame, store: DataFrame): Double = {
+    def recallOf(queries: DataFrame, store: DataFrame, np: Int): Double = {
       val exact = Knn.batchTopK(queries, store, k)
         .select(col("query_id"), col("id")).as[(Long, Long)].collect()
         .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
-      val ann = idx.searchBatch(queries, k, nProbe)
+      val ann = idx.searchBatch(queries, k, np)
         .select(col("query_id"), col("id")).as[(Long, Long)].collect()
         .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
       val rs = exact.map { case (q, e) =>
         (e intersect ann.getOrElse(q, Set.empty)).size.toDouble / k }
       rs.sum / rs.size
     }
-    def rowsPerQuery(queries: DataFrame): Double = {
+    def rowsPerQuery(queries: DataFrame, np: Int): Double = {
       val vecs = queries.select(col("query_vec")).collect()
         .map(_.getSeq[Float](0).map(_.toDouble).toSeq)
-      vecs.map(v => idx.probedScan(v, nProbe).count().toDouble)
+      vecs.map(v => idx.probedScan(v, np).count().toDouble)
         .sum / vecs.length
     }
-    def phase(name: String, store: DataFrame): (Double, Double, Double, Double, Double) = {
-      val rb = recallOf(qBase, store)
-      val rd = recallOf(qDrift, store)
-      val cb = rowsPerQuery(qBase)
-      val cd = rowsPerQuery(qDrift)
+    def phase(name: String, store: DataFrame, np: Int = nProbe)
+        : (Double, Double, Double, Double, Double) = {
+      val rb = recallOf(qBase, store, np)
+      val rd = recallOf(qDrift, store, np)
+      val cb = rowsPerQuery(qBase, np)
+      val cd = rowsPerQuery(qDrift, np)
       val imb = idx.maintenance().imbalance
-      println(f"[probe] ivf_drift $name%-8s recall base $rb%.3f drift " +
+      println(f"[probe] ivf_drift $name%-12s recall base $rb%.3f drift " +
         f"$rd%.3f | rows/query base $cb%9.0f drift $cd%9.0f | " +
         f"imbalance $imb%.2f")
       (rb, rd, cb, cd, imb)
@@ -365,6 +371,18 @@ object IndexSweepProbe {
       nLists = nLists)
     val tRebuild = (System.nanoTime() - t0) / 1e9
     val rebuilt = phase("rebuilt", all)
+    // the RESCALED repair — what the advisory now suggests and
+    // optimize(autoRebuildIndex) executes: rebuild at ~sqrt(N) lists.
+    // Measured at the SAME probe count (np=4: equal planning work, far
+    // fewer rows) and at np=32 (a 5% probe fraction, the recall-for-cost
+    // operating point finer geometry buys)
+    val suggested = IvfIndex.suggestNLists(nLists, 2L * n)
+    t0 = System.nanoTime()
+    idx = IvfIndex.build(all, "id", "vector", s"$base/idx",
+      nLists = suggested)
+    val tRescale = (System.nanoTime() - t0) / 1e9
+    val rescaled4 = phase("rescaled/np4", all, 4)
+    val rescaled32 = phase("rescaled/np32", all, 32)
     def j(p: (Double, Double, Double, Double, Double)) =
       f"""{"recall_base":${p._1}%.3f,"recall_drift":${p._2}%.3f,""" +
         f""""rows_base":${p._3}%.0f,"rows_drift":${p._4}%.0f,""" +
@@ -372,9 +390,12 @@ object IndexSweepProbe {
     println(s"""{"probe":"ivf_drift","n":$n,"n_lists":$nLists,""" +
       f""""n_probe":$nProbe,"build_sec":$tBuild%.1f,""" +
       f""""rebuild_sec":$tRebuild%.1f,""" +
+      s""""suggested_n_lists":$suggested,""" +
+      f""""rescale_build_sec":$tRescale%.1f,""" +
       s""""advisory_tripped":${m.needsRebuild},""" +
       s""""fresh":${j(fresh)},"drifted":${j(drifted)},""" +
-      s""""rebuilt":${j(rebuilt)}}""")
+      s""""rebuilt":${j(rebuilt)},"rescaled_np4":${j(rescaled4)},""" +
+      s""""rescaled_np32":${j(rescaled32)}}""")
   }
 
   /** The landmark SMALL-SET GUARD leg (`landmark_guard` mode): the

@@ -269,11 +269,15 @@ class CatalogOpsSpec extends AnyFunSuite with SparkSpec {
     // ... and the DEFAULT thresholds trip via appendedFraction (48/80)
     assert(cat.indexMaintenance("u", "drift").get.needsRebuild)
     // the maintenance entry point repairs in-line: fresh k-means over the
-    // post-compaction rows at the index's current list count
+    // post-compaction rows, RESCALED to the suggested geometry (the
+    // sqrt-N rule floored at the current count: ceil(sqrt(80)) = 9)
+    assert(skewed.suggestedNLists == 9, s"sqrt-N suggestion: $skewed")
     cat.optimize("u", "drift", autoRebuildIndex = true)
     val rebuilt = cat.indexMaintenance("u", "drift").get
     assert(!rebuilt.needsRebuild,
       s"a rebuild must clear the advisory: $rebuilt")
+    assert(rebuilt.nLists == 9,
+      s"the repair must rebuild at the suggested geometry: $rebuilt")
     assert(rebuilt.nVectors == 80 && cat.healthCheck("u", "drift").healthy)
   }
 
