@@ -3763,6 +3763,27 @@ object SparkEntry {
       shaped("a_sel", sel).unionAll(shaped("b_broad", broad))
     }),
 
+    // MINING AT PARTIAL PROBE, oracle-locked end to end (q184 and q187
+    // lock the FULL-probe = exact case; the probed plan's semantics —
+    // "top-k within each query's own constraint AMONG the probed
+    // lists" — were spec-only): the deterministic 8-centroid index
+    // makes assignment AND probe order a replayable argmax, the rider
+    // is pure arithmetic (each query excludes ids in its own mod-4
+    // class), and nProbe=2 of 8 means the twin must reproduce exactly
+    // which candidates were visible. Underfilled queries return what
+    // the probed lists held — on the raw index that IS the contract
+    // (healing is the catalog surface's layer, q187/spec-locked).
+    "q193_mining_partial_probe" -> ((s, dir) => {
+      val idx = ivfFixedIndexFor(s, dir)
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 8).select(
+        col("vec_id").as("query_id"), col("embedding").as("query_vec"),
+        (col("vec_id") % 4).as("q_mod"))
+      idx.searchBatch(queries, k = 5, nProbe = 2,
+        pairPredicate = Some(col("id") % 4 =!= col("q_mod")))
+        .select(col("query_id"), col("id").as("vec_id"), col("rank").as("rnk"))
+    }),
+
     // THE MINING SHAPE SERVED FROM A TENANT STORE (the r18 verdict's #1
     // gap): q184's per-query heterogeneous constraint — top-5 most
     // similar with a label DIFFERENT from each query's OWN, carried as a
@@ -7246,6 +7267,38 @@ object SparkEntry {
     // The mining shape through the BATCH ANN path at full probe is the
     // same exact answer: the twin is q92's replay verbatim.
     "q184_batch_mining" -> HardNegativesOracle,
+
+    // Partial-probe mining replay: assignment and probe order are the
+    // q46 argmax, candidates = each query's top-2 probed lists minus its
+    // own mod-4 class, ranked by the shared cosine kernel.
+    "q193_mining_partial_probe" ->
+      """WITH cent AS (
+        |  SELECT vec_id AS list_id, CAST(embedding AS DOUBLE[]) AS c
+        |  FROM embeddings WHERE vec_id < 8),
+        |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |assign AS (
+        |  SELECT vec_id, v, list_id FROM (
+        |    SELECT x.vec_id, x.v, c.list_id,
+        |      row_number() OVER (PARTITION BY x.vec_id
+        |        ORDER BY list_cosine_similarity(c.c, x.v) DESC, c.list_id ASC) AS arnk
+        |    FROM v x, cent c
+        |  ) WHERE arnk = 1),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM v WHERE vec_id < 8),
+        |probes AS (
+        |  SELECT q.query_id, c.list_id,
+        |    row_number() OVER (PARTITION BY q.query_id
+        |      ORDER BY list_cosine_similarity(c.c, q.qv) DESC, c.list_id ASC) AS prank
+        |  FROM q, cent c)
+        |SELECT query_id, vec_id, rnk FROM (
+        |  SELECT q.query_id, a.vec_id,
+        |    CAST(row_number() OVER (PARTITION BY q.query_id
+        |      ORDER BY list_cosine_similarity(a.v, q.qv) DESC, a.vec_id ASC)
+        |      AS BIGINT) AS rnk
+        |  FROM q
+        |  JOIN probes p ON p.query_id = q.query_id AND p.prank <= 2
+        |  JOIN assign a ON a.list_id = p.list_id
+        |  WHERE a.vec_id % 4 <> q.query_id % 4
+        |) WHERE rnk <= 5""".stripMargin,
 
     // The mining shape from a TENANT store: per-query exact top-5 within
     // par=1 ∧ label<>query_label; one shared-filter count, both plan
