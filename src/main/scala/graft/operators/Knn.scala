@@ -166,27 +166,13 @@ object Knn {
       queryVecCol: String = "query_vec",
       queryLabelCol: String = "query_label"): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
-    val topk = udaf(new TopKAggregator(k, ascending = false))
     val pred =
       if (sameLabel) col(labelCol) === col(queryLabelCol) && col(idCol) =!= col(queryIdCol)
       else col(labelCol) =!= col(queryLabelCol)
-    store
-      .crossJoin(broadcast(
-        queries.select(col(queryIdCol), col(queryVecCol), col(queryLabelCol))))
-      .filter(pred)
-      .select(
-        col(queryIdCol),
-        col(idCol),
-        vector.similarity(col(vecCol), col(queryVecCol), metric).as("similarity_score"))
-      .groupBy(col(queryIdCol))
-      .agg(topk(col("similarity_score"), col(idCol)).as("topk"))
-      .select(col(queryIdCol), posexplode(col("topk")).as(Seq("pos", "hit")))
-      .select(
-        col(queryIdCol),
-        col("hit.id").as(idCol),
-        col("hit.score").as("similarity_score"),
-        vector.distanceFromSimilarity(col("hit.score"), metric).as("distance"),
-        (col("pos") + 1).cast("long").as("rank"))
+    batchTopK(
+      queries.select(col(queryIdCol), col(queryVecCol), col(queryLabelCol)),
+      store, k, metric, vecCol, idCol, queryIdCol, queryVecCol,
+      pairPredicate = Some(pred))
   }
 
   /** Nearest-centroid assignment: each row of `df` labeled with the id of
