@@ -1027,6 +1027,33 @@ object SparkEntry {
       out
     }),
 
+    // GATE CALIBRATION AS AN OPERATOR (every ceiling in this repo —
+    // 310000 bigram, 640000 trigram, 330000 mod-KN — was measured by
+    // hand; this row locks the measurement itself): score the mix ∧
+    // entropy population UNGATED through the frames route, take the
+    // EXACT inclusive k-th-smallest ppl at keepRate 0.5 via the
+    // value-histogram order statistic (no global row sort — the running
+    // sum is over DISTINCT quantized scores), and keep ppl <= ceiling.
+    // The twin replays population, histogram, cumulative rule, and the
+    // kept set; ties keep slightly more than k by the same rule in both
+    // engines.
+    "q194_gate_calibration" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val rates = operators.Curation.temperatureRates(docs, "lang", alpha = 0.5)
+      val frames = text.NgramLm.trainKnDistributed(
+        docs.filter(col("doc_id") % 4 =!= 0), "text",
+        maxVocab = 256, minBigramCount = 2)
+      val scored = streaming.Streams.qualityGateFrames(docs, rates, frames,
+        maxPplX1e4 = Long.MaxValue).localCheckpoint(true)
+      frames.unpersist()
+      val ceiling = streaming.Streams.calibrateGateCeiling(scored, 0.5)
+      val out = scored.filter(col("ppl_x1e4") <= ceiling)
+        .select(col("id"), col("ppl_x1e4"), lit(ceiling).as("ceiling_x1e4"))
+      require(out.count() >= math.ceil(0.5 * scored.count()).toLong,
+        "the calibrated ceiling must keep at least the target fraction")
+      out
+    }),
+
     // Quality pipeline v2 (the q67 composition discipline over the round's
     // new layer): temperature-flattened language mix -> lexical-diversity
     // floor -> Kneser-Ney in-domain perplexity ceiling, end to end under
@@ -5090,6 +5117,7 @@ object SparkEntry {
     // byte-identically.
     "q182_quality_gate_frames" -> QualityGateOracle,
     "q188_quality_gate_kn3" -> Kn3QualityGateOracle,
+    "q194_gate_calibration" -> GateCalibrationOracle,
 
     // The q138 + q143 + q144 chains composed: mix CTE materialized (the
     // q84 inlining lesson), entropy and perplexity computed per row on
@@ -5321,6 +5349,41 @@ object SparkEntry {
           |FROM mix m JOIN ent e USING (doc_id) LEFT JOIN agg a USING (doc_id)
           |WHERE e.entropy_x1e4 > 28000
           |  AND CAST(round(COALESCE(a.ppl, 0.0) * 10000) AS BIGINT) < 640000""".stripMargin
+
+  /** q194's replay, by SUBSTITUTION from [[QualityGateOracle]]: the gate
+    * select becomes the UNGATED scored population CTE, followed by the
+    * calibration rule (value histogram → cumulative count → inclusive
+    * k-th smallest at keepRate 0.5) and the kept set. Anchors
+    * require-pinned like the q192 substitution.
+    */
+  private val GateCalibrationOracle: String = {
+    val oldSel =
+      """SELECT CAST(m.doc_id AS BIGINT) AS id, m.lang, e.entropy_x1e4,
+        |  CAST(round(COALESCE(a.ppl, 0.0) * 10000) AS BIGINT) AS ppl_x1e4
+        |FROM mix m JOIN ent e USING (doc_id) LEFT JOIN agg a USING (doc_id)
+        |WHERE e.entropy_x1e4 > 28000
+        |  AND CAST(round(COALESCE(a.ppl, 0.0) * 10000) AS BIGINT) < 310000""".stripMargin
+    val newTail =
+      """,
+        |p AS (
+        |  SELECT CAST(m.doc_id AS BIGINT) AS id,
+        |    CAST(round(COALESCE(a.ppl, 0.0) * 10000) AS BIGINT) AS ppl_x1e4
+        |  FROM mix m JOIN ent e USING (doc_id) LEFT JOIN agg a USING (doc_id)
+        |  WHERE e.entropy_x1e4 > 28000),
+        |nk AS (SELECT CAST(ceil(0.5 * count(*)) AS BIGINT) AS k FROM p),
+        |chist AS (SELECT ppl_x1e4, CAST(count(*) AS BIGINT) AS hn
+        |          FROM p GROUP BY 1),
+        |ccum AS (SELECT ppl_x1e4,
+        |           sum(hn) OVER (ORDER BY ppl_x1e4 ASC
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+        |         FROM chist),
+        |cv AS (SELECT min(ppl_x1e4) AS ceiling FROM ccum, nk WHERE c >= nk.k)
+        |SELECT p.id, p.ppl_x1e4, (SELECT ceiling FROM cv) AS ceiling_x1e4
+        |FROM p WHERE p.ppl_x1e4 <= (SELECT ceiling FROM cv)""".stripMargin
+    require(QualityGateOracle.endsWith(oldSel),
+      "q145 oracle shape changed — re-anchor q194's substitution")
+    QualityGateOracle.dropRight(oldSel.length) + newTail
+  }
 
   /** q92's window replay — shared verbatim by q92 (the broadcast miner)
     * and q184 (the same shape through the batch ANN path at full probe).

@@ -1013,6 +1013,47 @@ object Streams {
         minEntropyX1e4, maxPplX1e4)
     }
 
+  /** CALIBRATE a gate ceiling from a target keep rate instead of
+    * hand-measuring quantiles (this repo's own ceilings — 310000 bigram,
+    * 640000 trigram, 330000 modified-KN — were measured by hand; this is
+    * that measurement as an operator): the INCLUSIVE k-th smallest score
+    * in `scored` (k = ceil(keepRate · n)), i.e. the exact order
+    * statistic such that gating at `<= ceiling` keeps at least the
+    * target fraction (ties can keep slightly more; the gate functions
+    * use a STRICT `<`, so pass `ceiling + 1` as their `maxPplX1e4`).
+    * Compose with any route: score ungated first (the gate functions at
+    * `maxPplX1e4 = Long.MaxValue`), calibrate, re-gate.
+    *
+    * Scale shape — an EXACT quantile with no global row sort: one count,
+    * one groupBy over the score column (the histogram of DISTINCT
+    * quantized values — x1e4-quantized perplexities cap its cardinality
+    * far below the row count), a running sum over that bounded histogram
+    * (the single-partition window is over distinct VALUES, never rows),
+    * and a 1-row take. A 100 TB corpus calibrates in two scans.
+    */
+  def calibrateGateCeiling(
+      scored: DataFrame,
+      keepRate: Double,
+      pplCol: String = "ppl_x1e4"): Long = {
+    require(keepRate > 0.0 && keepRate <= 1.0,
+      s"keepRate must be in (0, 1], got $keepRate")
+    val n = scored.count()
+    require(n > 0, "cannot calibrate a ceiling on an empty scored population")
+    val k = math.max(1L, math.ceil(keepRate * n).toLong)
+    val w = graft.functions.windows
+      .boundedGlobal(col(pplCol).asc) // over DISTINCT quantized values
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    scored.groupBy(col(pplCol).cast("long").as(pplCol))
+      .agg(count(lit(1)).as("_n"))
+      .withColumn("_cum", sum(col("_n")).over(w))
+      .filter(col("_cum") >= k)
+      .orderBy(col(pplCol).asc)
+      .limit(1)
+      .select(col(pplCol))
+      .head().getLong(0)
+  }
+
   /** ONE copy of the gate's per-row decision chain, shared by both model
     * routes and both surfaces (batch + per-micro-batch): mix lottery →
     * entropy floor → (route-supplied) ppl_x1e4 column → perplexity

@@ -955,6 +955,44 @@ class StreamsSpec extends AnyFunSuite with SparkSpec {
     } finally frames.unpersist()
   }
 
+  test("calibrateGateCeiling: exact inclusive order statistic — ties, " +
+      "extremes, and gate composition") {
+    def pop(xs: Long*) = xs.zipWithIndex
+      .map { case (x, i) => (i.toLong, x) }.toDF("id", "ppl_x1e4")
+    // [1,1,2,3]: k=ceil(0.5*4)=2 -> ceiling 1 (the tie keeps exactly 2)
+    assert(Streams.calibrateGateCeiling(pop(1, 1, 2, 3), 0.5) == 1L)
+    // k=ceil(0.75*4)=3 -> ceiling 2
+    assert(Streams.calibrateGateCeiling(pop(1, 1, 2, 3), 0.75) == 2L)
+    // keepRate 1.0 -> the max; tiny rate floors k at 1 -> the min
+    assert(Streams.calibrateGateCeiling(pop(5, 9, 7), 1.0) == 9L)
+    assert(Streams.calibrateGateCeiling(pop(5, 9, 7), 0.001) == 5L)
+    // ties can keep MORE than k — by the same inclusive rule every time
+    assert(Streams.calibrateGateCeiling(pop(4, 4, 4, 8), 0.25) == 4L)
+    intercept[IllegalArgumentException] {
+      Streams.calibrateGateCeiling(pop(1), 0.0)
+    }
+    intercept[IllegalArgumentException] {
+      Streams.calibrateGateCeiling(pop(1).filter($"id" < 0), 0.5)
+    }
+    // composition: score ungated, calibrate, re-gate at ceiling+1 (the
+    // gates use strict <) — kept fraction >= target on real data
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", $"text", $"lang").localCheckpoint(true)
+    val rates = graft.operators.Curation.temperatureRates(docs, "lang", 0.5)
+    val model = graft.text.NgramLm.trainKn(
+      docs.filter($"doc_id" % 4 =!= 0), "text",
+      maxVocab = 256, minBigramCount = 2)
+    val scored = Streams.qualityGate(docs, rates, model,
+      maxPplX1e4 = Long.MaxValue).localCheckpoint(true)
+    val n = scored.count()
+    val ceiling = Streams.calibrateGateCeiling(scored, 0.5)
+    val regated = Streams.qualityGate(docs, rates, model,
+      maxPplX1e4 = ceiling + 1)
+    val kept = regated.count()
+    assert(kept >= math.ceil(0.5 * n).toLong && kept < n,
+      s"calibrated gate must keep >= target and < everything: $kept of $n")
+  }
+
   test("qualityGateKn3Mod: the modified-KN gate's decisions are " +
       "byte-identical across broadcast and frames routes, and the " +
       "estimated-discount ceiling discriminates") {
