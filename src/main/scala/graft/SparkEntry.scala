@@ -1054,6 +1054,44 @@ object SparkEntry {
       out
     }),
 
+    // PROBE-DEPTH AUTO-TUNING (the knob next to q189's rebuild verdict):
+    // the recall-vs-nProbe sweep DERIVED from ONE exact pass — under the
+    // engine's total order (similarity DESC, id ASC) an exact top-k
+    // member visible at depth p is always in the probed top-k, so
+    // per-depth recall = |{exact neighbors with first-visible probe rank
+    // <= p}| / n_exact, exactly (IvfIndexSpec cross-checks the theorem
+    // against per-depth re-searches). One full-probe batch pass + a
+    // probe-rank join replaces maxProbe re-searches; `chosen` marks the
+    // smallest depth meeting the 0.7 target — the twin recomputes the
+    // whole derivation (assignment, probe order, exact top-k,
+    // first-visible histogram, the argmin) generatively, so the sweep
+    // values AND the selection rule are both oracle-locked at any sf.
+    "q195_probe_tuning" -> ((s, dir) => {
+      val idx = ivfFixedIndexFor(s, dir)
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") >= 16 && col("vec_id") < 32)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      idx.tuneNProbe(queries, k = 10, targetRecall = 0.7).sweep
+    }),
+
+    // INGEST-TIME ASSIGNMENT DRIFT (PSI): the distribution-shift gate an
+    // append pipeline runs BEFORE a batch lands — per-list proportions of
+    // the batch's centroid assignments vs the store's, clamped at 1e-4,
+    // PSI terms rounded x1e6 (terms are nonnegative, so Java and SQL
+    // half-rounding agree). The label<2 slice is a DIFFERENT distribution
+    // than the full corpus by construction (labels correlate with
+    // direction in the synthetic embeddings), so the per-list terms are
+    // discriminating; the twin replays assignment (argmax, ties to the
+    // lower list), both histograms over the full 8-list universe
+    // (zero-count lists included), the clamp, and the ln arithmetic.
+    "q196_assignment_drift" -> ((s, dir) => {
+      val idx = ivfFixedIndexFor(s, dir)
+      val emb = t(s, dir, "embeddings")
+      val batch = emb.filter(col("label") < 2)
+        .select(col("vec_id").as("id"), col("embedding").as("vector"))
+      idx.assignmentDrift(batch).perList
+    }),
+
     // Quality pipeline v2 (the q67 composition discipline over the round's
     // new layer): temperature-flattened language mix -> lexical-diversity
     // floor -> Kneser-Ney in-domain perplexity ceiling, end to end under
@@ -5118,6 +5156,103 @@ object SparkEntry {
     "q182_quality_gate_frames" -> QualityGateOracle,
     "q188_quality_gate_kn3" -> Kn3QualityGateOracle,
     "q194_gate_calibration" -> GateCalibrationOracle,
+
+    // The q46 derivation replayed generatively one level deeper: argmax
+    // assignment and probe order over the fixed first-8 centroids, exact
+    // top-10 per query under the engine's (cosine DESC, id ASC) total
+    // order, each neighbor's FIRST-VISIBLE probe rank, cumulative hits
+    // per depth, and the argmin selection at target 0.7 — the twin
+    // recomputes the sweep the engine DERIVES (no per-depth re-search on
+    // either side; restricting a total order to a subset preserves
+    // relative order, so first-visible <= p IS membership in the probed
+    // top-k).
+    "q195_probe_tuning" ->
+      """WITH cent AS (
+        |  SELECT vec_id AS list_id, CAST(embedding AS DOUBLE[]) AS c
+        |  FROM embeddings WHERE vec_id < 8),
+        |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |assign AS (
+        |  SELECT vec_id, v, list_id FROM (
+        |    SELECT x.vec_id, x.v, c.list_id,
+        |      row_number() OVER (PARTITION BY x.vec_id
+        |        ORDER BY list_cosine_similarity(c.c, x.v) DESC, c.list_id ASC) AS arnk
+        |    FROM v x, cent c
+        |  ) WHERE arnk = 1),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM v
+        |      WHERE vec_id >= 16 AND vec_id < 32),
+        |probes AS (
+        |  SELECT q.query_id, c.list_id,
+        |    row_number() OVER (PARTITION BY q.query_id
+        |      ORDER BY list_cosine_similarity(c.c, q.qv) DESC, c.list_id ASC) AS prank
+        |  FROM q, cent c),
+        |exact AS (
+        |  SELECT query_id, vec_id FROM (
+        |    SELECT q.query_id, a.vec_id,
+        |      row_number() OVER (PARTITION BY q.query_id
+        |        ORDER BY list_cosine_similarity(a.v, q.qv) DESC, a.vec_id ASC) AS rnk
+        |    FROM q, assign a
+        |  ) WHERE rnk <= 10),
+        |fv AS (
+        |  SELECT e.query_id, e.vec_id, p.prank AS first_visible
+        |  FROM exact e
+        |  JOIN assign a ON a.vec_id = e.vec_id
+        |  JOIN probes p ON p.query_id = e.query_id AND p.list_id = a.list_id),
+        |np AS (SELECT CAST(unnest(generate_series(1, 8)) AS BIGINT) AS n_probe),
+        |sweep AS (
+        |  SELECT n.n_probe,
+        |    CAST(count(*) FILTER (WHERE f.first_visible <= n.n_probe) AS BIGINT) AS n_hit,
+        |    CAST(count(*) AS BIGINT) AS n_exact
+        |  FROM np n CROSS JOIN fv f GROUP BY n.n_probe),
+        |sel AS (
+        |  SELECT min(n_probe) AS chosen_p FROM sweep
+        |  WHERE CAST(n_hit AS DOUBLE) / CAST(n_exact AS DOUBLE) >= 0.7)
+        |SELECT s.n_probe, s.n_hit, s.n_exact,
+        |  CAST(s.n_hit AS DOUBLE) / CAST(s.n_exact AS DOUBLE) AS recall,
+        |  COALESCE(s.n_probe = sel.chosen_p, FALSE) AS chosen
+        |FROM sweep s CROSS JOIN sel""".stripMargin,
+
+    // The PSI arithmetic replayed generatively: same argmax assignment as
+    // q46/q195, store histogram over ALL rows, batch histogram over the
+    // label<2 slice, the full 0..7 list universe (zero-count lists kept),
+    // proportions as exact double divisions clamped via greatest(, 1e-4),
+    // and (p_b - p_s) * ln(p_b / p_s) rounded x1e6 — ln ulps die in the
+    // rounding, divisions and clamps are bit-exact on both engines.
+    "q196_assignment_drift" ->
+      """WITH cent AS (
+        |  SELECT vec_id AS list_id, CAST(embedding AS DOUBLE[]) AS c
+        |  FROM embeddings WHERE vec_id < 8),
+        |v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+        |      FROM embeddings),
+        |assign AS (
+        |  SELECT vec_id, label, list_id FROM (
+        |    SELECT x.vec_id, x.label, c.list_id,
+        |      row_number() OVER (PARTITION BY x.vec_id
+        |        ORDER BY list_cosine_similarity(c.c, x.v) DESC, c.list_id ASC) AS arnk
+        |    FROM v x, cent c
+        |  ) WHERE arnk = 1),
+        |universe AS (SELECT CAST(unnest(generate_series(0, 7)) AS INTEGER) AS list_id),
+        |store_h AS (
+        |  SELECT u.list_id, CAST(count(a.vec_id) AS BIGINT) AS n_store
+        |  FROM universe u LEFT JOIN assign a ON a.list_id = u.list_id
+        |  GROUP BY u.list_id),
+        |batch_h AS (
+        |  SELECT u.list_id, CAST(count(a.vec_id) AS BIGINT) AS n_batch
+        |  FROM universe u LEFT JOIN assign a
+        |    ON a.list_id = u.list_id AND a.label < 2
+        |  GROUP BY u.list_id),
+        |tot AS (
+        |  SELECT (SELECT sum(n_store) FROM store_h) AS ns,
+        |         (SELECT sum(n_batch) FROM batch_h) AS nb),
+        |p AS (
+        |  SELECT s.list_id, s.n_store, b.n_batch,
+        |    greatest(CAST(s.n_store AS DOUBLE) / t.ns, 1e-4) AS p_store,
+        |    greatest(CAST(b.n_batch AS DOUBLE) / t.nb, 1e-4) AS p_batch
+        |  FROM store_h s JOIN batch_h b ON b.list_id = s.list_id
+        |  CROSS JOIN tot t)
+        |SELECT list_id, n_store, n_batch, p_store, p_batch,
+        |  CAST(round((p_batch - p_store) * ln(p_batch / p_store) * 1000000)
+        |    AS BIGINT) AS psi_term_x1e6
+        |FROM p""".stripMargin,
 
     // The q138 + q143 + q144 chains composed: mix CTE materialized (the
     // q84 inlining lesson), entropy and perplexity computed per row on

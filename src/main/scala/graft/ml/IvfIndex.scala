@@ -527,6 +527,199 @@ class IvfIndex private (
         vector.distanceFromSimilarity(col("hit.score"), metric).as("distance"),
         (col("pos") + 1).cast("long").as("rank"))
   }
+
+  /** Probe-depth auto-tuning: the recall-vs-nProbe sweep for a sample query
+    * set, DERIVED from ONE exact pass — the missing knob next to
+    * [[maintenance]]'s rebuild verdict (the reference's accuracy harness,
+    * tests/performance_demo_hnsw.py:35-101, re-runs the search once per
+    * swept parameter; so does our own q46 sweep row).
+    *
+    * The derivation: search results use a deterministic TOTAL order
+    * (similarity DESC, id ASC — [[graft.operators.TopKAggregator]]'s
+    * tiebreak), and restricting a total order to a subset preserves
+    * relative order. So an exact top-k member that is VISIBLE at probe
+    * depth p (its list is among the query's first p probes) can only move
+    * UP in the probed candidate ranking — it is always in the probed
+    * top-k. Hence, per query,
+    *
+    *   |probed-top-k(p) ∩ exact-top-k| = |{exact neighbors with
+    *       first-visible probe rank <= p}|
+    *
+    * EXACTLY (not approximately — ties are broken identically on both
+    * sides), and the whole sweep over p = 1..maxProbe falls out of one
+    * exact pass plus a probe-rank join: no per-depth re-search. At 100 TB
+    * the exact pass is the only full-corpus scan; everything after it
+    * touches |queries| × k rows.
+    *
+    * Stages: (1) exact top-k = [[searchBatch]] at full probe (every list
+    * probed — the partition-pruned batch kernel, nothing new to trust);
+    * (2) gather each exact neighbor's `list_id` (a join on id — the P3
+    * gather); (3) rank each query's lists by [[probes]] order and join to
+    * find each neighbor's first-visible rank; (4) a first-visible
+    * histogram (<= maxProbe+1 buckets — the one bounded collect) turns
+    * into cumulative hit counts per depth on the driver.
+    *
+    * Returns the sweep frame — `(n_probe, n_hit, n_exact, recall,
+    * chosen)`, one row per depth 1..maxProbe, `chosen` true on exactly
+    * the suggested row — plus `suggestedNProbe` = the SMALLEST depth with
+    * micro-averaged recall >= `targetRecall` (None, and no chosen row, if
+    * even maxProbe falls short: say so rather than suggest a depth that
+    * lies). Empty-query/degenerate inputs follow [[Recall.summarize]]'s
+    * vacuous convention: n_exact = 0 reads as recall 1.0 at every depth
+    * and depth 1 is suggested.
+    *
+    * `asOf` pins both the exact pass and the gather at a committed
+    * snapshot (the tuning form of the time-travel audit).
+    */
+  def tuneNProbe(
+      queries: DataFrame,
+      k: Int,
+      targetRecall: Double,
+      maxProbe: Int = 0,
+      queryIdCol: String = "query_id",
+      queryVecCol: String = "query_vec",
+      asOf: Option[Long] = None): IvfIndex.NProbeTuning = {
+    require(targetRecall > 0.0 && targetRecall <= 1.0,
+      s"targetRecall must be in (0, 1], got $targetRecall")
+    val depth = if (maxProbe == 0) centroids.length else maxProbe
+    require(depth >= 1 && depth <= centroids.length,
+      s"maxProbe must be in [1, ${centroids.length}], got $maxProbe")
+    // pin the caller's lineage once: it feeds the exact pass AND the
+    // probe-rank frame, and must not recompute twice (the searchBatch
+    // discipline)
+    val q = queries.select(col(queryIdCol), col(queryVecCol))
+      .localCheckpoint(true)
+    // full probe = exact: every list is probed, so the "ANN" result IS the
+    // exact top-k, served by the same batch kernel the sweep models
+    val exact = searchBatch(q, k, nProbe = centroids.length,
+      queryIdCol = queryIdCol, queryVecCol = queryVecCol, asOf = asOf)
+    // each neighbor's home list (P3 gather), then its first-visible probe
+    // rank in the query's own probe order; a left join keeps neighbors
+    // whose list sits beyond `depth` (they count toward n_exact, never
+    // toward any n_hit — dropping them would inflate every recall)
+    val homes = exact.select(col(queryIdCol), col("id"))
+      .join(asOf.fold(storeDf)(storeDfAt).select(col("id"), col("list_id")),
+        Seq("id"))
+    val ranks = q.select(col(queryIdCol),
+        posexplode(probes(col(queryVecCol), depth)).as(Seq("pos", "list_id")))
+      .select(col(queryIdCol), col("list_id"),
+        (col("pos") + 1).as("first_visible"))
+    val hist = homes.join(ranks, Seq(queryIdCol, "list_id"), "left")
+      .groupBy(col("first_visible"))
+      .agg(count(lit(1)).as("cnt"))
+      .collect() // <= depth+1 rows (one per probe rank, plus the null bucket)
+      .map(r => (if (r.isNullAt(0)) Int.MaxValue else r.getInt(0)) -> r.getLong(1))
+      .toMap
+    val nExact = hist.valuesIterator.sum
+    var cum = 0L
+    val sweep = (1 to depth).map { p =>
+      cum += hist.getOrElse(p, 0L)
+      val recall = if (nExact == 0) 1.0 else cum.toDouble / nExact
+      (p.toLong, cum, nExact, recall)
+    }
+    val suggested = sweep.find(_._4 >= targetRecall).map(_._1.toInt)
+    val rows = sweep.map { case (p, hit, ex, rec) =>
+      org.apache.spark.sql.Row(p, hit, ex, rec, suggested.contains(p.toInt))
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("n_probe",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("n_hit",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("n_exact",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("recall",
+        org.apache.spark.sql.types.DoubleType, nullable = false),
+      org.apache.spark.sql.types.StructField("chosen",
+        org.apache.spark.sql.types.BooleanType, nullable = false)))
+    IvfIndex.NProbeTuning(
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema),
+      suggested, nExact)
+  }
+
+  /** Distribution drift of an incoming batch against the corpus the frozen
+    * quantizer currently serves — the INGEST-TIME companion to
+    * [[maintenance]]'s size signals. `imbalance`/`appendedFraction` notice
+    * drift only after it has accumulated in the store; this measures it on
+    * the batch BEFORE it lands, per append, for the cost of one assignment
+    * pass over the batch plus the same <= nLists occupancy scan
+    * maintenance runs.
+    *
+    * The measure is the Population Stability Index over per-list
+    * assignment proportions (the standard scorecard-monitoring
+    * distribution-shift statistic — public knowledge):
+    *
+    *   PSI = Σ_lists (p_batch − p_store) · ln(p_batch / p_store)
+    *
+    * with both proportions clamped below at `epsilon` so lists empty on
+    * either side contribute a finite term (the standard practice; every
+    * term is then >= 0 and PSI = 0 iff the clamped distributions agree).
+    * Published reading: < 0.1 stable, 0.1–0.25 moderate shift, > 0.25
+    * major shift — `drifted` trips at `maxPsi` (default the major-shift
+    * boundary). A drifted batch is exactly the one whose rows the frozen
+    * centroids will crowd into few lists ([[maintenance]]'s imbalance,
+    * after the fact) and whose true neighborhoods the probe order then
+    * misrepresents (recall decay) — catching it per-batch lets an ingest
+    * pipeline trigger the rebuild BEFORE serving degrades.
+    *
+    * Scale shape: two distributed groupBys collapse to <= nLists rows
+    * each (the accepted bounded collect); the arithmetic is driver-side
+    * over those histograms, like [[maintenance]]. `psi_term_x1e6` rounds
+    * the ln-based term (terms are nonnegative, so Java and SQL
+    * half-rounding agree) — the [[graft.text.NgramLm]] x1e4 discipline
+    * for cross-engine double comparability.
+    */
+  def assignmentDrift(
+      rows: DataFrame,
+      idCol: String = "id",
+      vecCol: String = "vector",
+      epsilon: Double = IvfIndex.DefaultPsiEpsilon,
+      maxPsi: Double = IvfIndex.DefaultMaxPsi): IvfIndex.AssignmentDrift = {
+    require(epsilon > 0.0 && epsilon < 1.0,
+      s"epsilon must be in (0, 1), got $epsilon")
+    val storeCounts = listStats().collect() // <= nLists rows
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val batchCounts = assign(rows, idCol, vecCol)
+      .groupBy(col("list_id")).agg(count(lit(1)).as("n"))
+      .collect() // <= nLists rows
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val nStore = storeCounts.valuesIterator.sum
+    val nBatch = batchCounts.valuesIterator.sum
+    require(nStore > 0, "assignmentDrift needs a non-empty store (the " +
+      "reference distribution); an empty store has no quantizer history " +
+      "to drift from")
+    require(nBatch > 0, "assignmentDrift needs a non-empty batch")
+    val perList = (0 until centroids.length).map { l =>
+      val nS = storeCounts.getOrElse(l, 0L)
+      val nB = batchCounts.getOrElse(l, 0L)
+      val pS = math.max(nS.toDouble / nStore, epsilon)
+      val pB = math.max(nB.toDouble / nBatch, epsilon)
+      val term = (pB - pS) * math.log(pB / pS)
+      (l, nS, nB, pS, pB, term)
+    }
+    val psi = perList.map(_._6).sum
+    val rowsOut = perList.map { case (l, nS, nB, pS, pB, term) =>
+      org.apache.spark.sql.Row(l, nS, nB, pS, pB, math.round(term * 1e6))
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("list_id",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("n_store",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("n_batch",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("p_store",
+        org.apache.spark.sql.types.DoubleType, nullable = false),
+      org.apache.spark.sql.types.StructField("p_batch",
+        org.apache.spark.sql.types.DoubleType, nullable = false),
+      org.apache.spark.sql.types.StructField("psi_term_x1e6",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    IvfIndex.AssignmentDrift(
+      spark.createDataFrame(java.util.Arrays.asList(rowsOut: _*), schema),
+      psiX1e6 = math.round(psi * 1e6),
+      nStore = nStore, nBatch = nBatch,
+      drifted = psi > maxPsi)
+  }
 }
 
 object IvfIndex {
@@ -544,6 +737,41 @@ object IvfIndex {
       matches: Long,
       hits: DataFrame,
       boundViolated: Boolean = false)
+
+  /** [[IvfIndex.tuneNProbe]] result. `sweep` is `(n_probe, n_hit, n_exact,
+    * recall, chosen)` for every depth 1..maxProbe; `suggestedNProbe` the
+    * smallest depth whose micro-averaged recall meets the target (None if
+    * none does — the caller must widen maxProbe or lower the target, not
+    * be handed a depth that cannot deliver); `nExact` the micro-average's
+    * denominator (|queries| × k when the store can fill every query).
+    */
+  case class NProbeTuning(
+      sweep: DataFrame,
+      suggestedNProbe: Option[Int],
+      nExact: Long)
+
+  /** [[IvfIndex.assignmentDrift]] result. `perList` is `(list_id, n_store,
+    * n_batch, p_store, p_batch, psi_term_x1e6)`, one row per centroid
+    * (zero-count lists included — their clamped terms are part of the
+    * statistic); `psiX1e6` rounds the UNROUNDED term sum once (not the sum
+    * of rounded terms — one rounding, not nLists of them).
+    */
+  case class AssignmentDrift(
+      perList: DataFrame,
+      psiX1e6: Long,
+      nStore: Long,
+      nBatch: Long,
+      drifted: Boolean)
+
+  /** PSI proportion clamp: lists empty on either side read as this
+    * proportion (the standard finite-term practice; 1e-4 keeps a fully
+    * emptied list's term bounded near ln(1/ε)·p without letting it
+    * dominate real shifts).
+    */
+  val DefaultPsiEpsilon: Double = 1e-4
+
+  /** `drifted` trips past the published major-shift boundary. */
+  val DefaultMaxPsi: Double = 0.25
 
   val PathPrefilterExact = "prefilter_exact"
   val PathIvfPostfilter = "ivf_postfilter"

@@ -601,6 +601,47 @@ class VectorStoreCatalog(spark: SparkSession, val root: String) {
       .maintenance(maxImbalance, maxAppendedFraction)).toOption
   }
 
+  /** [[graft.ml.IvfIndex.tuneNProbe]] served from a tenant store: the
+    * recall-vs-depth sweep (derived from ONE exact pass) and the smallest
+    * probe depth meeting `targetRecall`, over a caller-supplied sample
+    * query frame `(query_id, query_vec)`. None when the store has no
+    * loadable index — there is no probe depth to tune (exact serving has
+    * recall 1.0 by definition).
+    */
+  def tuneProbe(
+      userId: String,
+      modelId: String,
+      queries: DataFrame,
+      k: Int,
+      targetRecall: Double,
+      maxProbe: Int = 0): Option[graft.ml.IvfIndex.NProbeTuning] = {
+    val cfg = config(userId, modelId)
+    if (!hasIvf(userId, modelId, cfg)) None
+    else scala.util.Try(idxLoad(userId, modelId, cfg)).toOption
+      .map(_.tuneNProbe(queries, k, targetRecall, maxProbe))
+  }
+
+  /** [[graft.ml.IvfIndex.assignmentDrift]] served from a tenant store: the
+    * PSI distribution-shift gate an ingest pipeline runs on a candidate
+    * batch (a frame with a `vector` column) BEFORE [[addVectors]] lands
+    * it. None when the store has no loadable index — without a quantizer
+    * there is no assignment distribution to drift from.
+    */
+  def ingestDrift(
+      userId: String,
+      modelId: String,
+      batch: DataFrame,
+      maxPsi: Double = graft.ml.IvfIndex.DefaultMaxPsi)
+      : Option[graft.ml.IvfIndex.AssignmentDrift] = {
+    val cfg = config(userId, modelId)
+    if (!hasIvf(userId, modelId, cfg)) None
+    else scala.util.Try(idxLoad(userId, modelId, cfg)).toOption
+      .map(_.assignmentDrift(
+        batch.select(monotonically_increasing_id().as("id"),
+          col("vector")),
+        maxPsi = maxPsi))
+  }
+
   /** The one copy of the drift-advisory log line ([[optimize]] and
     * [[vacuum]] both consult it). Returns the verdict so `optimize` can
     * chain its auto-rebuild.

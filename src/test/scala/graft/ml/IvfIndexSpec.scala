@@ -370,4 +370,120 @@ class IvfIndexSpec extends AnyFunSuite with SparkSpec {
       !plan.contains("BroadcastNestedLoop"),
       s"pair-filtered batch must stay equi-joined:\n$plan")
   }
+
+  test("tuneNProbe: the derived sweep equals measured per-depth recall " +
+      "exactly (the total-order derivation theorem, checked in code)") {
+    val idx = IvfIndex.load(spark, indexPath)
+    val queries = emb.filter($"id" >= 100 && $"id" < 130)
+      .select($"id".as("query_id"), $"vector".as("query_vec"))
+    val tuning = idx.tuneNProbe(queries, k = 10, targetRecall = 0.9)
+    val derived = tuning.sweep.collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(derived.size == 16, "one sweep row per depth 1..nLists")
+    // the expensive cross-check: re-search at each depth and measure — the
+    // derived counts must match EXACTLY, not approximately (ties break by
+    // the same (score DESC, id ASC) order on both sides)
+    val exact = idx.searchBatch(queries, k = 10, nProbe = 16)
+      .localCheckpoint(true)
+    for (p <- Seq(1, 2, 3, 5, 8, 16)) {
+      val measured = Recall.summarize(
+          Recall.recallAtK(idx.searchBatch(queries, 10, nProbe = p), exact))
+        .head()
+      val (dHit, dExact, dRecall) = derived(p.toLong)
+      assert(dHit == measured.getLong(0) && dExact == measured.getLong(1),
+        s"depth $p: derived ($dHit/$dExact) != measured " +
+          s"(${measured.getLong(0)}/${measured.getLong(1)})")
+      assert(math.abs(dRecall - measured.getDouble(2)) < 1e-12)
+    }
+    // full probe is exact by construction
+    assert(derived(16L)._3 == 1.0)
+  }
+
+  test("tuneNProbe: suggestion is the smallest depth meeting the target; " +
+      "unreachable targets suggest nothing rather than lie") {
+    val idx = IvfIndex.load(spark, indexPath)
+    val queries = emb.filter($"id" < 20)
+      .select($"id".as("query_id"), $"vector".as("query_vec"))
+    val t9 = idx.tuneNProbe(queries, k = 10, targetRecall = 0.9)
+    val rows = t9.sweep.collect()
+      .map(r => (r.getLong(0), r.getDouble(3), r.getBoolean(4)))
+    assert(t9.suggestedNProbe.isDefined)
+    val s = t9.suggestedNProbe.get
+    assert(rows.filter(_._3).map(_._1) sameElements Array(s.toLong),
+      "chosen must mark exactly the suggested row")
+    assert(rows.find(_._1 == s).get._2 >= 0.9)
+    assert(rows.filter(_._1 < s).forall(_._2 < 0.9),
+      "every shallower depth must miss the target")
+    // recall 1.0 is always reachable at full probe
+    assert(idx.tuneNProbe(queries, 10, targetRecall = 1.0)
+      .suggestedNProbe.isDefined)
+    // cap the sweep below the depth the target needs: no suggestion, no
+    // chosen row — the honest answer
+    val capped = idx.tuneNProbe(queries, 10, targetRecall = 1.0, maxProbe = 1)
+    if (capped.sweep.filter($"recall" >= 1.0).isEmpty) {
+      assert(capped.suggestedNProbe.isEmpty)
+      assert(capped.sweep.filter($"chosen").isEmpty)
+    }
+    // n_exact: 20 queries x k=10 on a 500-row store
+    assert(t9.nExact == 200L)
+  }
+
+  test("tuneNProbe: guards and the vacuous empty-query convention") {
+    val idx = IvfIndex.load(spark, indexPath)
+    val queries = emb.filter($"id" < 5)
+      .select($"id".as("query_id"), $"vector".as("query_vec"))
+    intercept[IllegalArgumentException] {
+      idx.tuneNProbe(queries, 10, targetRecall = 0.0)
+    }
+    intercept[IllegalArgumentException] {
+      idx.tuneNProbe(queries, 10, targetRecall = 1.5)
+    }
+    intercept[IllegalArgumentException] {
+      idx.tuneNProbe(queries, 10, targetRecall = 0.9, maxProbe = 17)
+    }
+    val empty = idx.tuneNProbe(queries.filter($"query_id" < 0), 10, 0.9)
+    assert(empty.nExact == 0L)
+    assert(empty.suggestedNProbe.contains(1),
+      "vacuous recall is 1.0 at every depth (the Recall.summarize " +
+        "convention), so depth 1 meets any target")
+    assert(empty.sweep.collect().forall(_.getDouble(3) == 1.0))
+  }
+
+  test("assignmentDrift: a self-batch reads PSI exactly 0; a one-list " +
+      "concentrate trips the major-shift verdict") {
+    val idx = IvfIndex.load(spark, indexPath)
+    // the store's own rows are, by definition, distributed like the store:
+    // every clamped proportion pair is equal, every term is exactly 0.0
+    val self = idx.assignmentDrift(emb)
+    assert(self.psiX1e6 == 0L && !self.drifted)
+    assert(self.nStore == 500L && self.nBatch == 500L)
+    val perList = self.perList.collect()
+    assert(perList.length == 16, "one row per centroid, empties included")
+    assert(perList.forall(_.getLong(5) == 0L))
+    // a batch drawn entirely from one list's rows is the textbook major
+    // shift: its proportion mass sits on one list, everything else clamps
+    val oneList = spark.read.parquet(s"$indexPath/data")
+      .filter($"list_id" === 0).select($"id", $"vector")
+    if (oneList.count() > 0) {
+      val d = idx.assignmentDrift(oneList)
+      assert(d.drifted, s"one-list batch must trip maxPsi: psi=${d.psiX1e6}")
+      assert(d.psiX1e6 > 250000L)
+      // PSI terms are nonnegative by construction (same-sign factors)
+      assert(d.perList.collect().forall(_.getLong(5) >= 0L))
+    }
+  }
+
+  test("assignmentDrift: guards — empty sides and bad epsilon are loud") {
+    val idx = IvfIndex.load(spark, indexPath)
+    intercept[IllegalArgumentException] {
+      idx.assignmentDrift(emb.filter($"id" < 0))
+    }
+    intercept[IllegalArgumentException] {
+      idx.assignmentDrift(emb, epsilon = 0.0)
+    }
+    intercept[IllegalArgumentException] {
+      idx.assignmentDrift(emb, epsilon = 1.0)
+    }
+  }
 }

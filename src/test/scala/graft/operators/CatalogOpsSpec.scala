@@ -1128,4 +1128,30 @@ class CatalogOpsSpec extends AnyFunSuite with SparkSpec {
     assert(s.matches == 0L && s.hits.count() == 0)
   }
 
+  test("tuneProbe / ingestDrift: None without an index; with one, the " +
+      "sweep tunes and a self-batch reads zero drift") {
+    val cat = newCatalog
+    cat.create("u", "tp", StoreConfig(dimension = 8))
+    val rnd = new scala.util.Random(21)
+    val vecs = Seq.fill(80)(Seq.fill(8)(rnd.nextFloat()))
+    cat.addVectors("u", "tp", vecs.map(Tuple1(_)).toDF("vector"))
+    val queries = vecs.take(10).zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }.toDF("query_id", "query_vec")
+    // indexless store: no probe depth to tune, no quantizer to drift from
+    assert(cat.tuneProbe("u", "tp", queries, 5, 0.9).isEmpty)
+    assert(cat.ingestDrift("u", "tp",
+      vecs.map(Tuple1(_)).toDF("vector")).isEmpty)
+    cat.buildIndex("u", "tp", nLists = 4)
+    val tuning = cat.tuneProbe("u", "tp", queries, 5, targetRecall = 1.0)
+    assert(tuning.isDefined)
+    assert(tuning.get.suggestedNProbe.isDefined,
+      "recall 1.0 is always reachable at full probe")
+    assert(tuning.get.sweep.count() == 4)
+    assert(tuning.get.nExact == 50L)
+    // the store's own vectors are distributed exactly like the store
+    val drift = cat.ingestDrift("u", "tp", vecs.map(Tuple1(_)).toDF("vector"))
+    assert(drift.isDefined)
+    assert(drift.get.psiX1e6 == 0L && !drift.get.drifted)
+  }
+
 }
