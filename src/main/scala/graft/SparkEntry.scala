@@ -1092,6 +1092,72 @@ object SparkEntry {
       idx.assignmentDrift(batch).perList
     }),
 
+    // DRIFT-GATED STREAMING INGEST end to end: a tenant store with a
+    // deterministic quantizer (buildIndexWithCentroids — the external-
+    // quantizer serving path) takes two stream drops through the armed
+    // gate. Drop 1 is the mod-5 subsample (the store's own mix — PSI far
+    // under the 0.25 boundary) and must LAND; drop 2 is one vector
+    // replicated 100x (all proportion mass on one list — the textbook
+    // major shift) and must QUARANTINE whole. NOTHING is pinned: the twin
+    // recomputes both PSIs (assignment, both histograms, clamp, ln,
+    // x1e6), both routing CASEs, and the resulting store/quarantine
+    // counts generatively, so the gate's DECISIONS are what the hash
+    // locks, at any sf. The engine-side requires assert only internal
+    // consistency (the stream routed exactly as the measured verdicts
+    // say).
+    "q197_drift_gated_ingest" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.types.{ArrayType, FloatType, StructField, StructType}
+      val emb = t(s, dir, "embeddings")
+      val root = tempIndexDir("graft_q197_store")
+      val cat = new sources.VectorStoreCatalog(s, root)
+      cat.create("u", "m", sources.StoreConfig(dimension = 64))
+      cat.addVectors("u", "m", emb.select(col("embedding").as("vector")))
+      val cents = emb.filter(col("vec_id") < 8).orderBy(col("vec_id"))
+        .select(col("embedding")).collect()
+        .map(_.getSeq[Float](0).toArray.map(_.toDouble))
+      cat.buildIndexWithCentroids("u", "m", cents)
+      val batchA = emb.filter(col("vec_id") % 5 === 4)
+        .select(col("embedding").as("vector"))
+      val v0 = emb.filter(col("vec_id") === 0).select(col("embedding").as("v0"))
+      val batchB = s.range(100).crossJoin(broadcast(v0))
+        .select(col("v0").as("vector"))
+      val dropDir = tempIndexDir("graft_q197_drop")
+      val qDir = s"$root/quarantine"
+      val cp = s"$root/ingest_cp"
+      val schema = StructType(Seq(StructField("vector", ArrayType(FloatType))))
+      def drain(): Unit = {
+        val q = streaming.Streams.ingestVectors(s, dropDir, schema, cat,
+          "u", "m", checkpoint = Some(cp),
+          driftMaxPsi = Some(0.25), quarantineDir = Some(qDir))
+        try q.awaitTermination(120000) finally q.stop()
+      }
+      def quarantineCount(): Long = {
+        val hp = new org.apache.hadoop.fs.Path(qDir)
+        val hfs = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (hfs.exists(hp)) s.read.parquet(qDir).count() else 0L
+      }
+      // measure each verdict with the same arithmetic the gate runs, BEFORE
+      // its drop (the store is in the same state the gate will see)
+      val dA = cat.ingestDrift("u", "m", batchA).get
+      batchA.coalesce(1).write.mode("append").json(dropDir)
+      drain()
+      val rowA = (1L, dA.psiX1e6, !dA.drifted, cat.count("u", "m"),
+        quarantineCount())
+      val dB = cat.ingestDrift("u", "m", batchB).get
+      batchB.coalesce(1).write.mode("append").json(dropDir)
+      drain()
+      val rowB = (2L, dB.psiX1e6, !dB.drifted, cat.count("u", "m"),
+        quarantineCount())
+      require(!dA.drifted && dB.drifted,
+        "construction: the subsample must pass, the concentrate must trip")
+      require(rowA._4 == dA.nStore + dA.nBatch && rowB._4 == rowA._4,
+        "the stream must have routed exactly as the measured verdicts say")
+      require(rowB._5 == dB.nBatch, "the whole drifted batch must quarantine")
+      Seq(rowA, rowB)
+        .toDF("step", "psi_x1e6", "landed", "n_store", "n_quarantined")
+    }),
+
     // Quality pipeline v2 (the q67 composition discipline over the round's
     // new layer): temperature-flattened language mix -> lexical-diversity
     // floor -> Kneser-Ney in-domain perplexity ceiling, end to end under
@@ -5253,6 +5319,83 @@ object SparkEntry {
         |  CAST(round((p_batch - p_store) * ln(p_batch / p_store) * 1000000)
         |    AS BIGINT) AS psi_term_x1e6
         |FROM p""".stripMargin,
+
+    // The gate's two routing decisions replayed generatively: PSI of the
+    // mod-5 subsample vs the 500-row store (lands iff <= 250000 x1e6),
+    // the store histogram advanced by the landed batch, PSI of the
+    // 100x-one-vector concentrate vs THAT store, and the final store/
+    // quarantine counts as CASEs over the two verdicts — no routing
+    // outcome is pinned anywhere; the twin derives both.
+    "q197_drift_gated_ingest" ->
+      """WITH cent AS MATERIALIZED (
+        |  SELECT vec_id AS list_id, CAST(embedding AS DOUBLE[]) AS c
+        |  FROM embeddings WHERE vec_id < 8),
+        |v AS MATERIALIZED (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |assign AS MATERIALIZED (
+        |  SELECT vec_id, list_id FROM (
+        |    SELECT x.vec_id, c.list_id,
+        |      row_number() OVER (PARTITION BY x.vec_id
+        |        ORDER BY list_cosine_similarity(c.c, x.v) DESC, c.list_id ASC) AS arnk
+        |    FROM v x, cent c
+        |  ) WHERE arnk = 1),
+        |u AS (SELECT CAST(unnest(generate_series(0, 7)) AS INTEGER) AS list_id),
+        |s0 AS MATERIALIZED (
+        |  SELECT u.list_id, CAST(count(a.vec_id) AS BIGINT) AS n
+        |  FROM u LEFT JOIN assign a ON a.list_id = u.list_id
+        |  GROUP BY u.list_id),
+        |ah AS MATERIALIZED (
+        |  SELECT u.list_id, CAST(count(a.vec_id) AS BIGINT) AS n
+        |  FROM u LEFT JOIN assign a
+        |    ON a.list_id = u.list_id AND a.vec_id % 5 = 4
+        |  GROUP BY u.list_id),
+        |tot AS MATERIALIZED (
+        |  SELECT CAST((SELECT sum(n) FROM s0) AS DOUBLE) AS n0,
+        |         CAST((SELECT sum(n) FROM ah) AS DOUBLE) AS na),
+        |pa AS MATERIALIZED (
+        |  SELECT CAST(round(sum(
+        |      (greatest(CAST(a.n AS DOUBLE) / t.na, 1e-4)
+        |        - greatest(CAST(s.n AS DOUBLE) / t.n0, 1e-4))
+        |      * ln(greatest(CAST(a.n AS DOUBLE) / t.na, 1e-4)
+        |        / greatest(CAST(s.n AS DOUBLE) / t.n0, 1e-4))
+        |    ) * 1000000) AS BIGINT) AS psi
+        |  FROM s0 s JOIN ah a ON a.list_id = s.list_id CROSS JOIN tot t),
+        |la AS MATERIALIZED (SELECT psi, psi <= 250000 AS landed FROM pa),
+        |s1 AS MATERIALIZED (
+        |  SELECT s.list_id,
+        |    s.n + CASE WHEN (SELECT landed FROM la) THEN a.n ELSE 0 END AS n
+        |  FROM s0 s JOIN ah a ON a.list_id = s.list_id),
+        |t1 AS MATERIALIZED (
+        |  SELECT CAST((SELECT sum(n) FROM s1) AS DOUBLE) AS n1),
+        |bh AS MATERIALIZED (
+        |  SELECT u.list_id, CASE WHEN u.list_id =
+        |      (SELECT list_id FROM assign WHERE vec_id = 0)
+        |    THEN CAST(100 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS n
+        |  FROM u),
+        |pb AS MATERIALIZED (
+        |  SELECT CAST(round(sum(
+        |      (greatest(CAST(b.n AS DOUBLE) / CAST(100 AS DOUBLE), 1e-4)
+        |        - greatest(CAST(s.n AS DOUBLE) / t.n1, 1e-4))
+        |      * ln(greatest(CAST(b.n AS DOUBLE) / CAST(100 AS DOUBLE), 1e-4)
+        |        / greatest(CAST(s.n AS DOUBLE) / t.n1, 1e-4))
+        |    ) * 1000000) AS BIGINT) AS psi
+        |  FROM s1 s JOIN bh b ON b.list_id = s.list_id CROSS JOIN t1 t),
+        |lb AS MATERIALIZED (SELECT psi, psi <= 250000 AS landed FROM pb)
+        |SELECT CAST(1 AS BIGINT) AS step, la.psi AS psi_x1e6, la.landed AS landed,
+        |  CAST((SELECT n0 FROM tot)
+        |    + CASE WHEN la.landed THEN (SELECT na FROM tot) ELSE 0 END
+        |    AS BIGINT) AS n_store,
+        |  CAST(CASE WHEN la.landed THEN 0 ELSE (SELECT na FROM tot) END
+        |    AS BIGINT) AS n_quarantined
+        |FROM la
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), lb.psi, lb.landed,
+        |  CAST((SELECT n0 FROM tot)
+        |    + CASE WHEN (SELECT landed FROM la) THEN (SELECT na FROM tot) ELSE 0 END
+        |    + CASE WHEN lb.landed THEN 100 ELSE 0 END AS BIGINT),
+        |  CAST(CASE WHEN (SELECT landed FROM la) THEN 0 ELSE (SELECT na FROM tot) END
+        |    + CASE WHEN lb.landed THEN 0 ELSE 100 END AS BIGINT)
+        |FROM lb""".stripMargin,
 
     // The q138 + q143 + q144 chains composed: mix CTE materialized (the
     // q84 inlining lesson), entropy and perplexity computed per row on

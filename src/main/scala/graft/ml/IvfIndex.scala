@@ -714,11 +714,14 @@ class IvfIndex private (
         org.apache.spark.sql.types.DoubleType, nullable = false),
       org.apache.spark.sql.types.StructField("psi_term_x1e6",
         org.apache.spark.sql.types.LongType, nullable = false)))
+    // verdict at x1e6 precision, NOT raw doubles: the boundary decision is
+    // then replayable bit-for-bit by an external engine (ln ulps die in
+    // the rounding), so a drift-gated route is oracle-checkable
     IvfIndex.AssignmentDrift(
       spark.createDataFrame(java.util.Arrays.asList(rowsOut: _*), schema),
       psiX1e6 = math.round(psi * 1e6),
       nStore = nStore, nBatch = nBatch,
-      drifted = psi > maxPsi)
+      drifted = math.round(psi * 1e6) > math.round(maxPsi * 1e6))
   }
 }
 

@@ -577,6 +577,30 @@ class VectorStoreCatalog(spark: SparkSession, val root: String) {
     writeConfig(cfgPath, cfg.copy(indexType = "ivf"), idBase)
   }
 
+  /** [[buildIndex]] around an EXPLICIT coarse quantizer instead of k-means
+    * ([[graft.ml.IvfIndex.buildWithCentroids]] at the serving API) — the
+    * external/pretrained-quantizer path real IVF deployments use (FAISS
+    * supports constructing an IVF index around a supplied quantizer —
+    * public knowledge), and the deterministic variant that makes
+    * index-geometry-dependent serving behavior (probe tuning, drift
+    * gating) oracle-checkable end to end. Same retire-first discipline
+    * as [[buildIndex]].
+    */
+  def buildIndexWithCentroids(
+      userId: String, modelId: String,
+      centroids: Array[Array[Double]]): Unit = {
+    val cfgPath = configPath(userId, modelId)
+    val (cfg, idBase) = readConfig(fs, cfgPath)
+    require(centroids.nonEmpty && centroids.forall(_.length == cfg.dimension),
+      s"centroids must be non-empty ${cfg.dimension}-dim vectors")
+    fs.delete(new Path(s"${indexPath(userId, modelId)}/centroids"), true)
+    fs.delete(new Path(s"${indexPath(userId, modelId)}/data"), true)
+    graft.ml.IvfIndex.buildWithCentroids(load(userId, modelId), "id", "vector",
+      indexPath(userId, modelId), centroids, metric = cfg.metric,
+      log = if (epochMode(userId, modelId)) Some(storeLog(userId, modelId)) else None)
+    writeConfig(cfgPath, cfg.copy(indexType = "ivf"), idBase)
+  }
+
   /** The store's index-drift verdict ([[graft.ml.IvfIndex.maintenance]]
     * surfaced at the serving API): list-size imbalance and
     * appended-fraction signals with an explicit `needsRebuild`, `None`

@@ -17,6 +17,8 @@ import org.apache.spark.sql.types._
   */
 object Streams {
 
+  private lazy val slog = org.slf4j.LoggerFactory.getLogger("graft.Streams")
+
   /** File-source event stream over a directory of parquet drops; `glob`
     * narrows to matching file names (the streaming file source requires a
     * directory path, not a file). The schema is PROBED from the files, not
@@ -1490,6 +1492,19 @@ object Streams {
     * the corpus-below-boundary rewrite is paid once per k appends — the
     * compaction-cadence economics — while the newest k pins always stay
     * addressable for mid-run snapshot readers.
+    *
+    * `driftMaxPsi = Some(psi)` arms the DRIFT GATE: each micro-batch's
+    * centroid-assignment PSI against the store ([[graft.sources
+    * .VectorStoreCatalog.ingestDrift]]) is measured before it lands, and a
+    * batch past the threshold is QUARANTINED — written whole to
+    * `quarantineDir/batch_id=N` (required when the gate is armed) with a
+    * loud warning, recorded as 0 ingested rows in the status table and
+    * under a `quarantine_` key in the progress journal — instead of being
+    * appended through a quantizer that does not describe it (the
+    * imbalance-now, recall-decay-later failure [[graft.ml.IvfIndex
+    * .assignmentDrift]] documents). Indexless stores pass everything: no
+    * quantizer, no gate. The verdict compares at x1e6 precision, so the
+    * routing is deterministic and externally replayable.
     */
   def ingestVectors(
       spark: SparkSession,
@@ -1504,9 +1519,15 @@ object Streams {
       onBatchComplete: Option[Map[String, String] => Boolean] = None,
       hookConfig: CompletionHookConfig = CompletionHookConfig(),
       progressJournal: Option[ProgressJournal] = None,
-      autoVacuumKeepLast: Option[Int] = None): StreamingQuery = {
+      autoVacuumKeepLast: Option[Int] = None,
+      driftMaxPsi: Option[Double] = None,
+      quarantineDir: Option[String] = None): StreamingQuery = {
     autoVacuumKeepLast.foreach(k => require(k >= 1,
       s"autoVacuumKeepLast must be >= 1, got $k"))
+    require(driftMaxPsi.isEmpty || quarantineDir.nonEmpty,
+      "driftMaxPsi needs a quarantineDir: a gated batch must land " +
+        "SOMEWHERE an operator can inspect and replay — silently dropping " +
+        "it would make the gate a data-loss bug")
     val src = format match {
       case "json" => spark.readStream.schema(dropSchema).json(dropDir)
       case "parquet" => spark.readStream.schema(dropSchema).parquet(dropDir)
@@ -1520,22 +1541,50 @@ object Streams {
       .option("checkpointLocation", cp)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val n = catalog.addVectors(userId, modelId, batch)
-        statusTable.foreach(_.record(batchId, n))
-        progressJournal.foreach(_.record(s"ingest_$userId/$modelId", batchId, n))
-        autoVacuumKeepLast.foreach { k =>
-          if (catalog.epochs(userId, modelId).size >= 2 * k + 1) {
-            catalog.vacuum(userId, modelId, keepLast = k)
-            ()
+        // DRIFT GATE (when armed): the PSI of this batch's centroid
+        // assignments vs the store's, measured BEFORE the batch lands
+        // ([[graft.sources.VectorStoreCatalog.ingestDrift]]); past the
+        // threshold the batch is quarantined — written whole to the
+        // quarantine dir for operator inspection/replay, never appended —
+        // because a drifted batch is exactly the one the frozen quantizer
+        // will serve badly (imbalance now, recall decay until a rebuild).
+        // Stores with no index pass everything (no quantizer, no gate).
+        // The batch is pinned once: the gate's assignment pass and the
+        // landing write must not re-run the source lineage twice.
+        val pinned =
+          if (driftMaxPsi.isDefined) batch.localCheckpoint(true) else batch
+        val verdict = driftMaxPsi.flatMap(m =>
+          catalog.ingestDrift(userId, modelId, pinned, maxPsi = m))
+        if (verdict.exists(_.drifted)) {
+          val v = verdict.get
+          val dst = s"${quarantineDir.get}/batch_id=$batchId"
+          pinned.write.mode("overwrite").parquet(dst)
+          slog.warn(s"ingest $userId/$modelId batch $batchId QUARANTINED: " +
+            s"assignment PSI ${v.psiX1e6 / 1e6} over ${v.nBatch} rows vs " +
+            s"${v.nStore} stored exceeds ${driftMaxPsi.get} — the frozen " +
+            s"quantizer does not describe this batch; written to $dst " +
+            "(inspect, rebuild the index, or re-drop past the gate)")
+          statusTable.foreach(_.record(batchId, 0L))
+          progressJournal.foreach(
+            _.record(s"quarantine_$userId/$modelId", batchId, v.nBatch))
+        } else {
+          val n = catalog.addVectors(userId, modelId, pinned)
+          statusTable.foreach(_.record(batchId, n))
+          progressJournal.foreach(_.record(s"ingest_$userId/$modelId", batchId, n))
+          autoVacuumKeepLast.foreach { k =>
+            if (catalog.epochs(userId, modelId).size >= 2 * k + 1) {
+              catalog.vacuum(userId, modelId, keepLast = k)
+              ()
+            }
           }
-        }
-        // ST3: completion notification with the reference's retry/backoff
-        onBatchComplete.foreach { send =>
-          notifyCompletion(hookConfig, Map(
-            "event" -> "batch_operation_completed",
-            "batch_id" -> batchId.toString,
-            "rows" -> n.toString,
-            "store" -> s"$userId/$modelId"), send)
+          // ST3: completion notification with the reference's retry/backoff
+          onBatchComplete.foreach { send =>
+            notifyCompletion(hookConfig, Map(
+              "event" -> "batch_operation_completed",
+              "batch_id" -> batchId.toString,
+              "rows" -> n.toString,
+              "store" -> s"$userId/$modelId"), send)
+          }
         }
         ()
       }

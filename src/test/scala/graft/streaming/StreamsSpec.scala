@@ -1053,6 +1053,75 @@ class StreamsSpec extends AnyFunSuite with SparkSpec {
     assert(catalog.count("stream", "m1") >= 21)
   }
 
+  test("ingestVectors drift gate: aligned batches land, a concentrated " +
+      "batch quarantines whole — store untouched, batch inspectable") {
+    import org.apache.spark.sql.types._
+    val dropDir = tempDir("graft_gate_drop")
+    val root = tempDir("graft_gate_store")
+    val qdir = tempDir("graft_gate_quarantine")
+    val cp = tempDir("graft_gate_cp")
+    val catalog = new VectorStoreCatalog(spark, root)
+    catalog.create("g", "m", StoreConfig(dimension = 4))
+    // two clean clusters, 40 rows each, and the matching explicit
+    // quantizer — assignment (and so PSI) is fully deterministic
+    def clusterRow(axis: Int, i: Int): String = {
+      val v = Array.fill(4)(0.001 * i); v(axis) = 1.0
+      s"""{"vector": [${v.mkString(",")}], "meta": {"c": "$axis"}}"""
+    }
+    val base = ((0 until 40).map(clusterRow(0, _)) ++
+      (0 until 40).map(clusterRow(1, _)))
+    catalog.addVectors("g", "m", spark.read.schema(StructType(Seq(
+        StructField("vector", ArrayType(FloatType)),
+        StructField("meta", MapType(StringType, StringType)))))
+      .json(base.toDS))
+    catalog.buildIndexWithCentroids("g", "m",
+      Array(Array(1.0, 0, 0, 0), Array(0, 1.0, 0, 0)))
+    val schema = StructType(Seq(
+      StructField("vector", ArrayType(FloatType)),
+      StructField("meta", MapType(StringType, StringType))))
+    val status = new Streams.BatchStatusTable(spark)
+
+    // the gate needs somewhere to put what it stops
+    intercept[IllegalArgumentException] {
+      Streams.ingestVectors(spark, dropDir, schema, catalog, "g", "m",
+        driftMaxPsi = Some(0.25))
+    }
+
+    // drop 1: 10 rows per cluster — the store's own 50/50 mix, PSI = 0
+    Files.writeString(Paths.get(s"$dropDir/aligned.jsonl"),
+      ((100 until 110).map(clusterRow(0, _)) ++
+        (100 until 110).map(clusterRow(1, _))).mkString("\n"))
+    val q1 = Streams.ingestVectors(spark, dropDir, schema, catalog, "g", "m",
+      checkpoint = Some(cp), statusTable = Some(status),
+      driftMaxPsi = Some(0.25), quarantineDir = Some(qdir))
+    try q1.awaitTermination(60000) finally q1.stop()
+    assert(catalog.count("g", "m") == 100, "the aligned batch must land")
+
+    // drop 2: 20 rows, ALL cluster 0 — proportion mass on one list,
+    // PSI ~ 4.6 >> 0.25
+    Files.writeString(Paths.get(s"$dropDir/skew.jsonl"),
+      (200 until 220).map(clusterRow(0, _)).mkString("\n"))
+    val q2 = Streams.ingestVectors(spark, dropDir, schema, catalog, "g", "m",
+      checkpoint = Some(cp), statusTable = Some(status),
+      driftMaxPsi = Some(0.25), quarantineDir = Some(qdir))
+    try q2.awaitTermination(60000) finally q2.stop()
+    assert(catalog.count("g", "m") == 100,
+      "the drifted batch must NOT reach the store")
+    val quarantined = spark.read.parquet(qdir)
+    assert(quarantined.count() == 20,
+      "the whole batch must be inspectable in quarantine")
+    // status table: the quarantined batch records 0 ingested rows
+    val st = status.toDF.collect().map(_.getAs[Long]("rows_ingested"))
+    assert(st.sorted.toSeq == Seq(0L, 20L))
+    // indexless stores pass everything: no quantizer, no gate
+    catalog.create("g", "nogate", StoreConfig(dimension = 4))
+    val q3 = Streams.ingestVectors(spark, dropDir, schema, catalog,
+      "g", "nogate", driftMaxPsi = Some(0.25), quarantineDir = Some(qdir))
+    try q3.awaitTermination(60000) finally q3.stop()
+    assert(catalog.count("g", "nogate") == 40L,
+      "both drops land on the indexless store")
+  }
+
   test("ingestVectors autoVacuumKeepLast bounds epoch dirs; rows and " +
       "recent pins survive the folds") {
     import org.apache.spark.sql.types._
