@@ -3337,8 +3337,13 @@ object SparkEntry {
             map(lit("vid"), col("vec_id").cast("string")).as("meta")))
       }
       cat.buildIndex("u", "opt", nLists = 4)
-      def qv(i: Int) = emb.filter(col("vec_id") === i)
-        .select(col("embedding")).head.getSeq[Float](0).map(_.toDouble)
+      // ONE collect fetches both query vectors; the previous per-call
+      // head() re-scanned the embeddings parquet once per query per phase
+      val qvs = emb.filter(col("vec_id").isin(0, 7))
+        .select(col("vec_id"), col("embedding")).collect()
+        .map(r => r.getLong(0).toInt -> r.getSeq[Float](1).map(_.toDouble))
+        .toMap
+      def qv(i: Int) = qvs(i)
       def top(phase: String) = Seq(0, 7).map { q =>
         cat.query("u", "opt", qv(q), k = 5, nProbe = 8)
           .select(lit(phase).as("phase"), lit(q.toLong).as("qid"),
@@ -3379,8 +3384,13 @@ object SparkEntry {
       cat.buildIndex("u", "tt", nLists = 4) // slices ride the epochs
       cat.addVectors("u", "tt", third(1)) // epoch 1 (index synced)
       cat.addVectors("u", "tt", third(2)) // epoch 2
-      def qv(i: Int) = emb.filter(col("vec_id") === i)
-        .select(col("embedding")).head.getSeq[Float](0).map(_.toDouble)
+      // ONE collect fetches both query vectors; the previous per-call
+      // head() re-scanned the embeddings parquet once per query per phase
+      val qvs = emb.filter(col("vec_id").isin(0, 7))
+        .select(col("vec_id"), col("embedding")).collect()
+        .map(r => r.getLong(0).toInt -> r.getSeq[Float](1).map(_.toDouble))
+        .toMap
+      def qv(i: Int) = qvs(i)
       def top(phase: String, asOf: Option[Long]) = Seq(0, 7).map { q =>
         cat.query("u", "tt", qv(q), k = 5, nProbe = 8, asOf = asOf)
           .select(lit(phase).as("phase"), lit(q.toLong).as("qid"),
@@ -4348,8 +4358,13 @@ object SparkEntry {
             map(lit("vid"), col("vec_id").cast("string")).as("meta")))
       }
       cat.buildIndex("u", "del", nLists = 4)
-      def qv(i: Int) = emb.filter(col("vec_id") === i)
-        .select(col("embedding")).head.getSeq[Float](0).map(_.toDouble)
+      // ONE collect fetches both query vectors; the previous per-call
+      // head() re-scanned the embeddings parquet once per query per phase
+      val qvs = emb.filter(col("vec_id").isin(0, 7))
+        .select(col("vec_id"), col("embedding")).collect()
+        .map(r => r.getLong(0).toInt -> r.getSeq[Float](1).map(_.toDouble))
+        .toMap
+      def qv(i: Int) = qvs(i)
       def top(phase: String) = Seq(0, 7).map { q =>
         cat.query("u", "del", qv(q), k = 5, nProbe = 8)
           .select(lit(phase).as("phase"), lit(q.toLong).as("qid"),

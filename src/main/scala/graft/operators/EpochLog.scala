@@ -1,15 +1,14 @@
 package graft.operators
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions._
 
 /** Commit log for epoch-sliced index layouts ([[FingerprintIndex]],
   * [[HammingIndex]], [[SegmentIndex]]): each build/append writes its data
   * files under `layout/epoch=N` directories and then records the epoch in
   * this log; readers resolve the committed epoch set FIRST and read only
-  * those directories. The one-row parquet append that records an epoch is
-  * the commit point, so a multi-layout write (e.g. docs + bands) becomes
-  * visible all-or-nothing:
+  * those directories. The one-file JSON-lines append that records an epoch
+  * (written aside, renamed into place) is the commit point, so a
+  * multi-layout write (e.g. docs + bands) becomes visible all-or-nothing:
   *
   *  - a failure BEFORE the commit leaves orphan `epoch=N` directories that
   *    no reader ever lists (readers enumerate committed epochs, not the
@@ -37,25 +36,45 @@ private[graft] case class EpochLog(spark: SparkSession, path: String) {
 
   private case class Commit(epoch: Long, action: String, nRows: Long)
 
-  /** A replace commit prunes superseded part files right after its row
-    * lands (see [[commit]]); Spark lists the directory then reads the
-    * files, so a read that spans the prune can hit FileNotFoundException
-    * on a just-deleted part. Re-listing resolves it: the retry sees the
-    * post-replace state (the replace row is durable before any delete
-    * starts), which decodes to the same committed epoch set. Bounded
-    * retries — anything persistent is a real error and rethrows.
+  /** The log is KB-sized metadata read on EVERY serving call and commit,
+    * so its I/O is pure driver-side FileSystem work: a Spark job to read
+    * (or write) a one-row file is scheduler overhead, not computation —
+    * measured at ~60-100 ms per job in the bench, times the 5-15 log
+    * touches a single lifecycle query makes. Commit files are JSON lines
+    * (one object per commit row); a commit lands as ONE file written to a
+    * hidden temp name and renamed into place, so a half-written commit is
+    * never visible (strictly tighter than the parquet-part visibility the
+    * log had when commits went through a Spark write job).
+    *
+    * A replace commit prunes superseded commit files right after its row
+    * lands (see [[commit]]), so a read that listed the directory before
+    * the prune can hit FileNotFoundException on a just-deleted file.
+    * Re-listing resolves it: the retry sees the post-replace state (the
+    * replace row is durable before any delete starts), which decodes to
+    * the same committed epoch set. Bounded retries — anything persistent
+    * is a real error and rethrows.
     */
   private def readCommits(): Seq[Commit] = {
-    // a log directory with no commit files yet (a store created but never
-    // written, or a crash before the very first commit) decodes to the
-    // empty epoch set — not a read error
-    if (listLogFiles().isEmpty) return Seq.empty
-    def attempt(): Seq[Commit] =
-      spark.read.parquet(commitsPath)
-        .select(col("epoch"), col("action"), col("n_rows"))
-        .collect()
-        .map(r => Commit(r.getLong(0), r.getString(1), r.getLong(2)))
-        .sortBy(_.epoch).toSeq
+    def attempt(): Seq[Commit] = {
+      // a log directory with no commit files yet (a store created but
+      // never written, or a crash before the very first commit) decodes
+      // to the empty epoch set — not a read error
+      val files = listLogFiles()
+      val fs = new org.apache.hadoop.fs.Path(commitsPath)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      files.flatMap { f =>
+        val in = fs.open(f)
+        val text =
+          try {
+            val out = new java.io.ByteArrayOutputStream()
+            val buf = new Array[Byte](8192)
+            var n = in.read(buf)
+            while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+            new String(out.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
+          } finally in.close()
+        text.split('\n').iterator.map(_.trim).filter(_.nonEmpty).map(parseLine).toSeq
+      }.sortBy(_.epoch)
+    }
     def isMissingFile(t: Throwable): Boolean =
       Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(8)
         .exists(_.isInstanceOf[java.io.FileNotFoundException])
@@ -69,11 +88,34 @@ private[graft] case class EpochLog(spark: SparkSession, path: String) {
     throw new IllegalStateException("unreachable")
   }
 
+  private def fmtLine(c: Commit): String =
+    s"""{"epoch":${c.epoch},"action":"${c.action}","n_rows":${c.nRows}}"""
+
+  private val LineRe =
+    """\{"epoch":(-?\d+),"action":"([a-z]+)","n_rows":(-?\d+)\}""".r
+
+  private def parseLine(line: String): Commit = line match {
+    case LineRe(e, a, n) => Commit(e.toLong, a, n.toLong)
+    case other => throw new IllegalStateException(
+      s"corrupt commit-log line in $commitsPath: $other")
+  }
+
   private def write(rows: Seq[Commit], mode: String): Unit = {
-    import spark.implicits._
-    rows.map(c => (c.epoch, c.action, c.nRows))
-      .toDF("epoch", "action", "n_rows")
-      .coalesce(1).write.mode(mode).parquet(commitsPath)
+    val dir = new org.apache.hadoop.fs.Path(commitsPath)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (mode == "overwrite") fs.delete(dir, true)
+    fs.mkdirs(dir)
+    val name = s"commit-${java.util.UUID.randomUUID}.jsonl"
+    val tmp = new org.apache.hadoop.fs.Path(dir, s".$name.tmp")
+    val out = fs.create(tmp, true)
+    try out.write((rows.map(fmtLine).mkString("\n") + "\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    // rename-into-place is the commit point: readers skip dotfiles, so a
+    // crash before the rename leaves nothing visible
+    if (!fs.rename(tmp, new org.apache.hadoop.fs.Path(dir, name)))
+      throw new IllegalStateException(
+        s"commit-log rename failed: $tmp -> $name under $commitsPath")
   }
 
   /** Start a fresh log containing exactly epoch 0 as a replace (build). */

@@ -74,9 +74,26 @@ class VectorStoreCatalog(spark: SparkSession, val root: String) {
   private def hasIvf(userId: String, modelId: String, cfg: StoreConfig): Boolean =
     cfg.indexType == "ivf" &&
       fs.exists(new Path(s"${indexPath(userId, modelId)}/centroids"))
+  // Loaded-index cache: an IvfIndex instance is (path, centroids, metric,
+  // log) — the centroids array and metric are immutable between rebuilds,
+  // and the log/data are read lazily per search, so the instance stays
+  // valid across appends, deletes, optimizes and vacuums. Loading it costs
+  // 2-3 Spark jobs (buildmeta + centroids reads) PER SERVING CALL without
+  // the cache — pure fixed overhead on the catalog's single-writer
+  // discipline (r19 measurement: the metadata jobs dominated lifecycle
+  // queries). Invalidated wherever centroids are retired or rewritten
+  // (buildIndex / buildIndexWithCentroids / clear / drop); a different
+  // catalog instance (process restart) always re-reads from disk.
+  private val idxCache =
+    scala.collection.mutable.HashMap.empty[(String, String), graft.ml.IvfIndex]
+  private def idxInvalidate(userId: String, modelId: String): Unit =
+    idxCache.synchronized { idxCache.remove((userId, modelId)); () }
   private def idxLoad(userId: String, modelId: String, cfg: StoreConfig): graft.ml.IvfIndex =
-    graft.ml.IvfIndex.load(spark, indexPath(userId, modelId), cfg.metric,
-      if (epochMode(userId, modelId)) Some(storeLog(userId, modelId)) else None)
+    idxCache.synchronized {
+      idxCache.getOrElseUpdate((userId, modelId),
+        graft.ml.IvfIndex.load(spark, indexPath(userId, modelId), cfg.metric,
+          if (epochMode(userId, modelId)) Some(storeLog(userId, modelId)) else None))
+    }
 
   def exists(userId: String, modelId: String): Boolean =
     fs.exists(configPath(userId, modelId))
@@ -297,9 +314,7 @@ class VectorStoreCatalog(spark: SparkSession, val root: String) {
       "adaptive planning needs a filter; use query() for unfiltered queries")
     queryAdaptiveImpl(userId, modelId, queryVec, k, nProbe, preFilterCap,
       asOf, TypedMeta.typedPredicate(col("meta"), typedFilter),
-      typedFilter.toSeq.map { case (k0, v0) =>
-        metaStatsCountTyped(userId, modelId, k0, v0)
-      })
+      metaStatsCountsTyped(userId, modelId, typedFilter.toSeq))
   }
 
   /** The statistics plan for a shared filter: (exact hint, upper bound).
@@ -566,15 +581,19 @@ class VectorStoreCatalog(spark: SparkSession, val root: String) {
     // delete on centroids existing would let a prior rebuild's crash —
     // centroids gone, stale data slices still present — skip the retire
     // on the NEXT rebuild and resurrect double-serving slices
+    idxInvalidate(userId, modelId)
     fs.delete(new Path(s"${indexPath(userId, modelId)}/centroids"), true)
     fs.delete(new Path(s"${indexPath(userId, modelId)}/data"), true)
     // epoch stores: the index data lands under the newest committed store
     // epoch (it covers exactly the committed rows the build read); the
     // index only becomes load-bearing when the config flips below
-    graft.ml.IvfIndex.build(load(userId, modelId), "id", "vector",
+    val built = graft.ml.IvfIndex.build(load(userId, modelId), "id", "vector",
       indexPath(userId, modelId), nLists = nLists, metric = cfg.metric,
       log = if (epochMode(userId, modelId)) Some(storeLog(userId, modelId)) else None)
     writeConfig(cfgPath, cfg.copy(indexType = "ivf"), idBase)
+    // seed the cache with the just-built instance: the first serving call
+    // after a build would otherwise immediately re-read what build wrote
+    idxCache.synchronized { idxCache((userId, modelId)) = built }
   }
 
   /** [[buildIndex]] around an EXPLICIT coarse quantizer instead of k-means
@@ -593,12 +612,15 @@ class VectorStoreCatalog(spark: SparkSession, val root: String) {
     val (cfg, idBase) = readConfig(fs, cfgPath)
     require(centroids.nonEmpty && centroids.forall(_.length == cfg.dimension),
       s"centroids must be non-empty ${cfg.dimension}-dim vectors")
+    idxInvalidate(userId, modelId)
     fs.delete(new Path(s"${indexPath(userId, modelId)}/centroids"), true)
     fs.delete(new Path(s"${indexPath(userId, modelId)}/data"), true)
-    graft.ml.IvfIndex.buildWithCentroids(load(userId, modelId), "id", "vector",
+    val built = graft.ml.IvfIndex.buildWithCentroids(load(userId, modelId),
+      "id", "vector",
       indexPath(userId, modelId), centroids, metric = cfg.metric,
       log = if (epochMode(userId, modelId)) Some(storeLog(userId, modelId)) else None)
     writeConfig(cfgPath, cfg.copy(indexType = "ivf"), idBase)
+    idxCache.synchronized { idxCache((userId, modelId)) = built }
   }
 
   /** The store's index-drift verdict ([[graft.ml.IvfIndex.maintenance]]
@@ -789,9 +811,7 @@ class VectorStoreCatalog(spark: SparkSession, val root: String) {
       "adaptive planning needs a filter; use query() for unfiltered queries")
     queryAdaptiveImpl(userId, modelId, queryVec, k, nProbe, preFilterCap,
       asOf, Knn.metadataPredicate(col("meta"), metadataFilter),
-      metadataFilter.toSeq.map { case (k0, v0) =>
-        metaStatsCount(userId, modelId, k0, v0)
-      })
+      metaStatsCounts(userId, modelId, metadataFilter.toSeq))
   }
 
   def count(userId: String, modelId: String): Long = load(userId, modelId).count()
@@ -1165,9 +1185,8 @@ class VectorStoreCatalog(spark: SparkSession, val root: String) {
       asOf, pred,
       if (metadataFilter.isEmpty)
         (storeRowCountHint(userId, modelId, asOf), None)
-      else statsHints(asOf, metadataFilter.toSeq.map { case (k0, v0) =>
-        metaStatsCount(userId, modelId, k0, v0)
-      }),
+      else statsHints(asOf,
+        metaStatsCounts(userId, modelId, metadataFilter.toSeq)),
       (idx, qs) => idx.searchBatch(qs, k, nProbe, asOf = asOf,
         metadataFilter = metadataFilter, pairPredicate = pairPredicate),
       pairPredicate)
@@ -1350,9 +1369,8 @@ class VectorStoreCatalog(spark: SparkSession, val root: String) {
       asOf, pred,
       if (typedFilter.isEmpty)
         (storeRowCountHint(userId, modelId, asOf), None)
-      else statsHints(asOf, typedFilter.toSeq.map { case (k0, v0) =>
-        metaStatsCountTyped(userId, modelId, k0, v0)
-      }),
+      else statsHints(asOf,
+        metaStatsCountsTyped(userId, modelId, typedFilter.toSeq)),
       (idx, qs) => idx.searchBatch(qs, k, nProbe, asOf = asOf,
         predicate = if (typedFilter.isEmpty) None else Some(pred),
         pairPredicate = pairPredicate),
@@ -1500,6 +1518,7 @@ class VectorStoreCatalog(spark: SparkSession, val root: String) {
     * exact scan while no centroids exist).
     */
   def clear(userId: String, modelId: String): Unit = {
+    idxInvalidate(userId, modelId)
     fs.delete(new Path(dataPath(userId, modelId)), true)
     fs.delete(new Path(epochsPath(userId, modelId)), true)
     fs.delete(new Path(indexPath(userId, modelId)), true)
@@ -1641,23 +1660,43 @@ class VectorStoreCatalog(spark: SparkSession, val root: String) {
       userId: String,
       modelId: String,
       key: String,
-      value: String): Option[Long] = {
-    if (!epochMode(userId, modelId)) return None
-    val df = metaStatsFrame(userId, modelId).getOrElse(return None)
+      value: String): Option[Long] =
+    metaStatsCounts(userId, modelId, Seq(key -> value)).head
+
+  /** Multi-key form of [[metaStatsCount]]: ONE aggregation pass over the
+    * stats table answers every key of a conjunction (the per-key loop
+    * paid one job per key — pure fixed cost, since each pass scanned the
+    * same KB-sized table). Same freshness bar, per key.
+    */
+  def metaStatsCounts(
+      userId: String,
+      modelId: String,
+      filter: Seq[(String, String)]): Seq[Option[Long]] =
+    metaStatsCountsWith(userId, modelId, filter.map { case (k0, v0) =>
+      col("key") === k0 &&
+        (col("value") === v0 || col("value") === TypedMeta.jsonString(v0))
+    })
+
+  private def metaStatsCountsWith(
+      userId: String,
+      modelId: String,
+      preds: Seq[org.apache.spark.sql.Column]): Seq[Option[Long]] = {
+    if (preds.isEmpty) return Seq.empty
+    if (!epochMode(userId, modelId)) return preds.map(_ => None)
+    val df = metaStatsFrame(userId, modelId)
+      .getOrElse(return preds.map(_ => None))
     // -1 is the EMPTY log's epoch (nextEpoch's base): it can never equal
     // a committed epoch, so empty-store stats stamped -1 read as fresh
     // while stats stamped -1 on a store that has since committed read
     // stale — the pre-r18 getOrElse(0L) collided with the first commit
     val cur = storeLog(userId, modelId).committedEpochs()
       .lastOption.getOrElse(-1L)
-    val row = df.agg(
-      max(col("stats_epoch")).as("e"),
-      coalesce(sum(when(col("key") === key &&
-        (col("value") === value ||
-          col("value") === TypedMeta.jsonString(value)), col("n"))),
-        lit(0L)).as("m")).head()
-    if (row.isNullAt(0) || row.getLong(0) != cur) None
-    else Some(row.getLong(1))
+    val aggs = preds.zipWithIndex.map { case (p, i) =>
+      coalesce(sum(when(p, col("n"))), lit(0L)).as(s"m$i")
+    }
+    val row = df.agg(max(col("stats_epoch")).as("e"), aggs: _*).head()
+    if (row.isNullAt(0) || row.getLong(0) != cur) preds.map(_ => None)
+    else preds.indices.map(i => Some(row.getLong(i + 1)))
   }
 
   /** [[metaStatsCount]] for a TYPED filter value — the stored-encoding
@@ -1676,29 +1715,25 @@ class VectorStoreCatalog(spark: SparkSession, val root: String) {
       userId: String,
       modelId: String,
       key: String,
-      value: Any): Option[Long] = {
-    if (!epochMode(userId, modelId)) return None
-    val df = metaStatsFrame(userId, modelId).getOrElse(return None)
-    // -1 is the EMPTY log's epoch (nextEpoch's base): it can never equal
-    // a committed epoch, so empty-store stats stamped -1 read as fresh
-    // while stats stamped -1 on a store that has since committed read
-    // stale — the pre-r18 getOrElse(0L) collided with the first commit
-    val cur = storeLog(userId, modelId).committedEpochs()
-      .lastOption.getOrElse(-1L)
-    val row = df.agg(
-      max(col("stats_epoch")).as("e"),
-      coalesce(sum(when(col("key") === key &&
-        TypedMeta.typedEqualsRaw(col("value"), value), col("n"))),
-        lit(0L)).as("m")).head()
-    if (row.isNullAt(0) || row.getLong(0) != cur) None
-    else Some(row.getLong(1))
-  }
+      value: Any): Option[Long] =
+    metaStatsCountsTyped(userId, modelId, Seq(key -> value)).head
+
+  /** Multi-key form of [[metaStatsCountTyped]] — one pass for the whole
+    * typed conjunction, mirroring [[metaStatsCounts]]. */
+  def metaStatsCountsTyped(
+      userId: String,
+      modelId: String,
+      filter: Seq[(String, Any)]): Seq[Option[Long]] =
+    metaStatsCountsWith(userId, modelId, filter.map { case (k0, v0) =>
+      col("key") === k0 && TypedMeta.typedEqualsRaw(col("value"), v0)
+    })
 
   /** Drop the store entirely (reference delete_store, api/routes/admin.py:74-112). */
   def drop(userId: String, modelId: String, force: Boolean = false): Unit = {
     if (!force && exists(userId, modelId) && count(userId, modelId) > 0)
       throw new IllegalStateException(
         s"store $userId/$modelId is non-empty; pass force=true (reference admin.py:74-112 semantics)")
+    idxInvalidate(userId, modelId)
     fs.delete(new Path(storePath(userId, modelId)), true)
   }
 }

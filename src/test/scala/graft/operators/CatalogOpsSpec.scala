@@ -400,11 +400,12 @@ class CatalogOpsSpec extends AnyFunSuite with SparkSpec {
       def jobsDuring(f: => Unit): Int = { settle(); jobs.set(0); f; settle() }
       // un-indexed ingest: ONE pass over user lineage (the observed write;
       // the count comes from the write's CollectMetrics, not a second
-      // lineage run) + the epoch log's constant one-row commit write —
-      // exactly 2 jobs, so a lineage re-run (a 3rd job) still fails loud
+      // lineage run). The epoch log's one-row commit is driver-side
+      // FileSystem I/O (r19: KB metadata is not a Spark job), so exactly
+      // 1 job — a lineage re-run (a 2nd job) still fails loud
       val addJobs = jobsDuring { assert(cat.addVectors("u", "jc", rows) == 100L) }
-      assert(addJobs == 2,
-        s"ingest = observed data write + KB commit write, ran $addJobs jobs")
+      assert(addJobs == 1,
+        s"ingest = the observed data write alone, ran $addJobs jobs")
       // delete: ONE pass over the DATA (the observed rewrite) — the other
       // jobs are constant KB-sized log/schema reads (epoch resolution,
       // next-epoch, superseded-set snapshot, commit row), independent of
@@ -687,13 +688,18 @@ class CatalogOpsSpec extends AnyFunSuite with SparkSpec {
     assert(cat.count("u", "ivf") == 250)
 
     // corrupt index -> query falls back to exact instead of erroring
-    // (compare against an exact scan over the SAME post-add store state)
+    // (compare against an exact scan over the SAME post-add store state).
+    // The query goes through a FRESH catalog instance: the serving-path
+    // index cache is per-instance (single-writer discipline), so the
+    // restart scenario is where on-disk corruption actually gets read.
     val exactAfterAdd = cat.query("u", "ivf", q, 5, useIndex = false).select($"id")
       .collect().map(_.getLong(0)).toSeq
     val cfile = new java.io.File(s"$storeRoot/_ivf/centroids")
     cfile.listFiles().filter(_.getName.endsWith(".parquet"))
       .foreach(f => java.nio.file.Files.write(f.toPath, Array[Byte](1, 2, 3)))
-    val fallback = cat.query("u", "ivf", q, 5).select($"id")
+    val reopened = new graft.sources.VectorStoreCatalog(spark,
+      new java.io.File(storeRoot).getParentFile.getParent)
+    val fallback = reopened.query("u", "ivf", q, 5).select($"id")
       .collect().map(_.getLong(0)).toSeq
     assert(fallback == exactAfterAdd, "corrupt index must fall back to exact scan")
   }
