@@ -43,7 +43,13 @@ class IvfIndex private (
     * filter matches inside every committed epoch directory).
     */
   private[graft] def storeDf: DataFrame = log match {
-    case None => spark.read.parquet(dataPath)
+    case None =>
+      if (flatReadSchema != null) spark.read.schema(flatReadSchema).parquet(dataPath)
+      else {
+        val first = spark.read.parquet(dataPath)
+        flatReadSchema = first.schema
+        first
+      }
     case Some(l) => readEpochDirs(l.layoutPaths(dataPath))
   }
 
@@ -94,6 +100,16 @@ class IvfIndex private (
         "rewrite may have expired it")
   }
 
+  // Inferred read schema, captured once per instance: parquet schema
+  // inference submits a small Spark job per spark.read, and the serving
+  // path re-reads this layout on every call — the layout's schema is
+  // fixed at build time (appends write the same columns), so one
+  // inference serves the instance's lifetime. Keyed by layout form
+  // (epoch-sliced reads carry the epoch partition column, flat reads do
+  // not).
+  @volatile private var epochReadSchema: org.apache.spark.sql.types.StructType = _
+  @volatile private var flatReadSchema: org.apache.spark.sql.types.StructType = _
+
   private def readEpochDirs(paths: Seq[String]): DataFrame = {
     val fs = new org.apache.hadoop.fs.Path(dataPath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -111,7 +127,17 @@ class IvfIndex private (
               org.apache.spark.sql.types.FloatType), nullable = true),
           org.apache.spark.sql.types.StructField("list_id",
             org.apache.spark.sql.types.IntegerType, nullable = false))))
-    else spark.read.option("basePath", dataPath).parquet(dirs: _*).drop("epoch")
+    else {
+      val rd = spark.read.option("basePath", dataPath)
+      val df =
+        if (epochReadSchema != null) rd.schema(epochReadSchema).parquet(dirs: _*)
+        else {
+          val first = rd.parquet(dirs: _*)
+          epochReadSchema = first.schema
+          first
+        }
+      df.drop("epoch")
+    }
   }
 
   /** Epoch retention for the IVF layout — [[graft.operators.EpochIndex
@@ -843,22 +869,84 @@ object IvfIndex {
 
   private def buildMetaPath(path: String) = s"$path/buildmeta"
 
+  // ── KB-sized index metadata: driver-side JSON I/O ─────────────────────
+  // Centroids and build metadata are driver-resident by design (the probe
+  // expression closes over the centroid array), so persisting them through
+  // Spark write/read jobs was pure scheduler overhead — 2 jobs per build
+  // plus 2-3 per uncached load plus 2 per maintenance/advisory read
+  // (r19 measurement). Written aside + renamed into place, one file per
+  // dir; legacy parquet dirs (pre-r19 builds in long-lived JVMs) read
+  // through the old path.
+
+  private def writeJsonAside(spark: SparkSession, dir: String,
+      name: String, lines: Seq[String]): Unit = {
+    val d = new org.apache.hadoop.fs.Path(dir)
+    val fs = d.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(d, true)
+    fs.mkdirs(d)
+    val tmp = new org.apache.hadoop.fs.Path(d, s".$name.tmp")
+    val out = fs.create(tmp, true)
+    try out.write((lines.mkString("\n") + "\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    if (!fs.rename(tmp, new org.apache.hadoop.fs.Path(d, name)))
+      throw new IllegalStateException(s"index meta rename failed under $dir")
+  }
+
+  private def readJsonLines(spark: SparkSession, dir: String): Option[Seq[String]] = {
+    val d = new org.apache.hadoop.fs.Path(dir)
+    val fs = d.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(d)) return None
+    val files = fs.listStatus(d).toSeq.filter(s => s.isFile &&
+      s.getPath.getName.endsWith(".jsonl"))
+    if (files.isEmpty) return None
+    Some(files.flatMap { f =>
+      val in = fs.open(f.getPath)
+      val text =
+        try {
+          val buf = new java.io.ByteArrayOutputStream()
+          val b = new Array[Byte](8192)
+          var n = in.read(b)
+          while (n >= 0) { buf.write(b, 0, n); n = in.read(b) }
+          new String(buf.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
+        } finally in.close()
+      text.split('\n').iterator.map(_.trim).filter(_.nonEmpty).toSeq
+    })
+  }
+
+  private val BuildMetaRe =
+    """\{"n_at_build":(-?\d+),"metric":"([a-z0-9_]+)"\}""".r
+  private val CentroidRe =
+    """\{"list_id":(\d+),"centroid":\[([^\]]*)\]\}""".r
+
   private[ml] def readBuildCount(spark: SparkSession, path: String): Option[Long] =
-    try {
-      spark.read.parquet(buildMetaPath(path))
-        .select(col("n_at_build")).collect().headOption.map(_.getLong(0))
-    } catch { case _: org.apache.spark.sql.AnalysisException => None }
+    readJsonLines(spark, buildMetaPath(path)) match {
+      case Some(lines) => lines.headOption.collect {
+        case BuildMetaRe(n, _) => n.toLong
+      }
+      case None => // legacy parquet buildmeta (pre-r19 build in this JVM)
+        try {
+          spark.read.parquet(buildMetaPath(path))
+            .select(col("n_at_build")).collect().headOption.map(_.getLong(0))
+        } catch { case _: org.apache.spark.sql.AnalysisException => None }
+    }
 
   /** Metric recorded at build time; None for indexes written before the
     * metric was persisted (their callers must declare it at load).
     */
   private[ml] def readBuildMetric(spark: SparkSession, path: String): Option[String] =
-    try {
-      val meta = spark.read.parquet(buildMetaPath(path))
-      if (meta.columns.contains("metric"))
-        meta.select(col("metric")).collect().headOption.map(_.getString(0))
-      else None
-    } catch { case _: org.apache.spark.sql.AnalysisException => None }
+    readJsonLines(spark, buildMetaPath(path)) match {
+      case Some(lines) => lines.headOption.collect {
+        case BuildMetaRe(_, m) => m
+      }
+      case None =>
+        try {
+          val meta = spark.read.parquet(buildMetaPath(path))
+          if (meta.columns.contains("metric"))
+            meta.select(col("metric")).collect().headOption.map(_.getString(0))
+          else None
+        } catch { case _: org.apache.spark.sql.AnalysisException => None }
+    }
 
   /** Distributed index build. Input df must carry (idCol, vecCol[, meta]).
     * Writes `{path}/data/list_id=*` partitioned parquet and
@@ -955,12 +1043,14 @@ object IvfIndex {
       .write.mode("overwrite").partitionBy("list_id").parquet(dataDir)
     val nBuilt = obs.get("n").asInstanceOf[Long]
 
-    import spark.implicits._
-    cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
-      .toDF("list_id", "centroid")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
-    Seq((nBuilt, metric)).toDF("n_at_build", "metric")
-      .coalesce(1).write.mode("overwrite").parquet(buildMetaPath(path))
+    // KB-sized metadata lands driver-side (Double.toString/parseDouble
+    // round-trips exactly, so centroids survive bit-for-bit)
+    writeJsonAside(spark, s"$path/centroids", "centroids.jsonl",
+      cents.zipWithIndex.toSeq.map { case (c, i) =>
+        s"""{"list_id":$i,"centroid":[${c.mkString(",")}]}"""
+      })
+    writeJsonAside(spark, buildMetaPath(path), "buildmeta.jsonl",
+      Seq(s"""{"n_at_build":$nBuilt,"metric":"$metric"}"""))
     idx
   }
 
@@ -997,9 +1087,19 @@ object IvfIndex {
       case (None, Some(m)) => m // legacy index: caller-declared
       case (None, None) => vector.MetricCosine // legacy index, legacy default
     }
-    val cents = spark.read.parquet(s"$path/centroids")
-      .orderBy("list_id").collect()
-      .map(_.getSeq[Double](1).toArray)
+    val cents = readJsonLines(spark, s"$path/centroids") match {
+      case Some(lines) =>
+        lines.map {
+          case CentroidRe(i, vals) =>
+            (i.toInt, vals.split(',').map(_.trim.toDouble))
+          case other => throw new IllegalStateException(
+            s"corrupt centroid line under $path/centroids: $other")
+        }.sortBy(_._1).map(_._2).toArray
+      case None => // legacy parquet centroids (pre-r19 build in this JVM)
+        spark.read.parquet(s"$path/centroids")
+          .orderBy("list_id").collect()
+          .map(_.getSeq[Double](1).toArray)
+    }
     new IvfIndex(spark, path, cents, resolved, log)
   }
 }

@@ -394,6 +394,31 @@ class VectorStoreCatalog(spark: SparkSession, val root: String) {
   /** Scan (reference _load_store, service/optimized_vector_store.py:225-239).
     * An empty store yields an empty, correctly-typed DataFrame.
     */
+  // Inferred store-read schema, captured once per (store, layout form):
+  // parquet schema inference submits a small Spark job per spark.read,
+  // and serving calls re-read the store constantly — the store schema is
+  // fixed by [[addVectors]]'s writer for the store's whole lifetime, so
+  // one inference serves every later read (epoch-sliced reads carry the
+  // epoch partition column; legacy flat reads do not).
+  private val readSchemaCache =
+    scala.collection.mutable.HashMap.empty[(String, String, Boolean), StructType]
+
+  private def epochSlicesDf(
+      userId: String, modelId: String, p: String,
+      dirs: Seq[String]): DataFrame = {
+    val key = (userId, modelId, true)
+    val cached = readSchemaCache.synchronized(readSchemaCache.get(key))
+    val rd = spark.read.option("basePath", p)
+    val df = cached match {
+      case Some(s) => rd.schema(s).parquet(dirs: _*)
+      case None =>
+        val first = rd.parquet(dirs: _*)
+        readSchemaCache.synchronized(readSchemaCache(key) = first.schema)
+        first
+    }
+    df.drop("epoch")
+  }
+
   def load(userId: String, modelId: String): DataFrame = {
     require(exists(userId, modelId), s"store $userId/$modelId does not exist")
     val p = dataPath(userId, modelId)
@@ -409,9 +434,17 @@ class VectorStoreCatalog(spark: SparkSession, val root: String) {
       val dirs = storeLog(userId, modelId).layoutPaths(p)
         .filter(d => fs.exists(new Path(d)))
       if (dirs.isEmpty) empty
-      else spark.read.option("basePath", p).parquet(dirs: _*).drop("epoch")
-    } else if (fs.exists(new Path(p))) spark.read.parquet(p)
-    else empty
+      else epochSlicesDf(userId, modelId, p, dirs)
+    } else if (fs.exists(new Path(p))) {
+      val key = (userId, modelId, false)
+      readSchemaCache.synchronized(readSchemaCache.get(key)) match {
+        case Some(s) => spark.read.schema(s).parquet(p)
+        case None =>
+          val first = spark.read.parquet(p)
+          readSchemaCache.synchronized(readSchemaCache(key) = first.schema)
+          first
+      }
+    } else empty
   }
 
   /** The store's committed epoch history (epoch-mode stores only): the
@@ -453,7 +486,7 @@ class VectorStoreCatalog(spark: SparkSession, val root: String) {
     val p = dataPath(userId, modelId)
     val dirs = storeLog(userId, modelId).layoutPathsAt(p, epoch)
       .filter(d => fs.exists(new Path(d)))
-    spark.read.option("basePath", p).parquet(dirs: _*).drop("epoch")
+    epochSlicesDf(userId, modelId, p, dirs)
   }
 
   /** Epoch retention — completes the time-travel lifecycle that [[loadAt]]
@@ -517,7 +550,7 @@ class VectorStoreCatalog(spark: SparkSession, val root: String) {
     val nFiles = math.max(1,
       math.ceil(bytesBefore.toDouble / targetFileBytes).toInt)
     val obs = org.apache.spark.sql.Observation()
-    val folded = spark.read.option("basePath", p).parquet(dirs: _*).drop("epoch")
+    val folded = epochSlicesDf(userId, modelId, p, dirs)
       .observe(obs, org.apache.spark.sql.functions.count(lit(1)).as("n"))
       .repartition(nFiles)
     folded.write.mode("overwrite").parquet(s"$p/epoch=$target")
@@ -1568,7 +1601,19 @@ class VectorStoreCatalog(spark: SparkSession, val root: String) {
         !fs.exists(dst))
       throw new IllegalStateException(
         s"meta stats read failed: could not heal aside dir $old -> $dst")
-    if (fs.exists(dst)) Some(spark.read.parquet(dst.toString)) else None
+    if (!fs.exists(dst)) None
+    else {
+      // the stats schema is one fixed shape for every store (the publish
+      // writers are the only producers): infer it once per JVM instead of
+      // paying a schema-inference job on every adaptive-serving read
+      val cached = VectorStoreCatalog.statsReadSchema
+      if (cached != null) Some(spark.read.schema(cached).parquet(dst.toString))
+      else {
+        val first = spark.read.parquet(dst.toString)
+        VectorStoreCatalog.statsReadSchema = first.schema
+        Some(first)
+      }
+    }
   }
 
   /** Atomic stats publish with a RENAME-ASIDE swap: the parquet lands in
@@ -1744,6 +1789,10 @@ case class HealthReport(healthy: Boolean, issues: Seq[String], vectorCount: Long
 object VectorStoreCatalog {
   private[graft] lazy val slog =
     org.slf4j.LoggerFactory.getLogger("graft.VectorStoreCatalog")
+
+  /** Inferred-once schema of every published meta-stats table (one fixed
+    * shape, one producer family) — see [[VectorStoreCatalog.metaStatsFrame]]. */
+  @volatile private var statsReadSchema: StructType = _
 
   /** Reference serving caps (api/routes/batch_v1.py:63-64, service/models.py:53). */
   val MaxBatchQueries = 1000

@@ -695,8 +695,10 @@ class CatalogOpsSpec extends AnyFunSuite with SparkSpec {
     val exactAfterAdd = cat.query("u", "ivf", q, 5, useIndex = false).select($"id")
       .collect().map(_.getLong(0)).toSeq
     val cfile = new java.io.File(s"$storeRoot/_ivf/centroids")
-    cfile.listFiles().filter(_.getName.endsWith(".parquet"))
-      .foreach(f => java.nio.file.Files.write(f.toPath, Array[Byte](1, 2, 3)))
+    val corrupted = cfile.listFiles()
+      .filter(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+    assert(corrupted.nonEmpty, "construction: centroid files must exist to corrupt")
+    corrupted.foreach(f => java.nio.file.Files.write(f.toPath, Array[Byte](1, 2, 3)))
     val reopened = new graft.sources.VectorStoreCatalog(spark,
       new java.io.File(storeRoot).getParentFile.getParent)
     val fallback = reopened.query("u", "ivf", q, 5).select($"id")
