@@ -49,26 +49,48 @@ private[graft] trait EpochIndex {
     */
   protected def layoutReadOptions(name: String): Map[String, String] = Map.empty
 
-  protected def storedLayout(name: String): DataFrame = {
+  // Inferred-once layout read schemas (the r19 IvfIndex discipline):
+  // parquet schema inference submits a small Spark job per spark.read,
+  // and dedup/serving calls re-read these fixed layouts constantly. Only
+  // layouts with NO extra read options cache — a mergeSchema family
+  // (EditIndex's versioned titles layout) derives its schema from the
+  // exact file set read, which pinned subsets legitimately change.
+  // Invalidated on every write through this instance.
+  private val layoutSchemaCache = scala.collection.mutable.HashMap
+    .empty[String, org.apache.spark.sql.types.StructType]
+  private def invalidateLayoutSchemas(): Unit =
+    layoutSchemaCache.synchronized { layoutSchemaCache.clear() }
+
+  private def readLayout(name: String, paths: Seq[String]): DataFrame = {
+    val opts = layoutReadOptions(name)
+    val bucketed = gatherBucketsFor(name) > 0
     val dir = layoutDir(name)
-    val paths = log.layoutPaths(dir)
-    val reader = spark.read.options(layoutReadOptions(name))
-    if (gatherBucketsFor(name) <= 0) reader.parquet(paths: _*)
-    else reader.option("basePath", dir).parquet(paths: _*).drop("epoch")
+    def reader = {
+      val r = spark.read.options(opts)
+      if (bucketed) r.option("basePath", dir) else r
+    }
+    val df =
+      if (opts.nonEmpty || paths.isEmpty) reader.parquet(paths: _*)
+      else layoutSchemaCache.synchronized(layoutSchemaCache.get(name)) match {
+        case Some(s) => reader.schema(s).parquet(paths: _*)
+        case None =>
+          val first = reader.parquet(paths: _*)
+          layoutSchemaCache.synchronized(layoutSchemaCache(name) = first.schema)
+          first
+      }
+    if (bucketed) df.drop("epoch") else df
   }
+
+  protected def storedLayout(name: String): DataFrame =
+    readLayout(name, log.layoutPaths(layoutDir(name)))
 
   /** [[storedLayout]] pinned at a snapshot epoch — the index-family twin
     * of [[graft.sources.VectorStoreCatalog.loadAt]]: only committed
     * slices with epoch <= `maxEpoch`, plus the active vacuum fold when
     * the pin reaches past its boundary ([[EpochLog.layoutPathsAt]]).
     */
-  protected def storedLayoutAt(name: String, maxEpoch: Long): DataFrame = {
-    val dir = layoutDir(name)
-    val paths = log.layoutPathsAt(dir, maxEpoch)
-    val reader = spark.read.options(layoutReadOptions(name))
-    if (gatherBucketsFor(name) <= 0) reader.parquet(paths: _*)
-    else reader.option("basePath", dir).parquet(paths: _*).drop("epoch")
-  }
+  protected def storedLayoutAt(name: String, maxEpoch: Long): DataFrame =
+    readLayout(name, log.layoutPathsAt(layoutDir(name), maxEpoch))
 
   /** Addressable snapshot pins: the committed epoch set (a previous
     * vacuum's fold slice is itself a valid pin — the vacuum-time
@@ -98,6 +120,7 @@ private[graft] trait EpochIndex {
     val epoch = log.nextEpoch()
     val n = write(epoch)
     log.commit(epoch, "add", n)
+    invalidateLayoutSchemas()
     n
   }
 
@@ -150,6 +173,7 @@ private[graft] trait EpochIndex {
       scala.util.Try(obs.get("n").asInstanceOf[Long]).getOrElse(0L)))
     stale.foreach(e => layoutNames.foreach(n =>
       log.deleteDir(s"${layoutDir(n)}/epoch=$e")))
+    invalidateLayoutSchemas()
   }
 
   /** Epoch retention for index families — the
@@ -207,6 +231,7 @@ private[graft] trait EpochIndex {
     log.commitVacuum(target, boundary, nUnits)
     foldSet.foreach(e => layoutNames.foreach(n =>
       log.deleteDir(s"${layoutDir(n)}/epoch=$e")))
+    invalidateLayoutSchemas()
     foldSet.size
   }
 
@@ -261,6 +286,7 @@ private[graft] trait EpochIndex {
     log.commit(target, "replace", unitAfter)
     stale.foreach(e => layoutNames.foreach(n =>
       log.deleteDir(s"${layoutDir(n)}/epoch=$e")))
+    invalidateLayoutSchemas()
     unitBefore - unitAfter
   }
 
